@@ -1,0 +1,452 @@
+"""ADT QL AST → Spark DataFrame plans.
+
+Where the reference emits a Cypher string for AGE's executor
+(``AdtQueryHelpers.cs``), we build a *declarative DataFrame plan* and let
+Catalyst do predicate pushdown / column pruning / join selection:
+
+* ``FROM DIGITALTWINS``            → scan of the twins table
+* ``FROM RELATIONSHIPS``           → scan of the relationships table
+* ``MATCH (a)-[r:X]->(b)``         → equi-joins rel.source_id = a.dt_id,
+                                     rel.target_id = b.dt_id (+ name
+                                     filter, pushed into the scan → with
+                                     name-partitioned storage this is
+                                     partition pruning)
+* ``JOIN B RELATED A.rel``         → the same join shape (Q8)
+* ``IS_OF_MODEL(m)``               → model_id IN <closure literal list>
+                                     (broadcast-free: compile-time
+                                     expansion of the precomputed
+                                     closure, SURVEY.md §4)
+* ``!=``                           → ``NOT (a = b)`` with three-valued
+                                     NULL semantics (AGE parity: rows
+                                     with missing operands drop out)
+
+Dynamic-typed property access rides on the VARIANT helpers in
+``functions/json_props.py`` — strictly typed, like agtype.
+
+Determinism: ADT QL has no ORDER BY; the reference leans on Postgres
+scan order for TOP/pagination.  Spark guarantees nothing, so TOP(n) and
+paged queries sort by each bound alias's primary key (documented
+divergence; SURVEY.md §4 'Pagination rewrite').
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pg_age_digitaltwins_spark.adtql import ast as A
+from pg_age_digitaltwins_spark.adtql.parser import parse
+from pg_age_digitaltwins_spark.functions import json_props as J
+from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+TWIN_PROMOTED = {
+    ("$dtId",): "dt_id",
+    ("$etag",): "etag",
+    ("$metadata", "$model"): "model_id",
+}
+REL_PROMOTED = {
+    ("$relationshipId",): "relationship_id",
+    ("$sourceId",): "source_id",
+    ("$targetId",): "target_id",
+    ("$relationshipName",): "name",
+    ("$etag",): "etag",
+}
+
+
+class CompileError(ValueError):
+    pass
+
+
+def _lit_kind(e: A.Expr) -> str | None:
+    """Literal type kind driving typed extraction on the other side."""
+    if isinstance(e, A.Lit):
+        return e.kind
+    return None
+
+
+@dataclass
+class Bound:
+    name: str  # referenceable alias ('' for anonymous)
+    kind: str  # 'twin' | 'rel'
+    df_alias: str
+
+
+@dataclass
+class Prop:
+    """A resolved property reference, not yet typed."""
+    bound: Bound
+    path: list[str]
+    promoted: str | None  # promoted plain column name, if any
+
+    def col(self, name: str) -> Column:
+        return F.col(f"{self.bound.df_alias}.{name}")
+
+    @property
+    def vdoc(self) -> Column:
+        return self.col("vdoc")
+
+    def typed(self, kind: str) -> Column:
+        """Column for a comparison against a literal of ``kind``."""
+        if self.promoted:
+            c = self.col(self.promoted)
+            if kind == "number":
+                return c.cast("double")
+            if kind == "bool":
+                return c.cast("boolean")
+            return c
+        if kind == "number":
+            return J.num_value(self.vdoc, self.path)
+        if kind == "bool":
+            return J.bool_value(self.vdoc, self.path)
+        return J.str_value(self.vdoc, self.path)
+
+    def loose(self) -> Column:
+        if self.promoted:
+            return self.col(self.promoted)
+        return J.loose_str_value(self.vdoc, self.path)
+
+
+class QueryCompiler:
+    def __init__(self, store: GraphStore):
+        self.store = store
+        self._twins = store.twins_v()
+        self._rels = store.relationships_v()
+        self._anon = 0
+
+    # ------------------------------------------------------------------
+    def compile(self, query: A.Query, order_for_paging: bool = False) -> DataFrame:
+        env, df = self._bind_sources(query)
+        if query.where is not None:
+            df = df.filter(self._expr(query.where, env, as_predicate=True))
+        if isinstance(query.select, A.CountAll):
+            return df.agg(F.count(F.lit(1)).alias("count"))
+        need_order = query.top is not None or order_for_paging
+        if need_order:
+            keys = [
+                F.col(f"{b.df_alias}.{'dt_id' if b.kind == 'twin' else 'relationship_id'}")
+                for b in env.values()
+            ]
+            df = df.orderBy(*keys)
+        df = self._project(df, query.select, env)
+        if query.top is not None:
+            df = df.limit(query.top)
+        return df
+
+    # ------------------------------------------------------------------
+    # source binding
+    # ------------------------------------------------------------------
+    def _anon_alias(self) -> str:
+        self._anon += 1
+        return f"__a{self._anon}"
+
+    def _bind_sources(self, query: A.Query) -> tuple[dict[str, Bound], DataFrame]:
+        env: dict[str, Bound] = {}
+        order: list[Bound] = []
+
+        def bind(name: str | None, kind: str) -> Bound:
+            df_alias = name if name else self._anon_alias()
+            if name and name in env:
+                raise CompileError(f"Duplicate alias {name!r}")
+            b = Bound(name or "", kind, df_alias)
+            if name:
+                env[name] = b
+            order.append(b)
+            return b
+
+        if query.source == "relationships":
+            b = bind(query.source_alias or "R", "rel")
+            return env, self._rels.alias(b.df_alias)
+
+        if query.match is None:
+            b = bind(query.source_alias or "T", "twin")
+            df = self._twins.alias(b.df_alias)
+        else:
+            nodes = query.match.nodes
+            first = bind(nodes[0].alias, "twin")
+            df = self._twins.alias(first.df_alias)
+            left = first
+            for edge, node in zip(query.match.edges, nodes[1:]):
+                right_b = env.get(node.alias) if node.alias else None
+                df, left = self._add_hop(df, left, edge, node.alias, bind, right_b)
+
+        for j in query.joins:
+            if j.source_alias not in env:
+                raise CompileError(f"JOIN RELATED source alias {j.source_alias!r} not bound")
+            src = env[j.source_alias]
+            edge = A.PatternEdge(j.rel_alias, [j.rel_name], "->")
+            existing = env.get(j.target_alias)
+            df, _ = self._add_hop(df, src, edge, j.target_alias, bind, existing)
+        return env, df
+
+    def _add_hop(self, df, left: Bound, edge: A.PatternEdge, right_alias, bind, existing_right: Bound | None):
+        """Join one relationship hop + target twin onto the plan.
+
+        Equi-joins on promoted key columns — sort-merge/broadcast chosen
+        by Catalyst/AQE; the label filter lands in the rel scan
+        (partition pruning on name-partitioned storage)."""
+        rel_df = self._rels
+        if len(edge.labels) == 1:
+            rel_df = rel_df.filter(F.col("name") == edge.labels[0])
+        elif len(edge.labels) > 1:
+            rel_df = rel_df.filter(F.col("name").isin(edge.labels))
+        e = bind(edge.alias, "rel")
+        rel_df = rel_df.alias(e.df_alias)
+        if edge.direction == "<-":
+            near, far = "target_id", "source_id"
+        else:
+            near, far = "source_id", "target_id"
+        df = df.join(
+            rel_df, F.col(f"{e.df_alias}.{near}") == F.col(f"{left.df_alias}.dt_id")
+        )
+        if existing_right is not None:
+            # pattern chain revisits an alias: (a)-[..]->(b),(b)-[..]->(c)
+            df = df.filter(
+                F.col(f"{e.df_alias}.{far}") == F.col(f"{existing_right.df_alias}.dt_id")
+            )
+            return df, existing_right
+        t = bind(right_alias, "twin")
+        df = df.join(
+            self._twins.alias(t.df_alias),
+            F.col(f"{e.df_alias}.{far}") == F.col(f"{t.df_alias}.dt_id"),
+        )
+        return df, t
+
+    # ------------------------------------------------------------------
+    # expression compilation
+    # ------------------------------------------------------------------
+    def _resolve(self, ref: A.PropRef, env: dict[str, Bound]) -> Prop:
+        segs = ref.path
+        if segs and segs[0] in env:
+            bound, path = env[segs[0]], segs[1:]
+        else:
+            if len(env) != 1:
+                raise CompileError(
+                    f"Property {'.'.join(segs)!r} must be alias-qualified when "
+                    f"multiple aliases are bound ({sorted(env)})"
+                )
+            bound, path = next(iter(env.values())), segs
+        promoted_map = TWIN_PROMOTED if bound.kind == "twin" else REL_PROMOTED
+        promoted = promoted_map.get(tuple(path))
+        return Prop(bound, path, promoted)
+
+    def _expr(self, e: A.Expr, env: dict[str, Bound], as_predicate: bool = False) -> Column:
+        if isinstance(e, A.And):
+            out = self._expr(e.items[0], env, True)
+            for item in e.items[1:]:
+                out = out & self._expr(item, env, True)
+            return out
+        if isinstance(e, A.Or):
+            out = self._expr(e.items[0], env, True)
+            for item in e.items[1:]:
+                out = out | self._expr(item, env, True)
+            return out
+        if isinstance(e, A.Not):
+            return ~self._expr(e.item, env, True)
+        if isinstance(e, A.Cmp):
+            return self._cmp(e, env)
+        if isinstance(e, A.InList):
+            return self._in_list(e, env)
+        if isinstance(e, A.FuncCall):
+            return self._func(e, env)
+        if isinstance(e, A.Lit):
+            return F.lit(e.value)
+        if isinstance(e, A.PropRef):
+            if as_predicate:
+                # bare property in boolean position: truthy boolean prop
+                p = self._resolve(e, env)
+                return p.typed("bool")
+            return self._resolve(e, env).loose()
+        raise CompileError(f"Unsupported expression {e!r}")
+
+    def _cmp(self, e: A.Cmp, env) -> Column:
+        lk = _lit_kind(e.left) or _lit_kind(e.right)
+        left = self._operand(e.left, env, lk)
+        right = self._operand(e.right, env, lk)
+        op = e.op
+        if op == "=":
+            return left == right
+        if op == "!=":
+            # AGE rewrite: NOT (a = b) — NULL-propagating (SURVEY §7 hard#1)
+            return ~(left == right)
+        if op == "<":
+            return left < right
+        if op == ">":
+            return left > right
+        if op == "<=":
+            return left <= right
+        return left >= right
+
+    def _operand(self, e: A.Expr, env, kind: str | None) -> Column:
+        if isinstance(e, A.Lit):
+            return F.lit(e.value)
+        if isinstance(e, A.PropRef):
+            p = self._resolve(e, env)
+            return p.typed(kind) if kind else p.loose()
+        if isinstance(e, A.FuncCall):
+            return self._func(e, env)
+        raise CompileError(f"Unsupported operand {e!r}")
+
+    def _in_list(self, e: A.InList, env) -> Column:
+        kinds = {i.kind for i in e.items.items} or {"string"}
+        kind = "number" if kinds == {"number"} else ("bool" if kinds == {"bool"} else "string")
+        operand = self._operand(e.operand, env, kind)
+        pred = operand.isin([i.value for i in e.items.items])
+        return ~pred if e.negated else pred
+
+    # ------------------------------------------------------------------
+    def _func(self, e: A.FuncCall, env) -> Column:
+        name = e.name
+        if name == "IS_OF_MODEL":
+            return self._is_of_model(e.args, env)
+        if name in ("STARTSWITH", "ENDSWITH", "CONTAINS"):
+            p = self._string_arg(e.args[0], env)
+            lit = e.args[1]
+            if not isinstance(lit, A.Lit) or lit.kind != "string":
+                raise CompileError(f"{name} needs a string literal")
+            if name == "STARTSWITH":
+                return p.startswith(lit.value)
+            if name == "ENDSWITH":
+                return p.endswith(lit.value)
+            return p.contains(lit.value)
+        if name == "ARRAY_CONTAINS":
+            prop = self._prop_arg(e.args[0], env, name)
+            lit = e.args[1]
+            if not isinstance(lit, A.Lit):
+                raise CompileError("ARRAY_CONTAINS needs a literal")
+            etype = {"string": "string", "number": "double", "bool": "boolean"}[lit.kind]
+            if prop.promoted:
+                return F.lit(False)
+            arr = J.array_value(prop.vdoc, prop.path, etype)
+            val = F.lit(float(lit.value) if lit.kind == "number" else lit.value)
+            return F.coalesce(F.array_contains(arr, val), F.lit(False))
+        if name in ("IS_NULL", "IS_DEFINED", "IS_BOOL", "IS_NUMBER", "IS_STRING",
+                    "IS_OBJECT", "IS_PRIMITIVE"):
+            prop = self._prop_arg(e.args[0], env, name)
+            if prop.promoted:
+                c = prop.col(prop.promoted)
+                return {
+                    "IS_NULL": c.isNull(),
+                    "IS_DEFINED": c.isNotNull(),
+                    "IS_BOOL": F.lit(False),
+                    "IS_NUMBER": F.lit(False),
+                    "IS_STRING": c.isNotNull(),
+                    "IS_OBJECT": F.lit(False),
+                    "IS_PRIMITIVE": c.isNotNull(),
+                }[name]
+            fn = {
+                "IS_NULL": J.is_null,
+                "IS_DEFINED": J.is_defined,
+                "IS_BOOL": J.is_bool,
+                "IS_NUMBER": J.is_number,
+                "IS_STRING": J.is_string,
+                "IS_OBJECT": J.is_object,
+                "IS_PRIMITIVE": J.is_primitive,
+            }[name]
+            return fn(prop.vdoc, prop.path)
+        if name in ("NUMBER", "STRING", "BOOL", "JSON"):
+            prop = self._prop_arg(e.args[0], env, name)
+            if prop.promoted:
+                c = prop.col(prop.promoted)
+                return c.cast("double") if name == "NUMBER" else c
+            return {
+                "NUMBER": lambda: J.num_value(prop.vdoc, prop.path),
+                "STRING": lambda: J.str_value(prop.vdoc, prop.path),
+                "BOOL": lambda: J.bool_value(prop.vdoc, prop.path),
+                "JSON": lambda: J.json_value(prop.vdoc, prop.path),
+            }[name]()
+        raise CompileError(f"Unknown function {name}")
+
+    def _string_arg(self, e: A.Expr, env) -> Column:
+        prop = self._prop_arg(e, env, "string function")
+        if prop.promoted:
+            return prop.col(prop.promoted)
+        return J.str_value(prop.vdoc, prop.path)
+
+    def _prop_arg(self, e: A.Expr, env, ctx: str) -> Prop:
+        if not isinstance(e, A.PropRef):
+            raise CompileError(f"{ctx} expects a property reference")
+        return self._resolve(e, env)
+
+    def _is_of_model(self, args: list[A.Expr], env) -> Column:
+        """Q16: membership in the model's precomputed closure.
+
+        Compile-time expansion — the models dim is tiny, so the closure
+        becomes an IN-list literal on the promoted ``model_id`` column;
+        with model_id-partitioned storage that is pure partition pruning
+        (reference fast path: ``GraphInitialization.cs:72-118``)."""
+        twin_alias: str | None = None
+        model_id: str | None = None
+        exact = False
+        for a in args:
+            if isinstance(a, A.Lit) and a.kind == "string":
+                model_id = a.value
+            elif isinstance(a, A.PropRef) and len(a.path) == 1:
+                if a.path[0].lower() == "exact":
+                    exact = True
+                elif a.path[0] in env:
+                    twin_alias = a.path[0]
+                else:
+                    raise CompileError(f"IS_OF_MODEL: unknown alias {a.path[0]!r}")
+            else:
+                raise CompileError(f"IS_OF_MODEL: bad argument {a!r}")
+        if model_id is None:
+            raise CompileError("IS_OF_MODEL needs a model id string")
+        if twin_alias is None:
+            twins = [b for b in env.values() if b.kind == "twin"]
+            if len(twins) != 1:
+                raise CompileError("IS_OF_MODEL needs an explicit twin alias here")
+            bound = twins[0]
+        else:
+            bound = env[twin_alias]
+        col = F.col(f"{bound.df_alias}.model_id")
+        if exact:
+            return col == model_id
+        members = self.store.model_and_descendants(model_id)
+        return col.isin(members)
+
+    # ------------------------------------------------------------------
+    # projection
+    # ------------------------------------------------------------------
+    def _project(self, df: DataFrame, select, env: dict[str, Bound]) -> DataFrame:
+        if isinstance(select, A.Star):
+            cols = [
+                F.col(f"{b.df_alias}.doc").alias(b.name)
+                for b in env.values()
+                if b.name
+            ]
+            if not cols:
+                raise CompileError("SELECT * with no named aliases")
+            return df.select(*cols)
+        cols = []
+        for proj in select:
+            cols.append(self._projection_col(proj, env))
+        return df.select(*cols)
+
+    def _projection_col(self, proj: A.Projection, env) -> Column:
+        e = proj.expr
+        if isinstance(e, A.PropRef):
+            segs = e.path
+            if len(segs) == 1 and segs[0] in env:
+                b = env[segs[0]]
+                return F.col(f"{b.df_alias}.doc").alias(proj.alias or b.name)
+            prop = self._resolve(e, env)
+            default_name = segs[-1].lstrip("$")
+            return prop.loose().alias(proj.alias or default_name)
+        if isinstance(e, A.FuncCall):
+            col = self._func(e, env)
+            name = proj.alias
+            if name is None:
+                arg0 = e.args[0] if e.args else None
+                if isinstance(arg0, A.PropRef):
+                    name = arg0.path[-1].lstrip("$")
+                else:
+                    name = e.name.lower()
+            return col.alias(name)
+        if isinstance(e, A.Lit):
+            return F.lit(e.value).alias(proj.alias or "literal")
+        raise CompileError(f"Unsupported projection {e!r}")
+
+
+def compile_query(store: GraphStore, text: str, order_for_paging: bool = False) -> DataFrame:
+    return QueryCompiler(store).compile(parse(text), order_for_paging)

@@ -1,0 +1,262 @@
+"""The graph store: twins / relationships / models as DataFrames.
+
+Storage model (SURVEY.md §1.4, FIXTURES.md §1):
+
+* ``twins(dt_id, model_id, etag, last_update_time, doc)`` — one row per
+  twin; ``doc`` is the full JSON document (reference stores an ``agtype``
+  blob per vertex, ``src/AgeDigitalTwins/GraphInitialization.cs:12-20``).
+  Hot fields are *promoted* to real columns so Catalyst can push filters
+  into the scan: ``dt_id`` replaces the reference's unique ``$dtId``
+  expression index, ``model_id`` its ``$metadata.$model`` btree index.
+* ``relationships(relationship_id, source_id, target_id, name, etag,
+  doc)`` — the reference keeps one edge table per relationship name
+  (dynamic labels, ``AgeDigitalTwinsClient.Relationships.cs:384-389``);
+  we use ONE table with a ``name`` column and recover per-label pruning
+  by partitioning on ``name``.
+* ``models(id, model, display_name, description, upload_time,
+  decommissioned, bases, descendants, embedding)`` + ``model_edges(src,
+  dst, kind)`` — a tiny dimension, always broadcastable; the
+  bases/descendants closure is precomputed as in the reference
+  (``Models.cs:263-324``).
+
+Scale design: twins are hash-distributed on ``dt_id`` (point lookups,
+MERGE) and partitioned by ``model_id`` on disk (IS_OF_MODEL pruning);
+relationships partitioned by ``name`` and sorted/bucketed by
+``source_id`` so traversal joins co-locate.  A VARIANT column (``vdoc``)
+is derived once per scan for dynamic-typed property access — JVM-side,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from pg_age_digitaltwins_spark.functions.model_closure import closure_from_dtdl
+
+TWIN_SCHEMA = T.StructType(
+    [
+        T.StructField("dt_id", T.StringType(), False),
+        T.StructField("model_id", T.StringType(), True),
+        T.StructField("etag", T.StringType(), True),
+        T.StructField("last_update_time", T.TimestampType(), True),
+        T.StructField("doc", T.StringType(), True),
+    ]
+)
+
+REL_SCHEMA = T.StructType(
+    [
+        T.StructField("relationship_id", T.StringType(), False),
+        T.StructField("source_id", T.StringType(), False),
+        T.StructField("target_id", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("etag", T.StringType(), True),
+        T.StructField("doc", T.StringType(), True),
+    ]
+)
+
+MODEL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("display_name", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("description", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("upload_time", T.TimestampType(), True),
+        T.StructField("decommissioned", T.BooleanType(), True),
+        T.StructField("bases", T.ArrayType(T.StringType()), True),
+        T.StructField("descendants", T.ArrayType(T.StringType()), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+MODEL_EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.StringType(), False),
+        T.StructField("dst", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+    ]
+)
+
+
+def with_vdoc(df: DataFrame) -> DataFrame:
+    """Attach the VARIANT view of the JSON document.
+
+    Computed as a projected column so every downstream property access
+    shares one ``parse_json`` per row (whole-stage codegen keeps it
+    JVM-side; this replaces the reference's agtype decode cascade,
+    ``AgeDigitalTwinsClient.Query.cs:162-201``).
+    """
+    return df.withColumn("vdoc", F.try_parse_json(F.col("doc")))
+
+
+@dataclass
+class GraphStore:
+    """Immutable snapshot of the digital-twin graph as DataFrames."""
+
+    spark: SparkSession
+    twins: DataFrame
+    relationships: DataFrame
+    models: DataFrame
+    model_edges: DataFrame
+    # model_id -> sorted list of descendants (not incl. self); driver-side
+    # copy of the closure for compile-time IS_OF_MODEL expansion.
+    _descendants: dict[str, list[str]] = field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "GraphStore":
+        return cls(
+            spark=spark,
+            twins=spark.createDataFrame([], TWIN_SCHEMA),
+            relationships=spark.createDataFrame([], REL_SCHEMA),
+            models=spark.createDataFrame([], MODEL_SCHEMA),
+            model_edges=spark.createDataFrame([], MODEL_EDGE_SCHEMA),
+        )
+
+    @classmethod
+    def from_documents(
+        cls,
+        spark: SparkSession,
+        twin_docs: Iterable[dict[str, Any] | str] = (),
+        relationship_docs: Iterable[dict[str, Any] | str] = (),
+        model_docs: Iterable[dict[str, Any] | str] = (),
+    ) -> "GraphStore":
+        """Build a store from ADT-format JSON documents (test fixtures,
+        ND-JSON import sections — ``ImportJob.cs:442-604`` format)."""
+        store = cls.empty(spark)
+        if model_docs:
+            store = store.with_models(model_docs)
+        twins = [_twin_row(d) for d in map(_as_dict, twin_docs)]
+        rels = [_rel_row(d) for d in map(_as_dict, relationship_docs)]
+        if twins:
+            store.twins = spark.createDataFrame(twins, TWIN_SCHEMA)
+        if rels:
+            store.relationships = spark.createDataFrame(rels, REL_SCHEMA)
+        return store
+
+    def with_models(self, model_docs: Iterable[dict[str, Any] | str]) -> "GraphStore":
+        """Create models: parse DTDL, compute bases/descendants closure,
+        store the dim table + ``_extends``/``_hasComponent`` edges
+        (reference: ``Models.cs:248-470``)."""
+        docs, bases, descendants, edges = closure_from_dtdl(model_docs)
+        rows = []
+        for d in docs:
+            mid = d["@id"]
+            rows.append(
+                (
+                    mid,
+                    json.dumps(d, separators=(",", ":"), sort_keys=True),
+                    _lang_map(d.get("displayName")),
+                    _lang_map(d.get("description")),
+                    None,
+                    False,
+                    bases.get(mid, []),
+                    descendants.get(mid, []),
+                    None,
+                )
+            )
+        models_df = self.spark.createDataFrame(rows, MODEL_SCHEMA)
+        edges_df = (
+            self.spark.createDataFrame(edges, MODEL_EDGE_SCHEMA)
+            if edges
+            else self.spark.createDataFrame([], MODEL_EDGE_SCHEMA)
+        )
+        return GraphStore(
+            spark=self.spark,
+            twins=self.twins,
+            relationships=self.relationships,
+            models=models_df,
+            model_edges=edges_df,
+            _descendants=descendants,
+        )
+
+    # ------------------------------------------------------------------
+    # derived views
+    # ------------------------------------------------------------------
+    def twins_v(self) -> DataFrame:
+        """Twins with the VARIANT document column attached."""
+        return with_vdoc(self.twins)
+
+    def relationships_v(self) -> DataFrame:
+        return with_vdoc(self.relationships)
+
+    def model_and_descendants(self, model_id: str) -> list[str]:
+        """``{model_id} ∪ descendants(model_id)`` — the IS_OF_MODEL
+        membership set (reference fast path,
+        ``GraphInitialization.cs:72-118``).  Driver-side: the model dim
+        is tiny; the result becomes an IN-list literal that Catalyst
+        pushes into the scan."""
+        desc = self._descendants.get(model_id)
+        if desc is None:
+            rows = (
+                self.models.filter(F.col("id") == model_id)
+                .select("descendants")
+                .collect()
+            )
+            desc = rows[0][0] if rows and rows[0][0] is not None else []
+            self._descendants[model_id] = list(desc)
+        return sorted(set(desc) | {model_id})
+
+    # ------------------------------------------------------------------
+    # persistence (parquet layout tuned for pruning at scale)
+    # ------------------------------------------------------------------
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        self.twins.write.mode(mode).partitionBy("model_id").parquet(f"{path}/twins")
+        self.relationships.write.mode(mode).partitionBy("name").parquet(
+            f"{path}/relationships"
+        )
+        self.models.write.mode(mode).parquet(f"{path}/models")
+        self.model_edges.write.mode(mode).parquet(f"{path}/model_edges")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "GraphStore":
+        return cls(
+            spark=spark,
+            twins=spark.read.parquet(f"{path}/twins"),
+            relationships=spark.read.parquet(f"{path}/relationships"),
+            models=spark.read.parquet(f"{path}/models"),
+            model_edges=spark.read.parquet(f"{path}/model_edges"),
+        )
+
+
+# ----------------------------------------------------------------------
+# document helpers
+# ----------------------------------------------------------------------
+
+def _as_dict(d: dict[str, Any] | str) -> dict[str, Any]:
+    return json.loads(d) if isinstance(d, str) else d
+
+
+def _twin_row(d: dict[str, Any]):
+    meta = d.get("$metadata") or {}
+    return (
+        d["$dtId"],
+        meta.get("$model"),
+        d.get("$etag"),
+        None,
+        json.dumps(d, separators=(",", ":"), sort_keys=True),
+    )
+
+
+def _rel_row(d: dict[str, Any]):
+    return (
+        d["$relationshipId"],
+        d["$sourceId"],
+        d["$targetId"],
+        d["$relationshipName"],
+        d.get("$etag"),
+        json.dumps(d, separators=(",", ":"), sort_keys=True),
+    )
+
+
+def _lang_map(v) -> dict[str, str] | None:
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return {"en": v}
+    return {str(k): str(x) for k, x in v.items()}

@@ -1,0 +1,240 @@
+"""Deterministic mapping of the driver's TPC-H-ish parquet onto the
+digital-twin graph model (FIXTURES.md §8).
+
+Rows become twins of per-table DTDL models arranged in a small
+inheritance DAG (so IS_OF_MODEL has non-trivial semantics), and foreign
+keys become relationships:
+
+    twins:  customer → dtmi:demo:Customer;1   (extends Party → Entity)
+            supplier → dtmi:demo:Supplier;1   (extends Party → Entity)
+            part     → dtmi:demo:Part;1       (extends Item  → Entity)
+            orders   → dtmi:demo:Order;1      (extends Entity)
+            nation   → dtmi:demo:Nation;1     (extends Place → Entity)
+            region   → dtmi:demo:Region;1     (extends Place → Entity)
+
+    edges:  order -placedBy->  customer        (o_custkey)
+            order -contains->  part            (lineitem)
+            order -suppliedBy-> supplier       (lineitem)
+            customer/supplier -locatedIn-> nation
+            nation -partOf->   region
+
+Everything is expressed as DataFrame transforms — the document JSON is
+assembled with ``to_json(struct(...))`` executor-side, so the mapping
+scales linearly with the input (no driver collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+# Fixed timestamp for deterministic etags/metadata across runs.
+_TS = "2026-01-01T00:00:00Z"
+
+DEMO_MODELS = [
+    {"@id": "dtmi:demo:Entity;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "displayName": "Entity"},
+    {"@id": "dtmi:demo:Party;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Entity;1"},
+    {
+        "@id": "dtmi:demo:Customer;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:demo:Party;1",
+        "contents": [
+            {"@type": "Property", "name": "name", "schema": "string"},
+            {"@type": "Property", "name": "acctbal", "schema": "double"},
+            {"@type": "Property", "name": "mktsegment", "schema": "string"},
+        ],
+    },
+    {"@id": "dtmi:demo:Supplier;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Party;1"},
+    {"@id": "dtmi:demo:Item;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Entity;1"},
+    {"@id": "dtmi:demo:Part;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Item;1"},
+    {"@id": "dtmi:demo:Order;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Entity;1"},
+    {"@id": "dtmi:demo:Place;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Entity;1"},
+    {"@id": "dtmi:demo:Nation;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Place;1"},
+    {"@id": "dtmi:demo:Region;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Place;1"},
+]
+
+
+def _etag(id_col):
+    return F.concat(F.lit('W/"'), F.md5(id_col), F.lit('"'))
+
+
+def _twinify(df: DataFrame, dt_id, model_id: str, props: dict) -> DataFrame:
+    """Project a source table into the twins schema; ``props`` maps
+    property name → Column (JSON document assembled executor-side)."""
+    meta = F.struct(F.lit(model_id).alias("$model"), F.lit(_TS).alias("$lastUpdateTime"))
+    doc_fields = [dt_id.alias("$dtId"), _etag(dt_id).alias("$etag"), meta.alias("$metadata")]
+    for k in sorted(props):
+        doc_fields.append(props[k].alias(k))
+    return df.select(
+        dt_id.alias("dt_id"),
+        F.lit(model_id).alias("model_id"),
+        _etag(dt_id).alias("etag"),
+        F.lit(_TS).cast("timestamp").alias("last_update_time"),
+        F.to_json(F.struct(*doc_fields)).alias("doc"),
+    )
+
+
+def _relify(df: DataFrame, rel_id, src, dst, name: str, props: dict) -> DataFrame:
+    doc_fields = [
+        rel_id.alias("$relationshipId"),
+        src.alias("$sourceId"),
+        dst.alias("$targetId"),
+        F.lit(name).alias("$relationshipName"),
+        _etag(rel_id).alias("$etag"),
+    ]
+    for k in sorted(props):
+        doc_fields.append(props[k].alias(k))
+    return df.select(
+        rel_id.alias("relationship_id"),
+        src.alias("source_id"),
+        dst.alias("target_id"),
+        F.lit(name).alias("name"),
+        _etag(rel_id).alias("etag"),
+        F.to_json(F.struct(*doc_fields)).alias("doc"),
+    )
+
+
+def _fmt(prefix: str, key) -> F.Column:
+    return F.concat(F.lit(prefix + "-"), key.cast("string"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    names = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    # events.ts is TIMESTAMP(NANOS); with nanosAsLong it arrives as
+    # BIGINT nanoseconds — convert to a microsecond timestamp.
+    ev = out["events"]
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        out["events"] = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return out
+
+
+def load_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
+    t = load_tables(spark, sf_dir)
+
+    twins = (
+        _twinify(
+            t["customer"], _fmt("cust", F.col("c_custkey")), "dtmi:demo:Customer;1",
+            {
+                "name": F.col("c_name"),
+                "acctbal": F.col("c_acctbal"),
+                "mktsegment": F.col("c_mktsegment"),
+                "tags": F.array(F.col("c_mktsegment")),
+                "custkey": F.col("c_custkey"),
+                "nationkey": F.col("c_nationkey").cast("long"),
+            },
+        )
+        .unionByName(
+            _twinify(
+                t["supplier"], _fmt("supp", F.col("s_suppkey")), "dtmi:demo:Supplier;1",
+                {
+                    "name": F.col("s_name"),
+                    "acctbal": F.col("s_acctbal"),
+                    "suppkey": F.col("s_suppkey"),
+                },
+            )
+        )
+        .unionByName(
+            _twinify(
+                t["part"], _fmt("part", F.col("p_partkey")), "dtmi:demo:Part;1",
+                {
+                    "name": F.col("p_name"),
+                    "brand": F.col("p_brand"),
+                    "type": F.col("p_type"),
+                    "size": F.col("p_size").cast("long"),
+                    "retailprice": F.col("p_retailprice"),
+                },
+            )
+        )
+        .unionByName(
+            _twinify(
+                t["orders"], _fmt("order", F.col("o_orderkey")), "dtmi:demo:Order;1",
+                {
+                    "orderstatus": F.col("o_orderstatus"),
+                    "totalprice": F.col("o_totalprice"),
+                    "orderdate": F.date_format(F.col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+                    "orderpriority": F.col("o_orderpriority"),
+                    "orderkey": F.col("o_orderkey"),
+                },
+            )
+        )
+        .unionByName(
+            _twinify(
+                t["nation"], _fmt("nation", F.col("n_nationkey")), "dtmi:demo:Nation;1",
+                {"name": F.col("n_name"), "nationkey": F.col("n_nationkey").cast("long")},
+            )
+        )
+        .unionByName(
+            _twinify(
+                t["region"], _fmt("region", F.col("r_regionkey")), "dtmi:demo:Region;1",
+                {"name": F.col("r_name"), "regionkey": F.col("r_regionkey").cast("long")},
+            )
+        )
+    )
+
+    li = t["lineitem"]
+    li_id = F.concat(
+        F.lit(""), F.col("l_orderkey").cast("string"), F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    rels = (
+        _relify(
+            t["orders"], _fmt("placedBy", F.col("o_orderkey")),
+            _fmt("order", F.col("o_orderkey")), _fmt("cust", F.col("o_custkey")),
+            "placedBy", {},
+        )
+        .unionByName(
+            _relify(
+                li, F.concat(F.lit("contains-"), li_id),
+                _fmt("order", F.col("l_orderkey")), _fmt("part", F.col("l_partkey")),
+                "contains",
+                {
+                    "quantity": F.col("l_quantity"),
+                    "extendedprice": F.col("l_extendedprice"),
+                    "discount": F.col("l_discount"),
+                    "returnflag": F.col("l_returnflag"),
+                    "linenumber": F.col("l_linenumber").cast("long"),
+                },
+            )
+        )
+        .unionByName(
+            _relify(
+                li, F.concat(F.lit("suppliedBy-"), li_id),
+                _fmt("order", F.col("l_orderkey")), _fmt("supp", F.col("l_suppkey")),
+                "suppliedBy", {},
+            )
+        )
+        .unionByName(
+            _relify(
+                t["customer"], _fmt("locatedIn-cust", F.col("c_custkey")),
+                _fmt("cust", F.col("c_custkey")), _fmt("nation", F.col("c_nationkey")),
+                "locatedIn", {},
+            )
+        )
+        .unionByName(
+            _relify(
+                t["supplier"], _fmt("locatedIn-supp", F.col("s_suppkey")),
+                _fmt("supp", F.col("s_suppkey")), _fmt("nation", F.col("s_nationkey")),
+                "locatedIn", {},
+            )
+        )
+        .unionByName(
+            _relify(
+                t["nation"], _fmt("partOf", F.col("n_nationkey")),
+                _fmt("nation", F.col("n_nationkey")), _fmt("region", F.col("n_regionkey")),
+                "partOf", {},
+            )
+        )
+    )
+
+    store = GraphStore.empty(spark).with_models(DEMO_MODELS)
+    store.twins = twins
+    store.relationships = rels
+    return store

@@ -1,0 +1,248 @@
+"""Behavioral conformance tests: the golden corpus executed against the
+seeded fixture graph (FIXTURES.md §3-5), asserting result sets — the
+reference asserts translated Cypher strings + live-Postgres results
+(``QueryTests.cs``)."""
+
+import json
+
+import pytest
+
+from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+
+
+@pytest.fixture(scope="module")
+def client(fixture_store):
+    return DigitalTwinsSparkClient(fixture_store)
+
+
+def ids(df, col="dt_id"):
+    return sorted(r[col] for r in df.collect())
+
+
+def test_select_all(client):
+    rows = client.query_df("SELECT T FROM DIGITALTWINS T").collect()
+    assert len(rows) == 13
+    docs = [json.loads(r["T"]) for r in rows]
+    assert {d["$dtId"] for d in docs} == {
+        "cb1", "p1", "hp1", "room1", "room2", "shapes",
+        "root2", "root3", "b1", "b2", "x", "y", "z",
+    } | {"shapes"}
+
+
+def test_count(client):
+    assert client.query_df("SELECT COUNT() FROM DIGITALTWINS").collect()[0]["count"] == 13
+
+
+def test_where_model_eq(client):
+    df = client.query_df(
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T "
+        "WHERE T.$metadata.$model = 'dtmi:com:contoso:Planet;1'"
+    )
+    assert ids(df) == ["p1"]
+
+
+def test_where_name_eq_implicit_alias(client):
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE name = 'Room 1'")
+    assert ids(df) == ["room1"]
+
+
+def test_where_number_gt(client):
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE temperature > 20")
+    assert ids(df) == ["room1"]
+
+
+def test_is_of_model_inheritance(client):
+    df = client.query_df(
+        "SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE IS_OF_MODEL('dtmi:com:contoso:CelestialBody;1')"
+    )
+    assert ids(df) == ["cb1", "hp1", "p1"]
+
+
+def test_is_of_model_exact(client):
+    df = client.query_df(
+        "SELECT $dtId AS dt_id FROM DIGITALTWINS "
+        "WHERE IS_OF_MODEL('dtmi:com:contoso:CelestialBody;1', exact)"
+    )
+    assert ids(df) == ["cb1"]
+
+
+def test_is_of_model_mid_hierarchy(client):
+    df = client.query_df(
+        "SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE IS_OF_MODEL('dtmi:com:contoso:Planet;1')"
+    )
+    assert ids(df) == ["hp1", "p1"]
+
+
+def test_string_functions(client):
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE STARTSWITH(name, 'Room')")
+    assert ids(df) == ["room1", "room2"]
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE ENDSWITH(name, '1')")
+    assert ids(df) == ["b1", "cb1", "hp1", "p1", "room1"]
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE CONTAINS(name, 'Planet')")
+    assert ids(df) == ["hp1", "p1"]
+
+
+def test_contains_on_dtid_promoted(client):
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE CONTAINS($dtId, 'room')")
+    assert ids(df) == ["room1", "room2"]
+
+
+def test_is_defined_and_is_null(client):
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE IS_DEFINED(temperature)")
+    assert ids(df) == ["room1", "room2"]
+    # IS_NULL true for missing key AND explicit null
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE IS_NULL(nulled)")
+    assert len(ids(df)) == 13  # 'shapes' has explicit null; everyone else missing
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE IS_DEFINED(nulled)")
+    assert ids(df) == []
+
+
+def test_type_check_functions(client):
+    q = "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T WHERE {}"
+    assert ids(client.query_df(q.format("IS_OBJECT(T.someMap)"))) == ["shapes"]
+    assert ids(client.query_df(q.format("IS_PRIMITIVE(T.someScalar)"))) == ["shapes"]
+    assert ids(client.query_df(q.format("IS_STRING(T.someString)"))) == ["shapes"]
+    assert ids(client.query_df(q.format("IS_BOOL(T.bool)"))) == ["shapes"]
+    assert ids(client.query_df(q.format("IS_NUMBER(T.someScalar)"))) == ["shapes"]
+    # numeric strings are NOT numbers (GraphInitialization.cs is_number)
+    assert ids(client.query_df(q.format("IS_NUMBER(T.numstr)"))) == []
+    assert ids(client.query_df(q.format("IS_STRING(T.numstr)"))) == ["shapes"]
+    # IS_OBJECT on the $metadata map itself
+    assert len(ids(client.query_df(q.format("IS_OBJECT(T.$metadata)")))) == 13
+
+
+def test_array_contains(client):
+    q = "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T WHERE {}"
+    assert ids(client.query_df(q.format("ARRAY_CONTAINS(T.tags, 'tag1')"))) == ["shapes"]
+    assert ids(client.query_df(q.format("ARRAY_CONTAINS(T.numbers, 1)"))) == ["shapes"]
+    assert ids(client.query_df(q.format("ARRAY_CONTAINS(T.bools, true)"))) == ["shapes"]
+    assert ids(client.query_df(q.format("ARRAY_CONTAINS(T.tags, 'nope')"))) == []
+    # scalar property is not an array
+    assert ids(client.query_df(q.format("ARRAY_CONTAINS(T.someScalar, 1)"))) == []
+
+
+def test_neq_null_semantics(client):
+    """AGE rewrites != to NOT(a=b): rows where the property is missing
+    must NOT match (three-valued logic, SURVEY.md §7 hard-point 1)."""
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE temperature != 22.5")
+    assert ids(df) == ["room2"]  # twins without temperature drop out
+
+
+def test_strict_typing_string_vs_number(client):
+    # numstr is the string '5'; a numeric comparison must not match it
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE numstr = 5")
+    assert ids(df) == []
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE numstr = '5'")
+    assert ids(df) == ["shapes"]
+    # someScalar is number 42; string compare must not match
+    df = client.query_df("SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE someScalar = '42'")
+    assert ids(df) == []
+
+
+def test_in_list(client):
+    df = client.query_df(
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T WHERE T.$dtId IN ['room1', 'room2', 'nope']"
+    )
+    assert ids(df) == ["room1", "room2"]
+
+
+def test_top_deterministic(client):
+    df = client.query_df("SELECT TOP(3) $dtId AS dt_id FROM DIGITALTWINS")
+    assert ids(df) == ["b1", "b2", "cb1"]  # sorted by dt_id
+
+
+def test_relationships_scan(client):
+    df = client.query_df("SELECT * FROM RELATIONSHIPS")
+    assert df.count() == 6
+    df = client.query_df("SELECT * FROM RELATIONSHIPS WHERE $sourceId = 'root2'")
+    docs = [json.loads(r["R"]) for r in df.collect()]
+    assert sorted(d["$relationshipId"] for d in docs) == ["r1", "r2"]
+
+
+def test_relationship_projection_and_props(client):
+    df = client.query_df(
+        "SELECT R.$sourceId AS src, R.$targetId AS dst FROM relationships R "
+        "WHERE R.$relationshipName = 'has' AND NUMBER(R.grade) >= 3"
+    )
+    rows = sorted((r["src"], r["dst"]) for r in df.collect())
+    assert rows == [("root2", "b1"), ("root2", "b2")]
+
+
+def test_match_forward(client):
+    df = client.query_df(
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS MATCH (current)-[R]->(T) "
+        "WHERE current.$dtId='root2'"
+    )
+    assert ids(df) == ["b1", "b2"]
+
+
+def test_match_reverse(client):
+    df = client.query_df(
+        "SELECT t.$dtId AS dt_id FROM DIGITALTWINS MATCH (s)<-[r]-(t) WHERE s.$dtId = 'x'"
+    )
+    assert ids(df) == ["b1", "root3"]
+
+
+def test_match_multilabel(client):
+    df = client.query_df(
+        "SELECT B.$dtId AS dt_id FROM DIGITALTWINS MATCH (T)-[R:hasBlob|hasModel]->(B) "
+        "WHERE T.$dtId = 'root3'"
+    )
+    assert ids(df) == ["x", "y"]
+
+
+def test_match_single_label(client):
+    df = client.query_df(
+        "SELECT B.$dtId AS dt_id FROM DIGITALTWINS MATCH (T)-[R:has]->(B) WHERE T.$dtId = 'root3'"
+    )
+    assert ids(df) == ["z"]
+
+
+def test_match_two_hop_chain(client):
+    df = client.query_df(
+        "SELECT T2.$dtId AS dt_id FROM DIGITALTWINS MATCH (T)-[R:has]->(B)-[R2:has]->(T2) "
+        "WHERE T.$dtId = 'root2'"
+    )
+    assert ids(df) == ["x"]  # root2 -has-> b1 -has-> x
+
+
+def test_join_related(client):
+    df = client.query_df(
+        "SELECT B.$dtId AS dt_id FROM DIGITALTWINS DT JOIN B RELATED DT.has R "
+        "WHERE DT.$dtId = 'root2'"
+    )
+    assert ids(df) == ["b1", "b2"]
+
+
+def test_join_related_rel_props(client):
+    df = client.query_df(
+        "SELECT B.$dtId AS dt_id, NUMBER(R.grade) AS grade FROM DIGITALTWINS DT "
+        "JOIN B RELATED DT.has R WHERE DT.$dtId = 'root2' AND NUMBER(R.grade) > 4"
+    )
+    rows = df.collect()
+    assert [(r["dt_id"], r["grade"]) for r in rows] == [("b1", 5.0)]
+
+
+def test_pagination_roundtrip(client):
+    page1 = client.query("SELECT $dtId AS dt_id FROM DIGITALTWINS", max_items_per_page=5)
+    assert len(page1.rows) == 5
+    assert page1.continuation_token is not None
+    seen = [r["dt_id"] for r in page1.rows]
+    token = page1.continuation_token
+    while token:
+        page = client.query("ignored", max_items_per_page=5, continuation_token=token)
+        seen += [r["dt_id"] for r in page.rows]
+        token = page.continuation_token
+    assert len(seen) == 13
+    assert len(set(seen)) == 13
+    assert seen == sorted(seen)
+
+
+def test_pagination_respects_top(client):
+    page = client.query("SELECT TOP(7) $dtId AS dt_id FROM DIGITALTWINS", max_items_per_page=4)
+    assert len(page.rows) == 4
+    page2 = client.query(
+        "x", max_items_per_page=4, continuation_token=page.continuation_token
+    )
+    assert len(page2.rows) == 3
+    assert page2.continuation_token is None
