@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the implemented operator surface (SURVEY.md §2 +
+the LLM-data-pipeline extensions) as (spark, sf_dir) → DataFrame
+callables; ``oracle_sql()`` gives the DuckDB-equivalent SQL the driver
+cross-checks at sf=0.01.  Graph queries run through the real ADT QL
+compiler against the TPC-H→graph mapping
+(``pg_age_digitaltwins_spark/store/tpch_loader.py``); their oracles
+express the same result relationally over the raw tables.
 """
 
 from __future__ import annotations
@@ -13,26 +15,427 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+from pg_age_digitaltwins_spark.operators import analytics, events as ev_ops, similarity, text
+from pg_age_digitaltwins_spark.store import tpch_loader
+
+_STORES: dict[tuple[int, str], object] = {}
+
+
+def _store(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _STORES:
+        _STORES[key] = tpch_loader.load_graph(spark, sf_dir)
+    return _STORES[key]
+
+
+def _adt(q: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return DigitalTwinsSparkClient(_store(spark, sf_dir)).query_df(q)
+
+    run.__doc__ = q
+    return run
+
+
+def _tables(spark: SparkSession, sf_dir: str):
+    return tpch_loader.load_tables(spark, sf_dir)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 2-hop graph traversal + inheritance-aware model filter
+    over sf0.001 — compiles to two broadcast-able equi-join hops with
+    the IS_OF_MODEL closure pushed into the twins scan."""
+    client = DigitalTwinsSparkClient(_store(spark, "/root/testdata/sf0.001"))
+    return client.query_df(
+        "SELECT C.$dtId AS cust, STRING(C.name) AS cust_name, STRING(Rg.name) AS region "
+        "FROM DIGITALTWINS C JOIN N RELATED C.locatedIn JOIN Rg RELATED N.partOf "
+        "WHERE IS_OF_MODEL(C, 'dtmi:demo:Customer;1')"
+    )
 
+
+# ----------------------------------------------------------------------
+# queries
+# ----------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- ADT QL surface (SURVEY §2.1) ---------------------------------
+    q["adt_count_twins"] = _adt("SELECT COUNT() FROM DIGITALTWINS")
+    q["adt_count_relationships"] = _adt("SELECT COUNT() FROM RELATIONSHIPS")
+    q["adt_where_string_eq"] = _adt(
+        "SELECT T.$dtId AS dt_id, STRING(T.name) AS name FROM DIGITALTWINS T "
+        "WHERE T.mktsegment = 'BUILDING'"
+    )
+    q["adt_where_number_gt"] = _adt(
+        "SELECT T.$dtId AS dt_id, NUMBER(T.acctbal) AS acctbal FROM DIGITALTWINS T "
+        "WHERE T.acctbal > 5000 AND IS_OF_MODEL('dtmi:demo:Customer;1')"
+    )
+    q["adt_where_neq_null_semantics"] = _adt(
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T WHERE T.mktsegment != 'BUILDING'"
+    )
+    q["adt_in_list"] = _adt(
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T "
+        "WHERE T.mktsegment IN ['MACHINERY', 'FURNITURE']"
+    )
+    q["adt_startswith"] = _adt(
+        "SELECT T.$dtId AS dt_id, STRING(T.name) AS name FROM DIGITALTWINS T "
+        "WHERE STARTSWITH(T.name, 'small') AND IS_OF_MODEL('dtmi:demo:Part;1')"
+    )
+    q["adt_endswith"] = _adt(
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T "
+        "WHERE ENDSWITH(T.name, 'widget') AND IS_OF_MODEL('dtmi:demo:Part;1')"
+    )
+    q["adt_contains"] = _adt(
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T "
+        "WHERE CONTAINS(T.name, 'bolt') AND IS_OF_MODEL('dtmi:demo:Part;1')"
+    )
+    q["adt_is_of_model_inheritance"] = _adt(
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T WHERE IS_OF_MODEL('dtmi:demo:Party;1')"
+    )
+    q["adt_is_of_model_exact"] = _adt(
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T "
+        "WHERE IS_OF_MODEL('dtmi:demo:Nation;1', exact)"
+    )
+    q["adt_is_defined_count"] = _adt(
+        "SELECT COUNT() FROM DIGITALTWINS WHERE IS_DEFINED(mktsegment)"
+    )
+    q["adt_is_number_count"] = _adt(
+        "SELECT COUNT() FROM DIGITALTWINS WHERE IS_NUMBER(acctbal)"
+    )
+    q["adt_is_string_count"] = _adt(
+        "SELECT COUNT() FROM DIGITALTWINS WHERE IS_STRING(orderdate)"
+    )
+    q["adt_array_contains"] = _adt(
+        "SELECT T.$dtId AS dt_id FROM DIGITALTWINS T "
+        "WHERE ARRAY_CONTAINS(T.tags, 'AUTOMOBILE')"
+    )
+    q["adt_top_n"] = _adt(
+        "SELECT TOP(25) T.$dtId AS dt_id FROM DIGITALTWINS T "
+        "WHERE IS_OF_MODEL('dtmi:demo:Customer;1')"
+    )
+    q["adt_rel_scan_filter"] = _adt(
+        "SELECT R.$sourceId AS src, R.$targetId AS dst FROM RELATIONSHIPS R "
+        "WHERE R.$relationshipName = 'placedBy'"
+    )
+    q["adt_rel_prop_filter"] = _adt(
+        "SELECT R.$relationshipId AS rid, NUMBER(R.quantity) AS qty FROM RELATIONSHIPS R "
+        "WHERE R.$relationshipName = 'contains' AND R.quantity >= 45"
+    )
+    q["adt_join_related_1hop"] = _adt(
+        "SELECT O.$dtId AS order_id, STRING(C.name) AS cust_name FROM DIGITALTWINS O "
+        "JOIN C RELATED O.placedBy WHERE C.mktsegment = 'MACHINERY'"
+    )
+    q["adt_join_related_2hop"] = _adt(
+        "SELECT C.$dtId AS cust, STRING(Rg.name) AS region FROM DIGITALTWINS C "
+        "JOIN N RELATED C.locatedIn JOIN Rg RELATED N.partOf "
+        "WHERE IS_OF_MODEL(C, 'dtmi:demo:Customer;1')"
+    )
+    q["adt_match_forward"] = _adt(
+        "SELECT O.$dtId AS order_id, P.$dtId AS part_id, NUMBER(R.quantity) AS qty "
+        "FROM DIGITALTWINS MATCH (O)-[R:contains]->(P) "
+        "WHERE P.size > 40 AND R.quantity > 48"
+    )
+    q["adt_match_reverse"] = _adt(
+        "SELECT O.$dtId AS order_id FROM DIGITALTWINS MATCH (C)<-[R:placedBy]-(O) "
+        "WHERE C.$dtId = 'cust-1'"
+    )
+    q["adt_match_multilabel"] = _adt(
+        "SELECT R.$relationshipId AS rid FROM DIGITALTWINS "
+        "MATCH (A)-[R:locatedIn|partOf]->(B) WHERE B.$dtId != 'nation-0'"
+    )
+    q["adt_match_3hop"] = _adt(
+        "SELECT O.$dtId AS order_id FROM DIGITALTWINS "
+        "MATCH (O)-[R1:placedBy]->(C)-[R2:locatedIn]->(N)-[R3:partOf]->(Rg) "
+        "WHERE Rg.name = 'ASIA'"
+    )
+
+    # --- graph rollups (Cypher C5 aggregates) -------------------------
+    def _agg_models(spark, sf_dir):
+        return analytics.twin_counts_by_model(_store(spark, sf_dir))
+
+    def _agg_rels(spark, sf_dir):
+        return analytics.rel_counts_by_name(_store(spark, sf_dir))
+
+    q["agg_twins_by_model"] = _agg_models
+    q["agg_rels_by_name"] = _agg_rels
+
+    # --- events -------------------------------------------------------
+    q["events_hourly_rollup"] = lambda s, d: ev_ops.hourly_rollup(_tables(s, d)["events"])
+    q["events_last_value"] = lambda s, d: ev_ops.last_value_per_user_type(_tables(s, d)["events"])
+    q["events_sessionize"] = lambda s, d: ev_ops.sessionize(_tables(s, d)["events"])
+
+    # --- text / dedup -------------------------------------------------
+    q["text_token_counts"] = lambda s, d: text.token_counts(_tables(s, d)["documents"])
+    q["text_quality"] = lambda s, d: text.quality_scores(_tables(s, d)["documents"])
+    q["text_lang_id"] = lambda s, d: text.lang_id(_tables(s, d)["documents"])
+    q["text_fingerprints"] = lambda s, d: text.fingerprints(_tables(s, d)["documents"])
+    q["dedup_exact_stats"] = lambda s, d: text.exact_dedup_stats(_tables(s, d)["documents"])
+    q["dedup_minhash_lsh"] = lambda s, d: similarity.minhash_lsh_pairs(
+        similarity.minhash_signatures(text.ngram_shingles(_tables(s, d)["documents"])),
+        threshold=0.5,
+    )
+    q["dedup_simhash"] = lambda s, d: similarity.simhash_near_dup_pairs(
+        text.ngram_shingles(_tables(s, d)["documents"])
+    )
+    q["text_ngram_jaccard"] = lambda s, d: text.ngram_jaccard_pairs(
+        _tables(s, d)["documents"], threshold=0.2
+    )
+
+    # --- embeddings ---------------------------------------------------
+    q["embed_cosine_threshold"] = lambda s, d: similarity.cosine_above_threshold(
+        _tables(s, d)["embeddings"], query_id=0, threshold=0.25
+    )
+    q["embed_knn_topk"] = lambda s, d: similarity.knn_brute_force(
+        _tables(s, d)["embeddings"], query_id=0, k=10
+    )
+    q["embed_norm_stats"] = lambda s, d: similarity.norm_stats_by_label(
+        _tables(s, d)["embeddings"]
+    )
+
+    # --- classic relational rollups (bench anchors) -------------------
+    def _pricing(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        li = _tables(spark, sf_dir)["lineitem"]
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+
+    def _revenue(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        return (
+            t["lineitem"]
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+        )
+
+    q["tpch_pricing_summary"] = _pricing
+    q["tpch_revenue_by_nation"] = _revenue
+    return q
+
+
+# ----------------------------------------------------------------------
+# oracles
+# ----------------------------------------------------------------------
+
+_ALL_TWIN_IDS = (
+    "SELECT 'cust-' || c_custkey AS dt_id FROM customer UNION ALL "
+    "SELECT 'supp-' || s_suppkey FROM supplier UNION ALL "
+    "SELECT 'part-' || p_partkey FROM part UNION ALL "
+    "SELECT 'order-' || o_orderkey FROM orders UNION ALL "
+    "SELECT 'nation-' || n_nationkey FROM nation UNION ALL "
+    "SELECT 'region-' || r_regionkey FROM region"
+)
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_TOKS_RAW = "regexp_split_to_array(trim(text), '\\s+')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["adt_count_twins"] = f"SELECT count(*) AS count FROM ({_ALL_TWIN_IDS})"
+    o["adt_count_relationships"] = (
+        "SELECT ((SELECT count(*) FROM orders) + 2 * (SELECT count(*) FROM lineitem) + "
+        "(SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) + "
+        "(SELECT count(*) FROM nation)) AS count"
+    )
+    o["adt_where_string_eq"] = (
+        "SELECT 'cust-' || c_custkey AS dt_id, c_name AS name FROM customer "
+        "WHERE c_mktsegment = 'BUILDING'"
+    )
+    o["adt_where_number_gt"] = (
+        "SELECT 'cust-' || c_custkey AS dt_id, c_acctbal AS acctbal FROM customer "
+        "WHERE c_acctbal > 5000"
+    )
+    o["adt_where_neq_null_semantics"] = (
+        "SELECT 'cust-' || c_custkey AS dt_id FROM customer WHERE c_mktsegment <> 'BUILDING'"
+    )
+    o["adt_in_list"] = (
+        "SELECT 'cust-' || c_custkey AS dt_id FROM customer "
+        "WHERE c_mktsegment IN ('MACHINERY', 'FURNITURE')"
+    )
+    o["adt_startswith"] = (
+        "SELECT 'part-' || p_partkey AS dt_id, p_name AS name FROM part "
+        "WHERE p_name LIKE 'small%'"
+    )
+    o["adt_endswith"] = (
+        "SELECT 'part-' || p_partkey AS dt_id FROM part WHERE p_name LIKE '%widget'"
+    )
+    o["adt_contains"] = (
+        "SELECT 'part-' || p_partkey AS dt_id FROM part WHERE p_name LIKE '%bolt%'"
+    )
+    o["adt_is_of_model_inheritance"] = (
+        "SELECT 'cust-' || c_custkey AS dt_id FROM customer "
+        "UNION ALL SELECT 'supp-' || s_suppkey FROM supplier"
+    )
+    o["adt_is_of_model_exact"] = "SELECT 'nation-' || n_nationkey AS dt_id FROM nation"
+    o["adt_is_defined_count"] = "SELECT count(*) AS count FROM customer"
+    o["adt_is_number_count"] = (
+        "SELECT ((SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)) AS count"
+    )
+    o["adt_is_string_count"] = "SELECT count(*) AS count FROM orders"
+    o["adt_array_contains"] = (
+        "SELECT 'cust-' || c_custkey AS dt_id FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
+    )
+    o["adt_top_n"] = (
+        "SELECT dt_id FROM (SELECT 'cust-' || c_custkey AS dt_id FROM customer) "
+        "ORDER BY dt_id LIMIT 25"
+    )
+    o["adt_rel_scan_filter"] = (
+        "SELECT 'order-' || o_orderkey AS src, 'cust-' || o_custkey AS dst FROM orders"
+    )
+    o["adt_rel_prop_filter"] = (
+        "SELECT 'contains-' || l_orderkey || '-' || l_linenumber AS rid, "
+        "l_quantity AS qty FROM lineitem WHERE l_quantity >= 45"
+    )
+    o["adt_join_related_1hop"] = (
+        "SELECT 'order-' || o_orderkey AS order_id, c_name AS cust_name "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'MACHINERY'"
+    )
+    o["adt_join_related_2hop"] = (
+        "SELECT 'cust-' || c_custkey AS cust, r_name AS region FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey"
+    )
+    o["adt_match_forward"] = (
+        "SELECT 'order-' || l_orderkey AS order_id, 'part-' || l_partkey AS part_id, "
+        "l_quantity AS qty FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_size > 40 AND l_quantity > 48"
+    )
+    o["adt_match_reverse"] = (
+        "SELECT 'order-' || o_orderkey AS order_id FROM orders WHERE o_custkey = 1"
+    )
+    o["adt_match_multilabel"] = (
+        "SELECT rid FROM ("
+        "SELECT 'locatedIn-cust-' || c_custkey AS rid, 'nation-' || c_nationkey AS tgt FROM customer "
+        "UNION ALL SELECT 'locatedIn-supp-' || s_suppkey, 'nation-' || s_nationkey FROM supplier "
+        "UNION ALL SELECT 'partOf-' || n_nationkey, 'region-' || n_regionkey FROM nation"
+        ") WHERE tgt <> 'nation-0'"
+    )
+    o["adt_match_3hop"] = (
+        "SELECT 'order-' || o_orderkey AS order_id FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'"
+    )
+    o["agg_twins_by_model"] = (
+        "SELECT 'dtmi:demo:Customer;1' AS model_id, count(*) AS cnt FROM customer "
+        "UNION ALL SELECT 'dtmi:demo:Supplier;1', count(*) FROM supplier "
+        "UNION ALL SELECT 'dtmi:demo:Part;1', count(*) FROM part "
+        "UNION ALL SELECT 'dtmi:demo:Order;1', count(*) FROM orders "
+        "UNION ALL SELECT 'dtmi:demo:Nation;1', count(*) FROM nation "
+        "UNION ALL SELECT 'dtmi:demo:Region;1', count(*) FROM region"
+    )
+    o["agg_rels_by_name"] = (
+        "SELECT 'placedBy' AS name, count(*) AS cnt FROM orders "
+        "UNION ALL SELECT 'contains', count(*) FROM lineitem "
+        "UNION ALL SELECT 'suppliedBy', count(*) FROM lineitem "
+        "UNION ALL SELECT 'locatedIn', (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) "
+        "UNION ALL SELECT 'partOf', count(*) FROM nation"
+    )
+    o["events_hourly_rollup"] = (
+        "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, "
+        "count(*) AS cnt, round(sum(value), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+    o["events_last_value"] = (
+        "SELECT user_id, event_type, value AS last_value FROM ("
+        "SELECT user_id, event_type, value, "
+        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) WHERE rn = 1"
+    )
+    o["events_sessionize"] = (
+        "WITH flagged AS ("
+        "  SELECT user_id, ts, event_id, value,"
+        "         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL"
+        "              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s"
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        "), sessions AS ("
+        "  SELECT user_id, ts, event_id, value,"
+        "         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "                          ROWS UNBOUNDED PRECEDING) AS session_seq"
+        "  FROM flagged)"
+        "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+        "CAST(min(ts) AS TIMESTAMP) AS session_start, CAST(max(ts) AS TIMESTAMP) AS session_end, "
+        "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+        "FROM sessions GROUP BY user_id, session_seq"
+    )
+    o["text_token_counts"] = (
+        f"SELECT doc_id, CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens, "
+        "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+    )
+    o["text_quality"] = (
+        f"SELECT doc_id, "
+        f"round(CAST(length(text) AS DOUBLE) / len({_TOKS_RAW}), 4) AS mean_word_len, "
+        "round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio, "
+        f"round(CAST(len(list_filter({_TOKS_RAW}, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) "
+        f"/ len({_TOKS_RAW}), 4) AS stopword_ratio FROM documents"
+    )
+    o["text_lang_id"] = (
+        "SELECT doc_id, CASE WHEN g = 0 THEN 'und' "
+        "WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en' "
+        "WHEN s_es = g THEN 'es' ELSE 'fr' END AS pred_lang FROM ("
+        f"SELECT doc_id, "
+        f"len(list_filter({_TOKS}, t -> t IN ('der','und','die'))) AS s_de, "
+        f"len(list_filter({_TOKS}, t -> t IN ('the','and','of'))) AS s_en, "
+        f"len(list_filter({_TOKS}, t -> t IN ('el','los','de'))) AS s_es, "
+        f"len(list_filter({_TOKS}, t -> t IN ('le','et','les'))) AS s_fr, "
+        f"greatest(len(list_filter({_TOKS}, t -> t IN ('der','und','die'))), "
+        f"len(list_filter({_TOKS}, t -> t IN ('the','and','of'))), "
+        f"len(list_filter({_TOKS}, t -> t IN ('el','los','de'))), "
+        f"len(list_filter({_TOKS}, t -> t IN ('le','et','les')))) AS g "
+        "FROM documents)"
+    )
+    o["text_fingerprints"] = (
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+        "FROM documents"
+    )
+    o["dedup_exact_stats"] = (
+        "SELECT count(*) AS total_docs, "
+        "count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS distinct_docs "
+        "FROM documents"
+    )
+    o["embed_cosine_threshold"] = (
+        "SELECT e.vec_id AS vec_id, "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS sim "
+        "FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+        "WHERE e.vec_id <> 0 AND "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) > 0.25"
+    )
+    o["embed_norm_stats"] = (
+        "SELECT label, count(*) AS cnt, "
+        "round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm "
+        "FROM embeddings GROUP BY label"
+    )
+    o["tpch_pricing_summary"] = (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+    o["tpch_revenue_by_nation"] = (
+        "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+    # dedup_minhash_lsh / dedup_simhash / text_ngram_jaccard /
+    # embed_knn_topk: hash-permutation & float-ordering internals aren't
+    # reproducible in portable SQL — driver records rows-only checks.
+    return o

@@ -1,0 +1,243 @@
+"""Embedding similarity + hash-based near-dup operators.
+
+Scale notes (the point of these shapes at 100 TB):
+
+* brute-force cosine is a single scan + map (JVM higher-order
+  functions, no Python); top-k is a TakeOrdered — no full sort.
+* the LSH paths (MinHash bands, SimHash prefixes, IVF-style coarse
+  cells) turn O(N²) similarity into an equi-join on bucket keys — the
+  only all-pairs work happens inside buckets.
+* generalizes the reference's pgvector model search
+  (``AgeDigitalTwinsClient.Models.cs:864-942``) from the tiny models
+  dim to billion-row tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _query_vector_df(embeddings: DataFrame, query_id: int) -> DataFrame:
+    return embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("__q")
+    )
+
+
+def cosine_above_threshold(
+    embeddings: DataFrame, query_id: int, threshold: float
+) -> DataFrame:
+    """All vectors with cosine(query, v) > threshold (query excluded).
+
+    The query side is one row → broadcast join; the scan stays fully
+    parallel and Catalyst prunes to (vec_id, embedding)."""
+    q = F.broadcast(_query_vector_df(embeddings, query_id))
+    return (
+        embeddings.crossJoin(q)
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("__q")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") > threshold)
+    )
+
+
+def knn_brute_force(embeddings: DataFrame, query_id: int, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine — orderBy+limit compiles to TakeOrdered
+    (per-partition heap + driver merge), not a full sort."""
+    q = F.broadcast(_query_vector_df(embeddings, query_id))
+    return (
+        embeddings.crossJoin(q)
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("__q")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def norm_stats_by_label(embeddings: DataFrame) -> DataFrame:
+    """Per-label count + mean L2 norm — cheap embedding-health rollup."""
+    return (
+        embeddings.select("label", _norm(F.col("embedding")).alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("n2"), 4).alias("avg_norm"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# IVF-style coarse quantization: assign each vector to its nearest of C
+# sampled centroids; ANN search then probes only matching cells.
+# ----------------------------------------------------------------------
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign vectors to nearest centroid (centroids: (cell_id,
+    centroid) — tiny, broadcast).  One scan; the N×C distance work is
+    JVM-side; output is the cell index for bucketed ANN."""
+    joined = embeddings.crossJoin(F.broadcast(centroids))
+    d = cosine_sim(F.col("embedding"), F.col("centroid"))
+    ranked = joined.select("vec_id", "cell_id", d.alias("sim")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell_id"))
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select("vec_id", "cell_id")
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection over shingle sets
+# ----------------------------------------------------------------------
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, shingles array) → (doc_id, sig array<bigint>).
+
+    Lane i is ``min over shingles of xxhash64(i, shingle)`` — the lane
+    index mixed into the hash input gives independent hash families
+    without (a·h+b) mod p arithmetic (which overflows int64 under ANSI
+    mode).  All higher-order built-ins: one scan, no shuffle, no
+    Python."""
+
+    def lane(i: int):
+        # arity-1 closure (default-arg lambdas confuse HOF dispatch)
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    lanes = [
+        F.array_min(F.transform(F.col("shingles"), lane(i))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
+    return shingled.select("doc_id", *lanes).select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame, bands: int = 16, threshold: float = 0.5
+) -> DataFrame:
+    """LSH banding: split signatures into ``bands`` bands, bucket-join on
+    (band index, band hash), then estimate Jaccard as the fraction of
+    equal signature lanes; keep pairs ≥ threshold.
+
+    The candidate join is an equi-join on the band key — the standard
+    way to avoid O(N²) at corpus scale."""
+    num_hashes = None  # inferred per-row below via slice arithmetic
+    sig = signatures
+    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    "sig", b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ).cast("double") / F.size("sig_a").cast("double")
+    return cand.select(
+        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+# ----------------------------------------------------------------------
+# SimHash (64-bit) near-dup fingerprint
+# ----------------------------------------------------------------------
+
+def simhash64(shingled: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: per-bit ±1 votes over shingle hashes,
+    sign → bit.  One ``aggregate`` over the shingle array carrying a
+    64-slot vote vector (single scan, no shuffle, no Python)."""
+    sim = F.expr(
+        """
+        aggregate(
+          transform(shingles, s -> xxhash64(s)),
+          array_repeat(0, 64),
+          (acc, h) -> zip_with(acc, sequence(0, 63),
+                               (a, i) -> a + if(((h >> i) & 1) = 1, 1, -1)),
+          acc -> aggregate(
+                   zip_with(acc, sequence(0, 63),
+                            (v, i) -> if(v > 0, shiftleft(1L, i), 0L)),
+                   0L, (s, x) -> s + x)
+        )
+        """
+    )
+    return shingled.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    shingled: DataFrame, prefix_bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup candidates: bucket on the top ``prefix_bits``
+    (equi-join, no O(N²)), then exact Hamming distance filter."""
+    sh = simhash64(shingled).withColumn(
+        "bucket", F.shiftright(F.col("simhash"), 64 - prefix_bits)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

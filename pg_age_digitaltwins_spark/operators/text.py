@@ -1,0 +1,145 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All of these are pure built-in-function pipelines (whole-stage codegen,
+no Python UDFs): at 100 TB the cost is one scan of the documents table
+with map-side projection — no shuffle except for the grouped variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny per-language marker sets for the n-gram/stopword language-ID
+# heuristic.  Deterministic and SQL-expressible (mirrored in the DuckDB
+# oracle) — a real deployment would swap in fastText/CLD3 via pandas_udf.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "de"],
+    "fr": ["le", "et", "les"],
+}
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token + char counts per document."""
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Cheap quality heuristics: mean word length, punctuation ratio,
+    stopword ratio — the usual pre-training corpus filters."""
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length("text").cast("double")
+    punct = F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).cast("double")
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to"))
+    ).cast("double")
+    return docs.select(
+        "doc_id",
+        F.round(n_chars / n_tokens, 4).alias("mean_word_len"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(stop / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID: argmax over per-language marker hit
+    counts; ties/no-hits → 'und'."""
+    toks = _tokens(F.lower(F.col("text")))
+
+    def marker_pred(markers):
+        # NB: pyspark HOFs dispatch on lambda arity — a default-arg
+        # closure would be mistaken for the (element, index) form.
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # deterministic argmax: highest score wins, lexicographic lang breaks ties
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return docs.select("doc_id", best.alias("pred_lang"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint (md5 of case/space-normalized
+    text) — the key for exact dedup at any scale (hash-groupBy)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-level exact-duplication summary: total vs distinct
+    fingerprints (the 0-th dedup question at 100 TB)."""
+    fp = fingerprints(docs)
+    return fp.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("fp").alias("distinct_docs"),
+    )
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Groups of exact duplicates (fingerprint, member count, kept doc),
+    keeping the smallest doc_id per group — the standard keep-one rule."""
+    return (
+        fingerprints(docs)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → array of word n-gram shingles (input to MinHash/Jaccard)."""
+    toks = _tokens(F.lower(F.col("text")))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return docs.select("doc_id", shingles.alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, block_on: str = "lang"
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Blocking on a cheap key (default: same ``lang``) keeps the self-join
+    from being O(N²) at scale; swap the block key for LSH buckets (see
+    minhash_lsh) when no natural key exists."""
+    sh = ngram_shingles(docs, n).join(docs.select("doc_id", block_on), "doc_id")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_on}") == F.col(f"b.{block_on}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -110,8 +110,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # BIGINT nanoseconds — convert to a microsecond timestamp.
     ev = out["events"]
     if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        # integer division: float division drifts by 1µs on large epochs
         out["events"] = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return out
 
