@@ -58,6 +58,31 @@ class CompileError(ValueError):
     pass
 
 
+def _pin(c: Column) -> Column:
+    """Pin an expensive expression to its projection.
+
+    ``shuffle(array(c))[0]`` is semantically just ``c`` (one-element
+    array), but the nondeterministic ``shuffle`` stops the optimizer
+    from (a) pushing filters through the projection — which substitutes
+    the expression into the predicate and re-evaluates the whole variant
+    navigation per reference — and (b) collapsing it into downstream
+    projections.  (``when(rand() >= -1, c)`` does NOT survive: Spark 4
+    range-folds the rand comparison.)  Measured on the sf0.1
+    relationship-property filter: 187 s unpinned vs ~2 s pinned."""
+    return F.shuffle(F.array(c))[0]
+
+
+def _conjuncts(e: A.Expr) -> list[A.Expr]:
+    """Flatten top-level ANDs so each conjunct can be placed at the
+    right depth relative to the shared-variant projection."""
+    if isinstance(e, A.And):
+        out: list[A.Expr] = []
+        for item in e.items:
+            out.extend(_conjuncts(item))
+        return out
+    return [e]
+
+
 def _lit_kind(e: A.Expr) -> str | None:
     """Literal type kind driving typed extraction on the other side."""
     if isinstance(e, A.Lit):
@@ -78,6 +103,7 @@ class Prop:
     bound: Bound
     path: list[str]
     promoted: str | None  # promoted plain column name, if any
+    compiler: "QueryCompiler"
 
     def col(self, name: str) -> Column:
         return F.col(f"{self.bound.df_alias}.{name}")
@@ -85,6 +111,16 @@ class Prop:
     @property
     def vdoc(self) -> Column:
         return self.col("vdoc")
+
+    @property
+    def v(self) -> Column:
+        """Materialized ``vget(vdoc, path)`` helper column (shared)."""
+        return self.compiler._shared_v(self)
+
+    @property
+    def s(self) -> Column:
+        """Materialized ``schema_of_variant(v)`` helper column (shared)."""
+        return self.compiler._shared_s(self)
 
     def typed(self, kind: str) -> Column:
         """Column for a comparison against a literal of ``kind``."""
@@ -96,15 +132,15 @@ class Prop:
                 return c.cast("boolean")
             return c
         if kind == "number":
-            return J.num_value(self.vdoc, self.path)
+            return J.num_of(self.v, self.s)
         if kind == "bool":
-            return J.bool_value(self.vdoc, self.path)
-        return J.str_value(self.vdoc, self.path)
+            return J.bool_of(self.v, self.s)
+        return J.str_of(self.v, self.s)
 
     def loose(self) -> Column:
         if self.promoted:
             return self.col(self.promoted)
-        return J.loose_str_value(self.vdoc, self.path)
+        return J.loose_str_of(self.v)
 
 
 class QueryCompiler:
@@ -113,12 +149,74 @@ class QueryCompiler:
         self._twins = store.twins_v()
         self._rels = store.relationships_v()
         self._anon = 0
+        # (df_alias, path, level) -> injected helper column name; variant
+        # navigation and schema introspection are NOT shared by Spark's
+        # subexpression elimination (CodegenFallback), so we project each
+        # vget / schema_of_variant exactly once per (alias, path) and
+        # reference the materialized column everywhere.  Measured on
+        # sf0.1: inline NUMBER(prop) projection 110 s vs 10 s shared.
+        self._shared: dict[tuple[str, tuple[str, ...], str], str] = {}
+        self._pending_v: list[tuple[str, Column]] = []
+        self._pending_s: list[tuple[str, Column]] = []
+        self._barrier = 0
+
+    # ------------------------------------------------------------------
+    # shared variant helper columns
+    # ------------------------------------------------------------------
+    def _shared_v(self, prop: Prop) -> Column:
+        key = (prop.bound.df_alias, tuple(prop.path), "v")
+        name = self._shared.get(key)
+        if name is None:
+            name = f"__v{len(self._shared)}"
+            self._shared[key] = name
+            self._pending_v.append((name, _pin(J.vget(prop.vdoc, prop.path))))
+        return F.col(name)
+
+    def _shared_s(self, prop: Prop) -> Column:
+        key = (prop.bound.df_alias, tuple(prop.path), "s")
+        name = self._shared.get(key)
+        if name is None:
+            name = f"__s{len(self._shared)}"
+            self._shared[key] = name
+            self._pending_s.append(
+                (name, _pin(F.schema_of_variant(self._shared_v(prop))))
+            )
+        return F.col(name)
+
+    def _inject(self, df: DataFrame) -> DataFrame:
+        """Project any newly-registered helper columns (v first — the
+        schema helpers reference them by name).
+
+        Each helper projection carries a ``rand()`` guard column: Spark
+        only pushes a Filter through / collapses a Project whose fields
+        are ALL deterministic, so the guard pins the helpers in place.
+        Without it, predicate pushdown substitutes the helper expression
+        into the filter and the variant navigation is re-evaluated once
+        per reference — measured 187 s vs ~2 s on the sf0.1
+        relationship-property filter.  Promoted-column conjuncts are
+        filtered BEFORE injection (see ``compile``), so partition
+        pruning and parquet pushdown still happen."""
+        for pending in (self._pending_v, self._pending_s):
+            if pending:
+                df = df.select("*", *[c.alias(n) for n, c in pending])
+                pending.clear()
+        return df
 
     # ------------------------------------------------------------------
     def compile(self, query: A.Query, order_for_paging: bool = False) -> DataFrame:
         env, df = self._bind_sources(query)
         if query.where is not None:
-            df = df.filter(self._expr(query.where, env, as_predicate=True))
+            # Conjunct-by-conjunct: predicates that only touch promoted
+            # columns filter the raw scan (→ partition pruning + parquet
+            # pushdown); variant-dependent ones filter above the shared
+            # helper projection.
+            for conj in _conjuncts(query.where):
+                mark = (len(self._pending_v), len(self._pending_s), len(self._shared))
+                pred = self._expr(conj, env, as_predicate=True)
+                if (len(self._pending_v), len(self._pending_s), len(self._shared)) == mark:
+                    df = df.filter(pred)
+                else:
+                    df = self._inject(df).filter(pred)
         if isinstance(query.select, A.CountAll):
             return df.agg(F.count(F.lit(1)).alias("count"))
         need_order = query.top is not None or order_for_paging
@@ -128,7 +226,17 @@ class QueryCompiler:
                 for b in env.values()
             ]
             df = df.orderBy(*keys)
-        df = self._project(df, query.select, env)
+        proj_cols = (
+            None
+            if isinstance(query.select, A.Star)
+            else [self._projection_col(p, env) for p in query.select]
+        )
+        df = self._inject(df)
+        df = (
+            self._project_star(df, env)
+            if proj_cols is None
+            else df.select(*proj_cols)
+        )
         if query.top is not None:
             df = df.limit(query.top)
         return df
@@ -228,7 +336,7 @@ class QueryCompiler:
             bound, path = next(iter(env.values())), segs
         promoted_map = TWIN_PROMOTED if bound.kind == "twin" else REL_PROMOTED
         promoted = promoted_map.get(tuple(path))
-        return Prop(bound, path, promoted)
+        return Prop(bound, path, promoted, self)
 
     def _expr(self, e: A.Expr, env: dict[str, Bound], as_predicate: bool = False) -> Column:
         if isinstance(e, A.And):
@@ -317,7 +425,7 @@ class QueryCompiler:
             etype = {"string": "string", "number": "double", "bool": "boolean"}[lit.kind]
             if prop.promoted:
                 return F.lit(False)
-            arr = J.array_value(prop.vdoc, prop.path, etype)
+            arr = J.array_of(prop.v, etype)
             val = F.lit(float(lit.value) if lit.kind == "number" else lit.value)
             return F.coalesce(F.array_contains(arr, val), F.lit(False))
         if name in ("IS_NULL", "IS_DEFINED", "IS_BOOL", "IS_NUMBER", "IS_STRING",
@@ -334,26 +442,28 @@ class QueryCompiler:
                     "IS_OBJECT": F.lit(False),
                     "IS_PRIMITIVE": c.isNotNull(),
                 }[name]
+            if name == "IS_NULL":
+                return J.is_null_of(prop.v)
+            if name == "IS_DEFINED":
+                return J.is_defined_of(prop.v)
             fn = {
-                "IS_NULL": J.is_null,
-                "IS_DEFINED": J.is_defined,
-                "IS_BOOL": J.is_bool,
-                "IS_NUMBER": J.is_number,
-                "IS_STRING": J.is_string,
-                "IS_OBJECT": J.is_object,
-                "IS_PRIMITIVE": J.is_primitive,
+                "IS_BOOL": J.is_bool_of,
+                "IS_NUMBER": J.is_number_of,
+                "IS_STRING": J.is_string_of,
+                "IS_OBJECT": J.is_object_of,
+                "IS_PRIMITIVE": J.is_primitive_of,
             }[name]
-            return fn(prop.vdoc, prop.path)
+            return fn(prop.s)
         if name in ("NUMBER", "STRING", "BOOL", "JSON"):
             prop = self._prop_arg(e.args[0], env, name)
             if prop.promoted:
                 c = prop.col(prop.promoted)
                 return c.cast("double") if name == "NUMBER" else c
             return {
-                "NUMBER": lambda: J.num_value(prop.vdoc, prop.path),
-                "STRING": lambda: J.str_value(prop.vdoc, prop.path),
-                "BOOL": lambda: J.bool_value(prop.vdoc, prop.path),
-                "JSON": lambda: J.json_value(prop.vdoc, prop.path),
+                "NUMBER": lambda: J.num_of(prop.v, prop.s),
+                "STRING": lambda: J.str_of(prop.v, prop.s),
+                "BOOL": lambda: J.bool_of(prop.v, prop.s),
+                "JSON": lambda: J.json_of(prop.v),
             }[name]()
         raise CompileError(f"Unknown function {name}")
 
@@ -361,7 +471,7 @@ class QueryCompiler:
         prop = self._prop_arg(e, env, "string function")
         if prop.promoted:
             return prop.col(prop.promoted)
-        return J.str_value(prop.vdoc, prop.path)
+        return J.str_of(prop.v, prop.s)
 
     def _prop_arg(self, e: A.Expr, env, ctx: str) -> Prop:
         if not isinstance(e, A.PropRef):
@@ -408,19 +518,14 @@ class QueryCompiler:
     # ------------------------------------------------------------------
     # projection
     # ------------------------------------------------------------------
-    def _project(self, df: DataFrame, select, env: dict[str, Bound]) -> DataFrame:
-        if isinstance(select, A.Star):
-            cols = [
-                F.col(f"{b.df_alias}.doc").alias(b.name)
-                for b in env.values()
-                if b.name
-            ]
-            if not cols:
-                raise CompileError("SELECT * with no named aliases")
-            return df.select(*cols)
-        cols = []
-        for proj in select:
-            cols.append(self._projection_col(proj, env))
+    def _project_star(self, df: DataFrame, env: dict[str, Bound]) -> DataFrame:
+        cols = [
+            F.col(f"{b.df_alias}.doc").alias(b.name)
+            for b in env.values()
+            if b.name
+        ]
+        if not cols:
+            raise CompileError("SELECT * with no named aliases")
         return df.select(*cols)
 
     def _projection_col(self, proj: A.Projection, env) -> Column:

@@ -1,8 +1,10 @@
 """Client facade — the engine's user-facing API.
 
 Mirrors the reference SDK's surface (``AgeDigitalTwinsClient``): query
-with pagination, point CRUD, models.  Round-1 scope: query path; CRUD
-is snapshot-functional (returns a new GraphStore) — Delta MERGE is the
+with pagination, twin/relationship/component/model CRUD with ETag
+optimistic concurrency, telemetry publish, and a change log feeding the
+event pipeline.  Mutations are snapshot-functional (each op swaps in a
+new GraphStore) — the Delta ``MERGE INTO`` equivalent is the
 cluster-deployment story (SURVEY.md §3.2).
 """
 
@@ -10,13 +12,18 @@ from __future__ import annotations
 
 import base64
 import json
+import uuid
 from dataclasses import dataclass
+from typing import Any
 
 from pyspark.sql import DataFrame
 
+from pg_age_digitaltwins_spark import crud
 from pg_age_digitaltwins_spark.adtql.compiler import QueryCompiler
 from pg_age_digitaltwins_spark.adtql.parser import parse
 from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+from pg_age_digitaltwins_spark.streaming.changes import ChangeLog
+from pg_age_digitaltwins_spark.validation import ModelRegistry
 
 
 @dataclass
@@ -26,9 +33,14 @@ class QueryPage:
 
 
 class DigitalTwinsSparkClient:
-    def __init__(self, store: GraphStore):
+    def __init__(self, store: GraphStore, graph_name: str = "digitaltwins"):
         self.store = store
+        self.changes = ChangeLog(graph_name)
+        self.telemetry_events: list[dict[str, Any]] = []
+        self._registry: ModelRegistry | None = None
 
+    # ------------------------------------------------------------------
+    # query (read path, SURVEY §3.1)
     # ------------------------------------------------------------------
     def query_df(self, query: str, order_for_paging: bool = False) -> DataFrame:
         """Compile an ADT QL query to a DataFrame (lazy)."""
@@ -63,7 +75,6 @@ class DigitalTwinsSparkClient:
             ).decode()
         return QueryPage(rows, token)
 
-    # ------------------------------------------------------------------
     def query_charge(self, page: QueryPage) -> float:
         """Charge = rows + total top-level properties (reference
         arithmetic, ``Query.cs:240-257``; aggregate/var-len surcharges
@@ -72,3 +83,209 @@ class DigitalTwinsSparkClient:
         for row in page.rows:
             charge += len(row)
         return charge
+
+    # ------------------------------------------------------------------
+    # model registry
+    # ------------------------------------------------------------------
+    @property
+    def registry(self) -> ModelRegistry:
+        if self._registry is None:
+            docs = [json.loads(r[0]) for r in self.store.models.select("model").collect()]
+            self._registry = ModelRegistry(docs)
+        return self._registry
+
+    def _swap(self, store: GraphStore) -> None:
+        self.store = store
+
+    # ------------------------------------------------------------------
+    # twins (D1-D5)
+    # ------------------------------------------------------------------
+    def get_digital_twin(self, dt_id: str) -> dict[str, Any]:
+        return crud.get_twin(self.store, dt_id)
+
+    def create_or_replace_digital_twin(
+        self, dt_id: str, doc: dict[str, Any], **kw
+    ) -> dict[str, Any]:
+        ts = kw.setdefault("ts", crud.now_iso())
+        store, new, old = crud.create_or_replace_twin(
+            self.store, self.registry, dt_id, doc, **kw
+        )
+        self._swap(store)
+        self.changes.begin()
+        self.changes.append(
+            "Twin", dt_id, old, new, "Update" if old is not None else "Insert", ts
+        )
+        return new
+
+    def update_digital_twin(
+        self, dt_id: str, patch: list[dict[str, Any]], **kw
+    ) -> dict[str, Any]:
+        ts = kw.setdefault("ts", crud.now_iso())
+        store, new, old = crud.update_twin(
+            self.store, self.registry, dt_id, patch, **kw
+        )
+        self._swap(store)
+        self.changes.begin()
+        self.changes.append("Twin", dt_id, old, new, "Update", ts)
+        return new
+
+    def delete_digital_twin(self, dt_id: str, **kw) -> None:
+        store, old = crud.delete_twin(self.store, dt_id, **kw)
+        self._swap(store)
+        self.changes.begin()
+        self.changes.append("Twin", dt_id, old, None, "Delete", crud.now_iso())
+
+    def create_or_replace_digital_twins(
+        self, docs: list[dict[str, Any]], **kw
+    ) -> list[dict[str, Any]]:
+        """D5: batch ≤100, per-item results, one vectorized MERGE."""
+        ts = kw.setdefault("ts", crud.now_iso())
+        store, results, changes = crud.create_twins_batch(
+            self.store, self.registry, docs, **kw
+        )
+        self._swap(store)
+        self.changes.begin()
+        for dt_id, old, new in changes:
+            self.changes.append(
+                "Twin", dt_id, old, new, "Update" if old is not None else "Insert", ts
+            )
+        return results
+
+    # ------------------------------------------------------------------
+    # components (D9)
+    # ------------------------------------------------------------------
+    def get_component(self, dt_id: str, component: str) -> dict[str, Any]:
+        return crud.get_component(self.store, dt_id, component)
+
+    def update_component(
+        self, dt_id: str, component: str, patch: list[dict[str, Any]], **kw
+    ) -> dict[str, Any]:
+        ts = kw.setdefault("ts", crud.now_iso())
+        store, new, old = crud.update_component(
+            self.store, self.registry, dt_id, component, patch, **kw
+        )
+        self._swap(store)
+        self.changes.begin()
+        self.changes.append("Twin", dt_id, old, new, "Update", ts)
+        return new
+
+    # ------------------------------------------------------------------
+    # relationships (D6-D8)
+    # ------------------------------------------------------------------
+    def get_relationship(self, dt_id: str, rel_id: str) -> dict[str, Any]:
+        return crud.get_relationship(self.store, dt_id, rel_id)
+
+    def list_relationships(self, dt_id: str, relationship_name: str | None = None):
+        return crud.list_relationships(self.store, dt_id, relationship_name)
+
+    def list_incoming_relationships(self, dt_id: str):
+        return crud.list_incoming_relationships(self.store, dt_id)
+
+    def create_or_replace_relationship(
+        self, dt_id: str, rel_id: str, doc: dict[str, Any], **kw
+    ) -> dict[str, Any]:
+        ts = kw.setdefault("ts", crud.now_iso())
+        store, new, old = crud.create_or_replace_relationship(
+            self.store, dt_id, rel_id, doc, **kw
+        )
+        self._swap(store)
+        self.changes.begin()
+        self.changes.append(
+            new["$relationshipName"],
+            rel_id,
+            old,
+            new,
+            "Update" if old is not None else "Insert",
+            ts,
+        )
+        return new
+
+    def delete_relationship(self, dt_id: str, rel_id: str, **kw) -> None:
+        store, old = crud.delete_relationship(self.store, dt_id, rel_id, **kw)
+        self._swap(store)
+        self.changes.begin()
+        self.changes.append(
+            old["$relationshipName"], rel_id, old, None, "Delete", crud.now_iso()
+        )
+
+    def create_or_replace_relationships(self, docs: list[dict[str, Any]], **kw):
+        ts = kw.setdefault("ts", crud.now_iso())
+        store, results, changes = crud.create_relationships_batch(self.store, docs, **kw)
+        self._swap(store)
+        self.changes.begin()
+        for rel_id, old, new in changes:
+            self.changes.append(
+                new["$relationshipName"], rel_id, old, new, "Insert", ts
+            )
+        return results
+
+    # ------------------------------------------------------------------
+    # models (D10) — delegated to the store + registry invalidation
+    # ------------------------------------------------------------------
+    def create_models(self, model_docs: list[dict[str, Any]], ts: str | None = None):
+        from pg_age_digitaltwins_spark import models as model_ops
+
+        store, created = model_ops.create_models(self.store, model_docs)
+        self._swap(store)
+        self._registry = None
+        ts = ts or crud.now_iso()
+        self.changes.begin()
+        for doc in created:
+            self.changes.append("Model", doc["@id"], None, doc, "Insert", ts)
+        return created
+
+    def get_model(self, model_id: str) -> dict[str, Any]:
+        from pg_age_digitaltwins_spark import models as model_ops
+
+        return model_ops.get_model(self.store, model_id)
+
+    def list_models(self, dependencies_for: list[str] | None = None):
+        from pg_age_digitaltwins_spark import models as model_ops
+
+        return model_ops.list_models(self.store, dependencies_for)
+
+    def decommission_model(self, model_id: str) -> None:
+        from pg_age_digitaltwins_spark import models as model_ops
+
+        self._swap(model_ops.decommission_model(self.store, model_id))
+        self._registry = None
+
+    def delete_model(self, model_id: str) -> None:
+        from pg_age_digitaltwins_spark import models as model_ops
+
+        store, old = model_ops.delete_model(self.store, model_id)
+        self._swap(store)
+        self._registry = None
+        self.changes.begin()
+        self.changes.append("Model", model_id, old, None, "Delete", crud.now_iso())
+
+    def delete_all_models(self) -> None:
+        from pg_age_digitaltwins_spark import models as model_ops
+
+        self._swap(model_ops.delete_all_models(self.store))
+        self._registry = None
+
+    # ------------------------------------------------------------------
+    # telemetry (D11): fire-and-forget, never stored — queued for the
+    # event pipeline exactly like pg_notify (``Telemetry.cs:93-197``)
+    # ------------------------------------------------------------------
+    def publish_telemetry(
+        self,
+        dt_id: str,
+        payload: dict[str, Any],
+        message_id: str | None = None,
+        component_name: str | None = None,
+        ts: str | None = None,
+    ) -> dict[str, Any]:
+        doc = crud.get_twin(self.store, dt_id)  # twin must exist
+        event = {
+            "digitalTwinId": dt_id,
+            "messageId": message_id or str(uuid.uuid4()),
+            "timestamp": ts or crud.now_iso(),
+            "telemetry": payload,
+            "modelId": (doc.get("$metadata") or {}).get("$model"),
+        }
+        if component_name is not None:
+            event["componentName"] = component_name
+        self.telemetry_events.append(event)
+        return event

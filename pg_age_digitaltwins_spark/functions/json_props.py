@@ -20,6 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 _NUMERIC_PREFIXES = ("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "DECIMAL")
+# First-3-letter discriminators of schema_of_variant output — a single
+# reference to the schema column, so the test stays cheap even when the
+# optimizer inlines it (a 7-way startswith chain re-evaluates the whole
+# variant navigation per branch when substituted into a Filter).
+_NUM3 = ["BIG", "INT", "SMA", "TIN", "DOU", "FLO", "DEC"]
+_PRIM3 = _NUM3 + ["STR", "BOO"]
 
 
 def variant_path(path: list[str]) -> str:
@@ -45,10 +51,7 @@ def type_of(vdoc: Column, path: list[str]) -> Column:
 
 
 def _is_numeric_type(t: Column) -> Column:
-    cond = F.lit(False)
-    for p in _NUMERIC_PREFIXES:
-        cond = cond | t.startswith(p)
-    return cond
+    return F.substring(t, 1, 3).isin(_NUM3)
 
 
 def num_value(vdoc: Column, path: list[str]) -> Column:
@@ -87,6 +90,67 @@ def json_value(vdoc: Column, path: list[str]) -> Column:
 
 def array_value(vdoc: Column, path: list[str], element_type: str) -> Column:
     return F.try_variant_get(vdoc, variant_path(path), f"array<{element_type}>")
+
+
+# ----------------------------------------------------------------------
+# Shared-subexpression variants: take an already-materialized variant
+# column ``v`` (= vget(vdoc, path)) and its schema column ``s``
+# (= schema_of_variant(v)).  The query compiler projects v/s ONCE per
+# (alias, path) and reuses them — inlining these expressions instead
+# makes Spark re-evaluate the variant navigation per reference, which
+# measured 10-35× slower on the sf0.1 bench (see compiler._shared_*).
+# ----------------------------------------------------------------------
+
+def num_of(v: Column, s: Column) -> Column:
+    return F.when(_is_numeric_type(s), F.try_variant_get(v, "$", "double"))
+
+
+def str_of(v: Column, s: Column) -> Column:
+    return F.when(s == "STRING", F.try_variant_get(v, "$", "string"))
+
+
+def bool_of(v: Column, s: Column) -> Column:
+    return F.when(s == "BOOLEAN", F.try_variant_get(v, "$", "boolean"))
+
+
+def loose_str_of(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "string")
+
+
+def json_of(v: Column) -> Column:
+    return F.to_json(v)
+
+
+def array_of(v: Column, element_type: str) -> Column:
+    return F.try_variant_get(v, "$", f"array<{element_type}>")
+
+
+def is_null_of(v: Column) -> Column:
+    return v.isNull() | F.is_variant_null(v)
+
+
+def is_defined_of(v: Column) -> Column:
+    return v.isNotNull() & ~F.is_variant_null(v)
+
+
+def is_bool_of(s: Column) -> Column:
+    return s == "BOOLEAN"
+
+
+def is_number_of(s: Column) -> Column:
+    return F.coalesce(_is_numeric_type(s), F.lit(False))
+
+
+def is_string_of(s: Column) -> Column:
+    return s == "STRING"
+
+
+def is_object_of(s: Column) -> Column:
+    return s.startswith("OBJECT")
+
+
+def is_primitive_of(s: Column) -> Column:
+    return F.coalesce(F.substring(s, 1, 3).isin(_PRIM3), F.lit(False))
 
 
 # ----------------------------------------------------------------------

@@ -1,0 +1,177 @@
+"""Model CRUD (SURVEY.md §2.3 D10) — the models dimension table.
+
+Reference: ``src/AgeDigitalTwins/AgeDigitalTwinsClient.Models.cs``
+(create batch + closure 248-470, list 55-77, delete 566-580, delete-all
+630, decommission).  The model set is a tiny broadcastable dim, so these
+ops recompute the full bases/descendants closure driver-side on every
+write — O(models²) worst case on thousands of rows, negligible next to
+the twin tables.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from pg_age_digitaltwins_spark.functions.model_closure import (
+    extract_components,
+    extract_extends,
+)
+from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+
+class ModelAlreadyExistsError(ValueError):
+    pass
+
+
+class ModelNotFoundError(KeyError):
+    pass
+
+
+class ModelReferencedError(ValueError):
+    """Delete guard: other models still extend / compose this one."""
+
+
+def _current_docs(store: GraphStore) -> dict[str, dict[str, Any]]:
+    rows = store.models.select("model", "decommissioned", "upload_time").collect()
+    out = {}
+    for model_json, decommissioned, upload_time in rows:
+        d = json.loads(model_json)
+        d["__decommissioned"] = bool(decommissioned)
+        out[d["@id"]] = d
+    return out
+
+
+def _rebuild(store: GraphStore, docs: dict[str, dict[str, Any]]) -> GraphStore:
+    clean: list[dict[str, Any]] = []
+    flags: dict[str, bool] = {}
+    for mid, d in docs.items():
+        d = dict(d)
+        flags[mid] = d.pop("__decommissioned", False)
+        clean.append(d)
+    out = store.with_models(clean)
+    if any(flags.values()):
+        decommissioned_ids = [m for m, v in flags.items() if v]
+        out.models = out.models.withColumn(
+            "decommissioned", F.col("id").isin(decommissioned_ids)
+        )
+    return out
+
+
+def create_models(
+    store: GraphStore, model_docs: list[dict[str, Any] | str]
+) -> tuple[GraphStore, list[dict[str, Any]]]:
+    """Batch create: DTDL parse, duplicate/exists checks, closure
+    recompute, dim-table replace (``Models.cs:248-470``)."""
+    docs = _current_docs(store)
+    created: list[dict[str, Any]] = []
+    for m in model_docs:
+        d = json.loads(m) if isinstance(m, str) else dict(m)
+        mid = d.get("@id")
+        if not mid:
+            raise ValueError("DTDL model requires @id")
+        if mid in docs:
+            raise ModelAlreadyExistsError(f"Model {mid} already exists")
+        docs[mid] = d
+        created.append(d)
+    return _rebuild(store, docs), created
+
+
+def get_model(store: GraphStore, model_id: str) -> dict[str, Any]:
+    rows = (
+        store.models.filter(F.col("id") == model_id)
+        .select("model", "decommissioned", "bases", "descendants")
+        .take(1)
+    )
+    if not rows:
+        raise ModelNotFoundError(f"Model {model_id} not found")
+    model_json, decommissioned, bases, descendants = rows[0]
+    return {
+        "id": model_id,
+        "model": json.loads(model_json),
+        "decommissioned": bool(decommissioned),
+        "bases": list(bases or []),
+        "descendants": list(descendants or []),
+    }
+
+
+def list_models(
+    store: GraphStore, dependencies_for: list[str] | None = None
+) -> list[dict[str, Any]]:
+    """List all models; with ``dependencies_for`` include each named
+    model plus its full dependency closure (bases + components —
+    reference UNION query, ``Models.cs:55-77``)."""
+    if not dependencies_for:
+        rows = store.models.select("model", "decommissioned").collect()
+        return [
+            {"model": json.loads(m), "decommissioned": bool(dec)} for m, dec in rows
+        ]
+    docs = _current_docs(store)
+    wanted: set[str] = set()
+
+    def visit(mid: str) -> None:
+        if mid in wanted or mid not in docs:
+            return
+        wanted.add(mid)
+        d = docs[mid]
+        for p in extract_extends(d):
+            visit(p)
+        for c in extract_components(d):
+            visit(c)
+
+    for mid in dependencies_for:
+        visit(mid)
+    return [
+        {"model": {k: v for k, v in docs[m].items() if k != "__decommissioned"},
+         "decommissioned": docs[m].get("__decommissioned", False)}
+        for m in sorted(wanted)
+    ]
+
+
+def decommission_model(store: GraphStore, model_id: str) -> GraphStore:
+    """Mark decommissioned — new twins of this model are rejected by
+    callers that check the flag; existing twins stay."""
+    if not store.models.filter(F.col("id") == model_id).take(1):
+        raise ModelNotFoundError(f"Model {model_id} not found")
+    out = GraphStore(
+        spark=store.spark,
+        twins=store.twins,
+        relationships=store.relationships,
+        models=store.models.withColumn(
+            "decommissioned",
+            F.when(F.col("id") == model_id, F.lit(True)).otherwise(
+                F.col("decommissioned")
+            ),
+        ),
+        model_edges=store.model_edges,
+        _descendants=store._descendants,
+    )
+    return out
+
+
+def delete_model(store: GraphStore, model_id: str) -> tuple[GraphStore, dict[str, Any]]:
+    """Delete one model; fails while other models still reference it via
+    ``extends`` or components (``Models.cs:566-580`` delete guard)."""
+    docs = _current_docs(store)
+    if model_id not in docs:
+        raise ModelNotFoundError(f"Model {model_id} not found")
+    referencing = [
+        mid
+        for mid, d in docs.items()
+        if mid != model_id
+        and (model_id in extract_extends(d) or model_id in extract_components(d))
+    ]
+    if referencing:
+        raise ModelReferencedError(
+            f"Model {model_id} is still referenced by: {', '.join(sorted(referencing))}"
+        )
+    old = docs.pop(model_id)
+    old.pop("__decommissioned", None)
+    return _rebuild(store, docs), old
+
+
+def delete_all_models(store: GraphStore) -> GraphStore:
+    """DETACH DELETE all Model vertices (``Models.cs:630``)."""
+    return _rebuild(store, {})

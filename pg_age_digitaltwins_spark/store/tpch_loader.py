@@ -25,12 +25,17 @@ scales linearly with the input (no driver collect).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pg_age_digitaltwins_spark.store.graph_store import GraphStore
 
 # Fixed timestamp for deterministic etags/metadata across runs.
 _TS = "2026-01-01T00:00:00Z"
+
+# Bump when the TPC-H→graph mapping changes (invalidates caches).
+LOADER_VERSION = 2
 
 DEMO_MODELS = [
     {"@id": "dtmi:demo:Entity;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "displayName": "Entity"},
@@ -117,7 +122,44 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
-def load_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
+def load_graph(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> GraphStore:
+    """Build the graph store from the TPC-H parquet.
+
+    ``materialize=True`` (default) persists the store once per scale
+    factor as *partitioned, multi-file* parquet
+    (twins by ``model_id``, relationships by ``name``) and loads that.
+    This is the production shape — the graph IS stored tables, not a
+    per-query re-derivation — and it is what makes the local bench
+    honest: the driver test data is single-row-group parquet, which caps
+    every downstream scan at ONE task regardless of core count.  The
+    materialized layout restores scan parallelism, gives IS_OF_MODEL /
+    edge-label filters real partition pruning, and min/max stats on the
+    sorted key columns give point lookups row-group skipping (the
+    reference's btree indexes, ``GraphInitialization.cs:13-29``).
+    """
+    if materialize:
+        cache_root = os.environ.get("SPARK_GRAFT_CACHE", "/root/repo/.graphcache")
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        path = os.path.join(cache_root, f"{tag}-v{LOADER_VERSION}")
+        marker = os.path.join(path, "_GRAPH_READY")
+        if not os.path.exists(marker):
+            store = _build_graph(spark, sf_dir)
+            n = max(4, spark.sparkContext.defaultParallelism // 2)
+            store.twins = store.twins.repartition(n, F.col("dt_id")).sortWithinPartitions("dt_id")
+            store.relationships = store.relationships.repartition(
+                n, F.col("source_id")
+            ).sortWithinPartitions("source_id")
+            store.save(path)
+            with open(marker, "w") as f:
+                f.write("ok")
+        cached = GraphStore.load(spark, path)
+        return cached
+    return _build_graph(spark, sf_dir)
+
+
+def _build_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
     t = load_tables(spark, sf_dir)
 
     twins = (

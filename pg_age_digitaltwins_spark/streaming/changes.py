@@ -1,0 +1,166 @@
+"""Change-data capture: the mutation log and its per-transaction
+coalescing.
+
+Reference pipeline: Postgres WAL logical replication → ``EventData``
+records → coalescing → CloudEvents → sinks
+(``src/AgeDigitalTwins.Events/Core/Services/AgeDigitalTwinsReplication.cs:194-530``,
+``EventData`` shape at ``Core/Events/EventData.cs:5-14``).
+
+Spark-native shape: every mutation through the client appends rows to an
+append-only change log (the stand-in for Delta Change Data Feed — same
+old/new-image semantics as REPLICA IDENTITY FULL).  The log is a plain
+list driver-side (mutations are point/batch OLTP ops) and becomes a
+DataFrame for the streaming/formatting stages, which are fully
+distributed.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENT_DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_id", T.StringType(), False),
+        T.StructField("graph_name", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("old_value", T.StringType(), True),
+        T.StructField("new_value", T.StringType(), True),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+        T.StructField("txn_id", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+
+@dataclass
+class EventData:
+    """One captured change (``EventData.cs:5-14``), plus (txn_id, seq)
+    standing in for (WAL transaction, intra-transaction order)."""
+
+    entity_id: str
+    graph_name: str
+    table_name: str  # 'Twin' | relationship name | 'Model'
+    old_value: dict[str, Any] | None
+    new_value: dict[str, Any] | None
+    event_type: str  # 'Insert' | 'Update' | 'Delete'
+    timestamp: str  # ISO-8601
+    txn_id: int = 0
+    seq: int = 0
+
+    @property
+    def entity_kind(self) -> str:
+        """Twin / Relationship / Model classification
+        (``AgeDigitalTwinsReplication.cs:586-616``: by key presence)."""
+        doc = self.new_value or self.old_value or {}
+        if "$relationshipId" in doc:
+            return "Relationship"
+        if self.table_name == "Model":
+            return "Model"
+        return "Twin"
+
+
+class ChangeLog:
+    """Append-only mutation log with transaction grouping."""
+
+    def __init__(self, graph_name: str = "digitaltwins"):
+        self.graph_name = graph_name
+        self.events: list[EventData] = []
+        self._txn = 0
+        self._seq = 0
+
+    def begin(self) -> int:
+        """Start a new transaction; every API call is one transaction
+        (matching one Cypher statement = one WAL transaction)."""
+        self._txn += 1
+        return self._txn
+
+    def append(
+        self,
+        table_name: str,
+        entity_id: str,
+        old: dict[str, Any] | None,
+        new: dict[str, Any] | None,
+        event_type: str,
+        timestamp: str,
+        txn_id: int | None = None,
+    ) -> EventData:
+        self._seq += 1
+        ev = EventData(
+            entity_id=entity_id,
+            graph_name=self.graph_name,
+            table_name=table_name,
+            old_value=old,
+            new_value=new,
+            event_type=event_type,
+            timestamp=timestamp,
+            txn_id=self._txn if txn_id is None else txn_id,
+            seq=self._seq,
+        )
+        self.events.append(ev)
+        return ev
+
+    # ------------------------------------------------------------------
+    def to_df(self, spark: SparkSession, events: Iterable[EventData] | None = None) -> DataFrame:
+        rows = [
+            (
+                e.entity_id,
+                e.graph_name,
+                e.table_name,
+                None if e.old_value is None else json.dumps(e.old_value, separators=(",", ":")),
+                None if e.new_value is None else json.dumps(e.new_value, separators=(",", ":")),
+                e.event_type,
+                _ts(e.timestamp),
+                e.txn_id,
+                e.seq,
+            )
+            for e in (self.events if events is None else events)
+        ]
+        return spark.createDataFrame(rows, EVENT_DATA_SCHEMA)
+
+    def drain(self) -> list[EventData]:
+        out, self.events = self.events, []
+        return out
+
+
+def _ts(iso: str):
+    from datetime import datetime
+
+    return datetime.fromisoformat(iso.replace("Z", "+00:00")).replace(tzinfo=None)
+
+
+def coalesce_events(changes: DataFrame) -> DataFrame:
+    """S3: merge consecutive WAL rows for the same entity within one
+    transaction into a single event — first OldValue, last NewValue;
+    event type Insert wins over Update, Delete wins over everything if
+    it is last (``AgeDigitalTwinsReplication.cs:324-351,396-423``).
+
+    Distributed: groupBy (txn, entity) with min/max-by — one shuffle,
+    partial aggregation map-side.  At scale this is the CDF
+    ``groupBy(entity, commit_version)`` pattern (SURVEY.md §2.4 S3).
+    """
+    w_first = F.min_by(F.col("old_value"), F.col("seq"))
+    w_last = F.max_by(F.col("new_value"), F.col("seq"))
+    coalesced = (
+        changes.groupBy("txn_id", "entity_id", "graph_name", "table_name")
+        .agg(
+            w_first.alias("old_value"),
+            w_last.alias("new_value"),
+            F.min_by(F.col("event_type"), F.col("seq")).alias("first_type"),
+            F.max_by(F.col("event_type"), F.col("seq")).alias("last_type"),
+            F.max(F.col("timestamp")).alias("timestamp"),
+            F.max(F.col("seq")).alias("seq"),
+        )
+        .withColumn(
+            "event_type",
+            F.when(F.col("last_type") == "Delete", F.lit("Delete"))
+            .when(F.col("first_type") == "Insert", F.lit("Insert"))
+            .otherwise(F.col("last_type")),
+        )
+        .drop("first_type", "last_type")
+    )
+    return coalesced

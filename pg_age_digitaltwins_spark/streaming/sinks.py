@@ -1,0 +1,249 @@
+"""Event routes, sinks, retry/DLQ, and the streaming pipeline runner.
+
+Reference (``src/AgeDigitalTwins.Events``): SharedEventConsumer drains a
+queue in batches (100 / 5 s), matches routes {SinkName, EventFormat,
+TypeMappings}, formats via CloudEventFactory, and writes through
+``ResilientEventSinkWrapper`` (exponential-backoff retry → DLQ) to
+Kafka/Kusto/MQTT/Webhook sinks (S4-S13).
+
+Spark-native: the micro-batch boundary *is* the batch/timer; routes
+become per-batch fan-out inside ``foreachBatch`` (or one streaming query
+per route); Kafka maps to the native ``writeStream.format("kafka")``;
+webhook/MQTT are driver-side per-batch POSTs (their client libs aren't
+in this container — transport is stubbed behind a callback, wiring and
+retry semantics are real and tested).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from pg_age_digitaltwins_spark.streaming import cloudevents
+from pg_age_digitaltwins_spark.streaming.changes import ChangeLog, EventData, coalesce_events
+
+
+class SinkError(RuntimeError):
+    pass
+
+
+class EventSink:
+    """Base sink: receives a batch of CloudEvents (dicts)."""
+
+    name = "sink"
+
+    def send(self, events: list[dict[str, Any]]) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class InMemoryEventSink(EventSink):
+    """Test/inspection sink (the Events.Test suites' queue-assert
+    pattern)."""
+
+    def __init__(self, name: str = "memory"):
+        self.name = name
+        self.events: list[dict[str, Any]] = []
+
+    def send(self, events: list[dict[str, Any]]) -> None:
+        self.events.extend(events)
+
+
+class NdjsonFileSink(EventSink):
+    """Append CloudEvents as ND-JSON — the local stand-in for the Kusto
+    tables (S10): same row-per-event shape the ADX ingestion mappings
+    produce (``KustoEventSink.cs:43-121``)."""
+
+    def __init__(self, path: str, name: str = "file"):
+        self.name = name
+        self.path = path
+
+    def send(self, events: list[dict[str, Any]]) -> None:
+        with open(self.path, "a") as f:
+            for e in events:
+                f.write(json.dumps(e, separators=(",", ":")) + "\n")
+
+
+class CallbackSink(EventSink):
+    """Webhook/MQTT-shaped sink: per-batch delivery through an injected
+    transport callable (HTTP POST / MQTT publish in production —
+    ``WebhookEventSink.cs``, ``MqttEventSink.cs``)."""
+
+    def __init__(self, transport: Callable[[list[dict[str, Any]]], None], name: str = "callback"):
+        self.name = name
+        self.transport = transport
+
+    def send(self, events: list[dict[str, Any]]) -> None:
+        self.transport(events)
+
+
+def kafka_writer_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+    """Options for the native Kafka sink (S9): CloudEvents key=subject,
+    value=JSON.  Use with::
+
+        (format_events_df(stream, src)
+         .selectExpr("subject AS key", "to_json(struct(*)) AS value")
+         .writeStream.format("kafka").options(**kafka_writer_options(...))
+         .start())
+    """
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+    }
+
+
+@dataclass
+class EventRoute:
+    """S5: {sink name, format, optional CloudEvent type overrides}."""
+
+    sink_name: str
+    event_format: str = "EventNotification"  # or "DataHistory"
+    type_mappings: dict[str, str] | None = None
+
+
+class ResilientSink:
+    """S13 ``ResilientEventSinkWrapper``: bounded exponential-backoff
+    retries; exhausted batches land in the DLQ with error context and
+    can be replayed."""
+
+    def __init__(
+        self,
+        inner: EventSink,
+        max_retries: int = 3,
+        base_delay: float = 0.05,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        self.inner = inner
+        self.max_retries = max_retries
+        self.base_delay = base_delay
+        self.sleep = sleep
+        self.dlq: list[dict[str, Any]] = []
+
+    def send(self, events: list[dict[str, Any]]) -> None:
+        attempt = 0
+        while True:
+            try:
+                self.inner.send(events)
+                return
+            except Exception as exc:  # noqa: BLE001 — any sink failure retries
+                attempt += 1
+                if attempt > self.max_retries:
+                    for e in events:
+                        self.dlq.append(
+                            {"event": e, "error": str(exc), "sink": self.inner.name}
+                        )
+                    return
+                self.sleep(self.base_delay * (2 ** (attempt - 1)))
+
+    def replay_dlq(self) -> int:
+        """DLQService replay: re-send dead letters; survivors stay."""
+        pending, self.dlq = self.dlq, []
+        ok = 0
+        for item in pending:
+            try:
+                self.inner.send([item["event"]])
+                ok += 1
+            except Exception as exc:  # noqa: BLE001
+                item["error"] = str(exc)
+                self.dlq.append(item)
+        return ok
+
+
+@dataclass
+class EventRouter:
+    """S4/S5: drain change events in batches, format per route, deliver.
+
+    ``process`` is the driver-batch path (unit semantics); ``foreach_batch``
+    is the Structured Streaming hook — formatting runs distributed via
+    ``mapInPandas``, only delivery funnels through the sink."""
+
+    source: str = "dt-instance"
+    sinks: dict[str, ResilientSink] = field(default_factory=dict)
+    routes: list[EventRoute] = field(default_factory=list)
+    batch_size: int = 100  # SharedEventConsumer default (:31-40)
+
+    def add_sink(self, sink: EventSink, **kw) -> ResilientSink:
+        rs = ResilientSink(sink, **kw)
+        self.sinks[sink.name] = rs
+        return rs
+
+    def add_route(self, route: EventRoute) -> None:
+        if route.sink_name not in self.sinks:
+            raise ValueError(f"Unknown sink {route.sink_name!r}")
+        self.routes.append(route)
+
+    # ------------------------------------------------------------------
+    def process(self, events: list[EventData]) -> int:
+        """Deliver a list of EventData through all routes; returns the
+        number of CloudEvents emitted."""
+        total = 0
+        for start in range(0, len(events), self.batch_size):
+            batch = events[start : start + self.batch_size]
+            for route in self.routes:
+                fmt = cloudevents.FORMATTERS[route.event_format]
+                out: list[dict[str, Any]] = []
+                for ev in batch:
+                    ces = fmt(ev, self.source)
+                    if route.type_mappings:
+                        for ce in ces:
+                            ce["type"] = route.type_mappings.get(ce["type"], ce["type"])
+                    out.extend(ces)
+                if out:
+                    self.sinks[route.sink_name].send(out)
+                    total += len(out)
+        return total
+
+    def process_telemetry(self, payloads: list[dict[str, Any]]) -> int:
+        """S8: telemetry events bypass storage and flow straight to the
+        routes (TelemetryListener feeds the same queue)."""
+        total = 0
+        for route in self.routes:
+            out = [cloudevents.telemetry_event(p, self.source) for p in payloads]
+            if out:
+                self.sinks[route.sink_name].send(out)
+                total += len(out)
+        return total
+
+    # ------------------------------------------------------------------
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Streaming micro-batch hook: coalesce per (txn, entity) then
+        format distributed and deliver per route."""
+        coalesced = coalesce_events(batch_df)
+        for route in self.routes:
+            formatted = cloudevents.format_events_df(
+                coalesced, self.source, route.event_format
+            )
+            rows = [r.asDict() for r in formatted.collect()]
+            for r in rows:
+                r["data"] = json.loads(r["data"])
+            if route.type_mappings:
+                for r in rows:
+                    r["type"] = route.type_mappings.get(r["type"], r["type"])
+            if rows:
+                self.sinks[route.sink_name].send(rows)
+
+
+def run_change_pipeline(
+    client_changes: ChangeLog,
+    router: EventRouter,
+    spark=None,
+    distributed: bool = False,
+) -> int:
+    """Drain the client's change log through the router.
+
+    ``distributed=True`` pushes the batch through the DataFrame
+    coalesce + mapInPandas formatting (the scale path); default is the
+    driver path (point mutations arrive one-per-transaction anyway)."""
+    events = client_changes.drain()
+    if not events:
+        return 0
+    if distributed:
+        if spark is None:
+            raise ValueError("distributed=True requires a SparkSession")
+        batch = client_changes.to_df(spark, events)
+        router.foreach_batch(batch, 0)
+        return len(events)
+    return router.process(events)

@@ -1,0 +1,217 @@
+"""DTDL-subset write-time validation.
+
+Re-expresses the reference's twin-vs-model validation
+(``src/AgeDigitalTwins/AgeDigitalTwinsClient.DigitalTwins.cs:245-460``,
+which delegates schema checks to Microsoft's DTDLParser) as a
+self-contained Python subset:
+
+* the twin's ``$metadata.$model`` must name a known model;
+* every non-``$`` property must be declared in the model's contents
+  (inherited contents from ``extends`` bases included);
+* ``Property`` values are checked against the declared schema
+  (primitives, Enum, Object, Array, Map);
+* ``Component`` values must be objects and are validated against the
+  component interface's contents, one level deep, mirroring the
+  reference (``DigitalTwins.cs:330-400``).
+
+Violations aggregate into one ``ValidationError`` joined with
+``" AND "`` — same contract as ``ValidationFailedException``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pg_age_digitaltwins_spark.functions.model_closure import extract_extends
+
+RESERVED_TWIN_KEYS = {"$metadata", "$dtId", "$etag", "$lastUpdateTime"}
+
+_PRIMITIVES = {
+    "boolean": lambda v: isinstance(v, bool),
+    "string": lambda v: isinstance(v, str),
+    "double": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+    "float": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+    "integer": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    "long": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    "date": lambda v: isinstance(v, str),
+    "dateTime": lambda v: isinstance(v, str),
+    "time": lambda v: isinstance(v, str),
+    "duration": lambda v: isinstance(v, str),
+}
+
+
+class ValidationError(ValueError):
+    pass
+
+
+class ModelNotFoundError(KeyError):
+    pass
+
+
+def _types_of(item: dict[str, Any]) -> list[str]:
+    t = item.get("@type")
+    return [t] if isinstance(t, str) else list(t or [])
+
+
+class ModelRegistry:
+    """Driver-side index of DTDL documents by DTMI — the analogue of the
+    reference's model cache + DTDL resolver
+    (``AgeDigitalTwinsClient.cs:21-27``, ``ParserDtmiResolverAsync.cs``).
+    The model set is a tiny dimension; keeping it on the driver is the
+    100 TB-safe choice (twins never funnel through here)."""
+
+    def __init__(self, docs: list[dict[str, Any]]):
+        self.by_id = {d["@id"]: d for d in docs}
+
+    def contents(self, model_id: str) -> dict[str, dict[str, Any]]:
+        """name → content item, including inherited contents (nearest
+        definition wins, depth-first through ``extends``)."""
+        if model_id not in self.by_id:
+            raise ModelNotFoundError(model_id)
+        out: dict[str, dict[str, Any]] = {}
+        seen: set[str] = set()
+
+        def visit(mid: str) -> None:
+            if mid in seen or mid not in self.by_id:
+                return
+            seen.add(mid)
+            doc = self.by_id[mid]
+            for item in doc.get("contents", []) or []:
+                name = item.get("name")
+                if isinstance(name, str) and name not in out:
+                    out[name] = item
+            for parent in extract_extends(doc):
+                visit(parent)
+
+        visit(model_id)
+        return out
+
+
+def validate_value(schema: Any, value: Any, where: str) -> list[str]:
+    """Check one property value against a DTDL schema node."""
+    if schema is None:
+        return []
+    if isinstance(schema, str):
+        check = _PRIMITIVES.get(schema)
+        if check is None:
+            return []  # unknown/extension primitive: accept (lenient subset)
+        if value is None or check(value):
+            return []
+        return [f"{where}: value does not match schema '{schema}'"]
+    if not isinstance(schema, dict):
+        return []
+    kinds = _types_of(schema)
+    if "Enum" in kinds:
+        allowed = [
+            ev.get("enumValue") for ev in schema.get("enumValues", []) or []
+        ]
+        if value in allowed or value is None:
+            return []
+        return [f"{where}: value {value!r} not in enum {allowed!r}"]
+    if "Object" in kinds:
+        if not isinstance(value, dict):
+            return [f"{where}: expected object"]
+        out: list[str] = []
+        fields = {f.get("name"): f for f in schema.get("fields", []) or []}
+        for k, v in value.items():
+            f = fields.get(k)
+            if f is not None:
+                out.extend(validate_value(f.get("schema"), v, f"{where}.{k}"))
+        return out
+    if "Array" in kinds:
+        if not isinstance(value, list):
+            return [f"{where}: expected array"]
+        out = []
+        for i, v in enumerate(value):
+            out.extend(validate_value(schema.get("elementSchema"), v, f"{where}[{i}]"))
+        return out
+    if "Map" in kinds:
+        if not isinstance(value, dict):
+            return [f"{where}: expected map"]
+        out = []
+        mv = schema.get("mapValue") or {}
+        for k, v in value.items():
+            out.extend(validate_value(mv.get("schema"), v, f"{where}[{k}]"))
+        return out
+    return []
+
+
+def validate_twin(registry: ModelRegistry, doc: dict[str, Any]) -> str:
+    """Validate a twin document; returns the model id.  Raises
+    ``ValidationError`` (aggregated) / ``ModelNotFoundError``."""
+    meta = doc.get("$metadata")
+    if not isinstance(meta, dict) or not meta.get("$model"):
+        raise ValidationError("Digital Twin must have a $metadata.$model property")
+    model_id = meta["$model"]
+    contents = registry.contents(model_id)  # raises ModelNotFoundError
+    violations: list[str] = []
+    for prop, value in doc.items():
+        if prop in RESERVED_TWIN_KEYS:
+            continue
+        item = contents.get(prop)
+        if item is None:
+            violations.append(f"Property '{prop}' is not defined in the model")
+            continue
+        kinds = _types_of(item)
+        if "Component" in kinds:
+            violations.extend(_validate_component(registry, prop, item, value))
+        elif "Property" in kinds:
+            violations.extend(
+                validate_value(item.get("schema"), value, f"Property '{prop}'")
+            )
+        else:
+            violations.append(f"Property '{prop}' is a {kinds} and is not supported")
+    if violations:
+        raise ValidationError(" AND ".join(violations))
+    return model_id
+
+
+def _validate_component(
+    registry: ModelRegistry, name: str, item: dict[str, Any], value: Any
+) -> list[str]:
+    if not isinstance(value, dict):
+        return [f"Component '{name}' must be a JSON object"]
+    schema_id = item.get("schema")
+    if not isinstance(schema_id, str) or schema_id not in registry.by_id:
+        return [f"Component '{name}' does not have a valid interface schema"]
+    comp_contents = registry.contents(schema_id)
+    out: list[str] = []
+    for k, v in value.items():
+        if k == "$metadata":
+            continue
+        sub = comp_contents.get(k)
+        if sub is None:
+            out.append(
+                f"Component '{name}' property '{k}' is not defined in the component schema"
+            )
+        elif "Property" in _types_of(sub):
+            out.extend(
+                validate_value(
+                    sub.get("schema"), v, f"Component '{name}' property '{k}'"
+                )
+            )
+    return out
+
+
+RESERVED_REL_KEYS = {
+    "$relationshipId",
+    "$sourceId",
+    "$targetId",
+    "$relationshipName",
+    "$etag",
+}
+
+
+def validate_relationship(doc: dict[str, Any]) -> None:
+    """Reserved-property checks for relationships (the reference's DTDL
+    relationship-target validation is an acknowledged TODO at
+    ``Relationships.cs:370`` — parity means structural checks only)."""
+    missing = [
+        k
+        for k in ("$relationshipId", "$sourceId", "$targetId", "$relationshipName")
+        if not doc.get(k)
+    ]
+    if missing:
+        raise ValidationError(
+            "Relationship is missing required properties: " + ", ".join(missing)
+        )

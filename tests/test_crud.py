@@ -1,0 +1,402 @@
+"""CRUD semantics (SURVEY.md §2.3): twins, relationships, components,
+models, ETags, batch ops, telemetry, and the captured change log.
+
+Modeled on the reference suites ``DigitalTwinsTests`` / ``ModelsTests``
+/ ``ComponentsTests`` / ``RelationshipsTests`` / ``Batch*Tests``
+(``src/AgeDigitalTwins.Test/``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+from pg_age_digitaltwins_spark.crud import (
+    NotFoundError,
+    PreconditionFailedError,
+    generate_etag,
+)
+from pg_age_digitaltwins_spark.functions import jsonpatch
+from pg_age_digitaltwins_spark.models import (
+    ModelAlreadyExistsError,
+    ModelReferencedError,
+)
+from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+from pg_age_digitaltwins_spark.validation import ValidationError
+
+MODELS = [
+    {
+        "@id": "dtmi:test:Room;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [
+            {"@type": "Property", "name": "temperature", "schema": "double"},
+            {"@type": "Property", "name": "name", "schema": "string"},
+            {"@type": "Component", "name": "thermostat", "schema": "dtmi:test:Thermostat;1"},
+        ],
+    },
+    {
+        "@id": "dtmi:test:Thermostat;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "setpoint", "schema": "double"}],
+    },
+    {
+        "@id": "dtmi:test:SmartRoom;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:test:Room;1",
+        "contents": [{"@type": "Property", "name": "automated", "schema": "boolean"}],
+    },
+]
+
+TS = "2026-02-01T00:00:00.0000000Z"
+
+
+@pytest.fixture()
+def client(spark):
+    store = GraphStore.empty(spark).with_models(MODELS)
+    return DigitalTwinsSparkClient(store)
+
+
+def make_twin(model="dtmi:test:Room;1", **props):
+    return {"$metadata": {"$model": model}, **props}
+
+
+# ----------------------------------------------------------------------
+# twins
+# ----------------------------------------------------------------------
+
+def test_create_get_roundtrip(client):
+    doc = client.create_or_replace_digital_twin(
+        "room-1", make_twin(temperature=21.5, name="lab"), ts=TS
+    )
+    assert doc["$etag"] == generate_etag("room-1", TS)
+    assert doc["$metadata"]["temperature"]["lastUpdateTime"] == TS
+    assert doc["$metadata"]["$lastUpdateTime"] == TS
+    got = client.get_digital_twin("room-1")
+    assert got["temperature"] == 21.5
+    assert got["$dtId"] == "room-1"
+
+
+def test_get_missing_raises(client):
+    with pytest.raises(NotFoundError):
+        client.get_digital_twin("nope")
+
+
+def test_validation_unknown_property(client):
+    with pytest.raises(ValidationError, match="not defined in the model"):
+        client.create_or_replace_digital_twin("r", make_twin(bogus=1), ts=TS)
+
+
+def test_validation_wrong_type(client):
+    with pytest.raises(ValidationError, match="does not match schema"):
+        client.create_or_replace_digital_twin(
+            "r", make_twin(temperature="hot"), ts=TS
+        )
+
+
+def test_validation_inherited_property_ok(client):
+    doc = client.create_or_replace_digital_twin(
+        "sr", make_twin("dtmi:test:SmartRoom;1", temperature=20.0, automated=True),
+        ts=TS,
+    )
+    assert doc["automated"] is True
+
+
+def test_validation_unknown_model(client):
+    with pytest.raises(KeyError):
+        client.create_or_replace_digital_twin("r", make_twin("dtmi:test:Nope;1"), ts=TS)
+
+
+def test_if_none_match_star(client):
+    client.create_or_replace_digital_twin("room-1", make_twin(temperature=1.0), ts=TS)
+    with pytest.raises(PreconditionFailedError):
+        client.create_or_replace_digital_twin(
+            "room-1", make_twin(temperature=2.0), if_none_match="*", ts=TS
+        )
+
+
+def test_update_patch_and_etag_cas(client):
+    created = client.create_or_replace_digital_twin(
+        "room-1", make_twin(temperature=21.5), ts=TS
+    )
+    ts2 = "2026-02-02T00:00:00.0000000Z"
+    updated = client.update_digital_twin(
+        "room-1",
+        [{"op": "replace", "path": "/temperature", "value": 25.0}],
+        if_match=created["$etag"],
+        ts=ts2,
+    )
+    assert updated["temperature"] == 25.0
+    assert updated["$etag"] != created["$etag"]
+    # stale etag now fails
+    with pytest.raises(PreconditionFailedError):
+        client.update_digital_twin(
+            "room-1",
+            [{"op": "replace", "path": "/temperature", "value": 30.0}],
+            if_match=created["$etag"],
+        )
+
+
+def test_update_add_property_validated(client):
+    client.create_or_replace_digital_twin("room-1", make_twin(temperature=1.0), ts=TS)
+    with pytest.raises(ValidationError):
+        client.update_digital_twin(
+            "room-1", [{"op": "add", "path": "/bogus", "value": 1}]
+        )
+
+
+def test_delete_twin_with_edges_fails(client):
+    client.create_or_replace_digital_twin("a", make_twin(temperature=1.0), ts=TS)
+    client.create_or_replace_digital_twin("b", make_twin(temperature=2.0), ts=TS)
+    client.create_or_replace_relationship(
+        "a", "r1", {"$targetId": "b", "$relationshipName": "adjacentTo"}, ts=TS
+    )
+    with pytest.raises(ValidationError, match="relationships still reference"):
+        client.delete_digital_twin("a")
+    client.delete_relationship("a", "r1")
+    client.delete_digital_twin("a")
+    with pytest.raises(NotFoundError):
+        client.get_digital_twin("a")
+
+
+def test_batch_create_partial_failure(client):
+    results = client.create_or_replace_digital_twins(
+        [
+            {"$dtId": "ok-1", **make_twin(temperature=1.0)},
+            {"$dtId": "bad-1", **make_twin(bogus=True)},
+            {"$dtId": "ok-2", **make_twin(temperature=2.0)},
+        ],
+        ts=TS,
+    )
+    statuses = {r["$dtId"]: r["status"] for r in results}
+    assert statuses == {"ok-1": "ok", "bad-1": "error", "ok-2": "ok"}
+    assert client.get_digital_twin("ok-2")["temperature"] == 2.0
+    with pytest.raises(NotFoundError):
+        client.get_digital_twin("bad-1")
+
+
+def test_batch_size_limit(client):
+    docs = [{"$dtId": f"t{i}", **make_twin(temperature=0.0)} for i in range(101)]
+    with pytest.raises(ValidationError, match="exceeds limit"):
+        client.create_or_replace_digital_twins(docs, ts=TS)
+
+
+# ----------------------------------------------------------------------
+# components
+# ----------------------------------------------------------------------
+
+def test_component_get_update(client):
+    client.create_or_replace_digital_twin(
+        "room-1",
+        make_twin(temperature=20.0, thermostat={"setpoint": 19.0, "$metadata": {}}),
+        ts=TS,
+    )
+    comp = client.get_component("room-1", "thermostat")
+    assert comp["setpoint"] == 19.0
+    client.update_component(
+        "room-1", "thermostat",
+        [{"op": "replace", "path": "/setpoint", "value": 22.0}],
+        ts="2026-02-03T00:00:00.0000000Z",
+    )
+    assert client.get_component("room-1", "thermostat")["setpoint"] == 22.0
+
+
+def test_component_must_be_object(client):
+    with pytest.raises(ValidationError, match="must be a JSON object"):
+        client.create_or_replace_digital_twin(
+            "room-1", make_twin(thermostat=5), ts=TS
+        )
+
+
+def test_component_undefined_property(client):
+    with pytest.raises(ValidationError, match="not defined in the component schema"):
+        client.create_or_replace_digital_twin(
+            "room-1", make_twin(thermostat={"volume": 1}), ts=TS
+        )
+
+
+# ----------------------------------------------------------------------
+# relationships
+# ----------------------------------------------------------------------
+
+def test_relationship_crud(client):
+    client.create_or_replace_digital_twin("a", make_twin(temperature=1.0), ts=TS)
+    client.create_or_replace_digital_twin("b", make_twin(temperature=2.0), ts=TS)
+    rel = client.create_or_replace_relationship(
+        "a", "r1",
+        {"$targetId": "b", "$relationshipName": "adjacentTo", "weight": 2},
+        ts=TS,
+    )
+    assert rel["$etag"] == generate_etag("r1", TS)
+    got = client.get_relationship("a", "r1")
+    assert got["weight"] == 2
+    outgoing = client.list_relationships("a")
+    incoming = client.list_incoming_relationships("b")
+    assert [r["$relationshipId"] for r in outgoing] == ["r1"]
+    assert [r["$relationshipId"] for r in incoming] == ["r1"]
+    assert client.list_relationships("a", "other") == []
+    client.delete_relationship("a", "r1")
+    with pytest.raises(NotFoundError):
+        client.get_relationship("a", "r1")
+
+
+def test_relationship_missing_endpoint(client):
+    client.create_or_replace_digital_twin("a", make_twin(temperature=1.0), ts=TS)
+    with pytest.raises(NotFoundError, match="Target twin"):
+        client.create_or_replace_relationship(
+            "a", "r1", {"$targetId": "ghost", "$relationshipName": "x"}, ts=TS
+        )
+
+
+def test_relationship_batch(client):
+    client.create_or_replace_digital_twin("a", make_twin(temperature=1.0), ts=TS)
+    client.create_or_replace_digital_twin("b", make_twin(temperature=2.0), ts=TS)
+    results = client.create_or_replace_relationships(
+        [
+            {"$relationshipId": "r1", "$sourceId": "a", "$targetId": "b",
+             "$relationshipName": "adjacentTo"},
+            {"$relationshipId": "r2", "$sourceId": "a", "$targetId": "ghost",
+             "$relationshipName": "adjacentTo"},
+        ],
+        ts=TS,
+    )
+    by_id = {r["$relationshipId"]: r["status"] for r in results}
+    assert by_id == {"r1": "ok", "r2": "error"}
+
+
+# ----------------------------------------------------------------------
+# models
+# ----------------------------------------------------------------------
+
+def test_model_crud(client):
+    got = client.get_model("dtmi:test:Room;1")
+    assert got["descendants"] == ["dtmi:test:SmartRoom;1"]
+    assert sorted(m["model"]["@id"] for m in client.list_models()) == sorted(
+        m["@id"] for m in MODELS
+    )
+    deps = client.list_models(dependencies_for=["dtmi:test:SmartRoom;1"])
+    assert sorted(d["model"]["@id"] for d in deps) == [
+        "dtmi:test:Room;1", "dtmi:test:SmartRoom;1", "dtmi:test:Thermostat;1",
+    ]
+
+
+def test_model_create_duplicate(client):
+    with pytest.raises(ModelAlreadyExistsError):
+        client.create_models([MODELS[0]])
+
+
+def test_model_delete_guard(client):
+    with pytest.raises(ModelReferencedError):
+        client.delete_model("dtmi:test:Room;1")  # SmartRoom extends it
+    client.delete_model("dtmi:test:SmartRoom;1")
+    client.delete_model("dtmi:test:Room;1")  # now unreferenced
+
+
+def test_model_decommission(client):
+    client.decommission_model("dtmi:test:Room;1")
+    assert client.get_model("dtmi:test:Room;1")["decommissioned"] is True
+
+
+def test_new_model_enables_new_property(client):
+    client.create_models(
+        [{
+            "@id": "dtmi:test:Garage;1", "@type": "Interface",
+            "@context": "dtmi:dtdl:context;3",
+            "contents": [{"@type": "Property", "name": "doors", "schema": "integer"}],
+        }]
+    )
+    doc = client.create_or_replace_digital_twin(
+        "g1", make_twin("dtmi:test:Garage;1", doors=2), ts=TS
+    )
+    assert doc["doors"] == 2
+
+
+# ----------------------------------------------------------------------
+# telemetry + change log
+# ----------------------------------------------------------------------
+
+def test_telemetry_requires_twin(client):
+    with pytest.raises(NotFoundError):
+        client.publish_telemetry("ghost", {"t": 1})
+
+
+def test_telemetry_event_shape(client):
+    client.create_or_replace_digital_twin("a", make_twin(temperature=1.0), ts=TS)
+    ev = client.publish_telemetry("a", {"t": 21.5}, message_id="m1", ts=TS)
+    assert ev == {
+        "digitalTwinId": "a", "messageId": "m1", "timestamp": TS,
+        "telemetry": {"t": 21.5}, "modelId": "dtmi:test:Room;1",
+    }
+    # not stored anywhere in the graph
+    assert client.store.twins.count() == 1
+
+
+def test_change_log_capture(client):
+    client.create_or_replace_digital_twin("a", make_twin(temperature=1.0), ts=TS)
+    client.update_digital_twin(
+        "a", [{"op": "replace", "path": "/temperature", "value": 2.0}]
+    )
+    client.create_or_replace_digital_twin("b", make_twin(temperature=9.0), ts=TS)
+    client.create_or_replace_relationship(
+        "a", "r1", {"$targetId": "b", "$relationshipName": "x"}, ts=TS
+    )
+    client.delete_relationship("a", "r1")
+    client.delete_digital_twin("b")
+    kinds = [(e.table_name, e.event_type) for e in client.changes.events]
+    assert kinds == [
+        ("Twin", "Insert"), ("Twin", "Update"), ("Twin", "Insert"),
+        ("x", "Insert"), ("x", "Delete"), ("Twin", "Delete"),
+    ]
+    ins = client.changes.events[0]
+    assert ins.old_value is None and ins.new_value["$dtId"] == "a"
+    upd = client.changes.events[1]
+    assert upd.old_value["temperature"] == 1.0
+    assert upd.new_value["temperature"] == 2.0
+
+
+# ----------------------------------------------------------------------
+# jsonpatch unit coverage
+# ----------------------------------------------------------------------
+
+def test_jsonpatch_apply_ops():
+    doc = {"a": 1, "b": {"c": [1, 2]}}
+    out = jsonpatch.apply_patch(
+        doc,
+        [
+            {"op": "replace", "path": "/a", "value": 9},
+            {"op": "add", "path": "/b/c/-", "value": 3},
+            {"op": "add", "path": "/d", "value": {"x": 1}},
+            {"op": "remove", "path": "/b/c/0"},
+            {"op": "move", "from": "/d/x", "path": "/y"},
+            {"op": "copy", "from": "/a", "path": "/z"},
+            {"op": "test", "path": "/z", "value": 9},
+        ],
+    )
+    assert out == {"a": 9, "b": {"c": [2, 3]}, "d": {}, "y": 1, "z": 9}
+    assert doc == {"a": 1, "b": {"c": [1, 2]}}  # input untouched
+
+
+def test_jsonpatch_escapes():
+    doc = {"a/b": {"~c": 1}}
+    assert jsonpatch.get_pointer(doc, "/a~1b/~0c") == 1
+    out = jsonpatch.apply_patch(doc, [{"op": "replace", "path": "/a~1b/~0c", "value": 2}])
+    assert out == {"a/b": {"~c": 2}}
+
+
+def test_jsonpatch_diff_roundtrip():
+    old = {"a": 1, "b": {"c": 2, "d": [1, 2, 3]}, "gone": True}
+    new = {"a": 1, "b": {"c": 5, "d": [1, 9]}, "fresh": "x"}
+    patch = jsonpatch.make_patch(old, new)
+    assert jsonpatch.apply_patch(old, patch) == new
+    ops = {(p["op"], p["path"]) for p in patch}
+    assert ("remove", "/gone") in ops
+    assert ("add", "/fresh") in ops
+    assert ("replace", "/b/c") in ops
+
+
+def test_jsonpatch_type_change_is_replace():
+    assert jsonpatch.make_patch({"a": 1}, {"a": "1"}) == [
+        {"op": "replace", "path": "/a", "value": "1"}
+    ]

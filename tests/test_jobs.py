@@ -1,0 +1,126 @@
+"""Import/delete job semantics (SURVEY.md §2.3 D12-D14) — sectioned
+ND-JSON, header validation, checkpoint/resume, per-line errors, and the
+distributed one-pass import."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+from pg_age_digitaltwins_spark.jobs import (
+    ImportCheckpoint,
+    ImportError_,
+    ImportJob,
+    delete_job,
+    import_file_distributed,
+)
+from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+MODEL = {
+    "@id": "dtmi:j:Thing;1", "@type": "Interface",
+    "@context": "dtmi:dtdl:context;3",
+    "contents": [{"@type": "Property", "name": "x", "schema": "double"}],
+}
+
+
+def ndjson(*objs):
+    return [json.dumps(o) for o in objs]
+
+
+def full_file(n_twins=5):
+    lines = ndjson(
+        {"Section": "Header"},
+        {"fileVersion": "1.0.0", "author": "test", "organization": "test"},
+        {"Section": "Models"},
+        MODEL,
+        {"Section": "Twins"},
+        *[
+            {"$dtId": f"t{i}", "$metadata": {"$model": "dtmi:j:Thing;1"}, "x": float(i)}
+            for i in range(n_twins)
+        ],
+        {"Section": "Relationships"},
+        *[
+            {"$relationshipId": f"r{i}", "$sourceId": f"t{i}",
+             "$targetId": f"t{(i + 1) % n_twins}", "$relationshipName": "next"}
+            for i in range(n_twins)
+        ],
+    )
+    return lines
+
+
+@pytest.fixture()
+def client(spark):
+    return DigitalTwinsSparkClient(GraphStore.empty(spark))
+
+
+def test_import_full_file(client):
+    rec = ImportJob(client).run(full_file(), "job-1")
+    assert (rec.models_created, rec.twins_created, rec.relationships_created) == (1, 5, 5)
+    assert rec.status == "Succeeded"
+    assert client.get_digital_twin("t3")["x"] == 3.0
+    assert client.get_relationship("t3", "r3")["$targetId"] == "t4"
+
+
+def test_import_header_required(client):
+    with pytest.raises(ImportError_, match="First section must be 'Header'"):
+        ImportJob(client).run(ndjson({"Section": "Models"}, MODEL), "job-2")
+
+
+def test_import_bad_version(client):
+    with pytest.raises(ImportError_, match="Unsupported file version"):
+        ImportJob(client).run(
+            ndjson({"Section": "Header"}, {"fileVersion": "9.9"}), "job-3"
+        )
+
+
+def test_import_per_line_errors(client):
+    lines = ndjson(
+        {"Section": "Header"},
+        {"fileVersion": "1.0.0"},
+        {"Section": "Models"},
+        MODEL,
+        {"Section": "Twins"},
+        {"$dtId": "ok", "$metadata": {"$model": "dtmi:j:Thing;1"}, "x": 1.0},
+        {"$dtId": "bad", "$metadata": {"$model": "dtmi:j:Thing;1"}, "nope": 1},
+    ) + ["{not json"]
+    rec = ImportJob(client).run(lines, "job-4")
+    assert rec.twins_created == 1
+    assert rec.error_count == 2
+    assert rec.status == "PartiallySucceeded"
+
+
+def test_import_resume_from_checkpoint(client):
+    """Resume skips lines before the checkpoint (ImportJob.cs resume)."""
+    lines = full_file()
+    job = ImportJob(client)
+    rec1 = job.run(lines, "job-5")
+    # simulate a crash after the Twins section finished at line 10
+    cp = ImportCheckpoint(
+        "job-5b", section="Relationships", line_number=len(lines) - 5,
+        twins_processed=5, models_processed=1,
+    )
+    client2 = DigitalTwinsSparkClient(client.store)
+    rec2 = ImportJob(client2).run(lines, "job-5b", resume_from=cp)
+    # only the remaining relationship lines re-run
+    assert rec2.relationships_created == 5
+    assert rec2.twins_created == 5  # carried from checkpoint
+    assert rec1.status == rec2.status == "Succeeded"
+
+
+def test_import_distributed(client, spark, tmp_path):
+    p = tmp_path / "import.ndjson"
+    p.write_text("\n".join(full_file(8)) + "\n")
+    rec = import_file_distributed(client, spark, str(p))
+    assert (rec.models_created, rec.twins_created, rec.relationships_created) == (1, 8, 8)
+    assert client.store.twins.count() == 8
+    assert client.store.relationships.count() == 8
+
+
+def test_delete_job(client):
+    ImportJob(client).run(full_file(3), "job-6")
+    counts = delete_job(client)
+    assert counts == {"relationships": 3, "twins": 3, "models": 1}
+    assert client.store.twins.count() == 0
+    assert client.store.models.count() == 0

@@ -1,0 +1,304 @@
+"""Event pipeline semantics (SURVEY.md §2.4): coalescing, CloudEvents
+EventNotification + DataHistory formats, routes, retry/DLQ.
+
+Modeled on ``CloudEventFactoryTests`` and the Events integration suite
+(``src/AgeDigitalTwins.Events.Test``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+from pg_age_digitaltwins_spark.streaming.changes import ChangeLog, EventData, coalesce_events
+from pg_age_digitaltwins_spark.streaming.cloudevents import (
+    data_history,
+    event_notification,
+    format_events_df,
+    telemetry_event,
+)
+from pg_age_digitaltwins_spark.streaming.sinks import (
+    CallbackSink,
+    EventRoute,
+    EventRouter,
+    InMemoryEventSink,
+    ResilientSink,
+    run_change_pipeline,
+)
+
+TS = "2026-02-01T00:00:00.0000000Z"
+_ids = iter(range(100000))
+ID = lambda: f"ce-{next(_ids)}"  # noqa: E731 — deterministic CloudEvent ids
+
+
+def twin_doc(dt_id, model="dtmi:t:M;1", **props):
+    return {"$dtId": dt_id, "$metadata": {"$model": model}, **props}
+
+
+def twin_update(dt_id="t1", old_t=20.0, new_t=25.0):
+    old = twin_doc(dt_id, temperature=old_t)
+    old["$metadata"]["temperature"] = {"lastUpdateTime": "2026-01-01T00:00:00Z"}
+    new = twin_doc(dt_id, temperature=new_t)
+    new["$metadata"]["temperature"] = {"lastUpdateTime": TS}
+    return EventData(dt_id, "g", "Twin", old, new, "Update", TS)
+
+
+# ----------------------------------------------------------------------
+# EventNotification (S6)
+# ----------------------------------------------------------------------
+
+def test_notification_create_full_doc():
+    doc = twin_doc("t1", temperature=21.0)
+    ev = EventData("t1", "g", "Twin", None, doc, "Insert", TS)
+    [ce] = event_notification(ev, "src-a", ID)
+    assert ce["type"] == "Konnektr.Graph.Twin.Create"
+    assert ce["subject"] == "t1"
+    assert ce["data"] == doc
+    assert ce["time"] == TS
+    assert ce["datacontenttype"] == "application/json"
+
+
+def test_notification_delete_carries_old_doc():
+    doc = twin_doc("t1", temperature=21.0)
+    ev = EventData("t1", "g", "Twin", doc, None, "Delete", TS)
+    [ce] = event_notification(ev, "src-a", ID)
+    assert ce["type"] == "Konnektr.Graph.Twin.Delete"
+    assert ce["data"] == doc
+
+
+def test_notification_update_patch_body():
+    [ce] = event_notification(twin_update(), "src-a", ID)
+    assert ce["type"] == "Konnektr.Graph.Twin.Update"
+    assert ce["data"]["modelId"] == "dtmi:t:M;1"
+    ops = {(p["op"], p["path"]) for p in ce["data"]["patch"]}
+    assert ("replace", "/temperature") in ops
+
+
+def test_notification_same_value_update_enhanced():
+    """Value unchanged but metadata lastUpdateTime moved → synthetic
+    replace op (EnhancePatchWithSameValueUpdates)."""
+    ev = twin_update(old_t=20.0, new_t=20.0)
+    [ce] = event_notification(ev, "src-a", ID)
+    assert {"op": "replace", "path": "/temperature", "value": 20.0} in ce["data"]["patch"]
+
+
+def test_notification_relationship_subject():
+    rel = {
+        "$relationshipId": "r1", "$sourceId": "a", "$targetId": "b",
+        "$relationshipName": "rel",
+    }
+    ev = EventData("r1", "g", "rel", None, rel, "Insert", TS)
+    [ce] = event_notification(ev, "src-a", ID)
+    assert ce["type"] == "Konnektr.Graph.Relationship.Create"
+    assert ce["subject"] == "a/relationships/r1"
+
+
+# ----------------------------------------------------------------------
+# DataHistory (S7)
+# ----------------------------------------------------------------------
+
+def test_data_history_lifecycle():
+    doc = twin_doc("t1", temperature=21.0)
+    ev = EventData("t1", "g", "Twin", None, doc, "Insert", TS)
+    events = data_history(ev, "src-a", ID)
+    assert events[0]["type"] == "Konnektr.Graph.Twin.Lifecycle"
+    assert events[0]["data"] == {
+        "twinId": "t1", "action": "Create", "timeStamp": TS,
+        "serviceId": "src-a", "modelId": "dtmi:t:M;1",
+    }
+
+
+def test_data_history_property_events():
+    events = data_history(twin_update(), "src-a", ID)
+    prop = [e for e in events if e["type"] == "Konnektr.Graph.Property.Event"]
+    assert len(prop) == 1
+    body = prop[0]["data"]
+    assert body["key"] == "temperature"
+    assert body["value"] == 25.0
+    assert body["action"] == "Update"
+    assert body["id"] == "t1"
+    assert body["modelId"] == "dtmi:t:M;1"
+
+
+def test_data_history_skips_dollar_keys():
+    old = twin_doc("t1", temperature=20.0)
+    new = twin_doc("t1", temperature=25.0)
+    old["$etag"], new["$etag"] = "W/\"old\"", "W/\"new\""
+    ev = EventData("t1", "g", "Twin", old, new, "Update", TS)
+    keys = [
+        e["data"]["key"]
+        for e in data_history(ev, "src-a", ID)
+        if e["type"] == "Konnektr.Graph.Property.Event"
+    ]
+    assert keys == ["temperature"]
+
+
+def test_data_history_rel_lifecycle():
+    rel = {
+        "$relationshipId": "r1", "$sourceId": "a", "$targetId": "b",
+        "$relationshipName": "feeds",
+    }
+    ev = EventData("r1", "g", "feeds", rel, None, "Delete", TS)
+    [ce] = data_history(ev, "src-a", ID)
+    assert ce["type"] == "Konnektr.Graph.Relationship.Lifecycle"
+    assert ce["data"]["action"] == "Delete"
+    assert ce["data"]["name"] == "feeds"
+    assert ce["subject"] == "a/relationships/r1"
+
+
+def test_data_history_model_change_emits_lifecycle():
+    old = twin_doc("t1", "dtmi:t:M;1", temperature=1.0)
+    new = twin_doc("t1", "dtmi:t:M;2", temperature=1.0)
+    ev = EventData("t1", "g", "Twin", old, new, "Update", TS)
+    events = data_history(ev, "src-a", ID)
+    assert events[0]["type"] == "Konnektr.Graph.Twin.Lifecycle"
+    assert events[0]["data"]["action"] == "Update"
+    assert events[0]["data"]["modelId"] == "dtmi:t:M;2"
+
+
+def test_telemetry_event():
+    ce = telemetry_event(
+        {"digitalTwinId": "t1", "timestamp": TS, "telemetry": {"x": 1}}, "src-a", ID
+    )
+    assert ce["type"] == "Konnektr.IoT.Telemetry"
+    assert ce["subject"] == "t1"
+    assert ce["data"]["telemetry"] == {"x": 1}
+
+
+# ----------------------------------------------------------------------
+# coalescing (S3) — distributed
+# ----------------------------------------------------------------------
+
+def test_coalesce_first_old_last_new(spark):
+    log = ChangeLog("g")
+    txn = log.begin()
+    d0 = twin_doc("t1", temperature=1.0)
+    d1 = twin_doc("t1", temperature=2.0)
+    d2 = twin_doc("t1", temperature=3.0)
+    log.append("Twin", "t1", None, d1, "Insert", TS, txn)
+    log.append("Twin", "t1", d1, d2, "Update", TS, txn)
+    log.append("Twin", "other", d0, None, "Delete", TS, txn)
+    out = {
+        r["entity_id"]: r
+        for r in coalesce_events(log.to_df(spark)).collect()
+    }
+    t1 = out["t1"]
+    assert t1["event_type"] == "Insert"  # Insert + Update folds to Insert
+    assert t1["old_value"] is None
+    assert '"temperature":3.0' in t1["new_value"]
+    assert out["other"]["event_type"] == "Delete"
+
+
+def test_coalesce_update_chain(spark):
+    log = ChangeLog("g")
+    txn = log.begin()
+    docs = [twin_doc("t1", temperature=float(i)) for i in range(4)]
+    for old, new in zip(docs, docs[1:]):
+        log.append("Twin", "t1", old, new, "Update", TS, txn)
+    [row] = coalesce_events(log.to_df(spark)).collect()
+    assert row["event_type"] == "Update"
+    assert '"temperature":0.0' in row["old_value"]
+    assert '"temperature":3.0' in row["new_value"]
+
+
+def test_format_events_df_distributed(spark):
+    log = ChangeLog("g")
+    log.begin()
+    log.append("Twin", "t1", None, twin_doc("t1", temperature=1.0), "Insert", TS)
+    log.append(
+        "Twin", "t2", twin_doc("t2", temperature=1.0),
+        twin_doc("t2", temperature=2.0), "Update", TS,
+    )
+    out = format_events_df(log.to_df(spark), "src-a").collect()
+    types = sorted(r["type"] for r in out)
+    assert types == ["Konnektr.Graph.Twin.Create", "Konnektr.Graph.Twin.Update"]
+
+
+# ----------------------------------------------------------------------
+# routes / retry / DLQ (S5, S13)
+# ----------------------------------------------------------------------
+
+def test_router_fan_out_and_type_mapping():
+    router = EventRouter(source="src-a")
+    a, b = InMemoryEventSink("a"), InMemoryEventSink("b")
+    router.add_sink(a)
+    router.add_sink(b)
+    router.add_route(EventRoute("a", "EventNotification"))
+    router.add_route(
+        EventRoute("b", "DataHistory",
+                   type_mappings={"Konnektr.Graph.Twin.Lifecycle": "Custom.Lifecycle"})
+    )
+    ev = EventData("t1", "g", "Twin", None, twin_doc("t1", temperature=1.0), "Insert", TS)
+    n = router.process([ev])
+    assert n == 2
+    assert a.events[0]["type"] == "Konnektr.Graph.Twin.Create"
+    assert b.events[0]["type"] == "Custom.Lifecycle"
+
+
+def test_resilient_sink_retries_then_dlq():
+    calls = []
+
+    def flaky(events):
+        calls.append(1)
+        raise RuntimeError("down")
+
+    rs = ResilientSink(CallbackSink(flaky, "w"), max_retries=2, sleep=lambda s: None)
+    rs.send([{"id": "1"}])
+    assert len(calls) == 3  # initial + 2 retries
+    assert len(rs.dlq) == 1
+    assert rs.dlq[0]["error"] == "down"
+    # replay after recovery
+    ok_events = []
+    rs.inner.transport = lambda evs: ok_events.extend(evs)
+    assert rs.replay_dlq() == 1
+    assert ok_events == [{"id": "1"}]
+    assert rs.dlq == []
+
+
+def test_end_to_end_change_pipeline(spark):
+    """CRUD mutations → change log → router → sink (the Events
+    integration-test shape, driver + distributed paths)."""
+    models = [{
+        "@id": "dtmi:t:M;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "temperature", "schema": "double"}],
+    }]
+    client = DigitalTwinsSparkClient(GraphStore.empty(spark).with_models(models))
+    client.create_or_replace_digital_twin(
+        "t1", {"$metadata": {"$model": "dtmi:t:M;1"}, "temperature": 1.0}, ts=TS
+    )
+    client.update_digital_twin(
+        "t1", [{"op": "replace", "path": "/temperature", "value": 2.0}], ts=TS
+    )
+    router = EventRouter(source="src-a")
+    sink = InMemoryEventSink("mem")
+    router.add_sink(sink)
+    router.add_route(EventRoute("mem", "EventNotification"))
+    n = run_change_pipeline(client.changes, router)
+    assert n == 2
+    assert [e["type"] for e in sink.events] == [
+        "Konnektr.Graph.Twin.Create", "Konnektr.Graph.Twin.Update",
+    ]
+    assert client.changes.events == []  # drained
+
+    # distributed path over a fresh mutation
+    client.update_digital_twin(
+        "t1", [{"op": "replace", "path": "/temperature", "value": 3.0}], ts=TS
+    )
+    sink.events.clear()
+    run_change_pipeline(client.changes, router, spark=spark, distributed=True)
+    assert len(sink.events) == 1
+    assert sink.events[0]["type"] == "Konnektr.Graph.Twin.Update"
+    patch_paths = [p["path"] for p in sink.events[0]["data"]["patch"]]
+    assert "/temperature" in patch_paths
+
+
+def test_router_telemetry_passthrough():
+    router = EventRouter(source="src-a")
+    sink = InMemoryEventSink("mem")
+    router.add_sink(sink)
+    router.add_route(EventRoute("mem", "EventNotification"))
+    router.process_telemetry(
+        [{"digitalTwinId": "t1", "timestamp": TS, "telemetry": {"x": 1}}]
+    )
+    assert sink.events[0]["type"] == "Konnektr.IoT.Telemetry"
