@@ -150,6 +150,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "WHERE Rg.name = 'ASIA'"
     )
 
+    # --- raw Cypher surface (SURVEY §2.2 C1-C14) ----------------------
+    q["cypher_count_twins"] = _adt("MATCH (t:Twin) RETURN count(*) AS count")
+    q["cypher_agg_by_part"] = _adt(
+        "MATCH (o)-[r:contains]->(p) RETURN p.`$dtId` AS part_id, "
+        "count(*) AS cnt, round(sum(r.quantity), 2) AS total_qty"
+    )
+    q["cypher_optional_match"] = _adt(
+        "MATCH (c:Twin) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "OPTIONAL MATCH (c)<-[r:placedBy]-(o) "
+        "RETURN c.`$dtId` AS cust, o.`$dtId` AS order_id"
+    )
+    q["cypher_union_places"] = _adt(
+        "MATCH (n) WHERE n.`$metadata`.`$model` = 'dtmi:demo:Nation;1' "
+        "RETURN n.`$dtId` AS id "
+        "UNION MATCH (r) WHERE r.`$metadata`.`$model` = 'dtmi:demo:Region;1' "
+        "RETURN r.`$dtId` AS id"
+    )
+    q["cypher_unwind"] = _adt("UNWIND [1, 2, 3, 4, 5] AS x RETURN x")
+    q["cypher_order_skip_limit"] = _adt(
+        "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "RETURN c.`$dtId` AS id ORDER BY id SKIP 5 LIMIT 20"
+    )
+    q["cypher_label_counts"] = _adt(
+        "MATCH (n {`$dtId`: 'nation-0'})<-[r]-(m) "
+        "RETURN label(r) AS lbl, count(*) AS cnt"
+    )
+    q["cypher_var_length"] = _adt(
+        "MATCH (o {`$dtId`: 'order-1'})-[:placedBy|locatedIn|partOf*1..3]->(x) "
+        "RETURN x.`$dtId` AS id"
+    )
+    q["cypher_l2_distance_topk"] = _adt(
+        "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "RETURN c.`$dtId` AS id, round(l2_distance([c.acctbal], [5000.0]), 2) AS d "
+        "ORDER BY d, id LIMIT 10"
+    )
+
     # --- graph rollups (Cypher C5 aggregates) -------------------------
     def _agg_models(spark, sf_dir):
         return analytics.twin_counts_by_model(_store(spark, sf_dir))
@@ -332,6 +368,45 @@ def oracle_sql() -> dict[str, str]:
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'"
+    )
+    o["cypher_count_twins"] = f"SELECT count(*) AS count FROM ({_ALL_TWIN_IDS})"
+    o["cypher_agg_by_part"] = (
+        "SELECT 'part-' || l_partkey AS part_id, count(*) AS cnt, "
+        "round(sum(l_quantity), 2) AS total_qty FROM lineitem GROUP BY l_partkey"
+    )
+    o["cypher_optional_match"] = (
+        "SELECT 'cust-' || c_custkey AS cust, "
+        "CASE WHEN o_orderkey IS NULL THEN NULL ELSE 'order-' || o_orderkey END AS order_id "
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey"
+    )
+    o["cypher_union_places"] = (
+        "SELECT 'nation-' || n_nationkey AS id FROM nation "
+        "UNION SELECT 'region-' || r_regionkey FROM region"
+    )
+    o["cypher_unwind"] = (
+        "SELECT CAST(x AS BIGINT) AS x FROM (VALUES (1), (2), (3), (4), (5)) t(x)"
+    )
+    o["cypher_order_skip_limit"] = (
+        "SELECT dt_id AS id FROM (SELECT 'cust-' || c_custkey AS dt_id FROM customer) "
+        "ORDER BY dt_id LIMIT 20 OFFSET 5"
+    )
+    o["cypher_label_counts"] = (
+        "SELECT 'locatedIn' AS lbl, "
+        "((SELECT count(*) FROM customer WHERE c_nationkey = 0) + "
+        "(SELECT count(*) FROM supplier WHERE s_nationkey = 0)) AS cnt"
+    )
+    o["cypher_var_length"] = (
+        "SELECT 'cust-' || o_custkey AS id FROM orders WHERE o_orderkey = 1 "
+        "UNION SELECT 'nation-' || c_nationkey FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_orderkey = 1 "
+        "UNION SELECT 'region-' || n_regionkey FROM orders "
+        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE o_orderkey = 1"
+    )
+    o["cypher_l2_distance_topk"] = (
+        "SELECT id, d FROM (SELECT 'cust-' || c_custkey AS id, "
+        "round(abs(c_acctbal - 5000.0), 2) AS d FROM customer) "
+        "ORDER BY d, id LIMIT 10"
     )
     o["agg_twins_by_model"] = (
         "SELECT 'dtmi:demo:Customer;1' AS model_id, count(*) AS cnt FROM customer "

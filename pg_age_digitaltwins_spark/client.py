@@ -43,8 +43,23 @@ class DigitalTwinsSparkClient:
     # query (read path, SURVEY §3.1)
     # ------------------------------------------------------------------
     def query_df(self, query: str, order_for_paging: bool = False) -> DataFrame:
-        """Compile an ADT QL query to a DataFrame (lazy)."""
-        return QueryCompiler(self.store).compile(parse(query), order_for_paging)
+        """Compile a query to a DataFrame (lazy).
+
+        Dialect detection mirrors the reference (``Query.cs:44-55``):
+        contains SELECT and no RETURN → ADT QL; otherwise raw Cypher."""
+        if self.detect_dialect(query) == "adt":
+            return QueryCompiler(self.store).compile(parse(query), order_for_paging)
+        from pg_age_digitaltwins_spark.cypher import compile_cypher
+
+        return compile_cypher(self.store, query)
+
+    @staticmethod
+    def detect_dialect(query: str) -> str:
+        import re as _re
+
+        has_select = _re.search(r"\bSELECT\b", query, _re.IGNORECASE)
+        has_return = _re.search(r"\bRETURN\b", query, _re.IGNORECASE)
+        return "adt" if (has_select and not has_return) else "cypher"
 
     def query(
         self,

@@ -1,0 +1,176 @@
+"""AST for the Cypher read subset (SURVEY.md §2.2 C1-C14).
+
+The reference delegates Cypher execution to Apache AGE inside Postgres;
+this engine compiles the same constructs to DataFrame plans.  The
+subset is the reference's own emitted/tested surface: MATCH (incl.
+direction, inline property maps, multi-label edges, variable-length
+edges), OPTIONAL MATCH, WHERE, RETURN with aliases/aggregates/DISTINCT,
+ORDER BY, SKIP/LIMIT, UNWIND, UNION, and the scalar functions it uses
+(label, toLower, toUpper, toString, l2_distance…).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Union
+
+
+# --- expressions ------------------------------------------------------
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class Prop:
+    """``var.seg1.seg2`` — property path on a bound variable."""
+    var: str
+    path: list[str]
+
+
+@dataclass
+class Lit:
+    value: Any
+    kind: str  # 'string' | 'number' | 'bool' | 'null'
+
+
+@dataclass
+class ListLit:
+    items: list["Expr"]
+
+
+@dataclass
+class Cmp:
+    op: str  # = <> < > <= >=
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass
+class StringOp:
+    op: str  # STARTS WITH | ENDS WITH | CONTAINS
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass
+class InList:
+    operand: "Expr"
+    items: "Expr"  # ListLit or Prop (array property)
+
+
+@dataclass
+class IsNull:
+    operand: "Expr"
+    negated: bool = False
+
+
+@dataclass
+class And:
+    items: list["Expr"]
+
+
+@dataclass
+class Or:
+    items: list["Expr"]
+
+
+@dataclass
+class Not:
+    item: "Expr"
+
+
+@dataclass
+class Func:
+    """count/sum/avg/min/max/collect (aggregates) or scalar
+    label/toLower/toUpper/toString/toInteger/toFloat/size/l2_distance."""
+    name: str  # lower-cased
+    args: list["Expr"]
+    distinct: bool = False
+    star: bool = False  # count(*)
+
+
+Expr = Union[Var, Prop, Lit, ListLit, Cmp, StringOp, InList, IsNull, And, Or, Not, Func]
+
+AGGREGATES = {"count", "sum", "avg", "min", "max", "collect"}
+
+
+def has_aggregate(e: Expr) -> bool:
+    if isinstance(e, Func):
+        if e.name in AGGREGATES:
+            return True
+        return any(has_aggregate(a) for a in e.args)
+    if isinstance(e, (And, Or)):
+        return any(has_aggregate(i) for i in e.items)
+    if isinstance(e, Not):
+        return has_aggregate(e.item)
+    if isinstance(e, (Cmp, StringOp)):
+        return has_aggregate(e.left) or has_aggregate(e.right)
+    if isinstance(e, InList):
+        return has_aggregate(e.operand)
+    if isinstance(e, IsNull):
+        return has_aggregate(e.operand)
+    if isinstance(e, ListLit):
+        return any(has_aggregate(i) for i in e.items)
+    return False
+
+
+# --- patterns ---------------------------------------------------------
+
+@dataclass
+class NodePat:
+    alias: Optional[str]
+    labels: list[str] = field(default_factory=list)
+    props: dict[str, Lit] = field(default_factory=dict)
+
+
+@dataclass
+class EdgePat:
+    alias: Optional[str]
+    labels: list[str] = field(default_factory=list)
+    direction: str = "->"  # '->' | '<-' | '--' (undirected)
+    props: dict[str, Lit] = field(default_factory=dict)
+    var_length: Optional[tuple[int, Optional[int]]] = None  # (min, max)
+
+
+@dataclass
+class PathPat:
+    nodes: list[NodePat]
+    edges: list[EdgePat]
+
+
+@dataclass
+class MatchClause:
+    paths: list[PathPat]
+    optional: bool = False
+    where: Optional[Expr] = None
+
+
+@dataclass
+class UnwindClause:
+    expr: Expr
+    alias: str
+
+
+@dataclass
+class ReturnItem:
+    expr: Expr
+    alias: Optional[str] = None
+
+
+@dataclass
+class SingleQuery:
+    clauses: list  # MatchClause | UnwindClause in order
+    where: Optional[Expr] = None  # WHERE after the last MATCH handled in clause
+    ret: list[ReturnItem] = field(default_factory=list)
+    distinct: bool = False
+    order_by: list[tuple[Expr, bool]] = field(default_factory=list)  # (expr, asc)
+    skip: Optional[int] = None
+    limit: Optional[int] = None
+
+
+@dataclass
+class UnionQuery:
+    queries: list[SingleQuery]
+    all: bool = False

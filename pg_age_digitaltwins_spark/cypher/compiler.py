@@ -1,0 +1,748 @@
+"""Cypher read subset → Spark DataFrame plans.
+
+Where the reference ships Cypher strings to AGE's executor inside
+Postgres, this compiler builds declarative DataFrame plans over the
+graph store — same join shapes as the ADT QL compiler, plus:
+
+* ``OPTIONAL MATCH``    → left outer join of the optional sub-pattern
+                          (``Models.cs:568-572`` shape)
+* ``UNWIND``            → ``explode`` (C7)
+* ``UNION [ALL]``       → ``union`` / ``union + distinct`` (C8)
+* aggregates            → ``groupBy(non-aggregated items).agg(...)``,
+                          ``collect(x)`` → ``collect_list`` (C5/C6)
+* ``[*min..max]``       → iterative frontier self-join with per-depth
+                          ``distinct`` (C10); bounded (cap 10) —
+                          at 100 TB this is the "BFS with frontier
+                          dedup" plan from SURVEY.md §7, each depth one
+                          equi-join + distinct, checkpointable
+* ``label(r)``          → the promoted ``name`` column (C11)
+* ``toLower/toString…`` → native functions (C12)
+* ``l2_distance``       → ``aggregate(zip_with(...))`` fold — JVM-side,
+                          no UDF (C13)
+* ``(m:Model)`` nodes   → the models dim table (the reference stores
+                          models as a second vertex label); ``_extends``
+                          / ``_hasComponent`` edges → ``model_edges``
+
+Shared-variant helper columns are pinned exactly like the ADT QL
+compiler (see ``adtql/compiler._pin``) so dynamic property access costs
+one variant navigation per row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pg_age_digitaltwins_spark.adtql.compiler import _pin
+from pg_age_digitaltwins_spark.cypher import ast as C
+from pg_age_digitaltwins_spark.cypher.parser import parse_cypher
+from pg_age_digitaltwins_spark.functions import json_props as J
+from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+MAX_VAR_LENGTH = 10
+
+TWIN_PROMOTED = {
+    ("$dtId",): "dt_id",
+    ("$etag",): "etag",
+    ("$metadata", "$model"): "model_id",
+}
+REL_PROMOTED = {
+    ("$relationshipId",): "relationship_id",
+    ("$sourceId",): "source_id",
+    ("$targetId",): "target_id",
+    ("$relationshipName",): "name",
+    ("$etag",): "etag",
+}
+MODEL_PROMOTED = {("id",): "dt_id", ("decommissioned",): "decommissioned"}
+
+
+class CypherCompileError(ValueError):
+    pass
+
+
+@dataclass
+class Binding:
+    name: str
+    kind: str  # 'twin' | 'rel' | 'model' | 'value'
+    df_alias: str  # qualified alias for twin/rel/model; column name for value
+
+
+class CypherCompiler:
+    def __init__(self, store: GraphStore):
+        self.store = store
+        self._twins = store.twins_v()
+        self._rels = store.relationships_v()
+        self._models = self._models_frame(store)
+        self._anon = 0
+        self._shared: dict[tuple, str] = {}
+        self._pending_v: list[tuple[str, Column]] = []
+        self._pending_s: list[tuple[str, Column]] = []
+        self._value_variant: set[str] = set()  # UNWIND cols of variant type
+
+    @staticmethod
+    def _models_frame(store: GraphStore) -> DataFrame:
+        from pg_age_digitaltwins_spark.store.graph_store import with_vdoc
+
+        return with_vdoc(
+            store.models.select(
+                F.col("id").alias("dt_id"),
+                F.col("decommissioned"),
+                F.col("model").alias("doc"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def compile(self, q: C.SingleQuery | C.UnionQuery) -> DataFrame:
+        if isinstance(q, C.UnionQuery):
+            parts = [CypherCompiler(self.store)._single(s) for s in q.queries]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out if q.all else out.distinct()
+        return self._single(q)
+
+    # ------------------------------------------------------------------
+    def _single(self, q: C.SingleQuery) -> DataFrame:
+        env: dict[str, Binding] = {}
+        df: DataFrame | None = None
+        for clause in q.clauses:
+            if isinstance(clause, C.MatchClause):
+                df = self._match(df, env, clause)
+            elif isinstance(clause, C.UnwindClause):
+                df = self._unwind(df, env, clause)
+            else:  # pragma: no cover
+                raise CypherCompileError(f"Unsupported clause {clause!r}")
+        if df is None:
+            df = self.store.spark.range(1).select(F.lit(1).alias("__one"))
+        return self._return(df, env, q)
+
+    # ------------------------------------------------------------------
+    # MATCH
+    # ------------------------------------------------------------------
+    def _anon_alias(self) -> str:
+        self._anon += 1
+        return f"__c{self._anon}"
+
+    def _node_frame(self, node: C.NodePat) -> tuple[DataFrame, str]:
+        if "Model" in node.labels:
+            return self._models, "model"
+        return self._twins, "twin"
+
+    def _bind_node(
+        self, df: DataFrame | None, env: dict[str, Binding], node: C.NodePat
+    ) -> tuple[DataFrame, Binding]:
+        if node.alias and node.alias in env:
+            b = env[node.alias]
+            if df is None:  # pragma: no cover — rebinding without a frame
+                raise CypherCompileError(f"Alias {node.alias} bound without frame")
+            return self._apply_node_props(df, b, node), b
+        frame, kind = self._node_frame(node)
+        alias = node.alias or self._anon_alias()
+        b = Binding(node.alias or "", kind, alias)
+        if node.alias:
+            env[node.alias] = b
+        scan = frame.alias(alias)
+        scan_df = self._apply_node_props_scan(scan, alias, kind, node)
+        out = scan_df if df is None else df.crossJoin(scan_df)
+        return out, b
+
+    def _apply_node_props_scan(
+        self, scan: DataFrame, alias: str, kind: str, node: C.NodePat
+    ) -> DataFrame:
+        for key, lit in node.props.items():
+            scan = scan.filter(self._prop_eq(alias, kind, key, lit))
+        return scan
+
+    def _apply_node_props(self, df: DataFrame, b: Binding, node: C.NodePat) -> DataFrame:
+        for key, lit in node.props.items():
+            df = df.filter(self._prop_eq(b.df_alias, b.kind, key, lit))
+        return df
+
+    def _prop_eq(self, alias: str, kind: str, key: str, lit: C.Lit) -> Column:
+        promoted = {
+            "twin": TWIN_PROMOTED, "rel": REL_PROMOTED, "model": MODEL_PROMOTED
+        }[kind].get((key,))
+        if promoted:
+            return F.col(f"{alias}.{promoted}") == F.lit(lit.value)
+        v = F.try_variant_get(F.col(f"{alias}.vdoc"), J.variant_path([key]), "variant")
+        if lit.kind == "number":
+            return F.try_variant_get(v, "$", "double") == float(lit.value)
+        if lit.kind == "bool":
+            return F.try_variant_get(v, "$", "boolean") == lit.value
+        return F.try_variant_get(v, "$", "string") == lit.value
+
+    def _match(
+        self, df: DataFrame | None, env: dict[str, Binding], clause: C.MatchClause
+    ) -> DataFrame:
+        if clause.optional:
+            return self._optional_match(df, env, clause)
+        for path in clause.paths:
+            df, left = self._bind_node(df, env, path.nodes[0])
+            for edge, node in zip(path.edges, path.nodes[1:]):
+                df, left = self._hop(df, env, left, edge, node)
+        if clause.where is not None:
+            pred = self._expr(clause.where, env, as_predicate=True)
+            df = self._inject(df).filter(pred)
+        return df
+
+    def _hop(
+        self,
+        df: DataFrame,
+        env: dict[str, Binding],
+        left: Binding,
+        edge: C.EdgePat,
+        node: C.NodePat,
+    ) -> tuple[DataFrame, Binding]:
+        if edge.var_length is not None:
+            return self._var_hop(df, env, left, edge, node)
+        rel_df, rel_kind = self._edge_frame(edge)
+        e_alias = edge.alias or self._anon_alias()
+        e = Binding(edge.alias or "", "rel", e_alias)
+        if edge.alias:
+            if edge.alias in env:
+                raise CypherCompileError(f"Duplicate edge alias {edge.alias!r}")
+            env[edge.alias] = e
+        rel = rel_df.alias(e_alias)
+        for key, lit in edge.props.items():
+            rel = rel.filter(self._prop_eq(e_alias, "rel", key, lit))
+        lcol = F.col(f"{left.df_alias}.dt_id")
+        src = F.col(f"{e_alias}.source_id")
+        dst = F.col(f"{e_alias}.target_id")
+        if edge.direction == "->":
+            join_on, far = src == lcol, dst
+        elif edge.direction == "<-":
+            join_on, far = dst == lcol, src
+        else:  # undirected
+            join_on, far = (src == lcol) | (dst == lcol), None
+        df = df.join(rel, join_on)
+        existing = env.get(node.alias) if node.alias else None
+        if existing is not None:
+            t = existing
+            if far is None:
+                cond = (dst == F.col(f"{t.df_alias}.dt_id")) | (
+                    src == F.col(f"{t.df_alias}.dt_id")
+                )
+            else:
+                cond = far == F.col(f"{t.df_alias}.dt_id")
+            df = self._apply_node_props(df.filter(cond), t, node)
+            return df, t
+        frame, kind = self._node_frame(node)
+        t_alias = node.alias or self._anon_alias()
+        t = Binding(node.alias or "", kind, t_alias)
+        if node.alias:
+            env[node.alias] = t
+        scan = self._apply_node_props_scan(frame.alias(t_alias), t_alias, kind, node)
+        tcol = F.col(f"{t_alias}.dt_id")
+        if far is None:
+            cond = ((src == lcol) & (dst == tcol)) | ((dst == lcol) & (src == tcol))
+            # re-filter full condition (the earlier one-sided join kept both)
+            df = df.join(scan, cond)
+        else:
+            df = df.join(scan, far == tcol)
+        return df, t
+
+    def _edge_frame(self, edge: C.EdgePat) -> tuple[DataFrame, str]:
+        labels = edge.labels
+        if labels and set(labels) <= {"_extends", "_hasComponent"}:
+            me = self.store.model_edges.select(
+                F.concat(F.col("src"), F.lit("\x00"), F.col("dst")).alias("relationship_id"),
+                F.col("src").alias("source_id"),
+                F.col("dst").alias("target_id"),
+                F.col("kind").alias("name"),
+                F.lit(None).cast("string").alias("etag"),
+                F.lit(None).cast("string").alias("doc"),
+            )
+            me = me.withColumn("vdoc", F.try_parse_json(F.col("doc")))
+            if len(labels) == 1:
+                me = me.filter(F.col("name") == labels[0])
+            else:
+                me = me.filter(F.col("name").isin(labels))
+            return me, "model_edge"
+        rel = self._rels
+        if len(labels) == 1:
+            rel = rel.filter(F.col("name") == labels[0])
+        elif len(labels) > 1:
+            rel = rel.filter(F.col("name").isin(labels))
+        return rel, "rel"
+
+    # ------------------------------------------------------------------
+    # variable-length paths (C10)
+    # ------------------------------------------------------------------
+    def _var_hop(
+        self,
+        df: DataFrame,
+        env: dict[str, Binding],
+        left: Binding,
+        edge: C.EdgePat,
+        node: C.NodePat,
+    ) -> tuple[DataFrame, Binding]:
+        lo, hi = edge.var_length
+        hi = min(hi if hi is not None else MAX_VAR_LENGTH, MAX_VAR_LENGTH)
+        if lo < 1 or hi < lo:
+            raise CypherCompileError(f"Bad variable-length bounds [*{lo}..{hi}]")
+        base_rel, _ = self._edge_frame(edge)
+        base = base_rel.select(
+            F.col("source_id").alias("src"), F.col("target_id").alias("dst")
+        )
+        if edge.direction == "<-":
+            base = base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        elif edge.direction == "--":
+            base = base.unionByName(
+                base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        base = base.distinct()
+        # Iterative BFS expansion with per-depth dedup; each depth is one
+        # shuffle-join on ``dst = src``.  ``localCheckpoint`` would cut
+        # lineage for deep traversals on a real cluster.
+        frontier = base
+        acc = base if lo <= 1 else None
+        for depth in range(2, hi + 1):
+            frontier = (
+                frontier.alias("f")
+                .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
+                .select(F.col("f.src").alias("src"), F.col("b.dst").alias("dst"))
+                .distinct()
+            )
+            if depth >= lo:
+                acc = frontier if acc is None else acc.unionByName(frontier)
+        pairs = (acc if acc is not None else base.limit(0)).distinct()
+        p_alias = self._anon_alias()
+        pairs = pairs.alias(p_alias)
+        df = df.join(
+            pairs, F.col(f"{p_alias}.src") == F.col(f"{left.df_alias}.dt_id")
+        )
+        existing = env.get(node.alias) if node.alias else None
+        if existing is not None:
+            df = df.filter(
+                F.col(f"{p_alias}.dst") == F.col(f"{existing.df_alias}.dt_id")
+            )
+            return self._apply_node_props(df, existing, node), existing
+        frame, kind = self._node_frame(node)
+        t_alias = node.alias or self._anon_alias()
+        t = Binding(node.alias or "", kind, t_alias)
+        if node.alias:
+            env[node.alias] = t
+        scan = self._apply_node_props_scan(frame.alias(t_alias), t_alias, kind, node)
+        df = df.join(scan, F.col(f"{p_alias}.dst") == F.col(f"{t_alias}.dt_id"))
+        return df, t
+
+    # ------------------------------------------------------------------
+    # OPTIONAL MATCH (C2)
+    # ------------------------------------------------------------------
+    def _optional_match(
+        self, df: DataFrame | None, env: dict[str, Binding], clause: C.MatchClause
+    ) -> DataFrame:
+        if df is None:
+            raise CypherCompileError("OPTIONAL MATCH requires a preceding MATCH")
+        shared = [
+            p.nodes[0].alias
+            for p in clause.paths
+            if p.nodes[0].alias and p.nodes[0].alias in env
+        ]
+        if not shared:
+            raise CypherCompileError(
+                "OPTIONAL MATCH must start at an already-bound node"
+            )
+        anchor = env[shared[0]]
+        sub_env: dict[str, Binding] = {}
+        sub = CypherCompiler(self.store)
+        sub._anon = self._anon + 100
+        sub_df: DataFrame | None = None
+        # re-bind the anchor under a fresh alias inside the sub-pattern
+        rebound = C.NodePat(f"__opt_{anchor.name}", [], clause.paths[0].nodes[0].props)
+        first_path = C.PathPat(
+            [rebound] + clause.paths[0].nodes[1:], clause.paths[0].edges
+        )
+        inner = C.MatchClause([first_path] + clause.paths[1:], where=clause.where)
+        sub_df = sub._match(None, sub_env, inner)
+        # expose new aliases + the rebound anchor key
+        cols = [
+            F.col(f"{sub_env[rebound.alias].df_alias}.dt_id").alias("__opt_key")
+        ]
+        for name, b in sub_env.items():
+            if name == rebound.alias:
+                continue
+            if name in env:
+                raise CypherCompileError(
+                    f"OPTIONAL MATCH rebinding {name!r} is not supported"
+                )
+            # surface the sub-binding's full frame columns under flat names
+            prefix = f"__o_{name}"
+            frame_cols = (
+                ["dt_id", "model_id", "etag", "doc", "vdoc"]
+                if b.kind == "twin"
+                else ["relationship_id", "source_id", "target_id", "name", "etag", "doc", "vdoc"]
+                if b.kind == "rel"
+                else ["dt_id", "decommissioned", "doc", "vdoc"]
+            )
+            for fc in frame_cols:
+                cols.append(F.col(f"{b.df_alias}.{fc}").alias(f"{prefix}__{fc}"))
+            env[name] = Binding(name, b.kind, prefix)
+        flat = sub_df.select(*cols)
+        out = df.join(
+            flat,
+            F.col("__opt_key") == F.col(f"{anchor.df_alias}.dt_id"),
+            "left",
+        ).drop("__opt_key")
+        # rewrite optional bindings to flat-column pseudo-frames
+        return out
+
+    # ------------------------------------------------------------------
+    # UNWIND (C7)
+    # ------------------------------------------------------------------
+    def _unwind(
+        self, df: DataFrame | None, env: dict[str, Binding], clause: C.UnwindClause
+    ) -> DataFrame:
+        if df is None:
+            df = self.store.spark.range(1).select(F.lit(1).alias("__one"))
+        e = clause.expr
+        name = f"__u_{clause.alias}"
+        if isinstance(e, C.ListLit):
+            items = [self._expr(i, env) for i in e.items]
+            col = F.explode(F.array(*items))
+        elif isinstance(e, C.Prop):
+            b, path, promoted = self._resolve(e, env)
+            arr = F.try_variant_get(
+                F.col(f"{b.df_alias}.vdoc"), J.variant_path(path), "array<variant>"
+            )
+            col = F.explode(arr)
+            self._value_variant.add(name)
+        else:
+            raise CypherCompileError(f"UNWIND over {e!r} not supported")
+        df = df.select("*", col.alias(name))
+        env[clause.alias] = Binding(clause.alias, "value", name)
+        return df
+
+    # ------------------------------------------------------------------
+    # shared variant helpers (same machinery as the ADT QL compiler)
+    # ------------------------------------------------------------------
+    def _shared_v(self, df_alias: str, path: tuple[str, ...]) -> Column:
+        key = (df_alias, path, "v")
+        name = self._shared.get(key)
+        if name is None:
+            name = f"__cv{len(self._shared)}"
+            self._shared[key] = name
+            self._pending_v.append(
+                (name, _pin(J.vget(F.col(f"{df_alias}.vdoc"), list(path))))
+            )
+        return F.col(name)
+
+    def _shared_s(self, df_alias: str, path: tuple[str, ...]) -> Column:
+        key = (df_alias, path, "s")
+        name = self._shared.get(key)
+        if name is None:
+            name = f"__cs{len(self._shared)}"
+            self._shared[key] = name
+            self._pending_s.append(
+                (name, _pin(F.schema_of_variant(self._shared_v(df_alias, path))))
+            )
+        return F.col(name)
+
+    def _inject(self, df: DataFrame) -> DataFrame:
+        for pending in (self._pending_v, self._pending_s):
+            if pending:
+                df = df.select("*", *[c.alias(n) for n, c in pending])
+                pending.clear()
+        return df
+
+    # ------------------------------------------------------------------
+    # expressions
+    # ------------------------------------------------------------------
+    def _resolve(self, p: C.Prop, env: dict[str, Binding]):
+        if p.var not in env:
+            raise CypherCompileError(f"Unknown variable {p.var!r}")
+        b = env[p.var]
+        promoted_map = {
+            "twin": TWIN_PROMOTED,
+            "rel": REL_PROMOTED,
+            "model": MODEL_PROMOTED,
+            "value": {},
+        }[b.kind]
+        promoted = promoted_map.get(tuple(p.path))
+        return b, p.path, promoted
+
+    def _col(self, b: Binding, name: str) -> Column:
+        if b.df_alias.startswith("__o_"):
+            return F.col(f"{b.df_alias}__{name}")
+        return F.col(f"{b.df_alias}.{name}")
+
+    def _typed(self, p: C.Prop, env, kind: str | None) -> Column:
+        b, path, promoted = self._resolve(p, env)
+        if b.kind == "value":
+            c = F.col(b.df_alias)
+            is_var = b.df_alias in self._value_variant
+            if kind == "number":
+                return F.try_variant_get(c, "$", "double") if is_var else c.cast("double")
+            if kind == "string":
+                return F.try_variant_get(c, "$", "string") if is_var else c.cast("string")
+            return c
+        if promoted:
+            c = self._col(b, promoted)
+            if kind == "number":
+                return c.cast("double")
+            if kind == "bool":
+                return c.cast("boolean")
+            return c
+        if b.df_alias.startswith("__o_"):
+            v = J.vget(F.col(f"{b.df_alias}__vdoc"), path)
+            s = F.schema_of_variant(v)
+        else:
+            v = self._shared_v(b.df_alias, tuple(path))
+            s = None
+        if kind == "number":
+            return J.num_of(v, s if s is not None else self._shared_s(b.df_alias, tuple(path)))
+        if kind == "bool":
+            return J.bool_of(v, s if s is not None else self._shared_s(b.df_alias, tuple(path)))
+        if kind == "string":
+            return J.str_of(v, s if s is not None else self._shared_s(b.df_alias, tuple(path)))
+        return J.loose_str_of(v)
+
+    def _expr(self, e: C.Expr, env: dict[str, Binding], as_predicate: bool = False) -> Column:
+        if isinstance(e, C.And):
+            out = self._expr(e.items[0], env, True)
+            for i in e.items[1:]:
+                out = out & self._expr(i, env, True)
+            return out
+        if isinstance(e, C.Or):
+            out = self._expr(e.items[0], env, True)
+            for i in e.items[1:]:
+                out = out | self._expr(i, env, True)
+            return out
+        if isinstance(e, C.Not):
+            return ~self._expr(e.item, env, True)
+        if isinstance(e, C.Cmp):
+            kind = _lit_kind(e.left) or _lit_kind(e.right)
+            left = self._operand(e.left, env, kind)
+            right = self._operand(e.right, env, kind)
+            return {
+                "=": left == right,
+                "<>": ~(left == right),
+                "<": left < right,
+                ">": left > right,
+                "<=": left <= right,
+                ">=": left >= right,
+            }[e.op]
+        if isinstance(e, C.StringOp):
+            left = self._operand(e.left, env, "string")
+            right = self._operand(e.right, env, "string")
+            if e.op == "STARTS WITH":
+                return left.startswith(right)
+            if e.op == "ENDS WITH":
+                return left.endswith(right)
+            return left.contains(right)
+        if isinstance(e, C.InList):
+            if isinstance(e.items, C.ListLit):
+                kinds = {i.kind for i in e.items.items if isinstance(i, C.Lit)}
+                kind = "number" if kinds == {"number"} else "string"
+                op = self._operand(e.operand, env, kind)
+                vals = [i.value for i in e.items.items if isinstance(i, C.Lit)]
+                if kind == "number":
+                    vals = [float(v) for v in vals]
+                return op.isin(vals)
+            if isinstance(e.items, C.Prop):
+                b, path, _ = self._resolve(e.items, env)
+                arr = F.try_variant_get(
+                    F.col(f"{b.df_alias}.vdoc"), J.variant_path(path), "array<string>"
+                )
+                op = self._operand(e.operand, env, "string")
+                return F.coalesce(F.array_contains(arr, op), F.lit(False))
+            raise CypherCompileError("IN requires a list literal or array property")
+        if isinstance(e, C.IsNull):
+            op = self._operand(e.operand, env, None)
+            return op.isNotNull() if e.negated else op.isNull()
+        if isinstance(e, C.Func):
+            return self._func(e, env)
+        if isinstance(e, C.Lit):
+            return F.lit(e.value)
+        if isinstance(e, C.Prop):
+            if as_predicate:
+                return self._typed(e, env, "bool")
+            return self._typed(e, env, None)
+        if isinstance(e, C.Var):
+            b = env.get(e.name)
+            if b is None:
+                raise CypherCompileError(f"Unknown variable {e.name!r}")
+            if b.kind == "value":
+                return F.col(b.df_alias)
+            return self._col(b, "doc")
+        if isinstance(e, C.ListLit):
+            return F.array(*[self._expr(i, env) for i in e.items])
+        raise CypherCompileError(f"Unsupported expression {e!r}")
+
+    def _operand(self, e: C.Expr, env, kind: str | None) -> Column:
+        if isinstance(e, C.Lit):
+            return F.lit(e.value)
+        if isinstance(e, C.Prop):
+            return self._typed(e, env, kind)
+        return self._expr(e, env)
+
+    def _func(self, e: C.Func, env) -> Column:
+        n = e.name
+        if n in C.AGGREGATES:
+            return self._aggregate(e, env)
+        if n == "label":
+            [arg] = e.args
+            if not isinstance(arg, C.Var) or arg.name not in env:
+                raise CypherCompileError("label() needs a bound edge variable")
+            return self._col(env[arg.name], "name")
+        if n in ("tolower", "toupper"):
+            c = self._operand(e.args[0], env, "string")
+            return F.lower(c) if n == "tolower" else F.upper(c)
+        if n == "tostring":
+            return self._operand(e.args[0], env, None).cast("string")
+        if n == "tointeger":
+            return self._operand(e.args[0], env, "number").cast("long")
+        if n == "tofloat":
+            return self._operand(e.args[0], env, "number").cast("double")
+        if n == "size":
+            arg = e.args[0]
+            if isinstance(arg, C.Prop):
+                b, path, _ = self._resolve(arg, env)
+                arr = F.try_variant_get(
+                    F.col(f"{b.df_alias}.vdoc"), J.variant_path(path), "array<variant>"
+                )
+                return F.array_size(arr).cast("long")
+            return F.array_size(self._expr(arg, env)).cast("long")
+        if n == "coalesce":
+            return F.coalesce(*[self._operand(a, env, None) for a in e.args])
+        if n == "round":
+            c = self._operand(e.args[0], env, "number")
+            scale = 0
+            if len(e.args) > 1 and isinstance(e.args[1], C.Lit):
+                scale = int(e.args[1].value)
+            return F.round(c, scale)
+        if n == "abs":
+            return F.abs(self._operand(e.args[0], env, "number"))
+        if n == "l2_distance":
+            a = self._vector(e.args[0], env)
+            b = self._vector(e.args[1], env)
+            return F.sqrt(
+                F.aggregate(
+                    F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+        raise CypherCompileError(f"Unknown function {n}()")
+
+    def _vector(self, e: C.Expr, env) -> Column:
+        if isinstance(e, C.ListLit):
+            return F.array(
+                *[self._operand(i, env, "number").cast("double") for i in e.items]
+            )
+        if isinstance(e, C.Prop):
+            b, path, _ = self._resolve(e, env)
+            if b.kind == "model" and path == ["embedding"]:
+                return F.col(f"{b.df_alias}.embedding").cast("array<double>")
+            return F.try_variant_get(
+                F.col(f"{b.df_alias}.vdoc"), J.variant_path(path), "array<double>"
+            )
+        raise CypherCompileError("l2_distance needs vector operands")
+
+    def _aggregate(self, e: C.Func, env) -> Column:
+        if e.name == "count":
+            if e.star:
+                return F.count(F.lit(1))
+            c = self._operand(e.args[0], env, None)
+            return F.count_distinct(c) if e.distinct else F.count(c)
+        c_num = self._operand(e.args[0], env, "number")
+        if e.name == "sum":
+            return F.sum(c_num)
+        if e.name == "avg":
+            return F.avg(c_num)
+        if e.name == "min":
+            return F.min(self._operand(e.args[0], env, None))
+        if e.name == "max":
+            return F.max(self._operand(e.args[0], env, None))
+        if e.name == "collect":
+            c = self._operand(e.args[0], env, None)
+            return F.collect_set(c) if e.distinct else F.collect_list(c)
+        raise CypherCompileError(f"Unknown aggregate {e.name}")  # pragma: no cover
+
+    # ------------------------------------------------------------------
+    # RETURN
+    # ------------------------------------------------------------------
+    def _item_name(self, item: C.ReturnItem, idx: int) -> str:
+        if item.alias:
+            return item.alias
+        e = item.expr
+        if isinstance(e, C.Prop):
+            return e.path[-1].lstrip("$")
+        if isinstance(e, C.Var):
+            return e.name
+        if isinstance(e, C.Func):
+            return e.name
+        return f"col{idx}"
+
+    def _return(self, df: DataFrame, env: dict[str, Binding], q: C.SingleQuery) -> DataFrame:
+        names = [self._item_name(it, i) for i, it in enumerate(q.ret)]
+        if len(set(names)) != len(names):
+            raise CypherCompileError(f"Duplicate return names {names}")
+        aggregated = any(C.has_aggregate(it.expr) for it in q.ret)
+        if aggregated:
+            keys = [
+                (self._expr(it.expr, env), nm)
+                for it, nm in zip(q.ret, names)
+                if not C.has_aggregate(it.expr)
+            ]
+            aggs = [
+                (self._expr(it.expr, env), nm)
+                for it, nm in zip(q.ret, names)
+                if C.has_aggregate(it.expr)
+            ]
+            df = self._inject(df)
+            if keys:
+                df = df.groupBy(*[c.alias(n) for c, n in keys]).agg(
+                    *[c.alias(n) for c, n in aggs]
+                )
+                df = df.select(*names)
+            else:
+                df = df.agg(*[c.alias(n) for c, n in aggs])
+        else:
+            cols = [self._expr(it.expr, env).alias(nm) for it, nm in zip(q.ret, names)]
+            extra: list[Column] = []
+            order_specs: list[Column] = []
+            for i, (e, asc) in enumerate(q.order_by):
+                if isinstance(e, C.Var) and e.name in names:
+                    oc = F.col(e.name)
+                else:
+                    extra.append(self._expr(e, env).alias(f"__ord{i}"))
+                    oc = F.col(f"__ord{i}")
+                order_specs.append(oc if asc else oc.desc())
+            df = self._inject(df)
+            if q.order_by:
+                df = df.select(*cols, *extra).orderBy(*order_specs).select(*names)
+            else:
+                df = df.select(*cols)
+        if q.distinct:
+            df = df.distinct()
+        if aggregated and q.order_by:
+            df = df.orderBy(
+                *[
+                    (self._output_order(e, names) if asc else self._output_order(e, names).desc())
+                    for e, asc in q.order_by
+                ]
+            )
+        if q.skip:
+            df = df.offset(q.skip)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    def _output_order(self, e: C.Expr, names: list[str]) -> Column:
+        if isinstance(e, C.Var) and e.name in names:
+            return F.col(e.name)
+        raise CypherCompileError(
+            "ORDER BY after aggregation must reference an output alias"
+        )
+
+
+def _lit_kind(e: C.Expr) -> str | None:
+    if isinstance(e, C.Lit) and e.kind in ("string", "number", "bool"):
+        return e.kind
+    return None
+
+
+def compile_cypher(store: GraphStore, text: str) -> DataFrame:
+    return CypherCompiler(store).compile(parse_cypher(text))

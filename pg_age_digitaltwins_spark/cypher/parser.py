@@ -1,0 +1,391 @@
+"""Recursive-descent parser for the Cypher read subset.
+
+Grammar (the reference's own emitted/tested surface — SURVEY.md §2.2):
+
+    query      := single (UNION [ALL] single)*
+    single     := clause+ RETURN [DISTINCT] items
+                  [ORDER BY expr [ASC|DESC] (, ...)*] [SKIP n] [LIMIT n]
+    clause     := [OPTIONAL] MATCH path (, path)* [WHERE expr]
+                | UNWIND expr AS ident
+    path       := node (edge node)*
+    node       := ( [ident] [:Label]* [{props}] )
+    edge       := -[...]-> | <-[...]- | -[...]- | --> | <-- | --
+    edge body  := [ident] [:L1|L2...] [*min..max] [{props}]
+
+Write clauses (CREATE/MERGE/SET/DELETE/REMOVE) are rejected — the
+reference's /query endpoint blocks them by keyword filter
+(``AgeDigitalTwinsClient.Query.cs:68-88``).
+"""
+
+from __future__ import annotations
+
+from pg_age_digitaltwins_spark.cypher import ast as C
+from pg_age_digitaltwins_spark.cypher.lexer import Token, tokenize
+
+WRITE_KEYWORDS = {"CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE"}
+
+
+class CypherParseError(ValueError):
+    pass
+
+
+class _Parser:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    # -- helpers -------------------------------------------------------
+    @property
+    def cur(self) -> Token:
+        return self.toks[self.i]
+
+    def at(self, kind: str, value: str | None = None) -> bool:
+        t = self.cur
+        return t.kind == kind and (value is None or t.value == value)
+
+    def eat(self, kind: str, value: str | None = None) -> Token:
+        if not self.at(kind, value):
+            raise CypherParseError(
+                f"Expected {value or kind} at position {self.cur.pos}, got {self.cur.value!r}"
+            )
+        t = self.cur
+        self.i += 1
+        return t
+
+    def opt(self, kind: str, value: str | None = None) -> bool:
+        if self.at(kind, value):
+            self.i += 1
+            return True
+        return False
+
+    # -- entry ---------------------------------------------------------
+    def query(self) -> C.UnionQuery | C.SingleQuery:
+        first = self.single()
+        queries = [first]
+        union_all: bool | None = None
+        while self.opt("KEYWORD", "UNION"):
+            this_all = self.opt("KEYWORD", "ALL")
+            if union_all is not None and this_all != union_all:
+                raise CypherParseError("Cannot mix UNION and UNION ALL")
+            union_all = this_all
+            queries.append(self.single())
+        self.eat("EOF")
+        if len(queries) == 1:
+            return first
+        return C.UnionQuery(queries, all=bool(union_all))
+
+    def single(self) -> C.SingleQuery:
+        clauses: list = []
+        while True:
+            if self.at("KEYWORD", "OPTIONAL") or self.at("KEYWORD", "MATCH"):
+                clauses.append(self.match_clause())
+            elif self.at("KEYWORD", "UNWIND"):
+                clauses.append(self.unwind_clause())
+            elif self.cur.kind == "KEYWORD" and self.cur.value in WRITE_KEYWORDS:
+                raise CypherParseError(
+                    f"Write clause {self.cur.value} is not allowed in queries"
+                )
+            else:
+                break
+        self.eat("KEYWORD", "RETURN")
+        distinct = self.opt("KEYWORD", "DISTINCT")
+        items = [self.return_item()]
+        while self.opt("PUNCT", ","):
+            items.append(self.return_item())
+        q = C.SingleQuery(clauses=clauses, ret=items, distinct=distinct)
+        if self.opt("KEYWORD", "ORDER"):
+            self.eat("KEYWORD", "BY")
+            q.order_by.append(self.order_item())
+            while self.opt("PUNCT", ","):
+                q.order_by.append(self.order_item())
+        if self.opt("KEYWORD", "SKIP"):
+            q.skip = int(self.eat("NUMBER").value)
+        if self.opt("KEYWORD", "LIMIT"):
+            q.limit = int(self.eat("NUMBER").value)
+        return q
+
+    def order_item(self) -> tuple[C.Expr, bool]:
+        e = self.expr()
+        asc = True
+        if self.opt("KEYWORD", "DESC") or self.opt("KEYWORD", "DESCENDING"):
+            asc = False
+        else:
+            self.opt("KEYWORD", "ASC") or self.opt("KEYWORD", "ASCENDING")
+        return (e, asc)
+
+    def return_item(self) -> C.ReturnItem:
+        e = self.expr()
+        alias = None
+        if self.opt("KEYWORD", "AS"):
+            alias = self.eat_name()
+        return C.ReturnItem(e, alias)
+
+    def eat_name(self) -> str:
+        """A name position: identifiers, or keywords used as plain names
+        (edge labels like ``contains``, aliases like ``count``) — the
+        original casing is preserved."""
+        if self.cur.kind == "IDENT":
+            return self.eat("IDENT").value
+        if self.cur.kind == "KEYWORD":
+            return self.eat("KEYWORD").raw
+        raise CypherParseError(f"Expected name at {self.cur.pos}")
+
+    # -- clauses -------------------------------------------------------
+    def match_clause(self) -> C.MatchClause:
+        optional = self.opt("KEYWORD", "OPTIONAL")
+        self.eat("KEYWORD", "MATCH")
+        paths = [self.path()]
+        while self.opt("PUNCT", ","):
+            paths.append(self.path())
+        where = None
+        if self.opt("KEYWORD", "WHERE"):
+            where = self.expr()
+        return C.MatchClause(paths, optional=optional, where=where)
+
+    def unwind_clause(self) -> C.UnwindClause:
+        self.eat("KEYWORD", "UNWIND")
+        e = self.expr()
+        self.eat("KEYWORD", "AS")
+        return C.UnwindClause(e, self.eat_name())
+
+    def path(self) -> C.PathPat:
+        nodes = [self.node()]
+        edges: list[C.EdgePat] = []
+        while True:
+            edge = self.maybe_edge()
+            if edge is None:
+                break
+            edges.append(edge)
+            nodes.append(self.node())
+        return C.PathPat(nodes, edges)
+
+    def node(self) -> C.NodePat:
+        self.eat("PUNCT", "(")
+        alias = None
+        labels: list[str] = []
+        props: dict[str, C.Lit] = {}
+        if self.cur.kind == "IDENT":
+            alias = self.eat("IDENT").value
+        while self.opt("PUNCT", ":"):
+            labels.append(self.eat_name())
+        if self.at("PUNCT", "{"):
+            props = self.prop_map()
+        self.eat("PUNCT", ")")
+        return C.NodePat(alias, labels, props)
+
+    def maybe_edge(self) -> C.EdgePat | None:
+        # <-[...]-  |  <--
+        if self.at("OP", "<-"):
+            self.i += 1
+            if self.at("PUNCT", "["):
+                e = self.edge_body()
+                self._eat_dash()
+                e.direction = "<-"
+                return e
+            self._eat_dash()
+            return C.EdgePat(None, direction="<-")
+        # -[...]-> | -[...]- | --> | --
+        if self.at("PUNCT", "-") or self.at("OP", "--"):
+            if self.at("OP", "--"):  # '-->' lexes as '--' '>' ; '--' alone too
+                self.i += 1
+                if self.opt("OP", ">"):
+                    return C.EdgePat(None, direction="->")
+                return C.EdgePat(None, direction="--")
+            self.i += 1  # single '-'
+            if self.at("PUNCT", "["):
+                e = self.edge_body()
+                if self.opt("OP", "->"):
+                    e.direction = "->"
+                else:
+                    self._eat_dash()
+                    e.direction = "--"
+                return e
+            raise CypherParseError(f"Malformed edge at {self.cur.pos}")
+        return None
+
+    def _eat_dash(self) -> None:
+        if not self.opt("PUNCT", "-"):
+            raise CypherParseError(f"Expected '-' at {self.cur.pos}")
+
+    def edge_body(self) -> C.EdgePat:
+        self.eat("PUNCT", "[")
+        alias = None
+        labels: list[str] = []
+        props: dict[str, C.Lit] = {}
+        var_length = None
+        if self.cur.kind == "IDENT":
+            alias = self.eat("IDENT").value
+        if self.opt("PUNCT", ":"):
+            labels.append(self.eat_name())
+            while self.opt("PUNCT", "|"):
+                self.opt("PUNCT", ":")  # tolerate  :A|:B
+                labels.append(self.eat_name())
+        if self.opt("PUNCT", "*"):
+            var_length = self.var_length_bounds()
+        if self.at("PUNCT", "{"):
+            props = self.prop_map()
+        self.eat("PUNCT", "]")
+        return C.EdgePat(alias, labels, props=props, var_length=var_length)
+
+    def var_length_bounds(self) -> tuple[int, int | None]:
+        lo, hi = 1, None
+        if self.cur.kind == "NUMBER":
+            lo = int(self.eat("NUMBER").value)
+            if self.opt("PUNCT", "."):
+                self.eat("PUNCT", ".")
+                if self.cur.kind == "NUMBER":
+                    hi = int(self.eat("NUMBER").value)
+            else:
+                hi = lo  # exact length *n
+        elif self.at("PUNCT", "."):
+            self.eat("PUNCT", ".")
+            self.eat("PUNCT", ".")
+            hi = int(self.eat("NUMBER").value)
+        return (lo, hi)
+
+    def literal(self) -> C.Lit:
+        t = self.cur
+        if t.kind == "STRING":
+            self.i += 1
+            return C.Lit(_unquote(t.value), "string")
+        if t.kind == "NUMBER":
+            self.i += 1
+            v = float(t.value) if any(c in t.value for c in ".eE") else int(t.value)
+            return C.Lit(v, "number")
+        if t.kind == "KEYWORD" and t.value in ("TRUE", "FALSE"):
+            self.i += 1
+            return C.Lit(t.value == "TRUE", "bool")
+        if t.kind == "KEYWORD" and t.value == "NULL":
+            self.i += 1
+            return C.Lit(None, "null")
+        raise CypherParseError(f"Expected literal at {t.pos}")
+
+    def prop_map(self) -> dict[str, C.Lit]:
+        self.eat("PUNCT", "{")
+        out: dict[str, C.Lit] = {}
+        if not self.at("PUNCT", "}"):
+            while True:
+                key = self.eat_name()
+                self.eat("PUNCT", ":")
+                lit = self.literal()
+                out[key] = lit
+                if not self.opt("PUNCT", ","):
+                    break
+        self.eat("PUNCT", "}")
+        return out
+
+    # -- expressions ---------------------------------------------------
+    def expr(self) -> C.Expr:
+        return self.or_expr()
+
+    def or_expr(self) -> C.Expr:
+        items = [self.and_expr()]
+        while self.opt("KEYWORD", "OR") or self.opt("KEYWORD", "XOR"):
+            items.append(self.and_expr())
+        return items[0] if len(items) == 1 else C.Or(items)
+
+    def and_expr(self) -> C.Expr:
+        items = [self.not_expr()]
+        while self.opt("KEYWORD", "AND"):
+            items.append(self.not_expr())
+        return items[0] if len(items) == 1 else C.And(items)
+
+    def not_expr(self) -> C.Expr:
+        if self.opt("KEYWORD", "NOT"):
+            return C.Not(self.not_expr())
+        return self.comparison()
+
+    def comparison(self) -> C.Expr:
+        left = self.primary()
+        t = self.cur
+        if t.kind == "OP" and t.value in ("=", "<>", "<", ">", "<=", ">="):
+            self.i += 1
+            return C.Cmp(t.value, left, self.primary())
+        if self.at("KEYWORD", "STARTS"):
+            self.i += 1
+            self.eat("KEYWORD", "WITH")
+            return C.StringOp("STARTS WITH", left, self.primary())
+        if self.at("KEYWORD", "ENDS"):
+            self.i += 1
+            self.eat("KEYWORD", "WITH")
+            return C.StringOp("ENDS WITH", left, self.primary())
+        if self.opt("KEYWORD", "CONTAINS"):
+            return C.StringOp("CONTAINS", left, self.primary())
+        if self.opt("KEYWORD", "IN"):
+            return C.InList(left, self.primary())
+        if self.at("KEYWORD", "IS"):
+            self.i += 1
+            negated = self.opt("KEYWORD", "NOT")
+            self.eat("KEYWORD", "NULL")
+            return C.IsNull(left, negated)
+        return left
+
+    def primary(self) -> C.Expr:
+        t = self.cur
+        if t.kind == "STRING":
+            self.i += 1
+            return C.Lit(_unquote(t.value), "string")
+        if t.kind == "NUMBER":
+            self.i += 1
+            v = float(t.value) if any(c in t.value for c in ".eE") else int(t.value)
+            return C.Lit(v, "number")
+        if t.kind == "KEYWORD" and t.value in ("TRUE", "FALSE"):
+            self.i += 1
+            return C.Lit(t.value == "TRUE", "bool")
+        if t.kind == "KEYWORD" and t.value == "NULL":
+            self.i += 1
+            return C.Lit(None, "null")
+        if self.opt("PUNCT", "["):
+            items: list[C.Expr] = []
+            if not self.at("PUNCT", "]"):
+                while True:
+                    items.append(self.expr())
+                    if not self.opt("PUNCT", ","):
+                        break
+            self.eat("PUNCT", "]")
+            return C.ListLit(items)
+        if self.opt("PUNCT", "("):
+            e = self.expr()
+            self.eat("PUNCT", ")")
+            return e
+        if t.kind == "IDENT" or (t.kind == "KEYWORD" and t.value == "COUNT"):
+            name = t.value
+            self.i += 1
+            if self.at("PUNCT", "("):  # function call
+                self.i += 1
+                distinct = self.opt("KEYWORD", "DISTINCT")
+                if self.opt("PUNCT", "*"):
+                    self.eat("PUNCT", ")")
+                    return C.Func(name.lower(), [], star=True)
+                args: list[C.Expr] = []
+                if not self.at("PUNCT", ")"):
+                    while True:
+                        args.append(self.expr())
+                        if not self.opt("PUNCT", ","):
+                            break
+                self.eat("PUNCT", ")")
+                return C.Func(name.lower(), args, distinct=distinct)
+            path: list[str] = []
+            while self.opt("PUNCT", "."):
+                path.append(self.eat("IDENT").value)
+            if path:
+                return C.Prop(name, path)
+            return C.Var(name)
+        raise CypherParseError(f"Unexpected token {t.value!r} at {t.pos}")
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return body.replace("\\'", "'").replace('\\"', '"').replace("\\\\", "\\")
+
+
+def parse_cypher(text: str) -> C.UnionQuery | C.SingleQuery:
+    for kw in WRITE_KEYWORDS:
+        # keyword filter parity (Query.cs:68-88) — word-boundary scan
+        import re
+
+        if re.search(rf"\b{kw}\b", text, re.IGNORECASE):
+            raise CypherParseError(
+                f"Write operations are not allowed in queries ({kw})"
+            )
+    return _Parser(tokenize(text)).query()

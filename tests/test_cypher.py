@@ -1,0 +1,314 @@
+"""Cypher subset behavior (SURVEY.md §2.2 C1-C14) against the seeded
+fixture graph — the same constructs the reference emits/tests against
+AGE."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_age_digitaltwins_spark.cypher import compile_cypher
+from pg_age_digitaltwins_spark.cypher.parser import CypherParseError, parse_cypher
+
+
+def rows(store, q):
+    return [r.asDict(recursive=True) for r in compile_cypher(store, q).collect()]
+
+
+def ids(store, q, col="id"):
+    return sorted(r[col] for r in rows(store, q))
+
+
+# --- C1: MATCH patterns ----------------------------------------------
+
+def test_match_all_twins(fixture_store):
+    out = rows(fixture_store, "MATCH (t:Twin) RETURN t.`$dtId` AS id")
+    assert len(out) == 13
+
+
+def test_match_prop_map(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin {`$dtId`: 'room1'}) RETURN t.name AS name, t.temperature AS temp",
+    )
+    assert out == [{"name": "Room 1", "temp": "22.5"}]
+
+
+def test_match_edge_forward(fixture_store):
+    assert ids(
+        fixture_store,
+        "MATCH (a {`$dtId`: 'root2'})-[r:has]->(b) RETURN b.`$dtId` AS id",
+    ) == ["b1", "b2"]
+
+
+def test_match_edge_reverse(fixture_store):
+    assert ids(
+        fixture_store,
+        "MATCH (a)<-[r:has]-(b {`$dtId`: 'root2'}) RETURN a.`$dtId` AS id",
+    ) == ["b1", "b2"]
+
+
+def test_match_undirected(fixture_store):
+    assert ids(
+        fixture_store,
+        "MATCH (a {`$dtId`: 'b1'})-[r:has]-(b) RETURN b.`$dtId` AS id",
+    ) == ["root2", "x"]
+
+
+def test_match_multilabel_edge(fixture_store):
+    assert ids(
+        fixture_store,
+        "MATCH (a {`$dtId`: 'root3'})-[r:hasBlob|hasModel]->(b) RETURN b.`$dtId` AS id",
+    ) == ["x", "y"]
+
+
+def test_match_two_hop_chain(fixture_store):
+    assert ids(
+        fixture_store,
+        "MATCH (a)-[:has]->(b)-[:has]->(c) RETURN c.`$dtId` AS id",
+    ) == ["x"]
+
+
+def test_match_edge_prop_filter(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (a)-[r:has]->(b) WHERE r.grade > 2 RETURN b.`$dtId` AS id, r.grade AS g",
+    )
+    assert sorted((r["id"], float(r["g"])) for r in out) == [("b1", 5.0), ("b2", 3.0)]
+
+
+# --- C2: OPTIONAL MATCH ----------------------------------------------
+
+def test_optional_match_left_join(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (a:Twin) OPTIONAL MATCH (a)-[r:has]->(b) "
+        "RETURN a.`$dtId` AS id, b.`$dtId` AS target",
+    )
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], set()).add(r["target"])
+    assert by_id["root2"] == {"b1", "b2"}
+    assert by_id["room1"] == {None}  # no has-edges: padded with NULLs
+    assert by_id["b1"] == {"x"}
+
+
+# --- C3/C4: WHERE, RETURN aliases, SKIP/LIMIT ------------------------
+
+def test_where_string_ops(fixture_store):
+    assert ids(
+        fixture_store,
+        "MATCH (t) WHERE t.name STARTS WITH 'Room' RETURN t.`$dtId` AS id",
+    ) == ["room1", "room2"]
+    assert ids(
+        fixture_store,
+        "MATCH (t) WHERE t.name CONTAINS 'Planet' RETURN t.`$dtId` AS id",
+    ) == ["hp1", "p1"]
+
+
+def test_where_in_list(fixture_store):
+    assert ids(
+        fixture_store,
+        "MATCH (t) WHERE t.`$dtId` IN ['room1', 'room2', 'nope'] RETURN t.`$dtId` AS id",
+    ) == ["room1", "room2"]
+
+
+def test_where_is_null(fixture_store):
+    assert ids(
+        fixture_store,
+        "MATCH (t) WHERE t.temperature IS NOT NULL RETURN t.`$dtId` AS id",
+    ) == ["room1", "room2"]
+
+
+def test_order_skip_limit(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t) WHERE t.name IS NOT NULL "
+        "RETURN t.`$dtId` AS id ORDER BY id DESC SKIP 1 LIMIT 3",
+    )
+    assert [r["id"] for r in out] == ["y", "x", "root3"]
+
+
+# --- C5/C6: aggregates, collect --------------------------------------
+
+def test_count_star(fixture_store):
+    assert rows(fixture_store, "MATCH (t) RETURN count(*) AS n") == [{"n": 13}]
+
+
+def test_grouped_aggregates(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (a)-[r:has]->(b) RETURN a.`$dtId` AS src, count(*) AS n, "
+        "sum(r.grade) AS total",
+    )
+    got = {r["src"]: (r["n"], r["total"]) for r in out}
+    assert got["root2"] == (2, 8.0)
+    assert got["b1"] == (1, 1.0)
+    assert got["root3"] == (1, None)  # r5 has no grade
+
+
+def test_collect(fixture_store):
+    [r] = rows(
+        fixture_store,
+        "MATCH (a {`$dtId`: 'root2'})-[:has]->(b) RETURN collect(b.`$dtId`) AS kids",
+    )
+    assert sorted(r["kids"]) == ["b1", "b2"]
+
+
+def test_avg_min_max(fixture_store):
+    [r] = rows(
+        fixture_store,
+        "MATCH (t) WHERE t.temperature IS NOT NULL "
+        "RETURN avg(t.temperature) AS a, min(t.temperature) AS lo, max(t.temperature) AS hi",
+    )
+    assert (float(r["a"]), float(r["lo"]), float(r["hi"])) == (20.25, 18.0, 22.5)
+
+
+# --- C7: UNWIND -------------------------------------------------------
+
+def test_unwind_literal_list(fixture_store):
+    out = rows(fixture_store, "UNWIND [1, 2, 3] AS x RETURN x")
+    assert sorted(r["x"] for r in out) == [1, 2, 3]
+
+
+def test_unwind_property_array(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t {`$dtId`: 'shapes'}) UNWIND t.tags AS tag RETURN toString(tag) AS tag",
+    )
+    assert sorted(r["tag"] for r in out) == ['"tag1"', '"tag2"'] or sorted(
+        r["tag"] for r in out
+    ) == ["tag1", "tag2"]
+
+
+# --- C8: UNION --------------------------------------------------------
+
+def test_union_distinct(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t {`$dtId`: 'room1'}) RETURN t.`$dtId` AS id "
+        "UNION MATCH (t {`$dtId`: 'room1'}) RETURN t.`$dtId` AS id",
+    )
+    assert out == [{"id": "room1"}]
+
+
+def test_union_all(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t {`$dtId`: 'room1'}) RETURN t.`$dtId` AS id "
+        "UNION ALL MATCH (t {`$dtId`: 'room1'}) RETURN t.`$dtId` AS id",
+    )
+    assert len(out) == 2
+
+
+# --- C9: write clauses rejected --------------------------------------
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "CREATE (n:Twin {`$dtId`: 'evil'}) RETURN n",
+        "MATCH (n) DELETE n RETURN n",
+        "MATCH (n) SET n.x = 1 RETURN n",
+        "MERGE (n:Twin {`$dtId`: 'x'}) RETURN n",
+    ],
+)
+def test_write_clauses_rejected(q):
+    with pytest.raises(CypherParseError, match="not allowed"):
+        parse_cypher(q)
+
+
+# --- C10: variable-length edges --------------------------------------
+
+def test_var_length_1_2(fixture_store):
+    assert ids(
+        fixture_store,
+        "MATCH (a {`$dtId`: 'root2'})-[:has*1..2]->(b) RETURN b.`$dtId` AS id",
+    ) == ["b1", "b2", "x"]
+
+
+def test_var_length_exact_2(fixture_store):
+    assert ids(
+        fixture_store,
+        "MATCH (a {`$dtId`: 'root2'})-[:has*2]->(b) RETURN b.`$dtId` AS id",
+    ) == ["x"]
+
+
+def test_var_length_unbounded(fixture_store):
+    assert ids(
+        fixture_store,
+        "MATCH (a {`$dtId`: 'root2'})-[:has*]->(b) RETURN b.`$dtId` AS id",
+    ) == ["b1", "b2", "x"]
+
+
+# --- C11/C12: label(), toLower/toString ------------------------------
+
+def test_label_function(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (a {`$dtId`: 'root3'})-[r]->(b) RETURN label(r) AS lbl, b.`$dtId` AS id",
+    )
+    assert sorted((r["lbl"], r["id"]) for r in out) == [
+        ("has", "z"), ("hasBlob", "x"), ("hasModel", "y"),
+    ]
+
+
+def test_to_lower_upper(fixture_store):
+    [r] = rows(
+        fixture_store,
+        "MATCH (t {`$dtId`: 'room1'}) RETURN toLower(t.name) AS lo, toUpper(t.name) AS hi",
+    )
+    assert (r["lo"], r["hi"]) == ("room 1", "ROOM 1")
+
+
+# --- C13: ORDER BY + l2_distance -------------------------------------
+
+def test_l2_distance_order(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t) WHERE t.temperature IS NOT NULL "
+        "RETURN t.`$dtId` AS id, l2_distance([t.temperature], [20.0]) AS d "
+        "ORDER BY d ASC LIMIT 1",
+    )
+    assert out[0]["id"] == "room2"  # |18-20| < |22.5-20|
+
+
+# --- C14: nested property map access ---------------------------------
+
+def test_metadata_model_access(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t) WHERE t.`$metadata`.`$model` = 'dtmi:com:contoso:Planet;1' "
+        "RETURN t.`$dtId` AS id",
+    )
+    assert [r["id"] for r in out] == ["p1"]
+
+
+# --- Model vertices ---------------------------------------------------
+
+def test_match_model_nodes(fixture_store):
+    out = ids(
+        fixture_store,
+        "MATCH (m:Model) WHERE m.id STARTS WITH 'dtmi:com:contoso' RETURN m.id AS id",
+    )
+    assert out == [
+        "dtmi:com:contoso:CelestialBody;1",
+        "dtmi:com:contoso:HabitablePlanet;1",
+        "dtmi:com:contoso:Planet;1",
+    ]
+
+
+def test_model_extends_edges(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (m:Model)-[:_extends]->(b:Model) RETURN m.id AS child, b.id AS parent",
+    )
+    got = {(r["child"], r["parent"]) for r in out}
+    assert ("dtmi:com:contoso:Planet;1", "dtmi:com:contoso:CelestialBody;1") in got
+    assert ("dtmi:com:contoso:HabitablePlanet;1", "dtmi:com:contoso:Planet;1") in got
+
+
+def test_count_distinct(fixture_store):
+    [r] = rows(
+        fixture_store,
+        "MATCH (a)-[r]->(b) RETURN count(DISTINCT a.`$dtId`) AS srcs",
+    )
+    assert r["srcs"] == 3  # root2, root3, b1
