@@ -16,7 +16,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
-from pg_age_digitaltwins_spark.operators import analytics, events as ev_ops, similarity, text
+from pg_age_digitaltwins_spark.operators import (
+    analytics,
+    events as ev_ops,
+    multimodal,
+    similarity,
+    text,
+)
 from pg_age_digitaltwins_spark.store import tpch_loader
 
 _STORES: dict[tuple[int, str], object] = {}
@@ -228,6 +234,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_norm_stats"] = lambda s, d: similarity.norm_stats_by_label(
         _tables(s, d)["embeddings"]
     )
+    q["embed_ann_ivf"] = lambda s, d: similarity.ann_ivf_search(
+        _tables(s, d)["embeddings"], query_id=0, k=10, n_cells=16, n_probe=4
+    )
+    q["embed_ann_lsh"] = lambda s, d: similarity.ann_lsh_search(
+        _tables(s, d)["embeddings"], query_id=0, k=10, n_bits=8
+    )
+
+    # --- multimodal (binary columns + stubbed decode) -----------------
+    q["multimodal_meta"] = lambda s, d: multimodal.decode_media(
+        multimodal.media_from_documents(_tables(s, d)["documents"])
+    ).select("media_id", "kind", "n_bytes", "sha256")
+    q["multimodal_frames"] = lambda s, d: multimodal.sample_frames(
+        multimodal.media_from_documents(_tables(s, d)["documents"])
+    ).select("media_id", "frame_no", "frame_key")
 
     # --- classic relational rollups (bench anchors) -------------------
     def _pricing(spark, sf_dir):
@@ -491,6 +511,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
         "WHERE e.vec_id <> 0 AND "
         "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) > 0.25"
+    )
+    o["embed_knn_topk"] = (
+        "SELECT vec_id, sim FROM ("
+        "SELECT e.vec_id AS vec_id, "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim "
+        "FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+        "WHERE e.vec_id <> 0) ORDER BY sim DESC, vec_id LIMIT 10"
+    )
+    o["multimodal_meta"] = (
+        "SELECT 'media-' || doc_id AS media_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "sha256(text) AS sha256 FROM documents"
+    )
+    o["multimodal_frames"] = (
+        "SELECT media_id, frame_no, sha256(media_id || ':' || frame_no) AS frame_key "
+        "FROM (SELECT media_id, CAST(unnest(generate_series(0, nmax)) AS INT) AS frame_no "
+        "FROM (SELECT 'media-' || doc_id AS media_id, "
+        "CAST(greatest(floor((octet_length(encode(text)) - 1) / 1024.0), 0) AS BIGINT) AS nmax "
+        "FROM documents WHERE doc_id % 3 = 2))"
     )
     o["embed_norm_stats"] = (
         "SELECT label, count(*) AS cnt, "

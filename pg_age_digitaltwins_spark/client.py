@@ -280,6 +280,20 @@ class DigitalTwinsSparkClient:
         self._swap(model_ops.delete_all_models(self.store))
         self._registry = None
 
+    def update_model_embedding(self, model_id: str, embedding: list[float]) -> None:
+        from pg_age_digitaltwins_spark import models as model_ops
+
+        self._swap(model_ops.update_model_embedding(self.store, model_id, embedding))
+
+    def search_models(self, embedding=None, text=None, limit: int = 10):
+        """D18: hybrid vector + lexical model search
+        (``Models.cs:864-942``)."""
+        from pg_age_digitaltwins_spark import models as model_ops
+
+        return model_ops.search_models(
+            self.store, embedding=embedding, text=text, limit=limit
+        )
+
     # ------------------------------------------------------------------
     # telemetry (D11): fire-and-forget, never stored — queued for the
     # event pipeline exactly like pg_notify (``Telemetry.cs:93-197``)

@@ -175,3 +175,70 @@ def delete_model(store: GraphStore, model_id: str) -> tuple[GraphStore, dict[str
 def delete_all_models(store: GraphStore) -> GraphStore:
     """DETACH DELETE all Model vertices (``Models.cs:630``)."""
     return _rebuild(store, {})
+
+
+# ----------------------------------------------------------------------
+# semantic search (D18, ``Models.cs:864-942``)
+# ----------------------------------------------------------------------
+
+def update_model_embedding(
+    store: GraphStore, model_id: str, embedding: list[float]
+) -> GraphStore:
+    """``SET m.embedding = [..]::vector`` equivalent."""
+    if not store.models.filter(F.col("id") == model_id).take(1):
+        raise ModelNotFoundError(f"Model {model_id} not found")
+    vec = F.array(*[F.lit(float(x)) for x in embedding]).cast("array<float>")
+    return GraphStore(
+        spark=store.spark,
+        twins=store.twins,
+        relationships=store.relationships,
+        models=store.models.withColumn(
+            "embedding",
+            F.when(F.col("id") == model_id, vec).otherwise(F.col("embedding")),
+        ),
+        model_edges=store.model_edges,
+        _descendants=store._descendants,
+    )
+
+
+def search_models(
+    store: GraphStore,
+    embedding: list[float] | None = None,
+    text: str | None = None,
+    limit: int = 10,
+) -> list[dict]:
+    """Hybrid vector + lexical model search.
+
+    Vector: ``ORDER BY l2_distance(m.embedding, q) ASC LIMIT k``
+    (pgvector shape).  Lexical: ``toLower(toString(model)) CONTAINS``
+    term (the reference's fallback).  Both given → lexical filter, then
+    vector ranking.  The models dim is tiny — this collects; the same
+    plan applied to twins-scale data is ``operators.similarity``."""
+    df = store.models
+    if text is not None:
+        df = df.filter(F.lower(F.col("model")).contains(text.lower()))
+    if embedding is not None:
+        q = F.array(*[F.lit(float(x)) for x in embedding])
+        dist = F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    q,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        df = (
+            df.filter(F.col("embedding").isNotNull())
+            .withColumn("__dist", dist)
+            .orderBy(F.col("__dist").asc(), F.col("id"))
+        )
+        rows = df.select("id", "model", F.round("__dist", 6).alias("distance")).take(limit)
+        return [
+            {"id": r["id"], "model": json.loads(r["model"]), "distance": r["distance"]}
+            for r in rows
+        ]
+    rows = df.select("id", "model").orderBy("id").take(limit)
+    return [{"id": r["id"], "model": json.loads(r["model"])} for r in rows]

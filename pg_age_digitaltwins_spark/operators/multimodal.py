@@ -1,0 +1,156 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed
+metadata (north-star extension, BASELINE.json).
+
+Design for 100 TB: media bytes live in a ``binary`` column (or a
+pointer column to object storage) beside typed metadata columns; all
+transforms are Arrow-batched ``mapInPandas`` so bytes never leave the
+executor and never materialize on the driver.  The decode kernels
+themselves are STUBBED (no image/audio libraries in this container):
+``decode_fn`` defaults to a deterministic fake that derives pseudo
+width/height/duration from the byte content, so the Spark-side plumbing
+— schema, batching, partitioning, UDF signature — is real and tested,
+and a production deploy swaps in PIL/ffmpeg by passing ``decode_fn``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("content_type", T.StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic media fixture: document text bytes become the
+    opaque payload (stands in for real image/audio blobs; the engine
+    treats content as opaque either way)."""
+    return documents.select(
+        F.concat(F.lit("media-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("content_type"),
+    )
+
+
+def _fake_decode(kind: str, content: bytes) -> dict[str, Any]:
+    """Deterministic stand-in decoder.  Production: replace with
+    PIL.Image.open / soundfile / pyav — same signature, same plumbing.
+    Raises NotImplementedError for unknown kinds like a real decoder
+    would for an unsupported codec."""
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"No decoder for media kind {kind!r}")
+    h = hashlib.sha256(content or b"").digest()
+    width = 16 + h[0] % 64 if kind in ("image", "video") else None
+    height = 16 + h[1] % 64 if kind in ("image", "video") else None
+    duration = (1000 + int.from_bytes(h[2:4], "big")) if kind in ("audio", "video") else None
+    return {"width": width, "height": height, "duration_ms": duration}
+
+
+def decode_media(
+    media: DataFrame,
+    decode_fn: Callable[[str, bytes], dict[str, Any]] = _fake_decode,
+) -> DataFrame:
+    """Binary → typed metadata via Arrow-batched mapInPandas (partition-
+    preserving; no shuffle, no driver transfer)."""
+
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                meta = decode_fn(r.kind, content)
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "kind": r.kind,
+                        "n_bytes": len(content),
+                        "sha256": hashlib.sha256(content).hexdigest(),
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                        "duration_ms": meta.get("duration_ms"),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Byte-level feature vector (deterministic fake embedding — the
+    production swap-in is a vision/audio model over the same batches).
+    Shape and batching are the real thing: array<float> column out,
+    Arrow transfer, partition-preserving."""
+
+    def run(batches: Iterable) -> Iterator:
+        import hashlib as hl
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                h = hl.sha256(content).digest()
+                rng = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+                feats.append((rng % 1000).astype("float32") / 1000.0)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": [f.tolist() for f in feats]}
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Frame sampling stub: one row per sampled offset (video → frames).
+    Plumbing real (explode → one row per frame, offset metadata);
+    decode stubbed as byte-slice hashes."""
+    frames = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.length("content") - 1) / every_n_bytes, F.lit(0)
+                ).cast("int"),
+            )
+        ).alias("frame_no"),
+        F.length("content").alias("n_bytes"),
+    )
+    return frames.withColumn(
+        "frame_key",
+        F.sha2(F.concat_ws(":", F.col("media_id"), F.col("frame_no")), 256),
+    )

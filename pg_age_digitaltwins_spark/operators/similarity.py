@@ -106,6 +106,101 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     return ranked.filter(F.col("rn") == 1).select("vec_id", "cell_id")
 
 
+def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
+    """Deterministic coarse centroids: the first ``n_cells`` vectors by
+    id (k-means iterations would refine these; for ANN bucketing any
+    fixed spread works and keeps results reproducible)."""
+    return (
+        embeddings.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .alias("cell_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+
+
+def ann_ivf_search(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: probe only the ``n_probe`` cells nearest the
+    query.  At 100 TB the assignment table is computed once at ingest
+    and partitioned by ``cell_id``, so a probe reads ~n_probe/n_cells of
+    the data — here both steps run in one plan.  Returns the same
+    (vec_id, sim) shape as ``knn_brute_force``."""
+    cents = F.broadcast(ivf_centroids(embeddings, n_cells))
+    assigned = ivf_assign(embeddings, cents)
+    data = embeddings.join(assigned, "vec_id")
+    q_vec = F.broadcast(_query_vector_df(embeddings, query_id))
+    q_cells = F.broadcast(
+        cents.crossJoin(q_vec)
+        .select("cell_id", cosine_sim(F.col("centroid"), F.col("__q")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("cell_id"))
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    return (
+        data.join(q_cells, "cell_id")
+        .crossJoin(q_vec)
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("__q")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame, n_bits: int = 16, dim: int = 64, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane LSH: bit i = sign(v · r_i) with deterministic
+    pseudo-random hyperplanes (seeded, generated driver-side — n_bits×dim
+    doubles, broadcast as a literal).  Cosine-similar vectors agree on
+    most bits, so bucketing on the signature turns ANN candidate
+    generation into an equi-join."""
+    import random
+
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+    bits = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = (_dot(F.col("embedding"), p) > 0).cast("long") * (2 ** i)
+        bits = bit if bits is None else bits + bit
+    return embeddings.select("vec_id", "embedding", bits.alias("bucket"))
+
+
+def ann_lsh_search(
+    embeddings: DataFrame, query_id: int, k: int = 10, n_bits: int = 12
+) -> DataFrame:
+    """LSH-bucketed ANN: exact cosine only within the query's bucket."""
+    dim = 64
+    sig = hyperplane_signatures(embeddings, n_bits=n_bits, dim=dim)
+    q = F.broadcast(
+        sig.filter(F.col("vec_id") == query_id).select(
+            F.col("bucket").alias("__qb"), F.col("embedding").alias("__q")
+        )
+    )
+    return (
+        sig.crossJoin(q)
+        .filter((F.col("bucket") == F.col("__qb")) & (F.col("vec_id") != query_id))
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("__q")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 # ----------------------------------------------------------------------
 # MinHash + LSH near-duplicate detection over shingle sets
 # ----------------------------------------------------------------------

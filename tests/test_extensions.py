@@ -1,0 +1,223 @@
+"""North-star extensions: ANN search paths, model semantic search (D18),
+multimodal columns, and real Structured Streaming over the change feed."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+from pg_age_digitaltwins_spark.operators import multimodal, similarity
+from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# ----------------------------------------------------------------------
+# ANN
+# ----------------------------------------------------------------------
+
+def test_ann_ivf_recall(embeddings):
+    exact = [r["vec_id"] for r in similarity.knn_brute_force(embeddings, 0, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ann_ivf_search(
+            embeddings, 0, k=10, n_cells=8, n_probe=4
+        ).collect()
+    ]
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall} ({approx} vs {exact})"
+
+
+def test_ann_lsh_returns_bucket_neighbors(embeddings):
+    """Structural check: candidates come only from the query's bucket,
+    and their sims agree with the exact cosine.  (Recall vs exact top-k
+    is not asserted — the synthetic embeddings are uniform noise, where
+    single-probe LSH recall is near-random by construction.)"""
+    out = similarity.ann_lsh_search(embeddings, 0, k=10, n_bits=6).collect()
+    assert out, "query bucket empty"
+    assert all(-1.0 <= r["sim"] <= 1.0 for r in out)
+    assert len(out) <= 10
+    sig = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.hyperplane_signatures(embeddings, n_bits=6).collect()
+    }
+    assert all(sig[r["vec_id"]] == sig[0] for r in out)
+    # sims match the exact cosine for the same ids
+    import math
+
+    exact = {
+        r["vec_id"]: r["sim"]
+        for r in similarity.cosine_above_threshold(embeddings, 0, -2.0).collect()
+    }
+    assert all(math.isclose(exact[r["vec_id"]], r["sim"], abs_tol=2e-4) for r in out)
+
+
+# ----------------------------------------------------------------------
+# model semantic search (D18)
+# ----------------------------------------------------------------------
+
+MODELS = [
+    {"@id": "dtmi:s:Pump;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3",
+     "displayName": "Water pump"},
+    {"@id": "dtmi:s:Valve;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3",
+     "displayName": "Control valve"},
+    {"@id": "dtmi:s:Tank;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3",
+     "displayName": "Storage tank"},
+]
+
+
+@pytest.fixture()
+def model_client(spark):
+    c = DigitalTwinsSparkClient(GraphStore.empty(spark).with_models(MODELS))
+    c.update_model_embedding("dtmi:s:Pump;1", [1.0, 0.0, 0.0])
+    c.update_model_embedding("dtmi:s:Valve;1", [0.0, 1.0, 0.0])
+    c.update_model_embedding("dtmi:s:Tank;1", [0.9, 0.1, 0.0])
+    return c
+
+
+def test_model_vector_search(model_client):
+    out = model_client.search_models(embedding=[1.0, 0.0, 0.0], limit=2)
+    assert [m["id"] for m in out] == ["dtmi:s:Pump;1", "dtmi:s:Tank;1"]
+    assert out[0]["distance"] == 0.0
+
+
+def test_model_lexical_search(model_client):
+    out = model_client.search_models(text="valve")
+    assert [m["id"] for m in out] == ["dtmi:s:Valve;1"]
+
+
+def test_model_hybrid_search(model_client):
+    out = model_client.search_models(embedding=[1.0, 0.0, 0.0], text="tank")
+    assert [m["id"] for m in out] == ["dtmi:s:Tank;1"]
+
+
+# ----------------------------------------------------------------------
+# multimodal
+# ----------------------------------------------------------------------
+
+def test_multimodal_decode(documents):
+    media = multimodal.media_from_documents(documents.limit(30))
+    decoded = multimodal.decode_media(media).collect()
+    assert len(decoded) == 30
+    by_kind = {}
+    for r in decoded:
+        by_kind.setdefault(r["kind"], []).append(r)
+        assert r["n_bytes"] > 0
+        assert len(r["sha256"]) == 64
+    assert set(by_kind) == {"image", "audio", "video"}
+    img = by_kind["image"][0]
+    assert img["width"] is not None and img["duration_ms"] is None
+    aud = by_kind["audio"][0]
+    assert aud["width"] is None and aud["duration_ms"] is not None
+
+
+def test_multimodal_decode_deterministic(documents):
+    media = multimodal.media_from_documents(documents.limit(5))
+    a = sorted(r["sha256"] for r in multimodal.decode_media(media).collect())
+    b = sorted(r["sha256"] for r in multimodal.decode_media(media).collect())
+    assert a == b
+
+
+def test_multimodal_unknown_kind_raises(spark):
+    media = spark.createDataFrame(
+        [("m1", "hologram", b"xyz", "application/octet-stream")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="No decoder"):
+        multimodal.decode_media(media).collect()
+
+
+def test_multimodal_features(documents):
+    media = multimodal.media_from_documents(documents.limit(10))
+    feats = multimodal.extract_features(media, dim=16).collect()
+    assert len(feats) == 10
+    assert all(len(r["feature"]) == 16 for r in feats)
+    assert all(0.0 <= v < 1.0 for r in feats for v in r["feature"])
+
+
+def test_multimodal_frame_sampling(documents):
+    media = multimodal.media_from_documents(documents.limit(30))
+    frames = multimodal.sample_frames(media, every_n_bytes=256)
+    rows = frames.collect()
+    assert rows, "no video frames sampled"
+    assert all(r["frame_no"] >= 0 for r in rows)
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r["media_id"], []).append(r["frame_no"])
+    for frames_list in per_media.values():
+        assert sorted(frames_list) == list(range(len(frames_list)))
+
+
+# ----------------------------------------------------------------------
+# Structured Streaming over the change feed
+# ----------------------------------------------------------------------
+
+def test_streaming_change_pipeline(spark, tmp_path):
+    """readStream over an EventData ND-JSON feed → per-batch coalesce +
+    CloudEvents formatting → memory sink (S1-S6 as an actual streaming
+    query with availableNow trigger)."""
+    from pg_age_digitaltwins_spark.streaming.changes import EVENT_DATA_SCHEMA, coalesce_events
+    from pg_age_digitaltwins_spark.streaming.cloudevents import format_events_df
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    events = [
+        {
+            "entity_id": "t1", "graph_name": "g", "table_name": "Twin",
+            "old_value": None,
+            "new_value": json.dumps({"$dtId": "t1", "$metadata": {"$model": "m"}, "x": 1}),
+            "event_type": "Insert", "timestamp": "2026-02-01T00:00:00.000",
+            "txn_id": 1, "seq": 1,
+        },
+        {
+            "entity_id": "t1", "graph_name": "g", "table_name": "Twin",
+            "old_value": json.dumps({"$dtId": "t1", "$metadata": {"$model": "m"}, "x": 1}),
+            "new_value": json.dumps({"$dtId": "t1", "$metadata": {"$model": "m"}, "x": 2}),
+            "event_type": "Update", "timestamp": "2026-02-01T00:00:01.000",
+            "txn_id": 1, "seq": 2,
+        },
+        {
+            "entity_id": "t2", "graph_name": "g", "table_name": "Twin",
+            "old_value": None,
+            "new_value": json.dumps({"$dtId": "t2", "$metadata": {"$model": "m"}, "x": 9}),
+            "event_type": "Insert", "timestamp": "2026-02-01T00:00:02.000",
+            "txn_id": 2, "seq": 3,
+        },
+    ]
+    (feed / "batch0.ndjson").write_text("\n".join(json.dumps(e) for e in events))
+
+    stream = (
+        spark.readStream.schema(EVENT_DATA_SCHEMA)
+        .json(str(feed), timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSS")
+    )
+    collected: list = []
+
+    def handle(batch_df, batch_id):
+        ces = format_events_df(coalesce_events(batch_df), "src-stream").collect()
+        collected.extend(ces)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    types = sorted(r["type"] for r in collected)
+    # t1's Insert+Update coalesce to ONE Create (first-old/last-new)
+    assert types == ["Konnektr.Graph.Twin.Create", "Konnektr.Graph.Twin.Create"]
+    t1 = next(r for r in collected if r["subject"] == "t1")
+    assert json.loads(r"%s" % t1["data"])["x"] == 2
