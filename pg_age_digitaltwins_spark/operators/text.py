@@ -124,7 +124,11 @@ def ngram_jaccard_pairs(
     Blocking on a cheap key (default: same ``lang``) keeps the self-join
     from being O(N²) at scale; swap the block key for LSH buckets (see
     minhash_lsh) when no natural key exists."""
-    sh = ngram_shingles(docs, n).join(docs.select("doc_id", block_on), "doc_id")
+    sh = (
+        ngram_shingles(docs, n)
+        .join(docs.select("doc_id", block_on), "doc_id")
+        .localCheckpoint(eager=False)  # shingled once, self-joined twice
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))

@@ -119,6 +119,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         out["events"] = ev.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    # The driver's test parquet is ONE row group per table, which caps
+    # every downstream scan at a single task no matter how many cores
+    # exist (byte-range splits can't cross a row-group).  Real lakehouse
+    # tables arrive as many files/row-groups, so this repartition is a
+    # local-fixture correction, not a production step: fan compute-heavy
+    # tables out to the cluster's parallelism once, cheaply (the tables
+    # are MBs here; at real scale the file layout already provides it).
+    par = spark.sparkContext.defaultParallelism
+    for n in ("lineitem", "orders", "events", "documents", "embeddings"):
+        if out[n].rdd.getNumPartitions() < max(2, par // 4):
+            out[n] = out[n].repartition(par)
     return out
 
 
