@@ -106,6 +106,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["adt_is_defined_count"] = _adt(
         "SELECT COUNT() FROM DIGITALTWINS WHERE IS_DEFINED(mktsegment)"
     )
+    q["adt_is_null_count"] = _adt(
+        "SELECT COUNT() FROM DIGITALTWINS WHERE IS_NULL(mktsegment)"
+    )
+    q["adt_is_bool_count"] = _adt(
+        "SELECT COUNT() FROM DIGITALTWINS WHERE IS_BOOL(active)"
+    )
+    q["adt_is_object_count"] = _adt(
+        "SELECT COUNT() FROM DIGITALTWINS WHERE IS_OBJECT(address)"
+    )
+    q["adt_is_primitive_count"] = _adt(
+        "SELECT COUNT() FROM DIGITALTWINS WHERE IS_PRIMITIVE(name)"
+    )
     q["adt_is_number_count"] = _adt(
         "SELECT COUNT() FROM DIGITALTWINS WHERE IS_NUMBER(acctbal)"
     )
@@ -136,6 +148,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT C.$dtId AS cust, STRING(Rg.name) AS region FROM DIGITALTWINS C "
         "JOIN N RELATED C.locatedIn JOIN Rg RELATED N.partOf "
         "WHERE IS_OF_MODEL(C, 'dtmi:demo:Customer;1')"
+    )
+    q["adt_join_related_3hop"] = _adt(
+        "SELECT O.$dtId AS order_id, STRING(Rg.name) AS region FROM DIGITALTWINS O "
+        "JOIN C RELATED O.placedBy JOIN N RELATED C.locatedIn "
+        "JOIN Rg RELATED N.partOf WHERE Rg.regionkey = 0"
+    )
+    q["adt_select_star_point"] = _adt(
+        "SELECT T FROM DIGITALTWINS T WHERE T.$dtId = 'nation-0'"
     )
     q["adt_match_forward"] = _adt(
         "SELECT O.$dtId AS order_id, P.$dtId AS part_id, NUMBER(R.quantity) AS qty "
@@ -201,6 +221,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_twins_by_model"] = _agg_models
     q["agg_rels_by_name"] = _agg_rels
+    q["graph_collect_neighbors"] = lambda s, d: analytics.neighbors_collected(
+        _store(s, d), "partOf"
+    )
+    q["cypher_collect"] = _adt(
+        "MATCH (n)-[r:partOf]->(rg) "
+        "RETURN rg.`$dtId` AS region, collect(n.`$dtId`) AS nations"
+    )
 
     # --- events -------------------------------------------------------
     q["events_hourly_rollup"] = lambda s, d: ev_ops.hourly_rollup(_tables(s, d)["events"])
@@ -340,6 +367,16 @@ def oracle_sql() -> dict[str, str]:
     )
     o["adt_is_of_model_exact"] = "SELECT 'nation-' || n_nationkey AS dt_id FROM nation"
     o["adt_is_defined_count"] = "SELECT count(*) AS count FROM customer"
+    o["adt_is_null_count"] = (
+        f"SELECT ((SELECT count(*) FROM ({_ALL_TWIN_IDS})) - "
+        "(SELECT count(*) FROM customer)) AS count"
+    )
+    o["adt_is_bool_count"] = "SELECT count(*) AS count FROM customer"
+    o["adt_is_object_count"] = "SELECT count(*) AS count FROM supplier"
+    o["adt_is_primitive_count"] = (
+        f"SELECT ((SELECT count(*) FROM ({_ALL_TWIN_IDS})) - "
+        "(SELECT count(*) FROM orders)) AS count"
+    )
     o["adt_is_number_count"] = (
         "SELECT ((SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)) AS count"
     )
@@ -367,6 +404,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'cust-' || c_custkey AS cust, r_name AS region FROM customer "
         "JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey"
+    )
+    o["adt_join_related_3hop"] = (
+        "SELECT 'order-' || o_orderkey AS order_id, r_name AS region FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_regionkey = 0"
+    )
+    o["adt_select_star_point"] = (
+        "SELECT '{\"$dtId\":\"nation-0\",\"$etag\":\"W/\\\"' || md5('nation-0') || "
+        "'\\\"\",\"$metadata\":{\"$model\":\"dtmi:demo:Nation;1\","
+        "\"$lastUpdateTime\":\"2026-01-01T00:00:00Z\"},\"name\":\"' || n_name || "
+        "'\",\"nationkey\":0}' AS T FROM nation WHERE n_nationkey = 0"
     )
     o["adt_match_forward"] = (
         "SELECT 'order-' || l_orderkey AS order_id, 'part-' || l_partkey AS part_id, "
@@ -442,6 +491,11 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'suppliedBy', count(*) FROM lineitem "
         "UNION ALL SELECT 'locatedIn', (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) "
         "UNION ALL SELECT 'partOf', count(*) FROM nation"
+    )
+    o["graph_collect_neighbors"] = (
+        "SELECT 'region-' || n_regionkey AS target, "
+        "string_agg('nation-' || n_nationkey, ',' ORDER BY 'nation-' || n_nationkey) AS sources, "
+        "count(*) AS n FROM nation GROUP BY n_regionkey"
     )
     o["events_hourly_rollup"] = (
         "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, "

@@ -26,3 +26,21 @@ def out_degree(store: GraphStore, name: str | None = None) -> DataFrame:
     if name is not None:
         rels = rels.filter(F.col("name") == name)
     return rels.groupBy("source_id").agg(F.count(F.lit(1)).alias("out_degree"))
+
+
+def neighbors_collected(store: GraphStore, name: str) -> DataFrame:
+    """Per-target sorted CSV of source twins over one edge label —
+    Cypher ``collect(x)`` parity (`GraphInitialization.cs:110-114`)
+    made deterministic: ``sort_array(collect_list(..))`` then joined, so
+    the result is oracle-hashable.  collect_list is a map-side partial
+    aggregate; the sort is per-group, post-shuffle."""
+    return (
+        store.relationships.filter(F.col("name") == name)
+        .groupBy(F.col("target_id").alias("target"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("source_id")), ",").alias(
+                "sources"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -35,7 +35,7 @@ from pg_age_digitaltwins_spark.store.graph_store import GraphStore
 _TS = "2026-01-01T00:00:00Z"
 
 # Bump when the TPC-H→graph mapping changes (invalidates caches).
-LOADER_VERSION = 2
+LOADER_VERSION = 3
 
 DEMO_MODELS = [
     {"@id": "dtmi:demo:Entity;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "displayName": "Entity"},
@@ -183,6 +183,8 @@ def _build_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
                 "tags": F.array(F.col("c_mktsegment")),
                 "custkey": F.col("c_custkey"),
                 "nationkey": F.col("c_nationkey").cast("long"),
+                # boolean property so IS_BOOL (Q23) has real data
+                "active": F.col("c_acctbal") > 0,
             },
         )
         .unionByName(
@@ -192,6 +194,10 @@ def _build_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
                     "name": F.col("s_name"),
                     "acctbal": F.col("s_acctbal"),
                     "suppkey": F.col("s_suppkey"),
+                    # nested object so IS_OBJECT (Q26) has real data
+                    "address": F.struct(
+                        F.col("s_nationkey").cast("long").alias("nationkey")
+                    ),
                 },
             )
         )
