@@ -210,22 +210,24 @@ def ann_lsh_search(
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
     """(doc_id, shingles array) → (doc_id, sig array<bigint>).
 
-    Lane i is ``min over shingles of xxhash64(i, shingle)`` — the lane
-    index mixed into the hash input gives independent hash families
-    without (a·h+b) mod p arithmetic (which overflows int64 under ANSI
-    mode).  All higher-order built-ins: one scan, no shuffle, no
-    Python."""
-
-    def lane(i: int):
-        # arity-1 closure (default-arg lambdas confuse HOF dispatch)
-        return lambda s: F.xxhash64(F.lit(i), s)
-
+    Shape: explode shingles → one base ``xxhash64(shingle)`` per row →
+    ``num_hashes`` re-hash lanes ``xxhash64(i, base)`` (independent
+    families, no (a·h+b) mod p arithmetic that overflows int64 under
+    ANSI mode) → ``groupBy(doc_id).min`` per lane.  Everything is
+    whole-stage codegen (no interpreted HOF lambdas — the HOF variant
+    also tripped Catalyst's projection collapse, re-inlining the full
+    shingle pipeline into every lane), and the per-lane mins reduce
+    map-side, so the shuffle carries one 64-long row per doc per
+    partition."""
+    base = shingled.select("doc_id", F.explode("shingles").alias("__s")).select(
+        "doc_id", F.xxhash64("__s").alias("__h")
+    )
     lanes = [
-        F.array_min(F.transform(F.col("shingles"), lane(i))).alias(f"__h{i}")
+        F.min(F.xxhash64(F.lit(i), "__h")).alias(f"__h{i}")
         for i in range(num_hashes)
     ]
     sig = F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
-    return shingled.select("doc_id", *lanes).select("doc_id", sig.alias("sig"))
+    return base.groupBy("doc_id").agg(*lanes).select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -236,13 +238,12 @@ def minhash_lsh_pairs(
     equal signature lanes; keep pairs ≥ threshold.
 
     The candidate join is an equi-join on the band key — the standard
-    way to avoid O(N²) at corpus scale."""
-    # Truncate lineage before the self-join: without this Spark
-    # recomputes the full shingle+minhash pipeline for BOTH join sides
-    # (measured 2× the pair-generation cost at sf0.1).  In a production
-    # pipeline signatures are a materialized table; localCheckpoint is
-    # the in-session equivalent.
-    sig = signatures.localCheckpoint(eager=False)
+    way to avoid O(N²) at corpus scale.  Both self-join sides share the
+    signature aggregate's shuffle via ReusedExchange (identical
+    subplans), so the shingle+minhash pipeline runs once — no
+    checkpoint needed (in production signatures are a materialized
+    table anyway)."""
+    sig = signatures
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
     banded = sig.select(
         "doc_id",

@@ -24,6 +24,23 @@ def _tokens(col):
     return F.split(F.trim(col), r"\s+")
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Ensure enough partitions ahead of CPU-bound per-row work.
+
+    A small parquet file scans as a single split, serializing the
+    (interpreted-HOF / hash-heavy) pipelines downstream onto one core.
+    When the scan has fewer partitions than half the cores, shuffle it
+    up-front — keyed, so a later ``groupBy`` on the same key reuses the
+    partitioning instead of adding a second exchange.  At production
+    scale (many 128 MB splits) the condition is false and this is a
+    no-op, costing nothing on the 100 TB path."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < target:
+        return df.repartition(target, *keys) if keys else df.repartition(target)
+    return df
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token + char counts per document."""
     return docs.select(
@@ -105,45 +122,61 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 
 def ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → array of word n-gram shingles (input to MinHash/Jaccard)."""
-    toks = _tokens(F.lower(F.col("text")))
+    """doc_id → array of word n-gram shingles (input to MinHash/Jaccard).
+
+    The token array is materialized in its own projection on purpose:
+    inlined into the slice lambda, Catalyst re-evaluates the regexp
+    tokenization per shingle (HOF lambdas don't share subexpressions) —
+    measured ~5× slower at sf0.1.  A separate alias referenced twice is
+    non-cheap, so CollapseProject keeps it materialized."""
+    tokenized = _spread(docs, "doc_id").select(
+        "doc_id", _tokens(F.lower(F.col("text"))).alias("__toks")
+    )
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n)),
         )
     )
-    return docs.select("doc_id", shingles.alias("shingles"))
+    return tokenized.select("doc_id", shingles.alias("shingles"))
 
 
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5, block_on: str = "lang"
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs.
+    """Exact n-gram Jaccard similarity for same-``block_on`` pairs.
 
-    Blocking on a cheap key (default: same ``lang``) keeps the self-join
-    from being O(N²) at scale; swap the block key for LSH buckets (see
-    minhash_lsh) when no natural key exists."""
-    sh = (
-        ngram_shingles(docs, n)
-        .join(docs.select("doc_id", block_on), "doc_id")
-        .localCheckpoint(eager=False)  # shingled once, self-joined twice
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
-    jac = inter.cast("double") / union.cast("double")
-    return (
+    Sparse co-occurrence shape: explode (distinct) shingles, equi-join
+    on the shingle itself, count shared shingles per pair, then
+    ``|A∪B| = |A| + |B| - |A∩B|``.  Exact for any threshold > 0 (a pair
+    with no shared shingle has Jaccard 0), while only materializing
+    pairs that actually co-occur — unlike a blocked cross join, the
+    parallelism is keyed by shingle, not by a handful of block values,
+    so it survives both scale-up and skewed blocks."""
+    sh = ngram_shingles(docs, n).join(docs.select("doc_id", block_on), "doc_id")
+    sizes = sh.select("doc_id", block_on, F.size("shingles").alias("sz"))
+    ex = sh.select("doc_id", block_on, F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
         a.join(
             b,
-            (F.col(f"a.{block_on}") == F.col(f"b.{block_on}"))
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{block_on}") == F.col(f"b.{block_on}"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
