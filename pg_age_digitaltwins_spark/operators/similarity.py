@@ -237,15 +237,14 @@ def minhash_lsh_pairs(
     (band index, band hash), then estimate Jaccard as the fraction of
     equal signature lanes; keep pairs ≥ threshold.
 
-    The candidate join is an equi-join on the band key — the standard
-    way to avoid O(N²) at corpus scale.  Both self-join sides share the
-    signature aggregate's shuffle via ReusedExchange (identical
-    subplans), so the shingle+minhash pipeline runs once — no
-    checkpoint needed (in production signatures are a materialized
-    table anyway)."""
-    sig = signatures
+    Bucketing is a single ``groupBy(band, bhash)`` with in-bucket pair
+    generation — NOT a self-join: a self-join would run the whole
+    shingle+minhash pipeline once per side, and the grouped form is
+    also the natural LSH shape at corpus scale (bucket sizes are small
+    by construction; only same-bucket docs ever meet).  One shuffle
+    keyed by (band, bhash) whose rows are (doc_id, 64-long sig)."""
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
-    banded = sig.select(
+    banded = signatures.select(
         "doc_id",
         "sig",
         F.explode(
@@ -268,31 +267,48 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        banded.groupBy("band", "bhash")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    # all i<j pairs within a bucket, est = fraction of equal sig lanes
+    n = F.size("ms")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at("ms", i)["doc_id"].alias("doc_a"),
+                    F.element_at("ms", j)["doc_id"].alias("doc_b"),
+                    (
+                        F.size(
+                            F.filter(
+                                F.zip_with(
+                                    F.element_at("ms", i)["sig"],
+                                    F.element_at("ms", j)["sig"],
+                                    lambda x, y: (x == y).cast("int"),
+                                ),
+                                lambda v: v == 1,
+                            )
+                        ).cast("double")
+                        / F.size(F.element_at("ms", i)["sig"]).cast("double")
+                    ).alias("est"),
+                ),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.round(F.col("p.est"), 4).alias("est_jaccard"),
         )
+        .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    ).cast("double") / F.size("sig_a").cast("double")
-    return cand.select(
-        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= threshold)
 
 
 # ----------------------------------------------------------------------
