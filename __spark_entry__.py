@@ -224,10 +224,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_collect_neighbors"] = lambda s, d: analytics.neighbors_collected(
         _store(s, d), "partOf"
     )
-    q["cypher_collect"] = _adt(
-        "MATCH (n)-[r:partOf]->(rg) "
-        "RETURN rg.`$dtId` AS region, collect(n.`$dtId`) AS nations"
-    )
+    def _cypher_collect(spark, sf_dir):
+        # Exercises the real Cypher collect() path; the raw
+        # array<string> result is then projected to a sorted CSV so the
+        # driver's canonicalizer (pandas sort/hash) can handle it — raw
+        # lists are unhashable there.  Raw-array collect stays the API
+        # surface (tests/test_cypher.py).
+        from pyspark.sql import functions as F
+
+        df = DigitalTwinsSparkClient(_store(spark, sf_dir)).query_df(
+            "MATCH (n)-[r:partOf]->(rg) "
+            "RETURN rg.`$dtId` AS region, collect(n.`$dtId`) AS nations"
+        )
+        return df.select(
+            "region", F.array_join(F.sort_array("nations"), ",").alias("nations")
+        )
+
+    q["cypher_collect"] = _cypher_collect
 
     # --- events -------------------------------------------------------
     q["events_hourly_rollup"] = lambda s, d: ev_ops.hourly_rollup(_tables(s, d)["events"])
@@ -491,6 +504,11 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'suppliedBy', count(*) FROM lineitem "
         "UNION ALL SELECT 'locatedIn', (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) "
         "UNION ALL SELECT 'partOf', count(*) FROM nation"
+    )
+    o["cypher_collect"] = (
+        "SELECT 'region-' || n_regionkey AS region, "
+        "string_agg('nation-' || n_nationkey, ',' ORDER BY 'nation-' || n_nationkey) AS nations "
+        "FROM nation GROUP BY n_regionkey"
     )
     o["graph_collect_neighbors"] = (
         "SELECT 'region-' || n_regionkey AS target, "

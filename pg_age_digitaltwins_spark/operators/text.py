@@ -36,7 +36,14 @@ def _spread(df: DataFrame, *keys: str) -> DataFrame:
     no-op, costing nothing on the 100 TB path."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 < target:
+    # inputFiles() is a metadata-only probe (no RDD materialization of
+    # the plan, unlike df.rdd.getNumPartitions); each local-fixture file
+    # is a single row-group, so files ≈ scan splits here.
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = target  # non-file-backed plan: assume already spread
+    if 0 < n_splits * 2 < target:
         return df.repartition(target, *keys) if keys else df.repartition(target)
     return df
 

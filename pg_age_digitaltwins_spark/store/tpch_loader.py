@@ -26,6 +26,7 @@ scales linearly with the input (no driver collect).
 from __future__ import annotations
 
 import os
+from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -105,20 +106,35 @@ def _fmt(prefix: str, key) -> F.Column:
     return F.concat(F.lit(prefix + "-"), key.cast("string"))
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    names = [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ]
-    out = {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
-    # events.ts is TIMESTAMP(NANOS); with nanosAsLong it arrives as
-    # BIGINT nanoseconds — convert to a microsecond timestamp.
-    ev = out["events"]
-    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
-        # integer division: float division drifts by 1µs on large epochs
-        out["events"] = ev.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+# Tables big enough that a single-row-group local fixture would starve
+# the cluster of tasks (see _load_one).
+_WIDE_TABLES = frozenset(
+    {"lineitem", "orders", "events", "documents", "embeddings"}
+)
+
+
+def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark
+        # sessions reject (PARQUET_TYPE_ILLEGAL).  nanosAsLong is a
+        # runtime SQLConf, so make the *caller's* session able to read
+        # it — the driver's harness supplies its own SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Timestamp semantics must be deterministic vs the UTC-naive
+        # DuckDB oracle (date_trunc / hour boundaries follow the
+        # session timezone).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
+        # nanosAsLong delivers BIGINT nanoseconds — convert to a
+        # microsecond timestamp (integer division: float division
+        # drifts by 1µs on large epochs).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # The driver's test parquet is ONE row group per table, which caps
     # every downstream scan at a single task no matter how many cores
     # exist (byte-range splits can't cross a row-group).  Real lakehouse
@@ -126,11 +142,45 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # local-fixture correction, not a production step: fan compute-heavy
     # tables out to the cluster's parallelism once, cheaply (the tables
     # are MBs here; at real scale the file layout already provides it).
-    par = spark.sparkContext.defaultParallelism
-    for n in ("lineitem", "orders", "events", "documents", "embeddings"):
-        if out[n].rdd.getNumPartitions() < max(2, par // 4):
-            out[n] = out[n].repartition(par)
-    return out
+    if name in _WIDE_TABLES:
+        par = spark.sparkContext.defaultParallelism
+        if len(df.inputFiles()) < max(2, par // 4):
+            df = df.repartition(par)
+    return df
+
+
+class LazyTables(Mapping):
+    """Load-on-access view of the fixture tables.
+
+    Per-table laziness keeps one unreadable file from taking down
+    queries over unrelated tables (and avoids 10 parquet footer reads
+    for a single-table query)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            if name not in TABLE_NAMES:
+                raise KeyError(name)
+            self._cache[name] = _load_one(self._spark, self._sf_dir, name)
+        return self._cache[name]
+
+    def __iter__(self):
+        return iter(TABLE_NAMES)
+
+    def __len__(self) -> int:
+        return len(TABLE_NAMES)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Mapping:
+    """Map table name → DataFrame for the driver fixture at ``sf_dir``.
+
+    Works under ANY SparkSession (the required confs are runtime-set on
+    the passed session); tables load lazily on first access."""
+    return LazyTables(spark, sf_dir)
 
 
 def load_graph(

@@ -19,7 +19,7 @@ import duckdb
 import pandas as pd
 
 import __spark_entry__ as entrymod
-from pg_age_digitaltwins_spark import get_spark
+from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
@@ -58,7 +58,12 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 
 def main() -> int:
     keys = sys.argv[1:] or None
-    spark = get_spark("oracle-check")
+    # Deliberately VANILLA (no repo confs): the driver's harness builds
+    # its own SparkSession, so the entry points must not depend on
+    # session.get_spark defaults (the round-1 nanosAsLong failure mode).
+    spark = SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    ).appName("oracle-check").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
