@@ -206,6 +206,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "MATCH (o {`$dtId`: 'order-1'})-[:placedBy|locatedIn|partOf*1..3]->(x) "
         "RETURN x.`$dtId` AS id"
     )
+    q["cypher_min_max_qty"] = _adt(
+        "MATCH (o)-[r:contains]->(p) "
+        "RETURN toFloat(max(r.quantity)) AS max_qty, toFloat(min(r.quantity)) AS min_qty"
+    )
+    q["cypher_min_max_name"] = _adt(
+        "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "RETURN min(c.name) AS first_name, max(c.name) AS last_name"
+    )
+    q["cypher_distinct_order_skip"] = _adt(
+        "MATCH (c)-[r:locatedIn]->(n) "
+        "RETURN DISTINCT n.`$dtId` AS id ORDER BY id SKIP 5 LIMIT 10"
+    )
     q["cypher_l2_distance_topk"] = _adt(
         "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
         "RETURN c.`$dtId` AS id, round(l2_distance([c.acctbal], [5000.0]), 2) AS d "
@@ -484,6 +496,19 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT 'region-' || n_regionkey FROM orders "
         "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
         "WHERE o_orderkey = 1"
+    )
+    o["cypher_min_max_qty"] = (
+        "SELECT CAST(max(l_quantity) AS DOUBLE) AS max_qty, "
+        "CAST(min(l_quantity) AS DOUBLE) AS min_qty FROM lineitem"
+    )
+    o["cypher_min_max_name"] = (
+        "SELECT min(c_name) AS first_name, max(c_name) AS last_name FROM customer"
+    )
+    o["cypher_distinct_order_skip"] = (
+        "SELECT id FROM (SELECT DISTINCT 'nation-' || nk AS id FROM ("
+        "SELECT c_nationkey AS nk FROM customer "
+        "UNION ALL SELECT s_nationkey FROM supplier)) "
+        "ORDER BY id LIMIT 10 OFFSET 5"
     )
     o["cypher_l2_distance_topk"] = (
         "SELECT id, d FROM (SELECT 'cust-' || c_custkey AS id, "

@@ -651,14 +651,64 @@ class CypherCompiler:
             return F.sum(c_num)
         if e.name == "avg":
             return F.avg(c_num)
-        if e.name == "min":
-            return F.min(self._operand(e.args[0], env, None))
-        if e.name == "max":
-            return F.max(self._operand(e.args[0], env, None))
+        if e.name in ("min", "max"):
+            return self._minmax(e, env)
         if e.name == "collect":
             c = self._operand(e.args[0], env, None)
             return F.collect_set(c) if e.distinct else F.collect_list(c)
         raise CypherCompileError(f"Unknown aggregate {e.name}")  # pragma: no cover
+
+    def _minmax(self, e: C.Func, env) -> Column:
+        """min()/max() with agtype-ordered comparison.
+
+        AGE compares agtype values with a typed total order — numbers
+        numerically, strings lexicographically, numbers before strings
+        (the reference executes aggregates inside AGE's btree ordering).
+        Aggregating the loose-string rendering instead compares
+        lexicographically, so ``max`` over [9, 10, 2] returned ``'9'``.
+        For dynamically-typed (variant) properties we aggregate a
+        ``(type_rank, numeric, string, repr)`` struct — Spark orders
+        structs field-by-field — and emit the winner's loose-string
+        repr, the engine's untyped-projection convention.  Promoted
+        columns and typed expressions keep their natural ordering."""
+        arg = e.args[0]
+        fn = F.min if e.name == "min" else F.max
+        if isinstance(arg, C.Prop):
+            b, path, promoted = self._resolve(arg, env)
+            if b.kind == "value":
+                c = F.col(b.df_alias)
+                if b.df_alias in self._value_variant:
+                    return self._minmax_variant(fn, c, F.schema_of_variant(c))
+                return fn(c)
+            if promoted:
+                return fn(self._col(b, promoted))
+            if b.df_alias.startswith("__o_"):
+                v = J.vget(F.col(f"{b.df_alias}__vdoc"), path)
+                s = F.schema_of_variant(v)
+            else:
+                v = self._shared_v(b.df_alias, tuple(path))
+                s = self._shared_s(b.df_alias, tuple(path))
+            return self._minmax_variant(fn, v, s)
+        return fn(self._operand(arg, env, None))
+
+    @staticmethod
+    def _minmax_variant(fn, v: Column, s: Column) -> Column:
+        rank = (
+            F.when(J.is_number_of(s), F.lit(0))
+            .when(J.is_string_of(s), F.lit(1))
+            .when(J.is_bool_of(s), F.lit(2))
+            .otherwise(F.lit(3))
+        )
+        ordered = F.when(
+            J.is_defined_of(v),
+            F.struct(
+                rank.alias("r"),
+                J.num_of(v, s).alias("n"),
+                J.str_of(v, s).alias("s"),
+                J.loose_str_of(v).alias("repr"),
+            ),
+        )
+        return fn(ordered).getField("repr")
 
     # ------------------------------------------------------------------
     # RETURN
@@ -699,6 +749,21 @@ class CypherCompiler:
                 df = df.select(*names)
             else:
                 df = df.agg(*[c.alias(n) for c, n in aggs])
+        elif q.distinct:
+            # Cypher applies DISTINCT before ORDER BY/SKIP/LIMIT: dedupe
+            # the projected rows FIRST, then sort, then slice.  The old
+            # orderBy→distinct order let the distinct shuffle discard
+            # the sort, so SKIP/LIMIT sliced arbitrary rows.  With
+            # DISTINCT, ORDER BY may only reference projected values
+            # (openCypher semantics — pre-projection columns are gone).
+            cols = [self._expr(it.expr, env).alias(nm) for it, nm in zip(q.ret, names)]
+            df = self._inject(df).select(*cols).distinct()
+            if q.order_by:
+                specs = []
+                for e, asc in q.order_by:
+                    oc = self._distinct_order(e, q, names)
+                    specs.append(oc if asc else oc.desc())
+                df = df.orderBy(*specs)
         else:
             cols = [self._expr(it.expr, env).alias(nm) for it, nm in zip(q.ret, names)]
             extra: list[Column] = []
@@ -715,7 +780,7 @@ class CypherCompiler:
                 df = df.select(*cols, *extra).orderBy(*order_specs).select(*names)
             else:
                 df = df.select(*cols)
-        if q.distinct:
+        if aggregated and q.distinct:
             df = df.distinct()
         if aggregated and q.order_by:
             df = df.orderBy(
@@ -735,6 +800,19 @@ class CypherCompiler:
             return F.col(e.name)
         raise CypherCompileError(
             "ORDER BY after aggregation must reference an output alias"
+        )
+
+    def _distinct_order(self, e: C.Expr, q: C.SingleQuery, names: list[str]) -> Column:
+        """Resolve an ORDER BY expression against the DISTINCT
+        projection: an output alias, or an expression textually equal to
+        a projected one (AST dataclasses compare structurally)."""
+        if isinstance(e, C.Var) and e.name in names:
+            return F.col(e.name)
+        for it, nm in zip(q.ret, names):
+            if it.expr == e:
+                return F.col(nm)
+        raise CypherCompileError(
+            "ORDER BY with DISTINCT must reference projected expressions"
         )
 
 
