@@ -230,7 +230,12 @@ class DigitalTwinsSparkClient:
         self.changes.begin()
         for rel_id, old, new in changes:
             self.changes.append(
-                new["$relationshipName"], rel_id, old, new, "Insert", ts
+                new["$relationshipName"],
+                rel_id,
+                old,
+                new,
+                "Update" if old is not None else "Insert",
+                ts,
             )
         return results
 

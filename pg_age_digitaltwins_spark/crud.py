@@ -8,8 +8,11 @@ produce, which is the cluster-deployment story (SURVEY.md §3.2).  Batch
 ops build one DataFrame for the whole batch, so a 100-twin batch is one
 MERGE, not 100.
 
-ETags reproduce the reference bit-for-bit:
-``W/"<md5-of-'{id}-{ts:o}' as .NET Guid>"`` (``ETagGenerator.cs:1-17``).
+ETags follow the reference's construction —
+``W/"<md5-of-'{id}-{ts}' as .NET Guid>"`` (``ETagGenerator.cs:1-17``) —
+with the same digest/Guid rendering; the timestamp string itself
+differs (``...0Z`` here vs .NET's ``"o"`` round-trip format), so the
+concrete ETag values are not byte-identical to the reference's.
 """
 
 from __future__ import annotations
@@ -265,6 +268,26 @@ def _fetch_docs(store: GraphStore, ids: list[str]) -> dict[str, dict]:
     return out
 
 
+def _fetch_rel_docs(
+    store: GraphStore, keys: list[tuple[str, str]]
+) -> dict[tuple[str, str], dict]:
+    """Existing relationship docs by (source_id, relationship_id) — one
+    IN-list scan for the whole batch, not per-row point reads."""
+    if not keys:
+        return {}
+    key_col = F.concat_ws("\x00", F.col("source_id"), F.col("relationship_id"))
+    rows = (
+        store.relationships.filter(key_col.isin(["\x00".join(k) for k in keys]))
+        .select("doc")
+        .collect()
+    )
+    out: dict[tuple[str, str], dict] = {}
+    for (doc,) in rows:
+        d = json.loads(doc)
+        out[(d["$sourceId"], d["$relationshipId"])] = d
+    return out
+
+
 # ----------------------------------------------------------------------
 # components (D9)
 # ----------------------------------------------------------------------
@@ -419,6 +442,12 @@ def create_relationships_batch(
         .select("dt_id")
         .collect()
     }
+    # Prefetch existing docs so a replace logs Update+old (the twin
+    # batch path does the same; CloudEventFactory.cs:35-133 pins the
+    # Create-vs-Update+patch contract downstream).
+    olds = _fetch_rel_docs(
+        store, [(d["$sourceId"], d["$relationshipId"]) for d in valid_docs]
+    )
     for d in valid_docs:
         if d["$sourceId"] not in present or d["$targetId"] not in present:
             results.append(
@@ -433,7 +462,9 @@ def create_relationships_batch(
         doc["$etag"] = generate_etag(doc["$relationshipId"], ts)
         rows.append(_rel_row(doc))
         keys.append((doc["$sourceId"], doc["$relationshipId"]))
-        changes.append((doc["$relationshipId"], None, doc))
+        changes.append(
+            (doc["$relationshipId"], olds.get((doc["$sourceId"], doc["$relationshipId"])), doc)
+        )
         results.append({"$relationshipId": doc["$relationshipId"], "status": "ok"})
     if not rows:
         return store, results, changes

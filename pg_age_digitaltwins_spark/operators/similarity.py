@@ -179,10 +179,22 @@ def hyperplane_signatures(
 
 
 def ann_lsh_search(
-    embeddings: DataFrame, query_id: int, k: int = 10, n_bits: int = 12
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_bits: int = 12,
+    dim: int | None = None,
 ) -> DataFrame:
-    """LSH-bucketed ANN: exact cosine only within the query's bucket."""
-    dim = 64
+    """LSH-bucketed ANN: exact cosine only within the query's bucket.
+
+    ``dim`` (hyperplane width) must match the embedding width — a
+    mismatch zero-pads the dot product with nulls and silently
+    null-buckets everything.  When not given it is probed from one row
+    (a LIMIT-1 scan at plan-build time; at ingest scale the width is
+    table metadata and should be passed explicitly)."""
+    if dim is None:
+        probe = embeddings.select(F.size("embedding").alias("d")).limit(1).collect()
+        dim = probe[0]["d"] if probe else 1
     sig = hyperplane_signatures(embeddings, n_bits=n_bits, dim=dim).localCheckpoint(
         eager=False
     )  # signature scan shared by the query row and the candidate side
@@ -231,7 +243,10 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    signatures: DataFrame, bands: int = 16, threshold: float = 0.5
+    signatures: DataFrame,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 100,
 ) -> DataFrame:
     """LSH banding: split signatures into ``bands`` bands, bucket-join on
     (band index, band hash), then estimate Jaccard as the fraction of
@@ -242,7 +257,16 @@ def minhash_lsh_pairs(
     shingle+minhash pipeline once per side, and the grouped form is
     also the natural LSH shape at corpus scale (bucket sizes are small
     by construction; only same-bucket docs ever meet).  One shuffle
-    keyed by (band, bhash) whose rows are (doc_id, 64-long sig)."""
+    keyed by (band, bhash) whose rows are (doc_id, 64-long sig).
+
+    **Skew guard**: a degenerate bucket (mass-duplicated boilerplate —
+    common in web corpora) would otherwise put k signatures in one row
+    and k² pair expansion in one task.  Buckets are capped at
+    ``max_bucket`` members (deterministic: kept members are the first
+    by doc_id), bounding any task at max_bucket²/2 pairs.  Contract:
+    run exact-fingerprint dedup (``text.exact_dedup_stats`` /
+    ``fingerprints``) BEFORE LSH — identical docs pair exhaustively and
+    carry no near-dup information; past the cap they are dropped here."""
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
     banded = signatures.select(
         "doc_id",
@@ -267,8 +291,19 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    # Cap BEFORE the aggregation so the collect_list row itself is
+    # bounded (max_bucket·sig, ~50 KB at the defaults), not just the
+    # pair expansion.  The window partitions by the same key as the
+    # groupBy, so Catalyst reuses the hash partitioning — still one
+    # shuffle end-to-end.
+    w = Window.partitionBy("band", "bhash").orderBy("doc_id")
+    capped = (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
     buckets = (
-        banded.groupBy("band", "bhash")
+        capped.groupBy("band", "bhash")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )

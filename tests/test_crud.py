@@ -400,3 +400,36 @@ def test_jsonpatch_type_change_is_replace():
     assert jsonpatch.make_patch({"a": 1}, {"a": "1"}) == [
         {"op": "replace", "path": "/a", "value": "1"}
     ]
+
+
+def test_relationship_batch_replace_emits_update_event(client):
+    # A batch replace must log Update with the old doc (mirroring the
+    # twin batch path) so the event pipeline emits
+    # Konnektr.Graph.Relationship.Update with an RFC-6902 patch, not a
+    # spurious .Create (CloudEventFactory.cs:35-133 contract).
+    from pg_age_digitaltwins_spark.streaming.cloudevents import event_notification
+
+    client.create_or_replace_digital_twin("a", make_twin(temperature=1.0), ts=TS)
+    client.create_or_replace_digital_twin("b", make_twin(temperature=2.0), ts=TS)
+    rel = {"$relationshipId": "r1", "$sourceId": "a", "$targetId": "b",
+           "$relationshipName": "adjacentTo", "weight": 1}
+    client.create_or_replace_relationships([rel], ts=TS)
+    client.changes.drain()
+    ts2 = "2026-02-02T00:00:00.0000000Z"
+    client.create_or_replace_relationships([{**rel, "weight": 2}], ts=ts2)
+    [ev] = client.changes.drain()
+    assert ev.event_type == "Update"
+    assert ev.old_value is not None and ev.old_value["weight"] == 1
+    assert ev.new_value["weight"] == 2
+    [ce] = event_notification(ev, "src-a", lambda: "id-1")
+    assert ce["type"] == "Konnektr.Graph.Relationship.Update"
+    patch_paths = {op["path"]: op for op in ce["data"]["patch"]}
+    assert patch_paths["/weight"]["value"] == 2
+    # fresh creates still log Insert
+    client.create_or_replace_relationships(
+        [{"$relationshipId": "r2", "$sourceId": "b", "$targetId": "a",
+          "$relationshipName": "adjacentTo"}],
+        ts=ts2,
+    )
+    [ev2] = client.changes.drain()
+    assert ev2.event_type == "Insert" and ev2.old_value is None

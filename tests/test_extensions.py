@@ -221,3 +221,46 @@ def test_streaming_change_pipeline(spark, tmp_path):
     assert types == ["Konnektr.Graph.Twin.Create", "Konnektr.Graph.Twin.Create"]
     t1 = next(r for r in collected if r["subject"] == "t1")
     assert json.loads(r"%s" % t1["data"])["x"] == 2
+
+
+def test_ann_lsh_non_64_dim(spark):
+    """dim is derived from the data — any embedding width works (the
+    old hardcoded dim=64 null-bucketed every other width and silently
+    returned empty).  VERDICT r2 "What's wrong" #4."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(16)], "x") for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>, label: string")
+    out = similarity.ann_lsh_search(emb, query_id=0, k=5, n_bits=4).collect()
+    assert out, "non-64-dim embeddings must still bucket"
+    exact = {
+        r["vec_id"]: r["sim"]
+        for r in similarity.knn_brute_force(emb, 0, k=200).collect()
+    }
+    for r in out:
+        assert abs(exact[r["vec_id"]] - r["sim"]) < 1e-6
+
+
+def test_minhash_lsh_bucket_cap(spark):
+    """1,000 identical docs land in one bucket per band; the cap bounds
+    both the collected row and the per-task pair expansion, and
+    near-dup pairs on the non-degenerate remainder are still found.
+    VERDICT r2 "What's wrong" #6."""
+    from pg_age_digitaltwins_spark.operators import text
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, base) for i in range(1000)]
+    # two near-dup (not identical) docs well away from the dup block
+    docs.append((2000, base + " tail one"))
+    docs.append((2001, base + " tail two"))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    sig = similarity.minhash_signatures(text.ngram_shingles(df))
+    pairs = similarity.minhash_lsh_pairs(sig, threshold=0.5, max_bucket=50).collect()
+    # bounded work: the degenerate block contributes at most
+    # 50*49/2 pairs per band instead of ~500k
+    assert len(pairs) <= 16 * 50 * 49 // 2
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (2000, 2001) in got, "near-dup pair outside the dup block must survive"
+    # kept members of the degenerate bucket still pair with each other
+    assert (0, 1) in got
