@@ -248,12 +248,111 @@ def sectioned_lines_df(spark: SparkSession, path: str):
     return data
 
 
+_ERROR_SAMPLE_CAP = 100  # per section; the reference streams per-line
+# errors to blob storage (ImportJob.cs:625-700) — we keep counts plus a
+# bounded sample so a billion-line import can't flood the driver.
+
+
+def _twin_parse_fn(registry, ts: str, user_id: str | None):
+    """mapInPandas worker: ND-JSON twin line → validated, stamped twin
+    row (+ error column).  Per-document JSON validation/stamping is
+    genuinely row-wise work (the reference runs the same loop in C#,
+    ``DigitalTwins.cs:268-463``), so an Arrow-batched Pandas stage is
+    the right Spark tool — it runs on executors, scales with the input,
+    and nothing funnels through the driver."""
+    import pandas as pd
+
+    from pg_age_digitaltwins_spark import crud
+    from pg_age_digitaltwins_spark.store.graph_store import _twin_row
+    from pg_age_digitaltwins_spark.validation import ValidationError, validate_twin
+
+    cols = ["pos", "dt_id", "model_id", "etag", "last_update_time", "doc", "error"]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for pos, line in zip(pdf["pos"], pdf["value"]):
+                try:
+                    doc = json.loads(line)
+                    dt_id = doc.get("$dtId")
+                    if not dt_id:
+                        raise ValidationError("Twin document requires $dtId")
+                    validate_twin(registry, doc)
+                    stamped = crud.stamp_twin(doc, dt_id, ts, user_id)
+                    rows.append((pos, *_twin_row(stamped), None))
+                except Exception as exc:  # noqa: BLE001 — per-line error record
+                    rows.append((pos, None, None, None, None, None, str(exc)[:500]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def _rel_parse_fn(ts: str):
+    import pandas as pd
+
+    from pg_age_digitaltwins_spark import crud
+    from pg_age_digitaltwins_spark.store.graph_store import _rel_row
+    from pg_age_digitaltwins_spark.validation import validate_relationship
+
+    cols = [
+        "pos", "relationship_id", "source_id", "target_id", "name", "etag", "doc",
+        "error",
+    ]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for pos, line in zip(pdf["pos"], pdf["value"]):
+                try:
+                    doc = json.loads(line)
+                    validate_relationship(doc)
+                    doc = dict(doc)
+                    doc["$etag"] = crud.generate_etag(doc["$relationshipId"], ts)
+                    rows.append((pos, *_rel_row(doc), None))
+                except Exception as exc:  # noqa: BLE001
+                    rows.append((pos, None, None, None, None, None, None, str(exc)[:500]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def _collect_errors(rec: JobRecord, bad, label: str) -> None:
+    n = bad.count()
+    if n:
+        rec.error_count += n
+        for r in bad.limit(_ERROR_SAMPLE_CAP).collect():
+            rec.errors.append({"section": label, "error": r["error"]})
+
+
 def import_file_distributed(
-    client: DigitalTwinsSparkClient, spark: SparkSession, path: str
+    client: DigitalTwinsSparkClient,
+    spark: SparkSession,
+    path: str,
+    user_id: str | None = None,
+    ts: str | None = None,
 ) -> JobRecord:
-    """One distributed pass: validate header, then per section ONE
-    vectorized create (models driver-side — tiny dim; twins and
-    relationships as whole-section DataFrame merges)."""
+    """The 100 TB import shape: one distributed pass per section, no
+    data-row ``collect()``.
+
+    * Models: driver-side (a tiny dimension — SURVEY.md §7's only
+      allowed driver loop).
+    * Twins / Relationships: ``mapInPandas`` parse+validate+stamp on
+      executors → last-line-wins dedup per key (window on the file
+      position) → MERGE as ``left_anti`` + ``unionByName`` against the
+      store — the Delta ``MERGE INTO`` plan shape.
+    * Relationship endpoints are join-validated against the merged
+      twins table (``left_semi`` keep / ``left_anti`` error count), not
+      per-row point reads.
+    * Only error samples (capped) and counts reach the driver.
+
+    Unlike ``ImportJob.run`` this path does not feed the driver-side
+    ChangeLog — at this scale change capture belongs to the storage
+    layer (Delta CDF / the streaming source), not a per-row driver log.
+    Reference semantics: ``ImportJob.cs:442-604``."""
+    from pg_age_digitaltwins_spark import crud
+    from pg_age_digitaltwins_spark.store.graph_store import with_vdoc
+    from pyspark.sql import Window
+
     data = sectioned_lines_df(spark, path)
     header = [
         json.loads(r["value"])
@@ -264,37 +363,88 @@ def import_file_distributed(
             f"Unsupported file version: {header[0].get('fileVersion') if header else None}"
         )
     rec = JobRecord(id=f"import-{path.rsplit('/', 1)[-1]}")
+    ts = ts or crud.now_iso()
+
     model_docs = [
         json.loads(r["value"])
         for r in data.filter(F.col("section") == "Models").orderBy("pos").collect()
     ]
     if model_docs:
-        client.create_models(model_docs)
+        client.create_models(model_docs, ts=ts)
         rec.models_created = len(model_docs)
-    twin_docs = [
-        json.loads(r["value"])
-        for r in data.filter(F.col("section") == "Twins").collect()
-    ]
-    for start in range(0, len(twin_docs), 100):
-        chunk = twin_docs[start : start + 100]
-        for r in client.create_or_replace_digital_twins(chunk):
-            if r["status"] == "ok":
-                rec.twins_created += 1
-            else:
-                rec.error_count += 1
-                rec.errors.append(r)
-    rel_docs = [
-        json.loads(r["value"])
-        for r in data.filter(F.col("section") == "Relationships").collect()
-    ]
-    if rel_docs:
-        for r in client.create_or_replace_relationships(rel_docs):
-            if r["status"] == "ok":
-                rec.relationships_created += 1
-            else:
-                rec.error_count += 1
-                rec.errors.append(r)
-    rec.status = "Succeeded" if rec.error_count == 0 else "PartiallySucceeded"
+
+    store = client.store
+
+    # --- twins: parse/validate/stamp on executors, MERGE once ---------
+    twin_lines = data.filter(F.col("section") == "Twins").select("pos", "value")
+    parsed = twin_lines.mapInPandas(
+        _twin_parse_fn(client.registry, ts, user_id),
+        schema="pos long, dt_id string, model_id string, etag string, "
+        "last_update_time timestamp, doc string, error string",
+    )
+    _collect_errors(rec, parsed.filter(F.col("error").isNotNull()), "Twins")
+    good = parsed.filter(F.col("error").isNull())
+    rec.twins_created = good.count()
+    last_wins = Window.partitionBy("dt_id").orderBy(F.col("pos").desc())
+    new_twins = (
+        good.withColumn("__rn", F.row_number().over(last_wins))
+        .filter(F.col("__rn") == 1)
+        .select("dt_id", "model_id", "etag", "last_update_time", "doc")
+    )
+    if "vdoc" in store.twins.columns:
+        new_twins = with_vdoc(new_twins)
+    merged_twins = store.twins.join(new_twins, "dt_id", "left_anti").unionByName(
+        new_twins
+    )
+    store = crud._replace(store, twins=merged_twins)
+
+    # --- relationships: parse on executors, join-validate endpoints ---
+    rel_lines = data.filter(F.col("section") == "Relationships").select("pos", "value")
+    parsed_r = rel_lines.mapInPandas(
+        _rel_parse_fn(ts),
+        schema="pos long, relationship_id string, source_id string, "
+        "target_id string, name string, etag string, doc string, error string",
+    )
+    _collect_errors(rec, parsed_r.filter(F.col("error").isNotNull()), "Relationships")
+    good_r = parsed_r.filter(F.col("error").isNull())
+    twin_ids = merged_twins.select("dt_id")
+    with_src = good_r.join(
+        twin_ids.withColumnRenamed("dt_id", "source_id"), "source_id", "left_semi"
+    )
+    valid_r = with_src.join(
+        twin_ids.withColumnRenamed("dt_id", "target_id"), "target_id", "left_semi"
+    )
+    n_good, n_valid = good_r.count(), valid_r.count()
+    rec.relationships_created = n_valid
+    if n_valid < n_good:
+        rec.error_count += n_good - n_valid
+        rec.errors.append(
+            {
+                "section": "Relationships",
+                "error": f"{n_good - n_valid} rows reference missing source/target twins",
+            }
+        )
+    rel_last = Window.partitionBy("source_id", "relationship_id").orderBy(
+        F.col("pos").desc()
+    )
+    new_rels = (
+        valid_r.withColumn("__rn", F.row_number().over(rel_last))
+        .filter(F.col("__rn") == 1)
+        .select("relationship_id", "source_id", "target_id", "name", "etag", "doc")
+    )
+    if "vdoc" in store.relationships.columns:
+        new_rels = with_vdoc(new_rels)
+    merged_rels = store.relationships.join(
+        new_rels, ["source_id", "relationship_id"], "left_anti"
+    ).unionByName(new_rels)
+    store = crud._replace(store, relationships=merged_rels)
+
+    client._swap(store)
+    rec.status = "Succeeded" if rec.error_count == 0 else (
+        "PartiallySucceeded"
+        if (rec.models_created + rec.twins_created + rec.relationships_created)
+        else "Failed"
+    )
     return rec
 
 

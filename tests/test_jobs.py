@@ -124,3 +124,104 @@ def test_delete_job(client):
     assert counts == {"relationships": 3, "twins": 3, "models": 1}
     assert client.store.twins.count() == 0
     assert client.store.models.count() == 0
+
+
+def _strip_stamps(doc):
+    d = {k: v for k, v in doc.items() if k not in ("$etag", "$metadata")}
+    meta = {k: v for k, v in (doc.get("$metadata") or {}).items() if k == "$model"}
+    d["$metadata"] = meta
+    return d
+
+
+def test_import_distributed_matches_line_path(client, spark, tmp_path):
+    """The distributed one-pass import produces the same graph as the
+    checkpointed line-at-a-time path (modulo timestamps/etags)."""
+    lines = full_file(12)
+    ImportJob(client).run(lines, "job-eq-a")
+    p = tmp_path / "eq.ndjson"
+    p.write_text("\n".join(lines) + "\n")
+    client2 = DigitalTwinsSparkClient(GraphStore.empty(spark))
+    rec = import_file_distributed(client2, spark, str(p))
+    assert rec.status == "Succeeded"
+
+    def twins_of(c):
+        return sorted(
+            json.dumps(_strip_stamps(json.loads(r["doc"])), sort_keys=True)
+            for r in c.store.twins.select("doc").collect()
+        )
+
+    def rels_of(c):
+        return sorted(
+            json.dumps(_strip_stamps(json.loads(r["doc"])), sort_keys=True)
+            for r in c.store.relationships.select("doc").collect()
+        )
+
+    assert twins_of(client) == twins_of(client2)
+    assert rels_of(client) == rels_of(client2)
+
+
+def test_import_distributed_per_line_errors(client, spark, tmp_path):
+    lines = ndjson(
+        {"Section": "Header"},
+        {"fileVersion": "1.0.0"},
+        {"Section": "Models"},
+        MODEL,
+        {"Section": "Twins"},
+        {"$dtId": "ok", "$metadata": {"$model": "dtmi:j:Thing;1"}, "x": 1.0},
+        {"$dtId": "bad", "$metadata": {"$model": "dtmi:j:Thing;1"}, "nope": 1},
+    ) + ["{not json"] + ndjson(
+        {"Section": "Relationships"},
+        {"$relationshipId": "r-ok", "$sourceId": "ok", "$targetId": "ok",
+         "$relationshipName": "self"},
+        {"$relationshipId": "r-ghost", "$sourceId": "ok", "$targetId": "ghost",
+         "$relationshipName": "to"},
+        {"$relationshipId": "r-invalid", "$sourceId": "ok"},
+    )
+    p = tmp_path / "err.ndjson"
+    p.write_text("\n".join(lines) + "\n")
+    rec = import_file_distributed(client, spark, str(p))
+    assert rec.twins_created == 1
+    assert rec.relationships_created == 1
+    # bad twin + non-JSON line + invalid rel doc + missing endpoint
+    assert rec.error_count == 4
+    assert rec.status == "PartiallySucceeded"
+    assert client.store.twins.count() == 1
+    assert client.store.relationships.count() == 1
+
+
+def test_import_distributed_replaces_existing(client, spark, tmp_path):
+    """MERGE semantics: re-importing replaces rows by key (last line
+    wins within the file too), and the import scales as DataFrame ops —
+    a row count well past any driver batch size."""
+    n = 2000
+    lines = ndjson(
+        {"Section": "Header"},
+        {"fileVersion": "1.0.0"},
+        {"Section": "Models"},
+        MODEL,
+        {"Section": "Twins"},
+        *[
+            {"$dtId": f"t{i}", "$metadata": {"$model": "dtmi:j:Thing;1"}, "x": float(i)}
+            for i in range(n)
+        ],
+        # duplicate key inside the file: the later line must win
+        {"$dtId": "t0", "$metadata": {"$model": "dtmi:j:Thing;1"}, "x": -1.0},
+    )
+    p = tmp_path / "big.ndjson"
+    p.write_text("\n".join(lines) + "\n")
+    rec = import_file_distributed(client, spark, str(p))
+    assert rec.twins_created == n + 1
+    assert client.store.twins.count() == n
+    assert client.get_digital_twin("t0")["x"] == -1.0
+    # re-import with changed values replaces, not duplicates
+    lines2 = ndjson(
+        {"Section": "Header"},
+        {"fileVersion": "1.0.0"},
+        {"Section": "Twins"},
+        {"$dtId": "t1", "$metadata": {"$model": "dtmi:j:Thing;1"}, "x": 99.0},
+    )
+    p2 = tmp_path / "again.ndjson"
+    p2.write_text("\n".join(lines2) + "\n")
+    import_file_distributed(client, spark, str(p2))
+    assert client.store.twins.count() == n
+    assert client.get_digital_twin("t1")["x"] == 99.0
