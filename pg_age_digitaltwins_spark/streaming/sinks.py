@@ -21,10 +21,15 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pg_age_digitaltwins_spark.streaming import cloudevents
-from pg_age_digitaltwins_spark.streaming.changes import ChangeLog, EventData, coalesce_events
+from pg_age_digitaltwins_spark.streaming.changes import (
+    EVENT_DATA_SCHEMA,
+    ChangeLog,
+    EventData,
+    coalesce_events,
+)
 
 
 class SinkError(RuntimeError):
@@ -32,9 +37,15 @@ class SinkError(RuntimeError):
 
 
 class EventSink:
-    """Base sink: receives a batch of CloudEvents (dicts)."""
+    """Base sink: receives a batch of CloudEvents (dicts).
+
+    Sinks that can absorb a whole formatted DataFrame executor-side
+    (Kafka, file/lake sinks) additionally implement
+    ``send_df(df) -> None`` — the streaming path prefers it and the
+    events then never funnel through the driver."""
 
     name = "sink"
+    send_df: Callable[[DataFrame], None] | None = None
 
     def send(self, events: list[dict[str, Any]]) -> None:  # pragma: no cover
         raise NotImplementedError
@@ -65,6 +76,58 @@ class NdjsonFileSink(EventSink):
         with open(self.path, "a") as f:
             for e in events:
                 f.write(json.dumps(e, separators=(",", ":")) + "\n")
+
+
+class NdjsonDirSink(EventSink):
+    """Distributed lake sink: executors append the formatted CloudEvents
+    as JSON part-files under a directory (the Kusto-table stand-in at
+    scale — one ingestion-shaped row per event, written where the data
+    lives).  ``send`` exists for the driver/unit path; the streaming
+    path uses ``send_df`` so a 10⁹-event batch never hits the driver."""
+
+    def __init__(self, path: str, name: str = "lake"):
+        self.name = name
+        self.path = path
+
+    def send(self, events: list[dict[str, Any]]) -> None:
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"driver-{uuid.uuid4().hex}.json")
+        with open(part, "w") as f:
+            for e in events:
+                e = dict(e)
+                if not isinstance(e.get("data"), str):
+                    e["data"] = json.dumps(e.get("data"), separators=(",", ":"))
+                f.write(json.dumps(e, separators=(",", ":")) + "\n")
+
+    def send_df(self, df: DataFrame) -> None:
+        df.write.mode("append").json(self.path)
+
+
+class KafkaSink(EventSink):
+    """S9: native Kafka delivery — key=subject, value=CloudEvent JSON
+    (``KafkaEventSink.cs`` produces the same key/value contract).  The
+    write happens executor-side via the built-in Kafka batch source; no
+    driver materialization.  Untestable in this container (no broker) —
+    the option wiring is exercised by ``kafka_writer_options`` tests."""
+
+    def __init__(self, bootstrap_servers: str, topic: str, name: str = "kafka"):
+        self.name = name
+        self.bootstrap_servers = bootstrap_servers
+        self.topic = topic
+
+    def send(self, events: list[dict[str, Any]]) -> None:  # pragma: no cover
+        raise SinkError("KafkaSink delivers DataFrames; use send_df")
+
+    def send_df(self, df: DataFrame) -> None:  # pragma: no cover
+        (
+            df.selectExpr("subject AS key", "to_json(struct(*)) AS value")
+            .write.format("kafka")
+            .options(**kafka_writer_options(self.bootstrap_servers, self.topic))
+            .save()
+        )
 
 
 class CallbackSink(EventSink):
@@ -134,6 +197,29 @@ class ResilientSink:
                     for e in events:
                         self.dlq.append(
                             {"event": e, "error": str(exc), "sink": self.inner.name}
+                        )
+                    return
+                self.sleep(self.base_delay * (2 ** (attempt - 1)))
+
+    def send_df(self, df: DataFrame) -> None:
+        """Distributed delivery with the same bounded retry; an
+        exhausted batch lands a bounded row sample in the DLQ (the full
+        batch is replayable from the stream checkpoint — the DLQ's job
+        here is diagnosis, not durability)."""
+        inner_fn = getattr(self.inner, "send_df", None)
+        if not callable(inner_fn):
+            raise SinkError(f"Sink {self.inner.name!r} has no DataFrame path")
+        attempt = 0
+        while True:
+            try:
+                inner_fn(df)
+                return
+            except Exception as exc:  # noqa: BLE001 — any sink failure retries
+                attempt += 1
+                if attempt > self.max_retries:
+                    for r in df.limit(100).collect():
+                        self.dlq.append(
+                            {"event": r.asDict(), "error": str(exc), "sink": self.inner.name}
                         )
                     return
                 self.sleep(self.base_delay * (2 ** (attempt - 1)))
@@ -209,21 +295,84 @@ class EventRouter:
 
     # ------------------------------------------------------------------
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Streaming micro-batch hook: coalesce per (txn, entity) then
-        format distributed and deliver per route."""
+        """Streaming micro-batch hook: coalesce per (txn, entity), then
+        per route format distributed and deliver.
+
+        Delivery is executor-side (``send_df``) whenever the sink
+        supports it — Kafka / lake routes never materialize on the
+        driver.  Only transport-callback sinks (webhook/MQTT stand-ins,
+        whose client makes the network call from one place anyway)
+        collect, and those batches are OLTP-sized by contract (the
+        reference batches 100 events, ``SharedEventConsumer``)."""
         coalesced = coalesce_events(batch_df)
-        for route in self.routes:
-            formatted = cloudevents.format_events_df(
-                coalesced, self.source, route.event_format
-            )
-            rows = [r.asDict() for r in formatted.collect()]
-            for r in rows:
-                r["data"] = json.loads(r["data"])
-            if route.type_mappings:
+        if len(self.routes) > 1:
+            coalesced = coalesced.persist()
+        try:
+            for route in self.routes:
+                formatted = cloudevents.format_events_df(
+                    coalesced, self.source, route.event_format
+                )
+                if route.type_mappings:
+                    mapping = F.create_map(
+                        [F.lit(x) for kv in route.type_mappings.items() for x in kv]
+                    )
+                    formatted = formatted.withColumn(
+                        "type",
+                        F.coalesce(
+                            F.element_at(mapping, F.col("type")), F.col("type")
+                        ),
+                    )
+                sink = self.sinks[route.sink_name]
+                if callable(getattr(sink.inner, "send_df", None)):
+                    sink.send_df(formatted)
+                    continue
+                rows = [r.asDict() for r in formatted.collect()]
                 for r in rows:
-                    r["type"] = route.type_mappings.get(r["type"], r["type"])
-            if rows:
-                self.sinks[route.sink_name].send(rows)
+                    r["data"] = json.loads(r["data"])
+                if rows:
+                    sink.send(rows)
+        finally:
+            if len(self.routes) > 1:
+                coalesced.unpersist()
+
+
+def run_change_stream(
+    spark: SparkSession,
+    feed_path: str,
+    router: EventRouter,
+    checkpoint_dir: str,
+    trigger: dict[str, Any] | None = None,
+    timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    max_files_per_trigger: int | None = None,
+):
+    """Stand up the full replication pipeline as ONE Structured
+    Streaming query: readStream over an EventData ND-JSON feed (the
+    CDF/WAL stand-in) → per-micro-batch coalescing → distributed
+    CloudEvents formatting → route fan-out to sinks.
+
+    This is the package-level equivalent of the reference's continuous
+    replication loop (``AgeDigitalTwinsReplication.cs:81-192``): where
+    the reference tails a Postgres logical-replication slot, the Spark
+    build tails a directory of EventData lines — swap the source for
+    Kafka/Delta-CDF in production, the rest of the query is unchanged.
+
+    Returns the started ``StreamingQuery`` (caller owns its lifecycle:
+    ``awaitTermination`` / ``stop``).  ``trigger`` defaults to
+    ``{"availableNow": True}`` (drain-and-stop); pass
+    ``{"processingTime": "5 seconds"}`` for a continuous tail —
+    mirroring the reference's 100-event/5 s consumer cadence.
+    Exactly-once per sink comes from the checkpoint + each micro-batch
+    being delivered atomically per route."""
+    reader = spark.readStream.schema(EVENT_DATA_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(feed_path, timestampFormat=timestamp_format)
+    return (
+        stream.writeStream.foreachBatch(router.foreach_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
 
 
 def run_change_pipeline(

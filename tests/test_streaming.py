@@ -302,3 +302,88 @@ def test_router_telemetry_passthrough():
         [{"digitalTwinId": "t1", "timestamp": TS, "telemetry": {"x": 1}}]
     )
     assert sink.events[0]["type"] == "Konnektr.IoT.Telemetry"
+
+
+# ----------------------------------------------------------------------
+# run_change_stream: the package-level Structured Streaming entry point
+# ----------------------------------------------------------------------
+
+def _feed_events():
+    import json as _json
+
+    def ev(entity, old, new, etype, ts, txn, seq):
+        return {
+            "entity_id": entity, "graph_name": "g", "table_name": "Twin",
+            "old_value": None if old is None else _json.dumps(old),
+            "new_value": None if new is None else _json.dumps(new),
+            "event_type": etype, "timestamp": ts, "txn_id": txn, "seq": seq,
+        }
+
+    t1a = {"$dtId": "t1", "$metadata": {"$model": "m"}, "x": 1}
+    t1b = {"$dtId": "t1", "$metadata": {"$model": "m"}, "x": 2}
+    t2 = {"$dtId": "t2", "$metadata": {"$model": "m"}, "x": 9}
+    return [
+        ev("t1", None, t1a, "Insert", "2026-02-01T00:00:00.000", 1, 1),
+        ev("t1", t1a, t1b, "Update", "2026-02-01T00:00:01.000", 1, 2),
+        ev("t2", None, t2, "Insert", "2026-02-01T00:00:02.000", 2, 3),
+        ev("t2", t2, None, "Delete", "2026-02-01T00:00:03.000", 3, 4),
+    ]
+
+
+def test_run_change_stream_end_to_end(spark, tmp_path):
+    """The package API stands up readStream → coalesce → format →
+    routes as one streaming query; the lake route delivers executor-
+    side (send_df — no driver collect), the memory route via collect;
+    type_mappings rewrite JVM-side."""
+    import json as _json
+
+    from pg_age_digitaltwins_spark.streaming.sinks import (
+        NdjsonDirSink,
+        run_change_stream,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "b0.ndjson").write_text(
+        "\n".join(_json.dumps(e) for e in _feed_events())
+    )
+
+    router = EventRouter(source="src-stream")
+    mem = InMemoryEventSink("mem")
+    lake = NdjsonDirSink(str(tmp_path / "lake"), name="lake")
+    router.add_sink(mem)
+    router.add_sink(lake)
+    router.add_route(EventRoute("mem", "EventNotification",
+                                type_mappings={"Konnektr.Graph.Twin.Create": "My.Create"}))
+    router.add_route(EventRoute("lake", "EventNotification"))
+
+    q = run_change_stream(spark, str(feed), router, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # 3 coalesced events: t1 Create (insert+update merged), t2 Create
+    # (mapped), t2 Delete — both Creates hit the type mapping
+    assert sorted(e["type"] for e in mem.events) == [
+        "Konnektr.Graph.Twin.Delete", "My.Create", "My.Create",
+    ]
+    t1 = next(e for e in mem.events if e["subject"] == "t1")
+    assert t1["data"]["x"] == 2  # last-new wins in coalesce
+
+    lake_rows = spark.read.json(str(tmp_path / "lake")).collect()
+    assert sorted(r["type"] for r in lake_rows) == [
+        "Konnektr.Graph.Twin.Create", "Konnektr.Graph.Twin.Create",
+        "Konnektr.Graph.Twin.Delete",
+    ]
+
+    # incremental: a second feed file is picked up by a fresh availableNow
+    # run against the SAME checkpoint without re-delivering batch 0
+    t3 = {"$dtId": "t3", "$metadata": {"$model": "m"}, "x": 7}
+    (feed / "b1.ndjson").write_text(_json.dumps({
+        "entity_id": "t3", "graph_name": "g", "table_name": "Twin",
+        "old_value": None, "new_value": _json.dumps(t3),
+        "event_type": "Insert", "timestamp": "2026-02-01T00:01:00.000",
+        "txn_id": 4, "seq": 5,
+    }))
+    mem.events.clear()
+    q2 = run_change_stream(spark, str(feed), router, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert [e["subject"] for e in mem.events] == ["t3"]
