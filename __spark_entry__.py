@@ -43,8 +43,17 @@ def _adt(q: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+_TABLES: dict[tuple[int, str], object] = {}
+
+
 def _tables(spark: SparkSession, sf_dir: str):
-    return tpch_loader.load_tables(spark, sf_dir)
+    # Memoized per (session, dir) so repeated queries share the loaded
+    # DataFrames — otherwise every call re-reads parquet footers and
+    # re-applies the events conf (ADVICE r2).
+    key = (id(spark), sf_dir)
+    if key not in _TABLES:
+        _TABLES[key] = tpch_loader.load_tables(spark, sf_dir)
+    return _TABLES[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:

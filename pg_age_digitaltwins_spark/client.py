@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import base64
 import json
+import re
 import uuid
 from dataclasses import dataclass
 from typing import Any
@@ -30,6 +31,28 @@ from pg_age_digitaltwins_spark.validation import ModelRegistry
 class QueryPage:
     rows: list[dict]
     continuation_token: str | None
+    charge: float = 0.0
+
+
+# Detection regexes lifted from the reference's generated patterns
+# (``AgeDigitalTwinsClient.Query.cs:295-306`` VariableLengthEdgeRegex,
+# ``Query.cs:245-255`` aggregate keyword scan).
+_VAR_LEN_RE = re.compile(r"\[[^\]]*(?::\w*)?\*[\d.]*\]", re.IGNORECASE)
+_AGG_RE = re.compile(r"COUNT|SUM|AVG|MIN|MAX|is_of_model", re.IGNORECASE)
+
+
+def compute_query_charge(rows: list[dict], query: str) -> float:
+    """Reference arithmetic (``Query.cs:240-257``): page rows + total
+    top-level properties, +10 for a variable-length edge query, +5 when
+    the text contains an aggregate or ``IS_OF_MODEL``."""
+    charge = float(len(rows))
+    for row in rows:
+        charge += len(row)
+    if _VAR_LEN_RE.search(query):
+        charge += 10
+    if _AGG_RE.search(query):
+        charge += 5
+    return charge
 
 
 class DigitalTwinsSparkClient:
@@ -80,7 +103,8 @@ class DigitalTwinsSparkClient:
             query = tok["_q"]
         df = self.query_df(query, order_for_paging=max_items_per_page is not None)
         if max_items_per_page is None:
-            return QueryPage([r.asDict(recursive=True) for r in df.collect()], None)
+            rows = [r.asDict(recursive=True) for r in df.collect()]
+            return QueryPage(rows, None, compute_query_charge(rows, query))
         page = df.offset(offset).limit(max_items_per_page + 1).collect()
         rows = [r.asDict(recursive=True) for r in page[:max_items_per_page]]
         token = None
@@ -88,16 +112,13 @@ class DigitalTwinsSparkClient:
             token = base64.b64encode(
                 json.dumps({"_tr": offset + max_items_per_page, "_q": query}).encode()
             ).decode()
-        return QueryPage(rows, token)
+        return QueryPage(rows, token, compute_query_charge(rows, query))
 
     def query_charge(self, page: QueryPage) -> float:
-        """Charge = rows + total top-level properties (reference
-        arithmetic, ``Query.cs:240-257``; aggregate/var-len surcharges
-        applied by the caller)."""
-        charge = float(len(page.rows))
-        for row in page.rows:
-            charge += len(row)
-        return charge
+        """Per-page charge, reference arithmetic incl. the +10
+        var-length and +5 aggregate surcharges (``Query.cs:240-257``) —
+        computed at query time, carried on the page."""
+        return page.charge
 
     # ------------------------------------------------------------------
     # model registry

@@ -81,8 +81,20 @@ def decode_media(
     media: DataFrame,
     decode_fn: Callable[[str, bytes], dict[str, Any]] = _fake_decode,
 ) -> DataFrame:
-    """Binary → typed metadata via Arrow-batched mapInPandas (partition-
-    preserving; no shuffle, no driver transfer)."""
+    """Binary → typed metadata.
+
+    ``n_bytes``/``sha256`` are built-in column functions (JVM-side,
+    whole-stage codegen — no reason to pay the Python tax for byte
+    counting); only the genuine codec work (``decode_fn``) runs in the
+    Arrow-batched ``mapInPandas`` stage.  Partition-preserving; no
+    shuffle, no driver transfer."""
+    prepared = media.select(
+        "media_id",
+        "kind",
+        "content",
+        F.coalesce(F.length("content"), F.lit(0)).cast("long").alias("n_bytes"),
+        F.lower(F.sha2(F.coalesce(F.col("content"), F.lit(b"")), 256)).alias("sha256"),
+    )
 
     def run(batches: Iterable) -> Iterator:
         import pandas as pd
@@ -96,8 +108,8 @@ def decode_media(
                     {
                         "media_id": r.media_id,
                         "kind": r.kind,
-                        "n_bytes": len(content),
-                        "sha256": hashlib.sha256(content).hexdigest(),
+                        "n_bytes": r.n_bytes,
+                        "sha256": r.sha256,
                         "width": meta.get("width"),
                         "height": meta.get("height"),
                         "duration_ms": meta.get("duration_ms"),
@@ -105,7 +117,7 @@ def decode_media(
                 )
             yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
 
-    return media.mapInPandas(run, DECODED_SCHEMA)
+    return prepared.mapInPandas(run, DECODED_SCHEMA)
 
 
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:

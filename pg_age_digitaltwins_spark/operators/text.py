@@ -38,11 +38,13 @@ def _spread(df: DataFrame, *keys: str) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     # inputFiles() is a metadata-only probe (no RDD materialization of
     # the plan, unlike df.rdd.getNumPartitions); each local-fixture file
-    # is a single row-group, so files ≈ scan splits here.
-    try:
-        n_splits = len(df.inputFiles())
-    except Exception:
-        n_splits = target  # non-file-backed plan: assume already spread
+    # is a single row-group, so files ≈ scan splits here.  It returns []
+    # (not an exception) for non-file-backed plans — createDataFrame,
+    # in-memory views — which are exactly the 1-partition inputs that
+    # most need spreading, so fall back to the real partition count.
+    n_splits = len(df.inputFiles())
+    if n_splits == 0:
+        n_splits = df.rdd.getNumPartitions()
     if 0 < n_splits * 2 < target:
         return df.repartition(target, *keys) if keys else df.repartition(target)
     return df

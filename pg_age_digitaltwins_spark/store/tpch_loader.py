@@ -119,16 +119,6 @@ _WIDE_TABLES = frozenset(
 
 
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark
-        # sessions reject (PARQUET_TYPE_ILLEGAL).  nanosAsLong is a
-        # runtime SQLConf, so make the *caller's* session able to read
-        # it — the driver's harness supplies its own SparkSession.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Timestamp semantics must be deterministic vs the UTC-naive
-        # DuckDB oracle (date_trunc / hour boundaries follow the
-        # session timezone).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
         # nanosAsLong delivers BIGINT nanoseconds — convert to a
@@ -160,6 +150,14 @@ class LazyTables(Mapping):
         self._spark = spark
         self._sf_dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
+        # Session confs are set EAGERLY so semantics don't depend on
+        # table-access order (ADVICE r2): events.parquet carries
+        # TIMESTAMP(NANOS), which vanilla sessions reject
+        # (PARQUET_TYPE_ILLEGAL) — nanosAsLong is a runtime SQLConf —
+        # and timestamp arithmetic must be UTC-deterministic vs the
+        # naive DuckDB oracle.  NOTE: this mutates the caller's session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def __getitem__(self, name: str) -> DataFrame:
         if name not in self._cache:
@@ -178,8 +176,10 @@ class LazyTables(Mapping):
 def load_tables(spark: SparkSession, sf_dir: str) -> Mapping:
     """Map table name → DataFrame for the driver fixture at ``sf_dir``.
 
-    Works under ANY SparkSession (the required confs are runtime-set on
-    the passed session); tables load lazily on first access."""
+    Works under ANY SparkSession — constructing the mapping eagerly sets
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` and session timezone
+    UTC on the passed session (required to read the fixture; this is a
+    visible session mutation).  Tables load lazily on first access."""
     return LazyTables(spark, sf_dir)
 
 

@@ -246,3 +246,33 @@ def test_pagination_respects_top(client):
     )
     assert len(page2.rows) == 3
     assert page2.continuation_token is None
+
+
+def test_query_charge_arithmetic(client):
+    """Charge = rows + total top-level props, +5 for aggregates /
+    IS_OF_MODEL, +10 for var-length edges (``Query.cs:240-257``)."""
+    # plain projection: 13 rows × 1 property each → 13 + 13 = 26
+    page = client.query("SELECT $dtId AS dt_id FROM DIGITALTWINS")
+    assert client.query_charge(page) == 26.0
+    # COUNT() aggregate: 1 row, 1 prop, +5 → 7
+    page = client.query("SELECT COUNT() FROM DIGITALTWINS")
+    assert client.query_charge(page) == 7.0
+    # IS_OF_MODEL also triggers the +5 surcharge
+    page = client.query(
+        "SELECT $dtId AS dt_id FROM DIGITALTWINS "
+        "WHERE IS_OF_MODEL('dtmi:com:contoso:Planet;1')"
+    )
+    assert client.query_charge(page) == float(len(page.rows) * 2 + 5)
+
+
+def test_query_charge_var_length(fixture_store):
+    from pg_age_digitaltwins_spark.client import compute_query_charge
+
+    client = DigitalTwinsSparkClient(fixture_store)
+    q = "MATCH (a {`$dtId`: 'root2'})-[:has*1..2]->(b) RETURN b.`$dtId` AS id"
+    page = client.query(q)
+    n = len(page.rows)
+    assert n > 0
+    # rows + props(1 each) + 10 var-length; no aggregate keyword
+    assert client.query_charge(page) == float(n * 2 + 10)
+    assert compute_query_charge(page.rows, q) == page.charge
