@@ -236,6 +236,20 @@ class DigitalTwinsSparkClient:
         )
         return new
 
+    def update_relationship(
+        self, dt_id: str, rel_id: str, patch: list[dict[str, Any]], **kw
+    ) -> dict[str, Any]:
+        ts = kw.setdefault("ts", crud.now_iso())
+        store, new, old = crud.update_relationship(
+            self.store, dt_id, rel_id, patch, **kw
+        )
+        self._swap(store)
+        self.changes.begin()
+        self.changes.append(
+            new["$relationshipName"], rel_id, old, new, "Update", ts
+        )
+        return new
+
     def delete_relationship(self, dt_id: str, rel_id: str, **kw) -> None:
         store, old = crud.delete_relationship(self.store, dt_id, rel_id, **kw)
         self._swap(store)

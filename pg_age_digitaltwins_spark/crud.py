@@ -396,6 +396,39 @@ def create_or_replace_relationship(
     return _replace(store, relationships=base.unionByName(new_df)), doc, old
 
 
+def update_relationship(
+    store: GraphStore,
+    dt_id: str,
+    rel_id: str,
+    patch: list[dict[str, Any]],
+    *,
+    if_match: str | None = None,
+    ts: str | None = None,
+) -> tuple[GraphStore, dict[str, Any], dict[str, Any]]:
+    """D6/D7: fetch → ETag If-Match → RFC-6902 patch → re-validate →
+    re-stamp → MERGE (``Relationships.cs:420-510``)."""
+    old = get_relationship(store, dt_id, rel_id)
+    if if_match is not None and if_match != "*" and old.get("$etag") != if_match:
+        raise PreconditionFailedError(f"ETag mismatch for {rel_id}")
+    patched = jsonpatch.apply_patch(old, patch)
+    patched["$relationshipId"] = rel_id
+    patched["$sourceId"] = dt_id
+    patched.pop("$etag", None)
+    validate_relationship(patched)
+    if patched["$targetId"] != old["$targetId"]:
+        raise ValidationError("Cannot patch $targetId of a relationship")
+    ts = ts or now_iso()
+    patched["$etag"] = generate_etag(rel_id, ts)
+    row = _rel_row(patched)
+    base = store.relationships.filter(
+        ~((F.col("source_id") == dt_id) & (F.col("relationship_id") == rel_id))
+    )
+    new_df = store.spark.createDataFrame([row], REL_SCHEMA)
+    if "vdoc" in base.columns:
+        new_df = with_vdoc(new_df)
+    return _replace(store, relationships=base.unionByName(new_df)), patched, old
+
+
 def delete_relationship(
     store: GraphStore, dt_id: str, rel_id: str, *, if_match: str | None = None
 ) -> tuple[GraphStore, dict[str, Any]]:

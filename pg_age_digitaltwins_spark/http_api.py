@@ -1,0 +1,680 @@
+"""HTTP API parity layer (SURVEY.md §2.5 — the reference's primary
+interface).
+
+Maps the reference's ASP.NET minimal-API surface
+(``src/AgeDigitalTwins.ApiService/Extensions/DigitalTwinsEndpoints.cs:16-133``,
+``RelationshipsEndpoints.cs``, ``ComponentsEndpoints.cs``,
+``ModelsEndpoints.cs``, ``QueryEndpoints.cs``, ``TelemetryEndpoints.cs``,
+``ImportJobEndpoints.cs``) onto the Spark client, with the same routes,
+verbs, headers, status codes, and JSON shapes the Azure Digital Twins
+SDK expects.
+
+Framework-free by design: handlers are pure functions
+``Request -> Response`` dispatched from a route table, so the whole
+surface is testable in-process with zero network I/O, and ``serve()``
+adapts the same table onto the stdlib ``ThreadingHTTPServer`` for a real
+socket.  (No ASP.NET/FastAPI equivalent ships in this container; the
+stdlib adapter keeps the wiring honest.)
+
+Error mapping mirrors ``ExceptionHandler.cs:16-47``: domain exceptions
+carry their HTTP status, everything renders as an RFC-7807
+ProblemDetails body.  Rate limiting mirrors
+``Configuration/RateLimitingConfiguration.cs`` + the weighted-query
+middleware (``WeightedQueryRateLimitingMiddleware.cs``): fixed windows
+for light/heavy/admin tiers and a token bucket on ``/query`` charged by
+the page's query charge.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+import threading
+import time
+import urllib.parse
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pg_age_digitaltwins_spark import crud, jobs as jobs_mod
+from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+from pg_age_digitaltwins_spark.models import (
+    ModelAlreadyExistsError,
+    ModelNotFoundError,
+    ModelReferencedError,
+)
+from pg_age_digitaltwins_spark.validation import ValidationError
+
+DEFAULT_MAX_ITEMS_PER_PAGE = 2000  # RequestHelper.cs:10
+
+
+@dataclass
+class Request:
+    method: str
+    path: str
+    body: Any = None
+    query: dict[str, list[str]] = field(default_factory=dict)
+    headers: dict[str, str] = field(default_factory=dict)
+
+    def header(self, name: str) -> str | None:
+        for k, v in self.headers.items():
+            if k.lower() == name.lower():
+                return v
+        return None
+
+    def qparam(self, name: str) -> str | None:
+        vals = self.query.get(name)
+        return vals[0] if vals else None
+
+    @property
+    def max_items_per_page(self) -> int:
+        raw = self.header("max-items-per-page")
+        if raw is not None:
+            try:
+                return int(raw)
+            except ValueError:
+                pass
+        return DEFAULT_MAX_ITEMS_PER_PAGE
+
+
+@dataclass
+class Response:
+    status: int
+    body: Any = None
+    headers: dict[str, str] = field(default_factory=dict)
+
+
+def _problem(status: int, exc: Exception) -> Response:
+    """RFC-7807 body, same fields as ``ExceptionHandler.cs:35-44``."""
+    return Response(
+        status,
+        {
+            "title": "An error occurred",
+            "detail": str(exc),
+            "type": type(exc).__name__,
+            "status": status,
+        },
+    )
+
+
+# ----------------------------------------------------------------------
+# rate limiting (RateLimitingConfiguration.cs defaults)
+# ----------------------------------------------------------------------
+
+
+class FixedWindowLimiter:
+    """Fixed-window permit limiter (light/heavy/admin tiers)."""
+
+    def __init__(self, permit_limit: int, window_s: float = 1.0, clock=time.monotonic):
+        self.permit_limit = permit_limit
+        self.window_s = window_s
+        self.clock = clock
+        self._window_start = clock()
+        self._used = 0
+        self._lock = threading.Lock()
+
+    def try_acquire(self, permits: int = 1) -> bool:
+        with self._lock:
+            now = self.clock()
+            if now - self._window_start >= self.window_s:
+                self._window_start = now
+                self._used = 0
+            if self._used + permits > self.permit_limit:
+                return False
+            self._used += permits
+            return True
+
+
+class TokenBucketLimiter:
+    """Weighted-query bucket: /query consumes its page's query charge
+    (``WeightedQueryRateLimitingMiddleware.cs:30-44``; defaults
+    TokenLimit=1000, TokensPerPeriod replenished per second)."""
+
+    def __init__(
+        self,
+        token_limit: int = 1000,
+        tokens_per_period: int = 100,
+        period_s: float = 1.0,
+        clock=time.monotonic,
+    ):
+        self.token_limit = token_limit
+        self.tokens_per_period = tokens_per_period
+        self.period_s = period_s
+        self.clock = clock
+        self._tokens = float(token_limit)
+        self._last = clock()
+        self._lock = threading.Lock()
+
+    def try_acquire(self, tokens: float = 1.0) -> bool:
+        with self._lock:
+            now = self.clock()
+            periods = (now - self._last) / self.period_s
+            self._tokens = min(
+                self.token_limit, self._tokens + periods * self.tokens_per_period
+            )
+            self._last = now
+            if tokens > self._tokens:
+                return False
+            self._tokens -= tokens
+            return True
+
+
+# ----------------------------------------------------------------------
+# pagination over driver-side row lists (list endpoints page OLTP-sized
+# results; /query pages inside the engine itself)
+# ----------------------------------------------------------------------
+
+
+def _page_rows(rows: list, req: Request) -> dict[str, Any]:
+    """``PageWithNextLink`` shape: {"value": [...], "continuationToken"}.
+    Token = base64 {"_tr": offset}, matching the engine's own tokens."""
+    offset = 0
+    tok = req.qparam("continuationToken")
+    if tok:
+        offset = int(json.loads(base64.b64decode(tok))["_tr"])
+    n = req.max_items_per_page
+    page = rows[offset : offset + n]
+    out: dict[str, Any] = {"value": page}
+    if offset + n < len(rows):
+        out["continuationToken"] = base64.b64encode(
+            json.dumps({"_tr": offset + n}).encode()
+        ).decode()
+    return out
+
+
+# ----------------------------------------------------------------------
+# service
+# ----------------------------------------------------------------------
+
+_SEG = r"[^/]+"
+
+
+class ApiService:
+    """The route table + dispatch.  One instance per client (per graph),
+    like the reference's singleton ``AgeDigitalTwinsClient`` DI."""
+
+    def __init__(
+        self,
+        client: DigitalTwinsSparkClient,
+        rate_limiting: bool = False,
+        limiter_clock=time.monotonic,
+    ):
+        self.client = client
+        self.jobs = jobs_mod.JobService()
+        self._job_inputs: dict[str, str] = {}
+        self.rate_limiting = rate_limiting
+        # Tier defaults from RateLimitingConfiguration.cs
+        self.limiters = {
+            "light": FixedWindowLimiter(1000, clock=limiter_clock),
+            "heavy": FixedWindowLimiter(100, clock=limiter_clock),
+            "admin": FixedWindowLimiter(100, clock=limiter_clock),
+            "query": TokenBucketLimiter(clock=limiter_clock),
+        }
+        self.routes: list[tuple[str, re.Pattern, Callable, str]] = []
+        r = self._route
+        # --- twins (DigitalTwinsEndpoints.cs) ---
+        r("GET", f"/digitaltwins/(?P<id>{_SEG})", self.twin_get, "light")
+        r("PUT", f"/digitaltwins/(?P<id>{_SEG})", self.twin_put, "heavy")
+        r("PATCH", f"/digitaltwins/(?P<id>{_SEG})", self.twin_patch, "heavy")
+        r("DELETE", f"/digitaltwins/(?P<id>{_SEG})", self.twin_delete, "heavy")
+        r("POST", "/digitaltwins", self.twins_batch, "heavy")
+        r("POST", "/digitaltwins/search", self.twin_search, "light")
+        # --- relationships (RelationshipsEndpoints.cs) ---
+        r(
+            "GET",
+            f"/digitaltwins/(?P<id>{_SEG})/relationships",
+            self.rels_list,
+            "light",
+        )
+        r(
+            "GET",
+            f"/digitaltwins/(?P<id>{_SEG})/incomingrelationships",
+            self.rels_incoming,
+            "light",
+        )
+        r(
+            "GET",
+            f"/digitaltwins/(?P<id>{_SEG})/relationships/(?P<rid>{_SEG})",
+            self.rel_get,
+            "light",
+        )
+        r(
+            "PUT",
+            f"/digitaltwins/(?P<id>{_SEG})/relationships/(?P<rid>{_SEG})",
+            self.rel_put,
+            "heavy",
+        )
+        r(
+            "PATCH",
+            f"/digitaltwins/(?P<id>{_SEG})/relationships/(?P<rid>{_SEG})",
+            self.rel_patch,
+            "heavy",
+        )
+        r(
+            "DELETE",
+            f"/digitaltwins/(?P<id>{_SEG})/relationships/(?P<rid>{_SEG})",
+            self.rel_delete,
+            "heavy",
+        )
+        r("POST", "/relationships", self.rels_batch, "heavy")
+        # --- components (ComponentsEndpoints.cs) ---
+        r(
+            "GET",
+            f"/digitaltwins/(?P<id>{_SEG})/components/(?P<name>{_SEG})",
+            self.component_get,
+            "light",
+        )
+        r(
+            "PATCH",
+            f"/digitaltwins/(?P<id>{_SEG})/components/(?P<name>{_SEG})",
+            self.component_patch,
+            "heavy",
+        )
+        # --- telemetry (TelemetryEndpoints.cs) ---
+        r(
+            "POST",
+            f"/digitaltwins/(?P<id>{_SEG})/telemetry",
+            self.telemetry_post,
+            "light",
+        )
+        r(
+            "POST",
+            f"/digitaltwins/(?P<id>{_SEG})/telemetry/components/(?P<name>{_SEG})",
+            self.telemetry_component_post,
+            "light",
+        )
+        # --- query (QueryEndpoints.cs) ---
+        r("POST", "/query", self.query_post, "query")
+        # --- models (ModelsEndpoints.cs) ---
+        r("GET", "/models", self.models_list, "admin")
+        r("POST", "/models", self.models_create, "admin")
+        r("DELETE", "/models", self.models_delete_all, "admin")
+        r("POST", "/models/search", self.models_search, "admin")
+        r("GET", f"/models/(?P<id>{_SEG})", self.model_get, "admin")
+        r("DELETE", f"/models/(?P<id>{_SEG})", self.model_delete, "admin")
+        # --- import jobs (ImportJobEndpoints.cs) ---
+        r("PUT", f"/jobs/imports/(?P<id>{_SEG})", self.job_create, "admin")
+        r("GET", "/jobs/imports", self.jobs_list, "admin")
+        r("GET", f"/jobs/imports/(?P<id>{_SEG})", self.job_get, "admin")
+        r("POST", f"/jobs/imports/(?P<id>{_SEG})/cancel", self.job_cancel, "admin")
+        r("POST", f"/jobs/imports/(?P<id>{_SEG})/resume", self.job_resume, "admin")
+        r("DELETE", f"/jobs/imports/(?P<id>{_SEG})", self.job_delete, "admin")
+
+    def _route(self, method: str, pattern: str, handler: Callable, policy: str):
+        self.routes.append((method, re.compile(f"^{pattern}$"), handler, policy))
+
+    # ------------------------------------------------------------------
+    def handle(self, req: Request) -> Response:
+        """Dispatch: literal routes win over parameterized ones (so
+        POST /digitaltwins/search is not a twin id), then longest
+        pattern."""
+        candidates = []
+        for method, rx, handler, policy in self.routes:
+            if method != req.method:
+                continue
+            m = rx.match(req.path)
+            if m:
+                # Fewer captured params = more literal = higher priority
+                candidates.append((len(m.groupdict()), -len(rx.pattern), handler, policy, m))
+        if not candidates:
+            return Response(404, {"title": "Not found", "status": 404})
+        candidates.sort(key=lambda t: (t[0], t[1]))
+        _, _, handler, policy, m = candidates[0]
+        params = {k: urllib.parse.unquote(v) for k, v in m.groupdict().items()}
+        if self.rate_limiting and policy != "query":
+            if not self.limiters[policy].try_acquire():
+                return Response(429, {"title": "Too many requests", "status": 429})
+        try:
+            return handler(req, **params)
+        except crud.PreconditionFailedError as exc:
+            return _problem(412, exc)
+        # Conflict family first (ExceptionHandler.cs: ModelIdAlreadyExists /
+        # ModelReferencesNotDeleted carry 409)
+        except (ModelAlreadyExistsError, ModelReferencedError) as exc:
+            return _problem(409, exc)
+        except (ModelNotFoundError, crud.NotFoundError) as exc:
+            return _problem(404, exc)
+        except KeyError as exc:
+            return _problem(404, exc)
+        except (ValidationError, ValueError) as exc:
+            return _problem(400, exc)
+        except Exception as exc:  # noqa: BLE001 — 500 fallback, like the reference
+            return _problem(500, exc)
+
+    # ------------------------------------------------------------------
+    # twins
+    # ------------------------------------------------------------------
+    def twin_get(self, req: Request, id: str) -> Response:
+        return Response(200, self.client.get_digital_twin(id))
+
+    def twin_put(self, req: Request, id: str) -> Response:
+        kw: dict[str, Any] = {}
+        etag = req.header("If-None-Match")
+        if etag is not None:
+            kw["if_none_match"] = etag
+        return Response(200, self.client.create_or_replace_digital_twin(id, req.body, **kw))
+
+    def twin_patch(self, req: Request, id: str) -> Response:
+        kw: dict[str, Any] = {}
+        etag = req.header("If-Match")
+        if etag is not None:
+            kw["if_match"] = etag
+        self.client.update_digital_twin(id, req.body, **kw)
+        return Response(204)
+
+    def twin_delete(self, req: Request, id: str) -> Response:
+        self.client.delete_digital_twin(id)
+        return Response(204)
+
+    def twins_batch(self, req: Request) -> Response:
+        return Response(200, self.client.create_or_replace_digital_twins(req.body))
+
+    def twin_search(self, req: Request) -> Response:
+        """Hybrid search = the same Cypher the reference composes
+        (``AgeDigitalTwinsClient.DigitalTwins.cs:1223-1249``): model
+        filter + ORDER BY l2_distance LIMIT n via the query engine."""
+        body = req.body or {}
+        vector = body.get("vector")
+        if not vector:
+            raise ValueError("vector is required")
+        prop = body.get("embeddingProperty") or "embedding"
+        limit = int(body.get("limit") or 10)
+        model_filter = body.get("modelFilter")
+        where = (
+            f" WHERE t.`$metadata`.`$model` = '{model_filter}'" if model_filter else ""
+        )
+        cypher = (
+            f"MATCH (t:Twin){where} RETURN t "
+            f"ORDER BY l2_distance(t.{prop}, {json.dumps(vector)}) ASC LIMIT {limit}"
+        )
+        rows = self.client.query(cypher).rows
+        # The reference serializes vertex.Properties — the twin docs
+        return Response(
+            200,
+            [json.loads(r["t"]) if isinstance(r.get("t"), str) else r for r in rows],
+        )
+
+    # ------------------------------------------------------------------
+    # relationships
+    # ------------------------------------------------------------------
+    def rels_list(self, req: Request, id: str) -> Response:
+        rows = self.client.list_relationships(id, req.qparam("relationshipName"))
+        return Response(200, _page_rows(rows, req))
+
+    def rels_incoming(self, req: Request, id: str) -> Response:
+        rows = self.client.list_incoming_relationships(id)
+        return Response(200, _page_rows(rows, req))
+
+    def rel_get(self, req: Request, id: str, rid: str) -> Response:
+        return Response(200, self.client.get_relationship(id, rid))
+
+    def rel_put(self, req: Request, id: str, rid: str) -> Response:
+        doc = dict(req.body or {})
+        # Path params win over (and backfill) body ids, like the
+        # reference handler (RelationshipsEndpoints.cs:118-131)
+        doc.setdefault("$sourceId", id)
+        doc.setdefault("$relationshipId", rid)
+        kw: dict[str, Any] = {}
+        etag = req.header("If-None-Match")
+        if etag is not None:
+            kw["if_none_match"] = etag
+        return Response(
+            200, self.client.create_or_replace_relationship(id, rid, doc, **kw)
+        )
+
+    def rel_patch(self, req: Request, id: str, rid: str) -> Response:
+        kw: dict[str, Any] = {}
+        etag = req.header("If-Match")
+        if etag is not None:
+            kw["if_match"] = etag
+        self.client.update_relationship(id, rid, req.body, **kw)
+        return Response(204)
+
+    def rel_delete(self, req: Request, id: str, rid: str) -> Response:
+        self.client.delete_relationship(id, rid)
+        return Response(204)
+
+    def rels_batch(self, req: Request) -> Response:
+        return Response(200, self.client.create_or_replace_relationships(req.body))
+
+    # ------------------------------------------------------------------
+    # components
+    # ------------------------------------------------------------------
+    def component_get(self, req: Request, id: str, name: str) -> Response:
+        return Response(200, self.client.get_component(id, name))
+
+    def component_patch(self, req: Request, id: str, name: str) -> Response:
+        kw: dict[str, Any] = {}
+        etag = req.header("If-Match")
+        if etag is not None:
+            kw["if_match"] = etag
+        self.client.update_component(id, name, req.body, **kw)
+        return Response(204)
+
+    # ------------------------------------------------------------------
+    # telemetry
+    # ------------------------------------------------------------------
+    def telemetry_post(self, req: Request, id: str) -> Response:
+        self.client.publish_telemetry(id, req.body, message_id=req.header("Message-Id"))
+        return Response(204)
+
+    def telemetry_component_post(self, req: Request, id: str, name: str) -> Response:
+        self.client.publish_telemetry(
+            id, req.body, message_id=req.header("Message-Id"), component_name=name
+        )
+        return Response(204)
+
+    # ------------------------------------------------------------------
+    # query
+    # ------------------------------------------------------------------
+    def query_post(self, req: Request) -> Response:
+        body = req.body or {}
+        query = body.get("query")
+        token = body.get("continuationToken")
+        if not query and not token:
+            return Response(
+                400,
+                {
+                    "error": "Invalid request body. Expected a JSON object with at "
+                    "least one of 'query' or 'continuationToken' properties."
+                },
+            )
+        page = self.client.query(
+            query or "",
+            max_items_per_page=req.max_items_per_page,
+            continuation_token=token,
+        )
+        charge = self.client.query_charge(page)
+        if self.rate_limiting and not self.limiters["query"].try_acquire(
+            max(1.0, charge)
+        ):
+            return Response(429, {"title": "Too many requests", "status": 429})
+        out: dict[str, Any] = {"value": page.rows}
+        if page.continuation_token:
+            out["continuationToken"] = page.continuation_token
+        return Response(200, out, headers={"query-charge": str(charge)})
+
+    # ------------------------------------------------------------------
+    # models
+    # ------------------------------------------------------------------
+    def models_list(self, req: Request) -> Response:
+        deps = [d for d in req.query.get("dependenciesFor", []) if d]
+        include_def = (req.qparam("includeModelDefinition") or "").lower() == "true"
+        rows = self.client.list_models(dependencies_for=deps or None)
+        if not include_def:
+            rows = [
+                {k: v for k, v in m.items() if k != "model"} if "model" in m else m
+                for m in rows
+            ]
+        return Response(200, _page_rows(rows, req))
+
+    def models_create(self, req: Request) -> Response:
+        return Response(200, self.client.create_models(req.body))
+
+    def models_delete_all(self, req: Request) -> Response:
+        self.client.delete_all_models()
+        return Response(204)
+
+    def model_get(self, req: Request, id: str) -> Response:
+        return Response(200, self.client.get_model(id))
+
+    def model_delete(self, req: Request, id: str) -> Response:
+        self.client.delete_model(id)
+        return Response(204)
+
+    def models_search(self, req: Request) -> Response:
+        body = req.body or {}
+        return Response(
+            200,
+            self.client.search_models(
+                embedding=body.get("vector"),
+                text=body.get("query"),
+                limit=int(body.get("limit") or 10),
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    # import jobs
+    # ------------------------------------------------------------------
+    def _job_json(self, rec: jobs_mod.JobRecord) -> dict[str, Any]:
+        return {
+            "id": rec.id,
+            "status": rec.status,
+            "modelsCreated": rec.models_created,
+            "twinsCreated": rec.twins_created,
+            "relationshipsCreated": rec.relationships_created,
+            "errorCount": rec.error_count,
+            "errors": rec.errors,
+        }
+
+    def job_create(self, req: Request, id: str) -> Response:
+        body = req.body or {}
+        uri = body.get("inputBlobUri")
+        if not uri:
+            raise ValueError("inputBlobUri is required")
+        if id in self.jobs.records:
+            exc = ValueError(f"Import job with ID '{id}' already exists.")
+            return _problem(409, exc)
+        path = uri[len("file://") :] if uri.startswith("file://") else uri
+        # Synchronous in tests; the reference runs in background and the
+        # record is polled via GET — same contract, eager completion.
+        job = jobs_mod.ImportJob(self.client, job_service=self.jobs)
+        with open(path) as f:
+            rec = job.run((line.rstrip("\n") for line in f), id)
+        self._job_inputs[id] = path
+        return Response(201, self._job_json(rec))
+
+    def jobs_list(self, req: Request) -> Response:
+        rows = [self._job_json(r) for r in self.jobs.records.values()]
+        return Response(200, _page_rows(rows, req))
+
+    def job_get(self, req: Request, id: str) -> Response:
+        if id not in self.jobs.records:
+            return _problem(404, KeyError(id))
+        return Response(200, self._job_json(self.jobs.records[id]))
+
+    def job_cancel(self, req: Request, id: str) -> Response:
+        if id not in self.jobs.records:
+            return _problem(404, KeyError(id))
+        rec = self.jobs.records[id]
+        if rec.status != "Running":
+            return _problem(
+                400, ValueError(f"Job '{id}' is not running (status={rec.status})")
+            )
+        rec.status = "Cancelled"
+        return Response(200, self._job_json(rec))
+
+    def job_resume(self, req: Request, id: str) -> Response:
+        if id not in self.jobs.records:
+            return _problem(404, KeyError(id))
+        rec = self.jobs.records[id]
+        if rec.status not in ("Running", "Failed"):
+            return _problem(
+                400,
+                ValueError(f"Job '{id}' is not resumable (status={rec.status})"),
+            )
+        cp = self.jobs.checkpoints.get(id)
+        path = self._job_inputs.get(id)
+        if path is None or cp is None:
+            return _problem(400, ValueError(f"No checkpoint for job '{id}'"))
+        job = jobs_mod.ImportJob(self.client, job_service=self.jobs)
+        with open(path) as f:
+            rec = job.run((line.rstrip("\n") for line in f), id, resume_from=cp)
+        return Response(200, self._job_json(rec))
+
+    def job_delete(self, req: Request, id: str) -> Response:
+        if id not in self.jobs.records:
+            return _problem(404, KeyError(id))
+        del self.jobs.records[id]
+        self.jobs.checkpoints.pop(id, None)
+        self._job_inputs.pop(id, None)
+        return Response(204)
+
+
+# ----------------------------------------------------------------------
+# stdlib socket adapter
+# ----------------------------------------------------------------------
+
+
+def serve(api: ApiService, host: str = "127.0.0.1", port: int = 0):
+    """Mount the service on a real socket (stdlib ThreadingHTTPServer).
+    Returns the server; call ``.shutdown()`` to stop.  The bound port is
+    ``server.server_address[1]`` (``port=0`` picks a free one)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _do(self, method: str) -> None:
+            parsed = urllib.parse.urlsplit(self.path)
+            body = None
+            length = int(self.headers.get("Content-Length") or 0)
+            if length:
+                raw = self.rfile.read(length)
+                try:
+                    body = json.loads(raw)
+                except json.JSONDecodeError:
+                    body = raw.decode("utf-8", "replace")
+            req = Request(
+                method=method,
+                path=parsed.path.rstrip("/") or "/",
+                body=body,
+                query=urllib.parse.parse_qs(parsed.query),
+                headers=dict(self.headers.items()),
+            )
+            resp = api.handle(req)
+            payload = (
+                b""
+                if resp.body is None
+                else json.dumps(resp.body, separators=(",", ":")).encode()
+            )
+            self.send_response(resp.status)
+            for k, v in resp.headers.items():
+                self.send_header(k, v)
+            if payload:
+                self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            if payload:
+                self.wfile.write(payload)
+
+        def do_GET(self):
+            self._do("GET")
+
+        def do_POST(self):
+            self._do("POST")
+
+        def do_PUT(self):
+            self._do("PUT")
+
+        def do_PATCH(self):
+            self._do("PATCH")
+
+        def do_DELETE(self):
+            self._do("DELETE")
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server

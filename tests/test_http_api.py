@@ -1,0 +1,535 @@
+"""HTTP API parity layer (SURVEY.md §2.5): routes, verbs, status codes,
+headers, and JSON shapes modeled on the reference's endpoint tests and
+``AzureDigitalTwinsSdkIntegrationTests``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+from pg_age_digitaltwins_spark.http_api import ApiService, Request, serve
+from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+MODEL = {
+    "@id": "dtmi:ht:Room;1",
+    "@type": "Interface",
+    "@context": "dtmi:dtdl:context;3",
+    "contents": [
+        {"@type": "Property", "name": "temperature", "schema": "double"},
+        {"@type": "Property", "name": "name", "schema": "string"},
+        {"@type": "Property", "name": "embedding", "schema": {"@type": "Array", "elementSchema": "double"}},
+        {
+            "@type": "Relationship",
+            "name": "adjacentTo",
+            "properties": [{"@type": "Property", "name": "distance", "schema": "double"}],
+        },
+    ],
+}
+
+
+@pytest.fixture()
+def api(spark):
+    client = DigitalTwinsSparkClient(GraphStore.empty(spark))
+    svc = ApiService(client)
+    resp = svc.handle(Request("POST", "/models", body=[MODEL]))
+    assert resp.status == 200
+    for tid, temp, emb in [("r1", 20.0, [1.0, 0.0]), ("r2", 25.0, [0.0, 1.0])]:
+        resp = svc.handle(
+            Request(
+                "PUT",
+                f"/digitaltwins/{tid}",
+                body={
+                    "$metadata": {"$model": "dtmi:ht:Room;1"},
+                    "temperature": temp,
+                    "name": f"room {tid}",
+                    "embedding": emb,
+                },
+            )
+        )
+        assert resp.status == 200, resp.body
+    resp = svc.handle(
+        Request(
+            "PUT",
+            "/digitaltwins/r1/relationships/rel1",
+            body={"$targetId": "r2", "$relationshipName": "adjacentTo", "distance": 3.5},
+        )
+    )
+    assert resp.status == 200, resp.body
+    return svc
+
+
+# ----------------------------------------------------------------------
+# twins
+# ----------------------------------------------------------------------
+
+def test_twin_get_put_patch_delete(api):
+    got = api.handle(Request("GET", "/digitaltwins/r1"))
+    assert got.status == 200
+    assert got.body["temperature"] == 20.0
+    assert got.body["$etag"].startswith('W/"')
+
+    patched = api.handle(
+        Request(
+            "PATCH",
+            "/digitaltwins/r1",
+            body=[{"op": "replace", "path": "/temperature", "value": 21.5}],
+        )
+    )
+    assert patched.status == 204
+    assert api.handle(Request("GET", "/digitaltwins/r1")).body["temperature"] == 21.5
+
+    missing = api.handle(Request("GET", "/digitaltwins/nope"))
+    assert missing.status == 404
+    assert missing.body["type"]  # ProblemDetails shape
+    assert missing.body["status"] == 404
+
+    # deleting a twin with edges → 400 (reference: edge guard)
+    blocked = api.handle(Request("DELETE", "/digitaltwins/r1"))
+    assert blocked.status == 400
+    api.handle(Request("DELETE", "/digitaltwins/r1/relationships/rel1"))
+    assert api.handle(Request("DELETE", "/digitaltwins/r1")).status == 204
+    assert api.handle(Request("GET", "/digitaltwins/r1")).status == 404
+
+
+def test_twin_etag_precondition(api):
+    etag = api.handle(Request("GET", "/digitaltwins/r1")).body["$etag"]
+    # If-None-Match: * on existing twin → 412
+    resp = api.handle(
+        Request(
+            "PUT",
+            "/digitaltwins/r1",
+            body={"$metadata": {"$model": "dtmi:ht:Room;1"}, "temperature": 1.0},
+            headers={"If-None-Match": "*"},
+        )
+    )
+    assert resp.status == 412
+    # PATCH with stale If-Match → 412
+    resp = api.handle(
+        Request(
+            "PATCH",
+            "/digitaltwins/r1",
+            body=[{"op": "replace", "path": "/temperature", "value": 0.0}],
+            headers={"If-Match": 'W/"stale"'},
+        )
+    )
+    assert resp.status == 412
+    # PATCH with the current etag succeeds
+    resp = api.handle(
+        Request(
+            "PATCH",
+            "/digitaltwins/r1",
+            body=[{"op": "replace", "path": "/temperature", "value": 0.0}],
+            headers={"If-Match": etag},
+        )
+    )
+    assert resp.status == 204
+
+
+def test_twins_batch(api):
+    body = [
+        {"$dtId": "b1", "$metadata": {"$model": "dtmi:ht:Room;1"}, "temperature": 1.0},
+        {"$dtId": "b2", "$metadata": {"$model": "dtmi:ht:Room;1"}, "temperature": 2.0},
+        {"$dtId": "b3", "$metadata": {"$model": "dtmi:missing;1"}},
+    ]
+    resp = api.handle(Request("POST", "/digitaltwins", body=body))
+    assert resp.status == 200
+    statuses = [r["status"] for r in resp.body]
+    assert statuses.count("ok") == 2 and statuses.count("error") == 1
+
+
+def test_twin_search_hybrid(api):
+    resp = api.handle(
+        Request("POST", "/digitaltwins/search", body={"vector": [1.0, 0.0], "limit": 2})
+    )
+    assert resp.status == 200
+    assert [t["$dtId"] for t in resp.body] == ["r1", "r2"]  # r1 is closest
+    with_filter = api.handle(
+        Request(
+            "POST",
+            "/digitaltwins/search",
+            body={"vector": [0.0, 1.0], "modelFilter": "dtmi:ht:Room;1", "limit": 1},
+        )
+    )
+    assert [t["$dtId"] for t in with_filter.body] == ["r2"]
+    assert api.handle(Request("POST", "/digitaltwins/search", body={})).status == 400
+
+
+# ----------------------------------------------------------------------
+# relationships
+# ----------------------------------------------------------------------
+
+def test_relationship_routes(api):
+    got = api.handle(Request("GET", "/digitaltwins/r1/relationships/rel1"))
+    assert got.status == 200 and got.body["distance"] == 3.5
+
+    listed = api.handle(Request("GET", "/digitaltwins/r1/relationships"))
+    assert listed.status == 200
+    assert [r["$relationshipId"] for r in listed.body["value"]] == ["rel1"]
+    assert "continuationToken" not in listed.body
+
+    incoming = api.handle(Request("GET", "/digitaltwins/r2/incomingrelationships"))
+    assert [r["$relationshipId"] for r in incoming.body["value"]] == ["rel1"]
+
+    patched = api.handle(
+        Request(
+            "PATCH",
+            "/digitaltwins/r1/relationships/rel1",
+            body=[{"op": "replace", "path": "/distance", "value": 9.0}],
+        )
+    )
+    assert patched.status == 204
+    assert (
+        api.handle(Request("GET", "/digitaltwins/r1/relationships/rel1")).body["distance"]
+        == 9.0
+    )
+    # patching $targetId is rejected
+    bad = api.handle(
+        Request(
+            "PATCH",
+            "/digitaltwins/r1/relationships/rel1",
+            body=[{"op": "replace", "path": "/$targetId", "value": "r1"}],
+        )
+    )
+    assert bad.status == 400
+
+    assert (
+        api.handle(Request("DELETE", "/digitaltwins/r1/relationships/rel1")).status == 204
+    )
+    assert api.handle(Request("GET", "/digitaltwins/r1/relationships/rel1")).status == 404
+
+
+def test_relationship_put_backfills_ids(api):
+    resp = api.handle(
+        Request(
+            "PUT",
+            "/digitaltwins/r2/relationships/rel2",
+            body={"$targetId": "r1", "$relationshipName": "adjacentTo"},
+        )
+    )
+    assert resp.status == 200
+    assert resp.body["$sourceId"] == "r2" and resp.body["$relationshipId"] == "rel2"
+
+
+def test_relationships_batch_and_paging(api):
+    body = [
+        {
+            "$relationshipId": f"p{i}",
+            "$sourceId": "r2",
+            "$targetId": "r1",
+            "$relationshipName": "adjacentTo",
+        }
+        for i in range(5)
+    ]
+    assert api.handle(Request("POST", "/relationships", body=body)).status == 200
+    page1 = api.handle(
+        Request(
+            "GET",
+            "/digitaltwins/r2/relationships",
+            headers={"max-items-per-page": "3"},
+        )
+    )
+    assert len(page1.body["value"]) == 3 and page1.body["continuationToken"]
+    page2 = api.handle(
+        Request(
+            "GET",
+            "/digitaltwins/r2/relationships",
+            query={"continuationToken": [page1.body["continuationToken"]]},
+            headers={"max-items-per-page": "3"},
+        )
+    )
+    ids = [r["$relationshipId"] for r in page1.body["value"] + page2.body["value"]]
+    assert len(ids) == 5 and len(set(ids)) == 5
+    assert "continuationToken" not in page2.body
+
+
+# ----------------------------------------------------------------------
+# components / telemetry
+# ----------------------------------------------------------------------
+
+def test_component_routes(spark):
+    models = [
+        {
+            "@id": "dtmi:ht:Thermo;1",
+            "@type": "Interface",
+            "@context": "dtmi:dtdl:context;3",
+            "contents": [{"@type": "Property", "name": "setpoint", "schema": "double"}],
+        },
+        {
+            "@id": "dtmi:ht:Hvac;1",
+            "@type": "Interface",
+            "@context": "dtmi:dtdl:context;3",
+            "contents": [
+                {"@type": "Component", "name": "thermostat", "schema": "dtmi:ht:Thermo;1"}
+            ],
+        },
+    ]
+    svc = ApiService(DigitalTwinsSparkClient(GraphStore.empty(spark)))
+    assert svc.handle(Request("POST", "/models", body=models)).status == 200
+    assert (
+        svc.handle(
+            Request(
+                "PUT",
+                "/digitaltwins/h1",
+                body={
+                    "$metadata": {"$model": "dtmi:ht:Hvac;1"},
+                    "thermostat": {"$metadata": {}, "setpoint": 19.0},
+                },
+            )
+        ).status
+        == 200
+    )
+    got = svc.handle(Request("GET", "/digitaltwins/h1/components/thermostat"))
+    assert got.status == 200 and got.body["setpoint"] == 19.0
+    assert (
+        svc.handle(
+            Request(
+                "PATCH",
+                "/digitaltwins/h1/components/thermostat",
+                body=[{"op": "replace", "path": "/setpoint", "value": 22.0}],
+            )
+        ).status
+        == 204
+    )
+    assert (
+        svc.handle(Request("GET", "/digitaltwins/h1/components/thermostat")).body[
+            "setpoint"
+        ]
+        == 22.0
+    )
+
+
+def test_telemetry_routes(api):
+    resp = api.handle(
+        Request(
+            "POST",
+            "/digitaltwins/r1/telemetry",
+            body={"temp": 3.5},
+            headers={"Message-Id": "m-1"},
+        )
+    )
+    assert resp.status == 204
+    comp = api.handle(
+        Request("POST", "/digitaltwins/r1/telemetry/components/thermo", body={"x": 1})
+    )
+    assert comp.status == 204
+    evs = api.client.telemetry_events
+    assert evs[0]["messageId"] == "m-1" and evs[0]["telemetry"] == {"temp": 3.5}
+    assert evs[1]["componentName"] == "thermo"
+    # unknown twin → 404 (twin must exist, reference parity)
+    assert (
+        api.handle(Request("POST", "/digitaltwins/nope/telemetry", body={})).status == 404
+    )
+
+
+# ----------------------------------------------------------------------
+# query
+# ----------------------------------------------------------------------
+
+def test_query_route_with_paging_and_charge(api):
+    resp = api.handle(
+        Request(
+            "POST",
+            "/query",
+            body={"query": "SELECT $dtId AS dt_id FROM DIGITALTWINS"},
+            headers={"max-items-per-page": "1"},
+        )
+    )
+    assert resp.status == 200
+    assert len(resp.body["value"]) == 1
+    assert float(resp.headers["query-charge"]) > 0
+    tok = resp.body["continuationToken"]
+    resp2 = api.handle(
+        Request(
+            "POST",
+            "/query",
+            body={"continuationToken": tok},
+            headers={"max-items-per-page": "1"},
+        )
+    )
+    assert resp2.status == 200 and len(resp2.body["value"]) == 1
+    both = {r["dt_id"] for r in resp.body["value"] + resp2.body["value"]}
+    assert both == {"r1", "r2"}
+
+    assert api.handle(Request("POST", "/query", body={})).status == 400
+    bad = api.handle(Request("POST", "/query", body={"query": "SELECT FROM x y z"}))
+    assert bad.status == 400
+
+
+# ----------------------------------------------------------------------
+# models
+# ----------------------------------------------------------------------
+
+def test_model_routes(api):
+    listed = api.handle(Request("GET", "/models"))
+    assert listed.status == 200
+    assert len(listed.body["value"]) == 1
+    assert "model" not in listed.body["value"][0]  # definition omitted by default
+    with_def = api.handle(
+        Request("GET", "/models", query={"includeModelDefinition": ["true"]})
+    )
+    assert with_def.body["value"][0]["model"]["@id"] == "dtmi:ht:Room;1"
+
+    # model ids are URL-encoded in paths
+    got = api.handle(Request("GET", "/models/dtmi%3Aht%3ARoom%3B1"))
+    assert got.status == 200
+    assert api.handle(Request("GET", "/models/dtmi:nope;1")).status == 404
+
+    # delete succeeds (reference guards only model-to-model references,
+    # Models.cs:587-592) and the model is gone
+    assert api.handle(Request("DELETE", "/models/dtmi:ht:Room;1")).status == 204
+    assert api.handle(Request("GET", "/models/dtmi:ht:Room;1")).status == 404
+
+
+def test_models_search_route(api):
+    resp = api.handle(Request("POST", "/models/search", body={"query": "Room"}))
+    assert resp.status == 200
+    assert resp.body and resp.body[0]["id"] == "dtmi:ht:Room;1"
+
+
+# ----------------------------------------------------------------------
+# import jobs
+# ----------------------------------------------------------------------
+
+def _import_file(tmp_path, n=3):
+    lines = [
+        json.dumps({"Section": "Header"}),
+        json.dumps({"fileVersion": "1.0.0"}),
+        json.dumps({"Section": "Models"}),
+        json.dumps(
+            {
+                "@id": "dtmi:imp:Thing;1",
+                "@type": "Interface",
+                "@context": "dtmi:dtdl:context;3",
+                "contents": [{"@type": "Property", "name": "x", "schema": "double"}],
+            }
+        ),
+        json.dumps({"Section": "Twins"}),
+        *[
+            json.dumps(
+                {"$dtId": f"i{k}", "$metadata": {"$model": "dtmi:imp:Thing;1"}, "x": 1.0}
+            )
+            for k in range(n)
+        ],
+    ]
+    p = tmp_path / "import.ndjson"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_import_job_routes(spark, tmp_path):
+    svc = ApiService(DigitalTwinsSparkClient(GraphStore.empty(spark)))
+    path = _import_file(tmp_path)
+    created = svc.handle(
+        Request("PUT", "/jobs/imports/job1", body={"inputBlobUri": f"file://{path}"})
+    )
+    assert created.status == 201, created.body
+    assert created.body["status"] == "Succeeded"
+    assert created.body["twinsCreated"] == 3
+
+    assert svc.handle(Request("GET", "/digitaltwins/i0")).status == 200
+
+    dup = svc.handle(
+        Request("PUT", "/jobs/imports/job1", body={"inputBlobUri": path})
+    )
+    assert dup.status == 409
+
+    got = svc.handle(Request("GET", "/jobs/imports/job1"))
+    assert got.status == 200 and got.body["id"] == "job1"
+    listed = svc.handle(Request("GET", "/jobs/imports"))
+    assert [j["id"] for j in listed.body["value"]] == ["job1"]
+
+    # finished job: cancel → 400, resume → 400
+    assert svc.handle(Request("POST", "/jobs/imports/job1/cancel")).status == 400
+    assert svc.handle(Request("POST", "/jobs/imports/job1/resume")).status == 400
+
+    assert svc.handle(Request("DELETE", "/jobs/imports/job1")).status == 204
+    assert svc.handle(Request("GET", "/jobs/imports/job1")).status == 404
+    assert svc.handle(Request("POST", "/jobs/imports/nope/cancel")).status == 404
+
+
+# ----------------------------------------------------------------------
+# rate limiting
+# ----------------------------------------------------------------------
+
+def test_weighted_query_rate_limit(api):
+    clock = [0.0]
+    api.rate_limiting = True
+    from pg_age_digitaltwins_spark.http_api import TokenBucketLimiter
+
+    api.limiters["query"] = TokenBucketLimiter(
+        token_limit=20, tokens_per_period=20, clock=lambda: clock[0]
+    )
+    q = {"query": "SELECT $dtId AS dt_id FROM DIGITALTWINS"}
+    first = api.handle(Request("POST", "/query", body=q))
+    assert first.status == 200  # charge 2 rows + 2 props = 4... bucket 20
+    # drain the bucket
+    statuses = [api.handle(Request("POST", "/query", body=q)).status for _ in range(8)]
+    assert 429 in statuses
+    clock[0] += 10.0  # replenish
+    assert api.handle(Request("POST", "/query", body=q)).status == 200
+    api.rate_limiting = False
+
+
+def test_fixed_window_rate_limit(spark):
+    clock = [0.0]
+    svc = ApiService(
+        DigitalTwinsSparkClient(GraphStore.empty(spark)),
+        rate_limiting=True,
+        limiter_clock=lambda: clock[0],
+    )
+    from pg_age_digitaltwins_spark.http_api import FixedWindowLimiter
+
+    svc.limiters["light"] = FixedWindowLimiter(2, clock=lambda: clock[0])
+    s = [svc.handle(Request("GET", "/digitaltwins/x")).status for _ in range(3)]
+    assert s == [404, 404, 429]  # limit 2/window; 404 still consumes
+    clock[0] += 1.5
+    assert svc.handle(Request("GET", "/digitaltwins/x")).status == 404
+
+
+# ----------------------------------------------------------------------
+# real socket
+# ----------------------------------------------------------------------
+
+def test_http_server_roundtrip(api):
+    import http.client
+
+    server = serve(api)
+    try:
+        port = server.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+
+        conn.request(
+            "PUT",
+            "/digitaltwins/sock1",
+            body=json.dumps(
+                {"$metadata": {"$model": "dtmi:ht:Room;1"}, "temperature": 7.0}
+            ),
+            headers={"Content-Type": "application/json"},
+        )
+        r = conn.getresponse()
+        assert r.status == 200
+        doc = json.loads(r.read())
+        assert doc["temperature"] == 7.0
+
+        conn.request(
+            "POST",
+            "/query",
+            body=json.dumps({"query": "SELECT COUNT() FROM DIGITALTWINS"}),
+        )
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader("query-charge") is not None
+        assert json.loads(r.read())["value"][0]["count"] == 3
+
+        conn.request("GET", "/digitaltwins/sock1/relationships?relationshipName=x")
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read())["value"] == []
+
+        conn.request("DELETE", "/digitaltwins/sock1")
+        assert conn.getresponse().status == 204
+        conn.close()
+    finally:
+        server.shutdown()
