@@ -63,18 +63,29 @@ def _rebuild(store: GraphStore, docs: dict[str, dict[str, Any]]) -> GraphStore:
 def create_models(
     store: GraphStore, model_docs: list[dict[str, Any] | str]
 ) -> tuple[GraphStore, list[dict[str, Any]]]:
-    """Batch create: DTDL parse, duplicate/exists checks, closure
-    recompute, dim-table replace (``Models.cs:248-470``)."""
+    """Batch create: DTDL parse + structural validation, duplicate/
+    exists checks, closure recompute, dim-table replace
+    (``Models.cs:248-470``; parse errors fail the whole batch, like the
+    reference's DTDLParser pass)."""
+    from pg_age_digitaltwins_spark.validation import validate_model
+
     docs = _current_docs(store)
     created: list[dict[str, Any]] = []
+    batch: list[dict[str, Any]] = []
     for m in model_docs:
         d = json.loads(m) if isinstance(m, str) else dict(m)
         mid = d.get("@id")
         if not mid:
             raise ValueError("DTDL model requires @id")
-        if mid in docs:
+        if mid in docs or any(b.get("@id") == mid for b in batch):
             raise ModelAlreadyExistsError(f"Model {mid} already exists")
-        docs[mid] = d
+        batch.append(d)
+    # Reference resolution sees existing models plus the whole batch
+    # (models may reference each other within one upload)
+    known = set(docs) | {d["@id"] for d in batch}
+    for d in batch:
+        validate_model(d, known)
+        docs[d["@id"]] = d
         created.append(d)
     return _rebuild(store, docs), created
 

@@ -126,6 +126,50 @@ class ChangeLog:
         out, self.events = self.events, []
         return out
 
+    def drain_to_feed(self, feed_dir: str) -> int:
+        """Drain the log into an ND-JSON feed directory — the bridge
+        from OLTP mutations to ``run_change_stream``'s readStream source
+        (one file per drain = one clean micro-batch; file sources only
+        pick up whole new files).  This is the WAL→stream hand-off of
+        the reference's replication loop, minus the Postgres slot."""
+        import os
+        import uuid
+
+        events = self.drain()
+        if not events:
+            return 0
+        os.makedirs(feed_dir, exist_ok=True)
+        tmp = os.path.join(feed_dir, f".{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            for e in events:
+                f.write(
+                    json.dumps(
+                        {
+                            "entity_id": e.entity_id,
+                            "graph_name": e.graph_name,
+                            "table_name": e.table_name,
+                            "old_value": None
+                            if e.old_value is None
+                            else json.dumps(e.old_value, separators=(",", ":")),
+                            "new_value": None
+                            if e.new_value is None
+                            else json.dumps(e.new_value, separators=(",", ":")),
+                            "event_type": e.event_type,
+                            "timestamp": _ts(e.timestamp).isoformat(
+                                sep="T", timespec="milliseconds"
+                            ),
+                            "txn_id": e.txn_id,
+                            "seq": e.seq,
+                        },
+                        separators=(",", ":"),
+                    )
+                    + "\n"
+                )
+        # atomic rename so the stream never reads a half-written file
+        final = os.path.join(feed_dir, f"batch-{uuid.uuid4().hex}.ndjson")
+        os.rename(tmp, final)
+        return len(events)
+
 
 def _ts(iso: str):
     from datetime import datetime

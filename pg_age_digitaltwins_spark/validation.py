@@ -193,6 +193,143 @@ def _validate_component(
     return out
 
 
+# ----------------------------------------------------------------------
+# model-document (DTDL interface) validation — the long tail the
+# reference delegates to Microsoft's DTDLParser
+# (``AgeDigitalTwinsClient.cs:68-81``), re-expressed as a public-DTDL-v3
+# subset: DTMI grammar, @context versions, contents kinds, schema
+# presence, and the quantitativeTypes semantic-type extension
+# (``SampleData.cs`` Room/TemperatureSensor models use it).
+# ----------------------------------------------------------------------
+
+import re as _re
+
+_DTMI_RE = _re.compile(
+    r"^dtmi:[A-Za-z](?:[A-Za-z0-9_]*[A-Za-z0-9])?"
+    r"(?::[A-Za-z](?:[A-Za-z0-9_]*[A-Za-z0-9])?)*;[1-9][0-9]*$"
+)
+_NAME_RE = _re.compile(r"^[A-Za-z](?:[A-Za-z0-9_]*[A-Za-z0-9])?$")
+_DTDL_CONTEXTS = {"dtmi:dtdl:context;2", "dtmi:dtdl:context;3", "dtmi:dtdl:context;4"}
+_QT_CONTEXT_PREFIX = "dtmi:dtdl:extension:quantitativeTypes;"
+_CONTENT_KINDS = {"Property", "Relationship", "Telemetry", "Command", "Component"}
+_NUMERIC_SCHEMAS = {"double", "float", "integer", "long"}
+
+# Public DTDL quantitativeTypes v1 — practical subset of semantic types
+# and their unit vocabularies.  Unknown semantic types are accepted
+# leniently; unknown units for KNOWN types are rejected (DTDLParser
+# behavior).
+SEMANTIC_UNITS: dict[str, set[str]] = {
+    "Temperature": {"kelvin", "degreeCelsius", "degreeFahrenheit"},
+    "RelativeHumidity": {"percent", "unity"},
+    "Humidity": {"kilogramPerCubicMetre", "gramPerCubicMetre"},
+    "Distance": {"metre", "centimetre", "millimetre", "micrometre", "nanometre",
+                 "kilometre", "mile", "nauticalMile", "foot", "inch", "astronomicalUnit"},
+    "Length": {"metre", "centimetre", "millimetre", "micrometre", "nanometre",
+               "kilometre", "mile", "nauticalMile", "foot", "inch", "astronomicalUnit"},
+    "Pressure": {"pascal", "kilopascal", "bar", "millibar", "millimetresOfMercury",
+                 "poundPerSquareInch", "inchesOfMercury", "inchesOfWater"},
+    "Velocity": {"metrePerSecond", "centimetrePerSecond", "kilometrePerSecond",
+                 "metrePerHour", "kilometrePerHour", "milePerHour", "milePerSecond", "knot"},
+    "Acceleration": {"metrePerSecondSquared", "centimetrePerSecondSquared", "gForce"},
+    "Angle": {"radian", "degreeOfArc", "minuteOfArc", "secondOfArc", "turn"},
+    "Mass": {"kilogram", "gram", "milligram", "microgram", "tonne", "slug"},
+    "Power": {"watt", "microwatt", "milliwatt", "kilowatt", "megawatt", "gigawatt",
+              "horsepower", "kilowattHour", "kilowattHourPerYear"},
+    "Energy": {"joule", "kilojoule", "megajoule", "gigajoule", "electronvolt",
+               "megaelectronvolt", "kilowattHour"},
+    "Voltage": {"volt", "millivolt", "microvolt", "kilovolt", "megavolt"},
+    "Current": {"ampere", "microampere", "milliampere"},
+    "Frequency": {"hertz", "kilohertz", "megahertz", "gigahertz"},
+    "Illuminance": {"lux", "footcandle"},
+    "Luminosity": {"candelaPerSquareMetre"},
+    "DataRate": {"bitPerSecond", "kibibitPerSecond", "mebibitPerSecond",
+                 "gibibitPerSecond", "tebibitPerSecond", "exbibitPerSecond",
+                 "zebibitPerSecond", "yobibitPerSecond", "bytePerSecond",
+                 "kibibytePerSecond", "mebibytePerSecond", "gibibytePerSecond",
+                 "tebibytePerSecond", "exbibytePerSecond", "zebibytePerSecond",
+                 "yobibytePerSecond"},
+    "DataSize": {"bit", "kibibit", "mebibit", "gibibit", "tebibit", "exbibit",
+                 "zebibit", "yobibit", "byte", "kibibyte", "mebibyte", "gibibyte",
+                 "tebibyte", "exbibyte", "zebibyte", "yobibyte"},
+    "TimeSpan": {"second", "millisecond", "microsecond", "nanosecond", "minute",
+                 "hour", "day", "year"},
+    "Latitude": {"degreeOfArc", "minuteOfArc", "secondOfArc", "radian", "turn"},
+    "Longitude": {"degreeOfArc", "minuteOfArc", "secondOfArc", "radian", "turn"},
+}
+
+
+def validate_model(
+    doc: dict[str, Any], known_ids: set[str] | None = None
+) -> None:
+    """Structural DTDL interface validation (parser-parity subset).
+    ``known_ids`` = ids resolvable for ``extends``/Component schemas
+    (existing models + the rest of the batch); pass ``None`` to skip
+    reference resolution."""
+    v: list[str] = []
+    mid = doc.get("@id")
+    if not isinstance(mid, str) or not _DTMI_RE.match(mid):
+        v.append(f"@id {mid!r} is not a valid DTMI")
+    if "Interface" not in _types_of(doc):
+        v.append("@type must include 'Interface'")
+    ctx = doc.get("@context")
+    ctxs = [ctx] if isinstance(ctx, str) else list(ctx or [])
+    if not any(c in _DTDL_CONTEXTS for c in ctxs):
+        v.append("@context must include a dtmi:dtdl:context;2..4 version")
+    has_qt = any(isinstance(c, str) and c.startswith(_QT_CONTEXT_PREFIX) for c in ctxs)
+
+    for parent in extract_extends(doc):
+        if not _DTMI_RE.match(parent):
+            v.append(f"extends {parent!r} is not a valid DTMI")
+        elif known_ids is not None and parent not in known_ids:
+            v.append(f"extends {parent!r} cannot be resolved")
+
+    seen_names: set[str] = set()
+    for item in doc.get("contents", []) or []:
+        if not isinstance(item, dict):
+            v.append("contents items must be objects")
+            continue
+        kinds = _types_of(item)
+        kind = next((k for k in kinds if k in _CONTENT_KINDS), None)
+        name = item.get("name")
+        where = f"content '{name}'"
+        if kind is None:
+            v.append(f"{where}: @type {kinds!r} has no DTDL content kind")
+            continue
+        if not isinstance(name, str) or not _NAME_RE.match(name) or len(name) > 64:
+            v.append(f"content name {name!r} is not a valid DTDL identifier")
+            continue
+        if name in seen_names:
+            v.append(f"duplicate content name '{name}'")
+        seen_names.add(name)
+        if kind in ("Property", "Telemetry") and item.get("schema") is None:
+            v.append(f"{where}: {kind} requires a schema")
+        if kind == "Component":
+            cs = item.get("schema")
+            if not isinstance(cs, str) or not _DTMI_RE.match(cs):
+                v.append(f"{where}: Component schema must be an interface DTMI")
+            elif known_ids is not None and cs not in known_ids:
+                v.append(f"{where}: Component schema {cs!r} cannot be resolved")
+        # semantic types (co-types beyond the content kind)
+        semantics = [k for k in kinds if k not in _CONTENT_KINDS]
+        unit = item.get("unit")
+        if semantics and kind in ("Property", "Telemetry"):
+            if not has_qt:
+                v.append(
+                    f"{where}: semantic type {semantics[0]!r} requires the "
+                    "quantitativeTypes extension in @context"
+                )
+            if item.get("schema") not in _NUMERIC_SCHEMAS:
+                v.append(f"{where}: semantic type requires a numeric schema")
+            for s in semantics:
+                allowed = SEMANTIC_UNITS.get(s)
+                if allowed is not None and unit is not None and unit not in allowed:
+                    v.append(f"{where}: unit {unit!r} is not a valid {s} unit")
+        elif unit is not None and not semantics:
+            v.append(f"{where}: unit requires a semantic @type")
+    if v:
+        raise ValidationError(" AND ".join(v))
+
+
 RESERVED_REL_KEYS = {
     "$relationshipId",
     "$sourceId",

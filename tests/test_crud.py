@@ -433,3 +433,144 @@ def test_relationship_batch_replace_emits_update_event(client):
     )
     [ev2] = client.changes.drain()
     assert ev2.event_type == "Insert" and ev2.old_value is None
+
+
+# ----------------------------------------------------------------------
+# DTDL model-document validation (the DTDLParser-parity subset)
+# ----------------------------------------------------------------------
+
+def _interface(**over):
+    base = {
+        "@id": "dtmi:v:Test;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [],
+    }
+    base.update(over)
+    return base
+
+
+def test_validate_model_accepts_semantic_types():
+    from pg_age_digitaltwins_spark.validation import validate_model
+
+    validate_model(
+        _interface(
+            **{
+                "@context": [
+                    "dtmi:dtdl:context;3",
+                    "dtmi:dtdl:extension:quantitativeTypes;1",
+                ]
+            },
+            contents=[
+                {
+                    "@type": ["Property", "Temperature"],
+                    "name": "temperature",
+                    "schema": "double",
+                    "unit": "degreeCelsius",
+                },
+                {
+                    "@type": ["Telemetry", "Humidity"],
+                    "name": "hum",
+                    "schema": "double",
+                    "unit": "gramPerCubicMetre",
+                },
+            ],
+        )
+    )
+
+
+def test_validate_model_rejections():
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.validation import validate_model
+
+    with _pytest.raises(ValidationError, match="not a valid DTMI"):
+        validate_model(_interface(**{"@id": "not-a-dtmi"}))
+    with _pytest.raises(ValidationError, match="@type must include"):
+        validate_model(_interface(**{"@type": "Telemetry"}))
+    with _pytest.raises(ValidationError, match="@context"):
+        validate_model(_interface(**{"@context": "dtmi:wrong;1"}))
+    with _pytest.raises(ValidationError, match="requires a schema"):
+        validate_model(
+            _interface(contents=[{"@type": "Property", "name": "x"}])
+        )
+    with _pytest.raises(ValidationError, match="not a valid Temperature unit"):
+        validate_model(
+            _interface(
+                **{
+                    "@context": [
+                        "dtmi:dtdl:context;3",
+                        "dtmi:dtdl:extension:quantitativeTypes;1",
+                    ]
+                },
+                contents=[
+                    {
+                        "@type": ["Property", "Temperature"],
+                        "name": "t",
+                        "schema": "double",
+                        "unit": "furlong",
+                    }
+                ],
+            )
+        )
+    # semantic type without the extension context
+    with _pytest.raises(ValidationError, match="quantitativeTypes"):
+        validate_model(
+            _interface(
+                contents=[
+                    {
+                        "@type": ["Property", "Temperature"],
+                        "name": "t",
+                        "schema": "double",
+                        "unit": "kelvin",
+                    }
+                ]
+            )
+        )
+    # semantic type on a string schema
+    with _pytest.raises(ValidationError, match="numeric schema"):
+        validate_model(
+            _interface(
+                **{
+                    "@context": [
+                        "dtmi:dtdl:context;3",
+                        "dtmi:dtdl:extension:quantitativeTypes;1",
+                    ]
+                },
+                contents=[
+                    {
+                        "@type": ["Property", "Temperature"],
+                        "name": "t",
+                        "schema": "string",
+                    }
+                ],
+            )
+        )
+    with _pytest.raises(ValidationError, match="duplicate content name"):
+        validate_model(
+            _interface(
+                contents=[
+                    {"@type": "Property", "name": "x", "schema": "double"},
+                    {"@type": "Property", "name": "x", "schema": "string"},
+                ]
+            )
+        )
+    with _pytest.raises(ValidationError, match="cannot be resolved"):
+        validate_model(_interface(extends="dtmi:v:Missing;1"), {"dtmi:v:Test;1"})
+
+
+def test_create_models_validates_batch(client):
+    from pg_age_digitaltwins_spark.models import ModelAlreadyExistsError
+
+    # in-batch cross-references resolve
+    a = _interface(**{"@id": "dtmi:v:A;1"})
+    b = _interface(
+        **{"@id": "dtmi:v:B;1"},
+        extends="dtmi:v:A;1",
+        contents=[{"@type": "Component", "name": "sub", "schema": "dtmi:v:A;1"}],
+    )
+    client.create_models([a, b])
+    with pytest.raises(ModelAlreadyExistsError):
+        client.create_models([_interface(**{"@id": "dtmi:v:A;1"})])
+    with pytest.raises(ValidationError, match="cannot be resolved"):
+        client.create_models([_interface(**{"@id": "dtmi:v:C;1"}, extends="dtmi:v:Nope;1")])

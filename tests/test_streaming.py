@@ -387,3 +387,41 @@ def test_run_change_stream_end_to_end(spark, tmp_path):
     q2 = run_change_stream(spark, str(feed), router, str(tmp_path / "ckpt"))
     q2.awaitTermination(120)
     assert [e["subject"] for e in mem.events] == ["t3"]
+
+
+def test_mutations_to_stream_via_feed(spark, tmp_path):
+    """Full replication story through the package API: client mutations
+    → ChangeLog.drain_to_feed (WAL→feed hand-off) → run_change_stream →
+    sink.  Mirrors the reference's replication loop end-to-end."""
+    from pg_age_digitaltwins_spark.streaming.sinks import run_change_stream
+
+    models = [{
+        "@id": "dtmi:t:M;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "temperature", "schema": "double"}],
+    }]
+    client = DigitalTwinsSparkClient(GraphStore.empty(spark).with_models(models))
+    client.create_or_replace_digital_twin(
+        "t1", {"$metadata": {"$model": "dtmi:t:M;1"}, "temperature": 1.0}, ts=TS
+    )
+    client.update_digital_twin(
+        "t1", [{"op": "replace", "path": "/temperature", "value": 2.0}], ts=TS
+    )
+
+    feed = tmp_path / "feed"
+    n = client.changes.drain_to_feed(str(feed))
+    assert n == 2 and client.changes.events == []
+
+    router = EventRouter(source="src-feed")
+    sink = InMemoryEventSink("mem")
+    router.add_sink(sink)
+    router.add_route(EventRoute("mem", "EventNotification"))
+    q = run_change_stream(spark, str(feed), router, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # separate transactions -> Create then Update (no cross-txn merge)
+    assert sorted(e["type"] for e in sink.events) == [
+        "Konnektr.Graph.Twin.Create", "Konnektr.Graph.Twin.Update",
+    ]
+    upd = next(e for e in sink.events if e["type"].endswith("Update"))
+    assert any(p["path"] == "/temperature" for p in upd["data"]["patch"])
