@@ -268,6 +268,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_last_value"] = lambda s, d: ev_ops.last_value_per_user_type(_tables(s, d)["events"])
     q["events_sessionize"] = lambda s, d: ev_ops.sessionize(_tables(s, d)["events"])
 
+    def _asof(s, d):
+        from pyspark.sql import functions as F
+
+        ev = _tables(s, d)["events"]
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        clicks = ev.filter(F.col("event_type") == "click")
+        joined = ev_ops.asof_join_latest_event(purchases, clicks, "ts", "user_id")
+        return joined.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("__last_event.event_id").alias("click_id"),
+            F.col("__last_event.value").alias("click_value"),
+        )
+
+    q["events_asof_join"] = _asof
+
     # --- text / dedup -------------------------------------------------
     q["text_token_counts"] = lambda s, d: text.token_counts(_tables(s, d)["documents"])
     q["text_quality"] = lambda s, d: text.quality_scores(_tables(s, d)["documents"])
@@ -559,6 +575,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, event_type, value, "
         "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn "
         "FROM events) WHERE rn = 1"
+    )
+    o["events_asof_join"] = (
+        "SELECT p.event_id AS purchase_id, p.user_id AS user_id, "
+        "c.event_id AS click_id, c.value AS click_value "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"
     )
     o["events_sessionize"] = (
         "WITH flagged AS ("

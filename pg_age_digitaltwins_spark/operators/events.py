@@ -74,30 +74,43 @@ def asof_join_latest_event(
     ``left_ts`` for the matching key.
 
     Implemented as union + window (the scalable shape: one shuffle on
-    the key, no range cross-join):  tag both sides, sort by time within
-    key, carry the last event forward with ``last(ignorenulls)``."""
+    the key, no range cross-join): tag both sides, sort by time within
+    key with events winning ties (inclusive "at or before"), carry the
+    last event forward with ``last(ignorenulls)``, keep the left rows.
+
+    Both sides ride through ONE pipeline as structs — no row-id
+    round-trip join (a previous version paired rows back via
+    ``monotonically_increasing_id`` computed on two plan branches,
+    which is not stable across stage layouts and silently mis-joined)."""
+    lf_struct = F.struct(*[F.col(c) for c in left.columns])
+    ev_struct = F.struct(*[F.col(c) for c in events.columns])
     ev = events.select(
         F.col(event_key).alias("__k"),
         F.col("ts").alias("__t"),
-        F.lit(None).cast("long").alias("__rowid"),
-        F.struct(*[F.col(c) for c in events.columns]).alias("__event"),
+        F.lit(0).alias("__side"),
+        ev_struct.alias("__event"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+        ).alias("__left"),
     )
+    ev_struct_t = ev.schema["__event"].dataType
     lf = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_ts).alias("__t"),
-        F.monotonically_increasing_id().alias("__rowid"),
-        F.lit(None).cast(ev.schema["__event"].dataType).alias("__event"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(ev_struct_t).alias("__event"),
+        lf_struct.alias("__left"),
     )
-    left_tagged = left.withColumn("__rowid", F.monotonically_increasing_id())
-    unioned = ev.unionByName(lf)
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t"), F.col("__rowid").asc_nulls_first())
+        .orderBy(F.col("__t"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    matched = (
-        unioned.withColumn("__last_event", F.last("__event", ignorenulls=True).over(w))
-        .filter(F.col("__rowid").isNotNull())
-        .select("__rowid", "__last_event")
+    return (
+        ev.unionByName(lf)
+        .withColumn("__last_event", F.last("__event", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select(
+            *[F.col(f"__left.{c}").alias(c) for c in left.columns], "__last_event"
+        )
     )
-    return left_tagged.join(matched, "__rowid", "left").drop("__rowid")
