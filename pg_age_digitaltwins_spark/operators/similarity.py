@@ -122,19 +122,68 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     )
 
 
+def ivf_train_kmeans(
+    embeddings: DataFrame, n_cells: int = 16, n_iters: int = 2
+) -> DataFrame:
+    """Lloyd k-means refinement of the coarse centroids, expressed as
+    DataFrame ops: assign (broadcast centroids, JVM distance) →
+    element-wise mean per cell (posexplode → avg → re-assemble).  Each
+    iteration is two shuffles over N rows; the centroid table itself is
+    tiny (C×dim doubles) and is collected per iteration to truncate the
+    lineage — the standard driver-size-dim / executor-size-data split.
+    Empty cells keep their previous centroid.  Deterministic up to
+    floating-point summation order (fine for ANN bucketing)."""
+    spark = embeddings.sparkSession
+    elem_t = embeddings.schema["embedding"].dataType.simpleString()  # array<...>
+    cents = ivf_centroids(embeddings, n_cells)
+    prev = {r["cell_id"]: list(r["centroid"]) for r in cents.collect()}
+    for _ in range(max(0, n_iters)):
+        cents_df = spark.createDataFrame(
+            [(cid, c) for cid, c in sorted(prev.items())], "cell_id int, centroid " + elem_t
+        )
+        assigned = ivf_assign(embeddings, cents_df)
+        means = (
+            embeddings.join(assigned, "vec_id")
+            .select("cell_id", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("cell_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, v))), x -> x.v)"
+                )
+                .cast(elem_t)
+                .alias("centroid")
+            )
+        )
+        for r in means.collect():
+            prev[r["cell_id"]] = list(r["centroid"])
+    return spark.createDataFrame(
+        [(cid, c) for cid, c in sorted(prev.items())], "cell_id int, centroid " + elem_t
+    )
+
+
 def ann_ivf_search(
     embeddings: DataFrame,
     query_id: int,
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: probe only the ``n_probe`` cells nearest the
     query.  At 100 TB the assignment table is computed once at ingest
     and partitioned by ``cell_id``, so a probe reads ~n_probe/n_cells of
     the data — here both steps run in one plan.  Returns the same
-    (vec_id, sim) shape as ``knn_brute_force``."""
-    cents = F.broadcast(ivf_centroids(embeddings, n_cells))
+    (vec_id, sim) shape as ``knn_brute_force``.  ``train_iters > 0``
+    refines the coarse centroids with that many Lloyd iterations
+    (``ivf_train_kmeans``) — the production shape, where training runs
+    once at ingest; the default stays 0 so the probe itself is
+    single-pass and bit-reproducible."""
+    if train_iters > 0:
+        cents = F.broadcast(ivf_train_kmeans(embeddings, n_cells, train_iters))
+    else:
+        cents = F.broadcast(ivf_centroids(embeddings, n_cells))
     assigned = ivf_assign(embeddings, cents)
     data = embeddings.join(assigned, "vec_id")
     q_vec = F.broadcast(_query_vector_df(embeddings, query_id))

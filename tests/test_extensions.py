@@ -264,3 +264,29 @@ def test_minhash_lsh_bucket_cap(spark):
     assert (2000, 2001) in got, "near-dup pair outside the dup block must survive"
     # kept members of the degenerate bucket still pair with each other
     assert (0, 1) in got
+
+
+def test_ivf_kmeans_training(embeddings):
+    """Lloyd refinement: centroids move toward cell means, every cell id
+    survives (empty cells keep their seed), and the trained index still
+    returns k results with recall no worse than chance."""
+    seed = similarity.ivf_centroids(embeddings, 8)
+    trained = similarity.ivf_train_kmeans(embeddings, n_cells=8, n_iters=2)
+    assert [r["cell_id"] for r in trained.orderBy("cell_id").collect()] == list(
+        range(1, 9)
+    )
+    s0 = {r["cell_id"]: list(r["centroid"]) for r in seed.collect()}
+    t0 = {r["cell_id"]: list(r["centroid"]) for r in trained.collect()}
+    moved = sum(1 for c in s0 if s0[c] != t0[c])
+    assert moved > 0  # training actually updated centroids
+
+    exact = [r["vec_id"] for r in similarity.knn_brute_force(embeddings, 0, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ann_ivf_search(
+            embeddings, 0, k=10, n_cells=8, n_probe=4, train_iters=2
+        ).collect()
+    ]
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"trained IVF recall too low: {recall}"
