@@ -381,7 +381,9 @@ def import_file_distributed(
         _twin_parse_fn(client.registry, ts, user_id),
         schema="pos long, dt_id string, model_id string, etag string, "
         "last_update_time timestamp, doc string, error string",
-    )
+    ).persist()
+    # persist: the parse feeds three consumers (error sample, count,
+    # merge) — without it the Python parse stage re-runs per action.
     _collect_errors(rec, parsed.filter(F.col("error").isNotNull()), "Twins")
     good = parsed.filter(F.col("error").isNull())
     rec.twins_created = good.count()
@@ -404,7 +406,7 @@ def import_file_distributed(
         _rel_parse_fn(ts),
         schema="pos long, relationship_id string, source_id string, "
         "target_id string, name string, etag string, doc string, error string",
-    )
+    ).persist()
     _collect_errors(rec, parsed_r.filter(F.col("error").isNotNull()), "Relationships")
     good_r = parsed_r.filter(F.col("error").isNull())
     twin_ids = merged_twins.select("dt_id")
