@@ -203,11 +203,14 @@ class ApiService:
         self.jobs = jobs_mod.JobService()
         self._job_inputs: dict[str, str] = {}
         self.rate_limiting = rate_limiting
-        # Tier defaults from RateLimitingConfiguration.cs
+        # Documented tier defaults (SURVEY §2.5 / performance.mdx:16-22):
+        # Global 1000/s, Light 100/s, Medium 50/s, Heavy 20/s, Admin 50/min
         self.limiters = {
-            "light": FixedWindowLimiter(1000, clock=limiter_clock),
-            "heavy": FixedWindowLimiter(100, clock=limiter_clock),
-            "admin": FixedWindowLimiter(100, clock=limiter_clock),
+            "global": FixedWindowLimiter(1000, clock=limiter_clock),
+            "light": FixedWindowLimiter(100, clock=limiter_clock),
+            "medium": FixedWindowLimiter(50, clock=limiter_clock),
+            "heavy": FixedWindowLimiter(20, clock=limiter_clock),
+            "admin": FixedWindowLimiter(50, window_s=60.0, clock=limiter_clock),
             "query": TokenBucketLimiter(clock=limiter_clock),
         }
         self.routes: list[tuple[str, re.Pattern, Callable, str]] = []
@@ -293,6 +296,9 @@ class ApiService:
         r("GET", f"/models/(?P<id>{_SEG})", self.model_get, "admin")
         r("DELETE", f"/models/(?P<id>{_SEG})", self.model_delete, "admin")
         # --- import jobs (ImportJobEndpoints.cs) ---
+        # --- graph admin (GraphEndpoints.cs; dev/test surface) ---
+        r("PUT", "/graph/create", self.graph_create, "admin")
+        r("DELETE", "/graph/delete", self.graph_delete, "admin")
         r("PUT", f"/jobs/imports/(?P<id>{_SEG})", self.job_create, "admin")
         r("GET", "/jobs/imports", self.jobs_list, "admin")
         r("GET", f"/jobs/imports/(?P<id>{_SEG})", self.job_get, "admin")
@@ -321,8 +327,10 @@ class ApiService:
         candidates.sort(key=lambda t: (t[0], t[1]))
         _, _, handler, policy, m = candidates[0]
         params = {k: urllib.parse.unquote(v) for k, v in m.groupdict().items()}
-        if self.rate_limiting and policy != "query":
-            if not self.limiters[policy].try_acquire():
+        if self.rate_limiting:
+            if not self.limiters["global"].try_acquire():
+                return Response(429, {"title": "Too many requests", "status": 429})
+            if policy != "query" and not self.limiters[policy].try_acquire():
                 return Response(429, {"title": "Too many requests", "status": 429})
         try:
             return handler(req, **params)
@@ -532,6 +540,23 @@ class ApiService:
                 limit=int(body.get("limit") or 10),
             ),
         )
+
+    # ------------------------------------------------------------------
+    # graph admin (dev/test surface, GraphEndpoints.cs:11-23)
+    # ------------------------------------------------------------------
+    def _reset_graph(self) -> None:
+        from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+        self.client._swap(GraphStore.empty(self.client.store.spark))
+        self.client._registry = None
+
+    def graph_create(self, req: Request) -> Response:
+        self._reset_graph()
+        return Response(204)
+
+    def graph_delete(self, req: Request) -> Response:
+        self._reset_graph()
+        return Response(204)
 
     # ------------------------------------------------------------------
     # import jobs

@@ -533,3 +533,11 @@ def test_http_server_roundtrip(api):
         conn.close()
     finally:
         server.shutdown()
+
+
+def test_graph_admin_routes(api):
+    assert api.handle(Request("GET", "/digitaltwins/r1")).status == 200
+    assert api.handle(Request("DELETE", "/graph/delete")).status == 204
+    assert api.handle(Request("GET", "/digitaltwins/r1")).status == 404
+    assert api.handle(Request("GET", "/models")).body["value"] == []
+    assert api.handle(Request("PUT", "/graph/create")).status == 204
