@@ -1,0 +1,121 @@
+"""Stateful Structured Streaming operators over the events stream.
+
+The reference has NO watermarks/windows/sessionization (SURVEY §2.4
+"streaming semantics notes" — delivery is transaction-ordered batching
+only), so these are beyond-reference extensions: the windowed/stateful
+operators a training-data or telemetry pipeline needs when the change
+feed becomes a real stream.
+
+Design notes for 100 TB/day streams:
+* Aggregations are keyed (event_type / user_id) so state partitions by
+  the shuffle key; watermarks bound state size — late rows past the
+  watermark are dropped instead of growing state forever.
+* ``session_window`` / ``window`` are JVM built-ins (whole-stage state
+  store ops).  ``applyInPandasWithState`` is reserved for the one
+  operator Spark genuinely can't express declaratively (the deadband
+  filter, which must remember the last *emitted* value per key — not
+  the last seen — across micro-batches).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def streaming_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per (hour, event_type) count/sum with late-data handling: rows
+    later than ``watermark`` are dropped and their windows finalized.
+    Batch equivalent: ``operators.events.hourly_rollup``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions per user as a stream: the native
+    ``session_window`` state op merges/extends sessions across
+    micro-batches and closes them ``gap_minutes`` after the last event
+    (batch equivalent: ``operators.events.sessionize``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+DEADBAND_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("prev_emitted", T.DoubleType()),
+    ]
+)
+
+_DEADBAND_STATE = T.StructType([T.StructField("last", T.DoubleType())])
+
+
+def deadband_filter(events: DataFrame, threshold: float = 5.0) -> DataFrame:
+    """IoT deadband/report-by-exception: per key, emit an event only
+    when its value moved ≥ ``threshold`` from the LAST EMITTED value
+    (first event per key always emits).
+
+    This is genuinely custom state — the comparison point is the last
+    *emitted* value, which no built-in aggregate tracks — so it uses
+    ``applyInPandasWithState`` (Arrow-batched, state partitioned by the
+    grouping key, scales with the key cardinality not the event count).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterable, state: GroupState):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for r in pdf.itertuples(index=False):
+                v = float(r.value)
+                if last is None or abs(v - last) >= threshold:
+                    out_rows.append((key[0], r.ts, v, last))
+                    last = v
+        state.update((last,))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["user_id", "ts", "value", "prev_emitted"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=DEADBAND_SCHEMA,
+        stateStructType=_DEADBAND_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

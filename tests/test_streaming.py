@@ -425,3 +425,128 @@ def test_mutations_to_stream_via_feed(spark, tmp_path):
     ]
     upd = next(e for e in sink.events if e["type"].endswith("Update"))
     assert any(p["path"] == "/temperature" for p in upd["data"]["patch"])
+
+
+# ----------------------------------------------------------------------
+# stateful streaming operators (beyond-reference extensions)
+# ----------------------------------------------------------------------
+
+def _event_stream(spark, tmp_path, rows, name="evfeed"):
+    import json as _json
+
+    feed = tmp_path / name
+    feed.mkdir()
+    (feed / "b0.ndjson").write_text(
+        "\n".join(
+            _json.dumps(
+                {"event_id": i, "ts": ts, "user_id": uid, "event_type": et, "value": v}
+            )
+            for i, (ts, uid, et, v) in enumerate(rows)
+        )
+    )
+    return spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(str(feed), timestampFormat="yyyy-MM-dd'T'HH:mm:ss")
+
+
+def _run_to_memory(df, name, tmp_path, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_sessionize_and_rollup(spark, tmp_path):
+    from pg_age_digitaltwins_spark.streaming.stateful import (
+        streaming_hourly_rollup,
+        streaming_sessionize,
+    )
+
+    rows = [
+        ("2026-03-01T00:00:00", 1, "view", 1.0),
+        ("2026-03-01T00:10:00", 1, "view", 2.0),
+        ("2026-03-01T01:05:00", 1, "click", 4.0),   # >30min gap: new session
+        ("2026-03-01T00:05:00", 2, "view", 8.0),
+    ]
+    # complete mode: a finite feed never advances the watermark past the
+    # session ends, so append would emit nothing until more data arrives
+    _run_to_memory(
+        streaming_sessionize(_event_stream(spark, tmp_path, rows)),
+        "sess", tmp_path, mode="complete",
+    )
+    sess = {
+        (r["user_id"], r["n_events"]): r["sum_value"]
+        for r in spark.sql("select * from sess").collect()
+    }
+    # user 1: one 2-event session + one 1-event session; user 2: one
+    assert sess == {(1, 2): 3.0, (1, 1): 4.0, (2, 1): 8.0}
+
+    _run_to_memory(
+        streaming_hourly_rollup(_event_stream(spark, tmp_path, rows, name="rollfeed")),
+        "roll", tmp_path, mode="complete",
+    )
+    roll = {
+        (str(r["hour_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from roll").collect()
+    }
+    assert roll[("2026-03-01 00:00:00", "view")] == (3, 11.0)
+    assert roll[("2026-03-01 01:00:00", "click")] == (1, 4.0)
+
+
+def test_deadband_filter_stateful(spark, tmp_path):
+    """applyInPandasWithState: emits only moves >= threshold vs the last
+    EMITTED value, state carried across micro-batches."""
+    import json as _json
+
+    from pg_age_digitaltwins_spark.streaming.stateful import deadband_filter
+
+    feed = tmp_path / "dbfeed"
+    feed.mkdir()
+
+    def write_batch(name, rows):
+        (feed / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {"event_id": i, "ts": ts, "user_id": uid,
+                     "event_type": "telemetry", "value": v}
+                )
+                for i, (ts, uid, v) in enumerate(rows)
+            )
+        )
+
+    write_batch("b0.ndjson", [
+        ("2026-03-01T00:00:00", 1, 20.0),   # first → emit
+        ("2026-03-01T00:01:00", 1, 22.0),   # +2 < 5 → suppressed
+        ("2026-03-01T00:02:00", 1, 26.0),   # +6 vs 20 → emit
+        ("2026-03-01T00:00:30", 2, 1.0),    # first → emit
+    ])
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(str(feed), timestampFormat="yyyy-MM-dd'T'HH:mm:ss")
+    _run_to_memory(deadband_filter(stream, threshold=5.0), "db", tmp_path)
+    out = sorted(
+        (r["user_id"], r["value"], r["prev_emitted"])
+        for r in spark.sql("select * from db").collect()
+    )
+    assert out == [(1, 20.0, None), (1, 26.0, 20.0), (2, 1.0, None)]
+
+    # second micro-batch: state (last emitted 26.0 / 1.0) must persist
+    write_batch("b1.ndjson", [
+        ("2026-03-01T00:03:00", 1, 28.0),   # +2 vs 26 → suppressed
+        ("2026-03-01T00:04:00", 1, 33.0),   # +7 vs 26 → emit
+        ("2026-03-01T00:05:00", 2, 2.0),    # +1 vs 1 → suppressed
+    ])
+    _run_to_memory(deadband_filter(stream, threshold=5.0), "db2", tmp_path)
+    out2 = sorted(
+        (r["user_id"], r["value"], r["prev_emitted"])
+        for r in spark.sql("select * from db2").collect()
+    )
+    assert (1, 33.0, 26.0) in out2
+    assert (1, 28.0, 2.0) not in out2 and all(v != 28.0 for _, v, _p in out2)
+    assert all(v != 2.0 for _, v, _p in out2)
