@@ -276,3 +276,44 @@ def test_query_charge_var_length(fixture_store):
     # rows + props(1 each) + 10 var-length; no aggregate keyword
     assert client.query_charge(page) == float(n * 2 + 10)
     assert compute_query_charge(page.rows, q) == page.charge
+
+
+def test_join_related_5hop_chain(spark):
+    """SURVEY §7 phase-3 stress case (reference 5-hop test,
+    AdtQueryToCypherTests.cs:138-141): five chained JOIN RELATED hops."""
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    model = [{
+        "@id": "dtmi:chain:Node;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [
+            {"@type": "Property", "name": "name", "schema": "string"},
+            {"@type": "Relationship", "name": "feeds"},
+        ],
+    }]
+    nodes = [
+        {"$dtId": f"n{i}", "$metadata": {"$model": "dtmi:chain:Node;1"}, "name": f"node {i}"}
+        for i in range(6)
+    ]
+    rels = [
+        {"$relationshipId": f"e{i}", "$sourceId": f"n{i}", "$targetId": f"n{i+1}",
+         "$relationshipName": "feeds"}
+        for i in range(5)
+    ] + [  # a decoy branch that must not reach depth 5
+        {"$relationshipId": "d0", "$sourceId": "n1", "$targetId": "n0",
+         "$relationshipName": "feeds"}
+    ]
+    store = GraphStore.from_documents(
+        spark, twin_docs=nodes, relationship_docs=rels, model_docs=model
+    )
+    c = DigitalTwinsSparkClient(store)
+    rows = c.query(
+        "SELECT F.$dtId AS last FROM DIGITALTWINS A "
+        "JOIN B RELATED A.feeds JOIN C RELATED B.feeds JOIN D RELATED C.feeds "
+        "JOIN E RELATED D.feeds JOIN F RELATED E.feeds "
+        "WHERE A.$dtId = 'n0'"
+    ).rows
+    # JOIN RELATED is a relational join (no edge-distinctness), so every
+    # walk of length exactly 5 from n0 counts: the straight chain ends at
+    # n5, and the n1->n0 decoy loop yields walks ending at n3 and n1.
+    assert sorted(r["last"] for r in rows) == ["n1", "n3", "n5"]
