@@ -245,6 +245,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_collect_neighbors"] = lambda s, d: analytics.neighbors_collected(
         _store(s, d), "partOf"
     )
+
+    def _cc(s, d):
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            connected_components,
+        )
+
+        st = _store(s, d)
+        return connected_components(st.twins, st.relationships)
+
+    def _pr(s, d):
+        from pg_age_digitaltwins_spark.operators.graph_analytics import pagerank
+
+        st = _store(s, d)
+        return pagerank(st.twins, st.relationships, iters=5)
+
+    # Iterative whole-graph programs (rows-only: fixpoint label
+    # propagation / power iteration aren't expressible in portable SQL)
+    q["graph_connected_components"] = _cc
+    q["graph_pagerank"] = _pr
     def _cypher_collect(spark, sf_dir):
         # Exercises the real Cypher collect() path; the raw
         # array<string> result is then projected to a sorted CSV so the

@@ -1,0 +1,123 @@
+"""Whole-graph analytics over the twins graph: connected components and
+PageRank as iterative DataFrame programs.
+
+SURVEY §7 reserves GraphX/GraphFrames for whole-graph work; neither
+ships in this container, and for bounded-iteration algorithms the
+DataFrame join+agg form IS the Pregel superstep (messages = the join,
+combiner = the partial agg), so these run anywhere Spark runs:
+
+* one shuffle per iteration, keyed by vertex id — co-partitioned with
+  the edge table when both are bucketed by id at ingest;
+* ``localCheckpoint`` after every superstep truncates the lineage —
+  without it the plan doubles each iteration and the 10th superstep
+  replays the first nine (on a cluster with a checkpoint dir,
+  ``df.checkpoint()`` gives the same cut with HDFS durability);
+* convergence checks are actions — batched (every iteration here, the
+  tables are vertex-sized) and cheap (``take(1)`` on a changed-rows
+  anti-filter).
+
+Reference parity note: the reference has no whole-graph analytics —
+this is a beyond-reference extension in the same family as the
+training-data operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _undirected(relationships: DataFrame) -> DataFrame:
+    e = relationships.select("source_id", "target_id")
+    return e.unionByName(
+        e.select(
+            F.col("target_id").alias("source_id"), F.col("source_id").alias("target_id")
+        )
+    ).distinct()
+
+
+def connected_components(
+    twins: DataFrame, relationships: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """(dt_id, component) — component = min twin id reachable over
+    undirected edges.  Min-label propagation: each superstep joins the
+    current labels across edges and keeps the per-vertex min; stops at
+    fixpoint or ``max_iters``.  Converges in O(graph diameter) rounds
+    (large-star/small-star halves that; diameter is plenty for twin
+    graphs, which are hub-and-spoke shallow)."""
+    labels = twins.select("dt_id", F.col("dt_id").alias("component"))
+    edges = _undirected(relationships).localCheckpoint(eager=False)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["source_id"] == labels["dt_id"])
+            .groupBy(F.col("target_id").alias("dt_id"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "dt_id", "left")
+            .select(
+                "dt_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "dt_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+def pagerank(
+    twins: DataFrame,
+    relationships: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(dt_id, rank) after ``iters`` power iterations on the directed
+    twin graph.  Dangling vertices redistribute uniformly (the standard
+    stochastic fix — without it rank mass drains).  Each iteration is
+    join → map-side-combined sum → vertex-sized result."""
+    verts = twins.select("dt_id").localCheckpoint(eager=False)
+    n = verts.count()
+    edges = relationships.select("source_id", "target_id")
+    out_deg = edges.groupBy(F.col("source_id").alias("dt_id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    state = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        with_deg = state.join(out_deg, "dt_id", "left")
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull()).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            edges.join(
+                with_deg.filter(F.col("out_deg").isNotNull()),
+                edges["source_id"] == with_deg["dt_id"],
+            )
+            .select(
+                F.col("target_id").alias("dt_id"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("dt_id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        state = (
+            verts.join(contribs, "dt_id", "left")
+            .select(
+                "dt_id",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("dt_id", F.round("rank", 8).alias("rank"))
