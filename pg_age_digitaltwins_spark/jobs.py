@@ -316,12 +316,25 @@ def _rel_parse_fn(ts: str):
     return fn
 
 
-def _collect_errors(rec: JobRecord, bad, label: str) -> None:
+def _collect_errors(
+    rec: JobRecord, bad, label: str, output_path: str | None = None
+) -> None:
     n = bad.count()
     if n:
         rec.error_count += n
         for r in bad.limit(_ERROR_SAMPLE_CAP).collect():
             rec.errors.append({"section": label, "error": r["error"]})
+        if output_path:
+            # full per-line error log, written by executors (the
+            # reference streams these to the output blob,
+            # ImportJob.cs:625-700; at scale the log itself is big data)
+            (
+                bad.select(
+                    F.lit(label).alias("section"),
+                    F.col("pos").alias("line"),
+                    "error",
+                ).write.mode("append").json(output_path)
+            )
 
 
 def import_file_distributed(
@@ -330,6 +343,7 @@ def import_file_distributed(
     path: str,
     user_id: str | None = None,
     ts: str | None = None,
+    output_path: str | None = None,
 ) -> JobRecord:
     """The 100 TB import shape: one distributed pass per section, no
     data-row ``collect()``.
@@ -384,7 +398,7 @@ def import_file_distributed(
     ).persist()
     # persist: the parse feeds three consumers (error sample, count,
     # merge) — without it the Python parse stage re-runs per action.
-    _collect_errors(rec, parsed.filter(F.col("error").isNotNull()), "Twins")
+    _collect_errors(rec, parsed.filter(F.col("error").isNotNull()), "Twins", output_path)
     good = parsed.filter(F.col("error").isNull())
     rec.twins_created = good.count()
     last_wins = Window.partitionBy("dt_id").orderBy(F.col("pos").desc())
@@ -407,7 +421,9 @@ def import_file_distributed(
         schema="pos long, relationship_id string, source_id string, "
         "target_id string, name string, etag string, doc string, error string",
     ).persist()
-    _collect_errors(rec, parsed_r.filter(F.col("error").isNotNull()), "Relationships")
+    _collect_errors(
+        rec, parsed_r.filter(F.col("error").isNotNull()), "Relationships", output_path
+    )
     good_r = parsed_r.filter(F.col("error").isNull())
     twin_ids = merged_twins.select("dt_id")
     with_src = good_r.join(

@@ -225,3 +225,26 @@ def test_import_distributed_replaces_existing(client, spark, tmp_path):
     import_file_distributed(client, spark, str(p2))
     assert client.store.twins.count() == n
     assert client.get_digital_twin("t1")["x"] == 99.0
+
+
+def test_import_distributed_error_log_output(client, spark, tmp_path):
+    """Per-line errors stream to the output path as JSON part-files
+    (the reference's output-blob log), written by executors."""
+    lines = ndjson(
+        {"Section": "Header"},
+        {"fileVersion": "1.0.0"},
+        {"Section": "Models"},
+        MODEL,
+        {"Section": "Twins"},
+        {"$dtId": "ok", "$metadata": {"$model": "dtmi:j:Thing;1"}, "x": 1.0},
+        {"$dtId": "bad", "$metadata": {"$model": "dtmi:j:Thing;1"}, "nope": 1},
+    ) + ["{not json"]
+    p = tmp_path / "in.ndjson"
+    p.write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "errlog")
+    rec = import_file_distributed(client, spark, str(p), output_path=out)
+    assert rec.error_count == 2
+    logged = spark.read.json(out).collect()
+    assert sorted((r["section"], r["error"] is not None) for r in logged) == [
+        ("Twins", True), ("Twins", True),
+    ]
