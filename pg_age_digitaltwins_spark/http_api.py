@@ -587,6 +587,24 @@ class ApiService:
         with open(path) as f:
             rec = job.run((line.rstrip("\n") for line in f), id)
         self._job_inputs[id] = path
+        out_uri = body.get("outputBlobUri")
+        if out_uri:
+            # the reference streams a structured job log to the output
+            # blob (ImportJob.cs:625-700): per-line errors + terminal
+            # status line
+            out_path = (
+                out_uri[len("file://") :] if out_uri.startswith("file://") else out_uri
+            )
+            with open(out_path, "w") as f:
+                for e in rec.errors:
+                    f.write(json.dumps({"error": e}, separators=(",", ":")) + "\n")
+                f.write(
+                    json.dumps(
+                        {"status": rec.status, "errorCount": rec.error_count},
+                        separators=(",", ":"),
+                    )
+                    + "\n"
+                )
         return Response(201, self._job_json(rec))
 
     def jobs_list(self, req: Request) -> Response:

@@ -541,3 +541,19 @@ def test_graph_admin_routes(api):
     assert api.handle(Request("GET", "/digitaltwins/r1")).status == 404
     assert api.handle(Request("GET", "/models")).body["value"] == []
     assert api.handle(Request("PUT", "/graph/create")).status == 204
+
+
+def test_import_job_output_log(spark, tmp_path):
+    svc = ApiService(DigitalTwinsSparkClient(GraphStore.empty(spark)))
+    path = _import_file(tmp_path)
+    out = tmp_path / "joblog.ndjson"
+    created = svc.handle(
+        Request(
+            "PUT",
+            "/jobs/imports/logjob",
+            body={"inputBlobUri": f"file://{path}", "outputBlobUri": f"file://{out}"},
+        )
+    )
+    assert created.status == 201
+    lines = [json.loads(line) for line in out.read_text().splitlines()]
+    assert lines[-1] == {"status": "Succeeded", "errorCount": 0}
