@@ -356,6 +356,9 @@ def test_run_change_stream_end_to_end(spark, tmp_path):
     router.add_route(EventRoute("mem", "EventNotification",
                                 type_mappings={"Konnektr.Graph.Twin.Create": "My.Create"}))
     router.add_route(EventRoute("lake", "EventNotification"))
+    hist = NdjsonDirSink(str(tmp_path / "history"), name="history")
+    router.add_sink(hist)
+    router.add_route(EventRoute("history", "DataHistory"))
 
     q = run_change_stream(spark, str(feed), router, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
@@ -373,6 +376,13 @@ def test_run_change_stream_end_to_end(spark, tmp_path):
         "Konnektr.Graph.Twin.Create", "Konnektr.Graph.Twin.Create",
         "Konnektr.Graph.Twin.Delete",
     ]
+
+    # the DataHistory route landed lifecycle rows in its own lake dir
+    # (all three coalesced events are Creates/Deletes — property events
+    # only arise from Updates, which batch 0 coalesced away)
+    hist_rows = spark.read.json(str(tmp_path / "history")).collect()
+    hist_types = [r["type"] for r in hist_rows]
+    assert len(hist_types) == 3 and all("Lifecycle" in t for t in hist_types)
 
     # incremental: a second feed file is picked up by a fresh availableNow
     # run against the SAME checkpoint without re-delivering batch 0
