@@ -557,3 +557,79 @@ def test_import_job_output_log(spark, tmp_path):
     assert created.status == 201
     lines = [json.loads(line) for line in out.read_text().splitlines()]
     assert lines[-1] == {"status": "Succeeded", "errorCount": 0}
+
+
+def test_sdk_scenarios_over_socket(spark):
+    """Scenario parity with AzureDigitalTwinsSdkIntegrationTests:
+    model-not-found -> 400, percent-encoded twin ids roundtrip, ETag +
+    $lastUpdateTime stable across create/get, query pagination via the
+    max-items-per-page header."""
+    import http.client
+    import urllib.parse
+
+    svc = ApiService(DigitalTwinsSparkClient(GraphStore.empty(spark)))
+    server = serve(svc)
+    try:
+        port = server.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+
+        def call(method, path, body=None, headers=None):
+            conn.request(
+                method, path,
+                body=None if body is None else json.dumps(body),
+                headers=headers or {},
+            )
+            r = conn.getresponse()
+            raw = r.read()
+            return r.status, (json.loads(raw) if raw else None), dict(r.getheaders())
+
+        # model not found -> 400 (CreateOrUpdateDigitalTwin_...ModelNotFound)
+        st, body, _ = call(
+            "PUT", "/digitaltwins/t0",
+            {"$metadata": {"$model": "dtmi:nope;1"}, "temperature": 1},
+        )
+        assert st == 404 or st == 400  # ModelNotFound family
+
+        st, _, _ = call("POST", "/models", [MODEL])
+        assert st == 200
+
+        # percent-encoded id roundtrip (twin id "10%B2H6_H2")
+        twin_id = "10%B2H6_H2"
+        enc = urllib.parse.quote(twin_id, safe="")
+        st, created, _ = call(
+            "PUT", f"/digitaltwins/{enc}",
+            {"$metadata": {"$model": "dtmi:ht:Room;1"}, "temperature": 42.0},
+        )
+        assert st == 200 and created["$dtId"] == twin_id
+        st, fetched, _ = call("GET", f"/digitaltwins/{enc}")
+        assert st == 200 and fetched["temperature"] == 42.0
+
+        # ETag + $lastUpdateTime identical between create response & GET
+        assert created["$etag"] == fetched["$etag"]
+        assert (
+            created["$metadata"]["$lastUpdateTime"]
+            == fetched["$metadata"]["$lastUpdateTime"]
+        )
+
+        # pagination (Query_SupportsPagination): 3 twins, 2 per page
+        for i in range(2):
+            call("PUT", f"/digitaltwins/p{i}",
+                 {"$metadata": {"$model": "dtmi:ht:Room;1"}, "temperature": float(i)})
+        st, page1, hdrs = call(
+            "POST", "/query",
+            {"query": "SELECT $dtId AS dt_id FROM DIGITALTWINS"},
+            {"max-items-per-page": "2"},
+        )
+        assert st == 200 and len(page1["value"]) == 2
+        assert "query-charge" in hdrs
+        st, page2, _ = call(
+            "POST", "/query",
+            {"continuationToken": page1["continuationToken"]},
+            {"max-items-per-page": "2"},
+        )
+        assert st == 200
+        seen = [r["dt_id"] for r in page1["value"] + page2["value"]]
+        assert len(seen) == 3 and len(set(seen)) == 3
+        conn.close()
+    finally:
+        server.shutdown()
