@@ -233,28 +233,41 @@ def ann_lsh_search(
     k: int = 10,
     n_bits: int = 12,
     dim: int | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """LSH-bucketed ANN: exact cosine only within the query's bucket.
+    """LSH-bucketed ANN: exact cosine only within the query's bucket(s).
 
     ``dim`` (hyperplane width) must match the embedding width — a
     mismatch zero-pads the dot product with nulls and silently
     null-buckets everything.  When not given it is probed from one row
     (a LIMIT-1 scan at plan-build time; at ingest scale the width is
-    table metadata and should be passed explicitly)."""
+    table metadata and should be passed explicitly).
+
+    ``n_probes`` > 1 enables multi-probe: also search the buckets at
+    Hamming distance 1 from the query's (the standard recall lever —
+    near neighbors most often land one flipped hyperplane away).  The
+    probe set is ≤ n_bits+1 bucket ids on the broadcast side; candidate
+    volume grows linearly with probes, never all-pairs."""
     if dim is None:
         probe = embeddings.select(F.size("embedding").alias("d")).limit(1).collect()
         dim = probe[0]["d"] if probe else 1
     sig = hyperplane_signatures(embeddings, n_bits=n_bits, dim=dim).localCheckpoint(
         eager=False
     )  # signature scan shared by the query row and the candidate side
+    qrow = sig.filter(F.col("vec_id") == query_id).select(
+        F.col("bucket").alias("__qb"), F.col("embedding").alias("__q")
+    )
+    n_probes = max(1, min(n_probes, n_bits + 1))
+    probes = F.array(
+        F.col("__qb"),
+        *[F.col("__qb").bitwiseXOR(F.lit(1 << b)) for b in range(n_probes - 1)],
+    )
     q = F.broadcast(
-        sig.filter(F.col("vec_id") == query_id).select(
-            F.col("bucket").alias("__qb"), F.col("embedding").alias("__q")
-        )
+        qrow.select(F.explode(probes).alias("__qb"), "__q")
     )
     return (
-        sig.crossJoin(q)
-        .filter((F.col("bucket") == F.col("__qb")) & (F.col("vec_id") != query_id))
+        sig.join(q, sig["bucket"] == q["__qb"])
+        .filter(F.col("vec_id") != query_id)
         .select(
             "vec_id",
             F.round(cosine_sim(F.col("embedding"), F.col("__q")), 6).alias("sim"),

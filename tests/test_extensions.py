@@ -347,3 +347,20 @@ def test_pagerank(spark):
     assert ranks["b"] > ranks["d"] > 0
     assert ranks["g"] < ranks["a"]
     assert min(ranks.values()) > 0
+
+
+def test_ann_lsh_multiprobe(embeddings):
+    """Multi-probe widens candidates to Hamming-1 buckets: the result is
+    a superset of the single-probe candidates and sims stay exact."""
+    single = {r["vec_id"] for r in similarity.ann_lsh_search(embeddings, 0, k=50, n_bits=6).collect()}
+    multi_rows = similarity.ann_lsh_search(embeddings, 0, k=50, n_bits=6, n_probes=7).collect()
+    multi = {r["vec_id"] for r in multi_rows}
+    assert single <= multi
+    assert len(multi) >= len(single)
+    sig = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.hyperplane_signatures(embeddings, n_bits=6).collect()
+    }
+    for r in multi_rows:
+        ham = bin(sig[r["vec_id"]] ^ sig[0]).count("1")
+        assert ham <= 1
