@@ -60,24 +60,46 @@ class JobRecord:
 
 
 class JobService:
-    """D14: job records + (single-driver) locks.  Spark apps have one
-    driver, so distributed locking degenerates to a dict; the record
-    table can be persisted for resume (``JobService.cs`` keeps them in
-    Postgres)."""
+    """D14: job records + lease-based locks with heartbeats.
 
-    def __init__(self):
+    Spark apps have one driver, so the lock table is a dict here; the
+    SEMANTICS mirror the reference's Postgres lock service
+    (``JobService.cs``: acquire-with-TTL, heartbeat renewal, stale-lock
+    takeover) so a multi-writer deployment can swap the dict for a
+    Delta/DB table without changing callers.  ``clock`` is injectable
+    for tests."""
+
+    def __init__(self, lock_ttl_s: float = 60.0, clock=None):
+        import time as _time
+
         self.records: dict[str, JobRecord] = {}
         self.checkpoints: dict[str, ImportCheckpoint] = {}
-        self.locks: dict[str, str] = {}
+        self.locks: dict[str, tuple[str, float]] = {}  # job_id -> (owner, expiry)
+        self.lock_ttl_s = lock_ttl_s
+        self.clock = clock or _time.monotonic
 
     def acquire_lock(self, job_id: str, owner: str) -> bool:
-        if self.locks.get(job_id, owner) != owner:
+        """Take (or renew) the lease; a lock held by another owner is
+        claimable only once its lease expired without a heartbeat."""
+        now = self.clock()
+        held = self.locks.get(job_id)
+        if held is not None and held[0] != owner and held[1] > now:
             return False
-        self.locks[job_id] = owner
+        self.locks[job_id] = (owner, now + self.lock_ttl_s)
+        return True
+
+    def heartbeat(self, job_id: str, owner: str) -> bool:
+        """Renew the lease mid-run; False = lease lost (expired and
+        taken, or never held) — the runner must stop writing."""
+        held = self.locks.get(job_id)
+        if held is None or held[0] != owner:
+            return False
+        self.locks[job_id] = (owner, self.clock() + self.lock_ttl_s)
         return True
 
     def release_lock(self, job_id: str, owner: str) -> None:
-        if self.locks.get(job_id) == owner:
+        held = self.locks.get(job_id)
+        if held is not None and held[0] == owner:
             del self.locks[job_id]
 
 

@@ -13,6 +13,7 @@ from pg_age_digitaltwins_spark.jobs import (
     ImportCheckpoint,
     ImportError_,
     ImportJob,
+    JobService,
     delete_job,
     import_file_distributed,
 )
@@ -248,3 +249,24 @@ def test_import_distributed_error_log_output(client, spark, tmp_path):
     assert sorted((r["section"], r["error"] is not None) for r in logged) == [
         ("Twins", True), ("Twins", True),
     ]
+
+
+def test_job_lock_leases():
+    """D14 lock semantics: TTL lease, heartbeat renewal, stale takeover
+    (mirrors the reference's Postgres lock service contract)."""
+    clock = [0.0]
+    svc = JobService(lock_ttl_s=10.0, clock=lambda: clock[0])
+    assert svc.acquire_lock("j1", "runner-a")
+    assert not svc.acquire_lock("j1", "runner-b")     # held, fresh lease
+    assert svc.acquire_lock("j1", "runner-a")         # re-entrant renew
+    clock[0] = 5.0
+    assert svc.heartbeat("j1", "runner-a")            # renews to t=15
+    clock[0] = 12.0
+    assert not svc.acquire_lock("j1", "runner-b")     # heartbeat kept it alive
+    clock[0] = 16.0
+    assert svc.acquire_lock("j1", "runner-b")         # lease expired: takeover
+    assert not svc.heartbeat("j1", "runner-a")        # old owner lost the lease
+    svc.release_lock("j1", "runner-a")                # no-op: not the owner
+    assert not svc.acquire_lock("j1", "runner-a")
+    svc.release_lock("j1", "runner-b")
+    assert svc.acquire_lock("j1", "runner-a")
