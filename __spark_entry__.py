@@ -223,6 +223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
         "RETURN min(c.name) AS first_name, max(c.name) AS last_name"
     )
+    q["cypher_order_by_qty"] = _adt(
+        "MATCH (o)-[r:contains]->(p) "
+        "RETURN r.`$relationshipId` AS rid, toFloat(r.quantity) AS qty "
+        "ORDER BY r.quantity DESC, rid ASC LIMIT 20"
+    )
     q["cypher_distinct_order_skip"] = _adt(
         "MATCH (c)-[r:locatedIn]->(n) "
         "RETURN DISTINCT n.`$dtId` AS id ORDER BY id SKIP 5 LIMIT 10"
@@ -547,6 +552,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["cypher_min_max_name"] = (
         "SELECT min(c_name) AS first_name, max(c_name) AS last_name FROM customer"
+    )
+    o["cypher_order_by_qty"] = (
+        "SELECT rid, qty FROM (SELECT 'contains-' || l_orderkey || '-' || l_linenumber AS rid, "
+        "CAST(l_quantity AS DOUBLE) AS qty FROM lineitem) ORDER BY qty DESC, rid ASC LIMIT 20"
     )
     o["cypher_distinct_order_skip"] = (
         "SELECT id FROM (SELECT DISTINCT 'nation-' || nk AS id FROM ("

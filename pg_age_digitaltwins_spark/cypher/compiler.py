@@ -692,14 +692,18 @@ class CypherCompiler:
         return fn(self._operand(arg, env, None))
 
     @staticmethod
-    def _minmax_variant(fn, v: Column, s: Column) -> Column:
+    def _agtype_order_struct(v: Column, s: Column) -> Column:
+        """agtype total-order key for a variant value: Spark orders
+        structs field-by-field, so (type_rank, numeric, string, repr)
+        sorts numbers numerically before strings lexicographically —
+        AGE's btree order."""
         rank = (
             F.when(J.is_number_of(s), F.lit(0))
             .when(J.is_string_of(s), F.lit(1))
             .when(J.is_bool_of(s), F.lit(2))
             .otherwise(F.lit(3))
         )
-        ordered = F.when(
+        return F.when(
             J.is_defined_of(v),
             F.struct(
                 rank.alias("r"),
@@ -708,7 +712,59 @@ class CypherCompiler:
                 J.loose_str_of(v).alias("repr"),
             ),
         )
-        return fn(ordered).getField("repr")
+
+    @classmethod
+    def _minmax_variant(cls, fn, v: Column, s: Column) -> Column:
+        return fn(cls._agtype_order_struct(v, s)).getField("repr")
+
+    @staticmethod
+    def _repr_order(c: Column) -> Column:
+        """Typed ordering for an already-projected loose-string column
+        (post-DISTINCT / post-aggregation, where the variant source is
+        gone): numeric renderings sort numerically before strings —
+        same shape as the agtype order, recovered from the repr."""
+        as_num = c.try_cast("double")
+        return F.struct(
+            F.when(as_num.isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("r"),
+            as_num.alias("n"),
+            c.alias("s"),
+        )
+
+    def _order_expr(
+        self, e: C.Expr, env: dict, q: C.SingleQuery, names: list[str]
+    ) -> tuple[Column, bool]:
+        """ORDER BY key with agtype ordering; returns (column, is_plain)
+        where is_plain means "just the projected output column" (no
+        extra sort column needed).  Variant property accesses order by
+        the typed struct, not their loose-string rendering (``ORDER BY
+        t.val`` over [9, 10, 2] must give 2 < 9 < 10); an alias
+        referencing a projected variant expression re-derives the typed
+        key from the source expression."""
+        if isinstance(e, C.Var) and e.name in names:
+            src = next(
+                (it.expr for it, nm in zip(q.ret, names) if nm == e.name), None
+            )
+            if isinstance(src, C.Prop):
+                e = src
+            else:
+                return F.col(e.name), True
+        if isinstance(e, C.Prop):
+            b, path, promoted = self._resolve(e, env)
+            if b.kind == "value":
+                c = F.col(b.df_alias)
+                if b.df_alias in self._value_variant:
+                    return self._agtype_order_struct(c, F.schema_of_variant(c)), False
+                return c, False
+            if promoted:
+                return self._col(b, promoted), False
+            if b.df_alias.startswith("__o_"):
+                v = J.vget(F.col(f"{b.df_alias}__vdoc"), path)
+                s = F.schema_of_variant(v)
+            else:
+                v = self._shared_v(b.df_alias, tuple(path))
+                s = self._shared_s(b.df_alias, tuple(path))
+            return self._agtype_order_struct(v, s), False
+        return self._expr(e, env), False
 
     # ------------------------------------------------------------------
     # RETURN
@@ -759,9 +815,17 @@ class CypherCompiler:
             cols = [self._expr(it.expr, env).alias(nm) for it, nm in zip(q.ret, names)]
             df = self._inject(df).select(*cols).distinct()
             if q.order_by:
+                dtypes = dict(df.dtypes)
                 specs = []
                 for e, asc in q.order_by:
-                    oc = self._distinct_order(e, q, names)
+                    nm = self._distinct_order(e, q, names)
+                    # post-projection the variant source is gone; loose-
+                    # string renderings get the recovered typed order
+                    oc = (
+                        self._repr_order(F.col(nm))
+                        if dtypes.get(nm) == "string"
+                        else F.col(nm)
+                    )
                     specs.append(oc if asc else oc.desc())
                 df = df.orderBy(*specs)
         else:
@@ -769,10 +833,11 @@ class CypherCompiler:
             extra: list[Column] = []
             order_specs: list[Column] = []
             for i, (e, asc) in enumerate(q.order_by):
-                if isinstance(e, C.Var) and e.name in names:
-                    oc = F.col(e.name)
+                oe, plain = self._order_expr(e, env, q, names)
+                if plain:
+                    oc = oe
                 else:
-                    extra.append(self._expr(e, env).alias(f"__ord{i}"))
+                    extra.append(oe.alias(f"__ord{i}"))
                     oc = F.col(f"__ord{i}")
                 order_specs.append(oc if asc else oc.desc())
             df = self._inject(df)
@@ -783,34 +848,40 @@ class CypherCompiler:
         if aggregated and q.distinct:
             df = df.distinct()
         if aggregated and q.order_by:
-            df = df.orderBy(
-                *[
-                    (self._output_order(e, names) if asc else self._output_order(e, names).desc())
-                    for e, asc in q.order_by
-                ]
-            )
+            dtypes = dict(df.dtypes)
+            specs = []
+            for e, asc in q.order_by:
+                nm = self._output_order(e, names)
+                oc = (
+                    self._repr_order(F.col(nm))
+                    if dtypes.get(nm) == "string"
+                    else F.col(nm)
+                )
+                specs.append(oc if asc else oc.desc())
+            df = df.orderBy(*specs)
         if q.skip:
             df = df.offset(q.skip)
         if q.limit is not None:
             df = df.limit(q.limit)
         return df
 
-    def _output_order(self, e: C.Expr, names: list[str]) -> Column:
+    def _output_order(self, e: C.Expr, names: list[str]) -> str:
         if isinstance(e, C.Var) and e.name in names:
-            return F.col(e.name)
+            return e.name
         raise CypherCompileError(
             "ORDER BY after aggregation must reference an output alias"
         )
 
-    def _distinct_order(self, e: C.Expr, q: C.SingleQuery, names: list[str]) -> Column:
+    def _distinct_order(self, e: C.Expr, q: C.SingleQuery, names: list[str]) -> str:
         """Resolve an ORDER BY expression against the DISTINCT
-        projection: an output alias, or an expression textually equal to
-        a projected one (AST dataclasses compare structurally)."""
+        projection to a projected column name: an output alias, or an
+        expression textually equal to a projected one (AST dataclasses
+        compare structurally)."""
         if isinstance(e, C.Var) and e.name in names:
-            return F.col(e.name)
+            return e.name
         for it, nm in zip(q.ret, names):
             if it.expr == e:
-                return F.col(nm)
+                return nm
         raise CypherCompileError(
             "ORDER BY with DISTINCT must reference projected expressions"
         )

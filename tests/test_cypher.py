@@ -399,3 +399,34 @@ def test_distinct_order_by_unprojected_rejected(spark):
     store = _value_store(spark, ["a"])
     with pytest.raises(CypherCompileError):
         rows(store, "MATCH (t) RETURN DISTINCT t.val AS v ORDER BY t.`$dtId`")
+
+
+def test_order_by_variant_numeric_typed(spark):
+    """ORDER BY over a non-promoted numeric property compares
+    numerically, not lexicographically ('10' < '9' as strings): [9,10,2]
+    must order 2 < 9 < 10 in every ORDER BY path (direct prop, alias,
+    DISTINCT, post-aggregation)."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{
+        "@id": "dtmi:ord:M;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "val", "schema": "integer"}],
+    }]
+    twins = [
+        {"$dtId": t, "$metadata": {"$model": "dtmi:ord:M;1"}, "val": v}
+        for t, v in [("a", 9), ("b", 10), ("c", 2)]
+    ]
+    c = DigitalTwinsSparkClient(
+        GraphStore.from_documents(spark, twin_docs=twins, relationship_docs=[], model_docs=models)
+    )
+    q = lambda s: [r[list(r)[0]] for r in c.query(s).rows]  # noqa: E731
+    assert q("MATCH (t:Twin) RETURN t.val AS v ORDER BY t.val ASC") == ["2", "9", "10"]
+    assert q("MATCH (t:Twin) RETURN t.val AS v ORDER BY v ASC") == ["2", "9", "10"]
+    assert q("MATCH (t:Twin) RETURN t.val AS v ORDER BY t.val DESC") == ["10", "9", "2"]
+    assert q("MATCH (t:Twin) RETURN DISTINCT t.val AS v ORDER BY t.val ASC SKIP 1") == ["9", "10"]
+    rows = c.query(
+        "MATCH (t:Twin) RETURN t.`$dtId` AS id, max(t.val) AS mx ORDER BY mx DESC"
+    ).rows
+    assert [r["id"] for r in rows] == ["b", "a", "c"]
