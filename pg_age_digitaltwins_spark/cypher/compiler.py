@@ -826,7 +826,7 @@ class CypherCompiler:
                         if dtypes.get(nm) == "string"
                         else F.col(nm)
                     )
-                    specs.append(oc if asc else oc.desc())
+                    specs.append(oc.asc_nulls_last() if asc else oc.desc_nulls_first())
                 df = df.orderBy(*specs)
         else:
             cols = [self._expr(it.expr, env).alias(nm) for it, nm in zip(q.ret, names)]
@@ -839,7 +839,7 @@ class CypherCompiler:
                 else:
                     extra.append(oe.alias(f"__ord{i}"))
                     oc = F.col(f"__ord{i}")
-                order_specs.append(oc if asc else oc.desc())
+                order_specs.append(oc.asc_nulls_last() if asc else oc.desc_nulls_first())
             df = self._inject(df)
             if q.order_by:
                 df = df.select(*cols, *extra).orderBy(*order_specs).select(*names)
@@ -857,7 +857,7 @@ class CypherCompiler:
                     if dtypes.get(nm) == "string"
                     else F.col(nm)
                 )
-                specs.append(oc if asc else oc.desc())
+                specs.append(oc.asc_nulls_last() if asc else oc.desc_nulls_first())
             df = df.orderBy(*specs)
         if q.skip:
             df = df.offset(q.skip)

@@ -430,3 +430,31 @@ def test_order_by_variant_numeric_typed(spark):
         "MATCH (t:Twin) RETURN t.`$dtId` AS id, max(t.val) AS mx ORDER BY mx DESC"
     ).rows
     assert [r["id"] for r in rows] == ["b", "a", "c"]
+
+
+def test_order_by_nulls_last_ascending(spark):
+    """openCypher/AGE: null (missing property) sorts AFTER everything
+    ascending, before everything descending — Spark's nulls-first
+    default must be overridden."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{
+        "@id": "dtmi:nul:M;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "val", "schema": "integer"}],
+    }]
+    twins = [
+        {"$dtId": "a", "$metadata": {"$model": "dtmi:nul:M;1"}, "val": 7},
+        {"$dtId": "b", "$metadata": {"$model": "dtmi:nul:M;1"}},          # missing
+        {"$dtId": "c", "$metadata": {"$model": "dtmi:nul:M;1"}, "val": 3},
+    ]
+    c = DigitalTwinsSparkClient(
+        GraphStore.from_documents(spark, twin_docs=twins, relationship_docs=[], model_docs=models)
+    )
+    asc = [r["id"] for r in c.query(
+        "MATCH (t:Twin) RETURN t.`$dtId` AS id ORDER BY t.val ASC").rows]
+    assert asc == ["c", "a", "b"]
+    desc = [r["id"] for r in c.query(
+        "MATCH (t:Twin) RETURN t.`$dtId` AS id ORDER BY t.val DESC").rows]
+    assert desc == ["b", "a", "c"]
