@@ -34,6 +34,24 @@ class QueryPage:
     charge: float = 0.0
 
 
+def _jsonable(v):
+    """Row values → JSON-typed Python: VariantType columns (dynamic
+    properties reaching RETURN unconverted, e.g. ``UNWIND t.xs``)
+    collect as ``VariantVal``, which would break every JSON consumer
+    downstream (the reference returns agtype-decoded JSON values)."""
+    try:
+        from pyspark.sql.types import VariantVal
+    except ImportError:  # pragma: no cover
+        VariantVal = ()
+    if isinstance(v, VariantVal):
+        return v.toPython()
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    return v
+
+
 # Detection regexes lifted from the reference's generated patterns
 # (``AgeDigitalTwinsClient.Query.cs:295-306`` VariableLengthEdgeRegex,
 # ``Query.cs:245-255`` aggregate keyword scan).
@@ -103,10 +121,10 @@ class DigitalTwinsSparkClient:
             query = tok["_q"]
         df = self.query_df(query, order_for_paging=max_items_per_page is not None)
         if max_items_per_page is None:
-            rows = [r.asDict(recursive=True) for r in df.collect()]
+            rows = [_jsonable(r.asDict(recursive=True)) for r in df.collect()]
             return QueryPage(rows, None, compute_query_charge(rows, query))
         page = df.offset(offset).limit(max_items_per_page + 1).collect()
-        rows = [r.asDict(recursive=True) for r in page[:max_items_per_page]]
+        rows = [_jsonable(r.asDict(recursive=True)) for r in page[:max_items_per_page]]
         token = None
         if len(page) > max_items_per_page:
             token = base64.b64encode(

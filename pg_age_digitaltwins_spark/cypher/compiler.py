@@ -279,7 +279,7 @@ class CypherCompiler:
     ) -> tuple[DataFrame, Binding]:
         lo, hi = edge.var_length
         hi = min(hi if hi is not None else MAX_VAR_LENGTH, MAX_VAR_LENGTH)
-        if lo < 1 or hi < lo:
+        if lo < 0 or hi < lo:
             raise CypherCompileError(f"Bad variable-length bounds [*{lo}..{hi}]")
         base_rel, _ = self._edge_frame(edge)
         base = base_rel.select(
@@ -296,7 +296,16 @@ class CypherCompiler:
         # shuffle-join on ``dst = src``.  ``localCheckpoint`` would cut
         # lineage for deep traversals on a real cluster.
         frontier = base
-        acc = base if lo <= 1 else None
+        acc = None
+        if lo == 0:
+            # zero-length path: every node reaches itself (openCypher
+            # ``[*0..n]`` includes the start node; endpoint filters
+            # still apply through the node-scan joins below)
+            acc = self._twins.select(
+                F.col("dt_id").alias("src"), F.col("dt_id").alias("dst")
+            )
+        if lo <= 1 and hi >= 1:
+            acc = base if acc is None else acc.unionByName(base)
         for depth in range(2, hi + 1):
             frontier = (
                 frontier.alias("f")
@@ -330,11 +339,38 @@ class CypherCompiler:
     # ------------------------------------------------------------------
     # OPTIONAL MATCH (C2)
     # ------------------------------------------------------------------
+    @staticmethod
+    def _opt_frame_cols(kind: str) -> list[str]:
+        if kind == "twin":
+            return ["dt_id", "model_id", "etag", "doc", "vdoc"]
+        if kind == "rel":
+            return [
+                "relationship_id", "source_id", "target_id", "name", "etag", "doc", "vdoc"
+            ]
+        return ["dt_id", "decommissioned", "doc", "vdoc"]
+
     def _optional_match(
         self, df: DataFrame | None, env: dict[str, Binding], clause: C.MatchClause
     ) -> DataFrame:
         if df is None:
-            raise CypherCompileError("OPTIONAL MATCH requires a preceding MATCH")
+            # Leading OPTIONAL MATCH (openCypher-legal): compile the
+            # pattern standalone, flatten its bindings, and left-join
+            # against a unit row — zero matches yield ONE all-null row.
+            sub_env: dict[str, Binding] = {}
+            sub = CypherCompiler(self.store)
+            sub._anon = self._anon + 100
+            inner = C.MatchClause(list(clause.paths), where=clause.where)
+            sub_df = sub._match(None, sub_env, inner)
+            cols = []
+            for name, b in sub_env.items():
+                if not name:
+                    continue
+                prefix = f"__o_{name}"
+                for fc in self._opt_frame_cols(b.kind):
+                    cols.append(F.col(f"{b.df_alias}.{fc}").alias(f"{prefix}__{fc}"))
+                env[name] = Binding(name, b.kind, prefix)
+            unit = self.store.spark.range(1).select(F.lit(1).alias("__unit"))
+            return unit.join(sub_df.select(*cols), F.lit(True), "left").drop("__unit")
         shared = [
             p.nodes[0].alias
             for p in clause.paths
@@ -369,13 +405,7 @@ class CypherCompiler:
                 )
             # surface the sub-binding's full frame columns under flat names
             prefix = f"__o_{name}"
-            frame_cols = (
-                ["dt_id", "model_id", "etag", "doc", "vdoc"]
-                if b.kind == "twin"
-                else ["relationship_id", "source_id", "target_id", "name", "etag", "doc", "vdoc"]
-                if b.kind == "rel"
-                else ["dt_id", "decommissioned", "doc", "vdoc"]
-            )
+            frame_cols = self._opt_frame_cols(b.kind)
             for fc in frame_cols:
                 cols.append(F.col(f"{b.df_alias}.{fc}").alias(f"{prefix}__{fc}"))
             env[name] = Binding(name, b.kind, prefix)

@@ -458,3 +458,45 @@ def test_order_by_nulls_last_ascending(spark):
     desc = [r["id"] for r in c.query(
         "MATCH (t:Twin) RETURN t.`$dtId` AS id ORDER BY t.val DESC").rows]
     assert desc == ["b", "a", "c"]
+
+
+def test_var_length_zero_lower_bound(fixture_store):
+    """[*0..n] includes the start node itself (zero-length path)."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+
+    c = DigitalTwinsSparkClient(fixture_store)
+    rows = c.query(
+        "MATCH (a {`$dtId`: 'root2'})-[:has*0..1]->(b) RETURN b.`$dtId` AS id ORDER BY id"
+    ).rows
+    assert [r["id"] for r in rows] == ["b1", "b2", "root2"]
+
+
+def test_optional_match_leading(fixture_store):
+    """Leading OPTIONAL MATCH (no prior MATCH) is openCypher-legal:
+    matches flow through; zero matches yield ONE all-null row."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+
+    c = DigitalTwinsSparkClient(fixture_store)
+    hit = c.query(
+        "OPTIONAL MATCH (t {`$dtId`: 'root2'})-[r:has]->(o) RETURN o.`$dtId` AS id ORDER BY id"
+    ).rows
+    assert [r["id"] for r in hit] == ["b1", "b2"]
+    miss = c.query(
+        "OPTIONAL MATCH (t {`$dtId`: 'no-such'})-[r:has]->(o) RETURN o.`$dtId` AS id"
+    ).rows
+    assert miss == [{"id": None}]
+
+
+def test_query_rows_variant_values_jsonable(fixture_store):
+    """UNWIND of a variant array reaches QueryPage as JSON-typed Python
+    values (a raw VariantVal would break every JSON consumer)."""
+    import json as _json
+
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+
+    c = DigitalTwinsSparkClient(fixture_store)
+    rows = c.query(
+        "MATCH (t {`$dtId`: 'shapes'}) UNWIND t.numbers AS x RETURN x"
+    ).rows
+    _json.dumps(rows)  # must not raise
+    assert all(not hasattr(r["x"], "toPython") for r in rows)
