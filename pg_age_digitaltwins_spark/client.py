@@ -120,6 +120,19 @@ class DigitalTwinsSparkClient:
             offset = int(tok["_tr"])
             query = tok["_q"]
         df = self.query_df(query, order_for_paging=max_items_per_page is not None)
+        if (
+            max_items_per_page is not None
+            and self.detect_dialect(query) == "cypher"
+            and not re.search(r"\bORDER\s+BY\b", query, re.IGNORECASE)
+        ):
+            # Paging needs a total order or offsets slice arbitrary rows
+            # across pages (the ADT path already sorts; the reference
+            # leans on Postgres scan stability here, SURVEY §4).  Sort
+            # by every output column's string rendering — variant
+            # columns aren't directly orderable.
+            from pyspark.sql import functions as F
+
+            df = df.orderBy(*[F.col(c).cast("string") for c in df.columns])
         if max_items_per_page is None:
             rows = [_jsonable(r.asDict(recursive=True)) for r in df.collect()]
             return QueryPage(rows, None, compute_query_charge(rows, query))

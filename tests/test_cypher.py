@@ -500,3 +500,20 @@ def test_query_rows_variant_values_jsonable(fixture_store):
     ).rows
     _json.dumps(rows)  # must not raise
     assert all(not hasattr(r["x"], "toPython") for r in rows)
+
+
+def test_cypher_pagination_deterministic(fixture_store):
+    """Paging an un-ORDERed Cypher query must visit every row exactly
+    once across pages (an unsorted frame would slice arbitrarily)."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+
+    c = DigitalTwinsSparkClient(fixture_store)
+    q = "MATCH (t:Twin) RETURN t.`$dtId` AS id"
+    seen, token = [], None
+    while True:
+        page = c.query(q, max_items_per_page=4, continuation_token=token)
+        seen += [r["id"] for r in page.rows]
+        token = page.continuation_token
+        if not token:
+            break
+    assert len(seen) == 13 and len(set(seen)) == 13
