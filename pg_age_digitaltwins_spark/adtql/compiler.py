@@ -432,6 +432,20 @@ class QueryCompiler:
         if segs and segs[0] in env:
             bound, path = env[segs[0]], segs[1:]
         else:
+            if (
+                len(segs) >= 2
+                and not segs[0].startswith("$")
+                and segs[1].startswith("$")
+            ):
+                # ``Z.$dtId``: a $-reserved segment can only follow an
+                # alias, so an unbound head is a typo'd alias, not a
+                # nested property — the reference's translation fails on
+                # the unbound Cypher variable; silently yielding nulls
+                # would hide it.
+                raise CompileError(
+                    f"Unknown alias {segs[0]!r} in {'.'.join(segs)!r} "
+                    f"(bound aliases: {sorted(env)})"
+                )
             if len(env) != 1:
                 raise CompileError(
                     f"Property {'.'.join(segs)!r} must be alias-qualified when "

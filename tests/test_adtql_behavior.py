@@ -317,3 +317,18 @@ def test_join_related_5hop_chain(spark):
     # walk of length exactly 5 from n0 counts: the straight chain ends at
     # n5, and the n1->n0 decoy loop yields walks ending at n3 and n1.
     assert sorted(r["last"] for r in rows) == ["n1", "n3", "n5"]
+
+
+def test_unknown_alias_before_reserved_prop_errors(client):
+    """`Z.$dtId` with Z unbound is a typo'd alias, not a nested
+    property: the reference's translation fails on the unbound Cypher
+    variable, so silently projecting nulls would hide the mistake."""
+    from pg_age_digitaltwins_spark.adtql.compiler import CompileError
+
+    with pytest.raises(CompileError, match="Unknown alias 'Z'"):
+        client.query_df("SELECT Z.$dtId FROM DIGITALTWINS T").collect()
+    # nested non-$ property paths on the implicit alias still resolve
+    rows = client.query_df(
+        "SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE IS_DEFINED(someMap.k)"
+    ).collect()
+    assert [r["dt_id"] for r in rows] == ["shapes"]
