@@ -164,6 +164,31 @@ class DigitalTwinsSparkClient:
     def _swap(self, store: GraphStore) -> None:
         self.store = store
 
+    def checkpoint(self, path: str | None = None) -> None:
+        """Storage maintenance (SURVEY §7 hard-#5: update-heavy OLTP on
+        immutable snapshots).  Every point mutation swaps in a plan
+        built on the previous one, so after N mutations each query
+        replays an N-deep anti-join/union chain.  With ``path``, rewrite
+        the store in the partitioned parquet layout and reload — the
+        Delta ``OPTIMIZE``/compaction equivalent, restoring partition
+        pruning and statistics; without, cut the lineage in place with
+        ``localCheckpoint`` (executor-memory materialization).  Run it
+        every few hundred mutations or after bulk imports."""
+        if path is not None:
+            self.store.save(path)
+            self._swap(GraphStore.load(self.store.spark, path))
+            return
+        s = self.store
+        self._swap(
+            crud._replace(
+                s,
+                twins=s.twins.localCheckpoint(eager=True),
+                relationships=s.relationships.localCheckpoint(eager=True),
+                models=s.models.localCheckpoint(eager=True),
+                model_edges=s.model_edges.localCheckpoint(eager=True),
+            )
+        )
+
     # ------------------------------------------------------------------
     # twins (D1-D5)
     # ------------------------------------------------------------------

@@ -226,12 +226,24 @@ class GraphStore:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "GraphStore":
+        from pyspark.sql.utils import AnalysisException
+
+        def read(sub: str, schema: T.StructType, vdoc: bool) -> DataFrame:
+            # An EMPTY partitioned table writes no parquet files, so the
+            # read cannot infer a schema — fall back to the canonical
+            # empty frame (with the vdoc column save() would have added).
+            try:
+                return spark.read.parquet(f"{path}/{sub}")
+            except AnalysisException:
+                df = spark.createDataFrame([], schema)
+                return with_vdoc(df) if vdoc else df
+
         return cls(
             spark=spark,
-            twins=spark.read.parquet(f"{path}/twins"),
-            relationships=spark.read.parquet(f"{path}/relationships"),
-            models=spark.read.parquet(f"{path}/models"),
-            model_edges=spark.read.parquet(f"{path}/model_edges"),
+            twins=read("twins", TWIN_SCHEMA, True),
+            relationships=read("relationships", REL_SCHEMA, True),
+            models=read("models", MODEL_SCHEMA, False),
+            model_edges=read("model_edges", MODEL_EDGE_SCHEMA, False),
         )
 
 

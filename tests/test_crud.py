@@ -574,3 +574,44 @@ def test_create_models_validates_batch(client):
         client.create_models([_interface(**{"@id": "dtmi:v:A;1"})])
     with pytest.raises(ValidationError, match="cannot be resolved"):
         client.create_models([_interface(**{"@id": "dtmi:v:C;1"}, extends="dtmi:v:Nope;1")])
+
+
+def test_checkpoint_bounds_mutation_lineage(spark, tmp_path):
+    """SURVEY §7 hard-#5: after N point mutations every query replays an
+    N-deep plan; checkpoint() compacts it (both modes) with identical
+    results."""
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{
+        "@id": "dtmi:ck:M;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "x", "schema": "double"}],
+    }]
+    c = DigitalTwinsSparkClient(GraphStore.empty(spark).with_models(models))
+    for i in range(12):
+        c.create_or_replace_digital_twin(
+            f"t{i}", {"$metadata": {"$model": "dtmi:ck:M;1"}, "x": float(i)}
+        )
+        c.update_digital_twin(
+            f"t{i}", [{"op": "replace", "path": "/x", "value": float(i) + 0.5}]
+        )
+    deep_plan = c.store.twins._jdf.queryExecution().optimizedPlan().toString()
+
+    # in-place lineage cut
+    c.checkpoint()
+    flat_plan = c.store.twins._jdf.queryExecution().optimizedPlan().toString()
+    assert len(flat_plan) < len(deep_plan) / 2
+    assert c.store.twins.count() == 12
+    assert c.get_digital_twin("t3")["x"] == 3.5
+
+    # durable compaction roundtrip
+    c.create_or_replace_digital_twin(
+        "extra", {"$metadata": {"$model": "dtmi:ck:M;1"}, "x": 99.0}
+    )
+    c.checkpoint(str(tmp_path / "compact"))
+    assert c.store.twins.count() == 13
+    assert c.get_digital_twin("extra")["x"] == 99.0
+    assert c.get_digital_twin("t3")["x"] == 3.5
+    # further mutations work on the reloaded store
+    c.update_digital_twin("extra", [{"op": "replace", "path": "/x", "value": 1.0}])
+    assert c.get_digital_twin("extra")["x"] == 1.0
