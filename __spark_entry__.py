@@ -310,6 +310,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- text / dedup -------------------------------------------------
     q["text_token_counts"] = lambda s, d: text.token_counts(_tables(s, d)["documents"])
+
+    def _split_counts(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators import sampling
+
+        return (
+            sampling.hash_split(_tables(s, d)["documents"], "doc_id", 0.1)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _stratified(s, d):
+        from pg_age_digitaltwins_spark.operators import sampling
+
+        return sampling.stratified_sample(
+            _tables(s, d)["documents"], "lang", "doc_id", 0.2
+        ).select("doc_id", "lang")
+
+    q["sample_split_counts"] = _split_counts
+    q["sample_stratified"] = _stratified
     q["text_quality"] = lambda s, d: text.quality_scores(_tables(s, d)["documents"])
     q["text_lang_id"] = lambda s, d: text.lang_id(_tables(s, d)["documents"])
     q["text_fingerprints"] = lambda s, d: text.fingerprints(_tables(s, d)["documents"])
@@ -626,6 +647,15 @@ def oracle_sql() -> dict[str, str]:
         "CAST(min(ts) AS TIMESTAMP) AS session_start, CAST(max(ts) AS TIMESTAMP) AS session_end, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "
         "FROM sessions GROUP BY user_id, session_seq"
+    )
+    o["sample_split_counts"] = (
+        "SELECT CASE WHEN substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)), 1, 4) "
+        "< '1999' THEN 'test' ELSE 'train' END AS split, count(*) AS n "
+        "FROM documents GROUP BY 1"
+    )
+    o["sample_stratified"] = (
+        "SELECT doc_id, lang FROM documents WHERE "
+        "substr(md5('sample' || '|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333'"
     )
     o["text_token_counts"] = (
         f"SELECT doc_id, CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens, "

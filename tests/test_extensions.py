@@ -364,3 +364,44 @@ def test_ann_lsh_multiprobe(embeddings):
     for r in multi_rows:
         ham = bin(sig[r["vec_id"]] ^ sig[0]).count("1")
         assert ham <= 1
+
+
+# ----------------------------------------------------------------------
+# deterministic sampling / train-test split
+# ----------------------------------------------------------------------
+
+def test_hash_split_deterministic_and_leak_free(spark):
+    from pg_age_digitaltwins_spark.operators import sampling
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = sampling.hash_split(df, "doc_id", 0.2)
+    s2 = sampling.hash_split(df.repartition(7), "doc_id", 0.2)
+    m1 = {r["doc_id"]: r["split"] for r in s1.collect()}
+    m2 = {r["doc_id"]: r["split"] for r in s2.collect()}
+    assert m1 == m2  # stable under repartition/rerun
+    frac = sum(1 for v in m1.values() if v == "test") / len(m1)
+    assert 0.15 < frac < 0.25
+    # same key duplicated → same side (no train/test leakage)
+    dup = sampling.hash_split(df.union(df), "doc_id", 0.2)
+    assert dup.select("doc_id", "split").distinct().count() == 2000
+    # different salt → different assignment
+    s3 = {r["doc_id"]: r["split"] for r in sampling.hash_split(df, "doc_id", 0.2, salt="v2").collect()}
+    assert s3 != m1
+
+
+def test_stratified_sample_preserves_strata(spark):
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.operators import sampling
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    out = sampling.stratified_sample(df, "lang", "doc_id", 0.3)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) == {"0", "1", "2"}
+    for n in per.values():
+        assert 0.2 * 1000 < n < 0.4 * 1000
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.stratified_sample(df, "lang", "doc_id", 1.5)
