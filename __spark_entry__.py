@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _tables(s, d)["documents"], "lang", "doc_id", 0.2
         ).select("doc_id", "lang")
 
+    q["text_bpe_token_counts"] = lambda s, d: text.bpe_token_counts(
+        _tables(s, d)["documents"]
+    )
     q["sample_split_counts"] = _split_counts
     q["sample_stratified"] = _stratified
     q["text_quality"] = lambda s, d: text.quality_scores(_tables(s, d)["documents"])
@@ -647,6 +650,12 @@ def oracle_sql() -> dict[str, str]:
         "CAST(min(ts) AS TIMESTAMP) AS session_start, CAST(max(ts) AS TIMESTAMP) AS session_end, "
         "count(*) AS n_events, round(sum(value), 2) AS sum_value "
         "FROM sessions GROUP BY user_id, session_seq"
+    )
+    o["text_bpe_token_counts"] = (
+        "SELECT doc_id, "
+        "CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, "
+        "CAST(array_length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\t\\n\\r ]+|[\\t\\n\\r ]+')) AS BIGINT) AS bpe_tokens "
+        "FROM documents"
     )
     o["sample_split_counts"] = (
         "SELECT CASE WHEN substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)), 1, 4) "

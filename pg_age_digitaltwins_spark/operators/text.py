@@ -59,6 +59,28 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, reduced to an RE2/Java-portable core:
+# optional leading space + letter run | digit run | punctuation run,
+# falling back to whitespace runs.  (The upstream pattern's negative
+# lookahead and unicode categories are dropped so the same pattern runs
+# identically under Spark (Java regex) and the DuckDB (RE2) oracle.)
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\r ]+|[\t\n\r ]+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counts: the subword-tokenizer-shaped estimate
+    (letters/digits/punctuation split like a GPT-2 pre-tokenizer) next
+    to the plain whitespace count — the usual pair of corpus-size
+    metrics.  One scan, both counts from built-in regex functions."""
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Cheap quality heuristics: mean word length, punctuation ratio,
     stopword ratio — the usual pre-training corpus filters."""

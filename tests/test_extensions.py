@@ -405,3 +405,17 @@ def test_stratified_sample_preserves_strata(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sampling.stratified_sample(df, "lang", "doc_id", 1.5)
+
+
+def test_bpe_token_counts(spark):
+    from pg_age_digitaltwins_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "Hello world, it's 2026!"), (2, "a  b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"]) for r in text_ops.bpe_token_counts(df).collect()}
+    # "Hello|' world'|,| it|'|s| 2026|! " → ws 4, bpe 8
+    assert out[1][0] == 4 and out[1][1] == 8
+    # "a  b" → bpe: 'a' + ' ' (extra ws) + ' b' = 3; ws-split = 2
+    assert out[2] == (2, 3)
