@@ -332,3 +332,34 @@ def test_unknown_alias_before_reserved_prop_errors(client):
         "SELECT $dtId AS dt_id FROM DIGITALTWINS WHERE IS_DEFINED(someMap.k)"
     ).collect()
     assert [r["dt_id"] for r in rows] == ["shapes"]
+
+
+@pytest.mark.parametrize(
+    "query,n_rows,cols",
+    [
+        # golden shapes from the reference's AdtQueryToCypherTests corpus
+        ("SELECT T,R FROM DIGITALTWINS MATCH (current)-[R]->(T) "
+         "WHERE current.$dtId='root2'", 2, ["R", "T"]),
+        ("SELECT TOP(1) FROM DIGITALTWINS "
+         "WHERE $metadata.$model = 'dtmi:com:adt:dtsample:room;1'", 1, ["T"]),
+        ("SELECT $dtId, name FROM DIGITALTWINS WHERE STARTSWITH(name, 'Room')",
+         2, ["dtId", "name"]),
+        ("SELECT TOP (2) twin FROM DIGITALTWINS twin "
+         "WHERE CONTAINS(twin.$dtId,'room')", 2, ["twin"]),
+        ("SELECT T FROM DIGITALTWINS MATCH (E)-[]->(T) "
+         "WHERE T.$dtId = 'b1' AND E.$dtId != 'x'", 1, ["T"]),
+        ("SELECT B, R FROM DIGITALTWINS DT JOIN B RELATED DT.has R "
+         "WHERE DT.$dtId = 'root2'", 2, ["B", "R"]),
+        ("SELECT TOP(5) FROM DIGITALTWINS "
+         "WHERE (CONTAINS(name,'Room') OR CONTAINS($dtId,'room')) "
+         "AND (IS_OF_MODEL('dtmi:com:adt:dtsample:room;1') "
+         "OR IS_OF_MODEL('dtmi:com:contoso:Planet;1'))", 2, ["T"]),
+    ],
+)
+def test_golden_corpus_shapes(client, query, n_rows, cols):
+    """Query shapes from ``AdtQueryToCypherTests.cs`` not covered by the
+    targeted tests above: multi-entity projections, bare TOP, rel alias
+    in JOIN RELATED, anonymous edges, OR-of-IS_OF_MODEL."""
+    rows = client.query(query).rows
+    assert len(rows) == n_rows
+    assert sorted(rows[0]) == cols
