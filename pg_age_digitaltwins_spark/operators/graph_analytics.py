@@ -93,9 +93,11 @@ def pagerank(
     state = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iters):
         with_deg = state.join(out_deg, "dt_id", "left")
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull()).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # Dangling mass stays a DataFrame (1-row agg, broadcast by the
+        # nested-loop cross join) so each superstep is ONE job — no
+        # driver scalar collect serializing iterations on job latency.
+        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
         contribs = (
             edges.join(
@@ -109,13 +111,15 @@ def pagerank(
             .groupBy("dt_id")
             .agg(F.sum("c").alias("in_sum"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         state = (
             verts.join(contribs, "dt_id", "left")
+            .crossJoin(dangling)
             .select(
                 "dt_id",
                 (
-                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("dangling") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
