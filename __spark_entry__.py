@@ -265,8 +265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         st = _store(s, d)
         return pagerank(st.twins, st.relationships, iters=5)
 
-    # Iterative whole-graph programs (rows-only: fixpoint label
-    # propagation / power iteration aren't expressible in portable SQL)
+    # Iterative whole-graph programs — oracled as unrolled-iteration
+    # DuckDB CTE chains (_cc_oracle / _pagerank_oracle)
     q["graph_connected_components"] = _cc
     q["graph_pagerank"] = _pr
     def _cypher_collect(spark, sf_dir):
@@ -424,6 +424,75 @@ _ALL_TWIN_IDS = (
 
 _TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 _TOKS_RAW = "regexp_split_to_array(trim(text), '\\s+')"
+
+# Directed twin-graph edge list in SQL — must mirror
+# store/tpch_loader._build_graph exactly (UNION ALL: lineitem edge
+# multiplicity is load-bearing for PageRank out-degrees).
+_EDGES_SQL = (
+    "SELECT 'order-' || o_orderkey AS src, 'cust-' || o_custkey AS dst FROM orders "
+    "UNION ALL SELECT 'order-' || l_orderkey, 'part-' || l_partkey FROM lineitem "
+    "UNION ALL SELECT 'order-' || l_orderkey, 'supp-' || l_suppkey FROM lineitem "
+    "UNION ALL SELECT 'cust-' || c_custkey, 'nation-' || c_nationkey FROM customer "
+    "UNION ALL SELECT 'supp-' || s_suppkey, 'nation-' || s_nationkey FROM supplier "
+    "UNION ALL SELECT 'nation-' || n_nationkey, 'region-' || n_regionkey FROM nation"
+)
+
+
+def _cc_oracle(iters: int = 20) -> str:
+    """Unrolled min-label propagation — the same superstep rule as
+    ``operators.graph_analytics.connected_components`` applied
+    ``iters`` times (its ``max_iters``).  Once the fixpoint is reached
+    further applications are no-ops, so "iterate-to-fixpoint capped at
+    20" and "apply 20 times" produce identical labels."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines CTE references by
+    # default, and l{k-1} appears twice per iteration — un-materialized,
+    # the plan re-expands exponentially (death by reopened parquet).
+    parts = [
+        f"WITH directed AS MATERIALIZED ({_EDGES_SQL}), "
+        "edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM directed UNION ALL SELECT dst, src FROM directed)), "
+        f"l0 AS MATERIALIZED (SELECT dt_id, dt_id AS component FROM ({_ALL_TWIN_IDS}))"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f", l{k} AS MATERIALIZED (SELECT l.dt_id, "
+            f"least(l.component, coalesce(nm.n_comp, l.component)) AS component "
+            f"FROM l{k - 1} l LEFT JOIN "
+            f"(SELECT e.dst AS dt_id, min(x.component) AS n_comp "
+            f"FROM edges e JOIN l{k - 1} x ON e.src = x.dt_id GROUP BY e.dst) nm "
+            f"USING (dt_id))"
+        )
+    parts.append(f" SELECT dt_id, component FROM l{iters}")
+    return "".join(parts)
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power iteration matching ``graph_analytics.pagerank``:
+    rank_k(v) = (1-d)/n + d*dangling_{k-1}/n + d*Σ rank_{k-1}(u)/out(u)
+    over in-edges (edge multiplicity preserved, as in the operator)."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_ALL_TWIN_IDS}), "
+        f"edges AS MATERIALIZED ({_EDGES_SQL}), "
+        "outdeg AS MATERIALIZED (SELECT src AS dt_id, count(*) AS od FROM edges GROUP BY src), "
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts), "
+        "r0 AS MATERIALIZED (SELECT dt_id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"
+    ]
+    d = repr(damping)
+    for k in range(1, iters + 1):
+        parts.append(
+            f", dang{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm "
+            f"FROM r{k - 1} r LEFT JOIN outdeg o USING (dt_id) WHERE o.od IS NULL)"
+            f", contrib{k} AS MATERIALIZED (SELECT e.dst AS dt_id, sum(r.rank / o.od) AS in_sum "
+            f"FROM edges e JOIN r{k - 1} r ON e.src = r.dt_id "
+            f"JOIN outdeg o ON o.dt_id = r.dt_id GROUP BY e.dst)"
+            f", r{k} AS MATERIALIZED (SELECT v.dt_id, "
+            f"(1.0 - {d}) / (SELECT n FROM nn) "
+            f"+ {d} * (SELECT dm FROM dang{k}) / (SELECT n FROM nn) "
+            f"+ {d} * coalesce(c.in_sum, 0.0) AS rank "
+            f"FROM verts v LEFT JOIN contrib{k} c USING (dt_id))"
+        )
+    parts.append(f" SELECT dt_id, round(rank, 8) AS rank FROM r{iters}")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -612,6 +681,8 @@ def oracle_sql() -> dict[str, str]:
         "string_agg('nation-' || n_nationkey, ',' ORDER BY 'nation-' || n_nationkey) AS nations "
         "FROM nation GROUP BY n_regionkey"
     )
+    o["graph_connected_components"] = _cc_oracle()
+    o["graph_pagerank"] = _pagerank_oracle()
     o["graph_collect_neighbors"] = (
         "SELECT 'region-' || n_regionkey AS target, "
         "string_agg('nation-' || n_nationkey, ',' ORDER BY 'nation-' || n_nationkey) AS sources, "
