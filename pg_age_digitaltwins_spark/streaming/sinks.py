@@ -9,9 +9,10 @@ Kafka/Kusto/MQTT/Webhook sinks (S4-S13).
 Spark-native: the micro-batch boundary *is* the batch/timer; routes
 become per-batch fan-out inside ``foreachBatch`` (or one streaming query
 per route); Kafka maps to the native ``writeStream.format("kafka")``;
-webhook/MQTT are driver-side per-batch POSTs (their client libs aren't
-in this container — transport is stubbed behind a callback, wiring and
-retry semantics are real and tested).
+the webhook sink is a real stdlib-HTTP POST per CloudEvent
+(``WebhookSink``); MQTT is stubbed behind a transport callback (no
+client lib in this container — wiring and retry semantics are real and
+tested).
 """
 
 from __future__ import annotations
@@ -131,9 +132,9 @@ class KafkaSink(EventSink):
 
 
 class CallbackSink(EventSink):
-    """Webhook/MQTT-shaped sink: per-batch delivery through an injected
-    transport callable (HTTP POST / MQTT publish in production —
-    ``WebhookEventSink.cs``, ``MqttEventSink.cs``)."""
+    """MQTT-shaped sink: per-batch delivery through an injected
+    transport callable (MQTT publish in production —
+    ``MqttEventSink.cs``; no client lib in this container)."""
 
     def __init__(self, transport: Callable[[list[dict[str, Any]]], None], name: str = "callback"):
         self.name = name
@@ -141,6 +142,84 @@ class CallbackSink(EventSink):
 
     def send(self, events: list[dict[str, Any]]) -> None:
         self.transport(events)
+
+
+class WebhookSink(EventSink):
+    """S12: real HTTP webhook delivery over stdlib ``urllib`` — one POST
+    per CloudEvent in structured mode (``application/cloudevents+json``),
+    the contract of ``Sinks/Webhook/WebhookEventSink.cs:119-197``.
+
+    Auth mirrors ``ConfigureClient`` (``WebhookEventSink.cs:37-80``):
+    ``auth_type`` of ``"Basic"`` (username/password), ``"Bearer"``
+    (token), or ``"ApiKey"``/``"Header"`` (header_name/header_value),
+    resolved once into static request headers.
+
+    Failure semantics follow the reference exactly: a non-2xx HTTP
+    response marks the sink unhealthy and moves on (the reference logs
+    and continues — the endpoint *received* the request, re-POSTing
+    risks duplicates); a transport-level error (connect refused, DNS,
+    timeout) raises ``SinkError`` so the ``ResilientSink`` wrapper
+    retries with backoff and eventually dead-letters the batch."""
+
+    def __init__(
+        self,
+        url: str,
+        name: str = "webhook",
+        auth_type: str | None = None,
+        username: str | None = None,
+        password: str | None = None,
+        token: str | None = None,
+        header_name: str | None = None,
+        header_value: str | None = None,
+        timeout: float = 10.0,
+    ):
+        self.name = name
+        self.url = url
+        self.timeout = timeout
+        self.is_healthy = True
+        self.last_error: str | None = None
+        self.headers = {"Content-Type": "application/cloudevents+json; charset=utf-8"}
+        at = (auth_type or "").lower()
+        if at == "basic" and username and password:
+            import base64
+
+            cred = base64.b64encode(f"{username}:{password}".encode("ascii"))
+            self.headers["Authorization"] = f"Basic {cred.decode('ascii')}"
+        elif at == "bearer" and token:
+            self.headers["Authorization"] = f"Bearer {token}"
+        elif at in ("apikey", "header") and header_name and header_value:
+            self.headers[header_name] = header_value
+
+    def send(self, events: list[dict[str, Any]]) -> None:
+        import urllib.error
+        import urllib.request
+
+        for e in events:
+            # Structured-mode encoding adds the required specversion —
+            # the reference's JsonEventFormatter does the same at
+            # EncodeStructuredModeMessage time.
+            body = json.dumps(
+                {"specversion": "1.0", **e}, separators=(",", ":")
+            ).encode("utf-8")
+            req = urllib.request.Request(
+                self.url, data=body, headers=self.headers, method="POST"
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    resp.read()
+                self.is_healthy = True
+            except urllib.error.HTTPError as exc:
+                # Endpoint answered with an error status: delivered but
+                # rejected — unhealthy, no retry (reference behavior).
+                exc.read()
+                self.is_healthy = False
+                self.last_error = f"HTTP {exc.code} from {self.url}"
+            except Exception as exc:  # noqa: BLE001 — transport failure
+                self.is_healthy = False
+                self.last_error = str(exc)
+                raise SinkError(
+                    f"webhook transport to {self.url} failed: {exc}"
+                ) from exc
 
 
 def kafka_writer_options(bootstrap_servers: str, topic: str) -> dict[str, str]:

@@ -560,3 +560,133 @@ def test_deadband_filter_stateful(spark, tmp_path):
     assert (1, 33.0, 26.0) in out2
     assert (1, 28.0, 2.0) not in out2 and all(v != 28.0 for _, v, _p in out2)
     assert all(v != 2.0 for _, v, _p in out2)
+
+
+# ----------------------------------------------------------------------
+# WebhookSink: real HTTP delivery over loopback (S12)
+# ----------------------------------------------------------------------
+
+
+class _WebhookServer:
+    """Loopback endpoint capturing CloudEvent POSTs; status injectable."""
+
+    def __init__(self):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.requests = []
+        self.status = 200
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                import json as _json
+
+                n = int(self.headers.get("Content-Length", 0))
+                outer.requests.append({
+                    "headers": dict(self.headers),
+                    "body": _json.loads(self.rfile.read(n)),
+                })
+                self.send_response(outer.status)
+                self.end_headers()
+
+            def log_message(self, *a):  # noqa: D102 — quiet
+                pass
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.server.server_address[1]}/hook"
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_webhook_sink_end_to_end_over_http(spark, tmp_path):
+    """Mutations → drain_to_feed → run_change_stream → a REAL local HTTP
+    server receives one structured-mode CloudEvent POST per event with
+    the reference's content type and auth header."""
+    from pg_age_digitaltwins_spark.streaming.sinks import (
+        WebhookSink,
+        run_change_stream,
+    )
+
+    srv = _WebhookServer()
+    try:
+        models = [{
+            "@id": "dtmi:t:M;1", "@type": "Interface",
+            "@context": "dtmi:dtdl:context;3",
+            "contents": [{"@type": "Property", "name": "temperature", "schema": "double"}],
+        }]
+        client = DigitalTwinsSparkClient(GraphStore.empty(spark).with_models(models))
+        client.create_or_replace_digital_twin(
+            "t1", {"$metadata": {"$model": "dtmi:t:M;1"}, "temperature": 1.0}, ts=TS
+        )
+        client.update_digital_twin(
+            "t1", [{"op": "replace", "path": "/temperature", "value": 2.0}], ts=TS
+        )
+        feed = tmp_path / "feed"
+        client.changes.drain_to_feed(str(feed))
+
+        router = EventRouter(source="src-webhook")
+        hook = WebhookSink(srv.url, auth_type="ApiKey",
+                           header_name="X-Api-Key", header_value="sekrit")
+        router.add_sink(hook)
+        router.add_route(EventRoute("webhook", "EventNotification"))
+        q = run_change_stream(spark, str(feed), router, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        assert len(srv.requests) == 2 and hook.is_healthy
+        types = sorted(r["body"]["type"] for r in srv.requests)
+        assert types == ["Konnektr.Graph.Twin.Create", "Konnektr.Graph.Twin.Update"]
+        for r in srv.requests:
+            assert r["headers"]["Content-Type"].startswith("application/cloudevents+json")
+            assert r["headers"]["X-Api-Key"] == "sekrit"
+            assert r["body"]["subject"] == "t1"
+            assert r["body"]["specversion"] == "1.0"
+    finally:
+        srv.stop()
+
+
+def test_webhook_sink_error_status_marks_unhealthy_no_retry():
+    """A non-2xx response marks the sink unhealthy without raising (the
+    reference logs and continues — WebhookEventSink.cs:174-187), so the
+    resilient wrapper must NOT retry or dead-letter it."""
+    from pg_age_digitaltwins_spark.streaming.sinks import WebhookSink
+
+    srv = _WebhookServer()
+    srv.status = 500
+    try:
+        hook = WebhookSink(srv.url)
+        rs = ResilientSink(hook, max_retries=2, sleep=lambda s: None)
+        rs.send([{"id": "e1", "type": "T", "subject": "s", "data": {}}])
+        assert not hook.is_healthy and "HTTP 500" in hook.last_error
+        assert rs.dlq == [] and len(srv.requests) == 1
+    finally:
+        srv.stop()
+
+
+def test_webhook_sink_transport_failure_retries_to_dlq():
+    """Connection-refused is a transport failure: SinkError → bounded
+    retries → DLQ, and a later replay succeeds once the endpoint is
+    back (DLQService replay semantics)."""
+    from pg_age_digitaltwins_spark.streaming.sinks import WebhookSink
+
+    srv = _WebhookServer()
+    url = srv.url
+    srv.stop()  # nothing listening → ConnectionRefused
+
+    hook = WebhookSink(url, timeout=1.0)
+    rs = ResilientSink(hook, max_retries=2, sleep=lambda s: None)
+    ev = {"id": "e1", "type": "T", "subject": "s", "data": {}}
+    rs.send([ev])
+    assert not hook.is_healthy and len(rs.dlq) == 1
+
+    srv2 = _WebhookServer()  # fresh port — point the sink at it
+    try:
+        hook.url = srv2.url
+        assert rs.replay_dlq() == 1
+        assert rs.dlq == [] and len(srv2.requests) == 1 and hook.is_healthy
+    finally:
+        srv2.stop()
