@@ -381,9 +381,13 @@ def import_file_distributed(
       per-row point reads.
     * Only error samples (capped) and counts reach the driver.
 
-    Unlike ``ImportJob.run`` this path does not feed the driver-side
-    ChangeLog — at this scale change capture belongs to the storage
-    layer (Delta CDF / the streaming source), not a per-row driver log.
+    Change capture: when the client's ChangeLog is feed-attached
+    (``attach_feed``), per-row Insert/Update events for the merged twins
+    and relationships are written to the feed **executor-side** as
+    DataFrame part-files (``ChangeLog.append_df``) — driver-side
+    ``events`` stays empty no matter the import size.  Unattached, this
+    path emits no per-row events (at that point change capture belongs
+    to the storage layer — Delta CDF — not a per-row driver log).
     Reference semantics: ``ImportJob.cs:442-604``."""
     from pg_age_digitaltwins_spark import crud
     from pg_age_digitaltwins_spark.store.graph_store import with_vdoc
@@ -431,7 +435,8 @@ def import_file_distributed(
     )
     if "vdoc" in store.twins.columns:
         new_twins = with_vdoc(new_twins)
-    merged_twins = store.twins.join(new_twins, "dt_id", "left_anti").unionByName(
+    pre_twins = store.twins
+    merged_twins = pre_twins.join(new_twins, "dt_id", "left_anti").unionByName(
         new_twins
     )
     store = crud._replace(store, twins=merged_twins)
@@ -474,18 +479,83 @@ def import_file_distributed(
     )
     if "vdoc" in store.relationships.columns:
         new_rels = with_vdoc(new_rels)
-    merged_rels = store.relationships.join(
+    pre_rels = store.relationships
+    merged_rels = pre_rels.join(
         new_rels, ["source_id", "relationship_id"], "left_anti"
     ).unionByName(new_rels)
     store = crud._replace(store, relationships=merged_rels)
 
     client._swap(store)
+    if client.changes.feed_dir is not None:
+        _emit_import_changes(client, new_twins, pre_twins, new_rels, pre_rels, ts)
     rec.status = "Succeeded" if rec.error_count == 0 else (
         "PartiallySucceeded"
         if (rec.models_created + rec.twins_created + rec.relationships_created)
         else "Failed"
     )
     return rec
+
+
+def _emit_import_changes(
+    client: DigitalTwinsSparkClient,
+    new_twins,
+    pre_twins,
+    new_rels,
+    pre_rels,
+    ts: str,
+) -> None:
+    """Write per-row change events for an import to the attached feed,
+    executor-side.  Old images come from a left join against the
+    PRE-merge snapshot (REPLICA IDENTITY FULL semantics); Insert vs
+    Update is decided by old-image presence, exactly like the point
+    mutation path in ``client.create_or_replace_digital_twin``."""
+    from pg_age_digitaltwins_spark.streaming.changes import _ts as parse_ts
+
+    log = client.changes
+    when = parse_ts(ts)
+
+    def ev_cols(df, old, keys, entity_id_col, table_name_col, txn: int):
+        return (
+            df.join(old, keys, "left")
+            .select(
+                entity_id_col.alias("entity_id"),
+                F.lit(log.graph_name).alias("graph_name"),
+                table_name_col.alias("table_name"),
+                F.col("__old_doc").alias("old_value"),
+                F.col("doc").alias("new_value"),
+                F.when(F.col("__old_doc").isNull(), F.lit("Insert"))
+                .otherwise(F.lit("Update"))
+                .alias("event_type"),
+                F.lit(when).alias("timestamp"),
+                F.lit(txn).cast("long").alias("txn_id"),
+                # every entity appears once post-dedup, so seq only has
+                # to be distinct, not ordered
+                F.monotonically_increasing_id().alias("seq"),
+            )
+        )
+
+    log.append_df(
+        ev_cols(
+            new_twins,
+            pre_twins.select("dt_id", F.col("doc").alias("__old_doc")),
+            ["dt_id"],
+            F.col("dt_id"),
+            F.lit("Twin"),
+            log.begin(),
+        )
+    )
+    log.append_df(
+        ev_cols(
+            new_rels,
+            pre_rels.select(
+                "source_id", "relationship_id", F.col("doc").alias("__old_doc")
+            ),
+            ["source_id", "relationship_id"],
+            F.col("relationship_id"),
+            F.col("name"),
+            log.begin(),
+        )
+    )
 
 
 # ----------------------------------------------------------------------

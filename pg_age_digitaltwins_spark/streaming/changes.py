@@ -8,10 +8,12 @@ records → coalescing → CloudEvents → sinks
 
 Spark-native shape: every mutation through the client appends rows to an
 append-only change log (the stand-in for Delta Change Data Feed — same
-old/new-image semantics as REPLICA IDENTITY FULL).  The log is a plain
-list driver-side (mutations are point/batch OLTP ops) and becomes a
-DataFrame for the streaming/formatting stages, which are fully
-distributed.
+old/new-image semantics as REPLICA IDENTITY FULL).  Feed-attached
+(``attach_feed``), capture is write-through: point mutations land as
+small ND-JSON files (WAL-record appends), bulk operations as
+executor-side DataFrame writes (``append_df``) — nothing accumulates on
+the driver.  Unattached, the log buffers in a driver list for the unit
+path / explicit ``drain_to_feed`` bridging.
 """
 
 from __future__ import annotations
@@ -65,13 +67,39 @@ class EventData:
 
 
 class ChangeLog:
-    """Append-only mutation log with transaction grouping."""
+    """Append-only mutation log with transaction grouping.
+
+    Two capture modes:
+
+    * **Buffered** (default): events accumulate in ``self.events`` and
+      are handed to the pipeline by ``drain()`` / ``drain_to_feed()``.
+    * **Write-through** (``attach_feed(dir)``): every captured change
+      goes straight to the ND-JSON feed directory that
+      ``run_change_stream`` tails — point mutations as one small file
+      per transaction (exactly a WAL record append), bulk operations as
+      executor-side DataFrame writes via ``append_df`` — and
+      ``self.events`` stays empty, so a million-row import never
+      accumulates driver-side state.  This is the Spark stand-in for
+      the reference's out-of-process logical-replication source
+      (``AgeDigitalTwinsReplication.cs:81-192``)."""
 
     def __init__(self, graph_name: str = "digitaltwins"):
         self.graph_name = graph_name
         self.events: list[EventData] = []
+        self.feed_dir: str | None = None
         self._txn = 0
         self._seq = 0
+
+    def attach_feed(self, feed_dir: str) -> None:
+        """Switch to write-through capture into ``feed_dir`` (created if
+        missing).  Any already-buffered events are flushed first so no
+        change is lost across the mode switch."""
+        import os
+
+        os.makedirs(feed_dir, exist_ok=True)
+        if self.events:
+            self.drain_to_feed(feed_dir)
+        self.feed_dir = feed_dir
 
     def begin(self) -> int:
         """Start a new transaction; every API call is one transaction
@@ -101,8 +129,25 @@ class ChangeLog:
             txn_id=self._txn if txn_id is None else txn_id,
             seq=self._seq,
         )
-        self.events.append(ev)
+        if self.feed_dir is not None:
+            self._write_feed_file([ev])
+        else:
+            self.events.append(ev)
         return ev
+
+    def append_df(self, events: DataFrame) -> None:
+        """Bulk change capture: write an ``EVENT_DATA_SCHEMA``-shaped
+        DataFrame straight into the feed, executor-side (one part-file
+        per partition — never materialized on the driver).  This is how
+        the import job emits its per-row change events at scale."""
+        if self.feed_dir is None:
+            raise ValueError("append_df requires attach_feed(feed_dir)")
+        (
+            events.select([f.name for f in EVENT_DATA_SCHEMA.fields])
+            .write.mode("append")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+            .json(self.feed_dir)
+        )
 
     # ------------------------------------------------------------------
     def to_df(self, spark: SparkSession, events: Iterable[EventData] | None = None) -> DataFrame:
@@ -138,6 +183,16 @@ class ChangeLog:
         events = self.drain()
         if not events:
             return 0
+        self._write_feed_file(events, feed_dir)
+        return len(events)
+
+    def _write_feed_file(self, events: list[EventData], feed_dir: str | None = None) -> None:
+        """Write events as ONE new ND-JSON file (atomic rename so the
+        file-stream source never reads a half-written file)."""
+        import os
+        import uuid
+
+        feed_dir = feed_dir or self.feed_dir
         os.makedirs(feed_dir, exist_ok=True)
         tmp = os.path.join(feed_dir, f".{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
@@ -165,10 +220,8 @@ class ChangeLog:
                     )
                     + "\n"
                 )
-        # atomic rename so the stream never reads a half-written file
         final = os.path.join(feed_dir, f"batch-{uuid.uuid4().hex}.ndjson")
         os.rename(tmp, final)
-        return len(events)
 
 
 def _ts(iso: str):

@@ -270,3 +270,61 @@ def test_job_lock_leases():
     assert not svc.acquire_lock("j1", "runner-a")
     svc.release_lock("j1", "runner-b")
     assert svc.acquire_lock("j1", "runner-a")
+
+
+def test_import_distributed_executor_side_change_capture(client, spark, tmp_path):
+    """Feed-attached change capture: a bulk import writes per-row
+    Insert events to the feed as executor part-files, the driver-side
+    events list stays EMPTY, and run_change_stream delivers them.  A
+    re-import of one twin is captured as Update with the old image."""
+    from pg_age_digitaltwins_spark.streaming.sinks import (
+        EventRoute,
+        EventRouter,
+        InMemoryEventSink,
+        run_change_stream,
+    )
+
+    feed = tmp_path / "feed"
+    client.changes.attach_feed(str(feed))
+
+    n = 200
+    p = tmp_path / "import.ndjson"
+    p.write_text("\n".join(full_file(n)) + "\n")
+    rec = import_file_distributed(client, spark, str(p))
+    assert rec.status == "Succeeded"
+    assert client.changes.events == []  # nothing accumulated driver-side
+
+    rows = spark.read.schema(
+        __import__(
+            "pg_age_digitaltwins_spark.streaming.changes", fromlist=["EVENT_DATA_SCHEMA"]
+        ).EVENT_DATA_SCHEMA
+    ).json(str(feed))
+    # n twin + n relationship events + 1 model create
+    assert rows.count() == 2 * n + 1
+    assert rows.filter("event_type = 'Insert'").count() == 2 * n + 1
+    assert rows.filter("table_name = 'Model'").count() == 1
+    assert rows.filter("table_name = 'Twin'").count() == n
+    assert rows.filter("table_name = 'next'").count() == n
+
+    # point mutation on the attached log also writes through
+    client.update_digital_twin(
+        "t0", [{"op": "replace", "path": "/x", "value": 99.0}]
+    )
+    assert client.changes.events == []
+
+    router = EventRouter(source="src-import")
+    mem = InMemoryEventSink("mem")
+    router.add_sink(mem)
+    router.add_route(EventRoute("mem", "EventNotification"))
+    q = run_change_stream(spark, str(feed), router, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    # model events format to nothing (reference emits no model CloudEvents)
+    types = [e["type"] for e in mem.events]
+    assert len(types) == 2 * n + 1
+    assert types.count("Konnektr.Graph.Twin.Create") == n
+    assert types.count("Konnektr.Graph.Relationship.Create") == n
+    assert types.count("Konnektr.Graph.Twin.Update") == 1
+    upd = next(e for e in mem.events if e["type"] == "Konnektr.Graph.Twin.Update")
+    assert any(
+        pch["path"] == "/x" and pch["value"] == 99.0 for pch in upd["data"]["patch"]
+    )
