@@ -269,12 +269,22 @@ class QueryCompiler:
         if isinstance(query.select, A.CountAll):
             return df.agg(F.count(F.lit(1)).alias("count"))
         need_order = query.top is not None or order_for_paging
+        keys: list[Column] = []
         if need_order:
             keys = [
                 F.col(f"{b.df_alias}.{'dt_id' if b.kind == 'twin' else 'relationship_id'}")
                 for b in env.values()
             ]
             df = df.orderBy(*keys)
+        # Paging exposes the sort keys as hidden ``__pk{i}`` columns so
+        # the client can issue KEYSET continuations (filter > last-key
+        # instead of re-executing an O(offset) slice); the client strips
+        # them from returned rows.
+        pk_cols = (
+            [k.alias(f"__pk{i}") for i, k in enumerate(keys)]
+            if order_for_paging
+            else []
+        )
         proj_cols = (
             None
             if isinstance(query.select, A.Star)
@@ -282,9 +292,9 @@ class QueryCompiler:
         )
         df = self._inject(df)
         df = (
-            self._project_star(df, env)
+            self._project_star(df, env, extra=pk_cols)
             if proj_cols is None
-            else df.select(*proj_cols)
+            else df.select(*proj_cols, *pk_cols)
         )
         if query.top is not None:
             df = df.limit(query.top)
@@ -636,7 +646,9 @@ class QueryCompiler:
     # ------------------------------------------------------------------
     # projection
     # ------------------------------------------------------------------
-    def _project_star(self, df: DataFrame, env: dict[str, Bound]) -> DataFrame:
+    def _project_star(
+        self, df: DataFrame, env: dict[str, Bound], extra: list[Column] | None = None
+    ) -> DataFrame:
         cols = [
             F.col(f"{b.df_alias}.doc").alias(b.name)
             for b in env.values()
@@ -644,7 +656,7 @@ class QueryCompiler:
         ]
         if not cols:
             raise CompileError("SELECT * with no named aliases")
-        return df.select(*cols)
+        return df.select(*cols, *(extra or []))
 
     def _projection_col(self, proj: A.Projection, env) -> Column:
         e = proj.expr

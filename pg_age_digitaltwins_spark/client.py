@@ -52,6 +52,81 @@ def _jsonable(v):
     return v
 
 
+def _cypher_paging_order(df: DataFrame):
+    """Impose a deterministic total order on an un-ORDERed Cypher
+    result for paging: typed (orderable) output columns sort natively —
+    and first, so ties rarely reach the expensive ones — while complex
+    columns (variant/array/struct) sort through a string rendering
+    added as hidden ``__ks{i}`` columns.  Returns (ordered df, the sort
+    column names) so the pager can keyset on exactly the same order."""
+    from pyspark.sql import functions as F, types as T
+
+    native_types = (
+        T.StringType, T.BooleanType, T.ByteType, T.ShortType, T.IntegerType,
+        T.LongType, T.FloatType, T.DoubleType, T.DecimalType, T.DateType,
+        T.TimestampType, T.TimestampNTZType,
+    )
+    native = [f.name for f in df.schema.fields if isinstance(f.dataType, native_types)]
+    complex_ = [f.name for f in df.schema.fields if f.name not in native]
+    sort_cols = list(native)
+    for i, c in enumerate(complex_):
+        df = df.withColumn(f"__ks{i}", F.col(c).cast("string"))
+        sort_cols.append(f"__ks{i}")
+    return df.orderBy(*sort_cols), sort_cols
+
+
+def _keyset_ge(cols: list, vals: list):
+    """Lexicographic ``(cols) >= (vals)`` under Spark's default
+    ascending-nulls-first order (``a > lit(v)`` is null-safe false for
+    null ``a``, which is exactly nulls-first semantics)."""
+    from pyspark.sql import functions as F
+
+    def gt(c, v):
+        return c.isNotNull() if v is None else c > F.lit(v)
+
+    def eq(c, v):
+        return c.isNull() if v is None else c == F.lit(v)
+
+    or_terms = []
+    prefix_eq = None
+    for c, v in zip(cols, vals):
+        term = gt(c, v) if prefix_eq is None else prefix_eq & gt(c, v)
+        or_terms.append(term)
+        prefix_eq = eq(c, v) if prefix_eq is None else prefix_eq & eq(c, v)
+    or_terms.append(prefix_eq)
+    pred = or_terms[0]
+    for t in or_terms[1:]:
+        pred = pred | t
+    return pred
+
+
+def _token_encode_val(v):
+    import datetime
+    from decimal import Decimal
+
+    if isinstance(v, datetime.datetime):
+        return {"__t": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__d": v.isoformat()}
+    if isinstance(v, Decimal):
+        return {"__n": str(v)}
+    return v
+
+
+def _token_decode_val(v):
+    import datetime
+    from decimal import Decimal
+
+    if isinstance(v, dict):
+        if "__t" in v:
+            return datetime.datetime.fromisoformat(v["__t"])
+        if "__d" in v:
+            return datetime.date.fromisoformat(v["__d"])
+        if "__n" in v:
+            return Decimal(v["__n"])
+    return v
+
+
 # Detection regexes lifted from the reference's generated patterns
 # (``AgeDigitalTwinsClient.Query.cs:295-306`` VariableLengthEdgeRegex,
 # ``Query.cs:245-255`` aggregate keyword scan).
@@ -110,39 +185,98 @@ class DigitalTwinsSparkClient:
     ) -> QueryPage:
         """Paged execution with continuation tokens.
 
-        Token = base64 ``{"_tr": <row offset>, "_q": <query>}`` — same
-        shape as the reference (``Models/ContinuationToken.cs:9-16``),
-        except our offset is against an explicit deterministic sort (the
-        reference leans on Postgres scan stability, SURVEY.md §4)."""
-        offset = 0
+        Tokens embed the query like the reference
+        (``Models/ContinuationToken.cs:9-16``) but are KEYSET tokens
+        wherever the engine controls the page order: base64
+        ``{"_ks": [last sort-key values], "_kd": <boundary-dup skip>,
+        "_q": <query>}`` — the next page filters ``sort_key >= _ks``
+        and skips ``_kd`` boundary duplicates, so page N costs the same
+        as page 1 (offset re-execution is O(pages²) at scale).  The ADT
+        path keysets on the compiler's hidden ``__pk*`` primary-key
+        columns; un-ORDERed Cypher keysets on a deterministic order over
+        the output columns (typed columns natively, complex columns via
+        a string rendering — only those get cast).  Only explicit
+        Cypher ORDER BY falls back to offset tokens
+        (``{"_tr": <row offset>}``): its sort keys are arbitrary
+        expressions that need not appear in the projection."""
+        tok: dict[str, Any] = {}
         if continuation_token:
             tok = json.loads(base64.b64decode(continuation_token))
-            offset = int(tok["_tr"])
             query = tok["_q"]
-        df = self.query_df(query, order_for_paging=max_items_per_page is not None)
-        if (
-            max_items_per_page is not None
-            and self.detect_dialect(query) == "cypher"
-            and not re.search(r"\bORDER\s+BY\b", query, re.IGNORECASE)
-        ):
-            # Paging needs a total order or offsets slice arbitrary rows
-            # across pages (the ADT path already sorts; the reference
-            # leans on Postgres scan stability here, SURVEY §4).  Sort
-            # by every output column's string rendering — variant
-            # columns aren't directly orderable.
-            from pyspark.sql import functions as F
-
-            df = df.orderBy(*[F.col(c).cast("string") for c in df.columns])
-        if max_items_per_page is None:
+        paging = max_items_per_page is not None
+        df = self.query_df(query, order_for_paging=paging)
+        if not paging:
             rows = [_jsonable(r.asDict(recursive=True)) for r in df.collect()]
             return QueryPage(rows, None, compute_query_charge(rows, query))
-        page = df.offset(offset).limit(max_items_per_page + 1).collect()
-        rows = [_jsonable(r.asDict(recursive=True)) for r in page[:max_items_per_page]]
+
+        sort_cols: list[str] = []
+        if self.detect_dialect(query) == "cypher":
+            if not re.search(r"\bORDER\s+BY\b", query, re.IGNORECASE):
+                df, sort_cols = _cypher_paging_order(df)
+        else:
+            sort_cols = [c for c in df.columns if c.startswith("__pk")]
+        if not sort_cols:
+            return self._offset_page(df, query, max_items_per_page, tok)
+        return self._keyset_page(df, query, max_items_per_page, tok, sort_cols)
+
+    def _offset_page(
+        self, df: DataFrame, query: str, n: int, tok: dict[str, Any]
+    ) -> QueryPage:
+        offset = int(tok.get("_tr", 0))
+        page = df.offset(offset).limit(n + 1).collect()
+        rows = [_jsonable(r.asDict(recursive=True)) for r in page[:n]]
         token = None
-        if len(page) > max_items_per_page:
+        if len(page) > n:
             token = base64.b64encode(
-                json.dumps({"_tr": offset + max_items_per_page, "_q": query}).encode()
+                json.dumps({"_tr": offset + n, "_q": query}).encode()
             ).decode()
+        return QueryPage(rows, token, compute_query_charge(rows, query))
+
+    def _keyset_page(
+        self, df: DataFrame, query: str, n: int, tok: dict[str, Any], sort_cols: list[str]
+    ) -> QueryPage:
+        from pyspark.sql import functions as F
+
+        boundary = tok.get("_ks")
+        skip = int(tok.get("_kd", 0))
+        if boundary is not None:
+            vals = [_token_decode_val(v) for v in boundary]
+            page_df = df.filter(
+                _keyset_ge([F.col(c) for c in sort_cols], vals)
+            ).offset(skip)
+        else:
+            vals = None
+            page_df = df
+        page = page_df.limit(n + 1).collect()
+        served = page[:n]
+        token = None
+        if len(page) > n and served:
+            last = [served[-1][c] for c in sort_cols]
+            dups = 0
+            for r in reversed(served):
+                if [r[c] for c in sort_cols] == last:
+                    dups += 1
+                else:
+                    break
+            if vals is not None and last == vals and dups == len(served):
+                # the whole page was boundary duplicates — carry the skip
+                dups += skip
+            token = base64.b64encode(
+                json.dumps(
+                    {
+                        "_ks": [_token_encode_val(v) for v in last],
+                        "_kd": dups,
+                        "_q": query,
+                    }
+                ).encode()
+            ).decode()
+        hidden = {c for c in df.columns if c.startswith("__pk") or c.startswith("__ks")}
+        rows = [
+            _jsonable(
+                {k: v for k, v in r.asDict(recursive=True).items() if k not in hidden}
+            )
+            for r in served
+        ]
         return QueryPage(rows, token, compute_query_charge(rows, query))
 
     def query_charge(self, page: QueryPage) -> float:

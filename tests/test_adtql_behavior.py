@@ -363,3 +363,52 @@ def test_golden_corpus_shapes(client, query, n_rows, cols):
     rows = client.query(query).rows
     assert len(rows) == n_rows
     assert sorted(rows[0]) == cols
+
+
+def test_keyset_pagination_token_and_determinism(client):
+    """Tokens are keyset (`_ks` last-key values), not offsets, and page
+    boundaries stay stable when the underlying store is repartitioned
+    between page fetches (keyset filtering doesn't depend on physical
+    row order the way offset slicing does)."""
+    import base64 as _b64
+    import json as _json
+
+    from pg_age_digitaltwins_spark import crud
+
+    q = "SELECT $dtId AS dt_id FROM DIGITALTWINS"
+    page1 = client.query(q, max_items_per_page=5)
+    tok = _json.loads(_b64.b64decode(page1.continuation_token))
+    assert "_ks" in tok and "_tr" not in tok
+    assert tok["_ks"] == [page1.rows[-1]["dt_id"]]  # last sort-key value
+
+    # shuffle the physical layout between pages — keyset must not care
+    client._swap(
+        crud._replace(client.store, twins=client.store.twins.repartition(7))
+    )
+    page2 = client.query("x", max_items_per_page=5,
+                         continuation_token=page1.continuation_token)
+    page3 = client.query("x", max_items_per_page=5,
+                         continuation_token=page2.continuation_token)
+    seen = [r["dt_id"] for r in page1.rows + page2.rows + page3.rows]
+    assert len(seen) == 13 and len(set(seen)) == 13 and seen == sorted(seen)
+    assert page3.continuation_token is None
+    assert all("__pk0" not in r for r in page1.rows + page2.rows)
+
+
+def test_keyset_pagination_duplicate_boundary(client):
+    """Rows identical on every output column must each be served once —
+    the `_kd` boundary-duplicate skip handles the ties a strict keyset
+    filter would drop (un-ORDERed Cypher keysets on output columns,
+    which here are one constant: ALL rows are boundary duplicates, so
+    the skip must accumulate across consecutive pages)."""
+    q = "MATCH (n) RETURN toInteger(1) AS one"
+    total = len(client.query(q).rows)
+    assert total == 13
+    seen, token = [], None
+    while True:
+        page = client.query(q, max_items_per_page=2, continuation_token=token)
+        seen += [r["one"] for r in page.rows]
+        token = page.continuation_token
+        if not token:
+            break
+    assert seen == [1] * total
