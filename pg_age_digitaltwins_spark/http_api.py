@@ -43,7 +43,10 @@ from pg_age_digitaltwins_spark.models import (
     ModelNotFoundError,
     ModelReferencedError,
 )
-from pg_age_digitaltwins_spark.validation import ValidationError
+from pg_age_digitaltwins_spark.validation import (
+    ModelNotFoundError as RegistryModelNotFoundError,
+    ValidationError,
+)
 
 DEFAULT_MAX_ITEMS_PER_PAGE = 2000  # RequestHelper.cs:10
 
@@ -71,7 +74,10 @@ class Request:
         raw = self.header("max-items-per-page")
         if raw is not None:
             try:
-                return int(raw)
+                # clamp: a non-positive page size would return an empty
+                # page whose continuation token points at the same
+                # offset — a paging client would loop forever
+                return max(1, int(raw))
             except ValueError:
                 pass
         return DEFAULT_MAX_ITEMS_PER_PAGE
@@ -157,6 +163,13 @@ class TokenBucketLimiter:
                 return False
             self._tokens -= tokens
             return True
+
+    def debit(self, tokens: float) -> None:
+        """Unconditional deduction (post-hoc settlement of a charge
+        that could only be computed after the work ran); may leave the
+        bucket negative, delaying replenishment-based recovery."""
+        with self._lock:
+            self._tokens -= tokens
 
 
 # ----------------------------------------------------------------------
@@ -340,9 +353,11 @@ class ApiService:
         # ModelReferencesNotDeleted carry 409)
         except (ModelAlreadyExistsError, ModelReferencedError) as exc:
             return _problem(409, exc)
-        except (ModelNotFoundError, crud.NotFoundError) as exc:
-            return _problem(404, exc)
-        except KeyError as exc:
+        # Only the dedicated not-found exception types map to 404 — a
+        # bare KeyError is an implementation bug and falls through to
+        # the 500 handler (both subclass KeyError, so they must be
+        # caught here, not via the base class).
+        except (ModelNotFoundError, RegistryModelNotFoundError, crud.NotFoundError) as exc:
             return _problem(404, exc)
         except (ValidationError, ValueError) as exc:
             return _problem(400, exc)
@@ -386,10 +401,20 @@ class ApiService:
         if not vector:
             raise ValueError("vector is required")
         prop = body.get("embeddingProperty") or "embedding"
+        # Composed into Cypher text: the property must be a plain
+        # identifier and the model filter is quote-escaped (the
+        # reference's HybridSearchAsync interpolates both raw — an
+        # injection surface we don't reproduce).
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", prop):
+            raise ValueError(f"invalid embeddingProperty: {prop!r}")
         limit = int(body.get("limit") or 10)
         model_filter = body.get("modelFilter")
         where = (
-            f" WHERE t.`$metadata`.`$model` = '{model_filter}'" if model_filter else ""
+            " WHERE t.`$metadata`.`$model` = '{}'".format(
+                str(model_filter).replace("\\", "\\\\").replace("'", "\\'")
+            )
+            if model_filter
+            else ""
         )
         cypher = (
             f"MATCH (t:Twin){where} RETURN t "
@@ -487,16 +512,21 @@ class ApiService:
                     "least one of 'query' or 'continuationToken' properties."
                 },
             )
+        # Acquire the minimum charge BEFORE running the engine so a
+        # rate-limited caller is rejected without doing the work; the
+        # true page charge is only known afterwards and is settled as
+        # an unconditional debit (can drive the bucket negative, which
+        # blocks subsequent requests until replenished).
+        if self.rate_limiting and not self.limiters["query"].try_acquire(1.0):
+            return Response(429, {"title": "Too many requests", "status": 429})
         page = self.client.query(
             query or "",
             max_items_per_page=req.max_items_per_page,
             continuation_token=token,
         )
         charge = self.client.query_charge(page)
-        if self.rate_limiting and not self.limiters["query"].try_acquire(
-            max(1.0, charge)
-        ):
-            return Response(429, {"title": "Too many requests", "status": 429})
+        if self.rate_limiting and charge > 1.0:
+            self.limiters["query"].debit(charge - 1.0)
         out: dict[str, Any] = {"value": page.rows}
         if page.continuation_token:
             out["continuationToken"] = page.continuation_token

@@ -424,17 +424,27 @@ def import_file_distributed(
     ).persist()
     # persist: the parse feeds three consumers (error sample, count,
     # merge) — without it the Python parse stage re-runs per action.
-    _collect_errors(rec, parsed.filter(F.col("error").isNotNull()), "Twins", output_path)
-    good = parsed.filter(F.col("error").isNull())
-    rec.twins_created = good.count()
-    last_wins = Window.partitionBy("dt_id").orderBy(F.col("pos").desc())
-    new_twins = (
-        good.withColumn("__rn", F.row_number().over(last_wins))
-        .filter(F.col("__rn") == 1)
-        .select("dt_id", "model_id", "etag", "last_update_time", "doc")
-    )
-    if "vdoc" in store.twins.columns:
-        new_twins = with_vdoc(new_twins)
+    try:
+        _collect_errors(
+            rec, parsed.filter(F.col("error").isNotNull()), "Twins", output_path
+        )
+        good = parsed.filter(F.col("error").isNull())
+        rec.twins_created = good.count()
+        last_wins = Window.partitionBy("dt_id").orderBy(F.col("pos").desc())
+        new_twins = (
+            good.withColumn("__rn", F.row_number().over(last_wins))
+            .filter(F.col("__rn") == 1)
+            .select("dt_id", "model_id", "etag", "last_update_time", "doc")
+        )
+        if "vdoc" in store.twins.columns:
+            new_twins = with_vdoc(new_twins)
+        # Cut the merge's lineage off the cached parse so the cache can
+        # be dropped NOW (it would otherwise accumulate across imports
+        # in one session) without every later store action re-running
+        # the Python parse stage.
+        new_twins = new_twins.localCheckpoint(eager=True)
+    finally:
+        parsed.unpersist()
     pre_twins = store.twins
     merged_twins = pre_twins.join(new_twins, "dt_id", "left_anti").unionByName(
         new_twins
@@ -448,37 +458,41 @@ def import_file_distributed(
         schema="pos long, relationship_id string, source_id string, "
         "target_id string, name string, etag string, doc string, error string",
     ).persist()
-    _collect_errors(
-        rec, parsed_r.filter(F.col("error").isNotNull()), "Relationships", output_path
-    )
-    good_r = parsed_r.filter(F.col("error").isNull())
-    twin_ids = merged_twins.select("dt_id")
-    with_src = good_r.join(
-        twin_ids.withColumnRenamed("dt_id", "source_id"), "source_id", "left_semi"
-    )
-    valid_r = with_src.join(
-        twin_ids.withColumnRenamed("dt_id", "target_id"), "target_id", "left_semi"
-    )
-    n_good, n_valid = good_r.count(), valid_r.count()
-    rec.relationships_created = n_valid
-    if n_valid < n_good:
-        rec.error_count += n_good - n_valid
-        rec.errors.append(
-            {
-                "section": "Relationships",
-                "error": f"{n_good - n_valid} rows reference missing source/target twins",
-            }
+    try:
+        _collect_errors(
+            rec, parsed_r.filter(F.col("error").isNotNull()), "Relationships", output_path
         )
-    rel_last = Window.partitionBy("source_id", "relationship_id").orderBy(
-        F.col("pos").desc()
-    )
-    new_rels = (
-        valid_r.withColumn("__rn", F.row_number().over(rel_last))
-        .filter(F.col("__rn") == 1)
-        .select("relationship_id", "source_id", "target_id", "name", "etag", "doc")
-    )
-    if "vdoc" in store.relationships.columns:
-        new_rels = with_vdoc(new_rels)
+        good_r = parsed_r.filter(F.col("error").isNull())
+        twin_ids = merged_twins.select("dt_id")
+        with_src = good_r.join(
+            twin_ids.withColumnRenamed("dt_id", "source_id"), "source_id", "left_semi"
+        )
+        valid_r = with_src.join(
+            twin_ids.withColumnRenamed("dt_id", "target_id"), "target_id", "left_semi"
+        )
+        n_good, n_valid = good_r.count(), valid_r.count()
+        rec.relationships_created = n_valid
+        if n_valid < n_good:
+            rec.error_count += n_good - n_valid
+            rec.errors.append(
+                {
+                    "section": "Relationships",
+                    "error": f"{n_good - n_valid} rows reference missing source/target twins",
+                }
+            )
+        rel_last = Window.partitionBy("source_id", "relationship_id").orderBy(
+            F.col("pos").desc()
+        )
+        new_rels = (
+            valid_r.withColumn("__rn", F.row_number().over(rel_last))
+            .filter(F.col("__rn") == 1)
+            .select("relationship_id", "source_id", "target_id", "name", "etag", "doc")
+        )
+        if "vdoc" in store.relationships.columns:
+            new_rels = with_vdoc(new_rels)
+        new_rels = new_rels.localCheckpoint(eager=True)
+    finally:
+        parsed_r.unpersist()
     pre_rels = store.relationships
     merged_rels = pre_rels.join(
         new_rels, ["source_id", "relationship_id"], "left_anti"

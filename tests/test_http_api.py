@@ -633,3 +633,48 @@ def test_sdk_scenarios_over_socket(spark):
         conn.close()
     finally:
         server.shutdown()
+
+
+def test_page_size_clamped_to_one(api):
+    """max-items-per-page <= 0 must not produce an empty page with a
+    self-pointing continuation token (infinite paging loop)."""
+    r = api.handle(Request("GET", "/models", headers={"max-items-per-page": "0"}))
+    assert r.status == 200
+    assert len(r.body["value"]) >= 1
+
+
+def test_twin_search_escapes_model_filter_and_validates_prop(api):
+    # single quote in modelFilter must not break out of the Cypher
+    # string literal — it matches nothing, not a parse/injection path
+    r = api.handle(Request("POST", "/digitaltwins/search", body={
+        "vector": [1.0], "modelFilter": "x' RETURN t //",
+    }))
+    assert r.status == 200 and r.body == []
+    # embeddingProperty must be a plain identifier
+    r = api.handle(Request("POST", "/digitaltwins/search", body={
+        "vector": [1.0], "embeddingProperty": "e, 1) RETURN t //",
+    }))
+    assert r.status == 400
+
+
+def test_query_charge_settled_before_and_after(api):
+    """The minimum charge is acquired BEFORE the engine runs (a 429'd
+    request does no work) and the remainder is debited after — a heavy
+    page drives the bucket negative and blocks the next request."""
+    from pg_age_digitaltwins_spark.http_api import TokenBucketLimiter
+
+    clock = [0.0]
+    svc = ApiService(api.client, rate_limiting=True,
+                     limiter_clock=lambda: clock[0])
+    svc.limiters["query"] = TokenBucketLimiter(
+        token_limit=3, tokens_per_period=1, period_s=1.0,
+        clock=lambda: clock[0],
+    )
+    q = {"query": "SELECT $dtId AS dt_id FROM DIGITALTWINS"}
+    r1 = svc.handle(Request("POST", "/query", body=q))
+    assert r1.status == 200
+    charge = float(r1.headers["query-charge"])
+    assert charge > 3  # the page cost more than the whole bucket
+    # bucket is now negative: the NEXT query is rejected up front
+    r2 = svc.handle(Request("POST", "/query", body=q))
+    assert r2.status == 429
