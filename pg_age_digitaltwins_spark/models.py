@@ -83,8 +83,14 @@ def create_models(
     # Reference resolution sees existing models plus the whole batch
     # (models may reference each other within one upload)
     known = set(docs) | {d["@id"] for d in batch}
+    known_schemas = {
+        sch.get("@id")
+        for d in list(docs.values()) + batch
+        for sch in (d.get("schemas") or [])
+        if isinstance(sch, dict) and isinstance(sch.get("@id"), str)
+    }
     for d in batch:
-        validate_model(d, known)
+        validate_model(d, known, known_schemas)
         docs[d["@id"]] = d
         created.append(d)
     return _rebuild(store, docs), created

@@ -86,12 +86,44 @@ class ModelRegistry:
         visit(model_id)
         return out
 
+    def named_schemas(self, model_id: str) -> dict[str, dict[str, Any]]:
+        """DTMI → schema definition from the interface-level ``schemas``
+        section, including inherited definitions (DTDL v3 §Interface:
+        named schemas are reusable within the defining interface and
+        its extenders; nearest definition wins)."""
+        out: dict[str, dict[str, Any]] = {}
+        seen: set[str] = set()
 
-def validate_value(schema: Any, value: Any, where: str) -> list[str]:
-    """Check one property value against a DTDL schema node."""
+        def visit(mid: str) -> None:
+            if mid in seen or mid not in self.by_id:
+                return
+            seen.add(mid)
+            doc = self.by_id[mid]
+            for sch in doc.get("schemas", []) or []:
+                sid = sch.get("@id")
+                if isinstance(sid, str) and sid not in out:
+                    out[sid] = sch
+            for parent in extract_extends(doc):
+                visit(parent)
+
+        visit(model_id)
+        return out
+
+
+def validate_value(
+    schema: Any,
+    value: Any,
+    where: str,
+    named: dict[str, dict[str, Any]] | None = None,
+) -> list[str]:
+    """Check one property value against a DTDL schema node.  ``named``
+    resolves ``dtmi:`` schema references to the interface's named
+    schema definitions (``schemas`` section)."""
     if schema is None:
         return []
     if isinstance(schema, str):
+        if named and schema in named:
+            return validate_value(named[schema], value, where, named)
         check = _PRIMITIVES.get(schema)
         if check is None:
             return []  # unknown/extension primitive: accept (lenient subset)
@@ -116,14 +148,16 @@ def validate_value(schema: Any, value: Any, where: str) -> list[str]:
         for k, v in value.items():
             f = fields.get(k)
             if f is not None:
-                out.extend(validate_value(f.get("schema"), v, f"{where}.{k}"))
+                out.extend(validate_value(f.get("schema"), v, f"{where}.{k}", named))
         return out
     if "Array" in kinds:
         if not isinstance(value, list):
             return [f"{where}: expected array"]
         out = []
         for i, v in enumerate(value):
-            out.extend(validate_value(schema.get("elementSchema"), v, f"{where}[{i}]"))
+            out.extend(
+                validate_value(schema.get("elementSchema"), v, f"{where}[{i}]", named)
+            )
         return out
     if "Map" in kinds:
         if not isinstance(value, dict):
@@ -131,7 +165,7 @@ def validate_value(schema: Any, value: Any, where: str) -> list[str]:
         out = []
         mv = schema.get("mapValue") or {}
         for k, v in value.items():
-            out.extend(validate_value(mv.get("schema"), v, f"{where}[{k}]"))
+            out.extend(validate_value(mv.get("schema"), v, f"{where}[{k}]", named))
         return out
     return []
 
@@ -144,6 +178,7 @@ def validate_twin(registry: ModelRegistry, doc: dict[str, Any]) -> str:
         raise ValidationError("Digital Twin must have a $metadata.$model property")
     model_id = meta["$model"]
     contents = registry.contents(model_id)  # raises ModelNotFoundError
+    named = registry.named_schemas(model_id)
     violations: list[str] = []
     for prop, value in doc.items():
         if prop in RESERVED_TWIN_KEYS:
@@ -157,7 +192,7 @@ def validate_twin(registry: ModelRegistry, doc: dict[str, Any]) -> str:
             violations.extend(_validate_component(registry, prop, item, value))
         elif "Property" in kinds:
             violations.extend(
-                validate_value(item.get("schema"), value, f"Property '{prop}'")
+                validate_value(item.get("schema"), value, f"Property '{prop}'", named)
             )
         else:
             violations.append(f"Property '{prop}' is a {kinds} and is not supported")
@@ -175,6 +210,7 @@ def _validate_component(
     if not isinstance(schema_id, str) or schema_id not in registry.by_id:
         return [f"Component '{name}' does not have a valid interface schema"]
     comp_contents = registry.contents(schema_id)
+    comp_named = registry.named_schemas(schema_id)
     out: list[str] = []
     for k, v in value.items():
         if k == "$metadata":
@@ -187,7 +223,7 @@ def _validate_component(
         elif "Property" in _types_of(sub):
             out.extend(
                 validate_value(
-                    sub.get("schema"), v, f"Component '{name}' property '{k}'"
+                    sub.get("schema"), v, f"Component '{name}' property '{k}'", comp_named
                 )
             )
     return out
@@ -258,13 +294,90 @@ SEMANTIC_UNITS: dict[str, set[str]] = {
 }
 
 
+_COMPLEX_SCHEMA_KINDS = {"Enum", "Object", "Array", "Map"}
+_ALL_PRIMITIVE_NAMES = {
+    "boolean", "date", "dateTime", "double", "duration", "float", "integer",
+    "long", "string", "time",
+}
+
+
+def _validate_schema_node(
+    schema: Any, named_ids: set[str], where: str, v: list[str], depth: int = 0
+) -> None:
+    """Structural check of a DTDL schema node: primitives, complex
+    schemas (Enum/Object/Array/Map, recursively), and ``dtmi:`` refs to
+    named schema definitions — the DTDLParser behaviors for the
+    ``schemas`` section (DTDL v3 §Interface.schemas)."""
+    if schema is None or depth > 8:
+        return
+    if isinstance(schema, str):
+        if schema.startswith("dtmi:") and schema not in named_ids:
+            v.append(f"{where}: schema reference {schema!r} cannot be resolved")
+        # non-dtmi unknown strings stay lenient (geospatial/extension
+        # schemas like 'point' parse via extension contexts)
+        return
+    if not isinstance(schema, dict):
+        v.append(f"{where}: schema must be a string or object")
+        return
+    kinds = [k for k in _types_of(schema) if k in _COMPLEX_SCHEMA_KINDS]
+    if not kinds:
+        v.append(f"{where}: schema object @type must be one of Enum/Object/Array/Map")
+        return
+    kind = kinds[0]
+    if kind == "Enum":
+        vs = schema.get("valueSchema")
+        if vs not in ("integer", "string"):
+            v.append(f"{where}: Enum valueSchema must be 'integer' or 'string'")
+        evs = schema.get("enumValues")
+        if not isinstance(evs, list) or not evs:
+            v.append(f"{where}: Enum requires non-empty enumValues")
+        else:
+            for ev in evs:
+                nm = (ev or {}).get("name") if isinstance(ev, dict) else None
+                if not isinstance(nm, str) or not _NAME_RE.match(nm):
+                    v.append(f"{where}: enumValue name {nm!r} is not a valid identifier")
+                elif isinstance(ev, dict) and "enumValue" not in ev:
+                    v.append(f"{where}: enumValue '{nm}' requires an enumValue")
+    elif kind == "Object":
+        fields = schema.get("fields")
+        if not isinstance(fields, list) or not fields:
+            v.append(f"{where}: Object requires non-empty fields")
+        else:
+            for f in fields:
+                nm = (f or {}).get("name") if isinstance(f, dict) else None
+                if not isinstance(nm, str) or not _NAME_RE.match(nm):
+                    v.append(f"{where}: field name {nm!r} is not a valid identifier")
+                else:
+                    _validate_schema_node(
+                        f.get("schema"), named_ids, f"{where}.{nm}", v, depth + 1
+                    )
+    elif kind == "Array":
+        _validate_schema_node(
+            schema.get("elementSchema"), named_ids, f"{where}[]", v, depth + 1
+        )
+    elif kind == "Map":
+        mk, mv = schema.get("mapKey"), schema.get("mapValue")
+        if not isinstance(mk, dict) or mk.get("schema") != "string":
+            v.append(f"{where}: Map requires a mapKey with schema 'string'")
+        if not isinstance(mv, dict) or mv.get("schema") is None:
+            v.append(f"{where}: Map requires a mapValue with a schema")
+        else:
+            _validate_schema_node(
+                mv.get("schema"), named_ids, f"{where}{{}}", v, depth + 1
+            )
+
+
 def validate_model(
-    doc: dict[str, Any], known_ids: set[str] | None = None
+    doc: dict[str, Any],
+    known_ids: set[str] | None = None,
+    known_schema_ids: set[str] | None = None,
 ) -> None:
     """Structural DTDL interface validation (parser-parity subset).
     ``known_ids`` = ids resolvable for ``extends``/Component schemas
     (existing models + the rest of the batch); pass ``None`` to skip
-    reference resolution."""
+    reference resolution.  ``known_schema_ids`` = named schema DTMIs
+    resolvable from OTHER interfaces in the set (this doc's own
+    ``schemas`` section is always in scope)."""
     v: list[str] = []
     mid = doc.get("@id")
     if not isinstance(mid, str) or not _DTMI_RE.match(mid):
@@ -282,6 +395,23 @@ def validate_model(
             v.append(f"extends {parent!r} is not a valid DTMI")
         elif known_ids is not None and parent not in known_ids:
             v.append(f"extends {parent!r} cannot be resolved")
+
+    # interface-level named schema definitions (DTDL v3 `schemas`)
+    named_ids: set[str] = set(known_schema_ids or ())
+    for sch in doc.get("schemas", []) or []:
+        if not isinstance(sch, dict):
+            v.append("schemas entries must be objects")
+            continue
+        sid = sch.get("@id")
+        if not isinstance(sid, str) or not _DTMI_RE.match(sid):
+            v.append(f"named schema @id {sid!r} is not a valid DTMI")
+            continue
+        if sid in named_ids and sid not in (known_schema_ids or ()):
+            v.append(f"duplicate named schema '{sid}'")
+        named_ids.add(sid)
+    for sch in doc.get("schemas", []) or []:
+        if isinstance(sch, dict) and isinstance(sch.get("@id"), str):
+            _validate_schema_node(sch, named_ids, f"named schema '{sch['@id']}'", v)
 
     seen_names: set[str] = set()
     for item in doc.get("contents", []) or []:
@@ -301,8 +431,30 @@ def validate_model(
         if name in seen_names:
             v.append(f"duplicate content name '{name}'")
         seen_names.add(name)
-        if kind in ("Property", "Telemetry") and item.get("schema") is None:
-            v.append(f"{where}: {kind} requires a schema")
+        if kind in ("Property", "Telemetry"):
+            if item.get("schema") is None:
+                v.append(f"{where}: {kind} requires a schema")
+            else:
+                _validate_schema_node(item["schema"], named_ids, where, v)
+        if kind == "Command":
+            # CommandRequest / CommandResponse payloads: named payload +
+            # structurally valid schema (DTDLParser checks both)
+            for side in ("request", "response"):
+                payload = item.get(side)
+                if payload is None:
+                    continue
+                if not isinstance(payload, dict):
+                    v.append(f"{where}: {side} must be a CommandPayload object")
+                    continue
+                pname = payload.get("name")
+                if not isinstance(pname, str) or not _NAME_RE.match(pname):
+                    v.append(f"{where}: {side} name {pname!r} is not a valid identifier")
+                if payload.get("schema") is None:
+                    v.append(f"{where}: {side} requires a schema")
+                else:
+                    _validate_schema_node(
+                        payload["schema"], named_ids, f"{where} {side}", v
+                    )
         if kind == "Component":
             cs = item.get("schema")
             if not isinstance(cs, str) or not _DTMI_RE.match(cs):

@@ -615,3 +615,129 @@ def test_checkpoint_bounds_mutation_lineage(spark, tmp_path):
     # further mutations work on the reloaded store
     c.update_digital_twin("extra", [{"op": "replace", "path": "/x", "value": 1.0}])
     assert c.get_digital_twin("extra")["x"] == 1.0
+
+
+def test_validate_model_named_schemas():
+    """DTDL v3 interface-level `schemas`: named definitions are
+    declarable, reusable by dtmi: reference from contents (including
+    nested/complex positions), and bad refs are rejected with the
+    offending reference in the error."""
+    from pg_age_digitaltwins_spark.validation import validate_model
+
+    color = {
+        "@id": "dtmi:ex:schemas:Color;1",
+        "@type": "Enum",
+        "valueSchema": "string",
+        "enumValues": [
+            {"name": "red", "enumValue": "red"},
+            {"name": "blue", "enumValue": "blue"},
+        ],
+    }
+    validate_model(
+        _interface(
+            schemas=[color],
+            contents=[
+                {"@type": "Property", "name": "c1", "schema": "dtmi:ex:schemas:Color;1"},
+                {"@type": "Property", "name": "c2", "schema": "dtmi:ex:schemas:Color;1"},
+                {"@type": "Telemetry", "name": "t1",
+                 "schema": {"@type": "Array",
+                            "elementSchema": "dtmi:ex:schemas:Color;1"}},
+            ],
+        )
+    )
+    # unresolvable named-schema ref carries the reference in the error
+    with pytest.raises(ValidationError, match="dtmi:ex:schemas:Nope;1.*cannot be resolved"):
+        validate_model(
+            _interface(
+                schemas=[color],
+                contents=[{"@type": "Property", "name": "c",
+                           "schema": "dtmi:ex:schemas:Nope;1"}],
+            )
+        )
+    # malformed named schema definitions
+    with pytest.raises(ValidationError, match="not a valid DTMI"):
+        validate_model(_interface(schemas=[{"@id": "nope", "@type": "Enum"}]))
+    with pytest.raises(ValidationError, match="non-empty enumValues"):
+        validate_model(_interface(schemas=[
+            {"@id": "dtmi:ex:E;1", "@type": "Enum", "valueSchema": "string",
+             "enumValues": []},
+        ]))
+    with pytest.raises(ValidationError, match="non-empty fields"):
+        validate_model(_interface(schemas=[
+            {"@id": "dtmi:ex:O;1", "@type": "Object", "fields": []},
+        ]))
+
+
+def test_validate_model_command_payloads():
+    from pg_age_digitaltwins_spark.validation import validate_model
+
+    validate_model(
+        _interface(contents=[{
+            "@type": "Command", "name": "setTarget",
+            "request": {"name": "target", "schema": "double"},
+            "response": {"name": "ok", "schema": "boolean"},
+        }])
+    )
+    with pytest.raises(ValidationError, match="request requires a schema"):
+        validate_model(
+            _interface(contents=[{
+                "@type": "Command", "name": "go",
+                "request": {"name": "x"},
+            }])
+        )
+    with pytest.raises(ValidationError, match="not a valid identifier"):
+        validate_model(
+            _interface(contents=[{
+                "@type": "Command", "name": "go",
+                "response": {"name": "9bad", "schema": "double"},
+            }])
+        )
+
+
+def test_named_schema_twin_value_validation(spark):
+    """Twin values validate THROUGH named schema refs: enum membership
+    is enforced for a dtmi:-referenced Enum, across create_models →
+    create twin."""
+    model = {
+        "@id": "dtmi:ex:Tagged;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "schemas": [{
+            "@id": "dtmi:ex:Tagged:Color;1",
+            "@type": "Enum",
+            "valueSchema": "string",
+            "enumValues": [
+                {"name": "red", "enumValue": "red"},
+                {"name": "blue", "enumValue": "blue"},
+            ],
+        }],
+        "contents": [
+            {"@type": "Property", "name": "color",
+             "schema": "dtmi:ex:Tagged:Color;1"},
+        ],
+    }
+    client = DigitalTwinsSparkClient(GraphStore.empty(spark).with_models([model]))
+    client.create_or_replace_digital_twin(
+        "t1", {"$metadata": {"$model": "dtmi:ex:Tagged;1"}, "color": "red"}
+    )
+    with pytest.raises(ValidationError, match="not in enum"):
+        client.create_or_replace_digital_twin(
+            "t2", {"$metadata": {"$model": "dtmi:ex:Tagged;1"}, "color": "green"}
+        )
+
+
+def test_named_schema_ref_rejected_via_create_models(spark):
+    """create_models surfaces the model id when a named-schema ref in
+    the batch cannot be resolved."""
+    from pg_age_digitaltwins_spark.models import create_models
+
+    bad = {
+        "@id": "dtmi:ex:Bad;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [
+            {"@type": "Property", "name": "x", "schema": "dtmi:ex:Missing;1"},
+        ],
+    }
+    with pytest.raises(ValidationError, match="dtmi:ex:Missing;1"):
+        create_models(GraphStore.empty(spark), [bad])
