@@ -59,29 +59,98 @@ class JobRecord:
     errors: list[dict[str, Any]] = field(default_factory=list)
 
 
+class FileLeaseStore:
+    """Durable lease backend: one JSON file per job lock under ``path``,
+    so two DRIVERS (separate JobService instances / processes) sharing a
+    filesystem actually contend.  Mutations run under an ``flock``-held
+    guard file (read-modify-write CAS), and the lease file itself is
+    replaced by atomic rename, so readers never see a torn write.
+
+    This is the reference's Postgres lock-service contract
+    (``src/AgeDigitalTwins/Jobs/JobService.cs``: acquire-with-TTL,
+    heartbeat renewal, stale takeover) on files instead of a DB table.
+    Expiry timestamps are wall-clock values supplied by the caller —
+    multi-driver deployments need the same clock discipline the
+    reference needs (its DB supplies the time)."""
+
+    def __init__(self, path: str):
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.path = path
+
+    def _lease_file(self, job_id: str) -> str:
+        import os
+
+        return os.path.join(self.path, f"{job_id}.lease.json")
+
+    def transact(self, job_id: str, fn):
+        """Run ``fn(current) -> (new_state, result)`` atomically, where
+        state is ``(owner, expiry) | None``; persists ``new_state`` if
+        it differs and returns ``result``."""
+        import fcntl
+        import os
+        import uuid
+
+        guard = os.path.join(self.path, ".guard")
+        with open(guard, "a+") as g:
+            fcntl.flock(g, fcntl.LOCK_EX)
+            cur = None
+            try:
+                with open(self._lease_file(job_id)) as f:
+                    d = json.load(f)
+                cur = (d["owner"], float(d["expiry"]))
+            except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                pass
+            new, result = fn(cur)
+            if new != cur:
+                lease = self._lease_file(job_id)
+                if new is None:
+                    try:
+                        os.unlink(lease)
+                    except FileNotFoundError:
+                        pass
+                else:
+                    tmp = os.path.join(self.path, f".{uuid.uuid4().hex}.tmp")
+                    with open(tmp, "w") as f:
+                        json.dump({"owner": new[0], "expiry": new[1]}, f)
+                    os.rename(tmp, lease)
+            return result
+
+
 class JobService:
     """D14: job records + lease-based locks with heartbeats.
 
-    Spark apps have one driver, so the lock table is a dict here; the
-    SEMANTICS mirror the reference's Postgres lock service
+    The lock SEMANTICS mirror the reference's Postgres lock service
     (``JobService.cs``: acquire-with-TTL, heartbeat renewal, stale-lock
-    takeover) so a multi-writer deployment can swap the dict for a
-    Delta/DB table without changing callers.  ``clock`` is injectable
-    for tests."""
+    takeover).  Default backend is an in-process dict (one Spark driver
+    needs nothing more); pass ``lease_store=FileLeaseStore(path)`` to
+    make two services on one path genuinely contend.  ``clock`` is
+    injectable for tests — it defaults to monotonic for the dict
+    backend and wall-clock for a shared store (cross-process leases
+    need a shared timebase)."""
 
-    def __init__(self, lock_ttl_s: float = 60.0, clock=None):
+    def __init__(self, lock_ttl_s: float = 60.0, clock=None, lease_store=None):
         import time as _time
 
         self.records: dict[str, JobRecord] = {}
         self.checkpoints: dict[str, ImportCheckpoint] = {}
         self.locks: dict[str, tuple[str, float]] = {}  # job_id -> (owner, expiry)
         self.lock_ttl_s = lock_ttl_s
-        self.clock = clock or _time.monotonic
+        self.lease_store = lease_store
+        self.clock = clock or (_time.time if lease_store is not None else _time.monotonic)
 
     def acquire_lock(self, job_id: str, owner: str) -> bool:
         """Take (or renew) the lease; a lock held by another owner is
         claimable only once its lease expired without a heartbeat."""
         now = self.clock()
+        if self.lease_store is not None:
+            def txn(cur):
+                if cur is not None and cur[0] != owner and cur[1] > now:
+                    return cur, False
+                return (owner, now + self.lock_ttl_s), True
+
+            return self.lease_store.transact(job_id, txn)
         held = self.locks.get(job_id)
         if held is not None and held[0] != owner and held[1] > now:
             return False
@@ -91,13 +160,29 @@ class JobService:
     def heartbeat(self, job_id: str, owner: str) -> bool:
         """Renew the lease mid-run; False = lease lost (expired and
         taken, or never held) — the runner must stop writing."""
+        now = self.clock()
+        if self.lease_store is not None:
+            def txn(cur):
+                if cur is None or cur[0] != owner:
+                    return cur, False
+                return (owner, now + self.lock_ttl_s), True
+
+            return self.lease_store.transact(job_id, txn)
         held = self.locks.get(job_id)
         if held is None or held[0] != owner:
             return False
-        self.locks[job_id] = (owner, self.clock() + self.lock_ttl_s)
+        self.locks[job_id] = (owner, now + self.lock_ttl_s)
         return True
 
     def release_lock(self, job_id: str, owner: str) -> None:
+        if self.lease_store is not None:
+            def txn(cur):
+                if cur is not None and cur[0] == owner:
+                    return None, None
+                return cur, None
+
+            self.lease_store.transact(job_id, txn)
+            return
         held = self.locks.get(job_id)
         if held is not None and held[0] == owner:
             del self.locks[job_id]

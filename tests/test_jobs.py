@@ -328,3 +328,54 @@ def test_import_distributed_executor_side_change_capture(client, spark, tmp_path
     assert any(
         pch["path"] == "/x" and pch["value"] == 99.0 for pch in upd["data"]["patch"]
     )
+
+
+def test_file_lease_store_two_services_contend(tmp_path):
+    """Two JobService instances on ONE lease directory: exactly one
+    owner at a time, heartbeats keep the lease, stale leases are taken
+    over after TTL, release hands off immediately."""
+    from pg_age_digitaltwins_spark.jobs import FileLeaseStore, JobService
+
+    clock = [100.0]
+    a = JobService(lock_ttl_s=10.0, clock=lambda: clock[0],
+                   lease_store=FileLeaseStore(str(tmp_path)))
+    b = JobService(lock_ttl_s=10.0, clock=lambda: clock[0],
+                   lease_store=FileLeaseStore(str(tmp_path)))
+
+    assert a.acquire_lock("job-1", "driver-a")
+    assert not b.acquire_lock("job-1", "driver-b")  # exactly one owner
+    assert a.acquire_lock("job-1", "driver-a")      # re-entrant renewal
+
+    clock[0] += 8.0
+    assert a.heartbeat("job-1", "driver-a")         # renewed at t=108
+    clock[0] += 8.0                                 # t=116 < 108+10
+    assert not b.acquire_lock("job-1", "driver-b")
+
+    clock[0] += 3.0                                 # t=119 > lease expiry
+    assert b.acquire_lock("job-1", "driver-b")      # stale takeover
+    assert not a.heartbeat("job-1", "driver-a")     # a lost the lease
+    assert not a.acquire_lock("job-1", "driver-a")
+
+    b.release_lock("job-1", "driver-b")
+    assert a.acquire_lock("job-1", "driver-a")      # immediate handoff
+
+    # independent jobs don't contend
+    assert b.acquire_lock("job-2", "driver-b")
+
+
+def test_file_lease_store_survives_restart(tmp_path):
+    """Leases are durable: a NEW service instance (fresh process stand-
+    in) sees the holder written by a previous one."""
+    from pg_age_digitaltwins_spark.jobs import FileLeaseStore, JobService
+
+    clock = [50.0]
+    first = JobService(lock_ttl_s=10.0, clock=lambda: clock[0],
+                       lease_store=FileLeaseStore(str(tmp_path)))
+    assert first.acquire_lock("job-9", "driver-a")
+    del first
+
+    again = JobService(lock_ttl_s=10.0, clock=lambda: clock[0],
+                       lease_store=FileLeaseStore(str(tmp_path)))
+    assert not again.acquire_lock("job-9", "driver-b")
+    clock[0] += 11.0
+    assert again.acquire_lock("job-9", "driver-b")
