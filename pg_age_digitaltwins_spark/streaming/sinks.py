@@ -415,6 +415,104 @@ class EventRouter:
                 coalesced.unpersist()
 
 
+class StreamingHealthListener:
+    """S14: the health surface of the reference's
+    ``ReplicationHealthCheck`` + ``EventSinksHealthCheck`` on Spark
+    primitives — a ``StreamingQueryListener`` capturing per-query
+    liveness and progress (batch id, input rows, rates, trigger
+    timestamp) plus per-sink health/DLQ depth from the router.
+
+    Register via ``run_change_stream(..., health=listener)`` (or
+    ``spark.streams.addListener`` directly); ``snapshot()`` is the
+    health endpoint payload."""
+
+    def __init__(self, router: "EventRouter | None" = None):
+        self.router = router
+        self.queries: dict[str, dict[str, Any]] = {}
+        self._listener = None
+
+    # -- StreamingQueryListener hooks (bridged below) ------------------
+    def on_started(self, qid: str, name: str | None) -> None:
+        self.queries[qid] = {"name": name, "active": True, "exception": None}
+
+    def on_progress(self, p: dict[str, Any]) -> None:
+        q = self.queries.setdefault(p["id"], {"active": True, "exception": None})
+        q["progress"] = {
+            "batchId": p.get("batchId"),
+            "timestamp": p.get("timestamp"),
+            "numInputRows": p.get("numInputRows"),
+            "inputRowsPerSecond": p.get("inputRowsPerSecond"),
+            "processedRowsPerSecond": p.get("processedRowsPerSecond"),
+        }
+
+    def on_terminated(self, qid: str, exception: str | None) -> None:
+        q = self.queries.setdefault(qid, {})
+        q["active"] = False
+        q["exception"] = exception
+
+    def listener(self):
+        """The actual ``StreamingQueryListener`` (constructed lazily so
+        importing this module never requires a live JVM)."""
+        if self._listener is None:
+            from pyspark.sql.streaming import StreamingQueryListener
+
+            outer = self
+
+            class _L(StreamingQueryListener):
+                def onQueryStarted(self, event):
+                    outer.on_started(str(event.id), event.name)
+
+                def onQueryProgress(self, event):
+                    p = event.progress
+                    outer.on_progress({
+                        "id": str(p.id),
+                        "batchId": p.batchId,
+                        "timestamp": p.timestamp,
+                        "numInputRows": p.numInputRows,
+                        "inputRowsPerSecond": p.inputRowsPerSecond,
+                        "processedRowsPerSecond": p.processedRowsPerSecond,
+                    })
+
+                def onQueryIdle(self, event):
+                    pass
+
+                def onQueryTerminated(self, event):
+                    outer.on_terminated(str(event.id), event.exception)
+
+            self._listener = _L()
+        return self._listener
+
+    def snapshot(self) -> dict[str, Any]:
+        """Health payload: replication = any live query and no query
+        died with an exception (``ReplicationHealthCheck`` semantics);
+        sinks = per-sink healthy flag + DLQ depth
+        (``EventSinksHealthCheck`` totals/names shape)."""
+        failed = [q for q in self.queries.values() if q.get("exception")]
+        replication = {
+            "healthy": bool(self.queries)
+            and not failed
+            and any(q.get("active") for q in self.queries.values()),
+            "queries": self.queries,
+        }
+        out: dict[str, Any] = {"replication": replication}
+        if self.router is not None:
+            sinks = {}
+            for name, rs in self.router.sinks.items():
+                healthy = getattr(rs.inner, "is_healthy", True) and not rs.dlq
+                sinks[name] = {"healthy": healthy, "dlqDepth": len(rs.dlq)}
+            unhealthy = sorted(n for n, s in sinks.items() if not s["healthy"])
+            out["sinks"] = {
+                "totalSinks": len(sinks),
+                "healthySinks": len(sinks) - len(unhealthy),
+                "unhealthySinkNames": unhealthy,
+                "detail": sinks,
+            }
+            out["healthy"] = replication["healthy"] and not unhealthy
+        else:
+            out["healthy"] = replication["healthy"]
+        return out
+
+
 def run_change_stream(
     spark: SparkSession,
     feed_path: str,
@@ -423,6 +521,7 @@ def run_change_stream(
     trigger: dict[str, Any] | None = None,
     timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss.SSS",
     max_files_per_trigger: int | None = None,
+    health: StreamingHealthListener | None = None,
 ):
     """Stand up the full replication pipeline as ONE Structured
     Streaming query: readStream over an EventData ND-JSON feed (the
@@ -442,6 +541,10 @@ def run_change_stream(
     mirroring the reference's 100-event/5 s consumer cadence.
     Exactly-once per sink comes from the checkpoint + each micro-batch
     being delivered atomically per route."""
+    if health is not None:
+        if health.router is None:
+            health.router = router
+        spark.streams.addListener(health.listener())
     reader = spark.readStream.schema(EVENT_DATA_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -690,3 +690,66 @@ def test_webhook_sink_transport_failure_retries_to_dlq():
         assert rs.dlq == [] and len(srv2.requests) == 1 and hook.is_healthy
     finally:
         srv2.stop()
+
+
+# ----------------------------------------------------------------------
+# StreamingHealthListener (S14)
+# ----------------------------------------------------------------------
+
+
+def test_streaming_health_surface(spark, tmp_path):
+    """The health snapshot reflects query progress (via a real
+    StreamingQueryListener) and sink state: a sink whose transport
+    fails shows unhealthy with DLQ depth; a healthy one doesn't."""
+    import json as _json
+    import time as _time
+
+    from pg_age_digitaltwins_spark.streaming.sinks import (
+        CallbackSink,
+        StreamingHealthListener,
+        run_change_stream,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "b0.ndjson").write_text(
+        "\n".join(_json.dumps(e) for e in _feed_events())
+    )
+
+    router = EventRouter(source="src-health")
+    good = InMemoryEventSink("good")
+    bad = CallbackSink(lambda evs: (_ for _ in ()).throw(RuntimeError("down")),
+                       name="bad")
+    router.add_sink(good)
+    router.add_sink(bad, max_retries=1, sleep=lambda s: None)
+    router.add_route(EventRoute("good", "EventNotification"))
+    router.add_route(EventRoute("bad", "EventNotification"))
+
+    health = StreamingHealthListener()
+    q = run_change_stream(spark, str(feed), router, str(tmp_path / "ckpt"),
+                          health=health)
+    q.awaitTermination(120)
+    try:
+        # listener callbacks are async — wait for the terminate event
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            snap = health.snapshot()
+            qs = snap["replication"]["queries"]
+            if qs and all(not v.get("active") for v in qs.values()) and all(
+                "progress" in v for v in qs.values()
+            ):
+                break
+            _time.sleep(0.2)
+
+        snap = health.snapshot()
+        assert snap["sinks"]["detail"]["bad"]["healthy"] is False
+        assert snap["sinks"]["detail"]["bad"]["dlqDepth"] > 0
+        assert snap["sinks"]["detail"]["good"]["healthy"] is True
+        assert snap["sinks"]["unhealthySinkNames"] == ["bad"]
+        assert snap["healthy"] is False
+        (qstate,) = [v for v in snap["replication"]["queries"].values()]
+        assert qstate["progress"]["batchId"] >= 0
+        assert qstate["progress"]["numInputRows"] >= 1
+        assert qstate["exception"] is None  # clean availableNow drain
+    finally:
+        spark.streams.removeListener(health.listener())
