@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda s, d: similarity.minhash_lsh_pairs(
         similarity.minhash_signatures(text.ngram_shingles(_tables(s, d)["documents"])),
         threshold=0.5,
+        num_hashes=64,
     )
     q["dedup_simhash"] = lambda s, d: similarity.simhash_near_dup_pairs(
         text.ngram_shingles(_tables(s, d)["documents"])

@@ -309,6 +309,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int = 100,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: split signatures into ``bands`` bands, bucket-join on
     (band index, band hash), then estimate Jaccard as the fraction of
@@ -328,30 +329,30 @@ def minhash_lsh_pairs(
     by doc_id), bounding any task at max_bucket²/2 pairs.  Contract:
     run exact-fingerprint dedup (``text.exact_dedup_stats`` /
     ``fingerprints``) BEFORE LSH — identical docs pair exhaustively and
-    carry no near-dup information; past the cap they are dropped here."""
-    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    carry no near-dup information; past the cap they are dropped here.
+
+    ``num_hashes`` (signature width) lets the band hash use STATIC lane
+    offsets: each band hashes its lanes with one multi-arg ``xxhash64``
+    call — no per-band string building (the ``concat_ws`` over casted
+    lanes this replaced allocated a CSV string per band per doc).
+    Omitted, it is inferred with a one-row peek."""
+    if num_hashes is None:
+        probe = signatures.select(F.size("sig").alias("n")).head(1)
+        num_hashes = probe[0]["n"] if probe else bands
+    rpb = max(1, num_hashes // bands)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col("sig").getItem(b * rpb + k) for k in range(rpb)]
+            ).alias("bhash"),
+        )
+        for b in range(bands)
+    ]
     banded = signatures.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    "sig", b * rows_per_band + 1, rows_per_band
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("bk"),
+        F.explode(F.array(*band_structs)).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
     # Cap BEFORE the aggregation so the collect_list row itself is
     # bounded (max_bucket·sig, ~50 KB at the defaults), not just the

@@ -120,11 +120,19 @@ _WIDE_TABLES = frozenset(
 
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
-        # nanosAsLong delivers BIGINT nanoseconds — convert to a
-        # microsecond timestamp (integer division: float division
-        # drifts by 1µs on large epochs).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type in ("bigint", "long"):
+            # nanosAsLong delivers BIGINT nanoseconds — convert to a
+            # microsecond timestamp (integer division: float division
+            # drifts by 1µs on large epochs).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] without UTC adjustment reads as NTZ;
+            # normalize to TimestampType (session tz is pinned UTC, so
+            # the wall-clock instant is unchanged) — downstream epoch
+            # arithmetic (cast to bigint) is undefined on NTZ.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     # The driver's test parquet is ONE row group per table, which caps
     # every downstream scan at a single task no matter how many cores
     # exist (byte-range splits can't cross a row-group).  Real lakehouse
