@@ -346,6 +346,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: similarity.simhash_near_dup_pairs(
         text.ngram_shingles(_tables(s, d)["documents"])
     )
+    q["text_pii_scrub"] = lambda s, d: text.pii_scrub(_tables(s, d)["documents"])
+
+    def _decontaminate(s, d):
+        from pyspark.sql import functions as F
+
+        docs = _tables(s, d)["documents"]
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        return text.decontaminate(docs, bench, n=8)
+
+    q["text_decontaminate"] = _decontaminate
     q["text_ngram_jaccard"] = lambda s, d: text.ngram_jaccard_pairs(
         _tables(s, d)["documents"], threshold=0.2
     )
@@ -741,6 +751,34 @@ def oracle_sql() -> dict[str, str]:
     o["text_token_counts"] = (
         f"SELECT doc_id, CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens, "
         "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+    )
+    _rx_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _rx_phone = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+    _rx_url = "https?://[^\\s]+"
+    o["text_pii_scrub"] = (
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{_rx_email}')) AS BIGINT) AS n_email, "
+        f"CAST(len(regexp_extract_all(text, '{_rx_phone}')) AS BIGINT) AS n_phone, "
+        f"CAST(len(regexp_extract_all(text, '{_rx_url}')) AS BIGINT) AS n_url, "
+        "CAST(length(regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{_rx_email}', '[EMAIL]', 'g'), "
+        f"'{_rx_phone}', '[PHONE]', 'g'), "
+        f"'{_rx_url}', '[URL]', 'g')) AS BIGINT) AS scrubbed_len "
+        "FROM documents"
+    )
+    _grams8 = (
+        "SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(0, greatest(len(t) - 8, 0) + 1), "
+        "i -> array_to_string(t[i + 1:i + 8], ' ')))) AS gram "
+        f"FROM (SELECT doc_id, {_TOKS} AS t FROM documents)"
+    )
+    o["text_decontaminate"] = (
+        f"WITH dg AS MATERIALIZED ({_grams8}), "
+        "bg AS (SELECT DISTINCT gram FROM dg WHERE "
+        "doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 97 = 0)) "
+        "SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams "
+        "FROM dg d JOIN bg USING (gram) GROUP BY d.doc_id "
+        "HAVING count(*) > 0"
     )
     o["text_quality"] = (
         f"SELECT doc_id, "

@@ -211,3 +211,70 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# Simple, DuckDB-mirrorable patterns (kept RE2/Java-portable: no
+# backreferences or lookaround) — a production pipeline would extend
+# the set, not the mechanism.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "url": r"https?://[^\s]+",
+}
+
+
+def pii_scrub(docs: DataFrame, patterns: dict[str, str] | None = None) -> DataFrame:
+    """Per-doc PII detection + redaction — the scrub pass every
+    training-data pipeline runs before tokenization.  One scan, all
+    JVM regex (whole-stage codegen): per-pattern match counts plus the
+    redacted text with each match replaced by ``[TYPE]``.
+
+    Beyond-reference training-data operator (same family as
+    ``quality_scores``); patterns are RE2/Java-portable so the DuckDB
+    oracle runs the identical expressions."""
+    patterns = patterns or PII_PATTERNS
+    out = docs.select("doc_id", "text")
+    scrubbed = F.col("text")
+    counts = []
+    for name, rx in patterns.items():
+        counts.append(
+            F.size(F.regexp_extract_all("text", F.lit(rx), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, rx, f"[{name.upper()}]")
+    return out.select(
+        "doc_id",
+        *counts,
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    ``n``-gram with an eval/benchmark set (the n-gram-overlap method
+    used for public-corpus decontamination).  Shape: explode distinct
+    n-grams on both sides → equi-join on the gram (the ONLY shuffle,
+    keyed by gram) → per-doc overlap count.  Benchmark grams are
+    deduped before the join; at corpus scale the benchmark side is
+    small and AQE broadcasts it."""
+    def grams(df, id_col):
+        toks = _tokens(F.lower(F.col("text")))
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+        return df.select(F.col("doc_id").alias(id_col), F.explode(g).alias("gram"))
+
+    doc_grams = grams(docs, "doc_id")
+    bench_grams = grams(benchmark, "bench_id").select("gram").distinct()
+    hits = doc_grams.join(bench_grams, "gram")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated_grams"))
+        .filter(F.col("n_contaminated_grams") > 0)
+    )

@@ -303,17 +303,21 @@ class ResilientSink:
                     return
                 self.sleep(self.base_delay * (2 ** (attempt - 1)))
 
-    def replay_dlq(self) -> int:
-        """DLQService replay: re-send dead letters; survivors stay."""
+    def replay_dlq(self, batch_size: int = 100) -> int:
+        """DLQService replay: re-send dead letters in batches (the
+        consumer's batch contract — one send per ``batch_size`` events,
+        not one per event); a failing batch returns to the DLQ whole."""
         pending, self.dlq = self.dlq, []
         ok = 0
-        for item in pending:
+        for start in range(0, len(pending), batch_size):
+            chunk = pending[start : start + batch_size]
             try:
-                self.inner.send([item["event"]])
-                ok += 1
+                self.inner.send([item["event"] for item in chunk])
+                ok += len(chunk)
             except Exception as exc:  # noqa: BLE001
-                item["error"] = str(exc)
-                self.dlq.append(item)
+                for item in chunk:
+                    item["error"] = str(exc)
+                self.dlq.extend(chunk)
         return ok
 
 

@@ -419,3 +419,45 @@ def test_bpe_token_counts(spark):
     assert out[1][0] == 4 and out[1][1] == 8
     # "a  b" → bpe: 'a' + ' ' (extra ws) + ' b' = 3; ws-split = 2
     assert out[2] == (2, 3)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from pg_age_digitaltwins_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@example.com or visit https://x.io/page now"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "clean document with nothing sensitive"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_ops.pii_scrub(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_url"] == 1 and rows[1]["n_phone"] == 0
+    assert rows[2]["n_phone"] == 1 and rows[2]["n_email"] == 0
+    assert rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_url"] == 0
+    assert rows[3]["scrubbed_len"] == len("clean document with nothing sensitive")
+    # doc 1: both spans replaced by markers
+    assert rows[1]["scrubbed_len"] == len(
+        "mail me at [EMAIL] or visit [URL] now"
+    )
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from pg_age_digitaltwins_spark.operators import text as text_ops
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, words + " tail words here"),       # shares 8-grams with bench
+            (2, other),                            # disjoint
+            (3, "short text"),                     # shorter than n, whole-doc gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, words)], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_contaminated_grams"]
+           for r in text_ops.decontaminate(docs, bench, n=8).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out and 3 not in out
