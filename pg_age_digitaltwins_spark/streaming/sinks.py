@@ -10,9 +10,8 @@ Spark-native: the micro-batch boundary *is* the batch/timer; routes
 become per-batch fan-out inside ``foreachBatch`` (or one streaming query
 per route); Kafka maps to the native ``writeStream.format("kafka")``;
 the webhook sink is a real stdlib-HTTP POST per CloudEvent
-(``WebhookSink``); MQTT is stubbed behind a transport callback (no
-client lib in this container — wiring and retry semantics are real and
-tested).
+(``WebhookSink``) and the MQTT sink speaks real MQTT 3.1.1 framing over
+a stdlib socket (``MqttSink``) — no client libraries required.
 """
 
 from __future__ import annotations
@@ -220,6 +219,123 @@ class WebhookSink(EventSink):
                 raise SinkError(
                     f"webhook transport to {self.url} failed: {exc}"
                 ) from exc
+
+
+def _mqtt_varint(n: int) -> bytes:
+    """MQTT remaining-length encoding (7 bits per byte, MSB=continue)."""
+    out = bytearray()
+    while True:
+        b = n % 128
+        n //= 128
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _mqtt_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return len(b).to_bytes(2, "big") + b
+
+
+class MqttSink(EventSink):
+    """S11: real MQTT 3.1.1 delivery over a stdlib TCP socket — the
+    protocol framing is tiny enough that no client library is needed:
+    CONNECT (clean session, optional username/password) → CONNACK →
+    one QoS-0 PUBLISH per CloudEvent (structured-mode JSON payload,
+    fixed topic) → DISCONNECT on close.  Mirrors
+    ``Sinks/Mqtt/MqttEventSink.cs``: same per-event publish loop,
+    structured content mode, reconnect-on-dead-connection, and health
+    flag semantics (healthy = flag AND connected).
+
+    Transport failures mark the sink unhealthy and raise ``SinkError``
+    so the ``ResilientSink`` wrapper retries/dead-letters, exactly like
+    the webhook sink."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        topic: str,
+        client_id: str = "pg-age-dt-spark",
+        username: str | None = None,
+        password: str | None = None,
+        keepalive_s: int = 60,
+        timeout: float = 10.0,
+        name: str = "mqtt",
+    ):
+        self.name = name
+        self.host, self.port, self.topic = host, port, topic
+        self.client_id = client_id
+        self.username, self.password = username, password
+        self.keepalive_s = keepalive_s
+        self.timeout = timeout
+        self.last_error: str | None = None
+        self._healthy = True
+        self._sock = None
+
+    @property
+    def is_healthy(self) -> bool:
+        return self._healthy and self._sock is not None
+
+    # ------------------------------------------------------------------
+    def _connect(self) -> None:
+        import socket
+
+        flags = 0x02  # clean session
+        payload = _mqtt_str(self.client_id)
+        if self.username is not None:
+            flags |= 0x80
+            payload += _mqtt_str(self.username)
+            if self.password is not None:
+                flags |= 0x40
+                payload += _mqtt_str(self.password)
+        var_header = (
+            _mqtt_str("MQTT")
+            + bytes([0x04, flags])
+            + self.keepalive_s.to_bytes(2, "big")
+        )
+        pkt = bytes([0x10]) + _mqtt_varint(len(var_header) + len(payload)) + var_header + payload
+        s = socket.create_connection((self.host, self.port), timeout=self.timeout)
+        s.sendall(pkt)
+        ack = s.recv(4)
+        if len(ack) < 4 or ack[0] != 0x20 or ack[3] != 0x00:
+            s.close()
+            raise ConnectionError(f"MQTT CONNACK refused: {ack.hex() if ack else 'EOF'}")
+        self._sock = s
+
+    def send(self, events: list[dict[str, Any]]) -> None:
+        for e in events:
+            payload = json.dumps(
+                {"specversion": "1.0", **e}, separators=(",", ":")
+            ).encode("utf-8")
+            body = _mqtt_str(self.topic) + payload  # QoS 0: no packet id
+            pkt = bytes([0x30]) + _mqtt_varint(len(body)) + body
+            try:
+                if self._sock is None:
+                    self._connect()
+                self._sock.sendall(pkt)
+                self._healthy = True
+            except Exception as exc:  # noqa: BLE001 — transport failure
+                self._healthy = False
+                self.last_error = str(exc)
+                if self._sock is not None:
+                    try:
+                        self._sock.close()
+                    except OSError:
+                        pass
+                    self._sock = None
+                raise SinkError(
+                    f"mqtt publish to {self.host}:{self.port} failed: {exc}"
+                ) from exc
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.sendall(bytes([0xE0, 0x00]))  # DISCONNECT
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
 
 
 def kafka_writer_options(bootstrap_servers: str, topic: str) -> dict[str, str]:

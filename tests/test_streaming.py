@@ -753,3 +753,146 @@ def test_streaming_health_surface(spark, tmp_path):
         assert qstate["exception"] is None  # clean availableNow drain
     finally:
         spark.streams.removeListener(health.listener())
+
+
+# ----------------------------------------------------------------------
+# MqttSink: real MQTT 3.1.1 framing against an in-process fake broker
+# ----------------------------------------------------------------------
+
+
+class _FakeMqttBroker:
+    """Accepts one client: validates CONNECT, answers CONNACK, decodes
+    QoS-0 PUBLISH packets into (topic, payload) tuples."""
+
+    def __init__(self, refuse=False):
+        import socket
+        import threading
+
+        self.publishes = []
+        self.connect = None
+        self.refuse = refuse
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        # timeout + flag: closing a listener under a thread blocked in
+        # accept() does NOT release the port on Linux (the syscall pins
+        # the socket), so the loop must wake up to observe _stopped
+        self._srv.settimeout(0.1)
+        self._stopped = False
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    @staticmethod
+    def _read_varint(sock):
+        mult, val = 1, 0
+        while True:
+            b = sock.recv(1)
+            if not b:
+                return None
+            val += (b[0] & 0x7F) * mult
+            if not b[0] & 0x80:
+                return val
+            mult *= 128
+
+    def _serve(self):
+        while not self._stopped:
+            try:
+                conn, _ = self._srv.accept()
+            except TimeoutError:
+                continue
+            except OSError:
+                return
+            with conn:
+                self._handle(conn)
+        self._srv.close()
+
+    def _handle(self, conn):
+        if True:
+            while True:
+                hdr = conn.recv(1)
+                if not hdr:
+                    return
+                ptype = hdr[0] >> 4
+                length = self._read_varint(conn)
+                body = b""
+                while len(body) < length:
+                    chunk = conn.recv(length - len(body))
+                    if not chunk:
+                        return
+                    body += chunk
+                if ptype == 1:  # CONNECT
+                    # proto name(6) + level(1) + flags(1) + keepalive(2)
+                    self.connect = {
+                        "proto": body[2:6].decode(),
+                        "level": body[6],
+                        "flags": body[7],
+                    }
+                    rc = 0x05 if self.refuse else 0x00
+                    conn.sendall(bytes([0x20, 0x02, 0x00, rc]))
+                    if self.refuse:
+                        return
+                elif ptype == 3:  # PUBLISH (qos0)
+                    tlen = int.from_bytes(body[:2], "big")
+                    topic = body[2 : 2 + tlen].decode()
+                    self.publishes.append((topic, body[2 + tlen :]))
+                elif ptype == 14:  # DISCONNECT
+                    return
+
+    def stop(self):
+        self._stopped = True
+        self._thread.join(timeout=2.0)
+
+
+def test_mqtt_sink_publishes_cloudevents():
+    import json as _json
+
+    from pg_age_digitaltwins_spark.streaming.sinks import MqttSink
+
+    broker = _FakeMqttBroker()
+    try:
+        sink = MqttSink("127.0.0.1", broker.port, topic="twins/events",
+                        username="u1", password="p1")
+        evs = [
+            {"id": "e1", "type": "Konnektr.Graph.Twin.Create", "subject": "t1",
+             "source": "src", "data": {"x": 1}},
+            {"id": "e2", "type": "Konnektr.Graph.Twin.Update", "subject": "t1",
+             "source": "src", "data": {"x": 2}},
+        ]
+        sink.send(evs)
+        assert sink.is_healthy
+        sink.close()
+        import time as _time
+        deadline = _time.time() + 5
+        while len(broker.publishes) < 2 and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert broker.connect["proto"] == "MQTT" and broker.connect["level"] == 4
+        assert broker.connect["flags"] & 0x80 and broker.connect["flags"] & 0x40
+        assert [t for t, _ in broker.publishes] == ["twins/events"] * 2
+        bodies = [_json.loads(p) for _, p in broker.publishes]
+        assert [b["id"] for b in bodies] == ["e1", "e2"]
+        assert all(b["specversion"] == "1.0" for b in bodies)
+    finally:
+        broker.stop()
+
+
+def test_mqtt_sink_refused_or_down_goes_to_dlq():
+    from pg_age_digitaltwins_spark.streaming.sinks import MqttSink
+
+    # CONNACK refusal
+    broker = _FakeMqttBroker(refuse=True)
+    try:
+        sink = MqttSink("127.0.0.1", broker.port, topic="t")
+        rs = ResilientSink(sink, max_retries=1, sleep=lambda s: None)
+        rs.send([{"id": "e1", "type": "T", "subject": "s", "data": {}}])
+        assert not sink.is_healthy and len(rs.dlq) == 1
+        assert "CONNACK refused" in rs.dlq[0]["error"]
+    finally:
+        broker.stop()
+
+    # nothing listening
+    broker2 = _FakeMqttBroker()
+    port = broker2.port
+    broker2.stop()
+    sink2 = MqttSink("127.0.0.1", port, topic="t", timeout=1.0)
+    rs2 = ResilientSink(sink2, max_retries=1, sleep=lambda s: None)
+    rs2.send([{"id": "e2", "type": "T", "subject": "s", "data": {}}])
+    assert not sink2.is_healthy and len(rs2.dlq) == 1
