@@ -211,11 +211,16 @@ class ApiService:
         client: DigitalTwinsSparkClient,
         rate_limiting: bool = False,
         limiter_clock=time.monotonic,
+        health=None,
     ):
         self.client = client
         self.jobs = jobs_mod.JobService()
         self._job_inputs: dict[str, str] = {}
         self.rate_limiting = rate_limiting
+        # optional StreamingHealthListener (streaming.sinks) — exposes
+        # the reference's /health surface (ReplicationHealthCheck +
+        # EventSinksHealthCheck aggregated by the ASP.NET host)
+        self.health = health
         # Documented tier defaults (SURVEY §2.5 / performance.mdx:16-22):
         # Global 1000/s, Light 100/s, Medium 50/s, Heavy 20/s, Admin 50/min
         self.limiters = {
@@ -301,6 +306,7 @@ class ApiService:
         )
         # --- query (QueryEndpoints.cs) ---
         r("POST", "/query", self.query_post, "query")
+        r("GET", "/health", self.health_get, "light")
         # --- models (ModelsEndpoints.cs) ---
         r("GET", "/models", self.models_list, "admin")
         r("POST", "/models", self.models_create, "admin")
@@ -531,6 +537,18 @@ class ApiService:
         if page.continuation_token:
             out["continuationToken"] = page.continuation_token
         return Response(200, out, headers={"query-charge": str(charge)})
+
+    # ------------------------------------------------------------------
+    # health (HealthCheckEndpoints: aggregated status, 503 when degraded)
+    # ------------------------------------------------------------------
+    def health_get(self, req: Request) -> Response:
+        if self.health is None:
+            # no streaming attached: the API surface itself is the check
+            return Response(200, {"status": "Healthy", "checks": {}})
+        snap = self.health.snapshot()
+        status = "Healthy" if snap.get("healthy") else "Unhealthy"
+        return Response(200 if snap.get("healthy") else 503,
+                        {"status": status, "checks": snap})
 
     # ------------------------------------------------------------------
     # models

@@ -457,3 +457,30 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dup_groups(pairs: DataFrame) -> DataFrame:
+    """(doc_id, group_id): connected components over a near-dup pair
+    graph (MinHash-LSH / SimHash / n-gram-Jaccard output — anything
+    with doc_a/doc_b columns), so transitive near-duplicates collapse
+    into one keepable group — the step that turns pairwise dedup
+    verdicts into a keep-one-per-group policy.
+
+    Reuses the Pregel-superstep min-label propagation from
+    ``operators.graph_analytics`` (one shuffle per iteration, lineage
+    cut per superstep); group_id = min doc_id in the group."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        connected_components,
+    )
+
+    verts = (
+        pairs.select(F.col("doc_a").alias("dt_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("dt_id")))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("source_id"), F.col("doc_b").alias("target_id")
+    )
+    return connected_components(verts, edges).select(
+        F.col("dt_id").alias("doc_id"), F.col("component").alias("group_id")
+    )

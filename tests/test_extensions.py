@@ -461,3 +461,16 @@ def test_decontaminate_flags_ngram_overlap(spark):
            for r in text_ops.decontaminate(docs, bench, n=8).collect()}
     assert 1 in out and out[1] >= 1
     assert 2 not in out and 3 not in out
+
+
+def test_near_dup_groups_transitive(spark):
+    from pg_age_digitaltwins_spark.operators import similarity
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {r["doc_id"]: r["group_id"]
+           for r in similarity.near_dup_groups(pairs).collect()}
+    # a-b-c chain collapses transitively; x-y separate
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

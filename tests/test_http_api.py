@@ -678,3 +678,35 @@ def test_query_charge_settled_before_and_after(api):
     # bucket is now negative: the NEXT query is rejected up front
     r2 = svc.handle(Request("POST", "/query", body=q))
     assert r2.status == 429
+
+
+def test_health_endpoint(api):
+    from pg_age_digitaltwins_spark.streaming.sinks import (
+        EventRouter,
+        InMemoryEventSink,
+        StreamingHealthListener,
+    )
+
+    # no streaming attached: API-up is the check
+    r = api.handle(Request("GET", "/health"))
+    assert r.status == 200 and r.body["status"] == "Healthy"
+
+    # attached but no live query -> degraded 503
+    router = EventRouter()
+    router.add_sink(InMemoryEventSink("m"))
+    health = StreamingHealthListener(router)
+    svc = ApiService(api.client, health=health)
+    r = svc.handle(Request("GET", "/health"))
+    assert r.status == 503 and r.body["status"] == "Unhealthy"
+
+    # a live unexceptional query flips it healthy
+    health.on_started("q1", "change-stream")
+    r = svc.handle(Request("GET", "/health"))
+    assert r.status == 200 and r.body["status"] == "Healthy"
+    assert r.body["checks"]["sinks"]["totalSinks"] == 1
+
+    # a sink with dead letters degrades it again
+    router.sinks["m"].dlq.append({"event": {}, "error": "x", "sink": "m"})
+    r = svc.handle(Request("GET", "/health"))
+    assert r.status == 503
+    assert r.body["checks"]["sinks"]["unhealthySinkNames"] == ["m"]
