@@ -347,6 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text.ngram_shingles(_tables(s, d)["documents"])
     )
     q["text_pii_scrub"] = lambda s, d: text.pii_scrub(_tables(s, d)["documents"])
+    q["dedup_embedding_cosine"] = lambda s, d: similarity.cosine_near_dup_pairs(
+        _tables(s, d)["embeddings"], threshold=0.4
+    )
 
     def _decontaminate(s, d):
         from pyspark.sql import functions as F
@@ -765,6 +768,16 @@ def oracle_sql() -> dict[str, str]:
         f"'{_rx_phone}', '[PHONE]', 'g'), "
         f"'{_rx_url}', '[URL]', 'g')) AS BIGINT) AS scrubbed_len "
         "FROM documents"
+    )
+    o["dedup_embedding_cosine"] = (
+        "WITH d AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim "
+        "FROM d a JOIN d b ON a.vec_id < b.vec_id "
+        "WHERE round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4"
     )
     _grams8 = (
         "SELECT doc_id, unnest(list_distinct(list_transform("

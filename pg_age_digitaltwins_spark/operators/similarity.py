@@ -484,3 +484,29 @@ def near_dup_groups(pairs: DataFrame) -> DataFrame:
     return connected_components(verts, edges).select(
         F.col("dt_id").alias("doc_id"), F.col("component").alias("group_id")
     )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: all (a < b) vector pairs
+    with round(cosine, 4) >= threshold.  This is the CORRECTNESS
+    BASELINE of the embedding-dedup family — O(N²), only for oracle
+    anchoring and small slices; the scale path is the LSH-bucketed
+    variant (``ann_lsh_search`` buckets / ``near_dup_groups``), which
+    approximates this output with candidate-bucket equi-joins."""
+    d = embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = d.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = d.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

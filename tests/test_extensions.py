@@ -474,3 +474,19 @@ def test_near_dup_groups_transitive(spark):
            for r in similarity.near_dup_groups(pairs).collect()}
     # a-b-c chain collapses transitively; x-y separate
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cosine_near_dup_pairs_exact(spark):
+    from pg_age_digitaltwins_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),   # ~same direction as 1
+            (3, [0.0, 1.0]),      # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = similarity.cosine_near_dup_pairs(emb, threshold=0.9).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["sim"] > 0.99
