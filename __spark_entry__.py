@@ -269,6 +269,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DuckDB CTE chains (_cc_oracle / _pagerank_oracle)
     q["graph_connected_components"] = _cc
     q["graph_pagerank"] = _pr
+
+    def _degrees(s, d):
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            degree_distribution,
+        )
+
+        st = _store(s, d)
+        return degree_distribution(st.twins, st.relationships)
+
+    q["graph_degree_distribution"] = _degrees
     def _cypher_collect(spark, sf_dir):
         # Exercises the real Cypher collect() path; the raw
         # array<string> result is then projected to a sorted CSV so the
@@ -697,6 +707,15 @@ def oracle_sql() -> dict[str, str]:
     )
     o["graph_connected_components"] = _cc_oracle()
     o["graph_pagerank"] = _pagerank_oracle()
+    o["graph_degree_distribution"] = (
+        f"WITH edges AS ({_EDGES_SQL}), "
+        f"deg AS (SELECT t.dt_id, "
+        "CAST(coalesce(o.c, 0) + coalesce(i.c, 0) AS BIGINT) AS degree "
+        f"FROM ({_ALL_TWIN_IDS}) t "
+        "LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) o ON t.dt_id = o.src "
+        "LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) i ON t.dt_id = i.dst) "
+        "SELECT degree, count(*) AS n_twins FROM deg GROUP BY degree"
+    )
     o["graph_collect_neighbors"] = (
         "SELECT 'region-' || n_regionkey AS target, "
         "string_agg('nation-' || n_nationkey, ',' ORDER BY 'nation-' || n_nationkey) AS sources, "

@@ -125,3 +125,29 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return state.select("dt_id", F.round("rank", 8).alias("rank"))
+
+
+def degree_distribution(twins: DataFrame, relationships: DataFrame) -> DataFrame:
+    """(degree, n_twins): histogram of total (in+out) relationship
+    degree, INCLUDING zero-degree twins — the pre-flight check before
+    any whole-graph algorithm (hub skew here predicts shuffle skew
+    there).  Two map-side-combined aggregations keyed by vertex id and
+    one tiny histogram shuffle; no iteration."""
+    out_d = relationships.groupBy(F.col("source_id").alias("dt_id")).agg(
+        F.count(F.lit(1)).alias("out_d")
+    )
+    in_d = relationships.groupBy(F.col("target_id").alias("dt_id")).agg(
+        F.count(F.lit(1)).alias("in_d")
+    )
+    deg = (
+        twins.select("dt_id")
+        .join(out_d, "dt_id", "left")
+        .join(in_d, "dt_id", "left")
+        .select(
+            (
+                F.coalesce(F.col("out_d"), F.lit(0))
+                + F.coalesce(F.col("in_d"), F.lit(0))
+            ).alias("degree")
+        )
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_twins"))

@@ -213,7 +213,15 @@ def load_graph(
         tag = os.path.basename(os.path.normpath(sf_dir))
         path = os.path.join(cache_root, f"{tag}-v{LOADER_VERSION}")
         marker = os.path.join(path, "_GRAPH_READY")
-        if not os.path.exists(marker):
+        # marker carries a fingerprint of the SOURCE parquet (size+mtime
+        # per table): a regenerated fixture must rebuild the cache, not
+        # silently serve the previous dataset
+        fp = _source_fingerprint(sf_dir)
+        stale = True
+        if os.path.exists(marker):
+            with open(marker) as f:
+                stale = f.read().strip() != fp
+        if stale:
             store = _build_graph(spark, sf_dir)
             n = max(4, spark.sparkContext.defaultParallelism // 2)
             store.twins = store.twins.repartition(n, F.col("dt_id")).sortWithinPartitions("dt_id")
@@ -222,10 +230,24 @@ def load_graph(
             ).sortWithinPartitions("source_id")
             store.save(path)
             with open(marker, "w") as f:
-                f.write("ok")
+                f.write(fp)
         cached = GraphStore.load(spark, path)
         return cached
     return _build_graph(spark, sf_dir)
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    for name in sorted(TABLE_NAMES):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            st = os.stat(p)
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+        except FileNotFoundError:
+            h.update(f"{name}:missing;".encode())
+    return h.hexdigest()
 
 
 def _build_graph(spark: SparkSession, sf_dir: str) -> GraphStore:

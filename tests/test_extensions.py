@@ -490,3 +490,20 @@ def test_cosine_near_dup_pairs_exact(spark):
     rows = similarity.cosine_near_dup_pairs(emb, threshold=0.9).collect()
     assert [(r["vec_a"], r["vec_b"]) for r in rows] == [(1, 2)]
     assert rows[0]["sim"] > 0.99
+
+
+def test_degree_distribution_includes_isolated(spark):
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        degree_distribution,
+    )
+
+    twins = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("lonely",)], "dt_id string"
+    )
+    rels = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "source_id string, target_id string"
+    )
+    got = {r["degree"]: r["n_twins"]
+           for r in degree_distribution(twins, rels).collect()}
+    # a: out 2 -> 2; b: out 1 + in 1 -> 2; c: in 2 -> 2; lonely: 0
+    assert got == {0: 1, 2: 3}
