@@ -888,7 +888,23 @@ def oracle_sql() -> dict[str, str]:
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
     )
-    # dedup_minhash_lsh / dedup_simhash / text_ngram_jaccard /
-    # embed_knn_topk: hash-permutation & float-ordering internals aren't
-    # reproducible in portable SQL — driver records rows-only checks.
+    o["text_ngram_jaccard"] = (
+        "WITH sh AS MATERIALIZED ("
+        "SELECT doc_id, lang, unnest(list_distinct(list_transform("
+        "range(0, greatest(len(t) - 3, 0) + 1), "
+        "i -> array_to_string(t[i + 1:i + 3], ' ')))) AS gram "
+        f"FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.gram = b.gram AND a.lang = b.lang "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, "
+        "round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard "
+        "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
+        "JOIN sizes sb ON doc_b = sb.doc_id "
+        "WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.2"
+    )
+    # dedup_minhash_lsh / dedup_simhash / embed_ann_* / multimodal:
+    # hash-permutation & float-ordering internals aren't reproducible in
+    # portable SQL — driver records rows-only checks.
     return o
