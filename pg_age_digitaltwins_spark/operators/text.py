@@ -256,10 +256,11 @@ def decontaminate(
     """Benchmark decontamination: flag training docs sharing any
     ``n``-gram with an eval/benchmark set (the n-gram-overlap method
     used for public-corpus decontamination).  Shape: explode distinct
-    n-grams on both sides → equi-join on the gram (the ONLY shuffle,
-    keyed by gram) → per-doc overlap count.  Benchmark grams are
-    deduped before the join; at corpus scale the benchmark side is
-    small and AQE broadcasts it."""
+    n-grams on both sides → equi-join on the gram → per-doc overlap
+    count.  Benchmark grams are deduped and broadcast (eval sets are
+    tiny next to the corpus), so the training side never shuffles for
+    the join — hot grams can't skew a broadcast join — and the only
+    shuffle is the per-doc overlap aggregation, keyed by doc_id."""
     def grams(df, id_col):
         toks = _tokens(F.lower(F.col("text")))
         g = F.array_distinct(
