@@ -10,8 +10,11 @@ Spark-native: the micro-batch boundary *is* the batch/timer; routes
 become per-batch fan-out inside ``foreachBatch`` (or one streaming query
 per route); Kafka maps to the native ``writeStream.format("kafka")``;
 the webhook sink is a real stdlib-HTTP POST per CloudEvent
-(``WebhookSink``) and the MQTT sink speaks real MQTT 3.1.1 framing over
-a stdlib socket (``MqttSink``) — no client libraries required.
+(``WebhookSink``), the MQTT sink speaks real MQTT 3.1.1 framing, and
+the Kafka sink's driver-batch path speaks the real Produce v3 wire
+protocol (record-batch v2 + CRC-32C) — all over stdlib sockets, no
+client libraries required.  ``send_df`` remains the executor-side
+scale path for Kafka/lake sinks.
 """
 
 from __future__ import annotations
@@ -107,19 +110,81 @@ class NdjsonDirSink(EventSink):
 
 
 class KafkaSink(EventSink):
-    """S9: native Kafka delivery — key=subject, value=CloudEvent JSON
-    (``KafkaEventSink.cs`` produces the same key/value contract).  The
-    write happens executor-side via the built-in Kafka batch source; no
-    driver materialization.  Untestable in this container (no broker) —
-    the option wiring is exercised by ``kafka_writer_options`` tests."""
+    """S9: Kafka delivery — key=subject, value=CloudEvent JSON
+    (``KafkaEventSink.cs`` produces the same key/value contract).
 
-    def __init__(self, bootstrap_servers: str, topic: str, name: str = "kafka"):
+    Two paths, mirroring the webhook/MQTT split:
+
+    * ``send_df`` (the SCALE path): executor-side via the built-in
+      Kafka batch sink — a 10⁹-event micro-batch never touches the
+      driver.  Requires the spark-sql-kafka package on the cluster.
+    * ``send`` (the OLTP transport path): a REAL wire-protocol produce
+      — one Produce v3 request per batch carrying a record-batch v2
+      set (CRC-32C, zigzag varints) over a stdlib socket
+      (``streaming/kafka_wire.py``), acks=1 checked from the broker
+      response.  No client library needed; transport or broker errors
+      raise ``SinkError`` for the resilient wrapper."""
+
+    def __init__(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        name: str = "kafka",
+        partition: int = 0,
+        client_id: str = "pg-age-dt-spark",
+        timeout: float = 10.0,
+    ):
         self.name = name
         self.bootstrap_servers = bootstrap_servers
         self.topic = topic
+        self.partition = partition
+        self.client_id = client_id
+        self.timeout = timeout
+        self.is_healthy = True
+        self.last_error: str | None = None
+        self._corr = 0
 
-    def send(self, events: list[dict[str, Any]]) -> None:  # pragma: no cover
-        raise SinkError("KafkaSink delivers DataFrames; use send_df")
+    def send(self, events: list[dict[str, Any]]) -> None:
+        import socket
+
+        from pg_age_digitaltwins_spark.streaming import kafka_wire as kw
+
+        host, _, port = self.bootstrap_servers.split(",")[0].partition(":")
+        records = []
+        for e in events:
+            key = (e.get("subject") or "").encode("utf-8") or None
+            value = json.dumps(
+                {"specversion": "1.0", **e}, separators=(",", ":")
+            ).encode("utf-8")
+            records.append((key, value))
+        self._corr += 1
+        req = kw.encode_produce_request(
+            self._corr,
+            self.client_id,
+            self.topic,
+            self.partition,
+            kw.encode_record_batch(records),
+            acks=1,
+            timeout_ms=int(self.timeout * 1000),
+        )
+        try:
+            with socket.create_connection(
+                (host, int(port or 9092)), timeout=self.timeout
+            ) as s:
+                s.sendall(req)
+                size = int.from_bytes(_recv_exact(s, 4), "big")
+                resp = kw.decode_produce_response(_recv_exact(s, size))
+            if resp["error_code"] != 0:
+                raise ConnectionError(
+                    f"broker error_code={resp['error_code']} for {self.topic}"
+                )
+            self.is_healthy = True
+        except Exception as exc:  # noqa: BLE001 — transport/broker failure
+            self.is_healthy = False
+            self.last_error = str(exc)
+            raise SinkError(
+                f"kafka produce to {self.bootstrap_servers} failed: {exc}"
+            ) from exc
 
     def send_df(self, df: DataFrame) -> None:  # pragma: no cover
         (
@@ -128,6 +193,16 @@ class KafkaSink(EventSink):
             .options(**kafka_writer_options(self.bootstrap_servers, self.topic))
             .save()
         )
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("connection closed mid-frame")
+        buf += chunk
+    return buf
 
 
 class CallbackSink(EventSink):

@@ -896,3 +896,114 @@ def test_mqtt_sink_refused_or_down_goes_to_dlq():
     rs2 = ResilientSink(sink2, max_retries=1, sleep=lambda s: None)
     rs2.send([{"id": "e2", "type": "T", "subject": "s", "data": {}}])
     assert not sink2.is_healthy and len(rs2.dlq) == 1
+
+
+# ----------------------------------------------------------------------
+# KafkaSink: real Produce v3 / record-batch v2 framing against a
+# validating fake broker
+# ----------------------------------------------------------------------
+
+
+class _FakeKafkaBroker:
+    """Accepts produce requests, decodes them with the module's decoder
+    (which independently re-verifies the batch CRC-32C), and answers a
+    Produce v3 response with the configured error code."""
+
+    def __init__(self, error_code=0):
+        import socket
+        import threading
+
+        self.requests = []
+        self.error_code = error_code
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self._srv.settimeout(0.1)
+        self._stopped = False
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        from pg_age_digitaltwins_spark.streaming import kafka_wire as kw
+
+        while not self._stopped:
+            try:
+                conn, _ = self._srv.accept()
+            except TimeoutError:
+                continue
+            except OSError:
+                return
+            with conn:
+                try:
+                    size = int.from_bytes(self._recv(conn, 4), "big")
+                    req = kw.decode_produce_request(self._recv(conn, size))
+                    self.requests.append(req)
+                    conn.sendall(kw.encode_produce_response(
+                        req["correlation_id"], req["topic"],
+                        req["partition"], self.error_code, base_offset=42,
+                    ))
+                except (ConnectionError, ValueError):
+                    pass
+        self._srv.close()
+
+    @staticmethod
+    def _recv(conn, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("eof")
+            buf += chunk
+        return buf
+
+    def stop(self):
+        self._stopped = True
+        self._thread.join(timeout=2.0)
+
+
+def test_kafka_sink_wire_produce():
+    import json as _json
+
+    from pg_age_digitaltwins_spark.streaming.sinks import KafkaSink
+
+    broker = _FakeKafkaBroker()
+    try:
+        sink = KafkaSink(f"127.0.0.1:{broker.port}", topic="twin-events")
+        sink.send([
+            {"id": "e1", "type": "Konnektr.Graph.Twin.Create", "subject": "t1",
+             "source": "src", "data": {"x": 1}},
+            {"id": "e2", "type": "Konnektr.Graph.Twin.Delete", "subject": "t2",
+             "source": "src", "data": None},
+        ])
+        assert sink.is_healthy
+        (req,) = broker.requests  # CRC already verified by the decoder
+        assert req["api_key"] == 0 and req["api_version"] == 3
+        assert req["topic"] == "twin-events" and req["acks"] == 1
+        keys = [k.decode() for k, _ in req["records"]]
+        assert keys == ["t1", "t2"]  # key = subject (reference contract)
+        bodies = [_json.loads(v) for _, v in req["records"]]
+        assert [b["id"] for b in bodies] == ["e1", "e2"]
+        assert all(b["specversion"] == "1.0" for b in bodies)
+    finally:
+        broker.stop()
+
+
+def test_kafka_sink_broker_error_and_down_to_dlq():
+    from pg_age_digitaltwins_spark.streaming.sinks import KafkaSink
+
+    broker = _FakeKafkaBroker(error_code=7)  # REQUEST_TIMED_OUT
+    try:
+        sink = KafkaSink(f"127.0.0.1:{broker.port}", topic="t")
+        rs = ResilientSink(sink, max_retries=1, sleep=lambda s: None)
+        rs.send([{"id": "e1", "type": "T", "subject": "s", "data": {}}])
+        assert not sink.is_healthy and len(rs.dlq) == 1
+        assert "error_code=7" in rs.dlq[0]["error"]
+    finally:
+        broker.stop()
+
+    broker2 = _FakeKafkaBroker()
+    port = broker2.port
+    broker2.stop()
+    sink2 = KafkaSink(f"127.0.0.1:{port}", topic="t", timeout=1.0)
+    rs2 = ResilientSink(sink2, max_retries=1, sleep=lambda s: None)
+    rs2.send([{"id": "e2", "type": "T", "subject": "s", "data": {}}])
+    assert not sink2.is_healthy and len(rs2.dlq) == 1
