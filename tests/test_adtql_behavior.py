@@ -412,3 +412,21 @@ def test_keyset_pagination_duplicate_boundary(client):
         if not token:
             break
     assert seen == [1] * total
+
+
+def test_keyset_pagination_mixed_duplicates_all_page_sizes(client):
+    """Mixed duplicate groups walked at several page sizes: every row
+    served exactly once regardless of where group boundaries fall
+    relative to page boundaries."""
+    q = "MATCH (c) RETURN c.`$metadata`.`$model` AS m"
+    expected = sorted(r["m"] for r in client.query(q).rows)
+    assert len(expected) == 13 and len(set(expected)) < 13  # real dup groups
+    for n in (1, 2, 3, 5):
+        seen, token = [], None
+        while True:
+            page = client.query(q, max_items_per_page=n, continuation_token=token)
+            seen += [r["m"] for r in page.rows]
+            token = page.continuation_token
+            if not token:
+                break
+        assert sorted(seen) == expected, f"page size {n}"

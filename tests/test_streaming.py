@@ -1007,3 +1007,46 @@ def test_kafka_sink_broker_error_and_down_to_dlq():
     rs2 = ResilientSink(sink2, max_retries=1, sleep=lambda s: None)
     rs2.send([{"id": "e2", "type": "T", "subject": "s", "data": {}}])
     assert not sink2.is_healthy and len(rs2.dlq) == 1
+
+
+def test_mqtt_sink_end_to_end_change_stream(spark, tmp_path):
+    """Mutation → run_change_stream → real MQTT framing → fake broker:
+    the full replication story over the MQTT transport."""
+    import json as _json
+    import time as _time
+
+    from pg_age_digitaltwins_spark.streaming.sinks import (
+        MqttSink,
+        run_change_stream,
+    )
+
+    broker = _FakeMqttBroker()
+    try:
+        models = [{
+            "@id": "dtmi:t:M;1", "@type": "Interface",
+            "@context": "dtmi:dtdl:context;3",
+            "contents": [{"@type": "Property", "name": "temperature", "schema": "double"}],
+        }]
+        client = DigitalTwinsSparkClient(GraphStore.empty(spark).with_models(models))
+        feed = tmp_path / "feed"
+        client.changes.attach_feed(str(feed))
+        client.create_or_replace_digital_twin(
+            "t1", {"$metadata": {"$model": "dtmi:t:M;1"}, "temperature": 1.0}, ts=TS
+        )
+
+        router = EventRouter(source="src-mqtt")
+        router.add_sink(MqttSink("127.0.0.1", broker.port, topic="twins/changes"))
+        router.add_route(EventRoute("mqtt", "EventNotification"))
+        q = run_change_stream(spark, str(feed), router, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        deadline = _time.time() + 5
+        while not broker.publishes and _time.time() < deadline:
+            _time.sleep(0.05)
+        (pub,) = broker.publishes
+        assert pub[0] == "twins/changes"
+        body = _json.loads(pub[1])
+        assert body["type"] == "Konnektr.Graph.Twin.Create"
+        assert body["subject"] == "t1" and body["data"]["temperature"] == 1.0
+    finally:
+        broker.stop()
