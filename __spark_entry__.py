@@ -430,6 +430,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_pricing_summary"] = _pricing
     q["tpch_revenue_by_nation"] = _revenue
+
+    def _order_priority(spark, sf_dir):
+        # TPC-H Q4 shape: EXISTS(lineitem) compiles to a LEFT SEMI join
+        # (no row multiplication), then a tiny priority rollup.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        with_items = t["orders"].join(
+            t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey")),
+            "o_orderkey",
+            "left_semi",
+        )
+        return with_items.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("order_count")
+        )
+
+    def _top_customers(spark, sf_dir):
+        # TPC-H Q3 shape: fact-side join + agg, TakeOrdered top-10 with
+        # a deterministic tiebreak.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        return (
+            t["lineitem"]
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(10)
+        )
+
+    q["tpch_order_priority_counts"] = _order_priority
+    q["tpch_top_customer_revenue"] = _top_customers
     return q
 
 
@@ -887,6 +925,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+    o["tpch_order_priority_counts"] = (
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey) "
+        "GROUP BY o_orderpriority"
+    )
+    o["tpch_top_customer_revenue"] = (
+        "SELECT c_custkey, c_name, revenue FROM ("
+        "SELECT c_custkey, c_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_custkey, c_name) "
+        "ORDER BY revenue DESC, c_custkey LIMIT 10"
     )
     o["text_ngram_jaccard"] = (
         "WITH sh AS MATERIALIZED ("
