@@ -232,6 +232,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "MATCH (c)-[r:locatedIn]->(n) "
         "RETURN DISTINCT n.`$dtId` AS id ORDER BY id SKIP 5 LIMIT 10"
     )
+    q["cypher_with_having"] = _adt(
+        "MATCH (o)-[r:contains]->(p) "
+        "WITH p.`$dtId` AS part_id, count(*) AS cnt "
+        "WHERE cnt >= 35 RETURN part_id, cnt"
+    )
     q["cypher_l2_distance_topk"] = _adt(
         "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
         "RETURN c.`$dtId` AS id, round(l2_distance([c.acctbal], [5000.0]), 2) AS d "
@@ -717,6 +722,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c_nationkey AS nk FROM customer "
         "UNION ALL SELECT s_nationkey FROM supplier)) "
         "ORDER BY id LIMIT 10 OFFSET 5"
+    )
+    o["cypher_with_having"] = (
+        "SELECT 'part-' || l_partkey AS part_id, count(*) AS cnt "
+        "FROM lineitem GROUP BY l_partkey HAVING count(*) >= 35"
     )
     o["cypher_l2_distance_topk"] = (
         "SELECT id, d FROM (SELECT 'cust-' || c_custkey AS id, "

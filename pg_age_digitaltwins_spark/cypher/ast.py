@@ -5,8 +5,10 @@ this engine compiles the same constructs to DataFrame plans.  The
 subset is the reference's own emitted/tested surface: MATCH (incl.
 direction, inline property maps, multi-label edges, variable-length
 edges), OPTIONAL MATCH, WHERE, RETURN with aliases/aggregates/DISTINCT,
-ORDER BY, SKIP/LIMIT, UNWIND, UNION, and the scalar functions it uses
-(label, toLower, toUpper, toString, l2_distance…).
+ORDER BY, SKIP/LIMIT, UNWIND, UNION, WITH pipeline stages (projection /
+aggregation / DISTINCT / ORDER/SKIP/LIMIT / trailing WHERE — the HAVING
+idiom), and the scalar functions it uses (label, toLower, toUpper,
+toString, l2_distance…).
 """
 
 from __future__ import annotations
@@ -157,6 +159,22 @@ class UnwindClause:
 class ReturnItem:
     expr: Expr
     alias: Optional[str] = None
+
+
+@dataclass
+class WithClause:
+    """Intermediate projection stage: ``WITH [DISTINCT] items
+    [ORDER BY ...] [SKIP n] [LIMIT n] [WHERE pred]``.  Replaces the
+    variable scope with the projected names (openCypher semantics);
+    the trailing WHERE filters the projected rows — the aggregate-then-
+    filter (HAVING) idiom."""
+
+    items: list[ReturnItem]
+    distinct: bool = False
+    where: Optional[Expr] = None
+    order_by: list = field(default_factory=list)  # (expr, asc)
+    skip: Optional[int] = None
+    limit: Optional[int] = None
 
 
 @dataclass

@@ -111,6 +111,8 @@ class CypherCompiler:
                 df = self._match(df, env, clause)
             elif isinstance(clause, C.UnwindClause):
                 df = self._unwind(df, env, clause)
+            elif isinstance(clause, C.WithClause):
+                df, env = self._with(df, env, clause)
             else:  # pragma: no cover
                 raise CypherCompileError(f"Unsupported clause {clause!r}")
         if df is None:
@@ -134,6 +136,12 @@ class CypherCompiler:
     ) -> tuple[DataFrame, Binding]:
         if node.alias and node.alias in env:
             b = env[node.alias]
+            if b.kind == "value":
+                raise CypherCompileError(
+                    f"Cannot MATCH on {node.alias!r}: patterns over "
+                    "WITH-projected values are not supported — match "
+                    "first, then WITH"
+                )
             if df is None:  # pragma: no cover — rebinding without a frame
                 raise CypherCompileError(f"Alias {node.alias} bound without frame")
             return self._apply_node_props(df, b, node), b
@@ -445,6 +453,50 @@ class CypherCompiler:
         return df
 
     # ------------------------------------------------------------------
+    # WITH (intermediate projection stage)
+    # ------------------------------------------------------------------
+    def _with(
+        self, df: DataFrame | None, env: dict[str, Binding], clause: C.WithClause
+    ) -> tuple[DataFrame, dict[str, Binding]]:
+        """Compile a WITH stage by reusing the RETURN machinery
+        (projection / aggregation / DISTINCT / typed ORDER BY / SKIP /
+        LIMIT), then REPLACE the scope with the projected names
+        (openCypher scoping).  The trailing WHERE filters the projected
+        rows — evaluated against the new scope, so aggregate aliases
+        are filterable (the HAVING idiom).
+
+        Bounds (clear errors, not wrong answers): patterns after WITH
+        must not re-bind projected variables (node identity doesn't
+        survive projection — match first, then WITH), and property
+        access on a whole-entity projection requires projecting the
+        properties explicitly in the WITH."""
+        if df is None:
+            df = self.store.spark.range(1).select(F.lit(1).alias("__one"))
+        pseudo = C.SingleQuery(
+            clauses=[],
+            ret=clause.items,
+            distinct=clause.distinct,
+            order_by=clause.order_by,
+            skip=clause.skip,
+            limit=clause.limit,
+        )
+        out = self._return(df, env, pseudo)
+        # the shared variant/schema helper columns belonged to the old
+        # scope's frames; they were resolved by _return's _inject
+        self._shared.clear()
+        self._pending_v.clear()
+        self._pending_s.clear()
+        names = [self._item_name(it, i) for i, it in enumerate(clause.items)]
+        new_env = {nm: Binding(nm, "value", nm) for nm in names}
+        dtypes = dict(out.dtypes)
+        for nm in names:
+            if dtypes.get(nm) == "variant":
+                self._value_variant.add(nm)
+        if clause.where is not None:
+            out = out.filter(self._expr(clause.where, new_env, as_predicate=True))
+        return out, new_env
+
+    # ------------------------------------------------------------------
     # shared variant helpers (same machinery as the ADT QL compiler)
     # ------------------------------------------------------------------
     def _shared_v(self, df_alias: str, path: tuple[str, ...]) -> Column:
@@ -502,6 +554,19 @@ class CypherCompiler:
         if b.kind == "value":
             c = F.col(b.df_alias)
             is_var = b.df_alias in self._value_variant
+            if path:
+                # navigating INTO a projected value only works when the
+                # value is a variant (e.g. an UNWIND'd object); a
+                # whole-entity projection is its JSON rendering and
+                # silently returning it as the "property" would be a
+                # wrong answer
+                if not is_var:
+                    raise CypherCompileError(
+                        f"Property access {p.var}.{'.'.join(path)} on a "
+                        "projected value is not supported — project the "
+                        "property explicitly in the WITH"
+                    )
+                c = F.try_variant_get(c, J.variant_path(list(path)), "variant")
             if kind == "number":
                 return F.try_variant_get(c, "$", "double") if is_var else c.cast("double")
             if kind == "string":

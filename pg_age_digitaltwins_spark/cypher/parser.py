@@ -81,6 +81,8 @@ class _Parser:
                 clauses.append(self.match_clause())
             elif self.at("KEYWORD", "UNWIND"):
                 clauses.append(self.unwind_clause())
+            elif self.at("KEYWORD", "WITH"):
+                clauses.append(self.with_clause())
             elif self.cur.kind == "KEYWORD" and self.cur.value in WRITE_KEYWORDS:
                 raise CypherParseError(
                     f"Write clause {self.cur.value} is not allowed in queries"
@@ -147,6 +149,26 @@ class _Parser:
         e = self.expr()
         self.eat("KEYWORD", "AS")
         return C.UnwindClause(e, self.eat_name())
+
+    def with_clause(self) -> C.WithClause:
+        self.eat("KEYWORD", "WITH")
+        distinct = self.opt("KEYWORD", "DISTINCT")
+        items = [self.return_item()]
+        while self.opt("PUNCT", ","):
+            items.append(self.return_item())
+        wc = C.WithClause(items, distinct=distinct)
+        if self.opt("KEYWORD", "ORDER"):
+            self.eat("KEYWORD", "BY")
+            wc.order_by.append(self.order_item())
+            while self.opt("PUNCT", ","):
+                wc.order_by.append(self.order_item())
+        if self.opt("KEYWORD", "SKIP"):
+            wc.skip = int(self.eat("NUMBER").value)
+        if self.opt("KEYWORD", "LIMIT"):
+            wc.limit = int(self.eat("NUMBER").value)
+        if self.opt("KEYWORD", "WHERE"):
+            wc.where = self.expr()
+        return wc
 
     def path(self) -> C.PathPat:
         nodes = [self.node()]

@@ -517,3 +517,57 @@ def test_cypher_pagination_deterministic(fixture_store):
         if not token:
             break
     assert len(seen) == 13 and len(set(seen)) == 13
+
+
+# ----------------------------------------------------------------------
+# WITH pipeline stages
+# ----------------------------------------------------------------------
+
+
+def test_with_having_idiom(fixture_store):
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+
+    c = DigitalTwinsSparkClient(fixture_store)
+    rows = c.query(
+        "MATCH (n) WITH n.`$metadata`.`$model` AS m, count(*) AS c "
+        "WHERE c >= 2 RETURN m, c ORDER BY c DESC, m"
+    ).rows
+    assert rows and all(r["c"] >= 2 for r in rows)
+    # filtered models (count 1) are gone
+    all_rows = c.query(
+        "MATCH (n) WITH n.`$metadata`.`$model` AS m, count(*) AS c RETURN m, c"
+    ).rows
+    assert len(all_rows) > len(rows)
+
+
+def test_with_chained_and_order_limit(fixture_store):
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+
+    c = DigitalTwinsSparkClient(fixture_store)
+    rows = c.query(
+        "MATCH (n) WITH n.`$dtId` AS id ORDER BY id LIMIT 3 "
+        "WITH id WHERE id STARTS WITH 'b' RETURN id"
+    ).rows
+    assert [r["id"] for r in rows] == ["b1", "b2"]
+
+
+def test_with_then_uncorrelated_match(fixture_store):
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+
+    c = DigitalTwinsSparkClient(fixture_store)
+    rows = c.query(
+        "MATCH (n) WITH count(*) AS total "
+        "MATCH (m)-[r:has]->(x) RETURN total, count(*) AS edges"
+    ).rows
+    assert rows == [{"total": 13, "edges": 4}]
+
+
+def test_with_rejects_pattern_rebind_and_doc_prop(fixture_store):
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    c = DigitalTwinsSparkClient(fixture_store)
+    with pytest.raises(CypherCompileError, match="match first, then WITH"):
+        c.query_df("MATCH (n) WITH n MATCH (n)-[r]->(m) RETURN m").collect()
+    with pytest.raises(CypherCompileError, match="project the property explicitly"):
+        c.query_df("MATCH (n) WITH n RETURN n.name").collect()
