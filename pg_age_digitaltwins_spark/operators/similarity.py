@@ -332,10 +332,11 @@ def minhash_lsh_pairs(
     carry no near-dup information; past the cap they are dropped here.
 
     ``num_hashes`` (signature width) lets the band hash use STATIC lane
-    offsets: each band hashes its lanes with one multi-arg ``xxhash64``
-    call — no per-band string building (the ``concat_ws`` over casted
-    lanes this replaced allocated a CSV string per band per doc).
-    Omitted, it is inferred with a one-row peek."""
+    offsets: each band is one ``xxhash64`` over its sliced lane array —
+    structural array hashing, JVM-side, no per-band string building
+    (the ``concat_ws`` over casted lanes this replaced allocated a CSV
+    string per band per doc).  Omitted, it is inferred with a one-row
+    peek."""
     if num_hashes is None:
         probe = signatures.select(F.size("sig").alias("n")).head(1)
         num_hashes = probe[0]["n"] if probe else bands
@@ -343,9 +344,7 @@ def minhash_lsh_pairs(
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col("sig").getItem(b * rpb + k) for k in range(rpb)]
-            ).alias("bhash"),
+            F.xxhash64(F.slice("sig", b * rpb + 1, rpb)).alias("bhash"),
         )
         for b in range(bands)
     ]
