@@ -300,10 +300,27 @@ class CypherCompiler:
                 base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
         base = base.distinct()
-        # Iterative BFS expansion with per-depth dedup; each depth is one
-        # shuffle-join on ``dst = src``.  ``localCheckpoint`` would cut
-        # lineage for deep traversals on a real cluster.
-        frontier = base
+        # Iterative BFS expansion, SEEDED from the bound start-node leg:
+        # the depth-1 frontier is semi-joined against the ids the left
+        # alias can actually take (its scan already carries prop-map /
+        # IS_OF_MODEL predicates), so each depth expands only paths
+        # reachable from real start nodes.  Unseeded, every depth
+        # materializes the graph-wide k-hop closure — harmless for a
+        # literal point start (Catalyst's constraint propagation seeds
+        # it implicitly) but the classic traversal scale-killer for a
+        # model-filtered start set at 100×.  ``localCheckpoint`` every
+        # 3 depths cuts the self-join lineage the same way the
+        # graph_analytics supersteps do — BOTH the frontier and the
+        # accumulated union are cut together: checkpointing only the
+        # frontier leaves the union holding pre- and post-checkpoint
+        # references to the same attributes, which breaks analysis
+        # downstream (NoSuchElementException: key not found) when the
+        # pair set is joined back to the start leg.
+        start_ids = df.select(
+            F.col(f"{left.df_alias}.dt_id").alias("src")
+        ).distinct()
+        seeded = base.join(start_ids, "src", "left_semi")
+        frontier = seeded
         acc = None
         if lo == 0:
             # zero-length path: every node reaches itself (openCypher
@@ -313,7 +330,7 @@ class CypherCompiler:
                 F.col("dt_id").alias("src"), F.col("dt_id").alias("dst")
             )
         if lo <= 1 and hi >= 1:
-            acc = base if acc is None else acc.unionByName(base)
+            acc = seeded if acc is None else acc.unionByName(seeded)
         for depth in range(2, hi + 1):
             frontier = (
                 frontier.alias("f")
@@ -323,7 +340,11 @@ class CypherCompiler:
             )
             if depth >= lo:
                 acc = frontier if acc is None else acc.unionByName(frontier)
-        pairs = (acc if acc is not None else base.limit(0)).distinct()
+            if depth % 3 == 0 and depth < hi:
+                frontier = frontier.localCheckpoint(eager=False)
+                if acc is not None:
+                    acc = acc.localCheckpoint(eager=False)
+        pairs = (acc if acc is not None else seeded.limit(0)).distinct()
         p_alias = self._anon_alias()
         pairs = pairs.alias(p_alias)
         df = df.join(

@@ -273,7 +273,10 @@ def decontaminate(
 
     doc_grams = grams(docs, "doc_id")
     bench_grams = grams(benchmark, "bench_id").select("gram").distinct()
-    hits = doc_grams.join(bench_grams, "gram")
+    # Explicit broadcast: AQE usually converts this below the threshold,
+    # but an eval set slightly over it would silently become a full
+    # gram-keyed shuffle of the corpus — make the contract structural.
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram")
     return (
         hits.groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated_grams"))

@@ -96,3 +96,22 @@ def test_no_cartesian_in_query_surface(fixture_client):
         "MATCH (o)-[r:contains]->(p) RETURN o.`$dtId` AS o_id, p.`$dtId` AS p_id"
     )
     assert "CartesianProduct" not in _plan(df, "simple")
+
+def test_var_length_seeds_frontier_from_start_leg(fixture_client):
+    """Variable-length traversal with a NON-literal start set (model
+    prop-map) must seed the depth-1 frontier from the start leg (a
+    LeftSemi prune of the edge base) instead of expanding the
+    graph-wide k-hop closure per depth — the classic traversal
+    scale-killer at 100×."""
+    df = fixture_client.query_df(
+        "MATCH (a {mktsegment: 'BUILDING'})-[:locatedIn|partOf*1..3]->(b) "
+        "RETURN a.`$dtId` AS src, b.`$dtId` AS dst"
+    )
+    plan = _plan(df, "simple")
+    assert "LeftSemi" in plan
+    # each BUILDING customer reaches its nation (1 hop) + region (2 hops)
+    n_start = fixture_client.query_df(
+        "MATCH (a {mktsegment: 'BUILDING'}) RETURN a.`$dtId` AS id"
+    ).count()
+    assert n_start > 1  # non-literal start SET, not a point lookup
+    assert df.count() == 2 * n_start
