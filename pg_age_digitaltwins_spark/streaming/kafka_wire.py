@@ -140,6 +140,170 @@ def encode_record_batch(
 
 
 # ----------------------------------------------------------------------
+# SASL: Handshake v1 (api 17) + Authenticate v1 (api 36)
+#
+# The reference sink negotiates SASL PLAIN / OAuthBearer through
+# Confluent.Kafka (``Sinks/Kafka/KafkaEventSink.cs:37-82``); these are
+# the same spec-public exchanges over the existing size-framed codec
+# (both APIs are non-flexible at these versions — no tagged fields).
+# Auth payloads: PLAIN per RFC 4616 (``\0user\0pass``), OAUTHBEARER per
+# RFC 7628 GS2 framing (``n,,\x01auth=Bearer <token>\x01\x01``).
+# ----------------------------------------------------------------------
+
+API_SASL_HANDSHAKE = 17
+API_SASL_AUTHENTICATE = 36
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_SASL_AUTHENTICATION_FAILED = 58
+
+
+def sasl_plain_bytes(username: str, password: str, authzid: str = "") -> bytes:
+    """RFC 4616 PLAIN initial response: authzid NUL authcid NUL passwd."""
+    return b"\x00".join(
+        (authzid.encode("utf-8"), username.encode("utf-8"), password.encode("utf-8"))
+    )
+
+
+def oauthbearer_bytes(token: str, extensions: dict[str, str] | None = None) -> bytes:
+    """RFC 7628 OAUTHBEARER initial client response (GS2 header ``n,,``)."""
+    kvs = "\x01auth=Bearer " + token
+    for k, v in (extensions or {}).items():
+        kvs += f"\x01{k}={v}"
+    return ("n,," + kvs + "\x01\x01").encode("utf-8")
+
+
+def encode_sasl_handshake_request(
+    correlation_id: int, client_id: str, mechanism: str
+) -> bytes:
+    header = (
+        _i16(API_SASL_HANDSHAKE) + _i16(1) + _i32(correlation_id)
+        + _nullable_string(client_id)
+    )
+    payload = header + _string(mechanism)
+    return _i32(len(payload)) + payload
+
+
+def decode_sasl_handshake_response(payload: bytes) -> dict:
+    pos = 0
+    corr = struct.unpack_from(">i", payload, pos)[0]; pos += 4
+    error_code = struct.unpack_from(">h", payload, pos)[0]; pos += 2
+    n = struct.unpack_from(">i", payload, pos)[0]; pos += 4
+    mechanisms = []
+    for _ in range(max(n, 0)):
+        ln = struct.unpack_from(">h", payload, pos)[0]; pos += 2
+        mechanisms.append(payload[pos : pos + ln].decode()); pos += ln
+    return {"correlation_id": corr, "error_code": error_code, "mechanisms": mechanisms}
+
+
+def encode_sasl_authenticate_request(
+    correlation_id: int, client_id: str, auth_bytes: bytes
+) -> bytes:
+    header = (
+        _i16(API_SASL_AUTHENTICATE) + _i16(1) + _i32(correlation_id)
+        + _nullable_string(client_id)
+    )
+    payload = header + _bytes(auth_bytes)
+    return _i32(len(payload)) + payload
+
+
+def decode_sasl_authenticate_response(payload: bytes) -> dict:
+    pos = 0
+    corr = struct.unpack_from(">i", payload, pos)[0]; pos += 4
+    error_code = struct.unpack_from(">h", payload, pos)[0]; pos += 2
+    mlen = struct.unpack_from(">h", payload, pos)[0]; pos += 2
+    error_message = None
+    if mlen >= 0:
+        error_message = payload[pos : pos + mlen].decode(); pos += mlen
+    blen = struct.unpack_from(">i", payload, pos)[0]; pos += 4
+    auth = payload[pos : pos + max(blen, 0)]; pos += max(blen, 0)
+    lifetime = struct.unpack_from(">q", payload, pos)[0]; pos += 8
+    return {
+        "correlation_id": corr,
+        "error_code": error_code,
+        "error_message": error_message,
+        "auth_bytes": auth,
+        "session_lifetime_ms": lifetime,
+    }
+
+
+# -- broker-side decoders/encoders (fake broker in tests) --------------
+
+def decode_request_header(payload: bytes) -> tuple[dict, int]:
+    """Non-flexible request header v1: api_key, api_version, correlation
+    id, nullable client_id.  Returns (header, body_offset)."""
+    pos = 0
+    api_key, api_version = struct.unpack_from(">hh", payload, pos); pos += 4
+    corr = struct.unpack_from(">i", payload, pos)[0]; pos += 4
+    cid_len = struct.unpack_from(">h", payload, pos)[0]; pos += 2
+    client_id = None
+    if cid_len >= 0:
+        client_id = payload[pos : pos + cid_len].decode(); pos += cid_len
+    return (
+        {"api_key": api_key, "api_version": api_version,
+         "correlation_id": corr, "client_id": client_id},
+        pos,
+    )
+
+
+def decode_sasl_handshake_request(payload: bytes) -> dict:
+    header, pos = decode_request_header(payload)
+    ln = struct.unpack_from(">h", payload, pos)[0]; pos += 2
+    header["mechanism"] = payload[pos : pos + ln].decode()
+    return header
+
+
+def encode_sasl_handshake_response(
+    correlation_id: int, error_code: int = 0, mechanisms: tuple[str, ...] = ()
+) -> bytes:
+    payload = _i32(correlation_id) + _i16(error_code) + _i32(len(mechanisms))
+    for m in mechanisms:
+        payload += _string(m)
+    return _i32(len(payload)) + payload
+
+
+def decode_sasl_authenticate_request(payload: bytes) -> dict:
+    header, pos = decode_request_header(payload)
+    blen = struct.unpack_from(">i", payload, pos)[0]; pos += 4
+    header["auth_bytes"] = payload[pos : pos + max(blen, 0)]
+    return header
+
+
+def parse_sasl_plain(auth_bytes: bytes) -> tuple[str, str, str]:
+    """auth_bytes → (authzid, username, password); raises on bad framing."""
+    parts = auth_bytes.split(b"\x00")
+    if len(parts) != 3:
+        raise ValueError("malformed SASL PLAIN initial response")
+    return tuple(p.decode("utf-8") for p in parts)  # type: ignore[return-value]
+
+
+def parse_oauthbearer(auth_bytes: bytes) -> str:
+    """OAUTHBEARER initial response → bearer token; raises on bad framing."""
+    text = auth_bytes.decode("utf-8")
+    if not text.startswith("n,,") or not text.endswith("\x01\x01"):
+        raise ValueError("malformed OAUTHBEARER GS2 framing")
+    for kv in text[3:].strip("\x01").split("\x01"):
+        if kv.startswith("auth=Bearer "):
+            return kv[len("auth=Bearer "):]
+    raise ValueError("OAUTHBEARER response missing auth key-value")
+
+
+def encode_sasl_authenticate_response(
+    correlation_id: int,
+    error_code: int = 0,
+    error_message: str | None = None,
+    auth_bytes: bytes = b"",
+    session_lifetime_ms: int = 0,
+) -> bytes:
+    payload = (
+        _i32(correlation_id)
+        + _i16(error_code)
+        + _nullable_string(error_message)
+        + _bytes(auth_bytes)
+        + _i64(session_lifetime_ms)
+    )
+    return _i32(len(payload)) + payload
+
+
+# ----------------------------------------------------------------------
 # Produce v3
 # ----------------------------------------------------------------------
 

@@ -123,7 +123,17 @@ class KafkaSink(EventSink):
       set (CRC-32C, zigzag varints) over a stdlib socket
       (``streaming/kafka_wire.py``), acks=1 checked from the broker
       response.  No client library needed; transport or broker errors
-      raise ``SinkError`` for the resilient wrapper."""
+      raise ``SinkError`` for the resilient wrapper.
+
+    SASL (reference parity — ``KafkaEventSink.cs:37-82`` negotiates
+    PLAIN or OAuthBearer through Confluent.Kafka): with
+    ``sasl_mechanism`` set, each connection runs SaslHandshake v1 +
+    SaslAuthenticate v1 before the produce.  ``PLAIN`` sends RFC-4616
+    user/password; ``OAUTHBEARER`` calls ``token_provider()`` per
+    connection (the ``SetOAuthBearerTokenRefreshHandler`` equivalent —
+    tokens expire, so they are fetched at auth time, never cached
+    here).  Broker rejection (mechanism or credentials) raises
+    ``SinkError`` like any transport failure → retry → DLQ."""
 
     def __init__(
         self,
@@ -133,6 +143,10 @@ class KafkaSink(EventSink):
         partition: int = 0,
         client_id: str = "pg-age-dt-spark",
         timeout: float = 10.0,
+        sasl_mechanism: str | None = None,
+        sasl_username: str | None = None,
+        sasl_password: str | None = None,
+        token_provider: Callable[[], str] | None = None,
     ):
         self.name = name
         self.bootstrap_servers = bootstrap_servers
@@ -140,9 +154,56 @@ class KafkaSink(EventSink):
         self.partition = partition
         self.client_id = client_id
         self.timeout = timeout
+        self.sasl_mechanism = sasl_mechanism.upper() if sasl_mechanism else None
+        if self.sasl_mechanism not in (None, "PLAIN", "OAUTHBEARER"):
+            raise ValueError(
+                f"unsupported sasl_mechanism {sasl_mechanism!r} "
+                "(PLAIN or OAUTHBEARER)"
+            )
+        if self.sasl_mechanism == "PLAIN" and sasl_username is None:
+            raise ValueError("sasl_mechanism=PLAIN requires sasl_username/password")
+        if self.sasl_mechanism == "OAUTHBEARER" and token_provider is None:
+            raise ValueError("sasl_mechanism=OAUTHBEARER requires token_provider")
+        self.sasl_username = sasl_username
+        self.sasl_password = sasl_password or ""
+        self.token_provider = token_provider
         self.is_healthy = True
         self.last_error: str | None = None
         self._corr = 0
+
+    def _authenticate(self, sock) -> None:
+        """SaslHandshake v1 → SaslAuthenticate v1 on a fresh connection."""
+        from pg_age_digitaltwins_spark.streaming import kafka_wire as kw
+
+        self._corr += 1
+        sock.sendall(
+            kw.encode_sasl_handshake_request(
+                self._corr, self.client_id, self.sasl_mechanism
+            )
+        )
+        size = int.from_bytes(_recv_exact(sock, 4), "big")
+        hs = kw.decode_sasl_handshake_response(_recv_exact(sock, size))
+        if hs["error_code"] != 0:
+            raise ConnectionError(
+                f"SASL handshake rejected (error_code={hs['error_code']}, "
+                f"broker supports {hs['mechanisms']})"
+            )
+        if self.sasl_mechanism == "PLAIN":
+            auth = kw.sasl_plain_bytes(self.sasl_username, self.sasl_password)
+        else:
+            auth = kw.oauthbearer_bytes(self.token_provider())
+        self._corr += 1
+        sock.sendall(
+            kw.encode_sasl_authenticate_request(self._corr, self.client_id, auth)
+        )
+        size = int.from_bytes(_recv_exact(sock, 4), "big")
+        ar = kw.decode_sasl_authenticate_response(_recv_exact(sock, size))
+        if ar["error_code"] != 0:
+            raise ConnectionError(
+                f"SASL authentication failed (error_code={ar['error_code']}"
+                + (f": {ar['error_message']}" if ar["error_message"] else "")
+                + ")"
+            )
 
     def send(self, events: list[dict[str, Any]]) -> None:
         import socket
@@ -157,20 +218,22 @@ class KafkaSink(EventSink):
                 {"specversion": "1.0", **e}, separators=(",", ":")
             ).encode("utf-8")
             records.append((key, value))
-        self._corr += 1
-        req = kw.encode_produce_request(
-            self._corr,
-            self.client_id,
-            self.topic,
-            self.partition,
-            kw.encode_record_batch(records),
-            acks=1,
-            timeout_ms=int(self.timeout * 1000),
-        )
         try:
             with socket.create_connection(
                 (host, int(port or 9092)), timeout=self.timeout
             ) as s:
+                if self.sasl_mechanism:
+                    self._authenticate(s)
+                self._corr += 1
+                req = kw.encode_produce_request(
+                    self._corr,
+                    self.client_id,
+                    self.topic,
+                    self.partition,
+                    kw.encode_record_batch(records),
+                    acks=1,
+                    timeout_ms=int(self.timeout * 1000),
+                )
                 s.sendall(req)
                 size = int.from_bytes(_recv_exact(s, 4), "big")
                 resp = kw.decode_produce_response(_recv_exact(s, size))

@@ -909,12 +909,20 @@ class _FakeKafkaBroker:
     (which independently re-verifies the batch CRC-32C), and answers a
     Produce v3 response with the configured error code."""
 
-    def __init__(self, error_code=0):
+    def __init__(self, error_code=0, sasl_mechanisms=(), sasl_users=None,
+                 valid_tokens=()):
         import socket
         import threading
 
         self.requests = []
+        self.handshakes = []
+        self.auths = []
         self.error_code = error_code
+        # SASL config: when mechanisms are declared, a produce before a
+        # successful authenticate is refused (connection dropped).
+        self.sasl_mechanisms = tuple(sasl_mechanisms)
+        self.sasl_users = sasl_users or {}
+        self.valid_tokens = tuple(valid_tokens)
         self._srv = socket.create_server(("127.0.0.1", 0))
         self._srv.settimeout(0.1)
         self._stopped = False
@@ -934,16 +942,70 @@ class _FakeKafkaBroker:
                 return
             with conn:
                 try:
-                    size = int.from_bytes(self._recv(conn, 4), "big")
-                    req = kw.decode_produce_request(self._recv(conn, size))
-                    self.requests.append(req)
-                    conn.sendall(kw.encode_produce_response(
-                        req["correlation_id"], req["topic"],
-                        req["partition"], self.error_code, base_offset=42,
-                    ))
+                    self._serve_conn(conn, kw)
                 except (ConnectionError, ValueError):
                     pass
         self._srv.close()
+
+    def _serve_conn(self, conn, kw):
+        authenticated = not self.sasl_mechanisms
+        mechanism = None
+        while True:
+            size = int.from_bytes(self._recv(conn, 4), "big")
+            payload = self._recv(conn, size)
+            header, _ = kw.decode_request_header(payload)
+            api = header["api_key"]
+            if api == kw.API_SASL_HANDSHAKE:
+                req = kw.decode_sasl_handshake_request(payload)
+                self.handshakes.append(req)
+                if req["mechanism"] not in self.sasl_mechanisms:
+                    conn.sendall(kw.encode_sasl_handshake_response(
+                        req["correlation_id"],
+                        kw.ERR_UNSUPPORTED_SASL_MECHANISM,
+                        self.sasl_mechanisms,
+                    ))
+                    return
+                mechanism = req["mechanism"]
+                conn.sendall(kw.encode_sasl_handshake_response(
+                    req["correlation_id"], 0, self.sasl_mechanisms))
+            elif api == kw.API_SASL_AUTHENTICATE:
+                req = kw.decode_sasl_authenticate_request(payload)
+                self.auths.append(req)
+                ok, msg = False, None
+                try:
+                    if mechanism == "PLAIN":
+                        _zid, user, pw = kw.parse_sasl_plain(req["auth_bytes"])
+                        ok = self.sasl_users.get(user) == pw
+                        msg = None if ok else "Invalid username or password"
+                    elif mechanism == "OAUTHBEARER":
+                        tok = kw.parse_oauthbearer(req["auth_bytes"])
+                        ok = tok in self.valid_tokens
+                        msg = None if ok else "Invalid token"
+                    else:
+                        msg = "authenticate before handshake"
+                except ValueError as exc:
+                    msg = str(exc)
+                conn.sendall(kw.encode_sasl_authenticate_response(
+                    req["correlation_id"],
+                    0 if ok else kw.ERR_SASL_AUTHENTICATION_FAILED,
+                    msg,
+                    session_lifetime_ms=3_600_000 if ok else 0,
+                ))
+                if not ok:
+                    return
+                authenticated = True
+            elif api == 0:  # Produce
+                if not authenticated:
+                    return  # brokers drop unauthenticated produces
+                req = kw.decode_produce_request(payload)
+                self.requests.append(req)
+                conn.sendall(kw.encode_produce_response(
+                    req["correlation_id"], req["topic"],
+                    req["partition"], self.error_code, base_offset=42,
+                ))
+                return
+            else:
+                return
 
     @staticmethod
     def _recv(conn, n):
@@ -1007,6 +1069,116 @@ def test_kafka_sink_broker_error_and_down_to_dlq():
     rs2 = ResilientSink(sink2, max_retries=1, sleep=lambda s: None)
     rs2.send([{"id": "e2", "type": "T", "subject": "s", "data": {}}])
     assert not sink2.is_healthy and len(rs2.dlq) == 1
+
+
+def test_kafka_sink_sasl_plain_handshake_and_produce():
+    """SASL PLAIN: handshake v1 + authenticate v1 precede the produce;
+    the fake broker parses the RFC-4616 bytes and only then accepts
+    records (reference parity: KafkaEventSink.cs:37-82)."""
+    from pg_age_digitaltwins_spark.streaming.sinks import KafkaSink
+
+    broker = _FakeKafkaBroker(
+        sasl_mechanisms=("PLAIN", "OAUTHBEARER"),
+        sasl_users={"svc-user": "hunter2"},
+    )
+    try:
+        sink = KafkaSink(
+            f"127.0.0.1:{broker.port}", topic="t",
+            sasl_mechanism="PLAIN",
+            sasl_username="svc-user", sasl_password="hunter2",
+        )
+        sink.send([{"id": "e1", "type": "T", "subject": "s1", "data": {}}])
+        assert sink.is_healthy
+        (hs,) = broker.handshakes
+        assert hs["api_key"] == 17 and hs["api_version"] == 1
+        assert hs["mechanism"] == "PLAIN"
+        (auth,) = broker.auths
+        assert auth["api_key"] == 36 and auth["api_version"] == 1
+        assert auth["auth_bytes"] == b"\x00svc-user\x00hunter2"
+        (req,) = broker.requests
+        assert [k.decode() for k, _ in req["records"]] == ["s1"]
+    finally:
+        broker.stop()
+
+
+def test_kafka_sink_sasl_plain_bad_credentials_to_dlq():
+    from pg_age_digitaltwins_spark.streaming.sinks import KafkaSink
+
+    broker = _FakeKafkaBroker(
+        sasl_mechanisms=("PLAIN",), sasl_users={"svc-user": "hunter2"}
+    )
+    try:
+        sink = KafkaSink(
+            f"127.0.0.1:{broker.port}", topic="t",
+            sasl_mechanism="PLAIN",
+            sasl_username="svc-user", sasl_password="wrong",
+        )
+        rs = ResilientSink(sink, max_retries=1, sleep=lambda s: None)
+        rs.send([{"id": "e1", "type": "T", "subject": "s", "data": {}}])
+        assert not sink.is_healthy and len(rs.dlq) == 1
+        assert "error_code=58" in rs.dlq[0]["error"]  # SASL_AUTHENTICATION_FAILED
+        assert broker.requests == []  # no produce got through
+    finally:
+        broker.stop()
+
+
+def test_kafka_sink_sasl_oauthbearer_token_per_connection():
+    """OAUTHBEARER: token_provider is called per connection (the
+    token-refresh-handler contract) and the GS2-framed bearer token is
+    what the broker validates."""
+    from pg_age_digitaltwins_spark.streaming.sinks import KafkaSink
+
+    tokens = iter(["tok-1", "tok-2"])
+    calls = []
+
+    def provider():
+        t = next(tokens)
+        calls.append(t)
+        return t
+
+    broker = _FakeKafkaBroker(
+        sasl_mechanisms=("OAUTHBEARER",), valid_tokens=("tok-1", "tok-2")
+    )
+    try:
+        sink = KafkaSink(
+            f"127.0.0.1:{broker.port}", topic="t",
+            sasl_mechanism="OAUTHBEARER", token_provider=provider,
+        )
+        sink.send([{"id": "e1", "type": "T", "subject": "a", "data": {}}])
+        sink.send([{"id": "e2", "type": "T", "subject": "b", "data": {}}])
+        assert calls == ["tok-1", "tok-2"]  # fresh token each connection
+        assert broker.auths[0]["auth_bytes"] == b"n,,\x01auth=Bearer tok-1\x01\x01"
+        assert len(broker.requests) == 2
+    finally:
+        broker.stop()
+
+
+def test_kafka_sink_sasl_mechanism_unsupported_by_broker():
+    from pg_age_digitaltwins_spark.streaming.sinks import KafkaSink
+    from pg_age_digitaltwins_spark.streaming.sinks import SinkError
+
+    broker = _FakeKafkaBroker(sasl_mechanisms=("OAUTHBEARER",))
+    try:
+        sink = KafkaSink(
+            f"127.0.0.1:{broker.port}", topic="t",
+            sasl_mechanism="PLAIN", sasl_username="u", sasl_password="p",
+        )
+        with pytest.raises(SinkError, match="handshake rejected"):
+            sink.send([{"id": "e1", "type": "T", "subject": "s", "data": {}}])
+        assert not sink.is_healthy
+    finally:
+        broker.stop()
+
+
+def test_kafka_sink_sasl_config_validation():
+    from pg_age_digitaltwins_spark.streaming.sinks import KafkaSink
+
+    with pytest.raises(ValueError, match="unsupported sasl_mechanism"):
+        KafkaSink("h:1", topic="t", sasl_mechanism="SCRAM-SHA-256")
+    with pytest.raises(ValueError, match="requires sasl_username"):
+        KafkaSink("h:1", topic="t", sasl_mechanism="PLAIN")
+    with pytest.raises(ValueError, match="requires token_provider"):
+        KafkaSink("h:1", topic="t", sasl_mechanism="OAUTHBEARER")
 
 
 def test_mqtt_sink_end_to_end_change_stream(spark, tmp_path):
