@@ -323,6 +323,26 @@ class DigitalTwinsSparkClient:
             )
         )
 
+    def commit(self, root: str) -> int:
+        """Durably commit the current snapshot plus the buffered change
+        log to a versioned table root (``store/commit_log.py``): one
+        atomic manifest, one compacted change batch, then reload from
+        the committed parquet so subsequent queries scan the pruned
+        layout instead of the mutation plan chain.  Raises
+        ``CommitConflict`` (buffered events retained) if another writer
+        committed first — reload, rebase, retry."""
+        from pg_age_digitaltwins_spark.store.commit_log import commit_snapshot
+
+        events = list(self.changes.events)
+        version = commit_snapshot(self.store, root, events=events or None)
+        # Only drop the buffered events once the commit is durable.
+        self.changes.events.clear()
+        from pg_age_digitaltwins_spark.store.commit_log import load_latest
+
+        store, _ = load_latest(self.store.spark, root)
+        self._swap(store)
+        return version
+
     # ------------------------------------------------------------------
     # twins (D1-D5)
     # ------------------------------------------------------------------

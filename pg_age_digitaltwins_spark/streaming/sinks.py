@@ -792,6 +792,13 @@ def run_change_stream(
     build tails a directory of EventData lines — swap the source for
     Kafka/Delta-CDF in production, the rest of the query is unchanged.
 
+    ``feed_path`` may be either a flat ND-JSON feed directory (the
+    write-through ``ChangeLog`` mode) or a **commit-log table root**
+    (``store/commit_log.py``): the latter is detected by its
+    ``_commits/`` directory and tailed through the ``changes/*`` glob,
+    so the stream consumes exactly the per-commit compacted batches in
+    commit order — the Delta-CDF equivalent without the dependency.
+
     Returns the started ``StreamingQuery`` (caller owns its lifecycle:
     ``awaitTermination`` / ``stop``).  ``trigger`` defaults to
     ``{"availableNow": True}`` (drain-and-stop); pass
@@ -799,6 +806,13 @@ def run_change_stream(
     mirroring the reference's 100-event/5 s consumer cadence.
     Exactly-once per sink comes from the checkpoint + each micro-batch
     being delivered atomically per route."""
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        changes_glob,
+        is_commit_log_root,
+    )
+
+    if is_commit_log_root(feed_path):
+        feed_path = changes_glob(feed_path)
     if health is not None:
         if health.router is None:
             health.router = router
