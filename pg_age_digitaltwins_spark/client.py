@@ -431,6 +431,7 @@ class DigitalTwinsSparkClient:
         self, dt_id: str, rel_id: str, doc: dict[str, Any], **kw
     ) -> dict[str, Any]:
         ts = kw.setdefault("ts", crud.now_iso())
+        kw.setdefault("registry", self.registry)
         store, new, old = crud.create_or_replace_relationship(
             self.store, dt_id, rel_id, doc, **kw
         )

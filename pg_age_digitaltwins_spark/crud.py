@@ -37,7 +37,10 @@ from pg_age_digitaltwins_spark.store.graph_store import (
 from pg_age_digitaltwins_spark.validation import (
     ModelRegistry,
     ValidationError,
+    relationship_max_multiplicity,
+    validate_entity_id,
     validate_relationship,
+    validate_relationship_against_model,
     validate_twin,
 )
 
@@ -162,6 +165,7 @@ def create_or_replace_twin(
 
     ``if_none_match='*'`` fails with 412 when the twin exists
     (``DigitalTwins.cs:229-244``)."""
+    validate_entity_id(dt_id, "twin")
     try:
         old = get_twin(store, dt_id)
     except NotFoundError:
@@ -359,24 +363,36 @@ def create_or_replace_relationship(
     *,
     if_none_match: str | None = None,
     ts: str | None = None,
+    registry: ModelRegistry | None = None,
 ) -> tuple[GraphStore, dict[str, Any], dict[str, Any] | None]:
     """D7: reserved-prop validation, source+target existence, ETag, MERGE
-    (``Relationships.cs:260-420``)."""
+    (``Relationships.cs:260-420``).
+
+    With ``registry``, additionally enforces the source model's DTDL
+    Relationship declaration — target interface, declared properties,
+    and ``maxMultiplicity`` — which EXCEEDS the reference (acknowledged
+    TODO at ``Relationships.cs:370``).  Undeclared relationship names
+    stay lenient, matching the reference's current behavior."""
+    validate_entity_id(rel_id, "relationship")
     doc = dict(doc)
     doc["$relationshipId"] = rel_id
     doc["$sourceId"] = dt_id
     validate_relationship(doc)
     target = doc["$targetId"]
-    present = {
-        r[0]
+    models = {
+        r[0]: r[1]
         for r in store.twins.filter(F.col("dt_id").isin([dt_id, target]))
-        .select("dt_id")
+        .select("dt_id", "model_id")
         .collect()
     }
-    if dt_id not in present:
+    if dt_id not in models:
         raise NotFoundError(f"Source twin {dt_id} not found")
-    if target not in present:
+    if target not in models:
         raise NotFoundError(f"Target twin {target} not found")
+    if registry is not None:
+        validate_relationship_against_model(
+            registry, models[dt_id], models[target], doc
+        )
     old = None
     try:
         old = get_relationship(store, dt_id, rel_id)
@@ -384,6 +400,20 @@ def create_or_replace_relationship(
         pass
     if if_none_match == "*" and old is not None:
         raise PreconditionFailedError(f"Relationship {rel_id} already exists")
+    if registry is not None and old is None:
+        mx = relationship_max_multiplicity(
+            registry, models[dt_id], doc["$relationshipName"]
+        )
+        if mx is not None:
+            existing = store.relationships.filter(
+                (F.col("source_id") == dt_id)
+                & (F.col("name") == doc["$relationshipName"])
+            ).count()
+            if existing + 1 > mx:
+                raise ValidationError(
+                    f"Relationship '{doc['$relationshipName']}' on {dt_id} "
+                    f"exceeds maxMultiplicity {mx}"
+                )
     ts = ts or now_iso()
     doc["$etag"] = generate_etag(rel_id, ts)
     row = _rel_row(doc)

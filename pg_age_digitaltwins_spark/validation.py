@@ -48,6 +48,35 @@ class ModelNotFoundError(KeyError):
     pass
 
 
+# DTDL v2/v3 built-in geospatial schemas (GeoJSON-backed): schema name
+# → required GeoJSON ``type`` value.
+GEOSPATIAL_SCHEMAS: dict[str, str] = {
+    "point": "Point",
+    "multiPoint": "MultiPoint",
+    "lineString": "LineString",
+    "multiLineString": "MultiLineString",
+    "polygon": "Polygon",
+    "multiPolygon": "MultiPolygon",
+}
+
+# Azure Digital Twins entity-id grammar (public API limit): 1-128 ASCII
+# letters/digits plus - . + % _ # * ? ! ( ) , : = @ $ ' — the reference
+# inherits it from the service contract; ids flow into Cypher literals,
+# so enforcing it at the door is also the injection guard's ally.
+import re as _re_ids
+
+_ENTITY_ID_RE = _re_ids.compile(r"^[A-Za-z0-9\-.+%_#*?!(),:=@$']{1,128}$")
+
+
+def validate_entity_id(entity_id: Any, kind: str = "twin") -> None:
+    """Syntax check for ``$dtId`` / ``$relationshipId`` values."""
+    if not isinstance(entity_id, str) or not _ENTITY_ID_RE.match(entity_id):
+        raise ValidationError(
+            f"Invalid {kind} id {entity_id!r}: ids are 1-128 ASCII letters, "
+            "digits, or - . + % _ # * ? ! ( ) , : = @ $ '"
+        )
+
+
 def _types_of(item: dict[str, Any]) -> list[str]:
     t = item.get("@type")
     return [t] if isinstance(t, str) else list(t or [])
@@ -124,6 +153,23 @@ def validate_value(
     if isinstance(schema, str):
         if named and schema in named:
             return validate_value(named[schema], value, where, named)
+        if schema in GEOSPATIAL_SCHEMAS:
+            # GeoJSON-backed geospatial value: object with the matching
+            # ``type`` and a ``coordinates`` array (DTDL v2/v3 built-in
+            # geospatial schemas).
+            if value is None:
+                return []
+            want = GEOSPATIAL_SCHEMAS[schema]
+            if (
+                not isinstance(value, dict)
+                or value.get("type") != want
+                or not isinstance(value.get("coordinates"), list)
+            ):
+                return [
+                    f"{where}: value does not match geospatial schema "
+                    f"'{schema}' (GeoJSON {want})"
+                ]
+            return []
         check = _PRIMITIVES.get(schema)
         if check is None:
             return []  # unknown/extension primitive: accept (lenient subset)
@@ -311,10 +357,19 @@ def _validate_schema_node(
     if schema is None or depth > 8:
         return
     if isinstance(schema, str):
-        if schema.startswith("dtmi:") and schema not in named_ids:
-            v.append(f"{where}: schema reference {schema!r} cannot be resolved")
-        # non-dtmi unknown strings stay lenient (geospatial/extension
-        # schemas like 'point' parse via extension contexts)
+        if schema.startswith("dtmi:"):
+            if schema not in named_ids:
+                v.append(f"{where}: schema reference {schema!r} cannot be resolved")
+        elif (
+            schema not in _ALL_PRIMITIVE_NAMES
+            and schema not in GEOSPATIAL_SCHEMAS
+        ):
+            # DTDLParser rejects unknown schema atoms — a typo like
+            # 'strng' or 'poin' must not silently parse.
+            v.append(
+                f"{where}: schema {schema!r} is not a DTDL primitive, "
+                "geospatial schema, or resolvable schema reference"
+            )
         return
     if not isinstance(schema, dict):
         v.append(f"{where}: schema must be a string or object")
@@ -461,6 +516,59 @@ def validate_model(
                 v.append(f"{where}: Component schema must be an interface DTMI")
             elif known_ids is not None and cs not in known_ids:
                 v.append(f"{where}: Component schema {cs!r} cannot be resolved")
+        if kind == "Relationship":
+            # DTDL Relationship content: target DTMI, multiplicity
+            # bounds, nested properties — the part of DTDLParser the
+            # reference leaves as a TODO at ``Relationships.cs:370``.
+            tgt = item.get("target")
+            if tgt is not None:
+                if not isinstance(tgt, str) or not _DTMI_RE.match(tgt):
+                    v.append(f"{where}: target {tgt!r} is not a valid DTMI")
+                elif known_ids is not None and tgt not in known_ids:
+                    v.append(f"{where}: target {tgt!r} cannot be resolved")
+            mn, mx = item.get("minMultiplicity"), item.get("maxMultiplicity")
+            is_v4 = "dtmi:dtdl:context;4" in ctxs
+            if mn is not None:
+                if not isinstance(mn, int) or isinstance(mn, bool) or mn < 0:
+                    v.append(f"{where}: minMultiplicity must be a non-negative integer")
+                elif not is_v4 and mn != 0:
+                    # DTDL v2/v3 spec: minMultiplicity, when present,
+                    # MUST be 0 (positive minima arrive in v4).
+                    v.append(f"{where}: minMultiplicity must be 0 in DTDL v2/v3")
+            if mx is not None and (
+                not isinstance(mx, int) or isinstance(mx, bool) or mx < 1
+            ):
+                v.append(f"{where}: maxMultiplicity must be a positive integer")
+            if (
+                isinstance(mn, int) and isinstance(mx, int)
+                and not isinstance(mn, bool) and not isinstance(mx, bool)
+                and mn > mx
+            ):
+                v.append(f"{where}: minMultiplicity {mn} exceeds maxMultiplicity {mx}")
+            props = item.get("properties")
+            if props is not None and not isinstance(props, list):
+                v.append(f"{where}: properties must be a list of Property entries")
+            seen_rel_props: set[str] = set()
+            for p in (props if isinstance(props, list) else []):
+                if not isinstance(p, dict) or "Property" not in _types_of(p):
+                    v.append(f"{where}: relationship properties must be @type Property")
+                    continue
+                pn = p.get("name")
+                if not isinstance(pn, str) or not _NAME_RE.match(pn) or len(pn) > 64:
+                    v.append(
+                        f"{where}: relationship property name {pn!r} is not a "
+                        "valid DTDL identifier"
+                    )
+                    continue
+                if pn in seen_rel_props:
+                    v.append(f"{where}: duplicate relationship property '{pn}'")
+                seen_rel_props.add(pn)
+                if p.get("schema") is None:
+                    v.append(f"{where}: relationship property '{pn}' requires a schema")
+                else:
+                    _validate_schema_node(
+                        p["schema"], named_ids, f"{where}.{pn}", v
+                    )
         # semantic types (co-types beyond the content kind)
         semantics = [k for k in kinds if k not in _CONTENT_KINDS]
         unit = item.get("unit")
@@ -504,3 +612,90 @@ def validate_relationship(doc: dict[str, Any]) -> None:
         raise ValidationError(
             "Relationship is missing required properties: " + ", ".join(missing)
         )
+
+
+def _extends_closure(registry: ModelRegistry, model_id: str) -> set[str]:
+    """{model_id} ∪ transitive extends bases present in the registry."""
+    out: set[str] = set()
+
+    def visit(mid: str) -> None:
+        if mid in out or mid not in registry.by_id:
+            return
+        out.add(mid)
+        for parent in extract_extends(registry.by_id[mid]):
+            visit(parent)
+
+    visit(model_id)
+    return out
+
+
+def validate_relationship_against_model(
+    registry: ModelRegistry,
+    source_model_id: str | None,
+    target_model_id: str | None,
+    doc: dict[str, Any],
+) -> None:
+    """Model-aware relationship validation — this EXCEEDS the reference,
+    whose DTDL relationship check is an acknowledged TODO
+    (``Relationships.cs:370``: "Get source and target models and check
+    relationship validity with DTDL parser").
+
+    Behavior: if the source twin's model (or a base it extends)
+    declares a Relationship content with this ``$relationshipName``,
+    enforce it — declared ``target`` interface (the target twin's model
+    must be it or extend it), declared ``properties`` (unknown
+    relationship properties rejected, known ones value-checked).  An
+    UNDECLARED relationship name stays lenient, which is exactly the
+    reference's current accept-everything behavior, so reference-parity
+    call sites keep working."""
+    if source_model_id is None or source_model_id not in registry.by_id:
+        return
+    name = doc.get("$relationshipName")
+    decl = registry.contents(source_model_id).get(name)  # inherits via extends
+    if decl is None or "Relationship" not in _types_of(decl):
+        return
+    v: list[str] = []
+    tgt = decl.get("target")
+    if isinstance(tgt, str) and target_model_id is not None:
+        if tgt not in _extends_closure(registry, target_model_id):
+            v.append(
+                f"Relationship '{name}' requires a target of model '{tgt}' "
+                f"but the target twin is '{target_model_id}'"
+            )
+    declared_props = {
+        p.get("name"): p
+        for p in (decl.get("properties") or [])
+        if isinstance(p, dict)
+    }
+    for k, val in doc.items():
+        if k in RESERVED_REL_KEYS or k == "$metadata":
+            continue
+        p = declared_props.get(k)
+        if p is None:
+            v.append(
+                f"Relationship property '{k}' is not defined on "
+                f"relationship '{name}'"
+            )
+        else:
+            v.extend(
+                validate_value(
+                    p.get("schema"), val, f"Relationship property '{k}'",
+                    registry.named_schemas(source_model_id),
+                )
+            )
+    if v:
+        raise ValidationError(" AND ".join(v))
+
+
+def relationship_max_multiplicity(
+    registry: ModelRegistry, source_model_id: str | None, name: str
+) -> int | None:
+    """The declared maxMultiplicity for ``name`` on the source model's
+    extends closure, or None when undeclared/unbounded."""
+    if source_model_id is None or source_model_id not in registry.by_id:
+        return None
+    item = registry.contents(source_model_id).get(name)
+    if item is not None and "Relationship" in _types_of(item):
+        mx = item.get("maxMultiplicity")
+        return mx if isinstance(mx, int) and not isinstance(mx, bool) else None
+    return None

@@ -1,0 +1,324 @@
+"""DTDL long-tail batch #3: Relationship contents (target DTMI,
+min/maxMultiplicity, properties-on-relationships), geospatial schemas,
+entity-id grammar, and model-aware relationship-instance validation.
+
+Reference: the DTDL relationship check is an acknowledged TODO at
+``src/AgeDigitalTwins/AgeDigitalTwinsClient.Relationships.cs:370``
+("Get source and target models and check relationship validity with
+DTDL parser") — the instance-level checks here EXCEED the reference;
+the model-level checks mirror what Microsoft's DTDLParser enforces at
+model upload (``AgeDigitalTwinsClient.cs:68-81``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_age_digitaltwins_spark.validation import (
+    ModelRegistry,
+    ValidationError,
+    validate_entity_id,
+    validate_model,
+    validate_twin,
+)
+
+
+def _interface(**over):
+    base = {
+        "@id": "dtmi:v:Test;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [],
+    }
+    base.update(over)
+    return base
+
+
+def _rel_content(**over):
+    base = {"@type": "Relationship", "name": "feeds", "target": "dtmi:v:Sink;1"}
+    base.update(over)
+    return base
+
+
+KNOWN = {"dtmi:v:Test;1", "dtmi:v:Sink;1"}
+
+
+# ----------------------------------------------------------------------
+# model-level: Relationship contents (DTDLParser parity)
+# ----------------------------------------------------------------------
+
+def test_relationship_target_accept_and_reject():
+    validate_model(
+        _interface(contents=[_rel_content()]), known_ids=KNOWN
+    )
+    with pytest.raises(ValidationError, match="not a valid DTMI"):
+        validate_model(
+            _interface(contents=[_rel_content(target="not-a-dtmi")]),
+            known_ids=KNOWN,
+        )
+    with pytest.raises(ValidationError, match="cannot be resolved"):
+        validate_model(
+            _interface(contents=[_rel_content(target="dtmi:v:Missing;1")]),
+            known_ids=KNOWN,
+        )
+
+
+def test_relationship_multiplicity_bounds():
+    # v2/v3: minMultiplicity, when present, MUST be 0 (DTDL v3 spec)
+    validate_model(
+        _interface(contents=[_rel_content(minMultiplicity=0, maxMultiplicity=5)]),
+        known_ids=KNOWN,
+    )
+    with pytest.raises(ValidationError, match="must be 0 in DTDL v2/v3"):
+        validate_model(
+            _interface(contents=[_rel_content(minMultiplicity=2)]),
+            known_ids=KNOWN,
+        )
+    # v4 allows positive minima but still orders the bounds
+    v4 = {"@context": "dtmi:dtdl:context;4"}
+    validate_model(
+        _interface(
+            contents=[_rel_content(minMultiplicity=2, maxMultiplicity=4)], **v4
+        ),
+        known_ids=KNOWN,
+    )
+    with pytest.raises(ValidationError, match="exceeds maxMultiplicity"):
+        validate_model(
+            _interface(
+                contents=[_rel_content(minMultiplicity=5, maxMultiplicity=2)], **v4
+            ),
+            known_ids=KNOWN,
+        )
+    with pytest.raises(ValidationError, match="positive integer"):
+        validate_model(
+            _interface(contents=[_rel_content(maxMultiplicity=0)]),
+            known_ids=KNOWN,
+        )
+    with pytest.raises(ValidationError, match="non-negative integer"):
+        validate_model(
+            _interface(contents=[_rel_content(minMultiplicity=-1)]),
+            known_ids=KNOWN,
+        )
+
+
+def test_relationship_properties_validation():
+    good = _rel_content(
+        properties=[{"@type": "Property", "name": "since", "schema": "dateTime"}]
+    )
+    validate_model(_interface(contents=[good]), known_ids=KNOWN)
+    with pytest.raises(ValidationError, match="must be @type Property"):
+        validate_model(
+            _interface(contents=[_rel_content(
+                properties=[{"@type": "Telemetry", "name": "x", "schema": "double"}]
+            )]),
+            known_ids=KNOWN,
+        )
+    with pytest.raises(ValidationError, match="not a valid DTDL identifier"):
+        validate_model(
+            _interface(contents=[_rel_content(
+                properties=[{"@type": "Property", "name": "9bad", "schema": "string"}]
+            )]),
+            known_ids=KNOWN,
+        )
+    with pytest.raises(ValidationError, match="requires a schema"):
+        validate_model(
+            _interface(contents=[_rel_content(
+                properties=[{"@type": "Property", "name": "x"}]
+            )]),
+            known_ids=KNOWN,
+        )
+    with pytest.raises(ValidationError, match="duplicate relationship property"):
+        validate_model(
+            _interface(contents=[_rel_content(properties=[
+                {"@type": "Property", "name": "x", "schema": "string"},
+                {"@type": "Property", "name": "x", "schema": "double"},
+            ])]),
+            known_ids=KNOWN,
+        )
+
+
+# ----------------------------------------------------------------------
+# geospatial schemas + schema-atom tightening
+# ----------------------------------------------------------------------
+
+def test_geospatial_schema_names_and_typo_rejection():
+    validate_model(
+        _interface(contents=[
+            {"@type": "Property", "name": "location", "schema": "point"},
+            {"@type": "Property", "name": "route", "schema": "lineString"},
+            {"@type": "Property", "name": "zone", "schema": "polygon"},
+        ])
+    )
+    with pytest.raises(ValidationError, match="not a DTDL primitive"):
+        validate_model(
+            _interface(contents=[
+                {"@type": "Property", "name": "location", "schema": "poin"}
+            ])
+        )
+    with pytest.raises(ValidationError, match="not a DTDL primitive"):
+        validate_model(
+            _interface(contents=[
+                {"@type": "Property", "name": "x", "schema": "strng"}
+            ])
+        )
+
+
+def test_geospatial_twin_value_validation():
+    reg = ModelRegistry([
+        _interface(contents=[
+            {"@type": "Property", "name": "location", "schema": "point"}
+        ])
+    ])
+    ok = {
+        "$dtId": "t1",
+        "$metadata": {"$model": "dtmi:v:Test;1"},
+        "location": {"type": "Point", "coordinates": [4.9, 52.3]},
+    }
+    assert validate_twin(reg, ok) == "dtmi:v:Test;1"
+    bad = dict(ok, location={"type": "Polygon", "coordinates": [[1, 2]]})
+    with pytest.raises(ValidationError, match="geospatial schema 'point'"):
+        validate_twin(reg, bad)
+    with pytest.raises(ValidationError, match="geospatial schema 'point'"):
+        validate_twin(reg, dict(ok, location="52.3,4.9"))
+
+
+# ----------------------------------------------------------------------
+# entity-id grammar (public ADT id limits)
+# ----------------------------------------------------------------------
+
+def test_entity_id_grammar():
+    validate_entity_id("room-1.a:b@c$d'e")  # every punctuation class allowed
+    validate_entity_id("A" * 128)
+    for bad in ["", "A" * 129, "has space", "tab\tid", "unicode-ü", "slash/id", None]:
+        with pytest.raises(ValidationError, match="Invalid twin id"):
+            validate_entity_id(bad)
+
+
+# ----------------------------------------------------------------------
+# instance-level enforcement through the client (exceeds the reference
+# TODO at Relationships.cs:370)
+# ----------------------------------------------------------------------
+
+FARM_MODELS = [
+    {
+        "@id": "dtmi:farm:Field;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [
+            {
+                "@type": "Relationship",
+                "name": "irrigatedBy",
+                "target": "dtmi:farm:Pump;1",
+                "maxMultiplicity": 2,
+                "properties": [
+                    {"@type": "Property", "name": "priority", "schema": "integer"}
+                ],
+            }
+        ],
+    },
+    {
+        "@id": "dtmi:farm:Pump;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [],
+    },
+    {
+        "@id": "dtmi:farm:SolarPump;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": ["dtmi:farm:Pump;1"],
+        "contents": [],
+    },
+    {
+        "@id": "dtmi:farm:Barn;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [],
+    },
+]
+
+
+@pytest.fixture()
+def farm_client(spark):
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    def twin(i, model):
+        return {"$dtId": i, "$metadata": {"$model": model}}
+
+    store = GraphStore.from_documents(
+        spark,
+        twin_docs=[
+            twin("field1", "dtmi:farm:Field;1"),
+            twin("pump1", "dtmi:farm:Pump;1"),
+            twin("pump2", "dtmi:farm:SolarPump;1"),
+            twin("pump3", "dtmi:farm:Pump;1"),
+            twin("barn1", "dtmi:farm:Barn;1"),
+        ],
+        model_docs=FARM_MODELS,
+    )
+    return DigitalTwinsSparkClient(store)
+
+
+def _rel(rid, target, **props):
+    return {"$relationshipName": "irrigatedBy", "$targetId": target, **props}
+
+
+def test_declared_relationship_happy_path(farm_client):
+    r = farm_client.create_or_replace_relationship(
+        "field1", "r1", _rel("r1", "pump1", priority=1)
+    )
+    assert r["$relationshipId"] == "r1"
+
+
+def test_declared_relationship_target_model_enforced(farm_client):
+    with pytest.raises(ValidationError, match="requires a target of model"):
+        farm_client.create_or_replace_relationship(
+            "field1", "r1", _rel("r1", "barn1")
+        )
+    # a target whose model EXTENDS the declared interface is accepted
+    farm_client.create_or_replace_relationship(
+        "field1", "r2", _rel("r2", "pump2")
+    )
+
+
+def test_declared_relationship_properties_enforced(farm_client):
+    with pytest.raises(ValidationError, match="does not match schema 'integer'"):
+        farm_client.create_or_replace_relationship(
+            "field1", "r1", _rel("r1", "pump1", priority="high")
+        )
+    with pytest.raises(ValidationError, match="not defined on relationship"):
+        farm_client.create_or_replace_relationship(
+            "field1", "r1", _rel("r1", "pump1", undeclared=True)
+        )
+
+
+def test_max_multiplicity_enforced_on_create_not_replace(farm_client):
+    farm_client.create_or_replace_relationship("field1", "r1", _rel("r1", "pump1"))
+    farm_client.create_or_replace_relationship("field1", "r2", _rel("r2", "pump2"))
+    with pytest.raises(ValidationError, match="exceeds maxMultiplicity 2"):
+        farm_client.create_or_replace_relationship(
+            "field1", "r3", _rel("r3", "pump3")
+        )
+    # replacing an EXISTING relationship does not count against the cap
+    farm_client.create_or_replace_relationship(
+        "field1", "r2", _rel("r2", "pump3", priority=9)
+    )
+
+
+def test_undeclared_relationship_stays_lenient(farm_client):
+    """Reference-parity escape hatch: a relationship name the source
+    model does not declare is accepted untouched (the reference's
+    current behavior for ALL relationships)."""
+    r = farm_client.create_or_replace_relationship(
+        "barn1", "r9",
+        {"$relationshipName": "storesFeedFor", "$targetId": "field1", "free": 1},
+    )
+    assert r["$relationshipName"] == "storesFeedFor"
+
+
+def test_bad_relationship_id_rejected(farm_client):
+    with pytest.raises(ValidationError, match="Invalid relationship id"):
+        farm_client.create_or_replace_relationship(
+            "field1", "bad id", _rel("x", "pump1")
+        )
