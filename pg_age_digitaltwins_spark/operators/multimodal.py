@@ -77,6 +77,73 @@ def _fake_decode(kind: str, content: bytes) -> dict[str, Any]:
     return {"width": width, "height": height, "duration_ms": duration}
 
 
+def stdlib_decode(kind: str, content: bytes) -> dict[str, Any]:
+    """REAL decoder for container-friendly formats — pure stdlib, no
+    native deps: WAV (RIFF chunk walk → sample rate/channels/bits →
+    duration), BMP (BITMAPINFOHEADER → width/height), and binary PPM
+    (P6 ASCII header → width/height).  Anything else raises
+    ``NotImplementedError`` exactly like a production decoder hitting
+    an unsupported codec — pass ``decode_fn=stdlib_decode`` to
+    ``decode_media`` to run genuine format parsing through the same
+    Arrow-batched seam the fake exercises."""
+    import struct as _struct
+
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        # chunk walk: each chunk = 4-byte id + uint32 LE size + payload
+        # (word-aligned).  fmt  gives the rate math, data gives the
+        # payload size; duration = data_bytes / byte_rate.
+        pos, byte_rate, data_size = 12, None, None
+        while pos + 8 <= len(content):
+            cid = content[pos : pos + 4]
+            (csize,) = _struct.unpack_from("<I", content, pos + 4)
+            if cid == b"fmt " and pos + 24 <= len(content):
+                _fmt, _ch, _rate, brate = _struct.unpack_from(
+                    "<HHII", content, pos + 8
+                )
+                byte_rate = brate
+            elif cid == b"data":
+                data_size = csize
+            pos += 8 + csize + (csize & 1)
+        if byte_rate is None or data_size is None:
+            raise NotImplementedError("malformed WAV: missing fmt /data chunk")
+        return {
+            "width": None,
+            "height": None,
+            "duration_ms": int(data_size * 1000 // max(byte_rate, 1)),
+        }
+    if content[:2] == b"BM" and len(content) >= 26:
+        # BITMAPINFOHEADER: int32 LE width at 18, int32 LE height at 22
+        # (negative height = top-down row order).
+        (width,) = _struct.unpack_from("<i", content, 18)
+        (height,) = _struct.unpack_from("<i", content, 22)
+        return {"width": abs(width), "height": abs(height), "duration_ms": None}
+    if content[:2] == b"P6":
+        # binary PPM: "P6" <ws> width <ws> height <ws> maxval, with
+        # '#' comment lines allowed anywhere in the header
+        tokens: list[int] = []
+        pos = 2
+        while len(tokens) < 2 and pos < len(content):
+            c = content[pos : pos + 1]
+            if c == b"#":
+                while pos < len(content) and content[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            elif c.isdigit():
+                start = pos
+                while pos < len(content) and content[pos : pos + 1].isdigit():
+                    pos += 1
+                tokens.append(int(content[start:pos]))
+            else:
+                raise NotImplementedError("malformed PPM header")
+        if len(tokens) < 2:
+            raise NotImplementedError("malformed PPM header")
+        return {"width": tokens[0], "height": tokens[1], "duration_ms": None}
+    raise NotImplementedError(
+        f"no stdlib decoder for magic {content[:4]!r} (kind={kind!r})"
+    )
+
+
 def decode_media(
     media: DataFrame,
     decode_fn: Callable[[str, bytes], dict[str, Any]] = _fake_decode,
