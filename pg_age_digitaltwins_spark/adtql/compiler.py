@@ -271,10 +271,18 @@ class QueryCompiler:
         need_order = query.top is not None or order_for_paging
         keys: list[Column] = []
         if need_order:
-            keys = [
-                F.col(f"{b.df_alias}.{'dt_id' if b.kind == 'twin' else 'relationship_id'}")
-                for b in env.values()
-            ]
+            # ADT guarantees $relationshipId uniqueness only per source
+            # twin, so a relationship binding keysets on the composite
+            # (source_id, relationship_id) — a true primary key; sorting
+            # on relationship_id alone would make tied rows
+            # interchangeable and let the boundary-dup skip drop or
+            # double-serve rows across pages.
+            for b in env.values():
+                if b.kind == "twin":
+                    keys.append(F.col(f"{b.df_alias}.dt_id"))
+                else:
+                    keys.append(F.col(f"{b.df_alias}.source_id"))
+                    keys.append(F.col(f"{b.df_alias}.relationship_id"))
             df = df.orderBy(*keys)
         # Paging exposes the sort keys as hidden ``__pk{i}`` columns so
         # the client can issue KEYSET continuations (filter > last-key

@@ -500,10 +500,15 @@ class DigitalTwinsSparkClient:
             self.changes.append("Model", doc["@id"], None, doc, "Insert", ts)
         return created
 
-    def get_model(self, model_id: str) -> dict[str, Any]:
+    def get_model(
+        self, model_id: str, include_base_model_contents: bool = False
+    ) -> dict[str, Any]:
         from pg_age_digitaltwins_spark import models as model_ops
 
-        return model_ops.get_model(self.store, model_id)
+        return model_ops.get_model(
+            self.store, model_id,
+            include_base_model_contents=include_base_model_contents,
+        )
 
     def list_models(self, dependencies_for: list[str] | None = None):
         from pg_age_digitaltwins_spark import models as model_ops

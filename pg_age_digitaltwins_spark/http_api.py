@@ -572,7 +572,12 @@ class ApiService:
         return Response(204)
 
     def model_get(self, req: Request, id: str) -> Response:
-        return Response(200, self.client.get_model(id))
+        # ?includeBaseModelContents=true merges contents across the
+        # extends chain (ModelsEndpoints.cs:116-123)
+        include = (req.qparam("includeBaseModelContents") or "").lower() == "true"
+        return Response(
+            200, self.client.get_model(id, include_base_model_contents=include)
+        )
 
     def model_delete(self, req: Request, id: str) -> Response:
         self.client.delete_model(id)

@@ -83,20 +83,74 @@ def create_models(
     # Reference resolution sees existing models plus the whole batch
     # (models may reference each other within one upload)
     known = set(docs) | {d["@id"] for d in batch}
-    known_schemas = {
-        sch.get("@id")
-        for d in list(docs.values()) + batch
-        for sch in (d.get("schemas") or [])
-        if isinstance(sch, dict) and isinstance(sch.get("@id"), str)
-    }
+    all_docs: dict[str, dict[str, Any]] = {**docs, **{b["@id"]: b for b in batch}}
+
+    def _closure_schema_ids(doc: dict[str, Any]) -> set[str]:
+        # Named schemas are resolvable only along the interface's
+        # extends closure (matching ModelRegistry.named_schemas /
+        # validate_twin resolution) — pooling every interface's schemas
+        # here would let a model reference a dtmi: schema defined in an
+        # unrelated interface, which twin validation could then never
+        # value-check (it would silently hit the lenient-accept path).
+        out: set[str] = set()
+        seen: set[str] = set()
+        stack = list(extract_extends(doc))
+        while stack:
+            p = stack.pop()
+            if p in seen or p not in all_docs:
+                continue
+            seen.add(p)
+            for sch in all_docs[p].get("schemas") or []:
+                if isinstance(sch, dict) and isinstance(sch.get("@id"), str):
+                    out.add(sch["@id"])
+            stack.extend(extract_extends(all_docs[p]))
+        return out
+
     for d in batch:
-        validate_model(d, known, known_schemas)
+        validate_model(d, known, _closure_schema_ids(d))
         docs[d["@id"]] = d
         created.append(d)
     return _rebuild(store, docs), created
 
 
-def get_model(store: GraphStore, model_id: str) -> dict[str, Any]:
+def _contents_of_type(doc: dict[str, Any], type_name: str) -> list[dict[str, Any]]:
+    """Contents entries carrying ``type_name`` in their @type (string or
+    array form); ``contents`` itself may be a single object or a list
+    (``AgeDigitalTwinsClient.Models.cs:127-170`` ExtractContentsByType)."""
+    contents = doc.get("contents")
+    if isinstance(contents, dict):
+        contents = [contents]
+    if not isinstance(contents, list):
+        return []
+    out = []
+    for item in contents:
+        if isinstance(item, dict) and type_name in _types_of_content(item):
+            out.append(item)
+    return out
+
+
+def _types_of_content(item: dict[str, Any]) -> list[str]:
+    t = item.get("@type")
+    if isinstance(t, str):
+        return [t]
+    if isinstance(t, list):
+        return [x for x in t if isinstance(x, str)]
+    return []
+
+
+def get_model(
+    store: GraphStore,
+    model_id: str,
+    include_base_model_contents: bool = False,
+) -> dict[str, Any]:
+    """Fetch one model's document + closure columns.  With
+    ``include_base_model_contents`` the result additionally carries the
+    contents merged across the model and ALL its bases, split by
+    content kind — ``GetModelAsync`` with
+    ``GetModelOptions.IncludeBaseModelContents = true``
+    (``AgeDigitalTwinsClient.Models.cs:124-217``): straight
+    concatenation in main-then-bases order, ``None`` for an empty
+    category (the reference returns null, not an empty list)."""
     rows = (
         store.models.filter(F.col("id") == model_id)
         .select("model", "decommissioned", "bases", "descendants")
@@ -105,13 +159,34 @@ def get_model(store: GraphStore, model_id: str) -> dict[str, Any]:
     if not rows:
         raise ModelNotFoundError(f"Model {model_id} not found")
     model_json, decommissioned, bases, descendants = rows[0]
-    return {
+    out = {
         "id": model_id,
         "model": json.loads(model_json),
         "decommissioned": bool(decommissioned),
         "bases": list(bases or []),
         "descendants": list(descendants or []),
     }
+    if include_base_model_contents:
+        base_ids = out["bases"]
+        base_docs: dict[str, dict[str, Any]] = {}
+        if base_ids:
+            for bid, bjson in (
+                store.models.filter(F.col("id").isin(base_ids))
+                .select("id", "model")
+                .collect()
+            ):
+                base_docs[bid] = json.loads(bjson)
+        chain = [out["model"]] + [base_docs[b] for b in base_ids if b in base_docs]
+        for key, type_name in (
+            ("properties", "Property"),
+            ("relationships", "Relationship"),
+            ("components", "Component"),
+            ("telemetries", "Telemetry"),
+            ("commands", "Command"),
+        ):
+            merged = [c for d in chain for c in _contents_of_type(d, type_name)]
+            out[key] = merged or None
+    return out
 
 
 def list_models(

@@ -298,6 +298,8 @@ class WebhookSink(EventSink):
     timeout) raises ``SinkError`` so the ``ResilientSink`` wrapper
     retries with backoff and eventually dead-letters the batch."""
 
+    per_event_transport = True  # one POST per event → replay per event
+
     def __init__(
         self,
         url: str,
@@ -389,6 +391,8 @@ class MqttSink(EventSink):
     so the ``ResilientSink`` wrapper retries/dead-letters, exactly like
     the webhook sink."""
 
+    per_event_transport = True  # one PUBLISH per event → replay per event
+
     def __init__(
         self,
         host: str,
@@ -413,7 +417,12 @@ class MqttSink(EventSink):
 
     @property
     def is_healthy(self) -> bool:
-        return self._healthy and self._sock is not None
+        # A never-connected (or deliberately closed) sink is healthy:
+        # it connects lazily on the next send.  Only an actual failed
+        # delivery (which clears ``_healthy``) degrades health —
+        # otherwise /health would report a freshly configured MQTT
+        # route as down before any event has flowed.
+        return self._healthy
 
     # ------------------------------------------------------------------
     def _connect(self) -> None:
@@ -435,7 +444,14 @@ class MqttSink(EventSink):
         pkt = bytes([0x10]) + _mqtt_varint(len(var_header) + len(payload)) + var_header + payload
         s = socket.create_connection((self.host, self.port), timeout=self.timeout)
         s.sendall(pkt)
-        ack = s.recv(4)
+        # CONNACK is exactly 4 bytes but TCP may fragment them — a
+        # single recv can short-read and misreport a refusal.
+        ack = b""
+        while len(ack) < 4:
+            part = s.recv(4 - len(ack))
+            if not part:
+                break
+            ack += part
         if len(ack) < 4 or ack[0] != 0x20 or ack[3] != 0x00:
             s.close()
             raise ConnectionError(f"MQTT CONNACK refused: {ack.hex() if ack else 'EOF'}")
@@ -560,8 +576,18 @@ class ResilientSink:
     def replay_dlq(self, batch_size: int = 100) -> int:
         """DLQService replay: re-send dead letters in batches (the
         consumer's batch contract — one send per ``batch_size`` events,
-        not one per event); a failing batch returns to the DLQ whole."""
+        not one per event); a failing batch returns to the DLQ whole.
+
+        Per-event transports (webhook, MQTT — ``per_event_transport``)
+        replay one event per send instead: their ``send`` delivers
+        inside a per-event loop, so a mid-chunk transport failure would
+        re-queue already-delivered events and the next replay would
+        duplicate them.  One-at-a-time costs the same on those sinks
+        (they publish per event regardless) and only the genuinely
+        undelivered events return to the DLQ."""
         pending, self.dlq = self.dlq, []
+        if getattr(self.inner, "per_event_transport", False):
+            batch_size = 1
         ok = 0
         for start in range(0, len(pending), batch_size):
             chunk = pending[start : start + batch_size]
@@ -688,6 +714,7 @@ class StreamingHealthListener:
         self.router = router
         self.queries: dict[str, dict[str, Any]] = {}
         self._listener = None
+        self._registered = False  # added to spark.streams at most once
 
     # -- StreamingQueryListener hooks (bridged below) ------------------
     def on_started(self, qid: str, name: str | None) -> None:
@@ -739,6 +766,14 @@ class StreamingHealthListener:
 
             self._listener = _L()
         return self._listener
+
+    def register(self, spark) -> None:
+        """Add to ``spark.streams`` at most once per listener instance —
+        re-registering the same instance (e.g. one health surface shared
+        across several streams) would stack duplicate callbacks."""
+        if not self._registered:
+            spark.streams.addListener(self.listener())
+            self._registered = True
 
     def snapshot(self) -> dict[str, Any]:
         """Health payload: replication = any live query and no query
@@ -816,7 +851,7 @@ def run_change_stream(
     if health is not None:
         if health.router is None:
             health.router = router
-        spark.streams.addListener(health.listener())
+        health.register(spark)
     reader = spark.readStream.schema(EVENT_DATA_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

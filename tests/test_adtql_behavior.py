@@ -414,6 +414,52 @@ def test_keyset_pagination_duplicate_boundary(client):
     assert seen == [1] * total
 
 
+def test_keyset_relationship_pages_with_duplicate_rel_ids(spark):
+    """ADT guarantees $relationshipId uniqueness only PER SOURCE twin —
+    the same id may repeat across sources.  Relationship keyset must
+    therefore sort on the composite (source_id, relationship_id): with
+    relationship_id alone, tied boundary rows are interchangeable and
+    the `_kd` skip can drop or double-serve rows when physical order
+    shifts between pages."""
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    twins = [
+        {"$dtId": f"t{i}", "$metadata": {"$model": "dtmi:com:x;1"}}
+        for i in range(4)
+    ]
+    # every source reuses the SAME relationship ids — maximal ties
+    rels = [
+        {"$relationshipId": rid, "$sourceId": f"t{i}",
+         "$targetId": f"t{(i + 1) % 4}", "$relationshipName": "has"}
+        for i in range(4)
+        for rid in ("dup_a", "dup_b", "dup_c")
+    ]
+    store = GraphStore.from_documents(spark, twin_docs=twins, relationship_docs=rels)
+    c = DigitalTwinsSparkClient(store)
+    q = ("SELECT R.$sourceId AS src, R.$relationshipId AS rid "
+         "FROM RELATIONSHIPS R")
+    expected = sorted((r["$sourceId"], r["$relationshipId"]) for r in rels)
+    for n in (1, 2, 3, 5):
+        seen, token = [], None
+        while True:
+            # repartition between pages: keyset must not depend on
+            # physical order for tie-breaking
+            from pg_age_digitaltwins_spark import crud
+
+            c._swap(
+                crud._replace(
+                    c.store,
+                    relationships=c.store.relationships.repartition(3 + n),
+                )
+            )
+            page = c.query(q, max_items_per_page=n, continuation_token=token)
+            seen += [(r["src"], r["rid"]) for r in page.rows]
+            token = page.continuation_token
+            if not token:
+                break
+        assert sorted(seen) == expected, f"page size {n}"
+
+
 def test_keyset_pagination_mixed_duplicates_all_page_sizes(client):
     """Mixed duplicate groups walked at several page sizes: every row
     served exactly once regardless of where group boundaries fall

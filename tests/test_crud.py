@@ -287,6 +287,91 @@ def test_model_create_duplicate(client):
         client.create_models([MODELS[0]])
 
 
+def test_descendants_updated_when_derived_models_created_later(spark):
+    """Closure columns recompute on every create batch: a base created
+    alone has no descendants; descendants accumulate as derived models
+    arrive in LATER batches, at every level of the chain
+    (``ModelsTests.cs::CreateModels_DescendantsUpdatedInBaseModel_
+    WhenDerivedModelsCreatedLater``)."""
+    body = {"@id": "dtmi:ex:sky:Body;1", "@type": "Interface",
+            "@context": "dtmi:dtdl:context;3"}
+    planet = {"@id": "dtmi:ex:sky:Planet;1", "@type": "Interface",
+              "@context": "dtmi:dtdl:context;3",
+              "extends": "dtmi:ex:sky:Body;1"}
+    habitable = {"@id": "dtmi:ex:sky:Habitable;1", "@type": "Interface",
+                 "@context": "dtmi:dtdl:context;3",
+                 "extends": "dtmi:ex:sky:Planet;1"}
+
+    c = DigitalTwinsSparkClient(GraphStore.empty(spark))
+    c.create_models([body])
+    assert c.get_model("dtmi:ex:sky:Body;1")["descendants"] == []
+    c.create_models([planet])
+    assert c.get_model("dtmi:ex:sky:Body;1")["descendants"] == [
+        "dtmi:ex:sky:Planet;1"
+    ]
+    c.create_models([habitable])
+    assert sorted(c.get_model("dtmi:ex:sky:Body;1")["descendants"]) == [
+        "dtmi:ex:sky:Habitable;1", "dtmi:ex:sky:Planet;1",
+    ]
+    assert c.get_model("dtmi:ex:sky:Planet;1")["descendants"] == [
+        "dtmi:ex:sky:Habitable;1"
+    ]
+    assert c.get_model("dtmi:ex:sky:Habitable;1")["bases"] == [
+        "dtmi:ex:sky:Planet;1", "dtmi:ex:sky:Body;1",
+    ] or sorted(c.get_model("dtmi:ex:sky:Habitable;1")["bases"]) == [
+        "dtmi:ex:sky:Body;1", "dtmi:ex:sky:Planet;1",
+    ]
+
+
+def test_get_model_include_base_model_contents(spark):
+    """GetModelOptions.IncludeBaseModelContents merges contents across
+    the model and ALL its bases, split per content kind, None for an
+    empty category (``AgeDigitalTwinsClient.Models.cs:124-217``,
+    ``ModelsTests.cs::GetModelAsync_IncludesAllBaseProperties...``)."""
+    base = {
+        "@id": "dtmi:ex:cb:Body;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [
+            {"@type": "Property", "name": "mass", "schema": "double"},
+            {"@type": "Property", "name": "temperature", "schema": "double"},
+            {"@type": "Relationship", "name": "orbits"},
+        ],
+    }
+    derived = {
+        "@id": "dtmi:ex:cb:Planet;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:ex:cb:Body;1",
+        "contents": [
+            {"@type": "Property", "name": "hasLife", "schema": "boolean"},
+            {"@type": "Relationship", "name": "satellites"},
+            {"@type": "Telemetry", "name": "flux", "schema": "double"},
+        ],
+    }
+    c = DigitalTwinsSparkClient(GraphStore.empty(spark))
+    c.create_models([base, derived])
+
+    got = c.get_model("dtmi:ex:cb:Planet;1", include_base_model_contents=True)
+    assert sorted(p["name"] for p in got["properties"]) == [
+        "hasLife", "mass", "temperature",
+    ]
+    assert sorted(r["name"] for r in got["relationships"]) == [
+        "orbits", "satellites",
+    ]
+    assert [t["name"] for t in got["telemetries"]] == ["flux"]
+    assert got["components"] is None and got["commands"] is None
+    # derived contents come first (main-then-bases concatenation order)
+    assert got["properties"][0]["name"] == "hasLife"
+
+    # base alone: only its own contents
+    got2 = c.get_model("dtmi:ex:cb:Body;1", include_base_model_contents=True)
+    assert sorted(p["name"] for p in got2["properties"]) == ["mass", "temperature"]
+    assert [r["name"] for r in got2["relationships"]] == ["orbits"]
+
+    # without the flag the merged keys are absent entirely
+    got3 = c.get_model("dtmi:ex:cb:Planet;1")
+    assert "properties" not in got3
+
+
 def test_model_delete_guard(client):
     with pytest.raises(ModelReferencedError):
         client.delete_model("dtmi:test:Room;1")  # SmartRoom extends it
@@ -741,3 +826,60 @@ def test_named_schema_ref_rejected_via_create_models(spark):
     }
     with pytest.raises(ValidationError, match="dtmi:ex:Missing;1"):
         create_models(GraphStore.empty(spark), [bad])
+
+
+def test_named_schema_scope_is_extends_closure(spark):
+    """Named schemas resolve only along the referencing interface's
+    extends closure (DTDLParser scoping): a schema defined in an
+    UNRELATED interface must be rejected at model-create time — if it
+    were pooled globally, twin validation (which resolves along the
+    extends chain) could never value-check the property and it would
+    silently hit the lenient-accept path."""
+    from pg_age_digitaltwins_spark.models import create_models
+
+    color = {
+        "@id": "dtmi:ex:scope:Color;1",
+        "@type": "Enum",
+        "valueSchema": "string",
+        "enumValues": [{"name": "red", "enumValue": "red"}],
+    }
+    base = {
+        "@id": "dtmi:ex:scope:Base;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "schemas": [color],
+    }
+    child = {  # extends Base → Color is in scope
+        "@id": "dtmi:ex:scope:Child;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:ex:scope:Base;1",
+        "contents": [
+            {"@type": "Property", "name": "c", "schema": "dtmi:ex:scope:Color;1"},
+        ],
+    }
+    stranger = {  # unrelated → Color must NOT resolve
+        "@id": "dtmi:ex:scope:Stranger;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [
+            {"@type": "Property", "name": "c", "schema": "dtmi:ex:scope:Color;1"},
+        ],
+    }
+    store, created = create_models(GraphStore.empty(spark), [base, child])
+    assert {d["@id"] for d in created} == {
+        "dtmi:ex:scope:Base;1", "dtmi:ex:scope:Child;1"
+    }
+    with pytest.raises(ValidationError, match="dtmi:ex:scope:Color;1"):
+        create_models(store, [stranger])
+    # grandchild two levels down the chain still resolves it
+    grand = {
+        "@id": "dtmi:ex:scope:Grand;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:ex:scope:Child;1",
+        "contents": [
+            {"@type": "Property", "name": "g", "schema": "dtmi:ex:scope:Color;1"},
+        ],
+    }
+    create_models(store, [grand])

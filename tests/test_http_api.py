@@ -375,6 +375,18 @@ def test_model_routes(api):
     # model ids are URL-encoded in paths
     got = api.handle(Request("GET", "/models/dtmi%3Aht%3ARoom%3B1"))
     assert got.status == 200
+    assert "properties" not in got.body
+    # ?includeBaseModelContents=true merges contents per kind
+    # (ModelsEndpoints.cs:116-123)
+    merged = api.handle(
+        Request("GET", "/models/dtmi%3Aht%3ARoom%3B1",
+                query={"includeBaseModelContents": ["true"]})
+    )
+    assert merged.status == 200
+    assert sorted(p["name"] for p in merged.body["properties"]) == [
+        "embedding", "name", "temperature",
+    ]
+    assert [r["name"] for r in merged.body["relationships"]] == ["adjacentTo"]
     assert api.handle(Request("GET", "/models/dtmi:nope;1")).status == 404
 
     # delete succeeds (reference guards only model-to-model references,

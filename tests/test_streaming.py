@@ -764,13 +764,14 @@ class _FakeMqttBroker:
     """Accepts one client: validates CONNECT, answers CONNACK, decodes
     QoS-0 PUBLISH packets into (topic, payload) tuples."""
 
-    def __init__(self, refuse=False):
+    def __init__(self, refuse=False, fragment_connack=False):
         import socket
         import threading
 
         self.publishes = []
         self.connect = None
         self.refuse = refuse
+        self.fragment_connack = fragment_connack
         self._srv = socket.create_server(("127.0.0.1", 0))
         # timeout + flag: closing a listener under a thread blocked in
         # accept() does NOT release the port on Linux (the syscall pins
@@ -827,7 +828,21 @@ class _FakeMqttBroker:
                         "flags": body[7],
                     }
                     rc = 0x05 if self.refuse else 0x00
-                    conn.sendall(bytes([0x20, 0x02, 0x00, rc]))
+                    ack = bytes([0x20, 0x02, 0x00, rc])
+                    if self.fragment_connack:
+                        # force the 4 CONNACK bytes across separate TCP
+                        # segments — a single recv(4) would short-read
+                        import socket as _socket
+                        import time as _time
+
+                        conn.setsockopt(
+                            _socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1
+                        )
+                        for b in ack:
+                            conn.sendall(bytes([b]))
+                            _time.sleep(0.02)
+                    else:
+                        conn.sendall(ack)
                     if self.refuse:
                         return
                 elif ptype == 3:  # PUBLISH (qos0)
@@ -896,6 +911,110 @@ def test_mqtt_sink_refused_or_down_goes_to_dlq():
     rs2 = ResilientSink(sink2, max_retries=1, sleep=lambda s: None)
     rs2.send([{"id": "e2", "type": "T", "subject": "s", "data": {}}])
     assert not sink2.is_healthy and len(rs2.dlq) == 1
+
+
+def test_mqtt_sink_fresh_is_healthy_and_connects_lazily():
+    """A newly configured MQTT sink must report healthy before any
+    event flows (/health would otherwise show a fresh route as down);
+    only a failed delivery degrades it, and a deliberate close() keeps
+    it healthy (it reconnects lazily on the next send)."""
+    from pg_age_digitaltwins_spark.streaming.sinks import MqttSink
+
+    sink = MqttSink("127.0.0.1", 1, topic="t")  # never connected
+    assert sink.is_healthy
+
+    broker = _FakeMqttBroker()
+    try:
+        live = MqttSink("127.0.0.1", broker.port, topic="t")
+        live.send([{"id": "e1", "type": "T", "subject": "s", "data": {}}])
+        live.close()
+        assert live.is_healthy  # closed-but-never-failed stays healthy
+        live.send([{"id": "e2", "type": "T", "subject": "s", "data": {}}])
+        assert live.is_healthy  # lazy reconnect worked
+        live.close()
+    finally:
+        broker.stop()
+
+
+def test_mqtt_sink_connack_fragmented_across_segments():
+    """CONNACK arriving in multiple TCP segments must not be
+    misreported as a refusal — the client reads exactly 4 bytes with a
+    recv loop."""
+    from pg_age_digitaltwins_spark.streaming.sinks import MqttSink
+
+    broker = _FakeMqttBroker(fragment_connack=True)
+    try:
+        sink = MqttSink("127.0.0.1", broker.port, topic="t")
+        sink.send([{"id": "e1", "type": "T", "subject": "s", "data": {}}])
+        assert sink.is_healthy
+        sink.close()
+        import time as _time
+
+        deadline = _time.time() + 5
+        while not broker.publishes and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert len(broker.publishes) == 1
+    finally:
+        broker.stop()
+
+
+def test_replay_dlq_per_event_transport_no_duplicate_delivery():
+    """Per-event transports (webhook/MQTT) deliver inside send()'s
+    per-event loop, so replay must go one event per send: a mid-chunk
+    transport failure must not re-queue already-delivered events (the
+    next replay would duplicate them)."""
+
+    class _PerEventSink:
+        name = "pe"
+        per_event_transport = True
+
+        def __init__(self):
+            self.delivered = []
+            self.fail_ids = set()
+
+        def send(self, events):
+            for e in events:
+                if e["id"] in self.fail_ids:
+                    raise RuntimeError(f"down at {e['id']}")
+                self.delivered.append(e["id"])
+
+    sink = _PerEventSink()
+    rs = ResilientSink(sink, max_retries=0, sleep=lambda s: None)
+    rs.dlq = [
+        {"event": {"id": i}, "error": "old", "sink": "pe"} for i in ("1", "2", "3")
+    ]
+    sink.fail_ids = {"2"}
+    assert rs.replay_dlq() == 2
+    # 1 and 3 delivered exactly once; only 2 back in the DLQ
+    assert sink.delivered == ["1", "3"]
+    assert [d["event"]["id"] for d in rs.dlq] == ["2"]
+    # second replay after recovery delivers 2 without duplicating 1/3
+    sink.fail_ids = set()
+    assert rs.replay_dlq() == 1
+    assert sink.delivered == ["1", "3", "2"]
+    assert rs.dlq == []
+
+
+def test_health_listener_registers_at_most_once():
+    """Reusing one StreamingHealthListener across several streams must
+    add it to spark.streams exactly once — duplicate registrations
+    produce duplicate callbacks."""
+    from pg_age_digitaltwins_spark.streaming.sinks import StreamingHealthListener
+
+    added = []
+
+    class _Streams:
+        def addListener(self, listener):
+            added.append(listener)
+
+    class _Spark:
+        streams = _Streams()
+
+    h = StreamingHealthListener()
+    h.register(_Spark())
+    h.register(_Spark())
+    h.register(_Spark())
+    assert len(added) == 1
 
 
 # ----------------------------------------------------------------------
