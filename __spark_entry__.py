@@ -215,6 +215,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "MATCH (o {`$dtId`: 'order-1'})-[:placedBy|locatedIn|partOf*1..3]->(x) "
         "RETURN x.`$dtId` AS id"
     )
+    # Non-literal start SET (model filter, not a point id): exercises
+    # the seeded-frontier traversal path — the depth-1 frontier is
+    # semi-joined against the filtered start leg before any expansion
+    # (cypher/compiler.py var-length seeding; each supplier reaches its
+    # nation at depth 1 and that nation's region at depth 2).
+    q["cypher_var_length_filtered_start"] = _adt(
+        "MATCH (s)-[:locatedIn|partOf*1..2]->(x) "
+        "WHERE s.`$metadata`.`$model` = 'dtmi:demo:Supplier;1' "
+        "RETURN s.`$dtId` AS src, x.`$dtId` AS id"
+    )
     q["cypher_min_max_qty"] = _adt(
         "MATCH (o)-[r:contains]->(p) "
         "RETURN toFloat(max(r.quantity)) AS max_qty, toFloat(min(r.quantity)) AS min_qty"
@@ -705,6 +715,13 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT 'region-' || n_regionkey FROM orders "
         "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
         "WHERE o_orderkey = 1"
+    )
+    o["cypher_var_length_filtered_start"] = (
+        "SELECT 'supp-' || s_suppkey AS src, 'nation-' || s_nationkey AS id "
+        "FROM supplier "
+        "UNION ALL "
+        "SELECT 'supp-' || s_suppkey AS src, 'region-' || n_regionkey AS id "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey"
     )
     o["cypher_min_max_qty"] = (
         "SELECT CAST(max(l_quantity) AS DOUBLE) AS max_qty, "

@@ -348,13 +348,24 @@ _ALL_PRIMITIVE_NAMES = {
 
 
 def _validate_schema_node(
-    schema: Any, named_ids: set[str], where: str, v: list[str], depth: int = 0
+    schema: Any,
+    named_ids: set[str],
+    where: str,
+    v: list[str],
+    depth: int = 0,
+    max_depth: int = 8,
 ) -> None:
     """Structural check of a DTDL schema node: primitives, complex
     schemas (Enum/Object/Array/Map, recursively), and ``dtmi:`` refs to
     named schema definitions — the DTDLParser behaviors for the
-    ``schemas`` section (DTDL v3 §Interface.schemas)."""
-    if schema is None or depth > 8:
+    ``schemas`` section (DTDL v3 §Interface.schemas).
+
+    ``max_depth`` is the DTDL complex-schema nesting limit (5 levels
+    under a v2 context, 8 under v3/v4): exceeding it is a validation
+    ERROR, not a silent stop — DTDLParser rejects over-deep models and
+    truncating the check here would accept schemas the reference
+    refuses."""
+    if schema is None:
         return
     if isinstance(schema, str):
         if schema.startswith("dtmi:"):
@@ -378,6 +389,12 @@ def _validate_schema_node(
     if not kinds:
         v.append(f"{where}: schema object @type must be one of Enum/Object/Array/Map")
         return
+    if depth >= max_depth:
+        v.append(
+            f"{where}: complex schema nesting exceeds the DTDL limit of "
+            f"{max_depth} levels"
+        )
+        return
     kind = kinds[0]
     if kind == "Enum":
         vs = schema.get("valueSchema")
@@ -387,12 +404,41 @@ def _validate_schema_node(
         if not isinstance(evs, list) or not evs:
             v.append(f"{where}: Enum requires non-empty enumValues")
         else:
+            seen_ev_names: set[str] = set()
+            seen_ev_values: set[Any] = set()
             for ev in evs:
                 nm = (ev or {}).get("name") if isinstance(ev, dict) else None
                 if not isinstance(nm, str) or not _NAME_RE.match(nm):
                     v.append(f"{where}: enumValue name {nm!r} is not a valid identifier")
-                elif isinstance(ev, dict) and "enumValue" not in ev:
+                    continue
+                if nm in seen_ev_names:
+                    # DTDLParser: enumValue names unique within the Enum
+                    v.append(f"{where}: duplicate enumValue name '{nm}'")
+                seen_ev_names.add(nm)
+                if "enumValue" not in ev:
                     v.append(f"{where}: enumValue '{nm}' requires an enumValue")
+                    continue
+                val = ev["enumValue"]
+                # enumValue type must match valueSchema (DTDLParser
+                # rejects a string value under an integer Enum and
+                # vice versa)
+                if vs == "integer" and (
+                    not isinstance(val, int) or isinstance(val, bool)
+                ):
+                    v.append(
+                        f"{where}: enumValue '{nm}' must be an integer "
+                        "(valueSchema 'integer')"
+                    )
+                elif vs == "string" and not isinstance(val, str):
+                    v.append(
+                        f"{where}: enumValue '{nm}' must be a string "
+                        "(valueSchema 'string')"
+                    )
+                elif val in seen_ev_values:
+                    # enumValues unique within the Enum
+                    v.append(f"{where}: duplicate enumValue {val!r}")
+                if isinstance(val, (str, int)):
+                    seen_ev_values.add(val)
     elif kind == "Object":
         fields = schema.get("fields")
         if not isinstance(fields, list) or not fields:
@@ -404,11 +450,13 @@ def _validate_schema_node(
                     v.append(f"{where}: field name {nm!r} is not a valid identifier")
                 else:
                     _validate_schema_node(
-                        f.get("schema"), named_ids, f"{where}.{nm}", v, depth + 1
+                        f.get("schema"), named_ids, f"{where}.{nm}", v,
+                        depth + 1, max_depth,
                     )
     elif kind == "Array":
         _validate_schema_node(
-            schema.get("elementSchema"), named_ids, f"{where}[]", v, depth + 1
+            schema.get("elementSchema"), named_ids, f"{where}[]", v,
+            depth + 1, max_depth,
         )
     elif kind == "Map":
         mk, mv = schema.get("mapKey"), schema.get("mapValue")
@@ -418,8 +466,37 @@ def _validate_schema_node(
             v.append(f"{where}: Map requires a mapValue with a schema")
         else:
             _validate_schema_node(
-                mv.get("schema"), named_ids, f"{where}{{}}", v, depth + 1
+                mv.get("schema"), named_ids, f"{where}{{}}", v,
+                depth + 1, max_depth,
             )
+
+
+def _check_display_strings(node: dict[str, Any], where: str, v: list[str]) -> None:
+    """DTDL ``displayName``/``description``: a string or a localization
+    map of locale → string, with spec length caps of 64 and 512
+    characters per localized value respectively (DTDLParser enforces
+    both the shape and the caps)."""
+    for key, limit in (("displayName", 64), ("description", 512)):
+        val = node.get(key)
+        if val is None:
+            continue
+        if isinstance(val, str):
+            vals = [val]
+        elif isinstance(val, dict):
+            vals = []
+            for loc, s in val.items():
+                if not isinstance(loc, str) or not loc:
+                    v.append(f"{where}: {key} localization keys must be locale strings")
+                    continue
+                vals.append(s)
+        else:
+            v.append(f"{where}: {key} must be a string or a localization map")
+            continue
+        for s in vals:
+            if not isinstance(s, str):
+                v.append(f"{where}: {key} localized values must be strings")
+            elif len(s) > limit:
+                v.append(f"{where}: {key} exceeds the {limit}-character DTDL limit")
 
 
 def validate_model(
@@ -437,6 +514,10 @@ def validate_model(
     mid = doc.get("@id")
     if not isinstance(mid, str) or not _DTMI_RE.match(mid):
         v.append(f"@id {mid!r} is not a valid DTMI")
+    elif len(mid) > 128:
+        # DTDL spec: Interface identifiers are capped at 128 characters
+        # (other identifiers may run to 2048)
+        v.append("@id exceeds the 128-character Interface DTMI limit")
     if "Interface" not in _types_of(doc):
         v.append("@type must include 'Interface'")
     ctx = doc.get("@context")
@@ -444,8 +525,21 @@ def validate_model(
     if not any(c in _DTDL_CONTEXTS for c in ctxs):
         v.append("@context must include a dtmi:dtdl:context;2..4 version")
     has_qt = any(isinstance(c, str) and c.startswith(_QT_CONTEXT_PREFIX) for c in ctxs)
+    is_v2 = "dtmi:dtdl:context;2" in ctxs and not any(
+        c in ("dtmi:dtdl:context;3", "dtmi:dtdl:context;4") for c in ctxs
+    )
+    # complex-schema nesting limit: 5 levels under a v2 context, 8
+    # under v3/v4 (DTDL language spec limits)
+    max_depth = 5 if is_v2 else 8
 
-    for parent in extract_extends(doc):
+    _check_display_strings(doc, "interface", v)
+
+    parents = list(extract_extends(doc))
+    if is_v2 and len(parents) > 2:
+        # DTDL v2 spec: an Interface may extend at most two interfaces
+        # (the limit was lifted in v3)
+        v.append(f"extends lists {len(parents)} interfaces; DTDL v2 allows at most 2")
+    for parent in parents:
         if not _DTMI_RE.match(parent):
             v.append(f"extends {parent!r} is not a valid DTMI")
         elif known_ids is not None and parent not in known_ids:
@@ -466,7 +560,10 @@ def validate_model(
         named_ids.add(sid)
     for sch in doc.get("schemas", []) or []:
         if isinstance(sch, dict) and isinstance(sch.get("@id"), str):
-            _validate_schema_node(sch, named_ids, f"named schema '{sch['@id']}'", v)
+            _validate_schema_node(
+                sch, named_ids, f"named schema '{sch['@id']}'", v,
+                max_depth=max_depth,
+            )
 
     seen_names: set[str] = set()
     for item in doc.get("contents", []) or []:
@@ -486,11 +583,14 @@ def validate_model(
         if name in seen_names:
             v.append(f"duplicate content name '{name}'")
         seen_names.add(name)
+        _check_display_strings(item, where, v)
         if kind in ("Property", "Telemetry"):
             if item.get("schema") is None:
                 v.append(f"{where}: {kind} requires a schema")
             else:
-                _validate_schema_node(item["schema"], named_ids, where, v)
+                _validate_schema_node(
+                    item["schema"], named_ids, where, v, max_depth=max_depth
+                )
         if kind == "Command":
             # CommandRequest / CommandResponse payloads: named payload +
             # structurally valid schema (DTDLParser checks both)
@@ -508,7 +608,8 @@ def validate_model(
                     v.append(f"{where}: {side} requires a schema")
                 else:
                     _validate_schema_node(
-                        payload["schema"], named_ids, f"{where} {side}", v
+                        payload["schema"], named_ids, f"{where} {side}", v,
+                        max_depth=max_depth,
                     )
         if kind == "Component":
             cs = item.get("schema")
@@ -567,7 +668,8 @@ def validate_model(
                     v.append(f"{where}: relationship property '{pn}' requires a schema")
                 else:
                     _validate_schema_node(
-                        p["schema"], named_ids, f"{where}.{pn}", v
+                        p["schema"], named_ids, f"{where}.{pn}", v,
+                        max_depth=max_depth,
                     )
         # semantic types (co-types beyond the content kind)
         semantics = [k for k in kinds if k not in _CONTENT_KINDS]

@@ -753,6 +753,118 @@ def test_validate_model_named_schemas():
         ]))
 
 
+def test_validate_model_nesting_depth_limit():
+    """DTDL caps complex-schema nesting: 5 levels under a v2 context,
+    8 under v3 — exceeding the cap is a rejection (DTDLParser refuses
+    over-deep models; silently truncating the check would accept
+    them)."""
+    from pg_age_digitaltwins_spark.validation import validate_model
+
+    def nested(levels):
+        schema = "double"
+        for _ in range(levels):
+            schema = {"@type": "Array", "elementSchema": schema}
+        return schema
+
+    # v3: 8 levels OK, 9 rejected
+    validate_model(_interface(contents=[
+        {"@type": "Property", "name": "ok", "schema": nested(8)},
+    ]))
+    with pytest.raises(ValidationError, match="nesting exceeds the DTDL limit of 8"):
+        validate_model(_interface(contents=[
+            {"@type": "Property", "name": "deep", "schema": nested(9)},
+        ]))
+    # v2: 5 levels OK, 6 rejected
+    v2 = {"@context": "dtmi:dtdl:context;2"}
+    validate_model(_interface(contents=[
+        {"@type": "Property", "name": "ok", "schema": nested(5)},
+    ], **v2))
+    with pytest.raises(ValidationError, match="nesting exceeds the DTDL limit of 5"):
+        validate_model(_interface(contents=[
+            {"@type": "Property", "name": "deep", "schema": nested(6)},
+        ], **v2))
+
+
+def test_validate_model_enum_uniqueness_and_value_types():
+    """DTDLParser Enum rules: enumValue names unique, enumValues
+    unique, and each enumValue's type must match valueSchema."""
+    from pg_age_digitaltwins_spark.validation import validate_model
+
+    def enum_prop(value_schema, values):
+        return _interface(contents=[{
+            "@type": "Property", "name": "e",
+            "schema": {"@type": "Enum", "valueSchema": value_schema,
+                       "enumValues": values},
+        }])
+
+    validate_model(enum_prop("integer", [
+        {"name": "a", "enumValue": 1}, {"name": "b", "enumValue": 2},
+    ]))
+    with pytest.raises(ValidationError, match="duplicate enumValue name 'a'"):
+        validate_model(enum_prop("integer", [
+            {"name": "a", "enumValue": 1}, {"name": "a", "enumValue": 2},
+        ]))
+    with pytest.raises(ValidationError, match="duplicate enumValue 7"):
+        validate_model(enum_prop("integer", [
+            {"name": "a", "enumValue": 7}, {"name": "b", "enumValue": 7},
+        ]))
+    with pytest.raises(ValidationError, match="must be an integer"):
+        validate_model(enum_prop("integer", [{"name": "a", "enumValue": "x"}]))
+    with pytest.raises(ValidationError, match="must be a string"):
+        validate_model(enum_prop("string", [{"name": "a", "enumValue": 3}]))
+    # booleans are not integers in DTDL
+    with pytest.raises(ValidationError, match="must be an integer"):
+        validate_model(enum_prop("integer", [{"name": "a", "enumValue": True}]))
+
+
+def test_validate_model_display_strings():
+    """displayName ≤ 64 chars, description ≤ 512 chars, either a plain
+    string or a locale → string localization map (DTDL spec caps,
+    enforced per localized value; applies to the interface and to each
+    content entry)."""
+    from pg_age_digitaltwins_spark.validation import validate_model
+
+    validate_model(_interface(displayName="Room", description="d" * 512))
+    validate_model(_interface(displayName={"en": "Room", "de": "Zimmer"}))
+    with pytest.raises(ValidationError, match="displayName exceeds the 64"):
+        validate_model(_interface(displayName="x" * 65))
+    with pytest.raises(ValidationError, match="description exceeds the 512"):
+        validate_model(_interface(description="x" * 513))
+    with pytest.raises(ValidationError, match="displayName exceeds the 64"):
+        validate_model(_interface(displayName={"en": "ok", "de": "x" * 65}))
+    with pytest.raises(ValidationError, match="localized values must be strings"):
+        validate_model(_interface(displayName={"en": 3}))
+    with pytest.raises(ValidationError, match="must be a string or a localization"):
+        validate_model(_interface(displayName=["Room"]))
+    with pytest.raises(ValidationError, match="content 'p': displayName exceeds"):
+        validate_model(_interface(contents=[
+            {"@type": "Property", "name": "p", "schema": "double",
+             "displayName": "x" * 65},
+        ]))
+
+
+def test_validate_model_interface_id_length_and_v2_extends_limit():
+    """Interface DTMIs cap at 128 characters; a v2-context interface
+    may extend at most two interfaces (lifted in v3)."""
+    from pg_age_digitaltwins_spark.validation import validate_model
+
+    long_id = "dtmi:v:" + "x" * 125 + ";1"  # > 128 chars total
+    assert len(long_id) > 128
+    with pytest.raises(ValidationError, match="128-character"):
+        validate_model(_interface(**{"@id": long_id}))
+
+    three = ["dtmi:v:A;1", "dtmi:v:B;1", "dtmi:v:C;1"]
+    # v3: three extends fine (resolution skipped with known_ids=None)
+    validate_model(_interface(extends=three))
+    with pytest.raises(ValidationError, match="DTDL v2 allows at most 2"):
+        validate_model(
+            _interface(extends=three, **{"@context": "dtmi:dtdl:context;2"})
+        )
+    validate_model(
+        _interface(extends=three[:2], **{"@context": "dtmi:dtdl:context;2"})
+    )
+
+
 def test_validate_model_command_payloads():
     from pg_age_digitaltwins_spark.validation import validate_model
 
