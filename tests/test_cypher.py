@@ -239,6 +239,29 @@ def test_var_length_unbounded(fixture_store):
     ) == ["b1", "b2", "x"]
 
 
+def test_var_length_open_bounds_and_bare_alias(fixture_store):
+    """The remaining grammar variants from the reference's
+    ``VariableLengthEdgeTests.cs`` matrix: ``*..n`` (defaulted lower
+    bound), ``*n..`` (open upper bound), and an edge alias with no
+    label (``[r*..3]``) — all label-free forms traverse every
+    relationship name."""
+    # *..2 : lo defaults to 1
+    assert ids(
+        fixture_store,
+        "MATCH (a {`$dtId`: 'root2'})-[*..2]->(b) RETURN b.`$dtId` AS id",
+    ) == ["b1", "b2", "x"]
+    # *2.. : open upper bound, only depth-2+ targets
+    assert ids(
+        fixture_store,
+        "MATCH (a {`$dtId`: 'root2'})-[*2..]->(b) RETURN b.`$dtId` AS id",
+    ) == ["x"]
+    # alias without label
+    assert ids(
+        fixture_store,
+        "MATCH (a {`$dtId`: 'root2'})-[r*..3]->(b) RETURN b.`$dtId` AS id",
+    ) == ["b1", "b2", "x"]
+
+
 # --- C11/C12: label(), toLower/toString ------------------------------
 
 def test_label_function(fixture_store):
