@@ -58,6 +58,10 @@ class Request:
     body: Any = None
     query: dict[str, list[str]] = field(default_factory=dict)
     headers: dict[str, str] = field(default_factory=dict)
+    # authenticated principal's claims (the validated-JWT shape); None
+    # = anonymous.  Token validation itself is the host's job — the
+    # reference receives a ClaimsPrincipal the same way.
+    claims: dict[str, Any] | None = None
 
     def header(self, name: str) -> str | None:
         for k, v in self.headers.items():
@@ -212,11 +216,17 @@ class ApiService:
         rate_limiting: bool = False,
         limiter_clock=time.monotonic,
         health=None,
+        authorization=None,
     ):
         self.client = client
         self.jobs = jobs_mod.JobService()
         self._job_inputs: dict[str, str] = {}
         self.rate_limiting = rate_limiting
+        # optional authz.AuthorizationConfig — per-route permission
+        # requirements mirroring each endpoint's RequirePermission call
+        # (ServiceDefaults/Authorization); None = authorization off,
+        # every request allowed (the reference's Enabled=false mode)
+        self.authorization = authorization
         # optional StreamingHealthListener (streaming.sinks) — exposes
         # the reference's /health surface (ReplicationHealthCheck +
         # EventSinksHealthCheck aggregated by the ASP.NET host)
@@ -231,65 +241,87 @@ class ApiService:
             "admin": FixedWindowLimiter(50, window_s=60.0, clock=limiter_clock),
             "query": TokenBucketLimiter(clock=limiter_clock),
         }
-        self.routes: list[tuple[str, re.Pattern, Callable, str]] = []
+        # Per-route (resource, action) requirements mirror the
+        # reference's RequirePermission calls in
+        # {DigitalTwins,Relationships,Components,Telemetry,Query,
+        #  Models,ImportJob}Endpoints.cs; /health and the dev-surface
+        # graph admin routes are anonymous (the reference maps health
+        # checks outside the authorized group).
+        from pg_age_digitaltwins_spark import authz
+
+        TW, REL = authz.ResourceType.DIGITAL_TWINS, authz.ResourceType.RELATIONSHIPS
+        MOD, JOB = authz.ResourceType.MODELS, authz.ResourceType.JOBS_IMPORTS
+        QRY = authz.ResourceType.QUERY
+        RD, WR = authz.PermissionAction.READ, authz.PermissionAction.WRITE
+        DEL, ACT = authz.PermissionAction.DELETE, authz.PermissionAction.ACTION
+
+        self.routes: list[tuple[str, re.Pattern, Callable, str, Any]] = []
         r = self._route
         # --- twins (DigitalTwinsEndpoints.cs) ---
-        r("GET", f"/digitaltwins/(?P<id>{_SEG})", self.twin_get, "light")
-        r("PUT", f"/digitaltwins/(?P<id>{_SEG})", self.twin_put, "heavy")
-        r("PATCH", f"/digitaltwins/(?P<id>{_SEG})", self.twin_patch, "heavy")
-        r("DELETE", f"/digitaltwins/(?P<id>{_SEG})", self.twin_delete, "heavy")
-        r("POST", "/digitaltwins", self.twins_batch, "heavy")
-        r("POST", "/digitaltwins/search", self.twin_search, "light")
+        r("GET", f"/digitaltwins/(?P<id>{_SEG})", self.twin_get, "light", (TW, RD))
+        r("PUT", f"/digitaltwins/(?P<id>{_SEG})", self.twin_put, "heavy", (TW, WR))
+        r("PATCH", f"/digitaltwins/(?P<id>{_SEG})", self.twin_patch, "heavy", (TW, WR))
+        r("DELETE", f"/digitaltwins/(?P<id>{_SEG})", self.twin_delete, "heavy", (TW, DEL))
+        r("POST", "/digitaltwins", self.twins_batch, "heavy", (TW, WR))
+        r("POST", "/digitaltwins/search", self.twin_search, "light", (TW, RD))
         # --- relationships (RelationshipsEndpoints.cs) ---
         r(
             "GET",
             f"/digitaltwins/(?P<id>{_SEG})/relationships",
             self.rels_list,
             "light",
+            (REL, RD),
         )
         r(
             "GET",
             f"/digitaltwins/(?P<id>{_SEG})/incomingrelationships",
             self.rels_incoming,
             "light",
+            (REL, RD),
         )
         r(
             "GET",
             f"/digitaltwins/(?P<id>{_SEG})/relationships/(?P<rid>{_SEG})",
             self.rel_get,
             "light",
+            (REL, RD),
         )
         r(
             "PUT",
             f"/digitaltwins/(?P<id>{_SEG})/relationships/(?P<rid>{_SEG})",
             self.rel_put,
             "heavy",
+            (REL, WR),
         )
         r(
             "PATCH",
             f"/digitaltwins/(?P<id>{_SEG})/relationships/(?P<rid>{_SEG})",
             self.rel_patch,
             "heavy",
+            (REL, WR),
         )
         r(
             "DELETE",
             f"/digitaltwins/(?P<id>{_SEG})/relationships/(?P<rid>{_SEG})",
             self.rel_delete,
             "heavy",
+            (REL, DEL),
         )
-        r("POST", "/relationships", self.rels_batch, "heavy")
+        r("POST", "/relationships", self.rels_batch, "heavy", (REL, WR))
         # --- components (ComponentsEndpoints.cs) ---
         r(
             "GET",
             f"/digitaltwins/(?P<id>{_SEG})/components/(?P<name>{_SEG})",
             self.component_get,
             "light",
+            (TW, RD),
         )
         r(
             "PATCH",
             f"/digitaltwins/(?P<id>{_SEG})/components/(?P<name>{_SEG})",
             self.component_patch,
             "heavy",
+            (TW, WR),
         )
         # --- telemetry (TelemetryEndpoints.cs) ---
         r(
@@ -297,36 +329,43 @@ class ApiService:
             f"/digitaltwins/(?P<id>{_SEG})/telemetry",
             self.telemetry_post,
             "light",
+            (TW, WR),
         )
         r(
             "POST",
             f"/digitaltwins/(?P<id>{_SEG})/telemetry/components/(?P<name>{_SEG})",
             self.telemetry_component_post,
             "light",
+            (TW, WR),
         )
         # --- query (QueryEndpoints.cs) ---
-        r("POST", "/query", self.query_post, "query")
-        r("GET", "/health", self.health_get, "light")
+        r("POST", "/query", self.query_post, "query", (QRY, ACT))
+        r("GET", "/health", self.health_get, "light", None)
         # --- models (ModelsEndpoints.cs) ---
-        r("GET", "/models", self.models_list, "admin")
-        r("POST", "/models", self.models_create, "admin")
-        r("DELETE", "/models", self.models_delete_all, "admin")
-        r("POST", "/models/search", self.models_search, "admin")
-        r("GET", f"/models/(?P<id>{_SEG})", self.model_get, "admin")
-        r("DELETE", f"/models/(?P<id>{_SEG})", self.model_delete, "admin")
-        # --- import jobs (ImportJobEndpoints.cs) ---
+        r("GET", "/models", self.models_list, "admin", (MOD, RD))
+        r("POST", "/models", self.models_create, "admin", (MOD, WR))
+        r("DELETE", "/models", self.models_delete_all, "admin", (MOD, DEL))
+        r("POST", "/models/search", self.models_search, "admin", (MOD, RD))
+        r("GET", f"/models/(?P<id>{_SEG})", self.model_get, "admin", (MOD, RD))
+        r("DELETE", f"/models/(?P<id>{_SEG})", self.model_delete, "admin", (MOD, DEL))
         # --- graph admin (GraphEndpoints.cs; dev/test surface) ---
-        r("PUT", "/graph/create", self.graph_create, "admin")
-        r("DELETE", "/graph/delete", self.graph_delete, "admin")
-        r("PUT", f"/jobs/imports/(?P<id>{_SEG})", self.job_create, "admin")
-        r("GET", "/jobs/imports", self.jobs_list, "admin")
-        r("GET", f"/jobs/imports/(?P<id>{_SEG})", self.job_get, "admin")
-        r("POST", f"/jobs/imports/(?P<id>{_SEG})/cancel", self.job_cancel, "admin")
-        r("POST", f"/jobs/imports/(?P<id>{_SEG})/resume", self.job_resume, "admin")
-        r("DELETE", f"/jobs/imports/(?P<id>{_SEG})", self.job_delete, "admin")
+        r("PUT", "/graph/create", self.graph_create, "admin", None)
+        r("DELETE", "/graph/delete", self.graph_delete, "admin", None)
+        # --- import jobs (ImportJobEndpoints.cs) ---
+        r("PUT", f"/jobs/imports/(?P<id>{_SEG})", self.job_create, "admin", (JOB, WR))
+        r("GET", "/jobs/imports", self.jobs_list, "admin", (JOB, RD))
+        r("GET", f"/jobs/imports/(?P<id>{_SEG})", self.job_get, "admin", (JOB, RD))
+        r("POST", f"/jobs/imports/(?P<id>{_SEG})/cancel", self.job_cancel, "admin", (JOB, ACT))
+        r("POST", f"/jobs/imports/(?P<id>{_SEG})/resume", self.job_resume, "admin", (JOB, ACT))
+        r("DELETE", f"/jobs/imports/(?P<id>{_SEG})", self.job_delete, "admin", (JOB, DEL))
 
-    def _route(self, method: str, pattern: str, handler: Callable, policy: str):
-        self.routes.append((method, re.compile(f"^{pattern}$"), handler, policy))
+    def _route(
+        self, method: str, pattern: str, handler: Callable, policy: str, require=None
+    ):
+        from pg_age_digitaltwins_spark import authz
+
+        req_perm = authz.Permission(*require) if require is not None else None
+        self.routes.append((method, re.compile(f"^{pattern}$"), handler, policy, req_perm))
 
     # ------------------------------------------------------------------
     def handle(self, req: Request) -> Response:
@@ -334,23 +373,35 @@ class ApiService:
         POST /digitaltwins/search is not a twin id), then longest
         pattern."""
         candidates = []
-        for method, rx, handler, policy in self.routes:
+        for method, rx, handler, policy, require in self.routes:
             if method != req.method:
                 continue
             m = rx.match(req.path)
             if m:
                 # Fewer captured params = more literal = higher priority
-                candidates.append((len(m.groupdict()), -len(rx.pattern), handler, policy, m))
+                candidates.append(
+                    (len(m.groupdict()), -len(rx.pattern), handler, policy, require, m)
+                )
         if not candidates:
             return Response(404, {"title": "Not found", "status": 404})
         candidates.sort(key=lambda t: (t[0], t[1]))
-        _, _, handler, policy, m = candidates[0]
+        _, _, handler, policy, require, m = candidates[0]
         params = {k: urllib.parse.unquote(v) for k, v in m.groupdict().items()}
         if self.rate_limiting:
             if not self.limiters["global"].try_acquire():
                 return Response(429, {"title": "Too many requests", "status": 429})
             if policy != "query" and not self.limiters[policy].try_acquire():
                 return Response(429, {"title": "Too many requests", "status": 429})
+        if self.authorization is not None:
+            denied = self.authorization.check(req.claims, require)
+            if denied == 401:
+                return Response(401, {"title": "Unauthorized", "status": 401})
+            if denied == 403:
+                return Response(
+                    403,
+                    {"title": "Forbidden", "status": 403,
+                     "detail": f"Missing permission '{require}'"},
+                )
         try:
             return handler(req, **params)
         except crud.PreconditionFailedError as exc:
