@@ -414,6 +414,68 @@ def test_keyset_pagination_duplicate_boundary(client):
     assert seen == [1] * total
 
 
+def test_underscore_alias(client):
+    """``SELECT _ FROM DIGITALTWINS _`` — underscore is a legal alias
+    (``QueryTests.cs::QueryAsync_SimpleAdtQueryWithUnderscore_ReturnsTwins``)."""
+    rows = client.query(
+        "SELECT _ FROM DIGITALTWINS _ "
+        "WHERE _.$metadata.$model = 'dtmi:com:adt:dtsample:room;1'"
+    ).rows
+    assert len(rows) == 10
+    assert all("$dtId" in r["_"] for r in rows)
+
+
+def test_pagination_vs_explicit_limit_interplay(client):
+    """The reference's pagination×LIMIT matrix
+    (``QueryTests.cs::QueryAsync_Pagination_Handles{Smaller,Bigger}
+    LimitInQuery`` / ``HandlesSkipAndLimitInQuery``): a query LIMIT
+    smaller than the page size caps the total (one short page, no
+    token); a LIMIT bigger than the page size spreads across pages but
+    still caps the total; SKIP composes with both."""
+    # LIMIT 3 < page 10 → one page of 3, no continuation
+    p = client.query(
+        "MATCH (n) RETURN n.`$dtId` AS id ORDER BY id LIMIT 3",
+        max_items_per_page=10,
+    )
+    assert len(p.rows) == 3 and p.continuation_token is None
+
+    # LIMIT 8 > page 3 → pages of 3/3/2, 8 unique rows total
+    q = "MATCH (n) RETURN n.`$dtId` AS id ORDER BY id LIMIT 8"
+    seen, token = [], None
+    while True:
+        page = client.query(q, max_items_per_page=3, continuation_token=token)
+        seen += [r["id"] for r in page.rows]
+        token = page.continuation_token
+        if not token:
+            break
+    assert len(seen) == 8 and len(set(seen)) == 8 and seen == sorted(seen)
+
+    # SKIP 2 LIMIT 8 → same walk starts at the 3rd id
+    all_ids = sorted(
+        r["id"] for r in client.query("MATCH (n) RETURN n.`$dtId` AS id").rows
+    )
+    q2 = "MATCH (n) RETURN n.`$dtId` AS id ORDER BY id SKIP 2 LIMIT 8"
+    seen2, token = [], None
+    while True:
+        page = client.query(q2, max_items_per_page=3, continuation_token=token)
+        seen2 += [r["id"] for r in page.rows]
+        token = page.continuation_token
+        if not token:
+            break
+    assert seen2 == all_ids[2:10]
+
+    # keyset path (no ORDER BY) with an explicit LIMIT still caps the total
+    q3 = "MATCH (n) RETURN n.`$dtId` AS id LIMIT 6"
+    seen3, token = [], None
+    while True:
+        page = client.query(q3, max_items_per_page=4, continuation_token=token)
+        seen3 += [r["id"] for r in page.rows]
+        token = page.continuation_token
+        if not token:
+            break
+    assert len(seen3) == 6 and len(set(seen3)) == 6
+
+
 def test_keyset_relationship_pages_with_duplicate_rel_ids(spark):
     """ADT guarantees $relationshipId uniqueness only PER SOURCE twin —
     the same id may repeat across sources.  Relationship keyset must
