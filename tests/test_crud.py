@@ -287,6 +287,49 @@ def test_model_create_duplicate(client):
         client.create_models([MODELS[0]])
 
 
+def test_weird_characters_round_trip(client):
+    """Values with quotes, escapes, newlines, emoji, and Cypher-looking
+    strings survive create/patch/read unchanged
+    (``DigitalTwinsTests.cs::...WithWeirdcharacters...`` and
+    ``UpdateDigitalTwinAsync_AddQueryWithSpecialCharacters_*``)."""
+    weird = "A 'description' \"with a\n\rfew weird \U0001F47D '/\\characters."
+    client.create_or_replace_digital_twin(
+        "weird1", {**make_twin(temperature=1.0), "name": weird}, ts=TS
+    )
+    assert client.get_digital_twin("weird1")["name"] == weird
+
+    query_value = (
+        "MATCH (current:Twin)-[*1..2]->(T:Twin) WHERE current['$dtId']= "
+        "'@_selectedId' AND (digitaltwins.is_of_model(T,'dtmi:com:x:Asset;1')) "
+        "RETURN T.$dtId as Id, T.name as Name  ORDER BY Name ASC"
+    )
+    client.update_digital_twin(
+        "weird1", [{"op": "add", "path": "/name", "value": query_value}]
+    )
+    got = client.get_digital_twin("weird1")["name"]
+    assert got == query_value
+    assert "'$dtId'" in got and "'dtmi:com:x:Asset;1'" in got
+
+
+def test_source_time_metadata_patch(client):
+    """A patch writing ``/$metadata/<prop>/sourceTime`` persists beside
+    the engine-stamped lastUpdateTime
+    (``DigitalTwinsTests.cs::UpdateDigitalTwinAsync_SourceTime_Updated``;
+    stamping preserves caller-supplied metadata keys)."""
+    client.create_or_replace_digital_twin(
+        "st1", {**make_twin(temperature=1.0), "name": "Earth"}, ts=TS
+    )
+    src = "2026-08-14T00:00:00.0000000Z"
+    client.update_digital_twin("st1", [
+        {"op": "add", "path": "/name", "value": "Earth 3"},
+        {"op": "add", "path": "/$metadata/name/sourceTime", "value": src},
+    ])
+    t = client.get_digital_twin("st1")
+    assert t["name"] == "Earth 3"
+    assert t["$metadata"]["name"]["sourceTime"] == src
+    assert "lastUpdateTime" in t["$metadata"]["name"]
+
+
 def test_descendants_updated_when_derived_models_created_later(spark):
     """Closure columns recompute on every create batch: a base created
     alone has no descendants; descendants accumulate as derived models
