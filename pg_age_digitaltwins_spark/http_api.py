@@ -358,6 +358,13 @@ class ApiService:
         r("POST", f"/jobs/imports/(?P<id>{_SEG})/cancel", self.job_cancel, "admin", (JOB, ACT))
         r("POST", f"/jobs/imports/(?P<id>{_SEG})/resume", self.job_resume, "admin", (JOB, ACT))
         r("DELETE", f"/jobs/imports/(?P<id>{_SEG})", self.job_delete, "admin", (JOB, DEL))
+        # --- deletion jobs (AgeDigitalTwinsClient.Jobs.cs:460-580;
+        #     ADT /jobs/deletions surface, ResourceType.JobsDeletions) ---
+        JOBD = authz.ResourceType.JOBS_DELETIONS
+        r("PUT", f"/jobs/deletions/(?P<id>{_SEG})", self.delete_job_create, "admin", (JOBD, WR))
+        r("GET", "/jobs/deletions", self.delete_jobs_list, "admin", (JOBD, RD))
+        r("GET", f"/jobs/deletions/(?P<id>{_SEG})", self.delete_job_get, "admin", (JOBD, RD))
+        r("DELETE", f"/jobs/deletions/(?P<id>{_SEG})", self.delete_job_remove, "admin", (JOBD, DEL))
 
     def _route(
         self, method: str, pattern: str, handler: Callable, policy: str, require=None
@@ -666,7 +673,7 @@ class ApiService:
     # import jobs
     # ------------------------------------------------------------------
     def _job_json(self, rec: jobs_mod.JobRecord) -> dict[str, Any]:
-        return {
+        out = {
             "id": rec.id,
             "status": rec.status,
             "modelsCreated": rec.models_created,
@@ -675,6 +682,17 @@ class ApiService:
             "errorCount": rec.error_count,
             "errors": rec.errors,
         }
+        if rec.job_type == "deletion":
+            out = {
+                "id": rec.id,
+                "status": rec.status,
+                "relationshipsDeleted": rec.relationships_deleted,
+                "twinsDeleted": rec.twins_deleted,
+                "modelsDeleted": rec.models_deleted,
+                "errorCount": rec.error_count,
+                "errors": rec.errors,
+            }
+        return out
 
     def job_create(self, req: Request, id: str) -> Response:
         body = req.body or {}
@@ -755,6 +773,36 @@ class ApiService:
         del self.jobs.records[id]
         self.jobs.checkpoints.pop(id, None)
         self._job_inputs.pop(id, None)
+        return Response(204)
+
+    # --- deletion jobs -------------------------------------------------
+    def delete_job_create(self, req: Request, id: str) -> Response:
+        if id in self.jobs.records:
+            return _problem(409, ValueError(f"Job with ID '{id}' already exists."))
+        job = jobs_mod.DeleteJob(self.client, self.jobs)
+        rec = job.run(id)
+        return Response(201, self._job_json(rec))
+
+    def delete_jobs_list(self, req: Request) -> Response:
+        rows = [
+            self._job_json(r)
+            for r in self.jobs.records.values()
+            if r.job_type == "deletion"
+        ]
+        return Response(200, _page_rows(rows, req))
+
+    def delete_job_get(self, req: Request, id: str) -> Response:
+        rec = self.jobs.records.get(id)
+        if rec is None or rec.job_type != "deletion":
+            return _problem(404, KeyError(id))
+        return Response(200, self._job_json(rec))
+
+    def delete_job_remove(self, req: Request, id: str) -> Response:
+        rec = self.jobs.records.get(id)
+        if rec is None or rec.job_type != "deletion":
+            return _problem(404, KeyError(id))
+        del self.jobs.records[id]
+        self.jobs.drop_delete_checkpoint(id)
         return Response(204)
 
 

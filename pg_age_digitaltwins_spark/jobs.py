@@ -57,6 +57,27 @@ class JobRecord:
     relationships_created: int = 0
     error_count: int = 0
     errors: list[dict[str, Any]] = field(default_factory=list)
+    # deletion-job counters (``DeleteJobCheckpoint.cs:29-39`` surface)
+    models_deleted: int = 0
+    twins_deleted: int = 0
+    relationships_deleted: int = 0
+
+
+@dataclass
+class DeleteJobCheckpoint:
+    """``DeleteJobCheckpoint.cs``: phase cursor + per-phase counters and
+    completion flags, enough to resume a killed delete job at its
+    phase boundary (relationships → twins → models)."""
+
+    job_id: str
+    section: str = "Relationships"  # Relationships | Twins | Models | Completed
+    relationships_deleted: int = 0
+    twins_deleted: int = 0
+    models_deleted: int = 0
+    error_count: int = 0
+    relationships_completed: bool = False
+    twins_completed: bool = False
+    models_completed: bool = False
 
 
 class FileLeaseStore:
@@ -135,10 +156,62 @@ class JobService:
 
         self.records: dict[str, JobRecord] = {}
         self.checkpoints: dict[str, ImportCheckpoint] = {}
+        self.delete_checkpoints: dict[str, DeleteJobCheckpoint] = {}
         self.locks: dict[str, tuple[str, float]] = {}  # job_id -> (owner, expiry)
         self.lock_ttl_s = lock_ttl_s
         self.lease_store = lease_store
         self.clock = clock or (_time.time if lease_store is not None else _time.monotonic)
+
+    # -- delete-job checkpoints (durable when a lease store is present,
+    #    so a restarted JobService resumes where the dead one stopped —
+    #    DeleteJobCheckpointTests.cs::..._ShouldSurvive_JobServiceRestart)
+    def _delete_cp_file(self, job_id: str) -> str | None:
+        import os
+
+        if self.lease_store is None:
+            return None
+        return os.path.join(self.lease_store.path, f"{job_id}.delete.cp.json")
+
+    def save_delete_checkpoint(self, cp: DeleteJobCheckpoint) -> None:
+        import dataclasses
+        import os
+        import uuid
+
+        self.delete_checkpoints[cp.job_id] = cp
+        path = self._delete_cp_file(cp.job_id)
+        if path is None:
+            return
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(dataclasses.asdict(cp), f)
+        os.rename(tmp, path)
+
+    def load_delete_checkpoint(self, job_id: str) -> DeleteJobCheckpoint | None:
+        cp = self.delete_checkpoints.get(job_id)
+        if cp is not None:
+            return cp
+        path = self._delete_cp_file(job_id)
+        if path is None:
+            return None
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+        cp = DeleteJobCheckpoint(**d)
+        self.delete_checkpoints[job_id] = cp
+        return cp
+
+    def drop_delete_checkpoint(self, job_id: str) -> None:
+        import os
+
+        self.delete_checkpoints.pop(job_id, None)
+        path = self._delete_cp_file(job_id)
+        if path is not None:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
 
     def acquire_lock(self, job_id: str, owner: str) -> bool:
         """Take (or renew) the lease; a lock held by another owner is
@@ -662,9 +735,10 @@ def _emit_import_changes(
 # ----------------------------------------------------------------------
 
 def delete_job(client: DigitalTwinsSparkClient) -> dict[str, int]:
-    """DeleteJob: all relationships, then twins, then models (the
-    reference loops ``MATCH ... LIMIT n`` deletes; an immutable-snapshot
-    store replaces each table wholesale — trivially parallel)."""
+    """DeleteJob (one-shot form): all relationships, then twins, then
+    models (the reference loops ``MATCH ... LIMIT n`` deletes; an
+    immutable-snapshot store replaces each table wholesale — trivially
+    parallel)."""
     from pg_age_digitaltwins_spark.store.graph_store import GraphStore
 
     store = client.store
@@ -676,3 +750,75 @@ def delete_job(client: DigitalTwinsSparkClient) -> dict[str, int]:
     client.store = GraphStore.empty(store.spark)
     client._registry = None
     return counts
+
+
+class DeleteJob:
+    """Checkpointed delete job (``DeleteJob.cs::ExecuteWithCheckpointAsync``
+    + ``ProcessDeleteWithCheckpointAsync``, ``:195-245``): three phases
+    — relationships, twins, models — each a wholesale table swap in the
+    snapshot store (the Spark-idiomatic form of the reference's batched
+    LIMIT-delete loops), with the checkpoint saved at every phase
+    boundary so a killed job resumes at its phase, under the same
+    lease-lock contract as imports."""
+
+    def __init__(self, client: DigitalTwinsSparkClient, job_service: JobService):
+        self.client = client
+        self.jobs = job_service
+
+    def _phase_hook(self, section: str) -> None:
+        """Test seam: raising here simulates a crash inside a phase."""
+
+    def run(self, job_id: str, owner: str = "worker-1") -> JobRecord:
+        from pg_age_digitaltwins_spark import crud
+        from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+        if not self.jobs.acquire_lock(job_id, owner):
+            raise RuntimeError(f"Delete job {job_id} is locked by another worker")
+        rec = self.jobs.records.get(job_id)
+        if rec is None or rec.job_type != "deletion":
+            rec = JobRecord(id=job_id, job_type="deletion")
+            self.jobs.records[job_id] = rec
+        rec.status = "Running"
+        cp = self.jobs.load_delete_checkpoint(job_id) or DeleteJobCheckpoint(job_id)
+        store = self.client.store
+        try:
+            if not cp.relationships_completed:
+                self._phase_hook("Relationships")
+                cp.relationships_deleted = store.relationships.count()
+                store = crud._replace(
+                    store, relationships=store.relationships.limit(0)
+                )
+                self.client._swap(store)
+                cp.relationships_completed = True
+                cp.section = "Twins"
+                self.jobs.save_delete_checkpoint(cp)
+            if not cp.twins_completed:
+                self._phase_hook("Twins")
+                cp.twins_deleted = store.twins.count()
+                store = crud._replace(store, twins=store.twins.limit(0))
+                self.client._swap(store)
+                cp.twins_completed = True
+                cp.section = "Models"
+                self.jobs.save_delete_checkpoint(cp)
+            if not cp.models_completed:
+                self._phase_hook("Models")
+                cp.models_deleted = store.models.count()
+                self.client._swap(GraphStore.empty(store.spark))
+                self.client._registry = None
+                cp.models_completed = True
+                cp.section = "Completed"
+                self.jobs.save_delete_checkpoint(cp)
+            rec.status = "Succeeded"
+        except Exception as exc:  # noqa: BLE001 — failed phase: resumable
+            cp.error_count += 1
+            rec.status = "Failed"
+            rec.errors.append({"error": str(exc), "section": cp.section})
+            self.jobs.save_delete_checkpoint(cp)
+            return rec
+        finally:
+            rec.relationships_deleted = cp.relationships_deleted
+            rec.twins_deleted = cp.twins_deleted
+            rec.models_deleted = cp.models_deleted
+            rec.error_count = cp.error_count
+            self.jobs.release_lock(job_id, owner)
+        return rec

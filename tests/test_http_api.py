@@ -462,6 +462,34 @@ def test_import_job_routes(spark, tmp_path):
     assert svc.handle(Request("POST", "/jobs/imports/nope/cancel")).status == 404
 
 
+def test_delete_job_routes(spark, tmp_path):
+    """/jobs/deletions: create runs the phased delete job and answers
+    the deletion counters; get/list/remove follow the import-job
+    contract (AgeDigitalTwinsClient.Jobs.cs:460-580 surface)."""
+    svc = ApiService(DigitalTwinsSparkClient(GraphStore.empty(spark)))
+    path = _import_file(tmp_path)
+    svc.handle(Request("PUT", "/jobs/imports/imp1",
+                       body={"inputBlobUri": f"file://{path}"}))
+    created = svc.handle(Request("PUT", "/jobs/deletions/djob1"))
+    assert created.status == 201, created.body
+    assert created.body["status"] == "Succeeded"
+    assert created.body["twinsDeleted"] == 3
+    assert created.body["relationshipsDeleted"] == 0  # no rel section in fixture
+    assert created.body["modelsDeleted"] == 1
+    # graph is empty afterwards
+    assert svc.handle(Request("GET", "/digitaltwins/i0")).status == 404
+
+    assert svc.handle(Request("PUT", "/jobs/deletions/djob1")).status == 409
+    got = svc.handle(Request("GET", "/jobs/deletions/djob1"))
+    assert got.status == 200 and got.body["id"] == "djob1"
+    listed = svc.handle(Request("GET", "/jobs/deletions"))
+    assert [j["id"] for j in listed.body["value"]] == ["djob1"]
+    # import jobs do not leak into the deletions listing (and vice versa)
+    assert svc.handle(Request("GET", "/jobs/deletions/imp1")).status == 404
+    assert svc.handle(Request("DELETE", "/jobs/deletions/djob1")).status == 204
+    assert svc.handle(Request("GET", "/jobs/deletions/djob1")).status == 404
+
+
 # ----------------------------------------------------------------------
 # rate limiting
 # ----------------------------------------------------------------------

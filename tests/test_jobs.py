@@ -127,6 +127,95 @@ def test_delete_job(client):
     assert client.store.models.count() == 0
 
 
+def test_checkpointed_delete_job_full_run(client):
+    """Phased delete (relationships → twins → models), counters on the
+    record, checkpoint marked Completed (``DeleteJob.cs:195-245``)."""
+    from pg_age_digitaltwins_spark.jobs import DeleteJob
+
+    ImportJob(client).run(full_file(4), "imp")
+    svc = JobService()
+    rec = DeleteJob(client, svc).run("del-1")
+    assert rec.status == "Succeeded" and rec.job_type == "deletion"
+    assert (rec.relationships_deleted, rec.twins_deleted, rec.models_deleted) == (4, 4, 1)
+    assert client.store.twins.count() == 0
+    assert client.store.relationships.count() == 0
+    assert client.store.models.count() == 0
+    assert svc.load_delete_checkpoint("del-1").section == "Completed"
+
+
+def test_checkpointed_delete_job_resumes_at_phase(client):
+    """A crash inside the twins phase leaves relationships completed in
+    the checkpoint; the resumed run skips phase 1 (its counter is
+    preserved, not recounted against the now-empty table) and finishes
+    twins + models."""
+    from pg_age_digitaltwins_spark.jobs import DeleteJob
+
+    ImportJob(client).run(full_file(5), "imp")
+    svc = JobService()
+
+    class _Crashing(DeleteJob):
+        def _phase_hook(self, section):
+            if section == "Twins":
+                raise RuntimeError("killed mid-job")
+
+    rec = _Crashing(client, svc).run("del-2")
+    assert rec.status == "Failed"
+    cp = svc.load_delete_checkpoint("del-2")
+    assert cp.relationships_completed and not cp.twins_completed
+    assert cp.relationships_deleted == 5
+    assert client.store.relationships.count() == 0  # phase 1 applied
+    assert client.store.twins.count() == 5  # phase 2 not yet
+
+    rec2 = DeleteJob(client, svc).run("del-2")
+    assert rec2.status == "Succeeded"
+    # phase-1 counter preserved across the resume, not recounted as 0
+    assert rec2.relationships_deleted == 5
+    assert (rec2.twins_deleted, rec2.models_deleted) == (5, 1)
+    assert client.store.twins.count() == 0 and client.store.models.count() == 0
+
+
+def test_delete_checkpoint_survives_service_restart(client, tmp_path):
+    """With a durable lease store, a NEW JobService instance loads the
+    dead service's delete checkpoint from disk
+    (``DeleteJobCheckpointTests.cs::DeleteJobCheckpoint_ShouldSurvive_
+    JobServiceRestart``)."""
+    from pg_age_digitaltwins_spark.jobs import DeleteJob, FileLeaseStore
+
+    ImportJob(client).run(full_file(3), "imp")
+    store_path = str(tmp_path / "leases")
+    svc1 = JobService(lease_store=FileLeaseStore(store_path))
+
+    class _Crashing(DeleteJob):
+        def _phase_hook(self, section):
+            if section == "Models":
+                raise RuntimeError("killed before models")
+
+    rec = _Crashing(client, svc1).run("del-3")
+    assert rec.status == "Failed"
+
+    # fresh service on the same path (restart): checkpoint comes back
+    svc2 = JobService(lease_store=FileLeaseStore(store_path))
+    cp = svc2.load_delete_checkpoint("del-3")
+    assert cp is not None and cp.twins_completed and not cp.models_completed
+    rec2 = DeleteJob(client, svc2).run("del-3")
+    assert rec2.status == "Succeeded"
+    assert (rec2.relationships_deleted, rec2.twins_deleted, rec2.models_deleted) == (3, 3, 1)
+
+
+def test_delete_job_lock_contention(client):
+    """A second worker cannot run the job while the first holds the
+    lease (same contract as import locks)."""
+    from pg_age_digitaltwins_spark.jobs import DeleteJob
+
+    ImportJob(client).run(full_file(2), "imp")
+    svc = JobService()
+    assert svc.acquire_lock("del-4", "other-worker")
+    with pytest.raises(RuntimeError, match="locked by another worker"):
+        DeleteJob(client, svc).run("del-4", owner="worker-1")
+    svc.release_lock("del-4", "other-worker")
+    assert DeleteJob(client, svc).run("del-4").status == "Succeeded"
+
+
 def _strip_stamps(doc):
     d = {k: v for k, v in doc.items() if k not in ("$etag", "$metadata")}
     meta = {k: v for k, v in (doc.get("$metadata") or {}).items() if k == "$model"}
