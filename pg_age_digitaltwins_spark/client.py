@@ -331,14 +331,31 @@ class DigitalTwinsSparkClient:
         layout instead of the mutation plan chain.  Raises
         ``CommitConflict`` (buffered events retained) if another writer
         committed first — reload, rebase, retry."""
-        from pg_age_digitaltwins_spark.store.commit_log import commit_snapshot
+        from pg_age_digitaltwins_spark.store.commit_log import (
+            CommitLog,
+            changed_partitions_from_events,
+            commit_cow,
+            commit_snapshot,
+            load_latest,
+        )
 
         events = list(self.changes.events)
-        version = commit_snapshot(self.store, root, events=events or None)
+        # Copy-on-write when the buffered events fully describe what
+        # changed since the base version: rewrite O(touched partitions)
+        # instead of the whole table set.  An empty buffer means the
+        # mutations were captured out-of-band (feed mode / distributed
+        # import), so only the full snapshot is provably consistent.
+        if events and CommitLog(root).latest_version() > 0:
+            version = commit_cow(
+                self.store,
+                root,
+                changed=changed_partitions_from_events(events),
+                events=events,
+            )
+        else:
+            version = commit_snapshot(self.store, root, events=events or None)
         # Only drop the buffered events once the commit is durable.
         self.changes.events.clear()
-        from pg_age_digitaltwins_spark.store.commit_log import load_latest
-
         store, _ = load_latest(self.store.spark, root)
         self._swap(store)
         return version

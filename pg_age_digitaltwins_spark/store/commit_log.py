@@ -50,9 +50,9 @@ import uuid
 from dataclasses import dataclass
 from typing import Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+from pg_age_digitaltwins_spark.store.graph_store import GraphStore, with_vdoc
 from pg_age_digitaltwins_spark.streaming.changes import (
     EVENT_DATA_SCHEMA,
     EventData,
@@ -174,6 +174,47 @@ def _stage_events_df(events: DataFrame, stage: str) -> int:
     return -1  # unknown without an extra count job; manifest records -1
 
 
+def _stage_change_batch(
+    log: CommitLog, events: Sequence[EventData] | DataFrame | None
+) -> tuple[str | None, int]:
+    if events is None:
+        return None, 0
+    stage = os.path.join(log.changes_dir, f".stage-{uuid.uuid4().hex[:8]}")
+    if isinstance(events, DataFrame):
+        return stage, _stage_events_df(events, stage)
+    return stage, _stage_events_list(list(events), stage)
+
+
+_PARTITION_COLS = {"twins": "model_id", "relationships": "name"}
+_PLAIN_TABLES = ("models", "model_edges")
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _list_parts(root: str, table_rel: str) -> dict[str, str]:
+    """Partition-dir name (``model_id=X``) → repo-relative path, for a
+    hive-partitioned table directory just written."""
+    abs_dir = os.path.join(root, table_rel)
+    out = {}
+    if os.path.isdir(abs_dir):
+        for name in os.listdir(abs_dir):
+            if "=" in name and not name.startswith(("_", ".")):
+                out[name] = os.path.join(table_rel, name)
+    return out
+
+
+def _tables_manifest(root: str, snap_rel: str) -> dict:
+    """The format-2 ``tables`` entry for a full snapshot directory:
+    per-partition references for the partitioned tables (so later
+    copy-on-write commits can carry unchanged partitions forward) and
+    whole-dir references for the tiny dims."""
+    tables: dict[str, dict] = {}
+    for table in _PARTITION_COLS:
+        tables[table] = {"parts": _list_parts(root, os.path.join(snap_rel, table))}
+    for table in _PLAIN_TABLES:
+        tables[table] = {"dir": os.path.join(snap_rel, table)}
+    return tables
+
+
 def commit_snapshot(
     store: GraphStore,
     root: str,
@@ -196,19 +237,14 @@ def commit_snapshot(
     snap_dir = os.path.join(root, snap_rel)
     store.save(snap_dir)
 
-    stage = None
-    n_events = 0
-    if events is not None:
-        stage = os.path.join(log.changes_dir, f".stage-{uuid.uuid4().hex[:8]}")
-        if isinstance(events, DataFrame):
-            n_events = _stage_events_df(events, stage)
-        else:
-            n_events = _stage_events_list(list(events), stage)
+    stage, n_events = _stage_change_batch(log, events)
 
     manifest = {
         "version": version,
         "base_version": base,
+        "format": 2,
         "data_dir": snap_rel,
+        "tables": _tables_manifest(root, snap_rel),
         "change_dir": os.path.join("changes", tag) if stage is not None else None,
         "n_events": n_events,
         "writer": writer or f"pid-{os.getpid()}",
@@ -229,6 +265,199 @@ def commit_snapshot(
     return version
 
 
+# Hive's escapePathName charset (Spark ExternalCatalogUtils): partition
+# VALUES are percent-escaped in directory names, so manifest part keys
+# must use the same escaping to line up with what save() wrote.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(32)}
+
+
+def _escape_part_value(v: str) -> str:
+    return "".join(f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in v)
+
+
+def _part_key(table: str, value) -> str:
+    col = _PARTITION_COLS[table]
+    return f"{col}={_HIVE_NULL if value is None else _escape_part_value(str(value))}"
+
+
+def commit_cow(
+    store: GraphStore,
+    root: str,
+    changed: dict[str, object],
+    events: Sequence[EventData] | DataFrame | None = None,
+    base_version: int | None = None,
+    writer: str | None = None,
+) -> int:
+    """Copy-on-write commit: rewrite ONLY the touched partitions.
+
+    ``commit_snapshot`` rewrites the full table set per commit — fine
+    for a test store, absurd at 100 TB (a one-twin update would copy
+    the world; Delta never does this, and neither does the reference,
+    whose Postgres MERGE touches one heap row).  This is the
+    Delta-equivalent path: the manifest references every partition of
+    the base version EXCEPT those the caller declares changed, which
+    are written fresh from ``store``.  Write volume is
+    O(changed partitions), not O(table).
+
+    ``changed`` maps table → what changed:
+
+    * ``"twins"`` / ``"relationships"``: an iterable of partition
+      values (``model_id`` / ``name``; ``None`` = the null partition).
+      A declared value whose partition no longer holds rows is a
+      partition DELETE (dropped from the manifest).
+    * ``"models"`` / ``"model_edges"``: truthy = rewrite the (tiny)
+      dim, absent/falsy = carry the base dir forward.
+
+    The caller (CRUD layer / import job) always knows the touched set —
+    it is exactly the mutation's own key set.  Concurrency contract is
+    identical to ``commit_snapshot``: stage everything, then the
+    version CAS decides; the loser cleans up, reloads, rebases.
+    """
+    log = CommitLog(root)
+    base = log.latest_version() if base_version is None else base_version
+    if base == 0:
+        # no base to reference — a COW of nothing is a full snapshot
+        return commit_snapshot(store, root, events, base_version, writer)
+    base_manifest = log.manifest(base)
+    base_tables = base_manifest.get("tables") or _tables_manifest(
+        root, base_manifest["data_dir"]
+    )
+
+    version = base + 1
+    tag = f"{version:0{_VERSION_DIGITS}d}"
+    snap_rel = os.path.join("data", f"{tag}-{uuid.uuid4().hex[:8]}")
+    snap_dir = os.path.join(root, snap_rel)
+
+    tables: dict[str, dict] = {}
+    wrote_any = False
+    for table in _PARTITION_COLS:
+        col = _PARTITION_COLS[table]
+        values = changed.get(table)
+        parts = dict(base_tables[table]["parts"])
+        if values:
+            values = list(values)
+            keys = {_part_key(table, v) for v in values}
+            cond = F.col(col).isin([v for v in values if v is not None])
+            if any(v is None for v in values):
+                cond = cond | F.col(col).isNull()
+            df = getattr(store, table)
+            table_rel = os.path.join(snap_rel, table)
+            with_vdoc(df).filter(cond).write.partitionBy(col).parquet(
+                os.path.join(root, table_rel)
+            )
+            wrote_any = True
+            fresh = _list_parts(root, table_rel)
+            # base refs for declared keys drop; empty results = deletes
+            parts = {k: p for k, p in parts.items() if k not in keys}
+            parts.update(fresh)
+        tables[table] = {"parts": parts}
+    for table in _PLAIN_TABLES:
+        if changed.get(table):
+            table_rel = os.path.join(snap_rel, table)
+            getattr(store, table).write.parquet(os.path.join(root, table_rel))
+            wrote_any = True
+            tables[table] = {"dir": table_rel}
+        else:
+            tables[table] = {"dir": base_tables[table]["dir"]}
+
+    stage, n_events = _stage_change_batch(log, events)
+    manifest = {
+        "version": version,
+        "base_version": base,
+        "format": 2,
+        "data_dir": None,  # COW commits have no single snapshot dir
+        "tables": tables,
+        "change_dir": os.path.join("changes", tag) if stage is not None else None,
+        "n_events": n_events,
+        "writer": writer or f"pid-{os.getpid()}",
+    }
+    try:
+        log.try_commit(version, manifest)
+    except CommitConflict:
+        if wrote_any:
+            shutil.rmtree(snap_dir, ignore_errors=True)
+        if stage is not None:
+            shutil.rmtree(stage, ignore_errors=True)
+        raise
+    if stage is not None:
+        os.rename(stage, os.path.join(root, manifest["change_dir"]))
+        _fsync_dir(log.changes_dir)
+    return version
+
+
+def _read_parts(
+    spark: SparkSession,
+    root: str,
+    parts: dict[str, str],
+    schema,
+    partition_col: str,
+) -> DataFrame:
+    """Assemble a partitioned table from per-partition references that
+    may span several snapshot directories (the COW read path).
+
+    Partition dirs are grouped by their parent table dir and each group
+    is read with ``basePath`` = that parent, so Spark recovers the
+    partition column from the directory names; groups union together.
+    The union width is O(number of contributing versions), not
+    O(partitions) — and a periodic full ``commit_snapshot`` (the
+    compaction equivalent) resets it to 1."""
+    from pg_age_digitaltwins_spark.store.graph_store import with_vdoc as _wv
+
+    cols = [f.name for f in schema.fields] + ["vdoc"]
+    if not parts:
+        return _wv(spark.createDataFrame([], schema)).select(*cols)
+    groups: dict[str, list[str]] = {}
+    for rel in parts.values():
+        parent = os.path.dirname(os.path.join(root, rel))
+        groups.setdefault(parent, []).append(os.path.join(root, rel))
+    out = None
+    for parent, paths in sorted(groups.items()):
+        df = (
+            spark.read.option("basePath", parent)
+            .parquet(*sorted(paths))
+            .withColumn(partition_col, F.col(partition_col).cast("string"))
+            .select(*cols)
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def load_version(spark: SparkSession, root: str, version: int) -> GraphStore:
+    """Time travel: load the graph as of a specific committed version
+    (``VERSION AS OF`` semantics).  Format-1 manifests load their full
+    snapshot dir; format-2 assemble per-table references."""
+    from pyspark.sql.utils import AnalysisException
+
+    log = CommitLog(root)
+    m = log.manifest(version)
+    tables = m.get("tables")
+    if not tables:
+        return GraphStore.load(spark, os.path.join(root, m["data_dir"]))
+
+    from pg_age_digitaltwins_spark.store.graph_store import (
+        MODEL_EDGE_SCHEMA,
+        MODEL_SCHEMA,
+        REL_SCHEMA,
+        TWIN_SCHEMA,
+    )
+
+    def read_dim(table: str, schema) -> DataFrame:
+        try:
+            return spark.read.parquet(os.path.join(root, tables[table]["dir"]))
+        except AnalysisException:
+            return spark.createDataFrame([], schema)
+
+    return GraphStore(
+        spark=spark,
+        twins=_read_parts(spark, root, tables["twins"]["parts"], TWIN_SCHEMA, "model_id"),
+        relationships=_read_parts(
+            spark, root, tables["relationships"]["parts"], REL_SCHEMA, "name"
+        ),
+        models=read_dim("models", MODEL_SCHEMA),
+        model_edges=read_dim("model_edges", MODEL_EDGE_SCHEMA),
+    )
+
+
 def load_latest(spark: SparkSession, root: str) -> tuple[GraphStore, int]:
     """Load the newest committed snapshot.  Readers only ever follow
     manifests, so a half-staged writer is invisible and a torn read is
@@ -237,8 +466,52 @@ def load_latest(spark: SparkSession, root: str) -> tuple[GraphStore, int]:
     version = log.latest_version()
     if version == 0:
         raise FileNotFoundError(f"no commits under {root}")
-    m = log.manifest(version)
-    return GraphStore.load(spark, os.path.join(root, m["data_dir"])), version
+    return load_version(spark, root, version), version
+
+
+def vacuum(root: str, keep_last: int = 2) -> dict[str, int]:
+    """Retention cleanup: drop manifests, change batches, and snapshot
+    directories no retained version references (Delta ``VACUUM`` +
+    log-retention rolled into one; safe because readers resolve through
+    retained manifests only).  A snapshot dir partially referenced by a
+    retained COW manifest is kept whole — the next full
+    ``commit_snapshot`` plus vacuum reclaims it entirely."""
+    log = CommitLog(root)
+    versions = log.versions()
+    retained = set(versions[-keep_last:]) if keep_last > 0 else set()
+    referenced_snaps: set[str] = set()
+    for v in retained:
+        m = log.manifest(v)
+        refs = []
+        if m.get("data_dir"):
+            refs.append(m["data_dir"])
+        for entry in (m.get("tables") or {}).values():
+            if entry.get("dir"):
+                refs.append(entry["dir"])
+            for rel in entry.get("parts", {}).values():
+                refs.append(rel)
+        for rel in refs:
+            # the snapshot container is data/<tag>-<uuid>
+            parts = rel.replace(os.sep, "/").split("/")
+            if len(parts) >= 2 and parts[0] == "data":
+                referenced_snaps.add(parts[1])
+    removed = {"manifests": 0, "snapshots": 0, "change_batches": 0}
+    for v in versions:
+        if v in retained:
+            continue
+        m = log.manifest(v)
+        if m.get("change_dir"):
+            d = os.path.join(root, m["change_dir"])
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed["change_batches"] += 1
+        os.unlink(os.path.join(log.commits_dir, f"{v:0{_VERSION_DIGITS}d}.json"))
+        removed["manifests"] += 1
+    for snap in os.listdir(log.data_dir):
+        if snap not in referenced_snaps and not snap.startswith("."):
+            shutil.rmtree(os.path.join(log.data_dir, snap))
+            removed["snapshots"] += 1
+    return removed
 
 
 def read_changes_since(
@@ -274,3 +547,33 @@ def changes_glob(root: str) -> str:
     the per-commit batch directories (dot-staging dirs are skipped by
     Spark's file listing, so only published commits are ever read)."""
     return os.path.join(root, "changes", "*")
+
+
+def changed_partitions_from_events(
+    events: Sequence[EventData],
+) -> dict[str, object]:
+    """Derive the COW ``changed`` map from a buffered change batch.
+
+    Every CRUD mutation's event carries the documents, so the touched
+    partition set is exactly the union of old+new partition values
+    (an update that MOVES a twin across models touches both).  The
+    model dims are always rewritten — they are broadcast-sized, and
+    model mutations (closure recompute on create, decommission flags)
+    fan out beyond their own event's row."""
+    twins: set = set()
+    rels: set = set()
+    for e in events:
+        kind = e.entity_kind
+        docs = [d for d in (e.old_value, e.new_value) if d is not None]
+        if kind == "Twin":
+            for d in docs:
+                twins.add((d.get("$metadata") or {}).get("$model"))
+        elif kind == "Relationship":
+            for d in docs:
+                rels.add(d.get("$relationshipName"))
+    out: dict[str, object] = {"models": True, "model_edges": True}
+    if twins:
+        out["twins"] = sorted(twins, key=lambda v: (v is None, v))
+    if rels:
+        out["relationships"] = sorted(rels, key=lambda v: (v is None, v))
+    return out

@@ -202,3 +202,171 @@ def test_client_commit_drains_buffer_and_reloads(spark, tmp_path):
     assert ".stage-deadbeef" not in changes_glob(root)
     got = read_changes_since(spark, root)
     assert got.count() == 2
+
+
+# ----------------------------------------------------------------------
+# copy-on-write commits, time travel, vacuum
+# ----------------------------------------------------------------------
+
+MODELS_AB = [
+    {
+        "@id": m,
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "x", "schema": "integer"}],
+    }
+    for m in ("dtmi:test:A;1", "dtmi:test:B;1")
+]
+
+
+def _twin_m(i: int, model: str, x: int | None = None) -> dict:
+    return {"$dtId": f"t{i}", "$metadata": {"$model": model}, "x": x if x is not None else i}
+
+
+def _store_ab(spark, a_twins, b_twins) -> GraphStore:
+    return GraphStore.from_documents(
+        spark, twin_docs=a_twins + b_twins, model_docs=MODELS_AB
+    )
+
+
+def test_cow_commit_rewrites_only_touched_partitions(spark, tmp_path):
+    from pg_age_digitaltwins_spark.store.commit_log import commit_cow, load_version
+
+    root = str(tmp_path / "table")
+    a = [_twin_m(i, "dtmi:test:A;1") for i in range(3)]
+    b = [_twin_m(i + 10, "dtmi:test:B;1") for i in range(4)]
+    v1 = commit_snapshot(_store_ab(spark, a, b), root)
+
+    # mutate ONE twin in partition A; B is untouched
+    a2 = [_twin_m(0, "dtmi:test:A;1", x=999)] + a[1:]
+    v2 = commit_cow(
+        _store_ab(spark, a2, b), root, changed={"twins": ["dtmi:test:A;1"]}
+    )
+    assert v2 == 2
+
+    log = CommitLog(root)
+    m1, m2 = log.manifest(v1), log.manifest(v2)
+    from pg_age_digitaltwins_spark.store.commit_log import _part_key
+    key_a, key_b = _part_key("twins", "dtmi:test:A;1"), _part_key("twins", "dtmi:test:B;1")
+    parts1, parts2 = m1["tables"]["twins"]["parts"], m2["tables"]["twins"]["parts"]
+    # partition B carried forward by reference (same physical path)
+    assert parts2[key_b] == parts1[key_b]
+    # partition A rewritten into the v2 snapshot dir
+    assert parts2[key_a] != parts1[key_a]
+    # the v2 snapshot wrote ONLY twins/model_id=A — nothing else copied
+    snap2 = os.path.dirname(os.path.dirname(parts2[key_a]))
+    assert sorted(os.listdir(os.path.join(root, snap2))) == ["twins"]
+    assert m2["tables"]["relationships"]["parts"] == m1["tables"]["relationships"]["parts"]
+    assert m2["tables"]["models"]["dir"] == m1["tables"]["models"]["dir"]
+
+    store, version = load_latest(spark, root)
+    assert version == 2
+    rows = {r["dt_id"]: r for r in store.twins.collect()}
+    assert len(rows) == 7
+    assert '"x":999' in rows["t0"]["doc"]
+    assert rows["t10"]["model_id"] == "dtmi:test:B;1"
+    # vdoc (VARIANT) survives the multi-root assembly
+    assert "vdoc" in store.twins.columns
+    from pyspark.sql import functions as F
+    from pg_age_digitaltwins_spark.functions.json_props import num_value
+    got = (
+        store.twins.filter(store.twins.dt_id == "t0")
+        .select(num_value(F.col("vdoc"), ["x"]).cast("int").alias("x"))
+        .collect()
+    )
+    assert got[0]["x"] == 999
+
+
+def test_cow_partition_delete_and_null_partition(spark, tmp_path):
+    from pg_age_digitaltwins_spark.store.commit_log import commit_cow
+
+    root = str(tmp_path / "table")
+    a = [_twin_m(i, "dtmi:test:A;1") for i in range(2)]
+    b = [_twin_m(9, "dtmi:test:B;1")]
+    commit_snapshot(_store_ab(spark, a, b), root)
+
+    # drop every twin of model A: declaring A with no remaining rows is
+    # a partition delete
+    v2 = commit_cow(
+        _store_ab(spark, [], b), root, changed={"twins": ["dtmi:test:A;1"]}
+    )
+    log = CommitLog(root)
+    from pg_age_digitaltwins_spark.store.commit_log import _part_key
+    assert _part_key("twins", "dtmi:test:A;1") not in log.manifest(v2)["tables"]["twins"]["parts"]
+    store, _ = load_latest(spark, root)
+    assert [r["dt_id"] for r in store.twins.collect()] == ["t9"]
+
+
+def test_time_travel_load_version(spark, tmp_path):
+    from pg_age_digitaltwins_spark.store.commit_log import commit_cow, load_version
+
+    root = str(tmp_path / "table")
+    a = [_twin_m(0, "dtmi:test:A;1", x=1)]
+    commit_snapshot(_store_ab(spark, a, []), root)
+    commit_cow(
+        _store_ab(spark, [_twin_m(0, "dtmi:test:A;1", x=2)], []),
+        root,
+        changed={"twins": ["dtmi:test:A;1"]},
+    )
+    s1 = load_version(spark, root, 1)
+    s2 = load_version(spark, root, 2)
+    assert '"x":1' in s1.twins.collect()[0]["doc"]
+    assert '"x":2' in s2.twins.collect()[0]["doc"]
+
+
+def test_vacuum_drops_unreferenced_keeps_cow_bases(spark, tmp_path):
+    from pg_age_digitaltwins_spark.store.commit_log import commit_cow, vacuum
+
+    root = str(tmp_path / "table")
+    a = [_twin_m(i, "dtmi:test:A;1") for i in range(2)]
+    b = [_twin_m(5, "dtmi:test:B;1")]
+    commit_snapshot(_store_ab(spark, a, b), root, events=[_event(0)])
+    commit_snapshot(_store_ab(spark, a, b), root, events=[_event(1)])  # v2: orphanable
+    commit_cow(  # v3 references v2's B partition
+        _store_ab(spark, [_twin_m(0, "dtmi:test:A;1", x=7)] + a[1:], b),
+        root,
+        changed={"twins": ["dtmi:test:A;1"]},
+        events=[_event(2)],
+    )
+    snaps_before = set(os.listdir(os.path.join(root, "data")))
+    removed = vacuum(root, keep_last=1)
+    assert removed["manifests"] == 2 and removed["change_batches"] == 2
+    # v1's snapshot is gone; v2's survives because the retained COW
+    # manifest references its untouched partitions
+    snaps_after = set(os.listdir(os.path.join(root, "data")))
+    assert len(snaps_after) < len(snaps_before)
+    log = CommitLog(root)
+    assert log.versions() == [3]
+    store, v = load_latest(spark, root)
+    assert v == 3 and store.twins.count() == 3
+    assert read_changes_since(spark, root).count() == 1  # only v3's batch
+
+
+def test_client_second_commit_is_copy_on_write(spark, tmp_path):
+    """client.commit() after a base version exists derives the touched
+    partitions from its buffered events and writes only those."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+
+    root = str(tmp_path / "table")
+    client = DigitalTwinsSparkClient(_store_ab(
+        spark,
+        [_twin_m(i, "dtmi:test:A;1") for i in range(2)],
+        [_twin_m(9, "dtmi:test:B;1")],
+    ))
+    v1 = client.commit(root)
+    assert v1 == 1
+    client.create_or_replace_digital_twin("t0", _twin_m(0, "dtmi:test:A;1", x=42))
+    v2 = client.commit(root)
+    assert v2 == 2
+
+    from pg_age_digitaltwins_spark.store.commit_log import _part_key
+    log = CommitLog(root)
+    m2 = log.manifest(2)
+    assert m2["data_dir"] is None  # COW commit, no full snapshot
+    key_a, key_b = _part_key("twins", "dtmi:test:A;1"), _part_key("twins", "dtmi:test:B;1")
+    assert m2["tables"]["twins"]["parts"][key_b] == log.manifest(1)["tables"]["twins"]["parts"][key_b]
+    assert key_a in m2["tables"]["twins"]["parts"]
+    # reloaded store serves the updated doc and the carried-forward rows
+    assert client.get_digital_twin("t0")["x"] == 42
+    assert client.get_digital_twin("t9")["$dtId"] == "t9"
+    assert read_changes_since(spark, root, after_version=1).count() == 1
