@@ -108,9 +108,69 @@ def create_models(
 
     for d in batch:
         validate_model(d, known, _closure_schema_ids(d))
+    _reject_extends_cycles(all_docs, batch)
+    _reject_nested_components(all_docs, batch)
+    for d in batch:
         docs[d["@id"]] = d
         created.append(d)
     return _rebuild(store, docs), created
+
+
+def _reject_extends_cycles(
+    all_docs: dict[str, dict[str, Any]], batch: list[dict[str, Any]]
+) -> None:
+    """DTDLParser rejects a cyclic ``extends`` graph (the inheritance
+    hierarchy must be a DAG); without this, the closure computation
+    silently records each cycle member as its own ancestor and
+    IS_OF_MODEL answers become nonsense."""
+    from pg_age_digitaltwins_spark.validation import ValidationError
+
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color: dict[str, int] = {}
+
+    def visit(mid: str, path: list[str]) -> None:
+        if color.get(mid, WHITE) == BLACK or mid not in all_docs:
+            return
+        if color.get(mid) == GRAY:
+            cycle = path[path.index(mid):] + [mid]
+            raise ValidationError(
+                "extends graph contains a cycle: " + " -> ".join(cycle)
+            )
+        color[mid] = GRAY
+        for p in extract_extends(all_docs[mid]):
+            visit(p, path + [mid])
+        color[mid] = BLACK
+
+    for d in batch:
+        visit(d["@id"], [])
+
+
+def _reject_nested_components(
+    all_docs: dict[str, dict[str, Any]], batch: list[dict[str, Any]]
+) -> None:
+    """DTDL v2/v3 spec: the interface a Component points at must not
+    itself declare Components (directly or via extends) — component
+    nesting is a single level."""
+    from pg_age_digitaltwins_spark.validation import ValidationError
+
+    def has_components(mid: str, seen: set[str]) -> bool:
+        if mid in seen or mid not in all_docs:
+            return False
+        seen.add(mid)
+        doc = all_docs[mid]
+        if _contents_of_type(doc, "Component"):
+            return True
+        return any(has_components(p, seen) for p in extract_extends(doc))
+
+    for d in batch:
+        for comp in _contents_of_type(d, "Component"):
+            cs = comp.get("schema")
+            if isinstance(cs, str) and has_components(cs, set()):
+                raise ValidationError(
+                    f"content '{comp.get('name')}': Component schema {cs!r} "
+                    "itself contains Components — DTDL forbids nested "
+                    "components"
+                )
 
 
 def _contents_of_type(doc: dict[str, Any], type_name: str) -> list[dict[str, Any]]:

@@ -454,10 +454,15 @@ def _validate_schema_node(
                         depth + 1, max_depth,
                     )
     elif kind == "Array":
-        _validate_schema_node(
-            schema.get("elementSchema"), named_ids, f"{where}[]", v,
-            depth + 1, max_depth,
-        )
+        if schema.get("elementSchema") is None:
+            # DTDLParser: Array requires elementSchema — silence here
+            # would accept arrays no writer could ever validate against
+            v.append(f"{where}: Array requires an elementSchema")
+        else:
+            _validate_schema_node(
+                schema.get("elementSchema"), named_ids, f"{where}[]", v,
+                depth + 1, max_depth,
+            )
     elif kind == "Map":
         mk, mv = schema.get("mapKey"), schema.get("mapValue")
         if not isinstance(mk, dict) or mk.get("schema") != "string":
@@ -584,6 +589,14 @@ def validate_model(
             v.append(f"duplicate content name '{name}'")
         seen_names.add(name)
         _check_display_strings(item, where, v)
+        # `writable` exists only on Property and Relationship (DTDL
+        # spec; DTDLParser rejects it on Telemetry/Command/Component)
+        w = item.get("writable")
+        if w is not None:
+            if kind not in ("Property", "Relationship"):
+                v.append(f"{where}: writable is not a {kind} property")
+            elif not isinstance(w, bool):
+                v.append(f"{where}: writable must be a boolean")
         if kind in ("Property", "Telemetry"):
             if item.get("schema") is None:
                 v.append(f"{where}: {kind} requires a schema")

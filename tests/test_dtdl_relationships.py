@@ -322,3 +322,104 @@ def test_bad_relationship_id_rejected(farm_client):
         farm_client.create_or_replace_relationship(
             "field1", "bad id", _rel("x", "pump1")
         )
+
+
+# ----------------------------------------------------------------------
+# DTDL long-tail batch #5: writable placement, Array elementSchema,
+# extends cycles, nested-component rejection
+# ----------------------------------------------------------------------
+
+def test_writable_only_on_property_and_relationship():
+    # accept: writable on Property and on Relationship
+    validate_model(_interface(contents=[
+        {"@type": "Property", "name": "p", "schema": "double", "writable": True},
+        _rel_content(writable=False),
+    ]), KNOWN)
+    # reject: writable on Telemetry
+    with pytest.raises(ValidationError, match="writable is not a Telemetry"):
+        validate_model(_interface(contents=[
+            {"@type": "Telemetry", "name": "t", "schema": "double", "writable": True},
+        ]), KNOWN)
+    # reject: non-boolean writable
+    with pytest.raises(ValidationError, match="writable must be a boolean"):
+        validate_model(_interface(contents=[
+            {"@type": "Property", "name": "p", "schema": "double", "writable": "yes"},
+        ]), KNOWN)
+
+
+def test_array_requires_element_schema():
+    with pytest.raises(ValidationError, match="Array requires an elementSchema"):
+        validate_model(_interface(contents=[
+            {"@type": "Property", "name": "xs", "schema": {"@type": "Array"}},
+        ]), KNOWN)
+    validate_model(_interface(contents=[
+        {"@type": "Property", "name": "xs",
+         "schema": {"@type": "Array", "elementSchema": "double"}},
+    ]), KNOWN)
+
+
+def _iface(mid, **over):
+    d = {
+        "@id": mid, "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3", "contents": [],
+    }
+    d.update(over)
+    return d
+
+
+def test_extends_cycle_rejected_at_create(spark):
+    """DTDLParser requires the inheritance graph to be a DAG; a cyclic
+    extends batch must fail model create, not silently produce a
+    closure where each member is its own ancestor."""
+    from pg_age_digitaltwins_spark.models import create_models
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    store = GraphStore.empty(spark)
+    with pytest.raises(ValidationError, match="cycle"):
+        create_models(store, [
+            _iface("dtmi:v:A;1", extends="dtmi:v:B;1"),
+            _iface("dtmi:v:B;1", extends="dtmi:v:A;1"),
+        ])
+    # self-extends is the 1-cycle
+    with pytest.raises(ValidationError, match="cycle"):
+        create_models(store, [_iface("dtmi:v:S;1", extends="dtmi:v:S;1")])
+    # a diamond is a DAG, not a cycle — must pass
+    _, created = create_models(store, [
+        _iface("dtmi:v:Top;1"),
+        _iface("dtmi:v:L;1", extends="dtmi:v:Top;1"),
+        _iface("dtmi:v:R;1", extends="dtmi:v:Top;1"),
+        _iface("dtmi:v:Bot;1", extends=["dtmi:v:L;1", "dtmi:v:R;1"]),
+    ])
+    assert len(created) == 4
+
+
+def test_nested_components_rejected(spark):
+    """DTDL v2/v3: a Component's interface must not itself contain
+    Components (single-level component nesting)."""
+    from pg_age_digitaltwins_spark.models import create_models
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    store = GraphStore.empty(spark)
+    leaf = _iface("dtmi:v:Leaf;1")
+    mid = _iface("dtmi:v:Mid;1", contents=[
+        {"@type": "Component", "name": "inner", "schema": "dtmi:v:Leaf;1"},
+    ])
+    outer = _iface("dtmi:v:Outer;1", contents=[
+        {"@type": "Component", "name": "outer", "schema": "dtmi:v:Mid;1"},
+    ])
+    with pytest.raises(ValidationError, match="nested"):
+        create_models(store, [leaf, mid, outer])
+    # component-of-component via the component interface's BASE is
+    # equally forbidden
+    base_with_comp = _iface("dtmi:v:BaseC;1", contents=[
+        {"@type": "Component", "name": "inner", "schema": "dtmi:v:Leaf;1"},
+    ])
+    derived = _iface("dtmi:v:Derived;1", extends="dtmi:v:BaseC;1")
+    outer2 = _iface("dtmi:v:Outer2;1", contents=[
+        {"@type": "Component", "name": "c", "schema": "dtmi:v:Derived;1"},
+    ])
+    with pytest.raises(ValidationError, match="nested"):
+        create_models(store, [leaf, base_with_comp, derived, outer2])
+    # plain single-level components still pass
+    _, created = create_models(store, [leaf, mid])
+    assert len(created) == 2
