@@ -483,6 +483,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_order_priority_counts"] = _order_priority
     q["tpch_top_customer_revenue"] = _top_customers
+
+    def _supplier_revenue(spark, sf_dir):
+        # TPC-H Q15 shape: one quarter of lineitem rolled up per
+        # supplier (the filter prunes at the scan), broadcast supplier
+        # dim join AFTER the agg (join 80 rows, not 600k), top-10 with
+        # a deterministic tiebreak.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        rev = (
+            t["lineitem"]
+            .filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1996-04-01")
+            )
+            .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("total_revenue")
+            )
+        )
+        return (
+            rev.join(F.broadcast(t["supplier"]), "s_suppkey")
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy(F.col("total_revenue").desc(), F.col("s_suppkey"))
+            .limit(10)
+        )
+
+    def _promo_share(spark, sf_dir):
+        # TPC-H Q14 shape: conditional-aggregate PROMO revenue share in
+        # one month; the part dim broadcasts.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            t["lineitem"]
+            .filter(
+                (F.col("l_shipdate") >= "1996-03-01")
+                & (F.col("l_shipdate") < "1996-04-01")
+            )
+            .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(
+                F.round(
+                    100.0
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                            F.lit(0.0)
+                        )
+                    )
+                    / F.sum(rev),
+                    4,
+                ).alias("promo_share_pct")
+            )
+        )
+
+    q["tpch_supplier_revenue"] = _supplier_revenue
+    q["tpch_promo_revenue_share"] = _promo_share
+
+    q["text_repetition_stats"] = lambda s, d: text.repetition_stats(
+        _tables(s, d)["documents"]
+    )
+    q["text_top_bigrams"] = lambda s, d: text.top_bigrams(
+        _tables(s, d)["documents"], k=20
+    )
     return q
 
 
@@ -981,6 +1047,43 @@ def oracle_sql() -> dict[str, str]:
         "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
         "JOIN sizes sb ON doc_b = sb.doc_id "
         "WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.2"
+    )
+    o["tpch_supplier_revenue"] = (
+        "SELECT s_suppkey, s_name, total_revenue FROM ("
+        "SELECT l_suppkey AS s_suppkey, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+        "JOIN supplier USING (s_suppkey) "
+        "ORDER BY total_revenue DESC, s_suppkey LIMIT 10"
+    )
+    o["tpch_promo_revenue_share"] = (
+        "SELECT round(100.0 * "
+        "sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+        "ELSE 0.0 END) / sum(l_extendedprice * (1 - l_discount)), 4) "
+        "AS promo_share_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-03-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01'"
+    )
+    o["text_repetition_stats"] = (
+        "SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct, "
+        "round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS distinct_ratio, "
+        "CAST(top AS BIGINT) AS top_token_count, "
+        "round(CAST(top AS DOUBLE) / len(t), 4) AS top_token_share "
+        "FROM (SELECT doc_id, t, "
+        "(SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(t) AS u(w) "
+        "GROUP BY w)) AS top "
+        f"FROM (SELECT doc_id, {_TOKS_RAW} AS t FROM documents))"
+    )
+    o["text_top_bigrams"] = (
+        "WITH w AS (SELECT " + _TOKS_RAW + " AS t FROM documents), "
+        "b AS (SELECT list_extract(t, i + 1) || ' ' || list_extract(t, i + 2) "
+        "AS bigram FROM w, LATERAL (SELECT unnest(range(0, len(t) - 1)) AS i) "
+        "WHERE len(t) >= 2) "
+        "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b "
+        "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
     )
     # dedup_minhash_lsh / dedup_simhash / embed_ann_* / multimodal:
     # hash-permutation & float-ordering internals aren't reproducible in

@@ -282,3 +282,70 @@ def decontaminate(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated_grams"))
         .filter(F.col("n_contaminated_grams") > 0)
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Intra-document repetition signals (Gopher-style quality rules):
+    distinct-token ratio and the most-frequent-token share, per doc.
+
+    100 TB shape: ONE scan, zero shuffles — every number comes from
+    JVM higher-order functions on the token array.  The top-token count
+    is a sort + run-length fold over the sorted array (O(n log n) per
+    doc in whole-stage codegen) rather than the explode → groupBy a
+    naive version would shuffle the whole corpus through.
+    """
+    toks = _tokens(F.col("text"))
+    sorted_toks = F.array_sort(toks)
+    # fold: track previous token, current run, best run
+    top_run = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        F.round(n_distinct / n, 4).alias("distinct_ratio"),
+        top_run.cast("bigint").alias("top_token_count"),
+        F.round(top_run / n, 4).alias("top_token_share"),
+    )
+
+
+def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Global top-k bigram counts with a total deterministic order
+    (count desc, bigram asc) — the corpus-statistics staple.
+
+    100 TB shape: bigrams are generated in-plan from the token array
+    (no self-join), the count is a map-side-combined groupBy on the
+    bigram key, and only the k winners reach the driver (TakeOrdered).
+    """
+    words = _tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )

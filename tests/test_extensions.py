@@ -546,3 +546,30 @@ def test_degree_distribution_includes_isolated(spark):
            for r in degree_distribution(twins, rels).collect()}
     # a: out 2 -> 2; b: out 1 + in 1 -> 2; c: in 2 -> 2; lonely: 0
     assert got == {0: 1, 2: 3}
+
+
+def test_repetition_stats_edges(spark):
+    from pg_age_digitaltwins_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "only"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_distinct"] == 2
+    assert rows[1]["top_token_count"] == 3 and rows[1]["top_token_share"] == 0.75
+    assert rows[2]["top_token_count"] == 1 and rows[2]["distinct_ratio"] == 1.0
+    assert rows[3]["top_token_count"] == 1
+
+
+def test_top_bigrams_deterministic_ties(spark):
+    from pg_age_digitaltwins_spark.operators.text import top_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "b c a b"), (2, "a b"), (3, "single")],
+        "doc_id long, text string",
+    )
+    rows = [(r["bigram"], r["n"]) for r in top_bigrams(docs, k=3).collect()]
+    # "a b" appears twice; ties break on bigram ascending; the
+    # single-token doc contributes nothing
+    assert rows == [("a b", 2), ("b c", 1), ("c a", 1)]
