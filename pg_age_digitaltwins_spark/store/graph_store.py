@@ -224,6 +224,57 @@ class GraphStore:
         self.models.write.mode(mode).parquet(f"{path}/models")
         self.model_edges.write.mode(mode).parquet(f"{path}/model_edges")
 
+    def save_bucketed(
+        self, prefix: str, path: str | None = None, n_buckets: int = 32
+    ) -> None:
+        """Persist as BUCKETED tables — the co-located-join layout for
+        the 100 TB target (SURVEY §4: replaces AGE's btree on
+        ``source_id``/``dt_id``).
+
+        ``twins`` is bucketed+sorted on ``dt_id`` and ``relationships``
+        on ``source_id`` with the same bucket count, so every traversal
+        hop (``rel.source_id = twin.dt_id`` — Q6/Q8, C1) sort-merge
+        joins with NO exchange and NO sort on either side: the shuffle
+        that dominates multi-hop queries at scale is paid once at write
+        time, never per query.  Requires a catalog (``saveAsTable``) —
+        bucketing metadata lives there, a plain parquet path cannot
+        carry it."""
+        spark = self.spark
+
+        def opts(w, sub):
+            return w if path is None else w.option("path", f"{path}/{sub}")
+
+        (
+            opts(with_vdoc(self.twins).write.mode("overwrite"), "twins")
+            .bucketBy(n_buckets, "dt_id")
+            .sortBy("dt_id")
+            .saveAsTable(f"{prefix}_twins")
+        )
+        (
+            opts(with_vdoc(self.relationships).write.mode("overwrite"), "relationships")
+            .bucketBy(n_buckets, "source_id")
+            .sortBy("source_id")
+            .saveAsTable(f"{prefix}_relationships")
+        )
+        opts(self.models.write.mode("overwrite"), "models").saveAsTable(
+            f"{prefix}_models"
+        )
+        opts(self.model_edges.write.mode("overwrite"), "model_edges").saveAsTable(
+            f"{prefix}_model_edges"
+        )
+
+    @classmethod
+    def load_bucketed(cls, spark: SparkSession, prefix: str) -> "GraphStore":
+        """Load a ``save_bucketed`` store; scans report their bucketing
+        to Catalyst, so traversal joins plan exchange-free."""
+        return cls(
+            spark=spark,
+            twins=spark.table(f"{prefix}_twins"),
+            relationships=spark.table(f"{prefix}_relationships"),
+            models=spark.table(f"{prefix}_models"),
+            model_edges=spark.table(f"{prefix}_model_edges"),
+        )
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "GraphStore":
         from pyspark.sql.utils import AnalysisException

@@ -115,3 +115,43 @@ def test_var_length_seeds_frontier_from_start_leg(fixture_client):
     ).count()
     assert n_start > 1  # non-literal start SET, not a point lookup
     assert df.count() == 2 * n_start
+
+
+def test_bucketed_store_traversal_join_has_no_exchange(spark, tmp_path):
+    """save_bucketed co-locates relationships(source_id) with
+    twins(dt_id): a traversal hop must sort-merge join straight off the
+    bucketed scans — zero Exchange, zero per-side Sort (SURVEY §4's
+    'pay the shuffle once at write time' contract)."""
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    docs = [
+        {"$dtId": f"t{i}", "$metadata": {"$model": "dtmi:b:T;1"}, "x": i}
+        for i in range(50)
+    ]
+    rels = [
+        {
+            "$relationshipId": f"r{i}", "$sourceId": f"t{i}",
+            "$targetId": f"t{(i + 1) % 50}", "$relationshipName": "next",
+        }
+        for i in range(50)
+    ]
+    store = GraphStore.from_documents(spark, twin_docs=docs, relationship_docs=rels)
+    prefix = "bkt_test"
+    store.save_bucketed(prefix, path=str(tmp_path / "bucketed"), n_buckets=4)
+    try:
+        loaded = GraphStore.load_bucketed(spark, prefix)
+        joined = loaded.relationships.join(
+            loaded.twins.hint("merge"),
+            loaded.relationships.source_id == loaded.twins.dt_id,
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 50
+        # bucket metadata reached the scan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        for t in ("twins", "relationships", "models", "model_edges"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
