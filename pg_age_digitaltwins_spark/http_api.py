@@ -341,6 +341,8 @@ class ApiService:
         # --- query (QueryEndpoints.cs) ---
         r("POST", "/query", self.query_post, "query", (QRY, ACT))
         r("GET", "/health", self.health_get, "light", None)
+        # --- MCP (docs/concepts/mcp-server.mdx; HTTP transport) ---
+        r("POST", "/mcp", self.mcp_post, "light", None)
         # --- models (ModelsEndpoints.cs) ---
         r("GET", "/models", self.models_list, "admin", (MOD, RD))
         r("POST", "/models", self.models_create, "admin", (MOD, WR))
@@ -560,6 +562,19 @@ class ApiService:
             id, req.body, message_id=req.header("Message-Id"), component_name=name
         )
         return Response(204)
+
+    # ------------------------------------------------------------------
+    # MCP (JSON-RPC 2.0 over HTTP POST — the reference's hosted MCP
+    # endpoint shape, docs/concepts/mcp-server.mdx)
+    # ------------------------------------------------------------------
+    def mcp_post(self, req: Request) -> Response:
+        from pg_age_digitaltwins_spark.mcp_server import McpServer
+
+        if getattr(self, "_mcp", None) is None:
+            self._mcp = McpServer(self.client)
+        resp = self._mcp.handle(req.body or {})
+        # Notifications get 202-no-body (MCP streamable-HTTP contract)
+        return Response(202, None) if resp is None else Response(200, resp)
 
     # ------------------------------------------------------------------
     # query
