@@ -730,6 +730,41 @@ class CypherCompiler:
             return F.round(c, scale)
         if n == "abs":
             return F.abs(self._operand(e.args[0], env, "number"))
+        if n in ("digitaltwins.is_of_model", "is_of_model"):
+            # The installed plpgsql helper, callable from raw Cypher
+            # (GraphInitialization.cs:50-121; docs/concepts/querying.mdx).
+            # Compiles exactly like ADT QL's IS_OF_MODEL: the closure is
+            # resolved at plan time and becomes an IN-list on the
+            # promoted model_id column — partition-prunable, no UDF.
+            if (
+                not e.args
+                or not isinstance(e.args[0], C.Var)
+                or e.args[0].name not in env
+            ):
+                raise CypherCompileError(
+                    "is_of_model() needs a bound twin variable as its first argument"
+                )
+            if len(e.args) < 2 or not (
+                isinstance(e.args[1], C.Lit) and isinstance(e.args[1].value, str)
+            ):
+                raise CypherCompileError(
+                    "is_of_model() needs a literal model-id string"
+                )
+            exact = False
+            if len(e.args) > 2:
+                if not (
+                    isinstance(e.args[2], C.Lit)
+                    and isinstance(e.args[2].value, bool)
+                ):
+                    raise CypherCompileError(
+                        "is_of_model() exact flag must be a boolean literal"
+                    )
+                exact = e.args[2].value
+            col = self._col(env[e.args[0].name], "model_id")
+            model = e.args[1].value
+            if exact:
+                return col == model
+            return col.isin(self.store.model_and_descendants(model))
         if n == "l2_distance":
             a = self._vector(e.args[0], env)
             b = self._vector(e.args[1], env)

@@ -374,26 +374,36 @@ class _Parser:
             name = t.value
             self.i += 1
             if self.at("PUNCT", "("):  # function call
-                self.i += 1
-                distinct = self.opt("KEYWORD", "DISTINCT")
-                if self.opt("PUNCT", "*"):
-                    self.eat("PUNCT", ")")
-                    return C.Func(name.lower(), [], star=True)
-                args: list[C.Expr] = []
-                if not self.at("PUNCT", ")"):
-                    while True:
-                        args.append(self.expr())
-                        if not self.opt("PUNCT", ","):
-                            break
-                self.eat("PUNCT", ")")
-                return C.Func(name.lower(), args, distinct=distinct)
+                return self._call(name.lower())
             path: list[str] = []
             while self.opt("PUNCT", "."):
                 path.append(self.eat("IDENT").value)
+            if path and self.at("PUNCT", "("):
+                # namespace-qualified function call, e.g. the installed
+                # plpgsql helper ``digitaltwins.is_of_model(t, 'dtmi:…')``
+                # (GraphInitialization.cs:50-121; docs/concepts/querying.mdx)
+                return self._call(".".join([name] + path).lower())
             if path:
                 return C.Prop(name, path)
             return C.Var(name)
         raise CypherParseError(f"Unexpected token {t.value!r} at {t.pos}")
+
+    def _call(self, name: str) -> C.Expr:
+        """Parse the argument list of a (possibly qualified) call whose
+        opening paren is the current token."""
+        self.eat("PUNCT", "(")
+        distinct = self.opt("KEYWORD", "DISTINCT")
+        if self.opt("PUNCT", "*"):
+            self.eat("PUNCT", ")")
+            return C.Func(name, [], star=True)
+        args: list[C.Expr] = []
+        if not self.at("PUNCT", ")"):
+            while True:
+                args.append(self.expr())
+                if not self.opt("PUNCT", ","):
+                    break
+        self.eat("PUNCT", ")")
+        return C.Func(name, args, distinct=distinct)
 
 
 def _unquote(s: str) -> str:

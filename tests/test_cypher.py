@@ -594,3 +594,50 @@ def test_with_rejects_pattern_rebind_and_doc_prop(fixture_store):
         c.query_df("MATCH (n) WITH n MATCH (n)-[r]->(m) RETURN m").collect()
     with pytest.raises(CypherCompileError, match="project the property explicitly"):
         c.query_df("MATCH (n) WITH n RETURN n.name").collect()
+
+
+def test_is_of_model_function_in_cypher(spark):
+    """Raw-Cypher `digitaltwins.is_of_model(t, id[, exact])` — the
+    installed plpgsql helper (GraphInitialization.cs:50-121,
+    docs/concepts/querying.mdx) — compiles to the plan-time closure
+    IN-list, same as ADT QL's IS_OF_MODEL."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [
+        {"@id": "dtmi:c:Base;1", "@type": "Interface",
+         "@context": "dtmi:dtdl:context;3", "contents": []},
+        {"@id": "dtmi:c:Derived;1", "@type": "Interface",
+         "@context": "dtmi:dtdl:context;3", "extends": "dtmi:c:Base;1",
+         "contents": []},
+    ]
+    twins = [
+        {"$dtId": "a", "$metadata": {"$model": "dtmi:c:Derived;1"}},
+        {"$dtId": "b", "$metadata": {"$model": "dtmi:c:Base;1"}},
+    ]
+    c = DigitalTwinsSparkClient(
+        GraphStore.from_documents(spark, twin_docs=twins, model_docs=models)
+    )
+    rows = c.query(
+        "MATCH (t:Twin) WHERE digitaltwins.is_of_model(t, 'dtmi:c:Base;1') "
+        "RETURN t.`$dtId` AS id ORDER BY id"
+    ).rows
+    assert [r["id"] for r in rows] == ["a", "b"]  # inheritance included
+    rows = c.query(
+        "MATCH (t:Twin) WHERE is_of_model(t, 'dtmi:c:Base;1', true) "
+        "RETURN t.`$dtId` AS id"
+    ).rows
+    assert [r["id"] for r in rows] == ["b"]  # exact
+    # negation composes through boolean logic
+    rows = c.query(
+        "MATCH (t:Twin) WHERE NOT digitaltwins.is_of_model(t, 'dtmi:c:Derived;1') "
+        "RETURN count(*) AS n"
+    ).rows
+    assert rows == [{"n": 1}]
+    # unbound variable / non-literal id are compile errors
+    import pytest as _pytest
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+    with _pytest.raises(CypherCompileError):
+        c.query("MATCH (t:Twin) WHERE is_of_model(x, 'dtmi:c:Base;1') RETURN t")
+    with _pytest.raises(CypherCompileError):
+        c.query("MATCH (t:Twin) WHERE is_of_model(t, t.`$dtId`) RETURN t")
