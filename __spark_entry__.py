@@ -371,6 +371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: similarity.simhash_near_dup_pairs(
         text.ngram_shingles(_tables(s, d)["documents"])
     )
+    q["dedup_exact_groups"] = lambda s, d: text.exact_dup_groups(
+        _tables(s, d)["documents"]
+    )
     q["text_pii_scrub"] = lambda s, d: text.pii_scrub(_tables(s, d)["documents"])
     q["dedup_embedding_cosine"] = lambda s, d: similarity.cosine_near_dup_pairs(
         _tables(s, d)["embeddings"], threshold=0.4
@@ -972,6 +975,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(*) AS total_docs, "
         "count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS distinct_docs "
         "FROM documents"
+    )
+    o["dedup_exact_groups"] = (
+        "SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, "
+        "min(doc_id) AS keep_doc_id FROM ("
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+        "FROM documents) GROUP BY fp HAVING count(*) > 1"
     )
     o["embed_cosine_threshold"] = (
         "SELECT e.vec_id AS vec_id, "
