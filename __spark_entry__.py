@@ -294,6 +294,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return degree_distribution(st.twins, st.relationships)
 
     q["graph_degree_distribution"] = _degrees
+
+    def _triangles(spark, sf_dir):
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        return ga.triangle_count(_store(spark, sf_dir).relationships)
+
+    q["graph_triangle_count"] = _triangles
     def _cypher_collect(spark, sf_dir):
         # Exercises the real Cypher collect() path; the raw
         # array<string> result is then projected to a sorted CSV so the
@@ -848,6 +855,14 @@ def oracle_sql() -> dict[str, str]:
         "LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) o ON t.dt_id = o.src "
         "LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) i ON t.dt_id = i.dst) "
         "SELECT degree, count(*) AS n_twins FROM deg GROUP BY degree"
+    )
+    o["graph_triangle_count"] = (
+        f"WITH d AS ({_EDGES_SQL}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM d WHERE src <> dst) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM und e1 JOIN und e2 ON e1.b = e2.a "
+        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
     )
     o["graph_collect_neighbors"] = (
         "SELECT 'region-' || n_regionkey AS target, "

@@ -151,3 +151,56 @@ def degree_distribution(twins: DataFrame, relationships: DataFrame) -> DataFrame
         )
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_twins"))
+
+
+def triangle_count(relationships: DataFrame) -> DataFrame:
+    """Global triangle count over the undirected twin graph.
+
+    100 TB shape: DEGREE-ORDERED orientation (the MapReduce-classic
+    Cohen / Suri-Vassilvitskii scheme).  Every undirected edge is
+    directed from its lower-(degree, id) endpoint to the higher one,
+    which makes the edge relation acyclic and bounds every vertex's
+    out-degree by O(sqrt(m)) — so the wedge-building self-join cannot
+    blow up on hubs (a naive a<b join explodes on the highest-degree
+    vertex; a hub with 10^6 neighbors would otherwise build 10^12
+    wedges).  Two shuffles: wedge join + closing-edge semi join.
+    """
+    e = relationships.select("source_id", "target_id").filter(
+        F.col("source_id") != F.col("target_id")
+    )
+    und = (
+        e.select(
+            F.least("source_id", "target_id").alias("a"),
+            F.greatest("source_id", "target_id").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: lower (deg, id) -> higher (deg, id)
+    ranked = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    oriented = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.hi") == F.col("e2.lo"))
+        .select(
+            F.col("e1.lo").alias("u"), F.col("e1.hi").alias("v"), F.col("e2.hi").alias("w")
+        )
+    )
+    closed = wedges.join(
+        oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w")),
+        ["u", "w"],
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

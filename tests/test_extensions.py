@@ -573,3 +573,28 @@ def test_top_bigrams_deterministic_ties(spark):
     # "a b" appears twice; ties break on bigram ascending; the
     # single-token doc contributes nothing
     assert rows == [("a b", 2), ("b c", 1), ("c a", 1)]
+
+
+def test_triangle_count_degree_ordered(spark):
+    from pg_age_digitaltwins_spark.operators.graph_analytics import triangle_count
+
+    def rels(pairs):
+        return spark.createDataFrame(
+            [(f"r{i}", a, b, "link") for i, (a, b) in enumerate(pairs)],
+            "relationship_id string, source_id string, target_id string, name string",
+        )
+
+    # triangle + dangling edge = 1; reverse duplicates and self-loops
+    # must not inflate the count
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+             ("b", "a"), ("a", "a")]
+    [row] = triangle_count(rels(pairs)).collect()
+    assert row["n_triangles"] == 1
+    # K4 has 4 triangles
+    k4 = [(x, y) for x in "abcd" for y in "abcd" if x < y]
+    [row] = triangle_count(rels(k4)).collect()
+    assert row["n_triangles"] == 4
+    # no triangles in a star (hub-degree stress of the orientation)
+    star = [("hub", f"s{i}") for i in range(20)]
+    [row] = triangle_count(rels(star)).collect()
+    assert row["n_triangles"] == 0
