@@ -84,6 +84,15 @@ class Not:
 
 
 @dataclass
+class Case:
+    """``CASE [operand] WHEN … THEN … [ELSE …] END`` — both the simple
+    (operand equality) and generic (searched predicate) forms."""
+    operand: "Expr | None"
+    whens: list[tuple["Expr", "Expr"]]
+    else_: "Expr | None"
+
+
+@dataclass
 class Func:
     """count/sum/avg/min/max/collect (aggregates) or scalar
     label/toLower/toUpper/toString/toInteger/toFloat/size/l2_distance."""
@@ -93,7 +102,7 @@ class Func:
     star: bool = False  # count(*)
 
 
-Expr = Union[Var, Prop, Lit, ListLit, Cmp, StringOp, InList, IsNull, And, Or, Not, Func]
+Expr = Union[Var, Prop, Lit, ListLit, Cmp, StringOp, InList, IsNull, And, Or, Not, Case, Func]
 
 AGGREGATES = {"count", "sum", "avg", "min", "max", "collect"}
 

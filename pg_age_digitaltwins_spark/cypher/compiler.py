@@ -667,6 +667,21 @@ class CypherCompiler:
         if isinstance(e, C.IsNull):
             op = self._operand(e.operand, env, None)
             return op.isNotNull() if e.negated else op.isNull()
+        if isinstance(e, C.Case):
+            col = None
+            for cond, val in e.whens:
+                if e.operand is not None:
+                    kind = _lit_kind(cond) or _lit_kind(e.operand)
+                    c = self._operand(e.operand, env, kind) == self._operand(
+                        cond, env, kind
+                    )
+                else:
+                    c = self._expr(cond, env, True)
+                v = self._operand(val, env, _lit_kind(val))
+                col = F.when(c, v) if col is None else col.when(c, v)
+            if e.else_ is not None:
+                col = col.otherwise(self._operand(e.else_, env, _lit_kind(e.else_)))
+            return col
         if isinstance(e, C.Func):
             return self._func(e, env)
         if isinstance(e, C.Lit):
@@ -697,11 +712,17 @@ class CypherCompiler:
         n = e.name
         if n in C.AGGREGATES:
             return self._aggregate(e, env)
-        if n == "label":
+        if n in ("label", "type"):
+            # openCypher type(r) == AGE label(r) for edges
             [arg] = e.args
             if not isinstance(arg, C.Var) or arg.name not in env:
-                raise CypherCompileError("label() needs a bound edge variable")
+                raise CypherCompileError(f"{n}() needs a bound edge variable")
             return self._col(env[arg.name], "name")
+        if n == "exists":
+            [arg] = e.args
+            if not isinstance(arg, C.Prop):
+                raise CypherCompileError("exists() needs a property argument")
+            return self._operand(arg, env, None).isNotNull()
         if n in ("tolower", "toupper"):
             c = self._operand(e.args[0], env, "string")
             return F.lower(c) if n == "tolower" else F.upper(c)

@@ -30,6 +30,7 @@ KEYWORDS = {
     "LIMIT", "UNWIND", "UNION", "ALL", "DISTINCT", "AND", "OR", "NOT",
     "XOR", "IN", "IS", "NULL", "STARTS", "ENDS", "WITH", "CONTAINS",
     "ASC", "ASCENDING", "DESC", "DESCENDING", "TRUE", "FALSE",
+    "CASE", "WHEN", "THEN", "ELSE", "END",
     # write keywords — recognized so the safety filter can reject them
     "CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE",
 }

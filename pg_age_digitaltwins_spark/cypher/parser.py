@@ -280,6 +280,19 @@ class _Parser:
         if t.kind == "KEYWORD" and t.value == "NULL":
             self.i += 1
             return C.Lit(None, "null")
+        if t.kind == "KEYWORD" and t.value == "CASE":
+            self.i += 1
+            operand = None if self.at("KEYWORD", "WHEN") else self.expr()
+            whens: list[tuple[C.Expr, C.Expr]] = []
+            while self.opt("KEYWORD", "WHEN"):
+                cond = self.expr()
+                self.eat("KEYWORD", "THEN")
+                whens.append((cond, self.expr()))
+            if not whens:
+                raise CypherParseError(f"CASE requires at least one WHEN at {t.pos}")
+            else_ = self.expr() if self.opt("KEYWORD", "ELSE") else None
+            self.eat("KEYWORD", "END")
+            return C.Case(operand, whens, else_)
         raise CypherParseError(f"Expected literal at {t.pos}")
 
     def prop_map(self) -> dict[str, C.Lit]:
@@ -357,6 +370,19 @@ class _Parser:
         if t.kind == "KEYWORD" and t.value == "NULL":
             self.i += 1
             return C.Lit(None, "null")
+        if t.kind == "KEYWORD" and t.value == "CASE":
+            self.i += 1
+            operand = None if self.at("KEYWORD", "WHEN") else self.expr()
+            whens: list[tuple[C.Expr, C.Expr]] = []
+            while self.opt("KEYWORD", "WHEN"):
+                cond = self.expr()
+                self.eat("KEYWORD", "THEN")
+                whens.append((cond, self.expr()))
+            if not whens:
+                raise CypherParseError(f"CASE requires at least one WHEN at {t.pos}")
+            else_ = self.expr() if self.opt("KEYWORD", "ELSE") else None
+            self.eat("KEYWORD", "END")
+            return C.Case(operand, whens, else_)
         if self.opt("PUNCT", "["):
             items: list[C.Expr] = []
             if not self.at("PUNCT", "]"):

@@ -641,3 +641,42 @@ def test_is_of_model_function_in_cypher(spark):
         c.query("MATCH (t:Twin) WHERE is_of_model(x, 'dtmi:c:Base;1') RETURN t")
     with _pytest.raises(CypherCompileError):
         c.query("MATCH (t:Twin) WHERE is_of_model(t, t.`$dtId`) RETURN t")
+
+
+def test_case_expression_and_type_exists(spark):
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:ce:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [
+        {"$dtId": "hot", "$metadata": {"$model": "dtmi:ce:T;1"}, "temp": 30.0},
+        {"$dtId": "mild", "$metadata": {"$model": "dtmi:ce:T;1"}, "temp": 18.0},
+        {"$dtId": "bare", "$metadata": {"$model": "dtmi:ce:T;1"}},
+    ]
+    rels = [{"$relationshipId": "r1", "$sourceId": "hot", "$targetId": "mild",
+             "$relationshipName": "feeds"}]
+    c = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+
+    # generic (searched) CASE
+    rows = c.query(
+        "MATCH (t:Twin) RETURN t.`$dtId` AS id, "
+        "CASE WHEN t.temp > 25 THEN 'hot' WHEN t.temp > 10 THEN 'mild' "
+        "ELSE 'unknown' END AS band ORDER BY id"
+    ).rows
+    assert {r["id"]: r["band"] for r in rows} == {
+        "hot": "hot", "mild": "mild", "bare": "unknown"}
+    # simple (operand) CASE
+    rows = c.query(
+        "MATCH (t:Twin) RETURN CASE t.`$dtId` WHEN 'hot' THEN 1 "
+        "WHEN 'mild' THEN 2 END AS rank_, t.`$dtId` AS id ORDER BY id"
+    ).rows
+    assert {r["id"]: r["rank_"] for r in rows} == {"hot": 1, "mild": 2, "bare": None}
+    # exists() and type()
+    rows = c.query(
+        "MATCH (t:Twin) WHERE exists(t.temp) RETURN count(*) AS n"
+    ).rows
+    assert rows == [{"n": 2}]
+    rows = c.query("MATCH ()-[r]->() RETURN type(r) AS kind").rows
+    assert rows == [{"kind": "feeds"}]
