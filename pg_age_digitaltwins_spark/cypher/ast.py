@@ -84,6 +84,14 @@ class Not:
 
 
 @dataclass
+class Arith:
+    """Numeric binary arithmetic ``+ - * / %``."""
+    op: str
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass
 class Case:
     """``CASE [operand] WHEN … THEN … [ELSE …] END`` — both the simple
     (operand equality) and generic (searched predicate) forms."""
@@ -102,7 +110,7 @@ class Func:
     star: bool = False  # count(*)
 
 
-Expr = Union[Var, Prop, Lit, ListLit, Cmp, StringOp, InList, IsNull, And, Or, Not, Case, Func]
+Expr = Union[Var, Prop, Lit, ListLit, Cmp, StringOp, InList, IsNull, And, Or, Not, Arith, Case, Func]
 
 AGGREGATES = {"count", "sum", "avg", "min", "max", "collect"}
 

@@ -667,6 +667,16 @@ class CypherCompiler:
         if isinstance(e, C.IsNull):
             op = self._operand(e.operand, env, None)
             return op.isNotNull() if e.negated else op.isNull()
+        if isinstance(e, C.Arith):
+            left = self._operand(e.left, env, "number")
+            right = self._operand(e.right, env, "number")
+            return {
+                "+": left + right,
+                "-": left - right,
+                "*": left * right,
+                "/": left / right,
+                "%": left % right,
+            }[e.op]
         if isinstance(e, C.Case):
             col = None
             for cond, val in e.whens:

@@ -331,11 +331,11 @@ class _Parser:
         return self.comparison()
 
     def comparison(self) -> C.Expr:
-        left = self.primary()
+        left = self.add_expr()
         t = self.cur
         if t.kind == "OP" and t.value in ("=", "<>", "<", ">", "<=", ">="):
             self.i += 1
-            return C.Cmp(t.value, left, self.primary())
+            return C.Cmp(t.value, left, self.add_expr())
         if self.at("KEYWORD", "STARTS"):
             self.i += 1
             self.eat("KEYWORD", "WITH")
@@ -353,6 +353,36 @@ class _Parser:
             negated = self.opt("KEYWORD", "NOT")
             self.eat("KEYWORD", "NULL")
             return C.IsNull(left, negated)
+        return left
+
+    def add_expr(self) -> C.Expr:
+        left = self.mul_expr()
+        while True:
+            if self.at("OP", "+"):
+                self.i += 1
+                left = C.Arith("+", left, self.mul_expr())
+            elif self.at("PUNCT", "-"):
+                self.i += 1
+                left = C.Arith("-", left, self.mul_expr())
+            elif self.cur.kind == "NUMBER" and self.cur.value.startswith("-"):
+                # `a-1` lexes the minus into the number literal; undo it
+                t = self.cur
+                self.i += 1
+                left = C.Arith("-", left, C.Lit(
+                    float(t.value[1:]) if any(c in t.value for c in ".eE")
+                    else int(t.value[1:]), "number"))
+            else:
+                return left
+
+    def mul_expr(self) -> C.Expr:
+        left = self.primary()
+        while (self.at("PUNCT", "*") and self.toks[self.i + 1].kind
+               in ("IDENT", "NUMBER", "STRING")) or (
+            self.cur.kind == "OP" and self.cur.value in ("/", "%")
+        ):
+            op = "*" if self.at("PUNCT", "*") else self.cur.value
+            self.i += 1
+            left = C.Arith(op, left, self.primary())
         return left
 
     def primary(self) -> C.Expr:

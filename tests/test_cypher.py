@@ -680,3 +680,32 @@ def test_case_expression_and_type_exists(spark):
     assert rows == [{"n": 2}]
     rows = c.query("MATCH ()-[r]->() RETURN type(r) AS kind").rows
     assert rows == [{"kind": "feeds"}]
+
+
+def test_arithmetic_expressions(spark):
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:ar:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": "a", "$metadata": {"$model": "dtmi:ar:T;1"},
+              "x": 10.0, "y": 4.0}]
+    c = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, model_docs=models))
+    [r] = c.query(
+        "MATCH (t:Twin) RETURN t.x + t.y AS s, t.x - t.y AS d, "
+        "t.x * t.y AS p, t.x / t.y AS q, t.x % t.y AS m"
+    ).rows
+    assert (r["s"], r["d"], r["p"], r["q"], r["m"]) == (14.0, 6.0, 40.0, 2.5, 2.0)
+    # precedence: * binds tighter than +
+    [r] = c.query("MATCH (t:Twin) RETURN t.x + t.y * 2 AS v").rows
+    assert r["v"] == 18.0
+    # parenthesized grouping
+    [r] = c.query("MATCH (t:Twin) RETURN (t.x + t.y) * 2 AS v").rows
+    assert r["v"] == 28.0
+    # arithmetic inside WHERE comparisons
+    rows = c.query("MATCH (t:Twin) WHERE t.x - t.y > 5 RETURN count(*) AS n").rows
+    assert rows == [{"n": 1}]
+    # unspaced minus (lexes into the number literal) still subtracts
+    [r] = c.query("MATCH (t:Twin) RETURN t.x-1 AS v").rows
+    assert r["v"] == 9.0
