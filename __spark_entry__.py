@@ -559,6 +559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_top_bigrams"] = lambda s, d: text.top_bigrams(
         _tables(s, d)["documents"], k=20
     )
+    q["text_char_entropy"] = lambda s, d: text.char_entropy(
+        _tables(s, d)["documents"]
+    )
     return q
 
 
@@ -1100,6 +1103,15 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(t) AS u(w) "
         "GROUP BY w)) AS top "
         f"FROM (SELECT doc_id, {_TOKS_RAW} AS t FROM documents))"
+    )
+    o["text_char_entropy"] = (
+        "WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch "
+        "FROM documents), "
+        "cnt AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch), "
+        "tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, "
+        "sum(c * ln(c)) AS s FROM cnt GROUP BY doc_id) "
+        "SELECT doc_id, n AS n_chars_split, "
+        "round(ln(n) - s / n, 4) AS entropy FROM tot WHERE n > 0"
     )
     o["text_top_bigrams"] = (
         "WITH w AS (SELECT " + _TOKS_RAW + " AS t FROM documents), "

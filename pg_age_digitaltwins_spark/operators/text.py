@@ -349,3 +349,48 @@ def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(k)
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon character entropy (nats) — the classic
+    gibberish / binary-noise quality filter (low-entropy = repeated
+    junk, high-entropy = random bytes).
+
+    100 TB shape: ONE scan, zero shuffles.  The per-doc character
+    histogram is never materialized: characters are sorted in-plan and
+    a run-length fold accumulates Σ count·ln(count) incrementally, so
+    entropy = ln(n) − Σ c·ln(c) / n comes out of whole-stage codegen.
+    (The naive explode → groupBy(doc, char) version shuffles the entire
+    corpus' characters.)
+    """
+    chars = F.array_sort(F.split(F.col("text"), ""))
+    n = F.size(chars)
+    fold = F.aggregate(
+        chars,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                a.acc
+                + F.when(
+                    x == a.prev, F.lit(0.0)
+                ).otherwise(  # close the previous run
+                    F.when(a.run > 0, a.run * F.log(a.run.cast("double"))).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+            ).alias("acc"),
+        ),
+        # close the final run
+        lambda a: a.acc
+        + F.when(a.run > 0, a.run * F.log(a.run.cast("double"))).otherwise(F.lit(0.0)),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars_split"),
+        F.round(F.log(n.cast("double")) - fold / n, 4).alias("entropy"),
+    ).filter(F.col("n_chars_split") > 0)

@@ -598,3 +598,19 @@ def test_triangle_count_degree_ordered(spark):
     star = [("hub", f"s{i}") for i in range(20)]
     [row] = triangle_count(rels(star)).collect()
     assert row["n_triangles"] == 0
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from pg_age_digitaltwins_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["entropy"] for r in char_entropy(docs).collect()}
+    assert rows[1] == 0.0                                  # single symbol
+    assert rows[2] == round(math.log(2), 4)                # two equiprobable
+    assert rows[3] == round(math.log(4), 4)                # four equiprobable
+    assert 4 not in rows                                   # empty doc filtered
