@@ -1106,12 +1106,12 @@ def oracle_sql() -> dict[str, str]:
     )
     o["text_char_entropy"] = (
         "WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch "
-        "FROM documents), "
+        "FROM documents WHERE length(text) > 0), "
         "cnt AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch), "
         "tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, "
         "sum(c * ln(c)) AS s FROM cnt GROUP BY doc_id) "
         "SELECT doc_id, n AS n_chars_split, "
-        "round(ln(n) - s / n, 4) AS entropy FROM tot WHERE n > 0"
+        "round(ln(n) - s / n, 4) AS entropy FROM tot"
     )
     o["text_top_bigrams"] = (
         "WITH w AS (SELECT " + _TOKS_RAW + " AS t FROM documents), "

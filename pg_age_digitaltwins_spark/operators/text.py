@@ -389,8 +389,11 @@ def char_entropy(docs: DataFrame) -> DataFrame:
         lambda a: a.acc
         + F.when(a.run > 0, a.run * F.log(a.run.cast("double"))).otherwise(F.lit(0.0)),
     )
-    return docs.select(
-        "doc_id",
-        n.cast("bigint").alias("n_chars_split"),
-        F.round(F.log(n.cast("double")) - fold / n, 4).alias("entropy"),
-    ).filter(F.col("n_chars_split") > 0)
+    return (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_chars_split"),
+            F.round(F.log(n.cast("double")) - fold / n, 4).alias("entropy"),
+        )
+    )
