@@ -562,6 +562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_char_entropy"] = lambda s, d: text.char_entropy(
         _tables(s, d)["documents"]
     )
+    q["events_value_percentiles"] = lambda s, d: ev_ops.value_percentiles(
+        _tables(s, d)["events"]
+    )
     return q
 
 
@@ -1103,6 +1106,14 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(t) AS u(w) "
         "GROUP BY w)) AS top "
         f"FROM (SELECT doc_id, {_TOKS_RAW} AS t FROM documents))"
+    )
+    o["events_value_percentiles"] = (
+        "SELECT event_type, "
+        "round(quantile_cont(value, 0.5), 4) AS p50, "
+        "round(quantile_cont(value, 0.9), 4) AS p90, "
+        "round(quantile_cont(value, 0.99), 4) AS p99, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY event_type"
     )
     o["text_char_entropy"] = (
         "WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch "

@@ -114,3 +114,22 @@ def asof_join_latest_event(
             *[F.col(f"__left.{c}").alias(c) for c in left.columns], "__last_event"
         )
     )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 of ``value`` per event type — the ops-dashboard
+    staple.  Uses EXACT ``percentile`` (linear interpolation, matching
+    ANSI ``percentile_cont``), not ``percentile_approx``: the group
+    count here is tiny (one row per event type) so exactness is free;
+    at 100 TB with high-cardinality groups swap in
+    ``percentile_approx`` and accept the documented error bound.
+    One shuffle on the group key, map-side partials."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
