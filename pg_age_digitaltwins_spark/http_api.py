@@ -183,8 +183,12 @@ class TokenBucketLimiter:
 
 
 def _page_rows(rows: list, req: Request) -> dict[str, Any]:
-    """``PageWithNextLink`` shape: {"value": [...], "continuationToken"}.
-    Token = base64 {"_tr": offset}, matching the engine's own tokens."""
+    """``PageWithNextLink`` shape: {"value": [...], "continuationToken",
+    "nextLink"}.  Token = base64 {"_tr": offset}, matching the engine's
+    own tokens; ``nextLink`` re-targets the SAME request URL with the
+    continuation token swapped into the query string
+    (``PageWithNextLink.cs:22-38``) so a client can follow links
+    without token plumbing."""
     offset = 0
     tok = req.qparam("continuationToken")
     if tok:
@@ -193,9 +197,19 @@ def _page_rows(rows: list, req: Request) -> dict[str, Any]:
     page = rows[offset : offset + n]
     out: dict[str, Any] = {"value": page}
     if offset + n < len(rows):
-        out["continuationToken"] = base64.b64encode(
+        next_tok = base64.b64encode(
             json.dumps({"_tr": offset + n}).encode()
         ).decode()
+        out["continuationToken"] = next_tok
+        query = {k: list(v) for k, v in req.query.items()}
+        query["continuationToken"] = [next_tok]
+        qs = "&".join(
+            f"{k}={urllib.parse.quote(v, safe='')}"
+            for k, vs in query.items()
+            for v in vs
+        )
+        host = req.header("host") or "localhost"
+        out["nextLink"] = f"http://{host}{req.path}?{qs}"
     return out
 
 

@@ -750,3 +750,40 @@ def test_health_endpoint(api):
     r = svc.handle(Request("GET", "/health"))
     assert r.status == 503
     assert r.body["checks"]["sinks"]["unhealthySinkNames"] == ["m"]
+
+
+def test_models_pagination_next_link(spark):
+    """GetModels_Pagination_FirstPageHasNextLinkWithContinuationToken /
+    _AllModelsReturnedAcrossPages (ModelsIntegrationTests): paged model
+    listing carries a followable nextLink that re-targets the same URL
+    with the continuation token swapped in."""
+    import urllib.parse as up
+
+    client = DigitalTwinsSparkClient(GraphStore.empty(spark))
+    svc = ApiService(client)
+    models = [
+        {"@id": f"dtmi:pg:M{i};1", "@type": "Interface",
+         "@context": "dtmi:dtdl:context;3", "contents": []}
+        for i in range(5)
+    ]
+    assert svc.handle(Request("POST", "/models", body=models)).status == 200
+
+    seen, url = [], "/models?includeModelDefinition=true"
+    for _ in range(10):
+        parsed = up.urlparse(url)
+        query = {k: v for k, v in up.parse_qs(parsed.query).items()}
+        r = svc.handle(Request(
+            "GET", parsed.path, query=query,
+            headers={"max-items-per-page": "2", "host": "unit.test:8080"},
+        ))
+        assert r.status == 200
+        seen += [m["model"]["@id"] for m in r.body["value"]]
+        nl = r.body.get("nextLink")
+        if nl is None:
+            assert "continuationToken" not in r.body
+            break
+        assert nl.startswith("http://unit.test:8080/models?")
+        assert "includeModelDefinition=true" in nl
+        assert up.parse_qs(up.urlparse(nl).query)["continuationToken"]
+        url = nl[len("http://unit.test:8080"):]
+    assert sorted(seen) == [f"dtmi:pg:M{i};1" for i in range(5)]
