@@ -255,11 +255,29 @@ def list_models(
     """List all models; with ``dependencies_for`` include each named
     model plus its full dependency closure (bases + components —
     reference UNION query, ``Models.cs:55-77``)."""
+    cols = [
+        "id", "model", "display_name", "description", "upload_time",
+        "decommissioned", "bases",
+    ]
+
+    def model_data(row) -> dict[str, Any]:
+        # DigitalTwinsModelData serialization
+        # (``Models/DigitalTwinsModelData.cs:9-60``): id + derived
+        # fields always present, the raw DTDL under ``model``.
+        out: dict[str, Any] = {
+            "id": row["id"],
+            "model": json.loads(row["model"]),
+            "displayName": dict(row["display_name"] or {}),
+            "description": dict(row["description"] or {}),
+            "bases": list(row["bases"] or []),
+            "decommissioned": bool(row["decommissioned"]),
+        }
+        if row["upload_time"] is not None:
+            out["uploadTime"] = row["upload_time"].isoformat()
+        return out
+
     if not dependencies_for:
-        rows = store.models.select("model", "decommissioned").collect()
-        return [
-            {"model": json.loads(m), "decommissioned": bool(dec)} for m, dec in rows
-        ]
+        return [model_data(r) for r in store.models.select(*cols).collect()]
     docs = _current_docs(store)
     wanted: set[str] = set()
 
@@ -275,11 +293,10 @@ def list_models(
 
     for mid in dependencies_for:
         visit(mid)
-    return [
-        {"model": {k: v for k, v in docs[m].items() if k != "__decommissioned"},
-         "decommissioned": docs[m].get("__decommissioned", False)}
-        for m in sorted(wanted)
-    ]
+    rows = (
+        store.models.filter(F.col("id").isin(sorted(wanted))).select(*cols).collect()
+    )
+    return sorted((model_data(r) for r in rows), key=lambda m: m["id"])
 
 
 def decommission_model(store: GraphStore, model_id: str) -> GraphStore:

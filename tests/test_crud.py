@@ -1038,3 +1038,33 @@ def test_named_schema_scope_is_extends_closure(spark):
         ],
     }
     create_models(store, [grand])
+
+
+def test_list_models_model_data_shape(spark):
+    """list_models rows follow the DigitalTwinsModelData serialization
+    (Models/DigitalTwinsModelData.cs:9-60): id, displayName map,
+    description map, bases, decommissioned, raw DTDL under `model`."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    client = DigitalTwinsSparkClient(GraphStore.empty(spark))
+    client.create_models([
+        {"@id": "dtmi:md:Base;1", "@type": "Interface",
+         "@context": "dtmi:dtdl:context;3",
+         "displayName": "Base thing", "contents": []},
+        {"@id": "dtmi:md:Kid;1", "@type": "Interface",
+         "@context": "dtmi:dtdl:context;3", "extends": "dtmi:md:Base;1",
+         "displayName": {"en": "Kid", "de": "Kind"}, "contents": []},
+    ])
+    rows = {m["id"]: m for m in client.list_models()}
+    assert set(rows) == {"dtmi:md:Base;1", "dtmi:md:Kid;1"}
+    kid = rows["dtmi:md:Kid;1"]
+    assert kid["model"]["@id"] == "dtmi:md:Kid;1"
+    assert kid["displayName"] == {"en": "Kid", "de": "Kind"}
+    assert rows["dtmi:md:Base;1"]["displayName"] == {"en": "Base thing"}
+    assert kid["bases"] == ["dtmi:md:Base;1"]
+    assert kid["decommissioned"] is False
+    # dependencies_for carries the same shape
+    deps = client.list_models(dependencies_for=["dtmi:md:Kid;1"])
+    assert [m["id"] for m in deps] == ["dtmi:md:Base;1", "dtmi:md:Kid;1"]
+    assert all("model" in m and "bases" in m for m in deps)
