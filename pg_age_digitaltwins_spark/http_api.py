@@ -355,6 +355,8 @@ class ApiService:
         # --- query (QueryEndpoints.cs) ---
         r("POST", "/query", self.query_post, "query", (QRY, ACT))
         r("GET", "/health", self.health_get, "light", None)
+        # root liveness probe (HostAndClientTests::GetWebResourceRoot)
+        r("GET", "/", lambda req: Response(200, {"service": "pg-age-digitaltwins-spark"}), "light", None)
         # --- MCP (docs/concepts/mcp-server.mdx; HTTP transport) ---
         r("POST", "/mcp", self.mcp_post, "light", None)
         # --- models (ModelsEndpoints.cs) ---
