@@ -211,6 +211,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "MATCH (n {`$dtId`: 'nation-0'})<-[r]-(m) "
         "RETURN label(r) AS lbl, count(*) AS cnt"
     )
+    q["cypher_shortest_path"] = _adt(
+        "MATCH p = shortestPath((o {`$dtId`: 'order-1'})"
+        "-[:placedBy|locatedIn|partOf*1..4]->(x)) "
+        "RETURN x.`$dtId` AS dst, length(p) AS len"
+    )
     q["cypher_var_length"] = _adt(
         "MATCH (o {`$dtId`: 'order-1'})-[:placedBy|locatedIn|partOf*1..3]->(x) "
         "RETURN x.`$dtId` AS id"
@@ -789,6 +794,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'locatedIn' AS lbl, "
         "((SELECT count(*) FROM customer WHERE c_nationkey = 0) + "
         "(SELECT count(*) FROM supplier WHERE s_nationkey = 0)) AS cnt"
+    )
+    o["cypher_shortest_path"] = (
+        "WITH RECURSIVE e AS ("
+        "SELECT DISTINCT src, dst FROM ("
+        "SELECT 'order-' || o_orderkey AS src, 'cust-' || o_custkey AS dst FROM orders "
+        "UNION ALL SELECT 'cust-' || c_custkey, 'nation-' || c_nationkey FROM customer "
+        "UNION ALL SELECT 'supp-' || s_suppkey, 'nation-' || s_nationkey FROM supplier "
+        "UNION ALL SELECT 'nation-' || n_nationkey, 'region-' || n_regionkey FROM nation)), "
+        "p(dst, len) AS ("
+        "SELECT dst, 1 FROM e WHERE src = 'order-1' "
+        "UNION ALL SELECT e.dst, p.len + 1 FROM p JOIN e ON e.src = p.dst "
+        "WHERE p.len < 4) "
+        "SELECT dst, CAST(min(len) AS BIGINT) AS len FROM p GROUP BY dst"
     )
     o["cypher_var_length"] = (
         "SELECT 'cust-' || o_custkey AS id FROM orders WHERE o_orderkey = 1 "

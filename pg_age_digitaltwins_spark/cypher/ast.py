@@ -157,6 +157,8 @@ class EdgePat:
 class PathPat:
     nodes: list[NodePat]
     edges: list[EdgePat]
+    var: "str | None" = None     # ``p = ...`` path variable
+    shortest: bool = False       # wrapped in shortestPath(...)
 
 
 @dataclass

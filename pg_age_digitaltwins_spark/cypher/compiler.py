@@ -187,8 +187,21 @@ class CypherCompiler:
             return self._optional_match(df, env, clause)
         for path in clause.paths:
             df, left = self._bind_node(df, env, path.nodes[0])
-            for edge, node in zip(path.edges, path.nodes[1:]):
-                df, left = self._hop(df, env, left, edge, node)
+            if path.shortest:
+                df, left = self._shortest(df, env, left, path)
+            else:
+                for edge, node in zip(path.edges, path.nodes[1:]):
+                    df, left = self._hop(df, env, left, edge, node)
+                if path.var:
+                    if any(e.var_length is not None for e in path.edges):
+                        raise CypherCompileError(
+                            "path variables over variable-length patterns are "
+                            "only supported inside shortestPath(...)"
+                        )
+                    # fixed-length path: length(p) is the edge count
+                    col = f"__plen_{path.var}"
+                    df = df.withColumn(col, F.lit(len(path.edges)))
+                    env[path.var] = Binding(path.var, "value", col)
         if clause.where is not None:
             pred = self._expr(clause.where, env, as_predicate=True)
             df = self._inject(df).filter(pred)
@@ -350,6 +363,96 @@ class CypherCompiler:
         df = df.join(
             pairs, F.col(f"{p_alias}.src") == F.col(f"{left.df_alias}.dt_id")
         )
+        existing = env.get(node.alias) if node.alias else None
+        if existing is not None:
+            df = df.filter(
+                F.col(f"{p_alias}.dst") == F.col(f"{existing.df_alias}.dt_id")
+            )
+            return self._apply_node_props(df, existing, node), existing
+        frame, kind = self._node_frame(node)
+        t_alias = node.alias or self._anon_alias()
+        t = Binding(node.alias or "", kind, t_alias)
+        if node.alias:
+            env[node.alias] = t
+        scan = self._apply_node_props_scan(frame.alias(t_alias), t_alias, kind, node)
+        df = df.join(scan, F.col(f"{p_alias}.dst") == F.col(f"{t_alias}.dt_id"))
+        return df, t
+
+    def _shortest(
+        self, df: DataFrame, env: dict[str, Binding], left: Binding, path: C.PathPat
+    ):
+        """``[p =] shortestPath((a)-[*lo..hi]->(b))`` — BFS that keeps
+        the MINIMUM depth per (src, dst) pair: depth-d pairs join in
+        only if no shallower depth found them (left-anti against the
+        accumulated set), so one row per endpoint pair with its
+        shortest length — exactly openCypher's single-shortest-path
+        contract projected to endpoints + length.  Same seeding /
+        lineage-cut discipline as the plain variable-length hop."""
+        if len(path.edges) != 1 or len(path.nodes) != 2:
+            raise CypherCompileError(
+                "shortestPath(...) takes a single relationship pattern"
+            )
+        edge, node = path.edges[0], path.nodes[1]
+        if edge.var_length is None:
+            raise CypherCompileError(
+                "shortestPath(...) requires a variable-length relationship "
+                "(e.g. [*..5])"
+            )
+        lo, hi = edge.var_length
+        hi = min(hi if hi is not None else MAX_VAR_LENGTH, MAX_VAR_LENGTH)
+        if lo not in (0, 1):
+            raise CypherCompileError(
+                "shortestPath(...) lower bound must be 0 or 1"
+            )
+        base_rel, _ = self._edge_frame(edge)
+        base = base_rel.select(
+            F.col("source_id").alias("src"), F.col("target_id").alias("dst")
+        )
+        if edge.direction == "<-":
+            base = base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        elif edge.direction == "--":
+            base = base.unionByName(
+                base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        base = base.distinct()
+        start_ids = df.select(
+            F.col(f"{left.df_alias}.dt_id").alias("src")
+        ).distinct()
+        seeded = base.join(start_ids, "src", "left_semi")
+        found = None
+        if lo == 0:
+            found = self._twins.select(
+                F.col("dt_id").alias("src"),
+                F.col("dt_id").alias("dst"),
+                F.lit(0).alias("__depth"),
+            ).join(start_ids, "src", "left_semi")
+        frontier = seeded
+        for depth in range(1, hi + 1):
+            if depth > 1:
+                frontier = (
+                    frontier.alias("f")
+                    .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
+                    .select(
+                        F.col("f.src").alias("src"), F.col("b.dst").alias("dst")
+                    )
+                    .distinct()
+                )
+            new = frontier.withColumn("__depth", F.lit(depth))
+            if found is not None:
+                new = new.join(found.select("src", "dst"), ["src", "dst"], "left_anti")
+            found = new if found is None else found.unionByName(new)
+            if depth % 3 == 0 and depth < hi:
+                frontier = frontier.localCheckpoint(eager=False)
+                found = found.localCheckpoint(eager=False)
+        p_alias = self._anon_alias()
+        pairs = found.alias(p_alias)
+        df = df.join(
+            pairs, F.col(f"{p_alias}.src") == F.col(f"{left.df_alias}.dt_id")
+        )
+        if path.var:
+            col = f"__plen_{path.var}"
+            df = df.withColumn(col, F.col(f"{p_alias}.__depth").cast("long"))
+            env[path.var] = Binding(path.var, "value", col)
         existing = env.get(node.alias) if node.alias else None
         if existing is not None:
             df = df.filter(
@@ -751,6 +854,20 @@ class CypherCompiler:
                 )
                 return F.array_size(arr).cast("long")
             return F.array_size(self._expr(arg, env)).cast("long")
+        if n == "length":
+            [arg] = e.args
+            if (
+                isinstance(arg, C.Var)
+                and arg.name in env
+                and env[arg.name].kind == "value"
+            ):
+                # path variable bound by [p =] (shortestPath) — the
+                # tracked hop count
+                return F.col(env[arg.name].df_alias).cast("long")
+            raise CypherCompileError(
+                "length() needs a bound path variable (p = shortestPath(...) "
+                "or p = fixed-length pattern)"
+            )
         if n == "coalesce":
             return F.coalesce(*[self._operand(a, env, None) for a in e.args])
         if n == "round":

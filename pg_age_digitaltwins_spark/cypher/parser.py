@@ -136,9 +136,9 @@ class _Parser:
     def match_clause(self) -> C.MatchClause:
         optional = self.opt("KEYWORD", "OPTIONAL")
         self.eat("KEYWORD", "MATCH")
-        paths = [self.path()]
+        paths = [self.path_item()]
         while self.opt("PUNCT", ","):
-            paths.append(self.path())
+            paths.append(self.path_item())
         where = None
         if self.opt("KEYWORD", "WHERE"):
             where = self.expr()
@@ -169,6 +169,30 @@ class _Parser:
         if self.opt("KEYWORD", "WHERE"):
             wc.where = self.expr()
         return wc
+
+    def path_item(self) -> C.PathPat:
+        """A path with optional ``p =`` assignment and optional
+        ``shortestPath(...)`` wrapper (openCypher)."""
+        var = None
+        if (
+            self.cur.kind == "IDENT"
+            and self.toks[self.i + 1].kind == "OP"
+            and self.toks[self.i + 1].value == "="
+        ):
+            var = self.eat("IDENT").value
+            self.i += 1  # '='
+        shortest = False
+        if self.cur.kind == "IDENT" and self.cur.value.lower() == "shortestpath":
+            self.i += 1
+            self.eat("PUNCT", "(")
+            p = self.path()
+            self.eat("PUNCT", ")")
+            shortest = True
+        else:
+            p = self.path()
+        p.var = var
+        p.shortest = shortest
+        return p
 
     def path(self) -> C.PathPat:
         nodes = [self.node()]

@@ -709,3 +709,69 @@ def test_arithmetic_expressions(spark):
     # unspaced minus (lexes into the number literal) still subtracts
     [r] = c.query("MATCH (t:Twin) RETURN t.x-1 AS v").rows
     assert r["v"] == 9.0
+
+
+def _chain_client(spark):
+    """a->b->c->d chain plus a shortcut a->c."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sp:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": x, "$metadata": {"$model": "dtmi:sp:T;1"}}
+             for x in "abcd"]
+    rels = [
+        {"$relationshipId": f"r{i}", "$sourceId": s, "$targetId": t,
+         "$relationshipName": "next"}
+        for i, (s, t) in enumerate([("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+    ]
+    return DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+
+
+def test_shortest_path_lengths(spark):
+    c = _chain_client(spark)
+    rows = c.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})-[*..5]->(b)) "
+        "RETURN b.`$dtId` AS dst, length(p) AS len ORDER BY dst"
+    ).rows
+    # a->b =1; a->c =1 (shortcut beats a->b->c); a->d =2 (via shortcut)
+    assert rows == [
+        {"dst": "b", "len": 1}, {"dst": "c", "len": 1}, {"dst": "d", "len": 2}]
+    # zero-length lower bound includes the start node at depth 0
+    rows = c.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})-[*0..3]->(b)) "
+        "RETURN b.`$dtId` AS dst, length(p) AS len ORDER BY dst"
+    ).rows
+    assert rows[0] == {"dst": "a", "len": 0}
+    # one row per endpoint pair (single shortest path, not all paths)
+    assert len(rows) == 4
+
+
+def test_shortest_path_with_endpoint_filter_and_fixed_path_var(spark):
+    c = _chain_client(spark)
+    rows = c.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})-[*..5]->(b {`$dtId`: 'd'})) "
+        "RETURN length(p) AS len"
+    ).rows
+    assert rows == [{"len": 2}]
+    # fixed-length path variable: length = edge count
+    rows = c.query(
+        "MATCH p = (a {`$dtId`: 'a'})-[:next]->(b)-[:next]->(c2) "
+        "RETURN c2.`$dtId` AS dst, length(p) AS len"
+    ).rows
+    assert {(r["dst"], r["len"]) for r in rows} == {("c", 2), ("d", 2)}
+
+
+def test_shortest_path_errors(spark):
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    c = _chain_client(spark)
+    with _pytest.raises(CypherCompileError, match="variable-length"):
+        c.query("MATCH p = shortestPath((a)-[:next]->(b)) RETURN length(p)")
+    with _pytest.raises(CypherCompileError, match="path variables"):
+        c.query("MATCH p = (a)-[*1..2]->(b) RETURN length(p) AS l")
+    with _pytest.raises(CypherCompileError, match="length"):
+        c.query("MATCH (a)-[:next]->(b) RETURN length(a) AS l")
