@@ -61,6 +61,8 @@ class JobRecord:
     models_deleted: int = 0
     twins_deleted: int = 0
     relationships_deleted: int = 0
+    # version stamped by the table-format bulk path (commit_root)
+    committed_version: "int | None" = None
 
 
 @dataclass
@@ -524,6 +526,7 @@ def import_file_distributed(
     user_id: str | None = None,
     ts: str | None = None,
     output_path: str | None = None,
+    commit_root: str | None = None,
 ) -> JobRecord:
     """The 100 TB import shape: one distributed pass per section, no
     data-row ``collect()``.
@@ -660,6 +663,41 @@ def import_file_distributed(
     client._swap(store)
     if client.changes.feed_dir is not None:
         _emit_import_changes(client, new_twins, pre_twins, new_rels, pre_rels, ts)
+    if commit_root is not None:
+        # Bulk path through the table format: COW-commit ONLY the
+        # partitions the import touched (distinct model ids / edge
+        # names — two tiny aggregates), with the per-row change batch
+        # staged executor-side in the same commit.  The stream tailing
+        # ``commit_root`` picks the batch up atomically.
+        from pg_age_digitaltwins_spark.store.commit_log import commit_cow
+        from pg_age_digitaltwins_spark.streaming.changes import _ts as parse_ts
+
+        changed: dict = {}
+        if model_docs:
+            changed["models"] = True
+            changed["model_edges"] = True
+        t_vals = [r["model_id"] for r in new_twins.select("model_id").distinct().collect()]
+        r_vals = [r["name"] for r in new_rels.select("name").distinct().collect()]
+        if t_vals:
+            changed["twins"] = t_vals
+        if r_vals:
+            changed["relationships"] = r_vals
+        when = parse_ts(ts)
+        ev_twins = _import_event_df(
+            client.changes.graph_name, new_twins,
+            pre_twins.select("dt_id", F.col("doc").alias("__old_doc")),
+            ["dt_id"], F.col("dt_id"), F.lit("Twin"), 1, when,
+        )
+        ev_rels = _import_event_df(
+            client.changes.graph_name, new_rels,
+            pre_rels.select("source_id", "relationship_id", F.col("doc").alias("__old_doc")),
+            ["source_id", "relationship_id"],
+            F.col("relationship_id"), F.col("name"), 2, when,
+        )
+        rec.committed_version = commit_cow(
+            store, commit_root, changed=changed,
+            events=ev_twins.unionByName(ev_rels),
+        )
     rec.status = "Succeeded" if rec.error_count == 0 else (
         "PartiallySucceeded"
         if (rec.models_created + rec.twins_created + rec.relationships_created)
@@ -685,39 +723,21 @@ def _emit_import_changes(
 
     log = client.changes
     when = parse_ts(ts)
-
-    def ev_cols(df, old, keys, entity_id_col, table_name_col, txn: int):
-        return (
-            df.join(old, keys, "left")
-            .select(
-                entity_id_col.alias("entity_id"),
-                F.lit(log.graph_name).alias("graph_name"),
-                table_name_col.alias("table_name"),
-                F.col("__old_doc").alias("old_value"),
-                F.col("doc").alias("new_value"),
-                F.when(F.col("__old_doc").isNull(), F.lit("Insert"))
-                .otherwise(F.lit("Update"))
-                .alias("event_type"),
-                F.lit(when).alias("timestamp"),
-                F.lit(txn).cast("long").alias("txn_id"),
-                # every entity appears once post-dedup, so seq only has
-                # to be distinct, not ordered
-                F.monotonically_increasing_id().alias("seq"),
-            )
-        )
-
     log.append_df(
-        ev_cols(
+        _import_event_df(
+            log.graph_name,
             new_twins,
             pre_twins.select("dt_id", F.col("doc").alias("__old_doc")),
             ["dt_id"],
             F.col("dt_id"),
             F.lit("Twin"),
             log.begin(),
+            when,
         )
     )
     log.append_df(
-        ev_cols(
+        _import_event_df(
+            log.graph_name,
             new_rels,
             pre_rels.select(
                 "source_id", "relationship_id", F.col("doc").alias("__old_doc")
@@ -726,7 +746,31 @@ def _emit_import_changes(
             F.col("relationship_id"),
             F.col("name"),
             log.begin(),
+            when,
         )
+    )
+
+
+def _import_event_df(
+    graph_name: str, df, old, keys, entity_id_col, table_name_col, txn: int, when
+):
+    """EventData rows for a merged import batch: old images via a left
+    join against the PRE-merge snapshot (REPLICA IDENTITY FULL), Insert
+    vs Update by old-image presence."""
+    return df.join(old, keys, "left").select(
+        entity_id_col.alias("entity_id"),
+        F.lit(graph_name).alias("graph_name"),
+        table_name_col.alias("table_name"),
+        F.col("__old_doc").alias("old_value"),
+        F.col("doc").alias("new_value"),
+        F.when(F.col("__old_doc").isNull(), F.lit("Insert"))
+        .otherwise(F.lit("Update"))
+        .alias("event_type"),
+        F.lit(when).alias("timestamp"),
+        F.lit(txn).cast("long").alias("txn_id"),
+        # every entity appears once post-dedup, so seq only has to be
+        # distinct, not ordered
+        F.monotonically_increasing_id().alias("seq"),
     )
 
 

@@ -468,3 +468,55 @@ def test_file_lease_store_survives_restart(tmp_path):
     assert not again.acquire_lock("job-9", "driver-b")
     clock[0] += 11.0
     assert again.acquire_lock("job-9", "driver-b")
+
+
+def test_import_distributed_commit_root_cow(client, spark, tmp_path):
+    """Bulk import through the table format: the merged store COW-commits
+    only the touched partitions, the per-row change batch lands in the
+    SAME commit, and a stream tailing the root consumes it."""
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        CommitLog,
+        commit_snapshot,
+        load_latest,
+        read_changes_since,
+    )
+    from pg_age_digitaltwins_spark.streaming.sinks import (
+        EventRoute,
+        EventRouter,
+        InMemoryEventSink,
+        run_change_stream,
+    )
+
+    root = str(tmp_path / "table")
+    v0 = commit_snapshot(client.store, root)  # empty base version
+    assert v0 == 1
+
+    n = 100
+    p = tmp_path / "import.ndjson"
+    p.write_text("\n".join(full_file(n)) + "\n")
+    rec = import_file_distributed(client, spark, str(p), commit_root=root)
+    assert rec.status == "Succeeded"
+    assert rec.committed_version == 2
+
+    log = CommitLog(root)
+    m2 = log.manifest(2)
+    assert m2["data_dir"] is None  # COW commit
+    # exactly the import's partitions were written
+    assert set(m2["tables"]["twins"]["parts"]) == {"model_id=dtmi%3Aj%3AThing;1"}
+    assert set(m2["tables"]["relationships"]["parts"]) == {"name=next"}
+
+    store, v = load_latest(spark, root)
+    assert v == 2
+    assert store.twins.count() == n and store.relationships.count() == n
+
+    changes = read_changes_since(spark, root, after_version=1)
+    assert changes.count() == 2 * n
+    assert changes.filter("event_type = 'Insert'").count() == 2 * n
+
+    router = EventRouter(source="src-cow")
+    mem = InMemoryEventSink("mem")
+    router.add_sink(mem)
+    router.add_route(EventRoute("mem", "EventNotification"))
+    q = run_change_stream(spark, root, router, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert len(mem.events) == 2 * n
