@@ -155,3 +155,25 @@ def test_bucketed_store_traversal_join_has_no_exchange(spark, tmp_path):
     finally:
         for t in ("twins", "relationships", "models", "model_edges"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_repetition_and_entropy_are_shuffle_free(spark):
+    """The docstring claims: one scan, zero shuffles — the sorted-array
+    run-length folds must not introduce an Exchange."""
+    from pg_age_digitaltwins_spark.operators.text import char_entropy, repetition_stats
+
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    for op in (repetition_stats, char_entropy):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan, f"{op.__name__}: {plan}"
+
+
+def test_triangle_count_no_cartesian(spark):
+    from pg_age_digitaltwins_spark.operators.graph_analytics import triangle_count
+
+    rels = spark.createDataFrame(
+        [("r1", "a", "b", "x")],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    plan = _plan(triangle_count(rels))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
