@@ -119,3 +119,27 @@ def deadband_filter(events: DataFrame, threshold: float = 5.0) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedupe_within_watermark(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """At-least-once feed → effectively-once delivery: drop redelivered
+    events by id within the watermark horizon.
+
+    The change feed (like the reference's WAL consumption,
+    ``AgeDigitalTwinsReplication.cs:536-540`` LSN acks) is
+    at-least-once — a crash between delivery and checkpoint replays the
+    tail.  ``dropDuplicatesWithinWatermark`` keeps per-id state ONLY
+    until the watermark passes it (bounded state — a plain
+    ``dropDuplicates`` on a stream grows state forever), which is
+    exactly the redelivery window's shape: duplicates arrive close to
+    the original, never later than the replayed checkpoint gap.
+    """
+    id_cols = id_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )

@@ -1341,3 +1341,51 @@ def test_mqtt_sink_end_to_end_change_stream(spark, tmp_path):
         assert body["subject"] == "t1" and body["data"]["temperature"] == 1.0
     finally:
         broker.stop()
+
+
+def test_dedupe_within_watermark_drops_redeliveries(spark, tmp_path):
+    """An at-least-once replay of the same event ids is suppressed
+    within the watermark window; state stays bounded by the watermark
+    (dropDuplicatesWithinWatermark, not an ever-growing dropDuplicates)."""
+    import json as _json
+    import os
+
+    from pg_age_digitaltwins_spark.streaming.stateful import dedupe_within_watermark
+
+    feed = tmp_path / "feed"
+    os.makedirs(feed)
+
+    def write_batch(name, rows):
+        with open(feed / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    rows = [
+        {"event_id": i, "ts": f"2026-03-01T00:0{i}:00.000", "user_id": 1,
+         "event_type": "click", "value": float(i)}
+        for i in range(3)
+    ]
+    write_batch("b1.ndjson", rows)
+    write_batch("b2.ndjson", rows[1:] + [  # redelivered tail + one new
+        {"event_id": 9, "ts": "2026-03-01T00:04:00.000", "user_id": 1,
+         "event_type": "click", "value": 9.0}
+    ])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed))
+    )
+    deduped = dedupe_within_watermark(stream, ["event_id"], "10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [0, 1, 2, 9]  # each id exactly once
