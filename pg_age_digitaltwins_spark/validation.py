@@ -688,7 +688,10 @@ def validate_model(
         semantics = [k for k in kinds if k not in _CONTENT_KINDS]
         unit = item.get("unit")
         if semantics and kind in ("Property", "Telemetry"):
-            if not has_qt:
+            # DTDL v2 ships semantic types IN the core language; v3+
+            # moved them to the quantitativeTypes extension, which must
+            # then appear in @context (DTDL spec §Semantic types).
+            if not has_qt and not is_v2:
                 v.append(
                     f"{where}: semantic type {semantics[0]!r} requires the "
                     "quantitativeTypes extension in @context"

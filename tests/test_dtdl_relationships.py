@@ -423,3 +423,26 @@ def test_nested_components_rejected(spark):
     # plain single-level components still pass
     _, created = create_models(store, [leaf, mid])
     assert len(created) == 2
+
+
+def test_v2_semantic_types_are_core_language():
+    """DTDL v2 ships semantic types in the core language — no
+    quantitativeTypes extension context required (it did not exist
+    until v3); v3 still demands the extension."""
+    v2 = {
+        "@id": "dtmi:v2:Sensor;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;2",
+        "contents": [{"@type": ["Property", "Temperature"], "name": "temp",
+                      "schema": "double", "unit": "degreeCelsius"}],
+    }
+    validate_model(v2, None)  # accepted
+    v3 = dict(v2, **{"@id": "dtmi:v2:Sensor3;1",
+                     "@context": "dtmi:dtdl:context;3"})
+    with pytest.raises(ValidationError, match="quantitativeTypes"):
+        validate_model(v3, None)
+    # bad unit still rejected under v2
+    bad = dict(v2, contents=[{"@type": ["Property", "Temperature"],
+                              "name": "temp", "schema": "double",
+                              "unit": "notaunit"}])
+    with pytest.raises(ValidationError, match="unit"):
+        validate_model(bad, None)
