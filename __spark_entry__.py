@@ -570,6 +570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_value_percentiles"] = lambda s, d: ev_ops.value_percentiles(
         _tables(s, d)["events"]
     )
+    q["events_funnel"] = lambda s, d: ev_ops.funnel(
+        _tables(s, d)["events"], ["view", "click", "purchase"]
+    )
     return q
 
 
@@ -1124,6 +1127,19 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(t) AS u(w) "
         "GROUP BY w)) AS top "
         f"FROM (SELECT doc_id, {_TOKS_RAW} AS t FROM documents))"
+    )
+    o["events_funnel"] = (
+        "WITH s0 AS (SELECT user_id, min(ts) AS t FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t "
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t "
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+        "SELECT 0 AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) AS users FROM s0 "
+        "UNION ALL SELECT 1, 'click', count(*) FROM s1 "
+        "UNION ALL SELECT 2, 'purchase', count(*) FROM s2"
     )
     o["events_value_percentiles"] = (
         "SELECT event_type, "

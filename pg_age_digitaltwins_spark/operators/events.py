@@ -133,3 +133,41 @@ def value_percentiles(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
     )
+
+
+def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """Ordered-funnel conversion: per step, how many users performed the
+    whole prefix IN ORDER (each step strictly after the previous one's
+    first occurrence).  The product-analytics staple.
+
+    Shape at scale: one shuffle per step keyed on ``user_id``, each
+    stage a filtered min-aggregate joined to the previous stage's
+    survivors — every join is user-keyed equi-join (no window over the
+    whole stream, no per-user collect).
+    """
+    steps = steps or ["view", "click", "purchase"]
+    prev = None  # (user_id, t_prev)
+    out_rows = []
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col("event_type") == step).select("user_id", "ts")
+        if prev is None:
+            stage = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            stage = (
+                ev.join(prev, "user_id")
+                .filter(F.col("ts") > F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        prev = stage
+        out_rows.append(
+            stage.agg(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).cast("bigint").alias("users"),
+            )
+        )
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionByName(df)
+    return out

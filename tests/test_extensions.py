@@ -614,3 +614,22 @@ def test_char_entropy_known_values(spark):
     assert rows[2] == round(math.log(2), 4)                # two equiprobable
     assert rows[3] == round(math.log(4), 4)                # four equiprobable
     assert 4 not in rows                                   # empty doc filtered
+
+
+def test_funnel_order_matters(spark):
+    from pg_age_digitaltwins_spark.operators.events import funnel
+
+    rows = [
+        # u1 completes in order; u2 clicks BEFORE viewing (no conversion
+        # past view); u3 views only
+        (1, "2026-01-01T00:00:00", "view"), (1, "2026-01-01T00:01:00", "click"),
+        (1, "2026-01-01T00:02:00", "purchase"),
+        (2, "2026-01-01T00:00:30", "click"), (2, "2026-01-01T00:01:30", "view"),
+        (3, "2026-01-01T00:00:10", "view"),
+    ]
+    events = spark.createDataFrame(
+        [(u, t, k, 1.0) for u, t, k in rows],
+        "user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    got = {r["step"]: r["users"] for r in funnel(events).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
