@@ -836,6 +836,29 @@ class CypherCompiler:
             if not isinstance(arg, C.Prop):
                 raise CypherCompileError("exists() needs a property argument")
             return self._operand(arg, env, None).isNotNull()
+        if n in ("id", "keys", "properties"):
+            [arg] = e.args
+            if not isinstance(arg, C.Var) or arg.name not in env:
+                raise CypherCompileError(f"{n}() needs a bound entity variable")
+            b = env[arg.name]
+            if b.kind == "value":
+                raise CypherCompileError(f"{n}() needs an entity, not a value")
+            if n == "id":
+                # the entity's key: $dtId / $relationshipId / model id
+                key = "relationship_id" if b.kind == "rel" else "dt_id"
+                return self._col(b, key)
+            if n == "keys":
+                # sorted property-name array from the stored document
+                return F.array_sort(
+                    F.json_object_keys(self._col(b, "doc"))
+                )
+            # properties(x): the document as map<string,string> —
+            # scalars as their string form, nested objects as JSON
+            # text (a typed per-key map is impossible under dynamic
+            # typing; AGE returns the agtype map)
+            return F.from_json(
+                self._col(b, "doc"), "map<string,string>"
+            )
         if n in ("tolower", "toupper"):
             c = self._operand(e.args[0], env, "string")
             return F.lower(c) if n == "tolower" else F.upper(c)

@@ -775,3 +775,26 @@ def test_shortest_path_errors(spark):
         c.query("MATCH p = (a)-[*1..2]->(b) RETURN length(p) AS l")
     with _pytest.raises(CypherCompileError, match="length"):
         c.query("MATCH (a)-[:next]->(b) RETURN length(a) AS l")
+
+
+def test_id_keys_properties_functions(spark):
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:kf:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": "t1", "$metadata": {"$model": "dtmi:kf:T;1"},
+              "temp": 21.5, "name": "room"}]
+    rels = [{"$relationshipId": "r1", "$sourceId": "t1", "$targetId": "t1",
+             "$relationshipName": "self"}]
+    c = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+    [r] = c.query("MATCH (t:Twin) RETURN id(t) AS i, keys(t) AS k").rows
+    assert r["i"] == "t1"
+    assert r["k"] == ["$dtId", "$metadata", "name", "temp"]
+    [r] = c.query("MATCH ()-[e]->() RETURN id(e) AS i").rows
+    assert r["i"] == "r1"
+    [r] = c.query("MATCH (t:Twin) RETURN properties(t) AS p").rows
+    assert r["p"]["name"] == "room" and r["p"]["temp"] == "21.5"
+    import json as _json
+    assert _json.loads(r["p"]["$metadata"]) == {"$model": "dtmi:kf:T;1"}
