@@ -370,3 +370,29 @@ def test_client_second_commit_is_copy_on_write(spark, tmp_path):
     assert client.get_digital_twin("t0")["x"] == 42
     assert client.get_digital_twin("t9")["$dtId"] == "t9"
     assert read_changes_since(spark, root, after_version=1).count() == 1
+
+
+def test_cow_null_partition_roundtrip(spark, tmp_path):
+    """Twins with NULL model_id land in the hive default partition;
+    COW-committing that partition (changed value None) and reading it
+    back must preserve the null."""
+    from pg_age_digitaltwins_spark.store.commit_log import commit_cow
+
+    root = str(tmp_path / "table")
+    with_model = [_twin_m(0, "dtmi:test:A;1")]
+    orphan = [{"$dtId": "orphan", "$metadata": {}, "x": 1}]
+    store = GraphStore.from_documents(
+        spark, twin_docs=with_model + orphan, model_docs=MODELS_AB
+    )
+    commit_snapshot(store, root)
+    orphan2 = [{"$dtId": "orphan", "$metadata": {}, "x": 2}]
+    store2 = GraphStore.from_documents(
+        spark, twin_docs=with_model + orphan2, model_docs=MODELS_AB
+    )
+    v2 = commit_cow(store2, root, changed={"twins": [None]})
+    assert v2 == 2
+    got, _ = load_latest(spark, root)
+    rows = {r["dt_id"]: r for r in got.twins.collect()}
+    assert rows["orphan"]["model_id"] is None
+    assert '"x":2' in rows["orphan"]["doc"]
+    assert rows["t0"]["model_id"] == "dtmi:test:A;1"  # untouched partition intact
