@@ -570,6 +570,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_value_percentiles"] = lambda s, d: ev_ops.value_percentiles(
         _tables(s, d)["events"]
     )
+    def _quantize(s, d):
+        # codes array → CSV for the hash compare (the driver's value
+        # hash factorizes scalars; same projection as collect keys)
+        from pyspark.sql import functions as F
+
+        return similarity.quantize_int8(_tables(s, d)["embeddings"]).select(
+            "vec_id", F.array_join("codes", ",").alias("codes_csv")
+        )
+
+    q["embed_quantize_int8"] = _quantize
     q["events_funnel"] = lambda s, d: ev_ops.funnel(
         _tables(s, d)["events"], ["view", "click", "purchase"]
     )
@@ -1127,6 +1137,16 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(t) AS u(w) "
         "GROUP BY w)) AS top "
         f"FROM (SELECT doc_id, {_TOKS_RAW} AS t FROM documents))"
+    )
+    o["embed_quantize_int8"] = (
+        "WITH ex AS (SELECT vec_id, "
+        "unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings), "
+        "st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim) "
+        "SELECT vec_id, array_to_string(list(CASE WHEN mx > mn "
+        "THEN CAST(round((x - mn) / (mx - mn) * 254) - 127 AS INTEGER) "
+        "ELSE 0 END ORDER BY dim), ',') AS codes_csv "
+        "FROM ex JOIN st USING (dim) GROUP BY vec_id"
     )
     o["events_funnel"] = (
         "WITH s0 AS (SELECT user_id, min(ts) AS t FROM events "

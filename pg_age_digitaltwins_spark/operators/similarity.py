@@ -532,3 +532,41 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Scalar (per-dimension) int8 quantization of the embedding column
+    — the standard 4× memory/IO shrink before ANN at corpus scale.
+
+    Codes: ``round((x - min_d) / (max_d - min_d) * 254) - 127`` per
+    dimension d (symmetric int8 range), degenerate dimensions
+    (min==max) coding to 0.
+
+    Shape at scale: ONE pass computes the per-dimension min/max
+    (posexplode → groupBy(dim), map-side combined — the stats table is
+    dim-sized, broadcast back), one more map-side pass emits the codes.
+    Training stats and coding are the same DataFrame program a 100 TB
+    corpus would run; only the broadcast table (64 rows) is small.
+    """
+    stats = (
+        embeddings.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("dim")
+    )
+    mins = stats.agg(F.collect_list("mn").alias("mns"), F.collect_list("mx").alias("mxs"))
+    coded = embeddings.crossJoin(F.broadcast(mins)).select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.arrays_zip(
+                F.col("mns").cast("array<double>").alias("mn"),
+                F.col("mxs").cast("array<double>").alias("mx"),
+            ),
+            lambda x, s: F.when(
+                s["mx"] > s["mn"],
+                (F.round((x - s["mn"]) / (s["mx"] - s["mn"]) * 254) - 127).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).alias("codes"),
+    )
+    return coded
