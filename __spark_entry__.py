@@ -300,6 +300,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_degree_distribution"] = _degrees
 
+    def _kcore(spark, sf_dir):
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        return ga.k_core(_store(spark, sf_dir).relationships, k=2, max_iters=10)
+
+    q["graph_kcore"] = _kcore
+
     def _triangles(spark, sf_dir):
         from pg_age_digitaltwins_spark.operators import graph_analytics as ga
 
@@ -892,6 +899,23 @@ def oracle_sql() -> dict[str, str]:
         "LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) o ON t.dt_id = o.src "
         "LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) i ON t.dt_id = i.dst) "
         "SELECT degree, count(*) AS n_twins FROM deg GROUP BY degree"
+    )
+    _kcore_iters = 10
+    _kc = (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst "
+        f"UNION ALL SELECT dst, src FROM ({_EDGES_SQL}) WHERE src <> dst)), "
+        "n0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)"
+    )
+    for _i in range(1, _kcore_iters + 1):
+        _kc += (
+            f", n{_i} AS MATERIALIZED (SELECT e.src AS id, count(*) AS c FROM e "
+            f"JOIN n{_i-1} a ON e.src = a.id JOIN n{_i-1} b ON e.dst = b.id "
+            "GROUP BY e.src HAVING count(*) >= 2)"
+        )
+    o["graph_kcore"] = (
+        _kc
+        + f" SELECT id AS dt_id, CAST(c AS BIGINT) AS core_degree FROM n{_kcore_iters}"
     )
     o["graph_triangle_count"] = (
         f"WITH d AS ({_EDGES_SQL}), "

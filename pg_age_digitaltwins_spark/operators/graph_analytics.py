@@ -204,3 +204,49 @@ def triangle_count(relationships: DataFrame) -> DataFrame:
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def k_core(
+    relationships: DataFrame, k: int = 2, max_iters: int = 10
+) -> DataFrame:
+    """Vertices of the k-core (the maximal subgraph where every vertex
+    has degree ≥ k), with each survivor's within-core degree.
+
+    Iterative peeling as Pregel-style supersteps: each round recomputes
+    degrees WITHIN the surviving vertex set (two left-semi joins — no
+    edge materialization per round) and drops sub-k vertices; stops at
+    fixpoint or ``max_iters``.  Peeling converges in O(peeling-depth)
+    rounds — shallow for the hub-and-spoke graphs twins form.
+    ``localCheckpoint`` cuts the per-round lineage exactly like
+    ``connected_components``.  A fixed ``max_iters`` keeps the
+    unrolled-CTE oracle exact: extra rounds past the fixpoint are
+    no-ops.
+    """
+    edges = _undirected(relationships).localCheckpoint(eager=False)
+    nodes = edges.select(F.col("source_id").alias("dt_id")).distinct()
+    deg = None
+    for _ in range(max_iters):
+        deg = (
+            edges.join(
+                nodes.withColumnRenamed("dt_id", "source_id"),
+                "source_id",
+                "left_semi",
+            )
+            .join(
+                nodes.withColumnRenamed("dt_id", "target_id"),
+                "target_id",
+                "left_semi",
+            )
+            .groupBy(F.col("source_id").alias("dt_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        )
+        survivors = deg.filter(F.col("core_degree") >= k).localCheckpoint(
+            eager=True
+        )
+        dropped = nodes.join(survivors, "dt_id", "left_anti").take(1)
+        nodes = survivors.select("dt_id")
+        if not dropped:
+            break
+    return survivors.select("dt_id", "core_degree") if deg is not None else (
+        nodes.withColumn("core_degree", F.lit(0).cast("bigint"))
+    )

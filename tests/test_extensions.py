@@ -633,3 +633,24 @@ def test_funnel_order_matters(spark):
     ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
     got = {r["step"]: r["users"] for r in funnel(events).collect()}
     assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_k_core_peeling(spark):
+    from pg_age_digitaltwins_spark.operators.graph_analytics import k_core
+
+    def rels(pairs):
+        return spark.createDataFrame(
+            [(f"r{i}", a, b, "link") for i, (a, b) in enumerate(pairs)],
+            "relationship_id string, source_id string, target_id string, name string",
+        )
+
+    # triangle with a pendant chain: the 2-core is exactly the triangle
+    # (peeling must CASCADE: removing e drops d below degree 2)
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    rows = {r["dt_id"]: r["core_degree"] for r in k_core(rels(pairs), k=2).collect()}
+    assert rows == {"a": 2, "b": 2, "c": 2}
+    # a pure star has no 2-core at all
+    star = [("hub", f"s{i}") for i in range(5)]
+    assert k_core(rels(star), k=2).count() == 0
+    # k=1 keeps everything with at least one edge
+    assert k_core(rels(pairs), k=1).count() == 5
