@@ -43,3 +43,56 @@ def test_cypher_parser_total(s: str) -> None:
         parse_cypher(s)
     except (CypherParseError, CypherLexError):
         pass
+
+
+def test_compile_totality_on_parseable_fuzz(spark):
+    """Strings that PARSE must either compile or raise the compilers'
+    own error types — a leaked AnalysisException from query_df is a 500
+    where the user deserves a 400."""
+    import itertools
+    import random
+
+    from pg_age_digitaltwins_spark.adtql.compiler import CompileError
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:fz:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": "t1", "$metadata": {"$model": "dtmi:fz:T;1"}, "x": 1.0}]
+    rels = [{"$relationshipId": "r1", "$sourceId": "t1", "$targetId": "t1",
+             "$relationshipName": "self"}]
+    client = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+
+    frags = [
+        "SELECT", "TOP(2)", "COUNT()", "T", "T.$dtId", "T.x", "*",
+        "FROM DIGITALTWINS", "FROM RELATIONSHIPS", "WHERE", "AND", "OR",
+        "NOT", "IS_OF_MODEL('dtmi:fz:T;1')", "IS_DEFINED(x)", "x > 0",
+        "JOIN B RELATED T.self", "MATCH (a)-[r:self]->(b)", "T.x = 'a'",
+    ]
+    cy_frags = [
+        "MATCH (t:Twin)", "MATCH (a)-[r]->(b)", "WHERE t.x > 0", "WITH t",
+        "RETURN t", "RETURN count(*) AS n", "RETURN t.x AS v", "UNWIND [1,2] AS u",
+        "ORDER BY v", "LIMIT 2", "RETURN length(p)", "MATCH p = shortestPath((a)-[*..2]->(b))",
+        "RETURN id(t) AS i", "RETURN CASE WHEN t.x > 0 THEN 1 ELSE 2 END AS c",
+    ]
+    rng = random.Random(42)
+    checked = 0
+    for _ in range(400):
+        adt = " ".join(rng.sample(frags, rng.randint(2, 6)))
+        cy = " ".join(rng.sample(cy_frags, rng.randint(2, 5)))
+        for q in (adt, cy):
+            try:
+                client.query_df(q)
+                checked += 1
+            except (ValueError,) as exc:
+                # ParseError / LexError / CompileError / CypherCompileError
+                # are all ValueError-family — the 400 contract
+                assert isinstance(
+                    exc,
+                    (ValueError,),
+                ), exc
+            # anything else (AnalysisException, Py4JError, KeyError...)
+            # propagates and fails the test
+    assert checked >= 0
