@@ -207,10 +207,19 @@ def data_history(
             out.append(
                 _ce(source, DH_TWIN_LIFECYCLE, body["twinId"], ev.timestamp, body, id_fn)
             )
-    # property events from the (enhanced) patch — Insert/Delete also
-    # explode their patch (CreateTwinLifeCycleEvents appends them too)
-    if ev.old_value is not None and ev.new_value is not None:
-        patch = make_patch(ev.old_value, ev.new_value)
+    # property events from the (enhanced) patch.  The reference's WAL
+    # layer represents an INSERT's old image as an EMPTY object
+    # (``AgeDigitalTwinsReplication.cs:349``), so twin/relationship
+    # Creates emit one property event per non-$ property alongside the
+    # lifecycle event (``CloudEventFactoryTests::
+    # CreateDataHistoryEvents_HandlesTwinCreateEventWithProperties``);
+    # Deletes carry NO new image and emit the lifecycle event only
+    # (``...HandlesTwinDeleteEventWithProperties`` asserts exactly one).
+    patch_old = ev.old_value
+    if patch_old is None and ev.event_type == "Insert":
+        patch_old = {}
+    if patch_old is not None and ev.new_value is not None:
+        patch = make_patch(patch_old, ev.new_value)
         enhanced = _enhance_patch(patch, ev.new_value)
         meta_ops = {p["path"]: p for p in patch}
         for op in enhanced:

@@ -231,9 +231,12 @@ def test_router_fan_out_and_type_mapping():
     )
     ev = EventData("t1", "g", "Twin", None, twin_doc("t1", temperature=1.0), "Insert", TS)
     n = router.process([ev])
-    assert n == 2
+    # route a: 1 notification; route b: lifecycle + the create's
+    # property event (reference DataHistory create semantics)
+    assert n == 3
     assert a.events[0]["type"] == "Konnektr.Graph.Twin.Create"
-    assert b.events[0]["type"] == "Custom.Lifecycle"
+    assert [e["type"] for e in b.events] == [
+        "Custom.Lifecycle", "Konnektr.Graph.Property.Event"]
 
 
 def test_resilient_sink_retries_then_dlq():
@@ -377,12 +380,14 @@ def test_run_change_stream_end_to_end(spark, tmp_path):
         "Konnektr.Graph.Twin.Delete",
     ]
 
-    # the DataHistory route landed lifecycle rows in its own lake dir
-    # (all three coalesced events are Creates/Deletes — property events
-    # only arise from Updates, which batch 0 coalesced away)
+    # the DataHistory route landed in its own lake dir: 3 lifecycle
+    # rows (2 creates + 1 delete) plus one property event per created
+    # twin's non-$ property (reference parity: creates explode their
+    # properties, deletes do not — CloudEventFactoryTests)
     hist_rows = spark.read.json(str(tmp_path / "history")).collect()
-    hist_types = [r["type"] for r in hist_rows]
-    assert len(hist_types) == 3 and all("Lifecycle" in t for t in hist_types)
+    hist_types = sorted(r["type"] for r in hist_rows)
+    assert hist_types.count("Konnektr.Graph.Twin.Lifecycle") == 3
+    assert hist_types.count("Konnektr.Graph.Property.Event") == 2
 
     # incremental: a second feed file is picked up by a fresh availableNow
     # run against the SAME checkpoint without re-delivering batch 0
@@ -1389,3 +1394,34 @@ def test_dedupe_within_watermark_drops_redeliveries(spark, tmp_path):
     q.awaitTermination(180)
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == [0, 1, 2, 9]  # each id exactly once
+
+
+def test_data_history_create_emits_property_events():
+    """Reference parity (CloudEventFactoryTests::..TwinCreateEventWith
+    Properties): a Create explodes its non-$ properties as property
+    events beside the lifecycle event; a Delete emits lifecycle ONLY."""
+    doc = twin_doc("t1", temperature=21.5)
+    create = EventData("t1", "g", "Twin", None, doc, "Insert", TS)
+    out = data_history(create, "svc", ID)
+    assert [e["type"] for e in out] == [
+        "Konnektr.Graph.Twin.Lifecycle",
+        "Konnektr.Graph.Property.Event",
+    ]
+    prop = out[1]["data"]
+    assert prop["key"] == "temperature" and prop["value"] == 21.5
+    assert prop["action"] == "Create" and prop["id"] == "t1"
+
+    delete = EventData("t1", "g", "Twin", doc, None, "Delete", TS)
+    out = data_history(delete, "svc", ID)
+    assert [e["type"] for e in out] == ["Konnektr.Graph.Twin.Lifecycle"]
+
+    rel = {"$relationshipId": "r1", "$sourceId": "a", "$targetId": "b",
+           "$relationshipName": "has", "distance": 2.0}
+    rcreate = EventData("r1", "g", "has", None, rel, "Insert", TS)
+    out = data_history(rcreate, "svc", ID)
+    assert [e["type"] for e in out] == [
+        "Konnektr.Graph.Relationship.Lifecycle",
+        "Konnektr.Graph.Property.Event",
+    ]
+    assert out[1]["data"]["key"] == "distance"
+    assert out[1]["data"]["relationshipTarget"] == "b"
