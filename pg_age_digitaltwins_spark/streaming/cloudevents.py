@@ -125,6 +125,10 @@ def event_notification(
         if body is None:
             raise ValueError(f"{ev.event_type} event needs a document")
         if kind == "Twin":
+            if "$dtId" not in body:
+                # reference throws ArgumentException on a missing id
+                # (CloudEventFactoryTests::...MissingDtId_ThrowsArgumentException)
+                raise ValueError("Twin document is missing $dtId")
             subject = str(body["$dtId"])
         else:
             subject = f'{body["$sourceId"]}/relationships/{body["$relationshipId"]}'

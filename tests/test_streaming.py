@@ -1425,3 +1425,9 @@ def test_data_history_create_emits_property_events():
     ]
     assert out[1]["data"]["key"] == "distance"
     assert out[1]["data"]["relationshipTarget"] == "b"
+
+
+def test_notification_missing_dtid_is_clean_error():
+    ev = EventData("x", "g", "Twin", None, {"no_id": True}, "Insert", TS)
+    with pytest.raises(ValueError, match=r"\$dtId"):
+        event_notification(ev, "src", ID)
