@@ -355,6 +355,9 @@ class ApiService:
         # --- query (QueryEndpoints.cs) ---
         r("POST", "/query", self.query_post, "query", (QRY, ACT))
         r("GET", "/health", self.health_get, "light", None)
+        # operation tracing/metrics (the OTel diagnostics surface,
+        # docs/advanced-topics/logs-diagnostics.mdx)
+        r("GET", "/stats", self.stats_get, "light", None)
         # root liveness probe (HostAndClientTests::GetWebResourceRoot)
         r("GET", "/", lambda req: Response(200, {"service": "pg-age-digitaltwins-spark"}), "light", None)
         # --- MCP (docs/concepts/mcp-server.mdx; HTTP transport) ---
@@ -583,6 +586,16 @@ class ApiService:
     # MCP (JSON-RPC 2.0 over HTTP POST — the reference's hosted MCP
     # endpoint shape, docs/concepts/mcp-server.mdx)
     # ------------------------------------------------------------------
+    def stats_get(self, req: Request) -> Response:
+        tracer = getattr(self.client, "tracer", None)
+        if tracer is None:
+            from pg_age_digitaltwins_spark.telemetry import SOURCE_NAME
+
+            return Response(
+                200, {"source": SOURCE_NAME, "operations": {}, "recentSpans": []}
+            )
+        return Response(200, tracer.snapshot())
+
     def mcp_post(self, req: Request) -> Response:
         from pg_age_digitaltwins_spark.mcp_server import McpServer
 
