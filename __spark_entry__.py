@@ -590,6 +590,162 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_funnel"] = lambda s, d: ev_ops.funnel(
         _tables(s, d)["events"], ["view", "click", "purchase"]
     )
+    def _daily_retention(s, d):
+        # cohort date serialized to yyyy-MM-dd for the value-hash:
+        # python date objects and pandas Timestamps hash differently
+        # across the Spark/DuckDB bridge even when equal.
+        from pyspark.sql import functions as F
+
+        return ev_ops.daily_retention(_tables(s, d)["events"]).select(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+
+    q["events_daily_retention"] = _daily_retention
+    q["text_length_histogram"] = lambda s, d: text.length_histogram(
+        _tables(s, d)["documents"]
+    )
+    q["text_vocab_stats"] = lambda s, d: text.vocab_stats(
+        _tables(s, d)["documents"]
+    )
+    q["text_idf_top_terms"] = lambda s, d: text.idf_top_terms(
+        _tables(s, d)["documents"], k=50
+    )
+    q["embed_label_centroids"] = lambda s, d: similarity.label_centroids(
+        _tables(s, d)["embeddings"]
+    )
+
+    def _forecast_revenue(spark, sf_dir):
+        # TPC-H Q6 shape: pure scan-side conditional revenue — every
+        # predicate reaches the parquet scan (PushedFilters), no join,
+        # one 1-row aggregate.  The canary for filter pushdown health.
+        from pyspark.sql import functions as F
+
+        li = _tables(spark, sf_dir)["lineitem"]
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01")
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+                ).alias("revenue")
+            )
+        )
+
+    def _large_orders(spark, sf_dir):
+        # TPC-H Q18 shape: HAVING on a fact-side rollup, then the
+        # surviving (tiny) order set joins dims — agg BEFORE join so the
+        # big join side is a few hundred rows, with the qty rollup
+        # reused instead of re-scanning lineitem.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        big = (
+            t["lineitem"]
+            .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .filter(F.col("sum_qty") > 300)
+        )
+        return (
+            big.join(t["orders"], "o_orderkey")
+            .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+            .select(
+                "c_custkey",
+                "c_name",
+                "o_orderkey",
+                "o_orderdate",
+                "o_totalprice",
+                "sum_qty",
+            )
+        )
+
+    def _volume_shipping(spark, sf_dir):
+        # TPC-H Q7 shape: supplier-nation × customer-nation revenue per
+        # ship year.  The only big-big shuffle is lineitem⋈orders; the
+        # supplier/customer/nation dims broadcast, and the final rollup
+        # key space is nations² × years.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        supp = (
+            t["supplier"]
+            .join(
+                F.broadcast(t["nation"]),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        )
+        cust = (
+            t["customer"]
+            .join(
+                F.broadcast(t["nation"]),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        )
+        return (
+            t["lineitem"]
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy(
+                "supp_nation",
+                "cust_nation",
+                F.year("l_shipdate").alias("l_year"),
+            )
+            # Exact fixed-point revenue: price(2dp) × (1−discount)(2dp)
+            # is an integer at 1e-4 scale, so summing BIGINTs is
+            # order-independent — a float sum + round(…,2) over 4k
+            # groups WILL land on .xx5 boundaries and flip vs any
+            # other engine's summation order.
+            .agg(
+                (
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * 10000
+                        ).cast("bigint")
+                    )
+                    / F.lit(10000.0)
+                ).alias("revenue")
+            )
+        )
+
+    def _dormant_customers(spark, sf_dir):
+        # TPC-H Q22 shape: windowed NOT EXISTS — customers with zero
+        # orders in 1996, rolled up per market segment.  Compiles to a
+        # LEFT ANTI join with the date filter pushed into the orders
+        # scan; at scale the anti join is the same single shuffle an
+        # inner join costs (or a broadcast when the window is small).
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        active = t["orders"].filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        ).select(F.col("o_custkey").alias("c_custkey"))
+        return (
+            t["customer"]
+            .join(active, "c_custkey", "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_custs"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            )
+        )
+
+    q["tpch_forecast_revenue"] = _forecast_revenue
+    q["tpch_large_orders"] = _large_orders
+    q["tpch_volume_shipping"] = _volume_shipping
+    q["tpch_dormant_customers"] = _dormant_customers
     return q
 
 
@@ -1209,6 +1365,79 @@ def oracle_sql() -> dict[str, str]:
         "WHERE len(t) >= 2) "
         "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b "
         "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+    )
+    o["events_daily_retention"] = (
+        "WITH cohorts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date "
+        "FROM events GROUP BY user_id), "
+        "active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) "
+        "SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_day, "
+        "CAST(datediff('day', cohort_date, d) AS INT) AS day_offset, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM active JOIN cohorts USING (user_id) "
+        "GROUP BY cohort_day, day_offset"
+    )
+    o["text_length_histogram"] = (
+        "SELECT CAST((n_chars // 100) * 100 AS BIGINT) AS bucket_lo, "
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY bucket_lo"
+    )
+    o["text_vocab_stats"] = (
+        "WITH toks AS (SELECT unnest(" + _TOKS + ") AS tok FROM documents) "
+        "SELECT (SELECT CAST(sum(len(" + _TOKS + ")) AS BIGINT) FROM documents) "
+        "AS total_tokens, "
+        "count(DISTINCT tok) AS vocab_size, "
+        "round(count(DISTINCT tok) / (SELECT CAST(sum(len(" + _TOKS + ")) AS DOUBLE) "
+        "FROM documents), 6) AS type_token_ratio "
+        "FROM toks"
+    )
+    o["text_idf_top_terms"] = (
+        "WITH terms AS (SELECT unnest(list_distinct(" + _TOKS + ")) AS term "
+        "FROM documents), "
+        "n AS (SELECT count(*) AS n_docs FROM documents) "
+        "SELECT term, count(*) AS df, "
+        "round(ln((SELECT n_docs FROM n) / CAST(count(*) AS DOUBLE)), 6) AS idf "
+        "FROM terms GROUP BY term ORDER BY df DESC, term LIMIT 50"
+    )
+    o["embed_label_centroids"] = (
+        "WITH x AS (SELECT label, "
+        "CAST(generate_subscripts(embedding, 1) AS INT) AS dim, "
+        "unnest(embedding) AS v FROM embeddings) "
+        "SELECT label, dim, round(avg(v), 6) AS centroid "
+        "FROM x GROUP BY label, dim"
+    )
+    o["tpch_forecast_revenue"] = (
+        "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+        "FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    )
+    o["tpch_large_orders"] = (
+        "WITH big AS (SELECT l_orderkey AS o_orderkey, "
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 300) "
+        "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty "
+        "FROM big JOIN orders USING (o_orderkey) "
+        "JOIN customer ON o_custkey = c_custkey"
+    )
+    o["tpch_volume_shipping"] = (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS INT) AS l_year, "
+        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE n1.n_name <> n2.n_name "
+        "GROUP BY supp_nation, cust_nation, l_year"
+    )
+    o["tpch_dormant_customers"] = (
+        "SELECT c_mktsegment, count(*) AS n_custs, "
+        "round(sum(c_acctbal), 2) AS total_acctbal "
+        "FROM customer c WHERE NOT EXISTS ("
+        "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01') "
+        "GROUP BY c_mktsegment"
     )
     # dedup_minhash_lsh / dedup_simhash / embed_ann_* / multimodal:
     # hash-permutation & float-ordering internals aren't reproducible in

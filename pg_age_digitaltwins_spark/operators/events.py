@@ -171,3 +171,28 @@ def funnel(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
     for df in out_rows[1:]:
         out = out.unionByName(df)
     return out
+
+def daily_retention(events: DataFrame) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by the date of
+    their FIRST event (cohort), counted on each later day they return.
+    Output: (cohort_date, day_offset, n_users) with day_offset 0 = the
+    cohort's own first day.
+
+    100 TB shape: both aggregations shuffle on ``user_id`` first (the
+    cohort min and the active-day distinct reuse one partitioning);
+    the cohort⋈activity join is user-keyed, and the final rollup's key
+    space is tiny (days × offsets), so the last exchange is a few
+    thousand rows regardless of event volume.
+    """
+    day = F.col("ts").cast("date")
+    cohorts = events.groupBy("user_id").agg(F.min(day).alias("cohort_date"))
+    active = events.select("user_id", day.alias("d")).distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .select(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

@@ -570,3 +570,21 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
         ).alias("codes"),
     )
     return coded
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension) — the building
+    block for class prototypes, drift monitoring, and IVF-style coarse
+    cells seeded from labels.
+
+    100 TB shape: posexplode multiplies rows by the (fixed, small)
+    dimensionality, then a map-side-combined avg on the (label, dim)
+    key — the exchange carries labels × dims rows, not vectors.  The
+    1-based ``dim`` matches SQL array subscripts (oracle parity).
+    """
+    return (
+        embeddings.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )

@@ -397,3 +397,74 @@ def char_entropy(docs: DataFrame) -> DataFrame:
             F.round(F.log(n.cast("double")) - fold / n, 4).alias("entropy"),
         )
     )
+
+
+def length_histogram(docs: DataFrame, bucket: int = 100) -> DataFrame:
+    """Document-length histogram (fixed-width buckets on ``n_chars``)
+    — the first plot anyone draws over a new corpus, and the input to
+    length-based filtering thresholds.
+
+    100 TB shape: map-side projection to the bucket key, map-side
+    combined count/sum, one tiny shuffle of at most a few thousand
+    bucket rows regardless of corpus size.
+    """
+    lo = (F.floor(F.col("n_chars") / bucket) * bucket).cast("bigint")
+    return (
+        docs.select(lo.alias("bucket_lo"), "n_chars")
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+def vocab_stats(docs: DataFrame) -> DataFrame:
+    """Corpus vocabulary summary: total token occurrences, distinct
+    vocabulary size, and type/token ratio.
+
+    100 TB shape: the total comes from a map-side size() sum (no
+    explode shuffle); only the DISTINCT needs the exploded token
+    stream, and that aggregation is map-side partial (each task emits
+    its local distinct set) before one vocabulary-sized exchange.
+    """
+    toks = _tokens(F.lower(F.col("text")))
+    totals = docs.agg(F.sum(F.size(toks)).cast("bigint").alias("total_tokens"))
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    return totals.crossJoin(vocab).select(
+        "total_tokens",
+        "vocab_size",
+        F.round(F.col("vocab_size") / F.col("total_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def idf_top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Per-term document frequency and inverse document frequency for
+    the k most common terms (count desc, term asc — total order).
+
+    100 TB shape: per-doc DISTINCT terms come from array_distinct
+    in-plan (no doc×token shuffle of repeated tokens), document
+    frequency is a map-side-combined count on the term key, the corpus
+    size N is a 1-row broadcast, and only k winners reach the driver
+    (TakeOrdered).
+    """
+    terms = docs.select(
+        F.explode(F.array_distinct(_tokens(F.lower(F.col("text"))))).alias("term")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    df_counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            F.round(F.log(F.col("__n") / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

@@ -654,3 +654,75 @@ def test_k_core_peeling(spark):
     assert k_core(rels(star), k=2).count() == 0
     # k=1 keeps everything with at least one edge
     assert k_core(rels(pairs), k=1).count() == 5
+
+
+def test_length_histogram_partitions_corpus(documents):
+    from pg_age_digitaltwins_spark.operators.text import length_histogram
+
+    rows = length_histogram(documents).collect()
+    assert all(r["bucket_lo"] % 100 == 0 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == documents.count()
+    total = documents.agg({"n_chars": "sum"}).collect()[0][0]
+    assert sum(r["total_chars"] for r in rows) == total
+
+
+def test_vocab_stats_consistent(documents):
+    from pg_age_digitaltwins_spark.operators.text import vocab_stats, token_counts
+
+    row = vocab_stats(documents).collect()[0]
+    total = sum(r["n_tokens"] for r in token_counts(documents).collect())
+    assert row["total_tokens"] == total
+    assert 0 < row["vocab_size"] <= row["total_tokens"]
+    assert abs(row["type_token_ratio"] - row["vocab_size"] / row["total_tokens"]) < 1e-6
+
+
+def test_idf_top_terms_monotone(documents):
+    from pg_age_digitaltwins_spark.operators.text import idf_top_terms
+
+    rows = idf_top_terms(documents, k=10).collect()
+    assert len(rows) == 10
+    n_docs = documents.count()
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    assert all(0 < r["df"] <= n_docs for r in rows)
+    # idf is anti-monotone in df (strictly, for distinct df values)
+    for a, b in zip(rows, rows[1:]):
+        if a["df"] > b["df"]:
+            assert a["idf"] < b["idf"]
+
+
+def test_daily_retention_cohort_invariants(spark):
+    from pg_age_digitaltwins_spark.operators.events import daily_retention
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2026-01-01T10:00:00"), (1, "2026-01-02T09:00:00"),
+        (1, "2026-01-04T09:00:00"),
+        (2, "2026-01-02T08:00:00"), (2, "2026-01-02T23:00:00"),
+        (3, "2026-01-01T01:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, "view", 1.0) for u, t in rows],
+        "user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (str(r["cohort_date"]), r["day_offset"]): r["n_users"]
+        for r in daily_retention(ev).collect()
+    }
+    assert got == {
+        ("2026-01-01", 0): 2,   # users 1 and 3
+        ("2026-01-01", 1): 1,   # user 1 returns next day
+        ("2026-01-01", 3): 1,   # user 1 returns on day 4
+        ("2026-01-02", 0): 1,   # user 2 (same-day repeat doesn't double count)
+    }
+
+
+def test_label_centroids_shape_and_values(spark):
+    from pg_age_digitaltwins_spark.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 3.0], 7), (2, [3.0, 5.0], 7), (3, [10.0, 0.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {(r["label"], r["dim"]): r["centroid"] for r in label_centroids(emb).collect()}
+    assert rows == {(7, 1): 2.0, (7, 2): 4.0, (8, 1): 10.0, (8, 2): 0.0}

@@ -177,3 +177,32 @@ def test_triangle_count_no_cartesian(spark):
     )
     plan = _plan(triangle_count(rels))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_forecast_revenue_pushes_all_filters(spark):
+    """TPC-H Q6 shape: every predicate must reach the parquet scan as a
+    pushed filter (shipdate range, discount band, quantity cap) — the
+    pushdown-health canary for the relational keys."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["tpch_forecast_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, f"missing pushed filter {frag}\n{plan}"
+
+
+def test_dormant_customers_is_anti_join_with_pushed_window(spark):
+    """The windowed NOT EXISTS compiles to a LEFT ANTI join and the
+    date window must prune the orders scan, not filter post-join."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["tpch_dormant_customers"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
