@@ -109,6 +109,9 @@ def create_models(
     for d in batch:
         validate_model(d, known, _closure_schema_ids(d))
     _reject_extends_cycles(all_docs, batch)
+    # cycle check first: the depth/collision walks below assume a DAG
+    _reject_excessive_extends_depth(all_docs, batch)
+    _reject_inherited_name_collisions(all_docs, batch)
     _reject_nested_components(all_docs, batch)
     for d in batch:
         docs[d["@id"]] = d
@@ -143,6 +146,86 @@ def _reject_extends_cycles(
 
     for d in batch:
         visit(d["@id"], [])
+
+
+def _reject_excessive_extends_depth(
+    all_docs: dict[str, dict[str, Any]], batch: list[dict[str, Any]]
+) -> None:
+    """DTDL caps the depth of the ``extends`` hierarchy: 10 levels under
+    a v2 context, 12 under v3/v4 (DTDLParser ExceedsMaxDepthOfExtends;
+    the reference inherits the check via Microsoft's parser,
+    ``AgeDigitalTwinsClient.cs:68-81``).  Depth counts extends EDGES
+    above the interface — a chain A extends B extends C puts A at
+    depth 2."""
+    from pg_age_digitaltwins_spark.validation import ValidationError
+
+    memo: dict[str, int] = {}
+
+    def depth(mid: str) -> int:
+        if mid in memo:
+            return memo[mid]
+        doc = all_docs.get(mid)
+        parents = [p for p in extract_extends(doc)] if doc else []
+        memo[mid] = (
+            1 + max((depth(p) for p in parents if p in all_docs), default=-1)
+            if parents
+            else 0
+        )
+        return memo[mid]
+
+    for d in batch:
+        ctx = d.get("@context")
+        ctxs = [ctx] if isinstance(ctx, str) else (ctx or [])
+        limit = 10 if "dtmi:dtdl:context;2" in ctxs else 12
+        got = depth(d["@id"])
+        if got > limit:
+            raise ValidationError(
+                f"model {d['@id']}: extends hierarchy is {got} levels deep; "
+                f"DTDL allows at most {limit}"
+            )
+
+
+def _reject_inherited_name_collisions(
+    all_docs: dict[str, dict[str, Any]], batch: list[dict[str, Any]]
+) -> None:
+    """DTDL: a content ``name`` must be unique among ALL contents of the
+    interface including inherited ones — an interface cannot redeclare a
+    property/relationship/component name any ancestor already defines
+    (DTDLParser non-unique-name rejection; delegated to Microsoft's
+    parser in the reference, ``AgeDigitalTwinsClient.cs:68-81``)."""
+    from pg_age_digitaltwins_spark.validation import ValidationError
+
+    def content_names(doc: dict[str, Any]) -> set[str]:
+        contents = doc.get("contents")
+        if isinstance(contents, dict):
+            contents = [contents]
+        if not isinstance(contents, list):
+            return set()
+        return {
+            c["name"]
+            for c in contents
+            if isinstance(c, dict) and isinstance(c.get("name"), str)
+        }
+
+    for d in batch:
+        own = content_names(d)
+        if not own:
+            continue
+        seen: set[str] = set()
+        stack = [p for p in extract_extends(d)]
+        while stack:
+            p = stack.pop()
+            if p in seen or p not in all_docs:
+                continue
+            seen.add(p)
+            clash = own & content_names(all_docs[p])
+            if clash:
+                raise ValidationError(
+                    f"model {d['@id']}: content name(s) "
+                    f"{sorted(clash)} already defined by extended "
+                    f"interface {p}"
+                )
+            stack.extend(extract_extends(all_docs[p]))
 
 
 def _reject_nested_components(

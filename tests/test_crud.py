@@ -1068,3 +1068,73 @@ def test_list_models_model_data_shape(spark):
     deps = client.list_models(dependencies_for=["dtmi:md:Kid;1"])
     assert [m["id"] for m in deps] == ["dtmi:md:Base;1", "dtmi:md:Kid;1"]
     assert all("model" in m and "bases" in m for m in deps)
+
+
+def test_extends_depth_limit(spark):
+    """DTDL caps extends depth at 10 (v2 context) / 12 (v3+) —
+    DTDLParser's ExceedsMaxDepthOfExtends, inherited by the reference
+    via Microsoft's parser (AgeDigitalTwinsClient.cs:68-81)."""
+    from pg_age_digitaltwins_spark.models import create_models
+
+    def chain(n, ctx="dtmi:dtdl:context;3"):
+        docs = []
+        for i in range(n):
+            d = {
+                "@id": f"dtmi:ex:depth:M{i};1",
+                "@type": "Interface",
+                "@context": ctx,
+            }
+            if i > 0:
+                d["extends"] = f"dtmi:ex:depth:M{i-1};1"
+            docs.append(d)
+        return docs
+
+    # 13 interfaces = depth 12 — the v3 maximum, accepted
+    create_models(GraphStore.empty(spark), chain(13))
+    # 14 interfaces = depth 13 — rejected
+    with pytest.raises(ValidationError, match="13 levels deep"):
+        create_models(GraphStore.empty(spark), chain(14))
+    # v2 context caps at 10 (11 interfaces = depth 10 OK, 12 = depth 11 fails)
+    create_models(GraphStore.empty(spark), chain(11, ctx="dtmi:dtdl:context;2"))
+    with pytest.raises(ValidationError, match="at most 10"):
+        create_models(GraphStore.empty(spark), chain(12, ctx="dtmi:dtdl:context;2"))
+
+
+def test_inherited_content_name_collision_rejected(spark):
+    """A derived interface cannot redeclare a content name an ancestor
+    already defines (DTDLParser non-unique-name rule, including
+    inherited contents) — even transitively via a grandparent."""
+    from pg_age_digitaltwins_spark.models import create_models
+
+    base = {
+        "@id": "dtmi:ex:coll:Base;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "mass", "schema": "double"}],
+    }
+    mid = {
+        "@id": "dtmi:ex:coll:Mid;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:ex:coll:Base;1",
+        "contents": [{"@type": "Property", "name": "radius", "schema": "double"}],
+    }
+    clash = {
+        "@id": "dtmi:ex:coll:Leaf;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:ex:coll:Mid;1",
+        "contents": [{"@type": "Property", "name": "mass", "schema": "double"}],
+    }
+    ok = {
+        "@id": "dtmi:ex:coll:Leaf2;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:ex:coll:Mid;1",
+        "contents": [{"@type": "Property", "name": "density", "schema": "double"}],
+    }
+    # distinct names through the chain: accepted
+    create_models(GraphStore.empty(spark), [base, mid, ok])
+    # redeclaring the grandparent's 'mass': rejected, names both parties
+    with pytest.raises(ValidationError, match="mass.*dtmi:ex:coll:Base;1"):
+        create_models(GraphStore.empty(spark), [base, mid, clash])
