@@ -50,6 +50,12 @@ from pg_age_digitaltwins_spark.validation import (
 
 DEFAULT_MAX_ITEMS_PER_PAGE = 2000  # RequestHelper.cs:10
 
+# ClaimTypes.NameIdentifier — the claim ParseUserId checks before the
+# bare "sub" fallback (RequestHelper.cs:106-111)
+NAME_IDENTIFIER_CLAIM = (
+    "http://schemas.xmlsoap.org/ws/2005/05/identity/claims/nameidentifier"
+)
+
 
 @dataclass
 class Request:
@@ -67,6 +73,22 @@ class Request:
         for k, v in self.headers.items():
             if k.lower() == name.lower():
                 return v
+        return None
+
+    @property
+    def user_id(self) -> str | None:
+        """The acting user's id from the authenticated principal:
+        the NameIdentifier claim, falling back to ``sub``; None when
+        anonymous or neither claim is present
+        (``Helpers/RequestHelper.cs:106-111`` ParseUserId)."""
+        if not self.claims:
+            return None
+        for key in (NAME_IDENTIFIER_CLAIM, "nameid", "sub"):
+            val = self.claims.get(key)
+            if isinstance(val, list):
+                val = val[0] if val else None
+            if isinstance(val, str) and val:
+                return val
         return None
 
     def qparam(self, name: str) -> str | None:
@@ -231,8 +253,13 @@ class ApiService:
         limiter_clock=time.monotonic,
         health=None,
         authorization=None,
+        track_last_updated_by: bool = False,
     ):
         self.client = client
+        # Parameters:TrackLastUpdatedBy (Program.cs:131): when on, twin
+        # PUT/PATCH stamp per-property ``lastUpdatedBy`` with the
+        # authenticated user's id (DigitalTwinsEndpoints.cs:50,79).
+        self.track_last_updated_by = track_last_updated_by
         self.jobs = jobs_mod.JobService()
         self._job_inputs: dict[str, str] = {}
         self.rate_limiting = rate_limiting
@@ -460,6 +487,8 @@ class ApiService:
         etag = req.header("If-None-Match")
         if etag is not None:
             kw["if_none_match"] = etag
+        if self.track_last_updated_by and req.user_id is not None:
+            kw["user_id"] = req.user_id
         return Response(200, self.client.create_or_replace_digital_twin(id, req.body, **kw))
 
     def twin_patch(self, req: Request, id: str) -> Response:
@@ -467,6 +496,8 @@ class ApiService:
         etag = req.header("If-Match")
         if etag is not None:
             kw["if_match"] = etag
+        if self.track_last_updated_by and req.user_id is not None:
+            kw["user_id"] = req.user_id
         self.client.update_digital_twin(id, req.body, **kw)
         return Response(204)
 

@@ -787,3 +787,57 @@ def test_models_pagination_next_link(spark):
         assert up.parse_qs(up.urlparse(nl).query)["continuationToken"]
         url = nl[len("http://unit.test:8080"):]
     assert sorted(seen) == [f"dtmi:pg:M{i};1" for i in range(5)]
+
+
+def test_parse_user_id_claim_precedence():
+    """RequestHelperTests parity: NameIdentifier claim wins over sub;
+    sub alone works; anonymous / claimless → None
+    (Helpers/RequestHelper.cs:106-111)."""
+    from pg_age_digitaltwins_spark.http_api import NAME_IDENTIFIER_CLAIM, Request
+
+    r = Request("GET", "/", claims={NAME_IDENTIFIER_CLAIM: "nid-1", "sub": "sub-1"})
+    assert r.user_id == "nid-1"
+    assert Request("GET", "/", claims={"sub": "sub-1"}).user_id == "sub-1"
+    assert Request("GET", "/", claims={"iss": "x"}).user_id is None
+    assert Request("GET", "/", claims=None).user_id is None
+    # list-valued claims (multi-value JWT) take the first entry
+    assert Request("GET", "/", claims={"sub": ["s1", "s2"]}).user_id == "s1"
+
+
+def test_track_last_updated_by_stamps_user(spark):
+    """With Parameters:TrackLastUpdatedBy on, twin PUT/PATCH stamp
+    per-property lastUpdatedBy with the caller's id; with it off
+    (default) claims are ignored (Program.cs:131,
+    DigitalTwinsEndpoints.cs:50,79)."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.http_api import ApiService, Request
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    model = {
+        "@id": "dtmi:ex:lub:Thing;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "temp", "schema": "double"}],
+    }
+    client = DigitalTwinsSparkClient(GraphStore.empty(spark))
+    client.create_models([model])
+    api = ApiService(client, track_last_updated_by=True)
+    claims = {"sub": "user-7"}
+    doc = {"$metadata": {"$model": "dtmi:ex:lub:Thing;1"}, "temp": 20.5}
+    r = api.handle(Request("PUT", "/digitaltwins/t1", body=doc, claims=claims))
+    assert r.status == 200
+    assert r.body["$metadata"]["temp"]["lastUpdatedBy"] == "user-7"
+    # PATCH by a different user re-stamps the touched property
+    r = api.handle(Request(
+        "PATCH", "/digitaltwins/t1",
+        body=[{"op": "replace", "path": "/temp", "value": 21.0}],
+        claims={"sub": "user-8"},
+    ))
+    assert r.status == 204
+    got = api.handle(Request("GET", "/digitaltwins/t1")).body
+    assert got["$metadata"]["temp"]["lastUpdatedBy"] == "user-8"
+    # tracking off: same write leaves no lastUpdatedBy
+    api_off = ApiService(client)
+    api_off.handle(Request("PUT", "/digitaltwins/t2", body=doc, claims=claims))
+    got2 = api_off.handle(Request("GET", "/digitaltwins/t2")).body
+    assert "lastUpdatedBy" not in got2["$metadata"]["temp"]
