@@ -901,6 +901,53 @@ class CypherCompiler:
             return F.round(c, scale)
         if n == "abs":
             return F.abs(self._operand(e.args[0], env, "number"))
+        if n == "toboolean":
+            return self._operand(e.args[0], env, None).cast("boolean")
+        if n == "substring":
+            # openCypher substring() is 0-based; Column.substr is 1-based
+            s = self._operand(e.args[0], env, "string")
+            start = self._operand(e.args[1], env, "number").cast("int") + 1
+            if len(e.args) > 2:
+                return s.substr(start, self._operand(e.args[2], env, "number").cast("int"))
+            return s.substr(start, F.lit(2147483647))
+        if n == "replace":
+            return F.replace(
+                self._operand(e.args[0], env, "string"),
+                self._operand(e.args[1], env, "string"),
+                self._operand(e.args[2], env, "string"),
+            )
+        if n in ("trim", "ltrim", "rtrim"):
+            return getattr(F, n)(self._operand(e.args[0], env, "string"))
+        if n == "split":
+            # literal-delimiter split: quote the delimiter into the Java
+            # regex (\Q…\E) so metacharacters split literally, and the
+            # delimiter may itself be any string expression
+            return F.split(
+                self._operand(e.args[0], env, "string"),
+                F.concat(
+                    F.lit("\\Q"),
+                    self._operand(e.args[1], env, "string"),
+                    F.lit("\\E"),
+                ),
+            )
+        if n == "reverse":
+            # strings and lists both reverse (openCypher overload)
+            return F.reverse(self._operand(e.args[0], env, None))
+        if n == "left":
+            return self._operand(e.args[0], env, "string").substr(
+                F.lit(1), self._operand(e.args[1], env, "number").cast("int")
+            )
+        if n == "right":
+            s = self._operand(e.args[0], env, "string")
+            k = self._operand(e.args[1], env, "number").cast("int")
+            # right(s, n) with n ≥ length(s) must return the whole
+            # string; a plain negative-pos substring would wrap
+            return F.when(k >= F.length(s), s).otherwise(
+                F.substring(s, -k, k)
+            )
+        if n in ("head", "last"):
+            lst = self._expr(e.args[0], env)
+            return F.element_at(lst, 1 if n == "head" else -1)
         if n in ("digitaltwins.is_of_model", "is_of_model"):
             # The installed plpgsql helper, callable from raw Cypher
             # (GraphInitialization.cs:50-121; docs/concepts/querying.mdx).

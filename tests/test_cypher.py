@@ -798,3 +798,43 @@ def test_id_keys_properties_functions(spark):
     assert r["p"]["name"] == "room" and r["p"]["temp"] == "21.5"
     import json as _json
     assert _json.loads(r["p"]["$metadata"]) == {"$model": "dtmi:kf:T;1"}
+
+
+def test_string_scalar_functions(fixture_store):
+    """openCypher string scalars over AGE's function surface:
+    substring (0-based), replace, trim family, split, reverse,
+    left/right, head/last, toBoolean."""
+    [r] = rows(
+        fixture_store,
+        "MATCH (t {`$dtId`: 'room1'}) RETURN "
+        "substring(t.name, 1) AS sub1, "
+        "substring(t.name, 0, 4) AS sub2, "
+        "replace(t.name, ' ', '_') AS rep, "
+        "trim('  x  ') AS tr, ltrim('  x') AS ltr, rtrim('x  ') AS rtr, "
+        "split(t.name, ' ') AS parts, "
+        "reverse('abc') AS rev, "
+        "left(t.name, 4) AS lf, right(t.name, 1) AS rt, "
+        "right('ab', 9) AS rt_over, "
+        "head(split(t.name, ' ')) AS h, last(split(t.name, ' ')) AS l, "
+        "toBoolean('true') AS tb",
+    )
+    assert r["sub1"] == "oom 1"       # name = 'Room 1'
+    assert r["sub2"] == "Room"
+    assert r["rep"] == "Room_1"
+    assert (r["tr"], r["ltr"], r["rtr"]) == ("x", "x", "x")
+    assert r["parts"] == ["Room", "1"]
+    assert r["rev"] == "cba"
+    assert (r["lf"], r["rt"]) == ("Room", "1")
+    assert r["rt_over"] == "ab"
+    assert (r["h"], r["l"]) == ("Room", "1")
+    assert r["tb"] is True
+
+
+def test_split_with_regex_metacharacter_delimiter(fixture_store):
+    """split()'s delimiter is literal, not a regex — '.' must not match
+    every character."""
+    [r] = rows(
+        fixture_store,
+        "MATCH (t {`$dtId`: 'room1'}) RETURN split('a.b.c', '.') AS parts",
+    )
+    assert r["parts"] == ["a", "b", "c"]
