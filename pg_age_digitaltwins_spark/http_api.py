@@ -767,6 +767,23 @@ class ApiService:
                 "errorCount": rec.error_count,
                 "errors": rec.errors,
             }
+        # lifecycle timestamps (JobRecord.cs:30-45, camelCase like the
+        # ASP.NET serializer); epoch → ISO-8601 UTC
+        from datetime import datetime, timezone
+
+        for attr, key in (
+            ("created_at", "createdAt"),
+            ("updated_at", "updatedAt"),
+            ("finished_at", "finishedAt"),
+            ("purge_at", "purgeAt"),
+        ):
+            val = getattr(rec, attr)
+            if val is not None:
+                out[key] = (
+                    datetime.fromtimestamp(val, tz=timezone.utc)
+                    .isoformat()
+                    .replace("+00:00", "Z")
+                )
         return out
 
     def job_create(self, req: Request, id: str) -> Response:

@@ -63,6 +63,13 @@ class JobRecord:
     relationships_deleted: int = 0
     # version stamped by the table-format bulk path (commit_root)
     committed_version: "int | None" = None
+    # lifecycle timestamps (job_records columns created_at/updated_at/
+    # finished_at/purge_at, ``JobService.cs:61-63,576``) — epoch seconds
+    # on the owning JobService's clock; purge_at drives retention
+    created_at: "float | None" = None
+    updated_at: "float | None" = None
+    finished_at: "float | None" = None
+    purge_at: "float | None" = None
 
 
 @dataclass
@@ -153,7 +160,13 @@ class JobService:
     backend and wall-clock for a shared store (cross-process leases
     need a shared timebase)."""
 
-    def __init__(self, lock_ttl_s: float = 60.0, clock=None, lease_store=None):
+    def __init__(
+        self,
+        lock_ttl_s: float = 60.0,
+        clock=None,
+        lease_store=None,
+        job_retention_s: float = 24 * 3600.0,
+    ):
         import time as _time
 
         self.records: dict[str, JobRecord] = {}
@@ -162,7 +175,48 @@ class JobService:
         self.locks: dict[str, tuple[str, float]] = {}  # job_id -> (owner, expiry)
         self.lock_ttl_s = lock_ttl_s
         self.lease_store = lease_store
+        # _defaultJobRetention = 24 h (JobService.cs:21): every record
+        # gets purge_at = created_at + retention at registration
+        self.job_retention_s = job_retention_s
         self.clock = clock or (_time.time if lease_store is not None else _time.monotonic)
+        # record timestamps are wall-clock epochs (they serialize to the
+        # ISO createdAt/updatedAt/... fields); the LOCK clock may stay
+        # monotonic in-process
+        self.record_clock = clock or _time.time
+
+    # -- record lifecycle (job_records timestamps + retention,
+    #    JobService.cs:40-105 CreateJobAsync / :950-974 PurgeExpiredJobs)
+    def register(self, rec: JobRecord) -> JobRecord:
+        """Stamp creation/update/purge timestamps and store the record."""
+        now = self.record_clock()
+        rec.created_at = now
+        rec.updated_at = now
+        rec.purge_at = now + self.job_retention_s
+        self.records[rec.id] = rec
+        return rec
+
+    def finish(self, rec: JobRecord) -> JobRecord:
+        """Stamp terminal-state timestamps (finished_at + updated_at)."""
+        now = self.record_clock()
+        rec.updated_at = now
+        rec.finished_at = now
+        return rec
+
+    def purge_expired_jobs(self, now: float | None = None) -> int:
+        """Drop every record whose ``purge_at`` has passed (terminal or
+        not — the reference's DELETE is unconditional on purge_at) along
+        with its checkpoints; returns the purged count."""
+        now = self.record_clock() if now is None else now
+        expired = [
+            jid
+            for jid, r in self.records.items()
+            if r.purge_at is not None and r.purge_at < now
+        ]
+        for jid in expired:
+            del self.records[jid]
+            self.checkpoints.pop(jid, None)
+            self.delete_checkpoints.pop(jid, None)
+        return len(expired)
 
     # -- delete-job checkpoints (durable when a lease store is present,
     #    so a restarted JobService resumes where the dead one stopped —
@@ -292,7 +346,7 @@ class ImportJob:
             rec.twins_created = cp.twins_processed
             rec.relationships_created = cp.relationships_processed
             rec.error_count = cp.error_count
-        self.jobs.records[job_id] = rec
+        self.jobs.register(rec)
 
         it = iter(enumerate(lines, start=1))
         # Header validation (ValidateStreamHeaderAsync, ImportJob.cs:429-457)
@@ -329,6 +383,7 @@ class ImportJob:
             if rec.error_count == 0
             else ("PartiallySucceeded" if (rec.models_created + rec.twins_created + rec.relationships_created) else "Failed")
         )
+        self.jobs.finish(rec)
         return rec
 
     # ------------------------------------------------------------------
@@ -821,7 +876,7 @@ class DeleteJob:
         rec = self.jobs.records.get(job_id)
         if rec is None or rec.job_type != "deletion":
             rec = JobRecord(id=job_id, job_type="deletion")
-            self.jobs.records[job_id] = rec
+            self.jobs.register(rec)
         rec.status = "Running"
         cp = self.jobs.load_delete_checkpoint(job_id) or DeleteJobCheckpoint(job_id)
         store = self.client.store
@@ -864,5 +919,7 @@ class DeleteJob:
             rec.twins_deleted = cp.twins_deleted
             rec.models_deleted = cp.models_deleted
             rec.error_count = cp.error_count
+            if rec.status in ("Succeeded", "PartiallySucceeded", "Failed"):
+                self.jobs.finish(rec)
             self.jobs.release_lock(job_id, owner)
         return rec

@@ -450,6 +450,11 @@ def test_import_job_routes(spark, tmp_path):
 
     got = svc.handle(Request("GET", "/jobs/imports/job1"))
     assert got.status == 200 and got.body["id"] == "job1"
+    # lifecycle timestamps serialize camelCase ISO-8601 UTC
+    # (JobRecord.cs:30-45); a finished job carries all four
+    for key in ("createdAt", "updatedAt", "finishedAt", "purgeAt"):
+        assert got.body[key].endswith("Z"), (key, got.body)
+    assert got.body["purgeAt"] > got.body["createdAt"]
     listed = svc.handle(Request("GET", "/jobs/imports"))
     assert [j["id"] for j in listed.body["value"]] == ["job1"]
 

@@ -13,6 +13,7 @@ from pg_age_digitaltwins_spark.jobs import (
     ImportCheckpoint,
     ImportError_,
     ImportJob,
+    JobRecord,
     JobService,
     delete_job,
     import_file_distributed,
@@ -520,3 +521,40 @@ def test_import_distributed_commit_root_cow(client, spark, tmp_path):
     q = run_change_stream(spark, root, router, str(tmp_path / "ckpt"))
     q.awaitTermination(180)
     assert len(mem.events) == 2 * n
+
+
+def test_job_records_lifecycle_timestamps_and_purge():
+    """job_records carry created/updated/finished/purge timestamps and
+    purge_expired_jobs drops records (and their checkpoints) whose
+    retention passed (JobService.cs:21,40-105,950-974; default
+    retention 24 h)."""
+    clock = [1000.0]
+    svc = JobService(clock=lambda: clock[0], job_retention_s=100.0)
+    rec = svc.register(JobRecord(id="j1"))
+    assert rec.created_at == 1000.0
+    assert rec.purge_at == 1100.0
+    assert rec.finished_at is None
+    clock[0] = 1050.0
+    svc.finish(rec)
+    assert rec.finished_at == 1050.0 and rec.updated_at == 1050.0
+    svc.checkpoints["j1"] = ImportCheckpoint("j1")
+    # not yet expired
+    assert svc.purge_expired_jobs() == 0
+    assert "j1" in svc.records
+    # second record created later survives the purge that takes j1
+    clock[0] = 1090.0
+    svc.register(JobRecord(id="j2"))
+    clock[0] = 1101.0
+    assert svc.purge_expired_jobs() == 1
+    assert "j1" not in svc.records and "j1" not in svc.checkpoints
+    assert "j2" in svc.records
+
+
+def test_import_run_stamps_timestamps(client):
+    """An executed import job ends with created/finished stamps and a
+    purge deadline one retention period after creation."""
+    job = ImportJob(client)
+    rec = job.run(full_file(), "job-ts")
+    assert rec.created_at is not None
+    assert rec.finished_at is not None and rec.finished_at >= rec.created_at
+    assert rec.purge_at == rec.created_at + job.jobs.job_retention_s
