@@ -262,6 +262,8 @@ class ApiService:
         self.track_last_updated_by = track_last_updated_by
         self.jobs = jobs_mod.JobService()
         self._job_inputs: dict[str, str] = {}
+        # original request URIs, echoed in job JSON (ImportJob.cs:8)
+        self._job_uris: dict[str, dict[str, str]] = {}
         self.rate_limiting = rate_limiting
         # optional authz.AuthorizationConfig — per-route permission
         # requirements mirroring each endpoint's RequirePermission call
@@ -767,15 +769,17 @@ class ApiService:
                 "errorCount": rec.error_count,
                 "errors": rec.errors,
             }
-        # lifecycle timestamps (JobRecord.cs:30-45, camelCase like the
-        # ASP.NET serializer); epoch → ISO-8601 UTC
+        # lifecycle timestamps with the ADT API field names
+        # (ApiService/Models/ImportJob.cs:23-38: createdDateTime /
+        # lastActionDateTime / finishedDateTime / purgeDateTime,
+        # camelCase per the ASP.NET serializer); epoch → ISO-8601 UTC
         from datetime import datetime, timezone
 
         for attr, key in (
-            ("created_at", "createdAt"),
-            ("updated_at", "updatedAt"),
-            ("finished_at", "finishedAt"),
-            ("purge_at", "purgeAt"),
+            ("created_at", "createdDateTime"),
+            ("updated_at", "lastActionDateTime"),
+            ("finished_at", "finishedDateTime"),
+            ("purge_at", "purgeDateTime"),
         ):
             val = getattr(rec, attr)
             if val is not None:
@@ -784,6 +788,11 @@ class ApiService:
                     .isoformat()
                     .replace("+00:00", "Z")
                 )
+        # ImportJob extends ImportJobRequest — responses echo the blob
+        # URIs the job was created with (ImportJob.cs:8)
+        uris = self._job_uris.get(rec.id)
+        if uris:
+            out.update(uris)
         return out
 
     def job_create(self, req: Request, id: str) -> Response:
@@ -801,6 +810,9 @@ class ApiService:
         with open(path) as f:
             rec = job.run((line.rstrip("\n") for line in f), id)
         self._job_inputs[id] = path
+        self._job_uris[id] = {"inputBlobUri": uri}
+        if body.get("outputBlobUri"):
+            self._job_uris[id]["outputBlobUri"] = body["outputBlobUri"]
         out_uri = body.get("outputBlobUri")
         if out_uri:
             # the reference streams a structured job log to the output

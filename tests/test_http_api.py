@@ -450,11 +450,15 @@ def test_import_job_routes(spark, tmp_path):
 
     got = svc.handle(Request("GET", "/jobs/imports/job1"))
     assert got.status == 200 and got.body["id"] == "job1"
-    # lifecycle timestamps serialize camelCase ISO-8601 UTC
-    # (JobRecord.cs:30-45); a finished job carries all four
-    for key in ("createdAt", "updatedAt", "finishedAt", "purgeAt"):
+    # lifecycle timestamps serialize with the ADT API names, camelCase
+    # ISO-8601 UTC (ApiService/Models/ImportJob.cs:23-38); a finished
+    # job carries all four plus the request's blob URI echo
+    for key in (
+        "createdDateTime", "lastActionDateTime", "finishedDateTime", "purgeDateTime",
+    ):
         assert got.body[key].endswith("Z"), (key, got.body)
-    assert got.body["purgeAt"] > got.body["createdAt"]
+    assert got.body["purgeDateTime"] > got.body["createdDateTime"]
+    assert got.body["inputBlobUri"].startswith("file://")
     listed = svc.handle(Request("GET", "/jobs/imports"))
     assert [j["id"] for j in listed.body["value"]] == ["job1"]
 
