@@ -749,10 +749,17 @@ class ApiService:
     # ------------------------------------------------------------------
     # import jobs
     # ------------------------------------------------------------------
+    # JobStatus serializes camelCase over HTTP (Program.cs:295-297
+    # JsonStringEnumConverter(CamelCase)): Succeeded → "succeeded",
+    # PartiallySucceeded → "partiallySucceeded", …
+    @staticmethod
+    def _status_json(status: str) -> str:
+        return status[:1].lower() + status[1:] if status else status
+
     def _job_json(self, rec: jobs_mod.JobRecord) -> dict[str, Any]:
         out = {
             "id": rec.id,
-            "status": rec.status,
+            "status": self._status_json(rec.status),
             "modelsCreated": rec.models_created,
             "twinsCreated": rec.twins_created,
             "relationshipsCreated": rec.relationships_created,
@@ -762,7 +769,7 @@ class ApiService:
         if rec.job_type == "deletion":
             out = {
                 "id": rec.id,
-                "status": rec.status,
+                "status": self._status_json(rec.status),
                 "relationshipsDeleted": rec.relationships_deleted,
                 "twinsDeleted": rec.twins_deleted,
                 "modelsDeleted": rec.models_deleted,

@@ -438,7 +438,7 @@ def test_import_job_routes(spark, tmp_path):
         Request("PUT", "/jobs/imports/job1", body={"inputBlobUri": f"file://{path}"})
     )
     assert created.status == 201, created.body
-    assert created.body["status"] == "Succeeded"
+    assert created.body["status"] == "succeeded"
     assert created.body["twinsCreated"] == 3
 
     assert svc.handle(Request("GET", "/digitaltwins/i0")).status == 200
@@ -481,7 +481,7 @@ def test_delete_job_routes(spark, tmp_path):
                        body={"inputBlobUri": f"file://{path}"}))
     created = svc.handle(Request("PUT", "/jobs/deletions/djob1"))
     assert created.status == 201, created.body
-    assert created.body["status"] == "Succeeded"
+    assert created.body["status"] == "succeeded"
     assert created.body["twinsDeleted"] == 3
     assert created.body["relationshipsDeleted"] == 0  # no rel section in fixture
     assert created.body["modelsDeleted"] == 1
