@@ -313,6 +313,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ga.triangle_count(_store(spark, sf_dir).relationships)
 
     q["graph_triangle_count"] = _triangles
+
+    def _lpa(spark, sf_dir):
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        st = _store(spark, sf_dir)
+        return ga.label_propagation(st.twins, st.relationships, iterations=3)
+
+    q["graph_label_propagation"] = _lpa
     def _cypher_collect(spark, sf_dir):
         # Exercises the real Cypher collect() path; the raw
         # array<string> result is then projected to a sorted CSV so the
@@ -1431,6 +1439,26 @@ def oracle_sql() -> dict[str, str]:
         "WHERE n1.n_name <> n2.n_name "
         "GROUP BY supp_nation, cust_nation, l_year"
     )
+    _lpa_sql = (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM ({_EDGES_SQL}) "
+        f"UNION ALL SELECT dst, src FROM ({_EDGES_SQL}))), "
+        f"n AS MATERIALIZED (SELECT dt_id FROM ({_ALL_TWIN_IDS})), "
+        "l0 AS (SELECT dt_id, dt_id AS label FROM n)"
+    )
+    for _i in range(1, 4):
+        _lpa_sql += (
+            f", c{_i} AS (SELECT e.dst AS dt_id, l.label, count(*) AS c "
+            f"FROM e JOIN l{_i-1} l ON e.src = l.dt_id GROUP BY e.dst, l.label)"
+            f", p{_i} AS (SELECT dt_id, label FROM ("
+            "SELECT dt_id, label, row_number() OVER "
+            f"(PARTITION BY dt_id ORDER BY c DESC, label) AS rn FROM c{_i}) "
+            "WHERE rn = 1)"
+            f", l{_i} AS MATERIALIZED (SELECT n.dt_id, "
+            f"coalesce(p.label, n.dt_id) AS label FROM n LEFT JOIN p{_i} p "
+            "USING (dt_id))"
+        )
+    o["graph_label_propagation"] = _lpa_sql + " SELECT dt_id, label FROM l3"
     o["tpch_dormant_customers"] = (
         "SELECT c_mktsegment, count(*) AS n_custs, "
         "round(sum(c_acctbal), 2) AS total_acctbal "

@@ -250,3 +250,48 @@ def k_core(
     return survivors.select("dt_id", "core_degree") if deg is not None else (
         nodes.withColumn("core_degree", F.lit(0).cast("bigint"))
     )
+
+
+def label_propagation(
+    twins: DataFrame, relationships: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """(dt_id, label) — synchronous label propagation communities over
+    the undirected (deduplicated) edge set.  Deterministic variant:
+    every node simultaneously adopts its neighbors' most frequent
+    current label, ties broken by smallest label; isolated nodes keep
+    their own id.  The iteration count is FIXED (no convergence test)
+    so the result is reproducible and expressible as an unrolled SQL
+    CTE for the oracle.
+
+    100 TB shape: per superstep one edge⋈label join shuffled on the
+    vertex key, a map-side-combined (node, label) count, and a
+    per-node top-1 window that reuses the groupBy partitioning;
+    ``localCheckpoint`` cuts lineage every iteration like the other
+    supersteps in this module.
+    """
+    from pyspark.sql import Window
+
+    labels = twins.select("dt_id", F.col("dt_id").alias("label"))
+    edges = _undirected(relationships).localCheckpoint(eager=False)
+    w = Window.partitionBy("dt_id").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iterations):
+        cand = (
+            edges.join(labels, edges["source_id"] == labels["dt_id"])
+            .groupBy(F.col("target_id").alias("dt_id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("dt_id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            twins.select("dt_id")
+            .join(pick, "dt_id", "left")
+            .select(
+                "dt_id",
+                F.coalesce("new_label", F.col("dt_id")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -726,3 +726,31 @@ def test_label_centroids_shape_and_values(spark):
     )
     rows = {(r["label"], r["dim"]): r["centroid"] for r in label_centroids(emb).collect()}
     assert rows == {(7, 1): 2.0, (7, 2): 4.0, (8, 1): 10.0, (8, 2): 0.0}
+
+
+def test_label_propagation_communities(spark):
+    from pg_age_digitaltwins_spark.operators.graph_analytics import label_propagation
+
+    def g(twin_ids, pairs):
+        twins = spark.createDataFrame([(t,) for t in twin_ids], "dt_id string")
+        rels = spark.createDataFrame(
+            [(f"r{i}", a, b, "link") for i, (a, b) in enumerate(pairs)],
+            "relationship_id string, source_id string, target_id string, name string",
+        )
+        return twins, rels
+
+    # two triangles joined by one bridge edge: after 3 sync rounds the
+    # min label of each triangle dominates its side
+    twins, rels = g(
+        ["a1", "a2", "a3", "b1", "b2", "b3", "iso"],
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+         ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+         ("a1", "b1")],
+    )
+    got = {r["dt_id"]: r["label"] for r in label_propagation(twins, rels, 3).collect()}
+    # isolated node keeps its own id
+    assert got["iso"] == "iso"
+    # each triangle converges to one label; a-side label sorts before b-side
+    assert got["a2"] == got["a3"]
+    assert got["b2"] == got["b3"]
+    assert got["a2"].startswith("a")
