@@ -598,6 +598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_funnel"] = lambda s, d: ev_ops.funnel(
         _tables(s, d)["events"], ["view", "click", "purchase"]
     )
+    q["events_anomalies"] = lambda s, d: ev_ops.anomalies_zscore(
+        _tables(s, d)["events"]
+    )
     def _daily_retention(s, d):
         # cohort date serialized to yyyy-MM-dd for the value-hash:
         # python date objects and pandas Timestamps hash differently
@@ -1373,6 +1376,12 @@ def oracle_sql() -> dict[str, str]:
         "WHERE len(t) >= 2) "
         "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b "
         "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+    )
+    o["events_anomalies"] = (
+        "WITH s AS (SELECT event_type, avg(value) AS m, stddev(value) AS sd "
+        "FROM events GROUP BY event_type) "
+        "SELECT event_id, event_type, value, round((value - m) / sd, 3) AS z "
+        "FROM events JOIN s USING (event_type) WHERE abs((value - m) / sd) > 3"
     )
     o["events_daily_retention"] = (
         "WITH cohorts AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date "

@@ -196,3 +196,28 @@ def daily_retention(events: DataFrame) -> DataFrame:
         .groupBy("cohort_date", "day_offset")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+def anomalies_zscore(events: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """Events whose value deviates more than ``threshold`` sample
+    standard deviations from their event type's mean — the streaming
+    ops staple, run batch-side.
+
+    100 TB shape: the per-type moments are a map-side-combined
+    aggregate producing one tiny row per event type; that dimension
+    broadcasts back onto the stream, so the detector costs one scan +
+    one broadcast join — no shuffle of the event rows at all.
+    """
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("__mean"), F.stddev("value").alias("__std")
+    )
+    z = (F.col("value") - F.col("__mean")) / F.col("__std")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > threshold)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 3).alias("z"),
+        )
+    )

@@ -754,3 +754,20 @@ def test_label_propagation_communities(spark):
     assert got["a2"] == got["a3"]
     assert got["b2"] == got["b3"]
     assert got["a2"].startswith("a")
+
+
+def test_anomalies_zscore_flags_outlier(spark):
+    from pg_age_digitaltwins_spark.operators.events import anomalies_zscore
+    from pyspark.sql import functions as F
+
+    rows = [(i, "2026-01-01T00:00:00", 1, "m", 10.0 + (i % 3)) for i in range(30)]
+    rows.append((99, "2026-01-01T01:00:00", 1, "m", 500.0))  # the outlier
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = anomalies_zscore(ev).collect()
+    assert [r["event_id"] for r in got] == [99]
+    assert got[0]["z"] > 3
+    # a broadcast join, not a shuffle of the event rows
+    plan = anomalies_zscore(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
