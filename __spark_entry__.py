@@ -516,13 +516,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _supplier_revenue(spark, sf_dir):
         # TPC-H Q15 shape: one quarter of lineitem rolled up per
-        # supplier (the filter prunes at the scan), broadcast supplier
-        # dim join AFTER the agg (join 80 rows, not 600k), top-10 with
-        # a deterministic tiebreak.
+        # supplier (the filter prunes at the scan), TOP-10 taken on the
+        # rollup BEFORE the dim join — the winners (10 rows) then
+        # broadcast against supplier, so neither side of any join grows
+        # with scale factor.  (Broadcasting the supplier dim itself
+        # would OOM at 100 TB: supplier is SF-proportional.)
         from pyspark.sql import functions as F
 
         t = _tables(spark, sf_dir)
-        rev = (
+        top = (
             t["lineitem"]
             .filter(
                 (F.col("l_shipdate") >= "1996-01-01")
@@ -534,12 +536,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
                 ).alias("total_revenue")
             )
-        )
-        return (
-            rev.join(F.broadcast(t["supplier"]), "s_suppkey")
-            .select("s_suppkey", "s_name", "total_revenue")
             .orderBy(F.col("total_revenue").desc(), F.col("s_suppkey"))
             .limit(10)
+        )
+        return (
+            t["supplier"]
+            .join(F.broadcast(top), "s_suppkey")
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy(F.col("total_revenue").desc(), F.col("s_suppkey"))
         )
 
     def _promo_share(spark, sf_dir):
@@ -555,7 +559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("l_shipdate") >= "1996-03-01")
                 & (F.col("l_shipdate") < "1996-04-01")
             )
-            .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+            # no broadcast hint: part is SF-proportional (huge at
+            # 100 TB) — AQE broadcasts it at small SF and falls back to
+            # a partkey-shuffled join at scale
+            .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
             .agg(
                 F.round(
                     100.0
@@ -678,9 +685,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _volume_shipping(spark, sf_dir):
         # TPC-H Q7 shape: supplier-nation × customer-nation revenue per
-        # ship year.  The only big-big shuffle is lineitem⋈orders; the
-        # supplier/customer/nation dims broadcast, and the final rollup
-        # key space is nations² × years.
+        # ship year.  lineitem⋈orders is the one unavoidable big-big
+        # shuffle; the (SF-proportional) supplier/customer sides join
+        # key-shuffled with the 25-row nation dim broadcast into each,
+        # and the final rollup key space is nations² × years.
         from pyspark.sql import functions as F
 
         t = _tables(spark, sf_dir)
@@ -703,8 +711,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             t["lineitem"]
             .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            # supplier/customer mappings are SF-proportional — no
+            # broadcast hints (AQE handles small SF); only the 25-row
+            # nation dim inside them is hint-broadcast
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
             .filter(F.col("supp_nation") != F.col("cust_nation"))
             .groupBy(
                 "supp_nation",
