@@ -214,3 +214,153 @@ class AuthorizationConfig:
         if any(p.grants(required) for p in perms):
             return None
         return 403
+
+
+# ----------------------------------------------------------------------
+# external-API provider (ApiPermissionProvider.cs)
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class ApiProviderOptions:
+    """``AuthorizationOptions.ApiProvider`` shape: where to fetch
+    permissions and how to authenticate the service-to-service call
+    (client-credentials grant)."""
+
+    base_url: str
+    check_endpoint: str = "/api/v1/permissions/check"
+    token_endpoint: str = ""
+    client_id: str = ""
+    client_secret: str = ""
+    audience: str = ""
+    resource_name: str = "digitaltwins"
+    cache_expiration_minutes: float = 5.0
+
+
+class ApiPermissionProvider:
+    """Permissions fetched from an external authorization API with a
+    per-user TTL cache and a cached M2M access token
+    (``ApiPermissionProvider.cs``):
+
+    * unauthenticated / no resolvable user id → no permissions;
+    * user id = NameIdentifier claim > ``sub`` (same precedence as
+      ``RequestHelper.ParseUserId``);
+    * ``{userId}`` / ``{resourceName}`` placeholders in the check
+      endpoint are substituted, otherwise the legacy
+      ``?scopeType=resource&scopeId=…&userId=…`` query is appended;
+    * the M2M token comes from a ``client_credentials`` form POST to
+      the token endpoint, cached until 30 s before expiry and reused
+      while >60 s of validity remain;
+    * ANY failure (HTTP error, bad JSON, missing fields) → empty
+      permissions — an authz outage must fail closed, not 500.
+    """
+
+    NAME_IDENTIFIER = (
+        "http://schemas.xmlsoap.org/ws/2005/05/identity/claims/nameidentifier"
+    )
+
+    def __init__(self, options: ApiProviderOptions, clock=None):
+        import time as _time
+
+        self.options = options
+        self.clock = clock or _time.time
+        self._perm_cache: dict[str, tuple[float, list[Permission]]] = {}
+        self._token: tuple[str, float] | None = None  # (token, expires_at)
+
+    # -- HTTP plumbing (stdlib; overridable in tests) ------------------
+    def _http(self, method: str, url: str, headers=None, body: bytes | None = None):
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=body, headers=headers or {}, method=method
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, resp.read()
+
+    def _access_token(self) -> str:
+        now = self.clock()
+        if self._token is not None and self._token[1] > now + 60:
+            return self._token[0]
+        o = self.options
+        if not (o.token_endpoint and o.client_id and o.client_secret and o.audience):
+            raise RuntimeError("API provider client credentials configuration is missing")
+        from urllib.parse import urlencode
+
+        body = urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": o.client_id,
+                "client_secret": o.client_secret,
+                "audience": o.audience,
+            }
+        ).encode()
+        status, payload = self._http(
+            "POST",
+            o.token_endpoint if "://" in o.token_endpoint else o.base_url + o.token_endpoint,
+            {"Content-Type": "application/x-www-form-urlencoded"},
+            body,
+        )
+        if status != 200:
+            raise RuntimeError(f"token endpoint returned {status}")
+        import json as _json
+
+        doc = _json.loads(payload)
+        token = doc["access_token"]
+        expires_in = int(doc.get("expires_in", 3600))
+        self._token = (token, now + expires_in - 30)
+        return token
+
+    def _user_id(self, claims: dict[str, Any]) -> str | None:
+        for key in (self.NAME_IDENTIFIER, "sub", "name"):
+            val = claims.get(key)
+            if isinstance(val, list):
+                val = val[0] if val else None
+            if isinstance(val, str) and val:
+                return val
+        return None
+
+    def get_permissions(self, claims: dict[str, Any] | None) -> list[Permission]:
+        if not claims:
+            return []
+        user_id = self._user_id(claims)
+        if not user_id:
+            return []
+        now = self.clock()
+        cached = self._perm_cache.get(user_id)
+        if cached is not None and cached[0] > now:
+            return cached[1]
+        try:
+            from urllib.parse import quote
+
+            o = self.options
+            ep = o.check_endpoint
+            if "{userId}" in ep or "{resourceName}" in ep:
+                ep = ep.replace("{userId}", quote(user_id, safe="")).replace(
+                    "{resourceName}", quote(o.resource_name, safe="")
+                )
+            else:
+                ep = (
+                    f"{ep}?scopeType=resource&scopeId={o.resource_name}"
+                    f"&userId={quote(user_id, safe='')}"
+                )
+            token = self._access_token()
+            status, payload = self._http(
+                "GET", o.base_url + ep, {"Authorization": f"Bearer {token}"}
+            )
+            if status != 200:
+                raise RuntimeError(f"permissions API returned {status}")
+            import json as _json
+
+            strings = [
+                s
+                for s in _json.loads(payload)["permissions"]
+                if isinstance(s, str) and s
+            ]
+            perms = parse_many(strings)
+            self._perm_cache[user_id] = (
+                now + self.options.cache_expiration_minutes * 60.0,
+                perms,
+            )
+            return perms
+        except Exception:  # noqa: BLE001 — authz outage fails closed
+            return []

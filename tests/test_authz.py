@@ -286,3 +286,109 @@ def test_http_disabled_config_allows_everything(spark):
         "POST", "/query", body={"query": "SELECT COUNT() FROM DIGITALTWINS"}
     ))
     assert resp.status == 200
+
+
+# ----------------------------------------------------------------------
+# ApiPermissionProvider (external authorization API + caching,
+# ApiPermissionProviderTests.cs)
+# ----------------------------------------------------------------------
+
+
+class _FakePermissionsApi:
+    """In-process stand-in for the authorization API: records calls,
+    returns a configurable token and permission list."""
+
+    def __init__(self, permissions, fail=False, token="tok-1", expires_in=3600):
+        self.permissions = permissions
+        self.fail = fail
+        self.token = token
+        self.expires_in = expires_in
+        self.token_calls = 0
+        self.check_calls = []
+
+    def http(self, method, url, headers=None, body=None):
+        import json
+
+        if "/oauth/token" in url:
+            self.token_calls += 1
+            return 200, json.dumps(
+                {"access_token": self.token, "expires_in": self.expires_in}
+            ).encode()
+        self.check_calls.append((url, (headers or {}).get("Authorization")))
+        if self.fail:
+            return 500, b"boom"
+        return 200, json.dumps({"permissions": self.permissions}).encode()
+
+
+def _api_provider(fake, clock, **opt_over):
+    from pg_age_digitaltwins_spark.authz import ApiPermissionProvider, ApiProviderOptions
+
+    opts = ApiProviderOptions(
+        base_url="http://perm.local",
+        token_endpoint="http://auth.local/oauth/token",
+        client_id="cid", client_secret="secret", audience="aud",
+        **opt_over,
+    )
+    p = ApiPermissionProvider(opts, clock=lambda: clock[0])
+    p._http = fake.http
+    return p
+
+
+def test_api_provider_fetches_caches_and_expires():
+    fake = _FakePermissionsApi(["digitaltwins/read", "models/*"])
+    clock = [1000.0]
+    p = _api_provider(fake, clock)
+    claims = {"sub": "user-1"}
+    perms = p.get_permissions(claims)
+    assert [str(x) for x in perms] == ["digitaltwins/read", "models/*"]
+    # bearer token attached, M2M token fetched once
+    assert fake.check_calls[0][1] == "Bearer tok-1"
+    # cache hit: no second API call within the TTL
+    p.get_permissions(claims)
+    assert len(fake.check_calls) == 1
+    # after the 5-minute TTL the API is called again, token reused
+    clock[0] += 301
+    p.get_permissions(claims)
+    assert len(fake.check_calls) == 2
+    assert fake.token_calls == 1
+
+
+def test_api_provider_unauthenticated_and_failures_return_empty():
+    fake = _FakePermissionsApi(["digitaltwins/read"], fail=True)
+    clock = [0.0]
+    p = _api_provider(fake, clock)
+    assert p.get_permissions(None) == []
+    assert p.get_permissions({"iss": "x"}) == []   # no resolvable user id
+    assert p.get_permissions({"sub": "u"}) == []   # API 500 → fail closed
+    # failures are NOT cached: a later healthy call succeeds
+    fake.fail = False
+    assert [str(x) for x in p.get_permissions({"sub": "u"})] == ["digitaltwins/read"]
+
+
+def test_api_provider_endpoint_placeholders_and_query_fallback():
+    fake = _FakePermissionsApi([])
+    clock = [0.0]
+    p = _api_provider(
+        fake, clock,
+        check_endpoint="/check/{resourceName}/users/{userId}",
+    )
+    p.get_permissions({"sub": "u/1"})
+    assert fake.check_calls[0][0] == "http://perm.local/check/digitaltwins/users/u%2F1"
+    fake2 = _FakePermissionsApi([])
+    p2 = _api_provider(fake2, clock)
+    p2.get_permissions({"sub": "u"})
+    assert (
+        fake2.check_calls[0][0]
+        == "http://perm.local/api/v1/permissions/check"
+        "?scopeType=resource&scopeId=digitaltwins&userId=u"
+    )
+
+
+def test_api_provider_nameidentifier_precedence():
+    fake = _FakePermissionsApi([])
+    clock = [0.0]
+    p = _api_provider(fake, clock)
+    from pg_age_digitaltwins_spark.authz import ApiPermissionProvider
+
+    p.get_permissions({ApiPermissionProvider.NAME_IDENTIFIER: "nid", "sub": "s"})
+    assert "userId=nid" in fake.check_calls[0][0]
