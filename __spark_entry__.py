@@ -386,6 +386,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["sample_split_counts"] = _split_counts
     q["sample_stratified"] = _stratified
+
+    def _kfold(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators import sampling
+
+        return (
+            sampling.kfold_assign(_tables(s, d)["documents"], "doc_id", k=5)
+            .groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["sample_kfold_counts"] = _kfold
     q["text_quality"] = lambda s, d: text.quality_scores(_tables(s, d)["documents"])
     q["text_lang_id"] = lambda s, d: text.lang_id(_tables(s, d)["documents"])
     q["text_fingerprints"] = lambda s, d: text.fingerprints(_tables(s, d)["documents"])
@@ -1156,6 +1169,11 @@ def oracle_sql() -> dict[str, str]:
     o["sample_stratified"] = (
         "SELECT doc_id, lang FROM documents WHERE "
         "substr(md5('sample' || '|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333'"
+    )
+    o["sample_kfold_counts"] = (
+        "SELECT CAST(CAST(('0x' || substr(md5('fold' || '|' || CAST(doc_id AS VARCHAR)), 1, 4)) "
+        "AS INTEGER) % 5 AS INT) AS fold, count(*) AS n "
+        "FROM documents GROUP BY fold"
     )
     o["text_token_counts"] = (
         f"SELECT doc_id, CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens, "

@@ -68,3 +68,25 @@ def stratified_sample(
         salt, F.col(strata_col).cast("string"), F.col(key_col).cast("string")
     )
     return df.filter(b < F.lit(thresh))
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """Add a ``fold`` column in [0, k): deterministic k-fold assignment
+    keyed on ``key_col`` — same key, same fold, forever, on any engine.
+
+    The fold is the 4-hex md5 bucket modulo k (same primitive as
+    ``hash_split``): still a pure per-row decision with no shuffle and
+    no state.  Folds are balanced to binomial noise; keys duplicated
+    across rows stay in one fold, preventing cross-fold leakage.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    b = _bucket(salt, F.col(key_col).cast("string"))
+    return df.withColumn(
+        "fold", (F.conv(b, 16, 10).cast("int") % F.lit(k)).cast("int")
+    )

@@ -771,3 +771,21 @@ def test_anomalies_zscore_flags_outlier(spark):
     # a broadcast join, not a shuffle of the event rows
     plan = anomalies_zscore(ev)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_kfold_assign_deterministic_and_balanced(documents):
+    from pg_age_digitaltwins_spark.operators.sampling import kfold_assign
+
+    a = {r["doc_id"]: r["fold"] for r in kfold_assign(documents, "doc_id").collect()}
+    b = {r["doc_id"]: r["fold"] for r in
+         kfold_assign(documents.repartition(7), "doc_id").collect()}
+    assert a == b  # stable under repartition
+    assert set(a.values()) == {0, 1, 2, 3, 4}
+    n = len(a)
+    for fold in range(5):
+        share = sum(1 for f in a.values() if f == fold) / n
+        assert 0.1 < share < 0.3  # balanced to binomial noise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be >= 2"):
+        kfold_assign(documents, "doc_id", k=1)
