@@ -680,8 +680,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         big = (
             t["lineitem"]
             .groupBy(F.col("l_orderkey").alias("o_orderkey"))
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-            .filter(F.col("sum_qty") > 300)
+            # filter on the RAW sum (matching the oracle's HAVING) —
+            # filtering the rounded value would diverge for sums in
+            # (300, 300.005); round only the projected column
+            .agg(F.sum("l_quantity").alias("__raw_qty"))
+            .filter(F.col("__raw_qty") > 300)
+            .select(
+                "o_orderkey", F.round("__raw_qty", 2).alias("sum_qty")
+            )
         )
         return (
             big.join(t["orders"], "o_orderkey")

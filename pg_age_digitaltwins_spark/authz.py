@@ -243,8 +243,10 @@ class ApiPermissionProvider:
     (``ApiPermissionProvider.cs``):
 
     * unauthenticated / no resolvable user id → no permissions;
-    * user id = NameIdentifier claim > ``sub`` (same precedence as
-      ``RequestHelper.ParseUserId``);
+    * user id = NameIdentifier claim > ``sub`` > ``name`` — the
+      provider's OWN precedence (``ApiPermissionProvider.cs:119-122``
+      falls back to ``Identity.Name``, one step beyond
+      ``RequestHelper.ParseUserId``'s two claims);
     * ``{userId}`` / ``{resourceName}`` placeholders in the check
       endpoint are substituted, otherwise the legacy
       ``?scopeType=resource&scopeId=…&userId=…`` query is appended;
@@ -357,6 +359,16 @@ class ApiPermissionProvider:
                 if isinstance(s, str) and s
             ]
             perms = parse_many(strings)
+            # evict dead entries before inserting so the cache is
+            # bounded by ACTIVE users within one TTL, not by every
+            # distinct principal ever seen (the reference's MemoryCache
+            # evicts on expiry)
+            if len(self._perm_cache) >= 1024:
+                self._perm_cache = {
+                    uid: entry
+                    for uid, entry in self._perm_cache.items()
+                    if entry[0] > now
+                }
             self._perm_cache[user_id] = (
                 now + self.options.cache_expiration_minutes * 60.0,
                 perms,

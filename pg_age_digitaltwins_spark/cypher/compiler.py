@@ -902,7 +902,16 @@ class CypherCompiler:
         if n == "abs":
             return F.abs(self._operand(e.args[0], env, "number"))
         if n == "toboolean":
-            return self._operand(e.args[0], env, None).cast("boolean")
+            # openCypher: only 'true'/'false' (any case) convert; every
+            # other input → null.  A plain cast('boolean') would (a)
+            # THROW under Spark's default ANSI mode on 'xyz' and (b)
+            # accept '1'/'y'/'yes', both divergences.
+            s = F.lower(self._operand(e.args[0], env, None).try_cast("string"))
+            return (
+                F.when(s == "true", F.lit(True))
+                .when(s == "false", F.lit(False))
+                .otherwise(F.lit(None).cast("boolean"))
+            )
         if n == "substring":
             # openCypher substring() is 0-based; Column.substr is 1-based
             s = self._operand(e.args[0], env, "string")
@@ -921,14 +930,15 @@ class CypherCompiler:
         if n == "split":
             # literal-delimiter split: quote the delimiter into the Java
             # regex (\Q…\E) so metacharacters split literally, and the
-            # delimiter may itself be any string expression
+            # delimiter may itself be any string expression.  A literal
+            # "\E" inside the delimiter would terminate the quote early
+            # (then hit an illegal escape) — Pattern.quote's fix is to
+            # stitch the quote back together around it: \E → \E\\E\Q.
+            delim = self._operand(e.args[1], env, "string")
+            quoted = F.replace(delim, F.lit("\\E"), F.lit("\\E\\\\E\\Q"))
             return F.split(
                 self._operand(e.args[0], env, "string"),
-                F.concat(
-                    F.lit("\\Q"),
-                    self._operand(e.args[1], env, "string"),
-                    F.lit("\\E"),
-                ),
+                F.concat(F.lit("\\Q"), quoted, F.lit("\\E")),
             )
         if n == "reverse":
             # strings and lists both reverse (openCypher overload)
@@ -946,8 +956,10 @@ class CypherCompiler:
                 F.substring(s, -k, k)
             )
         if n in ("head", "last"):
+            # try_element_at: head([]) / last([]) are null in openCypher;
+            # plain element_at THROWS on the empty list under ANSI mode
             lst = self._expr(e.args[0], env)
-            return F.element_at(lst, 1 if n == "head" else -1)
+            return F.try_element_at(lst, F.lit(1) if n == "head" else F.lit(-1))
         if n in ("digitaltwins.is_of_model", "is_of_model"):
             # The installed plpgsql helper, callable from raw Cypher
             # (GraphInitialization.cs:50-121; docs/concepts/querying.mdx).

@@ -858,6 +858,9 @@ class ApiService:
                 400, ValueError(f"Job '{id}' is not running (status={rec.status})")
             )
         rec.status = "Cancelled"
+        # terminal transition: lastActionDateTime/finishedDateTime must
+        # reflect the cancel, not the creation
+        self.jobs.finish(rec)
         return Response(200, self._job_json(rec))
 
     def job_resume(self, req: Request, id: str) -> Response:
@@ -884,7 +887,19 @@ class ApiService:
         del self.jobs.records[id]
         self.jobs.checkpoints.pop(id, None)
         self._job_inputs.pop(id, None)
+        self._job_uris.pop(id, None)
         return Response(204)
+
+    def purge_expired_jobs(self) -> int:
+        """Retention sweep: purge expired job records and drop the
+        API-side request bookkeeping for any job that no longer has a
+        record (else ``_job_inputs``/``_job_uris`` grow for the service
+        lifetime)."""
+        n = self.jobs.purge_expired_jobs()
+        for d in (self._job_inputs, self._job_uris):
+            for jid in [j for j in d if j not in self.jobs.records]:
+                d.pop(jid, None)
+        return n
 
     # --- deletion jobs -------------------------------------------------
     def delete_job_create(self, req: Request, id: str) -> Response:

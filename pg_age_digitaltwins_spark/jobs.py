@@ -346,7 +346,14 @@ class ImportJob:
             rec.twins_created = cp.twins_processed
             rec.relationships_created = cp.relationships_processed
             rec.error_count = cp.error_count
+        prev = self.jobs.records.get(job_id)
         self.jobs.register(rec)
+        if resume_from is not None and prev is not None and prev.created_at is not None:
+            # a resume continues the ORIGINAL job: creation and purge
+            # deadlines stay anchored to the first registration
+            # (JobService.cs stamps CreatedAt once at creation)
+            rec.created_at = prev.created_at
+            rec.purge_at = prev.purge_at
 
         it = iter(enumerate(lines, start=1))
         # Header validation (ValidateStreamHeaderAsync, ImportJob.cs:429-457)

@@ -208,24 +208,34 @@ def _reject_inherited_name_collisions(
         }
 
     for d in batch:
-        own = content_names(d)
-        if not own:
-            continue
+        # every interface in the closure (the doc itself + all
+        # ancestors) contributes its content names once; a name defined
+        # by TWO DIFFERENT interfaces anywhere in the closure is a
+        # collision — this also catches ancestor-vs-ancestor clashes
+        # under multiple inheritance (A has 'mass', B has 'mass',
+        # C extends [A, B] declares nothing itself).  Diamonds are
+        # fine: the shared grandparent defines the name once.
+        owner: dict[str, str] = {}
         seen: set[str] = set()
-        stack = [p for p in extract_extends(d)]
+        stack = [d["@id"]]
         while stack:
-            p = stack.pop()
-            if p in seen or p not in all_docs:
+            mid = stack.pop()
+            if mid in seen:
                 continue
-            seen.add(p)
-            clash = own & content_names(all_docs[p])
-            if clash:
-                raise ValidationError(
-                    f"model {d['@id']}: content name(s) "
-                    f"{sorted(clash)} already defined by extended "
-                    f"interface {p}"
-                )
-            stack.extend(extract_extends(all_docs[p]))
+            seen.add(mid)
+            doc = d if mid == d["@id"] else all_docs.get(mid)
+            if doc is None:
+                continue
+            for name in content_names(doc):
+                prev = owner.get(name)
+                if prev is not None and prev != mid:
+                    raise ValidationError(
+                        f"model {d['@id']}: content name '{name}' is "
+                        f"defined by both {prev} and {mid} in its "
+                        "extends closure"
+                    )
+                owner[name] = mid
+            stack.extend(extract_extends(doc))
 
 
 def _reject_nested_components(

@@ -392,3 +392,17 @@ def test_api_provider_nameidentifier_precedence():
 
     p.get_permissions({ApiPermissionProvider.NAME_IDENTIFIER: "nid", "sub": "s"})
     assert "userId=nid" in fake.check_calls[0][0]
+
+
+def test_api_provider_cache_is_bounded():
+    """The per-user permission cache evicts expired entries instead of
+    holding one entry per distinct principal forever."""
+    fake = _FakePermissionsApi(["digitaltwins/read"])
+    clock = [0.0]
+    p = _api_provider(fake, clock)
+    for i in range(1024):
+        p.get_permissions({"sub": f"u{i}"})
+    assert len(p._perm_cache) == 1024
+    clock[0] += 301  # everything expired
+    p.get_permissions({"sub": "fresh"})
+    assert len(p._perm_cache) == 1  # dead entries evicted on insert

@@ -1138,3 +1138,30 @@ def test_inherited_content_name_collision_rejected(spark):
     # redeclaring the grandparent's 'mass': rejected, names both parties
     with pytest.raises(ValidationError, match="mass.*dtmi:ex:coll:Base;1"):
         create_models(GraphStore.empty(spark), [base, mid, clash])
+
+
+def test_inherited_collision_across_multiple_parents(spark):
+    """Ancestor-vs-ancestor clash: C extends [A, B] where A and B each
+    define 'mass' — rejected even though C itself declares nothing.
+    Diamond inheritance (one shared grandparent) stays legal."""
+    from pg_age_digitaltwins_spark.models import create_models
+
+    def iface(id_, extends=None, names=()):
+        d = {"@id": id_, "@type": "Interface", "@context": "dtmi:dtdl:context;3",
+             "contents": [{"@type": "Property", "name": n, "schema": "double"}
+                          for n in names]}
+        if extends:
+            d["extends"] = extends
+        return d
+
+    a = iface("dtmi:ex:mi:A;1", names=["mass"])
+    b = iface("dtmi:ex:mi:B;1", names=["mass"])
+    c = iface("dtmi:ex:mi:C;1", extends=["dtmi:ex:mi:A;1", "dtmi:ex:mi:B;1"])
+    with pytest.raises(ValidationError, match="mass"):
+        create_models(GraphStore.empty(spark), [a, b, c])
+    # diamond: shared grandparent defines 'mass' once — legal
+    d0 = iface("dtmi:ex:di:D;1", names=["mass"])
+    l1 = iface("dtmi:ex:di:L;1", extends="dtmi:ex:di:D;1")
+    r1 = iface("dtmi:ex:di:R;1", extends="dtmi:ex:di:D;1")
+    top = iface("dtmi:ex:di:T;1", extends=["dtmi:ex:di:L;1", "dtmi:ex:di:R;1"])
+    create_models(GraphStore.empty(spark), [d0, l1, r1, top])

@@ -838,3 +838,22 @@ def test_split_with_regex_metacharacter_delimiter(fixture_store):
         "MATCH (t {`$dtId`: 'room1'}) RETURN split('a.b.c', '.') AS parts",
     )
     assert r["parts"] == ["a", "b", "c"]
+
+
+def test_string_scalar_edge_cases(fixture_store):
+    """ANSI-mode hazards: head/last of an empty list, toBoolean of
+    garbage, and a split delimiter containing a literal backslash-E
+    must all evaluate (null / null / literal split), never throw."""
+    [r] = rows(
+        fixture_store,
+        "MATCH (t {`$dtId`: 'room1'}) RETURN "
+        "head([]) AS h_empty, last([]) AS l_empty, "
+        "toBoolean('xyz') AS tb_bad, toBoolean('FALSE') AS tb_false, "
+        "toBoolean('1') AS tb_one, "
+        "split('aC:\\Envb', 'C:\\Env') AS parts",
+    )
+    assert r["h_empty"] is None and r["l_empty"] is None
+    assert r["tb_bad"] is None
+    assert r["tb_false"] is False
+    assert r["tb_one"] is None  # openCypher: '1' is NOT a boolean
+    assert r["parts"] == ["a", "b"]

@@ -850,3 +850,31 @@ def test_track_last_updated_by_stamps_user(spark):
     api_off.handle(Request("PUT", "/digitaltwins/t2", body=doc, claims=claims))
     got2 = api_off.handle(Request("GET", "/digitaltwins/t2")).body
     assert "lastUpdatedBy" not in got2["$metadata"]["temp"]
+
+
+def test_cancel_stamps_terminal_timestamps(spark):
+    """Cancelling a running job stamps lastActionDateTime /
+    finishedDateTime at the cancel, not the creation."""
+    from pg_age_digitaltwins_spark import jobs as jobs_mod
+
+    svc = ApiService(DigitalTwinsSparkClient(GraphStore.empty(spark)))
+    svc.jobs.register(jobs_mod.JobRecord(id="jr"))  # stays Running
+    r = svc.handle(Request("POST", "/jobs/imports/jr/cancel"))
+    assert r.status == 200 and r.body["status"] == "cancelled"
+    assert r.body["finishedDateTime"] >= r.body["createdDateTime"]
+    rec = svc.jobs.records["jr"]
+    assert rec.finished_at is not None and rec.finished_at >= rec.created_at
+
+
+def test_purge_prunes_api_side_bookkeeping(spark, tmp_path):
+    """ApiService.purge_expired_jobs drops the request-URI bookkeeping
+    together with the purged records (no unbounded growth)."""
+    svc = ApiService(DigitalTwinsSparkClient(GraphStore.empty(spark)))
+    path = _import_file(tmp_path)
+    assert svc.handle(
+        Request("PUT", "/jobs/imports/pj", body={"inputBlobUri": f"file://{path}"})
+    ).status == 201
+    assert "pj" in svc._job_uris and "pj" in svc._job_inputs
+    svc.jobs.records["pj"].purge_at = 0.0
+    assert svc.purge_expired_jobs() == 1
+    assert "pj" not in svc._job_uris and "pj" not in svc._job_inputs

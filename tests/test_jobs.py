@@ -558,3 +558,18 @@ def test_import_run_stamps_timestamps(client):
     assert rec.created_at is not None
     assert rec.finished_at is not None and rec.finished_at >= rec.created_at
     assert rec.purge_at == rec.created_at + job.jobs.job_retention_s
+
+
+def test_resume_keeps_original_creation_and_purge(client):
+    """A resumed job keeps the FIRST registration's created_at and
+    purge deadline (the reference stamps CreatedAt once at creation —
+    resume must not slide retention forward)."""
+    job = ImportJob(client)
+    lines = full_file()
+    rec1 = job.run(lines, "job-res-ts")
+    created, purge = rec1.created_at, rec1.purge_at
+    cp = job.jobs.checkpoints["job-res-ts"]
+    rec2 = job.run(full_file(), "job-res-ts", resume_from=cp)
+    assert rec2.created_at == created
+    assert rec2.purge_at == purge
+    assert rec2.finished_at is not None
