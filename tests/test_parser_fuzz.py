@@ -21,6 +21,8 @@ _FRAGMENTS = st.sampled_from([
     "UNWIND", "WITH", "AS", "ORDER BY", "SKIP 1", "LIMIT 2", "CASE WHEN",
     "THEN", "ELSE", "END", "shortestPath(", "1.5e3", "`$dtId`", "= =",
     "\\", "'", '"', "//", "count(*)", "+", "-", "%", "p =",
+    "substring(", "replace(", "split(", "head(", "last(", "toBoolean(",
+    "left(", "right(", "trim(", "reverse(",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
