@@ -298,7 +298,7 @@ class DigitalTwinsSparkClient:
     def _swap(self, store: GraphStore) -> None:
         self.store = store
 
-    def checkpoint(self, path: str | None = None) -> None:
+    def checkpoint(self, path: str | None = None, compact: bool = False) -> None:
         """Storage maintenance (SURVEY §7 hard-#5: update-heavy OLTP on
         immutable snapshots).  Every point mutation swaps in a plan
         built on the previous one, so after N mutations each query
@@ -307,9 +307,16 @@ class DigitalTwinsSparkClient:
         Delta ``OPTIMIZE``/compaction equivalent, restoring partition
         pruning and statistics; without, cut the lineage in place with
         ``localCheckpoint`` (executor-memory materialization).  Run it
-        every few hundred mutations or after bulk imports."""
+        every few hundred mutations or after bulk imports.  With
+        ``compact=True`` the rewrite additionally range-clusters rows on
+        the lookup keys and collapses small files
+        (``GraphStore.save_compacted`` — the OPTIMIZE-with-clustering
+        form)."""
         if path is not None:
-            self.store.save(path)
+            if compact:
+                self.store.save_compacted(path)
+            else:
+                self.store.save(path)
             self._swap(GraphStore.load(self.store.spark, path))
             return
         s = self.store

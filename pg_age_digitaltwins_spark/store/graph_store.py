@@ -224,6 +224,45 @@ class GraphStore:
         self.models.write.mode(mode).parquet(f"{path}/models")
         self.model_edges.write.mode(mode).parquet(f"{path}/model_edges")
 
+    def save_compacted(self, path: str, mode: str = "overwrite") -> None:
+        """The ``OPTIMIZE``-with-clustering equivalent for the plain
+        parquet layout: rewrite each table with rows range-clustered on
+        (partition key, lookup key) before the hive-partitioned write.
+
+        Effect at scale: (1) the small files that accumulate from
+        per-commit COW writes collapse to ~one file per range split;
+        (2) rows inside every file are sorted by ``dt_id`` /
+        ``source_id``, so parquet row-group min/max statistics skip
+        row groups on point lookups — the Z-order stand-in for a
+        single-key access pattern.  ``repartitionByRange`` (not
+        ``repartition(col)``) is deliberate: a hash repartition on the
+        partition column alone would put an entire hot model into ONE
+        task; ranges over the (partition, key) pair split large
+        partitions across tasks while keeping each output file
+        key-clustered.  Run after bulk imports or every few hundred
+        commits, like Delta's OPTIMIZE cadence."""
+        (
+            with_vdoc(self.twins)
+            .repartitionByRange("model_id", "dt_id")
+            .sortWithinPartitions("model_id", "dt_id")
+            .write.mode(mode)
+            .partitionBy("model_id")
+            .parquet(f"{path}/twins")
+        )
+        (
+            with_vdoc(self.relationships)
+            .repartitionByRange("name", "source_id")
+            .sortWithinPartitions("name", "source_id")
+            .write.mode(mode)
+            .partitionBy("name")
+            .parquet(f"{path}/relationships")
+        )
+        # model tables are dimension-sized: single file each
+        self.models.coalesce(1).write.mode(mode).parquet(f"{path}/models")
+        self.model_edges.coalesce(1).write.mode(mode).parquet(
+            f"{path}/model_edges"
+        )
+
     def save_bucketed(
         self, prefix: str, path: str | None = None, n_buckets: int = 32
     ) -> None:

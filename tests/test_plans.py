@@ -206,3 +206,35 @@ def test_dormant_customers_is_anti_join_with_pushed_window(spark):
     plan = _plan(df)
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_compacted_store_collapses_files_and_keeps_pruning(spark, tmp_path):
+    """save_compacted = OPTIMIZE-with-clustering: the rewritten layout
+    has ~one file per partition (small-files collapse), identical data,
+    and point lookups still push the key filter to the scan."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+    import glob
+
+    store = load_graph(spark, SF_DIR)
+    raw = str(tmp_path / "raw")
+    # fragment the layout: plain save from a many-partition plan
+    store.twins.repartition(16).count()  # warm
+    store.save(raw)
+    compacted = str(tmp_path / "compacted")
+    store.save_compacted(compacted)
+    n_files = len(glob.glob(f"{compacted}/twins/*/*.parquet"))
+    n_parts = store.twins.select("model_id").distinct().count()
+    assert n_files <= n_parts + 2, (n_files, n_parts)
+
+    re = GraphStore.load(spark, compacted)
+    assert re.twins.count() == store.twins.count()
+    assert re.relationships.count() == store.relationships.count()
+    client = DigitalTwinsSparkClient(re)
+    df = client.query_df(
+        "SELECT T.$dtId AS id FROM DIGITALTWINS T WHERE T.$dtId = 'nation-0'"
+    )
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    assert "EqualTo(dt_id,nation-0)" in plan.replace("'", "")
