@@ -570,6 +570,9 @@ class CypherCompiler:
             )
             col = F.explode(arr)
             self._value_variant.add(name)
+        elif isinstance(e, C.Func) and e.name == "range":
+            # UNWIND range(a, b[, step]) — the generate-series idiom
+            col = F.explode(self._func(e, env))
         else:
             raise CypherCompileError(f"UNWIND over {e!r} not supported")
         df = df.select("*", col.alias(name))
@@ -955,6 +958,13 @@ class CypherCompiler:
             return F.when(k >= F.length(s), s).otherwise(
                 F.substring(s, -k, k)
             )
+        if n == "range":
+            # range(start, end[, step]) — INCLUSIVE end (openCypher),
+            # matching F.sequence's semantics exactly
+            args = [self._operand(a, env, "number").cast("long") for a in e.args]
+            if len(args) not in (2, 3):
+                raise CypherCompileError("range() takes 2 or 3 arguments")
+            return F.sequence(*args)
         if n in ("head", "last"):
             # try_element_at: head([]) / last([]) are null in openCypher;
             # plain element_at THROWS on the empty list under ANSI mode

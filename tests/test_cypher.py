@@ -857,3 +857,12 @@ def test_string_scalar_edge_cases(fixture_store):
     assert r["tb_false"] is False
     assert r["tb_one"] is None  # openCypher: '1' is NOT a boolean
     assert r["parts"] == ["a", "b"]
+
+
+def test_range_function_unwind(fixture_store):
+    out = rows(fixture_store, "UNWIND range(1, 5) AS x RETURN x")
+    assert sorted(r["x"] for r in out) == [1, 2, 3, 4, 5]
+    out = rows(fixture_store, "UNWIND range(0, 10, 5) AS x RETURN x")
+    assert sorted(r["x"] for r in out) == [0, 5, 10]
+    [r] = rows(fixture_store, "MATCH (t {`$dtId`: 'room1'}) RETURN head(range(3, 9)) AS h")
+    assert r["h"] == 3
