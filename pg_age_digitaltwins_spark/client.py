@@ -177,6 +177,21 @@ class DigitalTwinsSparkClient:
         has_return = _re.search(r"\bRETURN\b", query, _re.IGNORECASE)
         return "adt" if (has_select and not has_return) else "cypher"
 
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """The query's physical plan as text — the diagnostics parity
+        for the reference's EXPLAIN ANALYZE pass-through
+        (``QueryTests.cs:1309`` ExplainAnalyze_IsOfModel): where the
+        reference surfaces the Postgres plan, this surfaces the Spark
+        plan (scan pushdown / partition pruning / join strategies) for
+        either dialect.  ``mode``: formatted | simple | extended |
+        codegen | cost."""
+        df = self.query_df(query)
+        return df._jdf.queryExecution().explainString(
+            self.store.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                mode
+            )
+        )
+
     def query(
         self,
         query: str,

@@ -538,3 +538,15 @@ def test_keyset_pagination_mixed_duplicates_all_page_sizes(client):
             if not token:
                 break
         assert sorted(seen) == expected, f"page size {n}"
+
+
+def test_explain_surfaces_physical_plan(client):
+    """client.explain returns the formatted Spark plan with the scan
+    pushdown visible — the EXPLAIN diagnostics parity
+    (QueryTests.cs:1309)."""
+    plan = client.explain(
+        "SELECT T.$dtId AS id FROM DIGITALTWINS T WHERE T.$dtId = 'room1'"
+    )
+    assert "Physical Plan" in plan and "Filter" in plan
+    cy = client.explain("MATCH (t) RETURN count(*) AS n", mode="simple")
+    assert "Physical Plan" in cy or "Aggregate" in cy
