@@ -589,6 +589,7 @@ def import_file_distributed(
     ts: str | None = None,
     output_path: str | None = None,
     commit_root: str | None = None,
+    job_service: "JobService | None" = None,
 ) -> JobRecord:
     """The 100 TB import shape: one distributed pass per section, no
     data-row ``collect()``.
@@ -626,6 +627,8 @@ def import_file_distributed(
             f"Unsupported file version: {header[0].get('fileVersion') if header else None}"
         )
     rec = JobRecord(id=f"import-{path.rsplit('/', 1)[-1]}")
+    if job_service is not None:
+        job_service.register(rec)
     ts = ts or crud.now_iso()
 
     model_docs = [
@@ -765,6 +768,8 @@ def import_file_distributed(
         if (rec.models_created + rec.twins_created + rec.relationships_created)
         else "Failed"
     )
+    if job_service is not None:
+        job_service.finish(rec)
     return rec
 
 

@@ -573,3 +573,13 @@ def test_resume_keeps_original_creation_and_purge(client):
     assert rec2.created_at == created
     assert rec2.purge_at == purge
     assert rec2.finished_at is not None
+
+
+def test_import_distributed_registers_with_job_service(client, spark, tmp_path):
+    p = tmp_path / "imp.ndjson"
+    p.write_text("\n".join(full_file(3)) + "\n")
+    svc = JobService()
+    rec = import_file_distributed(client, spark, str(p), job_service=svc)
+    assert rec.id in svc.records
+    assert rec.created_at is not None and rec.finished_at is not None
+    assert rec.purge_at == rec.created_at + svc.job_retention_s
