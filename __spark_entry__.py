@@ -621,6 +621,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_anomalies"] = lambda s, d: ev_ops.anomalies_zscore(
         _tables(s, d)["events"]
     )
+
+    def _props_stats(s, d):
+        # semi-structured payload extraction: the JSON props column is
+        # parsed in-plan (get_json_object is JVM-side, codegen'd) and
+        # rolled up per type — schema-on-read over the event payloads.
+        # Rounded via exact integer sums (k is integral) so the oracle
+        # comparison is summation-order-proof.
+        from pyspark.sql import functions as F
+
+        ev = _tables(s, d)["events"]
+        k = F.get_json_object("props", "$.k").cast("bigint")
+        return ev.groupBy("event_type").agg(
+            F.round(F.sum(k) / F.count(F.lit(1)), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    q["events_props_stats"] = _props_stats
     def _daily_retention(s, d):
         # cohort date serialized to yyyy-MM-dd for the value-hash:
         # python date objects and pandas Timestamps hash differently
@@ -1411,6 +1429,14 @@ def oracle_sql() -> dict[str, str]:
         "WHERE len(t) >= 2) "
         "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b "
         "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+    )
+    o["events_props_stats"] = (
+        "SELECT event_type, "
+        "round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+        "/ CAST(count(*) AS DOUBLE), 4) AS avg_k, "
+        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k, "
+        "count(*) AS n_events "
+        "FROM events GROUP BY event_type"
     )
     o["events_anomalies"] = (
         "WITH s AS (SELECT event_type, avg(value) AS m, stddev(value) AS sd "
