@@ -63,10 +63,19 @@ def twin_count_deltas(events: DataFrame) -> DataFrame:
 
 
 class ModelCountsView:
-    """Maintained ``(model_id, n_twins)`` table under ``state_dir``."""
+    """Maintained ``(model_id, n_twins)`` table under ``state_dir``.
 
-    def __init__(self, state_dir: str):
+    The machinery is generic over the delta function: subclasses /
+    instances swap ``delta_fn`` (batch events → (key, delta)) and the
+    key/count column names — ``RelationshipCountsView`` below reuses
+    everything but the fold."""
+
+    key_col = "model_id"
+    count_col = "n_twins"
+
+    def __init__(self, state_dir: str, delta_fn=None):
         self.state_dir = state_dir
+        self.delta_fn = delta_fn or twin_count_deltas
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state versioning ----------------------------------------------
@@ -86,7 +95,9 @@ class ModelCountsView:
     def read(self, spark: SparkSession) -> DataFrame:
         v = self._current_version()
         if v is None:
-            return spark.createDataFrame([], "model_id string, n_twins long")
+            return spark.createDataFrame(
+                [], f"{self.key_col} string, {self.count_col} long"
+            )
         return spark.read.parquet(self._version_dir(v))
 
     # -- the foreachBatch body -----------------------------------------
@@ -98,18 +109,19 @@ class ModelCountsView:
             # transition already happened — skip, don't double-count
             self._point_to(int(batch_id))
             return
-        deltas = twin_count_deltas(events)
+        # delta_fn contract: (key_col, delta) rows for this batch
+        deltas = self.delta_fn(events)
         merged = (
             self.read(spark)
-            .join(deltas, "model_id", "full_outer")
+            .join(deltas, self.key_col, "full_outer")
             .select(
-                "model_id",
+                self.key_col,
                 (
-                    F.coalesce(F.col("n_twins"), F.lit(0))
+                    F.coalesce(F.col(self.count_col), F.lit(0))
                     + F.coalesce(F.col("delta"), F.lit(0))
-                ).alias("n_twins"),
+                ).alias(self.count_col),
             )
-            .filter(F.col("n_twins") != 0)
+            .filter(F.col(self.count_col) != 0)
         )
         merged.write.mode("overwrite").parquet(out)
         self._point_to(int(batch_id))
@@ -121,6 +133,50 @@ class ModelCountsView:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer())
+
+
+def rel_count_deltas(events: DataFrame) -> DataFrame:
+    """Per-label relationship-count deltas for one batch: −1 for each
+    old image, +1 for each new image (updates cancel — an edge's label
+    is its table and cannot change), keyed on the EventData table name
+    (= the relationship name, per the replication classifier)."""
+    doc = F.coalesce(F.col("new_value"), F.col("old_value"))
+    rels = events.filter(
+        F.get_json_object(doc, "$['$relationshipId']").isNotNull()
+    )
+    signed = rels.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.when(F.col("old_value").isNotNull(), F.col("table_name"))
+                    .alias("name"),
+                    F.lit(-1).alias("d"),
+                ),
+                F.struct(
+                    F.when(F.col("new_value").isNotNull(), F.col("table_name"))
+                    .alias("name"),
+                    F.lit(1).alias("d"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.name", "x.d")
+    return (
+        signed.filter(F.col("name").isNotNull())
+        .groupBy("name")
+        .agg(F.sum("d").cast("long").alias("delta"))
+        .filter(F.col("delta") != 0)
+    )
+
+
+class RelationshipCountsView(ModelCountsView):
+    """Maintained ``(name, n_rels)`` table — same versioned state and
+    idempotency machinery, different fold."""
+
+    key_col = "name"
+    count_col = "n_rels"
+
+    def __init__(self, state_dir: str):
+        super().__init__(state_dir, delta_fn=rel_count_deltas)
 
 
 def maintain_model_counts(

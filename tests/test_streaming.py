@@ -1544,3 +1544,41 @@ def test_materialized_model_counts_incremental(spark, tmp_path):
     view.apply_batch(events, applied[-1])
     counts2 = {r["model_id"]: r["n_twins"] for r in view.read(spark).collect()}
     assert counts2 == counts
+
+
+def test_materialized_relationship_counts(spark, tmp_path):
+    """The IVM machinery is generic over the fold: relationship counts
+    per label maintain from the same feed (create +1, delete -1,
+    updates cancel)."""
+    from pg_age_digitaltwins_spark.streaming.materialized import (
+        RelationshipCountsView,
+    )
+
+    models = [{
+        "@id": "dtmi:rv:N;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [
+            {"@type": "Relationship", "name": "knows"},
+            {"@type": "Relationship", "name": "owns"},
+        ],
+    }]
+    client = DigitalTwinsSparkClient(GraphStore.empty(spark).with_models(models))
+    for t in ("n1", "n2", "n3"):
+        client.create_or_replace_digital_twin(
+            t, {"$metadata": {"$model": "dtmi:rv:N;1"}}, ts=TS
+        )
+    client.create_or_replace_relationship(
+        "n1", "k1", {"$targetId": "n2", "$relationshipName": "knows"}, ts=TS
+    )
+    client.create_or_replace_relationship(
+        "n1", "k2", {"$targetId": "n3", "$relationshipName": "knows"}, ts=TS
+    )
+    client.create_or_replace_relationship(
+        "n2", "o1", {"$targetId": "n3", "$relationshipName": "owns"}, ts=TS
+    )
+    client.delete_relationship("n1", "k2")
+    view = RelationshipCountsView(str(tmp_path / "state"))
+    batch = client.changes.to_df(spark, client.changes.drain())
+    view.apply_batch(batch, 0)
+    counts = {r["name"]: r["n_rels"] for r in view.read(spark).collect()}
+    assert counts == {"knows": 1, "owns": 1}
