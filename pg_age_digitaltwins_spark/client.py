@@ -158,6 +158,20 @@ class DigitalTwinsSparkClient:
     # ------------------------------------------------------------------
     # query (read path, SURVEY §3.1)
     # ------------------------------------------------------------------
+    def register_views(self, prefix: str = "") -> None:
+        """Expose the graph as Spark SQL temp views (``twins``,
+        ``relationships``, ``models``, ``model_edges``, optionally
+        prefixed) so analysts can drop below the ADT QL / Cypher
+        dialects and run raw ``spark.sql`` over the same snapshots —
+        the escape hatch a Spark-native engine owes its users.  Views
+        track the CURRENT store; re-register after mutations swap the
+        snapshot (or call this from a post-mutation hook)."""
+        s = self.store
+        s.twins.createOrReplaceTempView(f"{prefix}twins")
+        s.relationships.createOrReplaceTempView(f"{prefix}relationships")
+        s.models.createOrReplaceTempView(f"{prefix}models")
+        s.model_edges.createOrReplaceTempView(f"{prefix}model_edges")
+
     def query_df(self, query: str, order_for_paging: bool = False) -> DataFrame:
         """Compile a query to a DataFrame (lazy).
 

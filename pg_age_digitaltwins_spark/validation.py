@@ -570,6 +570,13 @@ def validate_model(
                 max_depth=max_depth,
             )
 
+    contents_list = doc.get("contents", []) or []
+    if is_v2 and isinstance(contents_list, list) and len(contents_list) > 300:
+        # DTDL v2 spec: an Interface may have at most 300 contents
+        # (the cap was raised in v3)
+        v.append(
+            f"contents lists {len(contents_list)} items; DTDL v2 allows at most 300"
+        )
     seen_names: set[str] = set()
     for item in doc.get("contents", []) or []:
         if not isinstance(item, dict):

@@ -550,3 +550,17 @@ def test_explain_surfaces_physical_plan(client):
     assert "Physical Plan" in plan and "Filter" in plan
     cy = client.explain("MATCH (t) RETURN count(*) AS n", mode="simple")
     assert "Physical Plan" in cy or "Aggregate" in cy
+
+
+def test_register_views_enables_raw_sql(client):
+    """register_views exposes the snapshot tables to spark.sql — the
+    raw-SQL escape hatch below the ADT QL / Cypher dialects."""
+    client.register_views(prefix="g_")
+    spark = client.store.spark
+    n = spark.sql("SELECT count(*) AS n FROM g_twins").collect()[0]["n"]
+    assert n == client.store.twins.count()
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM g_relationships r "
+        "JOIN g_twins t ON r.source_id = t.dt_id"
+    ).collect()[0]["n"]
+    assert joined == client.store.relationships.count()

@@ -1165,3 +1165,22 @@ def test_inherited_collision_across_multiple_parents(spark):
     r1 = iface("dtmi:ex:di:R;1", extends="dtmi:ex:di:D;1")
     top = iface("dtmi:ex:di:T;1", extends=["dtmi:ex:di:L;1", "dtmi:ex:di:R;1"])
     create_models(GraphStore.empty(spark), [d0, l1, r1, top])
+
+
+def test_v2_contents_cap():
+    """DTDL v2: at most 300 contents per interface (lifted in v3)."""
+    from pg_age_digitaltwins_spark.validation import validate_model
+
+    def many(n, ctx):
+        return _interface(**{
+            "@context": ctx,
+            "contents": [
+                {"@type": "Property", "name": f"p{i}", "schema": "double"}
+                for i in range(n)
+            ],
+        })
+
+    validate_model(many(300, "dtmi:dtdl:context;2"))
+    with pytest.raises(ValidationError, match="at most 300"):
+        validate_model(many(301, "dtmi:dtdl:context;2"))
+    validate_model(many(301, "dtmi:dtdl:context;3"))  # v3: no 300 cap
