@@ -341,6 +341,11 @@ class DigitalTwinsSparkClient:
         the lookup keys and collapses small files
         (``GraphStore.save_compacted`` — the OPTIMIZE-with-clustering
         form)."""
+        if compact and path is None:
+            raise ValueError(
+                "checkpoint(compact=True) requires a path: the clustered "
+                "rewrite is a storage operation, not an in-memory cut"
+            )
         if path is not None:
             if compact:
                 self.store.save_compacted(path)

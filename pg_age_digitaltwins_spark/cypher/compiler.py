@@ -959,12 +959,20 @@ class CypherCompiler:
                 F.substring(s, -k, k)
             )
         if n == "range":
-            # range(start, end[, step]) — INCLUSIVE end (openCypher),
-            # matching F.sequence's semantics exactly
+            # range(start, end[, step]) — INCLUSIVE end.  openCypher
+            # divergences from a bare F.sequence: an empty-direction
+            # range (start > end with positive step, or a mismatched
+            # step sign) is the EMPTY LIST, not a descending sequence
+            # or a runtime error — guard before sequencing.
             args = [self._operand(a, env, "number").cast("long") for a in e.args]
             if len(args) not in (2, 3):
                 raise CypherCompileError("range() takes 2 or 3 arguments")
-            return F.sequence(*args)
+            start, end = args[0], args[1]
+            step = args[2] if len(args) == 3 else F.lit(1).cast("long")
+            valid = ((step > 0) & (start <= end)) | ((step < 0) & (start >= end))
+            return F.when(valid, F.sequence(start, end, step)).otherwise(
+                F.array().cast("array<bigint>")
+            )
         if n in ("head", "last"):
             # try_element_at: head([]) / last([]) are null in openCypher;
             # plain element_at THROWS on the empty list under ANSI mode

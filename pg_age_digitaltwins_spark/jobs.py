@@ -613,6 +613,35 @@ def import_file_distributed(
     path emits no per-row events (at that point change capture belongs
     to the storage layer — Delta CDF — not a per-row driver log).
     Reference semantics: ``ImportJob.cs:442-604``."""
+    rec = JobRecord(id=f"import-{path.rsplit('/', 1)[-1]}")
+    if job_service is not None:
+        job_service.register(rec)
+    try:
+        _import_file_distributed_body(
+            client, spark, path, rec, user_id, ts, output_path, commit_root
+        )
+    except Exception as exc:  # noqa: BLE001 — no stuck-Running records
+        rec.status = "Failed"
+        rec.error_count += 1
+        rec.errors.append({"error": str(exc)})
+        if job_service is not None:
+            job_service.finish(rec)
+        raise
+    if job_service is not None:
+        job_service.finish(rec)
+    return rec
+
+
+def _import_file_distributed_body(
+    client: DigitalTwinsSparkClient,
+    spark: SparkSession,
+    path: str,
+    rec: JobRecord,
+    user_id: str | None,
+    ts: str | None,
+    output_path: str | None,
+    commit_root: str | None,
+) -> JobRecord:
     from pg_age_digitaltwins_spark import crud
     from pg_age_digitaltwins_spark.store.graph_store import with_vdoc
     from pyspark.sql import Window
@@ -626,9 +655,6 @@ def import_file_distributed(
         raise ImportError_(
             f"Unsupported file version: {header[0].get('fileVersion') if header else None}"
         )
-    rec = JobRecord(id=f"import-{path.rsplit('/', 1)[-1]}")
-    if job_service is not None:
-        job_service.register(rec)
     ts = ts or crud.now_iso()
 
     model_docs = [
@@ -768,8 +794,6 @@ def import_file_distributed(
         if (rec.models_created + rec.twins_created + rec.relationships_created)
         else "Failed"
     )
-    if job_service is not None:
-        job_service.finish(rec)
     return rec
 
 

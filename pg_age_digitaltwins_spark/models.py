@@ -173,6 +173,12 @@ def _reject_excessive_extends_depth(
         )
         return memo[mid]
 
+    def n_contents(doc: dict[str, Any]) -> int:
+        c = doc.get("contents")
+        if isinstance(c, dict):
+            return 1
+        return len(c) if isinstance(c, list) else 0
+
     for d in batch:
         ctx = d.get("@context")
         ctxs = [ctx] if isinstance(ctx, str) else (ctx or [])
@@ -183,6 +189,26 @@ def _reject_excessive_extends_depth(
                 f"model {d['@id']}: extends hierarchy is {got} levels deep; "
                 f"DTDL allows at most {limit}"
             )
+        if "dtmi:dtdl:context;2" in ctxs:
+            # DTDL v2's 300-contents cap counts INHERITED contents too
+            # (validate_model can only see the direct list; the closure
+            # is available here)
+            total, seen, stack = 0, set(), [d["@id"]]
+            while stack:
+                mid = stack.pop()
+                if mid in seen:
+                    continue
+                seen.add(mid)
+                doc = d if mid == d["@id"] else all_docs.get(mid)
+                if doc is None:
+                    continue
+                total += n_contents(doc)
+                stack.extend(extract_extends(doc))
+            if total > 300:
+                raise ValidationError(
+                    f"model {d['@id']}: {total} contents including "
+                    "inherited; DTDL v2 allows at most 300"
+                )
 
 
 def _reject_inherited_name_collisions(

@@ -103,11 +103,25 @@ class ModelCountsView:
     # -- the foreachBatch body -----------------------------------------
     def apply_batch(self, events: DataFrame, batch_id: int) -> None:
         spark = events.sparkSession
-        out = self._version_dir(int(batch_id))
+        batch_id = int(batch_id)
+        cur = self._current_version()
+        out = self._version_dir(batch_id)
+        if cur is not None and batch_id < cur:
+            # batch ids restarted below the pointed state: the streaming
+            # checkpoint was reset against an existing state dir.
+            # Proceeding would silently rewind the view (a stale
+            # v<batch_id>/_SUCCESS from the previous generation makes
+            # the replay-skip path re-point backwards) — fail loudly so
+            # the operator resets BOTH dirs together.
+            raise ValueError(
+                f"batch id {batch_id} is behind the current state "
+                f"version {cur}: streaming checkpoint and state_dir are "
+                "from different generations — reset them together"
+            )
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             # replayed batch after a crash-before-checkpoint: the state
             # transition already happened — skip, don't double-count
-            self._point_to(int(batch_id))
+            self._point_to(batch_id)
             return
         # delta_fn contract: (key_col, delta) rows for this batch
         deltas = self.delta_fn(events)
@@ -124,7 +138,25 @@ class ModelCountsView:
             .filter(F.col(self.count_col) != 0)
         )
         merged.write.mode("overwrite").parquet(out)
-        self._point_to(int(batch_id))
+        self._point_to(batch_id)
+        self._vacuum(batch_id)
+
+    def _vacuum(self, current: int, keep: int = 2) -> None:
+        """Drop state versions older than ``current − keep`` — each
+        batch writes a full state copy, so an unbounded retention grows
+        linearly with trigger count (~17k copies/day at 5 s triggers).
+        ``keep`` predecessors stay for crash-recovery reads in flight."""
+        import shutil
+
+        for name in os.listdir(self.state_dir):
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v < current - keep:
+                shutil.rmtree(os.path.join(self.state_dir, name), ignore_errors=True)
 
     def _point_to(self, v: int) -> None:
         tmp = self._pointer() + ".tmp"
@@ -185,10 +217,13 @@ def maintain_model_counts(
     state_dir: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    view: ModelCountsView | None = None,
 ):
     """Start the maintenance query: readStream over the EventData feed
     (flat ND-JSON dir or a commit-log root, same detection as
     ``run_change_stream``) → per-batch delta fold into the state table.
+    Pass ``view`` to maintain any ``ModelCountsView``-family view
+    (e.g. ``RelationshipCountsView(state_dir)``) with the same wiring.
     Returns the started StreamingQuery."""
     from pg_age_digitaltwins_spark.store.commit_log import (
         changes_glob,
@@ -198,7 +233,7 @@ def maintain_model_counts(
 
     if is_commit_log_root(feed_path):
         feed_path = changes_glob(feed_path)
-    view = ModelCountsView(state_dir)
+    view = view or ModelCountsView(state_dir)
     stream = spark.readStream.schema(EVENT_DATA_SCHEMA).json(
         feed_path, timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSS"
     )

@@ -866,3 +866,18 @@ def test_range_function_unwind(fixture_store):
     assert sorted(r["x"] for r in out) == [0, 5, 10]
     [r] = rows(fixture_store, "MATCH (t {`$dtId`: 'room1'}) RETURN head(range(3, 9)) AS h")
     assert r["h"] == 3
+
+
+def test_range_empty_and_negative_step(fixture_store):
+    """openCypher edges F.sequence diverges on: backwards range and
+    mismatched step sign are the EMPTY list, never a descending
+    sequence or a runtime error."""
+    [r] = rows(
+        fixture_store,
+        "MATCH (t {`$dtId`: 'room1'}) RETURN "
+        "range(5, 1) AS back, range(1, 5, -1) AS bad_step, "
+        "range(5, 1, -2) AS down",
+    )
+    assert r["back"] == []
+    assert r["bad_step"] == []
+    assert r["down"] == [5, 3, 1]

@@ -583,3 +583,21 @@ def test_import_distributed_registers_with_job_service(client, spark, tmp_path):
     assert rec.id in svc.records
     assert rec.created_at is not None and rec.finished_at is not None
     assert rec.purge_at == rec.created_at + svc.job_retention_s
+
+
+def test_import_distributed_failure_marks_record_failed(client, spark, tmp_path):
+    """A failed distributed import must not leave a stuck-Running
+    record: the exception propagates AND the record lands terminal."""
+    bad_model = dict(MODEL, contents=[{"@type": "Nope", "name": "x"}])
+    p = tmp_path / "bad.ndjson"
+    p.write_text("\n".join(ndjson(
+        {"Section": "Header"}, {"fileVersion": "1.0.0"},
+        {"Section": "Models"}, bad_model,
+    )) + "\n")
+    svc = JobService()
+    with pytest.raises(Exception):
+        import_file_distributed(client, spark, str(p), job_service=svc)
+    [rec] = svc.records.values()
+    assert rec.status == "Failed"
+    assert rec.finished_at is not None
+    assert rec.errors

@@ -217,16 +217,24 @@ def test_compacted_store_collapses_files_and_keeps_pruning(spark, tmp_path):
     from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
     import glob
 
+    import pg_age_digitaltwins_spark.crud as crud
+
     store = load_graph(spark, SF_DIR)
     raw = str(tmp_path / "raw")
-    # fragment the layout: plain save from a many-partition plan
-    store.twins.repartition(16).count()  # warm
-    store.save(raw)
+    # genuinely fragment the layout: save from a 16-partition plan so
+    # every hive partition holds many small files, then RELOAD the
+    # fragmented table — compaction must start from it, not from the
+    # in-memory snapshot
+    crud._replace(store, twins=store.twins.repartition(16)).save(raw)
+    fragmented = GraphStore.load(spark, raw)
+    n_raw = len(glob.glob(f"{raw}/twins/*/*.parquet"))
     compacted = str(tmp_path / "compacted")
-    store.save_compacted(compacted)
+    fragmented.save_compacted(compacted)
     n_files = len(glob.glob(f"{compacted}/twins/*/*.parquet"))
     n_parts = store.twins.select("model_id").distinct().count()
+    assert n_raw > n_parts, (n_raw, n_parts)  # premise: it was fragmented
     assert n_files <= n_parts + 2, (n_files, n_parts)
+    store = fragmented
 
     re = GraphStore.load(spark, compacted)
     assert re.twins.count() == store.twins.count()

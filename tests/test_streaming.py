@@ -1582,3 +1582,26 @@ def test_materialized_relationship_counts(spark, tmp_path):
     view.apply_batch(batch, 0)
     counts = {r["name"]: r["n_rels"] for r in view.read(spark).collect()}
     assert counts == {"knows": 1, "owns": 1}
+
+
+def test_materialized_view_rejects_checkpoint_generation_mismatch(spark, tmp_path):
+    """A batch id behind the pointed state version means the streaming
+    checkpoint was reset against a live state dir — the view must fail
+    loudly instead of silently rewinding, and old versions vacuum."""
+    import os
+
+    from pg_age_digitaltwins_spark.streaming.materialized import ModelCountsView
+
+    view = ModelCountsView(str(tmp_path / "state"))
+    empty = spark.createDataFrame([], "entity_id string, graph_name string, "
+        "table_name string, old_value string, new_value string, "
+        "event_type string, timestamp timestamp, txn_id long, seq long")
+    for b in range(5):
+        view.apply_batch(empty, b)
+    with pytest.raises(ValueError, match="different generations"):
+        view.apply_batch(empty, 0)
+    # retention: only the pointed version and `keep` predecessors remain
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(str(tmp_path / "state")) if d.startswith("v")
+    )
+    assert versions == [2, 3, 4]
