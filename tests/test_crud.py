@@ -1184,3 +1184,26 @@ def test_v2_contents_cap():
     with pytest.raises(ValidationError, match="at most 300"):
         validate_model(many(301, "dtmi:dtdl:context;2"))
     validate_model(many(301, "dtmi:dtdl:context;3"))  # v3: no 300 cap
+
+
+def test_v2_contents_cap_counts_inherited(spark):
+    """The v2 300-contents cap includes contents inherited via extends
+    — splitting properties across ancestors cannot evade it."""
+    from pg_age_digitaltwins_spark.models import create_models
+
+    def iface(id_, n, start, extends=None):
+        d = {"@id": id_, "@type": "Interface", "@context": "dtmi:dtdl:context;2",
+             "contents": [
+                 {"@type": "Property", "name": f"p{start + i}", "schema": "double"}
+                 for i in range(n)
+             ]}
+        if extends:
+            d["extends"] = extends
+        return d
+
+    base = iface("dtmi:v2cap:Base;1", 200, 0)
+    over = iface("dtmi:v2cap:Over;1", 150, 200, extends="dtmi:v2cap:Base;1")
+    with pytest.raises(ValidationError, match="including.*inherited|inherited"):
+        create_models(GraphStore.empty(spark), [base, over])
+    ok = iface("dtmi:v2cap:Ok;1", 100, 200, extends="dtmi:v2cap:Base;1")
+    create_models(GraphStore.empty(spark), [base, ok])
