@@ -639,6 +639,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_props_stats"] = _props_stats
+    q["events_interarrival"] = lambda s, d: ev_ops.interarrival_stats(
+        _tables(s, d)["events"]
+    )
+
+    def _order_count_distribution(spark, sf_dir):
+        # TPC-H Q13 shape: LEFT join so zero-order customers keep a
+        # 0 bucket, orders-per-customer rollup, then the distribution —
+        # two shuffles (custkey, then the tiny count key).
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        oc = (
+            t["customer"]
+            .join(
+                t["orders"].select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"),
+                "c_custkey",
+                "left",
+            )
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+        )
+        return oc.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+    q["tpch_order_count_distribution"] = _order_count_distribution
     def _daily_retention(s, d):
         # cohort date serialized to yyyy-MM-dd for the value-hash:
         # python date objects and pandas Timestamps hash differently
@@ -1429,6 +1453,22 @@ def oracle_sql() -> dict[str, str]:
         "WHERE len(t) >= 2) "
         "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b "
         "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+    )
+    o["events_interarrival"] = (
+        "WITH g AS (SELECT event_type, "
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap "
+        "FROM events) "
+        "SELECT event_type, CAST(count(gap) AS BIGINT) AS n_gaps, "
+        "round(sum(gap) / CAST(count(gap) AS DOUBLE), 2) AS avg_gap_us, "
+        "max(gap) AS max_gap_us "
+        "FROM g WHERE gap IS NOT NULL GROUP BY event_type"
+    )
+    o["tpch_order_count_distribution"] = (
+        "WITH oc AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+        "GROUP BY c_custkey) "
+        "SELECT c_count, count(*) AS custdist FROM oc GROUP BY c_count"
     )
     o["events_props_stats"] = (
         "SELECT event_type, "

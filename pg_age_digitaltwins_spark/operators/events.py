@@ -221,3 +221,29 @@ def anomalies_zscore(events: DataFrame, threshold: float = 3.0) -> DataFrame:
             F.round(z, 3).alias("z"),
         )
     )
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-type inter-arrival gaps: for each (user, type) stream the
+    microsecond gap between consecutive events (deterministic tiebreak
+    on event_id), rolled up to count/avg/max per type — the cadence
+    profile behind sessionization thresholds and SLA alerts.
+
+    100 TB shape: ONE shuffle keyed (user_id, event_type) for the lag
+    window, then a map-side-combined rollup onto a handful of type
+    rows.  Gaps stay exact integers until the final division, so the
+    aggregate is summation-order-proof.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = events.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.sum("gap") / F.count(F.lit(1)).cast("double"), 2).alias(
+            "avg_gap_us"
+        ),
+        F.max("gap").alias("max_gap_us"),
+    )

@@ -789,3 +789,25 @@ def test_kfold_assign_deterministic_and_balanced(documents):
 
     with _pytest.raises(ValueError, match="k must be >= 2"):
         kfold_assign(documents, "doc_id", k=1)
+
+
+def test_interarrival_stats_gaps(spark):
+    from pg_age_digitaltwins_spark.operators.events import interarrival_stats
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 1, "m", "2026-01-01T00:00:00"),
+        (2, 1, "m", "2026-01-01T00:00:10"),   # gap 10s
+        (3, 1, "m", "2026-01-01T00:00:40"),   # gap 30s
+        (4, 2, "m", "2026-01-01T00:00:00"),   # other user: no gap yet
+        (5, 1, "x", "2026-01-01T09:00:00"),   # other type: no gap
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, u, k, 1.0) for i, u, k, t in rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["event_type"]: r for r in interarrival_stats(ev).collect()}
+    assert got["m"]["n_gaps"] == 2
+    assert got["m"]["avg_gap_us"] == 20_000_000.0
+    assert got["m"]["max_gap_us"] == 30_000_000
+    assert "x" not in got  # a single event has no inter-arrival gap
