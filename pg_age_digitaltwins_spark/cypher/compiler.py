@@ -916,12 +916,17 @@ class CypherCompiler:
                 .otherwise(F.lit(None).cast("boolean"))
             )
         if n == "substring":
-            # openCypher substring() is 0-based; Column.substr is 1-based
+            # openCypher substring() is 0-based; Column.substr is
+            # 1-based.  Negative start/length (an error in Neo4j) maps
+            # to null here — never to substr's wrap-around garbage.
             s = self._operand(e.args[0], env, "string")
-            start = self._operand(e.args[1], env, "number").cast("int") + 1
+            start0 = self._operand(e.args[1], env, "number").cast("int")
             if len(e.args) > 2:
-                return s.substr(start, self._operand(e.args[2], env, "number").cast("int"))
-            return s.substr(start, F.lit(2147483647))
+                ln = self._operand(e.args[2], env, "number").cast("int")
+                return F.when(
+                    (start0 >= 0) & (ln >= 0), s.substr(start0 + 1, ln)
+                )
+            return F.when(start0 >= 0, s.substr(start0 + 1, F.lit(2147483647)))
         if n == "replace":
             return F.replace(
                 self._operand(e.args[0], env, "string"),

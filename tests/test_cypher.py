@@ -881,3 +881,12 @@ def test_range_empty_and_negative_step(fixture_store):
     assert r["back"] == []
     assert r["bad_step"] == []
     assert r["down"] == [5, 3, 1]
+
+
+def test_substring_negative_args_are_null(fixture_store):
+    [r] = rows(
+        fixture_store,
+        "MATCH (t {`$dtId`: 'room1'}) RETURN "
+        "substring(t.name, -1) AS a, substring(t.name, 1, -2) AS b",
+    )
+    assert r["a"] is None and r["b"] is None
