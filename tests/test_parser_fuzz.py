@@ -22,7 +22,7 @@ _FRAGMENTS = st.sampled_from([
     "THEN", "ELSE", "END", "shortestPath(", "1.5e3", "`$dtId`", "= =",
     "\\", "'", '"', "//", "count(*)", "+", "-", "%", "p =",
     "substring(", "replace(", "split(", "head(", "last(", "toBoolean(",
-    "left(", "right(", "trim(", "reverse(",
+    "left(", "right(", "trim(", "reverse(", "range(",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
