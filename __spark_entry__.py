@@ -321,6 +321,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ga.label_propagation(st.twins, st.relationships, iterations=3)
 
     q["graph_label_propagation"] = _lpa
+
+    def _clustering(spark, sf_dir):
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        return ga.global_clustering_coefficient(
+            _store(spark, sf_dir).relationships
+        )
+
+    q["graph_clustering_coefficient"] = _clustering
     def _cypher_collect(spark, sf_dir):
         # Exercises the real Cypher collect() path; the raw
         # array<string> result is then projected to a sorted CSV so the
@@ -1163,6 +1172,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
         "FROM und e1 JOIN und e2 ON e1.b = e2.a "
         "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    o["graph_clustering_coefficient"] = (
+        f"WITH d AS ({_EDGES_SQL}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM d WHERE src <> dst), "
+        "tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM und e1 JOIN und e2 ON e1.b = e2.a "
+        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "deg AS (SELECT v, count(*) AS deg FROM "
+        "(SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v), "
+        "tr AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_triads FROM deg) "
+        "SELECT n_triangles, n_triads, "
+        "round(3.0 * n_triangles / n_triads, 6) AS clustering_coefficient "
+        "FROM tri, tr"
     )
     o["graph_collect_neighbors"] = (
         "SELECT 'region-' || n_regionkey AS target, "

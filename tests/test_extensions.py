@@ -811,3 +811,26 @@ def test_interarrival_stats_gaps(spark):
     assert got["m"]["avg_gap_us"] == 20_000_000.0
     assert got["m"]["max_gap_us"] == 30_000_000
     assert "x" not in got  # a single event has no inter-arrival gap
+
+
+def test_global_clustering_coefficient_known_graph(spark):
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        global_clustering_coefficient,
+    )
+
+    def rels(pairs):
+        return spark.createDataFrame(
+            [(f"r{i}", a, b, "link") for i, (a, b) in enumerate(pairs)],
+            "relationship_id string, source_id string, target_id string, name string",
+        )
+
+    # triangle + pendant: 1 triangle; degrees a=2,b=2,c=3,d=1 →
+    # triads = 1+1+3+0 = 5 → C = 3/5
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    [r] = global_clustering_coefficient(rels(pairs)).collect()
+    assert (r["n_triangles"], r["n_triads"]) == (1, 5)
+    assert r["clustering_coefficient"] == 0.6
+    # complete K4: every wedge closes → C = 1
+    k4 = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
+    [r] = global_clustering_coefficient(rels(k4)).collect()
+    assert r["clustering_coefficient"] == 1.0
