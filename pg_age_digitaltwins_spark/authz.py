@@ -369,6 +369,17 @@ class ApiPermissionProvider:
                     for uid, entry in self._perm_cache.items()
                     if entry[0] > now
                 }
+                # Expiry sweep alone is unbounded when >=1024 principals
+                # are live inside one TTL window — enforce a hard cap by
+                # evicting the soonest-expiring entries (closest to the
+                # MemoryCache size-limit behavior available here).
+                if len(self._perm_cache) >= 1024:
+                    keep = sorted(
+                        self._perm_cache.items(),
+                        key=lambda kv: kv[1][0],
+                        reverse=True,
+                    )[:1023]
+                    self._perm_cache = dict(keep)
             self._perm_cache[user_id] = (
                 now + self.options.cache_expiration_minutes * 60.0,
                 perms,

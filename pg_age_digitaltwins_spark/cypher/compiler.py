@@ -921,12 +921,13 @@ class CypherCompiler:
             # to null here — never to substr's wrap-around garbage.
             s = self._operand(e.args[0], env, "string")
             start0 = self._operand(e.args[1], env, "number").cast("int")
+            # start0 + 1 at Int.MaxValue would overflow (a THROW under
+            # ANSI mode) — pathological starts null out like negatives.
+            in_range = (start0 >= 0) & (start0 < F.lit(2147483647))
             if len(e.args) > 2:
                 ln = self._operand(e.args[2], env, "number").cast("int")
-                return F.when(
-                    (start0 >= 0) & (ln >= 0), s.substr(start0 + 1, ln)
-                )
-            return F.when(start0 >= 0, s.substr(start0 + 1, F.lit(2147483647)))
+                return F.when(in_range & (ln >= 0), s.substr(start0 + 1, ln))
+            return F.when(in_range, s.substr(start0 + 1, F.lit(2147483647)))
         if n == "replace":
             return F.replace(
                 self._operand(e.args[0], env, "string"),
@@ -969,9 +970,20 @@ class CypherCompiler:
             # range (start > end with positive step, or a mismatched
             # step sign) is the EMPTY LIST, not a descending sequence
             # or a runtime error — guard before sequencing.
-            args = [self._operand(a, env, "number").cast("long") for a in e.args]
-            if len(args) not in (2, 3):
+            if len(e.args) not in (2, 3):
                 raise CypherCompileError("range() takes 2 or 3 arguments")
+            # openCypher/Neo4j RAISE on a zero step; detect a constant
+            # zero at compile time (a non-constant zero step still nulls
+            # out at runtime via the direction guard below — the
+            # compile-time path covers the typo'd-literal case).
+            if len(e.args) == 3 and isinstance(e.args[2], C.Lit):
+                try:
+                    step_zero = float(e.args[2].value) == 0.0
+                except (TypeError, ValueError):
+                    step_zero = False
+                if step_zero:
+                    raise CypherCompileError("range() step must not be zero")
+            args = [self._operand(a, env, "number").cast("long") for a in e.args]
             start, end = args[0], args[1]
             step = args[2] if len(args) == 3 else F.lit(1).cast("long")
             valid = ((step > 0) & (start <= end)) | ((step < 0) & (start >= end))

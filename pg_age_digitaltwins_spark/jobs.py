@@ -355,36 +355,47 @@ class ImportJob:
             rec.created_at = prev.created_at
             rec.purge_at = prev.purge_at
 
-        it = iter(enumerate(lines, start=1))
-        # Header validation (ValidateStreamHeaderAsync, ImportJob.cs:429-457)
-        if resume_from is None:
-            self._validate_header(it)
-            cp.section = "Header"
-            cp.line_number = 2
+        try:
+            it = iter(enumerate(lines, start=1))
+            # Header validation (ValidateStreamHeaderAsync, ImportJob.cs:429-457)
+            if resume_from is None:
+                self._validate_header(it)
+                cp.section = "Header"
+                cp.line_number = 2
 
-        section = cp.section
-        batch: list[dict[str, Any]] = []
-        for lineno, raw in it:
-            if lineno <= cp.line_number:
-                continue  # resume: skip already-processed lines
-            raw = raw.strip()
-            if not raw:
-                continue
-            try:
-                node = json.loads(raw)
-            except json.JSONDecodeError as exc:
-                self._error(rec, cp, lineno, f"invalid JSON: {exc}")
-                continue
-            if isinstance(node, dict) and "Section" in node:
-                self._flush(section, batch, rec, cp)
-                section = node["Section"]
-                cp.section = section
-                cp.line_number = lineno
-                continue
-            batch.append(node)
-            if len(batch) >= self.batch_size:
-                self._flush(section, batch, rec, cp, lineno)
-        self._flush(section, batch, rec, cp)
+            section = cp.section
+            batch: list[dict[str, Any]] = []
+            for lineno, raw in it:
+                if lineno <= cp.line_number:
+                    continue  # resume: skip already-processed lines
+                raw = raw.strip()
+                if not raw:
+                    continue
+                try:
+                    node = json.loads(raw)
+                except json.JSONDecodeError as exc:
+                    self._error(rec, cp, lineno, f"invalid JSON: {exc}")
+                    continue
+                if isinstance(node, dict) and "Section" in node:
+                    self._flush(section, batch, rec, cp)
+                    section = node["Section"]
+                    cp.section = section
+                    cp.line_number = lineno
+                    continue
+                batch.append(node)
+                if len(batch) >= self.batch_size:
+                    self._flush(section, batch, rec, cp, lineno)
+            self._flush(section, batch, rec, cp)
+        except Exception as exc:  # noqa: BLE001 — no stuck-Running records
+            # The reference marks the job Failed when stream-header
+            # validation (or any mid-stream fault) escapes; mirror
+            # import_file_distributed's wrapper so the job id isn't
+            # 409-blocked until the 24 h purge (ImportJob.cs:429-457).
+            rec.status = "Failed"
+            rec.error_count += 1
+            rec.errors.append({"error": str(exc)})
+            self.jobs.finish(rec)
+            raise
         rec.status = (
             "Succeeded"
             if rec.error_count == 0

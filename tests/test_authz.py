@@ -406,3 +406,20 @@ def test_api_provider_cache_is_bounded():
     clock[0] += 301  # everything expired
     p.get_permissions({"sub": "fresh"})
     assert len(p._perm_cache) == 1  # dead entries evicted on insert
+
+
+def test_api_provider_cache_hard_cap_with_live_entries():
+    """>=1024 distinct LIVE principals inside one TTL window: the expiry
+    sweep removes nothing, so a hard cap must evict soonest-expiring
+    entries instead of growing one entry per authenticated subject."""
+    fake = _FakePermissionsApi(["digitaltwins/read"])
+    clock = [0.0]
+    p = _api_provider(fake, clock)
+    for i in range(1024):
+        clock[0] += 0.001  # distinct expiries, all within the TTL
+        p.get_permissions({"sub": f"live{i}"})
+    assert len(p._perm_cache) == 1024
+    p.get_permissions({"sub": "one-more"})  # nothing expired
+    assert len(p._perm_cache) <= 1024
+    assert "one-more" in p._perm_cache
+    assert "live0" not in p._perm_cache  # soonest-expiring evicted first

@@ -890,3 +890,26 @@ def test_substring_negative_args_are_null(fixture_store):
         "substring(t.name, -1) AS a, substring(t.name, 1, -2) AS b",
     )
     assert r["a"] is None and r["b"] is None
+
+
+def test_range_zero_step_is_compile_error(fixture_store):
+    """openCypher/Neo4j raise on a zero step; a typo'd literal 0 must
+    fail at compile time, not silently UNWIND to zero rows."""
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    with pytest.raises(CypherCompileError, match="step must not be zero"):
+        compile_cypher(fixture_store, "UNWIND range(1, 10, 0) AS x RETURN x")
+    with pytest.raises(CypherCompileError, match="step must not be zero"):
+        compile_cypher(fixture_store, "UNWIND range(1, 10, 0.0) AS x RETURN x")
+
+
+def test_substring_maxint_start_is_null(fixture_store):
+    """substring(s, 2147483647) previously overflowed start+1 into an
+    ANSI-mode throw; pathological starts null out like negatives."""
+    [r] = rows(
+        fixture_store,
+        "MATCH (t {`$dtId`: 'room1'}) RETURN "
+        "substring(t.name, 2147483647) AS a, "
+        "substring(t.name, 2147483647, 3) AS b",
+    )
+    assert r["a"] is None and r["b"] is None

@@ -601,3 +601,16 @@ def test_import_distributed_failure_marks_record_failed(client, spark, tmp_path)
     assert rec.status == "Failed"
     assert rec.finished_at is not None
     assert rec.errors
+
+
+def test_failed_header_marks_job_failed_not_stuck_running(client):
+    """A header-validation failure must not leave a permanently
+    'Running' record blocking the job id with 409s until the 24 h
+    purge — the reference marks the job Failed (ImportJob.cs:429-457)."""
+    svc = JobService()
+    with pytest.raises(ImportError_):
+        ImportJob(client, svc).run(ndjson({"Section": "Models"}, MODEL), "job-hdr")
+    rec = svc.records["job-hdr"]
+    assert rec.status == "Failed"
+    assert rec.finished_at is not None
+    assert rec.errors and "Header" in rec.errors[0]["error"]
