@@ -39,6 +39,88 @@ HEADLINE = [
 ]
 
 
+def bench_cdc_throughput(
+    spark, n_commits: int = 20, events_per_commit: int = 500
+) -> dict:
+    """Streaming-pipeline throughput: N synthetic commits tailed from a
+    commit-log root through the full CDC pipeline (readStream →
+    coalesce → CloudEvents format → route → ND-JSON lake sink,
+    executor-side delivery).  Batch keys can't see a regression here —
+    this records events/sec for the S1-S14 path."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        CommitLog,
+        _stage_events_list,
+    )
+    from pg_age_digitaltwins_spark.streaming.changes import EventData
+    from pg_age_digitaltwins_spark.streaming.sinks import (
+        EventRoute,
+        EventRouter,
+        NdjsonDirSink,
+        run_change_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc-bench-")
+    try:
+        root = os.path.join(work, "tbl")
+        log = CommitLog(root)
+        seq = 0
+        for v in range(1, n_commits + 1):
+            events = []
+            for _ in range(events_per_commit):
+                seq += 1
+                doc = {
+                    "$dtId": f"t{seq}",
+                    "$metadata": {"$model": "dtmi:bench:Thing;1"},
+                    "x": seq,
+                }
+                events.append(
+                    EventData(
+                        entity_id=f"t{seq}", graph_name="g",
+                        table_name="Twin", old_value=None, new_value=doc,
+                        event_type="Insert",
+                        timestamp="2026-01-01T00:00:00.000", txn_id=v,
+                        seq=seq,
+                    )
+                )
+            tag = f"{v:020d}"
+            stage = os.path.join(log.changes_dir, f".stage-{uuid.uuid4().hex[:8]}")
+            _stage_events_list(events, stage)
+            log.try_commit(
+                v,
+                {"version": v, "base_version": v - 1, "format": 2,
+                 "data_dir": None, "tables": {},
+                 "change_dir": os.path.join("changes", tag),
+                 "n_events": len(events), "writer": "bench"},
+            )
+            os.rename(stage, os.path.join(root, "changes", tag))
+
+        router = EventRouter(source="bench-cdc")
+        lake = NdjsonDirSink(os.path.join(work, "lake"), name="lake")
+        router.add_sink(lake)
+        router.add_route(EventRoute("lake", "EventNotification"))
+        total = n_commits * events_per_commit
+        t0 = time.perf_counter()
+        q = run_change_stream(
+            spark, root, router, os.path.join(work, "ckpt")
+        )
+        q.awaitTermination(300)
+        wall = time.perf_counter() - t0
+        # delivered = lifecycle creates, one per distinct entity
+        delivered = spark.read.json(os.path.join(work, "lake")).count()
+        return {
+            "events": total,
+            "delivered": int(delivered),
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(total / wall, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -52,6 +134,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
+    cdc = bench_cdc_throughput(spark)
     print(
         json.dumps(
             {
@@ -59,6 +142,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cdc": cdc,
                 "sf": SF_DIR,
             }
         )

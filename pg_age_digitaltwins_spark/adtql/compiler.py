@@ -126,6 +126,13 @@ class Bound:
     name: str  # referenceable alias ('' for anonymous)
     kind: str  # 'twin' | 'rel'
     df_alias: str
+    # Join-eliminated pass-through twin: no twin scan was joined — the
+    # binding rides the adjacent relationship frame and ``key_col``
+    # (source_id/target_id) IS its $dtId (dt_id is a key and the store
+    # enforces referential integrity, so the twin join is 1:1 and
+    # droppable when nothing reads the twin's document).
+    key_col: str = "dt_id"
+    virtual: bool = False
 
 
 @dataclass
@@ -258,6 +265,7 @@ class QueryCompiler:
         #   3. multi-alias variant conjuncts → above the pinned shared
         #      helper projection.
         top_conjs = self._split_where(query)
+        self._eliminable = self._eliminable_aliases(query)
         env, df = self._bind_sources(query)
         for conj in top_conjs:
             mark = (len(self._pending_v), len(self._pending_s), len(self._shared))
@@ -279,7 +287,10 @@ class QueryCompiler:
             # double-serve rows across pages.
             for b in env.values():
                 if b.kind == "twin":
-                    keys.append(F.col(f"{b.df_alias}.dt_id"))
+                    # a virtual (join-eliminated) binding's key_col is
+                    # the adjacent edge's endpoint — same VALUES as the
+                    # twin's dt_id, so the page order is unchanged
+                    keys.append(F.col(f"{b.df_alias}.{b.key_col}"))
                 else:
                     keys.append(F.col(f"{b.df_alias}.source_id"))
                     keys.append(F.col(f"{b.df_alias}.relationship_id"))
@@ -306,6 +317,30 @@ class QueryCompiler:
         )
         if query.top is not None:
             df = df.limit(query.top)
+        # Whole-entity columns carry the document as a JSON string in
+        # the DataFrame (stable for SQL/oracle consumers); the CLIENT
+        # page layer re-shapes them to parsed objects — and flattens a
+        # single-alias ``SELECT *`` to the bare document — matching the
+        # reference's rows (``SELECT * FROM DIGITALTWINS`` returns twin
+        # documents with ``$dtId`` at the root, Query.cs /
+        # QueryTests.cs:539-656).
+        doc_cols: list[str] = []
+        if isinstance(query.select, A.Star):
+            doc_cols = [b.name for b in env.values() if b.name and not b.virtual]
+        elif not isinstance(query.select, A.CountAll):
+            for p in query.select:
+                e = p.expr
+                if (
+                    isinstance(e, A.PropRef)
+                    and len(e.path) == 1
+                    and e.path[0] in env
+                ):
+                    doc_cols.append(p.alias or env[e.path[0]].name)
+        if doc_cols:
+            df._pgage_doc_cols = doc_cols
+            df._pgage_flatten = (
+                isinstance(query.select, A.Star) and len(doc_cols) == 1
+            )
         return df
 
     # ------------------------------------------------------------------
@@ -364,6 +399,99 @@ class QueryCompiler:
         return df
 
     # ------------------------------------------------------------------
+    # graph-aware join elimination (Spark-first optimization)
+    # ------------------------------------------------------------------
+    def _eliminable_aliases(self, query: A.Query) -> set[str] | None:
+        """Twin aliases whose node scan can be DROPPED from the plan.
+
+        A pattern hop compiles to ``rel.near = left.dt_id`` plus a join
+        to the target twin.  When the target twin's DOCUMENT is never
+        read — the alias is anonymous, or referenced only as ``X.$dtId``
+        / as a later hop's anchor — the twin join is pure existence
+        checking.  ``dt_id`` is a key and the CRUD surface enforces
+        referential integrity (delete guards, import endpoint
+        validation), so that join is 1:1 and droppable: the next hop
+        chains directly on the edge's far column.  This is the
+        FK-join-elimination a relational optimizer does from key +
+        foreign-key constraints — Catalyst has no constraint framework,
+        so the graph compiler (which owns the invariants) does it.  At
+        scale it removes a fact-sized join (and its sort/shuffle) per
+        pass-through hop.
+
+        Returns the set of eliminable NAMED aliases, or ``None`` when
+        nothing named may be eliminated (``SELECT *`` / unqualified
+        property present — everything is potentially read).  Anonymous
+        hop targets are always eliminable."""
+        hard: set[str] = set()
+        soft: set[str] = set()
+        universe: set[str] = set()  # every referenceable alias
+        candidates: set[str] = set()  # named hop targets (eliminable)
+        if query.source == "relationships":
+            universe.add(query.source_alias or "R")
+        elif query.match is None:
+            universe.add(query.source_alias or "T")
+        if query.match is not None:
+            for i, n in enumerate(query.match.nodes):
+                if n.alias:
+                    universe.add(n.alias)
+                    if i > 0:
+                        candidates.add(n.alias)
+            for e in query.match.edges:
+                if e.alias:
+                    universe.add(e.alias)
+        for j in query.joins:
+            universe.add(j.target_alias)
+            candidates.add(j.target_alias)
+            if j.rel_alias:
+                universe.add(j.rel_alias)
+
+        def walk(e: A.Expr) -> None:
+            if isinstance(e, A.PropRef):
+                head = e.path[0] if e.path else None
+                if head in universe:
+                    if len(e.path) == 2 and e.path[1] == "$dtId":
+                        soft.add(head)
+                    else:
+                        hard.add(head)
+                else:
+                    hard.add("*")  # unqualified/other — be conservative
+            elif isinstance(e, (A.And, A.Or)):
+                for item in e.items:
+                    walk(item)
+            elif isinstance(e, A.Not):
+                walk(e.item)
+            elif isinstance(e, A.Cmp):
+                walk(e.left)
+                walk(e.right)
+            elif isinstance(e, A.InList):
+                walk(e.operand)
+            elif isinstance(e, A.FuncCall):
+                if e.name == "IS_OF_MODEL":
+                    for a in e.args:
+                        if isinstance(a, A.PropRef) and len(a.path) == 1:
+                            hard.add(a.path[0] if a.path[0] in universe else "*")
+                    if not any(isinstance(a, A.PropRef) for a in e.args):
+                        hard.add("*")
+                else:
+                    for a in e.args:
+                        walk(a)
+
+        if isinstance(query.select, A.Star):
+            hard.add("*")
+        elif not isinstance(query.select, A.CountAll):
+            for p in query.select:
+                walk(p.expr)
+        if query.where is not None:
+            walk(query.where)
+        for j in query.joins:
+            soft.add(j.source_alias)  # anchor needs the key only
+        # an alias with scan-pushed predicates keeps its scan
+        hard.update(self._scan_preds)
+        if "*" in hard:
+            return None
+        return candidates - hard
+
+    # ------------------------------------------------------------------
     # source binding
     # ------------------------------------------------------------------
     def _anon_alias(self) -> str:
@@ -374,11 +502,17 @@ class QueryCompiler:
         env: dict[str, Bound] = {}
         order: list[Bound] = []
 
-        def bind(name: str | None, kind: str) -> Bound:
-            df_alias = name if name else self._anon_alias()
+        def bind(
+            name: str | None,
+            kind: str,
+            df_alias: str | None = None,
+            key_col: str = "dt_id",
+            virtual: bool = False,
+        ) -> Bound:
+            df_alias = df_alias or (name if name else self._anon_alias())
             if name and name in env:
                 raise CompileError(f"Duplicate alias {name!r}")
-            b = Bound(name or "", kind, df_alias)
+            b = Bound(name or "", kind, df_alias, key_col, virtual)
             if name:
                 env[name] = b
             order.append(b)
@@ -427,14 +561,27 @@ class QueryCompiler:
         else:
             near, far = "source_id", "target_id"
         df = df.join(
-            rel_df, F.col(f"{e.df_alias}.{near}") == F.col(f"{left.df_alias}.dt_id")
+            rel_df,
+            F.col(f"{e.df_alias}.{near}")
+            == F.col(f"{left.df_alias}.{left.key_col}"),
         )
         if existing_right is not None:
             # pattern chain revisits an alias: (a)-[..]->(b),(b)-[..]->(c)
             df = df.filter(
-                F.col(f"{e.df_alias}.{far}") == F.col(f"{existing_right.df_alias}.dt_id")
+                F.col(f"{e.df_alias}.{far}")
+                == F.col(f"{existing_right.df_alias}.{existing_right.key_col}")
             )
             return df, existing_right
+        if right_alias is None or (
+            self._eliminable is not None and right_alias in self._eliminable
+        ):
+            # graph-aware join elimination (_eliminable_aliases): the
+            # target twin's document is never read, dt_id is a key, and
+            # the store enforces referential integrity — skip the twin
+            # join; downstream hops anchor on the edge's far column.
+            t = bind(right_alias, "twin", df_alias=e.df_alias,
+                     key_col=far, virtual=True)
+            return df, t
         t = bind(right_alias, "twin")
         df = df.join(
             self._scan(self._twins, t),
@@ -472,6 +619,16 @@ class QueryCompiler:
             bound, path = next(iter(env.values())), segs
         promoted_map = TWIN_PROMOTED if bound.kind == "twin" else REL_PROMOTED
         promoted = promoted_map.get(tuple(path))
+        if bound.virtual:
+            # join-eliminated binding: only its key survives on the
+            # edge frame; _eliminable_aliases guarantees nothing else
+            # is referenced
+            if tuple(path) != ("$dtId",):
+                raise CompileError(
+                    f"internal: eliminated alias {bound.name!r} "
+                    f"referenced beyond $dtId ({'.'.join(path)})"
+                )  # pragma: no cover — analysis bug guard
+            promoted = bound.key_col
         return Prop(bound, path, promoted, self)
 
     def _expr(self, e: A.Expr, env: dict[str, Bound], as_predicate: bool = False) -> Column:

@@ -34,6 +34,34 @@ class QueryPage:
     charge: float = 0.0
 
 
+def _shape_rows(rows: "list[dict]", df) -> "list[dict]":
+    """Re-shape whole-entity columns for the API surface: the compiler
+    keeps documents as JSON strings in the DataFrame (stable for
+    SQL/oracle consumers) and marks them via ``_pgage_doc_cols``;
+    here they become parsed objects, and a single-alias ``SELECT *``
+    flattens to the bare document — reference row shape
+    (``SELECT * FROM DIGITALTWINS`` yields ``$dtId`` at the root,
+    QueryTests.cs:539-656)."""
+    doc_cols = getattr(df, "_pgage_doc_cols", None)
+    if not doc_cols:
+        return rows
+    flatten = getattr(df, "_pgage_flatten", False)
+    out = []
+    for r in rows:
+        r = dict(r)
+        for c in doc_cols:
+            v = r.get(c)
+            if isinstance(v, str):
+                try:
+                    r[c] = json.loads(v)
+                except ValueError:  # pragma: no cover — malformed doc
+                    pass
+        if flatten and len(r) == 1 and isinstance(r.get(doc_cols[0]), dict):
+            r = r[doc_cols[0]]
+        out.append(r)
+    return out
+
+
 def _jsonable(v):
     """Row values → JSON-typed Python: VariantType columns (dynamic
     properties reaching RETURN unconverted, e.g. ``UNWIND t.xs``)
@@ -134,10 +162,16 @@ _VAR_LEN_RE = re.compile(r"\[[^\]]*(?::\w*)?\*[\d.]*\]", re.IGNORECASE)
 _AGG_RE = re.compile(r"COUNT|SUM|AVG|MIN|MAX|is_of_model", re.IGNORECASE)
 
 
-def compute_query_charge(rows: list[dict], query: str) -> float:
+def compute_query_charge(
+    rows: list[dict], query: str, cartesian_products: int = 0
+) -> float:
     """Reference arithmetic (``Query.cs:240-257``): page rows + total
     top-level properties, +10 for a variable-length edge query, +5 when
-    the text contains an aggregate or ``IS_OF_MODEL``."""
+    the text contains an aggregate or ``IS_OF_MODEL``.  Beyond the
+    reference: +10 per disconnected-pattern cartesian product (compiler-
+    reported — text regexes cannot tell ``MATCH (a), (b)`` apart from
+    comma-paths sharing a variable), pricing the blowup like the
+    var-length surcharge prices traversal closures."""
     charge = float(len(rows))
     for row in rows:
         charge += len(row)
@@ -145,6 +179,7 @@ def compute_query_charge(rows: list[dict], query: str) -> float:
         charge += 10
     if _AGG_RE.search(query):
         charge += 5
+    charge += 10.0 * cartesian_products
     return charge
 
 
@@ -234,9 +269,14 @@ class DigitalTwinsSparkClient:
             query = tok["_q"]
         paging = max_items_per_page is not None
         df = self.query_df(query, order_for_paging=paging)
+        cartesians = getattr(df, "_pgage_cartesians", 0)
         if not paging:
-            rows = [_jsonable(r.asDict(recursive=True)) for r in df.collect()]
-            return QueryPage(rows, None, compute_query_charge(rows, query))
+            rows = _shape_rows(
+                [_jsonable(r.asDict(recursive=True)) for r in df.collect()], df
+            )
+            return QueryPage(
+                rows, None, compute_query_charge(rows, query, cartesians)
+            )
 
         sort_cols: list[str] = []
         if self.detect_dialect(query) == "cypher":
@@ -245,24 +285,30 @@ class DigitalTwinsSparkClient:
         else:
             sort_cols = [c for c in df.columns if c.startswith("__pk")]
         if not sort_cols:
-            return self._offset_page(df, query, max_items_per_page, tok)
-        return self._keyset_page(df, query, max_items_per_page, tok, sort_cols)
+            return self._offset_page(df, query, max_items_per_page, tok, cartesians)
+        return self._keyset_page(
+            df, query, max_items_per_page, tok, sort_cols, cartesians
+        )
 
     def _offset_page(
-        self, df: DataFrame, query: str, n: int, tok: dict[str, Any]
+        self, df: DataFrame, query: str, n: int, tok: dict[str, Any],
+        cartesians: int = 0,
     ) -> QueryPage:
         offset = int(tok.get("_tr", 0))
         page = df.offset(offset).limit(n + 1).collect()
-        rows = [_jsonable(r.asDict(recursive=True)) for r in page[:n]]
+        rows = _shape_rows(
+            [_jsonable(r.asDict(recursive=True)) for r in page[:n]], df
+        )
         token = None
         if len(page) > n:
             token = base64.b64encode(
                 json.dumps({"_tr": offset + n, "_q": query}).encode()
             ).decode()
-        return QueryPage(rows, token, compute_query_charge(rows, query))
+        return QueryPage(rows, token, compute_query_charge(rows, query, cartesians))
 
     def _keyset_page(
-        self, df: DataFrame, query: str, n: int, tok: dict[str, Any], sort_cols: list[str]
+        self, df: DataFrame, query: str, n: int, tok: dict[str, Any],
+        sort_cols: list[str], cartesians: int = 0,
     ) -> QueryPage:
         from pyspark.sql import functions as F
 
@@ -300,13 +346,16 @@ class DigitalTwinsSparkClient:
                 ).encode()
             ).decode()
         hidden = {c for c in df.columns if c.startswith("__pk") or c.startswith("__ks")}
-        rows = [
-            _jsonable(
-                {k: v for k, v in r.asDict(recursive=True).items() if k not in hidden}
-            )
-            for r in served
-        ]
-        return QueryPage(rows, token, compute_query_charge(rows, query))
+        rows = _shape_rows(
+            [
+                _jsonable(
+                    {k: v for k, v in r.asDict(recursive=True).items() if k not in hidden}
+                )
+                for r in served
+            ],
+            df,
+        )
+        return QueryPage(rows, token, compute_query_charge(rows, query, cartesians))
 
     def query_charge(self, page: QueryPage) -> float:
         """Per-page charge, reference arithmetic incl. the +10

@@ -79,6 +79,22 @@ class CypherCompiler:
         self._pending_v: list[tuple[str, Column]] = []
         self._pending_s: list[tuple[str, Column]] = []
         self._value_variant: set[str] = set()  # UNWIND cols of variant type
+        self.cartesian_products = 0  # disconnected-pattern cross joins
+        # True when the accumulated frame is provably small (1-row
+        # global WITH-aggregate or an explicit LIMIT): crossing a scan
+        # against it is a plain scan, not a blowup
+        self._frame_bounded = False
+
+    # A disconnected MATCH (``MATCH (a), (b)``) is semantically a
+    # cartesian product — legal Cypher, catastrophic at scale when the
+    # new side is fact-sized: the result multiplies by the FULL twin
+    # count.  Catalyst size estimates can't arbitrate (without CBO a
+    # Filter keeps its child's sizeInBytes, so every side of a 100 TB
+    # store looks huge), so the guard is semantic: the disconnected
+    # side must be bounded — a property-map anchor or the models dim —
+    # or compilation fails with a fix-it message.  Disable via this
+    # class attribute for intentional full-graph products.
+    cartesian_guard: bool = True
 
     @staticmethod
     def _models_frame(store: GraphStore) -> DataFrame:
@@ -95,7 +111,11 @@ class CypherCompiler:
     # ------------------------------------------------------------------
     def compile(self, q: C.SingleQuery | C.UnionQuery) -> DataFrame:
         if isinstance(q, C.UnionQuery):
-            parts = [CypherCompiler(self.store)._single(s) for s in q.queries]
+            parts = []
+            for s in q.queries:
+                sub = CypherCompiler(self.store)
+                parts.append(sub._single(s))
+                self.cartesian_products += sub.cartesian_products
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
@@ -152,8 +172,24 @@ class CypherCompiler:
             env[node.alias] = b
         scan = frame.alias(alias)
         scan_df = self._apply_node_props_scan(scan, alias, kind, node)
-        out = scan_df if df is None else df.crossJoin(scan_df)
-        return out, b
+        if df is None:
+            return scan_df, b
+        if (
+            self.cartesian_guard
+            and kind == "twin"
+            and not node.props
+            and not self._frame_bounded
+        ):
+            raise CypherCompileError(
+                f"disconnected pattern ({node.alias or '...'}) starts a "
+                "cartesian product over the full twin set; anchor it "
+                "with a property map (e.g. (b {`$dtId`: ...})), connect "
+                "it to the bound pattern, or set "
+                "CypherCompiler.cartesian_guard = False for an "
+                "intentional full-graph product"
+            )
+        self.cartesian_products += 1
+        return df.crossJoin(scan_df), b
 
     def _apply_node_props_scan(
         self, scan: DataFrame, alias: str, kind: str, node: C.NodePat
@@ -621,6 +657,15 @@ class CypherCompiler:
                 self._value_variant.add(nm)
         if clause.where is not None:
             out = out.filter(self._expr(clause.where, new_env, as_predicate=True))
+        # a global aggregate (every item aggregated, no grouping keys)
+        # collapses to ONE row; an explicit LIMIT bounds the frame —
+        # either makes a following disconnected MATCH a plain scan
+        if clause.limit is not None or (
+            clause.items and all(C.has_aggregate(it.expr) for it in clause.items)
+        ):
+            self._frame_bounded = True
+        elif clause.items:
+            self._frame_bounded = False
         return out, new_env
 
     # ------------------------------------------------------------------
@@ -1310,4 +1355,12 @@ def _lit_kind(e: C.Expr) -> str | None:
 
 
 def compile_cypher(store: GraphStore, text: str) -> DataFrame:
-    return CypherCompiler(store).compile(parse_cypher(text))
+    c = CypherCompiler(store)
+    df = c.compile(parse_cypher(text))
+    if c.cartesian_products:
+        # charge surcharge signal for the client (Query.cs-style charge
+        # arithmetic is text-regex-based; cartesians need compiler
+        # knowledge — comma-separated paths that SHARE a variable are
+        # NOT cartesian)
+        df._pgage_cartesians = c.cartesian_products
+    return df

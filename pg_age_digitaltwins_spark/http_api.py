@@ -957,6 +957,10 @@ def serve(api: ApiService, host: str = "127.0.0.1", port: int = 0):
                     body = json.loads(raw)
                 except json.JSONDecodeError:
                     body = raw.decode("utf-8", "replace")
+            # NOTE: the path stays percent-ENCODED here — ``handle()``
+            # decodes captured route values (ASP.NET route-value
+            # decoding), so decoding again would corrupt ids whose
+            # decoded form contains '%' (the SDK's '10%B2H6_H2' case).
             req = Request(
                 method=method,
                 path=parsed.path.rstrip("/") or "/",

@@ -582,3 +582,272 @@ def changed_partitions_from_events(
     if rels:
         out["relationships"] = sorted(rels, key=lambda v: (v is None, v))
     return out
+
+
+def commit_with_retry(
+    spark: SparkSession,
+    root: str,
+    rebase,
+    max_attempts: int = 5,
+    writer: str | None = None,
+) -> int:
+    """Delta-style loser recovery: reload → rebase → re-stage → retry.
+
+    ``commit_snapshot`` / ``commit_cow`` hand a losing concurrent writer
+    :class:`CommitConflict` and make rebasing the caller's problem;
+    Delta's transaction loop instead re-checks against the new log and
+    retries automatically.  This is that loop for callers whose
+    mutation can be re-derived from any base snapshot:
+
+    ``rebase(store, base_version) -> (new_store, changed, events)``
+        Called once per attempt with the CURRENT latest snapshot
+        (``None`` when the log is empty).  Returns the store to commit,
+        the COW ``changed`` map (``None`` → full ``commit_snapshot``),
+        and the change events.  Because every retry re-derives from the
+        freshly-loaded snapshot, both disjoint and overlapping
+        concurrent merges converge — the last writer's view always
+        includes the earlier winner's rows.
+
+    Returns the committed version; re-raises the final
+    :class:`CommitConflict` after ``max_attempts`` losses (pathological
+    contention — the caller should back off, as Delta does).
+    """
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        log = CommitLog(root)
+        base = log.latest_version()
+        store = load_version(spark, root, base) if base > 0 else None
+        new_store, changed, events = rebase(store, base)
+        try:
+            if changed is not None and base > 0:
+                return commit_cow(
+                    new_store, root, changed, events,
+                    base_version=base, writer=writer,
+                )
+            return commit_snapshot(
+                new_store, root, events, base_version=base, writer=writer
+            )
+        except CommitConflict as exc:
+            last = exc
+            continue
+    assert last is not None
+    raise last
+
+
+def _stamp_etag(doc: dict) -> dict:
+    if not doc.get("$etag"):
+        doc = dict(doc)
+        doc["$etag"] = f'W/"{uuid.uuid4().hex}"'
+    return doc
+
+
+def merge_rows(
+    spark: SparkSession,
+    root: str,
+    twin_upserts: Sequence[dict] = (),
+    twin_deletes: Sequence[str] = (),
+    rel_upserts: Sequence[dict] = (),
+    rel_deletes: Sequence[tuple] = (),
+    max_attempts: int = 5,
+    writer: str | None = None,
+    timestamp: str | None = None,
+) -> int:
+    """Row-level MERGE commit: upsert/delete individual rows, rewriting
+    only the touched partitions (``commit_cow``) with automatic
+    conflict retry (``commit_with_retry``).
+
+    The Delta equivalent is ``MERGE INTO`` — match on the primary key,
+    update matched, insert unmatched, delete listed — expressed over the
+    manifest format this module ships.  Inputs are ADT documents:
+
+    * ``twin_upserts`` — twin docs (``$dtId`` + ``$metadata.$model``);
+      matched rows update (old partition + new partition both rewrite,
+      so a model move never leaves a stale copy), unmatched insert.
+    * ``twin_deletes`` — ``$dtId`` keys; unmatched keys are no-ops
+      (``WHEN MATCHED DELETE`` semantics).
+    * ``rel_upserts`` / ``rel_deletes`` — relationship docs / keys.  A
+      delete key is ``(source_id, relationship_id)`` — the true primary
+      key — or a bare ``relationship_id`` string.
+
+    Each attempt re-reads the latest snapshot, point-looks-up the old
+    rows for the touched keys (bounded by the batch size — this is the
+    CRUD-batch-shaped path; million-row merges belong to
+    ``jobs.import_file_distributed``), emits Insert/Update/Delete
+    change events with true old images, and COW-commits.  Returns the
+    committed version.
+    """
+    from datetime import datetime, timezone
+
+    from pg_age_digitaltwins_spark.store.graph_store import (
+        REL_SCHEMA,
+        TWIN_SCHEMA,
+        _rel_row,
+        _twin_row,
+    )
+
+    ts = timestamp or datetime.now(timezone.utc).isoformat(timespec="milliseconds")
+    twin_up = [_stamp_etag(_as_doc(d)) for d in twin_upserts]
+    rel_up = [_stamp_etag(_as_doc(d)) for d in rel_upserts]
+    twin_del = list(twin_deletes)
+    rel_del = [
+        (k if isinstance(k, (tuple, list)) else (None, k)) for k in rel_deletes
+    ]
+
+    def rebase(store: GraphStore | None, base: int):
+        if store is None:
+            # Empty log: every upsert is an insert, deletes are no-ops.
+            fresh = GraphStore.empty(spark)
+            fresh.twins = spark.createDataFrame(
+                [_twin_row(d) for d in twin_up], TWIN_SCHEMA
+            )
+            fresh.relationships = spark.createDataFrame(
+                [_rel_row(d) for d in rel_up], REL_SCHEMA
+            )
+            events = [
+                _merge_event(d["$dtId"], "Twin", None, d, "Insert", ts)
+                for d in twin_up
+            ] + [
+                _merge_event(
+                    d["$relationshipId"], d["$relationshipName"], None, d,
+                    "Insert", ts,
+                )
+                for d in rel_up
+            ]
+            return fresh, None, events
+
+        events: list[EventData] = []
+        changed: dict[str, object] = {}
+
+        # -- twins ------------------------------------------------------
+        tkeys = sorted({d["$dtId"] for d in twin_up} | set(twin_del))
+        new_twins = store.twins
+        if tkeys:
+            old = {
+                r["dt_id"]: (r["model_id"], json.loads(r["doc"]))
+                for r in store.twins.filter(F.col("dt_id").isin(tkeys))
+                .select("dt_id", "model_id", "doc")
+                .collect()
+            }
+            parts: set = set()
+            for d in twin_up:
+                model = (d.get("$metadata") or {}).get("$model")
+                parts.add(model)
+                prev = old.get(d["$dtId"])
+                if prev is not None:
+                    parts.add(prev[0])
+                events.append(
+                    _merge_event(
+                        d["$dtId"], "Twin",
+                        prev[1] if prev else None, d,
+                        "Update" if prev else "Insert", ts,
+                    )
+                )
+            for k in twin_del:
+                prev = old.get(k)
+                if prev is None:
+                    continue  # WHEN MATCHED DELETE: unmatched = no-op
+                parts.add(prev[0])
+                events.append(
+                    _merge_event(k, "Twin", prev[1], None, "Delete", ts)
+                )
+            rows = spark.createDataFrame(
+                [_twin_row(d) for d in twin_up], TWIN_SCHEMA
+            )
+            new_twins = (
+                with_vdoc(store.twins)
+                .filter(~F.col("dt_id").isin(tkeys))
+                .unionByName(with_vdoc(rows))
+            )
+            if parts:
+                changed["twins"] = sorted(parts, key=lambda v: (v is None, v or ""))
+
+        # -- relationships ---------------------------------------------
+        up_rkeys = {(d["$sourceId"], d["$relationshipId"]) for d in rel_up}
+        del_rids = {k[1] for k in rel_del}
+        rid_keys = sorted({rid for _, rid in up_rkeys} | del_rids)
+        new_rels = store.relationships
+        if rid_keys:
+            old_r = {
+                (r["source_id"], r["relationship_id"]): (r["name"], json.loads(r["doc"]))
+                for r in store.relationships.filter(
+                    F.col("relationship_id").isin(rid_keys)
+                )
+                .select("source_id", "relationship_id", "name", "doc")
+                .collect()
+            }
+            rparts: set = set()
+            matched_keys: set = set()
+            for d in rel_up:
+                key = (d["$sourceId"], d["$relationshipId"])
+                matched_keys.add(key)
+                rparts.add(d["$relationshipName"])
+                prev = old_r.get(key)
+                if prev is not None:
+                    rparts.add(prev[0])
+                events.append(
+                    _merge_event(
+                        d["$relationshipId"], d["$relationshipName"],
+                        prev[1] if prev else None, d,
+                        "Update" if prev else "Insert", ts,
+                    )
+                )
+            for src, rid in rel_del:
+                hits = [
+                    (k, v) for k, v in old_r.items()
+                    if k[1] == rid and (src is None or k[0] == src)
+                ]
+                for k, (name, doc) in hits:
+                    matched_keys.add(k)
+                    rparts.add(name)
+                    events.append(
+                        _merge_event(rid, name, doc, None, "Delete", ts)
+                    )
+            pred = F.struct(
+                F.col("source_id"), F.col("relationship_id")
+            ).isin([F.struct(F.lit(s), F.lit(r)) for s, r in matched_keys]) if matched_keys else F.lit(False)
+            rows = spark.createDataFrame(
+                [_rel_row(d) for d in rel_up], REL_SCHEMA
+            )
+            new_rels = (
+                with_vdoc(store.relationships)
+                .filter(~pred)
+                .unionByName(with_vdoc(rows))
+            )
+            if rparts:
+                changed["relationships"] = sorted(rparts)
+
+        if not changed:
+            # nothing matched and nothing to insert — commit nothing
+            return store, None, events or None
+
+        out = GraphStore(
+            spark=spark,
+            twins=new_twins,
+            relationships=new_rels,
+            models=store.models,
+            model_edges=store.model_edges,
+        )
+        return out, changed, events or None
+
+    return commit_with_retry(
+        spark, root, rebase, max_attempts=max_attempts, writer=writer
+    )
+
+
+def _as_doc(d) -> dict:
+    return json.loads(d) if isinstance(d, str) else dict(d)
+
+
+def _merge_event(
+    entity_id: str, table: str, old: dict | None, new: dict | None,
+    event_type: str, ts: str,
+) -> EventData:
+    return EventData(
+        entity_id=entity_id,
+        graph_name="digitaltwins",
+        table_name=table,
+        old_value=old,
+        new_value=new,
+        event_type=event_type,
+        timestamp=ts,
+    )

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Any, Iterable
+from typing import Any, ClassVar, Iterable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -264,7 +264,11 @@ class GraphStore:
         )
 
     def save_bucketed(
-        self, prefix: str, path: str | None = None, n_buckets: int = 32
+        self,
+        prefix: str,
+        path: str | None = None,
+        n_buckets: int = 32,
+        partitioned: bool = False,
     ) -> None:
         """Persist as BUCKETED tables — the co-located-join layout for
         the 100 TB target (SURVEY §4: replaces AGE's btree on
@@ -273,24 +277,42 @@ class GraphStore:
         ``twins`` is bucketed+sorted on ``dt_id`` and ``relationships``
         on ``source_id`` with the same bucket count, so every traversal
         hop (``rel.source_id = twin.dt_id`` — Q6/Q8, C1) sort-merge
-        joins with NO exchange and NO sort on either side: the shuffle
-        that dominates multi-hop queries at scale is paid once at write
-        time, never per query.  Requires a catalog (``saveAsTable``) —
-        bucketing metadata lives there, a plain parquet path cannot
-        carry it."""
+        joins with NO exchange: the shuffle that dominates multi-hop
+        queries at scale is paid once at write time, never per query.
+        Requires a catalog (``saveAsTable``) — bucketing metadata lives
+        there, a plain parquet path cannot carry it.
+
+        ``partitioned=True`` additionally hive-partitions twins by
+        ``model_id`` and relationships by ``name`` — the full production
+        layout: IS_OF_MODEL / edge-label partition pruning AND
+        co-located traversal joins.  The cost is one file per
+        (partition, bucket), so each bucket spans several files and the
+        scan can no longer report per-bucket sortedness — traversal
+        joins keep zero Exchange but pay a per-task in-memory Sort.
+        At 100 TB, scale ``n_buckets`` with the data (buckets are the
+        unit of join-task parallelism); Spark's auto-bucketed-scan
+        disables bucket-aligned reads for queries that don't join or
+        aggregate on the bucket key, so non-traversal scans still split
+        by file size."""
         spark = self.spark
 
         def opts(w, sub):
             return w if path is None else w.option("path", f"{path}/{sub}")
 
+        tw = with_vdoc(self.twins).write.mode("overwrite")
+        if partitioned:
+            tw = tw.partitionBy("model_id")
         (
-            opts(with_vdoc(self.twins).write.mode("overwrite"), "twins")
+            opts(tw, "twins")
             .bucketBy(n_buckets, "dt_id")
             .sortBy("dt_id")
             .saveAsTable(f"{prefix}_twins")
         )
+        rw = with_vdoc(self.relationships).write.mode("overwrite")
+        if partitioned:
+            rw = rw.partitionBy("name")
         (
-            opts(with_vdoc(self.relationships).write.mode("overwrite"), "relationships")
+            opts(rw, "relationships")
             .bucketBy(n_buckets, "source_id")
             .sortBy("source_id")
             .saveAsTable(f"{prefix}_relationships")
@@ -301,6 +323,70 @@ class GraphStore:
         opts(self.model_edges.write.mode("overwrite"), "model_edges").saveAsTable(
             f"{prefix}_model_edges"
         )
+
+    # bucket/partition column per bucketed table (partitioned=True
+    # layout); ClassVar so the dataclass machinery ignores it
+    _BUCKET_SPEC: ClassVar[dict] = {
+        "twins": ("dt_id", "model_id"),
+        "relationships": ("source_id", "name"),
+        "models": (None, None),
+        "model_edges": (None, None),
+    }
+
+    @classmethod
+    def register_bucketed(
+        cls,
+        spark: SparkSession,
+        prefix: str,
+        path: str,
+        n_buckets: int = 32,
+        partitioned: bool = False,
+    ) -> None:
+        """Re-attach a ``save_bucketed(path=...)`` layout to THIS
+        session's catalog.
+
+        Bucketing metadata lives in the catalog, and the default
+        in-memory catalog dies with the session — a new process reading
+        the same files as plain parquet would silently lose the
+        exchange-free join property.  This issues ``CREATE TABLE ...
+        CLUSTERED BY ... LOCATION`` DDL (idempotent: skips tables the
+        session already knows) and recovers hive partitions, so every
+        session sees ``Bucketed: true`` scans over the shared files —
+        the local stand-in for a persistent metastore / Delta log."""
+        for sub, (bucket_col, part_col) in cls._BUCKET_SPEC.items():
+            table = f"{prefix}_{sub}"
+            if spark.catalog.tableExists(table):
+                continue
+            df = spark.read.parquet(f"{path}/{sub}")
+            if not partitioned:
+                part_col = None
+            data = [f for f in df.schema.fields if f.name != part_col]
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in data
+            )
+            ddl = [f"CREATE TABLE `{table}` ({cols}"]
+            if part_col is not None:
+                ddl[0] += f", `{part_col}` string"
+            ddl[0] += ") USING PARQUET"
+            if part_col is not None:
+                ddl.append(f"PARTITIONED BY (`{part_col}`)")
+            if bucket_col is not None:
+                ddl.append(
+                    f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+                    f"INTO {n_buckets} BUCKETS"
+                )
+            ddl.append(f"LOCATION '{path}/{sub}'")
+            spark.sql(" ".join(ddl))
+            if part_col is not None:
+                spark.sql(f"MSCK REPAIR TABLE `{table}`")
+
+    @classmethod
+    def drop_bucketed(cls, spark: SparkSession, prefix: str) -> None:
+        """Drop the catalog entries for a bucketed store (files are
+        external — they survive; ``save_bucketed`` overwrite removes
+        them)."""
+        for sub in cls._BUCKET_SPEC:
+            spark.sql(f"DROP TABLE IF EXISTS `{prefix}_{sub}`")
 
     @classmethod
     def load_bucketed(cls, spark: SparkSession, prefix: str) -> "GraphStore":

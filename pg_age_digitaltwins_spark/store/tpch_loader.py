@@ -35,8 +35,9 @@ from pg_age_digitaltwins_spark.store.graph_store import GraphStore
 # Fixed timestamp for deterministic etags/metadata across runs.
 _TS = "2026-01-01T00:00:00Z"
 
-# Bump when the TPC-H→graph mapping changes (invalidates caches).
-LOADER_VERSION = 3
+# Bump when the TPC-H→graph mapping OR storage layout changes
+# (invalidates caches).
+LOADER_VERSION = 4
 
 DEMO_MODELS = [
     {"@id": "dtmi:demo:Entity;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "displayName": "Entity"},
@@ -191,49 +192,98 @@ def load_tables(spark: SparkSession, sf_dir: str) -> Mapping:
     return LazyTables(spark, sf_dir)
 
 
+# Bucket count for the local fixture caches.  Sized to the DATA, not the
+# core count: buckets are the unit of join-task parallelism AND of
+# concurrent-task memory in the exchange-free traversal stages (a
+# bucketed sort-merge join runs one task per bucket, and that single
+# fat stage holds every pipelined operator's memory at once — measured:
+# 32 buckets OOM a default-1g driver at sf0.01, 16 runs comfortably
+# with 2× headroom).  At 100 TB pick bucket count so each bucket lands
+# ~128 MB–1 GB (thousands of buckets), exactly like choosing Hive/Delta
+# bucket or Z-order cluster counts.
+_N_BUCKETS = 16
+
+
 def load_graph(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = True,
+    layout: str | None = None,
 ) -> GraphStore:
     """Build the graph store from the TPC-H parquet.
 
     ``materialize=True`` (default) persists the store once per scale
-    factor as *partitioned, multi-file* parquet
-    (twins by ``model_id``, relationships by ``name``) and loads that.
-    This is the production shape — the graph IS stored tables, not a
-    per-query re-derivation — and it is what makes the local bench
-    honest: the driver test data is single-row-group parquet, which caps
-    every downstream scan at ONE task regardless of core count.  The
-    materialized layout restores scan parallelism, gives IS_OF_MODEL /
-    edge-label filters real partition pruning, and min/max stats on the
-    sorted key columns give point lookups row-group skipping (the
-    reference's btree indexes, ``GraphInitialization.cs:13-29``).
+    factor and loads that.  This is the production shape — the graph IS
+    stored tables, not a per-query re-derivation — and it is what makes
+    the local bench honest: the driver test data is single-row-group
+    parquet, which caps every downstream scan at a single task
+    regardless of core count.
+
+    ``layout`` (default ``$SPARK_GRAFT_LAYOUT`` or ``"bucketed"``):
+
+    * ``"bucketed"`` — hive-partitioned (twins by ``model_id``,
+      relationships by ``name``) AND bucketed+sorted (``dt_id`` /
+      ``source_id``, same bucket count).  IS_OF_MODEL / edge-label
+      filters partition-prune, point lookups row-group-skip on the
+      sorted key (the reference's btree indexes,
+      ``GraphInitialization.cs:13-29``), and every traversal hop
+      sort-merge joins with ZERO Exchange — the per-query shuffle that
+      dominates multi-hop queries at scale is paid once at write time.
+      Bucket metadata lives in the session catalog, so each new session
+      re-registers the shared files via ``register_bucketed`` DDL.
+    * ``"plain"`` — the pre-r6 layout: hive-partitioned, hash-clustered
+      files but no catalog bucketing (every traversal hop shuffles).
+      Kept as a fallback for sessions that cannot take catalog DDL.
     """
-    if materialize:
-        cache_root = os.environ.get("SPARK_GRAFT_CACHE", "/root/repo/.graphcache")
-        tag = os.path.basename(os.path.normpath(sf_dir))
-        path = os.path.join(cache_root, f"{tag}-v{LOADER_VERSION}")
+    if not materialize:
+        return _build_graph(spark, sf_dir)
+    layout = layout or os.environ.get("SPARK_GRAFT_LAYOUT", "bucketed")
+    cache_root = os.environ.get("SPARK_GRAFT_CACHE", "/root/repo/.graphcache")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    # marker carries a fingerprint of the SOURCE parquet (size+mtime
+    # per table): a regenerated fixture must rebuild the cache, not
+    # silently serve the previous dataset
+    fp = _source_fingerprint(sf_dir)
+
+    def stale_check(marker: str) -> bool:
+        if not os.path.exists(marker):
+            return True
+        with open(marker) as f:
+            return f.read().strip() != fp
+
+    if layout == "bucketed":
+        path = os.path.join(cache_root, f"{tag}-v{LOADER_VERSION}-bucketed")
         marker = os.path.join(path, "_GRAPH_READY")
-        # marker carries a fingerprint of the SOURCE parquet (size+mtime
-        # per table): a regenerated fixture must rebuild the cache, not
-        # silently serve the previous dataset
-        fp = _source_fingerprint(sf_dir)
-        stale = True
-        if os.path.exists(marker):
-            with open(marker) as f:
-                stale = f.read().strip() != fp
-        if stale:
-            store = _build_graph(spark, sf_dir)
-            n = max(4, spark.sparkContext.defaultParallelism // 2)
-            store.twins = store.twins.repartition(n, F.col("dt_id")).sortWithinPartitions("dt_id")
-            store.relationships = store.relationships.repartition(
-                n, F.col("source_id")
-            ).sortWithinPartitions("source_id")
-            store.save(path)
+        prefix = "graph_" + "".join(
+            c if c.isalnum() else "_" for c in f"{tag}_v{LOADER_VERSION}"
+        )
+        if stale_check(marker):
+            GraphStore.drop_bucketed(spark, prefix)
+            _build_graph(spark, sf_dir).save_bucketed(
+                prefix, path=path, n_buckets=_N_BUCKETS, partitioned=True
+            )
+            os.makedirs(path, exist_ok=True)
             with open(marker, "w") as f:
                 f.write(fp)
-        cached = GraphStore.load(spark, path)
-        return cached
-    return _build_graph(spark, sf_dir)
+        else:
+            GraphStore.register_bucketed(
+                spark, prefix, path, n_buckets=_N_BUCKETS, partitioned=True
+            )
+        return GraphStore.load_bucketed(spark, prefix)
+
+    path = os.path.join(cache_root, f"{tag}-v{LOADER_VERSION}")
+    marker = os.path.join(path, "_GRAPH_READY")
+    if stale_check(marker):
+        store = _build_graph(spark, sf_dir)
+        n = max(4, spark.sparkContext.defaultParallelism // 2)
+        store.twins = store.twins.repartition(n, F.col("dt_id")).sortWithinPartitions("dt_id")
+        store.relationships = store.relationships.repartition(
+            n, F.col("source_id")
+        ).sortWithinPartitions("source_id")
+        store.save(path)
+        with open(marker, "w") as f:
+            f.write(fp)
+    return GraphStore.load(spark, path)
 
 
 def _source_fingerprint(sf_dir: str) -> str:

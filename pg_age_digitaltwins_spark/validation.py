@@ -223,7 +223,17 @@ def validate_twin(registry: ModelRegistry, doc: dict[str, Any]) -> str:
     if not isinstance(meta, dict) or not meta.get("$model"):
         raise ValidationError("Digital Twin must have a $metadata.$model property")
     model_id = meta["$model"]
-    contents = registry.contents(model_id)  # raises ModelNotFoundError
+    try:
+        contents = registry.contents(model_id)
+    except ModelNotFoundError:
+        # Twin validation resolves the model like the reference's
+        # DTDLParser pass: an unresolvable model is a 400-family
+        # ResolutionException (AzureDigitalTwinsSdkIntegrationTests
+        # ...ModelNotFound_ReturnsBadRequest), not the 404 that
+        # GET /models/{id} raises.
+        raise ValidationError(
+            f"Model {model_id} could not be resolved"
+        ) from None
     named = registry.named_schemas(model_id)
     violations: list[str] = []
     for prop, value in doc.items():

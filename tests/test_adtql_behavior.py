@@ -340,8 +340,10 @@ def test_unknown_alias_before_reserved_prop_errors(client):
         # golden shapes from the reference's AdtQueryToCypherTests corpus
         ("SELECT T,R FROM DIGITALTWINS MATCH (current)-[R]->(T) "
          "WHERE current.$dtId='root2'", 2, ["R", "T"]),
+        # bare TOP = star semantics: rows are the bare twin documents
+        # (QueryTests.cs:539-656 — SELECT * returns $dtId at the root)
         ("SELECT TOP(1) FROM DIGITALTWINS "
-         "WHERE $metadata.$model = 'dtmi:com:adt:dtsample:room;1'", 1, ["T"]),
+         "WHERE $metadata.$model = 'dtmi:com:adt:dtsample:room;1'", 1, None),
         ("SELECT $dtId, name FROM DIGITALTWINS WHERE STARTSWITH(name, 'Room')",
          2, ["dtId", "name"]),
         ("SELECT TOP (2) twin FROM DIGITALTWINS twin "
@@ -353,7 +355,7 @@ def test_unknown_alias_before_reserved_prop_errors(client):
         ("SELECT TOP(5) FROM DIGITALTWINS "
          "WHERE (CONTAINS(name,'Room') OR CONTAINS($dtId,'room')) "
          "AND (IS_OF_MODEL('dtmi:com:adt:dtsample:room;1') "
-         "OR IS_OF_MODEL('dtmi:com:contoso:Planet;1'))", 2, ["T"]),
+         "OR IS_OF_MODEL('dtmi:com:contoso:Planet;1'))", 2, None),
     ],
 )
 def test_golden_corpus_shapes(client, query, n_rows, cols):
@@ -362,7 +364,10 @@ def test_golden_corpus_shapes(client, query, n_rows, cols):
     in JOIN RELATED, anonymous edges, OR-of-IS_OF_MODEL."""
     rows = client.query(query).rows
     assert len(rows) == n_rows
-    assert sorted(rows[0]) == cols
+    if cols is None:  # star semantics: bare twin documents
+        assert "$dtId" in rows[0] and "$metadata" in rows[0]
+    else:
+        assert sorted(rows[0]) == cols
 
 
 def test_keyset_pagination_token_and_determinism(client):

@@ -396,3 +396,212 @@ def test_cow_null_partition_roundtrip(spark, tmp_path):
     assert rows["orphan"]["model_id"] is None
     assert '"x":2' in rows["orphan"]["doc"]
     assert rows["t0"]["model_id"] == "dtmi:test:A;1"  # untouched partition intact
+
+
+# ---------------------------------------------------------------------------
+# commit_with_retry / merge_rows (r6: automated conflict recovery + MERGE)
+# ---------------------------------------------------------------------------
+
+def _multi_store(spark):
+    """Two models so merges can touch disjoint partitions."""
+    models = MODELS + [
+        {
+            "@id": "dtmi:test:Other;1",
+            "@type": "Interface",
+            "@context": "dtmi:dtdl:context;3",
+            "contents": [{"@type": "Property", "name": "x", "schema": "integer"}],
+        }
+    ]
+    twins = [_twin(i) for i in range(4)] + [
+        {"$dtId": f"o{i}", "$metadata": {"$model": "dtmi:test:Other;1"}, "x": i}
+        for i in range(4)
+    ]
+    return GraphStore.from_documents(spark, twin_docs=twins, model_docs=models)
+
+
+def test_merge_rows_upsert_insert_delete(spark, tmp_path):
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(_multi_store(spark), root)
+    v = merge_rows(
+        spark, root,
+        twin_upserts=[
+            {"$dtId": "t0", "$metadata": {"$model": "dtmi:test:Thing;1"}, "x": 100},  # update
+            {"$dtId": "t9", "$metadata": {"$model": "dtmi:test:Thing;1"}, "x": 9},    # insert
+        ],
+        twin_deletes=["t1", "missing"],  # matched delete + no-op
+    )
+    assert v == 2
+    store, _ = load_latest(spark, root)
+    rows = {r["dt_id"]: r["doc"] for r in store.twins.collect()}
+    assert "t1" not in rows and "missing" not in rows
+    assert '"x":100' in rows["t0"]
+    assert "t9" in rows
+    assert len(rows) == 4 + 4 - 1 + 1
+    # change events carry true old images, in one batch
+    ch = read_changes_since(spark, root, after_version=1).collect()
+    by_id = {c["entity_id"]: c for c in ch}
+    assert by_id["t0"]["event_type"] == "Update"
+    assert '"x":0' in by_id["t0"]["old_value"]
+    assert by_id["t9"]["event_type"] == "Insert" and by_id["t9"]["old_value"] is None
+    assert by_id["t1"]["event_type"] == "Delete" and by_id["t1"]["new_value"] is None
+    assert "missing" not in by_id
+
+
+def test_merge_rows_model_move_rewrites_both_partitions(spark, tmp_path):
+    from pg_age_digitaltwins_spark.store.commit_log import CommitLog, merge_rows
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(_multi_store(spark), root)
+    merge_rows(
+        spark, root,
+        twin_upserts=[
+            {"$dtId": "t0", "$metadata": {"$model": "dtmi:test:Other;1"}, "x": 0}
+        ],
+    )
+    store, _ = load_latest(spark, root)
+    moved = store.twins.filter("dt_id = 't0'").collect()
+    assert len(moved) == 1  # no stale copy left in the old partition
+    assert moved[0]["model_id"] == "dtmi:test:Other;1"
+    # manifest rewrote BOTH partitions (old + new), carried nothing stale
+    m = CommitLog(root).manifest(2)
+    fresh = {
+        k for k, p in m["tables"]["twins"]["parts"].items()
+        if "data/" + f"{2:020d}" in p.replace(os.sep, "/")
+    }
+    assert fresh == {
+        "model_id=dtmi%3Atest%3AThing;1", "model_id=dtmi%3Atest%3AOther;1",
+    } or len(fresh) == 2
+
+
+def test_merge_rows_relationships(spark, tmp_path):
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+
+    root = str(tmp_path / "tbl")
+    store = GraphStore.from_documents(
+        spark,
+        twin_docs=[_twin(0), _twin(1)],
+        relationship_docs=[
+            {"$relationshipId": "r1", "$sourceId": "t0", "$targetId": "t1",
+             "$relationshipName": "knows"},
+        ],
+        model_docs=MODELS,
+    )
+    commit_snapshot(store, root)
+    merge_rows(
+        spark, root,
+        rel_upserts=[
+            {"$relationshipId": "r1", "$sourceId": "t0", "$targetId": "t1",
+             "$relationshipName": "knows", "w": 2},             # update
+            {"$relationshipId": "r2", "$sourceId": "t1", "$targetId": "t0",
+             "$relationshipName": "likes"},                      # insert
+        ],
+        rel_deletes=[("t0", "nope")],                            # no-op
+    )
+    loaded, _ = load_latest(spark, root)
+    rels = {r["relationship_id"]: r for r in loaded.relationships.collect()}
+    assert set(rels) == {"r1", "r2"}
+    assert '"w":2' in rels["r1"]["doc"]
+    v = merge_rows(spark, root, rel_deletes=["r2"])  # bare-rid delete form
+    loaded, _ = load_latest(spark, root)
+    assert [r["relationship_id"] for r in loaded.relationships.collect()] == ["r1"]
+    ch = read_changes_since(spark, root, after_version=v - 1).collect()
+    assert len(ch) == 1 and ch[0]["event_type"] == "Delete"
+
+
+def test_concurrent_merges_disjoint_partitions_both_succeed(spark, tmp_path):
+    """Two writers, disjoint partitions: the loser auto-rebases and
+    retries; both batches land, feed shows both in version order."""
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(_multi_store(spark), root)
+    barrier = threading.Barrier(2)
+    results: dict[str, int] = {}
+    errors: list[Exception] = []
+
+    def writer(name: str, doc: dict):
+        try:
+            barrier.wait(timeout=30)
+            results[name] = merge_rows(
+                spark, root, twin_upserts=[doc], writer=name
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(
+        "w1", {"$dtId": "t0", "$metadata": {"$model": "dtmi:test:Thing;1"}, "x": 111}))
+    t2 = threading.Thread(target=writer, args=(
+        "w2", {"$dtId": "o0", "$metadata": {"$model": "dtmi:test:Other;1"}, "x": 222}))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+    assert sorted(results.values()) == [2, 3]
+    store, _ = load_latest(spark, root)
+    rows = {r["dt_id"]: r["doc"] for r in store.twins.collect()}
+    assert '"x":111' in rows["t0"] and '"x":222' in rows["o0"]
+    ch = read_changes_since(spark, root, after_version=1)
+    assert ch.count() == 2
+
+
+def test_concurrent_merges_overlapping_partition_converge(spark, tmp_path):
+    """Two writers updating DIFFERENT twins in the SAME partition: the
+    losing writer's rebase re-reads the winner's snapshot, so neither
+    update is lost (the lost-update anomaly the manual-rebase API
+    allowed)."""
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(_multi_store(spark), root)
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def writer(i: int):
+        try:
+            barrier.wait(timeout=30)
+            merge_rows(
+                spark, root,
+                twin_upserts=[{
+                    "$dtId": f"t{i}",
+                    "$metadata": {"$model": "dtmi:test:Thing;1"}, "x": 1000 + i,
+                }],
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in (0, 1)]
+    for t in ts: t.start()
+    for t in ts: t.join(120)
+    assert not errors, errors
+    store, _ = load_latest(spark, root)
+    rows = {r["dt_id"]: r["doc"] for r in store.twins.collect()}
+    assert '"x":1000' in rows["t0"], rows["t0"]
+    assert '"x":1001' in rows["t1"], rows["t1"]
+    assert CommitLog(root).latest_version() == 3
+
+
+def test_merge_rows_empty_log_bootstraps(spark, tmp_path):
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+
+    root = str(tmp_path / "tbl")
+    v = merge_rows(spark, root, twin_upserts=[_twin(7)], twin_deletes=["x"])
+    assert v == 1
+    store, _ = load_latest(spark, root)
+    assert [r["dt_id"] for r in store.twins.collect()] == ["t7"]
+
+
+def test_commit_with_retry_gives_up_after_max_attempts(spark, tmp_path):
+    """Pathological contention: every attempt loses → the final
+    CommitConflict propagates (caller backs off)."""
+    from pg_age_digitaltwins_spark.store.commit_log import commit_with_retry
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(_store(spark, 2), root)
+
+    def rebase(store, base):
+        # steal the version before returning, so the commit always loses
+        commit_snapshot(_store(spark, 2), root, base_version=base)
+        return _store(spark, 3), None, None
+
+    with pytest.raises(CommitConflict):
+        commit_with_retry(spark, root, rebase, max_attempts=2)

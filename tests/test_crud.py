@@ -105,7 +105,12 @@ def test_validation_inherited_property_ok(client):
 
 
 def test_validation_unknown_model(client):
-    with pytest.raises(KeyError):
+    # twin validation resolves the model like the reference's DTDLParser
+    # pass: unresolvable model = 400-family ValidationError
+    # (SDK test ...ModelNotFound_ReturnsBadRequest), not a 404 KeyError
+    from pg_age_digitaltwins_spark.validation import ValidationError
+
+    with pytest.raises(ValidationError, match="could not be resolved"):
         client.create_or_replace_digital_twin("r", make_twin("dtmi:test:Nope;1"), ts=TS)
 
 

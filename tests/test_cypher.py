@@ -913,3 +913,57 @@ def test_substring_maxint_start_is_null(fixture_store):
         "substring(t.name, 2147483647, 3) AS b",
     )
     assert r["a"] is None and r["b"] is None
+
+
+def test_disconnected_match_small_side_allowed_and_surcharged(fixture_store):
+    """MATCH (a), (b) is legal Cypher; with a dimension-sized side it
+    compiles (bounded nested-loop) and the compiler reports the
+    cartesian so the query charge prices it (+10, like var-length)."""
+    from pg_age_digitaltwins_spark.client import (
+        DigitalTwinsSparkClient,
+        compute_query_charge,
+    )
+    from pg_age_digitaltwins_spark.cypher import compile_cypher
+
+    q = (
+        "MATCH (a {`$dtId`: 'room1'}), (b {`$dtId`: 'room2'}) "
+        "RETURN a.name AS an, b.name AS bn"
+    )
+    df = compile_cypher(fixture_store, q)
+    assert getattr(df, "_pgage_cartesians", 0) == 1
+    [r] = [x.asDict() for x in df.collect()]
+    assert (r["an"], r["bn"]) == ("Room 1", "Room 2")
+    page = DigitalTwinsSparkClient(fixture_store).query(q)
+    # 1 row + 2 props + 10 cartesian surcharge
+    assert page.charge == compute_query_charge(page.rows, q, 1) == 13.0
+
+
+def test_disconnected_match_unbounded_side_rejected(fixture_store):
+    """An unanchored disconnected side multiplies the result by the
+    FULL twin count → compile-time rejection instead of an unbounded
+    N×M job (the accidental `MATCH (a), (b)` at 100 TB).  Disabling the
+    guard restores full openCypher permissiveness."""
+    from pg_age_digitaltwins_spark.cypher import compile_cypher
+    from pg_age_digitaltwins_spark.cypher.compiler import (
+        CypherCompiler,
+        CypherCompileError,
+    )
+
+    q = "MATCH (a), (b) RETURN a.`$dtId` AS x, b.`$dtId` AS y"
+    with pytest.raises(CypherCompileError, match="cartesian"):
+        compile_cypher(fixture_store, q)
+    CypherCompiler.cartesian_guard = False
+    try:
+        df = compile_cypher(fixture_store, q)
+        assert df.count() == 13 * 13  # intentional full product allowed
+        assert getattr(df, "_pgage_cartesians", 0) == 1
+    finally:
+        CypherCompiler.cartesian_guard = True
+    # connected comma-paths (shared variable) are NOT cartesian
+    df = compile_cypher(
+        fixture_store,
+        "MATCH (a)-[r:has]->(b), (b)-[s:has]->(c) "
+        "RETURN a.`$dtId` AS src, c.`$dtId` AS dst",
+    )
+    assert getattr(df, "_pgage_cartesians", 0) == 0
+    assert df.count() == 1  # root2 -has-> b1 -has-> x
