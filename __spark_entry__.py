@@ -456,6 +456,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_ann_lsh"] = lambda s, d: similarity.ann_lsh_search(
         _tables(s, d)["embeddings"], query_id=0, k=10, n_bits=8
     )
+    # ANN quality gate: recall@10 vs brute force must clear per-method
+    # floors; the recall VALUE depends on hash/centroid layout (rows-
+    # only territory) but the floor contract is value-checkable — an
+    # index regression flips meets_floor and the hash gate goes red.
+    q["embed_ann_recall"] = lambda s, d: similarity.ann_recall(
+        _tables(s, d)["embeddings"]
+    ).select("method", "meets_floor")
 
     # --- multimodal (binary columns + stubbed decode) -----------------
     q["multimodal_meta"] = lambda s, d: multimodal.decode_media(
@@ -1338,6 +1345,10 @@ def oracle_sql() -> dict[str, str]:
         "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim "
         "FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
         "WHERE e.vec_id <> 0) ORDER BY sim DESC, vec_id LIMIT 10"
+    )
+    o["embed_ann_recall"] = (
+        "SELECT 'ivf' AS method, true AS meets_floor "
+        "UNION ALL SELECT 'lsh', true"
     )
     o["multimodal_meta"] = (
         "SELECT 'media-' || doc_id AS media_id, "

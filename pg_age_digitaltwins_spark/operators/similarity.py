@@ -588,3 +588,65 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         .groupBy("label", (F.col("pos") + 1).alias("dim"))
         .agg(F.round(F.avg("v"), 6).alias("centroid"))
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    query_ids=(0, 1, 2),
+    k: int = 10,
+    ivf_floor: float = 0.6,
+    lsh_floor: float = 0.4,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_bits: int = 3,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Recall@k of the approximate indexes against exact brute force —
+    the ANN quality gate.
+
+    For each query id, the IVF probe and the LSH bucket search each
+    retrieve top-k; recall = |approx ∩ exact| / k averaged over the
+    query set.  Returns one row per method with ``meets_floor`` so the
+    result is oracle-checkable (the recall VALUE depends on the
+    hash/centroid layout, but the FLOOR contract is the stable claim:
+    if an index regression drops recall below the floor, the driver's
+    value-hash gate goes red).  Only O(k · queries) rows ever reach the
+    driver — the per-query searches are the same distributed plans the
+    ``embed_ann_*`` keys run.
+
+    Floors are per-method and config-matched, measured on the synthetic
+    fixture (near-isotropic embeddings — the hard case for hyperplane
+    LSH): IVF at 4/16 probes holds 0.87–1.0; single-table hyperplane
+    LSH collapses below 0.1 at 8 bits (this gate is what caught that),
+    so the gated config is 3 bits + 4-way multi-probe (measured 0.63).
+    On clustered production embeddings LSH recovers; at scale the
+    recall lever is multiple independent tables, not wider codes."""
+    spark = embeddings.sparkSession
+    floors = {"ivf": ivf_floor, "lsh": lsh_floor}
+    per_method: dict[str, list[float]] = {"ivf": [], "lsh": []}
+    for qid in query_ids:
+        truth = {
+            r["vec_id"] for r in knn_brute_force(embeddings, qid, k).collect()
+        }
+        approx = {
+            "ivf": ann_ivf_search(
+                embeddings, qid, k, n_cells=n_cells, n_probe=n_probe
+            ),
+            "lsh": ann_lsh_search(
+                embeddings, qid, k, n_bits=n_bits, n_probes=n_probes
+            ),
+        }
+        for method, df in approx.items():
+            got = {r["vec_id"] for r in df.collect()}
+            per_method[method].append(len(got & truth) / float(k))
+    rows = [
+        (
+            m,
+            float(sum(vals) / len(vals)),
+            bool(sum(vals) / len(vals) >= floors[m]),
+        )
+        for m, vals in sorted(per_method.items())
+    ]
+    return spark.createDataFrame(
+        rows, "method string, recall_at_k double, meets_floor boolean"
+    )

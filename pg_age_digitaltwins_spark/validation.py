@@ -539,10 +539,47 @@ def validate_model(
     ctxs = [ctx] if isinstance(ctx, str) else list(ctx or [])
     if not any(c in _DTDL_CONTEXTS for c in ctxs):
         v.append("@context must include a dtmi:dtdl:context;2..4 version")
+    # --- @context co-occurrence rules (DTDL spec / DTDLParser) --------
+    dtdl_versions = [c for c in ctxs if c in _DTDL_CONTEXTS]
+    if len(dtdl_versions) > 1:
+        # exactly one DTDL language version may govern a model
+        v.append(
+            f"@context lists multiple DTDL versions {dtdl_versions}; exactly one is allowed"
+        )
+    if isinstance(ctx, list) and ctxs and dtdl_versions and ctxs[0] not in _DTDL_CONTEXTS:
+        # v3 spec: in array form the DTDL context specifier must come
+        # first, extension contexts after it
+        v.append("@context array must list the dtmi:dtdl:context version first")
     has_qt = any(isinstance(c, str) and c.startswith(_QT_CONTEXT_PREFIX) for c in ctxs)
     is_v2 = "dtmi:dtdl:context;2" in ctxs and not any(
         c in ("dtmi:dtdl:context;3", "dtmi:dtdl:context;4") for c in ctxs
     )
+    ext_ctxs = [
+        c for c in ctxs
+        if isinstance(c, str) and c.startswith("dtmi:dtdl:extension:")
+    ]
+    if is_v2 and ext_ctxs:
+        # language extensions arrived in v3; a v2 context cannot carry
+        # extension contexts (DTDLParser: UndefinedTerm under v2)
+        v.append(
+            f"@context extensions {ext_ctxs} require dtmi:dtdl:context;3 or later"
+        )
+    for c in ext_ctxs:
+        if c.startswith(_QT_CONTEXT_PREFIX):
+            # quantitativeTypes version ↔ DTDL version co-occurrence:
+            # QT;1 pairs with DTDL v3, QT;2 with DTDL v4
+            qt_ver = c[len(_QT_CONTEXT_PREFIX):]
+            wanted = {"1": "dtmi:dtdl:context;3", "2": "dtmi:dtdl:context;4"}.get(qt_ver)
+            if wanted is None:
+                v.append(f"unknown quantitativeTypes extension version in {c!r}")
+            elif dtdl_versions and dtdl_versions[0] != wanted:
+                v.append(
+                    f"{c} may only be used with {wanted} "
+                    f"(found {dtdl_versions[0]})"
+                )
+    for c in ctxs:
+        if not isinstance(c, str) or not c.startswith("dtmi:"):
+            v.append(f"@context entry {c!r} is not a DTMI context specifier")
     # complex-schema nesting limit: 5 levels under a v2 context, 8
     # under v3/v4 (DTDL language spec limits)
     max_depth = 5 if is_v2 else 8

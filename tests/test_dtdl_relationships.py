@@ -446,3 +446,68 @@ def test_v2_semantic_types_are_core_language():
                               "unit": "notaunit"}])
     with pytest.raises(ValidationError, match="unit"):
         validate_model(bad, None)
+
+
+# --- batch 7: @context co-occurrence rules (DTDL spec / DTDLParser) ---
+
+@pytest.fixture()
+def client(spark):
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    return DigitalTwinsSparkClient(GraphStore.empty(spark))
+
+
+def _ctx_model(ctx):
+    return {"@id": "dtmi:ctx:T;1", "@type": "Interface", "@context": ctx}
+
+
+def _create(client, doc):
+    return client.create_models([doc])
+
+
+def test_context_multiple_dtdl_versions_rejected(client):
+    with pytest.raises(ValidationError, match="multiple DTDL versions"):
+        _create(client, _ctx_model(["dtmi:dtdl:context;2", "dtmi:dtdl:context;3"]))
+
+
+def test_context_dtdl_version_must_come_first(client):
+    with pytest.raises(ValidationError, match="version first"):
+        _create(client, _ctx_model(
+            ["dtmi:dtdl:extension:quantitativeTypes;1", "dtmi:dtdl:context;3"]
+        ))
+    # correct order accepted
+    _create(client, _ctx_model(
+        ["dtmi:dtdl:context;3", "dtmi:dtdl:extension:quantitativeTypes;1"]
+    ))
+    client.delete_all_models()
+
+
+def test_context_v2_rejects_extensions(client):
+    """Language extensions arrived in v3; a v2 context cannot carry
+    extension contexts (DTDLParser UndefinedTerm under v2)."""
+    with pytest.raises(ValidationError, match="require dtmi:dtdl:context;3"):
+        _create(client, _ctx_model(
+            ["dtmi:dtdl:context;2", "dtmi:dtdl:extension:quantitativeTypes;1"]
+        ))
+
+
+def test_context_quantitative_types_version_cooccurrence(client):
+    """QT;1 pairs with DTDL v3, QT;2 with v4 — mismatches rejected."""
+    with pytest.raises(ValidationError, match="may only be used with"):
+        _create(client, _ctx_model(
+            ["dtmi:dtdl:context;4", "dtmi:dtdl:extension:quantitativeTypes;1"]
+        ))
+    with pytest.raises(ValidationError, match="may only be used with"):
+        _create(client, _ctx_model(
+            ["dtmi:dtdl:context;3", "dtmi:dtdl:extension:quantitativeTypes;2"]
+        ))
+    _create(client, _ctx_model(
+        ["dtmi:dtdl:context;4", "dtmi:dtdl:extension:quantitativeTypes;2"]
+    ))
+    client.delete_all_models()
+
+
+def test_context_non_dtmi_entry_rejected(client):
+    with pytest.raises(ValidationError, match="not a DTMI context"):
+        _create(client, _ctx_model(["dtmi:dtdl:context;3", "https://example.com/ctx"]))

@@ -834,3 +834,15 @@ def test_global_clustering_coefficient_known_graph(spark):
     k4 = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
     [r] = global_clustering_coefficient(rels(k4)).collect()
     assert r["clustering_coefficient"] == 1.0
+
+
+def test_ann_recall_gate(embeddings):
+    """The quality gate returns one row per method with per-method
+    floors; at fixture scale both configs must clear their floors (this
+    gate is what caught single-table 8-bit LSH collapsing to <0.1
+    recall on near-isotropic embeddings)."""
+    rows = {r["method"]: r for r in similarity.ann_recall(embeddings).collect()}
+    assert set(rows) == {"ivf", "lsh"}
+    for m, r in rows.items():
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["meets_floor"], f"{m} recall {r['recall_at_k']} below floor"
