@@ -66,6 +66,13 @@ class Binding:
     name: str
     kind: str  # 'twin' | 'rel' | 'model' | 'value'
     df_alias: str  # qualified alias for twin/rel/model; column name for value
+    # Join-eliminated pass-through node: no twin scan joined — the
+    # binding rides the adjacent relationship frame and ``key_col``
+    # (source_id/target_id) IS its dt_id.  Only ANONYMOUS nodes are
+    # eliminated in Cypher (they can never be referenced), so a virtual
+    # binding never enters ``env``.
+    key_col: str = "dt_id"
+    virtual: bool = False
 
 
 class CypherCompiler:
@@ -80,6 +87,10 @@ class CypherCompiler:
         self._pending_s: list[tuple[str, Column]] = []
         self._value_variant: set[str] = set()  # UNWIND cols of variant type
         self.cartesian_products = 0  # disconnected-pattern cross joins
+        # WHERE conjuncts pushed to their alias's scan (consumed by
+        # _bind_node/_hop; anything unconsumed falls back to the
+        # post-pattern residual filter)
+        self._scan_preds: dict[str, list] = {}
         # True when the accumulated frame is provably small (1-row
         # global WITH-aggregate or an explicit LIMIT): crossing a scan
         # against it is a plain scan, not a blowup
@@ -172,6 +183,7 @@ class CypherCompiler:
             env[node.alias] = b
         scan = frame.alias(alias)
         scan_df = self._apply_node_props_scan(scan, alias, kind, node)
+        scan_df = self._apply_scan_preds(scan_df, node.alias, b)
         if df is None:
             return scan_df, b
         if (
@@ -221,6 +233,31 @@ class CypherCompiler:
     ) -> DataFrame:
         if clause.optional:
             return self._optional_match(df, env, clause)
+        # Scan-predicate pushdown (same placement policy as the ADT QL
+        # compiler's _split_where): a WHERE conjunct referencing exactly
+        # ONE alias bound fresh in this clause filters that alias's scan
+        # BEFORE any join — pattern legs shrink at the source, an
+        # IS_OF_MODEL start filter partition-prunes its scan, and the
+        # var-length seed semi-join sees the FILTERED start set instead
+        # of every twin.  All pattern joins are inner, so single-alias
+        # conjuncts commute with the joins; anything unconsumed (e.g. a
+        # var-length target) falls back to the residual filter below.
+        residual: list[C.Expr] = []
+        if clause.where is not None:
+            fresh: set[str] = set()
+            for p in clause.paths:
+                for n in p.nodes:
+                    if n.alias and n.alias not in env:
+                        fresh.add(n.alias)
+                for e in p.edges:
+                    if e.alias and e.var_length is None and e.alias not in env:
+                        fresh.add(e.alias)
+            for conj in _cy_conjuncts(clause.where):
+                names = _cy_expr_aliases(conj)
+                if len(names) == 1 and next(iter(names)) in fresh:
+                    self._scan_preds.setdefault(next(iter(names)), []).append(conj)
+                else:
+                    residual.append(conj)
         for path in clause.paths:
             df, left = self._bind_node(df, env, path.nodes[0])
             if path.shortest:
@@ -238,10 +275,29 @@ class CypherCompiler:
                     col = f"__plen_{path.var}"
                     df = df.withColumn(col, F.lit(len(path.edges)))
                     env[path.var] = Binding(path.var, "value", col)
-        if clause.where is not None:
-            pred = self._expr(clause.where, env, as_predicate=True)
+        # unconsumed pushed conjuncts → residual (correctness fallback)
+        for conjs in self._scan_preds.values():
+            residual.extend(conjs)
+        self._scan_preds = {}
+        if residual:
+            pred = self._expr(residual[0], env, as_predicate=True)
+            for c in residual[1:]:
+                pred = pred & self._expr(c, env, as_predicate=True)
             df = self._inject(df).filter(pred)
         return df
+
+    def _apply_scan_preds(
+        self, scan: DataFrame, alias: str | None, b: Binding
+    ) -> DataFrame:
+        """Apply WHERE conjuncts pushed down to this alias's scan."""
+        preds = self._scan_preds.pop(alias, None) if alias else None
+        if not preds:
+            return scan
+        env1 = {alias: b}
+        pred = self._expr(preds[0], env1, as_predicate=True)
+        for c in preds[1:]:
+            pred = pred & self._expr(c, env1, as_predicate=True)
+        return self._inject(scan).filter(pred)
 
     def _hop(
         self,
@@ -263,15 +319,19 @@ class CypherCompiler:
         rel = rel_df.alias(e_alias)
         for key, lit in edge.props.items():
             rel = rel.filter(self._prop_eq(e_alias, "rel", key, lit))
-        lcol = F.col(f"{left.df_alias}.dt_id")
+        rel = self._apply_scan_preds(rel, edge.alias, e)
+        lcol = F.col(f"{left.df_alias}.{left.key_col}")
         src = F.col(f"{e_alias}.source_id")
         dst = F.col(f"{e_alias}.target_id")
         if edge.direction == "->":
             join_on, far = src == lcol, dst
+            far_name = "target_id"
         elif edge.direction == "<-":
             join_on, far = dst == lcol, src
+            far_name = "source_id"
         else:  # undirected
             join_on, far = (src == lcol) | (dst == lcol), None
+            far_name = None
         df = df.join(rel, join_on)
         existing = env.get(node.alias) if node.alias else None
         if existing is not None:
@@ -285,11 +345,25 @@ class CypherCompiler:
             df = self._apply_node_props(df.filter(cond), t, node)
             return df, t
         frame, kind = self._node_frame(node)
+        if (
+            node.alias is None
+            and not node.props
+            and kind == "twin"
+            and far_name is not None
+        ):
+            # graph-aware join elimination: an anonymous, predicate-free
+            # middle node is pure existence checking — dt_id is a key
+            # and the store enforces referential integrity (delete edge
+            # guards, import endpoint validation), so the twin join is
+            # 1:1 and droppable; the next hop anchors on the edge's far
+            # column (same optimization as the ADT QL compiler).
+            return df, Binding("", "twin", e_alias, key_col=far_name, virtual=True)
         t_alias = node.alias or self._anon_alias()
         t = Binding(node.alias or "", kind, t_alias)
         if node.alias:
             env[node.alias] = t
         scan = self._apply_node_props_scan(frame.alias(t_alias), t_alias, kind, node)
+        scan = self._apply_scan_preds(scan, node.alias, t)
         tcol = F.col(f"{t_alias}.dt_id")
         if far is None:
             cond = ((src == lcol) & (dst == tcol)) | ((dst == lcol) & (src == tcol))
@@ -366,7 +440,7 @@ class CypherCompiler:
         # downstream (NoSuchElementException: key not found) when the
         # pair set is joined back to the start leg.
         start_ids = df.select(
-            F.col(f"{left.df_alias}.dt_id").alias("src")
+            F.col(f"{left.df_alias}.{left.key_col}").alias("src")
         ).distinct()
         seeded = base.join(start_ids, "src", "left_semi")
         frontier = seeded
@@ -397,7 +471,7 @@ class CypherCompiler:
         p_alias = self._anon_alias()
         pairs = pairs.alias(p_alias)
         df = df.join(
-            pairs, F.col(f"{p_alias}.src") == F.col(f"{left.df_alias}.dt_id")
+            pairs, F.col(f"{p_alias}.src") == F.col(f"{left.df_alias}.{left.key_col}")
         )
         existing = env.get(node.alias) if node.alias else None
         if existing is not None:
@@ -452,7 +526,7 @@ class CypherCompiler:
             )
         base = base.distinct()
         start_ids = df.select(
-            F.col(f"{left.df_alias}.dt_id").alias("src")
+            F.col(f"{left.df_alias}.{left.key_col}").alias("src")
         ).distinct()
         seeded = base.join(start_ids, "src", "left_semi")
         found = None
@@ -483,7 +557,7 @@ class CypherCompiler:
         p_alias = self._anon_alias()
         pairs = found.alias(p_alias)
         df = df.join(
-            pairs, F.col(f"{p_alias}.src") == F.col(f"{left.df_alias}.dt_id")
+            pairs, F.col(f"{p_alias}.src") == F.col(f"{left.df_alias}.{left.key_col}")
         )
         if path.var:
             col = f"__plen_{path.var}"
@@ -1352,6 +1426,40 @@ def _lit_kind(e: C.Expr) -> str | None:
     if isinstance(e, C.Lit) and e.kind in ("string", "number", "bool"):
         return e.kind
     return None
+
+
+def _cy_conjuncts(e: C.Expr) -> list:
+    if isinstance(e, C.And):
+        out: list = []
+        for item in e.items:
+            out.extend(_cy_conjuncts(item))
+        return out
+    return [e]
+
+
+def _cy_expr_aliases(e, out: set | None = None) -> set:
+    """Variable names an expression references (generic AST walk)."""
+    import dataclasses as _dc
+
+    out = set() if out is None else out
+    if isinstance(e, C.Var):
+        out.add(e.name)
+        return out
+    if isinstance(e, C.Prop):
+        out.add(e.var)
+        return out
+    if _dc.is_dataclass(e) and not isinstance(e, type):
+        for f in _dc.fields(e):
+            v = getattr(e, f.name)
+            items = v if isinstance(v, (list, tuple)) else [v]
+            for item in items:
+                if isinstance(item, tuple):  # Case whens pairs
+                    for sub in item:
+                        if _dc.is_dataclass(sub) and not isinstance(sub, type):
+                            _cy_expr_aliases(sub, out)
+                elif _dc.is_dataclass(item) and not isinstance(item, type):
+                    _cy_expr_aliases(item, out)
+    return out
 
 
 def compile_cypher(store: GraphStore, text: str) -> DataFrame:

@@ -307,3 +307,32 @@ def test_pass_through_hops_eliminate_twin_joins(fixture_client):
     )
     assert _plan(df3, "simple").count("_twins") == 2
     assert df3.count() == 28
+
+
+def test_cypher_anonymous_middle_node_eliminated(fixture_client):
+    """Cypher pass-through: an anonymous, predicate-free middle node
+    must not join the twins table (same FK-elimination as ADT QL)."""
+    df = fixture_client.query_df(
+        "MATCH (o)-[:placedBy]->()-[:locatedIn]->(n) "
+        "RETURN o.`$dtId` AS src, n.`$dtId` AS dst"
+    )
+    plan = _plan(df, "simple")
+    assert plan.count("_twins") == 2, plan  # o + n, middle eliminated
+    assert df.count() > 0
+
+
+def test_cypher_where_pushes_single_alias_predicate_to_scan(fixture_client):
+    """A WHERE conjunct on one fresh alias must filter that alias's
+    SCAN (before any join) — for a promoted-column predicate the filter
+    reaches the parquet scan as a pushed/partition filter instead of
+    running post-join over the full pattern product."""
+    df = fixture_client.query_df(
+        "MATCH (c)-[:locatedIn]->(n) "
+        "WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "RETURN c.`$dtId` AS id, n.`$dtId` AS nid"
+    )
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "Customer" in seg, seg
+    assert df.count() > 0
