@@ -192,6 +192,7 @@ class QueryCompiler:
         self.store = store
         self._twins = store.twins_v()
         self._rels = store.relationships_v()
+        self._rels_in = store.relationships_in_v()
         self._anon = 0
         # (df_alias, path, level) -> injected helper column name; variant
         # navigation and schema introspection are NOT shared by Spark's
@@ -548,8 +549,11 @@ class QueryCompiler:
 
         Equi-joins on promoted key columns — sort-merge/broadcast chosen
         by Catalyst/AQE; the label filter lands in the rel scan
-        (partition pruning on name-partitioned storage)."""
-        rel_df = self._rels
+        (partition pruning on name-partitioned storage).  Reverse hops
+        read the target_id-clustered incoming-edge index when the store
+        carries one (both-endpoint btree parity) so the near-side join
+        is co-located either way."""
+        rel_df = self._rels_in if edge.direction == "<-" else self._rels
         if len(edge.labels) == 1:
             rel_df = rel_df.filter(F.col("name") == edge.labels[0])
         elif len(edge.labels) > 1:

@@ -147,6 +147,12 @@ def _replace(store: GraphStore, **kw) -> GraphStore:
         relationships=kw.get("relationships", store.relationships),
         models=kw.get("models", store.models),
         model_edges=kw.get("model_edges", store.model_edges),
+        # the target_id-clustered index mirrors the base table; any
+        # relationship mutation invalidates it (rebuilt on next
+        # save/load of the bucketed layout)
+        relationships_in=(
+            None if "relationships" in kw else store.relationships_in
+        ),
         _descendants=store._descendants,
     )
 
@@ -351,7 +357,14 @@ def list_relationships(store: GraphStore, dt_id: str, name: str | None = None):
 
 
 def list_incoming_relationships(store: GraphStore, dt_id: str):
-    df = store.relationships.filter(F.col("target_id") == dt_id)
+    # target-keyed point lookup: the incoming-edge index (clustered by
+    # target_id) row-group-skips; the base table would full-scan
+    base = (
+        store.relationships_in
+        if store.relationships_in is not None
+        else store.relationships
+    )
+    df = base.filter(F.col("target_id") == dt_id)
     return [json.loads(r[0]) for r in df.select("doc").collect()]
 
 

@@ -80,6 +80,7 @@ class CypherCompiler:
         self.store = store
         self._twins = store.twins_v()
         self._rels = store.relationships_v()
+        self._rels_in = store.relationships_in_v()
         self._models = self._models_frame(store)
         self._anon = 0
         self._shared: dict[tuple, str] = {}
@@ -309,7 +310,9 @@ class CypherCompiler:
     ) -> tuple[DataFrame, Binding]:
         if edge.var_length is not None:
             return self._var_hop(df, env, left, edge, node)
-        rel_df, rel_kind = self._edge_frame(edge)
+        rel_df, rel_kind = self._edge_frame(
+            edge, incoming=edge.direction == "<-"
+        )
         e_alias = edge.alias or self._anon_alias()
         e = Binding(edge.alias or "", "rel", e_alias)
         if edge.alias:
@@ -373,7 +376,9 @@ class CypherCompiler:
             df = df.join(scan, far == tcol)
         return df, t
 
-    def _edge_frame(self, edge: C.EdgePat) -> tuple[DataFrame, str]:
+    def _edge_frame(
+        self, edge: C.EdgePat, incoming: bool = False
+    ) -> tuple[DataFrame, str]:
         labels = edge.labels
         if labels and set(labels) <= {"_extends", "_hasComponent"}:
             me = self.store.model_edges.select(
@@ -390,7 +395,7 @@ class CypherCompiler:
             else:
                 me = me.filter(F.col("name").isin(labels))
             return me, "model_edge"
-        rel = self._rels
+        rel = self._rels_in if incoming else self._rels
         if len(labels) == 1:
             rel = rel.filter(F.col("name") == labels[0])
         elif len(labels) > 1:

@@ -106,6 +106,14 @@ class GraphStore:
     relationships: DataFrame
     models: DataFrame
     model_edges: DataFrame
+    # Optional INCOMING-edge index: the same relationship rows
+    # clustered by ``target_id`` (the reference keeps btree indexes on
+    # BOTH endpoints, GraphInitialization.cs:13-29).  Reverse hops and
+    # incoming-relationship lookups read this copy exchange-free; it
+    # exists only on loaded bucketed snapshots — mutations invalidate
+    # it (crud._replace sets it back to None) and the next
+    # save/load rebuilds it.
+    relationships_in: DataFrame | None = None
     # model_id -> sorted list of descendants (not incl. self); driver-side
     # copy of the closure for compile-time IS_OF_MODEL expansion.
     _descendants: dict[str, list[str]] = field(default_factory=dict)
@@ -188,6 +196,14 @@ class GraphStore:
         return with_vdoc(self.twins)
 
     def relationships_v(self) -> DataFrame:
+        return with_vdoc(self.relationships)
+
+    def relationships_in_v(self) -> DataFrame:
+        """The incoming-edge index (target_id-clustered) when loaded,
+        else the base table — same rows either way, so callers use it
+        unconditionally for target-keyed access."""
+        if self.relationships_in is not None:
+            return with_vdoc(self.relationships_in)
         return with_vdoc(self.relationships)
 
     def model_and_descendants(self, model_id: str) -> list[str]:
@@ -317,6 +333,18 @@ class GraphStore:
             .sortBy("source_id")
             .saveAsTable(f"{prefix}_relationships")
         )
+        if partitioned:
+            # incoming-edge index: same rows, target_id-clustered
+            (
+                opts(
+                    with_vdoc(self.relationships).write.mode("overwrite")
+                    .partitionBy("name"),
+                    "relationships_in",
+                )
+                .bucketBy(n_buckets, "target_id")
+                .sortBy("target_id")
+                .saveAsTable(f"{prefix}_relationships_in")
+            )
         opts(self.models.write.mode("overwrite"), "models").saveAsTable(
             f"{prefix}_models"
         )
@@ -329,6 +357,8 @@ class GraphStore:
     _BUCKET_SPEC: ClassVar[dict] = {
         "twins": ("dt_id", "model_id"),
         "relationships": ("source_id", "name"),
+        # incoming-edge index; only written by partitioned=True layouts
+        "relationships_in": ("target_id", "name"),
         "models": (None, None),
         "model_edges": (None, None),
     }
@@ -353,10 +383,14 @@ class GraphStore:
         session already knows) and recovers hive partitions, so every
         session sees ``Bucketed: true`` scans over the shared files —
         the local stand-in for a persistent metastore / Delta log."""
+        import os as _os
+
         for sub, (bucket_col, part_col) in cls._BUCKET_SPEC.items():
             table = f"{prefix}_{sub}"
             if spark.catalog.tableExists(table):
                 continue
+            if sub == "relationships_in" and not _os.path.isdir(f"{path}/{sub}"):
+                continue  # older layouts have no incoming index
             df = spark.read.parquet(f"{path}/{sub}")
             if not partitioned:
                 part_col = None
@@ -392,12 +426,16 @@ class GraphStore:
     def load_bucketed(cls, spark: SparkSession, prefix: str) -> "GraphStore":
         """Load a ``save_bucketed`` store; scans report their bucketing
         to Catalyst, so traversal joins plan exchange-free."""
+        rels_in = None
+        if spark.catalog.tableExists(f"{prefix}_relationships_in"):
+            rels_in = spark.table(f"{prefix}_relationships_in")
         return cls(
             spark=spark,
             twins=spark.table(f"{prefix}_twins"),
             relationships=spark.table(f"{prefix}_relationships"),
             models=spark.table(f"{prefix}_models"),
             model_edges=spark.table(f"{prefix}_model_edges"),
+            relationships_in=rels_in,
         )
 
     @classmethod

@@ -37,7 +37,7 @@ _TS = "2026-01-01T00:00:00Z"
 
 # Bump when the TPC-H→graph mapping OR storage layout changes
 # (invalidates caches).
-LOADER_VERSION = 4
+LOADER_VERSION = 5
 
 DEMO_MODELS = [
     {"@id": "dtmi:demo:Entity;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "displayName": "Entity"},
@@ -257,6 +257,10 @@ def load_graph(
         prefix = "graph_" + "".join(
             c if c.isalnum() else "_" for c in f"{tag}_v{LOADER_VERSION}"
         )
+        # layout features participate in the fingerprint: adding a new
+        # index table (e.g. relationships_in) must rebuild a cache whose
+        # SOURCE parquet is unchanged
+        fp = f"{fp};layout=bucketed+in;buckets={_N_BUCKETS}"
         if stale_check(marker):
             GraphStore.drop_bucketed(spark, prefix)
             _build_graph(spark, sf_dir).save_bucketed(

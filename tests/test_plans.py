@@ -336,3 +336,43 @@ def test_cypher_where_pushes_single_alias_predicate_to_scan(fixture_client):
     seg = plan.split("PartitionFilters", 1)[1][:300]
     assert "Customer" in seg, seg
     assert df.count() > 0
+
+
+def test_reverse_hop_reads_incoming_edge_index(fixture_client):
+    """`<-` hops must scan the target_id-clustered incoming-edge index
+    (both-endpoint btree parity, GraphInitialization.cs:13-29) so the
+    near-side key is the clustered one; results match the forward
+    formulation."""
+    store = fixture_client.store
+    assert store.relationships_in is not None  # bucketed load carries it
+    rev = fixture_client.query_df(
+        "SELECT N.$dtId AS nid, C.$dtId AS cid FROM DIGITALTWINS "
+        "MATCH (N)<-[R:locatedIn]-(C) WHERE N.$dtId = 'nation-0'"
+    )
+    plan = _plan(rev, "simple")
+    assert "relationships_in" in plan, plan
+    fwd = fixture_client.query_df(
+        "SELECT N.$dtId AS nid, C.$dtId AS cid FROM DIGITALTWINS "
+        "MATCH (C)-[R:locatedIn]->(N) WHERE N.$dtId = 'nation-0'"
+    )
+    assert sorted(r["cid"] for r in rev.collect()) == sorted(
+        r["cid"] for r in fwd.collect()
+    )
+
+
+def test_incoming_index_invalidated_by_mutation(fixture_client, spark):
+    """A relationship mutation must drop the stale incoming index; the
+    lookup falls back to the base table and stays correct."""
+    import pg_age_digitaltwins_spark.crud as crud
+
+    store = fixture_client.store
+    assert store.relationships_in is not None
+    before = crud.list_incoming_relationships(store, "nation-0")
+    mutated = crud._replace(
+        store, relationships=store.relationships.limit(1000000)
+    )
+    assert mutated.relationships_in is None
+    # twins-only mutation keeps the index
+    kept = crud._replace(store, twins=store.twins)
+    assert kept.relationships_in is not None
+    assert len(before) > 0
