@@ -424,7 +424,6 @@ class QueryCompiler:
         property present — everything is potentially read).  Anonymous
         hop targets are always eliminable."""
         hard: set[str] = set()
-        soft: set[str] = set()
         universe: set[str] = set()  # every referenceable alias
         candidates: set[str] = set()  # named hop targets (eliminable)
         if query.source == "relationships":
@@ -450,9 +449,10 @@ class QueryCompiler:
             if isinstance(e, A.PropRef):
                 head = e.path[0] if e.path else None
                 if head in universe:
-                    if len(e.path) == 2 and e.path[1] == "$dtId":
-                        soft.add(head)
-                    else:
+                    # $dtId-only references are SOFT — they ride the
+                    # adjacent edge's key column and don't block
+                    # elimination; anything else reads the document
+                    if not (len(e.path) == 2 and e.path[1] == "$dtId"):
                         hard.add(head)
                 else:
                     hard.add("*")  # unqualified/other — be conservative
@@ -484,9 +484,9 @@ class QueryCompiler:
                 walk(p.expr)
         if query.where is not None:
             walk(query.where)
-        for j in query.joins:
-            soft.add(j.source_alias)  # anchor needs the key only
-        # an alias with scan-pushed predicates keeps its scan
+        # JOIN RELATED source anchors need only the key — soft, like
+        # $dtId references: they never block elimination.
+        # An alias with scan-pushed predicates keeps its scan
         hard.update(self._scan_preds)
         if "*" in hard:
             return None

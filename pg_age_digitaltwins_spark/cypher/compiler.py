@@ -183,24 +183,37 @@ class CypherCompiler:
         if node.alias:
             env[node.alias] = b
         scan = frame.alias(alias)
+        # a pushed-down WHERE conjunct bounds the side like a prop map
+        # (capture BEFORE _apply_scan_preds pops the entry)
+        anchored = bool(node.props) or bool(
+            node.alias and node.alias in self._scan_preds
+        )
         scan_df = self._apply_node_props_scan(scan, alias, kind, node)
         scan_df = self._apply_scan_preds(scan_df, node.alias, b)
         if df is None:
+            if kind == "twin" and not anchored:
+                self._frame_bounded = False
             return scan_df, b
         if (
             self.cartesian_guard
             and kind == "twin"
-            and not node.props
+            and not anchored
             and not self._frame_bounded
         ):
             raise CypherCompileError(
                 f"disconnected pattern ({node.alias or '...'}) starts a "
                 "cartesian product over the full twin set; anchor it "
-                "with a property map (e.g. (b {`$dtId`: ...})), connect "
-                "it to the bound pattern, or set "
-                "CypherCompiler.cartesian_guard = False for an "
+                "with a property map (e.g. (b {`$dtId`: ...})) or a "
+                "WHERE filter on it, connect it to the bound pattern, "
+                "or set CypherCompiler.cartesian_guard = False for an "
                 "intentional full-graph product"
             )
+        if kind == "twin" and not anchored:
+            # an unrestricted twin scan makes the accumulated frame
+            # unbounded again — a later disconnected pattern in the
+            # SAME query must re-trip the guard even after a 1-row
+            # WITH aggregate
+            self._frame_bounded = False
         self.cartesian_products += 1
         return df.crossJoin(scan_df), b
 
@@ -1044,13 +1057,18 @@ class CypherCompiler:
             # 1-based.  Negative start/length (an error in Neo4j) maps
             # to null here — never to substr's wrap-around garbage.
             s = self._operand(e.args[0], env, "string")
-            start0 = self._operand(e.args[1], env, "number").cast("int")
-            # start0 + 1 at Int.MaxValue would overflow (a THROW under
-            # ANSI mode) — pathological starts null out like negatives.
-            in_range = (start0 >= 0) & (start0 < F.lit(2147483647))
+            # Guard in LONG space before narrowing: a plain .cast("int")
+            # on a start ≥ 2^31 (or start0+1 at Int.MaxValue) THROWS
+            # under ANSI mode before any when() can catch it —
+            # pathological starts must null out like negatives.
+            start_l = self._operand(e.args[1], env, "number").try_cast("long")
+            in_range = (start_l >= 0) & (start_l < F.lit(2147483647))
+            start0 = F.when(in_range, start_l).otherwise(F.lit(0)).cast("int")
             if len(e.args) > 2:
-                ln = self._operand(e.args[2], env, "number").cast("int")
-                return F.when(in_range & (ln >= 0), s.substr(start0 + 1, ln))
+                ln_l = self._operand(e.args[2], env, "number").try_cast("long")
+                ln_ok = (ln_l >= 0) & (ln_l <= F.lit(2147483647))
+                ln = F.when(ln_ok, ln_l).otherwise(F.lit(0)).cast("int")
+                return F.when(in_range & ln_ok, s.substr(start0 + 1, ln))
             return F.when(in_range, s.substr(start0 + 1, F.lit(2147483647)))
         if n == "replace":
             return F.replace(

@@ -634,6 +634,13 @@ def commit_with_retry(
     raise last
 
 
+class _NothingToMerge(Exception):
+    """merge_rows rebase: no rows matched and none to insert."""
+
+    def __init__(self, version: int):
+        self.version = version
+
+
 def _stamp_etag(doc: dict) -> dict:
     if not doc.get("$etag"):
         doc = dict(doc)
@@ -688,14 +695,50 @@ def merge_rows(
     ts = timestamp or datetime.now(timezone.utc).isoformat(timespec="milliseconds")
     twin_up = [_stamp_etag(_as_doc(d)) for d in twin_upserts]
     rel_up = [_stamp_etag(_as_doc(d)) for d in rel_upserts]
-    twin_del = list(twin_deletes)
+    # Delta MERGE raises when the source matches a target row more than
+    # once; duplicate upsert keys here would union TWO rows under one
+    # primary key, breaking the key invariant join elimination relies on
+    dup_t = {k for k in (d["$dtId"] for d in twin_up)
+             if sum(1 for d in twin_up if d["$dtId"] == k) > 1}
+    if dup_t:
+        raise ValueError(f"duplicate $dtId in twin_upserts: {sorted(dup_t)}")
+    rkeys_up = [(d["$sourceId"], d["$relationshipId"]) for d in rel_up]
+    dup_r = {k for k in rkeys_up if rkeys_up.count(k) > 1}
+    if dup_r:
+        raise ValueError(
+            f"duplicate (source_id, relationship_id) in rel_upserts: {sorted(dup_r)}"
+        )
+    # a key both upserted and deleted: the upsert wins and no Delete
+    # event is emitted (the row survives — CDC must not see a deletion)
+    up_t_keys = {d["$dtId"] for d in twin_up}
+    twin_del = [k for k in twin_deletes if k not in up_t_keys]
     rel_del = [
         (k if isinstance(k, (tuple, list)) else (None, k)) for k in rel_deletes
+    ]
+    up_r_keys = set(rkeys_up)
+    rel_del = [
+        (s, r) for s, r in rel_del
+        if not any((s is None or s == us) and r == ur for us, ur in up_r_keys)
     ]
 
     def rebase(store: GraphStore | None, base: int):
         if store is None:
+            if not (twin_up or rel_up):
+                # delete-only merge on an empty log: nothing to do —
+                # don't write a pointless empty snapshot as version 1
+                raise _NothingToMerge(base)
             # Empty log: every upsert is an insert, deletes are no-ops.
+            # Referential integrity holds from the first version: every
+            # relationship endpoint must be among the inserted twins.
+            ids = {d["$dtId"] for d in twin_up}
+            missing = sorted(
+                ({d["$sourceId"] for d in rel_up}
+                 | {d["$targetId"] for d in rel_up}) - ids
+            )
+            if missing:
+                raise ValueError(
+                    f"rel_upserts reference missing twins {missing}"
+                )
             fresh = GraphStore.empty(spark)
             fresh.twins = spark.createDataFrame(
                 [_twin_row(d) for d in twin_up], TWIN_SCHEMA
@@ -817,8 +860,48 @@ def merge_rows(
                 changed["relationships"] = sorted(rparts)
 
         if not changed:
-            # nothing matched and nothing to insert — commit nothing
-            return store, None, events or None
+            # nothing matched and nothing to insert — a no-op MERGE
+            # commits NOTHING (committing here would write a pointless
+            # full snapshot)
+            raise _NothingToMerge(base)
+
+        # Referential integrity: the query compilers' join elimination
+        # is justified by "every edge endpoint exists" (the CRUD delete
+        # guard / import endpoint validation).  A storage-level MERGE
+        # must uphold the same invariant or eliminated plans would
+        # return phantom rows for dangling edges.
+        if twin_del:
+            dangling = (
+                new_rels.filter(
+                    F.col("source_id").isin(twin_del)
+                    | F.col("target_id").isin(twin_del)
+                )
+                .select("relationship_id")
+                .limit(5)
+                .collect()
+            )
+            if dangling:
+                raise ValueError(
+                    "twin_deletes would orphan relationships "
+                    f"{sorted(r[0] for r in dangling)}; delete or "
+                    "re-point the edges in the same merge"
+                )
+        if rel_up:
+            endpoints = sorted(
+                {d["$sourceId"] for d in rel_up}
+                | {d["$targetId"] for d in rel_up}
+            )
+            present = {
+                r[0]
+                for r in new_twins.filter(F.col("dt_id").isin(endpoints))
+                .select("dt_id")
+                .collect()
+            }
+            missing = [e for e in endpoints if e not in present]
+            if missing:
+                raise ValueError(
+                    f"rel_upserts reference missing twins {missing}"
+                )
 
         out = GraphStore(
             spark=spark,
@@ -829,9 +912,14 @@ def merge_rows(
         )
         return out, changed, events or None
 
-    return commit_with_retry(
-        spark, root, rebase, max_attempts=max_attempts, writer=writer
-    )
+    if not (twin_up or rel_up or twin_del or rel_del):
+        return CommitLog(root).latest_version()
+    try:
+        return commit_with_retry(
+            spark, root, rebase, max_attempts=max_attempts, writer=writer
+        )
+    except _NothingToMerge as noop:
+        return noop.version
 
 
 def _as_doc(d) -> dict:

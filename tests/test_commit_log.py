@@ -605,3 +605,103 @@ def test_commit_with_retry_gives_up_after_max_attempts(spark, tmp_path):
 
     with pytest.raises(CommitConflict):
         commit_with_retry(spark, root, rebase, max_attempts=2)
+
+
+def test_merge_rows_noop_commits_nothing(spark, tmp_path):
+    """All-unmatched deletes / empty inputs: no new version, no
+    pointless full-snapshot rewrite."""
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(_store(spark, 2), root)
+    assert merge_rows(spark, root) == 1
+    assert merge_rows(spark, root, twin_deletes=["nope"], rel_deletes=["r9"]) == 1
+    assert CommitLog(root).latest_version() == 1
+
+
+def test_merge_rows_duplicate_upsert_keys_rejected(spark, tmp_path):
+    """Delta MERGE raises on multiple source matches; duplicate upsert
+    keys would union two rows under one primary key."""
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(_store(spark, 2), root)
+    with pytest.raises(ValueError, match="duplicate \\$dtId"):
+        merge_rows(spark, root, twin_upserts=[_twin(0), dict(_twin(0), x=9)])
+    with pytest.raises(ValueError, match="duplicate \\(source_id"):
+        merge_rows(
+            spark, root,
+            rel_upserts=[
+                {"$relationshipId": "r", "$sourceId": "t0", "$targetId": "t1",
+                 "$relationshipName": "n"},
+                {"$relationshipId": "r", "$sourceId": "t0", "$targetId": "t1",
+                 "$relationshipName": "n", "w": 1},
+            ],
+        )
+
+
+def test_merge_rows_upsert_wins_over_delete_no_phantom_delete_event(spark, tmp_path):
+    """A key in both upserts and deletes: the row survives, so CDC must
+    see an Update — never a Delete."""
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(_store(spark, 2), root)
+    merge_rows(
+        spark, root,
+        twin_upserts=[dict(_twin(0), x=77)], twin_deletes=["t0"],
+    )
+    store, _ = load_latest(spark, root)
+    rows = {r["dt_id"] for r in store.twins.collect()}
+    assert "t0" in rows
+    ch = read_changes_since(spark, root, after_version=1).collect()
+    assert [c["event_type"] for c in ch if c["entity_id"] == "t0"] == ["Update"]
+
+
+def test_merge_rows_enforces_referential_integrity(spark, tmp_path):
+    """The compilers' join elimination relies on 'every edge endpoint
+    exists'; a storage-level MERGE must uphold it: deleting a twin with
+    edges or inserting a dangling edge is rejected."""
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+
+    root = str(tmp_path / "tbl")
+    store = GraphStore.from_documents(
+        spark,
+        twin_docs=[_twin(0), _twin(1)],
+        relationship_docs=[
+            {"$relationshipId": "r1", "$sourceId": "t0", "$targetId": "t1",
+             "$relationshipName": "n"},
+        ],
+        model_docs=MODELS,
+    )
+    commit_snapshot(store, root)
+    with pytest.raises(ValueError, match="orphan relationships"):
+        merge_rows(spark, root, twin_deletes=["t1"])
+    with pytest.raises(ValueError, match="missing twins"):
+        merge_rows(
+            spark, root,
+            rel_upserts=[{"$relationshipId": "r2", "$sourceId": "t0",
+                          "$targetId": "ghost", "$relationshipName": "n"}],
+        )
+    # deleting the edge and its endpoint in the SAME merge is legal
+    v = merge_rows(spark, root, twin_deletes=["t1"], rel_deletes=["r1"])
+    loaded, _ = load_latest(spark, root)
+    assert [r["dt_id"] for r in loaded.twins.collect()] == ["t0"]
+    assert loaded.relationships.count() == 0
+    # empty-log bootstrap validates endpoints too
+    root2 = str(tmp_path / "tbl2")
+    with pytest.raises(ValueError, match="missing twins"):
+        merge_rows(
+            spark, root2,
+            twin_upserts=[_twin(0)],
+            rel_upserts=[{"$relationshipId": "r", "$sourceId": "t0",
+                          "$targetId": "nope", "$relationshipName": "n"}],
+        )
+
+
+def test_merge_rows_delete_only_on_empty_log_is_noop(spark, tmp_path):
+    from pg_age_digitaltwins_spark.store.commit_log import CommitLog, merge_rows
+
+    root = str(tmp_path / "tbl")
+    assert merge_rows(spark, root, twin_deletes=["nope"]) == 0
+    assert CommitLog(root).latest_version() == 0

@@ -967,3 +967,52 @@ def test_disconnected_match_unbounded_side_rejected(fixture_store):
     )
     assert getattr(df, "_pgage_cartesians", 0) == 0
     assert df.count() == 1  # root2 -has-> b1 -has-> x
+
+
+def test_cartesian_guard_retrips_after_bounded_with(fixture_store):
+    """A 1-row WITH aggregate legitimizes ONE following disconnected
+    scan, but binding that unrestricted scan makes the frame unbounded
+    again — a second disconnected pattern must re-trip the guard."""
+    from pg_age_digitaltwins_spark.cypher import compile_cypher
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    # one unrestricted scan after the aggregate: legal (plain scan)
+    df = compile_cypher(
+        fixture_store,
+        "MATCH (x) WITH count(x) AS total MATCH (m) "
+        "RETURN total, count(m) AS n",
+    )
+    [r] = df.collect()
+    assert (r["total"], r["n"]) == (13, 13)
+    with pytest.raises(CypherCompileError, match="cartesian"):
+        compile_cypher(
+            fixture_store,
+            "MATCH (x) WITH count(x) AS total MATCH (a), (b) "
+            "RETURN total, count(a) AS n",
+        )
+
+
+def test_cartesian_guard_accepts_where_anchored_side(fixture_store):
+    """A disconnected side bounded by a pushed-down WHERE conjunct is
+    as anchored as a prop map — it must compile."""
+    from pg_age_digitaltwins_spark.cypher import compile_cypher
+
+    df = compile_cypher(
+        fixture_store,
+        "MATCH (a {`$dtId`: 'room1'}), (b) WHERE b.`$dtId` = 'room2' "
+        "RETURN a.name AS an, b.name AS bn",
+    )
+    [r] = [x.asDict() for x in df.collect()]
+    assert (r["an"], r["bn"]) == ("Room 1", "Room 2")
+
+
+def test_substring_beyond_int_range_is_null(fixture_store):
+    """start/length above Int.MaxValue must null out, not throw in the
+    int narrowing before the guard."""
+    [r] = rows(
+        fixture_store,
+        "MATCH (t {`$dtId`: 'room1'}) RETURN "
+        "substring(t.name, 2147483648) AS a, "
+        "substring(t.name, 0, 3000000000) AS b",
+    )
+    assert r["a"] is None and r["b"] is None
