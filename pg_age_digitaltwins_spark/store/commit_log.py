@@ -939,3 +939,29 @@ def _merge_event(
         event_type=event_type,
         timestamp=ts,
     )
+
+
+def compact_table(
+    spark: SparkSession, root: str, vacuum_keep_last: int | None = None
+) -> int:
+    """OPTIMIZE for the commit log: rewrite the latest version as one
+    full snapshot commit (with conflict retry), optionally vacuuming
+    history.
+
+    Copy-on-write commits accumulate per-partition references across
+    snapshot directories — the read path unions one branch per
+    contributing version.  A periodic compaction (every few hundred
+    commits, Delta's OPTIMIZE cadence) resets that union width to 1 and
+    lets ``vacuum`` reclaim every superseded partial snapshot.  Emits
+    no change events: compaction is a physical rewrite, invisible to
+    CDC consumers."""
+
+    def rebase(store: GraphStore | None, base: int):
+        if store is None:
+            raise FileNotFoundError(f"no commits under {root}")
+        return store, None, None
+
+    version = commit_with_retry(spark, root, rebase, writer="compact")
+    if vacuum_keep_last is not None:
+        vacuum(root, keep_last=vacuum_keep_last)
+    return version

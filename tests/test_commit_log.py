@@ -705,3 +705,33 @@ def test_merge_rows_delete_only_on_empty_log_is_noop(spark, tmp_path):
     root = str(tmp_path / "tbl")
     assert merge_rows(spark, root, twin_deletes=["nope"]) == 0
     assert CommitLog(root).latest_version() == 0
+
+
+def test_compact_table_resets_cow_chain_and_vacuums(spark, tmp_path):
+    """After several COW commits the read path unions refs across
+    snapshot dirs; compaction rewrites one full snapshot (no change
+    events — invisible to CDC) and vacuum reclaims the partials."""
+    import os
+
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        commit_cow,
+        compact_table,
+        merge_rows,
+    )
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(_multi_store(spark), root)
+    merge_rows(spark, root, twin_upserts=[dict(_twin(0), x=10)])
+    merge_rows(spark, root, twin_upserts=[dict(_twin(1), x=11)])
+    n_events_before = read_changes_since(spark, root).count()
+    v = compact_table(spark, root, vacuum_keep_last=1)
+    assert v == 4
+    m = CommitLog(root).manifest(v)
+    assert m["data_dir"] is not None  # one self-contained snapshot
+    store, _ = load_latest(spark, root)
+    docs = {r["dt_id"]: r["doc"] for r in store.twins.collect()}
+    assert '"x":10' in docs["t0"] and '"x":11' in docs["t1"]
+    # compaction emitted no change events; older batches vacuumed
+    assert read_changes_since(spark, root).count() <= n_events_before
+    snaps = os.listdir(os.path.join(root, "data"))
+    assert len(snaps) == 1  # superseded partials reclaimed
