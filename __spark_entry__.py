@@ -845,6 +845,136 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_large_orders"] = _large_orders
     q["tpch_volume_shipping"] = _volume_shipping
     q["tpch_dormant_customers"] = _dormant_customers
+
+    def _waiting_orders(spark, sf_dir):
+        # TPC-H Q21 shape (adapted: returnflag='R' stands in for the
+        # missing receipt>commit columns): suppliers who are the ONLY
+        # 'R' supplier in a multi-supplier order.  EXISTS → left_semi,
+        # NOT EXISTS → left_anti — the same correlated-subquery join
+        # shapes as Q21; the lineitem self-joins shuffle on l_orderkey
+        # once and reuse that partitioning; supplier dim broadcasts.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+        l1 = (
+            li.filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey", "l_suppkey")
+            .distinct()
+            .alias("l1")
+        )
+        l2 = li.select("l_orderkey", "l_suppkey").distinct().alias("l2")
+        ex = l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        l3 = (
+            li.filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey", "l_suppkey")
+            .distinct()
+            .alias("l3")
+        )
+        waiting = ex.alias("w").join(
+            l3,
+            (F.col("w.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("w.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        return (
+            waiting.join(
+                F.broadcast(t["supplier"]),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+            )
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name"))
+            .limit(20)
+        )
+
+    def _supplier_cnt(spark, sf_dir):
+        # TPC-H Q16 shape: distinct-supplier count per (brand, size),
+        # excluding a NOT-IN supplier subset — the anti-join +
+        # count(DISTINCT) plan; the excluded-supplier side broadcasts.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        part_f = t["part"].filter(F.col("p_size").isin(1, 15, 25, 45))
+        bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+        return (
+            t["lineitem"]
+            .join(part_f, F.col("l_partkey") == F.col("p_partkey"))
+            .join(
+                F.broadcast(bad),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti",
+            )
+            .groupBy("p_brand", "p_size")
+            .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        )
+
+    def _min_cost_supplier(spark, sf_dir):
+        # TPC-H Q2 shape: per-part minimum-cost supplier via
+        # aggregate-then-join-back (the correlated MIN subquery).  The
+        # per-(part,supplier) MIN and the per-part MIN reuse one
+        # l_partkey shuffle; part dim is filtered before the join so
+        # only size-1 parts flow.  Equality join on the MIN is exact:
+        # both sides carry the same stored double.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        part_f = t["part"].filter(F.col("p_size") == 1).select("p_partkey", "p_name")
+        cost = (
+            t["lineitem"]
+            .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("l_partkey", "p_name", "l_suppkey")
+            .agg(F.min("l_extendedprice").alias("minp"))
+        )
+        best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+            F.min("minp").alias("best_price")
+        )
+        return (
+            cost.join(
+                best,
+                (F.col("l_partkey") == F.col("b_partkey"))
+                & (F.col("minp") == F.col("best_price")),
+            )
+            .join(
+                F.broadcast(t["supplier"]),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+            )
+            .select(
+                "p_name",
+                "s_name",
+                F.round(F.col("minp") * 100).cast("bigint").alias("price_cents"),
+            )
+        )
+
+    def _top_users_per_type(spark, sf_dir):
+        # Window-rank shape: top-3 users by event count per type —
+        # groupBy partial-aggregates map-side, the window reuses the
+        # event_type partitioning for rank.
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        t = _tables(spark, sf_dir)
+        counts = t["events"].groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("cnt").desc(), F.col("user_id")
+        )
+        return (
+            counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("event_type", "user_id", "cnt", "rnk")
+        )
+
+    q["tpch_waiting_orders"] = _waiting_orders
+    q["tpch_supplier_cnt"] = _supplier_cnt
+    q["tpch_min_cost_supplier"] = _min_cost_supplier
+    q["events_top_users_per_type"] = _top_users_per_type
     return q
 
 
@@ -1349,6 +1479,41 @@ def oracle_sql() -> dict[str, str]:
     o["embed_ann_recall"] = (
         "SELECT 'ivf' AS method, true AS meets_floor "
         "UNION ALL SELECT 'lsh', true"
+    )
+    o["tpch_waiting_orders"] = (
+        "WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem "
+        "WHERE l_returnflag = 'R') "
+        "SELECT s_name, count(*) AS numwait FROM l1 "
+        "JOIN supplier ON l1.l_suppkey = s_suppkey "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+    )
+    o["tpch_supplier_cnt"] = (
+        "SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_size IN (1, 15, 25, 45) "
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY p_brand, p_size"
+    )
+    o["tpch_min_cost_supplier"] = (
+        "WITH cost AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS minp "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size = 1 "
+        "GROUP BY l_partkey, l_suppkey), "
+        "best AS (SELECT l_partkey, min(minp) AS best_price FROM cost GROUP BY l_partkey) "
+        "SELECT p_name, s_name, CAST(round(minp * 100) AS BIGINT) AS price_cents "
+        "FROM cost JOIN best ON cost.l_partkey = best.l_partkey AND minp = best_price "
+        "JOIN part ON cost.l_partkey = p_partkey "
+        "JOIN supplier ON cost.l_suppkey = s_suppkey"
+    )
+    o["events_top_users_per_type"] = (
+        "SELECT event_type, user_id, cnt, CAST(rnk AS INT) AS rnk FROM ("
+        "SELECT event_type, user_id, count(*) AS cnt, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY count(*) DESC, user_id) AS rnk "
+        "FROM events GROUP BY event_type, user_id) WHERE rnk <= 3"
     )
     o["multimodal_meta"] = (
         "SELECT 'media-' || doc_id AS media_id, "

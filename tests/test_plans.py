@@ -376,3 +376,28 @@ def test_incoming_index_invalidated_by_mutation(fixture_client, spark):
     kept = crud._replace(store, twins=store.twins)
     assert kept.relationships_in is not None
     assert len(before) > 0
+
+
+def test_waiting_orders_compiles_semi_and_anti_joins(spark):
+    """Q21 shape: EXISTS → LeftSemi, NOT EXISTS → LeftAnti — never a
+    count-based rewrite that would materialize per-order supplier
+    lists."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["tpch_waiting_orders"](spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert df.count() > 0
+
+
+def test_supplier_cnt_broadcasts_not_in_side(spark):
+    """Q16 shape: the excluded-supplier set is dimension-sized and must
+    broadcast into the anti join — the fact side never shuffles for the
+    exclusion."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["tpch_supplier_cnt"](spark, SF_DIR)
+    plan = _plan(df, "simple")
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
