@@ -285,10 +285,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         st = _store(s, d)
         return pagerank(st.twins, st.relationships, iters=5)
 
+    def _scc(s, d):
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            strongly_connected_components,
+        )
+
+        st = _store(s, d)
+        return strongly_connected_components(st.twins, st.relationships)
+
     # Iterative whole-graph programs — oracled as unrolled-iteration
     # DuckDB CTE chains (_cc_oracle / _pagerank_oracle)
     q["graph_connected_components"] = _cc
     q["graph_pagerank"] = _pr
+    # The twin graph is a DAG (order→cust→nation→region), so every SCC
+    # is a singleton — the oracle pins that; cycle behavior is carried
+    # by the crafted-graph pytest suite (like clustering coefficient).
+    q["graph_scc"] = _scc
 
     def _degrees(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import (
@@ -1275,6 +1287,9 @@ def oracle_sql() -> dict[str, str]:
         "FROM nation GROUP BY n_regionkey"
     )
     o["graph_connected_components"] = _cc_oracle()
+    o["graph_scc"] = (
+        f"SELECT dt_id, dt_id AS scc FROM ({_ALL_TWIN_IDS})"
+    )
     o["graph_pagerank"] = _pagerank_oracle()
     o["graph_degree_distribution"] = (
         f"WITH edges AS ({_EDGES_SQL}), "

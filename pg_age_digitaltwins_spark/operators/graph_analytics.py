@@ -336,3 +336,105 @@ def global_clustering_coefficient(relationships: DataFrame) -> DataFrame:
             3.0 * F.col("n_triangles") / F.col("n_triads"), 6
         ).alias("clustering_coefficient"),
     )
+
+
+def _min_propagate(
+    verts: DataFrame, edges: DataFrame, forward: bool, max_iters: int
+) -> DataFrame:
+    """(dt_id, m) — min vertex id that can reach ``dt_id`` along edge
+    direction (``forward=True``) or that ``dt_id`` can reach
+    (``forward=False``).  Directed min-label propagation, same superstep
+    shape as ``connected_components``."""
+    src, dst = ("source_id", "target_id") if forward else ("target_id", "source_id")
+    labels = verts.select("dt_id", F.col("dt_id").alias("m"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges[src] == labels["dt_id"])
+            .groupBy(F.col(dst).alias("dt_id"))
+            .agg(F.min("m").alias("n_m"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "dt_id", "left")
+            .select(
+                "dt_id",
+                F.least(F.col("m"), F.coalesce(F.col("n_m"), F.col("m"))).alias("m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "dt_id")
+            .filter(F.col("n.m") != F.col("o.m"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+def strongly_connected_components(
+    twins: DataFrame,
+    relationships: DataFrame,
+    max_rounds: int = 8,
+    max_iters: int = 20,
+) -> DataFrame:
+    """(dt_id, scc) — SCC id = min twin id in the component, over the
+    DIRECTED edge set.
+
+    Forward-backward min-label coloring with peeling (the superstep
+    adaptation of FW-BW-Trim): per round, compute fwd(v) = min id
+    reaching v and bwd(v) = min id reachable from v; vertices with
+    fwd(v)==bwd(v)==c are exactly c's SCC (c reaches v and v reaches
+    c), settle them, peel their vertices/edges, repeat.  Every round
+    settles at least the SCC of the smallest remaining id, so rounds ≤
+    number of "pivot chains"; each fwd/bwd pass is O(diameter)
+    supersteps with per-superstep ``localCheckpoint`` lineage cuts —
+    the same 100 TB shape as the other iterative operators.  Raises
+    after ``max_rounds`` without convergence instead of mislabeling
+    the remainder."""
+    verts = twins.select("dt_id")
+    edges = (
+        relationships.select("source_id", "target_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    remaining = verts.localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for _ in range(max_rounds):
+        if not remaining.take(1):
+            break
+        e = (
+            edges.join(
+                remaining.withColumnRenamed("dt_id", "source_id"),
+                "source_id",
+                "left_semi",
+            )
+            .join(
+                remaining.withColumnRenamed("dt_id", "target_id"),
+                "target_id",
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        fwd = _min_propagate(remaining, e, True, max_iters)
+        bwd = _min_propagate(remaining, e, False, max_iters)
+        settled = (
+            fwd.alias("f")
+            .join(bwd.alias("b"), "dt_id")
+            .filter(F.col("f.m") == F.col("b.m"))
+            .select("dt_id", F.col("f.m").alias("scc"))
+        )
+        out = settled if out is None else out.unionByName(settled)
+        out = out.localCheckpoint(eager=True)
+        remaining = remaining.join(settled, "dt_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+    else:
+        if remaining.take(1):  # pragma: no cover — pathological chains
+            raise RuntimeError(
+                f"SCC did not converge in {max_rounds} rounds; raise max_rounds"
+            )
+    return out if out is not None else verts.select(
+        "dt_id", F.col("dt_id").alias("scc")
+    )

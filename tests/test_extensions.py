@@ -846,3 +846,57 @@ def test_ann_recall_gate(embeddings):
     for m, r in rows.items():
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert r["meets_floor"], f"{m} recall {r['recall_at_k']} below floor"
+
+
+# ----------------------------------------------------------------------
+# strongly connected components (crafted graphs carry correctness — the
+# fixture twin graph is a DAG, all singletons)
+# ----------------------------------------------------------------------
+
+def _scc_of(spark, edges, nodes):
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        strongly_connected_components,
+    )
+
+    twins = spark.createDataFrame([(n,) for n in nodes], "dt_id string")
+    rels = spark.createDataFrame(
+        [(f"r{i}", s, t, "e") for i, (s, t) in enumerate(edges)],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    return {
+        r["dt_id"]: r["scc"]
+        for r in strongly_connected_components(twins, rels).collect()
+    }
+
+
+def test_scc_two_cycles_one_way_bridge(spark):
+    """a→b→c→a and x→y→x, bridge c→x: two SCCs, direction respected."""
+    got = _scc_of(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "x"), ("c", "x")],
+        ["a", "b", "c", "x", "y"],
+    )
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_scc_figure_eight_and_dag_tail(spark):
+    """Two cycles sharing node m form ONE SCC; a DAG tail stays
+    singleton."""
+    got = _scc_of(
+        spark,
+        [("m", "p"), ("p", "m"), ("m", "q"), ("q", "m"), ("q", "z")],
+        ["m", "p", "q", "z"],
+    )
+    assert got == {"m": "m", "p": "m", "q": "m", "z": "z"}
+
+
+def test_scc_directed_path_is_all_singletons(spark):
+    got = _scc_of(spark, [("a", "b"), ("b", "c")], ["a", "b", "c"])
+    assert got == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_scc_peeling_settles_blocked_cycle(spark):
+    """A cycle fed by a smaller-id ancestor (fwd≠bwd in round 1) must
+    settle via peeling, not mislabel: a→(x→y→x)."""
+    got = _scc_of(spark, [("a", "x"), ("x", "y"), ("y", "x")], ["a", "x", "y"])
+    assert got == {"a": "a", "x": "x", "y": "x"}
