@@ -420,6 +420,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sample_kfold_counts"] = _kfold
+
+    def _wres(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.sampling import weighted_reservoir
+
+        docs = _tables(s, d)["documents"].withColumn("w", F.length("text"))
+        return weighted_reservoir(
+            docs, "doc_id", "w", k=5, strata_col="lang"
+        ).select("lang", "doc_id", "rnk")
+
+    q["sample_weighted_reservoir"] = _wres
     q["text_quality"] = lambda s, d: text.quality_scores(_tables(s, d)["documents"])
     q["text_lang_id"] = lambda s, d: text.lang_id(_tables(s, d)["documents"])
     q["text_fingerprints"] = lambda s, d: text.fingerprints(_tables(s, d)["documents"])
@@ -1397,6 +1409,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(CAST(('0x' || substr(md5('fold' || '|' || CAST(doc_id AS VARCHAR)), 1, 4)) "
         "AS INTEGER) % 5 AS INT) AS fold, count(*) AS n "
         "FROM documents GROUP BY fold"
+    )
+    o["sample_weighted_reservoir"] = (
+        "SELECT lang, doc_id, CAST(rnk AS INT) AS rnk FROM ("
+        "SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY ln((CAST(('0x' || substr(md5('wres' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) + 1) / 4294967296.0) / CAST(length(text) AS DOUBLE) DESC, doc_id) AS rnk "
+        "FROM documents WHERE length(text) > 0) WHERE rnk <= 5"
     )
     o["text_token_counts"] = (
         f"SELECT doc_id, CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens, "

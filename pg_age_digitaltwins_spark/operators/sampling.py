@@ -90,3 +90,51 @@ def kfold_assign(
     return df.withColumn(
         "fold", (F.conv(b, 16, 10).cast("int") % F.lit(k)).cast("int")
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int = 5,
+    strata_col: str | None = None,
+    salt: str = "wres",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (per stratum
+    when ``strata_col`` is given): the Efraimidis–Spirakis A-ES scheme
+    with the uniform drawn from md5, not a RNG.
+
+    Each row gets u ∈ (0,1] from its key hash and priority
+    ``ln(u)/w`` (monotone with u^(1/w)); the top-k priorities are the
+    weighted sample.  P(selected) ∝ weight, and the same three
+    properties as the rest of this module hold: stable under re-runs
+    and repartitioning, portable to any engine with md5 (the DuckDB
+    oracle replays the formula verbatim), and coordination-free — the
+    only shuffle is the per-stratum top-k window.  Rows with null or
+    non-positive weight are excluded (a zero weight has zero selection
+    probability; A-ES is undefined there)."""
+    from pyspark.sql.window import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    score = F.log(u) / w.cast("double")
+    part = [strata_col] if strata_col else []
+    win = Window.partitionBy(*part).orderBy(
+        F.col("__wr_score").desc(), F.col(key_col)
+    )
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__wr_score", score)
+        .withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .drop("__wr_score")
+    )

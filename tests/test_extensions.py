@@ -900,3 +900,26 @@ def test_scc_peeling_settles_blocked_cycle(spark):
     settle via peeling, not mislabel: a→(x→y→x)."""
     got = _scc_of(spark, [("a", "x"), ("x", "y"), ("y", "x")], ["a", "x", "y"])
     assert got == {"a": "a", "x": "x", "y": "x"}
+
+
+def test_weighted_reservoir_properties(spark):
+    """A-ES invariants: deterministic under repartition, P(select) grows
+    with weight, non-positive weights excluded."""
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.operators.sampling import weighted_reservoir
+
+    rows = [(f"k{i}", 1.0 if i < 90 else 100.0) for i in range(100)]
+    rows += [("zero", 0.0), ("neg", -1.0), ("nullw", None)]
+    df = spark.createDataFrame(rows, "key string, w double")
+    out1 = {r["key"] for r in weighted_reservoir(df, "key", "w", k=10).collect()}
+    out2 = {
+        r["key"]
+        for r in weighted_reservoir(df.repartition(7), "key", "w", k=10).collect()
+    }
+    assert out1 == out2  # stable under repartitioning
+    assert not {"zero", "neg", "nullw"} & out1
+    heavy = [k for k in out1 if int(k[1:]) >= 90]
+    # 10 rows at weight 100 vs 90 rows at weight 1: the heavy rows
+    # dominate the sample (each heavy ~100× more likely per draw)
+    assert len(heavy) >= 7, out1
