@@ -302,6 +302,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by the crafted-graph pytest suite (like clustering coefficient).
     q["graph_scc"] = _scc
 
+    def _harmonic(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            harmonic_centrality_sampled,
+        )
+
+        st = _store(s, d)
+        sources = st.twins.filter(
+            F.col("dt_id").startswith("nation-")
+        ).select("dt_id")
+        return harmonic_centrality_sampled(st.relationships, sources, max_depth=3)
+
+    # sampled harmonic centrality seeded from the 25 nation hubs;
+    # 12/d scoring keeps the sum an exact integer (fixed-point rule)
+    q["graph_harmonic_centrality"] = _harmonic
+
     def _degrees(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import (
             degree_distribution,
@@ -1301,6 +1318,18 @@ def oracle_sql() -> dict[str, str]:
     o["graph_connected_components"] = _cc_oracle()
     o["graph_scc"] = (
         f"SELECT dt_id, dt_id AS scc FROM ({_ALL_TWIN_IDS})"
+    )
+    o["graph_harmonic_centrality"] = (
+        "WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM ({_EDGES_SQL}) "
+        f"UNION ALL SELECT dst, src FROM ({_EDGES_SQL}))), "
+        "bfs(node, src, depth) AS ("
+        "SELECT 'nation-' || n_nationkey, 'nation-' || n_nationkey, 0 FROM nation "
+        "UNION SELECT e.dst, bfs.src, bfs.depth + 1 FROM bfs "
+        "JOIN e ON e.src = bfs.node WHERE bfs.depth < 3), "
+        "md AS (SELECT node, src, min(depth) AS d FROM bfs GROUP BY node, src) "
+        "SELECT node AS dt_id, CAST(sum(12 // d) AS BIGINT) AS h12, "
+        "count(*) AS n_reached FROM md WHERE d > 0 GROUP BY node"
     )
     o["graph_pagerank"] = _pagerank_oracle()
     o["graph_degree_distribution"] = (

@@ -438,3 +438,52 @@ def strongly_connected_components(
     return out if out is not None else verts.select(
         "dt_id", F.col("dt_id").alias("scc")
     )
+
+
+def harmonic_centrality_sampled(
+    relationships: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+) -> DataFrame:
+    """(dt_id, h12, n_reached) — sampled harmonic centrality over the
+    undirected graph: for every node, ``h12 = Σ_sources 12/d(source,
+    node)`` for BFS distances 1..max_depth (unreachable contributes 0),
+    ``n_reached`` = number of sources within range.
+
+    Multi-source BFS as supersteps: the frontier carries (node, source)
+    pairs, one edge join + left-anti dedup against the visited set per
+    depth, ``localCheckpoint`` lineage cuts — O(max_depth) shuffles
+    total, never per source (the standard trick that makes sampled
+    centrality tractable at scale: cost scales with |frontier|, not
+    |sources| × BFS runs).  The 12/d weighting (12, 6, 4 for depths
+    1-3) keeps the score an exact INTEGER sum — order-independent and
+    engine-portable, per the fixed-point oracle rule (a float Σ1/d
+    hashes differently across engines).  ``max_depth`` ≤ 12 for
+    exactness (12/d stays integral at 1,2,3,4,6,12; other depths would
+    truncate — extend the constant if deeper sampling is needed)."""
+    edges = _undirected(relationships).localCheckpoint(eager=False)
+    frontier = sources.select(
+        F.col("dt_id").alias("node"), F.col("dt_id").alias("src")
+    ).localCheckpoint(eager=True)
+    seen = frontier.withColumn("score", F.lit(0))
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["source_id"])
+            .select(F.col("target_id").alias("node"), "src")
+            .distinct()
+            .join(seen.select("node", "src"), ["node", "src"], "left_anti")
+            .withColumn("score", F.lit(12 // depth))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        seen.filter(F.col("score") > 0)
+        .groupBy(F.col("node").alias("dt_id"))
+        .agg(
+            F.sum("score").cast("bigint").alias("h12"),
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        )
+    )

@@ -923,3 +923,23 @@ def test_weighted_reservoir_properties(spark):
     # 10 rows at weight 100 vs 90 rows at weight 1: the heavy rows
     # dominate the sample (each heavy ~100× more likely per draw)
     assert len(heavy) >= 7, out1
+
+
+def test_harmonic_centrality_sampled_crafted(spark):
+    """Path a-b-c-d, sources {a, d}: exact 12/d integer scores.
+    b: 12 (dist 1 from a) + 6 (dist 2 from d) = 18; c symmetric = 18;
+    a and d: 4 each (dist 3 from the opposite end)."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        harmonic_centrality_sampled,
+    )
+
+    rels = spark.createDataFrame(
+        [("r1", "a", "b", "e"), ("r2", "b", "c", "e"), ("r3", "c", "d", "e")],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    sources = spark.createDataFrame([("a",), ("d",)], "dt_id string")
+    got = {
+        r["dt_id"]: (r["h12"], r["n_reached"])
+        for r in harmonic_centrality_sampled(rels, sources, max_depth=3).collect()
+    }
+    assert got == {"a": (4, 1), "b": (18, 2), "c": (18, 2), "d": (4, 1)}
