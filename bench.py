@@ -127,12 +127,20 @@ def main() -> None:
     qs = entrymod.queries()
     # Warm the store (twin/relationship plan construction is shared).
     qs["adt_count_twins"](spark, SF_DIR).count()
+    # Per-key MIN over N passes: one pass mixes plan-compilation warmup
+    # and co-tenant noise into every key; the min is the steady-state
+    # cost of the PLAN (what a scale-up multiplies).  Runs/agg are
+    # recorded in the output so the number is self-describing.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(runs):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            wall = round(time.perf_counter() - t0, 3)
+            if name not in timings or wall < timings[name]:
+                timings[name] = wall
     total = round(sum(timings.values()), 3)
     cdc = bench_cdc_throughput(spark)
     print(
@@ -142,6 +150,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "agg": "min",
                 "cdc": cdc,
                 "sf": SF_DIR,
             }
