@@ -449,6 +449,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("lang", "doc_id", "rnk")
 
     q["sample_weighted_reservoir"] = _wres
+
+    def _profile(s, d):
+        from pg_age_digitaltwins_spark.operators.text import profile_columns
+
+        return profile_columns(_tables(s, d)["documents"])
+
+    # ingest-time data-quality profile (exact mode; approx=True is the
+    # 100 TB HLL variant)
+    q["text_profile_documents"] = _profile
+
+    def _funnel(s, d):
+        from pyspark.sql import functions as F
+
+        docs = _tables(s, d)["documents"]
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        return text.clean_corpus_funnel(docs, bench)
+
+    # composed cleaning pipeline: dedup → length band → decontaminate
+    q["pipeline_clean_corpus"] = _funnel
     q["text_quality"] = lambda s, d: text.quality_scores(_tables(s, d)["documents"])
     q["text_lang_id"] = lambda s, d: text.lang_id(_tables(s, d)["documents"])
     q["text_fingerprints"] = lambda s, d: text.fingerprints(_tables(s, d)["documents"])
@@ -1446,6 +1465,16 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) + 1) / 4294967296.0) / CAST(length(text) AS DOUBLE) DESC, doc_id) AS rnk "
         "FROM documents WHERE length(text) > 0) WHERE rnk <= 5"
     )
+    o["text_profile_documents"] = (
+        " UNION ALL ".join(
+            f"SELECT '{c}' AS column, "
+            f"CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_value, "
+            f"CAST(max({c}) AS VARCHAR) AS max_value FROM documents"
+            for c in ("doc_id", "text", "lang", "source", "n_chars")
+        )
+    )
     o["text_token_counts"] = (
         f"SELECT doc_id, CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens, "
         "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
@@ -1487,6 +1516,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams "
         "FROM dg d JOIN bg USING (gram) GROUP BY d.doc_id "
         "HAVING count(*) > 0"
+    )
+    o["pipeline_clean_corpus"] = (
+        f"WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
+        "surv AS (SELECT d.* FROM documents d JOIN reps USING (doc_id)), "
+        "sized AS (SELECT * FROM surv WHERE n_chars BETWEEN 100 AND 520), "
+        f"dg AS MATERIALIZED ({_grams8}), "
+        "bg AS (SELECT DISTINCT gram FROM dg WHERE "
+        "doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 97 = 0)), "
+        "cont AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram) "
+        "JOIN sized ON dg.doc_id = sized.doc_id) "
+        "SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM documents "
+        "UNION ALL SELECT '2_exact_dedup', count(*) FROM surv "
+        "UNION ALL SELECT '3_length_filter', count(*) FROM sized "
+        "UNION ALL SELECT '4_decontaminated', count(*) FROM sized "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM cont)"
     )
     o["text_quality"] = (
         f"SELECT doc_id, "

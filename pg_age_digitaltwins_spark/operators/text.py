@@ -468,3 +468,82 @@ def idf_top_terms(docs: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def profile_columns(df: DataFrame, approx: bool = False) -> DataFrame:
+    """One row per column: null count, distinct count, min/max (string
+    rendering) — the ingest-time data-quality profile every pipeline
+    run should persist next to its output.
+
+    Single pass over the table: all per-column aggregates evaluate in
+    ONE aggregation (no per-column scans), then a literal-width explode
+    reshapes wide→long driver-free.  ``approx=True`` switches distinct
+    counts to ``approx_count_distinct`` (HLL) — the 100 TB default,
+    where exact distinct on a wide table is a shuffle per column; exact
+    is the local/oracle mode."""
+    cols = df.columns
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"__n_{c}"))
+        d = (
+            F.approx_count_distinct(col)
+            if approx
+            else F.count_distinct(col)
+        )
+        aggs.append(d.alias(f"__d_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"__mn_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"__mx_{c}"))
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n_null"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def clean_corpus_funnel(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_chars: int = 100,
+    max_chars: int = 520,
+) -> DataFrame:
+    """(stage, n_rows) — the composed training-corpus cleaning funnel:
+    raw → exact dedup (keep min doc_id per text hash) → length band →
+    benchmark decontamination.  One lazy plan: each stage count is an
+    aggregate over the previous stage's frame, so the whole funnel is
+    the stage operators composed — dedup's hash-groupBy shuffle, a
+    pushed length filter, and decontaminate's broadcast gram join —
+    with only four counter rows ever leaving the executors."""
+    reps = (
+        docs.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(reps, "doc_id", "left_semi")
+    sized = survivors.filter(
+        F.col("n_chars").between(min_chars, max_chars)
+    )
+    contaminated = decontaminate(sized, benchmark, n=n).select("doc_id")
+    clean = sized.join(contaminated, "doc_id", "left_anti")
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(
+            F.lit(name).alias("stage"), "n_rows"
+        )
+
+    return (
+        stage("1_raw", docs)
+        .unionByName(stage("2_exact_dedup", survivors))
+        .unionByName(stage("3_length_filter", sized))
+        .unionByName(stage("4_decontaminated", clean))
+    )

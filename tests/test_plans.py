@@ -401,3 +401,24 @@ def test_supplier_cnt_broadcasts_not_in_side(spark):
     plan = _plan(df, "simple")
     assert "LeftAnti" in plan
     assert "Broadcast" in plan
+
+
+def test_clean_corpus_funnel_single_plan_broadcast_decontam(spark):
+    """The composed funnel stays one lazy plan: decontamination's gram
+    join broadcasts the benchmark side, and only four counter rows
+    reach the driver."""
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.operators.text import clean_corpus_funnel
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    df = clean_corpus_funnel(docs, docs.filter(F.col("doc_id") % 97 == 0))
+    plan = _plan(df, "simple")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    rows = {r["stage"]: r["n_rows"] for r in df.collect()}
+    assert list(sorted(rows)) == [
+        "1_raw", "2_exact_dedup", "3_length_filter", "4_decontaminated"
+    ]
+    assert rows["1_raw"] >= rows["2_exact_dedup"] >= rows["3_length_filter"] >= rows["4_decontaminated"]
+    assert rows["4_decontaminated"] > 0
