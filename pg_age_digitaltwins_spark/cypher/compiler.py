@@ -361,8 +361,17 @@ class CypherCompiler:
             df = self._apply_node_props(df.filter(cond), t, node)
             return df, t
         frame, kind = self._node_frame(node)
+        if rel_kind == "model_edge" and "Model" not in node.labels:
+            # model-edge endpoints are always Model vertices: an unlabeled
+            # far node must bind against the models frame (AGE matches any
+            # vertex label; our only model-edge endpoints are models), and
+            # join elimination is NOT sound here — _extends targets are not
+            # RI-enforced against the models table the way twin
+            # relationships are against twins.
+            frame, kind = self._models, "model"
         if (
-            node.alias is None
+            rel_kind == "rel"
+            and node.alias is None
             and not node.props
             and kind == "twin"
             and far_name is not None

@@ -340,13 +340,17 @@ def global_clustering_coefficient(relationships: DataFrame) -> DataFrame:
 
 def _min_propagate(
     verts: DataFrame, edges: DataFrame, forward: bool, max_iters: int
-) -> DataFrame:
-    """(dt_id, m) — min vertex id that can reach ``dt_id`` along edge
-    direction (``forward=True``) or that ``dt_id`` can reach
+) -> tuple[DataFrame, bool]:
+    """((dt_id, m), converged) — min vertex id that can reach ``dt_id``
+    along edge direction (``forward=True``) or that ``dt_id`` can reach
     (``forward=False``).  Directed min-label propagation, same superstep
-    shape as ``connected_components``."""
+    shape as ``connected_components``.  ``converged`` is False when the
+    pass exhausted ``max_iters`` with labels still changing — callers
+    MUST NOT treat partial labels as final (SCC would silently split a
+    component whose diameter exceeds max_iters)."""
     src, dst = ("source_id", "target_id") if forward else ("target_id", "source_id")
     labels = verts.select("dt_id", F.col("dt_id").alias("m"))
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges[src] == labels["dt_id"])
@@ -369,8 +373,9 @@ def _min_propagate(
         )
         labels = new_labels
         if not changed:
+            converged = True
             break
-    return labels
+    return labels, converged
 
 
 def strongly_connected_components(
@@ -417,8 +422,16 @@ def strongly_connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        fwd = _min_propagate(remaining, e, True, max_iters)
-        bwd = _min_propagate(remaining, e, False, max_iters)
+        fwd, f_ok = _min_propagate(remaining, e, True, max_iters)
+        bwd, b_ok = _min_propagate(remaining, e, False, max_iters)
+        if not (f_ok and b_ok):
+            # Partial labels would settle one SCC under several ids
+            # (two low-id anchors > max_iters hops apart inside a single
+            # component) — refuse to mislabel, per the docstring contract.
+            raise RuntimeError(
+                f"SCC min-propagation did not converge in {max_iters} "
+                "supersteps (graph diameter too large); raise max_iters"
+            )
         settled = (
             fwd.alias("f")
             .join(bwd.alias("b"), "dt_id")

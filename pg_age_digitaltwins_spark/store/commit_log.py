@@ -47,6 +47,7 @@ import json
 import os
 import shutil
 import uuid
+from collections import Counter
 from dataclasses import dataclass
 from typing import Iterable, Sequence
 
@@ -642,9 +643,12 @@ class _NothingToMerge(Exception):
 
 
 def _stamp_etag(doc: dict) -> dict:
-    if not doc.get("$etag"):
-        doc = dict(doc)
-        doc["$etag"] = f'W/"{uuid.uuid4().hex}"'
+    # Always regenerate: the reference stamps a fresh server-side etag on
+    # every write (AgeDigitalTwinsClient.DigitalTwins.cs:302-327); storing
+    # a caller-supplied (possibly replayed/stale) etag verbatim would
+    # break optimistic-concurrency downstream.
+    doc = dict(doc)
+    doc["$etag"] = f'W/"{uuid.uuid4().hex}"'
     return doc
 
 
@@ -698,12 +702,12 @@ def merge_rows(
     # Delta MERGE raises when the source matches a target row more than
     # once; duplicate upsert keys here would union TWO rows under one
     # primary key, breaking the key invariant join elimination relies on
-    dup_t = {k for k in (d["$dtId"] for d in twin_up)
-             if sum(1 for d in twin_up if d["$dtId"] == k) > 1}
+    t_counts = Counter(d["$dtId"] for d in twin_up)
+    dup_t = {k for k, n in t_counts.items() if n > 1}
     if dup_t:
         raise ValueError(f"duplicate $dtId in twin_upserts: {sorted(dup_t)}")
     rkeys_up = [(d["$sourceId"], d["$relationshipId"]) for d in rel_up]
-    dup_r = {k for k in rkeys_up if rkeys_up.count(k) > 1}
+    dup_r = {k for k, n in Counter(rkeys_up).items() if n > 1}
     if dup_r:
         raise ValueError(
             f"duplicate (source_id, relationship_id) in rel_upserts: {sorted(dup_r)}"
@@ -716,9 +720,14 @@ def merge_rows(
         (k if isinstance(k, (tuple, list)) else (None, k)) for k in rel_deletes
     ]
     up_r_keys = set(rkeys_up)
+    # exact-key deletes that are also upserted: upsert wins, drop the
+    # delete outright.  A BARE-rid delete (source unknown) must survive
+    # here even when some upsert shares the rid — it may still match
+    # rows under OTHER sources; the upserted keys are excluded at
+    # old-image expansion time instead.
     rel_del = [
         (s, r) for s, r in rel_del
-        if not any((s is None or s == us) and r == ur for us, ur in up_r_keys)
+        if s is None or (s, r) not in up_r_keys
     ]
 
     def rebase(store: GraphStore | None, base: int):
@@ -837,7 +846,9 @@ def merge_rows(
             for src, rid in rel_del:
                 hits = [
                     (k, v) for k, v in old_r.items()
-                    if k[1] == rid and (src is None or k[0] == src)
+                    if k[1] == rid
+                    and (src is None or k[0] == src)
+                    and k not in up_rkeys  # upsert wins for that exact key
                 ]
                 for k, (name, doc) in hits:
                     matched_keys.add(k)

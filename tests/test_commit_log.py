@@ -735,3 +735,65 @@ def test_compact_table_resets_cow_chain_and_vacuums(spark, tmp_path):
     assert read_changes_since(spark, root).count() <= n_events_before
     snaps = os.listdir(os.path.join(root, "data"))
     assert len(snaps) == 1  # superseded partials reclaimed
+
+
+def test_merge_rows_bare_rid_delete_with_upserted_sibling(spark, tmp_path):
+    """r7 ADVICE fix: a bare-rid delete must still remove rows under
+    OTHER sources when one (source, rid) pair is simultaneously
+    upserted — previously the whole delete was suppressed and the
+    sibling rows silently survived."""
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+
+    root = str(tmp_path / "tbl")
+    store = GraphStore.from_documents(
+        spark,
+        twin_docs=[_twin(0), _twin(1), _twin(2)],
+        relationship_docs=[
+            {"$relationshipId": "shared", "$sourceId": "t0", "$targetId": "t1",
+             "$relationshipName": "knows"},
+            {"$relationshipId": "shared", "$sourceId": "t2", "$targetId": "t1",
+             "$relationshipName": "knows"},
+        ],
+        model_docs=MODELS,
+    )
+    commit_snapshot(store, root)
+    v = merge_rows(
+        spark, root,
+        rel_upserts=[
+            {"$relationshipId": "shared", "$sourceId": "t0", "$targetId": "t1",
+             "$relationshipName": "knows", "w": 9},
+        ],
+        rel_deletes=["shared"],  # bare rid: upsert wins for (t0, shared)
+    )
+    loaded, _ = load_latest(spark, root)
+    rels = [
+        (r["source_id"], r["relationship_id"])
+        for r in loaded.relationships.collect()
+    ]
+    assert rels == [("t0", "shared")]  # t2's row deleted, upserted row kept
+    ch = read_changes_since(spark, root, after_version=v - 1).collect()
+    kinds = sorted((c["event_type"]) for c in ch)
+    assert kinds == ["Delete", "Update"]
+
+
+def test_merge_rows_regenerates_caller_supplied_etag(spark, tmp_path):
+    """r7 ADVICE fix: the server stamps a FRESH etag on every write
+    (reference AgeDigitalTwinsClient.DigitalTwins.cs:302-327); a
+    replayed caller etag must never be stored verbatim."""
+    import json as _json
+
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(_multi_store(spark), root)
+    stale = 'W/"stale-replayed-etag"'
+    merge_rows(
+        spark, root,
+        twin_upserts=[dict(_twin(0), **{"$etag": stale, "x": 42})],
+    )
+    loaded, _ = load_latest(spark, root)
+    [doc] = [
+        _json.loads(r["doc"])
+        for r in loaded.twins.filter("dt_id = 't0'").collect()
+    ]
+    assert doc["$etag"] and doc["$etag"] != stale

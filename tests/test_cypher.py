@@ -1016,3 +1016,30 @@ def test_substring_beyond_int_range_is_null(fixture_store):
         "substring(t.name, 0, 3000000000) AS b",
     )
     assert r["a"] is None and r["b"] is None
+
+
+# --- r7 ADVICE fix: model-edge far nodes bind the models frame -------
+
+def test_model_edge_unlabeled_target_matches_models(fixture_store):
+    """An unlabeled / anonymous far node on a model edge binds Model
+    vertices (AGE matches any vertex label; _extends endpoints are
+    always models).  Named, unlabeled-named and anonymous targets must
+    agree — previously the anonymous form was join-eliminated (treating
+    the target as an RI-backed twin) while the named form joined twins
+    and returned 0 rows."""
+    anon = rows(fixture_store, "MATCH (m:Model)-[:_extends]->() RETURN count(m) AS n")
+    named = rows(
+        fixture_store, "MATCH (m:Model)-[:_extends]->(x) RETURN count(m) AS n"
+    )
+    labeled = rows(
+        fixture_store,
+        "MATCH (m:Model)-[:_extends]->(b:Model) RETURN count(m) AS n",
+    )
+    assert anon[0]["n"] == named[0]["n"] == labeled[0]["n"] > 0
+    # and the named binding projects model properties
+    got = rows(
+        fixture_store,
+        "MATCH (m:Model)-[:_extends]->(x) RETURN m.id AS child, x.id AS parent",
+    )
+    pairs = {(r["child"], r["parent"]) for r in got}
+    assert ("dtmi:com:contoso:Planet;1", "dtmi:com:contoso:CelestialBody;1") in pairs

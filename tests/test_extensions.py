@@ -943,3 +943,30 @@ def test_harmonic_centrality_sampled_crafted(spark):
         for r in harmonic_centrality_sampled(rels, sources, max_depth=3).collect()
     }
     assert got == {"a": (4, 1), "b": (18, 2), "c": (18, 2), "d": (4, 1)}
+
+
+def test_scc_raises_instead_of_splitting_when_iters_exhausted(spark):
+    """r7 ADVICE fix: when min-propagation exhausts max_iters without
+    converging, SCC must raise — not settle vertices of one component
+    under different labels (silent split)."""
+    import pytest
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        strongly_connected_components,
+    )
+
+    nodes = [chr(ord("a") + i) for i in range(8)]
+    edges = [(nodes[i], nodes[(i + 1) % 8]) for i in range(8)]  # one 8-cycle
+    twins = spark.createDataFrame([(n,) for n in nodes], "dt_id string")
+    rels = spark.createDataFrame(
+        [(f"r{i}", s, t, "e") for i, (s, t) in enumerate(edges)],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(twins, rels, max_iters=2)
+    # and with sufficient iters the full cycle is ONE component
+    got = {
+        r["dt_id"]: r["scc"]
+        for r in strongly_connected_components(twins, rels).collect()
+    }
+    assert set(got.values()) == {"a"}
