@@ -191,6 +191,7 @@ class QueryCompiler:
     def __init__(self, store: GraphStore):
         self.store = store
         self._twins = store.twins_v()
+        self._twins_adaptive = store.twins_adaptive_v()
         self._rels = store.relationships_v()
         self._rels_in = store.relationships_in_v()
         self._anon = 0
@@ -587,8 +588,19 @@ class QueryCompiler:
                      key_col=far, virtual=True)
             return df, t
         t = bind(right_alias, "twin")
+        # Predicate-bearing hop targets read the plain frame so the
+        # filtered leg shuffles through a measurable exchange and AQE
+        # can demote the join to broadcast when the filter is selective
+        # (a bucketed scan plans exchange-free SMJ that AQE can never
+        # re-plan — the r6 adt_match_3hop regression).  Unfiltered
+        # targets keep the bucketed frame.
+        frame = (
+            self._twins_adaptive
+            if self._scan_preds.get(right_alias)
+            else self._twins
+        )
         df = df.join(
-            self._scan(self._twins, t),
+            self._scan(frame, t),
             F.col(f"{e.df_alias}.{far}") == F.col(f"{t.df_alias}.dt_id"),
         )
         return df, t

@@ -153,6 +153,9 @@ def _replace(store: GraphStore, **kw) -> GraphStore:
         relationships_in=(
             None if "relationships" in kw else store.relationships_in
         ),
+        # the plain-read twin frame mirrors the twin files; any twin
+        # mutation invalidates it
+        twins_plain=(None if "twins" in kw else store.twins_plain),
         _descendants=store._descendants,
     )
 

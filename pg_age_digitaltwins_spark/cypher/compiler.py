@@ -79,6 +79,7 @@ class CypherCompiler:
     def __init__(self, store: GraphStore):
         self.store = store
         self._twins = store.twins_v()
+        self._twins_adaptive = store.twins_adaptive_v()
         self._rels = store.relationships_v()
         self._rels_in = store.relationships_in_v()
         self._models = self._models_frame(store)
@@ -387,6 +388,13 @@ class CypherCompiler:
         t = Binding(node.alias or "", kind, t_alias)
         if node.alias:
             env[node.alias] = t
+        if kind == "twin" and (
+            node.props or (node.alias and self._scan_preds.get(node.alias))
+        ):
+            # predicate-bearing hop target: plain frame so the filtered
+            # leg shuffles through a measurable exchange and AQE can
+            # demote the join to broadcast (see GraphStore.twins_adaptive_v)
+            frame = self._twins_adaptive
         scan = self._apply_node_props_scan(frame.alias(t_alias), t_alias, kind, node)
         scan = self._apply_scan_preds(scan, node.alias, t)
         tcol = F.col(f"{t_alias}.dt_id")

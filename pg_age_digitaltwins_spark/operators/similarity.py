@@ -227,6 +227,88 @@ def hyperplane_signatures(
     return embeddings.select("vec_id", "embedding", bits.alias("bucket"))
 
 
+def _bucket_expr(n_bits: int, dim: int, seed: int):
+    """The hyperplane-LSH bucket id as a Column expression (one table)."""
+    import random
+
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+    bits = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = (_dot(F.col("embedding"), p) > 0).cast("long") * (2 ** i)
+        bits = bit if bits is None else bits + bit
+    return bits
+
+
+def ann_lsh_multitable(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_bits: int = 6,
+    dim: int | None = None,
+    n_probes: int = 2,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table hyperplane LSH: ``n_tables`` INDEPENDENT hash tables
+    (distinct seeds) OR-ed together — the standard recall lever (miss
+    probability decays exponentially in L: (1-p^b)^L), union + dedup +
+    exact re-rank.
+
+    100 TB shape: all L signatures are computed in ONE pass over the
+    embeddings (L × n_bits JVM dot products per row, no Python), then
+    posexplode to (vec_id, table_id, bucket) — the same bucketed
+    equi-join as the single-table search but with a compound key, so
+    the probe stays ONE broadcast join regardless of L (cost sub-linear
+    in L: the candidate union is joined and re-ranked once, not per
+    table).  Candidates hit by several tables dedup via a group-by on
+    vec_id (a shuffle over candidates only, never the corpus).
+    ``n_probes`` adds Hamming-distance-1 buckets per table, same as the
+    single-table knob."""
+    if dim is None:
+        probe = embeddings.select(F.size("embedding").alias("d")).limit(1).collect()
+        dim = probe[0]["d"] if probe else 1
+    buckets = F.array(
+        *[_bucket_expr(n_bits, dim, seed + 7919 * t) for t in range(n_tables)]
+    )
+    sig = (
+        embeddings.select("vec_id", "embedding", buckets.alias("__bs"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.posexplode("__bs").alias("table_id", "bucket"),
+        )
+        .localCheckpoint(eager=False)  # signature scan shared with the query row
+    )
+    qrow = sig.filter(F.col("vec_id") == query_id).select(
+        "table_id", F.col("bucket").alias("__qb"), F.col("embedding").alias("__q")
+    )
+    n_probes = max(1, min(n_probes, n_bits + 1))
+    probes = F.array(
+        F.col("__qb"),
+        *[F.col("__qb").bitwiseXOR(F.lit(1 << b)) for b in range(n_probes - 1)],
+    )
+    q = F.broadcast(
+        qrow.select("table_id", F.explode(probes).alias("__qb"), "__q")
+    )
+    return (
+        sig.join(
+            q,
+            (sig["table_id"] == q["table_id"]) & (sig["bucket"] == q["__qb"]),
+        )
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("__q")), 6).alias("sim"),
+        )
+        .groupBy("vec_id")  # dedup across tables; sim identical per row
+        .agg(F.max("sim").alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_lsh_search(
     embeddings: DataFrame,
     query_id: int,

@@ -114,6 +114,17 @@ class GraphStore:
     # it (crud._replace sets it back to None) and the next
     # save/load rebuilds it.
     relationships_in: DataFrame | None = None
+    # Non-catalog (un-bucketed) read of the SAME twin files, present
+    # only on loaded bucketed snapshots.  Bucketed scans satisfy join
+    # distribution requirements directly, so predicate-bearing hop
+    # targets plan as exchange-free sort-merge joins that AQE can never
+    # re-plan (no shuffle stage = no runtime stats).  Reading the
+    # filtered leg through THIS frame re-introduces an
+    # ENSURE_REQUIREMENTS exchange whose materialized size lets AQE
+    # demote the join to broadcast when the filter is selective — the
+    # adaptive escape hatch over the bucketed layout.  Mutations
+    # invalidate it alongside relationships_in.
+    twins_plain: DataFrame | None = None
     # model_id -> sorted list of descendants (not incl. self); driver-side
     # copy of the closure for compile-time IS_OF_MODEL expansion.
     _descendants: dict[str, list[str]] = field(default_factory=dict)
@@ -193,6 +204,22 @@ class GraphStore:
     # ------------------------------------------------------------------
     def twins_v(self) -> DataFrame:
         """Twins with the VARIANT document column attached."""
+        return with_vdoc(self.twins)
+
+    def twins_adaptive_v(self) -> DataFrame:
+        """Twins frame for PREDICATE-BEARING hop-target scans.
+
+        On bucketed stores this is the plain (non-catalog) read of the
+        same files: the planner inserts a shuffle under the join, and
+        AQE — seeing the filtered leg's true size at runtime — demotes
+        the sort-merge join to broadcast when the predicate is
+        selective.  When it is not, the shuffle costs no more than the
+        per-query Sort the bucketed SMJ would have forced on the same
+        filtered rows.  Unfiltered scans and bucket-key point lookups
+        must keep ``twins_v()`` (bucket pruning / exchange-free joins).
+        """
+        if self.twins_plain is not None:
+            return with_vdoc(self.twins_plain)
         return with_vdoc(self.twins)
 
     def relationships_v(self) -> DataFrame:
@@ -423,12 +450,20 @@ class GraphStore:
             spark.sql(f"DROP TABLE IF EXISTS `{prefix}_{sub}`")
 
     @classmethod
-    def load_bucketed(cls, spark: SparkSession, prefix: str) -> "GraphStore":
+    def load_bucketed(
+        cls, spark: SparkSession, prefix: str, path: str | None = None
+    ) -> "GraphStore":
         """Load a ``save_bucketed`` store; scans report their bucketing
-        to Catalyst, so traversal joins plan exchange-free."""
+        to Catalyst, so traversal joins plan exchange-free.  With
+        ``path``, also attach ``twins_plain`` (a non-catalog read of the
+        same twin files) — the AQE escape hatch for predicate-bearing
+        hop targets (see ``twins_adaptive_v``)."""
         rels_in = None
         if spark.catalog.tableExists(f"{prefix}_relationships_in"):
             rels_in = spark.table(f"{prefix}_relationships_in")
+        twins_plain = None
+        if path is not None:
+            twins_plain = spark.read.parquet(f"{path}/twins")
         return cls(
             spark=spark,
             twins=spark.table(f"{prefix}_twins"),
@@ -436,6 +471,7 @@ class GraphStore:
             models=spark.table(f"{prefix}_models"),
             model_edges=spark.table(f"{prefix}_model_edges"),
             relationships_in=rels_in,
+            twins_plain=twins_plain,
         )
 
     @classmethod

@@ -273,7 +273,7 @@ def load_graph(
             GraphStore.register_bucketed(
                 spark, prefix, path, n_buckets=_N_BUCKETS, partitioned=True
             )
-        return GraphStore.load_bucketed(spark, prefix)
+        return GraphStore.load_bucketed(spark, prefix, path=path)
 
     path = os.path.join(cache_root, f"{tag}-v{LOADER_VERSION}")
     marker = os.path.join(path, "_GRAPH_READY")
