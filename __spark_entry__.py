@@ -516,6 +516,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_ann_lsh"] = lambda s, d: similarity.ann_lsh_search(
         _tables(s, d)["embeddings"], query_id=0, k=10, n_bits=8
     )
+    # multi-table OR-ed LSH (the production recall lever): at 3 bits /
+    # 4 probes / 4 tables recall@10 is 1.0 on the fixture, so the
+    # result EQUALS exact brute-force top-10 and the key is fully
+    # value-checkable against the SQL oracle (unlike the single-table
+    # variant, whose hash-dependent misses keep it rows-only).
+    q["embed_ann_lsh_multi"] = lambda s, d: similarity.ann_lsh_multitable(
+        _tables(s, d)["embeddings"], query_id=0, k=10,
+        n_bits=3, n_probes=4, n_tables=4,
+    )
     # ANN quality gate: recall@10 vs brute force must clear per-method
     # floors; the recall VALUE depends on hash/centroid layout (rows-
     # only territory) but the floor contract is value-checkable — an
@@ -1585,7 +1594,17 @@ def oracle_sql() -> dict[str, str]:
     )
     o["embed_ann_recall"] = (
         "SELECT 'ivf' AS method, true AS meets_floor "
-        "UNION ALL SELECT 'lsh', true"
+        "UNION ALL SELECT 'lsh', true "
+        "UNION ALL SELECT 'lsh_multi', true"
+    )
+    # recall 1.0 at this config: the multi-table result IS the exact
+    # top-10, so the oracle is the brute-force SQL itself
+    o["embed_ann_lsh_multi"] = (
+        "SELECT vec_id, sim FROM ("
+        "SELECT e.vec_id AS vec_id, "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim "
+        "FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+        "WHERE e.vec_id <> 0) ORDER BY sim DESC, vec_id LIMIT 10"
     )
     o["tpch_waiting_orders"] = (
         "WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem "

@@ -678,10 +678,12 @@ def ann_recall(
     k: int = 10,
     ivf_floor: float = 0.6,
     lsh_floor: float = 0.4,
+    lsh_multi_floor: float = 0.8,
     n_cells: int = 16,
     n_probe: int = 4,
     n_bits: int = 3,
     n_probes: int = 4,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Recall@k of the approximate indexes against exact brute force —
     the ANN quality gate.
@@ -702,10 +704,13 @@ def ann_recall(
     LSH collapses below 0.1 at 8 bits (this gate is what caught that),
     so the gated config is 3 bits + 4-way multi-probe (measured 0.63).
     On clustered production embeddings LSH recovers; at scale the
-    recall lever is multiple independent tables, not wider codes."""
+    recall lever is multiple independent tables, not wider codes —
+    which is exactly the ``lsh_multi`` row: ``n_tables`` independent
+    OR-ed tables (``ann_lsh_multitable``), gated at 0.8 (measured
+    1.0 on the fixture at 3 bits / 4 probes / 4 tables)."""
     spark = embeddings.sparkSession
-    floors = {"ivf": ivf_floor, "lsh": lsh_floor}
-    per_method: dict[str, list[float]] = {"ivf": [], "lsh": []}
+    floors = {"ivf": ivf_floor, "lsh": lsh_floor, "lsh_multi": lsh_multi_floor}
+    per_method: dict[str, list[float]] = {m: [] for m in floors}
     for qid in query_ids:
         truth = {
             r["vec_id"] for r in knn_brute_force(embeddings, qid, k).collect()
@@ -716,6 +721,10 @@ def ann_recall(
             ),
             "lsh": ann_lsh_search(
                 embeddings, qid, k, n_bits=n_bits, n_probes=n_probes
+            ),
+            "lsh_multi": ann_lsh_multitable(
+                embeddings, qid, k,
+                n_bits=n_bits, n_probes=n_probes, n_tables=n_tables,
             ),
         }
         for method, df in approx.items():

@@ -662,6 +662,7 @@ def merge_rows(
     max_attempts: int = 5,
     writer: str | None = None,
     timestamp: str | None = None,
+    distributed_threshold: int = 10_000,
 ) -> int:
     """Row-level MERGE commit: upsert/delete individual rows, rewriting
     only the touched partitions (``commit_cow``) with automatic
@@ -729,6 +730,42 @@ def merge_rows(
         (s, r) for s, r in rel_del
         if s is None or (s, r) not in up_r_keys
     ]
+
+    # Above the threshold the point-lookup rebase's driver collect()
+    # (old images keyed on the batch) stops being CRUD-shaped — hand
+    # off to the join-based frame path, which derives old images,
+    # events and RI checks executor-side.
+    n_keys = len(twin_up) + len(twin_del) + len(rel_up) + len(rel_del)
+    if n_keys > distributed_threshold:
+        from pg_age_digitaltwins_spark.store.graph_store import (
+            REL_SCHEMA as _RS,
+            TWIN_SCHEMA as _TS,
+            _rel_row as _rr,
+            _twin_row as _tr,
+        )
+
+        return merge_frames(
+            spark, root,
+            twin_upserts=(
+                spark.createDataFrame([_tr(d) for d in twin_up], _TS)
+                if twin_up else None
+            ),
+            twin_deletes=(
+                spark.createDataFrame([(k,) for k in twin_del], "dt_id string")
+                if twin_del else None
+            ),
+            rel_upserts=(
+                spark.createDataFrame([_rr(d) for d in rel_up], _RS)
+                if rel_up else None
+            ),
+            rel_deletes=(
+                spark.createDataFrame(
+                    rel_del, "source_id string, relationship_id string"
+                )
+                if rel_del else None
+            ),
+            max_attempts=max_attempts, writer=writer, timestamp=ts,
+        )
 
     def rebase(store: GraphStore | None, base: int):
         if store is None:
@@ -935,6 +972,309 @@ def merge_rows(
 
 def _as_doc(d) -> dict:
     return json.loads(d) if isinstance(d, str) else dict(d)
+
+
+def merge_frames(
+    spark: SparkSession,
+    root: str,
+    twin_upserts: DataFrame | None = None,
+    twin_deletes: DataFrame | None = None,
+    rel_upserts: DataFrame | None = None,
+    rel_deletes: DataFrame | None = None,
+    max_attempts: int = 5,
+    writer: str | None = None,
+    timestamp: str | None = None,
+) -> int:
+    """DataFrame-native MERGE commit — the bulk path of ``merge_rows``.
+
+    ``merge_rows`` point-looks-up old images with a driver ``collect()``
+    keyed on the batch — right for CRUD-sized batches, unbounded by API.
+    This path keeps EVERYTHING executor-side: old images, change-event
+    assembly, duplicate-key detection, referential-integrity checks and
+    the upsert-wins delete suppression are all joins against the
+    snapshot; only partition VALUES (bounded by the model / relationship
+    -name count) and capped error samples ever reach the driver.  A
+    million-row merge never materializes a data row on the driver.
+
+    Inputs (storage row shape, already validated/stamped — the same
+    contract as ``jobs.import_file_distributed``'s parse stage):
+
+    * ``twin_upserts`` — ``TWIN_SCHEMA`` columns
+      (dt_id, model_id, etag, last_update_time, doc)
+    * ``twin_deletes`` — one ``dt_id`` column
+    * ``rel_upserts`` — ``REL_SCHEMA`` columns
+    * ``rel_deletes`` — (source_id, relationship_id); a NULL source_id
+      is the bare-rid form (deletes the rid under every source)
+
+    Duplicate keys raise (Delta ``MERGE`` multi-match semantics); a key
+    both upserted and deleted keeps the upsert and emits no Delete.
+    Change events carry true old images, assembled as a DataFrame and
+    staged executor-side (``_stage_events_df``).  Within one merge
+    batch each entity appears at most once (duplicates rejected), so
+    per-entity coalescing never depends on intra-batch ``seq``; events
+    carry ``txn_id = committed version, seq = 0``.
+    """
+    from datetime import datetime, timezone
+
+    from pg_age_digitaltwins_spark.store.graph_store import (
+        REL_SCHEMA,
+        TWIN_SCHEMA,
+    )
+
+    ts = timestamp or datetime.now(timezone.utc).isoformat(timespec="milliseconds")
+    t_up = twin_upserts
+    t_del = twin_deletes
+    r_up = rel_upserts
+    r_del = rel_deletes
+
+    def _dup_check(df: DataFrame, keys: list[str], what: str) -> None:
+        dup = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate {keys} in {what}: "
+                f"{sorted(tuple(r[k] for k in keys) for r in dup)}"
+            )
+
+    def _ev(entity, table, old, new, etype):
+        return F.struct(
+            entity.alias("entity_id"),
+            F.lit("digitaltwins").alias("graph_name"),
+            table.alias("table_name"),
+            old.alias("old_value"),
+            new.alias("new_value"),
+            etype.alias("event_type"),
+            F.to_timestamp(F.lit(ts)).alias("timestamp"),
+            F.lit(0).cast("long").alias("txn_id"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+
+    def rebase(store: GraphStore | None, base: int):
+        nonlocal t_up, t_del, r_up, r_del
+        if store is None:
+            store = GraphStore.empty(spark)
+
+        if t_up is not None:
+            _dup_check(t_up, ["dt_id"], "twin_upserts")
+        if r_up is not None:
+            _dup_check(
+                r_up, ["source_id", "relationship_id"], "rel_upserts"
+            )
+
+        events_parts: list[DataFrame] = []
+        changed: dict[str, object] = {}
+
+        # -- twins ------------------------------------------------------
+        new_twins = with_vdoc(store.twins)
+        if t_up is not None or t_del is not None:
+            up = t_up if t_up is not None else spark.createDataFrame([], TWIN_SCHEMA)
+            dl = (
+                t_del.join(up.select("dt_id"), "dt_id", "left_anti")
+                if t_del is not None
+                else spark.createDataFrame([], "dt_id string")
+            )  # upsert wins: no Delete event, row survives
+            old = store.twins.select(
+                "dt_id",
+                F.col("model_id").alias("__old_model"),
+                F.col("doc").alias("__old_doc"),
+            )
+            ev_up = up.join(old, "dt_id", "left").select(
+                _ev(
+                    F.col("dt_id"), F.lit("Twin"),
+                    F.col("__old_doc"), F.col("doc"),
+                    F.when(F.col("__old_doc").isNotNull(), "Update").otherwise(
+                        "Insert"
+                    ),
+                ).alias("e")
+            )
+            ev_del = dl.join(old, "dt_id", "inner").select(
+                _ev(
+                    F.col("dt_id"), F.lit("Twin"),
+                    F.col("__old_doc"), F.lit(None).cast("string"),
+                    F.lit("Delete"),
+                ).alias("e")
+            )
+            events_parts += [ev_up, ev_del]
+            # touched partitions: new models of upserts + old models of
+            # matched keys — VALUES only (bounded by the model count)
+            touched = (
+                up.select(F.col("model_id").alias("p"))
+                .unionByName(
+                    up.select("dt_id").unionByName(dl)
+                    .join(old, "dt_id")
+                    .select(F.col("__old_model").alias("p"))
+                )
+                .distinct()
+                .collect()
+            )
+            parts = {r["p"] for r in touched}
+            if parts:
+                changed["twins"] = sorted(
+                    parts, key=lambda v: (v is None, v or "")
+                )
+                all_keys = up.select("dt_id").unionByName(dl).distinct()
+                new_twins = (
+                    with_vdoc(store.twins)
+                    .join(all_keys, "dt_id", "left_anti")
+                    .unionByName(with_vdoc(up))
+                )
+
+        # -- relationships ---------------------------------------------
+        new_rels = with_vdoc(store.relationships)
+        if r_up is not None or r_del is not None:
+            rup = r_up if r_up is not None else spark.createDataFrame([], REL_SCHEMA)
+            rdl = (
+                r_del
+                if r_del is not None
+                else spark.createDataFrame(
+                    [], "source_id string, relationship_id string"
+                )
+            )
+            old_r = store.relationships.select(
+                "source_id", "relationship_id",
+                F.col("name").alias("__old_name"),
+                F.col("doc").alias("__old_doc"),
+            )
+            # expand deletes to exact (source_id, relationship_id) rows:
+            # bare-rid (NULL source) matches every source holding the rid;
+            # keys also upserted are suppressed (upsert wins)
+            exact_del = (
+                rdl.filter(F.col("source_id").isNotNull())
+                .join(old_r, ["source_id", "relationship_id"], "inner")
+            )
+            bare_del = (
+                rdl.filter(F.col("source_id").isNull())
+                .select("relationship_id")
+                .join(old_r, "relationship_id", "inner")
+                .select(
+                    "source_id", "relationship_id", "__old_name", "__old_doc"
+                )
+            )
+            matched_del = (
+                exact_del.unionByName(bare_del)
+                .join(
+                    rup.select("source_id", "relationship_id"),
+                    ["source_id", "relationship_id"],
+                    "left_anti",
+                )
+            )
+            ev_rup = rup.join(
+                old_r, ["source_id", "relationship_id"], "left"
+            ).select(
+                _ev(
+                    F.col("relationship_id"), F.col("name"),
+                    F.col("__old_doc"), F.col("doc"),
+                    F.when(F.col("__old_doc").isNotNull(), "Update").otherwise(
+                        "Insert"
+                    ),
+                ).alias("e")
+            )
+            ev_rdel = matched_del.select(
+                _ev(
+                    F.col("relationship_id"), F.col("__old_name"),
+                    F.col("__old_doc"), F.lit(None).cast("string"),
+                    F.lit("Delete"),
+                ).alias("e")
+            )
+            events_parts += [ev_rup, ev_rdel]
+            touched_r = (
+                rup.select(F.col("name").alias("p"))
+                .unionByName(
+                    rup.select("source_id", "relationship_id")
+                    .join(old_r, ["source_id", "relationship_id"])
+                    .select(F.col("__old_name").alias("p"))
+                )
+                .unionByName(matched_del.select(F.col("__old_name").alias("p")))
+                .distinct()
+                .collect()
+            )
+            rparts = {r["p"] for r in touched_r}
+            if rparts:
+                changed["relationships"] = sorted(rparts)
+                del_keys = matched_del.select("source_id", "relationship_id")
+                up_keys = rup.select("source_id", "relationship_id")
+                new_rels = (
+                    with_vdoc(store.relationships)
+                    .join(
+                        up_keys.unionByName(del_keys).distinct(),
+                        ["source_id", "relationship_id"],
+                        "left_anti",
+                    )
+                    .unionByName(with_vdoc(rup))
+                )
+
+        if not changed:
+            raise _NothingToMerge(base)
+
+        # Referential integrity (join-based, executor-side): same
+        # invariants merge_rows enforces — join elimination depends on
+        # them (see merge_rows).
+        if t_del is not None:
+            dangling = (
+                new_rels.join(
+                    t_del.select(F.col("dt_id").alias("source_id")),
+                    "source_id", "left_semi",
+                )
+                .select("relationship_id")
+                .unionByName(
+                    new_rels.join(
+                        t_del.select(F.col("dt_id").alias("target_id")),
+                        "target_id", "left_semi",
+                    ).select("relationship_id")
+                )
+                .limit(5)
+                .collect()
+            )
+            if dangling:
+                raise ValueError(
+                    "twin_deletes would orphan relationships "
+                    f"{sorted({r[0] for r in dangling})}; delete or "
+                    "re-point the edges in the same merge"
+                )
+        if r_up is not None:
+            endpoints = (
+                r_up.select(F.col("source_id").alias("dt_id"))
+                .unionByName(r_up.select(F.col("target_id").alias("dt_id")))
+                .distinct()
+            )
+            missing = (
+                endpoints.join(new_twins.select("dt_id"), "dt_id", "left_anti")
+                .limit(5)
+                .collect()
+            )
+            if missing:
+                raise ValueError(
+                    "rel_upserts reference missing twins "
+                    f"{sorted(r[0] for r in missing)}"
+                )
+
+        events = events_parts[0]
+        for p in events_parts[1:]:
+            events = events.unionByName(p)
+        events = events.select("e.*")
+
+        out = GraphStore(
+            spark=spark,
+            twins=new_twins,
+            relationships=new_rels,
+            models=store.models,
+            model_edges=store.model_edges,
+        )
+        return out, (changed or None), events
+
+    if all(x is None for x in (t_up, t_del, r_up, r_del)):
+        return CommitLog(root).latest_version()
+    try:
+        return commit_with_retry(
+            spark, root, rebase, max_attempts=max_attempts, writer=writer
+        )
+    except _NothingToMerge as noop:
+        return noop.version
 
 
 def _merge_event(

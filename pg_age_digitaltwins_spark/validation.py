@@ -356,6 +356,14 @@ _ALL_PRIMITIVE_NAMES = {
     "long", "string", "time",
 }
 
+# DTDL v4 adds these primitive schemas (DTDL.v4 spec §Primitive schema);
+# under a v2/v3 context they are unknown atoms and must be rejected —
+# DTDLParser is version-strict here
+_V4_PRIMITIVE_NAMES = {
+    "byte", "bytes", "decimal", "short", "unsignedByte", "unsignedInteger",
+    "unsignedLong", "unsignedShort", "uuid",
+}
+
 
 def _validate_schema_node(
     schema: Any,
@@ -364,6 +372,8 @@ def _validate_schema_node(
     v: list[str],
     depth: int = 0,
     max_depth: int = 8,
+    primitives: set | None = None,
+    forbid_array: bool = False,
 ) -> None:
     """Structural check of a DTDL schema node: primitives, complex
     schemas (Enum/Object/Array/Map, recursively), and ``dtmi:`` refs to
@@ -374,7 +384,12 @@ def _validate_schema_node(
     under a v2 context, 8 under v3/v4): exceeding it is a validation
     ERROR, not a silent stop — DTDLParser rejects over-deep models and
     truncating the check here would accept schemas the reference
-    refuses."""
+    refuses.  ``primitives`` is the version-matched primitive-atom set
+    (v4 adds byte/decimal/uuid/unsigned* — unknown under v2/v3);
+    ``forbid_array`` enforces the DTDL v2 rule that Command payload
+    schemas may not be or contain Array at any nesting level."""
+    if primitives is None:
+        primitives = _ALL_PRIMITIVE_NAMES
     if schema is None:
         return
     if isinstance(schema, str):
@@ -382,7 +397,7 @@ def _validate_schema_node(
             if schema not in named_ids:
                 v.append(f"{where}: schema reference {schema!r} cannot be resolved")
         elif (
-            schema not in _ALL_PRIMITIVE_NAMES
+            schema not in primitives
             and schema not in GEOSPATIAL_SCHEMAS
         ):
             # DTDLParser rejects unknown schema atoms — a typo like
@@ -461,9 +476,15 @@ def _validate_schema_node(
                 else:
                     _validate_schema_node(
                         f.get("schema"), named_ids, f"{where}.{nm}", v,
-                        depth + 1, max_depth,
+                        depth + 1, max_depth, primitives, forbid_array,
                     )
     elif kind == "Array":
+        if forbid_array:
+            # DTDL v2: Command payload schemas may not contain Array
+            v.append(
+                f"{where}: Array is not allowed in Command payloads "
+                "under DTDL v2"
+            )
         if schema.get("elementSchema") is None:
             # DTDLParser: Array requires elementSchema — silence here
             # would accept arrays no writer could ever validate against
@@ -471,7 +492,7 @@ def _validate_schema_node(
         else:
             _validate_schema_node(
                 schema.get("elementSchema"), named_ids, f"{where}[]", v,
-                depth + 1, max_depth,
+                depth + 1, max_depth, primitives, forbid_array,
             )
     elif kind == "Map":
         mk, mv = schema.get("mapKey"), schema.get("mapValue")
@@ -482,7 +503,7 @@ def _validate_schema_node(
         else:
             _validate_schema_node(
                 mv.get("schema"), named_ids, f"{where}{{}}", v,
-                depth + 1, max_depth,
+                depth + 1, max_depth, primitives, forbid_array,
             )
 
 
@@ -583,6 +604,14 @@ def validate_model(
     # complex-schema nesting limit: 5 levels under a v2 context, 8
     # under v3/v4 (DTDL language spec limits)
     max_depth = 5 if is_v2 else 8
+    # v4 adds primitive schema atoms (byte/bytes/decimal/short/uuid and
+    # the unsigned family); under v2/v3 they are unknown terms
+    is_v4_ctx = "dtmi:dtdl:context;4" in ctxs
+    prims = (
+        _ALL_PRIMITIVE_NAMES | _V4_PRIMITIVE_NAMES
+        if is_v4_ctx
+        else _ALL_PRIMITIVE_NAMES
+    )
 
     _check_display_strings(doc, "interface", v)
 
@@ -614,7 +643,7 @@ def validate_model(
         if isinstance(sch, dict) and isinstance(sch.get("@id"), str):
             _validate_schema_node(
                 sch, named_ids, f"named schema '{sch['@id']}'", v,
-                max_depth=max_depth,
+                max_depth=max_depth, primitives=prims,
             )
 
     contents_list = doc.get("contents", []) or []
@@ -656,7 +685,8 @@ def validate_model(
                 v.append(f"{where}: {kind} requires a schema")
             else:
                 _validate_schema_node(
-                    item["schema"], named_ids, where, v, max_depth=max_depth
+                    item["schema"], named_ids, where, v,
+                    max_depth=max_depth, primitives=prims,
                 )
         if kind == "Command":
             # CommandRequest / CommandResponse payloads: named payload +
@@ -671,12 +701,26 @@ def validate_model(
                 pname = payload.get("name")
                 if not isinstance(pname, str) or not _NAME_RE.match(pname):
                     v.append(f"{where}: {side} name {pname!r} is not a valid identifier")
+                nullable = payload.get("nullable")
+                if nullable is not None:
+                    # nullable arrived on CommandRequest/CommandResponse
+                    # in DTDL v3; under v2 it is an undefined term
+                    if is_v2:
+                        v.append(
+                            f"{where}: {side} nullable requires "
+                            "dtmi:dtdl:context;3 or later"
+                        )
+                    elif not isinstance(nullable, bool):
+                        v.append(f"{where}: {side} nullable must be a boolean")
                 if payload.get("schema") is None:
                     v.append(f"{where}: {side} requires a schema")
                 else:
                     _validate_schema_node(
                         payload["schema"], named_ids, f"{where} {side}", v,
-                        max_depth=max_depth,
+                        max_depth=max_depth, primitives=prims,
+                        # DTDL v2: Command payload schemas may not be or
+                        # contain Array (restriction lifted in v3)
+                        forbid_array=is_v2,
                     )
         if kind == "Component":
             cs = item.get("schema")
@@ -736,7 +780,7 @@ def validate_model(
                 else:
                     _validate_schema_node(
                         p["schema"], named_ids, f"{where}.{pn}", v,
-                        max_depth=max_depth,
+                        max_depth=max_depth, primitives=prims,
                     )
         # semantic types (co-types beyond the content kind)
         semantics = [k for k in kinds if k not in _CONTENT_KINDS]

@@ -797,3 +797,170 @@ def test_merge_rows_regenerates_caller_supplied_etag(spark, tmp_path):
         for r in loaded.twins.filter("dt_id = 't0'").collect()
     ]
     assert doc["$etag"] and doc["$etag"] != stale
+
+
+# ---------------------------------------------------------------------------
+# merge_frames (r7: join-based bulk MERGE — executor-side old images)
+# ---------------------------------------------------------------------------
+
+def _twin_frame(spark, docs):
+    from pg_age_digitaltwins_spark.store.graph_store import TWIN_SCHEMA, _twin_row
+
+    return spark.createDataFrame([_twin_row(d) for d in docs], TWIN_SCHEMA)
+
+
+def test_merge_frames_matches_merge_rows_semantics(spark, tmp_path):
+    """Same upsert+insert+delete batch through the frame path: store
+    state and change events (with true old images) match merge_rows."""
+    from pg_age_digitaltwins_spark.store.commit_log import merge_frames
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(_multi_store(spark), root)
+    v = merge_frames(
+        spark, root,
+        twin_upserts=_twin_frame(spark, [
+            dict(_twin(0), x=100),                                     # update
+            {"$dtId": "t9", "$etag": 'W/"e9"',
+             "$metadata": {"$model": "dtmi:test:Thing;1"}, "x": 9},    # insert
+        ]),
+        twin_deletes=spark.createDataFrame([("t1",), ("missing",)], "dt_id string"),
+    )
+    assert v == 2
+    store, _ = load_latest(spark, root)
+    rows = {r["dt_id"]: r["doc"] for r in store.twins.collect()}
+    assert "t1" not in rows and "missing" not in rows
+    assert '"x":100' in rows["t0"] and "t9" in rows
+    ch = read_changes_since(spark, root, after_version=1).collect()
+    by_id = {c["entity_id"]: c for c in ch}
+    assert by_id["t0"]["event_type"] == "Update" and '"x":0' in by_id["t0"]["old_value"]
+    assert by_id["t9"]["event_type"] == "Insert" and by_id["t9"]["old_value"] is None
+    assert by_id["t1"]["event_type"] == "Delete" and by_id["t1"]["new_value"] is None
+    assert "missing" not in by_id
+
+
+def test_merge_frames_bare_rid_delete_and_upsert_wins(spark, tmp_path):
+    from pg_age_digitaltwins_spark.store.commit_log import merge_frames
+    from pg_age_digitaltwins_spark.store.graph_store import REL_SCHEMA, _rel_row
+
+    root = str(tmp_path / "tbl")
+    store = GraphStore.from_documents(
+        spark,
+        twin_docs=[_twin(0), _twin(1), _twin(2)],
+        relationship_docs=[
+            {"$relationshipId": "shared", "$sourceId": "t0", "$targetId": "t1",
+             "$relationshipName": "knows"},
+            {"$relationshipId": "shared", "$sourceId": "t2", "$targetId": "t1",
+             "$relationshipName": "knows"},
+        ],
+        model_docs=MODELS,
+    )
+    commit_snapshot(store, root)
+    merge_frames(
+        spark, root,
+        rel_upserts=spark.createDataFrame(
+            [_rel_row({"$relationshipId": "shared", "$sourceId": "t0",
+                       "$targetId": "t1", "$relationshipName": "knows",
+                       "$etag": 'W/"r"', "w": 9})], REL_SCHEMA,
+        ),
+        rel_deletes=spark.createDataFrame(
+            [(None, "shared")], "source_id string, relationship_id string"
+        ),
+    )
+    loaded, _ = load_latest(spark, root)
+    rels = [(r["source_id"], r["relationship_id"])
+            for r in loaded.relationships.collect()]
+    assert rels == [("t0", "shared")]
+
+
+def test_merge_frames_guards(spark, tmp_path):
+    from pg_age_digitaltwins_spark.store.commit_log import merge_frames
+
+    root = str(tmp_path / "tbl")
+    store = GraphStore.from_documents(
+        spark,
+        twin_docs=[_twin(0), _twin(1)],
+        relationship_docs=[
+            {"$relationshipId": "r1", "$sourceId": "t0", "$targetId": "t1",
+             "$relationshipName": "knows"},
+        ],
+        model_docs=MODELS,
+    )
+    commit_snapshot(store, root)
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_frames(
+            spark, root,
+            twin_upserts=_twin_frame(spark, [dict(_twin(0), x=1),
+                                             dict(_twin(0), x=2)]),
+        )
+    with pytest.raises(ValueError, match="orphan"):
+        merge_frames(
+            spark, root,
+            twin_deletes=spark.createDataFrame([("t1",)], "dt_id string"),
+        )
+    with pytest.raises(ValueError, match="missing twins"):
+        from pg_age_digitaltwins_spark.store.graph_store import REL_SCHEMA, _rel_row
+        merge_frames(
+            spark, root,
+            rel_upserts=spark.createDataFrame(
+                [_rel_row({"$relationshipId": "r2", "$sourceId": "t0",
+                           "$targetId": "ghost", "$relationshipName": "knows",
+                           "$etag": 'W/"x"'})], REL_SCHEMA,
+            ),
+        )
+
+
+def test_merge_frames_bulk_never_materializes_rows_on_driver(spark, tmp_path):
+    """1M-row merge through the frame path: upserts are generated
+    executor-side (spark.range — no driver list exists at all), the
+    merge commits, and the change feed carries all 1M Insert events.
+    The only collects in merge_frames are partition VALUES and capped
+    guard samples — asserted by construction (inputs never pass through
+    a driver list) and by the feed/table counts."""
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.store.commit_log import merge_frames
+    from pg_age_digitaltwins_spark.store.graph_store import TWIN_SCHEMA
+
+    root = str(tmp_path / "tbl")
+    n = 1_000_000
+    up = spark.range(n).select(
+        F.concat(F.lit("bulk-"), F.col("id")).alias("dt_id"),
+        F.lit("dtmi:test:Thing;1").alias("model_id"),
+        F.concat(F.lit('W/"'), F.md5(F.col("id").cast("string")), F.lit('"')).alias("etag"),
+        F.lit(None).cast("timestamp").alias("last_update_time"),
+        F.concat(
+            F.lit('{"$dtId":"bulk-'), F.col("id"),
+            F.lit('","$metadata":{"$model":"dtmi:test:Thing;1"},"x":'),
+            F.col("id"), F.lit("}"),
+        ).alias("doc"),
+    )
+    assert [f.name for f in TWIN_SCHEMA.fields] == up.columns
+    v = merge_frames(spark, root, twin_upserts=up)
+    assert v == 1
+    store, _ = load_latest(spark, root)
+    assert store.twins.count() == n
+    feed = read_changes_since(spark, root)
+    assert feed.count() == n
+    assert feed.filter(F.col("event_type") != "Insert").count() == 0
+
+
+def test_merge_rows_delegates_to_frame_path_above_threshold(spark, tmp_path):
+    """merge_rows with a batch above distributed_threshold hands off to
+    merge_frames; results identical to the point-lookup path."""
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(_multi_store(spark), root)
+    v = merge_rows(
+        spark, root,
+        twin_upserts=[dict(_twin(0), x=77)],
+        twin_deletes=["t1"],
+        distributed_threshold=1,  # force the frame path
+    )
+    assert v == 2
+    store, _ = load_latest(spark, root)
+    rows = {r["dt_id"]: r["doc"] for r in store.twins.collect()}
+    assert '"x":77' in rows["t0"] and "t1" not in rows
+    ch = read_changes_since(spark, root, after_version=1).collect()
+    by_id = {c["entity_id"]: c["event_type"] for c in ch}
+    assert by_id == {"t0": "Update", "t1": "Delete"}

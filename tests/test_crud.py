@@ -1212,3 +1212,66 @@ def test_v2_contents_cap_counts_inherited(spark):
         create_models(GraphStore.empty(spark), [base, over])
     ok = iface("dtmi:v2cap:Ok;1", 100, 200, extends="dtmi:v2cap:Base;1")
     create_models(GraphStore.empty(spark), [base, ok])
+
+
+# --- DTDL batch 8 (r7): command payload rules + v4 primitive tail ----
+
+def test_v2_command_payload_forbids_array():
+    """DTDL v2: a Command request/response schema may not be or contain
+    Array at any nesting level (restriction lifted in v3)."""
+    from pg_age_digitaltwins_spark.validation import ValidationError, validate_model
+
+    cmd = {
+        "@type": "Command", "name": "doIt",
+        "request": {"name": "arg", "schema": {
+            "@type": "Array", "elementSchema": "double"}},
+    }
+    with pytest.raises(ValidationError, match="Array is not allowed in Command"):
+        validate_model(_interface(contents=[cmd], **{"@context": "dtmi:dtdl:context;2"}))
+    # nested inside an Object field: still rejected under v2
+    cmd2 = {
+        "@type": "Command", "name": "doIt",
+        "response": {"name": "out", "schema": {
+            "@type": "Object", "fields": [
+                {"name": "xs", "schema": {"@type": "Array", "elementSchema": "long"}},
+            ]}},
+    }
+    with pytest.raises(ValidationError, match="Array is not allowed in Command"):
+        validate_model(_interface(contents=[cmd2], **{"@context": "dtmi:dtdl:context;2"}))
+    # same shapes are FINE under v3
+    validate_model(_interface(contents=[cmd]))
+    validate_model(_interface(contents=[cmd2]))
+
+
+def test_command_payload_nullable_rules():
+    """nullable on CommandRequest/CommandResponse: boolean, v3+ only."""
+    from pg_age_digitaltwins_spark.validation import ValidationError, validate_model
+
+    cmd = {
+        "@type": "Command", "name": "c",
+        "request": {"name": "arg", "schema": "string", "nullable": True},
+    }
+    validate_model(_interface(contents=[cmd]))  # v3: accepted
+    with pytest.raises(ValidationError, match="nullable requires"):
+        validate_model(_interface(contents=[cmd], **{"@context": "dtmi:dtdl:context;2"}))
+    bad = {
+        "@type": "Command", "name": "c",
+        "request": {"name": "arg", "schema": "string", "nullable": "yes"},
+    }
+    with pytest.raises(ValidationError, match="nullable must be a boolean"):
+        validate_model(_interface(contents=[bad]))
+
+
+def test_v4_primitive_schemas_version_gated():
+    """DTDL v4 adds byte/bytes/decimal/short/uuid and the unsigned
+    family; under v2/v3 they are unknown schema atoms (DTDLParser is
+    version-strict)."""
+    from pg_age_digitaltwins_spark.validation import ValidationError, validate_model
+
+    for prim in ("uuid", "decimal", "unsignedInteger", "byte", "short"):
+        p = {"@type": "Property", "name": "p", "schema": prim}
+        validate_model(_interface(contents=[p], **{"@context": "dtmi:dtdl:context;4"}))
+        with pytest.raises(ValidationError, match="not a DTDL primitive"):
+            validate_model(_interface(contents=[p]))  # v3 context
+        with pytest.raises(ValidationError, match="not a DTDL primitive"):
+            validate_model(_interface(contents=[p], **{"@context": "dtmi:dtdl:context;2"}))
