@@ -569,3 +569,58 @@ def test_register_views_enables_raw_sql(client):
         "JOIN g_twins t ON r.source_id = t.dt_id"
     ).collect()[0]["n"]
     assert joined == client.store.relationships.count()
+
+
+def test_keyset_pagination_under_mutation_no_dup_no_skip(spark):
+    """r7 (ADVICE #7): staleness semantics under mutation, documented as
+    an intentional divergence from the reference's OFFSET tokens
+    (ContinuationToken.cs:9-40).  Keyset tokens anchor on the last
+    served key, so between pages:
+
+    * deleting an already-served row does NOT shift later pages
+      (offset tokens would SKIP one surviving row);
+    * inserting a row before the boundary does NOT re-serve or displace
+      anything (offset tokens would DUPLICATE one row);
+    * inserts/deletes after the boundary are reflected as-of page time.
+
+    No surviving row is ever duplicated or skipped."""
+    from pg_age_digitaltwins_spark import crud
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{
+        "@id": "dtmi:pg:T;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "x", "schema": "integer"}],
+    }]
+    twins = [
+        {"$dtId": f"m{i:02d}", "$metadata": {"$model": "dtmi:pg:T;1"}, "x": i}
+        for i in range(10)
+    ]
+    c = DigitalTwinsSparkClient(
+        GraphStore.from_documents(spark, twin_docs=twins, model_docs=models)
+    )
+    q = "SELECT $dtId AS dt_id FROM DIGITALTWINS"
+    page1 = c.query(q, max_items_per_page=4)
+    assert [r["dt_id"] for r in page1.rows] == ["m00", "m01", "m02", "m03"]
+
+    # mutate between pages: delete a SERVED row, insert before AND
+    # after the boundary
+    c.delete_digital_twin("m01")
+    c.create_or_replace_digital_twin(
+        "a00", {"$metadata": {"$model": "dtmi:pg:T;1"}, "x": 100})  # < boundary
+    c.create_or_replace_digital_twin(
+        "m055", {"$metadata": {"$model": "dtmi:pg:T;1"}, "x": 55})  # > boundary
+
+    page2 = c.query(q, max_items_per_page=4,
+                    continuation_token=page1.continuation_token)
+    page3 = c.query(q, max_items_per_page=4,
+                    continuation_token=page2.continuation_token)
+    got = [r["dt_id"] for r in page1.rows + page2.rows + page3.rows]
+    # m01 was served before its delete (as-of semantics); a00 sorts
+    # before the boundary so it never appears; m055 (inserted after the
+    # boundary) appears exactly once; nothing else dups or skips
+    assert got == ["m00", "m01", "m02", "m03",
+                   "m04", "m05", "m055", "m06",
+                   "m07", "m08", "m09"]
+    assert page3.continuation_token is None
