@@ -450,3 +450,19 @@ def test_filtered_hop_target_gets_adaptive_broadcast(fixture_client):
     # every join in the executed 3-hop plan ends up broadcast — no
     # sort-merge join (and hence no per-query Sort) survives
     assert "SortMergeJoin" not in final.split("Initial Plan")[0], final
+
+
+def test_wide_fixture_tables_scan_parallel_without_repartition(spark):
+    """r7: single-row-group fixture tables are rewritten once as
+    multi-file parquet (the real lakehouse layout) instead of paying a
+    per-query RoundRobin repartition — no REPARTITION_BY_NUM exchange
+    may appear in a plain aggregation plan, and the scan must span
+    multiple files."""
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    agg = li.groupBy("l_returnflag").count()
+    plan = _plan(agg)
+    assert "REPARTITION_BY_NUM" not in plan, plan
+    assert "RoundRobinPartitioning" not in plan, plan
+    assert len(li.inputFiles()) > 1
