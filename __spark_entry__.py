@@ -487,6 +487,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_cosine"] = lambda s, d: similarity.cosine_near_dup_pairs(
         _tables(s, d)["embeddings"], threshold=0.4
     )
+    # semantic-dedup clustering: transitive closure of the near-dup
+    # relation, canonical = min vec_id per component (pairs → CC →
+    # sizes; the scale path feeds LSH candidate pairs instead)
+    q["dedup_semantic_clusters"] = lambda s, d: similarity.near_dup_clusters(
+        _tables(s, d)["embeddings"], threshold=0.4
+    )
 
     def _decontaminate(s, d):
         from pyspark.sql import functions as F
@@ -1511,6 +1517,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM d a JOIN d b ON a.vec_id < b.vec_id "
         "WHERE round(list_dot_product(a.v, b.v) / "
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4"
+    )
+    o["dedup_semantic_clusters"] = (
+        "WITH RECURSIVE d AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        "pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM d a JOIN d b "
+        "ON a.vec_id < b.vec_id "
+        "WHERE round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4), "
+        "e AS (SELECT va AS a, vb AS b FROM pairs "
+        "UNION ALL SELECT vb, va FROM pairs), "
+        "reach(v, r) AS (SELECT vec_id, vec_id FROM d "
+        "UNION SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.v), "
+        "cc AS (SELECT v AS vec_id, min(r) AS cluster FROM reach GROUP BY v) "
+        "SELECT vec_id, cluster, "
+        "count(*) OVER (PARTITION BY cluster) AS cluster_size FROM cc"
     )
     _grams8 = (
         "SELECT doc_id, unnest(list_distinct(list_transform("

@@ -616,6 +616,58 @@ def cosine_near_dup_pairs(
     )
 
 
+def near_dup_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cluster, cluster_size) — semantic-dedup clusters: the
+    transitive closure of the near-dup pair relation, labeled by the
+    min vec_id per component (the canonical representative a dedup pass
+    keeps).
+
+    Composition of two existing scale shapes: a pair source (default:
+    the exact ``cosine_near_dup_pairs`` baseline; at corpus scale pass
+    ``pairs`` from the LSH-bucketed candidate join instead — the
+    clustering is agnostic to how candidates were generated) and the
+    ``connected_components`` superstep propagation over (vec_id ↔
+    vec_id) edges.  Cluster size comes from one more map-side-combined
+    aggregation joined back; singletons (no near-dup) form their own
+    cluster of size 1, so the output is a total partition of the
+    corpus."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        connected_components,
+    )
+
+    p = (
+        pairs
+        if pairs is not None
+        else cosine_near_dup_pairs(embeddings, threshold)
+    )
+    # zero-pad ids: component labels propagate as STRING mins, and the
+    # canonical representative must be the NUMERIC min ("10" < "2"
+    # lexicographically would mislabel)
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    verts = embeddings.select(pad(F.col("vec_id")).alias("dt_id"))
+    edges = p.select(
+        F.concat_ws("-", F.col("vec_a"), F.col("vec_b")).alias("relationship_id"),
+        pad(F.col("vec_a")).alias("source_id"),
+        pad(F.col("vec_b")).alias("target_id"),
+        F.lit("near_dup").alias("name"),
+    )
+    cc = connected_components(verts, edges)
+    labeled = cc.select(
+        F.col("dt_id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("cluster"),
+    )
+    sizes = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster").select(
+        "vec_id", "cluster", "cluster_size"
+    )
+
+
 def quantize_int8(embeddings: DataFrame) -> DataFrame:
     """Scalar (per-dimension) int8 quantization of the embedding column
     — the standard 4× memory/IO shrink before ANN at corpus scale.

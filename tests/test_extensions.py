@@ -973,3 +973,27 @@ def test_scc_raises_instead_of_splitting_when_iters_exhausted(spark):
         for r in strongly_connected_components(twins, rels).collect()
     }
     assert set(got.values()) == {"a"}
+
+
+def test_near_dup_clusters_transitive_and_total(spark):
+    """Semantic-dedup clustering: A~B and B~C (A never directly ~C)
+    must land in ONE cluster labeled by the numeric-min id; vectors
+    with no near-dup are singletons — the output partitions the corpus.
+    Ids chosen so a lexicographic min would mislabel (10 < 2 as
+    numbers, '10' < '2' as strings is TRUE — here the trap is 2 vs 10
+    where string-min gives '10')."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # 2, 10, 11 form a chain: 2~10, 10~11 (2 and 11 not direct)
+        (2,  [1.0, 0.0]),
+        (10, [0.96, 0.28]),   # cos(2,10) high
+        (11, [0.8, 0.6]),     # cos(10,11) high, cos(2,11)=0.8 < 0.9
+        (5,  [0.0, 1.0]),     # singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["cluster_size"])
+        for r in similarity.near_dup_clusters(emb, threshold=0.9).collect()
+    }
+    assert got == {2: (2, 3), 10: (2, 3), 11: (2, 3), 5: (5, 1)}
