@@ -1068,6 +1068,7 @@ def merge_frames(
 
         events_parts: list[DataFrame] = []
         changed: dict[str, object] = {}
+        effective_t_del: DataFrame | None = None
 
         # -- twins ------------------------------------------------------
         new_twins = with_vdoc(store.twins)
@@ -1078,6 +1079,7 @@ def merge_frames(
                 if t_del is not None
                 else spark.createDataFrame([], "dt_id string")
             )  # upsert wins: no Delete event, row survives
+            effective_t_del = dl
             old = store.twins.select(
                 "dt_id",
                 F.col("model_id").alias("__old_model"),
@@ -1214,16 +1216,18 @@ def merge_frames(
         # Referential integrity (join-based, executor-side): same
         # invariants merge_rows enforces — join elimination depends on
         # them (see merge_rows).
-        if t_del is not None:
+        if effective_t_del is not None:
+            # the EFFECTIVE deletes (upsert-wins rows excluded) — a twin
+            # both upserted and deleted survives, so its edges are fine
             dangling = (
                 new_rels.join(
-                    t_del.select(F.col("dt_id").alias("source_id")),
+                    effective_t_del.select(F.col("dt_id").alias("source_id")),
                     "source_id", "left_semi",
                 )
                 .select("relationship_id")
                 .unionByName(
                     new_rels.join(
-                        t_del.select(F.col("dt_id").alias("target_id")),
+                        effective_t_del.select(F.col("dt_id").alias("target_id")),
                         "target_id", "left_semi",
                     ).select("relationship_id")
                 )

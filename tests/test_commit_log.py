@@ -964,3 +964,31 @@ def test_merge_rows_delegates_to_frame_path_above_threshold(spark, tmp_path):
     ch = read_changes_since(spark, root, after_version=1).collect()
     by_id = {c["entity_id"]: c["event_type"] for c in ch}
     assert by_id == {"t0": "Update", "t1": "Delete"}
+
+
+def test_merge_frames_upsert_wins_delete_passes_ri_guard(spark, tmp_path):
+    """A twin both upserted and deleted in one batch SURVIVES (upsert
+    wins) — the orphan-RI guard must use the effective delete set, not
+    flag edges pointing at the surviving twin."""
+    from pg_age_digitaltwins_spark.store.commit_log import merge_frames
+
+    root = str(tmp_path / "tbl")
+    store = GraphStore.from_documents(
+        spark,
+        twin_docs=[_twin(0), _twin(1)],
+        relationship_docs=[
+            {"$relationshipId": "r1", "$sourceId": "t0", "$targetId": "t1",
+             "$relationshipName": "knows"},
+        ],
+        model_docs=MODELS,
+    )
+    commit_snapshot(store, root)
+    v = merge_frames(
+        spark, root,
+        twin_upserts=_twin_frame(spark, [dict(_twin(1), x=5)]),
+        twin_deletes=spark.createDataFrame([("t1",)], "dt_id string"),
+    )
+    assert v == 2
+    loaded, _ = load_latest(spark, root)
+    assert loaded.twins.filter("dt_id = 't1'").count() == 1
+    assert loaded.relationships.count() == 1
