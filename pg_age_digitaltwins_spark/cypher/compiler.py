@@ -515,6 +515,10 @@ class CypherCompiler:
             )
             return self._apply_node_props(df, existing, node), existing
         frame, kind = self._node_frame(node)
+        if kind == "twin" and node.props:
+            # predicate-bearing traversal endpoint: plain frame so AQE
+            # can broadcast the filtered leg (see twins_adaptive_v)
+            frame = self._twins_adaptive
         t_alias = node.alias or self._anon_alias()
         t = Binding(node.alias or "", kind, t_alias)
         if node.alias:
@@ -605,6 +609,10 @@ class CypherCompiler:
             )
             return self._apply_node_props(df, existing, node), existing
         frame, kind = self._node_frame(node)
+        if kind == "twin" and node.props:
+            # predicate-bearing traversal endpoint: plain frame so AQE
+            # can broadcast the filtered leg (see twins_adaptive_v)
+            frame = self._twins_adaptive
         t_alias = node.alias or self._anon_alias()
         t = Binding(node.alias or "", kind, t_alias)
         if node.alias:
