@@ -533,6 +533,15 @@ def _check_display_strings(node: dict[str, Any], where: str, v: list[str]) -> No
                 v.append(f"{where}: {key} localized values must be strings")
             elif len(s) > limit:
                 v.append(f"{where}: {key} exceeds the {limit}-character DTDL limit")
+    # ``comment`` is a plain (non-localizable) string capped at 512
+    # characters in every DTDL version (DTDLParser rejects both a
+    # non-string and an over-long comment)
+    comment = node.get("comment")
+    if comment is not None:
+        if not isinstance(comment, str):
+            v.append(f"{where}: comment must be a string")
+        elif len(comment) > 512:
+            v.append(f"{where}: comment exceeds the 512-character DTDL limit")
 
 
 def validate_model(

@@ -1275,3 +1275,20 @@ def test_v4_primitive_schemas_version_gated():
             validate_model(_interface(contents=[p]))  # v3 context
         with pytest.raises(ValidationError, match="not a DTDL primitive"):
             validate_model(_interface(contents=[p], **{"@context": "dtmi:dtdl:context;2"}))
+
+
+def test_comment_string_and_length_cap():
+    """DTDL comment: plain string, <=512 chars, every version."""
+    from pg_age_digitaltwins_spark.validation import ValidationError, validate_model
+
+    validate_model(_interface(comment="ok"))
+    validate_model(_interface(contents=[
+        {"@type": "Property", "name": "p", "schema": "string", "comment": "x" * 512},
+    ]))
+    with pytest.raises(ValidationError, match="comment must be a string"):
+        validate_model(_interface(comment={"en": "nope"}))
+    with pytest.raises(ValidationError, match="comment exceeds the 512"):
+        validate_model(_interface(contents=[
+            {"@type": "Property", "name": "p", "schema": "string",
+             "comment": "x" * 513},
+        ]))
