@@ -176,8 +176,7 @@ def _multifile_cache(
             os.path.exists(marker) and open(marker).read().strip() == fp
         ):
             df.repartition(par).write.mode("overwrite").parquet(out)
-            with open(marker, "w") as f:
-                f.write(fp)
+            _write_marker(marker, fp)
         return spark.read.parquet(out)
     except Exception:  # pragma: no cover — read-only cache root
         return df.repartition(par)
@@ -237,6 +236,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> Mapping:
 # ~128 MB–1 GB (thousands of buckets), exactly like choosing Hive/Delta
 # bucket or Z-order cluster counts.
 _N_BUCKETS = 16
+
+
+def _write_marker(marker: str, fp: str) -> None:
+    """Atomic marker write (temp + rename): a concurrent reader never
+    sees a torn fingerprint, so it either rebuilds or trusts a fully
+    written cache — never half of one."""
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(fp)
+    os.replace(tmp, marker)
 
 
 def load_graph(
@@ -302,8 +311,7 @@ def load_graph(
                 prefix, path=path, n_buckets=_N_BUCKETS, partitioned=True
             )
             os.makedirs(path, exist_ok=True)
-            with open(marker, "w") as f:
-                f.write(fp)
+            _write_marker(marker, fp)
         else:
             GraphStore.register_bucketed(
                 spark, prefix, path, n_buckets=_N_BUCKETS, partitioned=True
@@ -320,8 +328,7 @@ def load_graph(
             n, F.col("source_id")
         ).sortWithinPartitions("source_id")
         store.save(path)
-        with open(marker, "w") as f:
-            f.write(fp)
+        _write_marker(marker, fp)
     return GraphStore.load(spark, path)
 
 
