@@ -130,13 +130,21 @@ class CommitLog:
         _fsync_dir(self.commits_dir)
 
 
-def _stage_events_list(events: Sequence[EventData], stage: str) -> int:
+def _stage_events_list(
+    events: Sequence[EventData], stage: str, version: int | None = None
+) -> int:
     """Driver-buffered events → ONE ND-JSON file in the staging dir
-    (same line format as ``ChangeLog._write_feed_file``)."""
+    (same line format as ``ChangeLog._write_feed_file``).  Events whose
+    ``txn_id`` is 0 are stamped with the COMMIT VERSION (and a
+    file-order ``seq``): the change feed's cross-commit order must be
+    recoverable from the data alone — CDF consumers (the replication
+    module) fold multi-commit batches by (txn_id, seq)."""
     os.makedirs(stage, exist_ok=True)
     path = os.path.join(stage, "events.ndjson")
     with open(path, "w") as f:
-        for e in events:
+        for i, e in enumerate(events):
+            txn = e.txn_id or (version or 0)
+            seq = e.seq or i
             f.write(
                 json.dumps(
                     {
@@ -153,8 +161,8 @@ def _stage_events_list(events: Sequence[EventData], stage: str) -> int:
                         "timestamp": _ts(e.timestamp).isoformat(
                             sep="T", timespec="milliseconds"
                         ),
-                        "txn_id": e.txn_id,
-                        "seq": e.seq,
+                        "txn_id": txn,
+                        "seq": seq,
                     },
                     separators=(",", ":"),
                 )
@@ -163,9 +171,19 @@ def _stage_events_list(events: Sequence[EventData], stage: str) -> int:
     return len(events)
 
 
-def _stage_events_df(events: DataFrame, stage: str) -> int:
+def _stage_events_df(
+    events: DataFrame, stage: str, version: int | None = None
+) -> int:
     """Bulk events → executor-side JSON part files (O(partitions) files
-    per commit regardless of row count — the compaction contract)."""
+    per commit regardless of row count — the compaction contract).
+    Zero ``txn_id`` rows are stamped with the commit version (see
+    ``_stage_events_list``)."""
+    if version:
+        events = events.withColumn(
+            "txn_id",
+            F.when(F.col("txn_id") == 0, F.lit(version).cast("long"))
+            .otherwise(F.col("txn_id")),
+        )
     (
         events.select([f.name for f in EVENT_DATA_SCHEMA.fields])
         .write.mode("overwrite")
@@ -176,14 +194,16 @@ def _stage_events_df(events: DataFrame, stage: str) -> int:
 
 
 def _stage_change_batch(
-    log: CommitLog, events: Sequence[EventData] | DataFrame | None
+    log: CommitLog,
+    events: Sequence[EventData] | DataFrame | None,
+    version: int | None = None,
 ) -> tuple[str | None, int]:
     if events is None:
         return None, 0
     stage = os.path.join(log.changes_dir, f".stage-{uuid.uuid4().hex[:8]}")
     if isinstance(events, DataFrame):
-        return stage, _stage_events_df(events, stage)
-    return stage, _stage_events_list(list(events), stage)
+        return stage, _stage_events_df(events, stage, version)
+    return stage, _stage_events_list(list(events), stage, version)
 
 
 _PARTITION_COLS = {"twins": "model_id", "relationships": "name"}
@@ -238,7 +258,7 @@ def commit_snapshot(
     snap_dir = os.path.join(root, snap_rel)
     store.save(snap_dir)
 
-    stage, n_events = _stage_change_batch(log, events)
+    stage, n_events = _stage_change_batch(log, events, version)
 
     manifest = {
         "version": version,
@@ -366,7 +386,7 @@ def commit_cow(
         else:
             tables[table] = {"dir": base_tables[table]["dir"]}
 
-    stage, n_events = _stage_change_batch(log, events)
+    stage, n_events = _stage_change_batch(log, events, version)
     manifest = {
         "version": version,
         "base_version": base,

@@ -1,0 +1,244 @@
+"""Graph→graph CDC replication: tail a source commit log, apply each
+micro-batch to a replica commit log with the join-based MERGE.
+
+The reference's Events project replicates WAL changes to EXTERNAL
+systems (Kafka/Kusto/...); the Spark-native sibling of that pattern is
+a downstream graph replica maintained from the same change feed — the
+lakehouse "CDF → MERGE INTO downstream table" medallion step.  The
+apply operator is ``store.commit_log.merge_frames``, so the entire
+batch — old images, RI checks, event re-emission — stays executor-side
+regardless of batch size.
+
+Semantics:
+
+* Events are per-entity coalesced within the micro-batch
+  (``coalesce_events`` — first-old/last-new), then split four ways
+  (twin upserts / twin deletes / rel upserts / rel deletes) with all
+  document fields extracted JVM-side (``get_json_object``), and applied
+  as ONE atomic merge commit on the replica: the replica steps from
+  consistent state to consistent state even when a batch spans many
+  source commits.
+* Exactly-once across foreachBatch retries: a per-batch marker under
+  ``<replica_root>/_replica_applied`` (the same idempotent-by-batch-id
+  pattern the IVM module uses) — a replayed batch sees its marker and
+  skips, so replica versions and the replica's own change feed never
+  duplicate.
+* Deletes must not orphan edges: the merge applies twin and edge
+  changes together, and the source enforced referential integrity, so
+  the batch's FINAL state (what ``merge_frames`` checks) always
+  satisfies it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_MODEL_PATH = "$['$metadata']['$model']"
+
+
+def _final_state(coalesced: DataFrame) -> DataFrame:
+    """Per-txn coalesced rows → ONE row per entity for the whole batch.
+
+    ``coalesce_events`` merges within a transaction; a micro-batch can
+    span many source commits, so a second fold takes the FIRST old
+    image and the LAST new image/event type across (txn_id, seq).  The
+    grouping key adds the extracted ``$sourceId`` — relationship
+    identity is (source, relationship_id), and two edges sharing a rid
+    under different sources must not merge."""
+    order = F.struct(F.col("txn_id"), F.col("seq"))
+    src_key = F.coalesce(
+        F.get_json_object(
+            F.coalesce(F.col("new_value"), F.col("old_value")),
+            "$['$sourceId']",
+        ),
+        F.lit(""),
+    )
+    return (
+        coalesced.withColumn("__sk", src_key)
+        .groupBy("entity_id", "graph_name", "table_name", "__sk")
+        .agg(
+            F.min_by("old_value", order).alias("old_value"),
+            F.max_by("new_value", order).alias("new_value"),
+            F.max_by("event_type", order).alias("event_type"),
+            F.max("timestamp").alias("timestamp"),
+        )
+        .drop("__sk")
+    )
+
+
+def _split_batch(coalesced: DataFrame):
+    """Batch-final EVENT_DATA rows → (twin_up, twin_del, rel_up,
+    rel_del) frames in the storage row shapes ``merge_frames`` takes.
+    Kind discrimination mirrors the replication classifier: a document
+    with ``$relationshipId`` is an edge row, ``table_name == 'Model'``
+    rows are skipped (model replication is a dimension copy, not
+    CDC)."""
+    doc = F.coalesce(F.col("new_value"), F.col("old_value"))
+    is_rel = F.get_json_object(doc, "$['$relationshipId']").isNotNull()
+    ev = coalesced.filter(F.col("table_name") != "Model")
+
+    twins = ev.filter(~is_rel)
+    twin_up = twins.filter(F.col("event_type") != "Delete").select(
+        F.get_json_object("new_value", "$['$dtId']").alias("dt_id"),
+        F.get_json_object("new_value", _MODEL_PATH).alias("model_id"),
+        F.get_json_object("new_value", "$['$etag']").alias("etag"),
+        F.col("timestamp").alias("last_update_time"),
+        F.col("new_value").alias("doc"),
+    )
+    twin_del = twins.filter(F.col("event_type") == "Delete").select(
+        F.get_json_object("old_value", "$['$dtId']").alias("dt_id")
+    )
+
+    rels = ev.filter(is_rel)
+    rel_up = rels.filter(F.col("event_type") != "Delete").select(
+        F.get_json_object("new_value", "$['$relationshipId']").alias(
+            "relationship_id"
+        ),
+        F.get_json_object("new_value", "$['$sourceId']").alias("source_id"),
+        F.get_json_object("new_value", "$['$targetId']").alias("target_id"),
+        F.get_json_object("new_value", "$['$relationshipName']").alias("name"),
+        F.get_json_object("new_value", "$['$etag']").alias("etag"),
+        F.col("new_value").alias("doc"),
+    )
+    rel_del = rels.filter(F.col("event_type") == "Delete").select(
+        F.get_json_object("old_value", "$['$sourceId']").alias("source_id"),
+        F.get_json_object("old_value", "$['$relationshipId']").alias(
+            "relationship_id"
+        ),
+    )
+    return twin_up, twin_del, rel_up, rel_del
+
+
+def apply_changes_to_replica(
+    spark: SparkSession,
+    events: DataFrame,
+    replica_root: str,
+    batch_id: int | None = None,
+    writer: str = "replica",
+) -> int | None:
+    """Apply one batch of EVENT_DATA rows to the replica commit log.
+
+    Returns the committed replica version, or None when the batch was
+    empty / already applied (idempotent replay)."""
+    from pg_age_digitaltwins_spark.store.commit_log import merge_frames
+    from pg_age_digitaltwins_spark.streaming.changes import coalesce_events
+
+    applied_dir = os.path.join(replica_root, "_replica_applied")
+    marker = (
+        os.path.join(applied_dir, f"batch-{batch_id}")
+        if batch_id is not None
+        else None
+    )
+    if marker is not None and os.path.exists(marker):
+        return None  # foreachBatch retry: already applied
+    boot = _bootstrap_version(replica_root)
+    if boot:
+        # the clone already contains every commit ≤ boot; replaying
+        # them could violate RI relative to the bootstrapped state
+        # (e.g. an old edge whose endpoint was deleted pre-bootstrap)
+        events = events.filter(F.col("txn_id") > boot)
+    coalesced = _final_state(coalesce_events(events)).localCheckpoint(eager=True)
+    t_up, t_del, r_up, r_del = _split_batch(coalesced)
+    # empty frames must not reach merge_frames as "present but empty"
+    # branches that still scan; probe cheaply (these are batch-sized)
+    t_up_n = bool(t_up.take(1))
+    t_del_n = bool(t_del.take(1))
+    r_up_n = bool(r_up.take(1))
+    r_del_n = bool(r_del.take(1))
+    version = None
+    if t_up_n or t_del_n or r_up_n or r_del_n:
+        version = merge_frames(
+            spark,
+            replica_root,
+            twin_upserts=t_up if t_up_n else None,
+            twin_deletes=t_del if t_del_n else None,
+            rel_upserts=r_up if r_up_n else None,
+            rel_deletes=r_del if r_del_n else None,
+            writer=writer,
+        )
+    if marker is not None:
+        os.makedirs(applied_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(str(version if version is not None else -1))
+    return version
+
+
+def _bootstrap_version(replica_root: str) -> int:
+    try:
+        with open(
+            os.path.join(replica_root, "_replica_applied", "_bootstrap")
+        ) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def bootstrap_replica(
+    spark: SparkSession, source_root: str, replica_root: str
+) -> int:
+    """Clone the source's CURRENT snapshot into an empty replica and
+    record the cloned version — the Delta-CDF consumer pattern (CLONE at
+    version V, then ``table_changes(starting_version = V+1)``).  Change
+    batches at or below the bootstrap version are skipped by the apply
+    step: replaying them against the clone could violate referential
+    integrity (an old edge insert whose endpoint was deleted again
+    before the clone).  Idempotent: an already-bootstrapped (or
+    non-empty) replica is left alone."""
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        CommitLog,
+        commit_snapshot,
+        load_latest,
+    )
+
+    if CommitLog(replica_root).latest_version() > 0:
+        return _bootstrap_version(replica_root)
+    src_version = CommitLog(source_root).latest_version()
+    if src_version == 0:
+        return 0
+    store, _ = load_latest(spark, source_root)
+    commit_snapshot(store, replica_root, writer="replica-bootstrap")
+    applied_dir = os.path.join(replica_root, "_replica_applied")
+    os.makedirs(applied_dir, exist_ok=True)
+    with open(os.path.join(applied_dir, "_bootstrap"), "w") as f:
+        f.write(str(src_version))
+    return src_version
+
+
+def run_replication(
+    spark: SparkSession,
+    source_root: str,
+    replica_root: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous replication query: bootstrap (snapshot clone at the
+    source's current version, once) + readStream over the source commit
+    log's change feed → ``apply_changes_to_replica`` per micro-batch,
+    skipping change batches the clone already contains.  Returns the
+    started StreamingQuery (caller owns the lifecycle); default trigger
+    availableNow (catch-up-and-stop)."""
+    from pg_age_digitaltwins_spark.store.commit_log import changes_glob
+    from pg_age_digitaltwins_spark.streaming.changes import EVENT_DATA_SCHEMA
+
+    bootstrap_replica(spark, source_root, replica_root)
+
+    reader = spark.readStream.schema(EVENT_DATA_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(
+        changes_glob(source_root),
+        timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSS",
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changes_to_replica(spark, batch_df, replica_root, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -1605,3 +1605,107 @@ def test_materialized_view_rejects_checkpoint_generation_mismatch(spark, tmp_pat
         int(d[1:]) for d in os.listdir(str(tmp_path / "state")) if d.startswith("v")
     )
     assert versions == [2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# r7: graph→graph CDC replication (CDF → MERGE INTO downstream replica)
+# ---------------------------------------------------------------------------
+
+def test_replication_converges_replica_to_source(spark, tmp_path):
+    """Bootstrap (snapshot clone at current version) + tail: post-clone
+    commits stream into the replica via the join-based MERGE; after
+    catch-up the replica's twins and relationships EQUAL the source's,
+    including an update, a delete, and a cross-commit chain folded into
+    one micro-batch by (txn_id, seq) order."""
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        commit_snapshot, load_latest, merge_rows,
+    )
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+    from pg_age_digitaltwins_spark.streaming.replica import run_replication
+
+    models = [{
+        "@id": "dtmi:rep:T;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "x", "schema": "integer"}],
+    }]
+    def twin(i, x=None):
+        return {"$dtId": f"r{i}", "$metadata": {"$model": "dtmi:rep:T;1"},
+                "x": x if x is not None else i}
+
+    src_root = str(tmp_path / "src")
+    rep_root = str(tmp_path / "rep")
+    store = GraphStore.from_documents(
+        spark, twin_docs=[twin(0), twin(1), twin(2)], model_docs=models,
+    )
+    commit_snapshot(store, src_root)
+    merge_rows(spark, src_root, rel_upserts=[
+        {"$relationshipId": "e1", "$sourceId": "r0", "$targetId": "r1",
+         "$relationshipName": "knows"},
+    ])
+    # first catch-up: clone at v2, nothing to stream
+    q = run_replication(spark, src_root, rep_root, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    rep_store, _ = load_latest(spark, rep_root)
+    assert rep_store.twins.count() == 3
+    assert rep_store.relationships.count() == 1
+
+    # post-bootstrap commits: update+insert (v3), delete + edge (v4),
+    # and an update-then-update chain across commits (v5) — all folded
+    # by one availableNow catch-up into ordered application
+    merge_rows(spark, src_root, twin_upserts=[twin(1, x=11), twin(3)])
+    merge_rows(spark, src_root, twin_deletes=["r2"], rel_upserts=[
+        {"$relationshipId": "e2", "$sourceId": "r3",
+         "$targetId": "r0", "$relationshipName": "knows"},
+    ])
+    merge_rows(spark, src_root, twin_upserts=[twin(1, x=99)])
+
+    q = run_replication(spark, src_root, rep_root, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    src_store, _ = load_latest(spark, src_root)
+    rep_store, _ = load_latest(spark, rep_root)
+    import json
+
+    # compare PARSED docs: key order differs between the storage row
+    # and the event-serialized image, but the documents are identical
+    src_twins = {r["dt_id"]: json.loads(r["doc"]) for r in src_store.twins.collect()}
+    rep_twins = {r["dt_id"]: json.loads(r["doc"]) for r in rep_store.twins.collect()}
+    assert rep_twins == src_twins  # full convergence
+    assert rep_twins["r1"]["x"] == 99
+    rep_rels = {
+        (r["source_id"], r["relationship_id"]): r["name"]
+        for r in rep_store.relationships.collect()
+    }
+    assert rep_rels == {("r0", "e1"): "knows", ("r3", "e2"): "knows"}
+
+
+def test_replication_batch_replay_is_idempotent(spark, tmp_path):
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        CommitLog, commit_snapshot, merge_rows,
+    )
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+    from pg_age_digitaltwins_spark.store.commit_log import read_changes_since
+    from pg_age_digitaltwins_spark.streaming.replica import (
+        apply_changes_to_replica,
+    )
+
+    models = [{
+        "@id": "dtmi:rep:T;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "x", "schema": "integer"}],
+    }]
+    src_root = str(tmp_path / "src")
+    rep_root = str(tmp_path / "rep")
+    commit_snapshot(GraphStore.from_documents(
+        spark,
+        twin_docs=[{"$dtId": "a", "$metadata": {"$model": "dtmi:rep:T;1"}}],
+        model_docs=models), src_root)
+    merge_rows(spark, src_root, twin_upserts=[
+        {"$dtId": "b", "$metadata": {"$model": "dtmi:rep:T;1"}, "x": 1},
+    ])
+    events = read_changes_since(spark, src_root)
+    v1 = apply_changes_to_replica(spark, events, rep_root, batch_id=7)
+    assert v1 == 1
+    # foreachBatch retry with the SAME batch id: marker short-circuits
+    assert apply_changes_to_replica(spark, events, rep_root, batch_id=7) is None
+    assert CommitLog(rep_root).latest_version() == 1
