@@ -160,8 +160,12 @@ def apply_changes_to_replica(
         )
     if marker is not None:
         os.makedirs(applied_dir, exist_ok=True)
-        with open(marker, "w") as f:
+        # atomic (temp + rename): a crash mid-write must not leave an
+        # empty marker that silently skips the batch on retry
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
             f.write(str(version if version is not None else -1))
+        os.replace(tmp, marker)
     return version
 
 
@@ -201,8 +205,11 @@ def bootstrap_replica(
     commit_snapshot(store, replica_root, writer="replica-bootstrap")
     applied_dir = os.path.join(replica_root, "_replica_applied")
     os.makedirs(applied_dir, exist_ok=True)
-    with open(os.path.join(applied_dir, "_bootstrap"), "w") as f:
+    boot_marker = os.path.join(applied_dir, "_bootstrap")
+    tmp = boot_marker + ".tmp"
+    with open(tmp, "w") as f:
         f.write(str(src_version))
+    os.replace(tmp, boot_marker)
     return src_version
 
 
