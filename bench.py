@@ -179,6 +179,60 @@ def bench_cdc_throughput(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_replication(spark, n_twins: int = 20000) -> dict:
+    """Graph→graph CDC replication throughput: bootstrap the replica
+    from an EMPTY source snapshot FIRST, then bulk-MERGE ``n_twins``
+    inserts into the source and let run_replication's availableNow
+    catch-up stream them through the join-based apply — so the measure
+    is the STREAMED MERGE path, not the snapshot clone.  Records
+    rows/sec end-to-end."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        commit_snapshot, load_latest, merge_frames,
+    )
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+    from pg_age_digitaltwins_spark.streaming.replica import (
+        bootstrap_replica,
+        run_replication,
+    )
+
+    work = tempfile.mkdtemp(prefix="repl-bench-")
+    try:
+        src = os.path.join(work, "src")
+        rep = os.path.join(work, "rep")
+        commit_snapshot(GraphStore.empty(spark), src)
+        bootstrap_replica(spark, src, rep)  # clone while EMPTY
+        up = spark.range(n_twins).select(
+            F.concat(F.lit("b-"), F.col("id")).alias("dt_id"),
+            F.lit("dtmi:bench:Thing;1").alias("model_id"),
+            F.concat(F.lit('W/"'), F.md5(F.col("id").cast("string")), F.lit('"')).alias("etag"),
+            F.lit(None).cast("timestamp").alias("last_update_time"),
+            F.concat(
+                F.lit('{"$dtId":"b-'), F.col("id"),
+                F.lit('","$metadata":{"$model":"dtmi:bench:Thing;1"},"x":'),
+                F.col("id"), F.lit("}"),
+            ).alias("doc"),
+        )
+        merge_frames(spark, src, twin_upserts=up)
+        t0 = time.perf_counter()
+        q = run_replication(spark, src, rep, os.path.join(work, "ckpt"))
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        store, _ = load_latest(spark, rep)
+        n = store.twins.count()
+        return {
+            "rows": int(n),
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n / wall, 1) if wall else 0.0,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -211,6 +265,7 @@ def main() -> None:
     a_runs = max(1, int(os.environ.get("SPARK_GRAFT_ANALYTICS_RUNS", "1")))
     analytics = run_group(ANALYTICS, a_runs)
     cdc = bench_cdc_throughput(spark)
+    repl = bench_replication(spark)
     print(
         json.dumps(
             {
@@ -222,6 +277,7 @@ def main() -> None:
                 "runs": runs,
                 "agg": "min",
                 "cdc": cdc,
+                "replication": repl,
                 "sf": SF_DIR,
             }
         )
