@@ -55,6 +55,9 @@ def connected_components(
             .groupBy(F.col("target_id").alias("dt_id"))
             .agg(F.min("component").alias("n_comp"))
         )
+        # the changed flag rides the checkpointed frame: the
+        # convergence probe is a filter over cached partitions, not a
+        # second 186k×186k join job per superstep
         new_labels = (
             labels.join(neighbor_min, "dt_id", "left")
             .select(
@@ -62,16 +65,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
+                F.coalesce(
+                    F.col("n_comp") < F.col("component"), F.lit(False)
+                ).alias("__ch"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "dt_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .take(1)
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__ch")).take(1)
+        labels = new_labels.drop("__ch")
         if not changed:
             break
     return labels
@@ -362,12 +363,15 @@ def _min_propagate(
         )
         hopped = labels.join(neighbor_min, "dt_id", "left").select(
             "dt_id",
+            F.col("m").alias("__m0"),
             F.least(F.col("m"), F.coalesce(F.col("n_m"), F.col("m"))).alias("m"),
         )
         # pointer-doubling shortcut: reachability is transitive, so if
         # m(v)=a then anything reaching a also reaches v — m(v) :=
         # min(m(v), m(m(v))) halves convergence rounds (label-table
-        # join, |V|-sized, cheaper than an edge-join round)
+        # join, |V|-sized, cheaper than an edge-join round).  The
+        # changed flag (final vs pre-hop label) rides the checkpointed
+        # frame so the convergence probe is a cached filter, not a join.
         new_labels = (
             hopped.alias("a")
             .join(
@@ -382,16 +386,17 @@ def _min_propagate(
                 F.least(
                     F.col("m"), F.coalesce(F.col("__m2"), F.col("m"))
                 ).alias("m"),
+                F.col("__m0"),
+            )
+            .select(
+                "dt_id",
+                "m",
+                (F.col("m") != F.col("__m0")).alias("__ch"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "dt_id")
-            .filter(F.col("n.m") != F.col("o.m"))
-            .take(1)
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__ch")).take(1)
+        labels = new_labels.drop("__ch")
         if not changed:
             converged = True
             break
