@@ -379,6 +379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- events -------------------------------------------------------
     q["events_hourly_rollup"] = lambda s, d: ev_ops.hourly_rollup(_tables(s, d)["events"])
+    # sliding (2h window / 1h slide) rollup — each event lands in two
+    # overlapping windows; streaming-compatible F.window shape
+    q["events_hopping_rollup"] = lambda s, d: ev_ops.hopping_rollup(
+        _tables(s, d)["events"]
+    )
     q["events_last_value"] = lambda s, d: ev_ops.last_value_per_user_type(_tables(s, d)["events"])
     q["events_sessionize"] = lambda s, d: ev_ops.sessionize(_tables(s, d)["events"])
 
@@ -1423,6 +1428,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, "
         "count(*) AS cnt, round(sum(value), 2) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    )
+    # hopping window: each event belongs to the two 2h windows starting
+    # at hour(ts)-1h and hour(ts) — expand via unnest, then aggregate
+    o["events_hopping_rollup"] = (
+        "SELECT window_start, event_type, count(*) AS cnt, "
+        "round(sum(value), 2) AS sum_value FROM ("
+        "SELECT CAST(unnest(["
+        "date_trunc('hour', ts) - INTERVAL 1 HOUR, "
+        "date_trunc('hour', ts)]) AS TIMESTAMP) AS window_start, "
+        "event_type, value FROM events) "
+        "GROUP BY window_start, event_type"
     )
     o["events_last_value"] = (
         "SELECT user_id, event_type, value AS last_value FROM ("

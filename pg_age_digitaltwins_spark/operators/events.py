@@ -26,6 +26,36 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def hopping_rollup(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding (hopping) window rollup per event type: count + sum over
+    overlapping windows — ``F.window(ts, window, slide)``.
+
+    Spark expands each event into window/slide assignment rows (2 here)
+    BEFORE the partial aggregation, so the shuffle still carries only
+    (window, type) partials — the standard streaming-compatible shape:
+    the identical expression runs under ``readStream`` with a watermark
+    for the late-data path.  Output columns are the window START (the
+    stable, oracle-checkable key) plus the aggregate."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), window, slide).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
 def last_value_per_user_type(events: DataFrame) -> DataFrame:
     """Latest event value per (user, event_type) — the DataHistory
     'current property value' question (SURVEY.md §2.4 S7).

@@ -997,3 +997,29 @@ def test_near_dup_clusters_transitive_and_total(spark):
         for r in similarity.near_dup_clusters(emb, threshold=0.9).collect()
     }
     assert got == {2: (2, 3), 10: (2, 3), 11: (2, 3), 5: (5, 1)}
+
+
+def test_hopping_rollup_overlapping_windows(spark):
+    """2h/1h hopping windows: every event contributes to exactly TWO
+    windows (the one starting at its hour and the one an hour before);
+    counts and sums agree with manual expansion."""
+    from pg_age_digitaltwins_spark.operators.events import hopping_rollup
+
+    rows = [
+        (1, "u1", "click", 1.0, "2026-01-01 10:15:00"),
+        (2, "u2", "click", 2.0, "2026-01-01 10:45:00"),
+        (3, "u1", "view", 5.0, "2026-01-01 11:30:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, value double, ts string"
+    ).selectExpr("event_id", "user_id", "event_type", "value", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in hopping_rollup(ev).collect()
+    }
+    assert got == {
+        ("2026-01-01 09:00:00", "click"): (2, 3.0),
+        ("2026-01-01 10:00:00", "click"): (2, 3.0),
+        ("2026-01-01 10:00:00", "view"): (1, 5.0),
+        ("2026-01-01 11:00:00", "view"): (1, 5.0),
+    }
