@@ -675,7 +675,15 @@ class CypherCompiler:
         first_path = C.PathPat(
             [rebound] + clause.paths[0].nodes[1:], clause.paths[0].edges
         )
-        inner = C.MatchClause([first_path] + clause.paths[1:], where=clause.where)
+        # the clause's WHERE may reference the anchor by its OUTER name
+        # (legal Cypher: OPTIONAL MATCH (c)-->(d) WHERE c.x = 1 AND ...)
+        # — re-point those references at the rebound alias so the
+        # sub-pattern filters during matching (outer-join semantics:
+        # non-qualifying rows yield nulls, they are not dropped)
+        where = clause.where
+        if where is not None and anchor.name:
+            where = _cy_expr_rename(where, {anchor.name: rebound.alias})
+        inner = C.MatchClause([first_path] + clause.paths[1:], where=where)
         sub_df = sub._match(None, sub_env, inner)
         # expose new aliases + the rebound anchor key
         cols = [
@@ -1483,6 +1491,49 @@ def _cy_conjuncts(e: C.Expr) -> list:
             out.extend(_cy_conjuncts(item))
         return out
     return [e]
+
+
+def _cy_expr_rename(e, mapping: dict):
+    """Copy of an expression AST with variable references renamed
+    (generic dataclass walk) — used to re-anchor an OPTIONAL MATCH's
+    WHERE onto the rebound anchor alias."""
+    import dataclasses as _dc
+
+    if isinstance(e, C.Var):
+        return C.Var(mapping.get(e.name, e.name)) if e.name in mapping else e
+    if isinstance(e, C.Prop) and e.var in mapping:
+        return _dc.replace(e, var=mapping[e.var])
+    if _dc.is_dataclass(e) and not isinstance(e, type):
+        changes = {}
+        for f in _dc.fields(e):
+            v = getattr(e, f.name)
+            if isinstance(v, (list, tuple)):
+                new_items = []
+                dirty = False
+                for item in v:
+                    if isinstance(item, tuple):
+                        nt = tuple(
+                            _cy_expr_rename(sub, mapping)
+                            if _dc.is_dataclass(sub) and not isinstance(sub, type)
+                            else sub
+                            for sub in item
+                        )
+                        dirty = dirty or any(a is not b for a, b in zip(nt, item))
+                        new_items.append(nt)
+                    elif _dc.is_dataclass(item) and not isinstance(item, type):
+                        ni = _cy_expr_rename(item, mapping)
+                        dirty = dirty or ni is not item
+                        new_items.append(ni)
+                    else:
+                        new_items.append(item)
+                if dirty:
+                    changes[f.name] = type(v)(new_items)
+            elif _dc.is_dataclass(v) and not isinstance(v, type):
+                nv = _cy_expr_rename(v, mapping)
+                if nv is not v:
+                    changes[f.name] = nv
+        return _dc.replace(e, **changes) if changes else e
+    return e
 
 
 def _cy_expr_aliases(e, out: set | None = None) -> set:

@@ -1043,3 +1043,30 @@ def test_model_edge_unlabeled_target_matches_models(fixture_store):
     )
     pairs = {(r["child"], r["parent"]) for r in got}
     assert ("dtmi:com:contoso:Planet;1", "dtmi:com:contoso:CelestialBody;1") in pairs
+
+
+def test_optional_match_where_references_anchor(spark):
+    """r7: WHERE on an OPTIONAL MATCH may reference the ANCHOR variable
+    (legal Cypher); non-qualifying rows yield nulls — they are not
+    dropped (outer-join semantics, filter during matching)."""
+    models = [{"@id": "dtmi:om:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3",
+               "contents": [{"@type": "Property", "name": "x", "schema": "integer"}]}]
+    twins = [{"$dtId": f"t{i}", "$metadata": {"$model": "dtmi:om:T;1"}, "x": i}
+             for i in range(4)]
+    rels = [{"$relationshipId": f"r{i}", "$sourceId": f"t{i}",
+             "$targetId": f"t{(i + 1) % 4}", "$relationshipName": "next"}
+            for i in range(4)]
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    store = GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models)
+    out = rows(
+        store,
+        "MATCH (c:Twin) OPTIONAL MATCH (c)-[:next]->(d) "
+        "WHERE c.x = 1 AND d.x = 2 "
+        "RETURN c.`$dtId` AS c_id, d.`$dtId` AS d_id ORDER BY c_id",
+    )
+    assert [(r["c_id"], r["d_id"]) for r in out] == [
+        ("t0", None), ("t1", "t2"), ("t2", None), ("t3", None),
+    ]
