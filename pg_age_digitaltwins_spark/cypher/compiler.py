@@ -671,10 +671,28 @@ class CypherCompiler:
         sub._anon = self._anon + 100
         sub_df: DataFrame | None = None
         # re-bind the anchor under a fresh alias inside the sub-pattern
+        import dataclasses as _dc
+
         rebound = C.NodePat(f"__opt_{anchor.name}", [], clause.paths[0].nodes[0].props)
+
+        def _re_anchor(node: C.NodePat) -> C.NodePat:
+            # EVERY occurrence of the anchor alias inside the optional
+            # pattern — other comma-paths' heads, cycles back to the
+            # anchor — must rebind to the SAME fresh alias, or the
+            # sub-compiler would treat it as an unrelated fresh scan
+            # (a silent cartesian at best, wrong rows at worst)
+            if node.alias == anchor.name:
+                return _dc.replace(node, alias=rebound.alias)
+            return node
+
         first_path = C.PathPat(
-            [rebound] + clause.paths[0].nodes[1:], clause.paths[0].edges
+            [rebound] + [_re_anchor(n) for n in clause.paths[0].nodes[1:]],
+            clause.paths[0].edges,
         )
+        rest_paths = [
+            C.PathPat([_re_anchor(n) for n in p.nodes], p.edges)
+            for p in clause.paths[1:]
+        ]
         # the clause's WHERE may reference the anchor by its OUTER name
         # (legal Cypher: OPTIONAL MATCH (c)-->(d) WHERE c.x = 1 AND ...)
         # — re-point those references at the rebound alias so the
@@ -683,7 +701,7 @@ class CypherCompiler:
         where = clause.where
         if where is not None and anchor.name:
             where = _cy_expr_rename(where, {anchor.name: rebound.alias})
-        inner = C.MatchClause([first_path] + clause.paths[1:], where=where)
+        inner = C.MatchClause([first_path] + rest_paths, where=where)
         sub_df = sub._match(None, sub_env, inner)
         # expose new aliases + the rebound anchor key
         cols = [

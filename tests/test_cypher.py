@@ -1070,3 +1070,33 @@ def test_optional_match_where_references_anchor(spark):
     assert [(r["c_id"], r["d_id"]) for r in out] == [
         ("t0", None), ("t1", "t2"), ("t2", None), ("t3", None),
     ]
+
+
+def test_optional_match_comma_paths_share_anchor(spark):
+    """r7: comma-paths inside one OPTIONAL MATCH share the anchor
+    variable (Neo4j semantics) — previously the second path's head was
+    treated as a fresh scan and the cartesian guard refused the query."""
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:om2:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3",
+               "contents": [{"@type": "Property", "name": "x", "schema": "integer"}]}]
+    twins = [{"$dtId": f"t{i}", "$metadata": {"$model": "dtmi:om2:T;1"}, "x": i}
+             for i in range(3)]
+    rels = [
+        {"$relationshipId": "ab", "$sourceId": "t0", "$targetId": "t1",
+         "$relationshipName": "x"},
+        {"$relationshipId": "ac", "$sourceId": "t0", "$targetId": "t2",
+         "$relationshipName": "y"},
+    ]
+    store = GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models)
+    out = rows(
+        store,
+        "MATCH (a:Twin) OPTIONAL MATCH (a)-[:x]->(b), (a)-[:y]->(c) "
+        "RETURN a.`$dtId` AS a_id, b.`$dtId` AS b_id, c.`$dtId` AS c_id "
+        "ORDER BY a_id",
+    )
+    assert [(r["a_id"], r["b_id"], r["c_id"]) for r in out] == [
+        ("t0", "t1", "t2"), ("t1", None, None), ("t2", None, None),
+    ]
