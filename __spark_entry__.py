@@ -175,6 +175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT O.$dtId AS order_id FROM DIGITALTWINS MATCH (C)<-[R:placedBy]-(O) "
         "WHERE C.$dtId = 'cust-1'"
     )
+    q["adt_match_undirected"] = _adt(
+        "SELECT R.$relationshipId AS rid, A.$dtId AS a_id, B.$dtId AS b_id "
+        "FROM DIGITALTWINS MATCH (A)-[R:partOf]-(B) WHERE A.$dtId = 'region-1'"
+    )
     q["adt_match_multilabel"] = _adt(
         "SELECT R.$relationshipId AS rid FROM DIGITALTWINS "
         "MATCH (A)-[R:locatedIn|partOf]->(B) WHERE B.$dtId != 'nation-0'"
@@ -1240,6 +1244,15 @@ def oracle_sql() -> dict[str, str]:
     )
     o["adt_match_reverse"] = (
         "SELECT 'order-' || o_orderkey AS order_id FROM orders WHERE o_custkey = 1"
+    )
+    o["adt_match_undirected"] = (
+        "SELECT rid, a_id, b_id FROM ("
+        "SELECT 'partOf-' || n_nationkey AS rid, 'region-' || r_regionkey AS a_id, "
+        "'nation-' || n_nationkey AS b_id FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "UNION ALL "
+        "SELECT 'partOf-' || n_nationkey, 'nation-' || n_nationkey, 'region-' || r_regionkey "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey) "
+        "WHERE a_id = 'region-1'"
     )
     o["adt_match_multilabel"] = (
         "SELECT rid FROM ("

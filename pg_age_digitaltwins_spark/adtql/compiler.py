@@ -561,22 +561,55 @@ class QueryCompiler:
             rel_df = rel_df.filter(F.col("name").isin(edge.labels))
         e = bind(edge.alias, "rel")
         rel_df = self._scan(rel_df, e)
-        if edge.direction == "<-":
-            near, far = "target_id", "source_id"
+        lcol = F.col(f"{left.df_alias}.{left.key_col}")
+        src = F.col(f"{e.df_alias}.source_id")
+        dst = F.col(f"{e.df_alias}.target_id")
+        if edge.direction == "--":
+            # NON-DIRECTIONAL hop (ADT QL `-[r]-`): the pattern matches
+            # in BOTH orientations — one row per (edge, orientation),
+            # exactly the two rows AGE's Cypher `-[r]-` produces.  The
+            # near condition is an OR of the endpoints; the far twin
+            # binds the opposite endpoint below.
+            near, far = None, None
+            df = df.join(rel_df, (src == lcol) | (dst == lcol))
         else:
-            near, far = "source_id", "target_id"
-        df = df.join(
-            rel_df,
-            F.col(f"{e.df_alias}.{near}")
-            == F.col(f"{left.df_alias}.{left.key_col}"),
-        )
+            if edge.direction == "<-":
+                near, far = "target_id", "source_id"
+            else:
+                near, far = "source_id", "target_id"
+            df = df.join(
+                rel_df,
+                F.col(f"{e.df_alias}.{near}") == lcol,
+            )
         if existing_right is not None:
             # pattern chain revisits an alias: (a)-[..]->(b),(b)-[..]->(c)
-            df = df.filter(
-                F.col(f"{e.df_alias}.{far}")
-                == F.col(f"{existing_right.df_alias}.{existing_right.key_col}")
+            rcol = F.col(
+                f"{existing_right.df_alias}.{existing_right.key_col}"
             )
+            if far is None:
+                df = df.filter(
+                    ((src == lcol) & (dst == rcol))
+                    | ((dst == lcol) & (src == rcol))
+                )
+            else:
+                df = df.filter(F.col(f"{e.df_alias}.{far}") == rcol)
             return df, existing_right
+        if far is None:
+            # undirected: no single far column to anchor on — always
+            # join the twin side with the orientation-aware condition
+            t = bind(right_alias, "twin")
+            frame = (
+                self._twins_adaptive
+                if right_alias and self._scan_preds.get(right_alias)
+                else self._twins
+            )
+            tcol = F.col(f"{t.df_alias}.dt_id")
+            df = df.join(
+                self._scan(frame, t),
+                ((src == lcol) & (dst == tcol))
+                | ((dst == lcol) & (src == tcol)),
+            )
+            return df, t
         if right_alias is None or (
             self._eliminable is not None and right_alias in self._eliminable
         ):

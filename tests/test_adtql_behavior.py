@@ -624,3 +624,24 @@ def test_keyset_pagination_under_mutation_no_dup_no_skip(spark):
                    "m04", "m05", "m055", "m06",
                    "m07", "m08", "m09"]
     assert page3.continuation_token is None
+
+
+def test_match_undirected_both_orientations(client):
+    """r7: ADT QL non-directional MATCH `-[r]-` matches BOTH
+    orientations (one row per edge per orientation — AGE Cypher
+    parity); previously it silently compiled as a forward hop."""
+    directed = client.query(
+        "SELECT COUNT() FROM DIGITALTWINS MATCH (A)-[R:has]->(B)"
+    ).rows[0]["count"]
+    undirected = client.query(
+        "SELECT COUNT() FROM DIGITALTWINS MATCH (A)-[R:has]-(B)"
+    ).rows[0]["count"]
+    assert undirected == 2 * directed > 0
+    # anchored at a leaf (edges only INTO it): the undirected form
+    # still reaches its sources
+    out = client.query(
+        "SELECT B.$dtId AS id FROM DIGITALTWINS "
+        "MATCH (A)-[R:has]-(B) WHERE A.$dtId = 'b1'"
+    ).rows
+    ids = sorted(r["id"] for r in out)
+    assert "root2" in ids and "x" in ids  # incoming source + outgoing target
