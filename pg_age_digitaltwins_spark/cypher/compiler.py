@@ -1353,10 +1353,23 @@ class CypherCompiler:
             src = next(
                 (it.expr for it, nm in zip(q.ret, names) if nm == e.name), None
             )
-            if isinstance(src, C.Prop):
-                e = src
+            if isinstance(src, (C.Prop, C.Var)):
+                e = src  # re-derive the typed key from the source
             else:
                 return F.col(e.name), True
+        if isinstance(e, C.Var) and e.name in env:
+            b = env[e.name]
+            if b.kind == "value":
+                # an UNWIND / WITH value column: VARIANT values cannot
+                # sort raw — order by the agtype-typed struct, same as
+                # variant property accesses
+                c = F.col(b.df_alias)
+                if b.df_alias in self._value_variant:
+                    return (
+                        self._agtype_order_struct(c, F.schema_of_variant(c)),
+                        False,
+                    )
+                return c, False
         if isinstance(e, C.Prop):
             b, path, promoted = self._resolve(e, env)
             if b.kind == "value":

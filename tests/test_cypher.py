@@ -1100,3 +1100,29 @@ def test_optional_match_comma_paths_share_anchor(spark):
     assert [(r["a_id"], r["b_id"], r["c_id"]) for r in out] == [
         ("t0", "t1", "t2"), ("t1", None, None), ("t2", None, None),
     ]
+
+
+def test_unwind_order_by_value_and_empty_null_lists(spark):
+    """r7: ORDER BY an UNWIND-produced value sorts with agtype-typed
+    ordering (2 < 9 < 10, not string order) instead of crashing on the
+    raw VARIANT; empty and missing lists produce no rows (Neo4j
+    semantics)."""
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:uw:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3",
+               "contents": [{"@type": "Property", "name": "xs",
+                             "schema": {"@type": "Array",
+                                        "elementSchema": "integer"}}]}]
+    twins = [
+        {"$dtId": "a", "$metadata": {"$model": "dtmi:uw:T;1"}, "xs": [9, 10, 2]},
+        {"$dtId": "b", "$metadata": {"$model": "dtmi:uw:T;1"}, "xs": []},
+        {"$dtId": "c", "$metadata": {"$model": "dtmi:uw:T;1"}},
+    ]
+    store = GraphStore.from_documents(spark, twin_docs=twins, model_docs=models)
+    out = rows(
+        store,
+        "MATCH (t:Twin) UNWIND t.xs AS x "
+        "RETURN t.`$dtId` AS id, toInteger(x) AS xi ORDER BY id, x",
+    )
+    assert [(r["id"], r["xi"]) for r in out] == [("a", 2), ("a", 9), ("a", 10)]
