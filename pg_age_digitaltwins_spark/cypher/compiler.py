@@ -1056,9 +1056,19 @@ class CypherCompiler:
         if n == "tostring":
             return self._operand(e.args[0], env, None).cast("string")
         if n == "tointeger":
-            return self._operand(e.args[0], env, "number").cast("long")
+            # Neo4j/AGE: unparsable input → NULL, never an error (ANSI
+            # cast would throw CAST_INVALID_INPUT on toInteger('abc'));
+            # fractional input truncates toward zero (toInteger(3.9)=3)
+            return (
+                self._operand(e.args[0], env, None)
+                .cast("string")
+                .try_cast("double")
+                .try_cast("long")
+            )
         if n == "tofloat":
-            return self._operand(e.args[0], env, "number").cast("double")
+            return self._operand(e.args[0], env, None).cast("string").try_cast(
+                "double"
+            )
         if n == "size":
             arg = e.args[0]
             if isinstance(arg, C.Prop):

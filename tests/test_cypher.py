@@ -1126,3 +1126,18 @@ def test_unwind_order_by_value_and_empty_null_lists(spark):
         "RETURN t.`$dtId` AS id, toInteger(x) AS xi ORDER BY id, x",
     )
     assert [(r["id"], r["xi"]) for r in out] == [("a", 2), ("a", 9), ("a", 10)]
+
+
+def test_tointeger_tofloat_null_on_invalid_and_truncation(fixture_store):
+    """r7: toInteger/toFloat return NULL on unparsable input (Neo4j/AGE
+    semantics; ANSI cast previously threw CAST_INVALID_INPUT) and
+    toInteger truncates fractional values toward zero."""
+    [r] = rows(
+        fixture_store,
+        "MATCH (t:Twin) RETURN toInteger('abc') AS bad, toInteger('7') AS ok, "
+        "toFloat('x') AS badf, toFloat('2.5') AS okf, "
+        "toInteger(3.9) AS t1, toInteger(0 - 3.9) AS t2 LIMIT 1",
+    )
+    assert (r["bad"], r["ok"], r["badf"], r["okf"], r["t1"], r["t2"]) == (
+        None, 7, None, 2.5, 3, -3,
+    )
