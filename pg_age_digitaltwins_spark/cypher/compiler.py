@@ -1243,6 +1243,55 @@ class CypherCompiler:
                     lambda acc, v: acc + v,
                 )
             )
+        # openCypher math/misc scalar family (AGE ships these as plain
+        # Cypher functions) — all JVM built-ins, numeric operand typed
+        _MATH1 = {
+            "sqrt": F.sqrt, "exp": F.exp, "log": F.log, "log10": F.log10,
+            "sin": F.sin, "cos": F.cos, "tan": F.tan, "cot": F.cot,
+            "asin": F.asin, "acos": F.acos, "atan": F.atan,
+            "degrees": F.degrees, "radians": F.radians,
+            "floor": F.floor, "ceil": F.ceil,
+        }
+        if n in _MATH1:
+            return _MATH1[n](self._operand(e.args[0], env, "number"))
+        if n == "sign":
+            return F.signum(
+                self._operand(e.args[0], env, "number")
+            ).cast("long")
+        if n == "atan2":
+            return F.atan2(
+                self._operand(e.args[0], env, "number"),
+                self._operand(e.args[1], env, "number"),
+            )
+        if n == "haversin":
+            # haversin(x) = sin²(x/2)
+            half = F.sin(self._operand(e.args[0], env, "number") / 2)
+            return half * half
+        if n == "pi":
+            return F.lit(3.141592653589793)
+        if n == "e":
+            return F.lit(2.718281828459045)
+        if n == "rand":
+            return F.rand()
+        if n == "isempty":
+            # isEmpty: '' / [] / {} → true; null → null
+            arg = e.args[0]
+            c = self._expr(arg, env)
+            if isinstance(arg, C.Lit) and isinstance(arg.value, str):
+                return F.length(c) == 0
+            if isinstance(arg, C.ListLit):
+                return F.array_size(c) == 0
+            # dynamic operand: string form length (covers string and
+            # rendered list/map values)
+            sc = self._operand(arg, env, "string")
+            return F.when(
+                sc.isNotNull(), F.length(sc) == 0
+            ).otherwise(F.lit(None).cast("boolean"))
+        if n == "timestamp":
+            # milliseconds since epoch at query time (AGE/Neo4j
+            # timestamp() is statement-stable; unix_millis of the
+            # statement's current_timestamp matches that contract)
+            return F.unix_millis(F.current_timestamp())
         raise CypherCompileError(f"Unknown function {n}()")
 
     def _vector(self, e: C.Expr, env) -> Column:

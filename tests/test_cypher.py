@@ -1141,3 +1141,24 @@ def test_tointeger_tofloat_null_on_invalid_and_truncation(fixture_store):
     assert (r["bad"], r["ok"], r["badf"], r["okf"], r["t1"], r["t2"]) == (
         None, 7, None, 2.5, 3, -3,
     )
+
+
+def test_math_scalar_function_family(fixture_store):
+    """r7: the openCypher math/misc scalar family (AGE ships these) —
+    sqrt/exp/log/log10/trig/sign/degrees/radians/floor/ceil/atan2/
+    haversin/pi/e/isEmpty/rand/timestamp."""
+    [r] = rows(
+        fixture_store,
+        "MATCH (t:Twin) RETURN sqrt(4) AS sq, exp(0) AS ex, log(1) AS lg, "
+        "log10(100) AS lg10, sin(0) AS sn, acos(1) AS ac, sign(0 - 2) AS sg, "
+        "degrees(pi()) AS dg, floor(2.7) AS fl, ceil(2.1) AS cl, "
+        "atan2(0, 1) AS at2, haversin(0) AS hv, "
+        "isEmpty('') AS em1, isEmpty('x') AS em2, "
+        "rand() AS rnd, timestamp() AS ts LIMIT 1",
+    )
+    assert (r["sq"], r["ex"], r["lg"], r["lg10"], r["sn"], r["ac"]) == (
+        2.0, 1.0, 0.0, 2.0, 0.0, 0.0)
+    assert (r["sg"], r["dg"], r["fl"], r["cl"], r["at2"], r["hv"]) == (
+        -1, 180.0, 2, 3, 0.0, 0.0)
+    assert (r["em1"], r["em2"]) == (True, False)
+    assert 0 <= r["rnd"] < 1 and r["ts"] > 1_500_000_000_000
