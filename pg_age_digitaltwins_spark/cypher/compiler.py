@@ -1053,8 +1053,12 @@ class CypherCompiler:
         if n in ("tolower", "toupper"):
             c = self._operand(e.args[0], env, "string")
             return F.lower(c) if n == "tolower" else F.upper(c)
-        if n == "tostring":
+        if n in ("tostring", "tostringornull"):
             return self._operand(e.args[0], env, None).cast("string")
+        if n == "tointegerornull":
+            n = "tointeger"
+        if n == "tofloatornull":
+            n = "tofloat"
         if n == "tointeger":
             # Neo4j/AGE: unparsable input → NULL, never an error (ANSI
             # cast would throw CAST_INVALID_INPUT on toInteger('abc'));
@@ -1070,14 +1074,30 @@ class CypherCompiler:
                 "double"
             )
         if n == "size":
+            # openCypher size(): element count of a list OR character
+            # count of a string
             arg = e.args[0]
+            if isinstance(arg, C.Lit) and isinstance(arg.value, str):
+                return F.length(self._expr(arg, env)).cast("long")
             if isinstance(arg, C.Prop):
                 b, path, _ = self._resolve(arg, env)
                 arr = F.try_variant_get(
                     F.col(f"{b.df_alias}.vdoc"), J.variant_path(path), "array<variant>"
                 )
-                return F.array_size(arr).cast("long")
+                st = F.try_variant_get(
+                    F.col(f"{b.df_alias}.vdoc"), J.variant_path(path), "string"
+                )
+                return F.coalesce(
+                    F.array_size(arr).cast("long"), F.length(st).cast("long")
+                )
             return F.array_size(self._expr(arg, env)).cast("long")
+        if n == "tail":
+            c = self._expr(e.args[0], env)
+            return F.slice(c, 2, F.greatest(F.array_size(c) - 1, F.lit(0)))
+        if n == "nullif":
+            return F.nullif(
+                self._expr(e.args[0], env), self._expr(e.args[1], env)
+            )
         if n == "length":
             [arg] = e.args
             if (
@@ -1102,6 +1122,8 @@ class CypherCompiler:
             return F.round(c, scale)
         if n == "abs":
             return F.abs(self._operand(e.args[0], env, "number"))
+        if n == "tobooleanornull":
+            n = "toboolean"
         if n == "toboolean":
             # openCypher: only 'true'/'false' (any case) convert; every
             # other input → null.  A plain cast('boolean') would (a)

@@ -1162,3 +1162,19 @@ def test_math_scalar_function_family(fixture_store):
         -1, 180.0, 2, 3, 0.0, 0.0)
     assert (r["em1"], r["em2"]) == (True, False)
     assert 0 <= r["rnd"] < 1 and r["ts"] > 1_500_000_000_000
+
+
+def test_size_string_tail_nullif_ornull_family(fixture_store):
+    """r7: size() counts characters of a string (and elements of a
+    list), tail() drops the head, nullIf, and the *OrNull conversion
+    aliases."""
+    [r] = rows(
+        fixture_store,
+        "MATCH (t:Twin) RETURN size('abcd') AS ss, size([1,2]) AS sl, "
+        "tail([1,2,3]) AS tl, nullIf(1, 1) AS n1, nullIf(1, 2) AS n2, "
+        "toIntegerOrNull('x') AS i0, toFloatOrNull('2.5') AS f1, "
+        "toBooleanOrNull('zzz') AS b0, toStringOrNull(3) AS s3 LIMIT 1",
+    )
+    assert (r["ss"], r["sl"], r["tl"]) == (4, 2, [2, 3])
+    assert (r["n1"], r["n2"]) == (None, 1)
+    assert (r["i0"], r["f1"], r["b0"], r["s3"]) == (None, 2.5, None, "3")
