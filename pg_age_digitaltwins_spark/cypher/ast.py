@@ -112,7 +112,8 @@ class Func:
 
 Expr = Union[Var, Prop, Lit, ListLit, Cmp, StringOp, InList, IsNull, And, Or, Not, Arith, Case, Func]
 
-AGGREGATES = {"count", "sum", "avg", "min", "max", "collect"}
+AGGREGATES = {"count", "sum", "avg", "min", "max", "collect",
+              "stdev", "stdevp", "percentilecont", "percentiledisc"}
 
 
 def has_aggregate(e: Expr) -> bool:

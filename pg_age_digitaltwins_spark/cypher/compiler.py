@@ -1346,6 +1346,23 @@ class CypherCompiler:
         if e.name == "collect":
             c = self._operand(e.args[0], env, None)
             return F.collect_set(c) if e.distinct else F.collect_list(c)
+        if e.name == "stdev":
+            return F.stddev_samp(c_num)
+        if e.name == "stdevp":
+            return F.stddev_pop(c_num)
+        if e.name in ("percentilecont", "percentiledisc"):
+            if len(e.args) < 2 or not isinstance(e.args[1], C.Lit):
+                raise CypherCompileError(
+                    f"{e.name}() requires a literal percentile argument"
+                )
+            pct = float(e.args[1].value)
+            if e.name == "percentilecont":
+                # linear interpolation between ranks — Spark's exact
+                # percentile matches Neo4j's percentileCont
+                return F.percentile(c_num, F.lit(pct))
+            # discrete: the nearest actual value; percentile_approx at
+            # max accuracy degenerates to the exact discrete percentile
+            return F.percentile_approx(c_num, F.lit(pct), F.lit(2147483647))
         raise CypherCompileError(f"Unknown aggregate {e.name}")  # pragma: no cover
 
     def _minmax(self, e: C.Func, env) -> Column:

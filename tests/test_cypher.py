@@ -1178,3 +1178,24 @@ def test_size_string_tail_nullif_ornull_family(fixture_store):
     assert (r["ss"], r["sl"], r["tl"]) == (4, 2, [2, 3])
     assert (r["n1"], r["n2"]) == (None, 1)
     assert (r["i0"], r["f1"], r["b0"], r["s3"]) == (None, 2.5, None, "3")
+
+
+def test_stdev_percentile_aggregates(spark):
+    """r7: Neo4j aggregate tail — stDev (sample), stDevP (population),
+    percentileCont (interpolated), percentileDisc (actual value)."""
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:ag:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3",
+               "contents": [{"@type": "Property", "name": "x", "schema": "integer"}]}]
+    twins = [{"$dtId": f"t{i}", "$metadata": {"$model": "dtmi:ag:T;1"}, "x": i}
+             for i in range(5)]
+    store = GraphStore.from_documents(spark, twin_docs=twins, model_docs=models)
+    [r] = rows(
+        store,
+        "MATCH (t:Twin) RETURN percentileCont(t.x, 0.5) AS pc, "
+        "percentileCont(t.x, 0.25) AS pc25, percentileDisc(t.x, 0.5) AS pd, "
+        "round(stDev(t.x), 4) AS sd, round(stDevP(t.x), 4) AS sdp",
+    )
+    assert (r["pc"], r["pc25"], r["pd"]) == (2.0, 1.0, 2.0)
+    assert (r["sd"], r["sdp"]) == (1.5811, 1.4142)
