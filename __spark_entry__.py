@@ -234,6 +234,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "WHERE s.`$metadata`.`$model` = 'dtmi:demo:Supplier;1' "
         "RETURN s.`$dtId` AS src, x.`$dtId` AS id"
     )
+    q["cypher_agg_stats"] = _adt(
+        "MATCH (o)-[r:contains]->(p) "
+        "RETURN round(stDev(r.quantity), 4) AS sd, "
+        "round(stDevP(r.quantity), 4) AS sdp, "
+        "percentileCont(r.quantity, 0.5) AS p50, "
+        "percentileDisc(r.quantity, 0.9) AS p90d"
+    )
+    q["cypher_scalar_math"] = _adt(
+        "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "RETURN c.`$dtId` AS id, sign(toFloat(c.acctbal)) AS sgn, "
+        "round(sqrt(abs(toFloat(c.acctbal))), 4) AS rt, "
+        "toInteger(floor(toFloat(c.acctbal))) AS fl, "
+        "toInteger(ceil(toFloat(c.acctbal))) AS cl"
+    )
     q["cypher_min_max_qty"] = _adt(
         "MATCH (o)-[r:contains]->(p) "
         "RETURN toFloat(max(r.quantity)) AS max_qty, toFloat(min(r.quantity)) AS min_qty"
@@ -1320,6 +1334,20 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL "
         "SELECT 'supp-' || s_suppkey AS src, 'region-' || n_regionkey AS id "
         "FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+    )
+    o["cypher_agg_stats"] = (
+        "SELECT round(stddev_samp(l_quantity), 4) AS sd, "
+        "round(stddev_pop(l_quantity), 4) AS sdp, "
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50, "
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90d "
+        "FROM lineitem"
+    )
+    o["cypher_scalar_math"] = (
+        "SELECT 'cust-' || c_custkey AS id, "
+        "CAST(sign(c_acctbal) AS BIGINT) AS sgn, "
+        "round(sqrt(abs(c_acctbal)), 4) AS rt, "
+        "CAST(floor(c_acctbal) AS BIGINT) AS fl, "
+        "CAST(ceil(c_acctbal) AS BIGINT) AS cl FROM customer"
     )
     o["cypher_min_max_qty"] = (
         "SELECT CAST(max(l_quantity) AS DOUBLE) AS max_qty, "
