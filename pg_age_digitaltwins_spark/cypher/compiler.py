@@ -962,6 +962,38 @@ class CypherCompiler:
             op = self._operand(e.operand, env, None)
             return op.isNotNull() if e.negated else op.isNull()
         if isinstance(e, C.Arith):
+            if e.op == "+":
+                # Cypher + is overloaded: numeric addition, string
+                # concatenation, list concatenation.  Resolve the kind
+                # from whichever side is statically typed — a string
+                # literal / toString() forces concat, a list literal
+                # forces array concat, else numeric.
+                def _static_kind(x) -> str | None:
+                    if isinstance(x, C.Lit):
+                        return "string" if isinstance(x.value, str) else "number"
+                    if isinstance(x, C.ListLit):
+                        return "list"
+                    if isinstance(x, C.Func) and x.name in (
+                        "tostring", "tostringornull", "tolower", "toupper",
+                        "trim", "ltrim", "rtrim", "replace", "substring",
+                        "left", "right", "reverse",
+                    ):
+                        return "string"
+                    if isinstance(x, C.Func) and x.name in ("split", "range", "tail", "collect"):
+                        return "list"
+                    if isinstance(x, C.Arith) and x.op == "+":
+                        return _static_kind(x.left) or _static_kind(x.right)
+                    return None
+                kind = _static_kind(e.left) or _static_kind(e.right)
+                if kind == "string":
+                    return F.concat(
+                        self._operand(e.left, env, "string"),
+                        self._operand(e.right, env, "string"),
+                    )
+                if kind == "list":
+                    return F.concat(
+                        self._expr(e.left, env), self._expr(e.right, env)
+                    )
             left = self._operand(e.left, env, "number")
             right = self._operand(e.right, env, "number")
             return {
@@ -970,6 +1002,7 @@ class CypherCompiler:
                 "*": left * right,
                 "/": left / right,
                 "%": left % right,
+                "^": F.pow(left, right),
             }[e.op]
         if isinstance(e, C.Case):
             col = None

@@ -399,14 +399,22 @@ class _Parser:
                 return left
 
     def mul_expr(self) -> C.Expr:
-        left = self.primary()
+        left = self.pow_expr()
         while (self.at("PUNCT", "*") and self.toks[self.i + 1].kind
                in ("IDENT", "NUMBER", "STRING")) or (
             self.cur.kind == "OP" and self.cur.value in ("/", "%")
         ):
             op = "*" if self.at("PUNCT", "*") else self.cur.value
             self.i += 1
-            left = C.Arith(op, left, self.primary())
+            left = C.Arith(op, left, self.pow_expr())
+        return left
+
+    def pow_expr(self) -> C.Expr:
+        left = self.primary()
+        if self.at("OP", "^"):
+            self.i += 1
+            # right-associative: 2 ^ 3 ^ 2 = 2 ^ (3 ^ 2)
+            return C.Arith("^", left, self.pow_expr())
         return left
 
     def primary(self) -> C.Expr:

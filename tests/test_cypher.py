@@ -1199,3 +1199,18 @@ def test_stdev_percentile_aggregates(spark):
     )
     assert (r["pc"], r["pc25"], r["pd"]) == (2.0, 1.0, 2.0)
     assert (r["sd"], r["sdp"]) == (1.5811, 1.4142)
+
+
+def test_plus_overload_and_power_operator(fixture_store):
+    """r7: Cypher + is overloaded (numeric add / string concat / list
+    concat) and ^ is right-associative power."""
+    [r] = rows(
+        fixture_store,
+        "MATCH (t:Twin) RETURN t.`$dtId` + '-sfx' AS sc, "
+        "'pre-' + t.`$dtId` AS pc, [1,2] + [3] AS lc, "
+        "2 ^ 10 AS pw, 2 ^ 3 ^ 2 AS pr, 1 + 2 AS nm, "
+        "'a' + 'b' + 'c' AS ch ORDER BY sc LIMIT 1",
+    )
+    assert r["sc"].endswith("-sfx") and r["pc"].startswith("pre-")
+    assert r["lc"] == [1, 2, 3]
+    assert (r["pw"], r["pr"], r["nm"], r["ch"]) == (1024.0, 512.0, 3, "abc")
