@@ -337,7 +337,7 @@ class CypherCompiler:
         for key, lit in edge.props.items():
             rel = rel.filter(self._prop_eq(e_alias, "rel", key, lit))
         rel = self._apply_scan_preds(rel, edge.alias, e)
-        lcol = F.col(f"{left.df_alias}.{left.key_col}")
+        lcol = self._key_col(left)
         src = F.col(f"{e_alias}.source_id")
         dst = F.col(f"{e_alias}.target_id")
         if edge.direction == "->":
@@ -475,7 +475,7 @@ class CypherCompiler:
         # downstream (NoSuchElementException: key not found) when the
         # pair set is joined back to the start leg.
         start_ids = df.select(
-            F.col(f"{left.df_alias}.{left.key_col}").alias("src")
+            self._key_col(left).alias("src")
         ).distinct()
         seeded = base.join(start_ids, "src", "left_semi")
         frontier = seeded
@@ -506,7 +506,7 @@ class CypherCompiler:
         p_alias = self._anon_alias()
         pairs = pairs.alias(p_alias)
         df = df.join(
-            pairs, F.col(f"{p_alias}.src") == F.col(f"{left.df_alias}.{left.key_col}")
+            pairs, F.col(f"{p_alias}.src") == self._key_col(left)
         )
         existing = env.get(node.alias) if node.alias else None
         if existing is not None:
@@ -565,7 +565,7 @@ class CypherCompiler:
             )
         base = base.distinct()
         start_ids = df.select(
-            F.col(f"{left.df_alias}.{left.key_col}").alias("src")
+            self._key_col(left).alias("src")
         ).distinct()
         seeded = base.join(start_ids, "src", "left_semi")
         found = None
@@ -596,7 +596,7 @@ class CypherCompiler:
         p_alias = self._anon_alias()
         pairs = found.alias(p_alias)
         df = df.join(
-            pairs, F.col(f"{p_alias}.src") == F.col(f"{left.df_alias}.{left.key_col}")
+            pairs, F.col(f"{p_alias}.src") == self._key_col(left)
         )
         if path.var:
             col = f"__plen_{path.var}"
@@ -778,6 +778,24 @@ class CypherCompiler:
         properties explicitly in the WITH."""
         if df is None:
             df = self.store.spark.range(1).select(F.lit(1).alias("__one"))
+        # ENTITY PASSTHROUGH (non-aggregating stages): a bare variable
+        # item whose binding is a twin/rel/model keeps its IDENTITY
+        # through the projection — the frame columns ride along as
+        # prefixed flat columns (the same mechanism OPTIONAL MATCH
+        # uses), so `WITH t ORDER BY ... LIMIT n RETURN t.x` works
+        # instead of erroring.  Aggregating stages keep the value
+        # projection (entity-keyed grouping stays a documented bound).
+        has_agg = any(C.has_aggregate(it.expr) for it in clause.items)
+        passthrough: dict[str, Binding] = {}
+        if not has_agg:
+            for i, it in enumerate(clause.items):
+                e = it.expr
+                if isinstance(e, C.Var) and e.name in env:
+                    b = env[e.name]
+                    if b.kind in ("twin", "rel", "model") and not b.virtual:
+                        passthrough[self._item_name(it, i)] = b
+        if passthrough:
+            return self._with_passthrough(df, env, clause, passthrough)
         pseudo = C.SingleQuery(
             clauses=[],
             ret=clause.items,
@@ -810,6 +828,114 @@ class CypherCompiler:
         elif clause.items:
             self._frame_bounded = False
         return out, new_env
+
+    def _with_passthrough(
+        self,
+        df: DataFrame,
+        env: dict[str, Binding],
+        clause: C.WithClause,
+        passthrough: dict[str, Binding],
+    ) -> tuple[DataFrame, dict[str, Binding]]:
+        """Non-aggregating WITH with whole-entity items: project entity
+        frame columns flat (prefixed) + value items, apply ORDER BY /
+        SKIP / LIMIT / DISTINCT / WHERE, and rebind entities in the new
+        scope so later property access and hops-by-filter still work."""
+        cols: list[Column] = []
+        new_env: dict[str, Binding] = {}
+        names = [self._item_name(it, i) for i, it in enumerate(clause.items)]
+        for it, nm in zip(clause.items, names):
+            b = passthrough.get(nm)
+            src = it.expr
+            if (
+                b is not None
+                and isinstance(src, C.Var)
+                and env.get(src.name) is b
+            ):
+                prefix = f"__o_{nm}"
+                for fc in self._opt_frame_cols(b.kind):
+                    cols.append(self._col(b, fc).alias(f"{prefix}__{fc}"))
+                new_env[nm] = Binding(nm, b.kind, prefix)
+            else:
+                cols.append(
+                    self._expr(src, env).alias(nm)
+                )
+                new_env[nm] = Binding(nm, "value", nm)
+        if clause.order_by:
+            # order keys compile against the OLD frame — project them
+            # as hidden columns so they survive, sort, then drop
+            hidden = [
+                c.alias(f"__wob{i}")
+                for i, c in enumerate(self._order_keys(clause, env, names))
+            ]
+            out = self._inject(df).select(*cols, *hidden)
+            if clause.distinct:
+                # DISTINCT applies to the projected items; equal rows
+                # carry equal order keys (keys derive from the items).
+                # Variant columns cannot set-op — dedupe on entity
+                # IDENTITY keys + non-variant value columns instead
+                out = out.dropDuplicates(
+                    self._distinct_keys(out, new_env)
+                )
+            sort_exprs = [
+                F.col(f"__wob{i}").asc() if asc else F.col(f"__wob{i}").desc()
+                for i, (_, asc) in enumerate(clause.order_by)
+            ]
+            out = out.orderBy(*sort_exprs).drop(
+                *[f"__wob{i}" for i in range(len(hidden))]
+            )
+        else:
+            out = self._inject(df).select(*cols)
+            if clause.distinct:
+                out = out.dropDuplicates(self._distinct_keys(out, new_env))
+        if clause.skip is not None:
+            out = out.offset(int(clause.skip))
+        if clause.limit is not None:
+            out = out.limit(int(clause.limit))
+        self._shared.clear()
+        self._pending_v.clear()
+        self._pending_s.clear()
+        if clause.where is not None:
+            out = out.filter(
+                self._expr(clause.where, new_env, as_predicate=True)
+            )
+        self._frame_bounded = clause.limit is not None
+        return out, new_env
+
+    @staticmethod
+    def _distinct_keys(out: DataFrame, new_env: dict[str, Binding]) -> list[str]:
+        """Columns defining row identity for a passthrough DISTINCT:
+        entity KEY columns (dt_id / relationship_id+source_id — the doc
+        is functionally dependent on them) plus every non-variant,
+        non-hidden value column."""
+        keys: list[str] = []
+        dtypes = dict(out.dtypes)
+        entity_prefixes = [
+            (f"__o_{nm}__", b.kind)
+            for nm, b in new_env.items()
+            if b.kind in ("twin", "rel", "model")
+        ]
+        for col in out.columns:
+            if col.startswith("__wob"):
+                continue
+            hit = next(
+                (k for p, k in entity_prefixes if col.startswith(p)), None
+            )
+            if hit is None:
+                if dtypes.get(col) != "variant":
+                    keys.append(col)
+            elif col.endswith(("__dt_id", "__relationship_id", "__source_id")):
+                keys.append(col)
+        return keys
+
+    def _order_keys(self, clause: C.WithClause, env, names) -> list[Column]:
+        pseudo = C.SingleQuery(
+            clauses=[], ret=clause.items, distinct=False,
+            order_by=None, skip=None, limit=None,
+        )
+        return [
+            self._order_expr(expr, env, pseudo, names)[0]
+            for expr, _asc in (clause.order_by or [])
+        ]
 
     # ------------------------------------------------------------------
     # shared variant helpers (same machinery as the ADT QL compiler)
@@ -858,6 +984,15 @@ class CypherCompiler:
         }[b.kind]
         promoted = promoted_map.get(tuple(p.path))
         return b, p.path, promoted
+
+    @staticmethod
+    def _key_col(left: Binding) -> Column:
+        """The anchor key column of a binding — dotted for frame-backed
+        bindings, flat (``prefix__col``) for passthrough/optional
+        entity bindings."""
+        if left.df_alias.startswith("__o_"):
+            return F.col(f"{left.df_alias}__{left.key_col}")
+        return F.col(f"{left.df_alias}.{left.key_col}")
 
     def _col(self, b: Binding, name: str) -> Column:
         if b.df_alias.startswith("__o_"):

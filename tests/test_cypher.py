@@ -585,15 +585,22 @@ def test_with_then_uncorrelated_match(fixture_store):
     assert rows == [{"total": 13, "edges": 4}]
 
 
-def test_with_rejects_pattern_rebind_and_doc_prop(fixture_store):
+def test_with_entity_rebind_and_doc_prop_now_supported(fixture_store):
+    """r7: entity passthrough lifted the two WITH bounds — a projected
+    node can continue the pattern, and property access after WITH
+    works (these raised 'match first, then WITH' / 'project the
+    property explicitly' before)."""
     from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
-    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
 
     c = DigitalTwinsSparkClient(fixture_store)
-    with pytest.raises(CypherCompileError, match="match first, then WITH"):
-        c.query_df("MATCH (n) WITH n MATCH (n)-[r]->(m) RETURN m").collect()
-    with pytest.raises(CypherCompileError, match="project the property explicitly"):
-        c.query_df("MATCH (n) WITH n RETURN n.name").collect()
+    out = c.query_df(
+        "MATCH (n) WITH n MATCH (n)-[r:has]->(m) RETURN m.`$dtId` AS id"
+    ).collect()
+    assert sorted(r["id"] for r in out) == ["b1", "b2", "x", "z"]
+    out2 = c.query_df(
+        "MATCH (n {`$dtId`: 'room1'}) WITH n RETURN n.name AS name"
+    ).collect()
+    assert [r["name"] for r in out2] == ["Room 1"]
 
 
 def test_is_of_model_function_in_cypher(spark):
@@ -1214,3 +1221,45 @@ def test_plus_overload_and_power_operator(fixture_store):
     assert r["sc"].endswith("-sfx") and r["pc"].startswith("pre-")
     assert r["lc"] == [1, 2, 3]
     assert (r["pw"], r["pr"], r["nm"], r["ch"]) == (1024.0, 512.0, 3, "abc")
+
+
+def test_with_entity_passthrough(spark):
+    """r7: non-aggregating WITH keeps entity IDENTITY — property access
+    after WITH, ORDER/LIMIT over entities, DISTINCT entities, and
+    continuing the pattern from a projected node all work (previously a
+    documented 'project explicitly' error)."""
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:wp:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3",
+               "contents": [{"@type": "Property", "name": "x", "schema": "integer"}]}]
+    twins = [{"$dtId": f"t{i}", "$metadata": {"$model": "dtmi:wp:T;1"}, "x": i}
+             for i in range(5)]
+    rels = [{"$relationshipId": f"r{i}", "$sourceId": f"t{i}",
+             "$targetId": f"t{(i + 1) % 5}", "$relationshipName": "next"}
+            for i in range(5)]
+    store = GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models)
+    out = rows(
+        store,
+        "MATCH (t:Twin) WITH t ORDER BY t.`$dtId` DESC LIMIT 2 "
+        "RETURN t.`$dtId` AS id, toInteger(t.x) AS x ORDER BY id",
+    )
+    assert [(r["id"], r["x"]) for r in out] == [("t3", 3), ("t4", 4)]
+    # DISTINCT over entities (variant doc rides along, identity dedupes)
+    [r] = rows(store, "MATCH (a)-[:next]->(b) WITH DISTINCT a RETURN count(*) AS n")
+    assert r["n"] == 5
+    # pattern continues from the projected node
+    out = rows(
+        store,
+        "MATCH (t:Twin) WITH t ORDER BY toInteger(t.x) DESC LIMIT 1 "
+        "MATCH (t)-[:next]->(b) RETURN b.`$dtId` AS nxt",
+    )
+    assert [r["nxt"] for r in out] == ["t0"]  # t4 wraps to t0
+    # WHERE on passthrough properties + mixed value items
+    out = rows(
+        store,
+        "MATCH (t:Twin) WITH t, toInteger(t.x) * 2 AS d WHERE d > 4 "
+        "RETURN t.`$dtId` AS id, d ORDER BY id",
+    )
+    assert [(r["id"], r["d"]) for r in out] == [("t3", 6), ("t4", 8)]
