@@ -787,15 +787,16 @@ class CypherCompiler:
         # projection (entity-keyed grouping stays a documented bound).
         has_agg = any(C.has_aggregate(it.expr) for it in clause.items)
         passthrough: dict[str, Binding] = {}
-        if not has_agg:
-            for i, it in enumerate(clause.items):
-                e = it.expr
-                if isinstance(e, C.Var) and e.name in env:
-                    b = env[e.name]
-                    if b.kind in ("twin", "rel", "model") and not b.virtual:
-                        passthrough[self._item_name(it, i)] = b
+        for i, it in enumerate(clause.items):
+            e = it.expr
+            if isinstance(e, C.Var) and e.name in env and not C.has_aggregate(e):
+                b = env[e.name]
+                if b.kind in ("twin", "rel", "model") and not b.virtual:
+                    passthrough[self._item_name(it, i)] = b
         if passthrough:
-            return self._with_passthrough(df, env, clause, passthrough)
+            return self._with_passthrough(
+                df, env, clause, passthrough, has_agg
+            )
         pseudo = C.SingleQuery(
             clauses=[],
             ret=clause.items,
@@ -835,14 +836,18 @@ class CypherCompiler:
         env: dict[str, Binding],
         clause: C.WithClause,
         passthrough: dict[str, Binding],
+        has_agg: bool = False,
     ) -> tuple[DataFrame, dict[str, Binding]]:
-        """Non-aggregating WITH with whole-entity items: project entity
-        frame columns flat (prefixed) + value items, apply ORDER BY /
+        """WITH with whole-entity items: project entity frame columns
+        flat (prefixed) + value items, apply grouping (for aggregating
+        stages: entity IDENTITY keys group; non-key frame columns ride
+        via first() — functionally dependent on the key) / ORDER BY /
         SKIP / LIMIT / DISTINCT / WHERE, and rebind entities in the new
-        scope so later property access and hops-by-filter still work."""
+        scope so later property access and hops still work."""
         cols: list[Column] = []
         new_env: dict[str, Binding] = {}
         names = [self._item_name(it, i) for i, it in enumerate(clause.items)]
+        agg_items: list[tuple[str, C.Expr]] = []
         for it, nm in zip(clause.items, names):
             b = passthrough.get(nm)
             src = it.expr
@@ -855,11 +860,59 @@ class CypherCompiler:
                 for fc in self._opt_frame_cols(b.kind):
                     cols.append(self._col(b, fc).alias(f"{prefix}__{fc}"))
                 new_env[nm] = Binding(nm, b.kind, prefix)
+            elif has_agg and C.has_aggregate(src):
+                agg_items.append((nm, src))
+                new_env[nm] = Binding(nm, "value", nm)
             else:
                 cols.append(
                     self._expr(src, env).alias(nm)
                 )
                 new_env[nm] = Binding(nm, "value", nm)
+        if has_agg:
+            # entity-keyed aggregation: group by identity keys + value
+            # items; carry the remaining frame columns via first()
+            aggs = [
+                self._aggregate(e2, env).alias(nm) for nm, e2 in agg_items
+            ]
+            # aggregate over the ORIGINAL frame with the flat key /
+            # carried columns injected alongside (agg inputs still need
+            # the source frame's columns)
+            base = self._inject(df).select("*", *cols)
+            key_names = [
+                c
+                for c in [col_alias for col_alias in _aliases_of(cols)]
+                if _is_key_name(c, new_env)
+            ]
+            carried = [
+                c for c in _aliases_of(cols) if c not in key_names
+            ]
+            out = base.groupBy(*key_names).agg(
+                *[F.first(F.col(c)).alias(c) for c in carried],
+                *aggs,
+            )
+            self._shared.clear()
+            self._pending_v.clear()
+            self._pending_s.clear()
+            if clause.order_by:
+                sort_exprs = []
+                pseudo = C.SingleQuery(
+                    clauses=[], ret=clause.items, distinct=False,
+                    order_by=None, skip=None, limit=None,
+                )
+                for expr, asc in clause.order_by:
+                    c2, _ = self._order_expr(expr, new_env, pseudo, names)
+                    sort_exprs.append(c2.asc() if asc else c2.desc())
+                out = out.orderBy(*sort_exprs)
+            if clause.skip is not None:
+                out = out.offset(int(clause.skip))
+            if clause.limit is not None:
+                out = out.limit(int(clause.limit))
+            if clause.where is not None:
+                out = out.filter(
+                    self._expr(clause.where, new_env, as_predicate=True)
+                )
+            self._frame_bounded = clause.limit is not None
+            return out, new_env
         if clause.order_by:
             # order keys compile against the OLD frame — project them
             # as hidden columns so they survive, sort, then drop
@@ -1788,6 +1841,32 @@ def _cy_conjuncts(e: C.Expr) -> list:
             out.extend(_cy_conjuncts(item))
         return out
     return [e]
+
+
+def _aliases_of(cols: list) -> list[str]:
+    """Output names of a list of aliased Columns (via their expression
+    string — PySpark Columns carry no public name accessor)."""
+    out = []
+    for c in cols:
+        # Column repr: Column<'... AS name'>
+        r = str(c)
+        name = r.rsplit(" AS ", 1)[-1].rstrip(">'`").lstrip("`")
+        out.append(name)
+    return out
+
+
+def _is_key_name(col_name: str, new_env: dict) -> bool:
+    """True when a flat column is an entity identity key (or a plain
+    value grouping item)."""
+    for nm, b in new_env.items():
+        prefix = f"__o_{nm}__"
+        if col_name.startswith(prefix):
+            return col_name[len(prefix):] in (
+                "dt_id", "relationship_id", "source_id"
+            )
+        if col_name == nm and b.kind == "value":
+            return True
+    return False
 
 
 def _cy_expr_rename(e, mapping: dict):

@@ -1263,3 +1263,34 @@ def test_with_entity_passthrough(spark):
         "RETURN t.`$dtId` AS id, d ORDER BY id",
     )
     assert [(r["id"], r["d"]) for r in out] == [("t3", 6), ("t4", 8)]
+
+
+def test_with_entity_keyed_aggregation(spark):
+    """r7: aggregating WITH with an entity grouping key — identity-keyed
+    groupBy, frame columns carried, HAVING via WHERE, ORDER BY over
+    aggregate outputs, and continuing MATCH afterwards."""
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:wa:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3",
+               "contents": [{"@type": "Property", "name": "x", "schema": "integer"}]}]
+    twins = [{"$dtId": f"t{i}", "$metadata": {"$model": "dtmi:wa:T;1"}, "x": i}
+             for i in range(3)]
+    rels = [{"$relationshipId": f"r{i}{j}", "$sourceId": f"t{i}",
+             "$targetId": f"t{j}", "$relationshipName": "next"}
+            for i in range(3) for j in range(3) if j > i]
+    store = GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models)
+    out = rows(store,
+               "MATCH (a)-[r:next]->(b) WITH a, count(r) AS n WHERE n > 1 "
+               "RETURN a.`$dtId` AS id, n")
+    assert [(r["id"], r["n"]) for r in out] == [("t0", 2)]
+    out = rows(store,
+               "MATCH (a)-[r:next]->(b) WITH a, count(r) AS n "
+               "ORDER BY n DESC, a.`$dtId` LIMIT 2 RETURN a.`$dtId` AS id, n")
+    assert [(r["id"], r["n"]) for r in out] == [("t0", 2), ("t1", 1)]
+    out = rows(store,
+               "MATCH (a)-[r:next]->(b) WITH a, collect(b.`$dtId`) AS bs "
+               "WHERE size(bs) > 1 MATCH (a)-[:next]->(c) "
+               "RETURN a.`$dtId` AS id, count(c) AS n2")
+    assert [(r["id"], r["n2"]) for r in out] == [("t0", 2)]
