@@ -1283,12 +1283,15 @@ class CypherCompiler:
         if n == "tointeger":
             # Neo4j/AGE: unparsable input → NULL, never an error (ANSI
             # cast would throw CAST_INVALID_INPUT on toInteger('abc'));
-            # fractional input truncates toward zero (toInteger(3.9)=3)
-            return (
-                self._operand(e.args[0], env, None)
-                .cast("string")
-                .try_cast("double")
-                .try_cast("long")
+            # fractional input truncates toward zero (toInteger(3.9)=3).
+            # Integral inputs take the direct long cast — routing them
+            # through double would lose precision above 2^53 (Neo4j
+            # returns integral input exactly); only values the long
+            # cast rejects (fractional strings/floats) fall back to the
+            # double path.
+            s = self._operand(e.args[0], env, None).cast("string")
+            return F.coalesce(
+                s.try_cast("long"), s.try_cast("double").try_cast("long")
             )
         if n == "tofloat":
             return self._operand(e.args[0], env, None).cast("string").try_cast(
@@ -1524,8 +1527,29 @@ class CypherCompiler:
                 return F.length(c) == 0
             if isinstance(arg, C.ListLit):
                 return F.array_size(c) == 0
-            # dynamic operand: string form length (covers string and
-            # rendered list/map values)
+            if isinstance(arg, C.Prop):
+                # dynamic property: probe the variant as an array (list
+                # values), a map (object values — keys), and a string,
+                # mirroring size()'s multi-shape probe.  The string-only
+                # cast fails on arrays/objects, which previously made
+                # isEmpty([]) return NULL instead of true.
+                b, path, _ = self._resolve(arg, env)
+                vp = J.variant_path(path)
+                arr = F.try_variant_get(
+                    F.col(f"{b.df_alias}.vdoc"), vp, "array<variant>"
+                )
+                obj = F.try_variant_get(
+                    F.col(f"{b.df_alias}.vdoc"), vp, "map<string,variant>"
+                )
+                st = F.try_variant_get(
+                    F.col(f"{b.df_alias}.vdoc"), vp, "string"
+                )
+                return F.coalesce(
+                    F.array_size(arr) == 0,
+                    F.size(F.map_keys(obj)) == 0,
+                    F.length(st) == 0,
+                )
+            # other dynamic operands: string form length
             sc = self._operand(arg, env, "string")
             return F.when(
                 sc.isNotNull(), F.length(sc) == 0

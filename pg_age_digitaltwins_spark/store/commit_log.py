@@ -134,17 +134,22 @@ def _stage_events_list(
     events: Sequence[EventData], stage: str, version: int | None = None
 ) -> int:
     """Driver-buffered events → ONE ND-JSON file in the staging dir
-    (same line format as ``ChangeLog._write_feed_file``).  Events whose
-    ``txn_id`` is 0 are stamped with the COMMIT VERSION (and a
-    file-order ``seq``): the change feed's cross-commit order must be
-    recoverable from the data alone — CDF consumers (the replication
-    module) fold multi-commit batches by (txn_id, seq)."""
+    (same line format as ``ChangeLog._write_feed_file``).  EVERY event is
+    stamped with the COMMIT VERSION in ``commit_version`` — txn_id
+    counters are session-local (they restart at 1 per client session), so
+    the change feed's cross-commit order is recoverable only from the
+    stamped version; CDF consumers (the replication module) filter and
+    fold multi-commit batches by (commit_version, txn_id, seq).  Events
+    whose ``txn_id`` is 0 additionally get txn_id = version and a
+    file-order ``seq`` (seq is gated on the SAME condition: a legitimate
+    seq inside a real transaction must never be rewritten — seq 0 from a
+    version-stamped producer is the only file-order case)."""
     os.makedirs(stage, exist_ok=True)
     path = os.path.join(stage, "events.ndjson")
     with open(path, "w") as f:
         for i, e in enumerate(events):
             txn = e.txn_id or (version or 0)
-            seq = e.seq or i
+            seq = e.seq if e.txn_id else i
             f.write(
                 json.dumps(
                     {
@@ -163,6 +168,7 @@ def _stage_events_list(
                         ),
                         "txn_id": txn,
                         "seq": seq,
+                        "commit_version": version or 0,
                     },
                     separators=(",", ":"),
                 )
@@ -176,8 +182,12 @@ def _stage_events_df(
 ) -> int:
     """Bulk events → executor-side JSON part files (O(partitions) files
     per commit regardless of row count — the compaction contract).
-    Zero ``txn_id`` rows are stamped with the commit version (see
-    ``_stage_events_list``)."""
+    EVERY row is stamped with the commit version in ``commit_version``
+    (see ``_stage_events_list``); zero ``txn_id`` rows additionally get
+    txn_id = version."""
+    events = events.withColumn(
+        "commit_version", F.lit(version or 0).cast("long")
+    )
     if version:
         events = events.withColumn(
             "txn_id",

@@ -35,6 +35,12 @@ EVENT_DATA_SCHEMA = T.StructType(
         T.StructField("timestamp", T.TimestampType(), False),
         T.StructField("txn_id", T.LongType(), False),
         T.StructField("seq", T.LongType(), False),
+        # Stamped by the commit log at stage time (the committed version);
+        # 0/NULL on feed rows that never passed through a commit.  CDF
+        # consumers (replica) filter and order on THIS, never on txn_id —
+        # txn_id is a session-local WAL-transaction stand-in whose values
+        # restart per session and are meaningless across commits.
+        T.StructField("commit_version", T.LongType(), True),
     ]
 )
 
@@ -53,6 +59,7 @@ class EventData:
     timestamp: str  # ISO-8601
     txn_id: int = 0
     seq: int = 0
+    commit_version: int = 0
 
     @property
     def entity_kind(self) -> str:
@@ -142,6 +149,10 @@ class ChangeLog:
         the import job emits its per-row change events at scale."""
         if self.feed_dir is None:
             raise ValueError("append_df requires attach_feed(feed_dir)")
+        if "commit_version" not in events.columns:
+            events = events.withColumn(
+                "commit_version", F.lit(0).cast("long")
+            )
         (
             events.select([f.name for f in EVENT_DATA_SCHEMA.fields])
             .write.mode("append")
@@ -162,6 +173,7 @@ class ChangeLog:
                 _ts(e.timestamp),
                 e.txn_id,
                 e.seq,
+                e.commit_version,
             )
             for e in (self.events if events is None else events)
         ]
@@ -215,6 +227,7 @@ class ChangeLog:
                             ),
                             "txn_id": e.txn_id,
                             "seq": e.seq,
+                            "commit_version": e.commit_version,
                         },
                         separators=(",", ":"),
                     )
@@ -236,14 +249,32 @@ def coalesce_events(changes: DataFrame) -> DataFrame:
     event type Insert wins over Update, Delete wins over everything if
     it is last (``AgeDigitalTwinsReplication.cs:324-351,396-423``).
 
-    Distributed: groupBy (txn, entity) with min/max-by — one shuffle,
-    partial aggregation map-side.  At scale this is the CDF
+    Distributed: groupBy (commit, txn, entity) with min/max-by — one
+    shuffle, partial aggregation map-side.  At scale this is the CDF
     ``groupBy(entity, commit_version)`` pattern (SURVEY.md §2.4 S3).
+
+    The group key leads with ``commit_version``: ``txn_id`` counters are
+    session-local and restart at 1 per session, so a micro-batch that
+    spans commits from two sessions would otherwise merge unrelated
+    transactions that happen to share a txn number.  Feed rows that never
+    passed through a commit carry commit_version 0/NULL (normalized to 0)
+    and keep the original per-txn behavior.
     """
+    if "commit_version" in changes.columns:
+        changes = changes.withColumn(
+            "commit_version",
+            F.coalesce(F.col("commit_version"), F.lit(0)).cast("long"),
+        )
+    else:
+        changes = changes.withColumn(
+            "commit_version", F.lit(0).cast("long")
+        )
     w_first = F.min_by(F.col("old_value"), F.col("seq"))
     w_last = F.max_by(F.col("new_value"), F.col("seq"))
     coalesced = (
-        changes.groupBy("txn_id", "entity_id", "graph_name", "table_name")
+        changes.groupBy(
+            "commit_version", "txn_id", "entity_id", "graph_name", "table_name"
+        )
         .agg(
             w_first.alias("old_value"),
             w_last.alias("new_value"),

@@ -18,11 +18,14 @@ Semantics:
   as ONE atomic merge commit on the replica: the replica steps from
   consistent state to consistent state even when a batch spans many
   source commits.
-* Exactly-once across foreachBatch retries: a per-batch marker under
-  ``<replica_root>/_replica_applied`` (the same idempotent-by-batch-id
-  pattern the IVM module uses) — a replayed batch sees its marker and
-  skips, so replica versions and the replica's own change feed never
-  duplicate.
+* Exactly-once across foreachBatch retries: the batch id is recorded
+  INSIDE the merge commit itself (the manifest ``writer`` field carries
+  ``replica:batch-<id>``), so the commit and its dedup record are one
+  atomic publish — a crash between the merge commit and any external
+  marker cannot re-apply the batch.  A replayed batch scans recent
+  replica manifests for its tag and skips.  A filesystem marker under
+  ``<replica_root>/_replica_applied`` remains as the fast path (and
+  records empty batches, which produce no commit to tag).
 * Deletes must not orphan edges: the merge applies twin and edge
   changes together, and the source enforced referential integrity, so
   the batch's FINAL state (what ``merge_frames`` checks) always
@@ -43,11 +46,18 @@ def _final_state(coalesced: DataFrame) -> DataFrame:
 
     ``coalesce_events`` merges within a transaction; a micro-batch can
     span many source commits, so a second fold takes the FIRST old
-    image and the LAST new image/event type across (txn_id, seq).  The
-    grouping key adds the extracted ``$sourceId`` — relationship
-    identity is (source, relationship_id), and two edges sharing a rid
-    under different sources must not merge."""
-    order = F.struct(F.col("txn_id"), F.col("seq"))
+    image and the LAST new image/event type across (commit_version,
+    txn_id, seq) — commit_version leads because txn_id counters are
+    session-local and restart per session (two sessions' txn 3 carry no
+    cross-session order).  The grouping key adds the extracted
+    ``$sourceId`` — relationship identity is (source, relationship_id),
+    and two edges sharing a rid under different sources must not
+    merge."""
+    order = F.struct(
+        F.coalesce(F.col("commit_version"), F.lit(0)),
+        F.col("txn_id"),
+        F.col("seq"),
+    )
     src_key = F.coalesce(
         F.get_json_object(
             F.coalesce(F.col("new_value"), F.col("old_value")),
@@ -132,13 +142,34 @@ def apply_changes_to_replica(
         else None
     )
     if marker is not None and os.path.exists(marker):
-        return None  # foreachBatch retry: already applied
+        return None  # foreachBatch retry: already applied (fast path)
+    writer_tag = (
+        f"{writer}:batch-{batch_id}" if batch_id is not None else writer
+    )
+    if batch_id is not None and _batch_already_committed(
+        replica_root, writer_tag
+    ):
+        # crash/retry landed between the merge commit and the marker
+        # write: the commit itself carries the batch id, so the batch is
+        # detectably applied even without the marker.  Re-write the
+        # marker and skip.
+        os.makedirs(applied_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("-1")
+        os.replace(tmp, marker)
+        return None
     boot = _bootstrap_version(replica_root)
     if boot:
         # the clone already contains every commit ≤ boot; replaying
         # them could violate RI relative to the bootstrapped state
-        # (e.g. an old edge whose endpoint was deleted pre-bootstrap)
-        events = events.filter(F.col("txn_id") > boot)
+        # (e.g. an old edge whose endpoint was deleted pre-bootstrap).
+        # Filter on the stage-time commit_version stamp — NOT txn_id,
+        # which is a session-local counter that restarts at 1 and would
+        # silently drop post-bootstrap CRUD/import commits.
+        events = events.filter(
+            F.coalesce(F.col("commit_version"), F.lit(0)) > boot
+        )
     coalesced = _final_state(coalesce_events(events)).localCheckpoint(eager=True)
     t_up, t_del, r_up, r_del = _split_batch(coalesced)
     # empty frames must not reach merge_frames as "present but empty"
@@ -156,7 +187,7 @@ def apply_changes_to_replica(
             twin_deletes=t_del if t_del_n else None,
             rel_upserts=r_up if r_up_n else None,
             rel_deletes=r_del if r_del_n else None,
-            writer=writer,
+            writer=writer_tag,
         )
     if marker is not None:
         os.makedirs(applied_dir, exist_ok=True)
@@ -167,6 +198,26 @@ def apply_changes_to_replica(
             f.write(str(version if version is not None else -1))
         os.replace(tmp, marker)
     return version
+
+
+def _batch_already_committed(
+    replica_root: str, writer_tag: str, lookback: int = 32
+) -> bool:
+    """True when a recent replica commit's manifest ``writer`` equals
+    ``writer_tag``.  Batches apply in order, so a retried batch's commit
+    — if it exists at all — is at or very near the log head; a bounded
+    lookback keeps the check O(1) regardless of log length."""
+    from pg_age_digitaltwins_spark.store.commit_log import CommitLog
+
+    log = CommitLog(replica_root)
+    latest = log.latest_version()
+    for v in range(latest, max(latest - lookback, 0), -1):
+        try:
+            if log.manifest(v).get("writer") == writer_tag:
+                return True
+        except OSError:
+            continue
+    return False
 
 
 def _bootstrap_version(replica_root: str) -> int:

@@ -992,3 +992,29 @@ def test_merge_frames_upsert_wins_delete_passes_ri_guard(spark, tmp_path):
     loaded, _ = load_latest(spark, root)
     assert loaded.twins.filter("dt_id = 't1'").count() == 1
     assert loaded.relationships.count() == 1
+
+
+def test_stage_stamps_commit_version_and_preserves_real_seq(spark, tmp_path):
+    """Regression (r8): every staged event carries the commit version in
+    commit_version (txn_id counters are session-local — CDF consumers
+    filter/order on the stamp), and a legitimate seq of 0 inside a real
+    transaction is preserved, not rewritten to file order."""
+    from pg_age_digitaltwins_spark.store.commit_log import commit_snapshot
+    from pg_age_digitaltwins_spark.streaming.changes import EventData
+
+    root = str(tmp_path / "t")
+    store = _store_ab(spark, [_twin_m(0, "dtmi:test:A;1")], [])
+    ev = [
+        EventData("t0", "g", "Twin", None, {"$dtId": "t0"}, "Insert",
+                  "2025-01-01T00:00:00.000", txn_id=7, seq=0),
+        EventData("t1", "g", "Twin", None, {"$dtId": "t1"}, "Insert",
+                  "2025-01-01T00:00:00.000", txn_id=0, seq=0),
+    ]
+    v = commit_snapshot(store, root, events=ev)
+    rows = {r["entity_id"]: r for r in read_changes_since(spark, root).collect()}
+    # session event: txn/seq untouched, commit_version stamped
+    assert rows["t0"]["txn_id"] == 7 and rows["t0"]["seq"] == 0
+    assert rows["t0"]["commit_version"] == v
+    # version-stamped event: txn=version, file-order seq
+    assert rows["t1"]["txn_id"] == v and rows["t1"]["seq"] == 1
+    assert rows["t1"]["commit_version"] == v

@@ -1150,6 +1150,50 @@ def test_tointeger_tofloat_null_on_invalid_and_truncation(fixture_store):
     )
 
 
+def test_tointeger_preserves_big_integers(fixture_store):
+    """Regression (r8 ADVICE low): integral inputs with |x| > 2^53 must
+    round-trip exactly — routing every input through a double cast lost
+    low-order bits (Neo4j returns integral input exactly).  Fractional
+    strings still take the double path (truncate toward zero)."""
+    [r] = rows(
+        fixture_store,
+        "MATCH (t:Twin) RETURN toInteger('9007199254740993') AS big, "
+        "toInteger('-9007199254740993') AS nbig, "
+        "toInteger('3.9') AS frac LIMIT 1",
+    )
+    assert r["big"] == 9007199254740993  # 2^53 + 1, not ...992
+    assert r["nbig"] == -9007199254740993
+    assert r["frac"] == 3
+
+
+def test_isempty_on_dynamic_list_and_map_properties(spark):
+    """Regression (r8 ADVICE low): isEmpty on a dynamic list/map twin
+    property returned NULL (the string-only variant cast fails on
+    arrays/objects); it must return true/false like size() does."""
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{
+        "@id": "dtmi:ie:T;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3", "contents": [],
+    }]
+    twins = [
+        {"$dtId": "a", "$metadata": {"$model": "dtmi:ie:T;1"},
+         "xs": [], "m": {}, "s": ""},
+        {"$dtId": "b", "$metadata": {"$model": "dtmi:ie:T;1"},
+         "xs": [1, 2], "m": {"k": 1}, "s": "hi"},
+    ]
+    store = GraphStore.from_documents(spark, twin_docs=twins, model_docs=models)
+    out = rows(
+        store,
+        "MATCH (t:Twin) RETURN t.`$dtId` AS id, isEmpty(t.xs) AS el, "
+        "isEmpty(t.m) AS em, isEmpty(t.s) AS es ORDER BY id",
+    )
+    assert [(r["id"], r["el"], r["em"], r["es"]) for r in out] == [
+        ("a", True, True, True),
+        ("b", False, False, False),
+    ]
+
+
 def test_math_scalar_function_family(fixture_store):
     """r7: the openCypher math/misc scalar family (AGE ships these) —
     sqrt/exp/log/log10/trig/sign/degrees/radians/floor/ceil/atan2/

@@ -1709,3 +1709,100 @@ def test_replication_batch_replay_is_idempotent(spark, tmp_path):
     # foreachBatch retry with the SAME batch id: marker short-circuits
     assert apply_changes_to_replica(spark, events, rep_root, batch_id=7) is None
     assert CommitLog(rep_root).latest_version() == 1
+
+
+def test_replication_applies_client_commits_after_bootstrap(spark, tmp_path):
+    """Regression (r8 ADVICE high): CRUD commits buffered through the
+    client's ChangeLog carry SESSION-LOCAL txn ids (1, 2, ...).  The
+    replica's bootstrap filter must key on the stage-time commit_version
+    stamp — filtering on txn_id silently dropped every post-bootstrap
+    client commit whose session txn counter was below the bootstrap
+    version (replica data loss)."""
+    import json
+
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        load_latest, merge_rows,
+    )
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+    from pg_age_digitaltwins_spark.streaming.replica import run_replication
+
+    models = [{
+        "@id": "dtmi:rep:T;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "x", "schema": "integer"}],
+    }]
+
+    def twin(i, x=None):
+        return {"$dtId": f"c{i}", "$metadata": {"$model": "dtmi:rep:T;1"},
+                "x": x if x is not None else i}
+
+    src_root = str(tmp_path / "src")
+    rep_root = str(tmp_path / "rep")
+    client = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=[twin(0)], model_docs=models))
+    client.commit(src_root)
+    # push the source version well past any session txn counter
+    for i in range(1, 5):
+        merge_rows(spark, src_root, twin_upserts=[twin(i)])
+    client._swap(load_latest(spark, src_root)[0])
+
+    q = run_replication(spark, src_root, rep_root, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    boot_store, _ = load_latest(spark, rep_root)
+    assert boot_store.twins.count() == 5  # clone at source v5
+
+    # post-bootstrap CLIENT commit: buffered events carry txn_id 1..2
+    # (session-local), both < bootstrap version 5
+    client.create_or_replace_digital_twin("c1", twin(1, x=111))
+    client.create_or_replace_digital_twin("c9", twin(9))
+    v = client.commit(src_root)
+    assert v == 6
+
+    q = run_replication(spark, src_root, rep_root, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    rep_store, _ = load_latest(spark, rep_root)
+    rep_twins = {r["dt_id"]: json.loads(r["doc"])
+                 for r in rep_store.twins.collect()}
+    assert "c9" in rep_twins          # insert not dropped
+    assert rep_twins["c1"]["x"] == 111  # update not dropped
+
+
+def test_replication_survives_crash_between_merge_and_marker(spark, tmp_path):
+    """Regression (r8 ADVICE medium): the batch id is recorded inside
+    the merge commit (manifest writer tag), so a foreachBatch retry
+    after a crash between the commit and the marker write must NOT
+    re-apply the batch (no duplicate replica version)."""
+    import os
+
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        CommitLog, commit_snapshot, merge_rows, read_changes_since,
+    )
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+    from pg_age_digitaltwins_spark.streaming.replica import (
+        apply_changes_to_replica,
+    )
+
+    models = [{
+        "@id": "dtmi:rep:T;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "x", "schema": "integer"}],
+    }]
+    src_root = str(tmp_path / "src")
+    rep_root = str(tmp_path / "rep")
+    commit_snapshot(GraphStore.from_documents(
+        spark,
+        twin_docs=[{"$dtId": "a", "$metadata": {"$model": "dtmi:rep:T;1"}}],
+        model_docs=models), src_root)
+    merge_rows(spark, src_root, twin_upserts=[
+        {"$dtId": "b", "$metadata": {"$model": "dtmi:rep:T;1"}, "x": 1},
+    ])
+    events = read_changes_since(spark, src_root)
+    v1 = apply_changes_to_replica(spark, events, rep_root, batch_id=3)
+    assert v1 == 1
+    # simulate the crash: commit landed, marker lost
+    os.unlink(os.path.join(rep_root, "_replica_applied", "batch-3"))
+    assert apply_changes_to_replica(spark, events, rep_root, batch_id=3) is None
+    assert CommitLog(rep_root).latest_version() == 1  # no duplicate commit
+    # marker restored for the fast path
+    assert os.path.exists(os.path.join(rep_root, "_replica_applied", "batch-3"))
