@@ -1073,7 +1073,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_supplier_cnt"] = _supplier_cnt
     q["tpch_min_cost_supplier"] = _min_cost_supplier
     q["events_top_users_per_type"] = _top_users_per_type
-    return q
+    return _driver_window_order(q)
+
+
+# The driver's correctness gate samples the FIRST 50 keys in queries()
+# insertion order.  Registration above is grouped by family for
+# readability, which would leave the window all-ADT/Cypher; reorder so
+# the gated window interleaves EVERY family (ADT QL, Cypher, graph
+# analytics, dedup, text, embeddings, events, TPC-H, sampling) —
+# value-checked representatives first.  Pure reorder: no query or
+# oracle definition changes.
+_DRIVER_WINDOW = [
+    # ADT QL (10)
+    "adt_count_twins", "adt_where_string_eq", "adt_where_number_gt",
+    "adt_is_of_model_inheritance", "adt_match_3hop", "adt_match_undirected",
+    "adt_join_related_2hop", "adt_rel_prop_filter", "adt_top_n",
+    "adt_array_contains",
+    # Cypher (10)
+    "cypher_agg_by_part", "cypher_optional_match", "cypher_var_length",
+    "cypher_shortest_path", "cypher_agg_stats", "cypher_scalar_math",
+    "cypher_with_having", "cypher_l2_distance_topk", "cypher_unwind",
+    "cypher_union_places",
+    # graph analytics (6)
+    "graph_connected_components", "graph_pagerank", "graph_scc",
+    "graph_kcore", "graph_triangle_count", "graph_collect_neighbors",
+    # dedup + text pipeline (10)
+    "dedup_exact_stats", "dedup_semantic_clusters", "dedup_embedding_cosine",
+    "text_token_counts", "text_fingerprints", "text_decontaminate",
+    "text_ngram_jaccard", "text_quality", "text_lang_id",
+    "pipeline_clean_corpus",
+    # embeddings / ANN (4)
+    "embed_knn_topk", "embed_cosine_threshold", "embed_ann_lsh_multi",
+    "embed_ann_recall",
+    # events (5)
+    "events_sessionize", "events_hourly_rollup", "events_asof_join",
+    "events_funnel", "events_value_percentiles",
+    # TPC-H (4)
+    "tpch_pricing_summary", "tpch_revenue_by_nation",
+    "tpch_volume_shipping", "tpch_min_cost_supplier",
+    # sampling (1)
+    "sample_stratified",
+]
+
+
+def _driver_window_order(q: dict) -> dict:
+    out = {k: q[k] for k in _DRIVER_WINDOW}
+    out.update((k, v) for k, v in q.items() if k not in out)
+    return out
 
 
 # ----------------------------------------------------------------------
