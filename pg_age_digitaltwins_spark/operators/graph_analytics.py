@@ -39,43 +39,96 @@ def connected_components(
     twins: DataFrame, relationships: DataFrame, max_iters: int = 20
 ) -> DataFrame:
     """(dt_id, component) — component = min twin id reachable over
-    undirected edges.  Min-label propagation: each superstep joins the
-    current labels across edges and keeps the per-vertex min; stops at
-    fixpoint or ``max_iters``.  Converges in O(graph diameter) rounds —
-    measured FASTER than a pointer-doubling variant on the
-    hub-and-spoke twin graph (labels spread through hubs in a handful
-    of hops, so the doubling shortcut's extra per-round shuffle never
-    pays for itself; the directed ``_min_propagate`` keeps doubling,
-    where long pivot chains do occur)."""
-    labels = twins.select("dt_id", F.col("dt_id").alias("component"))
-    edges = _undirected(relationships).localCheckpoint(eager=False)
+    undirected edges.
+
+    Star-contraction (r8, the same move that made SCC 4× faster): the
+    label fixpoint is algorithm-independent, so instead of running
+    every min-label superstep over the FULL 2×|E| edge set (r7 shape:
+    ~6 × full-graph join at sf0.1), do
+
+    1. ONE local-min pass — each vertex takes min(self, neighbors);
+       pure groupBy on the edge list, no join, because labels are
+       still the identity;
+    2. CONTRACT — rewrite each edge endpoint to its local-min label
+       and dedupe: only edges BETWEEN local minima survive, which on
+       hub-and-spoke graphs is a small fraction of the input;
+    3. iterate min-label propagation on the contracted graph (cheap
+       rounds, still O(diameter) of the contracted graph — each round
+       touches the small label-graph only);
+    4. map every vertex through its local-min label to the final
+       component (one join back out).
+
+    Exact, not approximate: level-k labels are vertex ids inside the
+    same component, and the global min vertex is its own local min at
+    every level, so the contracted fixpoint equals the original
+    fixpoint.
+
+    Level 1 never materializes the doubled edge set: the undirected
+    neighbor-min is the min of two DIRECTED map-side-combined groupBys
+    (min distributes over the union), so the big frame is only ever
+    scanned, not shuffled twice."""
+    e = relationships.select("source_id", "target_id").filter(
+        F.col("source_id") != F.col("target_id")
+    )
+    level_maps: list[DataFrame] = []
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["source_id"] == labels["dt_id"])
-            .groupBy(F.col("target_id").alias("dt_id"))
-            .agg(F.min("component").alias("n_comp"))
+        # local min over the closed neighborhood of this level's edge
+        # endpoints: labels are still identity within the level, so the
+        # neighbor-min is a pure aggregation — no join with a label
+        # frame, and no doubled/distinct undirected edge materialization
+        in_min = e.groupBy(F.col("target_id").alias("id")).agg(
+            F.min("source_id").alias("nmin")
         )
-        # the changed flag rides the checkpointed frame: the
-        # convergence probe is a filter over cached partitions, not a
-        # second 186k×186k join job per superstep
-        new_labels = (
-            labels.join(neighbor_min, "dt_id", "left")
+        out_min = e.groupBy(F.col("source_id").alias("id")).agg(
+            F.min("target_id").alias("nmin")
+        )
+        local = (
+            in_min.unionByName(out_min)
+            .groupBy("id")
+            .agg(F.min("nmin").alias("nmin"))
             .select(
-                "dt_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-                ).alias("component"),
-                F.coalesce(
-                    F.col("n_comp") < F.col("component"), F.lit(False)
-                ).alias("__ch"),
+                "id", F.least(F.col("id"), F.col("nmin")).alias("label")
             )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("__ch")).take(1)
-        labels = new_labels.drop("__ch")
-        if not changed:
+        level_maps.append(local)
+        # contract: rewrite endpoints to labels, keep only cross-label
+        # edges — each level strictly shrinks the vertex set (every
+        # vertex adjacent to a smaller id collapses into it)
+        ls = local.select(
+            F.col("id").alias("source_id"), F.col("label").alias("__ls")
+        )
+        lt = local.select(
+            F.col("id").alias("target_id"), F.col("label").alias("__lt")
+        )
+        e = (
+            e.join(ls, "source_id")
+            .join(lt, "target_id")
+            .select(
+                F.col("__ls").alias("source_id"),
+                F.col("__lt").alias("target_id"),
+            )
+            .filter(F.col("source_id") != F.col("target_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if not e.take(1):
             break
-    return labels
+
+    # compose: vertex → level-1 label → level-2 label → ... → root.
+    # Every level map after the first is label-space sized (small), so
+    # AQE broadcasts it; vertices absent from a level's map are already
+    # roots there (left join + coalesce keeps them fixed).
+    comp = twins.select("dt_id", F.col("dt_id").alias("component"))
+    for m in level_maps:
+        step = m.select(
+            F.col("id").alias("component"), F.col("label").alias("__next")
+        )
+        comp = comp.join(step, "component", "left").select(
+            "dt_id",
+            F.coalesce(F.col("__next"), F.col("component")).alias("component"),
+        )
+    return comp
 
 
 def pagerank(
@@ -86,28 +139,40 @@ def pagerank(
 ) -> DataFrame:
     """(dt_id, rank) after ``iters`` power iterations on the directed
     twin graph.  Dangling vertices redistribute uniformly (the standard
-    stochastic fix — without it rank mass drains).  Each iteration is
-    join → map-side-combined sum → vertex-sized result."""
+    stochastic fix — without it rank mass drains).
+
+    Loop-invariant work is hoisted OUT of the iteration (r8): the edge
+    list is pre-joined with its source out-degrees once (``deg_edges``,
+    checkpointed), and the dangling vertex set is computed once — each
+    superstep is then one edges⋈state join (the vertex-sized state side
+    broadcasts under AQE) + a map-side-combined sum, instead of the r7
+    shape that re-derived out-degrees against the state every round.
+    Arithmetic is unchanged (rank/out_deg per edge, summed per target)
+    so ranks match the unrolled-iteration oracle at round(8)."""
     verts = twins.select("dt_id").localCheckpoint(eager=False)
     n = verts.count()
     edges = relationships.select("source_id", "target_id")
     out_deg = edges.groupBy(F.col("source_id").alias("dt_id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
+    deg_edges = (
+        edges.join(out_deg, edges["source_id"] == out_deg["dt_id"])
+        .select("source_id", "target_id", "out_deg")
+        .localCheckpoint(eager=True)
+    )
+    dangling_verts = verts.join(out_deg, "dt_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     state = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for _ in range(iters):
-        with_deg = state.join(out_deg, "dt_id", "left")
         # Dangling mass stays a DataFrame (1-row agg, broadcast by the
         # nested-loop cross join) so each superstep is ONE job — no
         # driver scalar collect serializing iterations on job latency.
-        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+        dangling = state.join(dangling_verts, "dt_id", "semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
         contribs = (
-            edges.join(
-                with_deg.filter(F.col("out_deg").isNotNull()),
-                edges["source_id"] == with_deg["dt_id"],
-            )
+            deg_edges.join(state, deg_edges["source_id"] == state["dt_id"])
             .select(
                 F.col("target_id").alias("dt_id"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
