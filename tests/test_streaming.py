@@ -1806,3 +1806,31 @@ def test_replication_survives_crash_between_merge_and_marker(spark, tmp_path):
     assert CommitLog(rep_root).latest_version() == 1  # no duplicate commit
     # marker restored for the fast path
     assert os.path.exists(os.path.join(rep_root, "_replica_applied", "batch-3"))
+
+
+def test_rows_per_trigger_policy_derives_files_from_manifests(spark, tmp_path):
+    """r8: target_rows_per_trigger → maxFilesPerTrigger via the commit
+    manifests' recorded n_events (no data scan); bulk commits that
+    record n_events = -1 are ignored; an all-bulk log yields None."""
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        commit_snapshot,
+    )
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+    from pg_age_digitaltwins_spark.streaming.changes import EventData
+    from pg_age_digitaltwins_spark.streaming.sinks import (
+        _files_per_trigger_for_rows,
+    )
+
+    root = str(tmp_path / "t")
+    store = GraphStore.empty(spark)
+    ev = [
+        EventData(f"t{i}", "g", "Twin", None, {"$dtId": f"t{i}"}, "Insert",
+                  "2025-01-01T00:00:00.000")
+        for i in range(10)
+    ]
+    commit_snapshot(store, root, events=ev)        # n_events = 10
+    commit_snapshot(store, root, events=ev[:4])    # n_events = 4
+    # avg 7 rows/commit → 21 rows target = 3 files
+    assert _files_per_trigger_for_rows(root, 21) == 3
+    assert _files_per_trigger_for_rows(root, 5) == 1   # floor 1
+    assert _files_per_trigger_for_rows(str(tmp_path / "empty"), 100) is None
