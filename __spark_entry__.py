@@ -270,6 +270,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "WITH p.`$dtId` AS part_id, count(*) AS cnt "
         "WHERE cnt >= 35 RETURN part_id, cnt"
     )
+    # r8: WITH entity passthrough / entity-keyed aggregation promoted to
+    # value-checked oracle keys (the r7 compiler work was pytest-only)
+    q["cypher_with_entity_agg_continuation"] = _adt(
+        "MATCH (o)-[:placedBy]->(c) WITH c, count(o) AS n_orders "
+        "WHERE n_orders >= 20 MATCH (c)-[:locatedIn]->(nat) "
+        "RETURN c.`$dtId` AS id, n_orders, nat.name AS nation ORDER BY id"
+    )
+    q["cypher_with_entity_passthrough"] = _adt(
+        "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "AND c.acctbal > 9000 WITH c, c.mktsegment AS seg "
+        "MATCH (c)-[:locatedIn]->(nat) "
+        "RETURN c.`$dtId` AS id, seg, nat.name AS nation ORDER BY id"
+    )
+    q["cypher_with_two_stage_agg"] = _adt(
+        "MATCH (o)-[:contains]->(p) WITH o, count(p) AS items "
+        "RETURN items, count(*) AS n_orders ORDER BY items"
+    )
     q["cypher_l2_distance_topk"] = _adt(
         "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
         "RETURN c.`$dtId` AS id, round(l2_distance([c.acctbal], [5000.0]), 2) AS d "
@@ -1089,11 +1106,11 @@ _DRIVER_WINDOW = [
     "adt_is_of_model_inheritance", "adt_match_3hop", "adt_match_undirected",
     "adt_join_related_2hop", "adt_rel_prop_filter", "adt_top_n",
     "adt_array_contains",
-    # Cypher (10)
+    # Cypher (10) — incl. the r8 WITH entity-passthrough keys
     "cypher_agg_by_part", "cypher_optional_match", "cypher_var_length",
     "cypher_shortest_path", "cypher_agg_stats", "cypher_scalar_math",
-    "cypher_with_having", "cypher_l2_distance_topk", "cypher_unwind",
-    "cypher_union_places",
+    "cypher_with_having", "cypher_with_entity_agg_continuation",
+    "cypher_with_entity_passthrough", "cypher_with_two_stage_agg",
     # graph analytics (6)
     "graph_connected_components", "graph_pagerank", "graph_scc",
     "graph_kcore", "graph_triangle_count", "graph_collect_neighbors",
@@ -1415,6 +1432,24 @@ def oracle_sql() -> dict[str, str]:
     o["cypher_with_having"] = (
         "SELECT 'part-' || l_partkey AS part_id, count(*) AS cnt "
         "FROM lineitem GROUP BY l_partkey HAVING count(*) >= 35"
+    )
+    o["cypher_with_entity_agg_continuation"] = (
+        "SELECT 'cust-' || c_custkey AS id, count(*) AS n_orders, "
+        "n_name AS nation FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY c_custkey, n_name HAVING count(*) >= 20 ORDER BY id"
+    )
+    o["cypher_with_entity_passthrough"] = (
+        "SELECT 'cust-' || c_custkey AS id, c_mktsegment AS seg, "
+        "n_name AS nation FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE c_acctbal > 9000 ORDER BY id"
+    )
+    o["cypher_with_two_stage_agg"] = (
+        "SELECT items, count(*) AS n_orders FROM "
+        "(SELECT l_orderkey, count(*) AS items FROM lineitem "
+        "GROUP BY l_orderkey) GROUP BY items ORDER BY items"
     )
     o["cypher_l2_distance_topk"] = (
         "SELECT id, d FROM (SELECT 'cust-' || c_custkey AS id, "
