@@ -613,6 +613,10 @@ class EventRouter:
     sinks: dict[str, ResilientSink] = field(default_factory=dict)
     routes: list[EventRoute] = field(default_factory=list)
     batch_size: int = 100  # SharedEventConsumer default (:31-40)
+    # driver-delivery chunk cap for sinks without send_df (webhook/
+    # MQTT): bounds rows buffered on the driver per send regardless of
+    # micro-batch size (r8 — backfill-batch protection)
+    driver_chunk_rows: int = 2000
 
     def add_sink(self, sink: EventSink, **kw) -> ResilientSink:
         rs = ResilientSink(sink, **kw)
@@ -689,11 +693,23 @@ class EventRouter:
                 if callable(getattr(sink.inner, "send_df", None)):
                     sink.send_df(formatted)
                     continue
-                rows = [r.asDict() for r in formatted.collect()]
-                for r in rows:
-                    r["data"] = json.loads(r["data"])
-                if rows:
-                    sink.send(rows)
+                # Transport-callback sinks (webhook/MQTT) deliver from
+                # the driver, but a backfill batch must not balloon it:
+                # toLocalIterator holds ONE partition at a time and the
+                # chunk cap bounds what is buffered between sends —
+                # peak driver rows = max(partition, chunk), independent
+                # of batch size.  Delivery semantics are unchanged
+                # (each chunk goes through the sink's retry/DLQ path).
+                buf: list[dict] = []
+                for r in formatted.toLocalIterator():
+                    d = r.asDict()
+                    d["data"] = json.loads(d["data"])
+                    buf.append(d)
+                    if len(buf) >= self.driver_chunk_rows:
+                        sink.send(buf)
+                        buf = []
+                if buf:
+                    sink.send(buf)
         finally:
             if len(self.routes) > 1:
                 coalesced.unpersist()

@@ -1834,3 +1834,158 @@ def test_rows_per_trigger_policy_derives_files_from_manifests(spark, tmp_path):
     assert _files_per_trigger_for_rows(root, 21) == 3
     assert _files_per_trigger_for_rows(root, 5) == 1   # floor 1
     assert _files_per_trigger_for_rows(str(tmp_path / "empty"), 100) is None
+
+
+def test_replication_survives_source_compaction_midstream(spark, tmp_path):
+    """r8: OPTIMIZE/compaction on the source between micro-batches is a
+    physical rewrite that emits no change events — the replica must
+    neither skip nor double-apply around it, and post-compaction
+    commits must still stream through."""
+    import json
+
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        commit_snapshot, compact_table, load_latest, merge_rows,
+    )
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+    from pg_age_digitaltwins_spark.streaming.replica import run_replication
+
+    models = [{
+        "@id": "dtmi:rep:T;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "x", "schema": "integer"}],
+    }]
+
+    def twin(i, x=None):
+        return {"$dtId": f"k{i}", "$metadata": {"$model": "dtmi:rep:T;1"},
+                "x": x if x is not None else i}
+
+    src_root = str(tmp_path / "src")
+    rep_root = str(tmp_path / "rep")
+    commit_snapshot(GraphStore.from_documents(
+        spark, twin_docs=[twin(0)], model_docs=models), src_root)
+
+    ckpt = str(tmp_path / "ckpt")
+    q = run_replication(spark, src_root, rep_root, ckpt)
+    q.awaitTermination(300)
+
+    merge_rows(spark, src_root, twin_upserts=[twin(1)])
+    q = run_replication(spark, src_root, rep_root, ckpt)
+    q.awaitTermination(300)
+
+    # compact (full-snapshot rewrite, no change events), then keep
+    # writing — including an update to a PRE-compaction twin
+    compact_table(spark, src_root)
+    merge_rows(spark, src_root, twin_upserts=[twin(1, x=11), twin(2)])
+
+    q = run_replication(spark, src_root, rep_root, ckpt)
+    q.awaitTermination(300)
+
+    src_store, _ = load_latest(spark, src_root)
+    rep_store, _ = load_latest(spark, rep_root)
+    src_twins = {r["dt_id"]: json.loads(r["doc"]) for r in src_store.twins.collect()}
+    rep_twins = {r["dt_id"]: json.loads(r["doc"]) for r in rep_store.twins.collect()}
+    assert rep_twins == src_twins
+    assert rep_twins["k1"]["x"] == 11 and "k2" in rep_twins
+
+
+def test_replication_orders_two_writers_same_key_by_commit(spark, tmp_path):
+    """r8: two client sessions (each with session-local txn_id = 1)
+    update the SAME twin in consecutive commits; one micro-batch spans
+    both.  The batch-final fold must order by commit version — on
+    txn_id alone the two writes tie and the earlier value can win
+    (resurrected write)."""
+    import json
+
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.commit_log import load_latest
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+    from pg_age_digitaltwins_spark.streaming.replica import run_replication
+
+    models = [{
+        "@id": "dtmi:rep:T;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "x", "schema": "integer"}],
+    }]
+
+    def twin(x):
+        return {"$dtId": "shared", "$metadata": {"$model": "dtmi:rep:T;1"},
+                "x": x}
+
+    src_root = str(tmp_path / "src")
+    rep_root = str(tmp_path / "rep")
+    writer_a = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=[twin(0)], model_docs=models))
+    writer_a.commit(src_root)
+
+    ckpt = str(tmp_path / "ckpt")
+    q = run_replication(spark, src_root, rep_root, ckpt)
+    q.awaitTermination(300)
+
+    # writer A (fresh session, txn counter restarts at 1) commits x=1;
+    # writer B (another fresh session, txn 1 again) commits x=2
+    store_now, _ = load_latest(spark, src_root)
+    writer_a = DigitalTwinsSparkClient(store_now)
+    writer_a.create_or_replace_digital_twin("shared", twin(1))
+    writer_a.commit(src_root)
+    store_now, _ = load_latest(spark, src_root)
+    writer_b = DigitalTwinsSparkClient(store_now)
+    writer_b.create_or_replace_digital_twin("shared", twin(2))
+    writer_b.commit(src_root)
+
+    # ONE catch-up folds both commits into one micro-batch
+    q = run_replication(spark, src_root, rep_root, ckpt)
+    q.awaitTermination(300)
+
+    rep_store, _ = load_latest(spark, rep_root)
+    [row] = rep_store.twins.filter("dt_id = 'shared'").collect()
+    assert json.loads(row["doc"])["x"] == 2  # later COMMIT wins
+
+
+def test_driver_sink_delivery_is_chunk_bounded(spark):
+    """r8: a big micro-batch routed to a transport-callback sink (no
+    send_df) must not materialize on the driver in one piece — delivery
+    chunks are capped at router.driver_chunk_rows while every event is
+    still delivered exactly once."""
+    from pg_age_digitaltwins_spark.streaming.changes import EVENT_DATA_SCHEMA
+    from pg_age_digitaltwins_spark.streaming.sinks import (
+        EventRoute, EventRouter,
+    )
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    batch = spark.range(n).select(
+        F.concat(F.lit("t"), F.col("id")).alias("entity_id"),
+        F.lit("g").alias("graph_name"),
+        F.lit("Twin").alias("table_name"),
+        F.lit(None).cast("string").alias("old_value"),
+        F.concat(
+            F.lit('{"$dtId":"t'), F.col("id"),
+            F.lit('","$metadata":{"$model":"dtmi:b:T;1"},"x":'),
+            F.col("id"), F.lit("}"),
+        ).alias("new_value"),
+        F.lit("Insert").alias("event_type"),
+        F.to_timestamp(F.lit("2026-01-01T00:00:00.000")).alias("timestamp"),
+        F.col("id").alias("txn_id"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit(0).cast("long").alias("commit_version"),
+    )
+    assert batch.schema == EVENT_DATA_SCHEMA or set(batch.columns) == {
+        f.name for f in EVENT_DATA_SCHEMA.fields
+    }
+
+    chunk_sizes: list[int] = []
+
+    class _RecordingSink:
+        name = "rec"
+
+        def send(self, events):
+            chunk_sizes.append(len(events))
+
+    router = EventRouter(source="cap-test", driver_chunk_rows=500)
+    router.add_sink(_RecordingSink())
+    router.add_route(EventRoute("rec", "EventNotification"))
+    router.foreach_batch(batch, 0)
+
+    assert sum(chunk_sizes) == n            # nothing dropped
+    assert max(chunk_sizes) <= 500          # peak driver buffer bounded
+    assert len(chunk_sizes) >= n // 500     # really chunked
