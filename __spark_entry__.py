@@ -571,6 +571,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tables(s, d)["embeddings"], query_id=0, k=10,
         n_bits=3, n_probes=4, n_tables=4,
     )
+    # r8: batched-query retrieval — one signature build + one probe
+    # join for a whole query frame; at the recall-1.0 config the output
+    # is each query's exact top-10, so fully value-checkable.
+    def _ann_batch(s, d):
+        from pyspark.sql import functions as F
+
+        emb = _tables(s, d)["embeddings"]
+        qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ann_lsh_multitable_batch(
+            emb, qs, k=10, n_bits=3, n_probes=4, n_tables=4
+        )
+
+    q["embed_ann_lsh_multi_batch"] = _ann_batch
     # ANN quality gate: recall@10 vs brute force must clear per-method
     # floors; the recall VALUE depends on hash/centroid layout (rows-
     # only territory) but the floor contract is value-checkable — an
@@ -1764,6 +1779,18 @@ def oracle_sql() -> dict[str, str]:
         "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim "
         "FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
         "WHERE e.vec_id <> 0) ORDER BY sim DESC, vec_id LIMIT 10"
+    )
+    o["embed_ann_lsh_multi_batch"] = (
+        "SELECT query_id, vec_id, sim, rank FROM ("
+        "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])), 6) AS sim, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank "
+        "FROM embeddings e CROSS JOIN "
+        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0,1,2)) q "
+        "WHERE e.vec_id <> q.vec_id) WHERE rank <= 10"
     )
     o["tpch_waiting_orders"] = (
         "WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem "

@@ -309,6 +309,86 @@ def ann_lsh_multitable(
     )
 
 
+def ann_lsh_multitable_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 6,
+    dim: int | None = None,
+    n_probes: int = 2,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Batched-query multi-table LSH: resolve the top-k neighbors for a
+    whole DataFrame of queries with ONE corpus signature build and ONE
+    probe join — the retrieval-pipeline shape (r8 verdict #8; the
+    single-query ``ann_lsh_multitable`` re-derives the signatures per
+    call, fine for ad-hoc lookups, wasteful when a batch of N queries
+    shares them).
+
+    ``queries`` must have (query_id, embedding).  Output: (query_id,
+    vec_id, sim, rank) — per-query exact-cosine re-ranked candidates,
+    rank 1..k, deterministic tiebreak (sim DESC, vec_id).  A query id
+    that also exists in the corpus never matches itself.
+
+    100 TB shape: corpus signatures are computed in one pass (L×n_bits
+    JVM dot products, posexplode to the compound (table, bucket) key);
+    the query side — N×L×probes rows — broadcasts; the candidate
+    union is deduped per (query, vec) and re-ranked with ONE window,
+    partitioned by query_id (shuffle over candidates only, never the
+    corpus)."""
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        probe = embeddings.select(F.size("embedding").alias("d")).limit(1).collect()
+        dim = probe[0]["d"] if probe else 1
+    buckets = F.array(
+        *[_bucket_expr(n_bits, dim, seed + 7919 * t) for t in range(n_tables)]
+    )
+    sig = embeddings.select(
+        "vec_id", "embedding", buckets.alias("__bs")
+    ).select(
+        "vec_id", "embedding", F.posexplode("__bs").alias("table_id", "bucket")
+    )
+    n_probes = max(1, min(n_probes, n_bits + 1))
+    qsig = queries.select(
+        F.col("query_id"),
+        F.col("embedding").alias("__q"),
+        buckets.alias("__bs"),
+    ).select(
+        "query_id", "__q", F.posexplode("__bs").alias("table_id", "__qb0")
+    )
+    probes = F.array(
+        F.col("__qb0"),
+        *[F.col("__qb0").bitwiseXOR(F.lit(1 << b)) for b in range(n_probes - 1)],
+    )
+    q = F.broadcast(
+        qsig.select("query_id", "table_id", F.explode(probes).alias("__qb"), "__q")
+    )
+    cand = (
+        sig.join(
+            q,
+            (sig["table_id"] == q["table_id"]) & (sig["bucket"] == q["__qb"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("__q")), 6).alias("sim"),
+        )
+        .groupBy("query_id", "vec_id")  # dedup across tables/probes
+        .agg(F.max("sim").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
 def ann_lsh_search(
     embeddings: DataFrame,
     query_id: int,

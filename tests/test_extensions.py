@@ -1023,3 +1023,31 @@ def test_hopping_rollup_overlapping_windows(spark):
         ("2026-01-01 10:00:00", "view"): (1, 5.0),
         ("2026-01-01 11:00:00", "view"): (1, 5.0),
     }
+
+
+def test_ann_lsh_multitable_batch_matches_per_query(embeddings):
+    """r8: the batched entry point (one signature build, one probe join
+    for N queries) returns per-query results identical to N single
+    ann_lsh_multitable calls at the same parameters, rank 1..k, and a
+    query never matches itself."""
+    from pyspark.sql import functions as F
+
+    params = dict(k=5, n_bits=3, n_probes=4, n_tables=4)
+    qids = [0, 3, 7]
+    qs = embeddings.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in similarity.ann_lsh_multitable_batch(
+            embeddings, qs, **params
+        ).collect()
+    }
+    for qid in qids:
+        single = similarity.ann_lsh_multitable(
+            embeddings, query_id=qid, **params
+        ).collect()
+        for rank, r in enumerate(single, start=1):
+            assert batch[(qid, rank)] == (r["vec_id"], r["sim"])
+        assert all(r["vec_id"] != qid for r in single)
+    assert all(vec != qid for (qid, _), (vec, _) in batch.items())
