@@ -303,6 +303,26 @@ _DTMI_RE = _re.compile(
 _NAME_RE = _re.compile(r"^[A-Za-z](?:[A-Za-z0-9_]*[A-Za-z0-9])?$")
 _DTDL_CONTEXTS = {"dtmi:dtdl:context;2", "dtmi:dtdl:context;3", "dtmi:dtdl:context;4"}
 _QT_CONTEXT_PREFIX = "dtmi:dtdl:extension:quantitativeTypes;"
+_ANNOTATION_PREFIX = "dtmi:dtdl:extension:annotation;"
+_HISTORIZATION_PREFIX = "dtmi:dtdl:extension:historization;"
+_OVERRIDING_PREFIX = "dtmi:dtdl:extension:overriding;"
+# Feature-extension version ↔ DTDL language version co-occurrence
+# (public DTDL extension registry: each extension's v1 targets DTDL v3,
+# v2 targets DTDL v4).
+_EXT_VERSION_GATE: dict[str, dict[str, str]] = {
+    _QT_CONTEXT_PREFIX: {"1": "dtmi:dtdl:context;3", "2": "dtmi:dtdl:context;4"},
+    _ANNOTATION_PREFIX: {"1": "dtmi:dtdl:context;3", "2": "dtmi:dtdl:context;4"},
+    _HISTORIZATION_PREFIX: {"1": "dtmi:dtdl:context;3", "2": "dtmi:dtdl:context;4"},
+    _OVERRIDING_PREFIX: {"1": "dtmi:dtdl:context;3", "2": "dtmi:dtdl:context;4"},
+}
+# Adjunct types contributed by feature extensions (and the context
+# prefix each requires).  These are NOT semantic types: they carry
+# their own placement/required-property rules below.
+_ADJUNCT_TYPES: dict[str, tuple[str, str]] = {
+    "ValueAnnotation": (_ANNOTATION_PREFIX, "annotation"),
+    "Historized": (_HISTORIZATION_PREFIX, "historization"),
+    "Override": (_OVERRIDING_PREFIX, "overriding"),
+}
 _CONTENT_KINDS = {"Property", "Relationship", "Telemetry", "Command", "Component"}
 _NUMERIC_SCHEMAS = {"double", "float", "integer", "long"}
 
@@ -595,13 +615,16 @@ def validate_model(
             f"@context extensions {ext_ctxs} require dtmi:dtdl:context;3 or later"
         )
     for c in ext_ctxs:
-        if c.startswith(_QT_CONTEXT_PREFIX):
-            # quantitativeTypes version ↔ DTDL version co-occurrence:
-            # QT;1 pairs with DTDL v3, QT;2 with DTDL v4
-            qt_ver = c[len(_QT_CONTEXT_PREFIX):]
-            wanted = {"1": "dtmi:dtdl:context;3", "2": "dtmi:dtdl:context;4"}.get(qt_ver)
+        for prefix, gate in _EXT_VERSION_GATE.items():
+            if not c.startswith(prefix):
+                continue
+            # extension version ↔ DTDL version co-occurrence: each
+            # extension's ;1 pairs with DTDL v3, ;2 with DTDL v4
+            ext_ver = c[len(prefix):]
+            wanted = gate.get(ext_ver)
+            ext_name = prefix[len("dtmi:dtdl:extension:"):-1]
             if wanted is None:
-                v.append(f"unknown quantitativeTypes extension version in {c!r}")
+                v.append(f"unknown {ext_name} extension version in {c!r}")
             elif dtdl_versions and dtdl_versions[0] != wanted:
                 v.append(
                     f"{c} may only be used with {wanted} "
@@ -663,6 +686,8 @@ def validate_model(
             f"contents lists {len(contents_list)} items; DTDL v2 allows at most 300"
         )
     seen_names: set[str] = set()
+    content_kind_by_name: dict[str, str] = {}
+    pending_annotates: list[tuple[str, str]] = []  # checked after the loop
     for item in doc.get("contents", []) or []:
         if not isinstance(item, dict):
             v.append("contents items must be objects")
@@ -680,7 +705,55 @@ def validate_model(
         if name in seen_names:
             v.append(f"duplicate content name '{name}'")
         seen_names.add(name)
+        content_kind_by_name[name] = kind
         _check_display_strings(item, where, v)
+        # --- feature-extension adjunct types (batch 9: annotation /
+        # historization / overriding, public DTDL extension registry) --
+        adjuncts = [k for k in kinds if k in _ADJUNCT_TYPES]
+        for adj in adjuncts:
+            prefix, ext_name = _ADJUNCT_TYPES[adj]
+            if not any(c.startswith(prefix) for c in ctxs if isinstance(c, str)):
+                # adjunct type without its extension context is an
+                # undefined term (DTDLParser: UndefinedTerm)
+                v.append(
+                    f"{where}: @type {adj!r} requires the {ext_name} "
+                    "extension in @context"
+                )
+            if kind not in ("Property", "Telemetry"):
+                v.append(
+                    f"{where}: {adj} may only co-type a Property or "
+                    f"Telemetry (found {kind})"
+                )
+        if "ValueAnnotation" in adjuncts:
+            ann = item.get("annotates")
+            if not isinstance(ann, str) or not _NAME_RE.match(ann):
+                v.append(
+                    f"{where}: ValueAnnotation requires 'annotates' naming a "
+                    "sibling Property or Telemetry"
+                )
+            else:
+                pending_annotates.append((where, ann))
+        elif item.get("annotates") is not None:
+            v.append(f"{where}: 'annotates' requires the ValueAnnotation co-type")
+        if "Override" in adjuncts:
+            ov = item.get("overrides")
+            if not isinstance(ov, str) or not _DTMI_RE.match(ov):
+                v.append(
+                    f"{where}: Override requires 'overrides' naming the "
+                    "supplemental property DTMI being overridden"
+                )
+            if "ValueAnnotation" not in adjuncts:
+                # the overridable supplemental properties come from a
+                # co-typed adjunct (the registry's worked example is
+                # ValueAnnotation.annotates) — an Override with nothing
+                # to override is rejected
+                v.append(
+                    f"{where}: Override must co-type an adjunct that "
+                    "defines the overridden supplemental property "
+                    "(e.g. ValueAnnotation)"
+                )
+        elif item.get("overrides") is not None:
+            v.append(f"{where}: 'overrides' requires the Override co-type")
         # `writable` exists only on Property and Relationship (DTDL
         # spec; DTDLParser rejects it on Telemetry/Command/Component)
         w = item.get("writable")
@@ -791,8 +864,12 @@ def validate_model(
                         p["schema"], named_ids, f"{where}.{pn}", v,
                         max_depth=max_depth, primitives=prims,
                     )
-        # semantic types (co-types beyond the content kind)
-        semantics = [k for k in kinds if k not in _CONTENT_KINDS]
+        # semantic types (co-types beyond the content kind; extension
+        # adjunct types are NOT semantic types)
+        semantics = [
+            k for k in kinds
+            if k not in _CONTENT_KINDS and k not in _ADJUNCT_TYPES
+        ]
         unit = item.get("unit")
         if semantics and kind in ("Property", "Telemetry"):
             # DTDL v2 ships semantic types IN the core language; v3+
@@ -811,6 +888,14 @@ def validate_model(
                     v.append(f"{where}: unit {unit!r} is not a valid {s} unit")
         elif unit is not None and not semantics:
             v.append(f"{where}: unit requires a semantic @type")
+    for where, ann in pending_annotates:
+        # resolved after the loop: the annotated sibling may be declared
+        # later in contents
+        if content_kind_by_name.get(ann) not in ("Property", "Telemetry"):
+            v.append(
+                f"{where}: annotates {ann!r} does not name a sibling "
+                "Property or Telemetry"
+            )
     if v:
         raise ValidationError(" AND ".join(v))
 

@@ -511,3 +511,166 @@ def test_context_quantitative_types_version_cooccurrence(client):
 def test_context_non_dtmi_entry_rejected(client):
     with pytest.raises(ValidationError, match="not a DTMI context"):
         _create(client, _ctx_model(["dtmi:dtdl:context;3", "https://example.com/ctx"]))
+
+
+# ---------------------------------------------------------------------------
+# r8 batch 9: feature-extension adjunct types (annotation / historization /
+# overriding — public DTDL extension registry)
+# ---------------------------------------------------------------------------
+
+def _ext_model(ctx, contents):
+    return {
+        "@id": "dtmi:ext:T;1", "@type": "Interface", "@context": ctx,
+        "contents": contents,
+    }
+
+
+_ANN_CTX = ["dtmi:dtdl:context;3", "dtmi:dtdl:extension:annotation;1"]
+_HIST_CTX = ["dtmi:dtdl:context;3", "dtmi:dtdl:extension:historization;1"]
+_OVR_CTX = [
+    "dtmi:dtdl:context;3",
+    "dtmi:dtdl:extension:annotation;1",
+    "dtmi:dtdl:extension:overriding;1",
+]
+
+
+def test_value_annotation_accepts_and_resolves_sibling(client):
+    _create(client, _ext_model(_ANN_CTX, [
+        {"@type": "Telemetry", "name": "temp", "schema": "double"},
+        {"@type": ["Property", "ValueAnnotation"], "name": "tempAcc",
+         "schema": "double", "annotates": "temp"},
+    ]))
+    client.delete_all_models()
+    # forward reference: the annotated sibling may appear later
+    _create(client, _ext_model(_ANN_CTX, [
+        {"@type": ["Property", "ValueAnnotation"], "name": "tempAcc",
+         "schema": "double", "annotates": "temp"},
+        {"@type": "Telemetry", "name": "temp", "schema": "double"},
+    ]))
+    client.delete_all_models()
+
+
+def test_value_annotation_rejections(client):
+    # missing annotates
+    with pytest.raises(ValidationError, match="requires 'annotates'"):
+        _create(client, _ext_model(_ANN_CTX, [
+            {"@type": ["Property", "ValueAnnotation"], "name": "a",
+             "schema": "double"},
+        ]))
+    # annotates names a missing sibling
+    with pytest.raises(ValidationError, match="does not name a sibling"):
+        _create(client, _ext_model(_ANN_CTX, [
+            {"@type": ["Property", "ValueAnnotation"], "name": "a",
+             "schema": "double", "annotates": "nope"},
+        ]))
+    # annotates names a non-Property/Telemetry sibling
+    with pytest.raises(ValidationError, match="does not name a sibling"):
+        _create(client, _ext_model(_ANN_CTX, [
+            {"@type": "Relationship", "name": "r"},
+            {"@type": ["Property", "ValueAnnotation"], "name": "a",
+             "schema": "double", "annotates": "r"},
+        ]))
+    # adjunct without its extension context = undefined term
+    with pytest.raises(ValidationError, match="requires the annotation"):
+        _create(client, _ext_model(["dtmi:dtdl:context;3"], [
+            {"@type": "Telemetry", "name": "temp", "schema": "double"},
+            {"@type": ["Property", "ValueAnnotation"], "name": "a",
+             "schema": "double", "annotates": "temp"},
+        ]))
+    # annotates without the co-type
+    with pytest.raises(ValidationError, match="requires the ValueAnnotation"):
+        _create(client, _ext_model(_ANN_CTX, [
+            {"@type": "Telemetry", "name": "temp", "schema": "double"},
+            {"@type": "Property", "name": "a", "schema": "double",
+             "annotates": "temp"},
+        ]))
+
+
+def test_historized_accepts_property_and_telemetry(client):
+    _create(client, _ext_model(_HIST_CTX, [
+        {"@type": ["Property", "Historized"], "name": "setPoint",
+         "schema": "double", "writable": True},
+        {"@type": ["Telemetry", "Historized"], "name": "temp",
+         "schema": "double"},
+    ]))
+    client.delete_all_models()
+
+
+def test_historized_rejections(client):
+    # wrong content kind
+    with pytest.raises(ValidationError, match="may only co-type"):
+        _create(client, _ext_model(_HIST_CTX, [
+            {"@type": ["Command", "Historized"], "name": "go"},
+        ]))
+    # missing historization context
+    with pytest.raises(ValidationError, match="requires the historization"):
+        _create(client, _ext_model(["dtmi:dtdl:context;3"], [
+            {"@type": ["Property", "Historized"], "name": "x",
+             "schema": "double"},
+        ]))
+    # version gate: historization;2 needs DTDL v4
+    with pytest.raises(ValidationError, match="may only be used with"):
+        _create(client, _ext_model(
+            ["dtmi:dtdl:context;3", "dtmi:dtdl:extension:historization;2"],
+            [{"@type": ["Property", "Historized"], "name": "x",
+              "schema": "double"}],
+        ))
+    # unknown extension version
+    with pytest.raises(ValidationError, match="unknown historization"):
+        _create(client, _ext_model(
+            ["dtmi:dtdl:context;3", "dtmi:dtdl:extension:historization;9"],
+            [{"@type": ["Property", "Historized"], "name": "x",
+              "schema": "double"}],
+        ))
+
+
+def test_override_accepts_cotyped_value_annotation(client):
+    _create(client, _ext_model(_OVR_CTX, [
+        {"@type": "Telemetry", "name": "temp", "schema": "double"},
+        {"@type": ["Property", "ValueAnnotation", "Override"],
+         "name": "tempAcc", "schema": "double", "annotates": "temp",
+         "overrides": "dtmi:dtdl:extension:annotation:v1:ValueAnnotation:annotates;1"},
+    ]))
+    client.delete_all_models()
+
+
+def test_override_rejections(client):
+    # missing overrides
+    with pytest.raises(ValidationError, match="requires 'overrides'"):
+        _create(client, _ext_model(_OVR_CTX, [
+            {"@type": "Telemetry", "name": "temp", "schema": "double"},
+            {"@type": ["Property", "ValueAnnotation", "Override"],
+             "name": "a", "schema": "double", "annotates": "temp"},
+        ]))
+    # Override without an adjunct defining the overridden property
+    with pytest.raises(ValidationError, match="must co-type an adjunct"):
+        _create(client, _ext_model(_OVR_CTX, [
+            {"@type": ["Property", "Override"], "name": "a",
+             "schema": "double",
+             "overrides": "dtmi:dtdl:extension:annotation:v1:ValueAnnotation:annotates;1"},
+        ]))
+    # overrides without the co-type
+    with pytest.raises(ValidationError, match="requires the Override"):
+        _create(client, _ext_model(_OVR_CTX, [
+            {"@type": "Property", "name": "a", "schema": "double",
+             "overrides": "dtmi:dtdl:extension:annotation:v1:ValueAnnotation:annotates;1"},
+        ]))
+    # missing overriding context
+    with pytest.raises(ValidationError, match="requires the overriding"):
+        _create(client, _ext_model(_ANN_CTX, [
+            {"@type": "Telemetry", "name": "temp", "schema": "double"},
+            {"@type": ["Property", "ValueAnnotation", "Override"],
+             "name": "a", "schema": "double", "annotates": "temp",
+             "overrides": "dtmi:dtdl:extension:annotation:v1:ValueAnnotation:annotates;1"},
+        ]))
+
+
+def test_adjunct_types_not_treated_as_semantic_types(client):
+    """Historized/ValueAnnotation must not trip the quantitativeTypes
+    semantic-type rules (numeric schema is their own schema rule, and
+    no QT context is needed)."""
+    _create(client, _ext_model(_HIST_CTX, [
+        {"@type": ["Property", "Historized"], "name": "label",
+         "schema": "string"},
+    ]))
+    client.delete_all_models()
