@@ -73,6 +73,9 @@ def _final_state(coalesced: DataFrame) -> DataFrame:
             F.max_by("new_value", order).alias("new_value"),
             F.max_by("event_type", order).alias("event_type"),
             F.max("timestamp").alias("timestamp"),
+            F.max(F.coalesce(F.col("commit_version"), F.lit(0))).alias(
+                "commit_version"
+            ),
         )
         .drop("__sk")
     )
@@ -171,6 +174,14 @@ def apply_changes_to_replica(
             F.coalesce(F.col("commit_version"), F.lit(0)) > boot
         )
     coalesced = _final_state(coalesce_events(events)).localCheckpoint(eager=True)
+    # progress watermark: the max SOURCE commit version this replica has
+    # consumed (one tiny agg over the batch-sized checkpointed frame).
+    # This is what a vacuum policy gates on — never drop change batches
+    # a lagging consumer has not read (the Delta VACUUM-vs-slowest-
+    # consumer retention contract).
+    src_seen = coalesced.agg(
+        F.max(F.coalesce(F.col("commit_version"), F.lit(0))).alias("v")
+    ).collect()[0]["v"]
     t_up, t_del, r_up, r_del = _split_batch(coalesced)
     # empty frames must not reach merge_frames as "present but empty"
     # branches that still scan; probe cheaply (these are batch-sized)
@@ -197,7 +208,65 @@ def apply_changes_to_replica(
         with open(tmp, "w") as f:
             f.write(str(version if version is not None else -1))
         os.replace(tmp, marker)
+    if src_seen:
+        _advance_source_watermark(replica_root, int(src_seen))
     return version
+
+
+def _advance_source_watermark(replica_root: str, version: int) -> None:
+    """Monotonically record the max source commit version consumed."""
+    applied_dir = os.path.join(replica_root, "_replica_applied")
+    os.makedirs(applied_dir, exist_ok=True)
+    path = os.path.join(applied_dir, "_source_version")
+    if replica_source_version(replica_root) >= version:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, path)
+
+
+def replica_source_version(replica_root: str) -> int:
+    """The max source commit version this replica has consumed — the
+    bootstrap clone version until the first change batch applies, then
+    the per-batch watermark.  0 for a never-bootstrapped replica."""
+    try:
+        with open(
+            os.path.join(replica_root, "_replica_applied", "_source_version")
+        ) as f:
+            applied = int(f.read().strip())
+    except (OSError, ValueError):
+        applied = 0
+    return max(applied, _bootstrap_version(replica_root))
+
+
+def replica_lag(source_root: str, replica_root: str) -> int:
+    """How many source commit versions the replica has NOT consumed yet.
+
+    The vacuum guard: ``vacuum(source_root, keep_last=k)`` is safe for
+    this replica only when ``replica_lag(...) < k`` — change batches
+    older than the retained window are deleted, and a file-stream
+    consumer cannot detect (let alone replay) files that vanished
+    before it listed them.  This is the Delta retention contract
+    (VACUUM must keep what the slowest CDF consumer still needs),
+    surfaced as a number an operator can gate on.
+
+    Event-less commits (compaction, snapshot-only) publish no change
+    batch — nothing to consume, so they never count as lag."""
+    from pg_age_digitaltwins_spark.store.commit_log import CommitLog
+
+    wm = replica_source_version(replica_root)
+    log = CommitLog(source_root)
+    lag = 0
+    for v in log.versions():
+        if v <= wm:
+            continue
+        try:
+            if log.manifest(v).get("change_dir"):
+                lag += 1
+        except OSError:
+            continue
+    return lag
 
 
 def _batch_already_committed(

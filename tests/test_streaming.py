@@ -1989,3 +1989,49 @@ def test_driver_sink_delivery_is_chunk_bounded(spark):
     assert sum(chunk_sizes) == n            # nothing dropped
     assert max(chunk_sizes) <= 500          # peak driver buffer bounded
     assert len(chunk_sizes) >= n // 500     # really chunked
+
+
+def test_replica_lag_watermark_and_vacuum_guard(spark, tmp_path):
+    """r8: replica_lag counts unconsumed source change batches (the
+    vacuum retention guard — never vacuum past the slowest consumer).
+    Event-less commits (compaction) never count as lag; the watermark
+    advances with each applied batch and starts at the bootstrap
+    version."""
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        commit_snapshot, compact_table, merge_rows,
+    )
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+    from pg_age_digitaltwins_spark.streaming.replica import (
+        replica_lag, replica_source_version, run_replication,
+    )
+
+    models = [{
+        "@id": "dtmi:rep:T;1", "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "contents": [{"@type": "Property", "name": "x", "schema": "integer"}],
+    }]
+
+    def twin(i):
+        return {"$dtId": f"w{i}", "$metadata": {"$model": "dtmi:rep:T;1"},
+                "x": i}
+
+    src_root = str(tmp_path / "src")
+    rep_root = str(tmp_path / "rep")
+    commit_snapshot(GraphStore.from_documents(
+        spark, twin_docs=[twin(0)], model_docs=models), src_root)
+
+    ckpt = str(tmp_path / "ckpt")
+    q = run_replication(spark, src_root, rep_root, ckpt)  # bootstrap @ v1
+    q.awaitTermination(300)
+    assert replica_source_version(rep_root) == 1
+    assert replica_lag(src_root, rep_root) == 0
+
+    merge_rows(spark, src_root, twin_upserts=[twin(1)])   # v2 (events)
+    compact_table(spark, src_root)                        # v3 (no events)
+    merge_rows(spark, src_root, twin_upserts=[twin(2)])   # v4 (events)
+    assert replica_lag(src_root, rep_root) == 2  # v2 + v4; v3 never counts
+
+    q = run_replication(spark, src_root, rep_root, ckpt)
+    q.awaitTermination(300)
+    assert replica_source_version(rep_root) == 4
+    assert replica_lag(src_root, rep_root) == 0  # safe-to-vacuum signal
