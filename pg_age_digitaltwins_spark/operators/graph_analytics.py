@@ -518,31 +518,53 @@ def strongly_connected_components(
         # propagation.  On a mostly-acyclic graph (the twin graph)
         # this settles nearly everything in O(dag-depth) cheap joins,
         # leaving FW-BW only the cyclic core.
+        #
+        # r8: one degree aggregation per layer instead of four
+        # membership probes — a single union+groupBy yields
+        # (id, has_out, has_in); vertices missing either edge direction
+        # (plus isolated vertices never touched by e) are the layer's
+        # trivial SCCs.  Settled frames accumulate in a list and union
+        # once per round (each element is already checkpoint-derived,
+        # so the union's lineage stays flat).
+        trivial_parts: list[DataFrame] = []
         while True:
-            srcs = e.select("source_id").distinct()
-            dsts = e.select("target_id").distinct()
-            trivial = (
-                remaining.join(
-                    srcs.withColumnRenamed("source_id", "dt_id"),
-                    "dt_id", "left_anti",
+            deg = (
+                e.select(
+                    F.col("source_id").alias("dt_id"),
+                    F.lit(1).alias("o"),
+                    F.lit(0).alias("i"),
                 )
                 .unionByName(
-                    remaining.join(
-                        dsts.withColumnRenamed("target_id", "dt_id"),
-                        "dt_id", "left_anti",
+                    e.select(
+                        F.col("target_id").alias("dt_id"),
+                        F.lit(0).alias("o"),
+                        F.lit(1).alias("i"),
                     )
                 )
-                .distinct()
-                .localCheckpoint(eager=True)
+                .groupBy("dt_id")
+                .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
             )
+            lab = (
+                remaining.join(deg, "dt_id", "left")
+                .select(
+                    "dt_id",
+                    (
+                        F.coalesce(F.col("has_out"), F.lit(0))
+                        * F.coalesce(F.col("has_in"), F.lit(0))
+                        == 0
+                    ).alias("__triv"),
+                )
+                .localCheckpoint(eager=True)  # one job labels the layer
+            )
+            trivial = lab.filter(F.col("__triv")).select("dt_id")
             if not trivial.take(1):
                 break
-            settled_t = trivial.select("dt_id", F.col("dt_id").alias("scc"))
-            out = settled_t if out is None else out.unionByName(settled_t)
-            out = out.localCheckpoint(eager=True)
-            remaining = remaining.join(trivial, "dt_id", "left_anti").localCheckpoint(
-                eager=True
+            trivial_parts.append(
+                trivial.select("dt_id", F.col("dt_id").alias("scc"))
             )
+            remaining = lab.filter(~F.col("__triv")).select("dt_id")
+            if not remaining.take(1):
+                break  # everything settled; skip the dead e rebuild
             e = (
                 e.join(
                     remaining.withColumnRenamed("dt_id", "source_id"),
@@ -554,6 +576,10 @@ def strongly_connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
+        for settled_t in trivial_parts:
+            out = settled_t if out is None else out.unionByName(settled_t)
+        if trivial_parts:
+            out = out.localCheckpoint(eager=True)
         if not remaining.take(1):
             break
         fwd, f_ok = _min_propagate(remaining, e, True, max_iters)
