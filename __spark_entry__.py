@@ -465,6 +465,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_split_counts"] = _split_counts
     q["sample_stratified"] = _stratified
 
+    # r8: training-data additions — fixed-budget sequence packing and
+    # the leakage-safe (group-keyed) train/test split
+    def _pack(s, d):
+        from pg_age_digitaltwins_spark.operators import text as _t
+
+        return _t.pack_sequences(_tables(s, d)["documents"], budget=2048)
+
+    def _leakage_split(s, d):
+        from pg_age_digitaltwins_spark.operators import sampling
+
+        return sampling.leakage_safe_split(
+            _tables(s, d)["documents"], test_fraction=0.1
+        )
+
+    q["text_pack_sequences"] = _pack
+    q["sample_leakage_safe_split"] = _leakage_split
+
     def _kfold(s, d):
         from pyspark.sql import functions as F
 
@@ -1620,6 +1637,22 @@ def oracle_sql() -> dict[str, str]:
     o["sample_stratified"] = (
         "SELECT doc_id, lang FROM documents WHERE "
         "substr(md5('sample' || '|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333'"
+    )
+    o["text_pack_sequences"] = (
+        f"WITH t AS (SELECT doc_id, CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens, "
+        "substr(md5('pack' || '|' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket "
+        "FROM documents) "
+        "SELECT doc_id, n_tokens, bucket, "
+        "(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS pack_no FROM t"
+    )
+    o["sample_leakage_safe_split"] = (
+        "WITH fp AS (SELECT doc_id, "
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS group_id "
+        "FROM documents) "
+        "SELECT doc_id, group_id, "
+        "CASE WHEN substr(md5('split' || '|' || group_id), 1, 4) < '1999' "
+        "THEN 'test' ELSE 'train' END AS split FROM fp"
     )
     o["sample_kfold_counts"] = (
         "SELECT CAST(CAST(('0x' || substr(md5('fold' || '|' || CAST(doc_id AS VARCHAR)), 1, 4)) "

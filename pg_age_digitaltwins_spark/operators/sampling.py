@@ -138,3 +138,41 @@ def weighted_reservoir(
         .filter(F.col("rnk") <= k)
         .drop("__wr_score")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+    groups: DataFrame | None = None,
+) -> DataFrame:
+    """Train/test split keyed on the duplicate GROUP, not the document.
+
+    Splitting per-doc leaks: two near-identical documents can straddle
+    the train/test boundary and the benchmark silently measures
+    memorization.  Here every document is first mapped to its group id
+    — by default the exact-dedup fingerprint (md5 of case/space-
+    normalized text); pass ``groups`` (doc_id, group_id), e.g.
+    ``similarity.near_dup_clusters`` output, for semantic clusters —
+    and the hash split is keyed on the group, so a whole duplicate
+    cluster lands on one side.  Documents without a group row fall
+    back to their own id (singleton group).
+
+    Output: (doc_id, group_id, split)."""
+    from pg_age_digitaltwins_spark.operators.text import fingerprints
+
+    if groups is None:
+        groups = fingerprints(docs).select(
+            "doc_id", F.col("fp").alias("group_id")
+        )
+    keyed = (
+        docs.select("doc_id")
+        .join(groups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("group_id"), F.col("doc_id").cast("string")
+            ).alias("group_id"),
+        )
+    )
+    return hash_split(keyed, "group_id", test_fraction, salt)

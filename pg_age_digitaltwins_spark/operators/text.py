@@ -547,3 +547,49 @@ def clean_corpus_funnel(
         .unionByName(stage("3_length_filter", sized))
         .unionByName(stage("4_decontaminated", clean))
     )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 2048, salt: str = "pack"
+) -> DataFrame:
+    """Greedy start-offset sequence packing: assign each document to a
+    fixed-token-budget pack for training-batch assembly.
+
+    The 100 TB shape: documents are first hash-bucketed (first hex char
+    of a salted md5 — 16 independent packing streams, the same portable
+    bucket rule the sampling module uses), then packed WITHIN a bucket
+    by a running token total over a deterministic order — one window
+    per bucket, never a global single-partition cumsum.  ``pack_no`` =
+    ``(cumsum_before_this_doc) // budget`` ("start-offset" packing):
+    deterministic, one shuffle, and SQL-expressible, at the cost of a
+    pack occasionally overflowing by one document's tail (the tokenizer
+    stage truncates; bin-perfect packing is a bucket-local
+    ``applyInPandas`` swap if ever needed).
+
+    Output: (doc_id, n_tokens, bucket, pack_no) — (bucket, pack_no) is
+    the pack identity."""
+    from pyspark.sql.window import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    toks = token_counts(docs).select("doc_id", "n_tokens")
+    bucketed = toks.withColumn(
+        "bucket",
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        ),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return bucketed.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        (start / F.lit(budget)).cast("bigint").alias("pack_no"),
+    )

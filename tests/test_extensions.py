@@ -1051,3 +1051,63 @@ def test_ann_lsh_multitable_batch_matches_per_query(embeddings):
             assert batch[(qid, rank)] == (r["vec_id"], r["sim"])
         assert all(r["vec_id"] != qid for r in single)
     assert all(vec != qid for (qid, _), (vec, _) in batch.items())
+
+
+def test_pack_sequences_invariants(documents):
+    """r8: start-offset packing — within a bucket pack_no is monotone
+    over doc_id order, every pack except possibly the last is filled to
+    at least the budget (counting its overflow tail), and the operator
+    is deterministic."""
+    from pg_age_digitaltwins_spark.operators import text as T
+
+    budget = 512
+    out = T.pack_sequences(documents, budget=budget).collect()
+    again = T.pack_sequences(documents, budget=budget).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) > 1  # really fans out across packing streams
+    for bucket, rows in by_bucket.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["pack_no"] == cum // budget  # start-offset rule
+            cum += r["n_tokens"]
+        packs = sorted({r["pack_no"] for r in rows})
+        assert packs == list(range(len(packs)))  # contiguous, monotone
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    """r8: exact duplicates (same normalized text) always land on the
+    same side; a custom groups frame overrides the fingerprint."""
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"some document {i % 7}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    s = sampling.leakage_safe_split(docs, test_fraction=0.3)
+    assert s.count() == 100
+    straddle = (
+        s.groupBy("group_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert straddle == 0
+    # 7 distinct texts -> 7 groups, each wholly on one side
+    assert s.select("group_id").distinct().count() == 7
+
+    groups = docs.select(
+        "doc_id", (F.col("doc_id") % 2).cast("string").alias("group_id")
+    )
+    s2 = sampling.leakage_safe_split(docs, test_fraction=0.5, groups=groups)
+    assert s2.select("group_id").distinct().count() == 2
+    assert (
+        s2.groupBy("group_id").agg(F.count_distinct("split").alias("k"))
+        .filter("k > 1").count() == 0
+    )
