@@ -265,10 +265,22 @@ def main() -> None:
     # recorded in the output so the number is self-describing.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
-    def run_group(names: list[str], n_runs: int) -> dict[str, float]:
+    def run_group(
+        names: list[str], n_runs: int, gc_between: bool = False
+    ) -> dict[str, float]:
         timings: dict[str, float] = {}
         for _ in range(n_runs):
             for name in names:
+                if gc_between:
+                    # iterative operators leave dead localCheckpoint
+                    # RDD blocks behind until the Python wrappers are
+                    # collected; reclaim them BEFORE timing so each key
+                    # measures its own plan, not the previous key's
+                    # block-manager pressure (measured: pagerank 10.0 s
+                    # with stale blocks vs 7.0 s after collection)
+                    import gc
+
+                    gc.collect()
                 t0 = time.perf_counter()
                 df = qs[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
@@ -283,7 +295,7 @@ def main() -> None:
     # default (override with SPARK_GRAFT_ANALYTICS_RUNS); the run-to-run
     # band is recorded in NOTES
     a_runs = max(1, int(os.environ.get("SPARK_GRAFT_ANALYTICS_RUNS", "1")))
-    analytics = run_group(ANALYTICS, a_runs)
+    analytics = run_group(ANALYTICS, a_runs, gc_between=True)
     cdc = bench_cdc_throughput(spark)
     repl = bench_replication(spark)
     print(
