@@ -174,21 +174,30 @@ def apply_changes_to_replica(
             F.coalesce(F.col("commit_version"), F.lit(0)) > boot
         )
     coalesced = _final_state(coalesce_events(events)).localCheckpoint(eager=True)
-    # progress watermark: the max SOURCE commit version this replica has
-    # consumed (one tiny agg over the batch-sized checkpointed frame).
-    # This is what a vacuum policy gates on — never drop change batches
-    # a lagging consumer has not read (the Delta VACUUM-vs-slowest-
-    # consumer retention contract).
-    src_seen = coalesced.agg(
-        F.max(F.coalesce(F.col("commit_version"), F.lit(0))).alias("v")
-    ).collect()[0]["v"]
+    # ONE aggregation job answers everything driver-side: which of the
+    # four merge branches are non-empty (empty frames must not reach
+    # merge_frames as branches that still scan) and the progress
+    # watermark — the max SOURCE commit version consumed, which a
+    # vacuum policy gates on (never drop change batches a lagging
+    # consumer has not read; the Delta VACUUM-vs-slowest-consumer
+    # retention contract).  r7 ran four take(1) probes + an agg here.
+    doc = F.coalesce(F.col("new_value"), F.col("old_value"))
+    is_rel = F.get_json_object(doc, "$['$relationshipId']").isNotNull()
+    ev_rows = F.col("table_name") != "Model"
+    is_del = F.col("event_type") == "Delete"
+    flags = coalesced.agg(
+        F.max((ev_rows & ~is_rel & ~is_del).cast("int")).alias("t_up"),
+        F.max((ev_rows & ~is_rel & is_del).cast("int")).alias("t_del"),
+        F.max((ev_rows & is_rel & ~is_del).cast("int")).alias("r_up"),
+        F.max((ev_rows & is_rel & is_del).cast("int")).alias("r_del"),
+        F.max(F.coalesce(F.col("commit_version"), F.lit(0))).alias("v"),
+    ).collect()[0]
+    src_seen = flags["v"]
     t_up, t_del, r_up, r_del = _split_batch(coalesced)
-    # empty frames must not reach merge_frames as "present but empty"
-    # branches that still scan; probe cheaply (these are batch-sized)
-    t_up_n = bool(t_up.take(1))
-    t_del_n = bool(t_del.take(1))
-    r_up_n = bool(r_up.take(1))
-    r_del_n = bool(r_del.take(1))
+    t_up_n = bool(flags["t_up"])
+    t_del_n = bool(flags["t_del"])
+    r_up_n = bool(flags["r_up"])
+    r_del_n = bool(flags["r_del"])
     version = None
     if t_up_n or t_del_n or r_up_n or r_del_n:
         version = merge_frames(
