@@ -287,6 +287,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "MATCH (o)-[:contains]->(p) WITH o, count(p) AS items "
         "RETURN items, count(*) AS n_orders ORDER BY items"
     )
+    # r8: existential pattern predicates (semi/anti joins), =~ regex,
+    # list comprehensions + reduce()
+    q["cypher_pattern_predicate"] = _adt(
+        "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "AND NOT (c)<-[:placedBy]-() RETURN count(*) AS n"
+    )
+    q["cypher_pattern_predicate_2hop"] = _adt(
+        "MATCH (t) WHERE (t)-[:locatedIn]->()-[:partOf]->({name: 'EUROPE'}) "
+        "RETURN t.`$dtId` AS id ORDER BY id"
+    )
+    q["cypher_regex_match"] = _adt(
+        "MATCH (p) WHERE p.`$metadata`.`$model` = 'dtmi:demo:Part;1' "
+        "AND p.name =~ '.*bolt.*' RETURN count(*) AS n"
+    )
+    q["cypher_list_comprehension"] = _adt(
+        "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "RETURN c.`$dtId` AS id, "
+        "size([x IN c.tags WHERE x STARTS WITH 'B']) AS nb, "
+        "reduce(s = 0, x IN c.tags | s + size(x)) AS taglen ORDER BY id"
+    )
     q["cypher_l2_distance_topk"] = _adt(
         "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
         "RETURN c.`$dtId` AS id, round(l2_distance([c.acctbal], [5000.0]), 2) AS d "
@@ -1482,6 +1502,31 @@ def oracle_sql() -> dict[str, str]:
         "SELECT items, count(*) AS n_orders FROM "
         "(SELECT l_orderkey, count(*) AS items FROM lineitem "
         "GROUP BY l_orderkey) GROUP BY items ORDER BY items"
+    )
+    o["cypher_pattern_predicate"] = (
+        "SELECT count(*) AS n FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    )
+    o["cypher_pattern_predicate_2hop"] = (
+        "SELECT id FROM ("
+        "SELECT 'cust-' || c_custkey AS id FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE' "
+        "UNION ALL "
+        "SELECT 'supp-' || s_suppkey FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'"
+        ") ORDER BY id"
+    )
+    o["cypher_regex_match"] = (
+        "SELECT count(*) AS n FROM part "
+        "WHERE regexp_full_match(p_name, '.*bolt.*')"
+    )
+    o["cypher_list_comprehension"] = (
+        "SELECT 'cust-' || c_custkey AS id, "
+        "CAST(len([x FOR x IN [c_mktsegment] IF x LIKE 'B%']) AS BIGINT) AS nb, "
+        "CAST(length(c_mktsegment) AS DOUBLE) AS taglen "
+        "FROM customer ORDER BY id"
     )
     o["cypher_l2_distance_topk"] = (
         "SELECT id, d FROM (SELECT 'cust-' || c_custkey AS id, "

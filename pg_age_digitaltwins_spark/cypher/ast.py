@@ -110,7 +110,35 @@ class Func:
     star: bool = False  # count(*)
 
 
-Expr = Union[Var, Prop, Lit, ListLit, Cmp, StringOp, InList, IsNull, And, Or, Not, Arith, Case, Func]
+@dataclass
+class ListComp:
+    """``[x IN src WHERE pred | map]`` — openCypher list comprehension
+    (filter and/or per-element projection)."""
+    var: str
+    src: "Expr"
+    where: "Expr | None" = None
+    map: "Expr | None" = None
+
+
+@dataclass
+class Reduce:
+    """``reduce(acc = init, x IN src | step)`` — openCypher fold."""
+    acc: str
+    init: "Expr"
+    var: str
+    src: "Expr"
+    step: "Expr" = None
+
+
+@dataclass
+class PatternPred:
+    """Existential pattern predicate ``WHERE (a)-[:R]->(b)`` — true when
+    at least one match of the pattern exists from the bound anchor.
+    Compiles to a semi-join (anti-join under NOT)."""
+    path: "PathPat"
+
+
+Expr = Union[Var, Prop, Lit, ListLit, Cmp, StringOp, InList, IsNull, And, Or, Not, Arith, Case, Func, ListComp, Reduce, PatternPred]
 
 AGGREGATES = {"count", "sum", "avg", "min", "max", "collect",
               "stdev", "stdevp", "percentilecont", "percentiledisc"}

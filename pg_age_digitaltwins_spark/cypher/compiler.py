@@ -73,6 +73,12 @@ class Binding:
     # binding never enters ``env``.
     key_col: str = "dt_id"
     virtual: bool = False
+    # lambda-scoped bindings (list comprehension / reduce element and
+    # accumulator variables): ``col`` IS the element Column handed to
+    # the higher-order function's lambda; ``variant`` marks elements of
+    # a variant-typed array (dynamic property) needing typed extraction
+    col: object = None
+    variant: bool = False
 
 
 class CypherCompiler:
@@ -258,6 +264,7 @@ class CypherCompiler:
         # conjuncts commute with the joins; anything unconsumed (e.g. a
         # var-length target) falls back to the residual filter below.
         residual: list[C.Expr] = []
+        pattern_joins: list[tuple[C.PathPat, bool]] = []
         if clause.where is not None:
             fresh: set[str] = set()
             for p in clause.paths:
@@ -268,6 +275,17 @@ class CypherCompiler:
                     if e.alias and e.var_length is None and e.alias not in env:
                         fresh.add(e.alias)
             for conj in _cy_conjuncts(clause.where):
+                # existential pattern predicates compile to semi/anti
+                # joins, never to Columns — segregate top-level
+                # conjuncts here (deeper occurrences raise in _expr)
+                if isinstance(conj, C.PatternPred):
+                    pattern_joins.append((conj.path, False))
+                    continue
+                if isinstance(conj, C.Not) and isinstance(
+                    conj.item, C.PatternPred
+                ):
+                    pattern_joins.append((conj.item.path, True))
+                    continue
                 names = _cy_expr_aliases(conj)
                 if len(names) == 1 and next(iter(names)) in fresh:
                     self._scan_preds.setdefault(next(iter(names)), []).append(conj)
@@ -299,7 +317,59 @@ class CypherCompiler:
             for c in residual[1:]:
                 pred = pred & self._expr(c, env, as_predicate=True)
             df = self._inject(df).filter(pred)
+        for path, negated in pattern_joins:
+            df = self._pattern_semi_join(df, env, path, negated)
         return df
+
+    def _pattern_semi_join(
+        self,
+        df: DataFrame,
+        env: dict[str, Binding],
+        path: C.PathPat,
+        negated: bool,
+    ) -> DataFrame:
+        """Existential pattern predicate ``WHERE [NOT] (a)-[:R]->(b)``:
+        compile the pattern as its own mini-match anchored at the bound
+        variable's fresh scan, project the anchor keys, and semi-join
+        (anti-join under NOT) the main frame on them — exactly how a
+        SQL EXISTS subquery plans, so Catalyst keeps the usual
+        broadcast/shuffle choices and the pattern side never widens the
+        main row."""
+        anchor = path.nodes[0]
+        if not anchor.alias or anchor.alias not in env:
+            raise CypherCompileError(
+                "a pattern predicate must start at a variable bound by MATCH"
+            )
+        for n in path.nodes[1:]:
+            if n.alias and n.alias in env:
+                raise CypherCompileError(
+                    "pattern predicates may not reference a second bound "
+                    "variable — bind it with another MATCH instead"
+                )
+        if path.var or path.shortest or any(
+            e.var_length is not None for e in path.edges
+        ):
+            raise CypherCompileError(
+                "pattern predicates support fixed-length patterns only"
+            )
+        mb = env[anchor.alias]
+        if mb.kind == "value":
+            raise CypherCompileError(
+                "pattern predicate anchor must be a node variable"
+            )
+        sub_env: dict[str, Binding] = {}
+        sub_anchor = C.NodePat(
+            alias=anchor.alias,
+            labels=list(anchor.labels),
+            props=dict(anchor.props),
+        )
+        sub_df, left = self._bind_node(None, sub_env, sub_anchor)
+        for edge, node in zip(path.edges, path.nodes[1:]):
+            sub_df, left = self._hop(sub_df, sub_env, left, edge, node)
+        ab = sub_env[anchor.alias]
+        keys = sub_df.select(self._key_col(ab).alias("__pp_key"))
+        how = "left_anti" if negated else "left_semi"
+        return df.join(keys, self._key_col(mb) == F.col("__pp_key"), how)
 
     def _apply_scan_preds(
         self, scan: DataFrame, alias: str | None, b: Binding
@@ -1128,6 +1198,13 @@ class CypherCompiler:
                 return left.startswith(right)
             if e.op == "ENDS WITH":
                 return left.endswith(right)
+            if e.op == "REGEX":
+                # Cypher =~ is a FULL-string match (Java matches());
+                # Spark rlike finds partial matches, so anchor the
+                # pattern in a non-capturing group
+                return F.regexp_like(
+                    left, F.concat(F.lit("^(?:"), right, F.lit(")$"))
+                )
             return left.contains(right)
         if isinstance(e, C.InList):
             if isinstance(e.items, C.ListLit):
@@ -1219,18 +1296,103 @@ class CypherCompiler:
             b = env.get(e.name)
             if b is None:
                 raise CypherCompileError(f"Unknown variable {e.name!r}")
+            if b.kind == "lambda":
+                return b.col
             if b.kind == "value":
                 return F.col(b.df_alias)
             return self._col(b, "doc")
         if isinstance(e, C.ListLit):
             return F.array(*[self._expr(i, env) for i in e.items])
+        if isinstance(e, C.ListComp):
+            arr, is_var = self._array_src(e.src, env)
+            def _env2(x):
+                return {
+                    **env,
+                    e.var: Binding(e.var, "lambda", "", col=x, variant=is_var),
+                }
+            out = arr
+            if e.where is not None:
+                out = F.filter(
+                    out, lambda x: self._expr(e.where, _env2(x), True)
+                )
+            if e.map is not None:
+                out = F.transform(out, lambda x: self._expr(e.map, _env2(x)))
+            return out
+        if isinstance(e, C.Reduce):
+            arr, is_var = self._array_src(e.src, env)
+            init = self._operand(e.init, env, _lit_kind(e.init))
+            if isinstance(e.init, C.Lit) and e.init.kind == "number":
+                # the fold's accumulator type is fixed by the zero value;
+                # numeric folds accumulate as double so variant/typed
+                # elements merge without an analysis-time type clash
+                init = init.cast("double")
+            def _env3(acc, x):
+                return {
+                    **env,
+                    e.acc: Binding(e.acc, "lambda", "", col=acc),
+                    e.var: Binding(e.var, "lambda", "", col=x, variant=is_var),
+                }
+            return F.aggregate(
+                arr, init, lambda acc, x: self._expr(e.step, _env3(acc, x))
+            )
+        if isinstance(e, C.PatternPred):
+            raise CypherCompileError(
+                "pattern predicates are only supported as top-level WHERE "
+                "conjuncts (optionally under NOT) — rewrite the OR with "
+                "UNION, or bind the pattern with OPTIONAL MATCH"
+            )
         raise CypherCompileError(f"Unsupported expression {e!r}")
+
+    def _array_src(self, src: C.Expr, env) -> tuple[Column, bool]:
+        """Resolve a list-comprehension / reduce source to (array
+        Column, elements-are-variant?).  Dynamic properties read as
+        array<variant>; everything else (list literals, range/split/
+        collect results, WITH-projected lists) keeps its concrete
+        element type."""
+        if isinstance(src, C.Prop):
+            b, path, promoted = self._resolve(src, env)
+            if b.kind != "value" and not promoted:
+                return (
+                    F.try_variant_get(
+                        F.col(f"{b.df_alias}.vdoc"),
+                        J.variant_path(path),
+                        "array<variant>",
+                    ),
+                    True,
+                )
+        return self._expr(src, env), False
 
     def _operand(self, e: C.Expr, env, kind: str | None) -> Column:
         if isinstance(e, C.Lit):
             return F.lit(e.value)
         if isinstance(e, C.Prop):
             return self._typed(e, env, kind)
+        if isinstance(e, C.Var):
+            b = env.get(e.name)
+            if b is not None and b.kind == "lambda":
+                # lambda element/accumulator: apply the requested type
+                # like _typed does for properties — variant elements
+                # extract, concrete elements cast
+                c = b.col
+                if kind == "number":
+                    return (
+                        F.try_variant_get(c, "$", "double")
+                        if b.variant
+                        else c.cast("double")
+                    )
+                if kind == "string":
+                    return (
+                        F.try_variant_get(c, "$", "string")
+                        if b.variant
+                        else c.cast("string")
+                    )
+                if kind == "bool":
+                    return (
+                        F.try_variant_get(c, "$", "boolean")
+                        if b.variant
+                        else c.cast("boolean")
+                    )
+                return c
         return self._expr(e, env)
 
     def _func(self, e: C.Func, env) -> Column:
@@ -1303,6 +1465,20 @@ class CypherCompiler:
             arg = e.args[0]
             if isinstance(arg, C.Lit) and isinstance(arg.value, str):
                 return F.length(self._expr(arg, env)).cast("long")
+            if (
+                isinstance(arg, C.Var)
+                and env.get(arg.name) is not None
+                and env[arg.name].kind == "lambda"
+                and env[arg.name].variant
+            ):
+                # lambda element of a variant array: probe both shapes
+                c = env[arg.name].col
+                return F.coalesce(
+                    F.array_size(
+                        F.try_variant_get(c, "$", "array<variant>")
+                    ).cast("long"),
+                    F.length(F.try_variant_get(c, "$", "string")).cast("long"),
+                )
             if isinstance(arg, C.Prop):
                 b, path, _ = self._resolve(arg, env)
                 arr = F.try_variant_get(

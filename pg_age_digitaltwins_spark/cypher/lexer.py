@@ -19,7 +19,7 @@ TOKEN_RE = re.compile(
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<bq>`[^`]*`)
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<op><=|>=|<>|<-|->|--|=|<|>|\+|/|%|\^)
+  | (?P<op><=|>=|<>|<-|->|--|=~|=|<|>|\+|/|%|\^)
   | (?P<punct>[(){},.\[\]|:*-])
     """,
     re.VERBOSE,

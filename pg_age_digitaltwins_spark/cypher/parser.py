@@ -357,6 +357,10 @@ class _Parser:
     def comparison(self) -> C.Expr:
         left = self.add_expr()
         t = self.cur
+        if t.kind == "OP" and t.value == "=~":
+            # openCypher regex match: '=~' is a FULL-string match
+            self.i += 1
+            return C.StringOp("REGEX", left, self.add_expr())
         if t.kind == "OP" and t.value in ("=", "<>", "<", ">", "<=", ">="):
             self.i += 1
             return C.Cmp(t.value, left, self.add_expr())
@@ -446,6 +450,20 @@ class _Parser:
             self.eat("KEYWORD", "END")
             return C.Case(operand, whens, else_)
         if self.opt("PUNCT", "["):
+            # `[x IN src WHERE pred | map]` — list comprehension; the
+            # IDENT-IN prefix disambiguates from a plain list literal
+            if (
+                self.cur.kind == "IDENT"
+                and self.toks[self.i + 1].kind == "KEYWORD"
+                and self.toks[self.i + 1].value == "IN"
+            ):
+                var = self.eat("IDENT").value
+                self.eat("KEYWORD", "IN")
+                src = self.expr()
+                where = self.expr() if self.opt("KEYWORD", "WHERE") else None
+                mp = self.expr() if self.opt("PUNCT", "|") else None
+                self.eat("PUNCT", "]")
+                return C.ListComp(var, src, where, mp)
             items: list[C.Expr] = []
             if not self.at("PUNCT", "]"):
                 while True:
@@ -454,7 +472,20 @@ class _Parser:
                         break
             self.eat("PUNCT", "]")
             return C.ListLit(items)
-        if self.opt("PUNCT", "("):
+        if self.at("PUNCT", "("):
+            # `(a)-[:R]->(b)` in expression position is an existential
+            # pattern predicate; try the path grammar first and fall
+            # back to a parenthesized expression (a bare `(x)` has no
+            # edges and reparses as the expression x)
+            save = self.i
+            try:
+                p = self.path()
+                if p.edges:
+                    return C.PatternPred(p)
+            except CypherParseError:
+                pass
+            self.i = save
+            self.eat("PUNCT", "(")
             e = self.expr()
             self.eat("PUNCT", ")")
             return e
@@ -480,6 +511,19 @@ class _Parser:
         """Parse the argument list of a (possibly qualified) call whose
         opening paren is the current token."""
         self.eat("PUNCT", "(")
+        if name == "reduce":
+            # reduce(acc = init, x IN src | step) — special fold syntax
+            acc = self.eat("IDENT").value
+            self.eat("OP", "=")
+            init = self.expr()
+            self.eat("PUNCT", ",")
+            var = self.eat("IDENT").value
+            self.eat("KEYWORD", "IN")
+            src = self.expr()
+            self.eat("PUNCT", "|")
+            step = self.expr()
+            self.eat("PUNCT", ")")
+            return C.Reduce(acc, init, var, src, step)
         distinct = self.opt("KEYWORD", "DISTINCT")
         if self.opt("PUNCT", "*"):
             self.eat("PUNCT", ")")

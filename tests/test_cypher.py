@@ -1338,3 +1338,96 @@ def test_with_entity_keyed_aggregation(spark):
                "WHERE size(bs) > 1 MATCH (a)-[:next]->(c) "
                "RETURN a.`$dtId` AS id, count(c) AS n2")
     assert [(r["id"], r["n2"]) for r in out] == [("t0", 2)]
+
+
+# ---------------------------------------------------------------------------
+# r8: pattern predicates, =~ regex, list comprehension, reduce
+# ---------------------------------------------------------------------------
+
+def test_pattern_predicate_semi_and_anti(spark):
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:pp:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [
+        {"$dtId": f"n{i}", "$metadata": {"$model": "dtmi:pp:T;1"}}
+        for i in range(4)
+    ]
+    rels = [
+        {"$relationshipId": "e1", "$sourceId": "n0", "$targetId": "n1",
+         "$relationshipName": "knows"},
+        {"$relationshipId": "e2", "$sourceId": "n1", "$targetId": "n2",
+         "$relationshipName": "knows"},
+    ]
+    store = GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models)
+    out = rows(store, "MATCH (a) WHERE (a)-[:knows]->() "
+                      "RETURN a.`$dtId` AS id ORDER BY id")
+    assert [r["id"] for r in out] == ["n0", "n1"]
+    out = rows(store, "MATCH (a) WHERE NOT (a)-[:knows]->() "
+                      "RETURN a.`$dtId` AS id ORDER BY id")
+    assert [r["id"] for r in out] == ["n2", "n3"]
+    # reverse direction + far-node property map
+    out = rows(store, "MATCH (a) WHERE (a)<-[:knows]-({`$dtId`: 'n0'}) "
+                      "RETURN a.`$dtId` AS id")
+    assert [r["id"] for r in out] == ["n1"]
+    # 2-hop existential
+    out = rows(store, "MATCH (a) WHERE (a)-[:knows]->()-[:knows]->() "
+                      "RETURN a.`$dtId` AS id")
+    assert [r["id"] for r in out] == ["n0"]
+
+
+def test_pattern_predicate_rejections(fixture_store):
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    with _pytest.raises(CypherCompileError, match="top-level WHERE conjuncts"):
+        rows(fixture_store,
+             "MATCH (c) WHERE (c)-[:locatedIn]->() OR c.acctbal > 0 "
+             "RETURN count(*) AS n")
+    with _pytest.raises(CypherCompileError, match="second bound variable"):
+        rows(fixture_store,
+             "MATCH (c), (d {`$dtId`: 'x'}) WHERE (c)-[:r]->(d) "
+             "RETURN count(*) AS n")
+    with _pytest.raises(CypherCompileError, match="fixed-length"):
+        rows(fixture_store,
+             "MATCH (c) WHERE (c)-[:r*1..2]->() RETURN count(*) AS n")
+
+
+def test_regex_match_is_full_string(fixture_store):
+    """Cypher =~ is a FULL-string match: 'Room' alone must not match
+    'Room 1' (rlike would); 'Room.*' does."""
+    [r] = rows(fixture_store,
+               "MATCH (t:Twin) RETURN "
+               "sum(CASE WHEN t.name =~ 'Room' THEN 1 ELSE 0 END) AS exact, "
+               "sum(CASE WHEN t.name =~ 'Room.*' THEN 1 ELSE 0 END) AS part")
+    assert r["exact"] == 0 and r["part"] == 2
+
+
+def test_list_comprehension_filter_and_map(fixture_store):
+    [r] = rows(fixture_store,
+               "MATCH (t:Twin) RETURN "
+               "[x IN [1,2,3,4] WHERE x % 2 = 0 | x * 10] AS fm, "
+               "[x IN [1,2,3] | x + 1] AS m, "
+               "[x IN [1,2,3,4] WHERE x > 2] AS f LIMIT 1")
+    assert r["fm"] == [20.0, 40.0]
+    assert r["m"] == [2.0, 3.0, 4.0]
+    assert r["f"] == [3.0, 4.0]
+
+
+def test_reduce_fold(spark):
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:rd:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": "a", "$metadata": {"$model": "dtmi:rd:T;1"},
+              "xs": [2, 3, 4], "tags": ["ab", "cde"]}]
+    store = GraphStore.from_documents(spark, twin_docs=twins, model_docs=models)
+    [r] = rows(store,
+               "MATCH (t) RETURN reduce(s = 0, x IN [1,2,3] | s + x) AS lit, "
+               "reduce(s = 1, x IN t.xs | s * x) AS prod, "
+               "reduce(s = 0, x IN t.tags | s + size(x)) AS lens")
+    assert r["lit"] == 6.0
+    assert r["prod"] == 24.0
+    assert r["lens"] == 5.0
