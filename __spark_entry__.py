@@ -297,6 +297,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "MATCH (t) WHERE (t)-[:locatedIn]->()-[:partOf]->({name: 'EUROPE'}) "
         "RETURN t.`$dtId` AS id ORDER BY id"
     )
+    # r8: EXISTS { … } / COUNT { … } pattern subqueries (inner WHERE,
+    # compiled as semi-join / pre-aggregated left join respectively)
+    q["cypher_exists_subquery"] = _adt(
+        "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "AND EXISTS { MATCH (c)<-[:placedBy]-(o) "
+        "WHERE toFloat(o.totalprice) > 300000 } "
+        "RETURN c.`$dtId` AS id ORDER BY id"
+    )
+    q["cypher_count_subquery"] = _adt(
+        "MATCH (n) WHERE n.`$metadata`.`$model` = 'dtmi:demo:Nation;1' "
+        "RETURN n.`$dtId` AS id, "
+        "COUNT { (n)<-[:locatedIn]-() } AS residents ORDER BY id"
+    )
     q["cypher_regex_match"] = _adt(
         "MATCH (p) WHERE p.`$metadata`.`$model` = 'dtmi:demo:Part;1' "
         "AND p.name =~ '.*bolt.*' RETURN count(*) AS n"
@@ -1161,7 +1174,7 @@ _DRIVER_WINDOW = [
     # Cypher (10) — incl. the r8 WITH entity-passthrough keys
     "cypher_agg_by_part", "cypher_optional_match", "cypher_var_length",
     "cypher_shortest_path", "cypher_agg_stats", "cypher_scalar_math",
-    "cypher_with_having", "cypher_with_entity_agg_continuation",
+    "cypher_count_subquery", "cypher_with_entity_agg_continuation",
     "cypher_with_entity_passthrough", "cypher_with_two_stage_agg",
     # graph analytics (6)
     "graph_connected_components", "graph_pagerank", "graph_scc",
@@ -1517,6 +1530,17 @@ def oracle_sql() -> dict[str, str]:
         "JOIN nation ON s_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'"
         ") ORDER BY id"
+    )
+    o["cypher_exists_subquery"] = (
+        "SELECT 'cust-' || c_custkey AS id FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+        "WHERE o_totalprice > 300000) ORDER BY id"
+    )
+    o["cypher_count_subquery"] = (
+        "SELECT 'nation-' || n_nationkey AS id, CAST("
+        "(SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + "
+        "(SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) "
+        "AS BIGINT) AS residents FROM nation ORDER BY id"
     )
     o["cypher_regex_match"] = (
         "SELECT count(*) AS n FROM part "

@@ -132,13 +132,24 @@ class Reduce:
 
 @dataclass
 class PatternPred:
-    """Existential pattern predicate ``WHERE (a)-[:R]->(b)`` — true when
-    at least one match of the pattern exists from the bound anchor.
-    Compiles to a semi-join (anti-join under NOT)."""
+    """Existential pattern predicate ``WHERE (a)-[:R]->(b)`` (also the
+    ``EXISTS { [MATCH] pattern [WHERE pred] }`` subquery form) — true
+    when at least one match of the pattern exists from the bound
+    anchor.  Compiles to a semi-join (anti-join under NOT)."""
     path: "PathPat"
+    where: "Expr | None" = None
 
 
-Expr = Union[Var, Prop, Lit, ListLit, Cmp, StringOp, InList, IsNull, And, Or, Not, Arith, Case, Func, ListComp, Reduce, PatternPred]
+@dataclass
+class CountSub:
+    """``COUNT { [MATCH] pattern [WHERE pred] }`` subquery — the number
+    of pattern matches from the bound anchor, per row.  Compiles to a
+    pre-aggregated left join on the anchor key (coalesced to 0)."""
+    path: "PathPat"
+    where: "Expr | None" = None
+
+
+Expr = Union[Var, Prop, Lit, ListLit, Cmp, StringOp, InList, IsNull, And, Or, Not, Arith, Case, Func, ListComp, Reduce, PatternPred, CountSub]
 
 AGGREGATES = {"count", "sum", "avg", "min", "max", "collect",
               "stdev", "stdevp", "percentilecont", "percentiledisc"}

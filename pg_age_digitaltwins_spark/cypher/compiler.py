@@ -279,12 +279,14 @@ class CypherCompiler:
                 # joins, never to Columns — segregate top-level
                 # conjuncts here (deeper occurrences raise in _expr)
                 if isinstance(conj, C.PatternPred):
-                    pattern_joins.append((conj.path, False))
+                    pattern_joins.append((conj.path, False, conj.where))
                     continue
                 if isinstance(conj, C.Not) and isinstance(
                     conj.item, C.PatternPred
                 ):
-                    pattern_joins.append((conj.item.path, True))
+                    pattern_joins.append(
+                        (conj.item.path, True, conj.item.where)
+                    )
                     continue
                 names = _cy_expr_aliases(conj)
                 if len(names) == 1 and next(iter(names)) in fresh:
@@ -317,45 +319,42 @@ class CypherCompiler:
             for c in residual[1:]:
                 pred = pred & self._expr(c, env, as_predicate=True)
             df = self._inject(df).filter(pred)
-        for path, negated in pattern_joins:
-            df = self._pattern_semi_join(df, env, path, negated)
+        for path, negated, where in pattern_joins:
+            df = self._pattern_semi_join(df, env, path, negated, where)
         return df
 
-    def _pattern_semi_join(
+    def _subquery_frame(
         self,
-        df: DataFrame,
         env: dict[str, Binding],
         path: C.PathPat,
-        negated: bool,
-    ) -> DataFrame:
-        """Existential pattern predicate ``WHERE [NOT] (a)-[:R]->(b)``:
-        compile the pattern as its own mini-match anchored at the bound
-        variable's fresh scan, project the anchor keys, and semi-join
-        (anti-join under NOT) the main frame on them — exactly how a
-        SQL EXISTS subquery plans, so Catalyst keeps the usual
-        broadcast/shuffle choices and the pattern side never widens the
-        main row."""
+        where: C.Expr | None,
+        what: str,
+    ) -> tuple[DataFrame, Binding, Binding]:
+        """Compile a pattern subquery (EXISTS/COUNT/pattern predicate)
+        as its own mini-match anchored at the bound variable's fresh
+        scan.  Returns (subquery frame, anchor binding INSIDE the
+        subquery, anchor binding in the MAIN frame)."""
         anchor = path.nodes[0]
         if not anchor.alias or anchor.alias not in env:
             raise CypherCompileError(
-                "a pattern predicate must start at a variable bound by MATCH"
+                f"a {what} must start at a variable bound by MATCH"
             )
         for n in path.nodes[1:]:
             if n.alias and n.alias in env:
                 raise CypherCompileError(
-                    "pattern predicates may not reference a second bound "
+                    f"{what}s may not reference a second bound "
                     "variable — bind it with another MATCH instead"
                 )
         if path.var or path.shortest or any(
             e.var_length is not None for e in path.edges
         ):
             raise CypherCompileError(
-                "pattern predicates support fixed-length patterns only"
+                f"{what}s support fixed-length patterns only"
             )
         mb = env[anchor.alias]
         if mb.kind == "value":
             raise CypherCompileError(
-                "pattern predicate anchor must be a node variable"
+                f"{what} anchor must be a node variable"
             )
         sub_env: dict[str, Binding] = {}
         sub_anchor = C.NodePat(
@@ -363,13 +362,119 @@ class CypherCompiler:
             labels=list(anchor.labels),
             props=dict(anchor.props),
         )
-        sub_df, left = self._bind_node(None, sub_env, sub_anchor)
-        for edge, node in zip(path.edges, path.nodes[1:]):
-            sub_df, left = self._hop(sub_df, sub_env, left, edge, node)
-        ab = sub_env[anchor.alias]
+        # The subquery compiles against its OWN frame — scope the shared
+        # variant-helper cache so (a) helper columns created here are
+        # injected into sub_df (not deferred onto the main frame, where
+        # they'd be unresolvable) and (b) main-frame cache entries aren't
+        # reused here against columns that only exist over there.
+        saved_shared = self._shared
+        saved_pv, saved_ps = self._pending_v, self._pending_s
+        self._shared, self._pending_v, self._pending_s = {}, [], []
+        try:
+            sub_df, left = self._bind_node(None, sub_env, sub_anchor)
+            for edge, node in zip(path.edges, path.nodes[1:]):
+                sub_df, left = self._hop(sub_df, sub_env, left, edge, node)
+            if where is not None:
+                pred = self._expr(where, sub_env, as_predicate=True)
+                sub_df = self._inject(sub_df).filter(pred)
+        finally:
+            self._shared = saved_shared
+            self._pending_v, self._pending_s = saved_pv, saved_ps
+        return sub_df, sub_env[anchor.alias], mb
+
+    def _pattern_semi_join(
+        self,
+        df: DataFrame,
+        env: dict[str, Binding],
+        path: C.PathPat,
+        negated: bool,
+        where: C.Expr | None = None,
+    ) -> DataFrame:
+        """Existential pattern predicate ``WHERE [NOT] (a)-[:R]->(b)``
+        (and the ``EXISTS { … }`` subquery): project the subquery's
+        anchor keys and semi-join (anti-join under NOT) the main frame
+        on them — exactly how a SQL EXISTS subquery plans, so Catalyst
+        keeps the usual broadcast/shuffle choices and the pattern side
+        never widens the main row."""
+        sub_df, ab, mb = self._subquery_frame(
+            env, path, where, "pattern predicate"
+        )
         keys = sub_df.select(self._key_col(ab).alias("__pp_key"))
         how = "left_anti" if negated else "left_semi"
         return df.join(keys, self._key_col(mb) == F.col("__pp_key"), how)
+
+    def _count_sub_join(
+        self,
+        df: DataFrame,
+        env: dict[str, Binding],
+        sub: C.CountSub,
+    ) -> tuple[DataFrame, str]:
+        """``COUNT { … }``: pre-aggregate the subquery per anchor key
+        and left-join the counts onto the main frame (missing anchors
+        count 0) — the correlated-scalar-COUNT plan shape.  Returns the
+        augmented frame and the count column's name."""
+        sub_df, ab, mb = self._subquery_frame(
+            env, sub.path, sub.where, "COUNT subquery"
+        )
+        self._anon += 1
+        # NOT "__cs<n>" — that prefix belongs to the schema-helper cache
+        colname = f"__cnt{self._anon}"
+        cnt = sub_df.groupBy(self._key_col(ab).alias("__cs_key")).agg(
+            F.count(F.lit(1)).alias(colname)
+        )
+        df = (
+            df.join(cnt, self._key_col(mb) == F.col("__cs_key"), "left")
+            .drop("__cs_key")
+            .withColumn(colname, F.coalesce(F.col(colname), F.lit(0)))
+        )
+        return df, colname
+
+    def _replace_count_subs(
+        self, df: DataFrame, env: dict[str, Binding], e
+    ):
+        """Walk an expression tree; each COUNT { … } node joins its
+        pre-aggregated counts onto the frame and is replaced by a Var
+        over the new column (generic dataclass walk threading df)."""
+        import dataclasses as _dc
+
+        if isinstance(e, C.CountSub):
+            df, col = self._count_sub_join(df, env, e)
+            env[col] = Binding(col, "value", col)
+            return df, C.Var(col)
+        if isinstance(e, (C.PatternPred, C.PathPat)):
+            return df, e  # never descend into pattern structure
+        if _dc.is_dataclass(e) and not isinstance(e, type):
+            changes = {}
+            for f in _dc.fields(e):
+                v = getattr(e, f.name)
+                if isinstance(v, (list, tuple)):
+                    new_items = []
+                    dirty = False
+                    for item in v:
+                        if isinstance(item, tuple):
+                            nt = []
+                            for s in item:
+                                if _dc.is_dataclass(s) and not isinstance(s, type):
+                                    df, s2 = self._replace_count_subs(df, env, s)
+                                    dirty = dirty or s2 is not s
+                                    nt.append(s2)
+                                else:
+                                    nt.append(s)
+                            new_items.append(tuple(nt))
+                        elif _dc.is_dataclass(item) and not isinstance(item, type):
+                            df, ni = self._replace_count_subs(df, env, item)
+                            dirty = dirty or ni is not item
+                            new_items.append(ni)
+                        else:
+                            new_items.append(item)
+                    if dirty:
+                        changes[f.name] = type(v)(new_items)
+                elif _dc.is_dataclass(v) and not isinstance(v, type):
+                    df, nv = self._replace_count_subs(df, env, v)
+                    if nv is not v:
+                        changes[f.name] = nv
+            return df, (_dc.replace(e, **changes) if changes else e)
+        return df, e
 
     def _apply_scan_preds(
         self, scan: DataFrame, alias: str | None, b: Binding
@@ -1923,6 +2028,19 @@ class CypherCompiler:
         return f"col{idx}"
 
     def _return(self, df: DataFrame, env: dict[str, Binding], q: C.SingleQuery) -> DataFrame:
+        import dataclasses as _dc
+
+        # COUNT { … } subqueries join their pre-aggregated counts onto
+        # the frame before item compilation (correlated scalar COUNT)
+        new_ret = []
+        for it in q.ret:
+            df, ex = self._replace_count_subs(df, env, it.expr)
+            new_ret.append(C.ReturnItem(ex, it.alias))
+        new_ob = []
+        for ex, asc in q.order_by:
+            df, ex2 = self._replace_count_subs(df, env, ex)
+            new_ob.append((ex2, asc))
+        q = _dc.replace(q, ret=new_ret, order_by=new_ob)
         names = [self._item_name(it, i) for i, it in enumerate(q.ret)]
         if len(set(names)) != len(names):
             raise CypherCompileError(f"Duplicate return names {names}")

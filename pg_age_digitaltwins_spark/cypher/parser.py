@@ -492,6 +492,16 @@ class _Parser:
         if t.kind == "IDENT" or (t.kind == "KEYWORD" and t.value == "COUNT"):
             name = t.value
             self.i += 1
+            if self.at("PUNCT", "{") and name.upper() in ("COUNT", "EXISTS"):
+                # COUNT { … } / EXISTS { … } pattern subqueries
+                self.eat("PUNCT", "{")
+                self.opt("KEYWORD", "MATCH")
+                p = self.path()
+                where = self.expr() if self.opt("KEYWORD", "WHERE") else None
+                self.eat("PUNCT", "}")
+                if name.upper() == "COUNT":
+                    return C.CountSub(p, where)
+                return C.PatternPred(p, where)
             if self.at("PUNCT", "("):  # function call
                 return self._call(name.lower())
             path: list[str] = []

@@ -1431,3 +1431,86 @@ def test_reduce_fold(spark):
     assert r["lit"] == 6.0
     assert r["prod"] == 24.0
     assert r["lens"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# r8 (cont.): EXISTS { … } / COUNT { … } pattern subqueries
+# ---------------------------------------------------------------------------
+
+def _subquery_store(spark):
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sq:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [
+        {"$dtId": f"n{i}", "$metadata": {"$model": "dtmi:sq:T;1"},
+         "w": i * 10}
+        for i in range(5)
+    ]
+    rels = [
+        {"$relationshipId": "e1", "$sourceId": "n0", "$targetId": "n1",
+         "$relationshipName": "knows"},
+        {"$relationshipId": "e2", "$sourceId": "n0", "$targetId": "n2",
+         "$relationshipName": "knows"},
+        {"$relationshipId": "e3", "$sourceId": "n0", "$targetId": "n3",
+         "$relationshipName": "knows"},
+        {"$relationshipId": "e4", "$sourceId": "n1", "$targetId": "n2",
+         "$relationshipName": "knows"},
+    ]
+    return GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models)
+
+
+def test_exists_subquery_with_where(spark):
+    store = _subquery_store(spark)
+    # bare EXISTS { } == pattern predicate
+    out = rows(store, "MATCH (a) WHERE EXISTS { (a)-[:knows]->() } "
+                      "RETURN a.`$dtId` AS id ORDER BY id")
+    assert [r["id"] for r in out] == ["n0", "n1"]
+    # optional MATCH keyword + inner WHERE filtering the far node
+    out = rows(store,
+               "MATCH (a) WHERE EXISTS { MATCH (a)-[:knows]->(b) "
+               "WHERE b.w >= 20 } RETURN a.`$dtId` AS id ORDER BY id")
+    assert [r["id"] for r in out] == ["n0", "n1"]
+    out = rows(store,
+               "MATCH (a) WHERE EXISTS { (a)-[:knows]->(b) WHERE b.w >= 30 } "
+               "RETURN a.`$dtId` AS id ORDER BY id")
+    assert [r["id"] for r in out] == ["n0"]
+    # negated form
+    out = rows(store,
+               "MATCH (a) WHERE NOT EXISTS { (a)-[:knows]->(b) "
+               "WHERE b.w >= 30 } RETURN a.`$dtId` AS id ORDER BY id")
+    assert [r["id"] for r in out] == ["n1", "n2", "n3", "n4"]
+
+
+def test_count_subquery_in_return_and_order(spark):
+    store = _subquery_store(spark)
+    out = rows(store,
+               "MATCH (a) RETURN a.`$dtId` AS id, "
+               "COUNT { (a)-[:knows]->() } AS deg ORDER BY id")
+    assert [(r["id"], r["deg"]) for r in out] == [
+        ("n0", 3), ("n1", 1), ("n2", 0), ("n3", 0), ("n4", 0)]
+    # inner WHERE + use inside an expression
+    out = rows(store,
+               "MATCH (a) RETURN a.`$dtId` AS id, "
+               "COUNT { (a)-[:knows]->(b) WHERE b.w >= 20 } + 100 AS x "
+               "ORDER BY id LIMIT 2")
+    assert [(r["id"], r["x"]) for r in out] == [("n0", 102.0), ("n1", 101.0)]
+    # COUNT subquery in ORDER BY only
+    out = rows(store,
+               "MATCH (a) RETURN a.`$dtId` AS id "
+               "ORDER BY COUNT { (a)-[:knows]->() } DESC, id LIMIT 2")
+    assert [r["id"] for r in out] == ["n0", "n1"]
+
+
+def test_count_subquery_rejections(spark):
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    store = _subquery_store(spark)
+    with _pytest.raises(CypherCompileError, match="bound by MATCH"):
+        rows(store, "MATCH (a) RETURN COUNT { (z)-[:knows]->() } AS n")
+    with _pytest.raises(CypherCompileError, match="second bound"):
+        rows(store, "MATCH (a), (b {`$dtId`: 'n1'}) "
+                    "RETURN COUNT { (a)-[:knows]->(b) } AS n")
