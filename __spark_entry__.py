@@ -792,6 +792,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_repetition_stats"] = lambda s, d: text.repetition_stats(
         _tables(s, d)["documents"]
     )
+    # r8: Gopher duplicate-n-gram repetition rules (dup-char fraction +
+    # most-common-gram char share), shuffle-free per-doc folds
+    q["text_dup_2gram_stats"] = lambda s, d: text.dup_ngram_stats(
+        _tables(s, d)["documents"], n=2
+    )
+    q["text_dup_5gram_stats"] = lambda s, d: text.dup_ngram_stats(
+        _tables(s, d)["documents"], n=5
+    )
     q["text_top_bigrams"] = lambda s, d: text.top_bigrams(
         _tables(s, d)["documents"], k=20
     )
@@ -2019,6 +2027,47 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY w)) AS top "
         f"FROM (SELECT doc_id, {_TOKS_RAW} AS t FROM documents))"
     )
+    def _dup_ngram_sql(n: int) -> str:
+        # gram = n consecutive tokens joined by ' '; || propagates NULL
+        # past the end so trailing partial grams vanish (unlike
+        # concat_ws, which would silently truncate them)
+        gram = " || ' ' || ".join(
+            ["word"] + [f"lead(word, {k}) OVER w" for k in range(1, n)]
+        )
+        return (
+            f"WITH w AS (SELECT doc_id, unnest(t) AS word, "
+            "generate_subscripts(t, 1) AS pos "
+            f"FROM (SELECT doc_id, {_TOKS_RAW} AS t FROM documents)), "
+            f"g AS (SELECT doc_id, {gram} AS gram FROM w "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY pos) "
+            "QUALIFY gram IS NOT NULL), "
+            "c AS (SELECT doc_id, gram, count(*) AS c, length(gram) AS len "
+            "FROM g GROUP BY doc_id, gram), "
+            "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, "
+            "CAST(sum(CASE WHEN c > 1 THEN c*len ELSE 0 END) AS BIGINT) "
+            "AS dup_gram_chars, "
+            "CAST(sum(c*len) AS BIGINT) AS gram_chars "
+            "FROM c GROUP BY doc_id), "
+            "top AS (SELECT doc_id, CAST(c*len AS BIGINT) AS top_gram_chars "
+            "FROM (SELECT doc_id, c, len, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn FROM c) "
+            "WHERE rn = 1) "
+            "SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams, "
+            "coalesce(dup_gram_chars, 0) AS dup_gram_chars, "
+            "coalesce(top_gram_chars, 0) AS top_gram_chars, "
+            "coalesce(gram_chars, 0) AS gram_chars, "
+            "CASE WHEN gram_chars > 0 THEN "
+            "round(CAST(dup_gram_chars AS DOUBLE) / gram_chars, 4) "
+            "ELSE 0.0 END AS dup_char_frac, "
+            "CASE WHEN gram_chars > 0 THEN "
+            "round(CAST(top_gram_chars AS DOUBLE) / gram_chars, 4) "
+            "ELSE 0.0 END AS top_char_frac "
+            "FROM documents d LEFT JOIN a USING (doc_id) "
+            "LEFT JOIN top USING (doc_id)"
+        )
+
+    o["text_dup_2gram_stats"] = _dup_ngram_sql(2)
+    o["text_dup_5gram_stats"] = _dup_ngram_sql(5)
     o["embed_quantize_int8"] = (
         "WITH ex AS (SELECT vec_id, "
         "unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x, "

@@ -324,6 +324,90 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def dup_ngram_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style duplicate-n-gram quality signals, per document:
+    the fraction of characters covered by n-grams that occur more than
+    once, and the character share of the single most common n-gram
+    (Rae et al. 2021 repetition rules — the dup-5-gram / top-2-gram
+    family).
+
+    100 TB shape: ONE scan, ZERO shuffles — the n-gram array, its
+    sorted run-length fold (duplicate chars + best run) and the totals
+    are all JVM higher-order functions per row; nothing explodes into
+    a corpus-wide groupBy.  Ties for "most common" resolve to the
+    lexicographically smallest gram (first in sorted traversal), which
+    the oracle mirrors with ORDER BY count DESC, gram ASC.
+    """
+    toks = _tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sorted_grams = F.array_sort(grams)
+    zero = F.lit(0).cast("bigint")
+    fold = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            zero.alias("dup"),
+            F.lit(0).alias("best"),
+            zero.alias("bestc"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            # chars over EVERY copy of a duplicated gram: the second
+            # sighting back-credits the first (2×len), later ones +len
+            (
+                acc.dup
+                + F.when(
+                    x == acc.prev,
+                    F.when(acc.run == 1, F.length(x) * 2).otherwise(F.length(x)),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+            ).alias("dup"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)) > acc.best,
+                (
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+                    * F.length(x)
+                ).cast("bigint"),
+            )
+            .otherwise(acc.bestc)
+            .alias("bestc"),
+        ),
+    )
+    total = F.aggregate(
+        grams, zero, lambda acc, x: acc + F.length(x).cast("bigint")
+    )
+    return (
+        docs.withColumn("_f", fold)
+        .withColumn("_t", total)
+        .select(
+            "doc_id",
+            F.size(grams).cast("bigint").alias("n_grams"),
+            F.col("_f.dup").alias("dup_gram_chars"),
+            F.col("_f.bestc").alias("top_gram_chars"),
+            F.col("_t").alias("gram_chars"),
+            F.when(F.col("_t") > 0, F.round(F.col("_f.dup") / F.col("_t"), 4))
+            .otherwise(F.lit(0.0))
+            .alias("dup_char_frac"),
+            F.when(F.col("_t") > 0, F.round(F.col("_f.bestc") / F.col("_t"), 4))
+            .otherwise(F.lit(0.0))
+            .alias("top_char_frac"),
+        )
+    )
+
+
 def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
     """Global top-k bigram counts with a total deterministic order
     (count desc, bigram asc) — the corpus-statistics staple.

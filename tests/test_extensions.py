@@ -1111,3 +1111,34 @@ def test_leakage_safe_split_keeps_duplicates_together(spark):
         s2.groupBy("group_id").agg(F.count_distinct("split").alias("k"))
         .filter("k > 1").count() == 0
     )
+
+
+def test_dup_ngram_stats_hand_computed(spark):
+    from pg_age_digitaltwins_spark.operators.text import dup_ngram_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y"), (3, "single"), (4, "q q q q")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dup_ngram_stats(docs, n=2).collect()}
+    # doc 1 grams: "a b","b a","a b","b c" — "a b" x2 dup (2*3=6 chars),
+    # total chars 12; top gram "a b" count 2 → 6 chars
+    r = rows[1]
+    assert r["n_grams"] == 4 and r["gram_chars"] == 12
+    assert r["dup_gram_chars"] == 6 and r["dup_char_frac"] == 0.5
+    assert r["top_gram_chars"] == 6 and r["top_char_frac"] == 0.5
+    # doc 2: one gram, no dups; top is that gram
+    r = rows[2]
+    assert r["n_grams"] == 1 and r["dup_gram_chars"] == 0
+    assert r["top_gram_chars"] == 3 and r["top_char_frac"] == 1.0
+    # doc 3: fewer tokens than n → everything zero, no NaN/null
+    r = rows[3]
+    assert r["n_grams"] == 0 and r["gram_chars"] == 0
+    assert r["dup_char_frac"] == 0.0 and r["top_char_frac"] == 0.0
+    # doc 4 grams: "q q" x3 — all duplicated (9 chars of 9)
+    r = rows[4]
+    assert r["n_grams"] == 3 and r["dup_char_frac"] == 1.0
+    assert r["top_gram_chars"] == 9
+    # 5-gram on a short doc degrades cleanly
+    rows5 = {r["doc_id"]: r for r in dup_ngram_stats(docs, n=5).collect()}
+    assert rows5[1]["n_grams"] == 1 and rows5[4]["n_grams"] == 0
