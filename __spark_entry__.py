@@ -370,6 +370,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by the crafted-graph pytest suite (like clustering coefficient).
     q["graph_scc"] = _scc
 
+    def _node_sim(s, d):
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            node_similarity_jaccard,
+        )
+
+        st = _store(s, d)
+        return node_similarity_jaccard(st.relationships, "contains", top_k=20)
+
+    # r8: GDS-style neighbor-set Jaccard (orders similar by shared parts)
+    q["graph_node_similarity"] = _node_sim
+
     def _harmonic(s, d):
         from pyspark.sql import functions as F
 
@@ -1588,6 +1599,20 @@ def oracle_sql() -> dict[str, str]:
     o["graph_connected_components"] = _cc_oracle()
     o["graph_scc"] = (
         f"SELECT dt_id, dt_id AS scc FROM ({_ALL_TWIN_IDS})"
+    )
+    o["graph_node_similarity"] = (
+        "WITH e AS (SELECT DISTINCT 'order-' || l_orderkey AS src, "
+        "'part-' || l_partkey AS dst FROM lineitem), "
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+        "i AS (SELECT l.src AS a, r.src AS b, count(*) AS inter "
+        "FROM e l JOIN e r ON l.dst = r.dst AND l.src < r.src "
+        "GROUP BY l.src, r.src) "
+        "SELECT a, b, CAST(inter AS BIGINT) AS inter, "
+        "CAST(da.deg + db.deg - inter AS BIGINT) AS union_size, "
+        "round(CAST(inter AS DOUBLE) / (da.deg + db.deg - inter), 4) "
+        "AS jaccard "
+        "FROM i JOIN deg da ON i.a = da.src JOIN deg db ON i.b = db.src "
+        "ORDER BY jaccard DESC, a, b LIMIT 20"
     )
     o["graph_harmonic_centrality"] = (
         "WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("

@@ -660,3 +660,58 @@ def harmonic_centrality_sampled(
             F.count(F.lit(1)).cast("bigint").alias("n_reached"),
         )
     )
+
+
+def node_similarity_jaccard(
+    relationships: DataFrame,
+    rel_name: str | None = None,
+    top_k: int = 20,
+) -> DataFrame:
+    """Neighbor-set Jaccard node similarity (the GDS nodeSimilarity
+    shape): for every source pair sharing at least one OUT-neighbor,
+    ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` over the (optionally
+    name-filtered) directed edge set; top-k pairs under a total order
+    (similarity desc, a asc, b asc).
+
+    100 TB shape: intersection counts come from ONE co-neighbor
+    self-join on the shared target + a (a,b) groupBy — two shuffles,
+    no all-pairs product; pairs that share nothing are never
+    materialized.  Degrees join after aggregation (small side, AQE
+    broadcasts).  Exact by design — a hub target with fan-in d emits
+    d²/2 pairs, which is inherent to exact similarity; at corpus scale
+    feed candidate pairs from MinHash/LSH (operators/similarity.py)
+    instead and use this as the re-scorer.
+    """
+    e = relationships.select("source_id", "target_id", "name")
+    if rel_name is not None:
+        e = e.filter(F.col("name") == rel_name)
+    e = e.select("source_id", "target_id").distinct()
+    deg = e.groupBy("source_id").agg(F.count(F.lit(1)).alias("deg"))
+    inter = (
+        e.alias("l")
+        .join(e.alias("r"), "target_id")
+        .filter(F.col("l.source_id") < F.col("r.source_id"))
+        .groupBy(
+            F.col("l.source_id").alias("a"),
+            F.col("r.source_id").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    da = deg.select(F.col("source_id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("source_id").alias("b"), F.col("deg").alias("db"))
+    sim = F.col("inter") / (F.col("da") + F.col("db") - F.col("inter"))
+    return (
+        inter.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("bigint").alias("inter"),
+            (F.col("da") + F.col("db") - F.col("inter"))
+            .cast("bigint")
+            .alias("union_size"),
+            F.round(sim, 4).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("a"), F.col("b"))
+        .limit(top_k)
+    )

@@ -1142,3 +1142,30 @@ def test_dup_ngram_stats_hand_computed(spark):
     # 5-gram on a short doc degrades cleanly
     rows5 = {r["doc_id"]: r for r in dup_ngram_stats(docs, n=5).collect()}
     assert rows5[1]["n_grams"] == 1 and rows5[4]["n_grams"] == 0
+
+
+def test_node_similarity_jaccard_hand_computed(spark):
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        node_similarity_jaccard,
+    )
+
+    rels = spark.createDataFrame(
+        [
+            # a -> {x, y}; b -> {x, y, z}; c -> {z}; d -> {w} (no overlap)
+            ("r1", "a", "x", "uses"), ("r2", "a", "y", "uses"),
+            ("r3", "b", "x", "uses"), ("r4", "b", "y", "uses"),
+            ("r5", "b", "z", "uses"), ("r6", "c", "z", "uses"),
+            ("r7", "d", "w", "uses"),
+            # duplicate edge must not double-count the intersection
+            ("r8", "a", "x", "uses"),
+            # other rel name is filtered out entirely
+            ("r9", "a", "w", "other"),
+        ],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    out = [
+        (r["a"], r["b"], r["inter"], r["union_size"], r["jaccard"])
+        for r in node_similarity_jaccard(rels, "uses", top_k=10).collect()
+    ]
+    # a∩b = {x,y} → 2/3; b∩c = {z} → 1/3; d pairs with nobody
+    assert out == [("a", "b", 2, 3, 0.6667), ("b", "c", 1, 3, 0.3333)]
