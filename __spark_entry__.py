@@ -310,6 +310,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "RETURN n.`$dtId` AS id, "
         "COUNT { (n)<-[:locatedIn]-() } AS residents ORDER BY id"
     )
+    # r8: CALL { } subquery — per-anchor top-k (row_number window under
+    # the hood), the lateral-join shape SQL needs a window for
+    q["cypher_call_topk_per_entity"] = _adt(
+        "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "CALL { WITH c MATCH (c)<-[:placedBy]-(o) "
+        "RETURN o.`$dtId` AS top_order, toFloat(o.totalprice) AS top_price "
+        "ORDER BY top_price DESC, top_order LIMIT 1 } "
+        "RETURN c.`$dtId` AS id, top_order, top_price ORDER BY id"
+    )
     q["cypher_regex_match"] = _adt(
         "MATCH (p) WHERE p.`$metadata`.`$model` = 'dtmi:demo:Part;1' "
         "AND p.name =~ '.*bolt.*' RETURN count(*) AS n"
@@ -1194,7 +1203,7 @@ _DRIVER_WINDOW = [
     "cypher_agg_by_part", "cypher_optional_match", "cypher_var_length",
     "cypher_shortest_path", "cypher_agg_stats", "cypher_scalar_math",
     "cypher_count_subquery", "cypher_with_entity_agg_continuation",
-    "cypher_with_entity_passthrough", "cypher_with_two_stage_agg",
+    "cypher_with_entity_passthrough", "cypher_call_topk_per_entity",
     # graph analytics (6)
     "graph_connected_components", "graph_pagerank", "graph_scc",
     "graph_kcore", "graph_triangle_count", "graph_collect_neighbors",
@@ -1560,6 +1569,16 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + "
         "(SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) "
         "AS BIGINT) AS residents FROM nation ORDER BY id"
+    )
+    o["cypher_call_topk_per_entity"] = (
+        "SELECT id, top_order, top_price FROM ("
+        "SELECT 'cust-' || c_custkey AS id, "
+        "'order-' || o_orderkey AS top_order, "
+        "CAST(o_totalprice AS DOUBLE) AS top_price, "
+        "row_number() OVER (PARTITION BY c_custkey "
+        "ORDER BY CAST(o_totalprice AS DOUBLE) DESC, 'order-' || o_orderkey) "
+        "AS rn FROM customer JOIN orders ON o_custkey = c_custkey) "
+        "WHERE rn = 1 ORDER BY id"
     )
     o["cypher_regex_match"] = (
         "SELECT count(*) AS n FROM part "

@@ -237,6 +237,19 @@ class WithClause:
 
 
 @dataclass
+class CallClause:
+    """``[OPTIONAL] CALL { [WITH var] <subquery> RETURN ... }`` —
+    openCypher CALL subquery.  ``imports`` is the importing-WITH
+    variable list (empty = uncorrelated, executed once and joined to
+    every row); the inner query's ORDER BY/SKIP/LIMIT apply PER input
+    row (per-anchor top-k), matching once-per-row execution."""
+
+    imports: list[str]
+    query: "SingleQuery"
+    optional: bool = False
+
+
+@dataclass
 class SingleQuery:
     clauses: list  # MatchClause | UnwindClause in order
     where: Optional[Expr] = None  # WHERE after the last MATCH handled in clause

@@ -152,6 +152,8 @@ class CypherCompiler:
                 df = self._unwind(df, env, clause)
             elif isinstance(clause, C.WithClause):
                 df, env = self._with(df, env, clause)
+            elif isinstance(clause, C.CallClause):
+                df = self._call(df, env, clause)
             else:  # pragma: no cover
                 raise CypherCompileError(f"Unsupported clause {clause!r}")
         if df is None:
@@ -402,6 +404,247 @@ class CypherCompiler:
         keys = sub_df.select(self._key_col(ab).alias("__pp_key"))
         how = "left_anti" if negated else "left_semi"
         return df.join(keys, self._key_col(mb) == F.col("__pp_key"), how)
+
+    def _call(
+        self,
+        df: DataFrame | None,
+        env: dict[str, Binding],
+        clause: C.CallClause,
+    ) -> DataFrame:
+        """``[OPTIONAL] CALL { [WITH x] ... RETURN ... }`` subquery.
+
+        Uncorrelated (no importing WITH): the inner query compiles
+        independently (its ORDER BY/SKIP/LIMIT are global — it runs
+        once) and cross-joins onto the main frame; the usual case is a
+        1-row aggregate, which the nested-loop product broadcasts.
+
+        Correlated (``WITH x``): the subquery compiles as its own
+        mini-query anchored at a FRESH scan bound to the imported
+        variable, then joins back on the anchor's identity key — the
+        correlated-lateral plan shape.  Aggregating subqueries
+        pre-aggregate per anchor (entity-keyed WITH) and LEFT-join so
+        anchors with no matches still get their count()=0 row IFF every
+        item aggregates (grouped aggregation over no rows yields no
+        rows, matching per-row execution).  Non-aggregating subqueries
+        inner-join (zero inner rows drop the input row; OPTIONAL CALL
+        left-joins instead), and their ORDER BY/SKIP/LIMIT apply PER
+        ANCHOR via a row_number window — `CALL { WITH c MATCH ...
+        RETURN o ORDER BY o.x LIMIT 1 }` is the per-entity top-k."""
+        inner = clause.query
+        ret_names = [
+            self._item_name(it, i) for i, it in enumerate(inner.ret)
+        ]
+        for nm in ret_names:
+            if nm in env:
+                raise CypherCompileError(
+                    f"CALL subquery returns {nm!r}, which is already bound "
+                    "in the outer query"
+                )
+        if not clause.imports:
+            sub = CypherCompiler(self.store)
+            sub.cartesian_guard = False
+            sub_df = sub._single(inner)
+            self.cartesian_products += sub.cartesian_products
+            dtypes = dict(sub_df.dtypes)
+            for nm in ret_names:
+                env[nm] = Binding(nm, "value", nm)
+                if dtypes.get(nm) == "variant":
+                    self._value_variant.add(nm)
+            if df is None:
+                return sub_df
+            self.cartesian_products += 1
+            if clause.optional:
+                return df.join(sub_df, F.lit(True), "left")
+            return df.crossJoin(sub_df)
+        if df is None:
+            raise CypherCompileError(
+                "a correlated CALL subquery needs a MATCH before it"
+            )
+        if len(clause.imports) != 1:
+            raise CypherCompileError(
+                "CALL imports exactly one bound entity variable "
+                "(import one anchor; bind the rest inside the subquery)"
+            )
+        imp = clause.imports[0]
+        mb = env.get(imp)
+        if mb is None:
+            raise CypherCompileError(
+                f"CALL imports {imp!r}, which is not bound by MATCH"
+            )
+        if mb.kind == "value":
+            raise CypherCompileError(
+                "CALL can only import a node/relationship/model "
+                f"variable; {imp!r} is a projected value"
+            )
+        sub = CypherCompiler(self.store)
+        sub.cartesian_guard = self.cartesian_guard
+        sub_env: dict[str, Binding] = {}
+        seed = C.NodePat(alias=imp, labels=[], props={})
+        sub_df, _ = sub._bind_node(None, sub_env, seed)
+        for cl in inner.clauses:
+            if isinstance(cl, C.MatchClause):
+                sub_df = sub._match(sub_df, sub_env, cl)
+            elif isinstance(cl, C.UnwindClause):
+                sub_df = sub._unwind(sub_df, sub_env, cl)
+            elif isinstance(cl, C.WithClause):
+                sub_df, sub_env = sub._with(sub_df, sub_env, cl)
+                if imp not in sub_env or sub_env[imp].kind == "value":
+                    raise CypherCompileError(
+                        f"the imported variable {imp!r} must survive "
+                        "every WITH inside the CALL subquery"
+                    )
+            else:
+                raise CypherCompileError(
+                    "CALL subqueries may not nest further CALLs"
+                )
+        self.cartesian_products += sub.cartesian_products
+        has_agg = any(C.has_aggregate(it.expr) for it in inner.ret)
+        all_agg = bool(inner.ret) and all(
+            C.has_aggregate(it.expr) for it in inner.ret
+        )
+        anchor_item = C.ReturnItem(C.Var(imp), None)
+        wc = C.WithClause(
+            [anchor_item] + list(inner.ret), distinct=inner.distinct
+        )
+        if has_agg:
+            if (
+                inner.order_by
+                or inner.skip is not None
+                or inner.limit is not None
+            ):
+                raise CypherCompileError(
+                    "ORDER BY/SKIP/LIMIT are not supported in an "
+                    "aggregating CALL subquery"
+                )
+            sub_out, sub_env2 = sub._with(sub_df, sub_env, wc)
+        else:
+            sub_out, sub_env2 = self._call_project(
+                sub, sub_df, sub_env, inner, imp, ret_names
+            )
+        key_sub = sub._key_col(sub_env2[imp])
+        # project to the join key + returned columns only — the
+        # anchor's own frame columns would collide with the main frame
+        keep_cols: list[Column] = [key_sub.alias("__call_key")]
+        dtypes = dict(sub_out.dtypes)
+        main_cols = set(df.columns)
+        for nm in ret_names:
+            b2 = sub_env2[nm]
+            if b2.kind == "value":
+                if nm in main_cols:
+                    raise CypherCompileError(
+                        f"CALL subquery returns {nm!r}, which collides "
+                        "with a column of the outer frame — alias it"
+                    )
+                keep_cols.append(F.col(nm))
+                if dtypes.get(nm) == "variant":
+                    self._value_variant.add(nm)
+                env[nm] = Binding(nm, "value", nm)
+            else:
+                # returned entity: carry its prefixed flat columns
+                for fc in self._opt_frame_cols(b2.kind):
+                    keep_cols.append(F.col(f"{b2.df_alias}__{fc}"))
+                env[nm] = b2
+        sub_keyed = sub_out.select(*keep_cols)
+        how = (
+            "left"
+            if (clause.optional or all_agg)
+            else "inner"
+        )
+        out = df.join(
+            sub_keyed, self._key_col(mb) == F.col("__call_key"), how
+        ).drop("__call_key")
+        if how == "left" and all_agg:
+            # ungrouped-aggregate semantics for absent anchors:
+            # count() = 0 / sum() = 0; other aggregates stay NULL
+            for it, nm in zip(inner.ret, ret_names):
+                e2 = it.expr
+                if isinstance(e2, C.Func) and e2.name in ("count", "sum"):
+                    out = out.withColumn(
+                        nm, F.coalesce(F.col(nm), F.lit(0))
+                    )
+        return out
+
+    def _call_project(
+        self,
+        sub: "CypherCompiler",
+        sub_df: DataFrame,
+        sub_env: dict[str, Binding],
+        inner: C.SingleQuery,
+        imp: str,
+        ret_names: list[str],
+    ) -> tuple[DataFrame, dict[str, Binding]]:
+        """Non-aggregating correlated CALL projection: [anchor] +
+        RETURN items, with PER-ANCHOR ORDER BY / SKIP / LIMIT via a
+        row_number window (openCypher CALL executes once per input
+        row, so its paging is per anchor, never global).  Order keys
+        compile against the PRE-projection frame — they may reference
+        variables the RETURN drops — typed via _order_expr."""
+        items = [(imp, C.Var(imp))] + [
+            (nm, it.expr) for nm, it in zip(ret_names, inner.ret)
+        ]
+        cols: list[Column] = []
+        proj_names: list[str] = []
+        env2: dict[str, Binding] = {}
+        for nm, expr in items:
+            b = (
+                sub_env.get(expr.name)
+                if isinstance(expr, C.Var)
+                else None
+            )
+            if b is not None and b.kind != "value" and not b.virtual:
+                prefix = f"__o_{nm}"
+                for fc in self._opt_frame_cols(b.kind):
+                    cols.append(sub._col(b, fc).alias(f"{prefix}__{fc}"))
+                    proj_names.append(f"{prefix}__{fc}")
+                key = "relationship_id" if b.kind == "rel" else "dt_id"
+                env2[nm] = Binding(nm, b.kind, prefix, key_col=key)
+            else:
+                cols.append(sub._expr(expr, sub_env).alias(nm))
+                proj_names.append(nm)
+                env2[nm] = Binding(nm, "value", nm)
+        paged = (
+            inner.order_by
+            or inner.skip is not None
+            or inner.limit is not None
+        )
+        if inner.distinct and paged:
+            raise CypherCompileError(
+                "RETURN DISTINCT with ORDER BY/SKIP/LIMIT inside CALL "
+                "is not supported — deduplicate outside the subquery"
+            )
+        base = sub._inject(sub_df).select("*", *cols)
+        if paged:
+            from pyspark.sql import Window
+
+            okeys: list[Column] = []
+            for expr, asc in inner.order_by or []:
+                if isinstance(expr, C.Var) and expr.name in env2:
+                    if env2[expr.name].kind != "value":
+                        raise CypherCompileError(
+                            "ORDER BY a whole entity inside CALL is "
+                            "not supported — order by a property"
+                        )
+                    c2 = F.col(expr.name)
+                else:
+                    c2 = sub._order_expr(
+                        expr, sub_env, C.SingleQuery(clauses=[], ret=[]), []
+                    )[0]
+                okeys.append(c2.asc() if asc else c2.desc())
+            base = sub._inject(base)
+            rn = F.row_number().over(
+                Window.partitionBy(sub._key_col(env2[imp])).orderBy(
+                    *(okeys or [F.lit(1)])
+                )
+            )
+            lo = int(inner.skip or 0)
+            keep = F.col("__call_rn") > lo
+            if inner.limit is not None:
+                keep = keep & (F.col("__call_rn") <= lo + int(inner.limit))
+            base = base.withColumn("__call_rn", rn).filter(keep)
+        out = base.select(*proj_names)
+        if inner.distinct:
+            out = out.dropDuplicates(self._distinct_keys(out, env2))
+        return out, env2
 
     def _count_sub_join(
         self,

@@ -7,6 +7,7 @@ Grammar (the reference's own emitted/tested surface — SURVEY.md §2.2):
                   [ORDER BY expr [ASC|DESC] (, ...)*] [SKIP n] [LIMIT n]
     clause     := [OPTIONAL] MATCH path (, path)* [WHERE expr]
                 | UNWIND expr AS ident
+                | [OPTIONAL] CALL { [WITH ident (, ident)*] single }
     path       := node (edge node)*
     node       := ( [ident] [:Label]* [{props}] )
     edge       := -[...]-> | <-[...]- | -[...]- | --> | <-- | --
@@ -77,8 +78,13 @@ class _Parser:
     def single(self) -> C.SingleQuery:
         clauses: list = []
         while True:
-            if self.at("KEYWORD", "OPTIONAL") or self.at("KEYWORD", "MATCH"):
+            if self.at("KEYWORD", "OPTIONAL") and self._peek_is_call(1):
+                self.i += 1
+                clauses.append(self.call_clause(optional=True))
+            elif self.at("KEYWORD", "OPTIONAL") or self.at("KEYWORD", "MATCH"):
                 clauses.append(self.match_clause())
+            elif self._peek_is_call(0):
+                clauses.append(self.call_clause())
             elif self.at("KEYWORD", "UNWIND"):
                 clauses.append(self.unwind_clause())
             elif self.at("KEYWORD", "WITH"):
@@ -133,6 +139,39 @@ class _Parser:
         raise CypherParseError(f"Expected name at {self.cur.pos}")
 
     # -- clauses -------------------------------------------------------
+    def _peek_is_call(self, offset: int) -> bool:
+        """CALL is NOT a reserved keyword (it stays usable as a name) —
+        a CALL clause is the IDENT ``call`` immediately followed by
+        ``{``."""
+        t = self.toks[self.i + offset] if self.i + offset < len(self.toks) else None
+        nxt = (
+            self.toks[self.i + offset + 1]
+            if self.i + offset + 1 < len(self.toks)
+            else None
+        )
+        return (
+            t is not None
+            and t.kind == "IDENT"
+            and t.value.upper() == "CALL"
+            and nxt is not None
+            and nxt.kind == "PUNCT"
+            and nxt.value == "{"
+        )
+
+    def call_clause(self, optional: bool = False) -> C.CallClause:
+        self.eat("IDENT")  # CALL
+        self.eat("PUNCT", "{")
+        imports: list[str] = []
+        if self.at("KEYWORD", "WITH"):
+            # importing WITH: simple bound variables only (openCypher)
+            self.i += 1
+            imports.append(self.eat_name())
+            while self.opt("PUNCT", ","):
+                imports.append(self.eat_name())
+        inner = self.single()
+        self.eat("PUNCT", "}")
+        return C.CallClause(imports, inner, optional)
+
     def match_clause(self) -> C.MatchClause:
         optional = self.opt("KEYWORD", "OPTIONAL")
         self.eat("KEYWORD", "MATCH")

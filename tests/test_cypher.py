@@ -1514,3 +1514,80 @@ def test_count_subquery_rejections(spark):
     with _pytest.raises(CypherCompileError, match="second bound"):
         rows(store, "MATCH (a), (b {`$dtId`: 'n1'}) "
                     "RETURN COUNT { (a)-[:knows]->(b) } AS n")
+
+
+# ---------------------------------------------------------------------------
+# r8 (cont.): CALL { … } subqueries
+# ---------------------------------------------------------------------------
+
+def test_call_subquery_correlated_aggregate(spark):
+    store = _subquery_store(spark)
+    out = rows(store,
+               "MATCH (a) CALL { WITH a MATCH (a)-[:knows]->(b) "
+               "RETURN count(b) AS deg } "
+               "RETURN a.`$dtId` AS id, deg ORDER BY id")
+    assert [(r["id"], r["deg"]) for r in out] == [
+        ("n0", 3), ("n1", 1), ("n2", 0), ("n3", 0), ("n4", 0)]
+    # grouped aggregation (extra non-aggregate key) drops empty anchors
+    out = rows(store,
+               "MATCH (a) CALL { WITH a MATCH (a)-[:knows]->(b) "
+               "RETURN b.`$dtId` AS nb, count(*) AS c } "
+               "RETURN a.`$dtId` AS id, nb, c ORDER BY id, nb")
+    assert [(r["id"], r["nb"]) for r in out] == [
+        ("n0", "n1"), ("n0", "n2"), ("n0", "n3"), ("n1", "n2")]
+
+
+def test_call_subquery_per_anchor_topk(spark):
+    store = _subquery_store(spark)
+    # top-1 neighbor by property, PER anchor (not a global LIMIT 1)
+    out = rows(store,
+               "MATCH (a) CALL { WITH a MATCH (a)-[:knows]->(b) "
+               "RETURN b.`$dtId` AS best ORDER BY b.w DESC LIMIT 1 } "
+               "RETURN a.`$dtId` AS id, best ORDER BY id")
+    assert [(r["id"], r["best"]) for r in out] == [("n0", "n3"), ("n1", "n2")]
+    # SKIP inside CALL pages per anchor too
+    out = rows(store,
+               "MATCH (a {`$dtId`: 'n0'}) CALL { WITH a "
+               "MATCH (a)-[:knows]->(b) RETURN b.`$dtId` AS nb "
+               "ORDER BY nb SKIP 1 LIMIT 2 } RETURN nb ORDER BY nb")
+    assert [r["nb"] for r in out] == ["n2", "n3"]
+    # returned whole entity stays usable after the CALL
+    out = rows(store,
+               "MATCH (a {`$dtId`: 'n0'}) CALL { WITH a "
+               "MATCH (a)-[:knows]->(b) RETURN b ORDER BY b.w DESC LIMIT 2 } "
+               "RETURN b.`$dtId` AS nb ORDER BY nb")
+    assert [r["nb"] for r in out] == ["n2", "n3"]
+
+
+def test_call_subquery_optional_and_uncorrelated(spark):
+    store = _subquery_store(spark)
+    out = rows(store,
+               "MATCH (a) OPTIONAL CALL { WITH a MATCH (a)-[:knows]->(b) "
+               "RETURN b.`$dtId` AS nb ORDER BY nb LIMIT 1 } "
+               "RETURN a.`$dtId` AS id, nb ORDER BY id")
+    assert [(r["id"], r["nb"]) for r in out] == [
+        ("n0", "n1"), ("n1", "n2"), ("n2", None), ("n3", None), ("n4", None)]
+    out = rows(store,
+               "MATCH (a) CALL { MATCH (x) RETURN count(x) AS total } "
+               "RETURN a.`$dtId` AS id, total ORDER BY id LIMIT 2")
+    assert [(r["id"], r["total"]) for r in out] == [("n0", 5), ("n1", 5)]
+
+
+def test_call_subquery_rejections(spark):
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+    from pg_age_digitaltwins_spark.cypher.parser import CypherParseError
+
+    store = _subquery_store(spark)
+    with _pytest.raises(CypherCompileError, match="not bound"):
+        rows(store, "MATCH (a) CALL { WITH z MATCH (z)-->(b) "
+                    "RETURN count(b) AS n } RETURN n")
+    with _pytest.raises(CypherCompileError, match="already bound"):
+        rows(store, "MATCH (a) CALL { WITH a MATCH (a)-->(b) "
+                    "RETURN count(b) AS a } RETURN a")
+    with _pytest.raises(CypherCompileError, match="aggregating CALL"):
+        rows(store, "MATCH (a) CALL { WITH a MATCH (a)-->(b) "
+                    "RETURN count(b) AS n ORDER BY n LIMIT 1 } RETURN n")
+    with _pytest.raises(CypherParseError, match="CREATE"):
+        rows(store, "MATCH (a) CALL { WITH a CREATE (b) RETURN b } RETURN 1")
