@@ -518,6 +518,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_split_counts"] = _split_counts
     q["sample_stratified"] = _stratified
 
+    # r8: pretraining data mixing — per-source token budgets (src0 kept
+    # whole, src1/src2 downsampled, the other 17 sources dropped)
+    def _mixture(s, d):
+        from pg_age_digitaltwins_spark.operators import sampling
+
+        return sampling.mixture_sample(
+            _tables(s, d)["documents"],
+            {"src0": 10**9, "src1": 1000, "src2": 300},
+        )
+
+    q["sample_mixture"] = _mixture
+
+    # r8: sliding-window chunking (context-window packing)
+    q["text_chunk_documents"] = lambda s, d: text.chunk_documents(
+        _tables(s, d)["documents"], window=64, stride=32
+    )
+
     # r8: training-data additions — fixed-budget sequence packing and
     # the leakage-safe (group-keyed) train/test split
     def _pack(s, d):
@@ -1758,6 +1775,33 @@ def oracle_sql() -> dict[str, str]:
     o["sample_stratified"] = (
         "SELECT doc_id, lang FROM documents WHERE "
         "substr(md5('sample' || '|' || lang || '|' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333'"
+    )
+    o["sample_mixture"] = (
+        f"WITH t AS (SELECT doc_id AS key, source, "
+        f"CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens FROM documents), "
+        "tot AS (SELECT source, sum(n_tokens) AS tot FROM t GROUP BY source), "
+        "r AS (SELECT source, least(1.0, CAST(CASE source "
+        "WHEN 'src0' THEN 1000000000 WHEN 'src1' THEN 1000 "
+        "WHEN 'src2' THEN 300 ELSE 0 END AS DOUBLE) / tot) AS rate FROM tot) "
+        "SELECT key, source, n_tokens FROM t JOIN r USING (source) "
+        "WHERE rate >= 1.0 OR "
+        "substr(md5('mixture' || '|' || CAST(key AS VARCHAR)), 1, 4) < "
+        "printf('%04x', CAST(floor(rate * 65536) AS INT))"
+    )
+    o["text_chunk_documents"] = (
+        f"WITH t AS (SELECT doc_id, {_TOKS_RAW} AS toks FROM documents), "
+        "s AS (SELECT doc_id, toks, greatest(len(toks) - 64, 0) AS gmax "
+        "FROM t), "
+        "st AS (SELECT doc_id, toks, CASE WHEN gmax % 32 = 0 "
+        "THEN generate_series(0, gmax, 32) "
+        "ELSE list_append(generate_series(0, gmax, 32), gmax) END AS starts "
+        "FROM s), "
+        "x AS (SELECT doc_id, toks, unnest(starts) AS start, "
+        "generate_subscripts(starts, 1) - 1 AS chunk_idx FROM st) "
+        "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, "
+        "CAST(start AS BIGINT) AS start, "
+        "array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text, "
+        "CAST(least(len(toks) - start, 64) AS BIGINT) AS n_tokens FROM x"
     )
     o["text_pack_sequences"] = (
         f"WITH t AS (SELECT doc_id, CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens, "

@@ -176,3 +176,60 @@ def leakage_safe_split(
         )
     )
     return hash_split(keyed, "group_id", test_fraction, salt)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    token_budgets: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Data-mixing: downsample each source to a per-source TOKEN budget
+    (the pretraining-mixture shape — "30M web tokens, 10M code
+    tokens").  Per source, the keep rate is ``min(1, budget /
+    available_tokens)`` and the keep decision is the module's usual
+    deterministic md5 bucket on (salt, key) — reproducible, portable,
+    coordination-free.  Sources absent from ``token_budgets`` are
+    dropped (budget 0).
+
+    100 TB shape: ONE token-count scan + a tiny per-source aggregate
+    (|sources| rows, AQE broadcasts it back) + a stateless per-row
+    filter.  Expected sampled tokens per source ≈ budget (binomial
+    noise around the rate); no per-row sort, no global pass.
+
+    Returns (key, source, n_tokens) for the kept rows.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    t = docs.select(
+        F.col(key_col).alias("key"),
+        F.col(source_col).alias("source"),
+        toks.alias("n_tokens"),
+    )
+    totals = t.groupBy("source").agg(F.sum("n_tokens").alias("tot"))
+    budget = F.lit(None).cast("double")
+    for src, b in sorted(token_budgets.items()):
+        budget = F.when(F.col("source") == src, F.lit(float(b))).otherwise(
+            budget
+        )
+    rates = totals.select(
+        "source",
+        F.least(F.lit(1.0), F.coalesce(budget, F.lit(0.0)) / F.col("tot")).alias(
+            "rate"
+        ),
+    )
+    # threshold in the SAME 4-hex-bucket space as the rest of the
+    # module; rate >= 1 keeps everything (its threshold would need 5
+    # hex digits, which string-compares wrong against 4-digit buckets)
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.floor(F.col("rate") * 65536).cast("int")), 4, "0"
+        )
+    )
+    b = _bucket(salt, F.col("key").cast("string"))
+    return (
+        t.join(rates, "source")
+        .filter((F.col("rate") >= 1.0) | (b < thr))
+        .select("key", "source", "n_tokens")
+    )

@@ -677,3 +677,44 @@ def pack_sequences(
         "bucket",
         (start / F.lit(budget)).cast("bigint").alias("pack_no"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, window: int = 128, stride: int = 64
+) -> DataFrame:
+    """Sliding-window document chunking for context-window packing:
+    token windows of ``window`` starting every ``stride`` tokens, plus
+    a final full-size window flush against the end when the last
+    strided start would leave a tail uncovered — every token lands in
+    at least one chunk and every chunk is exactly ``window`` tokens
+    (short docs yield one short chunk).
+
+    100 TB shape: one scan; the start list, slices and joins are JVM
+    higher-order functions, and the per-doc fan-out is ~n/stride rows
+    via ONE posexplode — no shuffle at all.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    gmax = F.greatest(n - window, F.lit(0))
+    base = F.sequence(F.lit(0), gmax, F.lit(stride))
+    starts = F.when(gmax % stride == 0, base).otherwise(
+        F.concat(base, F.array(gmax))
+    )
+    return (
+        docs.select(
+            "doc_id", toks.alias("_t"), F.posexplode(starts).alias("chunk_idx", "start")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("start").cast("bigint").alias("start"),
+            F.array_join(
+                F.slice(F.col("_t"), F.col("start") + 1, window), " "
+            ).alias("chunk_text"),
+            F.least(F.size(F.col("_t")) - F.col("start"), F.lit(window))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )

@@ -1169,3 +1169,56 @@ def test_node_similarity_jaccard_hand_computed(spark):
     ]
     # a∩b = {x,y} → 2/3; b∩c = {z} → 1/3; d pairs with nobody
     assert out == [("a", "b", 2, 3, 0.6667), ("b", "c", 1, 3, 0.3333)]
+
+
+def test_mixture_sample_budgets_and_determinism(spark):
+    from pg_age_digitaltwins_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 100), "web" if i < 80 else "code")
+         for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    # web has 8000 tokens, budget 2000 → rate 0.25; code 2000 tokens,
+    # budget covers everything → rate 1.0 keeps all 20 docs
+    out = mixture_sample(docs, {"web": 2000, "code": 5000})
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["key"])
+    assert sorted(by_src["code"]) == list(range(80, 100))
+    n_web = len(by_src.get("web", []))
+    assert 8 <= n_web <= 35  # ~20 expected (rate .25 of 80), binomial band
+    # deterministic: identical second run, and stable under repartition
+    again = mixture_sample(docs.repartition(7), {"web": 2000, "code": 5000})
+    assert sorted((r["key"], r["source"]) for r in again.collect()) == \
+        sorted((r["key"], r["source"]) for r in rows)
+    # unknown sources drop entirely
+    none = mixture_sample(docs, {"code": 5000})
+    assert all(r["source"] == "code" for r in none.collect())
+
+
+def test_chunk_documents_windows(spark):
+    from pg_age_digitaltwins_spark.operators.text import chunk_documents
+
+    toks10 = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, toks10), (2, "a b c"), (3, " ".join(f"x{i}" for i in range(8)))],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["chunk_idx"]): r
+            for r in chunk_documents(docs, window=8, stride=4).collect()}
+    # doc 1 (10 tokens): starts 0 and (final flush) 2 — full windows
+    assert rows[(1, 0)]["start"] == 0 and rows[(1, 0)]["n_tokens"] == 8
+    assert rows[(1, 1)]["start"] == 2 and rows[(1, 1)]["n_tokens"] == 8
+    assert rows[(1, 1)]["chunk_text"].split() == [f"t{i}" for i in range(2, 10)]
+    # doc 2 (3 tokens < window): one short chunk
+    assert rows[(2, 0)]["n_tokens"] == 3 and (2, 1) not in rows
+    # doc 3 (8 tokens == window): exactly one chunk, no duplicate flush
+    assert rows[(3, 0)]["n_tokens"] == 8 and (3, 1) not in rows
+    # every token of doc 1 covered
+    covered = set()
+    for (d, _), r in rows.items():
+        if d == 1:
+            covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(10)}
