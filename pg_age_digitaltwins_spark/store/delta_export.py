@@ -1,0 +1,294 @@
+"""Commit-log → Delta Lake table export bridge.
+
+The commit log (`store/commit_log.py`) is this engine's transactional
+substrate — the stand-in for the reference's WAL logical replication
+(``src/AgeDigitalTwins.Events/Core/Services/AgeDigitalTwinsReplication.cs``).
+``delta-spark`` is absent from this container, but the Delta Lake
+transaction-log format itself is a public, simple JSON-lines protocol
+(delta.io PROTOCOL.md): a ``_delta_log/<version>.json`` per commit
+holding ``protocol`` / ``metaData`` / ``add`` / ``remove`` /
+``commitInfo`` actions over parquet data files.  This module exports a
+commit-log table's FULL VERSION HISTORY into that layout, so any real
+Delta reader (Spark+delta, DuckDB delta, Trino, polars) on a real
+cluster can read the table — including time travel, because every
+commit-log version that changed the table becomes one Delta commit
+with precise add/remove actions.
+
+Mapping:
+
+* commit-log version k (manifest ``tables[table]``)  →  the table's
+  active file set at k (partition dirs → their parquet files);
+* consecutive active-set diffs  →  ``add`` / ``remove`` actions;
+* versions that do not change the table are skipped (Delta versions
+  must be contiguous; ``commitInfo.sourceVersion`` records the
+  commit-log version each Delta commit came from, which also makes
+  incremental re-export resumable);
+* hive partition dirs (``model_id=X``) →  ``partitionValues``; data
+  files are copied under the same relative dirs, prefixed with the
+  source snapshot tag so files from different commits never collide.
+
+A minimal conformance reader (`read_delta_export`) replays the log —
+protocol check, active-set reconstruction, partition-value injection —
+and is used by the tests to round-trip every exported version against
+``load_version``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from pg_age_digitaltwins_spark.store.commit_log import (
+    _PARTITION_COLS,
+    CommitLog,
+)
+
+_LOG_DIR = "_delta_log"
+
+
+def _active_files(root: str, manifest: dict, table: str) -> dict[str, dict]:
+    """rel-path → {src, size, partitionValues} for the table's data
+    files at one commit-log version.  The exported rel path embeds the
+    snapshot tag (data dir basename) so re-added partitions from later
+    snapshots never collide."""
+    entry = manifest["tables"][table]
+    out: dict[str, dict] = {}
+
+    def scan_dir(
+        abs_dir: str, rel_prefix: str, part_values: dict, tag: str
+    ) -> None:
+        if not os.path.isdir(abs_dir):
+            return
+        for name in sorted(os.listdir(abs_dir)):
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            src = os.path.join(abs_dir, name)
+            rel = os.path.join(rel_prefix, f"{tag}-{name}")
+            out[rel] = {
+                "src": src,
+                "size": os.path.getsize(src),
+                "partitionValues": part_values,
+            }
+
+    def snap_tag(rel: str) -> str:
+        # rel paths look like data/<tag>/<table>[/<part>]; the tag is
+        # the snapshot dir name — unique per commit (version + uuid)
+        parts = rel.replace(os.sep, "/").split("/")
+        return parts[1] if len(parts) > 1 else parts[0]
+
+    if "parts" in entry:
+        col = _PARTITION_COLS[table]
+        for part_name, part_rel in sorted(entry["parts"].items()):
+            value = part_name.split("=", 1)[1]
+            scan_dir(
+                os.path.join(root, part_rel),
+                part_name,
+                {col: value},
+                snap_tag(part_rel),
+            )
+    else:
+        scan_dir(
+            os.path.join(root, entry["dir"]), "", {}, snap_tag(entry["dir"])
+        )
+    return out
+
+
+def _schema_string(spark: SparkSession, files: dict[str, dict], table: str) -> str:
+    """Delta metaData.schemaString: the data-file schema plus the
+    partition column (hive layout keeps it out of the files)."""
+    first = next(iter(files.values()))["src"]
+    schema = spark.read.parquet(first).schema
+    part_col = _PARTITION_COLS.get(table)
+    if part_col:
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(part_col, T.StringType())]
+        )
+    return schema.json()
+
+
+def _export_versions(log: CommitLog, through_version: int | None) -> list[int]:
+    versions = log.versions()
+    if through_version is not None:
+        versions = [v for v in versions if v <= through_version]
+    return versions
+
+
+def _existing_state(dest: str) -> tuple[int, int, dict[str, dict]]:
+    """(next delta version, last exported source version, active set)
+    from an existing export — incremental re-export resumes here."""
+    log_dir = os.path.join(dest, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        return 0, -1, {}
+    last_source = -1
+    active: dict[str, dict] = {}
+    names = sorted(
+        n for n in os.listdir(log_dir) if n.endswith(".json")
+    )
+    for name in names:
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    active[a["add"]["path"]] = {
+                        "size": a["add"]["size"],
+                        "partitionValues": a["add"]["partitionValues"],
+                    }
+                elif "remove" in a:
+                    active.pop(a["remove"]["path"], None)
+                elif "commitInfo" in a:
+                    last_source = max(
+                        last_source,
+                        int(a["commitInfo"].get("sourceVersion", -1)),
+                    )
+    return len(names), last_source, active
+
+
+def export_delta(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    dest: str,
+    through_version: int | None = None,
+) -> int:
+    """Export (or incrementally extend) ``table``'s commit-log history
+    as a Delta Lake table at ``dest``.  Returns the number of Delta
+    commits written THIS call.  Idempotent: re-running after new
+    commit-log versions appends only the new Delta commits."""
+    log = CommitLog(root)
+    next_dv, last_source, prev_active = _existing_state(dest)
+    os.makedirs(os.path.join(dest, _LOG_DIR), exist_ok=True)
+    written = 0
+    for v in _export_versions(log, through_version):
+        if v <= last_source:
+            continue
+        manifest = log.manifest(v)
+        now = _active_files(root, manifest, table)
+        if next_dv == 0 and not now:
+            # nothing to describe yet — defer the table's Delta v0 (and
+            # its metaData schema) to the first version with data files
+            last_source = v
+            continue
+        added = {p: m for p, m in now.items() if p not in prev_active}
+        removed = [p for p in prev_active if p not in now]
+        if next_dv > 0 and not added and not removed:
+            # this commit didn't touch the table — no Delta commit
+            # (Delta versions must be contiguous), but remember we
+            # consumed it via the NEXT commit's sourceVersion
+            last_source = v
+            continue
+        actions: list[dict] = []
+        ts = 0  # deterministic: exports carry no wall-clock
+        if next_dv == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            part_col = _PARTITION_COLS.get(table)
+            actions.append(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _schema_string(spark, now, table)
+                        if now
+                        else T.StructType([]).json(),
+                        "partitionColumns": [part_col] if part_col else [],
+                        "configuration": {},
+                        "createdTime": ts,
+                    }
+                }
+            )
+        for p, meta in sorted(added.items()):
+            dst_file = os.path.join(dest, p)
+            os.makedirs(os.path.dirname(dst_file), exist_ok=True)
+            try:
+                os.link(meta["src"], dst_file)
+            except OSError:
+                shutil.copy2(meta["src"], dst_file)
+            actions.append(
+                {
+                    "add": {
+                        "path": p,
+                        "partitionValues": meta["partitionValues"],
+                        "size": meta["size"],
+                        "modificationTime": ts,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for p in sorted(removed):
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "WRITE",
+                    "sourceVersion": v,
+                    "engineInfo": "pg-age-digitaltwins-spark commit-log export",
+                }
+            }
+        )
+        log_path = os.path.join(dest, _LOG_DIR, f"{next_dv:020d}.json")
+        tmp = log_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        os.rename(tmp, log_path)
+        prev_active = now
+        last_source = v
+        next_dv += 1
+        written += 1
+    return written
+
+
+def read_delta_export(
+    spark: SparkSession, dest: str, version: int | None = None
+) -> DataFrame:
+    """Minimal Delta-protocol reader for the exported layout: replay
+    ``_delta_log`` through ``version`` (default: latest), reconstruct
+    the active file set, and read it with partition values injected —
+    the conformance check that the written actions actually describe
+    the table (and its time travel) correctly."""
+    log_dir = os.path.join(dest, _LOG_DIR)
+    names = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+    if version is not None:
+        names = [n for n in names if int(n.split(".")[0]) <= version]
+    active: dict[str, dict] = {}
+    schema_json = None
+    part_cols: list[str] = []
+    for name in names:
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "protocol" in a and a["protocol"]["minReaderVersion"] > 1:
+                    raise ValueError("unsupported Delta reader version")
+                if "metaData" in a:
+                    schema_json = a["metaData"]["schemaString"]
+                    part_cols = a["metaData"]["partitionColumns"]
+                if "add" in a:
+                    active[a["add"]["path"]] = a["add"]["partitionValues"]
+                elif "remove" in a:
+                    active.pop(a["remove"]["path"], None)
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    if not active:
+        return spark.createDataFrame([], schema)
+    parts = []
+    for path, pv in sorted(active.items()):
+        df = spark.read.parquet(os.path.join(dest, path))
+        for c in part_cols:
+            df = df.withColumn(c, F.lit(pv.get(c)))
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
