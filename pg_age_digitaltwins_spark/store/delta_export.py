@@ -49,6 +49,30 @@ from pg_age_digitaltwins_spark.store.commit_log import (
 
 _LOG_DIR = "_delta_log"
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_part_value(v: str) -> str | None:
+    """Invert Hive's escapePathName: partition DIRECTORY names percent-
+    escape special chars (``dtmi%3AFoo`` → ``dtmi:Foo``); Delta
+    ``partitionValues`` hold the LOGICAL value (null for the hive
+    default partition)."""
+    if v == _HIVE_NULL:
+        return None
+    out = []
+    i = 0
+    while i < len(v):
+        if v[i] == "%" and i + 3 <= len(v):
+            try:
+                out.append(chr(int(v[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(v[i])
+        i += 1
+    return "".join(out)
+
 
 def _active_files(root: str, manifest: dict, table: str) -> dict[str, dict]:
     """rel-path → {src, size, partitionValues} for the table's data
@@ -83,7 +107,7 @@ def _active_files(root: str, manifest: dict, table: str) -> dict[str, dict]:
     if "parts" in entry:
         col = _PARTITION_COLS[table]
         for part_name, part_rel in sorted(entry["parts"].items()):
-            value = part_name.split("=", 1)[1]
+            value = _unescape_part_value(part_name.split("=", 1)[1])
             scan_dir(
                 os.path.join(root, part_rel),
                 part_name,
@@ -292,3 +316,46 @@ def read_delta_export(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def import_delta_graph(
+    spark: SparkSession,
+    twins_path: str,
+    relationships_path: str | None = None,
+    models_path: str | None = None,
+    model_edges_path: str | None = None,
+):
+    """Build a :class:`GraphStore` from Delta tables — the inverse
+    bridge: a user whose twin graph already lives in Delta Lake (e.g.
+    written by the export above, by delta-spark, or by any other Delta
+    writer using this simple layout) mounts it directly as a queryable
+    graph.  Columns are projected onto the store schemas; extra columns
+    (``vdoc`` etc.) are dropped and re-derived where needed."""
+    from pg_age_digitaltwins_spark.store.graph_store import (
+        GraphStore,
+        MODEL_EDGE_SCHEMA,
+        MODEL_SCHEMA,
+        REL_SCHEMA,
+        TWIN_SCHEMA,
+    )
+
+    def load(path: str | None, schema: T.StructType) -> DataFrame:
+        if path is None:
+            return spark.createDataFrame([], schema)
+        df = read_delta_export(spark, path)
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    # model-closure descendants populate lazily (model_and_descendants)
+    return GraphStore(
+        spark=spark,
+        twins=load(twins_path, TWIN_SCHEMA),
+        relationships=load(relationships_path, REL_SCHEMA),
+        models=load(models_path, MODEL_SCHEMA),
+        model_edges=load(model_edges_path, MODEL_EDGE_SCHEMA),
+    )

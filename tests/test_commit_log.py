@@ -1140,3 +1140,32 @@ def test_delta_export_plain_table_and_empty_start(spark, tmp_path):
     assert models.count() == 1 and "dtmi:test:Thing;1" in {
         r["id"] for r in models.collect()
     }
+
+
+def test_delta_import_full_circle_query(spark, tmp_path):
+    """Export the graph to Delta, mount the Delta tables back as a
+    GraphStore, and run an ADT QL query through the public client —
+    Delta as the interchange format end-to-end."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.delta_export import (
+        export_delta,
+        import_delta_graph,
+    )
+
+    root = str(tmp_path / "table")
+    commit_snapshot(_store(spark, 4), root)
+    dests = {}
+    for table in ("twins", "models"):
+        dests[table] = str(tmp_path / f"delta-{table}")
+        assert export_delta(spark, root, table, dests[table]) == 1
+    store = import_delta_graph(
+        spark, dests["twins"], models_path=dests["models"]
+    )
+    client = DigitalTwinsSparkClient(store)
+    [row] = client.query("SELECT COUNT() FROM DIGITALTWINS").rows
+    assert row["count"] == 4
+    [row] = client.query(
+        "SELECT COUNT() FROM DIGITALTWINS "
+        "WHERE IS_OF_MODEL('dtmi:test:Thing;1')"
+    ).rows
+    assert row["count"] == 4
