@@ -607,6 +607,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: similarity.simhash_near_dup_pairs(
         text.ngram_shingles(_tables(s, d)["documents"])
     )
+    # r8: dedup quality gate — MinHash-LSH recall vs EXACT n-gram
+    # Jaccard ground truth (ann_recall's contract shape: the oracle
+    # pins the exact true-pair count + the floor boolean; the measured
+    # recall/precision ride along outside the projection)
+    q["dedup_lsh_recall"] = lambda s, d: similarity.lsh_dedup_recall(
+        _tables(s, d)["documents"]
+    ).select("method", "n_true_pairs", "meets_floor")
     q["dedup_exact_groups"] = lambda s, d: text.exact_dup_groups(
         _tables(s, d)["documents"]
     )
@@ -2085,6 +2092,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
         "JOIN sizes sb ON doc_b = sb.doc_id "
         "WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.2"
+    )
+    o["dedup_lsh_recall"] = (
+        "WITH sh AS MATERIALIZED ("
+        "SELECT doc_id, lang, unnest(list_distinct(list_transform("
+        "range(0, greatest(len(t) - 3, 0) + 1), "
+        "i -> array_to_string(t[i + 1:i + 3], ' ')))) AS gram "
+        f"FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.gram = b.gram AND a.lang = b.lang "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT 'minhash_lsh' AS method, CAST(count(*) AS BIGINT) "
+        "AS n_true_pairs, true AS meets_floor FROM inter "
+        "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
+        "WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5"
     )
     o["tpch_supplier_revenue"] = (
         "SELECT s_suppkey, s_name, total_revenue FROM ("

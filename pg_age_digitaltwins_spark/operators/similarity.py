@@ -873,3 +873,52 @@ def ann_recall(
     return spark.createDataFrame(
         rows, "method string, recall_at_k double, meets_floor boolean"
     )
+
+
+def lsh_dedup_recall(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    minhash_floor: float = 0.8,
+) -> DataFrame:
+    """Recall/precision of the MinHash-LSH near-dup pipeline against
+    EXACT n-gram Jaccard ground truth — the dedup quality gate, the
+    same contract shape as :func:`ann_recall`: the measured values ride
+    along, but ``meets_floor`` is the stable claim the driver's
+    value-hash gate pins (a banding/signature regression that drops
+    recall below the floor goes red).
+
+    Everything is distributed: ground-truth pairs (sparse co-occurrence
+    join), LSH pairs (banded buckets) and their intersection are joins;
+    only the three counts reach the driver.
+    """
+    from pg_age_digitaltwins_spark.operators import text as _text
+
+    exact = _text.ngram_jaccard_pairs(docs, n=n, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    sigs = minhash_signatures(_text.ngram_shingles(docs, n=n), num_hashes)
+    approx = minhash_lsh_pairs(
+        sigs, bands=bands, threshold=threshold, num_hashes=num_hashes
+    ).select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_approx = approx.count()
+    n_hit = exact.join(approx, ["doc_a", "doc_b"], "semi").count()
+    recall = n_hit / n_exact if n_exact else 1.0
+    precision = n_hit / n_approx if n_approx else 1.0
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                "minhash_lsh",
+                int(n_exact),
+                float(round(recall, 4)),
+                float(round(precision, 4)),
+                bool(recall >= minhash_floor),
+            )
+        ],
+        "method string, n_true_pairs bigint, recall double, "
+        "precision double, meets_floor boolean",
+    )

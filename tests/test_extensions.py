@@ -1222,3 +1222,23 @@ def test_chunk_documents_windows(spark):
         if d == 1:
             covered.update(r["chunk_text"].split())
     assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_lsh_dedup_recall_gate(spark):
+    from pg_age_digitaltwins_spark.operators.similarity import lsh_dedup_recall
+
+    # 3 near-identical pairs + noise docs; exact Jaccard finds the
+    # pairs, LSH must recover (recall 1.0 on such strong duplicates)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base, "en"), (2, base + " extra", "en"),
+         (3, "one two three four five six seven eight nine ten", "en"),
+         (4, "one two three four five six seven eight nine eleven", "en"),
+         (5, "completely different words here about spark engines", "en"),
+         (6, "unrelated content talking about parquet columnar files", "en")],
+        "doc_id long, text string, lang string",
+    )
+    [r] = lsh_dedup_recall(docs, minhash_floor=0.8).collect()
+    assert r["n_true_pairs"] >= 2
+    assert r["recall"] == 1.0 and r["meets_floor"]
+    assert 0.0 < r["precision"] <= 1.0
