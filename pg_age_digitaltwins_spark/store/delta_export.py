@@ -359,3 +359,122 @@ def import_delta_graph(
         models=load(models_path, MODEL_SCHEMA),
         model_edges=load(model_edges_path, MODEL_EDGE_SCHEMA),
     )
+
+
+def export_delta_changes(
+    spark: SparkSession, root: str, dest: str
+) -> int:
+    """Export the commit log's change feed as a Delta-CDF-style table:
+    one APPEND-ONLY Delta commit per commit-log version that carried
+    events, with the standard change-data-feed row shape —
+    ``_change_type`` (``insert`` / ``update_preimage`` /
+    ``update_postimage`` / ``delete``), ``_commit_version`` (the source
+    commit-log version) and ``_commit_timestamp`` — so any Delta reader
+    consumes the same stream the replica does (the
+    ``table_changes(...)`` experience over the bespoke log).  Returns
+    the number of Delta commits written; incremental like
+    :func:`export_delta` (resumes from ``commitInfo.sourceVersion``).
+    """
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        read_changes_since,
+    )
+
+    log = CommitLog(root)
+    next_dv, last_source, _ = _existing_state(dest)
+    os.makedirs(os.path.join(dest, _LOG_DIR), exist_ok=True)
+    written = 0
+    for v in log.versions():
+        if v <= last_source:
+            continue
+        manifest = log.manifest(v)
+        if not manifest.get("change_dir"):
+            last_source = v
+            continue
+        ev = read_changes_since(spark, root, after_version=v - 1).filter(
+            F.col("commit_version") == v
+        )
+        pre = ev.filter(F.col("event_type") == "Update").select(
+            "entity_id", "table_name",
+            F.col("old_value").alias("doc"),
+            F.lit("update_preimage").alias("_change_type"),
+            F.col("seq"), F.col("timestamp"),
+        )
+        post = ev.select(
+            "entity_id", "table_name",
+            F.when(F.col("event_type") == "Delete", F.col("old_value"))
+            .otherwise(F.col("new_value"))
+            .alias("doc"),
+            F.when(F.col("event_type") == "Insert", F.lit("insert"))
+            .when(F.col("event_type") == "Delete", F.lit("delete"))
+            .otherwise(F.lit("update_postimage"))
+            .alias("_change_type"),
+            F.col("seq"), F.col("timestamp"),
+        )
+        cdf = (
+            pre.unionByName(post)
+            .select(
+                "entity_id", "table_name", "doc", "_change_type", "seq",
+                F.lit(v).cast("long").alias("_commit_version"),
+                F.col("timestamp").alias("_commit_timestamp"),
+            )
+        )
+        rel_dir = f"cdf-{v:020d}"
+        out_dir = os.path.join(dest, rel_dir)
+        cdf.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        files = sorted(
+            n
+            for n in os.listdir(out_dir)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+        actions: list[dict] = []
+        if next_dv == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            schema = spark.read.parquet(
+                os.path.join(out_dir, files[0])
+            ).schema
+            actions.append(
+                {
+                    "metaData": {
+                        "id": uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema.json(),
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": 0,
+                    }
+                }
+            )
+        for name in files:
+            p = f"{rel_dir}/{name}"
+            actions.append(
+                {
+                    "add": {
+                        "path": p,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(dest, rel_dir, name)),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "operation": "WRITE",
+                    "sourceVersion": v,
+                    "engineInfo": "pg-age-digitaltwins-spark cdf export",
+                }
+            }
+        )
+        log_path = os.path.join(dest, _LOG_DIR, f"{next_dv:020d}.json")
+        tmp = log_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        os.rename(tmp, log_path)
+        last_source = v
+        next_dv += 1
+        written += 1
+    return written

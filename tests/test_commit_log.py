@@ -1169,3 +1169,55 @@ def test_delta_import_full_circle_query(spark, tmp_path):
         "WHERE IS_OF_MODEL('dtmi:test:Thing;1')"
     ).rows
     assert row["count"] == 4
+
+
+def test_delta_cdf_change_feed_export(spark, tmp_path):
+    """The change feed exports as a Delta-CDF-style table: insert /
+    update pre+post / delete rows with _commit_version, one append-only
+    Delta commit per source commit."""
+    from pg_age_digitaltwins_spark.store.delta_export import (
+        export_delta_changes,
+        read_delta_export,
+    )
+
+    root = str(tmp_path / "table")
+    commit_snapshot(_store(spark, 2), root,
+                    events=[_event(i) for i in range(2)])        # v1: inserts
+    upd = EventData(
+        entity_id="t0", graph_name="g", table_name="Twin",
+        old_value=_twin(0), new_value={**_twin(0), "x": 99},
+        event_type="Update", timestamp="2026-01-01T00:00:01Z",
+        txn_id=0, seq=1,
+    )
+    dele = EventData(
+        entity_id="t1", graph_name="g", table_name="Twin",
+        old_value=_twin(1), new_value=None,
+        event_type="Delete", timestamp="2026-01-01T00:00:02Z",
+        txn_id=0, seq=2,
+    )
+    commit_snapshot(_store(spark, 1), root, events=[upd, dele])  # v2
+    commit_snapshot(_store(spark, 1), root)                      # v3: no events
+
+    dest = str(tmp_path / "cdf")
+    assert export_delta_changes(spark, root, dest) == 2
+    assert export_delta_changes(spark, root, dest) == 0  # idempotent
+    cdf = read_delta_export(spark, dest)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["entity_id"])
+        for r in cdf.collect()
+    )
+    assert got == [
+        (1, "insert", "t0"), (1, "insert", "t1"),
+        (2, "delete", "t1"),
+        (2, "update_postimage", "t0"), (2, "update_preimage", "t0"),
+    ]
+    # preimage carries the OLD doc, postimage the NEW
+    import json as _json
+
+    rows = {(r["_change_type"]): r for r in cdf.filter(
+        "entity_id = 't0' AND _commit_version = 2").collect()}
+    assert _json.loads(rows["update_preimage"]["doc"])["x"] == 0
+    assert _json.loads(rows["update_postimage"]["doc"])["x"] == 99
+    # time travel over the feed: delta v0 == source v1 only
+    v0 = read_delta_export(spark, dest, version=0)
+    assert {r["_commit_version"] for r in v0.collect()} == {1}
