@@ -614,6 +614,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_lsh_recall"] = lambda s, d: similarity.lsh_dedup_recall(
         _tables(s, d)["documents"]
     ).select("method", "n_true_pairs", "meets_floor")
+    # r8: two-phase LSH (banding candidates → EXACT shingle-Jaccard
+    # verification) — precision 1.0 by construction, so the key is
+    # VALUE-checked against the brute-force SQL truth (like
+    # embed_ann_lsh_multi); a banding recall regression goes red
+    q["dedup_minhash_verified"] = lambda s, d: similarity.minhash_lsh_verified_pairs(
+        _tables(s, d)["documents"]
+    )
     q["dedup_exact_groups"] = lambda s, d: text.exact_dup_groups(
         _tables(s, d)["documents"]
     )
@@ -2106,6 +2113,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'minhash_lsh' AS method, CAST(count(*) AS BIGINT) "
         "AS n_true_pairs, true AS meets_floor FROM inter "
         "JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
+        "WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5"
+    )
+    # no lang blocking here: LSH banding is lang-blind, and precision
+    # is exact post-verification — the truth set is the unblocked one
+    o["dedup_minhash_verified"] = (
+        "WITH sh AS MATERIALIZED ("
+        "SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(0, greatest(len(t) - 3, 0) + 1), "
+        "i -> array_to_string(t[i + 1:i + 3], ' ')))) AS gram "
+        f"FROM (SELECT doc_id, {_TOKS} AS t FROM documents)), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, "
+        "round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard "
+        "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
+        "JOIN sizes sb ON doc_b = sb.doc_id "
         "WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5"
     )
     o["tpch_supplier_revenue"] = (

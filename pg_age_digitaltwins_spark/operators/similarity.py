@@ -922,3 +922,43 @@ def lsh_dedup_recall(
         "method string, n_true_pairs bigint, recall double, "
         "precision double, meets_floor boolean",
     )
+
+
+def minhash_lsh_verified_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    est_margin: float = 0.15,
+) -> DataFrame:
+    """Two-phase near-dup detection — the production LSH shape:
+    banding generates candidates (est ≥ threshold − margin, so
+    estimator noise doesn't pre-drop true pairs), then EXACT shingle
+    Jaccard verifies each candidate.  Output pairs are exact on the
+    candidate set: precision 1.0 by construction; recall = banding
+    recall (gated by :func:`lsh_dedup_recall`).  The verify join costs
+    O(candidates), never O(n²) — the whole point of banding.
+    """
+    from pg_age_digitaltwins_spark.operators import text as _text
+
+    sh = _text.ngram_shingles(docs, n=n)
+    sigs = minhash_signatures(sh, num_hashes)
+    cand = minhash_lsh_pairs(
+        sigs,
+        bands=bands,
+        threshold=max(0.0, threshold - est_margin),
+        num_hashes=num_hashes,
+    ).select("doc_a", "doc_b")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("__sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = (
+        F.size("__sa") + F.size("__sb") - F.size(F.array_intersect("__sa", "__sb"))
+    ).cast("double")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1242,3 +1242,21 @@ def test_lsh_dedup_recall_gate(spark):
     assert r["n_true_pairs"] >= 2
     assert r["recall"] == 1.0 and r["meets_floor"]
     assert 0.0 < r["precision"] <= 1.0
+
+
+def test_minhash_lsh_verified_pairs_exact_on_candidates(spark):
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        minhash_lsh_verified_pairs,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = spark.createDataFrame(
+        [(1, base, "en"), (2, base + " tail", "en"),
+         (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in minhash_lsh_verified_pairs(docs).collect()}
+    # exact jaccard of (1,2) 3-gram shingles: doc1 has 10 shingles,
+    # doc2 has 11, 10 shared → 10/11
+    assert out == {(1, 2): 0.9091}
