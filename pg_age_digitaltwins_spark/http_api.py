@@ -261,6 +261,12 @@ class ApiService:
         # authenticated user's id (DigitalTwinsEndpoints.cs:50,79).
         self.track_last_updated_by = track_last_updated_by
         self.jobs = jobs_mod.JobService()
+        # scheme/host-routed blob access for job input/output URIs
+        # (BlobStorageServiceRouter.cs) — file/local real, cloud
+        # providers pluggable via .storage.register(...)
+        from pg_age_digitaltwins_spark.storage import BlobStorageRouter
+
+        self.storage = BlobStorageRouter()
         self._job_inputs: dict[str, str] = {}
         # original request URIs, echoed in job JSON (ImportJob.cs:8)
         self._job_uris: dict[str, dict[str, str]] = {}
@@ -810,13 +816,14 @@ class ApiService:
         if id in self.jobs.records:
             exc = ValueError(f"Import job with ID '{id}' already exists.")
             return _problem(409, exc)
-        path = uri[len("file://") :] if uri.startswith("file://") else uri
         # Synchronous in tests; the reference runs in background and the
         # record is polled via GET — same contract, eager completion.
+        # The router streams the input by provider (file/local here;
+        # s3/gcs/azure raise unless a backend is registered — at scale
+        # the distributed import path reads storage.spark_path(uri)).
         job = jobs_mod.ImportJob(self.client, job_service=self.jobs)
-        with open(path) as f:
-            rec = job.run((line.rstrip("\n") for line in f), id)
-        self._job_inputs[id] = path
+        rec = job.run(self.storage.open_read_lines(uri), id)
+        self._job_inputs[id] = self.storage._local_path(uri)
         self._job_uris[id] = {"inputBlobUri": uri}
         if body.get("outputBlobUri"):
             self._job_uris[id]["outputBlobUri"] = body["outputBlobUri"]
@@ -825,19 +832,19 @@ class ApiService:
             # the reference streams a structured job log to the output
             # blob (ImportJob.cs:625-700): per-line errors + terminal
             # status line
-            out_path = (
-                out_uri[len("file://") :] if out_uri.startswith("file://") else out_uri
-            )
-            with open(out_path, "w") as f:
-                for e in rec.errors:
-                    f.write(json.dumps({"error": e}, separators=(",", ":")) + "\n")
-                f.write(
+            self.storage.write_lines(
+                out_uri,
+                [
+                    json.dumps({"error": e}, separators=(",", ":"))
+                    for e in rec.errors
+                ]
+                + [
                     json.dumps(
                         {"status": rec.status, "errorCount": rec.error_count},
                         separators=(",", ":"),
                     )
-                    + "\n"
-                )
+                ],
+            )
         return Response(201, self._job_json(rec))
 
     def jobs_list(self, req: Request) -> Response:

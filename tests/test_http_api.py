@@ -878,3 +878,53 @@ def test_purge_prunes_api_side_bookkeeping(spark, tmp_path):
     svc.jobs.records["pj"].purge_at = 0.0
     assert svc.purge_expired_jobs() == 1
     assert "pj" not in svc._job_uris and "pj" not in svc._job_inputs
+
+
+# ---------------------------------------------------------------------------
+# r8: blob-storage routing (BlobStorageServiceRouter.cs parity)
+# ---------------------------------------------------------------------------
+
+def test_blob_router_provider_detection_and_spark_paths():
+    from pg_age_digitaltwins_spark.storage import BlobStorageRouter as R
+
+    # detection mirrors DetectProvider (scheme + host rules)
+    assert R.detect_provider("s3://bucket/key.ndjson") == "s3"
+    assert R.detect_provider("https://bucket.s3.amazonaws.com/key") == "s3"
+    assert R.detect_provider("gs://bucket/key") == "gcs"
+    assert R.detect_provider("https://storage.googleapis.com/b/key") == "gcs"
+    assert R.detect_provider("https://acct.blob.core.windows.net/c/key") == "azure"
+    assert R.detect_provider("file:///tmp/x.ndjson") == "default"
+    assert R.detect_provider("/tmp/x.ndjson") == "default"
+    # the scale path: what a cluster-side spark.read would consume
+    assert R.spark_path("s3://b/k.ndjson") == "s3a://b/k.ndjson"
+    assert R.spark_path("https://b.s3.amazonaws.com/k") == "s3a://b/k"
+    assert R.spark_path("gs://b/k") == "gs://b/k"
+    assert (
+        R.spark_path("https://acct.blob.core.windows.net/cont/dir/k.ndjson")
+        == "abfss://cont@acct.dfs.core.windows.net/dir/k.ndjson"
+    )
+    assert R.spark_path("file:///tmp/x") == "/tmp/x"
+
+
+def test_blob_router_cloud_without_backend_raises_and_registers(tmp_path):
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.storage import (
+        BlobStorageError,
+        BlobStorageRouter,
+    )
+
+    r = BlobStorageRouter()
+    with _pytest.raises(BlobStorageError, match="s3"):
+        list(r.open_read_lines("s3://bucket/k.ndjson"))
+    # a registered backend (the pluggable provider seam) takes over
+    blobs = {"s3://bucket/k.ndjson": ["l1", "l2"]}
+    r.register("s3", reader=lambda uri: iter(blobs[uri]),
+               writer=lambda uri, lines: blobs.__setitem__(uri, list(lines)))
+    assert list(r.open_read_lines("s3://bucket/k.ndjson")) == ["l1", "l2"]
+    r.write_lines("s3://bucket/out", ["a"])
+    assert blobs["s3://bucket/out"] == ["a"]
+    # default provider round-trips through the filesystem
+    p = str(tmp_path / "x.ndjson")
+    r.write_lines(p, ["one", "two"])
+    assert list(r.open_read_lines(f"file://{p}")) == ["one", "two"]
