@@ -310,6 +310,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "RETURN n.`$dtId` AS id, "
         "COUNT { (n)<-[:locatedIn]-() } AS residents ORDER BY id"
     )
+    # r8: nodes(p)/relationships(p) id arrays over fixed-length paths
+    # (arrays projected to CSV for the driver's canonicalizer, like
+    # cypher_collect; raw arrays stay the API surface via pytest)
+    def _path_accessors(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        df = DigitalTwinsSparkClient(_store(spark, sf_dir)).query_df(
+            "MATCH p = (o)-[:placedBy]->(c)-[:locatedIn]->(n) "
+            "WHERE o.`$dtId` IN ['order-1', 'order-2', 'order-3'] "
+            "RETURN o.`$dtId` AS id, nodes(p) AS ns, "
+            "relationships(p) AS rs, length(p) AS len"
+        )
+        return df.select(
+            "id",
+            F.array_join("ns", ",").alias("ns"),
+            F.array_join("rs", ",").alias("rs"),
+            "len",
+        ).orderBy("id")
+
+    q["cypher_path_accessors"] = _path_accessors
     # r8: CALL { } subquery — per-anchor top-k (row_number window under
     # the hood), the lateral-join shape SQL needs a window for
     q["cypher_call_topk_per_entity"] = _adt(
@@ -1600,6 +1620,15 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + "
         "(SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) "
         "AS BIGINT) AS residents FROM nation ORDER BY id"
+    )
+    o["cypher_path_accessors"] = (
+        "SELECT 'order-' || o_orderkey AS id, "
+        "'order-' || o_orderkey || ',cust-' || o_custkey || "
+        "',nation-' || c_nationkey AS ns, "
+        "'placedBy-' || o_orderkey || ',locatedIn-cust-' || o_custkey AS rs, "
+        "CAST(2 AS BIGINT) AS len "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_orderkey IN (1, 2, 3) ORDER BY id"
     )
     o["cypher_call_topk_per_entity"] = (
         "SELECT id, top_order, top_price FROM ("

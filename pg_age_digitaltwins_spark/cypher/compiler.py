@@ -94,6 +94,11 @@ class CypherCompiler:
         self._pending_v: list[tuple[str, Column]] = []
         self._pending_s: list[tuple[str, Column]] = []
         self._value_variant: set[str] = set()  # UNWIND cols of variant type
+        # per-path edge bindings (appended by _hop, cleared by _match):
+        # feeds nodes(p)/relationships(p) array materialization
+        self._hop_edges: list[tuple[Binding, str]] = []
+        # path vars whose node/rel arrays were materialized (fixed paths)
+        self._path_vars_fixed: set[str] = set()
         self.cartesian_products = 0  # disconnected-pattern cross joins
         # WHERE conjuncts pushed to their alias's scan (consumed by
         # _bind_node/_hop; anything unconsumed falls back to the
@@ -300,18 +305,38 @@ class CypherCompiler:
             if path.shortest:
                 df, left = self._shortest(df, env, left, path)
             else:
+                self._hop_edges = []
+                node_keys = [self._key_col(left)]
                 for edge, node in zip(path.edges, path.nodes[1:]):
                     df, left = self._hop(df, env, left, edge, node)
+                    node_keys.append(self._key_col(left))
                 if path.var:
                     if any(e.var_length is not None for e in path.edges):
                         raise CypherCompileError(
                             "path variables over variable-length patterns are "
                             "only supported inside shortestPath(...)"
                         )
-                    # fixed-length path: length(p) is the edge count
+                    # fixed-length path: length(p) is the edge count,
+                    # and the hop key columns materialize the
+                    # nodes(p)/relationships(p) id arrays (AGE returns
+                    # whole entities; ids are this engine's documented
+                    # path rendering)
                     col = f"__plen_{path.var}"
                     df = df.withColumn(col, F.lit(len(path.edges)))
                     env[path.var] = Binding(path.var, "value", col)
+                    df = df.withColumn(
+                        f"__pnodes_{path.var}", F.array(*node_keys)
+                    )
+                    rel_ids = [
+                        self._col(e, "relationship_id")
+                        for e, kind in self._hop_edges
+                        if kind == "rel"
+                    ]
+                    if len(rel_ids) == len(path.edges):
+                        df = df.withColumn(
+                            f"__prels_{path.var}", F.array(*rel_ids)
+                        )
+                    self._path_vars_fixed.add(path.var)
         # unconsumed pushed conjuncts → residual (correctness fallback)
         for conjs in self._scan_preds.values():
             residual.extend(conjs)
@@ -747,6 +772,9 @@ class CypherCompiler:
         )
         e_alias = edge.alias or self._anon_alias()
         e = Binding(edge.alias or "", "rel", e_alias)
+        # path accessors (nodes/relationships over `p = ...`) read the
+        # hop's edge binding; _match clears this per path
+        self._hop_edges.append((e, rel_kind))
         if edge.alias:
             if edge.alias in env:
                 raise CypherCompileError(f"Duplicate edge alias {edge.alias!r}")
@@ -1758,6 +1786,19 @@ class CypherCompiler:
             if not isinstance(arg, C.Prop):
                 raise CypherCompileError("exists() needs a property argument")
             return self._operand(arg, env, None).isNotNull()
+        if n in ("nodes", "relationships"):
+            [arg] = e.args
+            if (
+                not isinstance(arg, C.Var)
+                or arg.name not in self._path_vars_fixed
+            ):
+                raise CypherCompileError(
+                    f"{n}() needs a FIXED-length path variable "
+                    "(p = (a)-[r]->(b)...); variable-length/shortestPath "
+                    "paths carry only length(p)"
+                )
+            prefix = "__pnodes_" if n == "nodes" else "__prels_"
+            return F.col(f"{prefix}{arg.name}")
         if n in ("id", "keys", "properties"):
             [arg] = e.args
             if not isinstance(arg, C.Var) or arg.name not in env:

@@ -1591,3 +1591,51 @@ def test_call_subquery_rejections(spark):
                     "RETURN count(b) AS n ORDER BY n LIMIT 1 } RETURN n")
     with _pytest.raises(CypherParseError, match="CREATE"):
         rows(store, "MATCH (a) CALL { WITH a CREATE (b) RETURN b } RETURN 1")
+
+
+# ---------------------------------------------------------------------------
+# r8 (cont.): nodes(p) / relationships(p) path accessors
+# ---------------------------------------------------------------------------
+
+def test_path_nodes_and_relationships_fixed(spark):
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:pf:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": f"n{i}", "$metadata": {"$model": "dtmi:pf:T;1"}}
+             for i in range(3)]
+    rels = [
+        {"$relationshipId": "e01", "$sourceId": "n0", "$targetId": "n1",
+         "$relationshipName": "next"},
+        {"$relationshipId": "e12", "$sourceId": "n1", "$targetId": "n2",
+         "$relationshipName": "next"},
+    ]
+    store = GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models)
+    [r] = rows(store,
+               "MATCH p = (a {`$dtId`: 'n0'})-[:next]->(b)-[:next]->(c) "
+               "RETURN nodes(p) AS ns, relationships(p) AS rs, "
+               "length(p) AS len")
+    assert r["ns"] == ["n0", "n1", "n2"]
+    assert r["rs"] == ["e01", "e12"]
+    assert r["len"] == 2
+    # anonymous middle node still lands in the array (join elimination
+    # rides the edge frame; the key col is its id)
+    [r] = rows(store,
+               "MATCH p = (a {`$dtId`: 'n0'})-[:next]->()-[:next]->(c) "
+               "RETURN nodes(p) AS ns")
+    assert r["ns"] == ["n0", "n1", "n2"]
+
+
+def test_path_accessor_rejections(spark):
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    store = _subquery_store(spark)
+    with _pytest.raises(CypherCompileError, match="FIXED-length"):
+        rows(store,
+             "MATCH p = shortestPath((a {`$dtId`: 'n0'})-[:knows*1..2]->(x)) "
+             "RETURN nodes(p) AS ns")
+    with _pytest.raises(CypherCompileError, match="FIXED-length"):
+        rows(store, "MATCH (a) RETURN nodes(a) AS ns")
