@@ -399,6 +399,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # by the crafted-graph pytest suite (like clustering coefficient).
     q["graph_scc"] = _scc
 
+    def _nbr_feat(s, d):
+        # GraphSAGE-style neighborhood features over the twin graph:
+        # feature = customer acctbal in integer cents (exact double
+        # sums → order-independent means); h2_mean aggregates h1 means
+        # (arbitrary doubles, summation-order-sensitive at 1e-15) so
+        # the gated projection carries h1_* + h2_cnt and leaves
+        # h2_mean/min/max to pytest
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            neighbor_feature_agg,
+        )
+
+        st = _store(s, d)
+        feats = st.twins.select(
+            "dt_id",
+            F.round(
+                F.get_json_object("doc", "$.acctbal").cast("double") * 100
+            ).alias("feature"),
+        )
+        return (
+            neighbor_feature_agg(feats, st.relationships, hops=2)
+            .select(
+                "dt_id", "h1_cnt", "h1_mean", "h1_min", "h1_max", "h2_cnt"
+            )
+            .filter(F.col("h1_cnt") > 0)
+        )
+
+    q["graph_neighbor_features"] = _nbr_feat
+
     def _node_sim(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import (
             node_similarity_jaccard,
@@ -1678,6 +1708,23 @@ def oracle_sql() -> dict[str, str]:
     o["graph_connected_components"] = _cc_oracle()
     o["graph_scc"] = (
         f"SELECT dt_id, dt_id AS scc FROM ({_ALL_TWIN_IDS})"
+    )
+    o["graph_neighbor_features"] = (
+        f"WITH ed AS MATERIALIZED (SELECT src AS node, dst AS nbr FROM ({_EDGES_SQL}) "
+        f"UNION ALL SELECT dst, src FROM ({_EDGES_SQL})), "
+        "feat AS (SELECT 'cust-' || c_custkey AS dt_id, "
+        "round(c_acctbal * 100) AS f FROM customer "
+        "UNION ALL SELECT 'supp-' || s_suppkey, round(s_acctbal * 100) "
+        "FROM supplier), "
+        "h1 AS (SELECT node AS dt_id, CAST(count(f) AS BIGINT) AS h1_cnt, "
+        "round(avg(f), 6) AS h1_mean, round(min(f), 6) AS h1_min, "
+        "round(max(f), 6) AS h1_max "
+        "FROM ed LEFT JOIN feat ON ed.nbr = feat.dt_id GROUP BY node), "
+        "h2 AS (SELECT node AS dt_id, CAST(count(h1_mean) AS BIGINT) AS h2_cnt "
+        "FROM ed LEFT JOIN (SELECT dt_id, h1_mean FROM h1) m "
+        "ON ed.nbr = m.dt_id GROUP BY node) "
+        "SELECT h1.dt_id, h1_cnt, h1_mean, h1_min, h1_max, h2_cnt "
+        "FROM h1 JOIN h2 USING (dt_id) WHERE h1_cnt > 0"
     )
     o["graph_node_similarity"] = (
         "WITH e AS (SELECT DISTINCT 'order-' || l_orderkey AS src, "

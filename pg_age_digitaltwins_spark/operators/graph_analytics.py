@@ -727,3 +727,60 @@ def node_similarity_jaccard(
         .orderBy(F.col("jaccard").desc(), F.col("a"), F.col("b"))
         .limit(top_k)
     )
+
+
+def neighbor_feature_agg(
+    node_features: DataFrame,
+    relationships: DataFrame,
+    hops: int = 2,
+    direction: str = "both",
+) -> DataFrame:
+    """GraphSAGE-style neighborhood feature aggregation — the feature-
+    engineering pass a graph-ML training pipeline runs before sampling:
+    per node and per layer k, count/mean/min/max of the (k−1)-layer
+    feature over its neighbors, with layer 0 = the node's own input
+    feature.  Nodes whose neighbors carry no feature aggregate to NULL
+    mean/min/max and count 0 — nulls never poison the mean.
+
+    ``node_features``: (dt_id, feature double).  ``direction``: "out"
+    (follow source→target), "in", or "both".
+
+    100 TB shape: ONE edge⋈state join + ONE map-side-combined groupBy
+    per layer (the superstep pattern); the state frame is vertex-sized
+    and AQE-broadcastable, the edge frame is scanned once per layer.
+    Layer k+1 aggregates layer k's MEAN (standard GNN layering), so
+    deep neighborhoods never materialize multi-hop path explosions.
+    """
+    if direction not in ("out", "in", "both"):
+        raise ValueError("direction must be out|in|both")
+    e = relationships.select("source_id", "target_id")
+    if direction == "out":
+        edges = e.select(F.col("source_id").alias("node"), F.col("target_id").alias("nbr"))
+    elif direction == "in":
+        edges = e.select(F.col("target_id").alias("node"), F.col("source_id").alias("nbr"))
+    else:
+        edges = e.select(
+            F.col("source_id").alias("node"), F.col("target_id").alias("nbr")
+        ).unionByName(
+            e.select(F.col("target_id").alias("node"), F.col("source_id").alias("nbr"))
+        )
+    out = node_features.select("dt_id", F.col("feature").cast("double").alias("feature"))
+    state = out.select(F.col("dt_id").alias("nbr"), F.col("feature").alias("__f"))
+    for k in range(1, hops + 1):
+        layer = (
+            edges.join(state, "nbr")
+            .groupBy(F.col("node").alias("dt_id"))
+            .agg(
+                F.count("__f").alias(f"h{k}_cnt"),
+                F.round(F.avg("__f"), 6).alias(f"h{k}_mean"),
+                F.round(F.min("__f"), 6).alias(f"h{k}_min"),
+                F.round(F.max("__f"), 6).alias(f"h{k}_max"),
+            )
+        )
+        out = out.join(layer, "dt_id", "left").withColumn(
+            f"h{k}_cnt", F.coalesce(F.col(f"h{k}_cnt"), F.lit(0)).cast("bigint")
+        )
+        state = out.select(
+            F.col("dt_id").alias("nbr"), F.col(f"h{k}_mean").alias("__f")
+        )
+    return out

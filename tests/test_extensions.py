@@ -1260,3 +1260,32 @@ def test_minhash_lsh_verified_pairs_exact_on_candidates(spark):
     # exact jaccard of (1,2) 3-gram shingles: doc1 has 10 shingles,
     # doc2 has 11, 10 shared → 10/11
     assert out == {(1, 2): 0.9091}
+
+
+def test_neighbor_feature_agg_layers(spark):
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        neighbor_feature_agg,
+    )
+
+    feats = spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0), ("c", None), ("d", 40.0)],
+        "dt_id string, feature double",
+    )
+    rels = spark.createDataFrame(
+        [("r1", "a", "b"), ("r2", "a", "c"), ("r3", "b", "d")],
+        "relationship_id string, source_id string, target_id string",
+    )
+    out = {r["dt_id"]: r for r in neighbor_feature_agg(
+        feats, rels, hops=2, direction="out").collect()}
+    # a's out-neighbors: b (20), c (null) → cnt 1, mean 20
+    assert out["a"]["h1_cnt"] == 1 and out["a"]["h1_mean"] == 20.0
+    # b → d (40); c,d → no out-neighbors → cnt 0, mean null
+    assert out["b"]["h1_cnt"] == 1 and out["b"]["h1_max"] == 40.0
+    assert out["d"]["h1_cnt"] == 0 and out["d"]["h1_mean"] is None
+    # layer 2 aggregates layer-1 MEANS: a's neighbors' h1_mean = {b:40, c:null}
+    assert out["a"]["h2_cnt"] == 1 and out["a"]["h2_mean"] == 40.0
+    # undirected doubles the edge view
+    both = {r["dt_id"]: r for r in neighbor_feature_agg(
+        feats, rels, hops=1, direction="both").collect()}
+    assert both["b"]["h1_cnt"] == 2  # a (10) and d (40)
+    assert both["b"]["h1_mean"] == 25.0
