@@ -893,6 +893,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_repetition_stats"] = lambda s, d: text.repetition_stats(
         _tables(s, d)["documents"]
     )
+    # r8: real BPE trainer (iterative most-frequent-pair merging over
+    # the vocab table) — deterministic but not SQL-expressible
+    # (iterative argmax), so rows-only by design; the pure-Python
+    # Sennrich reference equivalence is pinned in pytest
+    def _bpe_train(s, d):
+        from pg_age_digitaltwins_spark.operators.bpe import bpe_train
+
+        return bpe_train(_tables(s, d)["documents"], n_merges=12)
+
+    q["text_bpe_train"] = _bpe_train
+
     # r8: Gopher duplicate-n-gram repetition rules (dup-char fraction +
     # most-common-gram char share), shuffle-free per-doc folds
     q["text_dup_2gram_stats"] = lambda s, d: text.dup_ngram_stats(

@@ -1289,3 +1289,70 @@ def test_neighbor_feature_agg_layers(spark):
         feats, rels, hops=1, direction="both").collect()}
     assert both["b"]["h1_cnt"] == 2  # a (10) and d (40)
     assert both["b"]["h1_mean"] == 25.0
+
+
+def test_bpe_train_matches_reference_and_apply(spark):
+    from collections import Counter
+
+    from pg_age_digitaltwins_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower newest newest"),
+         (3, "newest newest newest newest widest widest widest")],
+        "doc_id long, text string",
+    )
+    got = [(r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+           for r in bpe_train(docs, n_merges=6).collect()]
+
+    def ref_bpe(words, n):
+        vocab = Counter(tuple(w) for w in words)
+        out = []
+        for rank in range(n):
+            pairs = Counter()
+            for syms, f in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += f
+            if not pairs:
+                break
+            (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < 2:
+                break
+            out.append((rank, l, r, l + r, c))
+            newv = Counter()
+            for syms, f in vocab.items():
+                s, i, res = list(syms), 0, []
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                newv[tuple(res)] += f
+            vocab = newv
+        return out
+
+    corpus = ("low " * 5 + "lower lower newest newest "
+              + "newest " * 4 + "widest widest widest").split()
+    assert got == ref_bpe(corpus, 6)
+    # apply: "low" fully merges to 1 token after the low merges;
+    # "widest" → w,i,d,est → merges to w i d est = 4 tokens
+    out = {r["doc_id"]: r for r in bpe_apply(
+        docs, [(g[1], g[2]) for g in got]).collect()}
+    assert out[1]["n_bpe_tokens"] == 5 and out[1]["n_words"] == 5  # 5×"low"→1 each
+    assert out[3]["n_words"] == 7
+    # fewer BPE tokens than characters, at least one per word
+    assert out[3]["n_words"] <= out[3]["n_bpe_tokens"] < len("newest") * 7
+
+
+def test_bpe_merge_fold_overlapping_pairs(spark):
+    from pg_age_digitaltwins_spark.operators.bpe import bpe_train
+
+    # "aaa" must merge left-to-right: (a,a) count 2 in 'aaa'; after the
+    # aa merge the vocab is [aa, a], never [a, aa]
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa")], "doc_id long, text string")
+    got = [(r["left"], r["right"], r["pair_count"])
+           for r in bpe_train(docs, n_merges=2).collect()]
+    assert got[0] == ("a", "a", 6)  # 2 per word × 3
+    assert got[1] == ("aa", "a", 3)
