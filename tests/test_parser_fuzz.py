@@ -23,6 +23,9 @@ _FRAGMENTS = st.sampled_from([
     "\\", "'", '"', "//", "count(*)", "+", "-", "%", "p =",
     "substring(", "replace(", "split(", "head(", "last(", "toBoolean(",
     "left(", "right(", "trim(", "reverse(", "range(",
+    # r8 grammar: subqueries + path accessors
+    "CALL {", "}", "EXISTS {", "COUNT {", "OPTIONAL CALL", "WITH a",
+    "nodes(", "relationships(", "=~", "reduce(", "| x",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
