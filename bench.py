@@ -244,10 +244,40 @@ def bench_replication(spark, n_twins: int = 20000) -> dict:
         wall = time.perf_counter() - t0
         store, _ = load_latest(spark, rep)
         n = store.twins.count()
+        # second wave through the STREAM-FREE batch catch-up path
+        # (replicate_catch_up): same apply operator, no stream startup —
+        # the backfill/periodic-replication figure
+        from pg_age_digitaltwins_spark.streaming.replica import (
+            replicate_catch_up,
+        )
+
+        up2 = spark.range(n_twins).select(
+            F.concat(F.lit("cb-"), F.col("id")).alias("dt_id"),
+            F.lit("dtmi:bench:Thing;1").alias("model_id"),
+            F.concat(
+                F.lit('W/"c'), F.md5(F.col("id").cast("string")), F.lit('"')
+            ).alias("etag"),
+            F.lit(None).cast("timestamp").alias("last_update_time"),
+            F.concat(
+                F.lit('{"$dtId":"cb-'), F.col("id"),
+                F.lit('","$metadata":{"$model":"dtmi:bench:Thing;1"},"x":'),
+                F.col("id"), F.lit("}"),
+            ).alias("doc"),
+        )
+        merge_frames(spark, src, twin_upserts=up2)
+        t1 = time.perf_counter()
+        replicate_catch_up(spark, src, rep)
+        wall2 = time.perf_counter() - t1
+        n2 = load_latest(spark, rep)[0].twins.count() - n
         return {
             "rows": int(n),
             "wall_sec": round(wall, 3),
             "rows_per_sec": round(n / wall, 1) if wall else 0.0,
+            "catchup": {
+                "rows": int(n2),
+                "wall_sec": round(wall2, 3),
+                "rows_per_sec": round(n2 / wall2, 1) if wall2 else 0.0,
+            },
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -128,7 +128,7 @@ def apply_changes_to_replica(
     spark: SparkSession,
     events: DataFrame,
     replica_root: str,
-    batch_id: int | None = None,
+    batch_id: int | str | None = None,
     writer: str = "replica",
 ) -> int | None:
     """Apply one batch of EVENT_DATA rows to the replica commit log.
@@ -340,6 +340,37 @@ def bootstrap_replica(
         f.write(str(src_version))
     os.replace(tmp, boot_marker)
     return src_version
+
+
+def replicate_catch_up(
+    spark: SparkSession, source_root: str, replica_root: str
+) -> int | None:
+    """Batch catch-up: apply every unconsumed source change batch as
+    ONE atomic replica commit, without Structured Streaming machinery.
+
+    Same apply operator, same exactly-once story (the batch identity is
+    the consumed source-version RANGE, recorded in the merge commit's
+    writer tag and the marker file), but none of the ~3 s stream
+    startup — the right path for backfill and for cron-style periodic
+    replication; ``run_replication`` remains the continuous-tail path.
+    Returns the replica version committed, or None when already caught
+    up / replayed."""
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        CommitLog,
+        read_changes_since,
+    )
+
+    bootstrap_replica(spark, source_root, replica_root)
+    seen = max(
+        replica_source_version(replica_root), _bootstrap_version(replica_root)
+    )
+    latest = CommitLog(source_root).latest_version()
+    if latest <= seen:
+        return None
+    events = read_changes_since(spark, source_root, after_version=seen)
+    return apply_changes_to_replica(
+        spark, events, replica_root, batch_id=f"catchup-{seen}-{latest}"
+    )
 
 
 def run_replication(

@@ -2035,3 +2035,47 @@ def test_replica_lag_watermark_and_vacuum_guard(spark, tmp_path):
     q.awaitTermination(300)
     assert replica_source_version(rep_root) == 4
     assert replica_lag(src_root, rep_root) == 0  # safe-to-vacuum signal
+
+
+def test_replicate_catch_up_batch_path(spark, tmp_path):
+    """The streaming-free catch-up applies all pending source commits
+    as one atomic replica commit, is idempotent, and resumes from the
+    consumed-version watermark across calls."""
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        commit_snapshot,
+        load_latest,
+        merge_rows,
+    )
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+    from pg_age_digitaltwins_spark.streaming.replica import (
+        replicate_catch_up,
+    )
+
+    def twin(i, x=0):
+        return {"$dtId": f"t{i}",
+                "$metadata": {"$model": "dtmi:rc:T;1"}, "x": x}
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    commit_snapshot(GraphStore.empty(spark), src)
+    merge_rows(spark, src, twin_upserts=[twin(0), twin(1)])
+    merge_rows(spark, src, twin_upserts=[twin(2)])
+
+    # the bootstrap clone covers every commit ≤ the clone version, so
+    # the first catch-up has nothing to apply (None) yet the replica is
+    # already complete
+    v = replicate_catch_up(spark, src, rep)
+    assert v is None
+    store, _ = load_latest(spark, rep)
+    assert {r["dt_id"] for r in store.twins.collect()} == {"t0", "t1", "t2"}
+    # caught up → no-op; replay-safe
+    assert replicate_catch_up(spark, src, rep) is None
+
+    # new source commits: update + delete resume from the watermark
+    merge_rows(spark, src, twin_upserts=[twin(0, x=9)], twin_deletes=["t2"])
+    v2 = replicate_catch_up(spark, src, rep)
+    assert v2 is not None
+    store, _ = load_latest(spark, rep)
+    got = {r["dt_id"]: r["doc"] for r in store.twins.collect()}
+    assert set(got) == {"t0", "t1"}
+    assert '"x":9' in got["t0"].replace(" ", "") or '"x": 9' in got["t0"]
