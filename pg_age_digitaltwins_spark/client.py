@@ -189,6 +189,8 @@ class DigitalTwinsSparkClient:
         self.changes = ChangeLog(graph_name)
         self.telemetry_events: list[dict[str, Any]] = []
         self._registry: ModelRegistry | None = None
+        # (query, order_for_paging) -> (store-at-compile-time, plan)
+        self._plan_cache: dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------------
     # query (read path, SURVEY §3.1)
@@ -211,12 +213,30 @@ class DigitalTwinsSparkClient:
         """Compile a query to a DataFrame (lazy).
 
         Dialect detection mirrors the reference (``Query.cs:44-55``):
-        contains SELECT and no RETURN → ADT QL; otherwise raw Cypher."""
-        if self.detect_dialect(query) == "adt":
-            return QueryCompiler(self.store).compile(parse(query), order_for_paging)
-        from pg_age_digitaltwins_spark.cypher import compile_cypher
+        contains SELECT and no RETURN → ADT QL; otherwise raw Cypher.
 
-        return compile_cypher(self.store, query)
+        Compiled plans are cached per (store snapshot, query text):
+        DataFrames are immutable, so re-executing a cached plan is
+        safe, and keyset pagination — which recompiles the same query
+        once per page — stops paying parse+compile per page.  The
+        cache entry pins the store object it compiled against and is
+        valid only while that exact store is current (mutations swap
+        ``self.store``, naturally invalidating), which also makes an
+        ``id()``-reuse collision impossible."""
+        key = (query, order_for_paging)
+        hit = self._plan_cache.get(key)
+        if hit is not None and hit[0] is self.store:
+            return hit[1]
+        if self.detect_dialect(query) == "adt":
+            df = QueryCompiler(self.store).compile(parse(query), order_for_paging)
+        else:
+            from pg_age_digitaltwins_spark.cypher import compile_cypher
+
+            df = compile_cypher(self.store, query)
+        if len(self._plan_cache) >= 64:
+            self._plan_cache.pop(next(iter(self._plan_cache)))
+        self._plan_cache[key] = (self.store, df)
+        return df
 
     @staticmethod
     def detect_dialect(query: str) -> str:

@@ -1292,3 +1292,36 @@ def test_comment_string_and_length_cap():
             {"@type": "Property", "name": "p", "schema": "string",
              "comment": "x" * 513},
         ]))
+
+
+def test_query_plan_cache_hits_and_invalidates(spark):
+    """Same query + same store snapshot → the SAME compiled plan
+    object; any mutation swaps the store and invalidates."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:pc:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3",
+               "contents": [{"@type": "Property", "name": "x",
+                             "schema": "integer"}]}]
+    store = GraphStore.from_documents(
+        spark,
+        twin_docs=[{"$dtId": "t0", "$metadata": {"$model": "dtmi:pc:T;1"},
+                    "x": 1}],
+        model_docs=models,
+    )
+    client = DigitalTwinsSparkClient(store)
+    q = "SELECT COUNT() FROM DIGITALTWINS"
+    df1 = client.query_df(q)
+    df2 = client.query_df(q)
+    assert df1 is df2  # cache hit
+    assert client.query_df(q, order_for_paging=True) is not df1
+    [r] = client.query(q).rows
+    assert r["count"] == 1
+    # a write replaces the store → recompile against the new snapshot
+    client.create_or_replace_digital_twin(
+        "t1", {"$dtId": "t1", "$metadata": {"$model": "dtmi:pc:T;1"}, "x": 2})
+    df3 = client.query_df(q)
+    assert df3 is not df1
+    [r] = client.query(q).rows
+    assert r["count"] == 2
