@@ -258,6 +258,7 @@ class SingleQuery:
     order_by: list[tuple[Expr, bool]] = field(default_factory=list)  # (expr, asc)
     skip: Optional[int] = None
     limit: Optional[int] = None
+    ret_star: bool = False  # RETURN * — expand bound variables at compile
 
 
 @dataclass

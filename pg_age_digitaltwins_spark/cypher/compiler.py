@@ -56,6 +56,17 @@ REL_PROMOTED = {
 }
 MODEL_PROMOTED = {("id",): "dt_id", ("decommissioned",): "decommissioned"}
 
+# plpgsql helpers the reference installs per graph, callable as
+# ``<graphName>.<fn>(...)`` from raw Cypher (GraphInitialization.cs:50-264)
+_GRAPH_HELPERS = {
+    "is_of_model",
+    "is_number",
+    "is_string",
+    "is_object",
+    "is_primitive",
+    "model_and_descendants",
+}
+
 
 class CypherCompileError(ValueError):
     pass
@@ -1773,6 +1784,15 @@ class CypherCompiler:
 
     def _func(self, e: C.Func, env) -> Column:
         n = e.name
+        if "." in n:
+            # the reference installs per-graph plpgsql helpers named
+            # ``<graphName>.<fn>`` (GraphInitialization.cs:50-264); the
+            # prefix is the GRAPH NAME (``testgraph.is_of_model``,
+            # ``digitaltwins.is_number``, …), so dispatch on the
+            # basename whatever the prefix
+            base = n.rsplit(".", 1)[-1]
+            if base in _GRAPH_HELPERS:
+                n = base
         if n in C.AGGREGATES:
             return self._aggregate(e, env)
         if n in ("label", "type"):
@@ -2009,7 +2029,7 @@ class CypherCompiler:
             # plain element_at THROWS on the empty list under ANSI mode
             lst = self._expr(e.args[0], env)
             return F.try_element_at(lst, F.lit(1) if n == "head" else F.lit(-1))
-        if n in ("digitaltwins.is_of_model", "is_of_model"):
+        if n == "is_of_model":
             # The installed plpgsql helper, callable from raw Cypher
             # (GraphInitialization.cs:50-121; docs/concepts/querying.mdx).
             # Compiles exactly like ADT QL's IS_OF_MODEL: the closure is
@@ -2023,9 +2043,41 @@ class CypherCompiler:
                 raise CypherCompileError(
                     "is_of_model() needs a bound twin variable as its first argument"
                 )
-            if len(e.args) < 2 or not (
-                isinstance(e.args[1], C.Lit) and isinstance(e.args[1].value, str)
+            col = self._col(env[e.args[0].name], "model_id")
+            arg2 = e.args[1] if len(e.args) > 1 else None
+            if (
+                isinstance(arg2, C.Func)
+                and arg2.name.rsplit(".", 1)[-1] == "model_and_descendants"
             ):
+                # is_of_model(t, g.model_and_descendants('id')) — the
+                # helper returns [id]+descendants and is_of_model on a
+                # list is array containment (GraphInitialization.cs:
+                # 77-84), so this is exactly the non-exact closure
+                if not (
+                    arg2.args
+                    and isinstance(arg2.args[0], C.Lit)
+                    and isinstance(arg2.args[0].value, str)
+                ):
+                    raise CypherCompileError(
+                        "model_and_descendants() needs a literal model-id string"
+                    )
+                return col.isin(
+                    self.store.model_and_descendants(arg2.args[0].value)
+                )
+            if isinstance(arg2, C.ListLit):
+                # literal list → direct containment, no closure expansion
+                vals = []
+                for item in arg2.items:
+                    if not (
+                        isinstance(item, C.Lit)
+                        and isinstance(item.value, str)
+                    ):
+                        raise CypherCompileError(
+                            "is_of_model() list elements must be string literals"
+                        )
+                    vals.append(item.value)
+                return col.isin(vals)
+            if not (isinstance(arg2, C.Lit) and isinstance(arg2.value, str)):
                 raise CypherCompileError(
                     "is_of_model() needs a literal model-id string"
                 )
@@ -2039,11 +2091,59 @@ class CypherCompiler:
                         "is_of_model() exact flag must be a boolean literal"
                     )
                 exact = e.args[2].value
-            col = self._col(env[e.args[0].name], "model_id")
-            model = e.args[1].value
+            model = arg2.value
             if exact:
                 return col == model
             return col.isin(self.store.model_and_descendants(model))
+        if n == "model_and_descendants":
+            # standalone: plan-time closure as an array literal
+            if not (
+                e.args
+                and isinstance(e.args[0], C.Lit)
+                and isinstance(e.args[0].value, str)
+            ):
+                raise CypherCompileError(
+                    "model_and_descendants() needs a literal model-id string"
+                )
+            mid = e.args[0].value
+            closure = self.store.model_and_descendants(mid)
+            # the helper returns itself + descendants
+            # (GraphInitialization.cs:239-262); descendants sorted for a
+            # deterministic rendering
+            rest = sorted(m for m in closure if m != mid)
+            return F.array(*[F.lit(m) for m in [mid] + rest])
+        if n in ("is_number", "is_string", "is_object", "is_primitive"):
+            # per-graph agtype introspection helpers
+            # (GraphInitialization.cs:187-238) — same semantics as ADT
+            # QL's IS_NUMBER/IS_STRING/IS_OBJECT/IS_PRIMITIVE; numeric
+            # strings are NOT numbers (age_tostring(val) = val check)
+            if len(e.args) != 1 or not isinstance(e.args[0], C.Prop):
+                raise CypherCompileError(f"{n}() needs a property argument")
+            b, path, promoted = self._resolve(e.args[0], env)
+            if b.kind == "value":
+                raise CypherCompileError(
+                    f"{n}() on a projected value is not supported — "
+                    "apply it before the WITH"
+                )
+            if promoted:
+                c = self._col(b, promoted)
+                return {
+                    "is_number": F.lit(False),
+                    "is_object": F.lit(False),
+                    "is_string": c.isNotNull(),
+                    "is_primitive": c.isNotNull(),
+                }[n]
+            if b.df_alias.startswith("__o_"):
+                v = J.vget(F.col(f"{b.df_alias}__vdoc"), path)
+                s = F.schema_of_variant(v)
+            else:
+                s = self._shared_s(b.df_alias, tuple(path))
+            return {
+                "is_number": J.is_number_of,
+                "is_string": J.is_string_of,
+                "is_object": J.is_object_of,
+                "is_primitive": J.is_primitive_of,
+            }[n](s)
         if n == "l2_distance":
             a = self._vector(e.args[0], env)
             b = self._vector(e.args[1], env)
@@ -2314,6 +2414,21 @@ class CypherCompiler:
     def _return(self, df: DataFrame, env: dict[str, Binding], q: C.SingleQuery) -> DataFrame:
         import dataclasses as _dc
 
+        if q.ret_star:
+            # RETURN * — every NAMED variable in scope, in binding
+            # order (anonymous pattern elements get ``__``-prefixed
+            # aliases and are not user-visible); explicit extra items
+            # follow per openCypher's `RETURN *, expr`
+            star = [
+                C.ReturnItem(C.Var(nm), None)
+                for nm in env
+                if not nm.startswith("__")
+            ]
+            if not star:
+                raise CypherCompileError(
+                    "RETURN * requires at least one named variable"
+                )
+            q = _dc.replace(q, ret=star + list(q.ret), ret_star=False)
         # COUNT { … } subqueries join their pre-aggregated counts onto
         # the frame before item compilation (correlated scalar COUNT)
         new_ret = []

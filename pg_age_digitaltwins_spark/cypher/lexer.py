@@ -19,6 +19,7 @@ TOKEN_RE = re.compile(
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<bq>`[^`]*`)
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<dident>\$[A-Za-z_][A-Za-z_0-9]*)
   | (?P<op><=|>=|<>|<-|->|--|=~|=|<|>|\+|/|%|\^)
   | (?P<punct>[(){},.\[\]|:*-])
     """,
@@ -64,7 +65,10 @@ def tokenize(text: str) -> list[Token]:
         if kind != "ws":
             if kind == "ident" and val.upper() in KEYWORDS:
                 tokens.append(Token("KEYWORD", val.upper(), pos, val))
-            elif kind == "ident":
+            elif kind in ("ident", "dident"):
+                # dident: unbackticked ``$``-prefixed property names
+                # (``T.$dtId``) — AGE accepts them bare in property
+                # position; parameters are not supported in /query
                 tokens.append(Token("IDENT", val, pos, val))
             elif kind == "bq":
                 tokens.append(Token("IDENT", val[1:-1], pos, val[1:-1]))

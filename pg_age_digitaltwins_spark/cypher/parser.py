@@ -97,10 +97,23 @@ class _Parser:
                 break
         self.eat("KEYWORD", "RETURN")
         distinct = self.opt("KEYWORD", "DISTINCT")
-        items = [self.return_item()]
-        while self.opt("PUNCT", ","):
-            items.append(self.return_item())
-        q = C.SingleQuery(clauses=clauses, ret=items, distinct=distinct)
+        star = False
+        items: list[C.ReturnItem] = []
+        if self.at("PUNCT", "*"):
+            # RETURN * — every named variable in scope (expanded at
+            # compile time, where the bindings are known); explicit
+            # extra items may follow per openCypher (`RETURN *, n.x`)
+            self.i += 1
+            star = True
+            while self.opt("PUNCT", ","):
+                items.append(self.return_item())
+        else:
+            items = [self.return_item()]
+            while self.opt("PUNCT", ","):
+                items.append(self.return_item())
+        q = C.SingleQuery(
+            clauses=clauses, ret=items, distinct=distinct, ret_star=star
+        )
         if self.opt("KEYWORD", "ORDER"):
             self.eat("KEYWORD", "BY")
             q.order_by.append(self.order_item())
@@ -544,9 +557,27 @@ class _Parser:
             if self.at("PUNCT", "("):  # function call
                 return self._call(name.lower())
             path: list[str] = []
-            while self.opt("PUNCT", "."):
-                path.append(self.eat("IDENT").value)
-            if path and self.at("PUNCT", "("):
+            dotted = True  # every segment so far came from `.` (call-eligible)
+            while True:
+                if self.opt("PUNCT", "."):
+                    path.append(self.eat("IDENT").value)
+                elif (
+                    self.at("PUNCT", "[")
+                    and self.toks[self.i + 1].kind == "STRING"
+                    and self.toks[self.i + 2].kind == "PUNCT"
+                    and self.toks[self.i + 2].value == "]"
+                ):
+                    # AGE bracket property access: ``R['$sourceId']``,
+                    # chained ``T['$metadata']['$model']`` — string-key
+                    # subscripts only (the 3-token lookahead keeps list
+                    # literals after IN unambiguous)
+                    self.i += 1
+                    path.append(_unquote(self.eat("STRING").value))
+                    self.eat("PUNCT", "]")
+                    dotted = False
+                else:
+                    break
+            if path and dotted and self.at("PUNCT", "("):
                 # namespace-qualified function call, e.g. the installed
                 # plpgsql helper ``digitaltwins.is_of_model(t, 'dtmi:…')``
                 # (GraphInitialization.cs:50-121; docs/concepts/querying.mdx)

@@ -1639,3 +1639,186 @@ def test_path_accessor_rejections(spark):
              "RETURN nodes(p) AS ns")
     with _pytest.raises(CypherCompileError, match="FIXED-length"):
         rows(store, "MATCH (a) RETURN nodes(a) AS ns")
+
+
+# ---------------------------------------------------------------------------
+# AGE surface parity: bracket property access, per-graph helper functions,
+# RETURN *, bare $-prefixed property names — the exact shapes the reference
+# test suite sends (QueryTests.cs; GraphInitialization.cs:50-264)
+# ---------------------------------------------------------------------------
+
+def test_bracket_string_property_access(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE t['$dtId'] = 'room1' RETURN t.name AS name",
+    )
+    assert out == [{"name": "Room 1"}]
+
+
+def test_bracket_access_chained_and_projected(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE t['$metadata']['$model'] = "
+        "'dtmi:com:adt:dtsample:room;1' RETURN t['$dtId'] AS id",
+    )
+    assert sorted(r["id"] for r in out) == [
+        "b1", "b2", "room1", "room2", "root2", "root3", "shapes",
+        "x", "y", "z",
+    ]
+
+
+def test_bracket_access_on_relationships(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (:Twin)-[R]->(:Twin) WHERE R['$sourceId'] IN ['root2', 'b1'] "
+        "AND R['$relationshipName'] = 'has' "
+        "RETURN R['$sourceId'], R['$targetId']",
+    )
+    assert sorted((r["sourceId"], r["targetId"]) for r in out) == [
+        ("b1", "x"), ("root2", "b1"), ("root2", "b2"),
+    ]
+
+
+def test_bracket_access_does_not_break_list_literals(fixture_store):
+    # `IN ['a','b']` after a path must still parse as a list literal
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE t.name IN ['Room 1', 'Room 2'] "
+        "RETURN t.name AS name",
+    )
+    assert sorted(r["name"] for r in out) == ["Room 1", "Room 2"]
+
+
+def test_bare_dollar_property_name(fixture_store):
+    # `T.$dtId` without backticks (real customer query in the reference
+    # test corpus)
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE t.name = 'Room 1' RETURN t.$dtId AS Id",
+    )
+    assert out == [{"Id": "room1"}]
+
+
+def test_graph_qualified_is_of_model(fixture_store):
+    # any graph-name prefix resolves the installed helper
+    for g in ("testgraph", "digitaltwins", "mygraph123"):
+        out = rows(
+            fixture_store,
+            f"MATCH (t:Twin) WHERE {g}.is_of_model(t, "
+            "'dtmi:com:contoso:CelestialBody;1') RETURN t.`$dtId` AS id",
+        )
+        assert sorted(r["id"] for r in out) == ["cb1", "hp1", "p1"]
+
+
+def test_is_of_model_with_model_and_descendants(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE testgraph.is_of_model(t, "
+        "testgraph.model_and_descendants('dtmi:com:contoso:Planet;1')) "
+        "RETURN t.`$dtId` AS id",
+    )
+    assert sorted(r["id"] for r in out) == ["hp1", "p1"]
+
+
+def test_is_of_model_with_literal_list(fixture_store):
+    # list arg = direct containment, NO closure expansion
+    # (GraphInitialization.cs:77-84 checks the array before traversal)
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE testgraph.is_of_model(t, "
+        "['dtmi:com:contoso:Planet;1', 'dtmi:com:contoso:CelestialBody;1']) "
+        "RETURN t.`$dtId` AS id",
+    )
+    assert sorted(r["id"] for r in out) == ["cb1", "p1"]
+
+
+def test_model_and_descendants_standalone(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE t.`$dtId` = 'room1' "
+        "RETURN testgraph.model_and_descendants("
+        "'dtmi:com:contoso:CelestialBody;1') AS ms",
+    )
+    assert out == [{"ms": [
+        "dtmi:com:contoso:CelestialBody;1",
+        "dtmi:com:contoso:HabitablePlanet;1",
+        "dtmi:com:contoso:Planet;1",
+    ]}]
+
+
+def test_graph_qualified_type_introspection(fixture_store):
+    # is_number / is_string / is_object / is_primitive with a graph
+    # prefix — numeric strings are NOT numbers
+    q = (
+        "MATCH (t:Twin) WHERE t.`$dtId` = 'shapes' RETURN "
+        "g.is_number(t.someScalar) AS num, "
+        "g.is_number(t.numstr) AS numstr, "
+        "g.is_string(t.someString) AS str, "
+        "g.is_object(t.someMap) AS obj, "
+        "g.is_object(t.someScalar) AS notobj, "
+        "g.is_primitive(t.someScalar) AS prim, "
+        "g.is_primitive(t.someMap) AS notprim"
+    )
+    out = rows(fixture_store, q)
+    assert out == [{
+        "num": True, "numstr": False, "str": True, "obj": True,
+        "notobj": False, "prim": True, "notprim": False,
+    }]
+
+
+def test_graph_fn_in_where_filters(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE testgraph.is_number(t.temperature) "
+        "AND t.temperature > 20 RETURN t.`$dtId` AS id",
+    )
+    assert sorted(r["id"] for r in out) == ["room1"]
+
+
+def test_return_star_single_var(fixture_store):
+    import json
+
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE t.`$dtId` = 'room1' RETURN *",
+    )
+    assert len(out) == 1 and set(out[0]) == {"t"}
+    doc = json.loads(out[0]["t"])
+    assert doc["$dtId"] == "room1" and doc["name"] == "Room 1"
+
+
+def test_return_star_multiple_vars(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (a:Twin)-[r:has]->(b:Twin) WHERE a.`$dtId` = 'root2' "
+        "RETURN *",
+    )
+    # binding order: a, r, b
+    assert len(out) == 2
+    assert list(out[0]) == ["a", "r", "b"]
+
+
+def test_return_star_skips_anonymous(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (:Twin)-[R:has]->(:Twin) WHERE R['$sourceId'] = 'root2' "
+        "RETURN *",
+    )
+    assert len(out) == 2 and set(out[0]) == {"R"}
+
+
+def test_return_star_with_extra_items(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE t.`$dtId` = 'room1' RETURN *, t.name AS nm",
+    )
+    assert len(out) == 1
+    assert list(out[0]) == ["t", "nm"] and out[0]["nm"] == "Room 1"
+
+
+def test_return_star_order_and_limit(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin)-[:has]->(b:Twin) RETURN * ORDER BY b.`$dtId` LIMIT 2",
+    )
+    assert len(out) == 2
