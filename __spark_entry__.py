@@ -339,6 +339,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ORDER BY top_price DESC, top_order LIMIT 1 } "
         "RETURN c.`$dtId` AS id, top_order, top_price ORDER BY id"
     )
+    # r8 session 3: AGE-surface parity — bracket property access,
+    # per-graph helper functions, RETURN * (the reference test corpus's
+    # dominant query shapes, QueryTests.cs)
+    q["cypher_bracket_access"] = _adt(
+        "MATCH (:Twin)-[R]->(:Twin) "
+        "WHERE R['$sourceId'] IN ['cust-1', 'cust-2', 'cust-3'] "
+        "AND R['$relationshipName'] = 'locatedIn' "
+        "RETURN R['$sourceId'] AS src, R['$targetId'] AS tgt ORDER BY src"
+    )
+    q["cypher_graph_helpers"] = _adt(
+        "MATCH (t:Twin) WHERE testgraph.is_of_model(t, "
+        "testgraph.model_and_descendants('dtmi:demo:Party;1')) "
+        "AND testgraph.is_number(t.acctbal) AND t.acctbal < 0 "
+        "RETURN t['$dtId'] AS id ORDER BY id"
+    )
+    q["cypher_return_star"] = _adt(
+        "MATCH (t:Twin) WHERE t['$dtId'] = 'nation-0' RETURN *"
+    )
     q["cypher_regex_match"] = _adt(
         "MATCH (p) WHERE p.`$metadata`.`$model` = 'dtmi:demo:Part;1' "
         "AND p.name =~ '.*bolt.*' RETURN count(*) AS n"
@@ -1670,6 +1688,23 @@ def oracle_sql() -> dict[str, str]:
         "CAST(2 AS BIGINT) AS len "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "WHERE o_orderkey IN (1, 2, 3) ORDER BY id"
+    )
+    o["cypher_bracket_access"] = (
+        "SELECT 'cust-' || c_custkey AS src, 'nation-' || c_nationkey AS tgt "
+        "FROM customer WHERE c_custkey IN (1, 2, 3) ORDER BY src"
+    )
+    o["cypher_graph_helpers"] = (
+        "SELECT id FROM ("
+        "SELECT 'cust-' || c_custkey AS id FROM customer WHERE c_acctbal < 0 "
+        "UNION ALL "
+        "SELECT 'supp-' || s_suppkey FROM supplier WHERE s_acctbal < 0"
+        ") ORDER BY id"
+    )
+    o["cypher_return_star"] = (
+        "SELECT '{\"$dtId\":\"nation-0\",\"$etag\":\"W/\\\"' || md5('nation-0') || "
+        "'\\\"\",\"$metadata\":{\"$model\":\"dtmi:demo:Nation;1\","
+        "\"$lastUpdateTime\":\"2026-01-01T00:00:00Z\"},\"name\":\"' || n_name || "
+        "'\",\"nationkey\":0}' AS t FROM nation WHERE n_nationkey = 0"
     )
     o["cypher_call_topk_per_entity"] = (
         "SELECT id, top_order, top_price FROM ("
