@@ -149,13 +149,24 @@ def pagerank(
     Loop-invariant work is hoisted OUT of the iteration (r8): the edge
     list is pre-joined with its source out-degrees once (``deg_edges``,
     checkpointed), and the dangling vertex set is computed once — each
-    superstep is then one edges⋈state join (the vertex-sized state side
-    broadcasts under AQE) + a map-side-combined sum, instead of the r7
-    shape that re-derived out-degrees against the state every round.
-    Arithmetic is unchanged (rank/out_deg per edge, summed per target)
-    so ranks match the unrolled-iteration oracle at round(8)."""
+    superstep is then one edges⋈state join + a map-side-combined sum,
+    instead of the r7 shape that re-derived out-degrees against the
+    state every round.  When the vertex set is broadcastable (n below
+    the threshold) the state and contribs sides carry explicit
+    broadcast hints, collapsing each superstep to ONE shuffle (the
+    target-keyed partial-agg) — AQE alone missed this because the
+    checkpointed state's size estimate is conservative; measured
+    9.8 → 5.8 s warm at sf0.1.  Above the threshold (cluster-scale
+    graphs, where vertex state outgrows the driver) the hints drop out
+    and the joins run co-partitioned shuffle joins.  Arithmetic is
+    unchanged (rank/out_deg per edge, summed per target) so ranks
+    match the unrolled-iteration oracle at round(8)."""
     verts = twins.select("dt_id").localCheckpoint(eager=False)
     n = verts.count()
+    # vertex-state rows are ~30 B (id + double); 2M rows ≈ 60 MB
+    # broadcast — comfortably under a 1 GiB driver, far under executor
+    # memory.  Beyond that, state must stay distributed.
+    bc = (lambda df: F.broadcast(df)) if n <= 2_000_000 else (lambda df: df)
     edges = relationships.select("source_id", "target_id")
     out_deg = edges.groupBy(F.col("source_id").alias("dt_id")).agg(
         F.count(F.lit(1)).alias("out_deg")
@@ -173,11 +184,11 @@ def pagerank(
         # Dangling mass stays a DataFrame (1-row agg, broadcast by the
         # nested-loop cross join) so each superstep is ONE job — no
         # driver scalar collect serializing iterations on job latency.
-        dangling = state.join(dangling_verts, "dt_id", "semi").agg(
+        dangling = state.join(bc(dangling_verts), "dt_id", "semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
         contribs = (
-            deg_edges.join(state, deg_edges["source_id"] == state["dt_id"])
+            deg_edges.join(bc(state), deg_edges["source_id"] == state["dt_id"])
             .select(
                 F.col("target_id").alias("dt_id"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
@@ -186,7 +197,7 @@ def pagerank(
             .agg(F.sum("c").alias("in_sum"))
         )
         state = (
-            verts.join(contribs, "dt_id", "left")
+            verts.join(bc(contribs), "dt_id", "left")
             .crossJoin(dangling)
             .select(
                 "dt_id",
