@@ -141,34 +141,218 @@ def _export_versions(log: CommitLog, through_version: int | None) -> list[int]:
     return versions
 
 
-def _existing_state(dest: str) -> tuple[int, int, dict[str, dict]]:
-    """(next delta version, last exported source version, active set)
-    from an existing export — incremental re-export resumes here."""
+def _last_checkpoint(dest: str) -> int | None:
+    """Version recorded in ``_delta_log/_last_checkpoint``, or None."""
+    try:
+        with open(os.path.join(dest, _LOG_DIR, "_last_checkpoint")) as f:
+            return int(json.load(f)["version"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _read_checkpoint(dest: str, version: int) -> list[dict]:
+    """Read a classic single-file checkpoint back into action dicts
+    (map-typed fields re-materialized as plain dicts)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        dest, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
+    )
+    rows = pq.read_table(path).to_pylist()
+
+    def demap(v):
+        if isinstance(v, list) and v and isinstance(v[0], tuple):
+            return {k: x for k, x in v}
+        if isinstance(v, list):
+            return [demap(x) for x in v]
+        if isinstance(v, dict):
+            return {k: demap(x) for k, x in v.items()}
+        return v
+
+    actions = []
+    for r in rows:
+        for key, payload in r.items():
+            if payload is not None:
+                # empty maps round-trip as [] — normalize to {}
+                p = demap(payload)
+                if key == "metaData":
+                    p.setdefault("configuration", {})
+                    if isinstance(p.get("configuration"), list):
+                        p["configuration"] = {}
+                    fmt = p.get("format") or {}
+                    if isinstance(fmt.get("options"), list):
+                        fmt["options"] = {}
+                if key == "add" and isinstance(p.get("partitionValues"), list):
+                    p["partitionValues"] = {}
+                actions.append({key: p})
+    return actions
+
+
+def _replay_log(dest: str, version: int | None = None):
+    """Replay ``_delta_log`` through ``version`` (default latest),
+    starting from the newest eligible checkpoint when one exists —
+    the Delta reader bootstrap path (PROTOCOL.md: read
+    ``_last_checkpoint``, load the checkpoint parquet, then apply the
+    JSON commits after it).
+
+    Returns (n_versions, last_source, active, schema_json, part_cols,
+    protocol, metadata) where ``active`` maps path → {size,
+    partitionValues}."""
     log_dir = os.path.join(dest, _LOG_DIR)
     if not os.path.isdir(log_dir):
-        return 0, -1, {}
+        return 0, -1, {}, None, [], None, None
+    names = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
+    if version is not None:
+        names = [n for n in names if int(n.split(".")[0]) <= version]
+    n_versions = len(names)
     last_source = -1
     active: dict[str, dict] = {}
-    names = sorted(
-        n for n in os.listdir(log_dir) if n.endswith(".json")
-    )
-    for name in names:
-        with open(os.path.join(log_dir, name)) as f:
+    schema_json = None
+    part_cols: list[str] = []
+    protocol = None
+    metadata = None
+
+    def apply(a: dict) -> None:
+        nonlocal last_source, schema_json, part_cols, protocol, metadata
+        if "protocol" in a:
+            protocol = a["protocol"]
+            if protocol["minReaderVersion"] > 1:
+                raise ValueError("unsupported Delta reader version")
+        if "metaData" in a:
+            metadata = a["metaData"]
+            schema_json = metadata["schemaString"]
+            part_cols = list(metadata.get("partitionColumns") or [])
+        if "add" in a:
+            active[a["add"]["path"]] = {
+                "size": a["add"].get("size"),
+                "partitionValues": a["add"].get("partitionValues") or {},
+            }
+        elif "remove" in a:
+            active.pop(a["remove"]["path"], None)
+        elif "commitInfo" in a:
+            last_source = max(
+                last_source, int(a["commitInfo"].get("sourceVersion", -1))
+            )
+
+    ckpt = _last_checkpoint(dest)
+    start_after = -1
+    if ckpt is not None and (version is None or ckpt <= version):
+        for a in _read_checkpoint(dest, ckpt):
+            apply(a)
+        start_after = ckpt
+        # sourceVersion watermark lives in commitInfo, which checkpoints
+        # do not carry — recover it from the checkpointed commit's JSON
+        # (always retained alongside the checkpoint)
+        with open(os.path.join(log_dir, f"{ckpt:020d}.json")) as f:
             for line in f:
                 a = json.loads(line)
-                if "add" in a:
-                    active[a["add"]["path"]] = {
-                        "size": a["add"]["size"],
-                        "partitionValues": a["add"]["partitionValues"],
-                    }
-                elif "remove" in a:
-                    active.pop(a["remove"]["path"], None)
-                elif "commitInfo" in a:
+                if "commitInfo" in a:
                     last_source = max(
                         last_source,
                         int(a["commitInfo"].get("sourceVersion", -1)),
                     )
-    return len(names), last_source, active
+    for name in names:
+        if int(name.split(".")[0]) <= start_after:
+            continue
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                apply(json.loads(line))
+    return (
+        n_versions, last_source, active, schema_json, part_cols,
+        protocol, metadata,
+    )
+
+
+def _write_checkpoint(
+    dest: str,
+    version: int,
+    protocol: dict,
+    metadata: dict,
+    active: dict[str, dict],
+) -> None:
+    """Write a classic single-file checkpoint
+    (``<version>.checkpoint.parquet`` + ``_last_checkpoint``): one row
+    per action — protocol, metaData, every ACTIVE add (PROTOCOL.md
+    'Checkpoints').  Remove tombstones are omitted (retention 0 for the
+    export bridge: exported files are never vacuumed by this writer).
+    Readers then bootstrap from the checkpoint instead of replaying
+    the full JSON history."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    smap = pa.map_(pa.string(), pa.string())
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()), ("options", smap)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", smap),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", smap),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    schema = pa.schema(
+        [
+            ("protocol", proto_t),
+            ("metaData", meta_t),
+            ("add", add_t),
+            ("remove", remove_t),
+        ]
+    )
+    rows: list[dict] = [
+        {"protocol": protocol},
+        {"metaData": metadata},
+    ]
+    for p, m in sorted(active.items()):
+        rows.append(
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": m.get("partitionValues") or {},
+                    "size": m.get("size"),
+                    "modificationTime": 0,
+                    "dataChange": False,
+                }
+            }
+        )
+    table = pa.Table.from_pylist(rows, schema=schema)
+    log_dir = os.path.join(dest, _LOG_DIR)
+    path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.rename(tmp, path)
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    tmp = lc + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    os.rename(tmp, lc)
+
+
+def _existing_state(dest: str) -> tuple[int, int, dict[str, dict]]:
+    """(next delta version, last exported source version, active set)
+    from an existing export — incremental re-export resumes here.
+    Checkpoint-aware via :func:`_replay_log`."""
+    n, last_source, active, _, _, _, _ = _replay_log(dest)
+    return n, last_source, active
 
 
 def export_delta(
@@ -177,13 +361,22 @@ def export_delta(
     table: str,
     dest: str,
     through_version: int | None = None,
+    checkpoint_interval: int = 10,
 ) -> int:
     """Export (or incrementally extend) ``table``'s commit-log history
     as a Delta Lake table at ``dest``.  Returns the number of Delta
     commits written THIS call.  Idempotent: re-running after new
-    commit-log versions appends only the new Delta commits."""
+    commit-log versions appends only the new Delta commits.
+
+    Every ``checkpoint_interval`` Delta commits a classic single-file
+    checkpoint (``<v>.checkpoint.parquet`` + ``_last_checkpoint``) is
+    written, so readers of a long export bootstrap from the latest
+    snapshot instead of replaying the full JSON history — the Delta
+    default cadence (10).  Pass 0 to disable."""
     log = CommitLog(root)
-    next_dv, last_source, prev_active = _existing_state(dest)
+    next_dv, last_source, prev_active, _, _, protocol_a, metadata_a = (
+        _replay_log(dest)
+    )
     os.makedirs(os.path.join(dest, _LOG_DIR), exist_ok=True)
     written = 0
     for v in _export_versions(log, through_version):
@@ -207,24 +400,20 @@ def export_delta(
         actions: list[dict] = []
         ts = 0  # deterministic: exports carry no wall-clock
         if next_dv == 0:
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-            )
+            protocol_a = {"minReaderVersion": 1, "minWriterVersion": 2}
+            actions.append({"protocol": protocol_a})
             part_col = _PARTITION_COLS.get(table)
-            actions.append(
-                {
-                    "metaData": {
-                        "id": uuid.uuid4().hex,
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": _schema_string(spark, now, table)
-                        if now
-                        else T.StructType([]).json(),
-                        "partitionColumns": [part_col] if part_col else [],
-                        "configuration": {},
-                        "createdTime": ts,
-                    }
-                }
-            )
+            metadata_a = {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _schema_string(spark, now, table)
+                if now
+                else T.StructType([]).json(),
+                "partitionColumns": [part_col] if part_col else [],
+                "configuration": {},
+                "createdTime": ts,
+            }
+            actions.append({"metaData": metadata_a})
         for p, meta in sorted(added.items()):
             dst_file = os.path.join(dest, p)
             os.makedirs(os.path.dirname(dst_file), exist_ok=True)
@@ -270,8 +459,17 @@ def export_delta(
         os.rename(tmp, log_path)
         prev_active = now
         last_source = v
+        dv_written = next_dv
         next_dv += 1
         written += 1
+        if (
+            checkpoint_interval
+            and dv_written > 0
+            and dv_written % checkpoint_interval == 0
+            and protocol_a is not None
+            and metadata_a is not None
+        ):
+            _write_checkpoint(dest, dv_written, protocol_a, metadata_a, now)
     return written
 
 
@@ -282,27 +480,14 @@ def read_delta_export(
     ``_delta_log`` through ``version`` (default: latest), reconstruct
     the active file set, and read it with partition values injected —
     the conformance check that the written actions actually describe
-    the table (and its time travel) correctly."""
-    log_dir = os.path.join(dest, _LOG_DIR)
-    names = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))
-    if version is not None:
-        names = [n for n in names if int(n.split(".")[0]) <= version]
-    active: dict[str, dict] = {}
-    schema_json = None
-    part_cols: list[str] = []
-    for name in names:
-        with open(os.path.join(log_dir, name)) as f:
-            for line in f:
-                a = json.loads(line)
-                if "protocol" in a and a["protocol"]["minReaderVersion"] > 1:
-                    raise ValueError("unsupported Delta reader version")
-                if "metaData" in a:
-                    schema_json = a["metaData"]["schemaString"]
-                    part_cols = a["metaData"]["partitionColumns"]
-                if "add" in a:
-                    active[a["add"]["path"]] = a["add"]["partitionValues"]
-                elif "remove" in a:
-                    active.pop(a["remove"]["path"], None)
+    the table (and its time travel) correctly.  Checkpoint-aware: when
+    ``_last_checkpoint`` points at or before the requested version, the
+    replay bootstraps from the checkpoint parquet and applies only the
+    JSON commits after it."""
+    _, _, active_m, schema_json, part_cols, _, _ = _replay_log(
+        dest, version
+    )
+    active = {p: m["partitionValues"] for p, m in active_m.items()}
     schema = T.StructType.fromJson(json.loads(schema_json))
     if not active:
         return spark.createDataFrame([], schema)

@@ -1221,3 +1221,65 @@ def test_delta_cdf_change_feed_export(spark, tmp_path):
     # time travel over the feed: delta v0 == source v1 only
     v0 = read_delta_export(spark, dest, version=0)
     assert {r["_commit_version"] for r in v0.collect()} == {1}
+
+
+def test_delta_export_checkpoint_bootstrap(spark, tmp_path):
+    """Crossing the checkpoint interval writes a classic single-file
+    checkpoint + _last_checkpoint; readers bootstrap from it (same
+    rows as a full JSON replay), pre-checkpoint time travel still
+    replays JSON-only, and incremental resume works off the
+    checkpointed state."""
+    import json as _json
+
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+    from pg_age_digitaltwins_spark.store.delta_export import (
+        _replay_log,
+        export_delta,
+        read_delta_export,
+    )
+
+    root = str(tmp_path / "table")
+    dest = str(tmp_path / "delta")
+    commit_snapshot(_store(spark, 2), root)                      # v1
+    for i in range(10, 21):                                      # v2..v12
+        merge_rows(spark, root, twin_upserts=[_twin(i)])
+    assert export_delta(spark, root, "twins", dest) == 12        # dv 0..11
+
+    log_dir = os.path.join(dest, "_delta_log")
+    ckpt = os.path.join(log_dir, "00000000000000000010.checkpoint.parquet")
+    assert os.path.exists(ckpt)
+    with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+        lc = _json.load(f)
+    assert lc["version"] == 10 and lc["size"] >= 3
+
+    # checkpoint contents: protocol + metaData + one add per active file
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(ckpt).to_pylist()
+    kinds = [next(k for k, v in r.items() if v is not None) for r in rows]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    assert all(k == "add" for k in kinds[2:]) and len(kinds) > 2
+
+    # reader bootstraps from the checkpoint and matches the data
+    got = {r["dt_id"] for r in read_delta_export(spark, dest).collect()}
+    assert got == {"t0", "t1"} | {f"t{i}" for i in range(10, 21)}
+
+    # the checkpointed state equals a pure-JSON replay of the same log
+    os.rename(os.path.join(log_dir, "_last_checkpoint"),
+              os.path.join(log_dir, "_last_checkpoint.bak"))
+    _, ls_json, active_json, _, _, _, _ = _replay_log(dest)
+    os.rename(os.path.join(log_dir, "_last_checkpoint.bak"),
+              os.path.join(log_dir, "_last_checkpoint"))
+    _, ls_ck, active_ck, _, _, _, _ = _replay_log(dest)
+    assert active_ck == active_json and ls_ck == ls_json
+
+    # pre-checkpoint time travel ignores the (newer) checkpoint
+    early = {r["dt_id"] for r in
+             read_delta_export(spark, dest, version=1).collect()}
+    assert early == {"t0", "t1", "t10"}
+
+    # incremental resume off the checkpointed state
+    merge_rows(spark, root, twin_upserts=[_twin(99)])
+    assert export_delta(spark, root, "twins", dest) == 1
+    got = {r["dt_id"] for r in read_delta_export(spark, dest).collect()}
+    assert "t99" in got and len(got) == 14
