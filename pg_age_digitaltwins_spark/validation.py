@@ -59,6 +59,53 @@ GEOSPATIAL_SCHEMAS: dict[str, str] = {
     "multiPolygon": "MultiPolygon",
 }
 
+def _geojson_coords_ok(geom_type: str, coords) -> bool:
+    """RFC 7946 §3.1 coordinate-structure check for the DTDL geospatial
+    schemas.  A position is an array of ≥2 numbers (lon, lat[, alt];
+    the RFC allows further elements, so no upper cap); LineStrings need
+    ≥2 positions; Polygon linear rings need ≥4 positions (closed
+    ring)."""
+
+    def position(c) -> bool:
+        return (
+            isinstance(c, list)
+            and len(c) >= 2
+            and all(
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                for x in c
+            )
+        )
+
+    def positions(c, at_least: int = 1) -> bool:
+        return (
+            isinstance(c, list)
+            and len(c) >= at_least
+            and all(position(p) for p in c)
+        )
+
+    def ring(c) -> bool:
+        return positions(c, at_least=4)
+
+    def polygon(c) -> bool:
+        return isinstance(c, list) and len(c) >= 1 and all(ring(r) for r in c)
+
+    if geom_type == "Point":
+        return position(coords)
+    if geom_type == "MultiPoint":
+        return positions(coords, at_least=0)
+    if geom_type == "LineString":
+        return positions(coords, at_least=2)
+    if geom_type == "MultiLineString":
+        return isinstance(coords, list) and all(
+            positions(ls, at_least=2) for ls in coords
+        )
+    if geom_type == "Polygon":
+        return polygon(coords)
+    if geom_type == "MultiPolygon":
+        return isinstance(coords, list) and all(polygon(p) for p in coords)
+    return True
+
+
 # Azure Digital Twins entity-id grammar (public API limit): 1-128 ASCII
 # letters/digits plus - . + % _ # * ? ! ( ) , : = @ $ ' — the reference
 # inherits it from the service contract; ids flow into Cypher literals,
@@ -168,6 +215,11 @@ def validate_value(
                 return [
                     f"{where}: value does not match geospatial schema "
                     f"'{schema}' (GeoJSON {want})"
+                ]
+            if not _geojson_coords_ok(want, value["coordinates"]):
+                return [
+                    f"{where}: coordinates do not match GeoJSON {want} "
+                    "structure (RFC 7946 §3.1)"
                 ]
             return []
         check = _PRIMITIVES.get(schema)

@@ -674,3 +674,59 @@ def test_adjunct_types_not_treated_as_semantic_types(client):
          "schema": "string"},
     ]))
     client.delete_all_models()
+
+
+def test_geojson_coordinate_structure():
+    """RFC 7946 §3.1 structure checks inside each geospatial schema —
+    positions are arrays of ≥2 numbers, LineStrings need ≥2 positions,
+    Polygon rings need ≥4 positions."""
+    def reg_for(schema):
+        return ModelRegistry([
+            _interface(contents=[
+                {"@type": "Property", "name": "g", "schema": schema}
+            ])
+        ])
+
+    def twin(schema_name, gtype, coords):
+        return {
+            "$dtId": "t1",
+            "$metadata": {"$model": "dtmi:v:Test;1"},
+            "g": {"type": gtype, "coordinates": coords},
+        }
+
+    # accepts
+    validate_twin(reg_for("point"), twin("point", "Point", [4.9, 52.3, 12.0]))
+    validate_twin(reg_for("multiPoint"),
+                  twin("multiPoint", "MultiPoint", [[1, 2], [3, 4]]))
+    validate_twin(reg_for("lineString"),
+                  twin("lineString", "LineString", [[0, 0], [1, 1]]))
+    validate_twin(
+        reg_for("multiLineString"),
+        twin("multiLineString", "MultiLineString", [[[0, 0], [1, 1]]]),
+    )
+    validate_twin(
+        reg_for("polygon"),
+        twin("polygon", "Polygon", [[[0, 0], [0, 1], [1, 1], [0, 0]]]),
+    )
+    validate_twin(
+        reg_for("multiPolygon"),
+        twin("multiPolygon", "MultiPolygon",
+             [[[[0, 0], [0, 1], [1, 1], [0, 0]]]]),
+    )
+    # rejects: wrong nesting / too-short / non-numeric / booleans
+    for schema, gtype, coords in [
+        ("point", "Point", [4.9]),                      # 1 element
+        ("point", "Point", ["4.9", "52.3"]),            # strings
+        ("point", "Point", [True, False]),              # bools
+        ("point", "Point", [[4.9, 52.3]]),              # over-nested
+        ("lineString", "LineString", [[0, 0]]),         # 1 position
+        ("lineString", "LineString", [0, 0]),           # flat
+        ("polygon", "Polygon", [[[0, 0], [0, 1], [1, 1]]]),  # open ring (3)
+        ("polygon", "Polygon", [[0, 0], [0, 1], [1, 1], [0, 0]]),  # flat ring
+        ("multiPolygon", "MultiPolygon",
+         [[[[0, 0], [0, 1], [1, 1]]]]),                  # inner ring short
+        ("multiLineString", "MultiLineString", [[[0, 0]]]),  # short LS
+    ]:
+        with pytest.raises(ValidationError, match="RFC 7946"):
+            validate_twin(reg_for(schema), twin(schema, gtype, coords))
+
