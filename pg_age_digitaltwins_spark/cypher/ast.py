@@ -234,6 +234,7 @@ class WithClause:
     order_by: list = field(default_factory=list)  # (expr, asc)
     skip: Optional[int] = None
     limit: Optional[int] = None
+    star: bool = False  # WITH * — expand bound variables at compile
 
 
 @dataclass

@@ -1235,6 +1235,24 @@ class CypherCompiler:
         properties explicitly in the WITH."""
         if df is None:
             df = self.store.spark.range(1).select(F.lit(1).alias("__one"))
+        if clause.star:
+            # WITH * — every named variable in scope rides through,
+            # before any explicit extra items (`WITH *, count(r) AS n`
+            # groups by all carried variables per openCypher)
+            import dataclasses as _dc
+
+            star = [
+                C.ReturnItem(C.Var(nm), None)
+                for nm in env
+                if not nm.startswith("__")
+            ]
+            if not star:
+                raise CypherCompileError(
+                    "WITH * requires at least one named variable"
+                )
+            clause = _dc.replace(
+                clause, items=star + list(clause.items), star=False
+            )
         # ENTITY PASSTHROUGH (non-aggregating stages): a bare variable
         # item whose binding is a twin/rel/model keeps its IDENTITY
         # through the projection — the frame columns ride along as

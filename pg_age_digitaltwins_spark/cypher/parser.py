@@ -205,10 +205,20 @@ class _Parser:
     def with_clause(self) -> C.WithClause:
         self.eat("KEYWORD", "WITH")
         distinct = self.opt("KEYWORD", "DISTINCT")
-        items = [self.return_item()]
-        while self.opt("PUNCT", ","):
-            items.append(self.return_item())
-        wc = C.WithClause(items, distinct=distinct)
+        star = False
+        items: list[C.ReturnItem] = []
+        if self.at("PUNCT", "*"):
+            # WITH * — carry every named variable forward (expanded at
+            # compile time); extra items may follow (`WITH *, count(r)`)
+            self.i += 1
+            star = True
+            while self.opt("PUNCT", ","):
+                items.append(self.return_item())
+        else:
+            items = [self.return_item()]
+            while self.opt("PUNCT", ","):
+                items.append(self.return_item())
+        wc = C.WithClause(items, distinct=distinct, star=star)
         if self.opt("KEYWORD", "ORDER"):
             self.eat("KEYWORD", "BY")
             wc.order_by.append(self.order_item())

@@ -1822,3 +1822,34 @@ def test_return_star_order_and_limit(fixture_store):
         "MATCH (t:Twin)-[:has]->(b:Twin) RETURN * ORDER BY b.`$dtId` LIMIT 2",
     )
     assert len(out) == 2
+
+
+def test_with_star_passthrough(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (a:Twin)-[r:has]->(b:Twin) WITH * WHERE a.`$dtId` = 'root2' "
+        "RETURN a.`$dtId` AS src, b.`$dtId` AS dst ORDER BY dst",
+    )
+    assert [(o["src"], o["dst"]) for o in out] == [
+        ("root2", "b1"), ("root2", "b2"),
+    ]
+
+
+def test_with_star_plus_aggregate(fixture_store):
+    # WITH *, count(...) groups by every carried variable
+    out = rows(
+        fixture_store,
+        "MATCH (a:Twin)-[r:has]->(b:Twin) WITH a, count(b) AS n "
+        "WITH * WHERE n >= 2 RETURN a.`$dtId` AS id, n",
+    )
+    assert out == [{"id": "root2", "n": 2}]
+
+
+def test_with_star_order_limit(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE t.temperature IS NOT NULL "
+        "WITH * ORDER BY t.temperature DESC LIMIT 1 "
+        "RETURN t.`$dtId` AS id",
+    )
+    assert out == [{"id": "room1"}]
