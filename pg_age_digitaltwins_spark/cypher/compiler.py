@@ -1837,11 +1837,27 @@ class CypherCompiler:
                 )
             prefix = "__pnodes_" if n == "nodes" else "__prels_"
             return F.col(f"{prefix}{arg.name}")
-        if n in ("id", "keys", "properties"):
+        if n in ("id", "elementid", "keys", "properties", "labels"):
             [arg] = e.args
             if not isinstance(arg, C.Var) or arg.name not in env:
                 raise CypherCompileError(f"{n}() needs a bound entity variable")
             b = env[arg.name]
+            if b.kind == "value" and n in ("labels", "elementid"):
+                raise CypherCompileError(f"{n}() needs an entity, not a value")
+            if n == "labels":
+                # node labels as a list (Neo4j labels(n)); this store
+                # has exactly one label per vertex kind, and edges get
+                # their relationship name (AGE's single edge label)
+                if b.kind == "twin":
+                    return F.array(F.lit("Twin"))
+                if b.kind == "model":
+                    return F.array(F.lit("Model"))
+                return F.array(self._col(b, "name"))
+            if n == "elementid":
+                # Neo4j 5 string element id — this engine's ids ARE
+                # strings, so elementId(x) == id(x)
+                key = "relationship_id" if b.kind == "rel" else "dt_id"
+                return self._col(b, key)
             if b.kind == "value":
                 raise CypherCompileError(f"{n}() needs an entity, not a value")
             if n == "id":
@@ -2242,6 +2258,21 @@ class CypherCompiler:
             # timestamp() is statement-stable; unix_millis of the
             # statement's current_timestamp matches that contract)
             return F.unix_millis(F.current_timestamp())
+        if n in ("date", "datetime", "localdatetime"):
+            # minimal temporal constructors: ISO-string (or string
+            # property) → typed date/timestamp, NULL on unparsable —
+            # enough for comparisons/ordering/grouping over ISO-dated
+            # properties (the $metadata.$lastUpdateTime shape).  The
+            # full Neo4j temporal component/duration algebra is out of
+            # scope (documented bound).
+            target = "date" if n == "date" else "timestamp"
+            if not e.args:
+                return (
+                    F.current_date()
+                    if n == "date"
+                    else F.current_timestamp()
+                )
+            return self._operand(e.args[0], env, "string").try_cast(target)
         raise CypherCompileError(f"Unknown function {n}()")
 
     def _vector(self, e: C.Expr, env) -> Column:

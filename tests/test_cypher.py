@@ -1853,3 +1853,45 @@ def test_with_star_order_limit(fixture_store):
         "RETURN t.`$dtId` AS id",
     )
     assert out == [{"id": "room1"}]
+
+
+def test_labels_and_elementid(fixture_store):
+    out = rows(
+        fixture_store,
+        "MATCH (a:Twin)-[r:has]->(b:Twin) WHERE a.`$dtId` = 'root2' "
+        "RETURN labels(a) AS la, labels(r) AS lr, "
+        "elementId(a) AS ea, elementId(r) AS er ORDER BY er",
+    )
+    assert out[0]["la"] == ["Twin"] and out[0]["lr"] == ["has"]
+    assert out[0]["ea"] == "root2" and out[0]["er"] == "r1"
+    out = rows(
+        fixture_store,
+        "MATCH (m:Model) WHERE m.id = 'dtmi:com:contoso:Planet;1' "
+        "RETURN labels(m) AS lm",
+    )
+    assert out == [{"lm": ["Model"]}]
+
+
+def test_temporal_constructors(fixture_store):
+    import datetime
+
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE t.`$dtId` = 'room1' "
+        "RETURN date('2024-01-02') AS d, "
+        "datetime('2015-06-24T12:50:35') AS dt, "
+        "date('nope') AS bad, "
+        "date(t.`$metadata`.`$lastUpdateTime`) AS lu",
+    )
+    assert out[0]["d"] == datetime.date(2024, 1, 2)
+    assert out[0]["dt"] == datetime.datetime(2015, 6, 24, 12, 50, 35)
+    assert out[0]["bad"] is None
+    assert out[0]["lu"] is None  # fixture docs carry no $lastUpdateTime
+    # typed comparisons work
+    out = rows(
+        fixture_store,
+        "MATCH (t:Twin) WHERE t.`$dtId` = 'room1' "
+        "AND date('2024-01-02') > date('2000-01-01') "
+        "RETURN t.`$dtId` AS id",
+    )
+    assert out == [{"id": "room1"}]
