@@ -26,6 +26,12 @@ _FRAGMENTS = st.sampled_from([
     # r8 grammar: subqueries + path accessors
     "CALL {", "}", "EXISTS {", "COUNT {", "OPTIONAL CALL", "WITH a",
     "nodes(", "relationships(", "=~", "reduce(", "| x",
+    # r8 session 3: bracket access, graph-qualified helpers, stars,
+    # bare $-idents, temporal constructors
+    "['$dtId']", "['$metadata']['$model']", "[''", "']",
+    "testgraph.is_of_model(", "g.model_and_descendants(", "g.is_number(",
+    "RETURN *", "WITH *", "*,", ".$dtId", "$x", "labels(", "elementId(",
+    "date(", "datetime(",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
