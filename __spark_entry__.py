@@ -976,6 +976,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_interarrival"] = lambda s, d: ev_ops.interarrival_stats(
         _tables(s, d)["events"]
     )
+    # r8 session 3: state-duration profile + OHLC downsample
+    q["events_time_in_state"] = lambda s, d: ev_ops.time_in_state(
+        _tables(s, d)["events"]
+    ).select("event_type", "n_intervals", "total_us")
+    q["events_ohlc"] = lambda s, d: ev_ops.ohlc_downsample(
+        _tables(s, d)["events"], minutes=360
+    )
 
     def _order_count_distribution(spark, sf_dir):
         # TPC-H Q13 shape: LEFT join so zero-order customers keep a
@@ -2382,6 +2389,29 @@ def oracle_sql() -> dict[str, str]:
         "round(sum(gap) / CAST(count(gap) AS DOUBLE), 2) AS avg_gap_us, "
         "max(gap) AS max_gap_us "
         "FROM g WHERE gap IS NOT NULL GROUP BY event_type"
+    )
+    o["events_time_in_state"] = (
+        "WITH s AS (SELECT event_type, "
+        "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "- epoch_us(ts) AS span_us FROM events) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals, "
+        "CAST(sum(span_us) AS BIGINT) AS total_us "
+        "FROM s WHERE span_us IS NOT NULL GROUP BY event_type"
+    )
+    o["events_ohlc"] = (
+        "WITH b AS (SELECT event_type, "
+        "CAST(to_timestamp((CAST(epoch(ts) AS BIGINT) // 21600) * 21600) "
+        "AS TIMESTAMP) AS bucket, value, ts, event_id FROM events), "
+        "r AS (SELECT *, row_number() OVER ("
+        "PARTITION BY event_type, bucket ORDER BY ts, event_id) AS rn_a, "
+        "row_number() OVER (PARTITION BY event_type, bucket "
+        "ORDER BY ts DESC, event_id DESC) AS rn_d FROM b) "
+        "SELECT event_type, bucket, "
+        "max(CASE WHEN rn_a = 1 THEN value END) AS open, "
+        "max(value) AS high, min(value) AS low, "
+        "max(CASE WHEN rn_d = 1 THEN value END) AS close, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM r GROUP BY event_type, bucket"
     )
     o["tpch_order_count_distribution"] = (
         "WITH oc AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "

@@ -277,3 +277,60 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
         ),
         F.max("gap").alias("max_gap_us"),
     )
+
+
+def time_in_state(events: DataFrame) -> DataFrame:
+    """Per-user state-duration profile: treat each event as entering
+    state ``event_type``; the time in that state is the gap to the
+    user's NEXT event (the final state of each user is open-ended and
+    excluded).  Rolled up per state to (n_intervals, total/avg seconds)
+    — the reference's DataHistory consumers compute exactly this
+    "property transition duration" shape downstream of the per-property
+    explode (`streaming/cloudevents.py`); here it is an offline
+    operator over the event log.
+
+    100 TB shape: ONE shuffle keyed user_id for the lead window, then a
+    map-side-combined rollup onto one row per state.  Gaps stay exact
+    integer microseconds until the final division."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    spans = events.select(
+        "event_type", (F.lead(us).over(w) - us).alias("span_us")
+    ).filter(F.col("span_us").isNotNull())
+    return spans.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        # exact integer micros first (order-independent, oracle-safe);
+        # human-readable seconds ride along as derived doubles
+        F.sum("span_us").alias("total_us"),
+        F.round(F.sum("span_us") / F.lit(1e6), 6).alias("total_sec"),
+        F.round(
+            (F.sum("span_us") / F.count(F.lit(1))) / F.lit(1e6), 6
+        ).alias("avg_sec"),
+    )
+
+
+def ohlc_downsample(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Open/high/low/close downsample of ``value`` per (event_type,
+    time bucket) — the classic time-series compaction for dashboards
+    and feature stores.  Open/close are min_by/max_by on (ts,
+    event_id): deterministic under concurrent timestamps, no window
+    pass needed.
+
+    100 TB shape: one map-side-combined groupBy — the bucket key is
+    derived (no pre-shuffle), partials combine before the exchange, and
+    output cardinality is types × buckets (tiny)."""
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / (minutes * 60)).cast("long") * (minutes * 60)
+    )
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return events.groupBy(
+        F.col("event_type"), bucket.alias("bucket")
+    ).agg(
+        F.min_by("value", order).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", order).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1356,3 +1356,53 @@ def test_bpe_merge_fold_overlapping_pairs(spark):
            for r in bpe_train(docs, n_merges=2).collect()]
     assert got[0] == ("a", "a", 6)  # 2 per word × 3
     assert got[1] == ("aa", "a", 3)
+
+
+def test_time_in_state_hand_computed(spark):
+    from datetime import datetime
+
+    from pg_age_digitaltwins_spark.operators.events import time_in_state
+
+    rows = [
+        # user 1: a@0s -> b@10s -> a@25s (open-ended)
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "a", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 0, 10), 1, "b", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 0, 25), 1, "a", 1.0, "{}"),
+        # user 2: b@0s -> b@60s (open-ended)
+        (4, datetime(2024, 1, 1, 0, 0, 0), 2, "b", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 0, 1, 0), 2, "b", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    out = {r["event_type"]: r for r in time_in_state(ev).collect()}
+    assert out["a"]["n_intervals"] == 1 and out["a"]["total_us"] == 10_000_000
+    assert out["b"]["n_intervals"] == 2
+    assert out["b"]["total_us"] == 15_000_000 + 60_000_000
+    assert out["b"]["avg_sec"] == 37.5
+
+
+def test_ohlc_downsample_hand_computed(spark):
+    from datetime import datetime
+
+    from pg_age_digitaltwins_spark.operators.events import ohlc_downsample
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 5), 1, "a", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 20), 1, "a", 30.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 40), 1, "a", 5.0, "{}"),
+        # tie on ts: event_id breaks it — 5 opens, 7 closes
+        (5, datetime(2024, 1, 1, 1, 0), 1, "a", 77.0, "{}"),
+        (7, datetime(2024, 1, 1, 1, 0), 1, "a", 88.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    out = {r["bucket"]: r for r in ohlc_downsample(ev, minutes=60).collect()}
+    b0 = out[datetime(2024, 1, 1, 0, 0)]
+    assert (b0["open"], b0["high"], b0["low"], b0["close"], b0["n_events"]) \
+        == (10.0, 30.0, 5.0, 5.0, 3)
+    b1 = out[datetime(2024, 1, 1, 1, 0)]
+    assert (b1["open"], b1["close"], b1["n_events"]) == (77.0, 88.0, 2)
