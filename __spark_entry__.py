@@ -602,6 +602,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_chunk_documents"] = lambda s, d: text.chunk_documents(
         _tables(s, d)["documents"], window=64, stride=32
     )
+    # r8 session 3: CCNet-style bigram-LM quality scoring (exact
+    # fixed-point per-term log-probs → order-independent integer sums;
+    # the derived mean_logp double rides outside the projection)
+    q["text_lm_score"] = lambda s, d: text.ngram_lm_score(
+        _tables(s, d)["documents"]
+    ).select("doc_id", "source", "n_terms", "sum_logp_fp")
 
     # r8: training-data additions — fixed-budget sequence packing and
     # the leakage-safe (group-keyed) train/test split
@@ -1930,6 +1936,26 @@ def oracle_sql() -> dict[str, str]:
         "WHERE rate >= 1.0 OR "
         "substr(md5('mixture' || '|' || CAST(key AS VARCHAR)), 1, 4) < "
         "printf('%04x', CAST(floor(rate * 65536) AS INT))"
+    )
+    o["text_lm_score"] = (
+        "WITH toks AS (SELECT doc_id, source, "
+        "regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), "
+        "big AS (SELECT doc_id, source, ws[i] AS w1, ws[i+1] AS w2 "
+        "FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t "
+        "WHERE len(ws) >= 2), "
+        "tb AS (SELECT w1, w2 FROM big WHERE source = 'src0'), "
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1), "
+        "v AS (SELECT count(DISTINCT w) AS v FROM "
+        "(SELECT unnest(ws) AS w FROM toks WHERE source = 'src0')), "
+        "terms AS (SELECT b.doc_id, b.source, "
+        "CAST(round(ln((COALESCE(c12.c12, 0) + 1.0) / "
+        "(COALESCE(c1.c1, 0) + 1.0 * v.v)) * 1e6) AS BIGINT) AS lp_fp "
+        "FROM big b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2 "
+        "LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v) "
+        "SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_terms, "
+        "CAST(sum(lp_fp) AS BIGINT) AS sum_logp_fp "
+        "FROM terms GROUP BY doc_id, source"
     )
     o["text_chunk_documents"] = (
         f"WITH t AS (SELECT doc_id, {_TOKS_RAW} AS toks FROM documents), "

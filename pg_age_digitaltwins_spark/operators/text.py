@@ -718,3 +718,84 @@ def chunk_documents(
             .alias("n_tokens"),
         )
     )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    train_filter=None,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring: train an add-k-smoothed
+    BIGRAM language model on a reference subset (``train_filter``,
+    default ``source = 'src0'``) and score EVERY document by its mean
+    token log-probability under that model — documents that look unlike
+    the reference distribution score low and get filtered/bucketed
+    (the public CCNet pipeline does exactly this with a KenLM 5-gram;
+    the bigram form keeps the same shape with exact, oracle-checkable
+    arithmetic).
+
+    Per token-position score: ln((c(w1,w2) + k) / (c(w1) + k·V)) with
+    V = train vocabulary size; unseen history backs off to ln(1/V).
+    Each term is fixed-point-scaled to 1e-6 BIGINT before summation so
+    the per-document total is exact-integer (summation-order-proof);
+    the human-readable mean rides along as a derived double.
+
+    100 TB shape: the LM is two map-side-combined groupBys over the
+    train subset; scoring is one explode + two equi-joins against the
+    count tables (broadcast when small, shuffle-join at scale — both
+    sides keyed) + one doc-keyed aggregation.  No Python in the loop.
+    """
+    if train_filter is None:
+        train_filter = F.col("source") == "src0"
+    words = _tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.struct(
+                F.element_at(words, i + 1).alias("w1"),
+                F.element_at(words, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    train = docs.filter(train_filter)
+    train_big = train.select(F.explode(bigrams).alias("b")).select(
+        "b.w1", "b.w2"
+    )
+    c12 = train_big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c1 = train_big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # vocab = distinct tokens in the train subset (histories + tails)
+    v = (
+        train.select(F.explode(words).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+        .collect()[0]["v"]
+    )
+    v = int(v or 1)
+    terms = docs.select(
+        "doc_id", "source", F.explode(bigrams).alias("b")
+    ).select("doc_id", "source", "b.w1", "b.w2")
+    k = float(add_k)
+    logp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k * v))
+    )
+    scored = (
+        terms.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.round(logp * F.lit(1e6)).cast("long").alias("lp_fp"),
+        )
+    )
+    return scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("lp_fp").alias("sum_logp_fp"),
+        F.round(
+            (F.sum("lp_fp") / F.count(F.lit(1))) / F.lit(1e6), 6
+        ).alias("mean_logp"),
+    )

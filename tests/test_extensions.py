@@ -1406,3 +1406,41 @@ def test_ohlc_downsample_hand_computed(spark):
         == (10.0, 30.0, 5.0, 5.0, 3)
     b1 = out[datetime(2024, 1, 1, 1, 0)]
     assert (b1["open"], b1["close"], b1["n_events"]) == (77.0, 88.0, 2)
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    import math
+
+    from pg_age_digitaltwins_spark.operators.text import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b", "en", "train", 7),
+            (1, "a b", "en", "other", 3),
+            (2, "z q", "en", "other", 3),   # fully OOV
+            (3, "a", "en", "other", 1),      # <2 tokens → no output row
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from pyspark.sql import functions as F
+
+    out = {
+        r["doc_id"]: r
+        for r in ngram_lm_score(
+            docs, train_filter=F.col("source") == "train"
+        ).collect()
+    }
+    # train corpus "a b a b": bigrams ab, ba, ab → c(a,b)=2, c(b,a)=1,
+    # c1(a)=2, c1(b)=1; V=2
+    lp_ab = math.log((2 + 1) / (2 + 2))        # seen bigram
+    lp_zq = math.log((0 + 1) / (0 + 2))        # OOV history → ln(1/V)
+    assert out[1]["n_terms"] == 1
+    assert out[1]["sum_logp_fp"] == round(lp_ab * 1e6)
+    assert out[2]["sum_logp_fp"] == round(lp_zq * 1e6)
+    assert 3 not in out
+    # the training docs score themselves (doc 0: ab, ba, ab)
+    lp_ba = math.log((1 + 1) / (1 + 2))
+    assert out[0]["n_terms"] == 3
+    assert out[0]["sum_logp_fp"] == round(lp_ab * 1e6) * 2 + round(lp_ba * 1e6)
+    # ranking: in-distribution doc beats the OOV doc
+    assert out[1]["mean_logp"] > out[2]["mean_logp"]
