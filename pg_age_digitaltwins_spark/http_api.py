@@ -390,6 +390,10 @@ class ApiService:
         # --- query (QueryEndpoints.cs) ---
         r("POST", "/query", self.query_post, "query", (QRY, ACT))
         r("GET", "/health", self.health_get, "light", None)
+        # OpenAPI self-description (Program.cs:311 MapOpenApi — the
+        # reference serves /openapi/v1.json when OpenApi:Enabled);
+        # generated from the live route table so it can never drift
+        r("GET", "/openapi/v1.json", self.openapi_get, "light", None)
         # operation tracing/metrics (the OTel diagnostics surface,
         # docs/advanced-topics/logs-diagnostics.mdx)
         r("GET", "/stats", self.stats_get, "light", None)
@@ -678,6 +682,59 @@ class ApiService:
         if page.continuation_token:
             out["continuationToken"] = page.continuation_token
         return Response(200, out, headers={"query-charge": str(charge)})
+
+    # ------------------------------------------------------------------
+    # OpenAPI self-description (Program.cs:311 MapOpenApi)
+    # ------------------------------------------------------------------
+    def openapi_get(self, req: Request) -> Response:
+        """OpenAPI 3 document generated from the LIVE route table —
+        paths, methods, path parameters, plus the engine-specific
+        rate-limit policy and required permission as ``x-`` extensions.
+        Derived (not hand-written) so route changes can never drift
+        from the published contract."""
+        paths: dict[str, dict] = {}
+        for method, rx, handler, policy, require in self.routes:
+            pattern = rx.pattern
+            if pattern.startswith("^"):
+                pattern = pattern[1:]
+            if pattern.endswith("$"):
+                pattern = pattern[:-1]
+            names = list(rx.groupindex)
+            path = re.sub(r"\(\?P<([A-Za-z_]\w*)>[^)]*\)", r"{\1}", pattern)
+            op: dict[str, Any] = {
+                "operationId": getattr(handler, "__name__", "op").replace(
+                    "<lambda>", "root_get"
+                ),
+                "tags": [path.strip("/").split("/")[0] or "root"],
+                "responses": {"200": {"description": "Success"}},
+                "x-rate-limit-policy": policy,
+            }
+            if names:
+                op["parameters"] = [
+                    {
+                        "name": g,
+                        "in": "path",
+                        "required": True,
+                        "schema": {"type": "string"},
+                    }
+                    for g in names
+                ]
+            if require is not None:
+                op["x-required-permission"] = (
+                    f"{require.resource.value}:{require.action.value}"
+                )
+            paths.setdefault(path, {})[method.lower()] = op
+        return Response(
+            200,
+            {
+                "openapi": "3.0.3",
+                "info": {
+                    "title": "pg-age-digitaltwins-spark",
+                    "version": "v1",
+                },
+                "paths": dict(sorted(paths.items())),
+            },
+        )
 
     # ------------------------------------------------------------------
     # health (HealthCheckEndpoints: aggregated status, 503 when degraded)

@@ -928,3 +928,25 @@ def test_blob_router_cloud_without_backend_raises_and_registers(tmp_path):
     p = str(tmp_path / "x.ndjson")
     r.write_lines(p, ["one", "two"])
     assert list(r.open_read_lines(f"file://{p}")) == ["one", "two"]
+
+
+def test_openapi_document(api):
+    resp = api.handle(Request("GET", "/openapi/v1.json"))
+    assert resp.status == 200
+    doc = resp.body
+    assert doc["openapi"].startswith("3.") and doc["info"]["version"] == "v1"
+    paths = doc["paths"]
+    # route-table derived: parameterized paths use {name} templates
+    assert "get" in paths["/digitaltwins/{id}"]
+    assert "put" in paths["/digitaltwins/{id}"]
+    assert paths["/digitaltwins/{id}"]["get"]["parameters"][0]["name"] == "id"
+    # permission + rate-limit extensions mirror the dispatch table
+    q = paths["/query"]["post"]
+    assert q["x-rate-limit-policy"] == "query"
+    assert q["x-required-permission"] == "query:action"
+    rel = paths["/digitaltwins/{id}/relationships/{rid}"]
+    assert set(rel) >= {"get", "put", "patch", "delete"}
+    # the openapi route itself is listed and anonymous
+    assert "x-required-permission" not in paths["/openapi/v1.json"]["get"]
+    # every registered route appears
+    assert len(paths) >= 25
