@@ -761,6 +761,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embed_ann_lsh_multi_batch"] = _ann_batch
+    # r8s4: product quantization — compressed-index ANN (ADC scan over
+    # m-byte codes + exact re-rank).  Rows-only: the trained codebook
+    # (Lloyd means) is FP-summation-order sensitive, so the candidate
+    # set isn't bit-pinnable; quality is gated by the pq row of
+    # embed_ann_recall instead.
+    q["embed_ann_pq"] = lambda s, d: similarity.ann_pq_search(
+        _tables(s, d)["embeddings"], query_id=0, k=10
+    )
     # ANN quality gate: recall@10 vs brute force must clear per-method
     # floors; the recall VALUE depends on hash/centroid layout (rows-
     # only territory) but the floor contract is value-checkable — an
@@ -2136,7 +2144,8 @@ def oracle_sql() -> dict[str, str]:
     o["embed_ann_recall"] = (
         "SELECT 'ivf' AS method, true AS meets_floor "
         "UNION ALL SELECT 'lsh', true "
-        "UNION ALL SELECT 'lsh_multi', true"
+        "UNION ALL SELECT 'lsh_multi', true "
+        "UNION ALL SELECT 'pq', true"
     )
     # recall 1.0 at this config: the multi-table result IS the exact
     # top-10, so the oracle is the brute-force SQL itself

@@ -842,13 +842,57 @@ def test_ann_recall_gate(embeddings):
     gate is what caught single-table 8-bit LSH collapsing to <0.1
     recall on near-isotropic embeddings)."""
     rows = {r["method"]: r for r in similarity.ann_recall(embeddings).collect()}
-    assert set(rows) == {"ivf", "lsh", "lsh_multi"}
+    assert set(rows) == {"ivf", "lsh", "lsh_multi", "pq"}
     for m, r in rows.items():
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert r["meets_floor"], f"{m} recall {r['recall_at_k']} below floor"
     # the multi-table OR (r7) must clear its raised 0.8 floor — the
     # production recall lever over the single-table 0.4 gate
     assert rows["lsh_multi"]["recall_at_k"] >= 0.8
+
+
+def test_pq_encode_and_search_hand_computed(spark):
+    """PQ with n_iters=0 uses the first n_codes subvectors verbatim as
+    codebooks, so codes and the ADC ordering are hand-computable."""
+    vecs = [
+        (0, [0.0, 0.2, 0.0, 0.2]),   # non-zero norm (ANSI cosine)
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [0.1, 0.1, 0.9, 0.9]),   # sub0 near v0, sub1 near v1
+        (3, [0.9, 0.9, 0.1, 0.1]),   # sub0 near v1, sub1 near v0
+        (4, [1.1, 0.9, 1.0, 1.0]),   # both near v1
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    books = similarity.pq_train(emb, m=2, n_codes=2, n_iters=0)
+    assert books == [[[0.0, 0.2], [1.0, 1.0]], [[0.0, 0.2], [1.0, 1.0]]]
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(emb, books).collect()
+    }
+    assert codes == {0: [0, 0], 1: [1, 1], 2: [0, 1], 3: [1, 0], 4: [1, 1]}
+    # refine wide enough to cover the corpus → exact brute-force top-k
+    got = similarity.ann_pq_search(
+        emb, query_id=1, k=2, codebooks=books, encoded=similarity.pq_encode(emb, books),
+        refine=5,
+    ).collect()
+    truth = similarity.knn_brute_force(emb, 1, 2).collect()
+    assert [(r["vec_id"], r["sim"]) for r in got] == [
+        (r["vec_id"], r["sim"]) for r in truth
+    ]
+
+
+def test_pq_train_refines_and_search_narrow_refine(embeddings):
+    """Trained codebooks keep shape m × n_codes × (dim/m); a narrow
+    refine still returns k rows ordered by exact cosine."""
+    books = similarity.pq_train(embeddings, m=8, n_codes=16, n_iters=1)
+    assert len(books) == 8 and all(len(s) == 16 for s in books)
+    assert all(len(c) == 8 for s in books for c in s)
+    res = similarity.ann_pq_search(
+        embeddings, query_id=3, k=5, codebooks=books, refine=4
+    ).collect()
+    assert len(res) == 5
+    sims = [r["sim"] for r in res]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["vec_id"] != 3 for r in res)
 
 
 # ----------------------------------------------------------------------
