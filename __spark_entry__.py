@@ -720,6 +720,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_ngram_jaccard"] = lambda s, d: text.ngram_jaccard_pairs(
         _tables(s, d)["documents"], threshold=0.2
     )
+    # r8s4: keep-one policy upgrade — per near-dup cluster keep the
+    # LONGEST member (n_chars desc, doc_id asc), not min-id; clusters =
+    # transitive closure of exact n-gram Jaccard pairs at 0.2 (the
+    # text_ngram_jaccard relation), so fully value-checkable.
+    q["dedup_keep_best"] = lambda s, d: text.keep_best_per_cluster(
+        _tables(s, d)["documents"], n=3, threshold=0.2
+    )
 
     # --- embeddings ---------------------------------------------------
     q["embed_cosine_threshold"] = lambda s, d: similarity.cosine_above_threshold(
@@ -2263,6 +2270,35 @@ def oracle_sql() -> dict[str, str]:
         "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
         "JOIN sizes sb ON doc_b = sb.doc_id "
         "WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.2"
+    )
+    o["dedup_keep_best"] = (
+        "WITH RECURSIVE sh AS MATERIALIZED ("
+        "SELECT doc_id, lang, unnest(list_distinct(list_transform("
+        "range(0, greatest(len(t) - 3, 0) + 1), "
+        "i -> array_to_string(t[i + 1:i + 3], ' ')))) AS gram "
+        f"FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.gram = b.gram AND a.lang = b.lang "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT doc_a, doc_b FROM inter "
+        "JOIN sizes sa ON doc_a = sa.doc_id "
+        "JOIN sizes sb ON doc_b = sb.doc_id "
+        "WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.2), "
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(v, r) AS (SELECT a, a FROM e "
+        "UNION SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.v), "
+        "cc AS (SELECT v AS doc_id, min(r) AS group_id FROM reach GROUP BY v), "
+        "m AS (SELECT cc.doc_id, cc.group_id, d.n_chars, "
+        "row_number() OVER (PARTITION BY cc.group_id "
+        "ORDER BY d.n_chars DESC, cc.doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY cc.group_id) AS cluster_size "
+        "FROM cc JOIN documents d USING (doc_id)) "
+        "SELECT group_id, CAST(cluster_size AS BIGINT) AS cluster_size, "
+        "doc_id AS keep_doc_id, n_chars AS keep_n_chars, "
+        "CAST(cluster_size - 1 AS BIGINT) AS dropped "
+        "FROM m WHERE rn = 1"
     )
     o["dedup_lsh_recall"] = (
         "WITH sh AS MATERIALIZED ("

@@ -679,6 +679,54 @@ def pack_sequences(
     )
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-preferred canonical selection per near-duplicate cluster
+    — the policy step after dedup: instead of keep-min-id, keep the
+    LONGEST member (``n_chars`` desc, ``doc_id`` asc tie-break), which
+    in practice keeps the least-truncated copy of a scraped page.
+
+    ``pairs`` is any (doc_a, doc_b) near-dup relation (MinHash-LSH at
+    scale; defaults to exact n-gram Jaccard so the output is fully
+    value-checkable).  Clusters = transitive closure (connected
+    components); singletons never appear (nothing to drop).
+
+    Shape at 100 TB: pairs → CC (superstep joins over pair-graph-sized
+    data, tiny vs the corpus) → one broadcast-able join back to the doc
+    dims → one groupBy(cluster) argmax.  Output: (group_id,
+    cluster_size, keep_doc_id, keep_n_chars, dropped) where dropped =
+    cluster_size - 1 rows freed by the keep-one policy."""
+    from pg_age_digitaltwins_spark.operators.similarity import near_dup_groups
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+    groups = near_dup_groups(pairs)
+    members = groups.join(docs.select("doc_id", "n_chars"), "doc_id")
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("negid")
+        )
+    ).alias("b")
+    return (
+        members.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            best,
+        )
+        .select(
+            "group_id",
+            "cluster_size",
+            (-F.col("b.negid")).alias("keep_doc_id"),
+            F.col("b.nc").alias("keep_n_chars"),
+            (F.col("cluster_size") - 1).alias("dropped"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame, window: int = 128, stride: int = 64
 ) -> DataFrame:

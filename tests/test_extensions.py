@@ -1268,6 +1268,33 @@ def test_chunk_documents_windows(spark):
     assert covered == {f"t{i}" for i in range(10)}
 
 
+def test_keep_best_per_cluster_hand_computed(spark):
+    from pg_age_digitaltwins_spark.operators.text import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short", 5),
+            (2, "a much longer copy", 18),
+            (3, "another", 7),
+            (4, "tie", 7),       # ties with 3 on n_chars → min doc_id wins
+            (9, "singleton", 9),  # never in pairs → absent from output
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    # explicit pair relation: {1,2} and {3,4} (transitive via 3-4 only)
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    rows = {
+        r["group_id"]: r for r in keep_best_per_cluster(docs, pairs).collect()
+    }
+    assert set(rows) == {1, 3}
+    assert rows[1]["keep_doc_id"] == 2 and rows[1]["keep_n_chars"] == 18
+    assert rows[1]["cluster_size"] == 2 and rows[1]["dropped"] == 1
+    # n_chars tie → smaller doc_id kept
+    assert rows[3]["keep_doc_id"] == 3 and rows[3]["keep_n_chars"] == 7
+
+
 def test_lsh_dedup_recall_gate(spark):
     from pg_age_digitaltwins_spark.operators.similarity import lsh_dedup_recall
 
