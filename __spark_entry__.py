@@ -248,6 +248,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toInteger(floor(toFloat(c.acctbal))) AS fl, "
         "toInteger(ceil(toFloat(c.acctbal))) AS cl"
     )
+    # r8s4: both openCypher CASE forms — searched (WHEN <pred>) and
+    # simple (CASE <expr> WHEN <value>) — in one value-checked key
+    q["cypher_case_when"] = _adt(
+        "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "RETURN c.`$dtId` AS id, "
+        "CASE WHEN toFloat(c.acctbal) < 0 THEN 'debt' "
+        "WHEN toFloat(c.acctbal) < 5000 THEN 'low' ELSE 'high' END AS band, "
+        "CASE c.mktsegment WHEN 'BUILDING' THEN 1 "
+        "WHEN 'MACHINERY' THEN 2 ELSE 0 END AS seg"
+    )
     q["cypher_min_max_qty"] = _adt(
         "MATCH (o)-[r:contains]->(p) "
         "RETURN toFloat(max(r.quantity)) AS max_qty, toFloat(min(r.quantity)) AS min_qty"
@@ -1642,6 +1652,13 @@ def oracle_sql() -> dict[str, str]:
         "round(sqrt(abs(c_acctbal)), 4) AS rt, "
         "CAST(floor(c_acctbal) AS BIGINT) AS fl, "
         "CAST(ceil(c_acctbal) AS BIGINT) AS cl FROM customer"
+    )
+    o["cypher_case_when"] = (
+        "SELECT 'cust-' || c_custkey AS id, "
+        "CASE WHEN c_acctbal < 0 THEN 'debt' "
+        "WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band, "
+        "CAST(CASE c_mktsegment WHEN 'BUILDING' THEN 1 "
+        "WHEN 'MACHINERY' THEN 2 ELSE 0 END AS BIGINT) AS seg FROM customer"
     )
     o["cypher_min_max_qty"] = (
         "SELECT CAST(max(l_quantity) AS DOUBLE) AS max_qty, "
