@@ -525,6 +525,11 @@ def minhash_lsh_pairs(
     if num_hashes is None:
         probe = signatures.select(F.size("sig").alias("n")).head(1)
         num_hashes = probe[0]["n"] if probe else bands
+    # Materialize the signature table once: three consumers below
+    # (banding, and each side of the est join) would otherwise re-run
+    # the whole shingle+minhash pipeline per subtree.  At corpus scale
+    # this is the stored-signature-column-at-ingest shape.
+    signatures = signatures.localCheckpoint(eager=False)
     rpb = max(1, num_hashes // bands)
     band_structs = [
         F.struct(
@@ -533,16 +538,20 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
+    # The banded shuffle carries ONLY (doc_id, band, bhash) — ~16 bytes
+    # per row.  (An earlier shape carried the full 64-lane signature
+    # through the explode, i.e. ``bands`` copies of every signature over
+    # the wire — a 16× shuffle blowup that dominates at corpus scale;
+    # the signatures instead rejoin the deduplicated candidate pairs
+    # below, touching each sig once per SIDE, not once per band.)
     banded = signatures.select(
         "doc_id",
-        "sig",
         F.explode(F.array(*band_structs)).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
     # Cap BEFORE the aggregation so the collect_list row itself is
-    # bounded (max_bucket·sig, ~50 KB at the defaults), not just the
-    # pair expansion.  The window partitions by the same key as the
-    # groupBy, so Catalyst reuses the hash partitioning — still one
-    # shuffle end-to-end.
+    # bounded (max_bucket ids, a few KB), not just the pair expansion.
+    # The window partitions by the same key as the groupBy, so Catalyst
+    # reuses the hash partitioning — still one shuffle end-to-end.
     w = Window.partitionBy("band", "bhash").orderBy("doc_id")
     capped = (
         banded.withColumn("__rn", F.row_number().over(w))
@@ -551,45 +560,50 @@ def minhash_lsh_pairs(
     )
     buckets = (
         capped.groupBy("band", "bhash")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    # all i<j pairs within a bucket, est = fraction of equal sig lanes
-    n = F.size("ms")
-    pairs = F.flatten(
+    # all i<j pairs within a bucket; distinct BEFORE the est join so a
+    # pair sharing several bands is scored once, not once per band
+    n = F.size("ids")
+    idx_pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), n - 1),
             lambda i: F.transform(
                 F.sequence(i + 1, n),
                 lambda j: F.struct(
-                    F.element_at("ms", i)["doc_id"].alias("doc_a"),
-                    F.element_at("ms", j)["doc_id"].alias("doc_b"),
-                    (
-                        F.size(
-                            F.filter(
-                                F.zip_with(
-                                    F.element_at("ms", i)["sig"],
-                                    F.element_at("ms", j)["sig"],
-                                    lambda x, y: (x == y).cast("int"),
-                                ),
-                                lambda v: v == 1,
-                            )
-                        ).cast("double")
-                        / F.size(F.element_at("ms", i)["sig"]).cast("double")
-                    ).alias("est"),
+                    F.element_at("ids", i).alias("doc_a"),
+                    F.element_at("ids", j).alias("doc_b"),
                 ),
             ),
         )
     )
+    cand = (
+        buckets.select(F.explode(idx_pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    # est = fraction of equal signature lanes; the candidate side is
+    # tiny by LSH construction (and hard-bounded by max_bucket²), so
+    # AQE broadcasts it and each sig join is one pass over signatures
+    sa = signatures.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("__sa"))
+    sb = signatures.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("__sb"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("__sa"), F.col("__sb"), lambda x, y: (x == y).cast("int")
+                ),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.size(F.col("__sa")).cast("double")
+    )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-            F.round(F.col("p.est"), 4).alias("est_jaccard"),
-        )
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
