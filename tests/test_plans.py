@@ -466,3 +466,36 @@ def test_wide_fixture_tables_scan_parallel_without_repartition(spark):
     assert "REPARTITION_BY_NUM" not in plan, plan
     assert "RoundRobinPartitioning" not in plan, plan
     assert len(li.inputFiles()) > 1
+
+
+def test_minhash_banding_exchange_carries_ids_only(spark):
+    """r8: the LSH banding shuffle must move (doc_id, band, bhash) rows
+    only — never the 64-lane signature (an earlier shape exploded the
+    signature into every band, a 16x shuffle blowup at corpus scale).
+    The signature re-enters via the est join AFTER candidate dedup."""
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from pg_age_digitaltwins_spark.operators.text import ngram_shingles
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    pairs = minhash_lsh_pairs(
+        minhash_signatures(ngram_shingles(docs)), threshold=0.5, num_hashes=64
+    )
+    plan = _plan(pairs)
+    import re
+
+    # the banding exchange moves exactly 3 small columns — doc_id,
+    # band, bhash — and never the signature array
+    ex = re.search(
+        r"Input \[3\]: \[(doc_id\S*, band\S*, bhash\S*)\]\n"
+        r"Arguments: hashpartitioning\(band",
+        plan,
+    )
+    assert ex, plan
+    assert "sig" not in ex.group(1), ex.group(1)
+    # candidate pairs deduplicate BEFORE the signature join: a
+    # HashAggregate keyed on (doc_a, doc_b) with no est in its key
+    assert re.search(r"Keys \[2\]: \[doc_a\S*, doc_b\S*\]", plan), plan
