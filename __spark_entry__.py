@@ -422,6 +422,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DuckDB CTE chains (_cc_oracle / _pagerank_oracle)
     q["graph_connected_components"] = _cc
     q["graph_pagerank"] = _pr
+
+    # r8s4: Louvain-style modularity communities — deterministic
+    # (integer gain comparisons, min-id ties, parity-gated moves,
+    # fixed rounds) but not SQL-expressible → rows-only; quality is
+    # pinned by crafted-clique tests and the modularity metric below.
+    def _louvain(s, d):
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            louvain_communities,
+        )
+
+        st = _store(s, d)
+        return louvain_communities(st.twins, st.relationships)
+
+    q["graph_louvain"] = _louvain
+
+    # modularity metric, value-checked via connected components (every
+    # CC edge is intra-community, so DuckDB can replicate Q exactly
+    # from the same recursive closure + degree sums)
+    def _modularity_cc(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            connected_components,
+            modularity,
+        )
+
+        st = _store(s, d)
+        comm = connected_components(st.twins, st.relationships).select(
+            "dt_id", F.col("component").alias("community")
+        )
+        return modularity(st.relationships, comm)
+
+    q["graph_modularity_cc"] = _modularity_cc
     # The twin graph is a DAG (order→cust→nation→region), so every SCC
     # is a singleton — the oracle pins that; cycle behavior is carried
     # by the crafted-graph pytest suite (like clustering coefficient).
@@ -1797,6 +1830,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM nation GROUP BY n_regionkey"
     )
     o["graph_connected_components"] = _cc_oracle()
+    # modularity of the CC partition: in_c == sigma_c for a connected
+    # component (no edge leaves it), so Q = (2m·Σσ − Σσ²) / (2m)² over
+    # exact BIGINT sums — one IEEE division at the end on both engines
+    o["graph_modularity_cc"] = (
+        f"WITH cc AS MATERIALIZED (SELECT * FROM ({_cc_oracle()})), "
+        f"directed AS MATERIALIZED ({_EDGES_SQL}), "
+        "edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM directed UNION ALL SELECT dst, src FROM directed) "
+        "WHERE src <> dst), "
+        "deg AS (SELECT src AS dt_id, CAST(count(*) AS BIGINT) AS k "
+        "FROM edges GROUP BY src), "
+        "sig AS (SELECT component, CAST(SUM(k) AS BIGINT) AS sigma "
+        "FROM cc JOIN deg USING (dt_id) GROUP BY component), "
+        "tm AS (SELECT CAST(SUM(k) AS BIGINT) AS two_m FROM deg) "
+        "SELECT (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM cc) "
+        "AS n_communities, "
+        "round(CAST(SUM(two_m * sigma) - SUM(sigma * sigma) AS DOUBLE) "
+        "/ (CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE)), 6) AS modularity "
+        "FROM sig, tm GROUP BY two_m"
+    )
     o["graph_scc"] = (
         f"SELECT dt_id, dt_id AS scc FROM ({_ALL_TWIN_IDS})"
     )

@@ -1515,3 +1515,49 @@ def test_ngram_lm_score_hand_computed(spark):
     assert out[0]["sum_logp_fp"] == round(lp_ab * 1e6) * 2 + round(lp_ba * 1e6)
     # ranking: in-distribution doc beats the OOV doc
     assert out[1]["mean_logp"] > out[2]["mean_logp"]
+
+
+def test_louvain_two_cliques(spark):
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        louvain_communities,
+        modularity,
+    )
+
+    a, b = list("abcd"), list("efgh")
+    edges = [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+    edges += [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+    edges.append(("d", "e"))  # bridge
+    twins = spark.createDataFrame([(n,) for n in a + b], "dt_id string")
+    rels = spark.createDataFrame(
+        [(f"r{i}", s, t, "e") for i, (s, t) in enumerate(edges)],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    comm = {
+        r["dt_id"]: r["community"]
+        for r in louvain_communities(twins, rels).collect()
+    }
+    # the two cliques are exactly the two communities
+    assert len({comm[x] for x in a}) == 1
+    assert len({comm[x] for x in b}) == 1
+    assert comm["a"] != comm["e"]
+    # hand-computed Q for the clique partition: m=13, per clique
+    # in_c=12 (doubled), sigma_c=13 -> Q = 2*(12/26 - (13/26)^2)
+    cdf = spark.createDataFrame(
+        [(k, v) for k, v in comm.items()], "dt_id string, community string"
+    )
+    [row] = modularity(rels, cdf).collect()
+    assert row["n_communities"] == 2
+    assert abs(row["modularity"] - 0.423077) < 1e-6
+
+
+def test_louvain_isolated_and_no_edges(spark):
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        louvain_communities,
+    )
+
+    twins = spark.createDataFrame([("x",), ("y",)], "dt_id string")
+    rels = spark.createDataFrame(
+        [], "relationship_id string, source_id string, target_id string, name string"
+    )
+    comm = {r["dt_id"]: r["community"] for r in louvain_communities(twins, rels).collect()}
+    assert comm == {"x": "x", "y": "y"}
