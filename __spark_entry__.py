@@ -1385,12 +1385,16 @@ _DRIVER_WINDOW = [
     "cypher_shortest_path", "cypher_agg_stats", "cypher_scalar_math",
     "cypher_count_subquery", "cypher_with_entity_agg_continuation",
     "cypher_with_entity_passthrough", "cypher_call_topk_per_entity",
-    # graph analytics (6)
+    # graph analytics (6) — r8s4: modularity_cc (value-checked vs the
+    # recursive-CTE closure) replaces collect_neighbors, which the
+    # Cypher collect keys already represent
     "graph_connected_components", "graph_pagerank", "graph_scc",
-    "graph_kcore", "graph_triangle_count", "graph_collect_neighbors",
-    # dedup + text pipeline (10)
+    "graph_kcore", "graph_triangle_count", "graph_modularity_cc",
+    # dedup + text pipeline (10) — r8s4: keep_best (value-checked
+    # keep-one policy) replaces fingerprints, which dedup_exact_stats
+    # already derives from
     "dedup_exact_stats", "dedup_semantic_clusters", "dedup_embedding_cosine",
-    "text_token_counts", "text_fingerprints", "text_decontaminate",
+    "text_token_counts", "dedup_keep_best", "text_decontaminate",
     "text_ngram_jaccard", "text_quality", "text_lang_id",
     "pipeline_clean_corpus",
     # embeddings / ANN (4)
