@@ -819,6 +819,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_ann_pq"] = lambda s, d: similarity.ann_pq_search(
         _tables(s, d)["embeddings"], query_id=0, k=10
     )
+
+    # batched-query PQ: one codebook + one encoded scan for N queries
+    # (same FP-training caveat → rows-only; equality with the N single
+    # calls is pinned by test_pq_batch_matches_per_query_calls)
+    def _pq_batch(s, d):
+        from pyspark.sql import functions as F
+
+        emb = _tables(s, d)["embeddings"]
+        qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ann_pq_search_batch(emb, qs, k=10)
+
+    q["embed_ann_pq_batch"] = _pq_batch
     # ANN quality gate: recall@10 vs brute force must clear per-method
     # floors; the recall VALUE depends on hash/centroid layout (rows-
     # only territory) but the floor contract is value-checkable — an

@@ -1218,3 +1218,93 @@ def ann_pq_search(
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ann_pq_search_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    train_iters: int = 2,
+    refine: int = 10,
+    codebooks: list | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Batched-query PQ ANN: one codebook training + one encoded-corpus
+    scan resolves top-k for a whole DataFrame of (query_id, embedding)
+    rows — the retrieval-pipeline shape, mirroring
+    ``ann_lsh_multitable_batch``.
+
+    Each query's ADC distance table is computed on the driver from the
+    tiny codebook (queries are the small side by assumption) and rides
+    along as a broadcast column, so candidate scoring is a single
+    crossJoin-free... rather: broadcast-join pass over the encoded
+    corpus — score = Σ_i dtab[i][codes[i]] via ``zip_with``+
+    ``aggregate``, per (query, vector).  Top ``refine·k`` per query by
+    ADC (one window over candidates), then exact cosine re-rank.
+
+    Output: (query_id, vec_id, sim, rank), rank 1..k, ties broken
+    (sim DESC, vec_id); a query never matches itself."""
+    from pyspark.sql.window import Window
+
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m=m, n_codes=n_codes, n_iters=train_iters)
+    m = len(codebooks)
+    if encoded is None:
+        encoded = pq_encode(embeddings, codebooks)
+    qrows = queries.select("query_id", "embedding").collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    sub_w = len(qrows[0]["embedding"]) // m
+    dtab_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        dtab = [
+            [
+                sum((qv[s * sub_w + j] - cent[j]) ** 2 for j in range(sub_w))
+                for cent in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+        dtab_rows.append((r["query_id"], dtab))
+    spark = embeddings.sparkSession
+    qdtab = F.broadcast(
+        spark.createDataFrame(
+            dtab_rows, "query_id long, dtab array<array<double>>"
+        )
+    )
+    adc = (
+        encoded.join(qdtab, encoded["vec_id"] != qdtab["query_id"])
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("codes"), F.col("dtab"), lambda c, row: row[c]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    cand = (
+        adc.withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= refine * k)
+        .select("query_id", "vec_id")
+    )
+    qvecs = F.broadcast(
+        queries.select("query_id", F.col("embedding").alias("__q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        embeddings.join(F.broadcast(cand), "vec_id")
+        .join(qvecs, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("__q")), 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )

@@ -880,6 +880,39 @@ def test_pq_encode_and_search_hand_computed(spark):
     ]
 
 
+def test_pq_batch_matches_per_query_calls(embeddings):
+    """One codebook + one encoded-corpus scan must reproduce the N
+    independent single-query results exactly (same re-rank, same
+    tie-breaks), with no self-matches."""
+    from pyspark.sql import functions as F
+
+    books = similarity.pq_train(embeddings, m=8, n_codes=16, n_iters=1)
+    enc = similarity.pq_encode(embeddings, books)
+    qs = embeddings.filter(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = similarity.ann_pq_search_batch(
+        embeddings, qs, k=5, codebooks=books, encoded=enc
+    ).collect()
+    assert len(batch) == 10
+    assert all(r["query_id"] != r["vec_id"] for r in batch)
+    for qid in (0, 2):
+        single = [
+            (r["vec_id"], r["sim"])
+            for r in similarity.ann_pq_search(
+                embeddings, qid, 5, codebooks=books, encoded=enc
+            ).collect()
+        ]
+        got = [
+            (r["vec_id"], r["sim"])
+            for r in sorted(
+                (x for x in batch if x["query_id"] == qid),
+                key=lambda x: x["rank"],
+            )
+        ]
+        assert got == single
+
+
 def test_pq_train_refines_and_search_narrow_refine(embeddings):
     """Trained codebooks keep shape m × n_codes × (dim/m); a narrow
     refine still returns k rows ordered by exact cosine."""
