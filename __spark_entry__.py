@@ -2036,9 +2036,9 @@ def oracle_sql() -> dict[str, str]:
         "WHEN 'src0' THEN 1000000000 WHEN 'src1' THEN 1000 "
         "WHEN 'src2' THEN 300 ELSE 0 END AS DOUBLE) / tot) AS rate FROM tot) "
         "SELECT key, source, n_tokens FROM t JOIN r USING (source) "
-        "WHERE rate >= 1.0 OR "
-        "substr(md5('mixture' || '|' || CAST(key AS VARCHAR)), 1, 4) < "
-        "printf('%04x', CAST(floor(rate * 65536) AS INT))"
+        "WHERE rate >= 1.0 OR (rate > 0 AND "
+        "substr(md5('mixture' || '|' || CAST(key AS VARCHAR)), 1, 8) < "
+        "printf('%08x', greatest(1, CAST(floor(rate * 4294967296.0) AS BIGINT))))"
     )
     o["text_lm_score"] = (
         "WITH toks AS (SELECT doc_id, source, "
@@ -2055,10 +2055,14 @@ def oracle_sql() -> dict[str, str]:
         "CAST(round(ln((COALESCE(c12.c12, 0) + 1.0) / "
         "(COALESCE(c1.c1, 0) + 1.0 * v.v)) * 1e6) AS BIGINT) AS lp_fp "
         "FROM big b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2 "
-        "LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v) "
-        "SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_terms, "
+        "LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v), "
+        "agg AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_terms, "
         "CAST(sum(lp_fp) AS BIGINT) AS sum_logp_fp "
-        "FROM terms GROUP BY doc_id, source"
+        "FROM terms GROUP BY doc_id, source) "
+        "SELECT d.doc_id, d.source, "
+        "CAST(COALESCE(a.n_terms, 0) AS BIGINT) AS n_terms, a.sum_logp_fp "
+        "FROM documents d LEFT JOIN agg a "
+        "ON d.doc_id = a.doc_id AND d.source = a.source"
     )
     o["text_chunk_documents"] = (
         f"WITH t AS (SELECT doc_id, {_TOKS_RAW} AS toks FROM documents), "

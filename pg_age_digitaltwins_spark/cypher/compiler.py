@@ -383,6 +383,16 @@ class CypherCompiler:
                     f"{what}s may not reference a second bound "
                     "variable — bind it with another MATCH instead"
                 )
+        # a relationship alias bound in the outer MATCH would silently
+        # rebind as a FRESH edge inside the sub-frame (decorrelating the
+        # predicate) — reject it like a second bound node
+        for ed in path.edges:
+            if ed.alias and ed.alias in env:
+                raise CypherCompileError(
+                    f"{what}s may not reference the bound relationship "
+                    f"variable {ed.alias!r} — bind it with another "
+                    "MATCH instead"
+                )
         if path.var or path.shortest or any(
             e.var_length is not None for e in path.edges
         ):
@@ -515,8 +525,19 @@ class CypherCompiler:
         sub = CypherCompiler(self.store)
         sub.cartesian_guard = self.cartesian_guard
         sub_env: dict[str, Binding] = {}
-        seed = C.NodePat(alias=imp, labels=[], props={})
-        sub_df, _ = sub._bind_node(None, sub_env, seed)
+        # seed the subquery frame to MATCH the imported binding's kind —
+        # a twin seed for a rel/model import would join relationship_id
+        # or model id against twin dt_id and silently return nothing
+        if mb.kind == "rel":
+            sub_env[imp] = Binding(imp, "rel", imp, key_col="relationship_id")
+            sub_df = sub._rels.alias(imp)
+        else:
+            seed = C.NodePat(
+                alias=imp,
+                labels=(["Model"] if mb.kind == "model" else []),
+                props={},
+            )
+            sub_df, _ = sub._bind_node(None, sub_env, seed)
         for cl in inner.clauses:
             if isinstance(cl, C.MatchClause):
                 sub_df = sub._match(sub_df, sub_env, cl)
@@ -782,7 +803,9 @@ class CypherCompiler:
             edge, incoming=edge.direction == "<-"
         )
         e_alias = edge.alias or self._anon_alias()
-        e = Binding(edge.alias or "", "rel", e_alias)
+        e = Binding(
+            edge.alias or "", "rel", e_alias, key_col="relationship_id"
+        )
         # path accessors (nodes/relationships over `p = ...`) read the
         # hop's edge binding; _match clears this per path
         self._hop_edges.append((e, rel_kind))
@@ -1334,7 +1357,14 @@ class CypherCompiler:
                 prefix = f"__o_{nm}"
                 for fc in self._opt_frame_cols(b.kind):
                     cols.append(self._col(b, fc).alias(f"{prefix}__{fc}"))
-                new_env[nm] = Binding(nm, b.kind, prefix)
+                new_env[nm] = Binding(
+                    nm,
+                    b.kind,
+                    prefix,
+                    key_col=(
+                        "relationship_id" if b.kind == "rel" else "dt_id"
+                    ),
+                )
             elif has_agg and C.has_aggregate(src):
                 agg_items.append((nm, src))
                 new_env[nm] = Binding(nm, "value", nm)
@@ -2161,10 +2191,16 @@ class CypherCompiler:
                 )
             if promoted:
                 c = self._col(b, promoted)
+                # promoted columns are strings except model.decommissioned
+                # (BOOLEAN): agtype semantics say a boolean is primitive
+                # but NOT a string
+                is_bool_col = promoted == "decommissioned"
                 return {
                     "is_number": F.lit(False),
                     "is_object": F.lit(False),
-                    "is_string": c.isNotNull(),
+                    "is_string": (
+                        F.lit(False) if is_bool_col else c.isNotNull()
+                    ),
                     "is_primitive": c.isNotNull(),
                 }[n]
             if b.df_alias.startswith("__o_"):

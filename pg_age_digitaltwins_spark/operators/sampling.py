@@ -189,10 +189,13 @@ def mixture_sample(
     """Data-mixing: downsample each source to a per-source TOKEN budget
     (the pretraining-mixture shape — "30M web tokens, 10M code
     tokens").  Per source, the keep rate is ``min(1, budget /
-    available_tokens)`` and the keep decision is the module's usual
-    deterministic md5 bucket on (salt, key) — reproducible, portable,
-    coordination-free.  Sources absent from ``token_budgets`` are
-    dropped (budget 0).
+    available_tokens)`` and the keep decision is a deterministic md5
+    bucket on (salt, key) — reproducible, portable, coordination-free.
+    This operator uses an 8-hex-digit (2^32) bucket space rather than
+    the module's 4-hex default: mixture rates get genuinely tiny
+    (budget / corpus tokens), and the wider space keeps granularity at
+    ~2.3e-10 with a floor of one bucket for any positive budget.
+    Sources absent from ``token_budgets`` are dropped (budget 0).
 
     100 TB shape: ONE token-count scan + a tiny per-source aggregate
     (|sources| rows, AQE broadcasts it back) + a stateless per-row
@@ -219,17 +222,39 @@ def mixture_sample(
             "rate"
         ),
     )
-    # threshold in the SAME 4-hex-bucket space as the rest of the
-    # module; rate >= 1 keeps everything (its threshold would need 5
-    # hex digits, which string-compares wrong against 4-digit buckets)
-    thr = F.lower(
-        F.lpad(
-            F.hex(F.floor(F.col("rate") * 65536).cast("int")), 4, "0"
-        )
+    # 8-hex-digit bucket space (2^32 buckets — granularity ~2.3e-10):
+    # the module's 4-hex space quantizes the keep rate to 1/65536, and
+    # any source with budget/total < 1/65536 would floor to threshold 0
+    # and silently emit NOTHING (at real mixture scales — a 1M-token
+    # budget over a 10^11-token source — that triggers).  The threshold
+    # is also ceiled to 1 bucket whenever budget > 0, so a positive
+    # budget always has a nonzero keep probability; rate >= 1 keeps
+    # everything (its threshold would overflow the digit width, which
+    # string-compares wrong)
+    thr = F.when(
+        F.col("rate") > 0,
+        F.lower(
+            F.lpad(
+                F.hex(
+                    F.greatest(
+                        F.lit(1).cast("bigint"),
+                        F.floor(F.col("rate") * F.lit(4294967296.0)).cast(
+                            "bigint"
+                        ),
+                    )
+                ),
+                8,
+                "0",
+            )
+        ),
+    ).otherwise(F.lit("00000000"))
+    b8 = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col("key").cast("string"))),
+        1,
+        8,
     )
-    b = _bucket(salt, F.col("key").cast("string"))
     return (
         t.join(rates, "source")
-        .filter((F.col("rate") >= 1.0) | (b < thr))
+        .filter((F.col("rate") >= 1.0) | (b8 < thr))
         .select("key", "source", "n_tokens")
     )

@@ -840,10 +840,26 @@ def ngram_lm_score(
             F.round(logp * F.lit(1e6)).cast("long").alias("lp_fp"),
         )
     )
-    return scored.groupBy("doc_id", "source").agg(
+    agg = scored.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.sum("lp_fp").alias("sum_logp_fp"),
         F.round(
             (F.sum("lp_fp") / F.count(F.lit(1))) / F.lit(1e6), 6
         ).alias("mean_logp"),
+    )
+    # every document scores: docs with < 2 tokens emit no bigram terms,
+    # so left-join the aggregate back and give them n_terms=0 with a
+    # null (neutral) score rather than dropping them from the output
+    return (
+        docs.select("doc_id", "source")
+        .join(agg, ["doc_id", "source"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_terms"), F.lit(0).cast("long")).alias(
+                "n_terms"
+            ),
+            "sum_logp_fp",
+            "mean_logp",
+        )
     )

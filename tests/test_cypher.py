@@ -1895,3 +1895,56 @@ def test_temporal_constructors(fixture_store):
         "RETURN t.`$dtId` AS id",
     )
     assert out == [{"id": "room1"}]
+
+
+# ---------------------------------------------------------------------------
+# r9: ADVICE regressions — CALL imports match the binding's kind; EXISTS
+# rejects outer-bound relationship variables; is_string/is_primitive on
+# a promoted BOOLEAN column
+# ---------------------------------------------------------------------------
+
+def test_call_subquery_imports_relationship(spark):
+    store = _subquery_store(spark)
+    out = rows(store,
+               "MATCH (a {`$dtId`: 'n0'})-[r:knows]->(b) "
+               "CALL { WITH r RETURN r.`$targetId` AS tgt } "
+               "RETURN tgt ORDER BY tgt")
+    assert [r["tgt"] for r in out] == ["n1", "n2", "n3"]
+
+
+def test_call_subquery_imports_model(fixture_store):
+    # a model import must seed the MODELS frame (not a twin scan) —
+    # counting each model's _extends parents
+    out = rows(fixture_store,
+               "MATCH (m:Model) CALL { WITH m "
+               "MATCH (m)-[:_extends]->(b) RETURN count(b) AS nb } "
+               "RETURN m.id AS id, nb ORDER BY id")
+    got = {r["id"]: r["nb"] for r in out}
+    assert got == {
+        "dtmi:com:adt:dtsample:room;1": 0,
+        "dtmi:com:contoso:CelestialBody;1": 0,
+        "dtmi:com:contoso:Planet;1": 1,
+        "dtmi:com:contoso:HabitablePlanet;1": 1,
+    }
+
+
+def test_exists_subquery_rejects_bound_relationship(spark):
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    store = _subquery_store(spark)
+    with pytest.raises(CypherCompileError, match="bound relationship"):
+        rows(store,
+             "MATCH (a)-[r:knows]->(b) WHERE EXISTS { (a)-[r]->() } "
+             "RETURN a.`$dtId` AS id")
+
+
+def test_is_string_on_promoted_boolean(fixture_store):
+    # model.decommissioned is a promoted BOOLEAN column: a boolean is
+    # primitive but NOT a string (agtype semantics)
+    out = rows(fixture_store,
+               "MATCH (m:Model) WHERE m.id = 'dtmi:com:contoso:Planet;1' "
+               "RETURN is_string(m.decommissioned) AS s, "
+               "is_primitive(m.decommissioned) AS p, "
+               "is_number(m.decommissioned) AS n, "
+               "is_string(m.id) AS sid")
+    assert out == [{"s": False, "p": True, "n": False, "sid": True}]

@@ -1522,7 +1522,7 @@ def test_ngram_lm_score_hand_computed(spark):
             (0, "a b a b", "en", "train", 7),
             (1, "a b", "en", "other", 3),
             (2, "z q", "en", "other", 3),   # fully OOV
-            (3, "a", "en", "other", 1),      # <2 tokens → no output row
+            (3, "a", "en", "other", 1),      # <2 tokens → n_terms=0 row
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
@@ -1541,7 +1541,10 @@ def test_ngram_lm_score_hand_computed(spark):
     assert out[1]["n_terms"] == 1
     assert out[1]["sum_logp_fp"] == round(lp_ab * 1e6)
     assert out[2]["sum_logp_fp"] == round(lp_zq * 1e6)
-    assert 3 not in out
+    # <2-token docs still score: n_terms=0 with a null (neutral) score
+    assert out[3]["n_terms"] == 0
+    assert out[3]["sum_logp_fp"] is None
+    assert out[3]["mean_logp"] is None
     # the training docs score themselves (doc 0: ab, ba, ab)
     lp_ba = math.log((1 + 1) / (1 + 2))
     assert out[0]["n_terms"] == 3
@@ -1594,3 +1597,39 @@ def test_louvain_isolated_and_no_edges(spark):
     )
     comm = {r["dt_id"]: r["community"] for r in louvain_communities(twins, rels).collect()}
     assert comm == {"x": "x", "y": "y"}
+
+
+def test_mixture_sample_tiny_rate_keeps_positive_budget(spark):
+    """ADVICE r9: a keep rate below 1/65536 must NOT floor to a zero
+    threshold (silently emitting nothing) — the 8-hex bucket space plus
+    the one-bucket floor keeps the decision deterministic and the
+    expected take ≈ budget.  The expected kept set is replayed here in
+    pure Python (same md5 bucket function)."""
+    import hashlib
+
+    from pg_age_digitaltwins_spark.operators.sampling import mixture_sample
+
+    n_docs, toks_per_doc, budget = 1000, 100, 1
+    rate = budget / (n_docs * toks_per_doc)   # 1e-5 < 1/65536
+    assert rate < 1.0 / 65536
+    thr = max(1, int(rate * 4294967296))
+
+    def bucket(key):
+        return hashlib.md5(f"mixture|{key}".encode()).hexdigest()[:8]
+
+    # two ids deterministically under the threshold, the rest above it
+    specials, fillers, i = [], [], 0
+    while len(specials) < 2 or len(fillers) < n_docs - 2:
+        if int(bucket(i), 16) < thr:
+            if len(specials) < 2:
+                specials.append(i)
+        elif len(fillers) < n_docs - 2:
+            fillers.append(i)
+        i += 1
+    ids = specials + fillers
+    docs = spark.createDataFrame(
+        [(j, " ".join(["w"] * toks_per_doc), "big") for j in ids],
+        "doc_id long, text string, source string",
+    )
+    out = mixture_sample(docs, {"big": budget})
+    assert sorted(r["key"] for r in out.collect()) == sorted(specials)
