@@ -1388,40 +1388,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # analytics, dedup, text, embeddings, events, TPC-H, sampling) —
 # value-checked representatives first.  Pure reorder: no query or
 # oracle definition changes.
+# r9: 17 of the 50 keys rotated for never-driver-gated ones (same
+# family balance) so the static window stops re-certifying the same
+# subset forever — the swapped-out keys stay on the 160-key self-run
+# board (scripts/oracle_check.py / ORACLE_r9.txt).
 _DRIVER_WINDOW = [
-    # ADT QL (10)
-    "adt_count_twins", "adt_where_string_eq", "adt_where_number_gt",
+    # ADT QL (10) — rotated in: neq-null semantics, exact is_of_model,
+    # multi-label edges, $-path point select
+    "adt_count_twins", "adt_where_neq_null_semantics", "adt_is_of_model_exact",
     "adt_is_of_model_inheritance", "adt_match_3hop", "adt_match_undirected",
-    "adt_join_related_2hop", "adt_rel_prop_filter", "adt_top_n",
-    "adt_array_contains",
-    # Cypher (10) — incl. the r8 WITH entity-passthrough keys
-    "cypher_agg_by_part", "cypher_optional_match", "cypher_var_length",
-    "cypher_shortest_path", "cypher_agg_stats", "cypher_scalar_math",
+    "adt_join_related_2hop", "adt_rel_prop_filter", "adt_match_multilabel",
+    "adt_select_star_point",
+    # Cypher (10) — rotated in: EXISTS subquery, bracket access,
+    # two-stage WITH aggregation, UNWIND
+    "cypher_exists_subquery", "cypher_bracket_access", "cypher_var_length",
+    "cypher_shortest_path", "cypher_with_two_stage_agg", "cypher_unwind",
     "cypher_count_subquery", "cypher_with_entity_agg_continuation",
     "cypher_with_entity_passthrough", "cypher_call_topk_per_entity",
-    # graph analytics (6) — r8s4: modularity_cc (value-checked vs the
-    # recursive-CTE closure) replaces collect_neighbors, which the
-    # Cypher collect keys already represent
+    # graph analytics (6) — rotated in: node similarity, LPA
     "graph_connected_components", "graph_pagerank", "graph_scc",
-    "graph_kcore", "graph_triangle_count", "graph_modularity_cc",
-    # dedup + text pipeline (10) — r8s4: keep_best (value-checked
-    # keep-one policy) replaces fingerprints, which dedup_exact_stats
-    # already derives from
+    "graph_node_similarity", "graph_label_propagation", "graph_modularity_cc",
+    # dedup + text pipeline (10) — rotated in: LSH recall gate, Gopher
+    # dup-2gram stats, bigram-LM quality score (both changed in r9)
     "dedup_exact_stats", "dedup_semantic_clusters", "dedup_embedding_cosine",
-    "text_token_counts", "dedup_keep_best", "text_decontaminate",
-    "text_ngram_jaccard", "text_quality", "text_lang_id",
+    "dedup_lsh_recall", "dedup_keep_best", "text_decontaminate",
+    "text_ngram_jaccard", "text_dup_2gram_stats", "text_lm_score",
     "pipeline_clean_corpus",
-    # embeddings / ANN (4)
-    "embed_knn_topk", "embed_cosine_threshold", "embed_ann_lsh_multi",
+    # embeddings / ANN (4) — rotated in: batched multi-probe LSH ANN
+    "embed_knn_topk", "embed_ann_lsh_multi_batch", "embed_ann_lsh_multi",
     "embed_ann_recall",
-    # events (5)
-    "events_sessionize", "events_hourly_rollup", "events_asof_join",
+    # events (5) — rotated in: per-type top users
+    "events_sessionize", "events_top_users_per_type", "events_asof_join",
     "events_funnel", "events_value_percentiles",
-    # TPC-H (4)
+    # TPC-H (4) — rotated in: supplier count (Q16 shape)
     "tpch_pricing_summary", "tpch_revenue_by_nation",
-    "tpch_volume_shipping", "tpch_min_cost_supplier",
-    # sampling (1)
-    "sample_stratified",
+    "tpch_supplier_cnt", "tpch_min_cost_supplier",
+    # sampling (1) — rotated in: mixture sampling (changed in r9)
+    "sample_mixture",
 ]
 
 
