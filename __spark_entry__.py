@@ -383,6 +383,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ORDER BY d, id LIMIT 10"
     )
 
+    # r9: temporal algebra (C12 tail) — component access on
+    # datetime()-typed properties and duration arithmetic, both over
+    # the orders twins' ISO-8601 orderdate strings
+    q["cypher_temporal_components"] = _adt(
+        "MATCH (o) WHERE o.`$metadata`.`$model` = 'dtmi:demo:Order;1' "
+        "WITH datetime(o.orderdate) AS d "
+        "RETURN d.year AS y, d.quarter AS q, count(*) AS n"
+    )
+    q["cypher_temporal_arithmetic"] = _adt(
+        "MATCH (o) WHERE o.`$metadata`.`$model` = 'dtmi:demo:Order;1' "
+        "WITH o.`$dtId` AS id, datetime(o.orderdate) AS d "
+        "WITH id, d + duration('P30D') AS due "
+        "WHERE due >= datetime('2001-08-01T00:00:00') "
+        "RETURN id, due.year AS due_y, due.ordinalDay AS due_doy"
+    )
+
     # --- graph rollups (Cypher C5 aggregates) -------------------------
     def _agg_models(spark, sf_dir):
         return analytics.twin_counts_by_model(_store(spark, sf_dir))
@@ -1829,6 +1845,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT id, d FROM (SELECT 'cust-' || c_custkey AS id, "
         "round(abs(c_acctbal - 5000.0), 2) AS d FROM customer) "
         "ORDER BY d, id LIMIT 10"
+    )
+    o["cypher_temporal_components"] = (
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS y, "
+        "CAST(quarter(o_orderdate) AS BIGINT) AS q, count(*) AS n "
+        "FROM orders GROUP BY 1, 2"
+    )
+    o["cypher_temporal_arithmetic"] = (
+        "WITH d AS (SELECT 'order-' || o_orderkey AS id, "
+        "o_orderdate + INTERVAL 30 DAY AS due FROM orders) "
+        "SELECT id, CAST(year(due) AS BIGINT) AS due_y, "
+        "CAST(dayofyear(due) AS BIGINT) AS due_doy FROM d "
+        "WHERE due >= TIMESTAMP '2001-08-01 00:00:00'"
     )
     o["agg_twins_by_model"] = (
         "SELECT 'dtmi:demo:Customer;1' AS model_id, count(*) AS cnt FROM customer "

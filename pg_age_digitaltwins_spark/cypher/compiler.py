@@ -30,6 +30,7 @@ one variant navigation per row.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -72,6 +73,81 @@ class CypherCompileError(ValueError):
     pass
 
 
+# Neo4j temporal-instant component names (lowercased) → Column fn.
+# dayOfWeek is ISO (Monday=1..Sunday=7): Spark weekday() is Monday=0.
+_TEMPORAL_COMPONENTS = {
+    "year": F.year,
+    "quarter": F.quarter,
+    "month": F.month,
+    "week": F.weekofyear,
+    "day": F.dayofmonth,
+    "dayofweek": lambda c: F.weekday(c) + F.lit(1),
+    "ordinalday": F.dayofyear,
+    "dayofyear": F.dayofyear,
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+    "epochseconds": lambda c: F.unix_seconds(c.cast("timestamp")),
+    "epochmillis": lambda c: F.unix_millis(c.cast("timestamp")),
+}
+
+
+def _temporal_component(c, path: list[str], dtype: str):
+    if dtype.startswith("interval") or len(path) != 1:
+        raise CypherCompileError(
+            "temporal component access supports one component on a "
+            f"date/datetime value; got .{'.'.join(path)} on {dtype}"
+        )
+    fn = _TEMPORAL_COMPONENTS.get(path[0].lower())
+    if fn is None:
+        raise CypherCompileError(
+            f"unknown temporal component {path[0]!r} — one of "
+            f"{sorted(_TEMPORAL_COMPONENTS)}"
+        )
+    return fn(c).cast("long")
+
+
+_ISO_DURATION = re.compile(
+    r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def _duration_interval(spec: str):
+    """ISO-8601 duration literal → a Spark interval Column.
+
+    Spark has two interval families (year-month, day-time) that cannot
+    mix in one value, so a duration using BOTH calendar (Y/M) and
+    clock (W/D/T…) parts is rejected with a clear error — split it
+    into two arithmetic steps instead.  Neo4j semantics for the
+    supported subset are identical (P3M is 3 calendar months; P1W = 7
+    days)."""
+    m = _ISO_DURATION.match(spec.strip())
+    if not m or not any(m.groups()):
+        raise CypherCompileError(
+            f"duration(): unparsable ISO-8601 duration {spec!r}"
+        )
+    y, mo, w, d, h, mi, s = m.groups()
+    calendar = bool(y or mo)
+    clock = bool(w or d or h or mi or s)
+    if calendar and clock:
+        raise CypherCompileError(
+            "duration(): calendar (Y/M) and clock (W/D/H/M/S) parts "
+            "cannot mix in one Spark interval — add them in two steps, "
+            "e.g. x + duration('P1M') + duration('P2D')"
+        )
+    if calendar:
+        return F.make_ym_interval(
+            F.lit(int(y or 0)), F.lit(int(mo or 0))
+        )
+    return F.make_dt_interval(
+        F.lit(int(w or 0) * 7 + int(d or 0)),
+        F.lit(int(h or 0)),
+        F.lit(int(mi or 0)),
+        F.lit(float(s or 0)),
+    )
+
+
 @dataclass
 class Binding:
     name: str
@@ -105,6 +181,9 @@ class CypherCompiler:
         self._pending_v: list[tuple[str, Column]] = []
         self._pending_s: list[tuple[str, Column]] = []
         self._value_variant: set[str] = set()  # UNWIND cols of variant type
+        # WITH-projected temporal/duration values (column → dtype):
+        # enables component access (d.year) and typed +/- compilation
+        self._value_temporal: dict[str, str] = {}
         # per-path edge bindings (appended by _hop, cleared by _match):
         # feeds nodes(p)/relationships(p) array materialization
         self._hop_edges: list[tuple[Binding, str]] = []
@@ -1313,8 +1392,13 @@ class CypherCompiler:
         new_env = {nm: Binding(nm, "value", nm) for nm in names}
         dtypes = dict(out.dtypes)
         for nm in names:
-            if dtypes.get(nm) == "variant":
+            dt = dtypes.get(nm)
+            if dt == "variant":
                 self._value_variant.add(nm)
+            elif dt in ("date", "timestamp", "timestamp_ntz") or (
+                dt or ""
+            ).startswith("interval"):
+                self._value_temporal[nm] = dt
         if clause.where is not None:
             out = out.filter(self._expr(clause.where, new_env, as_predicate=True))
         # a global aggregate (every item aggregated, no grouping keys)
@@ -1562,6 +1646,18 @@ class CypherCompiler:
         if b.kind == "value":
             c = F.col(b.df_alias)
             is_var = b.df_alias in self._value_variant
+            if path and b.df_alias in self._value_temporal:
+                # temporal component access on a WITH-projected
+                # date/datetime (Neo4j instant properties: d.year,
+                # d.month, …) — numeric components, NULL-safe
+                comp = _temporal_component(
+                    c, path, self._value_temporal[b.df_alias]
+                )
+                if kind == "number":
+                    return comp.cast("double")
+                if kind == "string":
+                    return comp.cast("string")
+                return comp
             if path:
                 # navigating INTO a projected value only works when the
                 # value is a variant (e.g. an UNWIND'd object); a
@@ -1694,6 +1790,18 @@ class CypherCompiler:
                     return F.concat(
                         self._expr(e.left, env), self._expr(e.right, env)
                     )
+            if e.op in ("+", "-") and (
+                self._temporal_kind(e.left, env)
+                or self._temporal_kind(e.right, env)
+            ):
+                # temporal algebra: date/datetime ± duration,
+                # duration ± duration, instant − instant — compiled on
+                # the NATIVE Spark types (a numeric cast would destroy
+                # them); Spark's interval arithmetic carries the
+                # result typing
+                lt = self._expr(e.left, env)
+                rt = self._expr(e.right, env)
+                return lt + rt if e.op == "+" else lt - rt
             left = self._operand(e.left, env, "number")
             right = self._operand(e.right, env, "number")
             return {
@@ -1796,6 +1904,32 @@ class CypherCompiler:
                     True,
                 )
         return self._expr(src, env), False
+
+    def _temporal_kind(self, x: C.Expr, env) -> str | None:
+        """Static detection of temporal-typed operands for +/-:
+        'temporal' (date/datetime constructor or a WITH-projected
+        date/timestamp value) or 'duration' (duration() or a projected
+        interval value)."""
+        if isinstance(x, C.Func):
+            if x.name in ("date", "datetime", "localdatetime"):
+                return "temporal"
+            if x.name == "duration":
+                return "duration"
+        if isinstance(x, C.Var):
+            b = env.get(x.name)
+            if b is not None and b.kind == "value":
+                dt = self._value_temporal.get(b.df_alias)
+                if dt is None:
+                    return None
+                return "duration" if dt.startswith("interval") else "temporal"
+        if isinstance(x, C.Arith) and x.op in ("+", "-"):
+            lk = self._temporal_kind(x.left, env)
+            rk = self._temporal_kind(x.right, env)
+            if "temporal" in (lk, rk):
+                return "temporal"
+            if lk == "duration" and rk == "duration":
+                return "duration"
+        return None
 
     def _operand(self, e: C.Expr, env, kind: str | None) -> Column:
         if isinstance(e, C.Lit):
@@ -2309,6 +2443,20 @@ class CypherCompiler:
                     else F.current_timestamp()
                 )
             return self._operand(e.args[0], env, "string").try_cast(target)
+        if n == "duration":
+            # duration('P30D') — ISO-8601 duration LITERAL → Spark
+            # interval (plan-time parse; see _duration_interval for the
+            # calendar-vs-clock family bound)
+            if not (
+                len(e.args) == 1
+                and isinstance(e.args[0], C.Lit)
+                and isinstance(e.args[0].value, str)
+            ):
+                raise CypherCompileError(
+                    "duration() takes one ISO-8601 string literal, "
+                    "e.g. duration('P30D')"
+                )
+            return _duration_interval(e.args[0].value)
         raise CypherCompileError(f"Unknown function {n}()")
 
     def _vector(self, e: C.Expr, env) -> Column:

@@ -1948,3 +1948,82 @@ def test_is_string_on_promoted_boolean(fixture_store):
                "is_number(m.decommissioned) AS n, "
                "is_string(m.id) AS sid")
     assert out == [{"s": False, "p": True, "n": False, "sid": True}]
+
+
+# ---------------------------------------------------------------------------
+# r9: temporal algebra — duration(), component access, date arithmetic
+# ---------------------------------------------------------------------------
+
+def _temporal_store(spark):
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:tmp:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3"}]
+    twins = [
+        {"$dtId": "a", "$metadata": {"$model": "dtmi:tmp:T;1"},
+         "ts": "1997-03-15T10:30:45"},
+        {"$dtId": "b", "$metadata": {"$model": "dtmi:tmp:T;1"},
+         "ts": "1998-12-31T23:59:59"},
+        {"$dtId": "c", "$metadata": {"$model": "dtmi:tmp:T;1"},
+         "ts": "nope"},
+    ]
+    return GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=[], model_docs=models)
+
+
+def test_temporal_component_access(spark):
+    store = _temporal_store(spark)
+    out = rows(store,
+               "MATCH (t) WITH t.`$dtId` AS id, datetime(t.ts) AS d "
+               "RETURN id, d.year AS y, d.month AS m, d.day AS day, "
+               "d.dayOfWeek AS dow, d.hour AS h, d.epochSeconds AS es "
+               "ORDER BY id")
+    assert out[0] == {"id": "a", "y": 1997, "m": 3, "day": 15,
+                      "dow": 6, "h": 10, "es": 858421845}
+    assert out[1]["y"] == 1998 and out[1]["dow"] == 4
+    # unparsable → NULL components, not an error
+    assert out[2] == {"id": "c", "y": None, "m": None, "day": None,
+                      "dow": None, "h": None, "es": None}
+    # date() components work too
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) WITH date(t.ts) AS d "
+               "RETURN d.year AS y, d.ordinalDay AS doy")
+    assert out == [{"y": 1997, "doy": 74}]
+
+
+def test_temporal_duration_arithmetic(spark):
+    import datetime
+
+    store = _temporal_store(spark)
+    out = rows(store,
+               "MATCH (t) WITH t.`$dtId` AS id, datetime(t.ts) AS d "
+               "WHERE d + duration('P30D') > datetime('1998-04-10T00:00:00') "
+               "RETURN id, d - duration('PT1H30M') AS earlier ORDER BY id")
+    assert [r["id"] for r in out] == ["b"]
+    assert out[0]["earlier"] == datetime.datetime(1998, 12, 31, 22, 29, 59)
+    # calendar durations (year-month family) + chaining through WITH
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
+               "WITH d + duration('P1M') + duration('P2D') AS d2 "
+               "RETURN d2.month AS m, d2.day AS day")
+    assert out == [{"m": 4, "day": 17}]
+    # weeks normalize to days; seconds accepted
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
+               "WITH d + duration('P1W') AS d2, d + duration('PT5S') AS d3 "
+               "RETURN d2.day AS day, d3.second AS s")
+    assert out == [{"day": 22, "s": 50}]
+
+
+def test_temporal_duration_rejections(spark):
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    store = _temporal_store(spark)
+    with pytest.raises(CypherCompileError, match="cannot mix"):
+        rows(store, "MATCH (t) RETURN datetime(t.ts) + duration('P1M2D') AS x")
+    with pytest.raises(CypherCompileError, match="unparsable"):
+        rows(store, "MATCH (t) RETURN datetime(t.ts) + duration('30 days') AS x")
+    with pytest.raises(CypherCompileError, match="string literal"):
+        rows(store, "MATCH (t) RETURN datetime(t.ts) + duration(t.ts) AS x")
+    with pytest.raises(CypherCompileError, match="unknown temporal component"):
+        rows(store, "MATCH (t) WITH datetime(t.ts) AS d RETURN d.century AS c")
