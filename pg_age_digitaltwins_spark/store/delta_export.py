@@ -663,3 +663,131 @@ def export_delta_changes(
         next_dv += 1
         written += 1
     return written
+
+
+# ----------------------------------------------------------------------
+# continuous export (r9): tail the commit log, keep the Delta export
+# live — the shape a real cluster uses so external Delta readers can
+# follow `_delta_log` while the engine keeps committing
+# (`AgeDigitalTwinsReplication.cs:194-284` is the reference's
+# equivalent always-on WAL→consumer bridge).
+# ----------------------------------------------------------------------
+
+
+def export_watermark(dest: str) -> int:
+    """Last SOURCE commit-log version reflected in the export at
+    ``dest`` (0 for an empty/absent export).  The external-reader
+    analog of ``streaming.replica.replica_source_version``."""
+    try:
+        _, last_source, _ = _existing_state(dest)
+    except (OSError, ValueError):
+        return 0
+    return last_source
+
+
+def export_lag(root: str, dest: str) -> int:
+    """How many source commit versions the export at ``dest`` has NOT
+    consumed yet — the vacuum guard for external Delta readers, the
+    exact counterpart of ``streaming.replica.replica_lag``:
+    ``vacuum(root, keep_last=k)`` is safe for this export only when
+    ``export_lag(root, dest) < k``.  Once a version IS exported its
+    data files are hard-linked/copied into ``dest``, so vacuuming the
+    source never breaks already-written Delta history — lag counts the
+    versions whose files the exporter still needs to read."""
+    wm = export_watermark(dest)
+    log = CommitLog(root)
+    return sum(1 for v in log.versions() if v > wm)
+
+
+class ContinuousDeltaExporter:
+    """Incremental export-on-commit: keep Delta exports of commit-log
+    tables in sync with the log, either by polling in a background
+    thread (``start``/``stop``) or by explicit ``run_once`` calls
+    wired as a post-merge hook / ``foreachBatch`` step.
+
+    Each tick re-runs :func:`export_delta` per table — idempotent and
+    resume-from-log, so the exported ``_delta_log`` stays contiguous
+    and readable at every version no matter when ticks land relative
+    to commits.  Exports land at ``<dest_root>/<table>``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        dest_root: str,
+        tables: tuple[str, ...] = ("twins",),
+        checkpoint_interval: int = 10,
+        poll_interval: float = 0.25,
+    ):
+        self.spark = spark
+        self.root = root
+        self.dest_root = dest_root
+        self.tables = tuple(tables)
+        self.checkpoint_interval = checkpoint_interval
+        self.poll_interval = poll_interval
+        self._stop = None
+        self._thread = None
+        self._error: Exception | None = None
+
+    def dest(self, table: str) -> str:
+        return os.path.join(self.dest_root, table)
+
+    def run_once(self) -> dict[str, int]:
+        """Export any new source versions for every table; returns
+        table → Delta commits written this tick."""
+        return {
+            t: export_delta(
+                self.spark,
+                self.root,
+                t,
+                self.dest(t),
+                checkpoint_interval=self.checkpoint_interval,
+            )
+            for t in self.tables
+        }
+
+    def watermark(self) -> int:
+        """Min exported source version across tables (the value to
+        gate ``vacuum`` on)."""
+        return min(export_watermark(self.dest(t)) for t in self.tables)
+
+    def lag(self) -> int:
+        """Max un-exported version count across tables."""
+        return max(export_lag(self.root, self.dest(t)) for t in self.tables)
+
+    # -- background tailing ------------------------------------------
+    def start(self) -> "ContinuousDeltaExporter":
+        import threading
+
+        if self._thread is not None:
+            raise RuntimeError("exporter already started")
+        self._stop = threading.Event()
+        self._error = None
+
+        def loop() -> None:
+            while not self._stop.is_set():
+                try:
+                    self.run_once()
+                except Exception as ex:  # surfaced by stop()
+                    self._error = ex
+                    return
+                self._stop.wait(self.poll_interval)
+
+        self._thread = threading.Thread(
+            target=loop, name="delta-exporter", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 60.0, final_tick: bool = True) -> None:
+        """Stop the tail loop; by default run one last ``run_once`` so
+        everything committed before ``stop`` is exported."""
+        if self._thread is None:
+            return
+        self._stop.set()
+        self._thread.join(timeout)
+        self._thread = None
+        if self._error is not None:
+            raise self._error
+        if final_tick:
+            self.run_once()

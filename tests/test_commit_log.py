@@ -1283,3 +1283,101 @@ def test_delta_export_checkpoint_bootstrap(spark, tmp_path):
     assert export_delta(spark, root, "twins", dest) == 1
     got = {r["dt_id"] for r in read_delta_export(spark, dest).collect()}
     assert "t99" in got and len(got) == 14
+
+
+def test_delta_continuous_export_live_tail(spark, tmp_path):
+    """r9: an incremental exporter tailing the commit log while merges
+    keep landing must produce a contiguous `_delta_log` that is
+    readable at EVERY version, end at the exact final state, and
+    expose the watermark/lag numbers the vacuum guard needs."""
+    import json as _json
+
+    from pg_age_digitaltwins_spark.store.commit_log import (
+        load_version,
+        merge_rows,
+        vacuum,
+    )
+    from pg_age_digitaltwins_spark.store.delta_export import (
+        ContinuousDeltaExporter,
+        export_lag,
+        export_watermark,
+        read_delta_export,
+    )
+
+    root = str(tmp_path / "table")
+    dest_root = str(tmp_path / "delta")
+    commit_snapshot(_store(spark, 2), root)  # v1
+    exp = ContinuousDeltaExporter(
+        spark, root, dest_root, tables=("twins",), poll_interval=0.05
+    ).start()
+    n_batches = 6
+    for i in range(n_batches):  # v2..v7 land WHILE the tail loop runs
+        merge_rows(spark, root, twin_upserts=[_twin(10 + i)])
+    exp.stop()  # final tick drains anything the loop missed
+    assert exp.lag() == 0
+    assert export_watermark(exp.dest("twins")) == 1 + n_batches
+
+    # exported log is contiguous 0..k regardless of tick/commit timing
+    log_dir = os.path.join(exp.dest("twins"), "_delta_log")
+    versions = sorted(
+        int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    assert versions == list(range(len(versions)))
+
+    # every Delta version is readable and matches the commit-log state
+    # its commitInfo.sourceVersion points at
+    for dv in versions:
+        with open(os.path.join(log_dir, f"{dv:020d}.json")) as f:
+            acts = [_json.loads(line) for line in f]
+        src_v = next(
+            a["commitInfo"]["sourceVersion"]
+            for a in acts
+            if "commitInfo" in a
+        )
+        got = {
+            r["dt_id"]
+            for r in read_delta_export(
+                spark, exp.dest("twins"), version=dv
+            ).collect()
+        }
+        want = {
+            r["dt_id"]
+            for r in load_version(spark, root, src_v).twins.collect()
+        }
+        assert got == want, f"delta v{dv} != commit v{src_v}"
+
+    # vacuum guard: lag 0 < keep_last, so retention cleanup on the
+    # SOURCE must not break any exported Delta version (files were
+    # linked/copied at export time)
+    assert export_lag(root, exp.dest("twins")) == 0
+    vacuum(root, keep_last=2)
+    final = {
+        r["dt_id"]
+        for r in read_delta_export(spark, exp.dest("twins")).collect()
+    }
+    assert final == {f"t{i}" for i in range(2)} | {
+        f"t{10 + i}" for i in range(n_batches)
+    }
+
+
+def test_delta_export_lag_gates_vacuum(spark, tmp_path):
+    """export_lag counts versions the exporter has not linked yet —
+    the number an operator compares against vacuum keep_last."""
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+    from pg_age_digitaltwins_spark.store.delta_export import (
+        ContinuousDeltaExporter,
+        export_lag,
+    )
+
+    root = str(tmp_path / "table")
+    dest_root = str(tmp_path / "delta")
+    commit_snapshot(_store(spark, 2), root)  # v1
+    exp = ContinuousDeltaExporter(spark, root, dest_root, tables=("twins",))
+    assert exp.lag() == 1  # v1 unexported
+    exp.run_once()
+    assert exp.lag() == 0
+    merge_rows(spark, root, twin_upserts=[_twin(5)])  # v2
+    merge_rows(spark, root, twin_upserts=[_twin(6)])  # v3
+    assert export_lag(root, exp.dest("twins")) == 2
+    exp.run_once()
+    assert export_lag(root, exp.dest("twins")) == 0
