@@ -419,6 +419,35 @@ SEMANTIC_UNITS: dict[str, set[str]] = {
                  "hour", "day", "year"},
     "Latitude": {"degreeOfArc", "minuteOfArc", "secondOfArc", "radian", "turn"},
     "Longitude": {"degreeOfArc", "minuteOfArc", "secondOfArc", "radian", "turn"},
+    # r9 (batch 10): the remainder of the public QuantitativeTypes v1
+    # vocabulary (Azure/opendigitaltwins-dtdl extension spec), so known
+    # semantic types reject wrong units instead of passing leniently
+    "AngularAcceleration": {"radianPerSecondSquared"},
+    "AngularVelocity": {"radianPerSecond", "degreePerSecond",
+                        "revolutionPerSecond", "revolutionPerMinute"},
+    "Area": {"squareMetre", "squareCentimetre", "squareMillimetre",
+             "squareKilometre", "hectare", "squareFoot", "squareInch", "acre"},
+    "Capacitance": {"farad", "millifarad", "microfarad", "nanofarad",
+                    "picofarad"},
+    "Density": {"kilogramPerCubicMetre", "gramPerCubicMetre"},
+    "ElectricCharge": {"coulomb"},
+    "Force": {"newton", "pound", "ounce", "ton"},
+    "Inductance": {"henry", "millihenry", "microhenry"},
+    "Luminance": {"candelaPerSquareMetre"},
+    "LuminousFlux": {"lumen"},
+    "LuminousIntensity": {"candela"},
+    "MagneticFlux": {"maxwell", "weber"},
+    "MagneticInduction": {"tesla"},
+    "MassFlowRate": {"gramPerSecond", "kilogramPerSecond", "gramPerHour",
+                     "kilogramPerHour"},
+    "Resistance": {"ohm", "milliohm", "kiloohm", "megaohm"},
+    "SoundPressure": {"decibel", "bel"},
+    "Thrust": {"newton", "pound", "ounce", "ton"},
+    "Torque": {"newtonMetre"},
+    "Volume": {"cubicMetre", "cubicCentimetre", "litre", "millilitre",
+               "cubicFoot", "cubicInch", "fluidOunce", "gallon"},
+    "VolumeFlowRate": {"litrePerSecond", "millilitrePerSecond",
+                       "litrePerHour", "millilitrePerHour"},
 }
 
 
@@ -561,6 +590,16 @@ def _validate_schema_node(
             # DTDLParser: Array requires elementSchema — silence here
             # would accept arrays no writer could ever validate against
             v.append(f"{where}: Array requires an elementSchema")
+        elif (
+            isinstance(schema.get("elementSchema"), str)
+            and schema["elementSchema"] in GEOSPATIAL_SCHEMAS
+        ):
+            # DTDL geospatial extension restriction: the GeoJSON-backed
+            # schemas may not be used as an Array element
+            v.append(
+                f"{where}: geospatial schema "
+                f"{schema['elementSchema']!r} cannot be an Array element"
+            )
         else:
             _validate_schema_node(
                 schema.get("elementSchema"), named_ids, f"{where}[]", v,
@@ -885,6 +924,13 @@ def validate_model(
                 not isinstance(mx, int) or isinstance(mx, bool) or mx < 1
             ):
                 v.append(f"{where}: maxMultiplicity must be a positive integer")
+            elif mx is not None and is_v2 and mx > 500:
+                # DTDL v2 scaled limit: maxMultiplicity ≤ 500 (the cap
+                # is lifted in v3+)
+                v.append(
+                    f"{where}: maxMultiplicity {mx} exceeds the DTDL v2 "
+                    "limit of 500"
+                )
             if (
                 isinstance(mn, int) and isinstance(mx, int)
                 and not isinstance(mn, bool) and not isinstance(mx, bool)

@@ -730,3 +730,76 @@ def test_geojson_coordinate_structure():
         with pytest.raises(ValidationError, match="RFC 7946"):
             validate_twin(reg_for(schema), twin(schema, gtype, coords))
 
+
+
+# ----------------------------------------------------------------------
+# r9 (batch 10): v2 scaled limits, geospatial-in-Array, completed
+# QuantitativeTypes v1 unit vocabulary
+# ----------------------------------------------------------------------
+
+def test_v2_max_multiplicity_scaled_limit():
+    v2 = {"@context": "dtmi:dtdl:context;2"}
+    # at the cap: fine
+    validate_model(
+        _interface(contents=[_rel_content(maxMultiplicity=500)], **v2),
+        known_ids=KNOWN,
+    )
+    with pytest.raises(ValidationError, match="DTDL v2 limit of 500"):
+        validate_model(
+            _interface(contents=[_rel_content(maxMultiplicity=501)], **v2),
+            known_ids=KNOWN,
+        )
+    # v3 lifts the cap
+    validate_model(
+        _interface(contents=[_rel_content(maxMultiplicity=501)]),
+        known_ids=KNOWN,
+    )
+
+
+def test_geospatial_schema_rejected_as_array_element():
+    def arr(element):
+        return _interface(contents=[{
+            "@type": "Property", "name": "track",
+            "schema": {"@type": "Array", "elementSchema": element},
+        }])
+
+    validate_model(arr("double"), known_ids=KNOWN)
+    with pytest.raises(ValidationError, match="cannot be an Array element"):
+        validate_model(arr("point"), known_ids=KNOWN)
+    with pytest.raises(ValidationError, match="cannot be an Array element"):
+        validate_model(arr("multiPolygon"), known_ids=KNOWN)
+
+
+def test_quantitative_types_extended_vocabulary():
+    def qt(semantic, unit, schema="double"):
+        return {
+            "@id": "dtmi:v:Qt;1",
+            "@type": "Interface",
+            "@context": [
+                "dtmi:dtdl:context;3",
+                "dtmi:dtdl:extension:quantitativeTypes;1",
+            ],
+            "contents": [{
+                "@type": ["Property", semantic],
+                "name": "p", "schema": schema, "unit": unit,
+            }],
+        }
+
+    # batch-10 types with correct units accept
+    for s, u in [
+        ("Resistance", "ohm"), ("Capacitance", "microfarad"),
+        ("Inductance", "millihenry"), ("Torque", "newtonMetre"),
+        ("Area", "squareMetre"), ("Volume", "litre"),
+        ("VolumeFlowRate", "litrePerSecond"), ("MassFlowRate", "gramPerSecond"),
+        ("AngularVelocity", "revolutionPerMinute"), ("Force", "newton"),
+        ("MagneticFlux", "weber"), ("SoundPressure", "decibel"),
+        ("LuminousFlux", "lumen"), ("ElectricCharge", "coulomb"),
+    ]:
+        validate_model(qt(s, u), known_ids={"dtmi:v:Qt;1"})
+    # wrong unit for a KNOWN type rejects
+    for s, u in [
+        ("Resistance", "volt"), ("Area", "metre"),
+        ("Torque", "newton"), ("AngularVelocity", "hertz"),
+    ]:
+        with pytest.raises(ValidationError, match="not a valid"):
+            validate_model(qt(s, u), known_ids={"dtmi:v:Qt;1"})
