@@ -661,6 +661,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_chunk_documents"] = lambda s, d: text.chunk_documents(
         _tables(s, d)["documents"], window=64, stride=32
     )
+    # r9: cross-document repeated token spans (Lee et al. 2022
+    # substring-dedup signal — boilerplate whole-doc dedup misses)
+    q["text_repeated_spans"] = lambda s, d: text.repeated_spans(
+        _tables(s, d)["documents"], window=20, min_docs=2
+    )
     # r8 session 3: CCNet-style bigram-LM quality scoring (exact
     # fixed-point per-term log-probs → order-independent integer sums;
     # the derived mean_logp double rides outside the projection)
@@ -2094,6 +2099,15 @@ def oracle_sql() -> dict[str, str]:
         "CAST(COALESCE(a.n_terms, 0) AS BIGINT) AS n_terms, a.sum_logp_fp "
         "FROM documents d LEFT JOIN agg a "
         "ON d.doc_id = a.doc_id AND d.source = a.source"
+    )
+    o["text_repeated_spans"] = (
+        f"WITH t AS (SELECT doc_id, {_TOKS_RAW} AS ws FROM documents), "
+        "w AS (SELECT doc_id, array_to_string(ws[i : i + 19], ' ') AS span "
+        "FROM t, LATERAL (SELECT unnest(range(1, len(ws) - 18)) AS i) s "
+        "WHERE len(ws) >= 20) "
+        "SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_occurrences "
+        "FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2"
     )
     o["text_chunk_documents"] = (
         f"WITH t AS (SELECT doc_id, {_TOKS_RAW} AS toks FROM documents), "

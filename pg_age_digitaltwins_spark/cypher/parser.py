@@ -570,7 +570,10 @@ class _Parser:
             dotted = True  # every segment so far came from `.` (call-eligible)
             while True:
                 if self.opt("PUNCT", "."):
-                    path.append(self.eat("IDENT").value)
+                    # keywords are legal property names after a dot
+                    # (Neo4j/AGE: ``t.when``, ``t.contains`` — only the
+                    # dot position disambiguates)
+                    path.append(self.eat_name())
                 elif (
                     self.at("PUNCT", "[")
                     and self.toks[self.i + 1].kind == "STRING"

@@ -863,3 +863,73 @@ def ngram_lm_score(
             "mean_logp",
         )
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    window: int = 20,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated token spans — the substring-dedup signal
+    from "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022): a ``window``-token span appearing in ≥
+    ``min_docs`` distinct documents is memorization-prone boilerplate
+    (licenses, headers, templated text) that exact whole-doc dedup
+    misses.
+
+    Output: (span, n_docs, n_occurrences) for qualifying spans.
+
+    100 TB shape: windows explode per token (÷ ``stride``), then ONE
+    hash-keyed aggregation — no all-pairs comparison.  The exchange
+    carries ``xxhash64(span)`` (8 bytes) rather than the span text;
+    the text of each qualifying span is recovered by a semi-join of
+    the qualifying hashes back against the window stream, so full
+    span strings never ride the wide shuffle.  At corpus scale raise
+    ``stride`` (a duplicated region ≥ window+stride tokens still
+    yields an aligned colliding window) — the standard suffix-array
+    approximation trade.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    starts = F.sequence(
+        F.lit(1), F.size(F.col("ws")) - F.lit(window - 1), F.lit(stride)
+    )
+    spans = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("ws"))
+        .filter(F.size(F.col("ws")) >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.array_join(
+                        F.slice(F.col("ws"), i, window), " "
+                    ),
+                )
+            ).alias("span"),
+        )
+    )
+    hashed = spans.select("doc_id", F.xxhash64("span").alias("h"))
+    qualifying = (
+        hashed.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    # recover one text per qualifying hash: filter the window stream to
+    # qualifying hashes FIRST (join against the small qualifying side —
+    # AQE broadcasts it), so span text aggregates only for the
+    # qualifying minority; min() makes any xxhash collision
+    # deterministic
+    texts = (
+        spans.select(F.xxhash64("span").alias("h"), "span")
+        .join(qualifying, "h")
+        .groupBy("h", "n_docs", "n_occurrences")
+        .agg(F.min("span").alias("span"))
+    )
+    return texts.select("span", "n_docs", "n_occurrences")

@@ -1633,3 +1633,39 @@ def test_mixture_sample_tiny_rate_keeps_positive_budget(spark):
     )
     out = mixture_sample(docs, {"big": budget})
     assert sorted(r["key"] for r in out.collect()) == sorted(specials)
+
+
+def test_repeated_spans_cross_document(spark):
+    from pg_age_digitaltwins_spark.operators.text import repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e", "src0"),
+            (1, "x a b c d y", "src0"),
+            (2, "q r s t", "src0"),
+            (3, "a b c d a b c d", "src0"),   # same span twice in ONE doc
+            (4, "s h o r t", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["span"]: (r["n_docs"], r["n_occurrences"])
+        for r in repeated_spans(docs, window=4, min_docs=2).collect()
+    }
+    # 'a b c d' appears in docs 0,1,3 — twice in doc 3
+    assert out == {"a b c d": (3, 4)}
+    # min_docs=1 surfaces within-doc repetition and singles
+    all_spans = {
+        r["span"]: (r["n_docs"], r["n_occurrences"])
+        for r in repeated_spans(docs, window=4, min_docs=1).collect()
+    }
+    assert all_spans["q r s t"] == (1, 1)
+    assert all_spans["a b c d"] == (3, 4)
+    # stride skips start offsets deterministically
+    strided = {
+        r["span"]
+        for r in repeated_spans(docs, window=4, stride=4, min_docs=1).collect()
+    }
+    assert "a b c d" in strided and "b c d e" not in strided
+    with pytest.raises(ValueError, match="window"):
+        repeated_spans(docs, window=1)

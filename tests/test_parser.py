@@ -131,3 +131,16 @@ def test_is_of_model_variants():
     fc = q.where
     assert fc.name == "IS_OF_MODEL"
     assert len(fc.args) == 3
+
+
+def test_keyword_property_names_after_dot():
+    """Neo4j/AGE allow reserved words as property names after a dot —
+    the dot position disambiguates (r9)."""
+    from pg_age_digitaltwins_spark.cypher.parser import parse_cypher
+
+    q = parse_cypher(
+        "MATCH (t) WHERE t.when > 1 RETURN t.contains AS c, t.order AS o"
+    )
+    s = q.queries[0] if hasattr(q, "queries") else q
+    names = [it.alias for it in s.ret]
+    assert names == ["c", "o"]
