@@ -1399,6 +1399,12 @@ class CypherCompiler:
                 dt or ""
             ).startswith("interval"):
                 self._value_temporal[nm] = dt
+            else:
+                # a later WITH may re-project a previously-temporal
+                # name as something else — drop the stale registry
+                # entry or component access would compile against the
+                # wrong type
+                self._value_temporal.pop(nm, None)
         if clause.where is not None:
             out = out.filter(self._expr(clause.where, new_env, as_predicate=True))
         # a global aggregate (every item aggregated, no grouping keys)

@@ -2027,3 +2027,21 @@ def test_temporal_duration_rejections(spark):
         rows(store, "MATCH (t) RETURN datetime(t.ts) + duration(t.ts) AS x")
     with pytest.raises(CypherCompileError, match="unknown temporal component"):
         rows(store, "MATCH (t) WITH datetime(t.ts) AS d RETURN d.century AS c")
+
+
+def test_temporal_registry_cleared_on_reprojection(spark):
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    store = _temporal_store(spark)
+    # d is temporal in the first WITH, re-projected as a NUMBER in the
+    # second — component access must now fail cleanly, not compile
+    # year() against a double
+    with pytest.raises(CypherCompileError):
+        rows(store,
+             "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
+             "WITH d.year + 0 AS d RETURN d.year AS y")
+    # and the re-projected value still works as a plain number
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
+               "WITH d.year + 0 AS d RETURN d AS y")
+    assert out == [{"y": 1997.0}]
