@@ -955,27 +955,24 @@ def louvain_communities(
             pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
         .select("src", "dst", F.lit(1).cast("long").alias("w"))
-        .localCheckpoint(eager=False)
     )
     verts = twins.select("dt_id")
-    two_m = e.agg(F.sum("w")).collect()[0][0] or 0
+    # 2m = doubled-edge weight total = 2·|distinct pairs| — one count
+    # over the dedup output, no materialization of the doubled set
+    two_m = 2 * pairs.count()
     if two_m == 0:
         return verts.select("dt_id", F.col("dt_id").alias("community"))
     # level state: mapping original vertex -> current community, plus
     # the (contracted) graph the local moves run on
     mapping = verts.select("dt_id", F.col("dt_id").alias("community"))
     dedges = e
+    # level-1 edges are self-free BY CONSTRUCTION (src != dst filtered
+    # before doubling), so the pre-partitioned nbr checkpoint IS the
+    # full edge set — keeping a second `e` checkpoint alongside it
+    # doubled the resident edge memory and made sf1 (26M doubled rows)
+    # GC-thrash an 8g driver.  Self rows appear only after contraction.
+    has_self = False
     for level in range(max(1, levels)):
-        # community state (dt_id, comm, k): every edge endpoint starts
-        # in its own community; the weighted degree rides in the state
-        # so rounds never re-join a separate degree table (the degree
-        # aggregation doubles as the endpoint-distinct pass)
-        comm = (
-            dedges.groupBy(F.col("src").alias("dt_id"))
-            .agg(F.sum("w").alias("k"))
-            .select("dt_id", F.col("dt_id").alias("comm"), "k")
-            .localCheckpoint(eager=False)
-        )
         # loop-invariant hoisting: the self-free neighbor edges don't
         # change across rounds — PRE-PARTITION on the join key (dst)
         # and checkpoint once (localCheckpoint preserves
@@ -984,8 +981,26 @@ def louvain_communities(
         spark = dedges.sparkSession
         n_part = spark.sparkContext.defaultParallelism
         nbr = (
-            dedges.filter(F.col("src") != F.col("dst"))
+            (
+                dedges.filter(F.col("src") != F.col("dst"))
+                if has_self
+                else dedges
+            )
             .repartition(n_part, F.col("dst"))
+            .localCheckpoint(eager=False)
+        )
+        # full edge set for degrees/contraction: self rows carry the
+        # 2·intra weight after contraction; at level 1 it IS nbr, so
+        # degrees and contraction read the one checkpointed copy
+        full_edges = dedges if has_self else nbr
+        # community state (dt_id, comm, k): every edge endpoint starts
+        # in its own community; the weighted degree rides in the state
+        # so rounds never re-join a separate degree table (the degree
+        # aggregation doubles as the endpoint-distinct pass)
+        comm = (
+            full_edges.groupBy(F.col("src").alias("dt_id"))
+            .agg(F.sum("w").alias("k"))
+            .select("dt_id", F.col("dt_id").alias("comm"), "k")
             .localCheckpoint(eager=False)
         )
         for r in range(max(1, rounds_per_level)):
@@ -1010,12 +1025,13 @@ def louvain_communities(
             cu = comm.select(F.col("dt_id").alias("src"), F.col("comm").alias("cu"))
             cv = comm.select(F.col("dt_id").alias("dst"), F.col("comm").alias("cv"))
             dedges = (
-                dedges.join(cu, "src")
+                full_edges.join(cu, "src")
                 .join(cv, "dst")
                 .groupBy(F.col("cu").alias("src"), F.col("cv").alias("dst"))
                 .agg(F.sum("w").alias("w"))
                 .localCheckpoint(eager=True)
             )
+            has_self = True
     return mapping
 
 

@@ -44,7 +44,12 @@ def get_spark(app_name: str = "pg-age-digitaltwins-spark") -> SparkSession:
     if not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
         builder = builder.config("spark.sql.shuffle.partitions", cpus)
-        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode hosts ALL executor threads in the driver JVM: 32
+        # concurrent tasks in an 8g heap is 250 MB/task, which GC-
+        # thrashes on edge-sized checkpoints at sf1 (measured: Louvain
+        # over 26M doubled edges).  16g ≈ 500 MB/task on a 128 GiB box;
+        # on a real cluster spark-submit sizing overrides all of this.
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
