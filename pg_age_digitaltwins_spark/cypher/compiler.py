@@ -573,8 +573,13 @@ class CypherCompiler:
             dtypes = dict(sub_df.dtypes)
             for nm in ret_names:
                 env[nm] = Binding(nm, "value", nm)
-                if dtypes.get(nm) == "variant":
+                dt2 = dtypes.get(nm)
+                if dt2 == "variant":
                     self._value_variant.add(nm)
+                elif dt2 in ("date", "timestamp", "timestamp_ntz") or (
+                    dt2 or ""
+                ).startswith("interval"):
+                    self._value_temporal[nm] = dt2
             if df is None:
                 return sub_df
             self.cartesian_products += 1
@@ -672,8 +677,13 @@ class CypherCompiler:
                         "with a column of the outer frame — alias it"
                     )
                 keep_cols.append(F.col(nm))
-                if dtypes.get(nm) == "variant":
+                dt2 = dtypes.get(nm)
+                if dt2 == "variant":
                     self._value_variant.add(nm)
+                elif dt2 in ("date", "timestamp", "timestamp_ntz") or (
+                    dt2 or ""
+                ).startswith("interval"):
+                    self._value_temporal[nm] = dt2
                 env[nm] = Binding(nm, "value", nm)
             else:
                 # returned entity: carry its prefixed flat columns

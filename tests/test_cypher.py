@@ -2045,3 +2045,12 @@ def test_temporal_registry_cleared_on_reprojection(spark):
                "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
                "WITH d.year + 0 AS d RETURN d AS y")
     assert out == [{"y": 1997.0}]
+
+
+def test_temporal_value_through_call_subquery(spark):
+    store = _temporal_store(spark)
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) "
+               "CALL { WITH t RETURN datetime(t.ts) AS d } "
+               "RETURN d.year AS y")
+    assert out == [{"y": 1997}]
