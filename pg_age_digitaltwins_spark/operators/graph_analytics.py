@@ -801,7 +801,7 @@ def neighbor_feature_agg(
 # Louvain-style modularity communities (deterministic, integer-exact)
 # ----------------------------------------------------------------------
 
-def _louvain_round(nbr, comm, two_m, parity):
+def _louvain_round(nbr, comm, two_m, parity, bcast=False):
     """One synchronous local-move round of weighted Louvain.
 
     ``nbr``: doubled directed edges (src, dst, w) WITHOUT self rows,
@@ -832,21 +832,24 @@ def _louvain_round(nbr, comm, two_m, parity):
     identical output."""
     sigma = comm.groupBy("comm").agg(F.sum("k").alias("sigma"))
     # candidate rows: neighbor communities (self rows excluded: a
-    # vertex is not its own neighbor), then the vertex's own (c_v, k)
+    # vertex is not its own neighbor), then the vertex's own (c_v, k).
+    # ``bcast`` (vertex state fits executor memory — the same ≤2M-
+    # vertex gate PageRank uses, dropping out at scale): both comm
+    # joins broadcast, so the edge set never leaves its partitions and
+    # BOTH aggregations below run exchange-free on the caller's src
+    # partitioning — one map-side pass over 2|E| per round instead of
+    # a full reshuffle.
+    comm_dst = comm.select(F.col("dt_id").alias("dst"), F.col("comm").alias("c"))
+    comm_src = comm.select(
+        F.col("dt_id").alias("src"), F.col("comm").alias("c_v"), "k"
+    )
+    if bcast:
+        comm_dst = F.broadcast(comm_dst)
+        comm_src = F.broadcast(comm_src)
     cand = (
-        nbr.join(
-            comm.select(F.col("dt_id").alias("dst"), F.col("comm").alias("c")),
-            "dst",
-        )
+        nbr.join(comm_dst, "dst")
         .select("src", "c", "w")
-        .join(
-            comm.select(
-                F.col("dt_id").alias("src"),
-                F.col("comm").alias("c_v"),
-                "k",
-            ),
-            "src",
-        )
+        .join(comm_src, "src")
         .groupBy("src", "c")
         .agg(
             F.sum("w").alias("k_vc"),
@@ -965,6 +968,14 @@ def louvain_communities(
     # level state: mapping original vertex -> current community, plus
     # the (contracted) graph the local moves run on
     mapping = verts.select("dt_id", F.col("dt_id").alias("community"))
+    # vertex-state broadcast gate (the same ≤2M threshold as PageRank,
+    # dropping out at scale): when the state broadcasts, rounds want
+    # the edges partitioned by SRC (both per-round aggregations then
+    # reuse that partitioning with zero exchange — one map-side pass
+    # over 2|E| per round); the shuffle path wants DST (the comm join
+    # then shuffles only the vertex side).  |V_level| never exceeds the
+    # twin count, and contraction only shrinks it.
+    bcast = verts.count() <= 2_000_000
     dedges = e
     # level-1 edges are self-free BY CONSTRUCTION (src != dst filtered
     # before doubling), so the pre-partitioned nbr checkpoint IS the
@@ -980,13 +991,14 @@ def louvain_communities(
         # the 2|E| edge set in place and shuffles only the vertex side
         spark = dedges.sparkSession
         n_part = spark.sparkContext.defaultParallelism
+        part_key = F.col("src") if bcast else F.col("dst")
         nbr = (
             (
                 dedges.filter(F.col("src") != F.col("dst"))
                 if has_self
                 else dedges
             )
-            .repartition(n_part, F.col("dst"))
+            .repartition(n_part, part_key)
             .localCheckpoint(eager=False)
         )
         # full edge set for degrees/contraction: self rows carry the
@@ -1004,7 +1016,7 @@ def louvain_communities(
             .localCheckpoint(eager=False)
         )
         for r in range(max(1, rounds_per_level)):
-            comm = _louvain_round(nbr, comm, two_m, r % 2)
+            comm = _louvain_round(nbr, comm, two_m, r % 2, bcast=bcast)
         # compose into the original-vertex mapping (vertices absent
         # from this level's graph keep their community)
         level_map = comm.select(
