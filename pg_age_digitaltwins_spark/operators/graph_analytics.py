@@ -801,7 +801,7 @@ def neighbor_feature_agg(
 # Louvain-style modularity communities (deterministic, integer-exact)
 # ----------------------------------------------------------------------
 
-def _louvain_round(nbr, comm, two_m, parity, bcast=False):
+def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
     """One synchronous local-move round of weighted Louvain.
 
     ``nbr``: doubled directed edges (src, dst, w) WITHOUT self rows,
@@ -908,15 +908,14 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False):
         .otherwise(F.col("c_v"))
         .alias("new_comm"),
     )
-    return (
-        comm.join(moved, "dt_id", "left")
-        .select(
-            "dt_id",
-            F.coalesce("new_comm", "comm").alias("comm"),
-            "k",
-        )
-        .localCheckpoint(eager=True)
+    out = comm.join(moved, "dt_id", "left").select(
+        "dt_id",
+        F.coalesce("new_comm", "comm").alias("comm"),
+        "k",
     )
+    # checkpoint=False exists for plan inspection (tests) only — the
+    # caller's loop always cuts lineage here
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def louvain_communities(

@@ -499,3 +499,51 @@ def test_minhash_banding_exchange_carries_ids_only(spark):
     # candidate pairs deduplicate BEFORE the signature join: a
     # HashAggregate keyed on (doc_a, doc_b) with no est in its key
     assert re.search(r"Keys \[2\]: \[doc_a\S*, doc_b\S*\]", plan), plan
+
+
+def test_repeated_spans_wide_shuffle_carries_hash_not_text(spark):
+    """r9: the qualifying aggregation of repeated_spans shuffles
+    (doc_id, h) — the 8-byte xxhash — never the span text; span text
+    enters only the post-qualification recovery join."""
+    import re
+
+    from pg_age_digitaltwins_spark.operators.text import repeated_spans
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    plan = _plan(repeated_spans(docs, window=20, min_docs=2))
+    # the qualifying exchange partitions on the hash and its input is
+    # exactly (h, count(doc_id) partials...) — no span column
+    ex = re.search(
+        r"Input \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning\(h",
+        plan,
+    )
+    assert ex, plan
+    assert "span" not in ex.group(1), ex.group(1)
+
+
+def test_louvain_round_broadcasts_state_under_gate(spark):
+    """r9: below the 2M-vertex gate a Louvain round broadcast-joins the
+    community state on BOTH sides, so the edge set never re-exchanges
+    inside a round (the only hashpartitioning exchanges in the round
+    plan are vertex-sized: the sigma aggregation and the state-update
+    join — never keyed on the edge frame's dst)."""
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        _louvain_round,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    ).select("src", "dst", F.lit(1).cast("long").alias("w"))
+    comm = spark.createDataFrame(
+        [("a", "a", 1), ("b", "b", 2), ("c", "c", 1)],
+        "dt_id string, comm string, k long",
+    )
+    out = _louvain_round(edges, comm, 4, 0, bcast=True, checkpoint=False)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # the edge frame is never re-partitioned by dst inside the round
+    assert "hashpartitioning(dst" not in plan, plan
