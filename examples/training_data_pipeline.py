@@ -56,6 +56,19 @@ def main() -> None:
     n2 = keep.count()
     print(f"exact dedup: {n2} kept ({n1 - n2} exact dups)")
 
+    # 2b. cross-document repeated-span report (Lee et al. substring-
+    #     dedup signal): boilerplate that whole-doc dedup misses
+    spans = text.repeated_spans(keep, window=16, min_docs=2)
+    n_spans = spans.count()
+    top = spans.orderBy(F.desc("n_docs")).limit(1).collect()
+    if top:
+        print(
+            f"repeated spans: {n_spans} boilerplate spans "
+            f"(widest in {top[0]['n_docs']} docs)"
+        )
+    else:
+        print("repeated spans: none")
+
     # 3. near-dedup: LSH candidates verified by exact Jaccard;
     #    drop the higher doc_id of each verified pair
     pairs = similarity.minhash_lsh_verified_pairs(keep, threshold=0.5)
