@@ -471,6 +471,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return modularity(st.relationships, comm)
 
     q["graph_modularity_cc"] = _modularity_cc
+
+    # r9: personalized PageRank — seed-teleport proximity (the
+    # related-entities / recommendation primitive); value-checked via
+    # the same unrolled-iteration DuckDB CTE chain as graph_pagerank
+    def _ppr(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            personalized_pagerank,
+        )
+
+        st = _store(s, d)
+        return personalized_pagerank(
+            st.twins, st.relationships, ["cust-0", "cust-1"], iters=5
+        ).filter(F.col("rank") > 0)
+
+    q["graph_personalized_pagerank"] = _ppr
     # The twin graph is a DAG (order→cust→nation→region), so every SCC
     # is a singleton — the oracle pins that; cycle behavior is carried
     # by the crafted-graph pytest suite (like clustering coefficient).
@@ -1541,6 +1558,45 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _ppr_oracle(
+    seeds: tuple[str, ...] = ("cust-0", "cust-1"),
+    iters: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """Unrolled personalized-PageRank iteration matching
+    ``graph_analytics.personalized_pagerank``: teleport + dangling
+    mass target the seed vector s (1/|S| on seeds), r0 = s."""
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    sv = (
+        f"(CASE WHEN v.dt_id IN ({seed_list}) "
+        f"THEN 1.0 / {len(seeds)} ELSE 0.0 END)"
+    )
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_ALL_TWIN_IDS}), "
+        f"edges AS MATERIALIZED ({_EDGES_SQL}), "
+        "outdeg AS MATERIALIZED (SELECT src AS dt_id, count(*) AS od FROM edges GROUP BY src), "
+        f"r0 AS MATERIALIZED (SELECT v.dt_id, {sv} AS rank FROM verts v)"
+    ]
+    d = repr(damping)
+    for k in range(1, iters + 1):
+        parts.append(
+            f", dang{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm "
+            f"FROM r{k - 1} r LEFT JOIN outdeg o USING (dt_id) WHERE o.od IS NULL)"
+            f", contrib{k} AS MATERIALIZED (SELECT e.dst AS dt_id, sum(r.rank / o.od) AS in_sum "
+            f"FROM edges e JOIN r{k - 1} r ON e.src = r.dt_id "
+            f"JOIN outdeg o ON o.dt_id = r.dt_id GROUP BY e.dst)"
+            f", r{k} AS MATERIALIZED (SELECT v.dt_id, "
+            f"{sv} * ((1.0 - {d}) + {d} * (SELECT dm FROM dang{k})) "
+            f"+ {d} * coalesce(c.in_sum, 0.0) AS rank "
+            f"FROM verts v LEFT JOIN contrib{k} c USING (dt_id))"
+        )
+    parts.append(
+        f" SELECT dt_id, round(rank, 8) AS rank FROM r{iters} "
+        "WHERE round(rank, 8) > 0"
+    )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["adt_count_twins"] = f"SELECT count(*) AS count FROM ({_ALL_TWIN_IDS})"
@@ -1951,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS n_reached FROM md WHERE d > 0 GROUP BY node"
     )
     o["graph_pagerank"] = _pagerank_oracle()
+    o["graph_personalized_pagerank"] = _ppr_oracle()
     o["graph_degree_distribution"] = (
         f"WITH edges AS ({_EDGES_SQL}), "
         f"deg AS (SELECT t.dt_id, "
