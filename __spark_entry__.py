@@ -391,6 +391,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "WITH datetime(o.orderdate) AS d "
         "RETURN d.year AS y, d.quarter AS q, count(*) AS n"
     )
+    q["cypher_duration_between"] = _adt(
+        "MATCH (o) WHERE o.`$metadata`.`$model` = 'dtmi:demo:Order;1' "
+        "WITH datetime(o.orderdate) AS d "
+        "WITH duration.between(d, datetime('2002-01-01T00:00:00')) AS age "
+        "RETURN age.days AS age_days, count(*) AS n"
+    )
     q["cypher_temporal_arithmetic"] = _adt(
         "MATCH (o) WHERE o.`$metadata`.`$model` = 'dtmi:demo:Order;1' "
         "WITH o.`$dtId` AS id, datetime(o.orderdate) AS d "
@@ -1911,6 +1917,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(year(o_orderdate) AS BIGINT) AS y, "
         "CAST(quarter(o_orderdate) AS BIGINT) AS q, count(*) AS n "
         "FROM orders GROUP BY 1, 2"
+    )
+    o["cypher_duration_between"] = (
+        "SELECT CAST(date_diff('day', o_orderdate, "
+        "TIMESTAMP '2002-01-01 00:00:00') AS BIGINT) AS age_days, "
+        "count(*) AS n FROM orders GROUP BY 1"
     )
     o["cypher_temporal_arithmetic"] = (
         "WITH d AS (SELECT 'order-' || o_orderkey AS id, "

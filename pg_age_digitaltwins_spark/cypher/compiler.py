@@ -92,12 +92,41 @@ _TEMPORAL_COMPONENTS = {
 }
 
 
+# Neo4j duration components (plural) → Spark interval extract fields.
+# Spark field extraction on intervals is exact by family: YEAR/MONTH on
+# year-month intervals, DAY..SECOND on day-time intervals.
+_INTERVAL_COMPONENTS = {
+    "years": "YEAR",
+    "months": "MONTH",
+    "days": "DAY",
+    "hours": "HOUR",
+    "minutes": "MINUTE",
+    "seconds": "SECOND",
+}
+
+
 def _temporal_component(c, path: list[str], dtype: str):
-    if dtype.startswith("interval") or len(path) != 1:
+    if len(path) != 1:
         raise CypherCompileError(
-            "temporal component access supports one component on a "
-            f"date/datetime value; got .{'.'.join(path)} on {dtype}"
+            "temporal component access supports one component; got "
+            f".{'.'.join(path)} on {dtype}"
         )
+    if dtype.startswith("interval"):
+        field = _INTERVAL_COMPONENTS.get(path[0].lower())
+        if field is None:
+            raise CypherCompileError(
+                f"unknown duration component {path[0]!r} — one of "
+                f"{sorted(_INTERVAL_COMPONENTS)}"
+            )
+        if ("year" in dtype or "month" in dtype) != (
+            field in ("YEAR", "MONTH")
+        ):
+            raise CypherCompileError(
+                f"duration component {path[0]!r} does not exist on a "
+                f"{dtype} value (Spark intervals keep calendar and "
+                "clock families separate)"
+            )
+        return F.date_part(F.lit(field), c).cast("long")
     fn = _TEMPORAL_COMPONENTS.get(path[0].lower())
     if fn is None:
         raise CypherCompileError(
@@ -1929,7 +1958,7 @@ class CypherCompiler:
         if isinstance(x, C.Func):
             if x.name in ("date", "datetime", "localdatetime"):
                 return "temporal"
-            if x.name == "duration":
+            if x.name in ("duration", "duration.between"):
                 return "duration"
         if isinstance(x, C.Var):
             b = env.get(x.name)
@@ -2473,6 +2502,18 @@ class CypherCompiler:
                     "e.g. duration('P30D')"
                 )
             return _duration_interval(e.args[0].value)
+        if n == "duration.between":
+            # duration.between(from, to) — the elapsed interval
+            # ``to − from`` on native temporal types (timestamps yield
+            # a day-time interval, dates an interval-day)
+            if len(e.args) != 2:
+                raise CypherCompileError(
+                    "duration.between() takes exactly two temporal "
+                    "arguments"
+                )
+            a = self._expr(e.args[0], env)
+            b2 = self._expr(e.args[1], env)
+            return b2 - a
         raise CypherCompileError(f"Unknown function {n}()")
 
     def _vector(self, e: C.Expr, env) -> Column:

@@ -2054,3 +2054,34 @@ def test_temporal_value_through_call_subquery(spark):
                "CALL { WITH t RETURN datetime(t.ts) AS d } "
                "RETURN d.year AS y")
     assert out == [{"y": 1997}]
+
+
+def test_duration_between_and_interval_components(spark):
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    store = _temporal_store(spark)
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
+               "WITH duration.between(d, datetime('1997-03-20T12:00:45')) AS el "
+               "RETURN el.days AS days, el.hours AS h, el.minutes AS m")
+    # 1997-03-15T10:30:45 → 1997-03-20T12:00:45 = 5 days 1:30:00
+    assert out == [{"days": 5, "h": 1, "m": 30}]
+    # duration.between composes with duration arithmetic through WITH
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
+               "WITH duration.between(d, datetime('1997-03-20T10:30:45')) "
+               "+ duration('P1D') AS el RETURN el.days AS days")
+    assert out == [{"days": 6}]
+    # calendar components only exist on calendar durations
+    with pytest.raises(CypherCompileError, match="does not exist"):
+        rows(store,
+             "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
+             "WITH duration.between(d, datetime('1998-01-01T00:00:00')) AS el "
+             "RETURN el.months AS mo")
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) "
+               "WITH duration('P2Y3M') AS ym "
+               "RETURN ym.years AS y, ym.months AS mo")
+    assert out == [{"y": 2, "mo": 3}]
+    with pytest.raises(CypherCompileError, match="two temporal"):
+        rows(store, "MATCH (t) RETURN duration.between(datetime(t.ts)) AS x")
