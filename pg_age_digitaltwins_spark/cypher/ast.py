@@ -32,6 +32,15 @@ class Prop:
 
 
 @dataclass
+class PostfixProp:
+    """``fn(...).seg`` / ``(expr).seg`` — property access on a computed
+    value (temporal component extraction; a Var base renormalizes to
+    Prop in the compiler)."""
+    base: "Expr"
+    path: list[str]
+
+
+@dataclass
 class Lit:
     value: Any
     kind: str  # 'string' | 'number' | 'bool' | 'null'
@@ -172,6 +181,21 @@ def has_aggregate(e: Expr) -> bool:
         return has_aggregate(e.operand)
     if isinstance(e, ListLit):
         return any(has_aggregate(i) for i in e.items)
+    if isinstance(e, PostfixProp):
+        return has_aggregate(e.base)
+    if isinstance(e, Arith):
+        # r9: aggregates nest inside arithmetic (count(x) + 100) — the
+        # implicit-grouping split must see them or grouped RETURNs
+        # fail with MISSING_GROUP_BY
+        return has_aggregate(e.left) or has_aggregate(e.right)
+    if isinstance(e, Case):
+        return (
+            (e.operand is not None and has_aggregate(e.operand))
+            or any(
+                has_aggregate(c) or has_aggregate(v) for c, v in e.whens
+            )
+            or (e.else_ is not None and has_aggregate(e.else_))
+        )
     return False
 
 

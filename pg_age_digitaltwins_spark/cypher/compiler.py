@@ -1872,6 +1872,29 @@ class CypherCompiler:
             if e.else_ is not None:
                 col = col.otherwise(self._operand(e.else_, env, _lit_kind(e.else_)))
             return col
+        if isinstance(e, C.PostfixProp):
+            # ``fn(...).seg`` / ``(expr).seg`` — a Var base is ordinary
+            # property access; otherwise the base must be statically
+            # temporal and the segment extracts its component
+            if isinstance(e.base, C.Var):
+                return self._expr(
+                    C.Prop(e.base.name, list(e.path)), env, as_predicate
+                )
+            k = self._temporal_kind(e.base, env)
+            if k is None:
+                raise CypherCompileError(
+                    "property access on a computed value is only "
+                    "supported for temporal expressions "
+                    "(date/datetime/duration)"
+                )
+            dtype = {
+                "temporal": "timestamp",
+                "duration_dt": "interval day to second",
+                "duration_ym": "interval year to month",
+            }[k]
+            return _temporal_component(
+                self._expr(e.base, env), list(e.path), dtype
+            )
         if isinstance(e, C.Func):
             return self._func(e, env)
         if isinstance(e, C.Lit):
@@ -1951,29 +1974,50 @@ class CypherCompiler:
         return self._expr(src, env), False
 
     def _temporal_kind(self, x: C.Expr, env) -> str | None:
-        """Static detection of temporal-typed operands for +/-:
-        'temporal' (date/datetime constructor or a WITH-projected
-        date/timestamp value) or 'duration' (duration() or a projected
-        interval value)."""
+        """Static detection of temporal-typed operands for +/- and
+        postfix component access: 'temporal' (date/datetime constructor
+        or a WITH-projected date/timestamp value), 'duration_dt' /
+        'duration_ym' (duration values, by interval family)."""
         if isinstance(x, C.Func):
             if x.name in ("date", "datetime", "localdatetime"):
                 return "temporal"
-            if x.name in ("duration", "duration.between"):
-                return "duration"
+            if x.name == "duration.between":
+                return "duration_dt"
+            if x.name == "duration":
+                if (
+                    len(x.args) == 1
+                    and isinstance(x.args[0], C.Lit)
+                    and isinstance(x.args[0].value, str)
+                ):
+                    m = _ISO_DURATION.match(x.args[0].value.strip())
+                    if m and (m.group(1) or m.group(2)):
+                        return "duration_ym"
+                return "duration_dt"
         if isinstance(x, C.Var):
             b = env.get(x.name)
             if b is not None and b.kind == "value":
                 dt = self._value_temporal.get(b.df_alias)
                 if dt is None:
                     return None
-                return "duration" if dt.startswith("interval") else "temporal"
+                if not dt.startswith("interval"):
+                    return "temporal"
+                return (
+                    "duration_ym"
+                    if ("year" in dt or "month" in dt)
+                    else "duration_dt"
+                )
         if isinstance(x, C.Arith) and x.op in ("+", "-"):
             lk = self._temporal_kind(x.left, env)
             rk = self._temporal_kind(x.right, env)
             if "temporal" in (lk, rk):
                 return "temporal"
-            if lk == "duration" and rk == "duration":
-                return "duration"
+            if (
+                lk
+                and rk
+                and lk.startswith("duration")
+                and rk.startswith("duration")
+            ):
+                return lk
         return None
 
     def _operand(self, e: C.Expr, env, kind: str | None) -> Column:

@@ -483,6 +483,18 @@ class _Parser:
             return C.Arith("^", left, self.pow_expr())
         return left
 
+    def _postfix(self, e):
+        """Trailing ``.name`` segments after a call or parenthesized
+        expression — temporal component access on computed values
+        (``datetime(x).year``, ``duration.between(a,b).days``)."""
+        path = []
+        while self.at("PUNCT", "."):
+            self.i += 1
+            path.append(self.eat_name())
+        import pg_age_digitaltwins_spark.cypher.ast as C
+
+        return C.PostfixProp(e, path) if path else e
+
     def primary(self) -> C.Expr:
         t = self.cur
         if t.kind == "STRING":
@@ -550,7 +562,7 @@ class _Parser:
             self.eat("PUNCT", "(")
             e = self.expr()
             self.eat("PUNCT", ")")
-            return e
+            return self._postfix(e)
         if t.kind == "IDENT" or (t.kind == "KEYWORD" and t.value == "COUNT"):
             name = t.value
             self.i += 1
@@ -565,7 +577,7 @@ class _Parser:
                     return C.CountSub(p, where)
                 return C.PatternPred(p, where)
             if self.at("PUNCT", "("):  # function call
-                return self._call(name.lower())
+                return self._postfix(self._call(name.lower()))
             path: list[str] = []
             dotted = True  # every segment so far came from `.` (call-eligible)
             while True:
@@ -594,7 +606,9 @@ class _Parser:
                 # namespace-qualified function call, e.g. the installed
                 # plpgsql helper ``digitaltwins.is_of_model(t, 'dtmi:…')``
                 # (GraphInitialization.cs:50-121; docs/concepts/querying.mdx)
-                return self._call(".".join([name] + path).lower())
+                return self._postfix(
+                    self._call(".".join([name] + path).lower())
+                )
             if path:
                 return C.Prop(name, path)
             return C.Var(name)

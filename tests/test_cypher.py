@@ -2085,3 +2085,28 @@ def test_duration_between_and_interval_components(spark):
     assert out == [{"y": 2, "mo": 3}]
     with pytest.raises(CypherCompileError, match="two temporal"):
         rows(store, "MATCH (t) RETURN duration.between(datetime(t.ts)) AS x")
+
+
+def test_postfix_temporal_component_access(spark):
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    store = _temporal_store(spark)
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) "
+               "RETURN datetime(t.ts).year AS y, date(t.ts).ordinalDay AS doy, "
+               "duration.between(datetime(t.ts), "
+               "datetime('1997-03-20T12:00:45')).days AS days, "
+               "duration('P2Y3M').months AS mo")
+    assert out == [{"y": 1997, "doy": 74, "days": 5, "mo": 3}]
+    # parenthesized arithmetic result
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
+               "RETURN (d + duration('P1D')).day AS nd")
+    assert out == [{"nd": 16}]
+    # var base renormalizes to plain property access
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) RETURN (t).ts AS ts")
+    assert out[0]["ts"] == "1997-03-15T10:30:45"
+    # non-temporal computed base rejected with a clear error
+    with pytest.raises(CypherCompileError, match="temporal expressions"):
+        rows(store, "MATCH (t) RETURN toLower(t.ts).year AS y")
