@@ -863,6 +863,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_ann_pq"] = lambda s, d: similarity.ann_pq_search(
         _tables(s, d)["embeddings"], query_id=0, k=10
     )
+    # r9: SQ8 ANN — integer-code prescreen + exact re-rank; the ONE
+    # compressed-index ANN whose whole search value-checks vs SQL
+    # (codes/dot products are exact integer arithmetic, no k-means)
+    q["embed_ann_sq8"] = lambda s, d: similarity.ann_sq8_search(
+        _tables(s, d)["embeddings"], query_id=0, k=10, refine_k=50
+    )
 
     # batched-query PQ: one codebook + one encoded scan for N queries
     # (same FP-training caveat → rows-only; equality with the N single
@@ -2357,7 +2363,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'ivf' AS method, true AS meets_floor "
         "UNION ALL SELECT 'lsh', true "
         "UNION ALL SELECT 'lsh_multi', true "
-        "UNION ALL SELECT 'pq', true"
+        "UNION ALL SELECT 'pq', true "
+        "UNION ALL SELECT 'sq8', true"
     )
     # recall 1.0 at this config: the multi-table result IS the exact
     # top-10, so the oracle is the brute-force SQL itself
@@ -2617,6 +2624,26 @@ def oracle_sql() -> dict[str, str]:
         "THEN CAST(round((x - mn) / (mx - mn) * 254) - 127 AS INTEGER) "
         "ELSE 0 END ORDER BY dim), ',') AS codes_csv "
         "FROM ex JOIN st USING (dim) GROUP BY vec_id"
+    )
+    o["embed_ann_sq8"] = (
+        "WITH ex AS (SELECT vec_id, "
+        "unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x, "
+        "generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+        "st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim), "
+        "codes AS (SELECT vec_id, dim, CASE WHEN mx > mn "
+        "THEN CAST(round((x - mn) / (mx - mn) * 254) - 127 AS BIGINT) "
+        "ELSE 0 END AS c FROM ex JOIN st USING (dim)), "
+        "approx AS (SELECT v.vec_id, sum(v.c * q.c) AS score "
+        "FROM codes v JOIN (SELECT dim, c FROM codes WHERE vec_id = 0) q "
+        "USING (dim) WHERE v.vec_id <> 0 GROUP BY v.vec_id), "
+        "cand AS (SELECT vec_id FROM approx ORDER BY score DESC, vec_id LIMIT 50) "
+        "SELECT vec_id, sim FROM ("
+        "SELECT e.vec_id AS vec_id, "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])), 6) AS sim "
+        "FROM embeddings e JOIN cand USING (vec_id) "
+        "CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q) "
+        "ORDER BY sim DESC, vec_id LIMIT 10"
     )
     o["events_funnel"] = (
         "WITH s0 AS (SELECT user_id, min(ts) AS t FROM events "

@@ -1717,3 +1717,24 @@ def test_personalized_pagerank_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="seed"):
         personalized_pagerank(twins, rels, [])
+
+
+def test_ann_sq8_matches_bruteforce_on_fixture(spark):
+    """SQ8's integer prescreen at refine_k=50 recovers the exact
+    top-10 on the sf0.001 embeddings (recall 1.0) — and the output is
+    deterministic across repartitioning."""
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        ann_sq8_search,
+        knn_brute_force,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    exact = [r["vec_id"] for r in knn_brute_force(emb, 0, 10).collect()]
+    sq8 = [r["vec_id"] for r in ann_sq8_search(emb, 0, 10, 50).collect()]
+    assert sq8 == exact
+    again = [
+        r["vec_id"]
+        for r in ann_sq8_search(emb.repartition(7), 0, 10, 50).collect()
+    ]
+    assert again == sq8
