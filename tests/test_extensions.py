@@ -842,7 +842,7 @@ def test_ann_recall_gate(embeddings):
     gate is what caught single-table 8-bit LSH collapsing to <0.1
     recall on near-isotropic embeddings)."""
     rows = {r["method"]: r for r in similarity.ann_recall(embeddings).collect()}
-    assert set(rows) == {"ivf", "lsh", "lsh_multi", "pq"}
+    assert set(rows) == {"ivf", "lsh", "lsh_multi", "pq", "sq8"}
     for m, r in rows.items():
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert r["meets_floor"], f"{m} recall {r['recall_at_k']} below floor"
