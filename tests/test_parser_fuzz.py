@@ -32,6 +32,10 @@ _FRAGMENTS = st.sampled_from([
     "testgraph.is_of_model(", "g.model_and_descendants(", "g.is_number(",
     "RETURN *", "WITH *", "*,", ".$dtId", "$x", "labels(", "elementId(",
     "date(", "datetime(",
+    # r9 grammar: durations, postfix component access, keyword props
+    "duration(", "duration.between(", "duration('P30D')", ".year",
+    ".days", "(d + duration('P1D')).day", "t.when", "t.contains",
+    "datetime(t.ts).year", "'P1M2D'",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
