@@ -58,12 +58,24 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 
 def main() -> int:
     keys = sys.argv[1:] or None
-    # Deliberately VANILLA (no repo confs): the driver's harness builds
-    # its own SparkSession, so the entry points must not depend on
-    # session.get_spark defaults (the round-1 nanosAsLong failure mode).
-    spark = SparkSession.builder.master(
-        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-    ).appName("oracle-check").getOrCreate()
+    # Deliberately VANILLA on every SEMANTIC conf: the driver's harness
+    # builds its own SparkSession, so the entry points must not depend
+    # on session.get_spark defaults (the round-1 nanosAsLong failure
+    # mode).  Heap SIZING is not semantics: a full 160+-key board run
+    # accumulates checkpoint/broadcast blocks across keys, and the 1g
+    # default with 32 executor threads (~11 MB execution memory per
+    # task) OOMs ~100 keys in — r9 measured, graph_louvain the victim.
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        .appName("oracle-check")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
