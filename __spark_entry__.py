@@ -2148,7 +2148,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT key, source, n_tokens FROM t JOIN r USING (source) "
         "WHERE rate >= 1.0 OR (rate > 0 AND "
         "substr(md5('mixture' || '|' || CAST(key AS VARCHAR)), 1, 8) < "
-        "printf('%08x', greatest(1, CAST(floor(rate * 4294967296.0) AS BIGINT))))"
+        "printf('%08x', least(4294967295, "
+        "greatest(1, CAST(floor(rate * 4294967296.0) AS BIGINT)))))"
     )
     o["text_lm_score"] = (
         "WITH toks AS (SELECT doc_id, source, "

@@ -92,16 +92,59 @@ _TEMPORAL_COMPONENTS = {
 }
 
 
-# Neo4j duration components (plural) → Spark interval extract fields.
-# Spark field extraction on intervals is exact by family: YEAR/MONTH on
-# year-month intervals, DAY..SECOND on day-time intervals.
+# Neo4j duration components (plural) → GROUP-TOTAL expressions over
+# Spark interval extract fields (r10, ADVICE parity fix).  Neo4j
+# accessors return totals WITHIN the component's group, not
+# within-parent remainders: duration('P2Y3M').months == 27 (total
+# months), and a 1h30m seconds group has .minutes == 90.  Groups:
+#   months group  → years / quarters / months   (ym-interval)
+#   days group    → weeks / days                (dt-interval DAY field)
+#   seconds group → hours / minutes / seconds / milliseconds
+#                   (dt-interval sub-day remainder)
+# DOCUMENTED DIVERGENCE: Spark day-time intervals store total
+# microseconds, so 24h always folds into the days group at
+# construction (duration('PT26H').days == 1 here; Neo4j keeps a
+# pure-seconds duration with .days == 0).  Within that folded
+# decomposition every accessor matches Neo4j's group-total rules.
+def _ival_total_months(c):
+    return (
+        F.date_part(F.lit("YEAR"), c).cast("long") * F.lit(12)
+        + F.date_part(F.lit("MONTH"), c).cast("long")
+    )
+
+
+def _ival_secgroup_seconds(c):
+    # seconds-group total (sub-day remainder), truncated to whole secs
+    return (
+        F.date_part(F.lit("HOUR"), c).cast("long") * F.lit(3600)
+        + F.date_part(F.lit("MINUTE"), c).cast("long") * F.lit(60)
+        + F.floor(F.date_part(F.lit("SECOND"), c)).cast("long")
+    )
+
+
 _INTERVAL_COMPONENTS = {
-    "years": "YEAR",
-    "months": "MONTH",
-    "days": "DAY",
-    "hours": "HOUR",
-    "minutes": "MINUTE",
-    "seconds": "SECOND",
+    # ym family
+    "years": ("ym", lambda c: F.date_part(F.lit("YEAR"), c).cast("long")),
+    "quarters": ("ym", lambda c: (_ival_total_months(c) / F.lit(3)).cast("long")),
+    "months": ("ym", _ival_total_months),
+    # dt family — days group
+    "weeks": (
+        "dt",
+        lambda c: (F.date_part(F.lit("DAY"), c).cast("long") / F.lit(7)).cast("long"),
+    ),
+    "days": ("dt", lambda c: F.date_part(F.lit("DAY"), c).cast("long")),
+    # dt family — seconds group (totals within the sub-day remainder)
+    "hours": ("dt", lambda c: F.date_part(F.lit("HOUR"), c).cast("long")),
+    "minutes": (
+        "dt",
+        lambda c: (_ival_secgroup_seconds(c) / F.lit(60)).cast("long"),
+    ),
+    "seconds": ("dt", _ival_secgroup_seconds),
+    "milliseconds": (
+        "dt",
+        lambda c: _ival_secgroup_seconds(c) * F.lit(1000)
+        + ((F.date_part(F.lit("SECOND"), c) % F.lit(1)) * F.lit(1000)).cast("long"),
+    ),
 }
 
 
@@ -112,21 +155,20 @@ def _temporal_component(c, path: list[str], dtype: str):
             f".{'.'.join(path)} on {dtype}"
         )
     if dtype.startswith("interval"):
-        field = _INTERVAL_COMPONENTS.get(path[0].lower())
-        if field is None:
+        ent = _INTERVAL_COMPONENTS.get(path[0].lower())
+        if ent is None:
             raise CypherCompileError(
                 f"unknown duration component {path[0]!r} — one of "
                 f"{sorted(_INTERVAL_COMPONENTS)}"
             )
-        if ("year" in dtype or "month" in dtype) != (
-            field in ("YEAR", "MONTH")
-        ):
+        fam, fn = ent
+        if ("year" in dtype or "month" in dtype) != (fam == "ym"):
             raise CypherCompileError(
                 f"duration component {path[0]!r} does not exist on a "
                 f"{dtype} value (Spark intervals keep calendar and "
                 "clock families separate)"
             )
-        return F.date_part(F.lit(field), c).cast("long")
+        return fn(c)
     fn = _TEMPORAL_COMPONENTS.get(path[0].lower())
     if fn is None:
         raise CypherCompileError(
@@ -1676,7 +1718,24 @@ class CypherCompiler:
     def _key_col(left: Binding) -> Column:
         """The anchor key column of a binding — dotted for frame-backed
         bindings, flat (``prefix__col``) for passthrough/optional
-        entity bindings."""
+        entity bindings.
+
+        Relationship bindings key on the COMPOSITE
+        ``(source_id, relationship_id)`` struct: per ADT semantics
+        $relationshipId is only unique per source twin (the store PK —
+        see store/commit_log.py MERGE key), so a join-back / window /
+        grouping on the bare id would fan out across source twins that
+        reuse an id (e.g. both naming an edge 'contains')."""
+        if left.kind == "rel":
+            if left.df_alias.startswith("__o_"):
+                return F.struct(
+                    F.col(f"{left.df_alias}__source_id"),
+                    F.col(f"{left.df_alias}__relationship_id"),
+                )
+            return F.struct(
+                F.col(f"{left.df_alias}.source_id"),
+                F.col(f"{left.df_alias}.relationship_id"),
+            )
         if left.df_alias.startswith("__o_"):
             return F.col(f"{left.df_alias}__{left.key_col}")
         return F.col(f"{left.df_alias}.{left.key_col}")

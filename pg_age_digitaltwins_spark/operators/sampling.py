@@ -230,16 +230,23 @@ def mixture_sample(
     # is also ceiled to 1 bucket whenever budget > 0, so a positive
     # budget always has a nonzero keep probability; rate >= 1 keeps
     # everything (its threshold would overflow the digit width, which
-    # string-compares wrong)
+    # string-compares wrong).  The bucket index is ALSO clamped to
+    # 2^32-1: for a rate just below 1.0 (budget = total-1 at 10^11
+    # tokens) rate*2^32 rounds UP to exactly 2^32 in double arithmetic,
+    # whose 9-hex form lpad(...,8) would TRUNCATE to '10000000' —
+    # collapsing the effective keep rate from ~100% to 1/16
     thr = F.when(
         F.col("rate") > 0,
         F.lower(
             F.lpad(
                 F.hex(
-                    F.greatest(
-                        F.lit(1).cast("bigint"),
-                        F.floor(F.col("rate") * F.lit(4294967296.0)).cast(
-                            "bigint"
+                    F.least(
+                        F.lit(4294967295).cast("bigint"),
+                        F.greatest(
+                            F.lit(1).cast("bigint"),
+                            F.floor(
+                                F.col("rate") * F.lit(4294967296.0)
+                            ).cast("bigint"),
                         ),
                     )
                 ),

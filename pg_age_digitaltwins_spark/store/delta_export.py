@@ -781,11 +781,24 @@ class ContinuousDeltaExporter:
 
     def stop(self, timeout: float = 60.0, final_tick: bool = True) -> None:
         """Stop the tail loop; by default run one last ``run_once`` so
-        everything committed before ``stop`` is exported."""
+        everything committed before ``stop`` is exported.
+
+        If the background tick is still mid-``run_once`` when the join
+        times out, raise instead of proceeding: discarding the thread
+        handle and running ``final_tick`` would put TWO writers on the
+        same export dest concurrently, racing on the next Delta log
+        version (ADVICE r10)."""
         if self._thread is None:
             return
         self._stop.set()
         self._thread.join(timeout)
+        if self._thread.is_alive():
+            raise TimeoutError(
+                f"delta-exporter tick still running after {timeout}s — "
+                "not detaching while a writer is live (a concurrent "
+                "final_tick would race on the export log); call stop() "
+                "again with a longer timeout"
+            )
         self._thread = None
         if self._error is not None:
             raise self._error

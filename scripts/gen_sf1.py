@@ -6,8 +6,11 @@ The driver's testdata tops out at sf0.1 (TESTDATA.md) — every
 argument.  This script synthesizes the same ten tables with the same
 schemas, value formats, and FK structure at 10x the rows (seeded,
 deterministic), written to ``testdata_sf1/`` (gitignored).  bench.py
-picks it up via ``SPARK_GRAFT_SF_DIR`` and records an ``sf1`` probe
-group when the directory exists.
+picks it up via ``SPARK_GRAFT_SF1_DIR`` (defaulting to
+``testdata_sf1/`` next to bench.py) and records an ``sf1`` probe
+group when the directory exists.  (``SPARK_GRAFT_SF_DIR`` is the
+separate knob for the MAIN sf0.1 bench groups — pointing it here
+would run the whole bench at sf1 instead of enabling the probe.)
 
 Distributions mirror the sf0.1 fixture (inspected, not copied):
 uniform mktsegments/priorities/returnflags, 1995-2001 date windows,

@@ -1360,6 +1360,45 @@ def test_delta_continuous_export_live_tail(spark, tmp_path):
     }
 
 
+def test_delta_continuous_export_stop_refuses_live_writer(spark, tmp_path):
+    """ADVICE r10: if the background tick outlives the join timeout,
+    stop() must raise rather than detach the handle and run final_tick
+    concurrently (two writers racing on the next Delta log version).
+    A second stop() after the tick exits succeeds and drains."""
+    import threading
+
+    from pg_age_digitaltwins_spark.store.commit_log import merge_rows
+    from pg_age_digitaltwins_spark.store.delta_export import (
+        ContinuousDeltaExporter,
+    )
+
+    root = str(tmp_path / "table")
+    dest_root = str(tmp_path / "delta")
+    commit_snapshot(_store(spark, 2), root)  # v1
+    exp = ContinuousDeltaExporter(
+        spark, root, dest_root, tables=("twins",), poll_interval=0.05
+    )
+    release = threading.Event()
+    real_run_once = exp.run_once
+
+    def slow_run_once():
+        out = real_run_once()
+        release.wait(10.0)  # hold the tick "mid-export"
+        return out
+
+    exp.run_once = slow_run_once
+    exp.start()
+    with pytest.raises(TimeoutError, match="still running"):
+        exp.stop(timeout=0.3)
+    assert exp._thread is not None and exp._thread.is_alive()
+    release.set()
+    exp.run_once = real_run_once
+    merge_rows(spark, root, twin_upserts=[_twin(99)])  # lands post-race
+    exp.stop(timeout=30.0)  # clean retry: joins + final tick drains
+    assert exp._thread is None
+    assert exp.lag() == 0
+
+
 def test_delta_export_lag_gates_vacuum(spark, tmp_path):
     """export_lag counts versions the exporter has not linked yet —
     the number an operator compares against vacuum keep_last."""

@@ -1912,6 +1912,77 @@ def test_call_subquery_imports_relationship(spark):
     assert [r["tgt"] for r in out] == ["n1", "n2", "n3"]
 
 
+def _dup_relid_store(spark):
+    # ADT's relationship PK is (source_id, relationship_id):
+    # $relationshipId is only unique PER SOURCE TWIN, so several source
+    # twins legally reuse the same id (both naming an edge 'contains')
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sq:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [
+        {"$dtId": f"n{i}", "$metadata": {"$model": "dtmi:sq:T;1"}}
+        for i in range(4)
+    ]
+    rels = [
+        {"$relationshipId": "contains", "$sourceId": "n0",
+         "$targetId": "n1", "$relationshipName": "knows"},
+        {"$relationshipId": "contains", "$sourceId": "n1",
+         "$targetId": "n2", "$relationshipName": "knows"},
+        {"$relationshipId": "contains", "$sourceId": "n2",
+         "$targetId": "n3", "$relationshipName": "knows"},
+    ]
+    return GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models)
+
+
+def test_call_rel_import_composite_key_no_fanout(spark):
+    # r10 ADVICE regression: the CALL join-back keys rels on the
+    # COMPOSITE (source_id, relationship_id) — joining on the bare id
+    # would fan 3 outer rows × 3 same-id sub rows = 9 mixed rows
+    store = _dup_relid_store(spark)
+    out = rows(store,
+               "MATCH (a)-[r:knows]->(b) "
+               "CALL { WITH r RETURN r.`$targetId` AS tgt } "
+               "RETURN a.`$dtId` AS src, tgt ORDER BY src")
+    assert out == [
+        {"src": "n0", "tgt": "n1"},
+        {"src": "n1", "tgt": "n2"},
+        {"src": "n2", "tgt": "n3"},
+    ]
+
+
+def test_call_rel_import_composite_key_aggregate(spark):
+    # aggregating CALL path: per-rel counts must not merge across
+    # source twins sharing a relationship id
+    store = _dup_relid_store(spark)
+    out = rows(store,
+               "MATCH (a)-[r:knows]->() "
+               "CALL { WITH r RETURN count(r) AS n } "
+               "RETURN a.`$dtId` AS src, n ORDER BY src")
+    assert out == [
+        {"src": "n0", "n": 1},
+        {"src": "n1", "n": 1},
+        {"src": "n2", "n": 1},
+    ]
+
+
+def test_call_rel_import_per_anchor_limit_composite(spark):
+    # _call_project's per-anchor window partitions by the composite rel
+    # key: each (source, rel) keeps its own LIMIT-1 row
+    store = _dup_relid_store(spark)
+    out = rows(store,
+               "MATCH (a)-[r:knows]->() "
+               "CALL { WITH r RETURN r.`$targetId` AS tgt "
+               "ORDER BY tgt LIMIT 1 } "
+               "RETURN a.`$dtId` AS src, tgt ORDER BY src")
+    assert out == [
+        {"src": "n0", "tgt": "n1"},
+        {"src": "n1", "tgt": "n2"},
+        {"src": "n2", "tgt": "n3"},
+    ]
+
+
 def test_call_subquery_imports_model(fixture_store):
     # a model import must seed the MODELS frame (not a twin scan) —
     # counting each model's _extends parents
@@ -2063,9 +2134,13 @@ def test_duration_between_and_interval_components(spark):
     out = rows(store,
                "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
                "WITH duration.between(d, datetime('1997-03-20T12:00:45')) AS el "
-               "RETURN el.days AS days, el.hours AS h, el.minutes AS m")
-    # 1997-03-15T10:30:45 → 1997-03-20T12:00:45 = 5 days 1:30:00
-    assert out == [{"days": 5, "h": 1, "m": 30}]
+               "RETURN el.days AS days, el.hours AS h, el.minutes AS m, "
+               "el.seconds AS s, el.weeks AS w")
+    # 1997-03-15T10:30:45 → 1997-03-20T12:00:45 = 5 days + 1:30:00.
+    # Neo4j GROUP-TOTAL accessors (r10): the seconds group is 1h30m, so
+    # .minutes == 90 (total minutes of the group), .hours == 1,
+    # .seconds == 5400; the days group gives .days == 5, .weeks == 0
+    assert out == [{"days": 5, "h": 1, "m": 90, "s": 5400, "w": 0}]
     # duration.between composes with duration arithmetic through WITH
     out = rows(store,
                "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
@@ -2081,8 +2156,10 @@ def test_duration_between_and_interval_components(spark):
     out = rows(store,
                "MATCH (t {`$dtId`: 'a'}) "
                "WITH duration('P2Y3M') AS ym "
-               "RETURN ym.years AS y, ym.months AS mo")
-    assert out == [{"y": 2, "mo": 3}]
+               "RETURN ym.years AS y, ym.months AS mo, ym.quarters AS q")
+    # Neo4j group totals: .months is the TOTAL month count (27), not
+    # the within-year remainder; .quarters = total months / 3
+    assert out == [{"y": 2, "mo": 27, "q": 9}]
     with pytest.raises(CypherCompileError, match="two temporal"):
         rows(store, "MATCH (t) RETURN duration.between(datetime(t.ts)) AS x")
 
@@ -2097,7 +2174,7 @@ def test_postfix_temporal_component_access(spark):
                "duration.between(datetime(t.ts), "
                "datetime('1997-03-20T12:00:45')).days AS days, "
                "duration('P2Y3M').months AS mo")
-    assert out == [{"y": 1997, "doy": 74, "days": 5, "mo": 3}]
+    assert out == [{"y": 1997, "doy": 74, "days": 5, "mo": 27}]
     # parenthesized arithmetic result
     out = rows(store,
                "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "

@@ -1635,6 +1635,38 @@ def test_mixture_sample_tiny_rate_keeps_positive_budget(spark):
     assert sorted(r["key"] for r in out.collect()) == sorted(specials)
 
 
+def test_mixture_sample_near_one_rate_not_truncated(spark):
+    """ADVICE r10 (threshold-width clamp): a 9-hex threshold would be
+    lpad-TRUNCATED to '10000000' (1/16 keep).  Analysis: multiplication
+    by 2^32 (a power of two) is EXACT in binary doubles, so rate < 1.0
+    mathematically guarantees floor(rate*2^32) <= 2^32-1 — the largest
+    double below 1.0 lands on exactly 2^32 - 2^-21.  The least() clamp
+    in sampling.py (mirrored in the DuckDB oracle) is defense-in-depth
+    should the bucket-space constant ever become a non-power-of-2.
+    This test pins BOTH facts: the boundary arithmetic, and that a
+    near-1 rate keeps every row."""
+    import struct
+
+    # largest double strictly below 1.0: scaling by 2^32 is exact and
+    # floors to 2^32 - 1, never 2^32
+    just_below_one = struct.unpack("<d", struct.pack("<q", 0x3FEFFFFFFFFFFFFF))[0]
+    assert just_below_one < 1.0
+    assert int(just_below_one * 4294967296.0) == 4294967295
+
+    from pg_age_digitaltwins_spark.operators.sampling import mixture_sample
+
+    n_docs, toks_per_doc = 64, 1000
+    total = n_docs * toks_per_doc
+    budget = total - 1   # rate = 1 - 1/64000, threshold fffef9db
+    docs = spark.createDataFrame(
+        [(j, " ".join(["w"] * toks_per_doc), "big") for j in range(n_docs)],
+        "doc_id long, text string, source string",
+    )
+    out = mixture_sample(docs, {"big": budget})
+    # every md5 bucket of doc_ids 0..63 sits below fffef9db
+    assert out.count() == n_docs
+
+
 def test_repeated_spans_cross_document(spark):
     from pg_age_digitaltwins_spark.operators.text import repeated_spans
 
