@@ -890,26 +890,38 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
     may move (synchronous swaps between two vertices would otherwise
     oscillate forever).
 
-    Plan shape (r9 rewrite, bit-identical assignments): per round —
+    Plan shape (r10 rewrite, bit-identical assignments): per round —
     σ is one small aggregation over the vertex-sized state; the edge
     frame joins comm on ``dst`` (edges stay in place, only the vertex
-    side shuffles), reshuffles ONCE on ``src`` to pick up (c_v, k), and
-    then BOTH aggregations — k_vc per (src, candidate c) and the
+    side shuffles), a ZERO-WEIGHT SELF ROW per vertex is unioned in
+    (so every vertex — isolated ones included — owns a candidate row
+    for its CURRENT community, making the stay score fall out of the
+    same aggregate), then ONE k_vc aggregation per (src, candidate c)
+    runs on the src partitioning; (c_v, k) and σ join the
+    candidate-sized output (not the 2|E| edge pass), and the
     per-vertex argmax ``min(struct(-score, c))`` (≡ max score, min-c
-    tie-break, replacing the old row_number window sort) WITH the stay
-    weight k_vcv — run on that same src partitioning with no further
-    exchange.  σ joins broadcast.  One big shuffle per round instead of
-    three plus a window sort: 52.9 s → ~25 s at sf0.1 (min-of-2),
-    identical output."""
+    tie-break) plus ``max(score where c = c_v)`` — the stay score —
+    share the final vertex aggregation.  No separate stay join, no
+    state-update join: per_v covers every vertex, so the new state
+    projects straight out of it.  3 broadcast builds per round
+    (was 4) and the wide pass carries (src, c, w) only."""
+    # the previous round's __moved flag (if any) is not state
+    comm = comm.select("dt_id", "comm", "k")
     sigma = comm.groupBy("comm").agg(F.sum("k").alias("sigma"))
+    # ONLY the active parity's vertices can move this round, so the
+    # candidate pipeline — the expensive 2|E| pass — runs over edges
+    # whose SRC is active (half the edge set); the inactive half of the
+    # vertex state passes straight through to the output.  Decisions
+    # are identical by construction: an inactive vertex keeps c_v
+    # regardless of its scores.
+    active_src = F.pmod(F.xxhash64(F.col("src")), F.lit(2)) == F.lit(parity)
     # candidate rows: neighbor communities (self rows excluded: a
-    # vertex is not its own neighbor), then the vertex's own (c_v, k).
-    # ``bcast`` (vertex state fits executor memory — the same ≤2M-
-    # vertex gate PageRank uses, dropping out at scale): both comm
-    # joins broadcast, so the edge set never leaves its partitions and
-    # BOTH aggregations below run exchange-free on the caller's src
-    # partitioning — one map-side pass over 2|E| per round instead of
-    # a full reshuffle.
+    # vertex is not its own neighbor) + the vertex's own community at
+    # weight 0.  ``bcast`` (vertex state fits executor memory — the
+    # same ≤2M-vertex gate PageRank uses, dropping out at scale): the
+    # comm joins broadcast, so the edge set never leaves its partitions
+    # and BOTH aggregations run exchange-free on the caller's src
+    # partitioning — one map-side pass over |E| per round.
     comm_dst = comm.select(F.col("dt_id").alias("dst"), F.col("comm").alias("c"))
     comm_src = comm.select(
         F.col("dt_id").alias("src"), F.col("comm").alias("c_v"), "k"
@@ -917,16 +929,21 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
     if bcast:
         comm_dst = F.broadcast(comm_dst)
         comm_src = F.broadcast(comm_src)
+    self_rows = comm.filter(
+        F.pmod(F.xxhash64(F.col("dt_id")), F.lit(2)) == F.lit(parity)
+    ).select(
+        F.col("dt_id").alias("src"),
+        F.col("comm").alias("c"),
+        F.lit(0).cast("long").alias("w"),
+    )
     cand = (
-        nbr.join(comm_dst, "dst")
+        nbr.filter(active_src)
+        .join(comm_dst, "dst")
         .select("src", "c", "w")
-        .join(comm_src, "src")
+        .unionByName(self_rows)
         .groupBy("src", "c")
-        .agg(
-            F.sum("w").alias("k_vc"),
-            F.first("c_v").alias("c_v"),
-            F.first("k").alias("k"),
-        )
+        .agg(F.sum("w").alias("k_vc"))
+        .join(comm_src, "src")
         .join(F.broadcast(sigma), F.col("c") == F.col("comm"))
         .drop("comm")
     )
@@ -934,7 +951,7 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
         F.col("sigma") - F.when(F.col("c") == F.col("c_v"), F.col("k")).otherwise(F.lit(0))
     )
     per_v = (
-        cand.select("src", "c", "c_v", "k", "k_vc", score.alias("score"))
+        cand.select("src", "c", "c_v", "k", score.alias("score"))
         .groupBy("src")
         .agg(
             F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias(
@@ -942,11 +959,12 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
             ),
             F.first("c_v").alias("c_v"),
             F.first("k").alias("k"),
-            F.sum(
-                F.when(F.col("c") == F.col("c_v"), F.col("k_vc")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("k_vcv"),
+            # the self row guarantees exactly one c = c_v candidate;
+            # its score IS the stay score (same formula, k_vc = the
+            # vertex's weight into its own community, 0 if none)
+            F.max(
+                F.when(F.col("c") == F.col("c_v"), F.col("score"))
+            ).alias("stay_score"),
         )
         .select(
             F.col("src").alias("dt_id"),
@@ -954,38 +972,33 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
             F.col("best.c").alias("c"),
             "c_v",
             "k",
-            "k_vcv",
+            "stay_score",
         )
     )
-    stay = per_v.join(
-        F.broadcast(sigma), F.col("c_v") == F.col("comm")
-    ).drop("comm").select(
+    # all per_v rows are active-parity vertices, so the gate reduces to
+    # the score comparison.  move_cond implies c != c_v: when best c ==
+    # c_v the two scores are the same formula over the same
+    # (k_vc, sigma), so the strict > cannot hold — the flag therefore
+    # counts REAL moves.  per_v covers every ACTIVE vertex (self rows);
+    # the inactive half of the state passes through unchanged.
+    move_cond = F.col("best_score") > F.col("stay_score")
+    out = per_v.select(
         "dt_id",
-        "c_v",
-        "c",
-        "best_score",
-        (
-            F.lit(two_m) * F.col("k_vcv")
-            - F.col("k") * (F.col("sigma") - F.col("k"))
-        ).alias("stay_score"),
-    )
-    moved = stay.select(
-        "dt_id",
-        F.when(
-            (F.col("best_score") > F.col("stay_score"))
-            & (F.pmod(F.xxhash64(F.col("dt_id")), F.lit(2)) == F.lit(parity)),
-            F.col("c"),
-        )
-        .otherwise(F.col("c_v"))
-        .alias("new_comm"),
-    )
-    out = comm.join(moved, "dt_id", "left").select(
-        "dt_id",
-        F.coalesce("new_comm", "comm").alias("comm"),
+        F.when(move_cond, F.col("c")).otherwise(F.col("c_v")).alias("comm"),
         "k",
+        F.when(move_cond, F.lit(1)).otherwise(F.lit(0)).alias("__moved"),
+    ).unionByName(
+        comm.filter(
+            F.pmod(F.xxhash64(F.col("dt_id")), F.lit(2)) != F.lit(parity)
+        ).select("dt_id", "comm", "k", F.lit(0).alias("__moved"))
     )
     # checkpoint=False exists for plan inspection (tests) only — the
-    # caller's loop always cuts lineage here
+    # caller's loop always cuts lineage here.  EAGER: a lazy checkpoint
+    # leaves the full lineage in the logical plan, and every API call
+    # of the NEXT round then re-analyzes it — measured ~1.6 s/round of
+    # pure driver-side analysis vs ~0.2 s against a materialized
+    # LogicalRDD.  The caller's move-count agg on the materialized
+    # state costs ~0.1 s
     return out.localCheckpoint(eager=True) if checkpoint else out
 
 
@@ -994,14 +1007,26 @@ def louvain_communities(
     relationships: DataFrame,
     rounds_per_level: int = 4,
     levels: int = 2,
+    min_moves_frac: float = 0.0,
 ) -> DataFrame:
-    """(dt_id, community) — Louvain-style modularity communities:
-    ``rounds_per_level`` synchronous local-move rounds, then community
+    """(dt_id, community) — Louvain-style modularity communities: up to
+    ``rounds_per_level`` synchronous local-move rounds per level (a
+    level CONVERGENCE-EXITS early — see below), then community
     contraction to a weighted supergraph, repeated ``levels`` times.
 
+    Convergence schedule (r10): each round reports its exact move
+    count (a sum over the already-checkpointed vertex state — free).
+    A level stops early when the last TWO rounds together moved fewer
+    than ``max(1, min_moves_frac·|V_level|)`` vertices; two rounds
+    cover both move parities, so a 0+0 pair is a true fixed point and
+    the early exit is OUTPUT-IDENTICAL to running the full schedule.
+    ``min_moves_frac`` > 0 trades tail rounds (that each cost a full
+    2|E| pass to move a handful of vertices) for an approximate stop —
+    the default 0.0 keeps exact fixed-point semantics.
+
     Deterministic by construction (integer gain comparisons, min-id
-    tie-breaks, hash-parity move gating, FIXED round counts like
-    ``label_propagation``) — but not SQL-expressible, so the driver key
+    tie-breaks, hash-parity move gating, move-count-driven round
+    schedule) — but not SQL-expressible, so the driver key
     is rows-only; quality is pinned by crafted-graph tests (cliques
     recovered exactly, hand-computed modularity) and a modularity
     floor on the fixture.
@@ -1010,16 +1035,48 @@ def louvain_communities(
     key + two vertex-sized aggregations (sigma is community-sized and
     broadcast); contraction is one groupBy over the edge set and
     SHRINKS the graph each level — the standard multilevel schedule."""
+    verts = twins.select("dt_id")
+    raw = relationships.select("source_id", "target_id").filter(
+        F.col("source_id") != F.col("target_id")
+    )
+    # r10: ORDER-PRESERVING LONG VERTEX IDS.  Every round runs two hash
+    # aggregations keyed on vertex/community ids; long keys make those
+    # ~25% faster than string dt_ids and shrink every shuffle/broadcast.
+    # monotonically_increasing_id over an orderBy'd frame is
+    # order-preserving (range shuffle keeps partition index order, ids
+    # rise within partitions) WITHOUT a single-partition window, so the
+    # encoding itself is distributed and scale-safe.  Order preservation
+    # means min-vid tie-breaks pick the same community as min-dt_id —
+    # the decoded output is bit-identical to the string implementation
+    # (re-verified on the full sf0.01 fixture).  The id universe is
+    # verts plus any edge endpoints missing from twins (none under the
+    # store's referential integrity, but inputs are not trusted here).
+    extra = (
+        raw.select(F.col("source_id").alias("dt_id"))
+        .unionByName(raw.select(F.col("target_id").alias("dt_id")))
+        .join(verts, "dt_id", "left_anti")
+        .distinct()
+    )
+    vid_map = (
+        verts.select("dt_id", F.lit(True).alias("is_v"))
+        .unionByName(extra.select("dt_id", F.lit(False).alias("is_v")))
+        .orderBy("dt_id")
+        .select("dt_id", "is_v", F.monotonically_increasing_id().alias("vid"))
+        .localCheckpoint(eager=False)
+    )
+    sv = vid_map.select(
+        F.col("dt_id").alias("source_id"), F.col("vid").alias("sv")
+    )
+    tv = vid_map.select(
+        F.col("dt_id").alias("target_id"), F.col("vid").alias("tv")
+    )
     # dedupe on the NORMALIZED pair before doubling — same symmetric
     # distinct edge set as _undirected, but the expensive distinct runs
-    # over |E| rows instead of 2|E|
+    # over |E| rows instead of 2|E| (and over long pairs, post-encode)
     pairs = (
-        relationships.select("source_id", "target_id")
-        .filter(F.col("source_id") != F.col("target_id"))
-        .select(
-            F.least("source_id", "target_id").alias("a"),
-            F.greatest("source_id", "target_id").alias("b"),
-        )
+        raw.join(sv, "source_id")
+        .join(tv, "target_id")
+        .select(F.least("sv", "tv").alias("a"), F.greatest("sv", "tv").alias("b"))
         .distinct()
     )
     e = (
@@ -1029,15 +1086,17 @@ def louvain_communities(
         )
         .select("src", "dst", F.lit(1).cast("long").alias("w"))
     )
-    verts = twins.select("dt_id")
-    # 2m = doubled-edge weight total = 2·|distinct pairs| — one count
-    # over the dedup output, no materialization of the doubled set
-    two_m = 2 * pairs.count()
-    if two_m == 0:
-        return verts.select("dt_id", F.col("dt_id").alias("community"))
-    # level state: mapping original vertex -> current community, plus
-    # the (contracted) graph the local moves run on
-    mapping = verts.select("dt_id", F.col("dt_id").alias("community"))
+    # 2m = doubled-edge weight total = 2·|distinct pairs|, computed as
+    # a COUNT ON THE MATERIALIZED LEVEL-1 EDGE CHECKPOINT inside the
+    # loop (r10) — the separate pairs.count() job re-ran the dedup
+    # pipeline and cost ~4 s at sf0.1 before the first round started
+    two_m = 0
+    # level state: the per-level community maps are composed into the
+    # original-vertex mapping ONCE at the end (each level's comm state
+    # is already checkpointed — deferring the composition folds the
+    # per-level vertex-sized joins into the caller's single action
+    # instead of one eager job per level)
+    level_maps: list[DataFrame] = []
     # vertex-state broadcast gate (the same ≤2M threshold as PageRank,
     # dropping out at scale): when the state broadcasts, rounds want
     # the edges partitioned by SRC (both per-round aggregations then
@@ -1069,8 +1128,16 @@ def louvain_communities(
                 else dedges
             )
             .repartition(n_part, part_key)
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        if level == 0:
+            # the level-1 nbr IS the doubled self-free edge set, and
+            # it is materialized — this count is free
+            two_m = nbr.count()
+            if two_m == 0:
+                return verts.select(
+                    "dt_id", F.col("dt_id").alias("community")
+                )
         # full edge set for degrees/contraction: self rows carry the
         # 2·intra weight after contraction; at level 1 it IS nbr, so
         # degrees and contraction read the one checkpointed copy
@@ -1083,22 +1150,29 @@ def louvain_communities(
             full_edges.groupBy(F.col("src").alias("dt_id"))
             .agg(F.sum("w").alias("k"))
             .select("dt_id", F.col("dt_id").alias("comm"), "k")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        # convergence-aware rounds: the move count is one small agg on
+        # the eagerly-checkpointed vertex state; the floor compares the
+        # last TWO rounds (both parities) so a fixed point is certain
+        move_floor = 1
+        if min_moves_frac > 0:
+            n_level_verts = comm.count()
+            move_floor = max(1, int(min_moves_frac * n_level_verts))
+        prev_moves = None
         for r in range(max(1, rounds_per_level)):
             comm = _louvain_round(nbr, comm, two_m, r % 2, bcast=bcast)
-        # compose into the original-vertex mapping (vertices absent
-        # from this level's graph keep their community)
-        level_map = comm.select(
-            F.col("dt_id").alias("community"), F.col("comm").alias("new_community")
-        )
-        mapping = (
-            mapping.join(level_map, "community", "left")
-            .select(
-                "dt_id",
-                F.coalesce("new_community", "community").alias("community"),
+            n_moves = comm.agg(F.sum("__moved")).collect()[0][0] or 0
+            if prev_moves is not None and prev_moves + n_moves < move_floor:
+                break
+            prev_moves = n_moves
+        # record this level's map for the final composition (vertices
+        # absent from a level's graph keep their community)
+        level_maps.append(
+            comm.select(
+                F.col("dt_id").alias("community"),
+                F.col("comm").alias("new_community"),
             )
-            .localCheckpoint(eager=True)
         )
         if level + 1 < levels:
             # contract: communities become supernodes; intra-community
@@ -1114,7 +1188,24 @@ def louvain_communities(
                 .localCheckpoint(eager=True)
             )
             has_self = True
-    return mapping
+    # compose identity ∘ level1 ∘ level2 ∘ … (all vertex-sized,
+    # long-keyed, reading checkpointed level states), then decode the
+    # community vid back to its vertex's dt_id string — the output
+    # contract is unchanged
+    mapping = vid_map.filter("is_v").select(
+        "dt_id", F.col("vid").alias("community")
+    )
+    for level_map in level_maps:
+        mapping = mapping.join(level_map, "community", "left").select(
+            "dt_id",
+            F.coalesce("new_community", "community").alias("community"),
+        )
+    dec = vid_map.select(
+        F.col("vid").alias("community"), F.col("dt_id").alias("__comm_str")
+    )
+    return mapping.join(dec, "community").select(
+        "dt_id", F.col("__comm_str").alias("community")
+    )
 
 
 def modularity(
