@@ -540,6 +540,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r8: GDS-style neighbor-set Jaccard (orders similar by shared parts)
     q["graph_node_similarity"] = _node_sim
 
+    def _node_sim_capped(s, d):
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            node_similarity_jaccard,
+        )
+
+        st = _store(s, d)
+        return node_similarity_jaccard(
+            st.relationships, "contains", top_k=50, max_target_degree=25
+        )
+
+    # r10: the hub-guarded variant (GDS upperDegreeCutoff parity) —
+    # part targets contained in more than 25 orders are dropped BEFORE
+    # the co-neighbor join, bounding the d^2/2 hub term; degrees are
+    # over the same filtered edge set so Jaccard stays exact on it
+    q["graph_node_similarity_capped"] = _node_sim_capped
+
     def _harmonic(s, d):
         from pyspark.sql import functions as F
 
@@ -2010,6 +2026,22 @@ def oracle_sql() -> dict[str, str]:
         "AS jaccard "
         "FROM i JOIN deg da ON i.a = da.src JOIN deg db ON i.b = db.src "
         "ORDER BY jaccard DESC, a, b LIMIT 20"
+    )
+    o["graph_node_similarity_capped"] = (
+        "WITH e0 AS (SELECT DISTINCT 'order-' || l_orderkey AS src, "
+        "'part-' || l_partkey AS dst FROM lineitem), "
+        "keep AS (SELECT dst FROM e0 GROUP BY dst HAVING count(*) <= 25), "
+        "e AS (SELECT e0.src, e0.dst FROM e0 JOIN keep USING (dst)), "
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+        "i AS (SELECT l.src AS a, r.src AS b, count(*) AS inter "
+        "FROM e l JOIN e r ON l.dst = r.dst AND l.src < r.src "
+        "GROUP BY l.src, r.src) "
+        "SELECT a, b, CAST(inter AS BIGINT) AS inter, "
+        "CAST(da.deg + db.deg - inter AS BIGINT) AS union_size, "
+        "round(CAST(inter AS DOUBLE) / (da.deg + db.deg - inter), 4) "
+        "AS jaccard "
+        "FROM i JOIN deg da ON i.a = da.src JOIN deg db ON i.b = db.src "
+        "ORDER BY jaccard DESC, a, b LIMIT 50"
     )
     o["graph_harmonic_centrality"] = (
         "WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("

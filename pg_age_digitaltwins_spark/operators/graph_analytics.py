@@ -760,6 +760,8 @@ def node_similarity_jaccard(
     relationships: DataFrame,
     rel_name: str | None = None,
     top_k: int = 20,
+    max_target_degree: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Neighbor-set Jaccard node similarity (the GDS nodeSimilarity
     shape): for every source pair sharing at least one OUT-neighbor,
@@ -767,30 +769,71 @@ def node_similarity_jaccard(
     name-filtered) directed edge set; top-k pairs under a total order
     (similarity desc, a asc, b asc).
 
+    Hub guard (r10, GDS ``upperDegreeCutoff`` parity):
+    ``max_target_degree`` drops TARGETS whose fan-in exceeds the
+    cutoff BEFORE the co-neighbor join — a single hub target with
+    fan-in d otherwise emits d²/2 pairs, the one term that can blow
+    this plan up at corpus scale.  Degrees are computed over the SAME
+    filtered edge set, so the Jaccard stays exact similarity of the
+    filtered neighbor sets (deterministic and SQL-oracle-able).
+
+    ``candidates`` — an (a, b) pair frame (e.g. from MinHash/LSH
+    banding in operators/similarity.py) — switches to the RE-SCORER
+    path: intersections are computed candidate-driven (pairs ⋈
+    neighbor sets), so the pair count is bounded by the candidate set
+    and the d² co-neighbor explosion never happens at all.  This is
+    the documented corpus-scale shape; the exact co-neighbor join is
+    the small/medium-graph default and the oracle baseline.
+
     100 TB shape: intersection counts come from ONE co-neighbor
     self-join on the shared target + a (a,b) groupBy — two shuffles,
     no all-pairs product; pairs that share nothing are never
     materialized.  Degrees join after aggregation (small side, AQE
-    broadcasts).  Exact by design — a hub target with fan-in d emits
-    d²/2 pairs, which is inherent to exact similarity; at corpus scale
-    feed candidate pairs from MinHash/LSH (operators/similarity.py)
-    instead and use this as the re-scorer.
+    broadcasts).
     """
     e = relationships.select("source_id", "target_id", "name")
     if rel_name is not None:
         e = e.filter(F.col("name") == rel_name)
     e = e.select("source_id", "target_id").distinct()
-    deg = e.groupBy("source_id").agg(F.count(F.lit(1)).alias("deg"))
-    inter = (
-        e.alias("l")
-        .join(e.alias("r"), "target_id")
-        .filter(F.col("l.source_id") < F.col("r.source_id"))
-        .groupBy(
-            F.col("l.source_id").alias("a"),
-            F.col("r.source_id").alias("b"),
+    if max_target_degree is not None:
+        keep = (
+            e.groupBy("target_id")
+            .agg(F.count(F.lit(1)).alias("__fan_in"))
+            .filter(F.col("__fan_in") <= int(max_target_degree))
+            .select("target_id")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        e = e.join(keep, "target_id", "left_semi")
+    deg = e.groupBy("source_id").agg(F.count(F.lit(1)).alias("deg"))
+    if candidates is not None:
+        # candidate-driven intersections: normalize pairs to a < b,
+        # attach both neighbor sets, count shared targets.  Join order
+        # keeps the big edge frame on the probe side twice — the pair
+        # frame bounds every intermediate.
+        cand = candidates.select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        ).filter(F.col("a") != F.col("b")).distinct()
+        inter = (
+            cand.join(e.alias("l"), F.col("a") == F.col("l.source_id"))
+            .join(
+                e.alias("r"),
+                (F.col("b") == F.col("r.source_id"))
+                & (F.col("l.target_id") == F.col("r.target_id")),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            e.alias("l")
+            .join(e.alias("r"), "target_id")
+            .filter(F.col("l.source_id") < F.col("r.source_id"))
+            .groupBy(
+                F.col("l.source_id").alias("a"),
+                F.col("r.source_id").alias("b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     da = deg.select(F.col("source_id").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("source_id").alias("b"), F.col("deg").alias("db"))
     sim = F.col("inter") / (F.col("da") + F.col("db") - F.col("inter"))

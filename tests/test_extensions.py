@@ -1248,6 +1248,73 @@ def test_node_similarity_jaccard_hand_computed(spark):
     assert out == [("a", "b", 2, 3, 0.6667), ("b", "c", 1, 3, 0.3333)]
 
 
+def test_node_similarity_hub_guard_bounds_pairs(spark):
+    """r10 (GDS upperDegreeCutoff parity): a fan-in-d hub target emits
+    d²/2 pairs in the exact co-neighbor join; max_target_degree drops
+    the hub BEFORE the join, so the pair count is bounded by the
+    non-hub structure and degrees reflect the filtered edge set."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        node_similarity_jaccard,
+    )
+
+    hub_edges = [(f"rh{i}", f"s{i}", "HUB", "uses") for i in range(40)]
+    rels = spark.createDataFrame(
+        hub_edges
+        + [
+            # besides the hub: s0/s1 share t1; s2 shares nothing else
+            ("r1", "s0", "t1", "uses"),
+            ("r2", "s1", "t1", "uses"),
+            ("r3", "s2", "t2", "uses"),
+        ],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    # uncapped: the hub alone creates 40*39/2 = 780 pairs
+    assert node_similarity_jaccard(rels, "uses", top_k=2000).count() == 780
+    capped = node_similarity_jaccard(
+        rels, "uses", top_k=2000, max_target_degree=10
+    )
+    out = [
+        (r["a"], r["b"], r["inter"], r["union_size"], r["jaccard"])
+        for r in capped.collect()
+    ]
+    # only the t1 co-neighbors survive; degrees count FILTERED edges
+    # (s0 and s1 each have degree 1 after the hub is dropped)
+    assert out == [("s0", "s1", 1, 1, 1.0)]
+
+
+def test_node_similarity_candidate_rescorer(spark):
+    """r10: the LSH-candidate re-scorer path computes the SAME exact
+    Jaccard as the co-neighbor join, restricted to the candidate
+    pairs — and never builds the d² pair explosion."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        node_similarity_jaccard,
+    )
+
+    rels = spark.createDataFrame(
+        [
+            ("r1", "a", "x", "uses"), ("r2", "a", "y", "uses"),
+            ("r3", "b", "x", "uses"), ("r4", "b", "y", "uses"),
+            ("r5", "b", "z", "uses"), ("r6", "c", "z", "uses"),
+        ],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    cand = spark.createDataFrame(
+        # unnormalized order + a duplicate + a self pair + a no-overlap
+        # pair: normalization dedupes, self drops, no-overlap emits 0
+        [("b", "a"), ("a", "b"), ("a", "a"), ("a", "c")],
+        "a string, b string",
+    )
+    out = [
+        (r["a"], r["b"], r["inter"], r["union_size"], r["jaccard"])
+        for r in node_similarity_jaccard(
+            rels, "uses", top_k=10, candidates=cand
+        ).collect()
+    ]
+    # (a,b) rescored exactly; (a,c) shares nothing → no row (inter
+    # joins produce no match); (b,c) not a candidate → absent
+    assert out == [("a", "b", 2, 3, 0.6667)]
+
+
 def test_mixture_sample_budgets_and_determinism(spark):
     from pg_age_digitaltwins_spark.operators.sampling import mixture_sample
 
