@@ -404,6 +404,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "WHERE due >= datetime('2001-08-01T00:00:00') "
         "RETURN id, due.year AS due_y, due.ordinalDay AS due_doy"
     )
+    # r10: datetime.truncate month rollup (the openCypher time-bucket
+    # idiom) + duration scaling (duration('P10D') * 3)
+    q["cypher_temporal_truncate"] = _adt(
+        "MATCH (o) WHERE o.`$metadata`.`$model` = 'dtmi:demo:Order;1' "
+        "WITH datetime.truncate('month', datetime(o.orderdate)) AS m "
+        "RETURN toString(m) AS month_start, count(*) AS n"
+    )
+    q["cypher_duration_scale"] = _adt(
+        "MATCH (o) WHERE o.`$metadata`.`$model` = 'dtmi:demo:Order;1' "
+        "WITH o.`$dtId` AS id, datetime(o.orderdate) AS d "
+        "WITH id, d + duration('P10D') * 3 AS due "
+        "WHERE due >= datetime('2001-08-01T00:00:00') "
+        "RETURN id, due.year AS due_y, due.ordinalDay AS due_doy"
+    )
 
     # --- graph rollups (Cypher C5 aggregates) -------------------------
     def _agg_models(spark, sf_dir):
@@ -1946,6 +1960,18 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS n FROM orders GROUP BY 1"
     )
     o["cypher_temporal_arithmetic"] = (
+        "WITH d AS (SELECT 'order-' || o_orderkey AS id, "
+        "o_orderdate + INTERVAL 30 DAY AS due FROM orders) "
+        "SELECT id, CAST(year(due) AS BIGINT) AS due_y, "
+        "CAST(dayofyear(due) AS BIGINT) AS due_doy FROM d "
+        "WHERE due >= TIMESTAMP '2001-08-01 00:00:00'"
+    )
+    o["cypher_temporal_truncate"] = (
+        "SELECT strftime(date_trunc('month', CAST(o_orderdate AS "
+        "TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS month_start, "
+        "count(*) AS n FROM orders GROUP BY 1"
+    )
+    o["cypher_duration_scale"] = (
         "WITH d AS (SELECT 'order-' || o_orderkey AS id, "
         "o_orderdate + INTERVAL 30 DAY AS due FROM orders) "
         "SELECT id, CAST(year(due) AS BIGINT) AS due_y, "

@@ -1906,6 +1906,24 @@ class CypherCompiler:
                 lt = self._expr(e.left, env)
                 rt = self._expr(e.right, env)
                 return lt + rt if e.op == "+" else lt - rt
+            if e.op in ("*", "/"):
+                # duration × scalar / duration ÷ scalar (Neo4j
+                # duration scaling) — Spark interval arithmetic
+                # supports numeric multipliers on both families
+                lk = self._temporal_kind(e.left, env)
+                rk = self._temporal_kind(e.right, env)
+                if lk is not None and lk.startswith("duration"):
+                    num = self._operand(e.right, env, "number")
+                    lt = self._expr(e.left, env)
+                    return lt * num if e.op == "*" else lt / num
+                if (
+                    e.op == "*"
+                    and rk is not None
+                    and rk.startswith("duration")
+                ):
+                    return self._operand(e.left, env, "number") * self._expr(
+                        e.right, env
+                    )
             left = self._operand(e.left, env, "number")
             right = self._operand(e.right, env, "number")
             return {
@@ -2038,7 +2056,11 @@ class CypherCompiler:
         or a WITH-projected date/timestamp value), 'duration_dt' /
         'duration_ym' (duration values, by interval family)."""
         if isinstance(x, C.Func):
-            if x.name in ("date", "datetime", "localdatetime"):
+            if x.name in (
+                "date", "datetime", "localdatetime",
+                "date.truncate", "datetime.truncate",
+                "localdatetime.truncate",
+            ):
                 return "temporal"
             if x.name == "duration.between":
                 return "duration_dt"
@@ -2077,6 +2099,15 @@ class CypherCompiler:
                 and rk.startswith("duration")
             ):
                 return lk
+        if isinstance(x, C.Arith) and x.op in ("*", "/"):
+            # duration scaling preserves the interval family
+            lk = self._temporal_kind(x.left, env)
+            if lk and lk.startswith("duration"):
+                return lk
+            if x.op == "*":
+                rk = self._temporal_kind(x.right, env)
+                if rk and rk.startswith("duration"):
+                    return rk
         return None
 
     def _operand(self, e: C.Expr, env, kind: str | None) -> Column:
@@ -2591,6 +2622,65 @@ class CypherCompiler:
                     else F.current_timestamp()
                 )
             return self._operand(e.args[0], env, "string").try_cast(target)
+        if n in (
+            "date.truncate", "datetime.truncate", "localdatetime.truncate"
+        ):
+            # Neo4j temporal truncation — datetime.truncate('month', d)
+            # zeroes every component below the unit (the openCypher
+            # idiom for time-bucketed rollups).  Spark date_trunc
+            # matches Neo4j's unit semantics (week → Monday).
+            if (
+                len(e.args) != 2
+                or not isinstance(e.args[0], C.Lit)
+                or not isinstance(e.args[0].value, str)
+            ):
+                raise CypherCompileError(
+                    f"{n}() takes a unit string literal and a temporal "
+                    "value, e.g. datetime.truncate('month', d)"
+                )
+            unit = e.args[0].value.lower()
+            is_date = n == "date.truncate"
+            allowed = (
+                ("year", "quarter", "month", "week", "day")
+                if is_date
+                else (
+                    "year", "quarter", "month", "week", "day",
+                    "hour", "minute", "second",
+                )
+            )
+            if unit not in allowed:
+                raise CypherCompileError(
+                    f"{n}(): unsupported unit {unit!r} — one of "
+                    f"{list(allowed)}"
+                )
+            base = (
+                self._expr(e.args[1], env)
+                if self._temporal_kind(e.args[1], env) == "temporal"
+                else self._operand(e.args[1], env, "string").try_cast(
+                    "timestamp"
+                )
+            )
+            if is_date:
+                # date-typed result; day truncation is the identity
+                d = base.cast("date")
+                return d if unit == "day" else F.trunc(d, unit)
+            return F.date_trunc(unit, base.cast("timestamp"))
+        if n in ("time", "localtime"):
+            # Spark has no time-of-day type, so time values render as
+            # fixed-width ISO 'HH:mm:ss' strings — lexicographic order
+            # IS chronological order, so comparisons/grouping/sorting
+            # behave like Neo4j's local time (documented divergence:
+            # no fractional seconds or offsets; see PARITY.md)
+            if not e.args:
+                return F.date_format(F.current_timestamp(), "HH:mm:ss")
+            base = (
+                self._expr(e.args[0], env)
+                if self._temporal_kind(e.args[0], env) == "temporal"
+                else self._operand(e.args[0], env, "string").try_cast(
+                    "timestamp"
+                )
+            )
+            return F.date_format(base.cast("timestamp"), "HH:mm:ss")
         if n == "duration":
             # duration('P30D') — ISO-8601 duration LITERAL → Spark
             # interval (plan-time parse; see _duration_interval for the

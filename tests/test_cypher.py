@@ -2164,6 +2164,50 @@ def test_duration_between_and_interval_components(spark):
         rows(store, "MATCH (t) RETURN duration.between(datetime(t.ts)) AS x")
 
 
+def test_temporal_truncate_time_and_duration_scaling(spark):
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    store = _temporal_store(spark)
+    # datetime.truncate zeroes below the unit; date.truncate returns a
+    # date; week truncates to Monday (1997-03-15 is a Saturday)
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
+               "RETURN toString(datetime.truncate('month', d)) AS m, "
+               "toString(date.truncate('week', d)) AS w, "
+               "toString(date.truncate('day', d)) AS dd")
+    assert out == [{"m": "1997-03-01 00:00:00", "w": "1997-03-10",
+                    "dd": "1997-03-15"}]
+    # truncate composes with component access and grouping
+    out = rows(store,
+               "MATCH (t) WHERE t.ts <> 'nope' "
+               "WITH datetime.truncate('year', datetime(t.ts)) AS y "
+               "RETURN y.year AS yy, count(*) AS n ORDER BY yy")
+    assert out == [{"yy": 1997, "n": 1}, {"yy": 1998, "n": 1}]
+    # time()/localtime(): fixed-width HH:mm:ss strings (lexicographic
+    # == chronological; documented Spark-has-no-time-type divergence)
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) "
+               "RETURN time(t.ts) AS tm, localtime(t.ts) AS lt")
+    assert out == [{"tm": "10:30:45", "lt": "10:30:45"}]
+    # duration scaling: duration * k, k * duration, duration / k —
+    # family preserved, components still group-total
+    out = rows(store,
+               "MATCH (t {`$dtId`: 'a'}) WITH datetime(t.ts) AS d "
+               "RETURN toString((d + duration('P1D') * 3).day) AS d3, "
+               "toString((d + 2 * duration('PT12H')).day) AS h24, "
+               "(duration('P10D') / 2).days AS half, "
+               "(duration('P1Y3M') * 2).months AS mo")
+    assert out == [{"d3": "18", "h24": "16", "half": 5, "mo": 30}]
+    with pytest.raises(CypherCompileError, match="unsupported unit"):
+        rows(store,
+             "MATCH (t {`$dtId`: 'a'}) WITH date(t.ts) AS d "
+             "RETURN date.truncate('minute', d) AS x")
+    with pytest.raises(CypherCompileError, match="unit string literal"):
+        rows(store,
+             "MATCH (t {`$dtId`: 'a'}) "
+             "RETURN datetime.truncate(t.ts) AS x")
+
+
 def test_postfix_temporal_component_access(spark):
     from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
 
