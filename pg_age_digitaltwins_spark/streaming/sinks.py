@@ -858,6 +858,7 @@ def run_change_stream(
     max_files_per_trigger: int | None = None,
     health: StreamingHealthListener | None = None,
     target_rows_per_trigger: int | None = None,
+    exporter=None,
 ):
     """Stand up the full replication pipeline as ONE Structured
     Streaming query: readStream over an EventData ND-JSON feed (the
@@ -913,8 +914,21 @@ def run_change_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.json(feed_path, timestampFormat=timestamp_format)
+    batch_fn = router.foreach_batch
+    if exporter is not None:
+        # r10: export-on-commit inside the streaming path — after each
+        # micro-batch's route delivery, tail any new commit-log
+        # versions into the external Delta export
+        # (store/delta_export.py::ContinuousDeltaExporter.run_once),
+        # keeping export_lag bounded by the trigger cadence instead of
+        # a separate background thread's poll interval
+
+        def batch_fn(df, epoch_id, _inner=router.foreach_batch):
+            _inner(df, epoch_id)
+            exporter.run_once()
+
     return (
-        stream.writeStream.foreachBatch(router.foreach_batch)
+        stream.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(**(trigger or {"availableNow": True}))
         .start()

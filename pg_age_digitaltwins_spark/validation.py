@@ -609,9 +609,25 @@ def _validate_schema_node(
         mk, mv = schema.get("mapKey"), schema.get("mapValue")
         if not isinstance(mk, dict) or mk.get("schema") != "string":
             v.append(f"{where}: Map requires a mapKey with schema 'string'")
+        elif not isinstance(mk.get("name"), str) or not _NAME_RE.match(
+            mk["name"]
+        ):
+            # DTDL spec: mapKey is a named element — DTDLParser rejects
+            # a Map whose key carries no (or an invalid) name
+            v.append(
+                f"{where}: mapKey name {mk.get('name')!r} is not a "
+                "valid identifier"
+            )
         if not isinstance(mv, dict) or mv.get("schema") is None:
             v.append(f"{where}: Map requires a mapValue with a schema")
         else:
+            if not isinstance(mv.get("name"), str) or not _NAME_RE.match(
+                mv["name"]
+            ):
+                v.append(
+                    f"{where}: mapValue name {mv.get('name')!r} is not "
+                    "a valid identifier"
+                )
             _validate_schema_node(
                 mv.get("schema"), named_ids, f"{where}{{}}", v,
                 depth + 1, max_depth, primitives, forbid_array,
@@ -862,6 +878,21 @@ def validate_model(
                     max_depth=max_depth, primitives=prims,
                 )
         if kind == "Command":
+            # commandType: a deprecated DTDL v2 term with exactly two
+            # legal (and ignored) values; the term was REMOVED in v3 —
+            # DTDLParser reports UndefinedTerm under a v3/v4 context
+            ct = item.get("commandType")
+            if ct is not None:
+                if not is_v2:
+                    v.append(
+                        f"{where}: commandType was removed in DTDL v3 "
+                        "(a deprecated v2-only term)"
+                    )
+                elif ct not in ("synchronous", "asynchronous"):
+                    v.append(
+                        f"{where}: commandType {ct!r} must be "
+                        "'synchronous' or 'asynchronous'"
+                    )
             # CommandRequest / CommandResponse payloads: named payload +
             # structurally valid schema (DTDLParser checks both)
             for side in ("request", "response"):
@@ -871,6 +902,9 @@ def validate_model(
                 if not isinstance(payload, dict):
                     v.append(f"{where}: {side} must be a CommandPayload object")
                     continue
+                # payloads are named elements: displayName/description/
+                # comment caps apply to them like any other element
+                _check_display_strings(payload, f"{where} {side}", v)
                 pname = payload.get("name")
                 if not isinstance(pname, str) or not _NAME_RE.match(pname):
                     v.append(f"{where}: {side} name {pname!r} is not a valid identifier")

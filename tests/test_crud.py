@@ -939,6 +939,77 @@ def test_validate_model_command_payloads():
         )
 
 
+def test_validate_model_command_type_versioning():
+    """DTDL batch 11: commandType is a deprecated v2-only term with
+    exactly two legal values; DTDLParser reports UndefinedTerm for it
+    under a v3/v4 context."""
+    from pg_age_digitaltwins_spark.validation import validate_model
+
+    cmd = {"@type": "Command", "name": "go", "commandType": "synchronous"}
+    validate_model(
+        _interface(contents=[cmd], **{"@context": "dtmi:dtdl:context;2"})
+    )
+    validate_model(_interface(contents=[
+        {"@type": "Command", "name": "go", "commandType": "asynchronous"},
+    ], **{"@context": "dtmi:dtdl:context;2"}))
+    with pytest.raises(ValidationError, match="removed in DTDL v3"):
+        validate_model(_interface(contents=[cmd]))  # default v3 context
+    with pytest.raises(ValidationError, match="synchronous"):
+        validate_model(_interface(
+            contents=[{"@type": "Command", "name": "go",
+                       "commandType": "oneway"}],
+            **{"@context": "dtmi:dtdl:context;2"},
+        ))
+
+
+def test_validate_model_map_named_key_value():
+    """DTDL batch 11: mapKey and mapValue are NAMED elements —
+    DTDLParser rejects a Map whose key/value carries no name."""
+    from pg_age_digitaltwins_spark.validation import validate_model
+
+    def _map(mk, mv):
+        return _interface(contents=[{
+            "@type": "Property", "name": "m",
+            "schema": {"@type": "Map", "mapKey": mk, "mapValue": mv},
+        }])
+
+    validate_model(_map({"name": "k", "schema": "string"},
+                        {"name": "v", "schema": "double"}))
+    with pytest.raises(ValidationError, match="mapKey name"):
+        validate_model(_map({"schema": "string"},
+                            {"name": "v", "schema": "double"}))
+    with pytest.raises(ValidationError, match="mapValue name"):
+        validate_model(_map({"name": "k", "schema": "string"},
+                            {"schema": "double"}))
+    with pytest.raises(ValidationError, match="mapValue name"):
+        validate_model(_map({"name": "k", "schema": "string"},
+                            {"name": "8x", "schema": "double"}))
+
+
+def test_validate_model_command_payload_display_caps():
+    """DTDL batch 11: CommandRequest/CommandResponse are elements —
+    the displayName(64)/description(512)/comment(512) caps apply."""
+    from pg_age_digitaltwins_spark.validation import validate_model
+
+    validate_model(_interface(contents=[{
+        "@type": "Command", "name": "go",
+        "request": {"name": "x", "schema": "double",
+                    "displayName": "ok", "description": "fine"},
+    }]))
+    with pytest.raises(ValidationError, match="displayName exceeds"):
+        validate_model(_interface(contents=[{
+            "@type": "Command", "name": "go",
+            "request": {"name": "x", "schema": "double",
+                        "displayName": "d" * 65},
+        }]))
+    with pytest.raises(ValidationError, match="comment exceeds"):
+        validate_model(_interface(contents=[{
+            "@type": "Command", "name": "go",
+            "response": {"name": "x", "schema": "double",
+                         "comment": "c" * 513},
+        }]))
+
+
 def test_named_schema_twin_value_validation(spark):
     """Twin values validate THROUGH named schema refs: enum membership
     is enforced for a dtmi:-referenced Enum, across create_models →
