@@ -1468,42 +1468,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # analytics, dedup, text, embeddings, events, TPC-H, sampling) —
 # value-checked representatives first.  Pure reorder: no query or
 # oracle definition changes.
-# r9: 17 of the 50 keys rotated for never-driver-gated ones (same
-# family balance) so the static window stops re-certifying the same
-# subset forever — the swapped-out keys stay on the 160-key self-run
-# board (scripts/oracle_check.py / ORACLE_r9.txt).
+# r10: 15 of the 50 keys rotated (same family balance), prioritizing
+# the r9/r10-new never-driver-gated keys — the full temporal-algebra
+# family, personalized PageRank, the hub-guarded node similarity, SQ8
+# ANN, repeated spans, plus long-ungated events/TPC-H/text keys.  The
+# swapped-out keys stay on the full self-run board
+# (scripts/oracle_check.py / ORACLE_r10.txt).  Pure reorder: no query
+# or oracle definition changes for the rotation itself.
 _DRIVER_WINDOW = [
-    # ADT QL (10) — rotated in: neq-null semantics, exact is_of_model,
-    # multi-label edges, $-path point select
-    "adt_count_twins", "adt_where_neq_null_semantics", "adt_is_of_model_exact",
+    # ADT QL (10) — rotated in: IN-list, ARRAY_CONTAINS
+    "adt_count_twins", "adt_in_list", "adt_array_contains",
     "adt_is_of_model_inheritance", "adt_match_3hop", "adt_match_undirected",
     "adt_join_related_2hop", "adt_rel_prop_filter", "adt_match_multilabel",
     "adt_select_star_point",
-    # Cypher (10) — rotated in: EXISTS subquery, bracket access,
-    # two-stage WITH aggregation, UNWIND
-    "cypher_exists_subquery", "cypher_bracket_access", "cypher_var_length",
-    "cypher_shortest_path", "cypher_with_two_stage_agg", "cypher_unwind",
+    # Cypher (10) — rotated in: the whole temporal-algebra family
+    # (components, arithmetic, duration.between, truncate, scaling)
+    "cypher_exists_subquery", "cypher_temporal_components", "cypher_var_length",
+    "cypher_temporal_arithmetic", "cypher_duration_between",
+    "cypher_temporal_truncate", "cypher_duration_scale",
     "cypher_count_subquery", "cypher_with_entity_agg_continuation",
-    "cypher_with_entity_passthrough", "cypher_call_topk_per_entity",
-    # graph analytics (6) — rotated in: node similarity, LPA
+    "cypher_call_topk_per_entity",
+    # graph analytics (6) — rotated in: personalized PageRank, the
+    # r10 hub-guarded node similarity
     "graph_connected_components", "graph_pagerank", "graph_scc",
-    "graph_node_similarity", "graph_label_propagation", "graph_modularity_cc",
-    # dedup + text pipeline (10) — rotated in: LSH recall gate, Gopher
-    # dup-2gram stats, bigram-LM quality score (both changed in r9)
+    "graph_personalized_pagerank", "graph_node_similarity_capped",
+    "graph_modularity_cc",
+    # dedup + text pipeline (10) — rotated in: repeated spans (Lee et
+    # al. substring signal), IDF top terms
     "dedup_exact_stats", "dedup_semantic_clusters", "dedup_embedding_cosine",
-    "dedup_lsh_recall", "dedup_keep_best", "text_decontaminate",
-    "text_ngram_jaccard", "text_dup_2gram_stats", "text_lm_score",
+    "text_repeated_spans", "dedup_keep_best", "text_decontaminate",
+    "text_ngram_jaccard", "text_idf_top_terms", "text_lm_score",
     "pipeline_clean_corpus",
-    # embeddings / ANN (4) — rotated in: batched multi-probe LSH ANN
-    "embed_knn_topk", "embed_ann_lsh_multi_batch", "embed_ann_lsh_multi",
+    # embeddings / ANN (4) — rotated in: SQ8 scalar-quantized ANN (the
+    # fully value-checked compressed-index search)
+    "embed_knn_topk", "embed_ann_sq8", "embed_ann_lsh_multi",
     "embed_ann_recall",
-    # events (5) — rotated in: per-type top users
-    "events_sessionize", "events_top_users_per_type", "events_asof_join",
-    "events_funnel", "events_value_percentiles",
-    # TPC-H (4) — rotated in: supplier count (Q16 shape)
+    # events (5) — rotated in: time-in-state, OHLC bars
+    "events_sessionize", "events_top_users_per_type", "events_time_in_state",
+    "events_funnel", "events_ohlc",
+    # TPC-H (4) — rotated in: order-count distribution (Q13 shape)
     "tpch_pricing_summary", "tpch_revenue_by_nation",
-    "tpch_supplier_cnt", "tpch_min_cost_supplier",
-    # sampling (1) — rotated in: mixture sampling (changed in r9)
+    "tpch_order_count_distribution", "tpch_min_cost_supplier",
+    # sampling (1)
     "sample_mixture",
 ]
 
