@@ -220,6 +220,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "-[:placedBy|locatedIn|partOf*1..4]->(x)) "
         "RETURN x.`$dtId` AS dst, length(p) AS len"
     )
+    # r10: allShortestPaths — Neo4j cardinality (one row per
+    # minimum-length path, via the walk-count BFS), aggregated to
+    # (dst, len, n_paths) for a deterministic oracle comparison; the
+    # FK graph from order-1 fans out through shared parts/suppliers,
+    # so many pairs have n_paths > 1
+    q["cypher_all_shortest_paths"] = _adt(
+        "MATCH p = allShortestPaths((o {`$dtId`: 'order-1'})-[*1..2]->(x)) "
+        "RETURN x.`$dtId` AS dst, length(p) AS len, count(*) AS n_paths"
+    )
     q["cypher_var_length"] = _adt(
         "MATCH (o {`$dtId`: 'order-1'})-[:placedBy|locatedIn|partOf*1..3]->(x) "
         "RETURN x.`$dtId` AS id"
@@ -1802,6 +1811,22 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT e.dst, p.len + 1 FROM p JOIN e ON e.src = p.dst "
         "WHERE p.len < 4) "
         "SELECT dst, CAST(min(len) AS BIGINT) AS len FROM p GROUP BY dst"
+    )
+    o["cypher_all_shortest_paths"] = (
+        # enumerate WALKS (UNION ALL keeps duplicates) up to depth 2
+        # over the full directed FK edge set, keep each dst's
+        # minimum-length walks, count them — every minimum-length walk
+        # is a path, so the count equals the shortest-path count
+        "WITH RECURSIVE e AS MATERIALIZED ("
+        f"SELECT DISTINCT src, dst FROM ({_EDGES_SQL})), "
+        "w(dst, len) AS ("
+        "SELECT dst, 1 FROM e WHERE src = 'order-1' "
+        "UNION ALL SELECT e.dst, w.len + 1 FROM w JOIN e ON e.src = w.dst "
+        "WHERE w.len < 2), "
+        "m AS (SELECT dst, min(len) AS len FROM w GROUP BY dst) "
+        "SELECT w.dst, CAST(w.len AS BIGINT) AS len, "
+        "count(*) AS n_paths FROM w JOIN m ON w.dst = m.dst "
+        "AND w.len = m.len GROUP BY w.dst, w.len"
     )
     o["cypher_var_length"] = (
         "SELECT 'cust-' || o_custkey AS id FROM orders WHERE o_orderkey = 1 "

@@ -1208,24 +1208,43 @@ class CypherCompiler:
             self._key_col(left).alias("src")
         ).distinct()
         seeded = base.join(start_ids, "src", "left_semi")
+        # allShortestPaths: the frontier carries a WALK COUNT instead
+        # of being distinct-ed — cnt_d(src, w) = Σ over edges v→w of
+        # cnt_{d−1}(src, v).  Every minimum-length walk is a path (a
+        # repeated vertex would make it longer than the shortest), so
+        # the count at a pair's FIRST depth is exactly its number of
+        # shortest paths; the result explodes to one row per path
+        # (Neo4j allShortestPaths cardinality) with endpoints + length
+        # as the engine's documented path rendering.
+        all_paths = path.shortest == "all"
+        if all_paths:
+            seeded = seeded.withColumn("__cnt", F.lit(1).cast("long"))
         found = None
         if lo == 0:
             found = self._twins.select(
                 F.col("dt_id").alias("src"),
                 F.col("dt_id").alias("dst"),
                 F.lit(0).alias("__depth"),
+                *([F.lit(1).cast("long").alias("__cnt")] if all_paths else []),
             ).join(start_ids, "src", "left_semi")
         frontier = seeded
         for depth in range(1, hi + 1):
             if depth > 1:
-                frontier = (
-                    frontier.alias("f")
-                    .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
-                    .select(
-                        F.col("f.src").alias("src"), F.col("b.dst").alias("dst")
-                    )
-                    .distinct()
+                step = frontier.alias("f").join(
+                    base.alias("b"), F.col("f.dst") == F.col("b.src")
                 )
+                if all_paths:
+                    frontier = (
+                        step.groupBy(
+                            F.col("f.src").alias("src"),
+                            F.col("b.dst").alias("dst"),
+                        )
+                        .agg(F.sum("__cnt").alias("__cnt"))
+                    )
+                else:
+                    frontier = step.select(
+                        F.col("f.src").alias("src"), F.col("b.dst").alias("dst")
+                    ).distinct()
             new = frontier.withColumn("__depth", F.lit(depth))
             if found is not None:
                 new = new.join(found.select("src", "dst"), ["src", "dst"], "left_anti")
@@ -1233,6 +1252,12 @@ class CypherCompiler:
             if depth % 3 == 0 and depth < hi:
                 frontier = frontier.localCheckpoint(eager=False)
                 found = found.localCheckpoint(eager=False)
+        if all_paths:
+            # one row per shortest path; the duplicated rows differ
+            # only in their hidden path index (dropped immediately)
+            found = found.withColumn(
+                "__pidx", F.explode(F.sequence(F.lit(1), F.col("__cnt")))
+            ).drop("__cnt", "__pidx")
         p_alias = self._anon_alias()
         pairs = found.alias(p_alias)
         df = df.join(

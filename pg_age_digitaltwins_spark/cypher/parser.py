@@ -243,13 +243,20 @@ class _Parser:
         ):
             var = self.eat("IDENT").value
             self.i += 1  # '='
-        shortest = False
-        if self.cur.kind == "IDENT" and self.cur.value.lower() == "shortestpath":
+        # shortest: False | True (shortestPath) | "all"
+        # (allShortestPaths — every minimum-length path, Neo4j
+        # cardinality: one row per shortest path)
+        shortest: bool | str = False
+        if self.cur.kind == "IDENT" and self.cur.value.lower() in (
+            "shortestpath", "allshortestpaths",
+        ):
+            shortest = (
+                "all" if self.cur.value.lower() == "allshortestpaths" else True
+            )
             self.i += 1
             self.eat("PUNCT", "(")
             p = self.path()
             self.eat("PUNCT", ")")
-            shortest = True
         else:
             p = self.path()
         p.var = var

@@ -770,6 +770,50 @@ def test_shortest_path_with_endpoint_filter_and_fixed_path_var(spark):
     assert {(r["dst"], r["len"]) for r in rows} == {("c", 2), ("d", 2)}
 
 
+def test_all_shortest_paths_cardinality(spark):
+    """r10: allShortestPaths emits ONE ROW PER shortest path (Neo4j
+    cardinality) via the walk-count BFS — on a diamond graph the far
+    vertex appears once per distinct minimum-length path."""
+    c = _chain_client(spark)
+    rows = c.query(
+        "MATCH p = allShortestPaths((a {`$dtId`: 'a'})-[*..5]->(b)) "
+        "RETURN b.`$dtId` AS dst, length(p) AS len ORDER BY dst"
+    ).rows
+    # single-path graph: same rows as shortestPath
+    assert rows == [
+        {"dst": "b", "len": 1}, {"dst": "c", "len": 1}, {"dst": "d", "len": 2}]
+
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sp:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": x, "$metadata": {"$model": "dtmi:sp:T;1"}}
+             for x in "abcd"]
+    rels = [
+        {"$relationshipId": f"r{i}", "$sourceId": s, "$targetId": t,
+         "$relationshipName": "next"}
+        for i, (s, t) in enumerate(
+            [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+        )
+    ]
+    c2 = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+    rows = c2.query(
+        "MATCH p = allShortestPaths((a {`$dtId`: 'a'})-[*..4]->(x)) "
+        "RETURN x.`$dtId` AS dst, length(p) AS len ORDER BY dst"
+    ).rows
+    # d is reached by TWO length-2 shortest paths (via b and via c)
+    assert rows == [
+        {"dst": "b", "len": 1}, {"dst": "c", "len": 1},
+        {"dst": "d", "len": 2}, {"dst": "d", "len": 2}]
+    # singlePath semantics unchanged next to it
+    one = c2.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})-[*..4]->(x {`$dtId`: 'd'})) "
+        "RETURN length(p) AS len").rows
+    assert one == [{"len": 2}]
+
+
 def test_shortest_path_errors(spark):
     import pytest as _pytest
 
