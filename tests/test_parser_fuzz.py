@@ -36,6 +36,12 @@ _FRAGMENTS = st.sampled_from([
     "duration(", "duration.between(", "duration('P30D')", ".year",
     ".days", "(d + duration('P1D')).day", "t.when", "t.contains",
     "datetime(t.ts).year", "'P1M2D'",
+    # r10 grammar: truncate/time constructors, duration scaling,
+    # allShortestPaths
+    "datetime.truncate(", "date.truncate('week',", "'month'",
+    "time(", "localtime(", "duration('P1D') * 3", "/ 2",
+    "allShortestPaths(", "allShortestPaths((a)-[*..2]->(b))",
+    ".quarters", ".milliseconds",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
