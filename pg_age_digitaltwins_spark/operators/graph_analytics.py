@@ -66,7 +66,15 @@ def connected_components(
     Level 1 never materializes the doubled edge set: the undirected
     neighbor-min is the min of two DIRECTED map-side-combined groupBys
     (min distributes over the union), so the big frame is only ever
-    scanned, not shuffled twice."""
+    scanned, not shuffled twice.
+
+    (r10 experiment, rejected: running the label propagation in an
+    order-preserving long vid space measured 8.8-9.4 s vs 5.75 s here —
+    level 1 is a JOIN-FREE scan aggregation over the raw edge frame,
+    so the id-encode's two edge joins + endpoint-universe distinct cost
+    more than long mins save.  PageRank and Louvain keep the encoding
+    because their supersteps already join the edge frame every
+    iteration.)"""
     e = relationships.select("source_id", "target_id").filter(
         F.col("source_id") != F.col("target_id")
     )
@@ -160,23 +168,44 @@ def pagerank(
     graphs, where vertex state outgrows the driver) the hints drop out
     and the joins run co-partitioned shuffle joins.  Arithmetic is
     unchanged (rank/out_deg per edge, summed per target) so ranks
-    match the unrolled-iteration oracle at round(8)."""
-    verts = twins.select("dt_id").localCheckpoint(eager=False)
+    match the unrolled-iteration oracle at round(8).
+
+    r10: the supersteps run in LONG vertex-id space — twins get unique
+    longs (``monotonically_increasing_id``; no ordering needed, PR has
+    no tie-breaks) and edges encode through two joins (inner join to
+    the twin set is semantics-preserving: a non-twin source carries no
+    rank and a non-twin target is dropped at the state rebuild).  Long
+    join/agg keys cut the per-iteration hash work and shrink every
+    broadcast; the decode join back to dt_id strings is vertex-sized,
+    once."""
+    vid_map = (
+        twins.select("dt_id")
+        .select("dt_id", F.monotonically_increasing_id().alias("vid"))
+        .localCheckpoint(eager=False)
+    )
+    verts = vid_map.select("vid").localCheckpoint(eager=False)
     n = verts.count()
     # vertex-state rows are ~30 B (id + double); 2M rows ≈ 60 MB
     # broadcast — comfortably under a 1 GiB driver, far under executor
     # memory.  Beyond that, state must stay distributed.
     bc = (lambda df: F.broadcast(df)) if n <= 2_000_000 else (lambda df: df)
-    edges = relationships.select("source_id", "target_id")
-    out_deg = edges.groupBy(F.col("source_id").alias("dt_id")).agg(
+    sv = vid_map.select(F.col("dt_id").alias("source_id"), F.col("vid").alias("__sv"))
+    tv = vid_map.select(F.col("dt_id").alias("target_id"), F.col("vid").alias("__tv"))
+    edges = (
+        relationships.select("source_id", "target_id")
+        .join(bc(sv), "source_id")
+        .join(bc(tv), "target_id")
+        .select(F.col("__sv").alias("source_id"), F.col("__tv").alias("target_id"))
+    )
+    out_deg = edges.groupBy(F.col("source_id").alias("vid")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
     deg_edges = (
-        edges.join(out_deg, edges["source_id"] == out_deg["dt_id"])
+        edges.join(out_deg, edges["source_id"] == out_deg["vid"])
         .select("source_id", "target_id", "out_deg")
         .localCheckpoint(eager=True)
     )
-    dangling_verts = verts.join(out_deg, "dt_id", "left_anti").localCheckpoint(
+    dangling_verts = verts.join(out_deg, "vid", "left_anti").localCheckpoint(
         eager=True
     )
     state = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
@@ -184,23 +213,23 @@ def pagerank(
         # Dangling mass stays a DataFrame (1-row agg, broadcast by the
         # nested-loop cross join) so each superstep is ONE job — no
         # driver scalar collect serializing iterations on job latency.
-        dangling = state.join(bc(dangling_verts), "dt_id", "semi").agg(
+        dangling = state.join(bc(dangling_verts), "vid", "semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
         contribs = (
-            deg_edges.join(bc(state), deg_edges["source_id"] == state["dt_id"])
+            deg_edges.join(bc(state), deg_edges["source_id"] == state["vid"])
             .select(
-                F.col("target_id").alias("dt_id"),
+                F.col("target_id").alias("vid"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
             )
-            .groupBy("dt_id")
+            .groupBy("vid")
             .agg(F.sum("c").alias("in_sum"))
         )
         state = (
-            verts.join(bc(contribs), "dt_id", "left")
+            verts.join(bc(contribs), "vid", "left")
             .crossJoin(dangling)
             .select(
-                "dt_id",
+                "vid",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping) * F.col("dangling") / F.lit(float(n))
@@ -216,7 +245,9 @@ def pagerank(
             # action, so plans never compound across the loop.
             .localCheckpoint(eager=(i % 2 == 1) or (i == iters - 1))
         )
-    return state.select("dt_id", F.round("rank", 8).alias("rank"))
+    return state.join(vid_map, "vid").select(
+        "dt_id", F.round("rank", 8).alias("rank")
+    )
 
 
 def personalized_pagerank(
