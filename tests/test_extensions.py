@@ -1653,6 +1653,42 @@ def test_louvain_two_cliques(spark):
     assert abs(row["modularity"] - 0.423077) < 1e-6
 
 
+def test_louvain_convergence_exit_is_output_identical(spark):
+    """r10: with min_moves_frac=0 a level exits only when two
+    consecutive rounds (both parities) move nothing — a true fixed
+    point — so a large rounds_per_level produces IDENTICAL assignments
+    to the default schedule on a quickly-converging graph."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        louvain_communities,
+    )
+
+    a, b = list("abcd"), list("efgh")
+    edges = [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+    edges += [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+    edges.append(("d", "e"))
+    twins = spark.createDataFrame([(n,) for n in a + b], "dt_id string")
+    rels = spark.createDataFrame(
+        [(f"r{i}", s, t, "e") for i, (s, t) in enumerate(edges)],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    base = {r["dt_id"]: r["community"]
+            for r in louvain_communities(twins, rels).collect()}
+    # 12 rounds/level: the cliques converge long before the cap, the
+    # 0+0 exit fires, and the output matches the 4-round default
+    wide = {r["dt_id"]: r["community"]
+            for r in louvain_communities(
+                twins, rels, rounds_per_level=12).collect()}
+    assert wide == base
+    # an aggressive move floor still returns a full assignment (every
+    # vertex mapped) and respects the two-clique structure
+    fast = {r["dt_id"]: r["community"]
+            for r in louvain_communities(
+                twins, rels, min_moves_frac=0.9).collect()}
+    assert set(fast) == set(base)
+    assert len({fast[x] for x in a}) == 1
+    assert len({fast[x] for x in b}) == 1
+
+
 def test_louvain_isolated_and_no_edges(spark):
     from pg_age_digitaltwins_spark.operators.graph_analytics import (
         louvain_communities,
