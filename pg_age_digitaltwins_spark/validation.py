@@ -581,10 +581,11 @@ def _validate_schema_node(
                     )
     elif kind == "Array":
         if forbid_array:
-            # DTDL v2: Command payload schemas may not contain Array
+            # DTDL v2: Property and Command-payload schemas may not be
+            # or contain Array at any nesting level (lifted in v3)
             v.append(
-                f"{where}: Array is not allowed in Command payloads "
-                "under DTDL v2"
+                f"{where}: Array is not allowed in Property or Command "
+                "payload schemas under DTDL v2"
             )
         if schema.get("elementSchema") is None:
             # DTDLParser: Array requires elementSchema — silence here
@@ -876,6 +877,10 @@ def validate_model(
                 _validate_schema_node(
                     item["schema"], named_ids, where, v,
                     max_depth=max_depth, primitives=prims,
+                    # DTDL v2: a Property schema may not be or contain
+                    # Array at any nesting level (lifted in v3;
+                    # Telemetry arrays are fine in every version)
+                    forbid_array=is_v2 and kind == "Property",
                 )
         if kind == "Command":
             # commandType: a deprecated DTDL v2 term with exactly two
@@ -995,6 +1000,9 @@ def validate_model(
                     _validate_schema_node(
                         p["schema"], named_ids, f"{where}.{pn}", v,
                         max_depth=max_depth, primitives=prims,
+                        # a relationship property IS a Property — the
+                        # v2 no-Array rule applies to it too
+                        forbid_array=is_v2,
                     )
         # semantic types (co-types beyond the content kind; extension
         # adjunct types are NOT semantic types)

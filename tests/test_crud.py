@@ -822,14 +822,16 @@ def test_validate_model_nesting_depth_limit():
         validate_model(_interface(contents=[
             {"@type": "Property", "name": "deep", "schema": nested(9)},
         ]))
-    # v2: 5 levels OK, 6 rejected
+    # v2: 5 levels OK, 6 rejected — on TELEMETRY, because v2 forbids
+    # Array anywhere in a Property schema (batch 12) and the depth cap
+    # must be observable independently of that rule
     v2 = {"@context": "dtmi:dtdl:context;2"}
     validate_model(_interface(contents=[
-        {"@type": "Property", "name": "ok", "schema": nested(5)},
+        {"@type": "Telemetry", "name": "ok", "schema": nested(5)},
     ], **v2))
     with pytest.raises(ValidationError, match="nesting exceeds the DTDL limit of 5"):
         validate_model(_interface(contents=[
-            {"@type": "Property", "name": "deep", "schema": nested(6)},
+            {"@type": "Telemetry", "name": "deep", "schema": nested(6)},
         ], **v2))
 
 
@@ -937,6 +939,42 @@ def test_validate_model_command_payloads():
                 "response": {"name": "9bad", "schema": "double"},
             }])
         )
+
+
+def test_v2_property_schema_forbids_array():
+    """DTDL batch 12: under a v2 context a Property schema may not be
+    or contain Array at any nesting level (lifted in v3); Telemetry
+    arrays are legal in every version, and relationship properties are
+    Properties so the rule applies to them too."""
+    from pg_age_digitaltwins_spark.validation import ValidationError, validate_model
+
+    arr = {"@type": "Array", "elementSchema": "double"}
+    prop = {"@type": "Property", "name": "xs", "schema": arr}
+    with pytest.raises(ValidationError, match="Array is not allowed in Property"):
+        validate_model(
+            _interface(contents=[prop], **{"@context": "dtmi:dtdl:context;2"})
+        )
+    # nested inside an Object field: still rejected under v2
+    nested = {"@type": "Property", "name": "o", "schema": {
+        "@type": "Object", "fields": [{"name": "xs", "schema": arr}]}}
+    with pytest.raises(ValidationError, match="Array is not allowed in Property"):
+        validate_model(
+            _interface(contents=[nested], **{"@context": "dtmi:dtdl:context;2"})
+        )
+    # relationship property under v2: same rule
+    rel = {"@type": "Relationship", "name": "knows",
+           "properties": [{"@type": "Property", "name": "xs", "schema": arr}]}
+    with pytest.raises(ValidationError, match="Array is not allowed in Property"):
+        validate_model(
+            _interface(contents=[rel], **{"@context": "dtmi:dtdl:context;2"})
+        )
+    # Telemetry arrays are fine under v2; Property arrays fine under v3
+    tel = {"@type": "Telemetry", "name": "ts", "schema": arr}
+    validate_model(
+        _interface(contents=[tel], **{"@context": "dtmi:dtdl:context;2"})
+    )
+    validate_model(_interface(contents=[prop]))
+    validate_model(_interface(contents=[rel]))
 
 
 def test_validate_model_command_type_versioning():
@@ -1297,7 +1335,7 @@ def test_v2_command_payload_forbids_array():
         "request": {"name": "arg", "schema": {
             "@type": "Array", "elementSchema": "double"}},
     }
-    with pytest.raises(ValidationError, match="Array is not allowed in Command"):
+    with pytest.raises(ValidationError, match="Array is not allowed in Property or Command"):
         validate_model(_interface(contents=[cmd], **{"@context": "dtmi:dtdl:context;2"}))
     # nested inside an Object field: still rejected under v2
     cmd2 = {
@@ -1307,7 +1345,7 @@ def test_v2_command_payload_forbids_array():
                 {"name": "xs", "schema": {"@type": "Array", "elementSchema": "long"}},
             ]}},
     }
-    with pytest.raises(ValidationError, match="Array is not allowed in Command"):
+    with pytest.raises(ValidationError, match="Array is not allowed in Property or Command"):
         validate_model(_interface(contents=[cmd2], **{"@context": "dtmi:dtdl:context;2"}))
     # same shapes are FINE under v3
     validate_model(_interface(contents=[cmd]))
