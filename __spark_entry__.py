@@ -596,6 +596,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 12/d scoring keeps the sum an exact integer (fixed-point rule)
     q["graph_harmonic_centrality"] = _harmonic
 
+    def _closeness(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            closeness_centrality_sampled,
+        )
+
+        st = _store(s, d)
+        sources = st.twins.filter(
+            F.col("dt_id").startswith("nation-")
+        ).select("dt_id")
+        return closeness_centrality_sampled(
+            st.relationships, sources, max_depth=3
+        )
+
+    # r10: sampled closeness centrality from the same 25 nation hubs —
+    # integer dist_sum/n_reached first, closeness rounded at 6
+    q["graph_closeness_centrality"] = _closeness
+
     def _degrees(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import (
             degree_distribution,
@@ -2111,6 +2130,20 @@ def oracle_sql() -> dict[str, str]:
         "md AS (SELECT node, src, min(depth) AS d FROM bfs GROUP BY node, src) "
         "SELECT node AS dt_id, CAST(sum(12 // d) AS BIGINT) AS h12, "
         "count(*) AS n_reached FROM md WHERE d > 0 GROUP BY node"
+    )
+    o["graph_closeness_centrality"] = (
+        "WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM ({_EDGES_SQL}) "
+        f"UNION ALL SELECT dst, src FROM ({_EDGES_SQL}))), "
+        "bfs(node, src, depth) AS ("
+        "SELECT 'nation-' || n_nationkey, 'nation-' || n_nationkey, 0 FROM nation "
+        "UNION SELECT e.dst, bfs.src, bfs.depth + 1 FROM bfs "
+        "JOIN e ON e.src = bfs.node WHERE bfs.depth < 3), "
+        "md AS (SELECT node, src, min(depth) AS d FROM bfs GROUP BY node, src) "
+        "SELECT node AS dt_id, CAST(sum(d) AS BIGINT) AS dist_sum, "
+        "count(*) AS n_reached, "
+        "round(CAST(count(*) AS DOUBLE) / sum(d), 6) AS closeness "
+        "FROM md WHERE d > 0 GROUP BY node"
     )
     o["graph_pagerank"] = _pagerank_oracle()
     o["graph_personalized_pagerank"] = _ppr_oracle()

@@ -759,30 +759,81 @@ def harmonic_centrality_sampled(
     hashes differently across engines).  ``max_depth`` ≤ 12 for
     exactness (12/d stays integral at 1,2,3,4,6,12; other depths would
     truncate — extend the constant if deeper sampling is needed)."""
+    seen = _multi_source_bfs(relationships, sources, max_depth)
+    return (
+        seen.filter(F.col("depth") > 0)
+        .groupBy(F.col("node").alias("dt_id"))
+        .agg(
+            # per-term floor ≡ the old integer 12 // depth weighting
+            F.sum(F.floor(F.lit(12) / F.col("depth")))
+            .cast("bigint")
+            .alias("h12"),
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        )
+    )
+
+
+def _multi_source_bfs(
+    relationships: DataFrame, sources: DataFrame, max_depth: int
+) -> DataFrame:
+    """(node, src, depth) — undirected multi-source BFS distances up to
+    ``max_depth`` (depth 0 = the sources themselves).  Shared by the
+    sampled centralities: one edge join + left-anti dedup per depth,
+    O(max_depth) shuffles total regardless of |sources|."""
     edges = _undirected(relationships).localCheckpoint(eager=False)
     frontier = sources.select(
         F.col("dt_id").alias("node"), F.col("dt_id").alias("src")
     ).localCheckpoint(eager=True)
-    seen = frontier.withColumn("score", F.lit(0))
+    seen = frontier.withColumn("depth", F.lit(0))
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(edges, frontier["node"] == edges["source_id"])
             .select(F.col("target_id").alias("node"), "src")
             .distinct()
             .join(seen.select("node", "src"), ["node", "src"], "left_anti")
-            .withColumn("score", F.lit(12 // depth))
+            .withColumn("depth", F.lit(depth))
             .localCheckpoint(eager=True)
         )
         if not nxt.take(1):
             break
         seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    return seen
+
+
+def closeness_centrality_sampled(
+    relationships: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+) -> DataFrame:
+    """(dt_id, dist_sum, n_reached, closeness) — sampled closeness
+    centrality over the undirected graph (GDS parity shape, sampled to
+    a source set like ``harmonic_centrality_sampled``): per node,
+    ``dist_sum = Σ_sources d(source, node)`` over BFS distances
+    1..max_depth and ``closeness = n_reached / dist_sum`` (the sampled
+    analogue of (n−1)/Σd), rounded to 6 — integers come first so the
+    score is reproducible and engine-portable; unreachable sources
+    simply don't contribute (the standard sampled-closeness
+    convention; a true-infinite-distance penalty would need the full
+    BFS this sampling exists to avoid).
+
+    Same multi-source-BFS shape as harmonic: O(max_depth) shuffles
+    total, never per source."""
+    seen = _multi_source_bfs(relationships, sources, max_depth)
     return (
-        seen.filter(F.col("score") > 0)
+        seen.filter(F.col("depth") > 0)
         .groupBy(F.col("node").alias("dt_id"))
         .agg(
-            F.sum("score").cast("bigint").alias("h12"),
+            F.sum("depth").cast("bigint").alias("dist_sum"),
             F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        )
+        .select(
+            "dt_id",
+            "dist_sum",
+            "n_reached",
+            F.round(F.col("n_reached") / F.col("dist_sum"), 6).alias(
+                "closeness"
+            ),
         )
     )
 

@@ -1025,6 +1025,39 @@ def test_harmonic_centrality_sampled_crafted(spark):
     assert got == {"a": (4, 1), "b": (18, 2), "c": (18, 2), "d": (4, 1)}
 
 
+def test_closeness_centrality_sampled_crafted(spark):
+    """r10, same path a-b-c-d with sources {a, d}: dist sums are exact
+    integers — b: 1 (from a) + 2 (from d) = 3; a/d: 3 from the far
+    end; closeness = n_reached / dist_sum rounded at 6."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        closeness_centrality_sampled,
+    )
+
+    rels = spark.createDataFrame(
+        [("r1", "a", "b", "e"), ("r2", "b", "c", "e"), ("r3", "c", "d", "e")],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    sources = spark.createDataFrame([("a",), ("d",)], "dt_id string")
+    got = {
+        r["dt_id"]: (r["dist_sum"], r["n_reached"], r["closeness"])
+        for r in closeness_centrality_sampled(
+            rels, sources, max_depth=3
+        ).collect()
+    }
+    assert got == {
+        "a": (3, 1, 0.333333), "b": (3, 2, 0.666667),
+        "c": (3, 2, 0.666667), "d": (3, 1, 0.333333),
+    }
+    # max_depth cuts the horizon: at depth 1 only direct neighbors
+    got1 = {
+        r["dt_id"]: (r["dist_sum"], r["n_reached"])
+        for r in closeness_centrality_sampled(
+            rels, sources, max_depth=1
+        ).collect()
+    }
+    assert got1 == {"b": (1, 1), "c": (1, 1)}
+
+
 def test_scc_raises_instead_of_splitting_when_iters_exhausted(spark):
     """r7 ADVICE fix: when min-propagation exhausts max_iters without
     converging, SCC must raise — not settle vertices of one component
