@@ -2205,7 +2205,10 @@ class CypherCompiler:
                 )
             prefix = "__pnodes_" if n == "nodes" else "__prels_"
             return F.col(f"{prefix}{arg.name}")
-        if n in ("id", "elementid", "keys", "properties", "labels"):
+        if n in (
+            "id", "elementid", "keys", "properties", "labels",
+            "startnode", "endnode",
+        ):
             [arg] = e.args
             if not isinstance(arg, C.Var) or arg.name not in env:
                 raise CypherCompileError(f"{n}() needs a bound entity variable")
@@ -2232,6 +2235,18 @@ class CypherCompiler:
                 # the entity's key: $dtId / $relationshipId / model id
                 key = "relationship_id" if b.kind == "rel" else "dt_id"
                 return self._col(b, key)
+            if n in ("startnode", "endnode"):
+                # Neo4j startNode(r)/endNode(r) return whole nodes;
+                # this engine's documented path rendering is ids, so
+                # they yield the endpoint twin ids (joinable back to a
+                # MATCH when the caller needs properties)
+                if b.kind != "rel":
+                    raise CypherCompileError(
+                        f"{n}() needs a relationship variable"
+                    )
+                return self._col(
+                    b, "source_id" if n == "startnode" else "target_id"
+                )
             if n == "keys":
                 # sorted property-name array from the stored document
                 return F.array_sort(

@@ -849,6 +849,15 @@ def test_id_keys_properties_functions(spark):
     assert r["p"]["name"] == "room" and r["p"]["temp"] == "21.5"
     import json as _json
     assert _json.loads(r["p"]["$metadata"]) == {"$model": "dtmi:kf:T;1"}
+    # r10: startNode/endNode on a relationship yield the endpoint twin
+    # ids (this engine's documented entity rendering)
+    [r] = c.query(
+        "MATCH ()-[e]->() RETURN startNode(e) AS s, endNode(e) AS t2"
+    ).rows
+    assert r == {"s": "t1", "t2": "t1"}
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+    with pytest.raises(CypherCompileError, match="relationship variable"):
+        c.query("MATCH (t:Twin) RETURN startNode(t) AS x")
 
 
 def test_string_scalar_functions(fixture_store):
