@@ -615,6 +615,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # integer dist_sum/n_reached first, closeness rounded at 6
     q["graph_closeness_centrality"] = _closeness
 
+    def _betweenness(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            betweenness_centrality_sampled,
+        )
+
+        st = _store(s, d)
+        sources = st.twins.filter(
+            F.col("dt_id").startswith("region-")
+        ).select("dt_id")
+        return betweenness_centrality_sampled(
+            st.relationships, sources, max_depth=3
+        )
+
+    # r10: Brandes betweenness sampled to the 5 region pivots,
+    # k-bounded at depth 3 — σ from the walk-count BFS, dependency
+    # accumulation per descending layer, value-checked against an
+    # unrolled DuckDB walk-enumeration oracle
+    q["graph_betweenness_centrality"] = _betweenness
+
     def _degrees(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import (
             degree_distribution,
@@ -2144,6 +2165,42 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS n_reached, "
         "round(CAST(count(*) AS DOUBLE) / sum(d), 6) AS closeness "
         "FROM md WHERE d > 0 GROUP BY node"
+    )
+    o["graph_betweenness_centrality"] = (
+        # Brandes unrolled for max_depth=3: enumerate shortest WALKS
+        # from the 5 region pivots (UNION ALL keeps multiplicity; every
+        # minimum-length walk is a path, so the min-depth walk count is
+        # σ), then two dependency-accumulation layers by descending
+        # depth — δ₂ = Σ σv/σw over depth-3 successors, δ₁ folds in
+        # (1 + δ₂).  Zero-δ layer rows survive (LEFT joins), matching
+        # the Spark operator's layer output
+        "WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM ({_EDGES_SQL}) "
+        f"UNION ALL SELECT dst, src FROM ({_EDGES_SQL}))), "
+        "w(node, src, len) AS ("
+        "SELECT 'region-' || r_regionkey, 'region-' || r_regionkey, 0 FROM region "
+        "UNION ALL SELECT e.dst, w.src, w.len + 1 FROM w "
+        "JOIN e ON e.src = w.node WHERE w.len < 3), "
+        "md AS (SELECT node, src, min(len) AS d FROM w GROUP BY node, src), "
+        "sg AS (SELECT w.node, w.src, md.d, count(*) AS sigma FROM w "
+        "JOIN md ON w.node = md.node AND w.src = md.src AND w.len = md.d "
+        "GROUP BY w.node, w.src, md.d), "
+        "l1 AS (SELECT * FROM sg WHERE d = 1), "
+        "l2 AS (SELECT * FROM sg WHERE d = 2), "
+        "l3 AS (SELECT * FROM sg WHERE d = 3), "
+        "d2 AS (SELECT v.node, v.src, coalesce(sum("
+        "CAST(v.sigma AS DOUBLE) / w3.sigma), 0) AS delta "
+        "FROM l2 v LEFT JOIN e ON e.src = v.node "
+        "LEFT JOIN l3 w3 ON w3.node = e.dst AND w3.src = v.src "
+        "GROUP BY v.node, v.src), "
+        "d1 AS (SELECT v.node, v.src, coalesce(sum("
+        "CAST(v.sigma AS DOUBLE) / w2.sigma * (1 + dd.delta)), 0) AS delta "
+        "FROM l1 v LEFT JOIN e ON e.src = v.node "
+        "LEFT JOIN l2 w2 ON w2.node = e.dst AND w2.src = v.src "
+        "LEFT JOIN d2 dd ON dd.node = w2.node AND dd.src = w2.src "
+        "GROUP BY v.node, v.src) "
+        "SELECT node AS dt_id, round(sum(delta), 6) AS betweenness "
+        "FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2) GROUP BY node"
     )
     o["graph_pagerank"] = _pagerank_oracle()
     o["graph_personalized_pagerank"] = _ppr_oracle()

@@ -774,26 +774,51 @@ def harmonic_centrality_sampled(
 
 
 def _multi_source_bfs(
-    relationships: DataFrame, sources: DataFrame, max_depth: int
+    relationships: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    count_paths: bool = False,
 ) -> DataFrame:
-    """(node, src, depth) — undirected multi-source BFS distances up to
-    ``max_depth`` (depth 0 = the sources themselves).  Shared by the
-    sampled centralities: one edge join + left-anti dedup per depth,
-    O(max_depth) shuffles total regardless of |sources|."""
+    """(node, src, depth[, sigma]) — undirected multi-source BFS
+    distances up to ``max_depth`` (depth 0 = the sources themselves).
+    Shared by the sampled centralities: one edge join + left-anti
+    dedup per depth, O(max_depth) shuffles total regardless of
+    |sources|.
+
+    ``count_paths``: the frontier carries per-(src, node) WALK counts
+    (σ) instead of being distinct-ed — every minimum-length walk is a
+    path, so σ at a pair's first depth is its shortest-path count
+    (the same argument as the Cypher allShortestPaths compiler).
+    Needed by Brandes-style betweenness."""
     edges = _undirected(relationships).localCheckpoint(eager=False)
     frontier = sources.select(
         F.col("dt_id").alias("node"), F.col("dt_id").alias("src")
     ).localCheckpoint(eager=True)
-    seen = frontier.withColumn("depth", F.lit(0))
+    if count_paths:
+        frontier = frontier.withColumn("sigma", F.lit(1).cast("long"))
+        seen = frontier.withColumn("depth", F.lit(0))
+    else:
+        seen = frontier.withColumn("depth", F.lit(0))
     for depth in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(edges, frontier["node"] == edges["source_id"])
-            .select(F.col("target_id").alias("node"), "src")
-            .distinct()
-            .join(seen.select("node", "src"), ["node", "src"], "left_anti")
-            .withColumn("depth", F.lit(depth))
-            .localCheckpoint(eager=True)
-        )
+        step = frontier.join(edges, frontier["node"] == edges["source_id"])
+        if count_paths:
+            nxt = (
+                step.groupBy(
+                    F.col("target_id").alias("node"), F.col("src").alias("src")
+                )
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(seen.select("node", "src"), ["node", "src"], "left_anti")
+                .withColumn("depth", F.lit(depth))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            nxt = (
+                step.select(F.col("target_id").alias("node"), "src")
+                .distinct()
+                .join(seen.select("node", "src"), ["node", "src"], "left_anti")
+                .withColumn("depth", F.lit(depth))
+                .localCheckpoint(eager=True)
+            )
         if not nxt.take(1):
             break
         seen = seen.unionByName(nxt).localCheckpoint(eager=True)
@@ -835,6 +860,105 @@ def closeness_centrality_sampled(
                 "closeness"
             ),
         )
+    )
+
+
+def betweenness_centrality_sampled(
+    relationships: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+) -> DataFrame:
+    """(dt_id, betweenness) — Brandes betweenness centrality sampled
+    to a pivot (source) set, distances bounded by ``max_depth``
+    (k-bounded betweenness: pairs farther apart contribute nothing —
+    the standard truncation that keeps sampled betweenness tractable;
+    GDS's sampled mode picks pivots the same way).
+
+    Forward: the shared multi-source BFS with walk counts gives
+    σ(s, v) = number of shortest s→v paths (every minimum-length walk
+    is a path).  Backward (Brandes' dependency accumulation), by
+    DESCENDING depth layer:
+
+        δ(s, v) = Σ_{w: v→w, depth(w)=depth(v)+1} σ(s,v)/σ(s,w) · (1 + δ(s,w))
+
+    betweenness(v) = Σ_s δ(s, v) over non-source layers, rounded at 6.
+    Output is SPARSE: a node never interior to any sampled pair (e.g.
+    the pivots themselves on a path) is omitted, not zero-filled —
+    join against the vertex set if dense scores are needed.
+
+    100 TB shape: the forward pass is O(max_depth) frontier joins; the
+    backward pass is one layer⋈edges⋈layer join per depth — every
+    frame is (reached-pairs)-sized, never |V|², and nothing is
+    collected to the driver."""
+    seen = _multi_source_bfs(
+        relationships, sources, max_depth, count_paths=True
+    ).localCheckpoint(eager=True)
+    edges = _undirected(relationships)
+    max_d = (seen.agg(F.max("depth")).collect()[0][0]) or 0
+    if max_d < 2:
+        # no interior vertices within range: all-zero contribution set
+        spark = relationships.sparkSession
+        return spark.createDataFrame([], "dt_id string, betweenness double")
+    # deepest layer has no successors: δ = 0 (represented implicitly —
+    # the first backward step's left join coalesces missing δ to 0)
+    delta = None  # (node, src, delta) for the layer BELOW the current one
+    out_layers: list[DataFrame] = []
+    for d in range(max_d - 1, 0, -1):
+        v_layer = seen.filter(F.col("depth") == d).select(
+            F.col("node").alias("v"), "src", F.col("sigma").alias("sv")
+        )
+        w_layer = seen.filter(F.col("depth") == d + 1).select(
+            F.col("node").alias("w"),
+            F.col("src").alias("src"),
+            F.col("sigma").alias("sw"),
+        )
+        if delta is not None:
+            w_layer = w_layer.join(
+                delta.select(
+                    F.col("node").alias("w"), "src",
+                    F.col("delta").alias("dw"),
+                ),
+                ["w", "src"],
+                "left",
+            ).select("w", "src", "sw", F.coalesce("dw", F.lit(0.0)).alias("dw"))
+        else:
+            w_layer = w_layer.withColumn("dw", F.lit(0.0))
+        contrib = (
+            v_layer.join(edges, v_layer["v"] == edges["source_id"])
+            .join(
+                w_layer,
+                (F.col("target_id") == F.col("w"))
+                & (v_layer["src"] == w_layer["src"]),
+            )
+            .select(
+                "v",
+                v_layer["src"].alias("src"),
+                (
+                    (F.col("sv") / F.col("sw"))
+                    * (F.lit(1.0) + F.col("dw"))
+                ).alias("term"),
+            )
+            .groupBy("v", "src")
+            .agg(F.sum("term").alias("delta"))
+        )
+        # vertices of this layer with no depth+1 successors keep δ = 0
+        delta = (
+            v_layer.select(F.col("v").alias("node"), "src")
+            .join(
+                contrib.select(F.col("v").alias("node"), "src", "delta"),
+                ["node", "src"],
+                "left",
+            )
+            .select("node", "src", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        out_layers.append(delta)
+    acc = out_layers[0]
+    for layer in out_layers[1:]:
+        acc = acc.unionByName(layer)
+    return (
+        acc.groupBy(F.col("node").alias("dt_id"))
+        .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
     )
 
 

@@ -1058,6 +1058,51 @@ def test_closeness_centrality_sampled_crafted(spark):
     assert got1 == {"b": (1, 1), "c": (1, 1)}
 
 
+def test_betweenness_centrality_sampled_crafted(spark):
+    """r10 Brandes hand-checks.  Path a-b-c-d with pivots {a, d}:
+    δ_a(b)=1·(1+δ_a(c))=2, δ_a(c)=1 (pair (a,d) through both), and
+    symmetrically from d — so b = c = 2+1 = 3.  Diamond a-{b,c}-d with
+    pivot {a}: σ(d)=2, δ_a(b)=δ_a(c)=0.5."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        betweenness_centrality_sampled,
+    )
+
+    rels = spark.createDataFrame(
+        [("r1", "a", "b", "e"), ("r2", "b", "c", "e"), ("r3", "c", "d", "e")],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    pivots = spark.createDataFrame([("a",), ("d",)], "dt_id string")
+    got = {
+        r["dt_id"]: r["betweenness"]
+        for r in betweenness_centrality_sampled(
+            rels, pivots, max_depth=3
+        ).collect()
+    }
+    # sparse output: nodes never interior to a sampled pair (the
+    # pivots themselves here) are omitted, not zero-filled
+    assert got == {"b": 3.0, "c": 3.0}
+
+    diamond = spark.createDataFrame(
+        [("r1", "a", "b", "e"), ("r2", "a", "c", "e"),
+         ("r3", "b", "d", "e"), ("r4", "c", "d", "e")],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    got = {
+        r["dt_id"]: r["betweenness"]
+        for r in betweenness_centrality_sampled(
+            diamond,
+            spark.createDataFrame([("a",)], "dt_id string"),
+            max_depth=3,
+        ).collect()
+    }
+    assert got == {"b": 0.5, "c": 0.5}
+    # depth bound truncates: at max_depth=1 there are no interior nodes
+    empty = betweenness_centrality_sampled(
+        rels, pivots, max_depth=1
+    ).collect()
+    assert empty == []
+
+
 def test_scc_raises_instead_of_splitting_when_iters_exhausted(spark):
     """r7 ADVICE fix: when min-propagation exhausts max_iters without
     converging, SCC must raise — not settle vertices of one component
