@@ -636,6 +636,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unrolled DuckDB walk-enumeration oracle
     q["graph_betweenness_centrality"] = _betweenness
 
+    def _eigenvector(s, d):
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            eigenvector_centrality,
+        )
+
+        st = _store(s, d)
+        return eigenvector_centrality(st.twins, st.relationships, iters=5)
+
+    # r10: max-normalized power iteration (completing the GDS
+    # centrality suite: degree/closeness/harmonic/betweenness/
+    # eigenvector/pagerank), value-checked vs an unrolled CTE
+    q["graph_eigenvector_centrality"] = _eigenvector
+
     def _degrees(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import (
             degree_distribution,
@@ -1655,6 +1668,33 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _eigenvector_oracle(iters: int = 5) -> str:
+    """Unrolled max-normalized power iteration matching
+    ``graph_analytics.eigenvector_centrality`` over the distinct
+    symmetric edge set (x0 = 1; per step sum over neighbors, divide by
+    the max; isolated vertices stay 0)."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_ALL_TWIN_IDS}), "
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM ({_EDGES_SQL}) "
+        f"UNION ALL SELECT dst, src FROM ({_EDGES_SQL}))), "
+        "x0 AS MATERIALIZED (SELECT dt_id, 1.0 AS score FROM verts)"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT e.dst AS dt_id, "
+            f"sum(x.score) AS s FROM e JOIN x{k - 1} x ON e.src = x.dt_id "
+            f"GROUP BY e.dst)"
+            f", m{k} AS MATERIALIZED (SELECT max(s) AS mx FROM s{k})"
+            f", x{k} AS MATERIALIZED (SELECT v.dt_id, CASE WHEN "
+            f"(SELECT mx FROM m{k}) > 0 THEN coalesce(s.s, 0.0) / "
+            f"(SELECT mx FROM m{k}) ELSE 0.0 END AS score "
+            f"FROM verts v LEFT JOIN s{k} s USING (dt_id))"
+        )
+    parts.append(f" SELECT dt_id, round(score, 6) AS score FROM x{iters}")
+    return "".join(parts)
+
+
 def _ppr_oracle(
     seeds: tuple[str, ...] = ("cust-0", "cust-1"),
     iters: int = 5,
@@ -2204,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["graph_pagerank"] = _pagerank_oracle()
     o["graph_personalized_pagerank"] = _ppr_oracle()
+    o["graph_eigenvector_centrality"] = _eigenvector_oracle()
     o["graph_degree_distribution"] = (
         f"WITH edges AS ({_EDGES_SQL}), "
         f"deg AS (SELECT t.dt_id, "

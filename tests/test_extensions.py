@@ -1103,6 +1103,41 @@ def test_betweenness_centrality_sampled_crafted(spark):
     assert empty == []
 
 
+def test_eigenvector_centrality_crafted(spark):
+    """r10: max-normalized power iteration — triangle a-b-c with a
+    pendant d on a plus an isolated z; the fixed-iteration recurrence
+    is replayed in pure Python and must match exactly at round(6)."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        eigenvector_centrality,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")]
+    nbrs = {}
+    for s, t in und:
+        nbrs.setdefault(s, []).append(t)
+        nbrs.setdefault(t, []).append(s)
+    x = {v: 1.0 for v in "abcdz"}
+    for _ in range(5):
+        s = {v: sum(x[u] for u in nbrs.get(v, [])) for v in x}
+        mx = max(s.values())
+        x = {v: (s[v] / mx if mx > 0 else 0.0) for v in x}
+    expected = {v: round(val, 6) for v, val in x.items()}
+
+    twins = spark.createDataFrame([(v,) for v in "abcdz"], "dt_id string")
+    rels = spark.createDataFrame(
+        [(f"r{i}", s, t, "e") for i, (s, t) in enumerate(und)],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    got = {
+        r["dt_id"]: r["score"]
+        for r in eigenvector_centrality(twins, rels, iters=5).collect()
+    }
+    assert got == expected
+    # structure sanity: hub a dominates, leaves tie, isolated scores 0
+    assert got["a"] == 1.0 and got["b"] == got["c"] > got["d"] > 0
+    assert got["z"] == 0.0
+
+
 def test_scc_raises_instead_of_splitting_when_iters_exhausted(spark):
     """r7 ADVICE fix: when min-propagation exhausts max_iters without
     converging, SCC must raise — not settle vertices of one component
