@@ -42,6 +42,11 @@ from pg_age_digitaltwins_spark.functions import json_props as J
 from pg_age_digitaltwins_spark.store.graph_store import GraphStore
 
 MAX_VAR_LENGTH = 10
+# allShortestPaths() renders ONE ROW PER PATH (Neo4j cardinality); path
+# counts grow multiplicatively on dense graphs, so the per-(src, dst)
+# fan-out is capped — above this a query raises a clear error instead of
+# an executor OOM or (far later) Spark's array-element limit.
+MAX_ALL_SHORTEST_PATHS_PER_PAIR = 1_000_000
 
 TWIN_PROMOTED = {
     ("$dtId",): "dt_id",
@@ -1254,7 +1259,33 @@ class CypherCompiler:
                 found = found.localCheckpoint(eager=False)
         if all_paths:
             # one row per shortest path; the duplicated rows differ
-            # only in their hidden path index (dropped immediately)
+            # only in their hidden path index (dropped immediately).
+            # r11 (ADVICE): shortest-path counts are multiplicative on
+            # dense graphs, and a single sequence() blows memory (and
+            # eventually Spark's array-element cap) long before the
+            # count overflows — cap the per-pair fan-out with a CLEAR
+            # runtime error instead of an opaque executor OOM.
+            found = found.withColumn(
+                "__cnt",
+                F.when(
+                    F.assert_true(
+                        F.col("__cnt") <= F.lit(MAX_ALL_SHORTEST_PATHS_PER_PAIR),
+                        F.concat(
+                            F.lit(
+                                "allShortestPaths(): a (src, dst) pair has "
+                            ),
+                            F.col("__cnt").cast("string"),
+                            F.lit(
+                                " shortest paths, above the "
+                                f"{MAX_ALL_SHORTEST_PATHS_PER_PAIR} per-pair "
+                                "row cap; aggregate per pair instead of "
+                                "enumerating paths"
+                            ),
+                        ),
+                    ).isNull(),
+                    F.col("__cnt"),
+                ),
+            )
             found = found.withColumn(
                 "__pidx", F.explode(F.sequence(F.lit(1), F.col("__cnt")))
             ).drop("__cnt", "__pidx")

@@ -172,12 +172,16 @@ def pagerank(
 
     r10: the supersteps run in LONG vertex-id space — twins get unique
     longs (``monotonically_increasing_id``; no ordering needed, PR has
-    no tie-breaks) and edges encode through two joins (inner join to
-    the twin set is semantics-preserving: a non-twin source carries no
-    rank and a non-twin target is dropped at the state rebuild).  Long
-    join/agg keys cut the per-iteration hash work and shrink every
-    broadcast; the decode join back to dt_id strings is vertex-sized,
-    once."""
+    no tie-breaks) and edges encode through two joins.  Long join/agg
+    keys cut the per-iteration hash work and shrink every broadcast;
+    the decode join back to dt_id strings is vertex-sized, once.
+
+    Referential-integrity edge cases (r11, ADVICE): a non-twin SOURCE
+    carries no rank, so dropping its edges at the encode join is
+    harmless; out-degrees, however, are counted over ALL of a twin
+    source's outgoing edges BEFORE the target encode join, so mass sent
+    to a non-twin target leaks (pre-r10 and oracle semantics) instead
+    of silently redistributing to the surviving targets."""
     vid_map = (
         twins.select("dt_id")
         .select("dt_id", F.monotonically_increasing_id().alias("vid"))
@@ -191,14 +195,18 @@ def pagerank(
     bc = (lambda df: F.broadcast(df)) if n <= 2_000_000 else (lambda df: df)
     sv = vid_map.select(F.col("dt_id").alias("source_id"), F.col("vid").alias("__sv"))
     tv = vid_map.select(F.col("dt_id").alias("target_id"), F.col("vid").alias("__tv"))
-    edges = (
-        relationships.select("source_id", "target_id")
-        .join(bc(sv), "source_id")
-        .join(bc(tv), "target_id")
-        .select(F.col("__sv").alias("source_id"), F.col("__tv").alias("target_id"))
+    src_edges = relationships.select("source_id", "target_id").join(
+        bc(sv), "source_id"
     )
-    out_deg = edges.groupBy(F.col("source_id").alias("vid")).agg(
+    # out-degree counts every outgoing edge of a twin source (including
+    # any to non-twin targets) so the per-edge rank share is unchanged
+    # on RI-violating inputs — the non-twin share then leaks, it does
+    # not inflate the twin targets' shares.
+    out_deg = src_edges.groupBy(F.col("__sv").alias("vid")).agg(
         F.count(F.lit(1)).alias("out_deg")
+    )
+    edges = src_edges.join(bc(tv), "target_id").select(
+        F.col("__sv").alias("source_id"), F.col("__tv").alias("target_id")
     )
     deg_edges = (
         edges.join(out_deg, edges["source_id"] == out_deg["vid"])
@@ -1343,24 +1351,36 @@ def louvain_communities(
     # monotonically_increasing_id over an orderBy'd frame is
     # order-preserving (range shuffle keeps partition index order, ids
     # rise within partitions) WITHOUT a single-partition window, so the
-    # encoding itself is distributed and scale-safe.  Order preservation
-    # means min-vid tie-breaks pick the same community as min-dt_id —
-    # the decoded output is bit-identical to the string implementation
-    # (re-verified on the full sf0.01 fixture).  The id universe is
-    # verts plus any edge endpoints missing from twins (none under the
-    # store's referential integrity, but inputs are not trusted here).
+    # encoding itself is distributed and scale-safe.  Determinism is BY
+    # CONSTRUCTION with tie-break parity: order preservation means
+    # min-vid tie-breaks pick the same community as min-dt_id.  Note
+    # the move-gating parity domain CHANGED with the encoding —
+    # xxhash64(vid) splits vertices into different halves than
+    # xxhash64(dt_id) — so per-round active sets (and in principle
+    # final assignments) may differ from the string implementation;
+    # the observed equality on the full sf0.01 fixture is empirical,
+    # not structural.  The id universe is verts plus any edge endpoints
+    # missing from twins (none under the store's referential integrity,
+    # but inputs are not trusted here).
     extra = (
         raw.select(F.col("source_id").alias("dt_id"))
         .unionByName(raw.select(F.col("target_id").alias("dt_id")))
         .join(verts, "dt_id", "left_anti")
         .distinct()
     )
+    # EAGER checkpoint (r11): mono_id over orderBy is deterministic per
+    # EXECUTION, not per plan — four consumers (sv/tv encode, final
+    # composition, decode) each re-derive a lazy checkpoint until its
+    # first materialization pins it, so a task retry in between could
+    # hand different consumers different ids.  The pin costs one
+    # vertex-sized job up front and also removes the repeated
+    # orderBy+mono_id stage from the final composition chain.
     vid_map = (
         verts.select("dt_id", F.lit(True).alias("is_v"))
         .unionByName(extra.select("dt_id", F.lit(False).alias("is_v")))
         .orderBy("dt_id")
         .select("dt_id", "is_v", F.monotonically_increasing_id().alias("vid"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sv = vid_map.select(
         F.col("dt_id").alias("source_id"), F.col("vid").alias("sv")

@@ -921,7 +921,19 @@ def run_change_stream(
         # versions into the external Delta export
         # (store/delta_export.py::ContinuousDeltaExporter.run_once),
         # keeping export_lag bounded by the trigger cadence instead of
-        # a separate background thread's poll interval
+        # a separate background thread's poll interval.
+        # r11 (ADVICE): an exporter whose OWN background thread is
+        # ticking (start() was called) must not also tick from the
+        # micro-batch thread — run_once has no lock, so that puts two
+        # writers on the same Delta export log (the exact race
+        # ContinuousDeltaExporter.stop()'s guard exists to prevent).
+        if getattr(exporter, "_thread", None) is not None:
+            raise ValueError(
+                "exporter already has a background thread (start() was "
+                "called); use EITHER start() OR run_change_stream("
+                "exporter=...), not both — two unsynchronized writers "
+                "would share one Delta export log"
+            )
 
         def batch_fn(df, epoch_id, _inner=router.foreach_batch):
             _inner(df, epoch_id)

@@ -814,6 +814,46 @@ def test_all_shortest_paths_cardinality(spark):
     assert one == [{"len": 2}]
 
 
+def test_all_shortest_paths_per_pair_cap(spark, monkeypatch):
+    """r11 (ADVICE): the one-row-per-path explode is capped per
+    (src, dst) pair — a dense graph raises a CLEAR error instead of an
+    executor OOM.  The diamond's far vertex has 2 shortest paths; with
+    the cap patched to 1 the query must fail naming the cap."""
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark import cypher
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sp:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": x, "$metadata": {"$model": "dtmi:sp:T;1"}}
+             for x in "abcd"]
+    rels = [
+        {"$relationshipId": f"r{i}", "$sourceId": s, "$targetId": t,
+         "$relationshipName": "next"}
+        for i, (s, t) in enumerate(
+            [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+        )
+    ]
+    c = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+    # under the real cap the shape enumerates both paths
+    rows = c.query(
+        "MATCH p = allShortestPaths((a {`$dtId`: 'a'})-[*..2]->(x "
+        "{`$dtId`: 'd'})) RETURN length(p) AS len"
+    ).rows
+    assert rows == [{"len": 2}, {"len": 2}]
+    monkeypatch.setattr(
+        cypher.compiler, "MAX_ALL_SHORTEST_PATHS_PER_PAIR", 1
+    )
+    with _pytest.raises(Exception, match="per-pair"):
+        c.query(
+            "MATCH p = allShortestPaths((a {`$dtId`: 'a'})-[*..3]->(x)) "
+            "RETURN x.`$dtId` AS dst, length(p) AS len"
+        )
+
+
 def test_shortest_path_errors(spark):
     import pytest as _pytest
 

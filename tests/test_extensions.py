@@ -388,6 +388,33 @@ def test_pagerank(spark):
     assert min(ranks.values()) > 0
 
 
+def test_pagerank_non_twin_target_mass_leaks(spark):
+    """r11 (ADVICE): out-degrees count ALL of a twin source's outgoing
+    edges — an edge to a NON-twin target costs its rank share (the mass
+    leaks, pre-r10 semantics) instead of inflating the twin targets'
+    shares.  Twins {a, b}; edges a->b and a->x where x is not a twin:
+    b must receive rank(a)/2, not rank(a)/1."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import pagerank
+
+    twins = spark.createDataFrame([("a",), ("b",)], ["dt_id"])
+    rels = spark.createDataFrame(
+        [("a", "b"), ("a", "x")], ["source_id", "target_id"]
+    )
+    d = 0.85
+    ranks = {
+        r["dt_id"]: r["rank"]
+        for r in pagerank(twins, rels, iters=1, damping=d).collect()
+    }
+    # one iteration by hand: r0 = 1/2 each; b is dangling (no out-edges)
+    # so dangling mass = 0.5; a's contribution to b is r0(a)/out_deg(a)
+    # with out_deg(a) = 2 (the x edge counts) = 0.25.
+    base = (1 - d) / 2 + d * 0.5 / 2
+    assert abs(ranks["a"] - base) < 1e-9
+    assert abs(ranks["b"] - (base + d * 0.25)) < 1e-9
+    # the x share leaked: total mass < 1
+    assert sum(ranks.values()) < 1.0 - 1e-6
+
+
 def test_ann_lsh_multiprobe(embeddings):
     """Multi-probe widens candidates to Hamming-1 buckets: the result is
     a superset of the single-probe candidates and sims stay exact."""

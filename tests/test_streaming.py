@@ -333,6 +333,31 @@ def _feed_events():
     ]
 
 
+def test_run_change_stream_rejects_started_exporter(spark, tmp_path):
+    """r11 (ADVICE): an exporter whose background thread is ticking
+    (start() was called) must be rejected — run_once has no lock, so
+    micro-batch ticks plus the thread would put two writers on one
+    Delta export log."""
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.streaming.sinks import run_change_stream
+
+    class _StartedExporter:
+        _thread = object()  # what ContinuousDeltaExporter.start() leaves
+
+        def run_once(self):  # pragma: no cover - must never be reached
+            raise AssertionError("tick raced the background thread")
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    router = EventRouter(source="src-guard")
+    with _pytest.raises(ValueError, match="background thread"):
+        run_change_stream(
+            spark, str(feed), router, str(tmp_path / "ckpt"),
+            exporter=_StartedExporter(),
+        )
+
+
 def test_run_change_stream_end_to_end(spark, tmp_path):
     """The package API stands up readStream → coalesce → format →
     routes as one streaming query; the lake route delivers executor-
