@@ -1530,47 +1530,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # analytics, dedup, text, embeddings, events, TPC-H, sampling) —
 # value-checked representatives first.  Pure reorder: no query or
 # oracle definition changes.
-# r10: 15 of the 50 keys rotated (same family balance), prioritizing
-# the r9/r10-new never-driver-gated keys — the full temporal-algebra
-# family, personalized PageRank, the hub-guarded node similarity, SQ8
-# ANN, repeated spans, plus long-ungated events/TPC-H/text keys.  The
-# swapped-out keys stay on the full self-run board
-# (scripts/oracle_check.py / ORACLE_r10.txt).  Pure reorder: no query
-# or oracle definition changes for the rotation itself.
+# r11: 16 of the 50 keys rotated (same family balance), prioritizing
+# NEVER-driver-gated keys per the r10 verdict — the r10-new centrality
+# suite (closeness/betweenness/eigenvector), allShortestPaths, the
+# shortestPath re-entry, plus long-ungated keys across every family
+# (TOP(n), STARTSWITH, keyset paging, L2 top-k, model rollup, char
+# entropy, LSH recall gate, int8 quantization, daily retention, Q12
+# volume shipping, multimodal metadata).  The swapped-out keys stay on
+# the full self-run board (scripts/oracle_check.py / ORACLE_r11.txt).
+# Pure reorder: no query or oracle definition changes.
 _DRIVER_WINDOW = [
-    # ADT QL (10) — rotated in: IN-list, ARRAY_CONTAINS
-    "adt_count_twins", "adt_in_list", "adt_array_contains",
+    # ADT QL (10) — rotated in: TOP(n), STARTSWITH
+    "adt_count_twins", "adt_top_n", "adt_startswith",
     "adt_is_of_model_inheritance", "adt_match_3hop", "adt_match_undirected",
     "adt_join_related_2hop", "adt_rel_prop_filter", "adt_match_multilabel",
     "adt_select_star_point",
-    # Cypher (10) — rotated in: the whole temporal-algebra family
-    # (components, arithmetic, duration.between, truncate, scaling)
-    "cypher_exists_subquery", "cypher_temporal_components", "cypher_var_length",
-    "cypher_temporal_arithmetic", "cypher_duration_between",
-    "cypher_temporal_truncate", "cypher_duration_scale",
+    # Cypher (10) — rotated in: allShortestPaths (r10-new, never gated),
+    # shortestPath re-entry, ORDER BY/SKIP/LIMIT keyset paging,
+    # l2_distance top-k
+    "cypher_exists_subquery", "cypher_all_shortest_paths",
+    "cypher_shortest_path", "cypher_var_length", "cypher_order_skip_limit",
+    "cypher_l2_distance_topk", "cypher_duration_between",
     "cypher_count_subquery", "cypher_with_entity_agg_continuation",
     "cypher_call_topk_per_entity",
-    # graph analytics (6) — rotated in: personalized PageRank, the
-    # r10 hub-guarded node similarity
-    "graph_connected_components", "graph_pagerank", "graph_scc",
-    "graph_personalized_pagerank", "graph_node_similarity_capped",
-    "graph_modularity_cc",
-    # dedup + text pipeline (10) — rotated in: repeated spans (Lee et
-    # al. substring signal), IDF top terms
-    "dedup_exact_stats", "dedup_semantic_clusters", "dedup_embedding_cosine",
-    "text_repeated_spans", "dedup_keep_best", "text_decontaminate",
-    "text_ngram_jaccard", "text_idf_top_terms", "text_lm_score",
+    # graph analytics (6) — rotated in: the full r10 centrality tail
+    # (closeness / betweenness / eigenvector) + the model rollup
+    "graph_connected_components", "graph_pagerank",
+    "graph_closeness_centrality", "graph_betweenness_centrality",
+    "graph_eigenvector_centrality", "agg_twins_by_model",
+    # dedup + text pipeline (10) — rotated in: char entropy, the LSH
+    # dedup recall gate, multimodal metadata extraction
+    "dedup_exact_stats", "multimodal_meta", "dedup_embedding_cosine",
+    "text_char_entropy", "dedup_keep_best", "text_decontaminate",
+    "text_ngram_jaccard", "dedup_lsh_recall", "text_lm_score",
     "pipeline_clean_corpus",
-    # embeddings / ANN (4) — rotated in: SQ8 scalar-quantized ANN (the
-    # fully value-checked compressed-index search)
-    "embed_knn_topk", "embed_ann_sq8", "embed_ann_lsh_multi",
+    # embeddings / ANN (4) — rotated in: int8 quantization kernel
+    "embed_knn_topk", "embed_quantize_int8", "embed_ann_lsh_multi",
     "embed_ann_recall",
-    # events (5) — rotated in: time-in-state, OHLC bars
-    "events_sessionize", "events_top_users_per_type", "events_time_in_state",
-    "events_funnel", "events_ohlc",
-    # TPC-H (4) — rotated in: order-count distribution (Q13 shape)
+    # events (5) — rotated in: daily retention cohorts
+    "events_sessionize", "events_top_users_per_type",
+    "events_daily_retention", "events_funnel", "events_ohlc",
+    # TPC-H (4) — rotated in: volume shipping (Q12 shape)
     "tpch_pricing_summary", "tpch_revenue_by_nation",
-    "tpch_order_count_distribution", "tpch_min_cost_supplier",
+    "tpch_volume_shipping", "tpch_min_cost_supplier",
     # sampling (1)
     "sample_mixture",
 ]

@@ -388,6 +388,64 @@ def test_pagerank(spark):
     assert min(ranks.values()) > 0
 
 
+def test_sampled_centrality_100_pivots_bounded(spark):
+    """r11 (verdict #6): betweenness/closeness at a NON-TOY pivot count.
+    The oracle keys use 5 region pivots / 25 nation sources; this runs
+    ~100 deterministic pivots at sf0.1 and pins (a) bounded wall-time
+    and (b) pivot-count amortization — the multi-source BFS costs scale
+    with |frontier|, not |sources| × runs, so 4× the pivots must cost
+    far less than 4× the wall (measured 1.35× on this box: 23.8 s at
+    25 pivots → 32.1 s at 100; closeness 16.1 s at 100)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        betweenness_centrality_sampled,
+        closeness_centrality_sampled,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 fixture absent")
+    store = load_graph(spark, sf_dir)
+
+    def pivots(k):
+        return (
+            store.twins.select("dt_id")
+            .orderBy(F.md5("dt_id"))
+            .limit(k)
+            .localCheckpoint()
+        )
+
+    t0 = time.perf_counter()
+    n25 = betweenness_centrality_sampled(
+        store.relationships, pivots(25), max_depth=3
+    ).count()
+    w25 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n100 = betweenness_centrality_sampled(
+        store.relationships, pivots(100), max_depth=3
+    ).count()
+    w100 = time.perf_counter() - t0
+    assert n100 > n25 > 0
+    # bounded: 150 s is ~4.7x the measured 32 s — headroom for a loaded
+    # box, tight enough to catch a frontier blow-up (|V|x|S| would be
+    # 18.6M pairs vs the ~107k reached)
+    assert w100 < 150, f"betweenness 100-pivot wall {w100:.1f}s"
+    # amortized: 4x pivots must stay well under 4x wall (measured 1.35x)
+    assert w100 < 3.0 * w25, f"100/25 pivot ratio {w100 / w25:.2f}"
+    t0 = time.perf_counter()
+    nc = closeness_centrality_sampled(
+        store.relationships, pivots(100), max_depth=3
+    ).count()
+    wc = time.perf_counter() - t0
+    assert nc > 100_000  # ~185k (node, src) pairs reached at depth 3
+    assert wc < 90, f"closeness 100-pivot wall {wc:.1f}s"
+
+
 def test_pagerank_non_twin_target_mass_leaks(spark):
     """r11 (ADVICE): out-degrees count ALL of a twin source's outgoing
     edges — an edge to a NON-twin target costs its rank share (the mass
