@@ -475,6 +475,7 @@ def _validate_schema_node(
     max_depth: int = 8,
     primitives: set | None = None,
     forbid_array: bool = False,
+    v2_limits: bool = False,
 ) -> None:
     """Structural check of a DTDL schema node: primitives, complex
     schemas (Enum/Object/Array/Map, recursively), and ``dtmi:`` refs to
@@ -570,14 +571,27 @@ def _validate_schema_node(
         if not isinstance(fields, list) or not fields:
             v.append(f"{where}: Object requires non-empty fields")
         else:
+            if v2_limits and len(fields) > 30:
+                # DTDL v2 spec: an Object may have at most 30 fields
+                # (the cap was raised in v3)
+                v.append(
+                    f"{where}: Object lists {len(fields)} fields; DTDL v2 "
+                    "allows at most 30"
+                )
+            seen_fields: set[str] = set()
             for f in fields:
                 nm = (f or {}).get("name") if isinstance(f, dict) else None
                 if not isinstance(nm, str) or not _NAME_RE.match(nm):
                     v.append(f"{where}: field name {nm!r} is not a valid identifier")
                 else:
+                    if nm in seen_fields:
+                        # DTDLParser: field names unique within an Object
+                        v.append(f"{where}: duplicate field name '{nm}'")
+                    seen_fields.add(nm)
                     _validate_schema_node(
                         f.get("schema"), named_ids, f"{where}.{nm}", v,
                         depth + 1, max_depth, primitives, forbid_array,
+                        v2_limits,
                     )
     elif kind == "Array":
         if forbid_array:
@@ -604,7 +618,7 @@ def _validate_schema_node(
         else:
             _validate_schema_node(
                 schema.get("elementSchema"), named_ids, f"{where}[]", v,
-                depth + 1, max_depth, primitives, forbid_array,
+                depth + 1, max_depth, primitives, forbid_array, v2_limits,
             )
     elif kind == "Map":
         mk, mv = schema.get("mapKey"), schema.get("mapValue")
@@ -631,7 +645,7 @@ def _validate_schema_node(
                 )
             _validate_schema_node(
                 mv.get("schema"), named_ids, f"{where}{{}}", v,
-                depth + 1, max_depth, primitives, forbid_array,
+                depth + 1, max_depth, primitives, forbid_array, v2_limits,
             )
 
 
@@ -783,7 +797,7 @@ def validate_model(
         if isinstance(sch, dict) and isinstance(sch.get("@id"), str):
             _validate_schema_node(
                 sch, named_ids, f"named schema '{sch['@id']}'", v,
-                max_depth=max_depth, primitives=prims,
+                max_depth=max_depth, primitives=prims, v2_limits=is_v2,
             )
 
     contents_list = doc.get("contents", []) or []
@@ -870,6 +884,23 @@ def validate_model(
                 v.append(f"{where}: writable is not a {kind} property")
             elif not isinstance(w, bool):
                 v.append(f"{where}: writable must be a boolean")
+        # --- undefined-term guards (batch 13): terms defined on exactly
+        # ONE content kind are UndefinedTerm anywhere else (DTDLParser
+        # rejects e.g. a Property carrying `target` or a Telemetry
+        # carrying `request`); `nullable` lives only on CommandRequest /
+        # CommandResponse payload objects, never on a content item.
+        for term, kinds_ok in (
+            ("target", ("Relationship",)),
+            ("minMultiplicity", ("Relationship",)),
+            ("maxMultiplicity", ("Relationship",)),
+            ("properties", ("Relationship",)),
+            ("request", ("Command",)),
+            ("response", ("Command",)),
+            ("commandType", ("Command",)),
+            ("nullable", ()),
+        ):
+            if item.get(term) is not None and kind not in kinds_ok:
+                v.append(f"{where}: {term} is not a {kind} property")
         if kind in ("Property", "Telemetry"):
             if item.get("schema") is None:
                 v.append(f"{where}: {kind} requires a schema")
@@ -881,6 +912,7 @@ def validate_model(
                     # Array at any nesting level (lifted in v3;
                     # Telemetry arrays are fine in every version)
                     forbid_array=is_v2 and kind == "Property",
+                    v2_limits=is_v2,
                 )
         if kind == "Command":
             # commandType: a deprecated DTDL v2 term with exactly two
@@ -913,6 +945,13 @@ def validate_model(
                 pname = payload.get("name")
                 if not isinstance(pname, str) or not _NAME_RE.match(pname):
                     v.append(f"{where}: {side} name {pname!r} is not a valid identifier")
+                if payload.get("writable") is not None:
+                    # batch 13: `writable` is a Property/Relationship
+                    # term — on a CommandPayload it is an UndefinedTerm
+                    v.append(
+                        f"{where}: {side} writable is not a CommandPayload "
+                        "property"
+                    )
                 nullable = payload.get("nullable")
                 if nullable is not None:
                     # nullable arrived on CommandRequest/CommandResponse
@@ -932,7 +971,7 @@ def validate_model(
                         max_depth=max_depth, primitives=prims,
                         # DTDL v2: Command payload schemas may not be or
                         # contain Array (restriction lifted in v3)
-                        forbid_array=is_v2,
+                        forbid_array=is_v2, v2_limits=is_v2,
                     )
         if kind == "Component":
             cs = item.get("schema")
@@ -1002,7 +1041,7 @@ def validate_model(
                         max_depth=max_depth, primitives=prims,
                         # a relationship property IS a Property — the
                         # v2 no-Array rule applies to it too
-                        forbid_array=is_v2,
+                        forbid_array=is_v2, v2_limits=is_v2,
                     )
         # semantic types (co-types beyond the content kind; extension
         # adjunct types are NOT semantic types)

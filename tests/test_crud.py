@@ -1048,6 +1048,93 @@ def test_validate_model_command_payload_display_caps():
         }]))
 
 
+def test_validate_model_object_field_rules_batch13():
+    """DTDL batch 13: Object field names are unique within the Object
+    (DTDLParser), and under a v2 context an Object may have at most 30
+    fields (the cap is raised in v3)."""
+    from pg_age_digitaltwins_spark.validation import ValidationError, validate_model
+
+    def _obj(fields, ctx=None):
+        extra = {"@context": ctx} if ctx else {}
+        return _interface(contents=[{
+            "@type": "Property", "name": "o",
+            "schema": {"@type": "Object", "fields": fields},
+        }], **extra)
+
+    validate_model(_obj([{"name": "a", "schema": "double"},
+                         {"name": "b", "schema": "string"}]))
+    with pytest.raises(ValidationError, match="duplicate field name 'a'"):
+        validate_model(_obj([{"name": "a", "schema": "double"},
+                             {"name": "a", "schema": "string"}]))
+    wide = [{"name": f"f{i}", "schema": "double"} for i in range(31)]
+    with pytest.raises(ValidationError, match="DTDL v2 allows at most 30"):
+        validate_model(_obj(wide, ctx="dtmi:dtdl:context;2"))
+    # 30 exactly is legal under v2; 31 is legal under v3
+    validate_model(_obj(wide[:30], ctx="dtmi:dtdl:context;2"))
+    validate_model(_obj(wide))
+    # the cap follows Properties into nested/relationship schemas too
+    rel = {"@type": "Relationship", "name": "knows",
+           "properties": [{"@type": "Property", "name": "o", "schema": {
+               "@type": "Object", "fields": wide}}]}
+    with pytest.raises(ValidationError, match="DTDL v2 allows at most 30"):
+        validate_model(
+            _interface(contents=[rel], **{"@context": "dtmi:dtdl:context;2"})
+        )
+
+
+def test_validate_model_undefined_terms_batch13():
+    """DTDL batch 13: terms defined on exactly one content kind are
+    UndefinedTerm anywhere else — a Property carrying `target`, a
+    Telemetry carrying `request`, a Component carrying
+    `maxMultiplicity`, `nullable` on any content item, `writable` on a
+    CommandPayload."""
+    from pg_age_digitaltwins_spark.validation import ValidationError, validate_model
+
+    with pytest.raises(ValidationError, match="target is not a Property"):
+        validate_model(_interface(contents=[{
+            "@type": "Property", "name": "p", "schema": "double",
+            "target": "dtmi:ex:Other;1",
+        }]))
+    with pytest.raises(ValidationError, match="request is not a Telemetry"):
+        validate_model(_interface(contents=[{
+            "@type": "Telemetry", "name": "t", "schema": "double",
+            "request": {"name": "x", "schema": "double"},
+        }]))
+    with pytest.raises(ValidationError, match="maxMultiplicity is not a Component"):
+        validate_model(
+            _interface(contents=[{"@type": "Component", "name": "c",
+                                  "schema": "dtmi:ex:Sub;1",
+                                  "maxMultiplicity": 5}]),
+            known_ids={"dtmi:ex:Sub;1", "dtmi:v:Test;1"},
+        )
+    with pytest.raises(ValidationError, match="nullable is not a Property"):
+        validate_model(_interface(contents=[{
+            "@type": "Property", "name": "p", "schema": "double",
+            "nullable": True,
+        }]))
+    with pytest.raises(ValidationError, match="properties is not a Command"):
+        validate_model(_interface(contents=[{
+            "@type": "Command", "name": "go",
+            "properties": [{"@type": "Property", "name": "p",
+                            "schema": "double"}],
+        }]))
+    with pytest.raises(ValidationError, match="writable is not a CommandPayload"):
+        validate_model(_interface(contents=[{
+            "@type": "Command", "name": "go",
+            "request": {"name": "x", "schema": "double", "writable": True},
+        }]))
+    # the legitimate homes still accept every term
+    validate_model(_interface(contents=[{
+        "@type": "Relationship", "name": "knows", "maxMultiplicity": 5,
+        "properties": [{"@type": "Property", "name": "since",
+                        "schema": "dateTime"}],
+    }]))
+    validate_model(_interface(contents=[{
+        "@type": "Command", "name": "go",
+        "request": {"name": "x", "schema": "double", "nullable": True},
+    }]))
+
+
 def test_named_schema_twin_value_validation(spark):
     """Twin values validate THROUGH named schema refs: enum membership
     is enforced for a dtmi:-referenced Enum, across create_models →
