@@ -649,6 +649,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # eigenvector/pagerank), value-checked vs an unrolled CTE
     q["graph_eigenvector_centrality"] = _eigenvector
 
+    def _weighted_sp(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            weighted_shortest_paths,
+        )
+
+        st = _store(s, d)
+        # integer edge weights: lineitem quantity on `contains` edges
+        # (exact — engine-portable arithmetic), 1 everywhere else
+        w = (
+            F.when(
+                F.col("name") == "contains",
+                F.get_json_object("doc", "$.quantity")
+                .cast("double")
+                .cast("long"),
+            )
+            .otherwise(F.lit(1).cast("long"))
+            .alias("weight")
+        )
+        e = st.relationships.select("source_id", "target_id", w)
+        sym = e.unionByName(
+            e.select(
+                F.col("target_id").alias("source_id"),
+                F.col("source_id").alias("target_id"),
+                "weight",
+            )
+        )
+        sources = st.twins.filter(
+            F.col("dt_id").startswith("region-")
+        ).select("dt_id")
+        return weighted_shortest_paths(sym, sources, iters=4)
+
+    # r11: k-bounded Bellman-Ford weighted distances from the 5 region
+    # twins over the undirected quantity-weighted graph — delta-frontier
+    # supersteps, value-checked vs an unrolled relaxation CTE
+    q["graph_weighted_shortest_paths"] = _weighted_sp
+
     def _degrees(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import (
             degree_distribution,
@@ -1203,6 +1241,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_ohlc"] = lambda s, d: ev_ops.ohlc_downsample(
         _tables(s, d)["events"], minutes=360
     )
+    # r11: gap-filled regular grid + LOCF (time_bucket_gapfill/locf
+    # shape) — hourly buckets leave ~40 real gaps per type at sf0.01;
+    # observed buckets carry exact (ts, event_id)-deterministic last
+    # values, no float sums anywhere
+    q["events_gap_fill_locf"] = lambda s, d: ev_ops.gap_fill_locf(
+        _tables(s, d)["events"], minutes=60
+    )
 
     def _order_count_distribution(spark, sf_dir):
         # TPC-H Q13 shape: LEFT join so zero-order customers keep a
@@ -1667,6 +1712,43 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
             f"FROM verts v LEFT JOIN contrib{k} c USING (dt_id))"
         )
     parts.append(f" SELECT dt_id, round(rank, 8) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+def _weighted_sp_oracle(iters: int = 4) -> str:
+    """Unrolled Bellman-Ford matching
+    ``graph_analytics.weighted_shortest_paths``: dist_k(v) = min over
+    paths of at most k edges from the 5 region twins, over the
+    undirected quantity-weighted edge set (quantity on `contains`
+    edges, 1 elsewhere — exact BIGINT arithmetic).  The operator's
+    delta-frontier relaxation reaches the same k-round fixpoint as full
+    relaxation: a vertex improved at round j is re-relaxed at j+1, so
+    every ≤k-edge path is covered by round k."""
+    weighted = (
+        "SELECT 'order-' || o_orderkey AS src, 'cust-' || o_custkey AS dst, "
+        "CAST(1 AS BIGINT) AS w FROM orders "
+        "UNION ALL SELECT 'order-' || l_orderkey, 'part-' || l_partkey, "
+        "CAST(l_quantity AS BIGINT) FROM lineitem "
+        "UNION ALL SELECT 'order-' || l_orderkey, 'supp-' || l_suppkey, 1 FROM lineitem "
+        "UNION ALL SELECT 'cust-' || c_custkey, 'nation-' || c_nationkey, 1 FROM customer "
+        "UNION ALL SELECT 'supp-' || s_suppkey, 'nation-' || s_nationkey, 1 FROM supplier "
+        "UNION ALL SELECT 'nation-' || n_nationkey, 'region-' || n_regionkey, 1 FROM nation"
+    )
+    parts = [
+        f"WITH we AS MATERIALIZED ({weighted}), "
+        "sym AS MATERIALIZED (SELECT src, dst, w FROM we "
+        "UNION ALL SELECT dst, src, w FROM we), "
+        "d0 AS MATERIALIZED (SELECT 'region-' || r_regionkey AS node, "
+        "CAST(0 AS BIGINT) AS dist FROM region)"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f", d{k} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{k - 1} "
+            f"UNION ALL SELECT e.dst, d.dist + e.w FROM d{k - 1} d "
+            "JOIN sym e ON d.node = e.src) GROUP BY node)"
+        )
+    parts.append(f" SELECT node AS dt_id, dist FROM d{iters}")
     return "".join(parts)
 
 
@@ -2247,6 +2329,7 @@ def oracle_sql() -> dict[str, str]:
     o["graph_pagerank"] = _pagerank_oracle()
     o["graph_personalized_pagerank"] = _ppr_oracle()
     o["graph_eigenvector_centrality"] = _eigenvector_oracle()
+    o["graph_weighted_shortest_paths"] = _weighted_sp_oracle()
     o["graph_degree_distribution"] = (
         f"WITH edges AS ({_EDGES_SQL}), "
         f"deg AS (SELECT t.dt_id, "
@@ -2938,6 +3021,35 @@ def oracle_sql() -> dict[str, str]:
         "max(CASE WHEN rn_d = 1 THEN value END) AS close, "
         "CAST(count(*) AS BIGINT) AS n_events "
         "FROM r GROUP BY event_type, bucket"
+    )
+    # r11 gap-fill: floor(epoch) mirrors Spark's truncating
+    # unix_timestamp (CAST rounds in DuckDB — an event in the last
+    # half-second before an hour boundary would land one bucket off);
+    # min(bucket_id) is observed by construction, so value_locf never
+    # carries a leading NULL
+    o["events_gap_fill_locf"] = (
+        "WITH b AS (SELECT event_type, "
+        "CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket_id, "
+        "value, ts, event_id FROM events), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type, "
+        "bucket_id ORDER BY ts DESC, event_id DESC) AS rn FROM b), "
+        "obs AS MATERIALIZED (SELECT event_type, bucket_id, "
+        "max(CASE WHEN rn = 1 THEN value END) AS lv, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM r GROUP BY event_type, bucket_id), "
+        "bounds AS (SELECT event_type, min(bucket_id) AS lo, "
+        "max(bucket_id) AS hi FROM obs GROUP BY event_type), "
+        "grid AS (SELECT event_type, "
+        "unnest(generate_series(lo, hi)) AS bucket_id FROM bounds), "
+        "j AS (SELECT g.event_type, g.bucket_id, o.lv, o.n_events "
+        "FROM grid g LEFT JOIN obs o USING (event_type, bucket_id)) "
+        "SELECT event_type, "
+        "CAST(to_timestamp(bucket_id * 3600) AS TIMESTAMP) AS bucket, "
+        "coalesce(n_events, 0) AS n_events, "
+        "last_value(lv IGNORE NULLS) OVER (PARTITION BY event_type "
+        "ORDER BY bucket_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS value_locf, "
+        "(lv IS NULL) AS is_gap FROM j"
     )
     o["tpch_order_count_distribution"] = (
         "WITH oc AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "

@@ -311,6 +311,58 @@ def time_in_state(events: DataFrame) -> DataFrame:
     )
 
 
+def gap_fill_locf(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Gap-filled regular time grid with last-observation-carried-forward
+    (the hypertable ``time_bucket_gapfill`` + ``locf`` shape): per
+    ``event_type``, every ``minutes``-sized bucket between the series'
+    first and last observation gets a row — observed buckets carry their
+    LAST value (deterministic (ts, event_id) pick, no float math) and
+    ``n_events``; empty buckets carry the carried-forward value,
+    ``n_events = 0`` and ``is_gap = true``.  The fill resets per series
+    (no bleed across event types), and leading gaps stay NULL.
+
+    100 TB shape: one map-side-combined groupBy onto (series, bucket) —
+    output is buckets × series, decoupled from event count; the grid
+    generates from a series-sized bounds aggregate via ``sequence``
+    (no driver loop); the LOCF window shuffles grid-sized data keyed by
+    the same series column.  Per-series sequential fill is inherent to
+    LOCF — parallelism comes from the series count, so pick a series
+    key with enough cardinality at scale (here event_type for the
+    fixture; production series are typically (entity, property))."""
+    from pyspark.sql import Window
+
+    sec = minutes * 60
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    obs = events.groupBy(
+        "event_type",
+        (F.unix_timestamp("ts") / sec).cast("long").alias("bucket_id"),
+    ).agg(
+        F.max_by("value", order).alias("last_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("bucket_id").alias("lo"), F.max("bucket_id").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("bucket_id")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["event_type", "bucket_id"], "left")
+        .select(
+            "event_type",
+            F.timestamp_seconds(F.col("bucket_id") * sec).alias("bucket"),
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+            F.last("last_value", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("last_value").isNull().alias("is_gap"),
+        )
+    )
+
+
 def ohlc_downsample(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Open/high/low/close downsample of ``value`` per (event_type,
     time bucket) — the classic time-series compaction for dashboards

@@ -834,6 +834,65 @@ def _multi_source_bfs(
     return seen
 
 
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    iters: int = 4,
+) -> DataFrame:
+    """(dt_id, dist) — single-source-set weighted shortest distances by
+    ``iters`` Bellman-Ford relaxation rounds (distances over paths of at
+    most ``iters`` edges — the k-bounded truncation that keeps sampled
+    graph queries tractable, same convention as the sampled
+    centralities).  ``edges`` is (source_id, target_id, weight) with
+    non-negative integer weights (exact arithmetic — order-independent
+    and engine-portable); ``sources`` is a (dt_id) frame, each at
+    distance 0.  Unreached vertices are omitted (sparse output).
+
+    GDS parity: the Dijkstra/`shortestPath` family's distance semantics
+    under a hop bound; ties need no break (min over equal longs).
+
+    100 TB shape: DELTA-FRONTIER supersteps — each round joins only the
+    vertices whose distance IMPROVED last round against the edge set
+    (frontier-sized, not state-sized), then folds candidates into the
+    running minimum with one map-side-combined aggregate; early-exits
+    when a round improves nothing.  State and frontier are vertex-sized
+    localCheckpoints, lineage never compounds."""
+    e = edges.select(
+        F.col("source_id").alias("src"),
+        F.col("target_id").alias("dst"),
+        F.col("weight").cast("long").alias("w"),
+    )
+    dist = sources.select(
+        F.col("dt_id").alias("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max(0, iters)):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("node", F.col("cand").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if not improved.take(1):
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist.select(F.col("node").alias("dt_id"), "dist")
+
+
 def closeness_centrality_sampled(
     relationships: DataFrame,
     sources: DataFrame,

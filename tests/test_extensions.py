@@ -1777,6 +1777,77 @@ def test_ohlc_downsample_hand_computed(spark):
     assert (b1["open"], b1["close"], b1["n_events"]) == (77.0, 88.0, 2)
 
 
+def test_gap_fill_locf_hand_computed(spark):
+    """r11: hourly grid per series, LOCF across empty buckets, fill
+    resets per series, bounds are each series' own [min, max]."""
+    from datetime import datetime
+
+    from pg_age_digitaltwins_spark.operators.events import gap_fill_locf
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 1, "a", 10.0, "{}"),
+        # two in one bucket: the (ts, event_id)-latest wins
+        (2, datetime(2024, 1, 1, 0, 50), 1, "a", 20.0, "{}"),
+        # hours 1 and 2 empty for 'a' → carried-forward 20.0
+        (3, datetime(2024, 1, 1, 3, 5), 1, "a", 30.0, "{}"),
+        # series 'b' spans a different window; no bleed from 'a'
+        (4, datetime(2024, 1, 1, 2, 0), 1, "b", 99.0, "{}"),
+        (5, datetime(2024, 1, 1, 4, 0), 1, "b", 11.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    out = {
+        (r["event_type"], r["bucket"]): r
+        for r in gap_fill_locf(ev, minutes=60).collect()
+    }
+    a = [out[("a", datetime(2024, 1, 1, h))] for h in range(4)]
+    assert [r["n_events"] for r in a] == [2, 0, 0, 1]
+    assert [r["value_locf"] for r in a] == [20.0, 20.0, 20.0, 30.0]
+    assert [r["is_gap"] for r in a] == [False, True, True, False]
+    b = [out[("b", datetime(2024, 1, 1, h))] for h in (2, 3, 4)]
+    assert [r["value_locf"] for r in b] == [99.0, 99.0, 11.0]
+    assert [r["is_gap"] for r in b] == [False, True, False]
+    # grid is exactly each series' own span — 4 + 3 rows
+    assert len(out) == 7
+
+
+def test_weighted_shortest_paths_hand_computed(spark):
+    """r11: Bellman-Ford distances — a cheaper 2-hop route beats the
+    heavy direct edge, and the hop bound truncates longer paths."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        weighted_shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "a", 10),  # direct but heavy
+            ("s", "b", 1),
+            ("b", "a", 2),   # s->b->a = 3 beats 10
+            ("a", "c", 1),   # s->b->a->c = 4 (3 hops)
+            ("c", "d", 1),   # 4 hops from s
+        ],
+        "source_id string, target_id string, weight long",
+    )
+    src = spark.createDataFrame([("s",)], "dt_id string")
+
+    def dists(iters):
+        return {
+            r["dt_id"]: r["dist"]
+            for r in weighted_shortest_paths(edges, src, iters=iters).collect()
+        }
+
+    d = dists(4)
+    assert d == {"s": 0, "b": 1, "a": 3, "c": 4, "d": 5}
+    # hop bound: with 1 round only direct edges resolve ('a' still 10)
+    d1 = dists(1)
+    assert d1 == {"s": 0, "a": 10, "b": 1}
+    # 2 rounds find the cheap detour; 'd' not reached yet
+    d2 = dists(2)
+    assert d2["a"] == 3 and "d" not in d2
+
+
 def test_ngram_lm_score_hand_computed(spark):
     import math
 
