@@ -339,7 +339,10 @@ def gap_fill_locf(events: DataFrame, minutes: int = 60) -> DataFrame:
     ).agg(
         F.max_by("value", order).alias("last_value"),
         F.count(F.lit(1)).alias("n_events"),
-    )
+    # checkpoint the bucket aggregate: both the grid bounds and the
+    # fill join consume it — without the cut the raw event scan (the
+    # 100 TB side) runs twice; obs is buckets × series, tiny
+    ).localCheckpoint(eager=False)
     bounds = obs.groupBy("event_type").agg(
         F.min("bucket_id").alias("lo"), F.max("bucket_id").alias("hi")
     )
