@@ -1207,6 +1207,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embed_quantize_int8"] = _quantize
+
+    def _random_projection(s, d):
+        # r11: JL sign projection over int8 codes — exact BIGINT sums,
+        # md5-derived Rademacher signs (engine-portable, seedless);
+        # proj array → CSV for the hash compare
+        from pyspark.sql import functions as F
+
+        return similarity.random_projection_int8(
+            _tables(s, d)["embeddings"], out_dim=16, in_dim=64
+        ).select("vec_id", F.array_join("proj", ",").alias("proj_csv"))
+
+    q["embed_random_projection"] = _random_projection
     q["events_funnel"] = lambda s, d: ev_ops.funnel(
         _tables(s, d)["events"], ["view", "click", "purchase"]
     )
@@ -2930,6 +2942,27 @@ def oracle_sql() -> dict[str, str]:
         "THEN CAST(round((x - mn) / (mx - mn) * 254) - 127 AS INTEGER) "
         "ELSE 0 END ORDER BY dim), ',') AS codes_csv "
         "FROM ex JOIN st USING (dim) GROUP BY vec_id"
+    )
+    # r11 JL sign projection: same quantization CTE as
+    # embed_quantize_int8 (0-based dim = the operator's j), signs from
+    # md5('jl-' || i || '-' || j) first hex digit 0-7 — byte-identical
+    # to Python hashlib.md5 of the same string
+    o["embed_random_projection"] = (
+        "WITH ex AS (SELECT vec_id, "
+        "unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x, "
+        "generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings), "
+        "st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim), "
+        "codes AS (SELECT vec_id, dim, CASE WHEN mx > mn "
+        "THEN CAST(round((x - mn) / (mx - mn) * 254) - 127 AS BIGINT) "
+        "ELSE 0 END AS c FROM ex JOIN st USING (dim)), "
+        "proj AS (SELECT vec_id, i, sum(c * CASE WHEN "
+        "substr(md5('jl-' || i || '-' || dim), 1, 1) IN "
+        "('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS y "
+        "FROM codes CROSS JOIN "
+        "(SELECT unnest(generate_series(0, 15)) AS i) dims "
+        "GROUP BY vec_id, i) "
+        "SELECT vec_id, array_to_string(list(CAST(y AS VARCHAR) "
+        "ORDER BY i), ',') AS proj_csv FROM proj GROUP BY vec_id"
     )
     o["embed_ann_sq8"] = (
         "WITH ex AS (SELECT vec_id, "

@@ -799,6 +799,63 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     )
     return coded
 
+def random_projection_int8(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    salt: str = "jl",
+    in_dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, proj) — Johnson-Lindenstrauss SIGN (Rademacher) random
+    projection over int8-quantized codes: ``proj[i] = Σ_j sign(i, j) ·
+    code[j]`` with ``sign(i, j) = +1`` iff the first hex digit of
+    ``md5(f"{salt}-{i}-{j}")`` is 0-7 (a fair coin), else −1.  The
+    dimension-shrink prefilter for ANN pipelines: distances in the
+    projected space concentrate around the originals (JL lemma), so a
+    cheap ``out_dim``-wide integer scan prunes candidates before exact
+    re-ranking — the same two-stage shape as the PQ/SQ8 searches.
+
+    All arithmetic is EXACT BIGINT over int8 codes and ±1 signs (no
+    float sums — order-independent and engine-portable), and the sign
+    matrix is derived from md5, not an RNG: seedless, reproducible on
+    any engine that has md5.
+
+    100 TB shape: the sign matrix is an (out_dim × in_dim) PLAN-TIME
+    LITERAL (a kilobyte — never a shuffle side); projection is one
+    map-side pass of ``transform``/``aggregate`` whole-stage codegen
+    over the quantized codes; quantization itself is the one stats
+    shuffle documented on :func:`quantize_int8`."""
+    import hashlib
+
+    if in_dim is None:
+        # 1-row probe for the (fixed) dimensionality — not a data scan
+        in_dim = len(embeddings.select("embedding").head()[0])
+
+    def sgn(i: int, j: int) -> int:
+        h = hashlib.md5(f"{salt}-{i}-{j}".encode()).hexdigest()[0]
+        return 1 if h in "01234567" else -1
+
+    mat = F.array(*[
+        F.array(*[F.lit(sgn(i, j)) for j in range(in_dim)])
+        for i in range(out_dim)
+    ])
+    coded = quantize_int8(embeddings)
+    return coded.select(
+        "vec_id",
+        F.transform(
+            mat,
+            lambda row: F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    row,
+                    lambda c, s: (c * s).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        ).alias("proj"),
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid, one row per (label, dimension) — the building
     block for class prototypes, drift monitoring, and IVF-style coarse

@@ -1777,6 +1777,41 @@ def test_ohlc_downsample_hand_computed(spark):
     assert (b1["open"], b1["close"], b1["n_events"]) == (77.0, 88.0, 2)
 
 
+def test_random_projection_int8_matches_pure_python(spark):
+    """r11: the JL sign projection replayed in pure Python over the
+    collected int8 codes must match the Spark result EXACTLY (BIGINT
+    arithmetic, md5-derived signs — no float or RNG divergence), and
+    duplicate vectors project identically."""
+    import hashlib
+
+    rows = [
+        (0, [1.0, -2.0, 3.0, 0.5]),
+        (1, [0.0, 0.0, 1.0, -1.0]),
+        (2, [1.0, -2.0, 3.0, 0.5]),  # duplicate of 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out_dim = 5
+    got = {
+        r["vec_id"]: list(r["proj"])
+        for r in similarity.random_projection_int8(
+            emb, out_dim=out_dim, in_dim=4
+        ).collect()
+    }
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.quantize_int8(emb).collect()
+    }
+
+    def sgn(i, j):
+        return 1 if hashlib.md5(f"jl-{i}-{j}".encode()).hexdigest()[0] in "01234567" else -1
+
+    for vid, cs in codes.items():
+        want = [sum(sgn(i, j) * c for j, c in enumerate(cs)) for i in range(out_dim)]
+        assert got[vid] == want, vid
+    assert got[0] == got[2]  # duplicates collide exactly
+    assert all(len(p) == out_dim for p in got.values())
+
+
 def test_gap_fill_locf_hand_computed(spark):
     """r11: hourly grid per series, LOCF across empty buckets, fill
     resets per series, bounds are each series' own [min, max]."""
