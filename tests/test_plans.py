@@ -547,3 +547,44 @@ def test_louvain_round_broadcasts_state_under_gate(spark):
     assert "BroadcastHashJoin" in plan, plan
     # the edge frame is never re-partitioned by dst inside the round
     assert "hashpartitioning(dst" not in plan, plan
+
+
+def test_gap_fill_prunes_columns_and_scans_events_once(spark):
+    """r11: gap_fill_locf must (a) push column pruning to the event
+    scan (4 needed columns, not props/user_id) and (b) scan the raw
+    event table ONCE — the bucket aggregate is checkpointed because
+    both the grid bounds and the fill join consume it (the raw scan is
+    the 100 TB side)."""
+    from pg_age_digitaltwins_spark.operators.events import gap_fill_locf
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    plan = _plan(gap_fill_locf(ev, minutes=60))
+    # the obs checkpoint hides the (already pruned) aggregate lineage;
+    # no residual parquet scan may appear downstream of it
+    assert plan.count("Scan parquet") <= 1, plan
+    for dropped in ("props", "user_id"):
+        assert f"ReadSchema: struct<" not in plan or dropped not in (
+            [l for l in plan.splitlines() if "ReadSchema" in l] or [""]
+        )[0], plan
+
+
+def test_weighted_shortest_paths_state_is_checkpoint_scan(spark):
+    """r11: weighted_shortest_paths executes its supersteps during
+    construction (eager vertex-sized checkpoints + early-exit probes);
+    the returned frame must be a rename over the final checkpoint —
+    no joins or exchanges left to re-execute per downstream action."""
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        weighted_shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [("s", "a", 2), ("a", "b", 3)],
+        "source_id string, target_id string, weight long",
+    )
+    src = spark.createDataFrame([("s",)], "dt_id string")
+    out = weighted_shortest_paths(edges, src, iters=3)
+    plan = _plan(out)
+    assert "Join" not in plan and "Exchange" not in plan, plan
