@@ -1924,6 +1924,33 @@ def test_ngram_lm_score_hand_computed(spark):
     assert out[1]["mean_logp"] > out[2]["mean_logp"]
 
 
+def test_louvain_assignment_fingerprint_pinned(spark):
+    """r11 (verdict #4): the full sf0.01 assignment fingerprint — the
+    md5 the r10/r11 rewrites were verified against.  Pins that plan
+    changes (eager vid_map, active-parity, vid encoding) stay
+    OUTPUT-IDENTICAL; any intentional semantic change must re-derive
+    this constant and say why."""
+    import hashlib
+    import os
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        louvain_communities,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 fixture absent")
+    store = load_graph(spark, sf_dir)
+    rows = sorted(
+        (r["dt_id"], r["community"])
+        for r in louvain_communities(store.twins, store.relationships).collect()
+    )
+    assert len(rows) == 18630
+    h = hashlib.md5(repr(rows).encode()).hexdigest()
+    assert h == "62cb30c129639ac8094c64f32d7c9de0"
+
+
 def test_louvain_two_cliques(spark):
     from pg_age_digitaltwins_spark.operators.graph_analytics import (
         louvain_communities,
