@@ -1777,6 +1777,98 @@ def test_ohlc_downsample_hand_computed(spark):
     assert (b1["open"], b1["close"], b1["n_events"]) == (77.0, 88.0, 2)
 
 
+def test_weighted_shortest_paths_random_graphs_match_pure_python(spark):
+    """r11: seeded random multigraphs replayed through a pure-Python
+    k-bounded Bellman-Ford — the delta-frontier plan must equal full
+    relaxation on every instance (including parallel edges with
+    different weights and unreachable vertices)."""
+    import random
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        weighted_shortest_paths,
+    )
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 12
+        nodes = [f"n{i}" for i in range(n)]
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes), rng.randint(1, 9))
+            for _ in range(30)
+        ]
+        iters = rng.randint(1, 5)
+        srcs = rng.sample(nodes, 2)
+
+        # pure-Python full relaxation (min over paths of <= iters edges)
+        dist = {s: 0 for s in srcs}
+        for _ in range(iters):
+            nxt = dict(dist)
+            for u, v, w in edges:
+                if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                    nxt[v] = dist[u] + w
+            dist = nxt
+
+        e_df = spark.createDataFrame(
+            edges, "source_id string, target_id string, weight long"
+        )
+        s_df = spark.createDataFrame([(s,) for s in srcs], "dt_id string")
+        got = {
+            r["dt_id"]: r["dist"]
+            for r in weighted_shortest_paths(e_df, s_df, iters=iters).collect()
+        }
+        assert got == dist, (trial, iters, srcs)
+
+
+def test_gap_fill_locf_preserves_event_totals(spark):
+    """r11: conservation properties on a seeded random event set —
+    Σ n_events over the grid equals the event count, every observed
+    bucket carries its own (ts, event_id)-latest value, and each
+    series' grid is contiguous."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pg_age_digitaltwins_spark.operators.events import gap_fill_locf
+
+    rng = random.Random(7)
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (
+            i,
+            t0 + timedelta(minutes=rng.randint(0, 60 * 50)),
+            rng.randint(1, 3),
+            rng.choice(["a", "b"]),
+            float(rng.randint(1, 99)),
+            "{}",
+        )
+        for i in range(120)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    out = gap_fill_locf(ev, minutes=60).collect()
+    assert sum(r["n_events"] for r in out) == 120
+    # per-series contiguity: bucket count == span
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for r in out:
+        buckets[r["event_type"]].append(r["bucket"])
+    for et, bs in buckets.items():
+        bs.sort()
+        assert len(bs) == int((bs[-1] - bs[0]).total_seconds()) // 3600 + 1, et
+    # observed buckets carry their own latest value
+    latest = {}
+    for i, ts, _u, et, val, _p in rows:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        k = (et, b)
+        if k not in latest or (ts, i) > latest[k][0]:
+            latest[k] = ((ts, i), val)
+    for r in out:
+        if not r["is_gap"]:
+            assert r["value_locf"] == latest[(r["event_type"], r["bucket"])][1]
+
+
 def test_random_projection_int8_matches_pure_python(spark):
     """r11: the JL sign projection replayed in pure Python over the
     collected int8 codes must match the Spark result EXACTLY (BIGINT
