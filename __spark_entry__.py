@@ -1261,6 +1261,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tables(s, d)["events"], minutes=60
     )
 
+    def _range_join_sessions(s, d):
+        # r11: bucketed interval join — events concurrent with the
+        # sessions of users 1-5 (bin equi-join + exact predicate, never
+        # a nested loop); counts are exact BIGINTs
+        from pyspark.sql import functions as F
+
+        ev = _tables(s, d)["events"]
+        sessions = ev_ops.sessionize(ev, gap_minutes=30).filter(
+            F.col("user_id") <= 5
+        ).select(
+            F.col("user_id").alias("s_user"),
+            "session_seq", "session_start", "session_end",
+        )
+        joined = ev_ops.range_join(
+            ev.select("ts", "event_id", "user_id"), sessions
+        )
+        return joined.groupBy("s_user", "session_seq").agg(
+            F.count(F.lit(1)).alias("n_concurrent"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+
+    q["events_range_join_sessions"] = _range_join_sessions
+
     def _order_count_distribution(spark, sf_dir):
         # TPC-H Q13 shape: LEFT join so zero-order customers keep a
         # 0 bucket, orders-per-customer rollup, then the distribution —
@@ -3054,6 +3077,28 @@ def oracle_sql() -> dict[str, str]:
         "max(CASE WHEN rn_d = 1 THEN value END) AS close, "
         "CAST(count(*) AS BIGINT) AS n_events "
         "FROM r GROUP BY event_type, bucket"
+    )
+    # r11 range join: the oracle's plain BETWEEN join is exactly the
+    # nested-loop plan the bucketed operator exists to avoid
+    o["events_range_join_sessions"] = (
+        "WITH flagged AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
+        "THEN 1 ELSE 0 END AS new_s FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "seqd AS (SELECT user_id, ts, "
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged), "
+        "sessions AS MATERIALIZED (SELECT user_id AS s_user, "
+        "CAST(session_seq AS BIGINT) AS session_seq, "
+        "min(ts) AS session_start, max(ts) AS session_end "
+        "FROM seqd WHERE user_id <= 5 GROUP BY user_id, session_seq) "
+        "SELECT s_user, session_seq, "
+        "CAST(count(*) AS BIGINT) AS n_concurrent, "
+        "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users "
+        "FROM sessions s JOIN events e "
+        "ON e.ts BETWEEN s.session_start AND s.session_end "
+        "GROUP BY s_user, session_seq"
     )
     # r11 gap-fill: floor(epoch) mirrors Spark's truncating
     # unix_timestamp (CAST rounds in DuckDB — an event in the last

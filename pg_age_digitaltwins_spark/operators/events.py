@@ -311,6 +311,54 @@ def time_in_state(events: DataFrame) -> DataFrame:
     )
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bin_minutes: int = 60,
+) -> DataFrame:
+    """Interval (range) join: every ``points`` row paired with every
+    ``intervals`` row whose ``[start_col, end_col]`` contains its
+    ``point_ts`` (bounds inclusive).
+
+    Spark's native plan for a pure range predicate is a broadcast
+    nested loop (or worse, a cartesian) — quadratic at corpus scale.
+    This is the BUCKETED strategy every interval-join engine uses:
+    bin the time axis at ``bin_minutes``, send each point to its ONE
+    bin, explode each interval to its covered bins, equi-join on the
+    bin key (one shuffle, hash join), then apply the exact predicate.
+    A point's single bin meets each covering interval exactly once, so
+    no dedup is needed.
+
+    100 TB shape: one shuffle keyed by the bin; the interval side
+    grows by (interval length / bin width) — pick ``bin_minutes`` near
+    the median interval length so neither fan-out nor per-bin skew
+    dominates (hot bins are AQE skew-join territory)."""
+    sec = bin_minutes * 60
+    p = points.withColumn(
+        "__bin", (F.unix_timestamp(point_ts) / sec).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(start_col) / sec).cast("long"),
+                (F.unix_timestamp(end_col) / sec).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "__bin")
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("__bin")
+    )
+
+
 def gap_fill_locf(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Gap-filled regular time grid with last-observation-carried-forward
     (the hypertable ``time_bucket_gapfill`` + ``locf`` shape): per

@@ -1904,6 +1904,45 @@ def test_random_projection_int8_matches_pure_python(spark):
     assert all(len(p) == out_dim for p in got.values())
 
 
+def test_range_join_hand_computed(spark):
+    """r11: bucketed interval join — inclusive bounds, intervals
+    spanning many bins meet each point exactly once, disjoint points
+    drop out, and the plan is a hash equi-join (never a nested loop /
+    cartesian)."""
+    from datetime import datetime
+
+    from pg_age_digitaltwins_spark.operators.events import range_join
+
+    points = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0)),    # == start: inclusive
+            (2, datetime(2024, 1, 1, 2, 30)),   # interior, 2 bins away
+            (3, datetime(2024, 1, 1, 5, 0)),    # == end: inclusive
+            (4, datetime(2024, 1, 1, 6, 0)),    # outside every interval
+            (5, datetime(2024, 1, 1, 0, 30)),   # inside two overlapping
+        ],
+        "event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 5, 0)),
+            ("b", datetime(2024, 1, 1, 0, 15), datetime(2024, 1, 1, 0, 45)),
+        ],
+        "iv string, session_start timestamp, session_end timestamp",
+    )
+    out = range_join(points, intervals, bin_minutes=60)
+    pairs = {(r["event_id"], r["iv"]) for r in out.collect()}
+    assert pairs == {(1, "a"), (2, "a"), (3, "a"), (5, "a"), (5, "b")}
+    # exactly-once per covering interval (no per-bin duplicates)
+    assert out.count() == len(pairs)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
 def test_gap_fill_locf_hand_computed(spark):
     """r11: hourly grid per series, LOCF across empty buckets, fill
     resets per series, bounds are each series' own [min, max]."""
