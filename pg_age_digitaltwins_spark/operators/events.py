@@ -99,9 +99,13 @@ def asof_join_latest_event(
     left_ts: str,
     left_key: str,
     event_key: str = "user_id",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """AS-OF join: for each left row, the most recent event at or before
-    ``left_ts`` for the matching key.
+    ``left_ts`` for the matching key.  ``tolerance_seconds`` (r11, the
+    standard kdb/pandas ``merge_asof`` knob) bounds the lookback: a
+    match older than the tolerance is returned as NULL instead —
+    integer-microsecond comparison, no float time math.
 
     Implemented as union + window (the scalable shape: one shuffle on
     the key, no range cross-join): tag both sides, sort by time within
@@ -136,10 +140,25 @@ def asof_join_latest_event(
         .orderBy(F.col("__t"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    out = ev.unionByName(lf).withColumn(
+        "__last_event", F.last("__event", ignorenulls=True).over(w)
+    )
+    if tolerance_seconds is not None:
+        out = out.withColumn(
+            "__last_t",
+            F.last(
+                F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
+            ).over(w),
+        ).withColumn(
+            "__last_event",
+            F.when(
+                F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__last_t"))
+                <= int(tolerance_seconds) * 1_000_000,
+                F.col("__last_event"),
+            ),
+        )
     return (
-        ev.unionByName(lf)
-        .withColumn("__last_event", F.last("__event", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
+        out.filter(F.col("__side") == 1)
         .select(
             *[F.col(f"__left.{c}").alias(c) for c in left.columns], "__last_event"
         )

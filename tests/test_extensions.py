@@ -1904,6 +1904,56 @@ def test_random_projection_int8_matches_pure_python(spark):
     assert all(len(p) == out_dim for p in got.values())
 
 
+def test_asof_join_tolerance(spark):
+    """r11: the merge_asof tolerance knob — an at-or-before match older
+    than the tolerance comes back NULL; ties (event at exactly left_ts)
+    stay inclusive; keys never bleed."""
+    from datetime import datetime
+
+    from pg_age_digitaltwins_spark.operators.events import (
+        asof_join_latest_event,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 0, 0), 1, "a", 1.0, "{}"),
+            (11, datetime(2024, 1, 1, 1, 0), 1, "b", 2.0, "{}"),
+            (12, datetime(2024, 1, 1, 0, 30), 2, "c", 3.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 1, 0)),   # tie with event 11
+            (1, datetime(2024, 1, 1, 3, 0)),   # 2h after event 11
+            (2, datetime(2024, 1, 1, 0, 29)),  # 1 min BEFORE event 12
+        ],
+        "uid long, at timestamp",
+    )
+
+    def run(tol):
+        return {
+            (r["uid"], r["at"]): (
+                r["__last_event"]["event_id"] if r["__last_event"] else None
+            )
+            for r in asof_join_latest_event(
+                left, events, "at", "uid", tolerance_seconds=tol
+            ).collect()
+        }
+
+    no_tol = run(None)
+    assert no_tol == {
+        (1, datetime(2024, 1, 1, 1, 0)): 11,
+        (1, datetime(2024, 1, 1, 3, 0)): 11,
+        (2, datetime(2024, 1, 1, 0, 29)): None,  # event 12 is in the future
+    }
+    one_hour = run(3600)
+    assert one_hour[(1, datetime(2024, 1, 1, 1, 0))] == 11  # tie: age 0
+    assert one_hour[(1, datetime(2024, 1, 1, 3, 0))] is None  # 2h old
+    assert one_hour[(2, datetime(2024, 1, 1, 0, 29))] is None
+
+
 def test_range_join_hand_computed(spark):
     """r11: bucketed interval join — inclusive bounds, intervals
     spanning many bins meet each point exactly once, disjoint points
