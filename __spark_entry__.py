@@ -1029,6 +1029,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal.media_from_documents(_tables(s, d)["documents"])
     ).select("media_id", "frame_no", "frame_key")
 
+    def _mm_resize(s, d):
+        # r11: REAL nearest-neighbor resize over genuine binary-P6
+        # payloads (deterministic gradient fixtures) — the oracle
+        # validates header parsing (in_width/in_height) and the exact
+        # output payload size; pixel values are pinned by unit test
+        from pyspark.sql import functions as F
+
+        media = multimodal.synthetic_ppm_media(_tables(s, d)["documents"])
+        return multimodal.resize_ppm(media, width=12, height=8).select(
+            "media_id", "in_width", "in_height",
+            F.length("content").cast("long").alias("n_bytes"),
+        )
+
+    q["multimodal_resize"] = _mm_resize
+
     # --- classic relational rollups (bench anchors) -------------------
     def _pricing(spark, sf_dir):
         from pyspark.sql import functions as F
@@ -2775,6 +2790,15 @@ def oracle_sql() -> dict[str, str]:
         "FROM (SELECT 'media-' || doc_id AS media_id, "
         "CAST(greatest(floor((octet_length(encode(text)) - 1) / 1024.0), 0) AS BIGINT) AS nmax "
         "FROM documents WHERE doc_id % 3 = 2))"
+    )
+    # r11 resize: header "P6\n12 8\n255\n" is 12 bytes + 12*8*3 raster;
+    # in_width/in_height recompute the fixture-generation formula, so
+    # the check validates the operator's PPM header parsing
+    o["multimodal_resize"] = (
+        "SELECT 'media-' || doc_id AS media_id, "
+        "CAST(4 + doc_id % 8 AS INT) AS in_width, "
+        "CAST(4 + (doc_id // 8) % 8 AS INT) AS in_height, "
+        "CAST(12 + 12 * 8 * 3 AS BIGINT) AS n_bytes FROM documents"
     )
     o["embed_norm_stats"] = (
         "SELECT label, count(*) AS cnt, "

@@ -213,6 +213,130 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("in_width", T.IntegerType(), True),
+        T.StructField("in_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def synthetic_ppm_media(documents: DataFrame) -> DataFrame:
+    """Deterministic binary-P6 fixture: per document, a gradient image
+    with ``width = 4 + doc_id % 8`` and ``height = 4 + (doc_id // 8) %
+    8`` and pixel (r, c) = (r % 256, c % 256, (r + c) % 256) — REAL
+    PPM bytes (header + raw RGB) built executor-side, so the resize
+    kernel parses and rescales genuine raster payloads."""
+
+    def run(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                w = 4 + int(doc_id) % 8
+                h = 4 + (int(doc_id) // 8) % 8
+                r = np.arange(h, dtype=np.uint32)[:, None] % 256
+                c = np.arange(w, dtype=np.uint32)[None, :] % 256
+                px = np.stack(
+                    [
+                        np.broadcast_to(r, (h, w)),
+                        np.broadcast_to(c, (h, w)),
+                        (r + c) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                content = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+                rows.append(
+                    {"media_id": f"media-{int(doc_id)}", "kind": "image",
+                     "content": content,
+                     "content_type": "image/x-portable-pixmap"}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return documents.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _parse_ppm(content: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, pixel_offset) of a binary P6 payload —
+    '#' comments legal anywhere in the header, exactly one whitespace
+    byte after maxval before the raster."""
+    if content[:2] != b"P6":
+        raise NotImplementedError(
+            f"resize supports binary PPM only (magic {content[:2]!r})"
+        )
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(content):
+        c = content[pos : pos + 1]
+        if c == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(content) and content[pos : pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(content[start:pos]))
+        else:
+            raise NotImplementedError("malformed PPM header")
+    if len(tokens) < 3:
+        raise NotImplementedError("malformed PPM header")
+    return tokens[0], tokens[1], tokens[2], pos + 1
+
+
+def resize_ppm(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor image resize for binary-PPM payloads (the
+    brief's `resize` kernel) — pure numpy index selection over the
+    decoded raster, re-encoded as P6; non-PPM payloads raise
+    ``NotImplementedError`` like a production resizer hitting an
+    unsupported codec (swap the kernel for PIL in production — the
+    Arrow-batched ``mapInPandas`` seam is identical).
+
+    100 TB shape: partition-preserving map stage; bytes stay on the
+    executors; output size is bounded by the target dims, independent
+    of input resolution."""
+
+    def run(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                w0, h0, maxval, off = _parse_ppm(content)
+                px = np.frombuffer(
+                    content, dtype=np.uint8, count=w0 * h0 * 3, offset=off
+                ).reshape(h0, w0, 3)
+                rid = (np.arange(height) * h0) // height
+                cid = (np.arange(width) * w0) // width
+                out = px[rid][:, cid]
+                payload = (
+                    f"P6\n{width} {height}\n{maxval}\n".encode()
+                    + out.tobytes()
+                )
+                rows.append(
+                    {"media_id": r.media_id, "in_width": w0, "in_height": h0,
+                     "width": width, "height": height, "content": payload}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Frame sampling stub: one row per sampled offset (video → frames).
     Plumbing real (explode → one row per frame, offset metadata);

@@ -1904,6 +1904,50 @@ def test_random_projection_int8_matches_pure_python(spark):
     assert all(len(p) == out_dim for p in got.values())
 
 
+def test_resize_ppm_pixel_exact(spark):
+    """r11: nearest-neighbor PPM resize — hand-computed pixel selection
+    on a 4x2 gradient downscaled to 2x1 and upscaled to 8x4; header
+    comments parse; non-PPM payloads raise like an unsupported codec."""
+    from pg_age_digitaltwins_spark.operators.multimodal import (
+        _parse_ppm,
+        resize_ppm,
+    )
+
+    # 4 wide x 2 tall, pixel (r, c) = (r, c, r+c)
+    px = bytes(
+        b
+        for r in range(2)
+        for c in range(4)
+        for b in (r, c, r + c)
+    )
+    content = b"P6\n# a comment\n4 2\n255\n" + px
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(content), "image/x-portable-pixmap")],
+        "media_id string, kind string, content binary, content_type string",
+    )
+    down = resize_ppm(media, width=2, height=1).collect()[0]
+    assert (down["in_width"], down["in_height"]) == (4, 2)
+    w0, h0, maxval, off = _parse_ppm(bytes(down["content"]))
+    assert (w0, h0, maxval) == (2, 1, 255)
+    # nearest-neighbor picks source rows [0], cols [0, 2]
+    assert list(bytes(down["content"])[off:]) == [0, 0, 0, 0, 2, 2]
+    up = resize_ppm(media, width=8, height=4).collect()[0]
+    w0, h0, _m, off = _parse_ppm(bytes(up["content"]))
+    assert (w0, h0) == (8, 4)
+    raster = list(bytes(up["content"])[off:])
+    # each source pixel doubles in both axes: row 0 of the output is
+    # source row 0 with every pixel repeated twice
+    assert raster[:6] == [0, 0, 0, 0, 0, 0]          # (0,0) twice
+    assert raster[6:12] == [0, 1, 1, 0, 1, 1]        # (0,1) twice
+    # unsupported payloads raise through the Arrow seam
+    bad = spark.createDataFrame(
+        [("m2", "image", bytearray(b"JPEGnope"), "image/jpeg")],
+        "media_id string, kind string, content binary, content_type string",
+    )
+    with pytest.raises(Exception, match="PPM"):
+        resize_ppm(bad, width=2, height=2).collect()
+
+
 def test_asof_join_tolerance(spark):
     """r11: the merge_asof tolerance knob — an at-or-before match older
     than the tolerance comes back NULL; ties (event at exactly left_ts)
