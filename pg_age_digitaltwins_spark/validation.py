@@ -1075,6 +1075,50 @@ def validate_model(
                 f"{where}: annotates {ann!r} does not name a sibling "
                 "Property or Telemetry"
             )
+    # --- element @id discipline (batch 14) ----------------------------
+    # ANY element in a model may carry an optional @id; DTDLParser
+    # requires every one to be a valid DTMI (non-interface identifiers
+    # may run to 2048 chars) and UNIQUE within the model — a duplicate
+    # is a DuplicateElementId error, not a merge.
+    seen_element_ids: set[str] = set()
+
+    def _walk_ids(node: Any, where: str) -> None:
+        if isinstance(node, dict):
+            nid = node.get("@id")
+            if nid is not None and node is not doc:
+                if not isinstance(nid, str) or not _DTMI_RE.match(nid):
+                    v.append(f"{where}: element @id {nid!r} is not a valid DTMI")
+                elif len(nid) > 2048:
+                    v.append(
+                        f"{where}: element @id exceeds the 2048-character limit"
+                    )
+                elif nid in seen_element_ids:
+                    v.append(f"{where}: duplicate element @id '{nid}'")
+                else:
+                    seen_element_ids.add(nid)
+            for key, child in node.items():
+                if key == "@context":
+                    continue
+                _walk_ids(child, where)
+        elif isinstance(node, list):
+            for child in node:
+                _walk_ids(child, where)
+
+    if isinstance(mid, str):
+        seen_element_ids.add(mid)  # the interface's own id participates
+    for item in doc.get("contents", []) or []:
+        if isinstance(item, dict):
+            _walk_ids(item, f"content '{item.get('name')}'")
+    for sch in doc.get("schemas", []) or []:
+        # named-schema roots already get a dedicated duplicate check;
+        # walk only their SUBTREES for nested element ids
+        if isinstance(sch, dict):
+            sid = sch.get("@id")
+            if isinstance(sid, str):
+                seen_element_ids.add(sid)
+            for key, child in sch.items():
+                if key not in ("@context", "@id"):
+                    _walk_ids(child, f"named schema '{sch.get('@id')}'")
     if v:
         raise ValidationError(" AND ".join(v))
 

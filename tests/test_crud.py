@@ -1135,6 +1135,43 @@ def test_validate_model_undefined_terms_batch13():
     }]))
 
 
+def test_validate_model_element_id_discipline_batch14():
+    """DTDL batch 14: any element may carry an optional @id, but it
+    must be a valid DTMI and UNIQUE within the model (the interface's
+    own id included) — DTDLParser's DuplicateElementId behavior."""
+    from pg_age_digitaltwins_spark.validation import ValidationError, validate_model
+
+    def prop(name, **extra):
+        return {"@type": "Property", "name": name, "schema": "double", **extra}
+
+    validate_model(_interface(contents=[
+        prop("a", **{"@id": "dtmi:v:Test:a;1"}),
+        prop("b", **{"@id": "dtmi:v:Test:b;1"}),
+    ]))
+    with pytest.raises(ValidationError, match="not a valid DTMI"):
+        validate_model(_interface(contents=[prop("a", **{"@id": "not-a-dtmi"})]))
+    with pytest.raises(ValidationError, match="duplicate element @id"):
+        validate_model(_interface(contents=[
+            prop("a", **{"@id": "dtmi:v:Test:x;1"}),
+            prop("b", **{"@id": "dtmi:v:Test:x;1"}),
+        ]))
+    # colliding with the interface's own id is a duplicate too
+    with pytest.raises(ValidationError, match="duplicate element @id"):
+        validate_model(_interface(contents=[prop("a", **{"@id": "dtmi:v:Test;1"})]))
+    # nested elements (enum values, fields) are covered by the walk
+    with pytest.raises(ValidationError, match="duplicate element @id"):
+        validate_model(_interface(contents=[{
+            "@type": "Property", "name": "e",
+            "schema": {"@type": "Enum", "valueSchema": "integer",
+                       "enumValues": [
+                           {"name": "x", "enumValue": 1,
+                            "@id": "dtmi:v:Test:ev;1"},
+                           {"name": "y", "enumValue": 2,
+                            "@id": "dtmi:v:Test:ev;1"},
+                       ]},
+        }]))
+
+
 def test_named_schema_twin_value_validation(spark):
     """Twin values validate THROUGH named schema refs: enum membership
     is enforced for a dtmi:-referenced Enum, across create_models →
