@@ -687,6 +687,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # supersteps, value-checked vs an unrolled relaxation CTE
     q["graph_weighted_shortest_paths"] = _weighted_sp
 
+    def _random_walks(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            random_walks,
+        )
+
+        st = _store(s, d)
+        # every-100th order: order→{cust,part,supp}→nation→region gives
+        # real 4-step trajectories (nations would dead-end in one hop)
+        starts = st.twins.filter(
+            F.col("dt_id").startswith("order-")
+            & (
+                F.element_at(F.split("dt_id", "-"), 2).cast("long") % 100
+                == 0
+            )
+        ).select("dt_id")
+        return random_walks(st.relationships, starts, steps=4,
+                            walks_per_node=2)
+
+    # r11: deterministic DeepWalk corpus — md5-ranked neighbor picks,
+    # value-checked against an unrolled SQL walk (the determinism IS
+    # the feature: any engine reproduces the identical corpus)
+    q["graph_random_walks"] = _random_walks
+
     def _degrees(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import (
             degree_distribution,
@@ -1802,6 +1827,37 @@ def _weighted_sp_oracle(iters: int = 4) -> str:
     return "".join(parts)
 
 
+def _random_walks_oracle(steps: int = 4, walks_per_node: int = 2) -> str:
+    """Unrolled SQL replay of ``graph_analytics.random_walks`` from
+    every-100th order twin: neighbors ranked by target id, pick = 1 +
+    int(md5('walk|start|walk_no|k')[:8 hex]) % out_deg — the identical
+    md5 arithmetic (DuckDB's '0x'||hex cast == Spark's conv(hex,16,10),
+    verified 214005177 == 214005177 on 'a')."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})), "
+        "nb AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) AS rn, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM e), "
+        "s0 AS (SELECT 'order-' || o_orderkey AS start, "
+        "CAST(w.i AS BIGINT) AS walk_no, 'order-' || o_orderkey AS cur "
+        f"FROM orders CROSS JOIN (SELECT unnest(generate_series(0, "
+        f"{walks_per_node - 1})) AS i) w WHERE o_orderkey % 100 = 0)"
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f", s{k} AS (SELECT s.start, s.walk_no, nb.dst AS cur "
+            f"FROM s{k - 1} s JOIN nb ON s.cur = nb.src AND nb.rn = 1 + "
+            "CAST(concat('0x', substr(md5('walk' || '|' || s.start || '|' "
+            f"|| CAST(s.walk_no AS VARCHAR) || '|' || '{k}'), 1, 8)) "
+            "AS BIGINT) % nb.deg)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk_no, CAST({k} AS INT) AS step, cur AS node FROM s{k}"
+        for k in range(1, steps + 1)
+    )
+    return "".join(parts) + " " + selects
+
+
 def _eigenvector_oracle(iters: int = 5) -> str:
     """Unrolled max-normalized power iteration matching
     ``graph_analytics.eigenvector_centrality`` over the distinct
@@ -2380,6 +2436,7 @@ def oracle_sql() -> dict[str, str]:
     o["graph_personalized_pagerank"] = _ppr_oracle()
     o["graph_eigenvector_centrality"] = _eigenvector_oracle()
     o["graph_weighted_shortest_paths"] = _weighted_sp_oracle()
+    o["graph_random_walks"] = _random_walks_oracle()
     o["graph_degree_distribution"] = (
         f"WITH edges AS ({_EDGES_SQL}), "
         f"deg AS (SELECT t.dt_id, "

@@ -893,6 +893,96 @@ def weighted_shortest_paths(
     return dist.select(F.col("node").alias("dt_id"), "dist")
 
 
+def random_walks(
+    relationships: DataFrame,
+    starts: DataFrame,
+    steps: int = 4,
+    walks_per_node: int = 2,
+    salt: str = "walk",
+) -> DataFrame:
+    """(start, walk_no, step, node) — DETERMINISTIC random walks over
+    the directed deduplicated edge set: the DeepWalk/node2vec corpus
+    generator, seedless and engine-portable.  At step k a walk at
+    vertex v moves to the neighbor ranked ``1 + H % out_deg(v)`` where
+    neighbors are ranked by target id (a total order) and ``H`` is the
+    first 8 hex chars of ``md5(salt|start|walk_no|k)`` as an integer —
+    any engine with md5 reproduces the exact same walks, so the output
+    value-checks against SQL.  Dead ends terminate the walk (no
+    restart); step 0 rows (the starts) are not emitted.
+
+    100 TB shape: neighbor ranks and out-degrees are computed ONCE
+    (one shuffle) and checkpointed; each step is two walk-sized
+    equi-joins — (cur = src) to fetch the degree, then (src, rn =
+    pick) against the ranked neighbor table — never a fan-out to all
+    neighbors followed by a filter.  Walk state is walks-sized, not
+    graph-sized."""
+    from pyspark.sql import Window
+
+    edges = relationships.select("source_id", "target_id").distinct()
+    w_rank = Window.partitionBy("source_id").orderBy("target_id")
+    nbrs = edges.withColumn("rn", F.row_number().over(w_rank)).localCheckpoint(
+        eager=False
+    )
+    degs = edges.groupBy("source_id").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)
+    state = starts.select(F.col("dt_id").alias("start")).crossJoin(
+        F.broadcast(
+            starts.sparkSession.range(walks_per_node).select(
+                F.col("id").alias("walk_no")
+            )
+        )
+    ).withColumn("cur", F.col("start"))
+    outs: list[DataFrame] = []
+    for k in range(1, max(0, steps) + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        F.col("start"),
+                        F.col("walk_no"),
+                        F.lit(str(k)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        picked = (
+            state.join(degs, state["cur"] == degs["source_id"])
+            .select(
+                "start", "walk_no",
+                F.col("cur").alias("__cur"),
+                (F.lit(1) + h % F.col("deg")).alias("__pick"),
+            )
+        )
+        state = (
+            picked.join(
+                nbrs,
+                (picked["__cur"] == nbrs["source_id"])
+                & (picked["__pick"] == nbrs["rn"]),
+            )
+            .select(
+                "start", "walk_no", F.col("target_id").alias("cur")
+            )
+            .localCheckpoint(eager=False)
+        )
+        outs.append(
+            state.select(
+                "start", "walk_no", F.lit(k).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def closeness_centrality_sampled(
     relationships: DataFrame,
     sources: DataFrame,

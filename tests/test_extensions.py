@@ -1777,6 +1777,55 @@ def test_ohlc_downsample_hand_computed(spark):
     assert (b1["open"], b1["close"], b1["n_events"]) == (77.0, 88.0, 2)
 
 
+def test_random_walks_match_pure_python(spark):
+    """r11: deterministic walks replayed in pure Python (same md5
+    neighbor-pick arithmetic) must match EXACTLY — including dead-end
+    termination and repartition stability."""
+    import hashlib
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        random_walks,
+    )
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "a")]
+    # d is a dead end
+    rels = spark.createDataFrame(edges, "source_id string, target_id string")
+    starts = spark.createDataFrame([("a",), ("b",)], "dt_id string")
+    got = {
+        (r["start"], r["walk_no"], r["step"]): r["node"]
+        for r in random_walks(rels, starts, steps=3, walks_per_node=2).collect()
+    }
+
+    nbrs = {}
+    for s, t in sorted(set(edges)):
+        nbrs.setdefault(s, []).append(t)
+    want = {}
+    for start in ("a", "b"):
+        for walk_no in (0, 1):
+            cur = start
+            for k in (1, 2, 3):
+                outs = nbrs.get(cur)
+                if not outs:
+                    break
+                h = int(
+                    hashlib.md5(
+                        f"walk|{start}|{walk_no}|{k}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                cur = outs[h % len(outs)]
+                want[(start, walk_no, k)] = cur
+    assert got == want
+    # stability under a different physical layout
+    got2 = {
+        (r["start"], r["walk_no"], r["step"]): r["node"]
+        for r in random_walks(
+            rels.repartition(5), starts, steps=3, walks_per_node=2
+        ).collect()
+    }
+    assert got2 == want
+
+
 def test_weighted_shortest_paths_random_graphs_match_pure_python(spark):
     """r11: seeded random multigraphs replayed through a pure-Python
     k-bounded Bellman-Ford — the delta-frontier plan must equal full
