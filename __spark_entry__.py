@@ -712,6 +712,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the feature: any engine reproduces the identical corpus)
     q["graph_random_walks"] = _random_walks
 
+    def _skipgram(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            random_walks,
+            walk_skipgram_pairs,
+        )
+
+        st = _store(s, d)
+        starts = st.twins.filter(
+            F.col("dt_id").startswith("order-")
+            & (
+                F.element_at(F.split("dt_id", "-"), 2).cast("long") % 100
+                == 0
+            )
+        ).select("dt_id")
+        walks = random_walks(st.relationships, starts, steps=4,
+                             walks_per_node=2)
+        return walk_skipgram_pairs(walks, window=2)
+
+    # r11: the word2vec input built FROM the walk corpus — one
+    # walk-keyed self-join + pair rollup
+    q["graph_walk_skipgram_pairs"] = _skipgram
+
     def _degrees(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import (
             degree_distribution,
@@ -1827,7 +1851,8 @@ def _weighted_sp_oracle(iters: int = 4) -> str:
     return "".join(parts)
 
 
-def _random_walks_oracle(steps: int = 4, walks_per_node: int = 2) -> str:
+def _random_walks_oracle(steps: int = 4, walks_per_node: int = 2,
+                         as_parts: bool = False):
     """Unrolled SQL replay of ``graph_analytics.random_walks`` from
     every-100th order twin: neighbors ranked by target id, pick = 1 +
     int(md5('walk|start|walk_no|k')[:8 hex]) % out_deg — the identical
@@ -1855,7 +1880,27 @@ def _random_walks_oracle(steps: int = 4, walks_per_node: int = 2) -> str:
         f"SELECT start, walk_no, CAST({k} AS INT) AS step, cur AS node FROM s{k}"
         for k in range(1, steps + 1)
     )
+    if as_parts:
+        return "".join(parts), selects
     return "".join(parts) + " " + selects
+
+
+def _skipgram_oracle(steps: int = 4, walks_per_node: int = 2,
+                     window: int = 2) -> str:
+    """Skip-gram pairs over the same unrolled walk corpus: positions
+    within ``window`` steps on the same walk co-occur (both
+    directions)."""
+    head, selects = _random_walks_oracle(steps, walks_per_node, as_parts=True)
+    return (
+        head
+        + ", walks AS ("
+        + selects
+        + ") SELECT a.node AS center, b.node AS context, "
+        "CAST(count(*) AS BIGINT) AS n_pairs "
+        "FROM walks a JOIN walks b USING (start, walk_no) "
+        f"WHERE a.step != b.step AND abs(a.step - b.step) <= {window} "
+        "GROUP BY a.node, b.node"
+    )
 
 
 def _eigenvector_oracle(iters: int = 5) -> str:
@@ -2437,6 +2482,7 @@ def oracle_sql() -> dict[str, str]:
     o["graph_eigenvector_centrality"] = _eigenvector_oracle()
     o["graph_weighted_shortest_paths"] = _weighted_sp_oracle()
     o["graph_random_walks"] = _random_walks_oracle()
+    o["graph_walk_skipgram_pairs"] = _skipgram_oracle()
     o["graph_degree_distribution"] = (
         f"WITH edges AS ({_EDGES_SQL}), "
         f"deg AS (SELECT t.dt_id, "

@@ -983,6 +983,33 @@ def random_walks(
     return out
 
 
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n_pairs) — skip-gram co-occurrence pairs from a
+    :func:`random_walks` corpus: two walk positions within ``window``
+    steps of each other co-occur (both directions, center ≠ context) —
+    the input a word2vec-style node-embedding trainer consumes.
+
+    100 TB shape: one self-join keyed on the walk id (walk-sized, never
+    graph-sized) + a map-side-combined pair rollup."""
+    a = walks.select(
+        "start", "walk_no", F.col("step").alias("i"),
+        F.col("node").alias("center"),
+    )
+    b = walks.select(
+        "start", "walk_no", F.col("step").alias("j"),
+        F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, ["start", "walk_no"])
+        .filter(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def closeness_centrality_sampled(
     relationships: DataFrame,
     sources: DataFrame,

@@ -2478,3 +2478,32 @@ def test_ann_sq8_matches_bruteforce_on_fixture(spark):
         for r in ann_sq8_search(emb.repartition(7), 0, 10, 50).collect()
     ]
     assert again == sq8
+
+
+def test_walk_skipgram_pairs_hand_computed(spark):
+    """r11: skip-gram pairs from a hand-built walk frame — window
+    bounds, bidirectionality, and per-pair counting."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        walk_skipgram_pairs,
+    )
+
+    walks = spark.createDataFrame(
+        [
+            ("s", 0, 1, "a"), ("s", 0, 2, "b"), ("s", 0, 3, "a"),
+            ("s", 1, 1, "a"), ("s", 1, 2, "b"),
+        ],
+        "start string, walk_no long, step int, node string",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in walk_skipgram_pairs(walks, window=1).collect()
+    }
+    # walk 0: (a@1,b@2), (b@2,a@1), (b@2,a@3), (a@3,b@2); walk 1 adds
+    # (a@1,b@2), (b@2,a@1) — window 1 excludes the step-1/step-3 pair
+    assert got == {("a", "b"): 3, ("b", "a"): 3}
+    wide = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in walk_skipgram_pairs(walks, window=2).collect()
+    }
+    # window 2 adds the (a@1, a@3) pair in both directions on walk 0
+    assert wide == {("a", "b"): 3, ("b", "a"): 3, ("a", "a"): 2}
