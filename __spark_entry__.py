@@ -736,6 +736,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # walk-keyed self-join + pair rollup
     q["graph_walk_skipgram_pairs"] = _skipgram
 
+    def _node2vec(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            node2vec_walks,
+        )
+
+        st = _store(s, d)
+        starts = st.twins.filter(
+            F.col("dt_id").startswith("order-")
+            & (
+                F.element_at(F.split("dt_id", "-"), 2).cast("long") % 200
+                == 0
+            )
+        ).select("dt_id")
+        return node2vec_walks(st.relationships, starts, steps=3,
+                              walks_per_node=1, p=2, q=3)
+
+    # r11: second-order biased walks (Grover-Leskovec p/q) — integer
+    # alpha weights (scaled by p*q), md5 cumulative pick, value-checked
+    # vs an unrolled SQL replay
+    q["graph_node2vec_walks"] = _node2vec
+
     def _degrees(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import (
             degree_distribution,
@@ -1885,6 +1908,50 @@ def _random_walks_oracle(steps: int = 4, walks_per_node: int = 2,
     return "".join(parts) + " " + selects
 
 
+def _node2vec_oracle(steps: int = 3, p: int = 2, q: int = 3) -> str:
+    """Unrolled SQL replay of ``graph_analytics.node2vec_walks`` from
+    every-200th order twin (1 walk each): per step, candidates ranked
+    by target id carry integer α·p·q weights (return → q, t→x edge →
+    p·q, else → p; step 1 uniform), cumulative-summed; the pick is the
+    first candidate whose cumulative weight exceeds
+    md5-int('n2v|start|walk_no|k') % total."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})), "
+        "s0 AS (SELECT 'order-' || o_orderkey AS start, "
+        "CAST(0 AS BIGINT) AS walk_no, "
+        "CAST(NULL AS VARCHAR) AS prev, 'order-' || o_orderkey AS cur "
+        "FROM orders WHERE o_orderkey % 200 = 0)"
+    ]
+    for k in range(1, steps + 1):
+        if k == 1:
+            weight = "CAST(1 AS BIGINT)"
+            adj_join = ""
+        else:
+            weight = (
+                f"CAST(CASE WHEN e.dst = s.prev THEN {q} "
+                f"WHEN a.dst IS NOT NULL THEN {p * q} ELSE {p} END AS BIGINT)"
+            )
+            adj_join = " LEFT JOIN e a ON a.src = s.prev AND a.dst = e.dst"
+        parts.append(
+            f", c{k} AS (SELECT s.start, s.walk_no, s.prev, s.cur, "
+            f"e.dst AS cand, {weight} AS w "
+            f"FROM s{k - 1} s JOIN e ON s.cur = e.src{adj_join}), "
+            f"w{k} AS (SELECT *, sum(w) OVER (PARTITION BY start, walk_no "
+            "ORDER BY cand ROWS UNBOUNDED PRECEDING) AS cum, "
+            "sum(w) OVER (PARTITION BY start, walk_no) AS tot, "
+            "CAST(concat('0x', substr(md5('n2v' || '|' || start || '|' || "
+            f"CAST(walk_no AS VARCHAR) || '|' || '{k}'), 1, 8)) AS BIGINT) "
+            f"% sum(w) OVER (PARTITION BY start, walk_no) AS r FROM c{k}), "
+            f"s{k} AS (SELECT start, walk_no, cur AS prev, cand AS cur "
+            f"FROM w{k} WHERE cum - w <= r AND r < cum)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk_no, CAST({k} AS INT) AS step, cur AS node FROM s{k}"
+        for k in range(1, steps + 1)
+    )
+    return "".join(parts) + " " + selects
+
+
 def _skipgram_oracle(steps: int = 4, walks_per_node: int = 2,
                      window: int = 2) -> str:
     """Skip-gram pairs over the same unrolled walk corpus: positions
@@ -2483,6 +2550,7 @@ def oracle_sql() -> dict[str, str]:
     o["graph_weighted_shortest_paths"] = _weighted_sp_oracle()
     o["graph_random_walks"] = _random_walks_oracle()
     o["graph_walk_skipgram_pairs"] = _skipgram_oracle()
+    o["graph_node2vec_walks"] = _node2vec_oracle()
     o["graph_degree_distribution"] = (
         f"WITH edges AS ({_EDGES_SQL}), "
         f"deg AS (SELECT t.dt_id, "

@@ -983,6 +983,114 @@ def random_walks(
     return out
 
 
+def node2vec_walks(
+    relationships: DataFrame,
+    starts: DataFrame,
+    steps: int = 3,
+    walks_per_node: int = 1,
+    p: int = 1,
+    q: int = 1,
+    salt: str = "n2v",
+) -> DataFrame:
+    """(start, walk_no, step, node) — DETERMINISTIC node2vec
+    second-order biased walks (Grover & Leskovec 2016) over the
+    directed deduplicated edge set.  From current vertex v with
+    previous vertex t, candidate x gets unnormalized weight α(t, x):
+    ``1/p`` if x == t (return), ``1`` if the edge t→x exists (BFS-ish),
+    else ``1/q`` (DFS-ish).  ``p``/``q`` must be positive INTEGERS:
+    weights are scaled by p·q (return → q, adjacent → p·q, else → p)
+    so every cumulative sum is exact BIGINT.  The pick is the first
+    candidate (ranked by target id) whose cumulative weight exceeds
+    ``H(salt|start|walk_no|k) % total_weight`` — md5-derived,
+    seedless, engine-portable, so the corpus value-checks against an
+    unrolled SQL replay.  Step 1 (no previous vertex) is the uniform
+    first-order pick; dead ends terminate.
+
+    100 TB shape: per step, one walk→neighbors join (fans out to the
+    walk vertices' out-degrees — bounded by Δ·|walks|, never
+    graph-sized), one left join against the edge set for the t→x
+    adjacency flag, and one per-walk cumulative window whose
+    partitions are single-vertex neighbor lists."""
+    from pyspark.sql import Window
+
+    edges = relationships.select("source_id", "target_id").distinct()
+    nbrs = edges.localCheckpoint(eager=False)
+    adj = edges.select(
+        F.col("source_id").alias("__t"), F.col("target_id").alias("__x")
+    ).localCheckpoint(eager=False)
+    state = (
+        starts.select(F.col("dt_id").alias("start"))
+        .crossJoin(
+            F.broadcast(
+                starts.sparkSession.range(walks_per_node).select(
+                    F.col("id").alias("walk_no")
+                )
+            )
+        )
+        .withColumn("cur", F.col("start"))
+        .withColumn("prev", F.lit(None).cast("string"))
+    )
+    outs: list[DataFrame] = []
+    for k in range(1, max(0, steps) + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(salt), F.col("start"), F.col("walk_no"),
+                        F.lit(str(k)),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        cand = state.join(nbrs, state["cur"] == nbrs["source_id"]).select(
+            "start", "walk_no", "prev", "cur",
+            F.col("target_id").alias("__cand"),
+        )
+        if k == 1:
+            w = F.lit(1).cast("long")
+        else:
+            cand = cand.join(
+                adj,
+                (cand["prev"] == adj["__t"]) & (cand["__cand"] == adj["__x"]),
+                "left",
+            )
+            w = (
+                F.when(F.col("__cand") == F.col("prev"), F.lit(q))
+                .when(F.col("__x").isNotNull(), F.lit(p * q))
+                .otherwise(F.lit(p))
+                .cast("long")
+            )
+        wk = Window.partitionBy("start", "walk_no")
+        cum = F.sum(w).over(wk.orderBy("__cand"))
+        tot = F.sum(w).over(wk)
+        picked = (
+            cand.withColumn("__w", w)
+            .withColumn("__cum", cum)
+            .withColumn("__r", h % tot)
+            .filter(
+                (F.col("__cum") - F.col("__w") <= F.col("__r"))
+                & (F.col("__r") < F.col("__cum"))
+            )
+        )
+        state = picked.select(
+            "start", "walk_no",
+            F.col("cur").alias("prev"),
+            F.col("__cand").alias("cur"),
+        ).localCheckpoint(eager=False)
+        outs.append(
+            state.select(
+                "start", "walk_no", F.lit(k).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """(center, context, n_pairs) — skip-gram co-occurrence pairs from a
     :func:`random_walks` corpus: two walk positions within ``window``

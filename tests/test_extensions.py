@@ -2507,3 +2507,66 @@ def test_walk_skipgram_pairs_hand_computed(spark):
     }
     # window 2 adds the (a@1, a@3) pair in both directions on walk 0
     assert wide == {("a", "b"): 3, ("b", "a"): 3, ("a", "a"): 2}
+
+
+def test_node2vec_walks_match_pure_python(spark):
+    """r11: second-order biased walks replayed in pure Python — exact
+    integer alpha-weight cumulative picks (return=q, t->x edge=p*q,
+    else=p; step 1 uniform), dead-end termination."""
+    import hashlib
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        node2vec_walks,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("b", "d"),
+        ("a", "c"), ("c", "d"),
+    ]
+    rels = spark.createDataFrame(edges, "source_id string, target_id string")
+    starts = spark.createDataFrame([("a",), ("b",)], "dt_id string")
+    p_, q_ = 2, 3
+    got = {
+        (r["start"], r["walk_no"], r["step"]): r["node"]
+        for r in node2vec_walks(
+            rels, starts, steps=3, walks_per_node=2, p=p_, q=q_
+        ).collect()
+    }
+
+    nbrs = {}
+    eset = set(edges)
+    for s, t in sorted(eset):
+        nbrs.setdefault(s, []).append(t)
+
+    def H(start, walk_no, k):
+        return int(
+            hashlib.md5(f"n2v|{start}|{walk_no}|{k}".encode()).hexdigest()[:8],
+            16,
+        )
+
+    want = {}
+    for start in ("a", "b"):
+        for walk_no in (0, 1):
+            prev, cur = None, start
+            for k in (1, 2, 3):
+                outs = nbrs.get(cur)
+                if not outs:
+                    break
+                if k == 1:
+                    ws = [1] * len(outs)
+                else:
+                    ws = [
+                        q_ if x == prev
+                        else (p_ * q_ if (prev, x) in eset else p_)
+                        for x in outs
+                    ]
+                r = H(start, walk_no, k) % sum(ws)
+                cum = 0
+                for x, w in zip(outs, ws):
+                    cum += w
+                    if r < cum:
+                        nxt = x
+                        break
+                prev, cur = cur, nxt
+                want[(start, walk_no, k)] = cur
+    assert got == want
