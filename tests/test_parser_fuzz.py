@@ -42,6 +42,8 @@ _FRAGMENTS = st.sampled_from([
     "time(", "localtime(", "duration('P1D') * 3", "/ 2",
     "allShortestPaths(", "allShortestPaths((a)-[*..2]->(b))",
     ".quarters", ".milliseconds",
+    # r10 tail: endpoint accessors
+    "startNode(", "endNode(", "startNode(r)", "endNode(r)",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
