@@ -615,6 +615,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # integer dist_sum/n_reached first, closeness rounded at 6
     q["graph_closeness_centrality"] = _closeness
 
+    def _dist_distribution(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            distance_distribution,
+        )
+
+        st = _store(s, d)
+        sources = st.twins.filter(
+            F.col("dt_id").startswith("nation-")
+        ).select("dt_id")
+        return distance_distribution(st.relationships, sources, max_depth=3)
+
+    # r11: hop-distance histogram from the 25 nation sources — the
+    # pre-flight stat that sizes max_depth for sampled centralities
+    q["graph_distance_distribution"] = _dist_distribution
+
     def _betweenness(s, d):
         from pyspark.sql import functions as F
 
@@ -2507,6 +2524,18 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS n_reached, "
         "round(CAST(count(*) AS DOUBLE) / sum(d), 6) AS closeness "
         "FROM md WHERE d > 0 GROUP BY node"
+    )
+    o["graph_distance_distribution"] = (
+        "WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM ({_EDGES_SQL}) "
+        f"UNION ALL SELECT dst, src FROM ({_EDGES_SQL}))), "
+        "bfs(node, src, depth) AS ("
+        "SELECT 'nation-' || n_nationkey, 'nation-' || n_nationkey, 0 FROM nation "
+        "UNION SELECT e.dst, bfs.src, bfs.depth + 1 FROM bfs "
+        "JOIN e ON e.src = bfs.node WHERE bfs.depth < 3), "
+        "md AS (SELECT node, src, min(depth) AS d FROM bfs GROUP BY node, src) "
+        "SELECT CAST(d AS INT) AS depth, CAST(count(*) AS BIGINT) AS n_pairs "
+        "FROM md WHERE d > 0 GROUP BY d"
     )
     o["graph_betweenness_centrality"] = (
         # Brandes unrolled for max_depth=3: enumerate shortest WALKS

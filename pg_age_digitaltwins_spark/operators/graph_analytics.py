@@ -1118,6 +1118,29 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     )
 
 
+def distance_distribution(
+    relationships: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+) -> DataFrame:
+    """(depth, n_pairs) — hop-distance histogram from a sampled source
+    set over the undirected graph: how many (node, source) pairs sit at
+    each BFS distance 1..max_depth.  The pre-flight stat that sizes
+    ``max_depth`` for the sampled centralities (the analogue of
+    :func:`degree_distribution` for whole-graph algorithms): the depth
+    where the histogram stops growing is the sampled diameter, and the
+    pair counts ARE the frontier frames the centralities will carry.
+
+    Same shared multi-source BFS — O(max_depth) shuffles regardless of
+    source count; the rollup is a tiny map-side-combined aggregate."""
+    seen = _multi_source_bfs(relationships, sources, max_depth)
+    return (
+        seen.filter(F.col("depth") > 0)
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
 def closeness_centrality_sampled(
     relationships: DataFrame,
     sources: DataFrame,

@@ -2570,3 +2570,30 @@ def test_node2vec_walks_match_pure_python(spark):
                 prev, cur = cur, nxt
                 want[(start, walk_no, k)] = cur
     assert got == want
+
+
+def test_distance_distribution_hand_computed(spark):
+    """r11: hop histogram on a path graph a-b-c-d from sources {a, d}:
+    depth 1 has 4 pairs (a->b, b<-... undirected both sources), depth 2
+    has 2, depth 3 has 2 (a->d and d->a)."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        distance_distribution,
+    )
+
+    rels = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "source_id string, target_id string",
+    )
+    src = spark.createDataFrame([("a",), ("d",)], "dt_id string")
+    got = {
+        r["depth"]: r["n_pairs"]
+        for r in distance_distribution(rels, src, max_depth=3).collect()
+    }
+    # from a: b@1, c@2, d@3; from d: c@1, b@2, a@3
+    assert got == {1: 2, 2: 2, 3: 2}
+    # horizon cut at depth 2
+    got2 = {
+        r["depth"]: r["n_pairs"]
+        for r in distance_distribution(rels, src, max_depth=2).collect()
+    }
+    assert got2 == {1: 2, 2: 2}
