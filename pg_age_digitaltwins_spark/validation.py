@@ -707,6 +707,14 @@ def validate_model(
         v.append("@id exceeds the 128-character Interface DTMI limit")
     if "Interface" not in _types_of(doc):
         v.append("@type must include 'Interface'")
+    else:
+        # batch 15: an Interface may not be co-typed with a content
+        # kind (an element can't be both an Interface and a Property)
+        bad_co = [k for k in _types_of(doc) if k in _CONTENT_KINDS]
+        if bad_co:
+            v.append(
+                f"@type co-types Interface with content kinds {bad_co}"
+            )
     ctx = doc.get("@context")
     ctxs = [ctx] if isinstance(ctx, str) else list(ctx or [])
     if not any(c in _DTDL_CONTEXTS for c in ctxs):
@@ -821,6 +829,16 @@ def validate_model(
         if kind is None:
             v.append(f"{where}: @type {kinds!r} has no DTDL content kind")
             continue
+        # batch 15: an element has exactly ONE content kind — a
+        # ["Property", "Telemetry"] co-type used to silently validate
+        # as the first kind; DTDLParser rejects the combination
+        content_kinds = [k for k in kinds if k in _CONTENT_KINDS]
+        if len(content_kinds) > 1:
+            v.append(
+                f"{where}: @type lists multiple content kinds "
+                f"{content_kinds}; exactly one is allowed"
+            )
+            continue
         if not isinstance(name, str) or not _NAME_RE.match(name) or len(name) > 64:
             v.append(f"content name {name!r} is not a valid DTDL identifier")
             continue
@@ -898,6 +916,10 @@ def validate_model(
             ("response", ("Command",)),
             ("commandType", ("Command",)),
             ("nullable", ()),
+            # batch 15: `schema` is defined on Property, Telemetry and
+            # Component only — a Command or Relationship carrying a
+            # top-level schema is an UndefinedTerm
+            ("schema", ("Property", "Telemetry", "Component")),
         ):
             if item.get(term) is not None and kind not in kinds_ok:
                 v.append(f"{where}: {term} is not a {kind} property")
@@ -1065,6 +1087,14 @@ def validate_model(
                 allowed = SEMANTIC_UNITS.get(s)
                 if allowed is not None and unit is not None and unit not in allowed:
                     v.append(f"{where}: unit {unit!r} is not a valid {s} unit")
+        elif semantics:
+            # batch 15: semantic co-types are defined on Property and
+            # Telemetry only — a semantically-typed Relationship/
+            # Command/Component used to pass silently
+            v.append(
+                f"{where}: semantic type {semantics[0]!r} may only "
+                f"co-type a Property or Telemetry (found {kind})"
+            )
         elif unit is not None and not semantics:
             v.append(f"{where}: unit requires a semantic @type")
     for where, ann in pending_annotates:

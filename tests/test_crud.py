@@ -1172,6 +1172,48 @@ def test_validate_model_element_id_discipline_batch14():
         }]))
 
 
+def test_validate_model_cotype_rules_batch15():
+    """DTDL batch 15: exactly one content kind per element, no content
+    kinds co-typed onto the Interface itself, `schema` undefined on
+    Command/Relationship, semantic types only on Property/Telemetry."""
+    from pg_age_digitaltwins_spark.validation import ValidationError, validate_model
+
+    with pytest.raises(ValidationError, match="multiple content kinds"):
+        validate_model(_interface(contents=[{
+            "@type": ["Property", "Telemetry"], "name": "x",
+            "schema": "double",
+        }]))
+    with pytest.raises(ValidationError, match="co-types Interface"):
+        validate_model(_interface(**{"@type": ["Interface", "Property"]}))
+    with pytest.raises(ValidationError, match="schema is not a Command"):
+        validate_model(_interface(contents=[{
+            "@type": "Command", "name": "go", "schema": "double",
+        }]))
+    with pytest.raises(ValidationError, match="schema is not a Relationship"):
+        validate_model(_interface(contents=[{
+            "@type": "Relationship", "name": "knows", "schema": "double",
+        }]))
+    with pytest.raises(
+        ValidationError, match="may only co-type a Property or Telemetry"
+    ):
+        validate_model(_interface(
+            contents=[{"@type": ["Relationship", "Temperature"],
+                       "name": "knows"}],
+            **{"@context": "dtmi:dtdl:context;2"},
+        ))
+    # the legitimate shapes still accept
+    validate_model(_interface(contents=[
+        {"@type": "Property", "name": "p", "schema": "double"},
+        {"@type": "Relationship", "name": "knows"},
+        {"@type": "Command", "name": "go"},
+    ]))
+    validate_model(_interface(
+        contents=[{"@type": ["Property", "Temperature"], "name": "t",
+                   "schema": "double", "unit": "degreeCelsius"}],
+        **{"@context": "dtmi:dtdl:context;2"},
+    ))
+
+
 def test_named_schema_twin_value_validation(spark):
     """Twin values validate THROUGH named schema refs: enum membership
     is enforced for a dtmi:-referenced Enum, across create_models →
