@@ -337,6 +337,7 @@ def range_join(
     start_col: str = "session_start",
     end_col: str = "session_end",
     bin_minutes: int = 60,
+    max_bins_per_interval: int = 100_000,
 ) -> DataFrame:
     """Interval (range) join: every ``points`` row paired with every
     ``intervals`` row whose ``[start_col, end_col]`` contains its
@@ -354,17 +355,49 @@ def range_join(
     100 TB shape: one shuffle keyed by the bin; the interval side
     grows by (interval length / bin width) — pick ``bin_minutes`` near
     the median interval length so neither fan-out nor per-bin skew
-    dominates (hot bins are AQE skew-join territory)."""
+    dominates (hot bins are AQE skew-join territory).
+
+    ``max_bins_per_interval`` guards the explode: one corrupted interval
+    (a year-9999 ``end_col``) would otherwise expand to a multi-million
+    element ``sequence`` per row and die as an opaque executor OOM —
+    the same hazard the Cypher allShortestPaths per-pair cap guards.
+    Bins are FLOOR-based (not cast-truncation) so pre-1970 timestamps
+    bin identically to SQL engines' floor-division semantics."""
     sec = bin_minutes * 60
     p = points.withColumn(
-        "__bin", (F.unix_timestamp(point_ts) / sec).cast("long")
+        "__bin", F.floor(F.unix_timestamp(point_ts) / sec).cast("long")
     )
+    lo_bin = F.floor(F.unix_timestamp(start_col) / sec).cast("long")
+    hi_bin = F.floor(F.unix_timestamp(end_col) / sec).cast("long")
+    n_bins = hi_bin - lo_bin + F.lit(1)
     iv = intervals.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                (F.unix_timestamp(start_col) / sec).cast("long"),
-                (F.unix_timestamp(end_col) / sec).cast("long"),
+                lo_bin,
+                # r12 (ADVICE): cap the per-interval bin fan-out with a
+                # CLEAR runtime error naming the interval instead of an
+                # executor OOM / array-cap failure on corrupt bounds.
+                F.when(
+                    F.assert_true(
+                        n_bins <= F.lit(max_bins_per_interval),
+                        F.concat(
+                            F.lit("range_join(): interval ["),
+                            F.col(start_col).cast("string"),
+                            F.lit(", "),
+                            F.col(end_col).cast("string"),
+                            F.lit("] spans "),
+                            n_bins.cast("string"),
+                            F.lit(
+                                " bins, above the "
+                                f"{max_bins_per_interval} per-interval cap; "
+                                "raise bin_minutes, filter corrupt "
+                                "intervals, or raise max_bins_per_interval"
+                            ),
+                        ),
+                    ).isNull(),
+                    hi_bin,
+                ),
             )
         ),
     )
@@ -402,7 +435,10 @@ def gap_fill_locf(events: DataFrame, minutes: int = 60) -> DataFrame:
     order = F.struct(F.col("ts"), F.col("event_id"))
     obs = events.groupBy(
         "event_type",
-        (F.unix_timestamp("ts") / sec).cast("long").alias("bucket_id"),
+        # r12 (ADVICE): FLOOR, not cast-truncation — truncation rounds
+        # toward zero, so pre-1970 timestamps would land one bucket
+        # late vs the floor-division semantics SQL engines use.
+        F.floor(F.unix_timestamp("ts") / sec).cast("long").alias("bucket_id"),
     ).agg(
         F.max_by("value", order).alias("last_value"),
         F.count(F.lit(1)).alias("n_events"),

@@ -290,6 +290,13 @@ def _parse_ppm(content: bytes) -> tuple[int, int, int, int]:
             raise NotImplementedError("malformed PPM header")
     if len(tokens) < 3:
         raise NotImplementedError("malformed PPM header")
+    # r12 (ADVICE): a 2-byte-per-sample raster (maxval > 255) would
+    # silently decode as 1-byte samples and produce a corrupt resize —
+    # refuse it like any other unsupported codec.
+    if not 1 <= tokens[2] <= 255:
+        raise NotImplementedError(
+            f"resize supports 8-bit PPM only (maxval {tokens[2]})"
+        )
     return tokens[0], tokens[1], tokens[2], pos + 1
 
 

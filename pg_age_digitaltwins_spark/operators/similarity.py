@@ -827,8 +827,18 @@ def random_projection_int8(
     import hashlib
 
     if in_dim is None:
-        # 1-row probe for the (fixed) dimensionality — not a data scan
-        in_dim = len(embeddings.select("embedding").head()[0])
+        # 1-row probe for the (fixed) dimensionality — not a data scan.
+        # r12 (ADVICE): guard the probe — head() is None on an empty
+        # frame and row[0] is None on a NULL embedding; both previously
+        # died with an opaque TypeError.
+        row = embeddings.select("embedding").head()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "random_projection_int8: cannot infer in_dim from an "
+                "empty embeddings frame (or a NULL first embedding) — "
+                "pass in_dim explicitly"
+            )
+        in_dim = len(row[0])
 
     def sgn(i: int, j: int) -> int:
         h = hashlib.md5(f"{salt}-{i}-{j}".encode()).hexdigest()[0]

@@ -2597,3 +2597,86 @@ def test_distance_distribution_hand_computed(spark):
         for r in distance_distribution(rels, src, max_depth=2).collect()
     }
     assert got2 == {1: 2, 2: 2}
+
+
+def test_parse_ppm_rejects_16bit_maxval():
+    """r12 (ADVICE): maxval > 255 means 2 bytes per sample — decoding
+    it as uint8 silently corrupts the raster, so it must raise like
+    any other unsupported codec (maxval 0 likewise)."""
+    from pg_age_digitaltwins_spark.operators.multimodal import _parse_ppm
+
+    raster16 = bytes(12)  # 2x1 image, 2 bytes/sample
+    with pytest.raises(NotImplementedError, match="maxval"):
+        _parse_ppm(b"P6\n2 1\n65535\n" + raster16)
+    with pytest.raises(NotImplementedError, match="maxval"):
+        _parse_ppm(b"P6\n2 1\n0\n")
+    # 8-bit payloads still parse
+    assert _parse_ppm(b"P6\n2 1\n255\n" + bytes(6))[:3] == (2, 1, 255)
+
+
+def test_random_projection_empty_frame_clear_error(spark):
+    """r12 (ADVICE): the in_dim probe on an empty frame (or a NULL
+    first embedding) raises a clear ValueError naming the fix, not an
+    opaque TypeError; passing in_dim explicitly still works."""
+    empty = spark.createDataFrame([], "vec_id string, embedding array<float>")
+    with pytest.raises(ValueError, match="in_dim"):
+        similarity.random_projection_int8(empty)
+    nullrow = spark.createDataFrame(
+        [("v1", None)], "vec_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="in_dim"):
+        similarity.random_projection_int8(nullrow)
+    # explicit in_dim bypasses the probe; empty in → empty out
+    assert similarity.random_projection_int8(empty, in_dim=4).count() == 0
+
+
+def test_range_join_corrupt_interval_capped(spark):
+    """r12 (ADVICE): a corrupt interval (year-9999 end) explodes to
+    millions of bins — the per-interval cap raises a CLEAR error naming
+    the interval instead of an executor OOM; sane data is unaffected,
+    and pre-1970 rows bin floor-style (they still match)."""
+    from datetime import datetime
+
+    from pg_age_digitaltwins_spark.operators.events import range_join
+
+    points = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 1, 0)), (2, datetime(1969, 12, 31, 23, 30))],
+        "event_id long, ts timestamp",
+    )
+    corrupt = spark.createDataFrame(
+        [("bad", datetime(2024, 1, 1), datetime(9999, 1, 1))],
+        "iv string, session_start timestamp, session_end timestamp",
+    )
+    with pytest.raises(Exception, match="per-interval cap"):
+        range_join(points, corrupt, bin_minutes=60).collect()
+    # a pre-epoch interval joins its pre-epoch point (floor binning on
+    # both sides — cast-truncation would bin them into different hours)
+    pre = spark.createDataFrame(
+        [("p", datetime(1969, 12, 31, 23, 0), datetime(1969, 12, 31, 23, 59))],
+        "iv string, session_start timestamp, session_end timestamp",
+    )
+    got = {(r["event_id"], r["iv"]) for r in
+           range_join(points, pre, bin_minutes=60).collect()}
+    assert got == {(2, "p")}
+
+
+def test_gap_fill_locf_pre_epoch_floor_buckets(spark):
+    """r12 (ADVICE): bucketing is floor-division, so a 1969 timestamp
+    lands in the bucket STARTING at-or-before it (truncation toward
+    zero would shift pre-epoch rows one bucket late)."""
+    from datetime import datetime
+
+    from pg_age_digitaltwins_spark.operators.events import gap_fill_locf
+
+    ev = spark.createDataFrame(
+        [(1, datetime(1969, 12, 31, 23, 30), 1, "a", 5.0, "{}"),
+         (2, datetime(1970, 1, 1, 0, 30), 1, "a", 7.0, "{}")],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {r["bucket"]: (r["n_events"], r["value_locf"], r["is_gap"])
+           for r in gap_fill_locf(ev, minutes=60).collect()}
+    assert out == {
+        datetime(1969, 12, 31, 23): (1, 5.0, False),
+        datetime(1970, 1, 1, 0): (1, 7.0, False),
+    }
