@@ -102,3 +102,82 @@ def test_main_fatal_prints_message_then_json(monkeypatch, capsys):
     parsed = json.loads(lines[-1])
     assert parsed["fatal"].startswith("RuntimeError: cluster on fire")
     assert parsed["metric"] == "headline_total_wall"
+
+
+def test_compact_summary_small_and_complete(spark):
+    """r12 (verdict #5): the trailing compact record is < 1,500 chars
+    (the driver tail-captures 2,000) and carries headline value,
+    per-group totals, and the louvain min/spread/isolated triple."""
+    qs = _stub_queries(spark)
+    qs["graph_louvain"] = qs["k_ana_a"]
+    out = bench.run_benchmarks(
+        spark,
+        qs,
+        headline=["k_head_a", "k_head_b"],
+        analytics=["k_ana_a", "graph_louvain"],
+        cdc_fn=lambda: {
+            "events_per_sec": 1.0,
+            "tuned": {"steady_events_per_sec": 9.9},
+        },
+        repl_fn=lambda: {"rows_per_sec": 2.0},
+    )
+    c = bench.compact_summary(out)
+    line = json.dumps(c)
+    assert len(line) < 1500, f"compact line is {len(line)} chars"
+    assert c["compact"] is True
+    assert c["value"] == out["value"]
+    assert c["groups"]["queries_total"] == out["value"]
+    assert c["groups"]["cdc_tuned_steady_events_per_sec"] == 9.9
+    assert c["groups"]["replication_rows_per_sec"] == 2.0
+    # louvain carries min + isolated-first (spread needs > 1 pass —
+    # this run is RUNS=1, so spread is absent/None)
+    assert c["louvain"]["min"] == out["analytics"]["graph_louvain"]
+    assert c["louvain"]["isolated_first"] is not None
+
+
+def test_isolated_first_pass_recorded_and_counts_toward_min(spark):
+    """r12 (verdict #2): the slowest key runs once BEFORE the analytics
+    group; its wall lands in analytics_isolated_first and participates
+    in the recorded min; per-key spread is recorded when > 1 pass."""
+    qs = _stub_queries(spark)
+    qs["graph_louvain"] = qs["k_ana_a"]
+    out = bench.run_benchmarks(
+        spark,
+        qs,
+        headline=["k_head_a"],
+        analytics=["graph_louvain", "k_ana_a"],
+        cdc_fn=lambda: {"events_per_sec": 1.0},
+        repl_fn=lambda: {"rows_per_sec": 1.0},
+    )
+    iso = out["analytics_isolated_first"]
+    assert set(iso) == {"graph_louvain"}
+    # min over (isolated pass + group passes)
+    assert out["analytics"]["graph_louvain"] <= iso["graph_louvain"]
+    # spread exists for the isolated key (2+ samples even at RUNS=1)
+    assert "graph_louvain" in out["analytics_spread"]
+    assert out["analytics_spread"]["graph_louvain"] >= 0.0
+    json.dumps(out)
+
+
+def test_main_success_prints_full_then_compact(monkeypatch, capsys, spark):
+    """The success path ends with the compact line — a 2,000-char tail
+    capture always ends with parseable numbers."""
+    monkeypatch.setattr(bench, "get_spark", lambda _name: spark)
+    monkeypatch.setattr(
+        bench.entrymod, "queries", lambda: _stub_queries(spark)
+    )
+    monkeypatch.setattr(
+        bench, "run_benchmarks",
+        lambda s, q, **kw: {
+            "metric": "headline_total_wall", "value": 1.23, "unit": "sec",
+            "sf": "x", "queries": {"k": 1.23},
+        },
+    )
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    bench.main()
+    lines = capsys.readouterr().out.strip().splitlines()
+    full = json.loads(lines[-2])
+    compact = json.loads(lines[-1])
+    assert full["value"] == 1.23
+    assert compact["compact"] is True and compact["value"] == 1.23
+    assert len(lines[-1]) < 1500
