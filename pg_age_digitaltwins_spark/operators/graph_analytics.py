@@ -182,6 +182,11 @@ def pagerank(
     source's outgoing edges BEFORE the target encode join, so mass sent
     to a non-twin target leaks (pre-r10 and oracle semantics) instead
     of silently redistributing to the surviving targets."""
+    # Lazy is retry-safe HERE, unlike Louvain's eager vid_map pin: this
+    # encode has no orderBy (no range-shuffle sampling nondeterminism —
+    # mono_id over a stable parquet-scan partitioning is deterministic
+    # per layout), and the verts.count() below materializes the
+    # checkpoint in the very next job, before any consumer forks.
     vid_map = (
         twins.select("dt_id")
         .select("dt_id", F.monotonically_increasing_id().alias("vid"))
