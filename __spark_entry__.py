@@ -1714,51 +1714,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # analytics, dedup, text, embeddings, events, TPC-H, sampling) —
 # value-checked representatives first.  Pure reorder: no query or
 # oracle definition changes.
-# r11: 16 of the 50 keys rotated (same family balance), prioritizing
-# NEVER-driver-gated keys per the r10 verdict — the r10-new centrality
-# suite (closeness/betweenness/eigenvector), allShortestPaths, the
-# shortestPath re-entry, plus long-ungated keys across every family
-# (TOP(n), STARTSWITH, keyset paging, L2 top-k, model rollup, char
-# entropy, LSH recall gate, int8 quantization, daily retention, Q12
-# volume shipping, multimodal metadata).  The swapped-out keys stay on
-# the full self-run board (scripts/oracle_check.py / ORACLE_r11.txt).
-# Pure reorder: no query or oracle definition changes.
+# r12: 18 of the 50 keys rotated (same family balance), all 18
+# FIRST-time driver-gated per the r11 verdict — the nine r11-new
+# value-checked operators lead (weighted shortest paths, gap-fill LOCF,
+# bucketed range join, PPM resize, random walks, node2vec walks,
+# skip-gram pairs, JL projection, distance distribution), then
+# long-ungated keys across every family (RETURN *, CASE WHEN, regex
+# match, list comprehension, clustering coefficient, vocab stats,
+# interarrival, Q-top-customer-revenue, weighted reservoir).  The
+# swapped-out keys stay on the full self-run board
+# (scripts/oracle_check.py / ORACLE_r12.txt).  Pure reorder: no query
+# or oracle definition changes.
 _DRIVER_WINDOW = [
-    # ADT QL (10) — rotated in: TOP(n), STARTSWITH
+    # ADT QL (10) — unchanged anchors (full family representation)
     "adt_count_twins", "adt_top_n", "adt_startswith",
     "adt_is_of_model_inheritance", "adt_match_3hop", "adt_match_undirected",
     "adt_join_related_2hop", "adt_rel_prop_filter", "adt_match_multilabel",
     "adt_select_star_point",
-    # Cypher (10) — rotated in: allShortestPaths (r10-new, never gated),
-    # shortestPath re-entry, ORDER BY/SKIP/LIMIT keyset paging,
-    # l2_distance top-k
-    "cypher_exists_subquery", "cypher_all_shortest_paths",
+    # Cypher (10) — rotated in: RETURN *, CASE WHEN, regex match,
+    # list comprehension (all never gated)
+    "cypher_return_star", "cypher_all_shortest_paths",
     "cypher_shortest_path", "cypher_var_length", "cypher_order_skip_limit",
-    "cypher_l2_distance_topk", "cypher_duration_between",
-    "cypher_count_subquery", "cypher_with_entity_agg_continuation",
+    "cypher_l2_distance_topk", "cypher_case_when",
+    "cypher_regex_match", "cypher_list_comprehension",
     "cypher_call_topk_per_entity",
-    # graph analytics (6) — rotated in: the full r10 centrality tail
-    # (closeness / betweenness / eigenvector) + the model rollup
-    "graph_connected_components", "graph_pagerank",
-    "graph_closeness_centrality", "graph_betweenness_centrality",
-    "graph_eigenvector_centrality", "agg_twins_by_model",
-    # dedup + text pipeline (10) — rotated in: char entropy, the LSH
-    # dedup recall gate, multimodal metadata extraction
-    "dedup_exact_stats", "multimodal_meta", "dedup_embedding_cosine",
-    "text_char_entropy", "dedup_keep_best", "text_decontaminate",
+    # graph analytics (6) — rotated in: the five r11-new walk/path ops
+    # + clustering coefficient (never gated); CC/PageRank/centralities
+    # rotate out after 2+ gated rounds (still benched + full-board)
+    "graph_weighted_shortest_paths", "graph_random_walks",
+    "graph_node2vec_walks", "graph_walk_skipgram_pairs",
+    "graph_distance_distribution", "graph_clustering_coefficient",
+    # dedup + text pipeline (10) — rotated in: the real PPM resize
+    # kernel, vocab stats
+    "dedup_exact_stats", "multimodal_resize", "dedup_embedding_cosine",
+    "text_vocab_stats", "dedup_keep_best", "text_decontaminate",
     "text_ngram_jaccard", "dedup_lsh_recall", "text_lm_score",
     "pipeline_clean_corpus",
-    # embeddings / ANN (4) — rotated in: int8 quantization kernel
-    "embed_knn_topk", "embed_quantize_int8", "embed_ann_lsh_multi",
+    # embeddings / ANN (4) — rotated in: JL sign random projection
+    "embed_knn_topk", "embed_random_projection", "embed_ann_lsh_multi",
     "embed_ann_recall",
-    # events (5) — rotated in: daily retention cohorts
+    # events (5) — rotated in: gap-fill LOCF, bucketed range join,
+    # interarrival deltas
     "events_sessionize", "events_top_users_per_type",
-    "events_daily_retention", "events_funnel", "events_ohlc",
-    # TPC-H (4) — rotated in: volume shipping (Q12 shape)
+    "events_gap_fill_locf", "events_range_join_sessions",
+    "events_interarrival",
+    # TPC-H (4) — rotated in: top customer revenue
     "tpch_pricing_summary", "tpch_revenue_by_nation",
-    "tpch_volume_shipping", "tpch_min_cost_supplier",
-    # sampling (1)
-    "sample_mixture",
+    "tpch_top_customer_revenue", "tpch_min_cost_supplier",
+    # sampling (1) — rotated in: weighted reservoir
+    "sample_weighted_reservoir",
 ]
 
 
