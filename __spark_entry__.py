@@ -776,6 +776,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vs an unrolled SQL replay
     q["graph_node2vec_walks"] = _node2vec
 
+    def _skipgram_corpus(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            random_walks,
+            walk_skipgram_pairs,
+        )
+
+        st = _store(s, d)
+        starts = st.twins.filter(
+            F.col("dt_id").startswith("order-")
+            & (
+                F.element_at(F.split("dt_id", "-"), 2).cast("long") % 100
+                == 0
+            )
+        ).select("dt_id")
+        walks = random_walks(st.relationships, starts, steps=4,
+                             walks_per_node=2)
+        return walk_skipgram_pairs(walks, window=2)
+
+    def _node_embeddings(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            node_embeddings_ri,
+        )
+
+        emb = node_embeddings_ri(_skipgram_corpus(s, d), dim=16, salt="ri")
+        return emb.select(
+            "dt_id",
+            F.array_join(
+                F.transform("embedding", lambda x: x.cast("string")), ","
+            ).alias("emb_csv"),
+        )
+
+    # r12 (verdict #3): the embedding TRAINER stage between the walk
+    # corpus and the ANN consumers — random-indexing embeddings
+    # (exact-BIGINT count × md5-sign sums), value-checked end-to-end
+    # through walks → skip-gram → trainer
+    q["graph_node_embeddings"] = _node_embeddings
+
+    def _node_embeddings_sgd(s, d):
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            node_embeddings_sgd,
+        )
+
+        return node_embeddings_sgd(
+            _skipgram_corpus(s, d), dim=16, epochs=10, lr=0.5,
+            negative=3, shards=8,
+        )
+
+    # r12: the SGNS (word2vec) trainer — deterministic (md5 init/
+    # negatives, sorted visits, sorted shard merge) but gradient
+    # arithmetic is not SQL-expressible: rows-only here, quality
+    # pinned by graph_embedding_recall below
+    q["graph_node_embeddings_sgd"] = _node_embeddings_sgd
+
+    def _embedding_recall(s, d):
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            embedding_neighbor_recall,
+            node_embeddings_ri,
+            node_embeddings_sgd,
+        )
+
+        pairs = _skipgram_corpus(s, d).localCheckpoint()
+        ri = embedding_neighbor_recall(
+            pairs, node_embeddings_ri(pairs, dim=16), k=5, probes=20,
+            floor=0.3, method="ri", truth_weighting="count",
+        )
+        sgd = embedding_neighbor_recall(
+            pairs,
+            node_embeddings_sgd(pairs, dim=16, epochs=10, lr=0.5,
+                                negative=3, shards=8),
+            k=5, probes=20, floor=0.25, method="sgd",
+            truth_weighting="ppmi",
+        )
+        return ri.unionByName(sgd).select("method", "meets_floor")
+
+    # r12: the trainer quality gate (same shape as embed_ann_recall):
+    # top-k embedding-cosine neighbors vs EXACT cosine over the sparse
+    # co-occurrence vectors — count-space truth for the count-linear
+    # trainer, PPMI-space truth for SGNS (it factorizes shifted PMI).
+    # Floors carry measured margin (ri 0.50 vs 0.3; sgd 0.33 vs 0.25
+    # at sf0.01).
+    q["graph_embedding_recall"] = _embedding_recall
+
     def _degrees(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import (
             degree_distribution,
@@ -2584,6 +2670,25 @@ def oracle_sql() -> dict[str, str]:
     o["graph_random_walks"] = _random_walks_oracle()
     o["graph_walk_skipgram_pairs"] = _skipgram_oracle()
     o["graph_node2vec_walks"] = _node2vec_oracle()
+    # r12: the trainer — RI embeddings as exact BIGINT sign-sums over
+    # the same unrolled skip-gram corpus (nested CTE), serialized to a
+    # CSV string for hashing like embed_random_projection
+    o["graph_node_embeddings"] = (
+        "WITH pairs AS (" + _skipgram_oracle() + "), "
+        "dims AS (SELECT unnest(generate_series(0, 15)) AS j), "
+        "e AS (SELECT center, j, sum(n_pairs * CASE WHEN "
+        "substr(md5('ri-' || j || '-' || context), 1, 1) IN "
+        "('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS v "
+        "FROM pairs CROSS JOIN dims GROUP BY center, j) "
+        "SELECT center AS dt_id, array_to_string(list(CAST(v AS VARCHAR) "
+        "ORDER BY j), ',') AS emb_csv FROM e GROUP BY center"
+    )
+    # the SGNS trainer is rows-only by design (gradient arithmetic);
+    # its quality is pinned by the recall gate's constant-true oracle
+    o["graph_embedding_recall"] = (
+        "SELECT 'ri' AS method, true AS meets_floor "
+        "UNION ALL SELECT 'sgd', true"
+    )
     o["graph_degree_distribution"] = (
         f"WITH edges AS ({_EDGES_SQL}), "
         f"deg AS (SELECT t.dt_id, "

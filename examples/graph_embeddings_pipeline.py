@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from pg_age_digitaltwins_spark import get_spark
 from pg_age_digitaltwins_spark.operators import similarity
 from pg_age_digitaltwins_spark.operators.graph_analytics import (
+    embedding_neighbor_recall,
     node2vec_walks,
+    node_embeddings_ri,
+    node_embeddings_sgd,
     random_walks,
     walk_skipgram_pairs,
 )
@@ -61,6 +64,40 @@ def main() -> None:
     print(f"skip-gram pairs: {pairs.count()} distinct (center, context)")
     for r in top:
         print(f"  {r['center']} ↔ {r['context']}: {r['n_pairs']}")
+
+    # 3b. TRAIN node embeddings from the pair corpus (r12) — the stage
+    #     between the corpus and the ANN consumers: random indexing
+    #     (exact BIGINT, distributed at any vocab) and SGNS word2vec
+    #     (gradient trainer, vocab-bounded), both md5-deterministic,
+    #     both scored against the exact co-occurrence geometry
+    pairs = pairs.localCheckpoint()
+    node_emb = node_embeddings_ri(pairs, dim=16)
+    print(f"RI node embeddings: {node_emb.count()} x 16 (exact BIGINT)")
+    sgd_emb = node_embeddings_sgd(pairs, dim=16, epochs=10, lr=0.5,
+                                  negative=3, shards=8)
+    for row in (
+        embedding_neighbor_recall(pairs, node_emb, method="ri")
+        .unionByName(
+            embedding_neighbor_recall(pairs, sgd_emb, method="sgd",
+                                      truth_weighting="ppmi", floor=0.25)
+        )
+        .collect()
+    ):
+        print(f"  trainer {row['method']}: recall@5 {row['recall_at_k']}"
+              f" meets_floor={row['meets_floor']}")
+
+    # 3c. the trained node embeddings feed the SAME compression path
+    #     as any embedding column: int8 quantize + LSH bucketing
+    node_vecs = node_emb.select(
+        F.col("dt_id").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("float")).alias(
+            "embedding"
+        ),
+    )
+    node_proj = similarity.random_projection_int8(
+        node_vecs, out_dim=8, in_dim=16
+    )
+    print(f"projected node embeddings: {node_proj.count()} x 8")
 
     # 4. compress the (pre-trained, here: fixture) embedding table —
     #    int8 scalar quantization then a 16-dim JL sign projection, all

@@ -1123,6 +1123,410 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     )
 
 
+def node_embeddings_ri(
+    pairs: DataFrame,
+    dim: int = 16,
+    salt: str = "ri",
+    weighting: str = "count",
+) -> DataFrame:
+    """(dt_id, embedding) — RANDOM-INDEXING node embeddings from a
+    skip-gram co-occurrence corpus (Kanerva/Sahlgren random indexing,
+    the incremental count-based embedding trainer): each context node
+    x carries a ±1 md5-derived index vector, and a node's embedding is
+    the weighted sum of the index vectors of everything it co-occurs
+    with::
+
+        emb_j(c) = Σ_x w(c, x) · sign(j, x)
+        sign(j, x) = +1 iff md5(f"{salt}-{j}-{x}")[0] in '0'..'7'
+
+    This is the distributed-exact member of the trainer family: with
+    ``weighting="count"`` (w = n_pairs) every term is BIGINT and the
+    sum is order-independent, so the embedding VALUE-CHECKS against any
+    SQL engine — same construction discipline as the JL projection.
+    ``weighting="ppmi"`` reweights by positive PMI (ln((n·N)/(cnt_c·
+    cnt_x)) clipped at 0, float, the word2vec-equivalent weighting per
+    Levy & Goldberg 2014) — better geometry for retrieval, but float
+    sums are summation-order-dependent, so PPMI output is for
+    consumers, not for cross-engine hashing.
+
+    100 TB shape: ONE map-side-combined groupBy on the center key —
+    the ``dim`` per-dimension sums are independent partial aggregates
+    in the same exchange, the sign is computed inline (md5 in
+    whole-stage codegen, no sign matrix to ship since contexts are
+    unbounded), and nothing is vocab-bounded: unlike SGD trainers the
+    model never materializes driver-side, so this path scales to
+    billion-node vocabularies.  PPMI adds two node-sized marginal
+    aggregates joined back (broadcast when small) and a 1-row total
+    carried by crossJoin."""
+    if weighting not in ("count", "ppmi"):
+        raise ValueError(f"unknown weighting {weighting!r}")
+
+    def sign(j: int):
+        return F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}-{j}-"), F.col("context"))),
+                1, 1,
+            ).isin(*list("01234567")),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+
+    if weighting == "count":
+        w = F.col("n_pairs").cast("long")
+        zero = F.lit(0).cast("long")
+        aggs = [
+            F.coalesce(F.sum(w * sign(j)), zero).alias(f"__e{j}")
+            for j in range(dim)
+        ]
+    else:
+        cc = pairs.groupBy("center").agg(F.sum("n_pairs").alias("__cnt_c"))
+        cx = pairs.groupBy("context").agg(F.sum("n_pairs").alias("__cnt_x"))
+        tot = pairs.agg(F.sum("n_pairs").alias("__n_tot"))
+        pairs = (
+            pairs.join(F.broadcast(cc), "center")
+            .join(F.broadcast(cx), "context")
+            .crossJoin(F.broadcast(tot))
+        )
+        w = F.greatest(
+            F.lit(0.0),
+            F.log(
+                (F.col("n_pairs") * F.col("__n_tot"))
+                / (F.col("__cnt_c") * F.col("__cnt_x"))
+            ),
+        )
+        aggs = [F.sum(w * sign(j)).alias(f"__e{j}") for j in range(dim)]
+    return (
+        pairs.groupBy("center")
+        .agg(*aggs)
+        .select(
+            F.col("center").alias("dt_id"),
+            F.array(*[F.col(f"__e{j}") for j in range(dim)]).alias(
+                "embedding"
+            ),
+        )
+    )
+
+
+def node_embeddings_sgd(
+    pairs: DataFrame,
+    dim: int = 8,
+    epochs: int = 2,
+    lr: float = 0.1,
+    negative: int = 2,
+    shards: int = 8,
+    salt: str = "sgd",
+    combine: str = "in+out",
+) -> DataFrame:
+    """(dt_id, embedding) — word2vec-style SGNS (skip-gram with
+    negative sampling) trained over the (center, context, n_pairs)
+    corpus: the gradient-descent member of the trainer family, for
+    when count-linear embeddings (:func:`node_embeddings_ri`) aren't
+    enough.  Parameter-averaged hogwild sharding:
+
+    1. pairs hash into ``shards`` buckets (md5 of the pair — stable
+       under repartitioning);
+    2. each shard trains locally inside one Arrow-batched
+       ``applyInPandas`` task — rows sorted by (center, context) so
+       per-shard SGD is DETERMINISTIC; negative contexts are md5-picks
+       from the broadcast vocab; the positive gradient is scaled by
+       ln(1 + n_pairs) (sub-linear multiplicity, the standard corpus
+       dampening);
+    3. shard models average per node, weighted by touch count, and the
+       average re-broadcasts for the next epoch (Zinkevich et al.'s
+       parameter averaging).
+
+    Fully deterministic end-to-end (md5 init, md5 negatives, sorted
+    visit order, weighted-mean merge) but NOT SQL-expressible — the
+    driver records the rows-only check; quality is gated by
+    :func:`embedding_neighbor_recall`.
+
+    Scale note (honest bound): parameter averaging broadcasts the
+    model each epoch, so the VOCABULARY must fit executor memory —
+    ~1 GB per 10M nodes at dim 8.  Same bound as the BPE trainer's
+    vocab stage; beyond it, use :func:`node_embeddings_ri`, which has
+    no driver-side state at any vocabulary size."""
+    import hashlib
+
+    spark = pairs.sparkSession
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    vocab = sorted(
+        r[0]
+        for r in pairs.select("center").union(pairs.select("context"))
+        .distinct().collect()
+    )
+    v_index = {v: i for i, v in enumerate(vocab)}
+    nv = len(vocab)
+    if nv == 0:
+        return spark.createDataFrame(
+            [], "dt_id string, embedding array<double>"
+        )
+
+    import numpy as np
+
+    # deterministic md5 init in [-0.5/dim, 0.5/dim) — word2vec's
+    # canonical init range, seedless
+    def init_row(v: str, tag: str) -> "np.ndarray":
+        return np.array(
+            [
+                ((h64(f"{salt}|{tag}|{v}|{j}") % 100_000) / 100_000.0 - 0.5)
+                / dim
+                for j in range(dim)
+            ]
+        )
+
+    w_in = np.stack([init_row(v, "in") for v in vocab])
+    w_out = np.stack([init_row(v, "out") for v in vocab])
+
+    shard_col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), "center", "context")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % shards
+    ).alias("__shard")
+    sharded = pairs.select("center", "context", "n_pairs", shard_col)
+    out_schema = (
+        "shard long, idx long, touch long, "
+        "vec_in array<double>, vec_out array<double>"
+    )
+
+    for _ in range(epochs):
+        b_in = spark.sparkContext.broadcast(w_in)
+        b_out = spark.sparkContext.broadcast(w_out)
+
+        def train(pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            li, lo = b_in.value.copy(), b_out.value.copy()
+            touch = _np.zeros(nv, dtype=_np.int64)
+            pdf = pdf.sort_values(["center", "context"])
+            for r in pdf.itertuples(index=False):
+                ci = v_index[r.center]
+                xi = v_index[r.context]
+                g = lr * float(_np.log1p(r.n_pairs))
+                # positive: push center's in-vec toward context out-vec
+                z = float(li[ci] @ lo[xi])
+                s = 1.0 / (1.0 + _np.exp(-z))
+                grad = g * (1.0 - s)
+                li_c = li[ci].copy()
+                li[ci] += grad * lo[xi]
+                lo[xi] += grad * li_c
+                touch[ci] += 1
+                touch[xi] += 1
+                # negatives: md5-picked vocab rows, pushed away
+                for t in range(negative):
+                    ni = h64(f"{salt}|neg|{r.center}|{r.context}|{t}") % nv
+                    if ni == xi:
+                        continue
+                    zn = float(li[ci] @ lo[ni])
+                    sn = 1.0 / (1.0 + _np.exp(-zn))
+                    gn = g * (0.0 - sn)
+                    li_c = li[ci].copy()
+                    li[ci] += gn * lo[ni]
+                    lo[ni] += gn * li_c
+                    touch[ni] += 1
+            idx = _np.nonzero(touch)[0]
+            return _pd.DataFrame(
+                {
+                    "shard": int(pdf["__shard"].iloc[0]) if len(pdf) else -1,
+                    "idx": idx,
+                    "touch": touch[idx],
+                    "vec_in": [li[i].tolist() for i in idx],
+                    "vec_out": [lo[i].tolist() for i in idx],
+                }
+            )
+
+        rows = (
+            sharded.groupBy("__shard")
+            .applyInPandas(train, out_schema)
+            .collect()
+        )
+        # touch-weighted parameter average; untouched nodes keep the
+        # previous epoch's vectors.  Sorted (idx, shard) accumulation:
+        # collect() order varies run to run, and float addition is not
+        # commutative at the ulp — the sort makes the merged model (and
+        # therefore the recall gate) bit-deterministic.
+        rows = sorted(rows, key=lambda r: (r["idx"], r["shard"]))
+        acc_in = np.zeros_like(w_in)
+        acc_out = np.zeros_like(w_out)
+        wsum = np.zeros(nv)
+        for r in rows:
+            i = int(r["idx"])
+            t = float(r["touch"])
+            acc_in[i] += t * np.array(r["vec_in"])
+            acc_out[i] += t * np.array(r["vec_out"])
+            wsum[i] += t
+        seen = wsum > 0
+        w_in[seen] = acc_in[seen] / wsum[seen, None]
+        w_out[seen] = acc_out[seen] / wsum[seen, None]
+        b_in.unpersist()
+        b_out.unpersist()
+
+    # in+out (Pennington et al.'s W + C̃) measurably improves
+    # distributional-similarity retrieval on small corpora; "in"
+    # returns the classic word2vec input matrix
+    final = w_in + w_out if combine == "in+out" else w_in
+    return spark.createDataFrame(
+        [(v, [float(x) for x in final[v_index[v]]]) for v in vocab],
+        "dt_id string, embedding array<double>",
+    )
+
+
+def embedding_neighbor_recall(
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    probes: int = 20,
+    floor: float = 0.3,
+    method: str = "ri",
+    truth_weighting: str = "count",
+) -> DataFrame:
+    """(method, recall_at_k, meets_floor) — the trainer quality gate
+    (same shape as the ANN recall gates): for the ``probes`` nodes
+    with the largest co-occurrence mass, compare the top-``k``
+    neighbors by embedding cosine against the top-``k`` by EXACT
+    cosine over the sparse co-occurrence vectors — the distributional
+    similarity the embedding is supposed to compress (random indexing
+    approximates exactly this inner product; SGNS factorizes the
+    shifted PMI of the same matrix).  A trainer that fails the floor
+    regressed: geometry no longer reflects the corpus.
+
+    100 TB shape: ground truth is a probe-filtered join — only the
+    ``probes`` rows fan out against the pair corpus on the shared
+    context key, so the exact-cosine side is probe-bounded, never
+    all-pairs; probe vectors broadcast (probes × dim is bytes);
+    candidate scoring is one map-side pass over the embedding table +
+    a top-k window — brute force by design because it's a GATE over a
+    sampled probe set, not a serving path (serving is the
+    LSH/IVF/PQ family)."""
+    from pyspark.sql import Window
+
+    if truth_weighting not in ("count", "ppmi"):
+        raise ValueError(f"unknown truth_weighting {truth_weighting!r}")
+    probe_nodes = (
+        pairs.groupBy("center")
+        .agg(F.sum("n_pairs").alias("__mass"))
+        .orderBy(F.desc("__mass"), F.asc("center"))
+        .limit(probes)
+        .select("center")
+    )
+    # the exact vector each trainer is supposed to compress: raw
+    # counts for the count-linear trainers, positive PMI for the
+    # PMI-family (SGNS factorizes shifted PMI — Levy & Goldberg 2014)
+    if truth_weighting == "ppmi":
+        cc = pairs.groupBy("center").agg(F.sum("n_pairs").alias("__cnt_c"))
+        cx = pairs.groupBy("context").agg(F.sum("n_pairs").alias("__cnt_x"))
+        tot = pairs.agg(F.sum("n_pairs").alias("__n_tot"))
+        pairs = (
+            pairs.join(F.broadcast(cc), "center")
+            .join(F.broadcast(cx), "context")
+            .crossJoin(F.broadcast(tot))
+            .withColumn(
+                "__w",
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        (F.col("n_pairs") * F.col("__n_tot"))
+                        / (F.col("__cnt_c") * F.col("__cnt_x"))
+                    ),
+                ),
+            )
+            .filter(F.col("__w") > 0)
+            .select("center", "context", F.col("__w").alias("__wt"))
+        )
+    else:
+        pairs = pairs.select(
+            "center", "context", F.col("n_pairs").cast("double").alias("__wt")
+        )
+    # exact cosine: dot of the probe's and candidate's weighted
+    # co-occurrence vectors over the shared contexts, over the l2
+    # norms of each node's full vector
+    norms = pairs.groupBy("center").agg(
+        F.sqrt(F.sum(F.col("__wt") * F.col("__wt"))).alias("__nrm")
+    )
+    left = pairs.join(F.broadcast(probe_nodes), "center").select(
+        F.col("center").alias("__probe"),
+        "context",
+        F.col("__wt").alias("__na"),
+    )
+    right = pairs.select(
+        F.col("center").alias("__cand"),
+        "context",
+        F.col("__wt").alias("__nb"),
+    )
+    truth_w = Window.partitionBy("__probe").orderBy(
+        F.desc("__tcos"), F.asc("__cand")
+    )
+    truth = (
+        left.join(right, "context")
+        .filter(F.col("__cand") != F.col("__probe"))
+        .groupBy("__probe", "__cand")
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__dot"))
+        .join(norms.withColumnRenamed("center", "__probe"), "__probe")
+        .withColumnRenamed("__nrm", "__np")
+        .join(norms.withColumnRenamed("center", "__cand"), "__cand")
+        .withColumn("__tcos", F.col("__dot") / (F.col("__np") * F.col("__nrm")))
+        .withColumn("__rk", F.row_number().over(truth_w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("__probe").alias("center"), F.col("__cand").alias("context")
+        )
+    )
+    probe_vecs = embeddings.join(
+        F.broadcast(probe_nodes),
+        embeddings["dt_id"] == probe_nodes["center"],
+    ).select(
+        F.col("center").alias("__probe"),
+        F.col("embedding").alias("__pvec"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("__pvec"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cand_w = Window.partitionBy("__probe").orderBy(
+        F.desc("__cos"), F.asc("dt_id")
+    )
+    got = (
+        embeddings.crossJoin(F.broadcast(probe_vecs))
+        .filter(F.col("dt_id") != F.col("__probe"))
+        .withColumn(
+            "__cos",
+            F.when(
+                (norm("embedding") > 0) & (norm("__pvec") > 0),
+                dot / (norm("embedding") * norm("__pvec")),
+            ).otherwise(F.lit(-2.0)),
+        )
+        .withColumn("__rk", F.row_number().over(cand_w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("__probe").alias("center"), F.col("dt_id").alias("context")
+        )
+    )
+    hits = truth.join(got, ["center", "context"]).count()
+    denom = truth.count()
+    recall = (hits / denom) if denom else 0.0
+    return pairs.sparkSession.createDataFrame(
+        [(method, float(round(recall, 4)), recall >= floor)],
+        "method string, recall_at_k double, meets_floor boolean",
+    )
+
+
 def distance_distribution(
     relationships: DataFrame,
     sources: DataFrame,

@@ -2680,3 +2680,136 @@ def test_gap_fill_locf_pre_epoch_floor_buckets(spark):
         datetime(1969, 12, 31, 23): (1, 5.0, False),
         datetime(1970, 1, 1, 0): (1, 7.0, False),
     }
+
+
+def test_node_embeddings_ri_matches_pure_python(spark):
+    """r12: random-indexing embeddings — exact-integer replay: for a
+    hand-built pair corpus, emb_j(c) = sum_x n(c,x) * sign(j,x) with
+    the md5 sign coin, reproduced in pure Python."""
+    import hashlib
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        node_embeddings_ri,
+    )
+
+    rows = [("a", "b", 3), ("a", "c", 1), ("b", "a", 3), ("c", "a", 1),
+            ("b", "c", 2), ("c", "b", 2)]
+    pairs = spark.createDataFrame(
+        rows, "center string, context string, n_pairs long"
+    )
+    dim = 6
+    got = {
+        r["dt_id"]: list(r["embedding"])
+        for r in node_embeddings_ri(pairs, dim=dim, salt="t").collect()
+    }
+
+    def sgn(j, x):
+        return (
+            1
+            if hashlib.md5(f"t-{j}-{x}".encode()).hexdigest()[0] in "01234567"
+            else -1
+        )
+
+    want = {}
+    for c in ("a", "b", "c"):
+        ctx = [(x, n) for (cc, x, n) in rows if cc == c]
+        want[c] = [sum(n * sgn(j, x) for x, n in ctx) for j in range(dim)]
+    assert got == want
+
+
+def test_node_embeddings_ri_ppmi_weighting(spark):
+    """PPMI weighting: a pair whose observed count equals the
+    independence expectation gets weight 0 (ln 1), so it contributes
+    nothing; negative-PMI pairs clip to 0 too."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        node_embeddings_ri,
+    )
+
+    # N = 8; cnt(a)=4=cnt(b'); pair (a,b') has n=2 = 4*4/8 -> PMI 0
+    rows = [("a", "x", 2), ("a", "y", 2), ("q", "x", 2), ("q", "y", 2)]
+    # every pair here: n=2, cnt_c=4, cnt_x=4, N=8 -> lift = 2*8/16 = 1
+    pairs = spark.createDataFrame(
+        rows, "center string, context string, n_pairs long"
+    )
+    out = node_embeddings_ri(pairs, dim=4, weighting="ppmi").collect()
+    for r in out:
+        assert all(abs(v) < 1e-12 for v in r["embedding"]), r
+    with pytest.raises(ValueError, match="weighting"):
+        node_embeddings_ri(pairs, weighting="bogus")
+
+
+def test_node_embeddings_sgd_deterministic_and_learns(spark):
+    """r12: the SGNS trainer — bit-identical across two runs (md5
+    init/negatives, sorted visit order, sorted shard merge), and on a
+    two-cluster corpus it separates the clusters: same-cluster cosine
+    exceeds cross-cluster cosine."""
+    import numpy as np
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        node_embeddings_sgd,
+    )
+
+    # two 3-cliques of co-occurrence, bridged weakly
+    def clique(names, n):
+        return [
+            (a, b, n) for a in names for b in names if a != b
+        ]
+
+    rows = clique(["a1", "a2", "a3"], 6) + clique(["b1", "b2", "b3"], 6) + [
+        ("a1", "b1", 1), ("b1", "a1", 1)
+    ]
+    pairs = spark.createDataFrame(
+        rows, "center string, context string, n_pairs long"
+    )
+    kw = dict(dim=8, epochs=8, lr=0.5, negative=3, shards=4)
+    e1 = {r["dt_id"]: np.array(r["embedding"])
+          for r in node_embeddings_sgd(pairs, **kw).collect()}
+    e2 = {r["dt_id"]: np.array(r["embedding"])
+          for r in node_embeddings_sgd(pairs.repartition(7), **kw).collect()}
+    assert set(e1) == set(e2) == {"a1", "a2", "a3", "b1", "b2", "b3"}
+    for v in e1:
+        assert np.array_equal(e1[v], e2[v]), f"nondeterministic at {v}"
+
+    def cos(u, v):
+        return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+    same = cos(e1["a2"], e1["a3"]) + cos(e1["b2"], e1["b3"])
+    cross = cos(e1["a2"], e1["b2"]) + cos(e1["a3"], e1["b3"])
+    assert same > cross, (same, cross)
+
+
+def test_embedding_neighbor_recall_gate(spark):
+    """The quality gate: a perfect embedding (the count vectors
+    themselves, via a wide RI) scores 1.0 on a disjoint-cluster corpus;
+    a constant embedding scores ~0 and fails the floor."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        embedding_neighbor_recall,
+        node_embeddings_ri,
+    )
+
+    rows = [("a1", "a2", 9), ("a2", "a1", 9), ("a1", "a3", 8),
+            ("a3", "a1", 8), ("a2", "a3", 7), ("a3", "a2", 7),
+            ("b1", "b2", 9), ("b2", "b1", 9), ("b1", "b3", 8),
+            ("b3", "b1", 8), ("b2", "b3", 7), ("b3", "b2", 7)]
+    pairs = spark.createDataFrame(
+        rows, "center string, context string, n_pairs long"
+    )
+    good = node_embeddings_ri(pairs, dim=64)
+    g = embedding_neighbor_recall(
+        pairs, good, k=2, probes=6, floor=0.75, method="wide-ri"
+    ).collect()[0]
+    assert g["method"] == "wide-ri" and g["meets_floor"], g
+    assert g["recall_at_k"] == 1.0, g
+    flat = pairs.sparkSession.createDataFrame(
+        [(v, [1.0, 1.0]) for v in ("a1", "a2", "a3", "b1", "b2", "b3")],
+        "dt_id string, embedding array<double>",
+    )
+    bad = embedding_neighbor_recall(
+        pairs, flat, k=2, probes=6, floor=0.75, method="flat"
+    ).collect()[0]
+    # all cosines tie at 1.0 -> tie-broken by id -> recall collapses
+    # to the id-order accident (0.5 here), under the floor
+    assert not bad["meets_floor"], bad
+    assert bad["recall_at_k"] < g["recall_at_k"]
+    with pytest.raises(ValueError, match="truth_weighting"):
+        embedding_neighbor_recall(pairs, flat, truth_weighting="bogus")
