@@ -367,6 +367,14 @@ _EXT_VERSION_GATE: dict[str, dict[str, str]] = {
     _HISTORIZATION_PREFIX: {"1": "dtmi:dtdl:context;3", "2": "dtmi:dtdl:context;4"},
     _OVERRIDING_PREFIX: {"1": "dtmi:dtdl:context;3", "2": "dtmi:dtdl:context;4"},
 }
+# Limit extensions (batch 16): dtmi:dtdl:limits:* contexts RAISE the
+# language's numeric limits (they add no terms).  Public registry:
+# the ONVIF limit extension targets DTDL v3, the AIO (Azure IoT
+# Operations) limit extension targets DTDL v4.
+_LIMIT_EXT_GATE: dict[str, str] = {
+    "dtmi:dtdl:limits:onvif;1": "dtmi:dtdl:context;3",
+    "dtmi:dtdl:limits:aio;1": "dtmi:dtdl:context;4",
+}
 # Adjunct types contributed by feature extensions (and the context
 # prefix each requires).  These are NOT semantic types: they carry
 # their own placement/required-property rules below.
@@ -760,12 +768,49 @@ def validate_model(
                     f"{c} may only be used with {wanted} "
                     f"(found {dtdl_versions[0]})"
                 )
+    # --- limit extensions (batch 16) ----------------------------------
+    # dtmi:dtdl:limits:* contexts raise numeric limits; they pair with
+    # exactly one DTDL version (onvif;1 → v3, aio;1 → v4), arrived in
+    # v3 (undefined terms under v2), and at most ONE limit context may
+    # govern a model.
+    limit_ctxs = [
+        c for c in ctxs
+        if isinstance(c, str) and c.startswith("dtmi:dtdl:limits:")
+    ]
+    limits_ok = bool(limit_ctxs)
+    if len(limit_ctxs) > 1:
+        v.append(
+            f"@context lists multiple limit extensions {limit_ctxs}; "
+            "at most one may govern a model"
+        )
+        limits_ok = False
+    if is_v2 and limit_ctxs:
+        v.append(
+            f"@context limit extensions {limit_ctxs} require "
+            "dtmi:dtdl:context;3 or later"
+        )
+        limits_ok = False
+    for c in limit_ctxs:
+        wanted = _LIMIT_EXT_GATE.get(c)
+        if wanted is None:
+            v.append(f"unknown limit extension {c!r}")
+            limits_ok = False
+        elif dtdl_versions and dtdl_versions[0] != wanted:
+            v.append(
+                f"{c} may only be used with {wanted} "
+                f"(found {dtdl_versions[0]})"
+            )
+            limits_ok = False
     for c in ctxs:
         if not isinstance(c, str) or not c.startswith("dtmi:"):
             v.append(f"@context entry {c!r} is not a DTMI context specifier")
     # complex-schema nesting limit: 5 levels under a v2 context, 8
-    # under v3/v4 (DTDL language spec limits)
-    max_depth = 5 if is_v2 else 8
+    # under v3/v4 (DTDL language spec limits).  A valid limit extension
+    # RAISES the cap — we accept deeper nesting permissively (the
+    # extension's exact raised value is enforced by the target runtime,
+    # not re-derived here) rather than reject models the extension
+    # explicitly legalizes.
+    max_depth = 5 if is_v2 else (64 if limits_ok else 8)
     # v4 adds primitive schema atoms (byte/bytes/decimal/short/uuid and
     # the unsigned family); under v2/v3 they are unknown terms
     is_v4_ctx = "dtmi:dtdl:context;4" in ctxs

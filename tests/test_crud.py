@@ -1600,3 +1600,78 @@ def test_query_plan_cache_hits_and_invalidates(spark):
     assert df3 is not df1
     [r] = client.query(q).rows
     assert r["count"] == 2
+
+
+def test_validate_model_limit_extensions_batch16():
+    """DTDL batch 16: dtmi:dtdl:limits:* contexts — onvif;1 pairs with
+    DTDL v3 only, aio;1 with v4 only, at most one limit extension per
+    model, none under v2, unknown limit ids rejected; a valid limit
+    extension LIFTS the complex-schema nesting cap."""
+    from pg_age_digitaltwins_spark.validation import (
+        ValidationError,
+        validate_model,
+    )
+
+    # accepted pairings
+    validate_model(_interface(
+        **{"@context": ["dtmi:dtdl:context;3", "dtmi:dtdl:limits:onvif;1"]}
+    ))
+    validate_model(_interface(
+        **{"@context": ["dtmi:dtdl:context;4", "dtmi:dtdl:limits:aio;1"]}
+    ))
+    # wrong DTDL version for the limit extension
+    with pytest.raises(ValidationError, match="dtmi:dtdl:limits:onvif;1"):
+        validate_model(_interface(
+            **{"@context": ["dtmi:dtdl:context;4",
+                            "dtmi:dtdl:limits:onvif;1"]}
+        ))
+    with pytest.raises(ValidationError, match="dtmi:dtdl:limits:aio;1"):
+        validate_model(_interface(
+            **{"@context": ["dtmi:dtdl:context;3", "dtmi:dtdl:limits:aio;1"]}
+        ))
+    # limits arrived in v3 — undefined under a v2 context
+    with pytest.raises(ValidationError, match="require dtmi:dtdl:context;3"):
+        validate_model(_interface(
+            **{"@context": ["dtmi:dtdl:context;2",
+                            "dtmi:dtdl:limits:onvif;1"]}
+        ))
+    # at most one limit extension may govern a model
+    with pytest.raises(ValidationError, match="multiple limit extensions"):
+        validate_model(_interface(
+            **{"@context": ["dtmi:dtdl:context;3",
+                            "dtmi:dtdl:limits:onvif;1",
+                            "dtmi:dtdl:limits:aio;1"]}
+        ))
+    # unknown limit extension id / version
+    with pytest.raises(ValidationError, match="unknown limit extension"):
+        validate_model(_interface(
+            **{"@context": ["dtmi:dtdl:context;3",
+                            "dtmi:dtdl:limits:onvif;2"]}
+        ))
+
+    def nest(depth):
+        s = "double"
+        for i in range(depth):
+            s = {"@type": "Object",
+                 "fields": [{"name": f"f{i}", "schema": s}]}
+        return {"@type": "Property", "name": "deep", "schema": s}
+
+    # 10-deep nesting: over the v3 cap of 8...
+    with pytest.raises(ValidationError, match="nesting exceeds"):
+        validate_model(_interface(contents=[nest(10)]))
+    # ...but legal once a limit extension raises the cap
+    validate_model(_interface(
+        contents=[nest(10)],
+        **{"@context": ["dtmi:dtdl:context;3", "dtmi:dtdl:limits:onvif;1"]},
+    ))
+    # an INVALID limit pairing does not lift the cap (both errors fire)
+    with pytest.raises(ValidationError, match="nesting exceeds"):
+        try:
+            validate_model(_interface(
+                contents=[nest(10)],
+                **{"@context": ["dtmi:dtdl:context;4",
+                                "dtmi:dtdl:limits:onvif;1"]},
+            ))
+        except ValidationError as ex:
+            assert "dtmi:dtdl:limits:onvif;1" in str(ex)
+            raise
