@@ -1112,6 +1112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_ngram_jaccard"] = lambda s, d: text.ngram_jaccard_pairs(
         _tables(s, d)["documents"], threshold=0.2
     )
+    # r12: asymmetric containment — the sub-document dup detector
+    # (quotes/partial copies that Jaccard's union denominator hides)
+    q["text_ngram_containment"] = lambda s, d: text.ngram_containment_pairs(
+        _tables(s, d)["documents"], threshold=0.4
+    )
     # r8s4: keep-one policy upgrade — per near-dup cluster keep the
     # LONGEST member (n_chars desc, doc_id asc), not min-id; clusters =
     # transitive closure of exact n-gram Jaccard pairs at 0.2 (the
@@ -1126,6 +1131,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["embed_knn_topk"] = lambda s, d: similarity.knn_brute_force(
         _tables(s, d)["embeddings"], query_id=0, k=10
+    )
+    # r12: contrastive-pair mining — per stride-sampled anchor, the
+    # top-k candidates inside the [0.1, 0.95] cosine band (hard
+    # negatives for embedding-model training)
+    q["embed_hard_negatives"] = lambda s, d: similarity.hard_negative_mining(
+        _tables(s, d)["embeddings"], k=5, anchor_stride=50
     )
     q["embed_norm_stats"] = lambda s, d: similarity.norm_stats_by_label(
         _tables(s, d)["embeddings"]
@@ -3156,6 +3167,34 @@ def oracle_sql() -> dict[str, str]:
         "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
         "JOIN sizes sb ON doc_b = sb.doc_id "
         "WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.2"
+    )
+    o["text_ngram_containment"] = (
+        "WITH sh AS MATERIALIZED ("
+        "SELECT doc_id, lang, unnest(list_distinct(list_transform("
+        "range(0, greatest(len(t) - 3, 0) + 1), "
+        "i -> array_to_string(t[i + 1:i + 3], ' ')))) AS gram "
+        f"FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.gram = b.gram AND a.lang = b.lang "
+        "AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, "
+        "round(CAST(i AS DOUBLE) / sa.sz, 4) AS containment "
+        "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
+        "WHERE round(CAST(i AS DOUBLE) / sa.sz, 4) >= 0.4"
+    )
+    o["embed_hard_negatives"] = (
+        "WITH anchors AS (SELECT vec_id AS anchor_id, embedding AS a "
+        "FROM embeddings WHERE vec_id % 50 = 0), "
+        "banded AS (SELECT an.anchor_id, e.vec_id, "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(an.a AS DOUBLE[])), 6) AS sim "
+        "FROM embeddings e CROSS JOIN anchors an "
+        "WHERE e.vec_id <> an.anchor_id), "
+        "rk AS (SELECT anchor_id, vec_id, sim, row_number() OVER ("
+        "PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS r "
+        "FROM banded WHERE sim >= 0.1 AND sim <= 0.95) "
+        "SELECT anchor_id, vec_id, sim FROM rk WHERE r <= 5"
     )
     o["dedup_keep_best"] = (
         "WITH RECURSIVE sh AS MATERIALIZED ("

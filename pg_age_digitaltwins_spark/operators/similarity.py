@@ -74,6 +74,52 @@ def knn_brute_force(embeddings: DataFrame, query_id: int, k: int = 10) -> DataFr
     )
 
 
+def hard_negative_mining(
+    embeddings: DataFrame,
+    k: int = 5,
+    anchor_stride: int = 50,
+    sim_lo: float = 0.1,
+    sim_hi: float = 0.95,
+) -> DataFrame:
+    """(anchor_id, vec_id, sim) — contrastive-pair mining for embedding
+    training: for each sampled anchor, the top-``k`` most-similar
+    candidates inside the [``sim_lo``, ``sim_hi``] cosine band.  Below
+    ``sim_lo`` a negative is trivially easy (no gradient signal); above
+    ``sim_hi`` it is probably a true duplicate/positive, not a
+    negative — the band IS the "hard" in hard negatives.  Anchors are
+    a deterministic stride sample (``vec_id % anchor_stride == 0``).
+
+    Filtering and ranking both use the ROUNDED similarity (6 dp) so
+    band edges and tie-breaks are engine-portable — same discipline as
+    :func:`knn_brute_force`.
+
+    100 TB shape: the anchor set is stride-bounded and broadcast
+    (anchors × dim, kilobytes at any corpus size); scoring is ONE
+    map-side pass over the embedding table (no shuffle until the
+    per-anchor top-k window, which carries only band-surviving rows);
+    for billion-scale corpora swap the scoring scan for the LSH/IVF/PQ
+    candidate generators — the band/top-k tail is identical."""
+    anchors = F.broadcast(
+        embeddings.filter(F.col("vec_id") % anchor_stride == 0).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("__a"),
+        )
+    )
+    sim = F.round(cosine_sim(F.col("embedding"), F.col("__a")), 6)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        embeddings.crossJoin(anchors)
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select("anchor_id", "vec_id", sim.alias("sim"))
+        .filter((F.col("sim") >= sim_lo) & (F.col("sim") <= sim_hi))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def norm_stats_by_label(embeddings: DataFrame) -> DataFrame:
     """Per-label count + mean L2 norm — cheap embedding-health rollup."""
     return (

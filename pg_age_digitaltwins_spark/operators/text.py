@@ -213,6 +213,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, block_on: str = "lang"
+) -> DataFrame:
+    """(doc_a, doc_b, containment) — ASYMMETRIC n-gram containment
+    C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| for same-``block_on``
+    pairs, both directions emitted.  The sub-document dup detector:
+    a short doc quoted inside a long one has high containment but LOW
+    Jaccard (the union is dominated by the long doc), so a Jaccard
+    threshold misses exactly the quotes/boilerplate/partial-copy cases
+    containment exists for (Broder's resemblance-vs-containment
+    distinction).
+
+    Same sparse co-occurrence shape as :func:`ngram_jaccard_pairs`:
+    shingle-keyed equi-join (parallelism keyed by shingle, not block),
+    exact integer intersection counts, one division per emitted row —
+    only co-occurring pairs materialize, never the cross join."""
+    sh = ngram_shingles(docs, n).join(docs.select("doc_id", block_on), "doc_id")
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    ex = sh.select("doc_id", block_on, F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{block_on}") == F.col(f"b.{block_on}"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter").cast("double") / F.col("sz_a").cast("double")
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # Simple, DuckDB-mirrorable patterns (kept RE2/Java-portable: no
 # backreferences or lookaround) — a production pipeline would extend
 # the set, not the mechanism.

@@ -2813,3 +2813,65 @@ def test_embedding_neighbor_recall_gate(spark):
     assert bad["recall_at_k"] < g["recall_at_k"]
     with pytest.raises(ValueError, match="truth_weighting"):
         embedding_neighbor_recall(pairs, flat, truth_weighting="bogus")
+
+
+def test_ngram_containment_asymmetric_hand_computed(spark):
+    """r12: containment C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| —
+    a short doc quoted inside a long one has containment 1.0 one way,
+    low the other way, and low Jaccard (the case Jaccard misses)."""
+    from pg_age_digitaltwins_spark.operators.text import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps"
+    long_doc = (
+        "a very long document with many extra tokens before the quote "
+        + quote
+        + " and plenty of trailing filler tokens after the quoted span"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote, "en"), (2, long_doc, "en"), (3, "unrelated text here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    # doc 1 has 3 distinct 3-grams, all inside doc 2 -> 1.0
+    assert got[(1, 2)] == 1.0
+    # reverse direction: 3 shared / |grams(doc 2)| -> small
+    assert 0 < got[(2, 1)] < 0.2
+    assert (1, 3) not in got and (3, 1) not in got
+    # Jaccard on the same pair is tiny — the detector gap containment closes
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.2
+
+
+def test_hard_negative_mining_band_and_topk(spark):
+    """r12: hard negatives respect the cosine band — exact duplicates
+    (sim 1.0 > hi) and orthogonal vectors (sim 0 < lo) are excluded;
+    survivors rank by rounded sim desc with vec_id tie-break."""
+    from pg_age_digitaltwins_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # anchor (stride 100)
+        (1, [1.0, 0.0, 0.0]),     # exact dup -> sim 1.0, above hi
+        (2, [0.6, 0.8, 0.0]),     # hard negative, cos 0.6
+        (3, [0.2, 0.98, 0.0]),    # easier, cos ~0.2
+        (4, [0.0, 1.0, 0.0]),     # orthogonal -> sim 0, below lo
+        (5, [0.6, 0.8, 0.0]),     # same sim as 2 -> id tie-break
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = sim.hard_negative_mining(
+        emb, k=2, anchor_stride=100, sim_lo=0.1, sim_hi=0.95
+    ).collect()
+    assert all(r["anchor_id"] == 0 for r in got)
+    assert [r["vec_id"] for r in got] == [2, 5]  # ties -> lower id first
+    assert all(0.1 <= r["sim"] <= 0.95 for r in got)
