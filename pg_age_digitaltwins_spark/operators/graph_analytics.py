@@ -1215,6 +1215,7 @@ def node_embeddings_sgd(
     shards: int = 8,
     salt: str = "sgd",
     combine: str = "in+out",
+    max_vocab: int = 2_000_000,
 ) -> DataFrame:
     """(dt_id, embedding) — word2vec-style SGNS (skip-gram with
     negative sampling) trained over the (center, context, n_pairs)
@@ -1251,6 +1252,21 @@ def node_embeddings_sgd(
     def h64(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
+    # the vocab-bound guard, BEFORE the collect: parameter averaging
+    # needs the model driver/executor-resident, so an oversized corpus
+    # must fail with a clear redirect instead of an opaque driver OOM
+    # (same cap discipline as allShortestPaths / range_join).
+    nv_probe = (
+        pairs.select("center").union(pairs.select("context"))
+        .distinct().count()
+    )
+    if nv_probe > max_vocab:
+        raise ValueError(
+            f"node_embeddings_sgd: vocabulary {nv_probe} exceeds the "
+            f"{max_vocab} cap for parameter-averaged SGNS (the model "
+            "broadcasts each epoch) — use node_embeddings_ri, which is "
+            "distributed-exact at any vocabulary size"
+        )
     vocab = sorted(
         r[0]
         for r in pairs.select("center").union(pairs.select("context"))

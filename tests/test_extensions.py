@@ -2875,3 +2875,20 @@ def test_hard_negative_mining_band_and_topk(spark):
     assert all(r["anchor_id"] == 0 for r in got)
     assert [r["vec_id"] for r in got] == [2, 5]  # ties -> lower id first
     assert all(0.1 <= r["sim"] <= 0.95 for r in got)
+
+
+def test_node_embeddings_sgd_vocab_cap(spark):
+    """r12: the SGNS vocab cap fails with a clear redirect to the
+    distributed RI trainer instead of an opaque driver OOM."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        node_embeddings_sgd,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)],
+        "center string, context string, n_pairs long",
+    )
+    with pytest.raises(ValueError, match="node_embeddings_ri"):
+        node_embeddings_sgd(pairs, max_vocab=2)
+    # under the cap it trains
+    assert node_embeddings_sgd(pairs, dim=2, epochs=1, max_vocab=10).count() == 3
