@@ -1447,6 +1447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_interarrival"] = lambda s, d: ev_ops.interarrival_stats(
         _tables(s, d)["events"]
     )
+    # r12: mean-shift drift detection — centered CUSUM statistic with
+    # the division cleared (cnt·S_k − k·total), exact BIGINT end-to-end
+    q["events_drift_stats"] = lambda s, d: ev_ops.drift_stats(
+        _tables(s, d)["events"]
+    )
     # r8 session 3: state-duration profile + OHLC downsample
     q["events_time_in_state"] = lambda s, d: ev_ops.time_in_state(
         _tables(s, d)["events"]
@@ -3416,6 +3421,26 @@ def oracle_sql() -> dict[str, str]:
         "WHERE len(t) >= 2) "
         "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b "
         "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+    )
+    o["events_drift_stats"] = (
+        "WITH v AS (SELECT event_type, ts, event_id, "
+        "CAST(floor(value * 1000) AS BIGINT) AS vs FROM events "
+        "WHERE value IS NOT NULL), "
+        "t AS (SELECT event_type, sum(vs) AS tot, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY event_type), "
+        "c AS (SELECT v.event_type, v.ts, "
+        "sum(vs) OVER (PARTITION BY v.event_type ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS s, "
+        "CAST(row_number() OVER (PARTITION BY v.event_type "
+        "ORDER BY ts, event_id) AS BIGINT) AS k, t.tot, t.cnt "
+        "FROM v JOIN t USING (event_type)), "
+        "d AS (SELECT event_type, ts, cnt, cnt * s - k * tot AS dd "
+        "FROM c) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_points, "
+        "CAST(sum(CASE WHEN abs(dd) > 100000 * cnt THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_drift, max(abs(dd)) AS max_abs_drift, "
+        "min(CASE WHEN abs(dd) > 100000 * cnt THEN ts END) "
+        "AS first_drift_ts FROM d GROUP BY event_type"
     )
     o["events_interarrival"] = (
         "WITH g AS (SELECT event_type, "

@@ -469,6 +469,66 @@ def gap_fill_locf(events: DataFrame, minutes: int = 60) -> DataFrame:
     )
 
 
+def drift_stats(
+    events: DataFrame,
+    scale: int = 1000,
+    threshold_scaled: int = 100_000,
+) -> DataFrame:
+    """(event_type, n_points, n_drift, max_abs_drift, first_drift_ts) —
+    mean-shift (drift) detection per series: the centered cumulative
+    statistic ``D_k = cnt·S_k − k·total`` (= cnt·Σ_{i≤k}(v_i − mean),
+    the CUSUM chart statistic with the division cleared), flagged where
+    ``|D_k| > threshold_scaled·cnt``.  A series whose early values sit
+    below its late values (a drifting sensor, a telemetry regime
+    change) builds up a large |D| mid-series; a stationary series'
+    D_k random-walks near 0.
+
+    EXACT integer arithmetic throughout (the package's oracle-able
+    discipline): values fix to integers with ``floor(value·scale)``
+    (floor, not round — round-half ties differ between engines), and
+    the mean-centering multiplies through by ``cnt`` instead of
+    dividing, so every comparison is BIGINT and engine-portable.
+
+    100 TB shape: ONE shuffle keyed by the series column — the ordered
+    cumulative sum, the row number, and the final rollup all share the
+    series partitioning (the totals join is series-count-sized and
+    broadcast).  Per-series sequential accumulation is inherent to
+    cumulative statistics; parallelism comes from the series count,
+    same story as :func:`gap_fill_locf`."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    vs = F.floor(F.col("value") * scale).cast("long")
+    df = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "ts", "event_id", vs.alias("__vs")
+    )
+    tot = df.groupBy("event_type").agg(
+        F.sum("__vs").alias("__tot"), F.count(F.lit(1)).alias("__cnt")
+    )
+    d = (
+        df.withColumn(
+            "__s", F.sum("__vs").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("__k", F.row_number().over(w))
+        .join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "__d", F.col("__cnt") * F.col("__s") - F.col("__k") * F.col("__tot")
+        )
+        .withColumn(
+            "__flag",
+            F.abs(F.col("__d")) > F.lit(threshold_scaled) * F.col("__cnt"),
+        )
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.when(F.col("__flag"), 1).otherwise(0)).cast("bigint").alias(
+            "n_drift"
+        ),
+        F.max(F.abs(F.col("__d"))).alias("max_abs_drift"),
+        F.min(F.when(F.col("__flag"), F.col("ts"))).alias("first_drift_ts"),
+    )
+
+
 def ohlc_downsample(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Open/high/low/close downsample of ``value`` per (event_type,
     time bucket) — the classic time-series compaction for dashboards

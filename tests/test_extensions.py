@@ -2892,3 +2892,38 @@ def test_node_embeddings_sgd_vocab_cap(spark):
         node_embeddings_sgd(pairs, max_vocab=2)
     # under the cap it trains
     assert node_embeddings_sgd(pairs, dim=2, epochs=1, max_vocab=10).count() == 3
+
+
+def test_drift_stats_hand_computed(spark):
+    """r12: centered CUSUM drift — a series with a mean shift flags
+    mid-series rows; a constant series has D_k = 0 everywhere.  All
+    integer arithmetic: D_k = cnt*S_k - k*total on scale-1000 values."""
+    from datetime import datetime
+
+    from pg_age_digitaltwins_spark.operators.events import drift_stats
+
+    rows = []
+    # 'shift': 4 points at 1.0 then 4 at 3.0 -> mean 2.0; D peaks at
+    # k=4: cnt*S_4 - 4*total = 8*4000 - 4*16000 = -32000
+    for i in range(4):
+        rows.append((i, datetime(2024, 1, 1, i), 1, "shift", 1.0, "{}"))
+    for i in range(4, 8):
+        rows.append((i, datetime(2024, 1, 1, i), 1, "shift", 3.0, "{}"))
+    # 'flat': constant -> D_k = 0
+    for i in range(4):
+        rows.append((10 + i, datetime(2024, 1, 1, i), 1, "flat", 5.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    out = {r["event_type"]: r for r in
+           drift_stats(ev, scale=1000, threshold_scaled=3000).collect()}
+    s = out["shift"]
+    assert (s["n_points"], s["max_abs_drift"]) == (8, 32000)
+    # |D_k| > 3000*8 = 24000 holds for k=3 (|D|=24000? no: strictly >)
+    # D_k sequence: k=1: 8*1000-1*16000=-8000; k=2: -16000; k=3:
+    # -24000 (not >); k=4: -32000 (flag); k=5: -24000; k=6: -16000 ...
+    assert s["n_drift"] == 1
+    assert s["first_drift_ts"] == datetime(2024, 1, 1, 3)
+    f = out["flat"]
+    assert (f["n_drift"], f["max_abs_drift"]) == (0, 0)
