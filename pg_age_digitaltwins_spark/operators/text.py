@@ -256,6 +256,183 @@ def ngram_containment_pairs(
     )
 
 
+def hashed_token_features(
+    docs: DataFrame, dim: int = 4096, salt: str = "pc"
+) -> DataFrame:
+    """(doc_id, idx, cnt) — hashed bag-of-words features (the fastText
+    / CCNet feature map): token → ``md5(salt-token) % dim``, integer
+    counts, plus a constant bias feature at ``idx = dim``.  All JVM
+    (md5 + pmod in whole-stage codegen); the md5 hash makes feature
+    indices engine- and run-portable.
+
+    100 TB shape: one map-side pass + a (doc, idx)-keyed
+    partial-aggregated count — output is bounded by docs × distinct
+    tokens per doc, never the corpus vocabulary."""
+    toks = _spread(docs, "doc_id").select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("__t")
+    ).filter(F.col("__t") != "")
+    idx = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}-"), F.col("__t"))), 1, 8),
+            16, 10,
+        ).cast("long"),
+        F.lit(dim),
+    ).cast("int")
+    counts = toks.select("doc_id", idx.alias("idx")).groupBy(
+        "doc_id", "idx"
+    ).agg(F.count(F.lit(1)).cast("int").alias("cnt"))
+    bias = docs.select(
+        "doc_id", F.lit(int(dim)).alias("idx"), F.lit(1).alias("cnt")
+    )
+    return counts.unionByName(bias)
+
+
+def perceptron_train(
+    features: DataFrame,
+    labels: DataFrame,
+    epochs: int = 3,
+    shards: int = 4,
+    salt: str = "pc",
+) -> DataFrame:
+    """(idx, weight) — averaged-perceptron text classifier trained by
+    PARAMETER MIXING (McDonald et al. 2010): docs shard by md5(doc_id),
+    each shard runs the full averaged-perceptron loop locally inside
+    one Arrow ``applyInPandas`` task (docs visited in sorted doc_id
+    order, ``epochs`` local passes), and the shard weight vectors SUM
+    into the final model.  Everything is INTEGER — perceptron updates
+    are ±count, the averaging trick keeps ``w·C − u`` integral, and the
+    merge is an integer sum (order-independent) — so the trained model
+    is bit-deterministic across any partitioning.
+
+    ``labels``: (doc_id, y) with y ∈ {+1, −1}.  The supervised member
+    of the trainer family (quality/domain filters à la CCNet); the
+    sequential update loop is not SQL-expressible, so driver keys are
+    rows-only with :func:`classifier_gate` pinning quality.
+
+    100 TB shape: features roll up per doc (one shuffle), shards train
+    in parallel (model size = active vocab × 8 bytes per shard — the
+    hashed dim bounds it), the merge is one tiny integer aggregation.
+    More mixing rounds (re-broadcast + retrain) would tighten parity
+    with the sequential perceptron; one round is the standard
+    throughput/quality trade."""
+    feat_rows = (
+        features.join(labels, "doc_id")
+        .groupBy("doc_id", "y")
+        .agg(
+            F.collect_list(F.struct("idx", "cnt")).alias("fs"),
+        )
+        .withColumn(
+            "__shard",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{salt}|"), F.col("doc_id").cast("string"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long"),
+                F.lit(shards),
+            ),
+        )
+    )
+
+    def train(pdf):
+        import pandas as _pd
+
+        w: dict[int, int] = {}
+        u: dict[int, int] = {}
+        c = 1
+        pdf = pdf.sort_values("doc_id")
+        for _ in range(epochs):
+            for r in pdf.itertuples(index=False):
+                fs = [(int(f["idx"]), int(f["cnt"])) for f in r.fs]
+                s = sum(w.get(i, 0) * n for i, n in fs)
+                yhat = 1 if s > 0 else -1
+                if yhat != int(r.y):
+                    for i, n in fs:
+                        w[i] = w.get(i, 0) + int(r.y) * n
+                        u[i] = u.get(i, 0) + c * int(r.y) * n
+                c += 1
+        keys = sorted(w)
+        return _pd.DataFrame(
+            {
+                "idx": keys,
+                "weight": [w[i] * c - u.get(i, 0) for i in keys],
+            }
+        )
+
+    return (
+        feat_rows.groupBy("__shard")
+        .applyInPandas(train, "idx int, weight long")
+        .groupBy("idx")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def perceptron_score(features: DataFrame, weights: DataFrame) -> DataFrame:
+    """(doc_id, score, pred) — apply a trained perceptron: one
+    broadcast join on the hashed feature index + a per-doc integer
+    dot product.  ``pred`` is ``score > 0``."""
+    return (
+        features.join(F.broadcast(weights), "idx")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("weight")).alias("score"))
+        .withColumn("pred", F.col("score") > 0)
+    )
+
+
+def classifier_gate(
+    docs: DataFrame,
+    dim: int = 4096,
+    epochs: int = 20,
+    shards: int = 2,
+    floor: float = 0.85,
+) -> DataFrame:
+    """(method, accuracy, meets_floor) — the supervised-trainer quality
+    gate: plant an exactly-linear concept in the corpus (y = +1 iff
+    count('spark') + count('query') > count('table') — linearly
+    representable over the hashed features), train on even doc_ids,
+    evaluate held-out accuracy on odd doc_ids.  A trainer that can't
+    recover a planted linear concept from text regressed — same gate
+    discipline as the ANN/embedding recall floors.  Defaults carry
+    measured margin (epochs 20 / shards 2 → 0.928 held-out at sf0.01
+    vs the 0.85 floor; mixing across more shards dilutes — 4 shards
+    measured 0.85, the documented parameter-mixing trade)."""
+    toks = _tokens(F.lower(F.col("text")))
+    # y = +1 iff #spark + #query > #table
+    planted = (
+        F.size(F.filter(toks, lambda t: t.isin("spark", "query")))
+        > F.size(F.filter(toks, lambda t: t == "table"))
+    )
+    labeled = _spread(docs, "doc_id").select(
+        "doc_id",
+        F.when(planted, F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+    )
+    feats = hashed_token_features(docs, dim=dim).localCheckpoint(eager=False)
+    train_lab = labeled.filter(F.col("doc_id") % 2 == 0)
+    test_lab = labeled.filter(F.col("doc_id") % 2 == 1)
+    wts = perceptron_train(feats, train_lab, epochs=epochs, shards=shards)
+    scored = perceptron_score(
+        feats.join(test_lab.select("doc_id"), "doc_id"), wts
+    )
+    joined = scored.join(test_lab, "doc_id")
+    agg = joined.agg(
+        F.sum(
+            F.when(
+                (F.col("pred") & (F.col("y") == 1))
+                | (~F.col("pred") & (F.col("y") == -1)),
+                1,
+            ).otherwise(0)
+        ).alias("hits"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    acc = (agg["hits"] / agg["n"]) if agg["n"] else 0.0
+    return docs.sparkSession.createDataFrame(
+        [("perceptron", float(round(acc, 4)), acc >= floor)],
+        "method string, accuracy double, meets_floor boolean",
+    )
+
+
 # Simple, DuckDB-mirrorable patterns (kept RE2/Java-portable: no
 # backreferences or lookaround) — a production pipeline would extend
 # the set, not the mechanism.

@@ -2927,3 +2927,67 @@ def test_drift_stats_hand_computed(spark):
     assert s["first_drift_ts"] == datetime(2024, 1, 1, 3)
     f = out["flat"]
     assert (f["n_drift"], f["max_abs_drift"]) == (0, 0)
+
+
+def test_perceptron_train_matches_pure_python(spark):
+    """r12: the averaged perceptron, single shard — exact integer
+    replay of the w·C − u averaging trick over sorted doc order."""
+    from pg_age_digitaltwins_spark.operators.text import perceptron_train
+
+    # features: doc 1 = {0: 2}, doc 2 = {1: 3}, labels +1 / -1
+    feats = spark.createDataFrame(
+        [(1, 0, 2), (2, 1, 3)], "doc_id long, idx int, cnt int"
+    )
+    labels = spark.createDataFrame([(1, 1), (2, -1)], "doc_id long, y int")
+    got = {
+        r["idx"]: r["weight"]
+        for r in perceptron_train(
+            feats, labels, epochs=2, shards=1
+        ).collect()
+    }
+
+    # pure-python replay
+    w, u, c = {}, {}, 1
+    for _ in range(2):
+        for doc, y, fs in [(1, 1, [(0, 2)]), (2, -1, [(1, 3)])]:
+            s = sum(w.get(i, 0) * n for i, n in fs)
+            if (1 if s > 0 else -1) != y:
+                for i, n in fs:
+                    w[i] = w.get(i, 0) + y * n
+                    u[i] = u.get(i, 0) + c * y * n
+            c += 1
+    want = {i: w[i] * c - u.get(i, 0) for i in w}
+    assert got == want
+
+
+def test_perceptron_deterministic_and_gate(spark):
+    """Sharded training is bit-deterministic across repartitionings
+    (md5 sharding + sorted visits + integer merge), and the planted
+    concept gate hits 1.0 on a crafted separable corpus."""
+    from pg_age_digitaltwins_spark.operators.text import (
+        classifier_gate,
+        hashed_token_features,
+        perceptron_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("spark query spark" if i % 3 else "table table scan")
+             + f" filler{i % 5}", "en", "s", 10)
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    labels = spark.createDataFrame(
+        [(i, 1 if i % 3 else -1) for i in range(40)], "doc_id long, y int"
+    )
+    feats = hashed_token_features(docs)
+    w1 = {r["idx"]: r["weight"]
+          for r in perceptron_train(feats, labels, epochs=3, shards=3).collect()}
+    w2 = {r["idx"]: r["weight"]
+          for r in perceptron_train(
+              feats.repartition(11), labels, epochs=3, shards=3
+          ).collect()}
+    assert w1 == w2 and len(w1) > 0
+    g = classifier_gate(docs, epochs=5, shards=2, floor=0.9).collect()[0]
+    assert g["accuracy"] == 1.0 and g["meets_floor"], g
