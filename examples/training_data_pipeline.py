@@ -77,6 +77,29 @@ def main() -> None:
     n3 = keep.count()
     print(f"near dedup: {n3} kept ({n2 - n3} near dups)")
 
+    # 3b. containment sweep (r12): sub-document duplication —
+    #     partial copies/quotes that the symmetric Jaccard pass above
+    #     leaves behind (short doc inside long doc); drop the CONTAINED
+    #     side (doc_a, the one whose grams are swallowed)
+    contained = (
+        text.ngram_containment_pairs(keep, n=3, threshold=0.9)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    keep = keep.join(contained, "doc_id", "anti")
+    n3b = keep.count()
+    print(f"containment sweep: {n3b} kept ({n3 - n3b} contained docs)")
+
+    # 3c. trained quality filter (r12): averaged-perceptron domain
+    #     classifier — train on a planted linear concept here (a real
+    #     pipeline trains on labeled quality judgments), keep docs the
+    #     model scores positive
+    gate = text.classifier_gate(keep).collect()[0]
+    print(
+        f"quality classifier: held-out accuracy {gate['accuracy']} "
+        f"(floor met: {gate['meets_floor']})"
+    )
+
     # 4. decontamination vs a held-out benchmark set (returns the
     #    contaminated ids; anti-join them away)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
