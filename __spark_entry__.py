@@ -1831,6 +1831,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_waiting_orders"] = _waiting_orders
     q["tpch_supplier_cnt"] = _supplier_cnt
     q["tpch_min_cost_supplier"] = _min_cost_supplier
+
+    def _shipping_priority(spark, sf_dir):
+        # TPC-H Q3 shape: top-10 UNSHIPPED orders by revenue for one
+        # market segment — segment filter prunes the customer side
+        # BEFORE the join, date predicates push to both scans, revenue
+        # is the exact fixed-point sum, and the top-10 compiles to
+        # TakeOrdered (per-partition heap), never a full sort.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        d = "1997-06-01"
+        rev = F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("bigint")
+        ) / F.lit(10000.0)
+        return (
+            t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+            .filter(F.col("o_orderdate") < F.lit(d).cast("timestamp"))
+            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter(F.col("l_shipdate") > F.lit(d).cast("timestamp"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(rev.alias("revenue"))
+            .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+            .limit(10)
+        )
+
+    q["tpch_shipping_priority"] = _shipping_priority
+
+    def _returned_items(spark, sf_dir):
+        # TPC-H Q10 shape: top-20 customers by revenue LOST to returns
+        # in one quarter — the quarter filter prunes orders first, the
+        # R-flag filter prunes lineitem at the scan, nation dim
+        # broadcasts, and the rollup key space is customer-sized.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        rev = F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("bigint")
+        ) / F.lit(10000.0)
+        return (
+            t["orders"]
+            .filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+            )
+            .join(
+                t["lineitem"].filter(F.col("l_returnflag") == "R"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                F.broadcast(t["nation"]),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+            .agg(rev.alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20)
+        )
+
+    q["tpch_returned_items"] = _returned_items
+
+    def _bracket_revenue(spark, sf_dir):
+        # TPC-H Q19 shape: OR-of-brackets revenue (brand × size-range ×
+        # quantity-range disjunction) — the scan-heavy single-scalar
+        # query; the part dim joins key-shuffled (SF-proportional) with
+        # the bracket predicate applied post-join, quantity bounds push
+        # to the lineitem scan.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        br = (
+            (
+                (F.col("p_brand") == "Brand#1")
+                & F.col("p_size").between(1, 15)
+                & F.col("l_quantity").between(1, 20)
+            )
+            | (
+                (F.col("p_brand") == "Brand#2")
+                & F.col("p_size").between(10, 30)
+                & F.col("l_quantity").between(10, 30)
+            )
+            | (
+                (F.col("p_brand") == "Brand#3")
+                & F.col("p_size").between(20, 50)
+                & F.col("l_quantity").between(20, 40)
+            )
+        )
+        rev = F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("bigint")
+        ) / F.lit(10000.0)
+        return (
+            t["lineitem"]
+            .filter(F.col("l_quantity").between(1, 40))
+            .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+            .filter(br)
+            .agg(
+                rev.alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+
+    q["tpch_bracket_revenue"] = _bracket_revenue
     q["events_top_users_per_type"] = _top_users_per_type
     return _driver_window_order(q)
 
@@ -3626,6 +3735,44 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty "
         "FROM big JOIN orders USING (o_orderkey) "
         "JOIN customer ON o_custkey = c_custkey"
+    )
+    o["tpch_shipping_priority"] = (
+        "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) "
+        "AS BIGINT)) / 10000.0 AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1997-06-01' "
+        "AND l_shipdate > TIMESTAMP '1997-06-01' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+    )
+    o["tpch_returned_items"] = (
+        "SELECT c_custkey, c_name, n_name AS nation, "
+        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) "
+        "AS BIGINT)) / 10000.0 AS revenue "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-07-01' "
+        "AND l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    )
+    o["tpch_bracket_revenue"] = (
+        "SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) "
+        "AS BIGINT)) / 10000.0 AS revenue, "
+        "CAST(count(*) AS BIGINT) AS n_items "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_quantity BETWEEN 1 AND 40 AND ("
+        "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 20) OR "
+        "(p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 "
+        "AND l_quantity BETWEEN 10 AND 30) OR "
+        "(p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 "
+        "AND l_quantity BETWEEN 20 AND 40))"
     )
     o["tpch_volume_shipping"] = (
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
