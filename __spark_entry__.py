@@ -884,6 +884,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ga.triangle_count(_store(spark, sf_dir).relationships)
 
+    def _ktruss(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        # r12: edge peeling by triangle support (Cohen's k-truss) over
+        # the PART CO-PURCHASE projection (parts sharing an order) —
+        # the twin graph itself is multipartite (triangle-free), so the
+        # truss is computed where trusses live: the co-occurrence
+        # projection, the item-item graph every recommender builds.
+        # Fixed rounds keep the unrolled-CTE oracle exact.
+        li = _tables(spark, sf_dir)["lineitem"].select(
+            "l_orderkey", "l_partkey"
+        )
+        a = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+        )
+        b = li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+        )
+        cop = (
+            a.join(b, "ok")
+            .filter(F.col("pa") < F.col("pb"))
+            .select(
+                F.concat(F.lit("part-"), F.col("pa")).alias("source_id"),
+                F.concat(F.lit("part-"), F.col("pb")).alias("target_id"),
+            )
+            .distinct()
+        )
+        return ga.k_truss(cop, k=3, max_rounds=3)
+
+    q["graph_ktruss"] = _ktruss
+
     q["graph_triangle_count"] = _triangles
 
     def _lpa(spark, sf_dir):
@@ -2866,6 +2899,30 @@ def oracle_sql() -> dict[str, str]:
         _kc
         + f" SELECT id AS dt_id, CAST(c AS BIGINT) AS core_degree FROM n{_kcore_iters}"
     )
+    # r12: k-truss — fixed-round unrolled edge peeling (wedge-closure
+    # support counts, coalesce-0 for triangle-free edges)
+    _kt_parts = [
+        "WITH d AS MATERIALIZED ("
+        "SELECT DISTINCT 'part-' || a.l_partkey AS src, "
+        "'part-' || b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, "
+        "greatest(src, dst) AS dst FROM d WHERE src <> dst)"
+    ]
+    for r in range(3):
+        _kt_parts.append(
+            f", a{r} AS MATERIALIZED (SELECT src AS u, dst AS w FROM e{r} "
+            f"UNION ALL SELECT dst, src FROM e{r})"
+            f", s{r} AS MATERIALIZED (SELECT e.src, e.dst, count(*) AS sup "
+            f"FROM e{r} e JOIN a{r} x ON x.u = e.src "
+            f"JOIN a{r} y ON y.u = e.dst AND y.w = x.w "
+            f"GROUP BY e.src, e.dst)"
+            f", e{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e "
+            f"LEFT JOIN s{r} s ON s.src = e.src AND s.dst = e.dst "
+            f"WHERE coalesce(s.sup, 0) >= 1)"
+        )
+    o["graph_ktruss"] = "".join(_kt_parts) + " SELECT src, dst FROM e3"
     o["graph_triangle_count"] = (
         f"WITH d AS ({_EDGES_SQL}), "
         "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "

@@ -459,6 +459,60 @@ def k_core(
     )
 
 
+def k_truss(
+    relationships: DataFrame, k: int = 3, max_rounds: int = 3
+) -> DataFrame:
+    """(src, dst) — edges of the k-truss: the maximal subgraph where
+    every edge participates in ≥ k−2 triangles (Cohen's truss — the
+    edge-strength analogue of the k-core, and a standard community-
+    backbone extractor).  Canonical undirected edges (src < dst).
+
+    Iterative EDGE peeling: each round counts per-edge support
+    (triangles through the edge) within the surviving edge set via the
+    two-join wedge closure — edge (u, v) joins the adjacency on u to
+    propose wedges (u, v, w), and the (v, w) join closes them — then
+    drops edges with support < k−2.  A fixed ``max_rounds`` keeps the
+    unrolled-CTE oracle exact (rounds past the fixpoint are no-ops);
+    the early exit below is output-identical.
+
+    100 TB shape: per round, one wedge join shuffled on the adjacency
+    key and one closure join on the (v, w) pair — the wedge frame is
+    Σ deg(u) per edge (the same cost envelope as triangle counting);
+    support aggregation is map-side-combined on the canonical edge
+    key; peeling SHRINKS the edge set every round.  Hub skew in the
+    wedge join is AQE skew-join territory, same as node-similarity."""
+    e = (
+        _undirected(relationships)
+        .filter(F.col("source_id") < F.col("target_id"))
+        .select(
+            F.col("source_id").alias("src"), F.col("target_id").alias("dst")
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_rounds):
+        adj = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        a = adj.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        b = adj.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
+        sup = (
+            e.join(a, e["src"] == a["u"])
+            .join(b, (e["dst"] == b["v"]) & (a["w"] == b["w2"]))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("__sup"))
+        )
+        kept = (
+            e.join(sup, ["src", "dst"], "left")
+            .filter(F.coalesce(F.col("__sup"), F.lit(0)) >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        if not e.join(kept, ["src", "dst"], "left_anti").take(1):
+            return kept
+        e = kept
+    return e
+
+
 def label_propagation(
     twins: DataFrame, relationships: DataFrame, iterations: int = 3
 ) -> DataFrame:

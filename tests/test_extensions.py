@@ -2991,3 +2991,33 @@ def test_perceptron_deterministic_and_gate(spark):
     assert w1 == w2 and len(w1) > 0
     g = classifier_gate(docs, epochs=5, shards=2, floor=0.9).collect()[0]
     assert g["accuracy"] == 1.0 and g["meets_floor"], g
+
+
+def test_k_truss_hand_computed(spark):
+    """r12: k-truss edge peeling — a triangle with a pendant edge: the
+    3-truss keeps the triangle, drops the pendant; a 4-clique survives
+    the 4-truss while a lone triangle does not; peeling CASCADES (an
+    edge whose triangles die in round 1 dies in round 2)."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import k_truss
+
+    def rels(pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs], "source_id string, target_id string"
+        )
+
+    # triangle a-b-c plus pendant c-d
+    tri = rels([("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    got = {(r["src"], r["dst"]) for r in k_truss(tri, k=3).collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+    # 4-clique + a triangle hanging off one vertex: 4-truss = clique only
+    clique = [("p", "q"), ("p", "r"), ("p", "s"), ("q", "r"), ("q", "s"),
+              ("r", "s")]
+    hang = [("s", "x"), ("s", "y"), ("x", "y")]
+    got4 = {(r["src"], r["dst"])
+            for r in k_truss(rels(clique + hang), k=4, max_rounds=4).collect()}
+    assert got4 == {tuple(sorted(e)) for e in clique}
+    # cascade: path of two triangles sharing ONE vertex (not an edge);
+    # k=4 kills everything in two rounds
+    two = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "e"), ("c", "f"),
+           ("e", "f")]
+    assert k_truss(rels(two), k=4, max_rounds=4).count() == 0
