@@ -1289,6 +1289,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_resize"] = _mm_resize
 
+    def _mm_resample(s, d):
+        from pyspark.sql import functions as F
+
+        media = multimodal.synthetic_wav_media(_tables(s, d)["documents"])
+        out = multimodal.resample_wav(media, rate=4000)
+        return out.select(
+            "media_id", "in_rate", "in_samples", "rate", "n_samples",
+            F.length("content").cast("bigint").alias("n_bytes"),
+        )
+
+    # r12: real PCM16 nearest-sample audio resample (the audio sibling
+    # of the PPM resize) — header/size oracle derivable from doc_id
+    q["multimodal_resample"] = _mm_resample
+
     # --- classic relational rollups (bench anchors) -------------------
     def _pricing(spark, sf_dir):
         from pyspark.sql import functions as F
@@ -3316,6 +3330,18 @@ def oracle_sql() -> dict[str, str]:
         "CAST(4 + doc_id % 8 AS INT) AS in_width, "
         "CAST(4 + (doc_id // 8) % 8 AS INT) AS in_height, "
         "CAST(12 + 12 * 8 * 3 AS BIGINT) AS n_bytes FROM documents"
+    )
+    o["multimodal_resample"] = (
+        # fixture: 64 + doc_id % 64 samples at 8000 Hz mono PCM16;
+        # nearest resample to 4000 Hz -> out = (in * 4000) // 8000;
+        # payload = 44-byte RIFF header + 2 bytes per sample
+        "SELECT 'media-' || doc_id AS media_id, "
+        "CAST(8000 AS INT) AS in_rate, "
+        "CAST(64 + doc_id % 64 AS INT) AS in_samples, "
+        "CAST(4000 AS INT) AS rate, "
+        "CAST((64 + doc_id % 64) * 4000 // 8000 AS INT) AS n_samples, "
+        "CAST(44 + 2 * ((64 + doc_id % 64) * 4000 // 8000) AS BIGINT) "
+        "AS n_bytes FROM documents"
     )
     o["embed_norm_stats"] = (
         "SELECT label, count(*) AS cnt, "

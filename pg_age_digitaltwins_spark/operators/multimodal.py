@@ -344,6 +344,148 @@ def resize_ppm(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+WAV_RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("in_rate", T.IntegerType(), True),
+        T.StructField("in_samples", T.IntegerType(), True),
+        T.StructField("rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def synthetic_wav_media(documents: DataFrame, rate: int = 8000) -> DataFrame:
+    """Deterministic PCM16 mono WAV fixture: per document,
+    ``64 + doc_id % 64`` samples with sample[i] = ((doc_id·31 + i·17)
+    mod 65536) − 32768 — REAL RIFF bytes (fmt + data chunks) built
+    executor-side, so the resample kernel walks genuine containers."""
+
+    def run(batches: Iterable) -> Iterator:
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 31 + i * 17) % 65536 - 32768).astype("<i2")
+                data = samples.tobytes()
+                byte_rate = rate * 2  # mono, 16-bit
+                hdr = (
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + _struct.pack("<IHHIIHH", 16, 1, 1, rate, byte_rate, 2, 16)
+                    + b"data"
+                    + _struct.pack("<I", len(data))
+                )
+                rows.append(
+                    {"media_id": f"media-{d}", "kind": "audio",
+                     "content": hdr + data, "content_type": "audio/wav"}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return documents.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _parse_wav_pcm16(content: bytes) -> tuple[int, int, int, int]:
+    """(rate, n_channels, data_offset, data_size) of a PCM16 RIFF/WAVE
+    payload — raises ``NotImplementedError`` for non-RIFF containers,
+    compressed formats, or bit depths other than 16 (decoding them as
+    int16 would silently corrupt the resample, the maxval>255 PPM
+    lesson)."""
+    import struct as _struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"resample supports RIFF/WAVE only (magic {content[:4]!r})"
+        )
+    pos, rate, ch, bits, fmt = 12, None, None, None, None
+    data_off, data_size = None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (csize,) = _struct.unpack_from("<I", content, pos + 4)
+        if cid == b"fmt " and pos + 24 <= len(content):
+            fmt, ch, rate, _br, _ba, bits = _struct.unpack_from(
+                "<HHIIHH", content, pos + 8
+            )
+        elif cid == b"data":
+            data_off, data_size = pos + 8, csize
+        pos += 8 + csize + (csize & 1)
+    if rate is None or data_off is None:
+        raise NotImplementedError("malformed WAV: missing fmt /data chunk")
+    if fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"resample supports PCM16 only (format {fmt}, {bits}-bit)"
+        )
+    return int(rate), int(ch), data_off, int(data_size)
+
+
+def resample_wav(media: DataFrame, rate: int) -> DataFrame:
+    """REAL nearest-sample audio resample for PCM16 WAV payloads (the
+    audio sibling of :func:`resize_ppm`) — numpy index selection per
+    channel-interleaved frame, re-encoded as PCM16 at ``rate``;
+    non-WAV / non-PCM16 payloads raise like an unsupported codec
+    (swap for soxr/librosa in production — the Arrow seam and batch
+    shape are identical).
+
+    100 TB shape: partition-preserving map stage, bytes never leave
+    the executors, output size bounded by rate·duration regardless of
+    input rate."""
+
+    def run(batches: Iterable) -> Iterator:
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                in_rate, ch, off, size = _parse_wav_pcm16(content)
+                frames = size // (2 * ch)
+                pcm = np.frombuffer(
+                    content, dtype="<i2", count=frames * ch, offset=off
+                ).reshape(frames, ch)
+                out_n = (frames * rate) // in_rate
+                idx = (np.arange(out_n, dtype=np.int64) * in_rate) // rate
+                out = pcm[idx]
+                data = out.astype("<i2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + _struct.pack(
+                        "<IHHIIHH", 16, 1, ch, rate, rate * 2 * ch, 2 * ch, 16
+                    )
+                    + b"data"
+                    + _struct.pack("<I", len(data))
+                )
+                rows.append(
+                    {"media_id": r.media_id, "in_rate": in_rate,
+                     "in_samples": frames, "rate": rate,
+                     "n_samples": int(out_n), "content": hdr + data}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_RESAMPLED_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, WAV_RESAMPLED_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Frame sampling stub: one row per sampled offset (video → frames).
     Plumbing real (explode → one row per frame, offset metadata);

@@ -3021,3 +3021,62 @@ def test_k_truss_hand_computed(spark):
     two = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "e"), ("c", "f"),
            ("e", "f")]
     assert k_truss(rels(two), k=4, max_rounds=4).count() == 0
+
+
+def test_resample_wav_sample_exact(spark):
+    """r12: nearest-sample PCM16 resample — hand-computed index
+    selection on a known ramp; stereo interleave preserved; non-PCM16
+    and non-RIFF payloads raise like unsupported codecs."""
+    import struct
+
+    import numpy as np
+
+    from pg_age_digitaltwins_spark.operators.multimodal import (
+        _parse_wav_pcm16,
+        resample_wav,
+    )
+
+    def wav(samples, rate=8000, ch=1):
+        arr = np.asarray(samples, dtype="<i2").reshape(-1, ch)
+        data = arr.tobytes()
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                        rate * 2 * ch, 2 * ch, 16)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    # mono ramp 0..7 at 8000 Hz -> 4000 Hz picks indices 0,2,4,6
+    media = spark.createDataFrame(
+        [("m1", "audio", bytearray(wav(range(8))), "audio/wav")],
+        "media_id string, kind string, content binary, content_type string",
+    )
+    out = resample_wav(media, rate=4000).collect()[0]
+    assert (out["in_rate"], out["in_samples"], out["n_samples"]) == (8000, 8, 4)
+    rate, ch, off, size = _parse_wav_pcm16(bytes(out["content"]))
+    assert (rate, ch, size) == (4000, 1, 8)
+    got = np.frombuffer(bytes(out["content"]), dtype="<i2", offset=off)
+    assert got.tolist() == [0, 2, 4, 6]
+    # stereo: frames stay interleaved pairs
+    st = spark.createDataFrame(
+        [("m2", "audio",
+          bytearray(wav([0, 100, 1, 101, 2, 102, 3, 103], ch=2)),
+          "audio/wav")],
+        "media_id string, kind string, content binary, content_type string",
+    )
+    o2 = resample_wav(st, rate=4000).collect()[0]
+    _r, ch2, off2, _s = _parse_wav_pcm16(bytes(o2["content"]))
+    got2 = np.frombuffer(bytes(o2["content"]), dtype="<i2", offset=off2)
+    assert ch2 == 2 and got2.tolist() == [0, 100, 2, 102]
+    # unsupported payloads raise through the Arrow seam
+    bad = spark.createDataFrame(
+        [("m3", "audio", bytearray(b"OggS nope"), "audio/ogg")],
+        "media_id string, kind string, content binary, content_type string",
+    )
+    with pytest.raises(Exception, match="RIFF"):
+        resample_wav(bad, rate=4000).collect()
+    # 8-bit PCM refuses (would corrupt as int16)
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        _parse_wav_pcm16(
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 0)
+        )
