@@ -1244,6 +1244,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_ann_sq8"] = lambda s, d: similarity.ann_sq8_search(
         _tables(s, d)["embeddings"], query_id=0, k=10, refine_k=50
     )
+    # r12: binary-code ANN — sign bits packed 32/BIGINT word, popcount-
+    # XOR Hamming prescreen + exact re-rank; like SQ8 the prescreen is
+    # exact integer arithmetic so the whole search value-checks vs SQL
+    q["embed_ann_hamming"] = lambda s, d: similarity.ann_hamming_search(
+        _tables(s, d)["embeddings"], query_id=0, k=10, refine_k=50
+    )
 
     # batched-query PQ: one codebook + one encoded scan for N queries
     # (same FP-training caveat → rows-only; equality with the N single
@@ -3594,6 +3600,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM codes v JOIN (SELECT dim, c FROM codes WHERE vec_id = 0) q "
         "USING (dim) WHERE v.vec_id <> 0 GROUP BY v.vec_id), "
         "cand AS (SELECT vec_id FROM approx ORDER BY score DESC, vec_id LIMIT 50) "
+        "SELECT vec_id, sim FROM ("
+        "SELECT e.vec_id AS vec_id, "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])), 6) AS sim "
+        "FROM embeddings e JOIN cand USING (vec_id) "
+        "CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q) "
+        "ORDER BY sim DESC, vec_id LIMIT 10"
+    )
+    o["embed_ann_hamming"] = (
+        "WITH ex AS (SELECT vec_id, unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+        "words AS (SELECT vec_id, (i - 1) // 32 AS w, "
+        "CAST(sum(CASE WHEN x > 0 THEN 1::BIGINT << ((i - 1) % 32) "
+        "ELSE 0 END) AS BIGINT) AS word FROM ex GROUP BY vec_id, w), "
+        "ham AS (SELECT v.vec_id, "
+        "CAST(sum(bit_count(xor(v.word, q.word))) AS BIGINT) AS hamming "
+        "FROM words v JOIN (SELECT w, word FROM words WHERE vec_id = 0) q "
+        "USING (w) WHERE v.vec_id <> 0 GROUP BY v.vec_id), "
+        "cand AS (SELECT vec_id FROM ham ORDER BY hamming, vec_id LIMIT 50) "
         "SELECT vec_id, sim FROM ("
         "SELECT e.vec_id AS vec_id, "
         "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "

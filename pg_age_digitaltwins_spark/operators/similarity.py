@@ -1480,3 +1480,97 @@ def ann_sq8_search(
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def binary_sign_codes(
+    embeddings: DataFrame, dim: int | None = None
+) -> DataFrame:
+    """(vec_id, words) — 1-bit sign binarization packed 32 dims per
+    BIGINT word (bit b of word w = 1 iff embedding[32w+b] > 0).
+
+    The classic binary-embedding compression (Charikar hyperplane
+    signs with the identity basis): a 64-dim float32 vector becomes
+    two BIGINT words — a 16× scan shrink — and Hamming distance
+    between codes estimates angular distance.  32 bits per word (not
+    64) keeps every packed value positive so the packing is
+    bit-identical across engines regardless of signed-shift
+    semantics.
+
+    Exactness: ``x > 0`` is a raw-float comparison (no arithmetic, no
+    ulp risk), and the pack is a sum of distinct powers of two —
+    BIGINT-exact, order-free — so codes value-check against a SQL
+    oracle.  All JVM codegen (nested higher-order functions); no
+    shuffle, no UDF."""
+    if dim is None:
+        row = embeddings.select("embedding").head()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "cannot infer dim from empty embeddings — pass dim explicitly"
+            )
+        dim = len(row[0])
+    n_words = (dim + 31) // 32
+    words = F.expr(
+        f"transform(sequence(0, {n_words - 1}), w -> "
+        "aggregate(sequence(0, 31), 0L, (acc, b) -> acc + "
+        f"IF(w * 32 + b < {dim} "
+        "AND element_at(embedding, w * 32 + b + 1) > 0, "
+        "shiftleft(1L, b), 0L)))"
+    )
+    return embeddings.select("vec_id", words.alias("words"))
+
+
+def ann_hamming_search(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    refine_k: int = 50,
+    dim: int | None = None,
+) -> DataFrame:
+    """Binary-code ANN: Hamming-distance prescreen over packed sign
+    codes + exact cosine re-rank (the third exact-prescreen family
+    next to SQ8's integer dot and JL's sign projection).
+
+    The prescreen is pure integer work — ``bit_count(a XOR b)`` per
+    word, summed — so like SQ8 the whole search value-checks against
+    a SQL oracle end-to-end (ties break on vec_id; the re-rank
+    touches ``refine_k`` rows only).
+
+    100 TB shape: codes are a 16× scan shrink (float32 → 1 bit per
+    dim in 32-bit-per-BIGINT packing); the scan is one map with the
+    query's words broadcast; top ``refine_k`` by (hamming, vec_id)
+    compiles to TakeOrdered (per-partition heap), never a full sort;
+    popcount-XOR is the cheapest distance kernel there is — this is
+    the shape for a first-pass filter over billions of vectors."""
+    coded = binary_sign_codes(embeddings, dim=dim)
+    qw = F.broadcast(
+        coded.filter(F.col("vec_id") == query_id).select(
+            F.col("words").alias("__qw")
+        )
+    )
+    approx = (
+        coded.filter(F.col("vec_id") != query_id)
+        .crossJoin(qw)
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(words, __qw, "
+                "(a, b) -> CAST(bit_count(a ^ b) AS BIGINT)), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("hamming"),
+        )
+        .orderBy(F.col("hamming"), F.col("vec_id"))
+        .limit(refine_k)
+    )
+    q = F.broadcast(_query_vector_df(embeddings, query_id))
+    return (
+        embeddings.join(approx.select("vec_id"), "vec_id")
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("__q")), 6).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

