@@ -935,6 +935,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["graph_clustering_coefficient"] = _clustering
+
+    def _link_pred(spark, sf_dir):
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        # r12: common-neighbor link prediction — exact BIGINT scores
+        # (CN count + preferential attachment), one middle-keyed wedge
+        # join + an anti join against the edge set
+        return ga.link_prediction(
+            _store(spark, sf_dir).relationships, k=50
+        )
+
+    q["graph_link_prediction"] = _link_pred
+
+    def _assortativity(spark, sf_dir):
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        # r12: Newman degree assortativity — BIGINT moments, one float
+        # at the end
+        return ga.degree_assortativity(_store(spark, sf_dir).relationships)
+
+    q["graph_assortativity"] = _assortativity
+
     def _cypher_collect(spark, sf_dir):
         # Exercises the real Cypher collect() path; the raw
         # array<string> result is then projected to a sorted CSV so the
@@ -2964,6 +2986,45 @@ def oracle_sql() -> dict[str, str]:
         "SELECT n_triangles, n_triads, "
         "round(3.0 * n_triangles / n_triads, 6) AS clustering_coefficient "
         "FROM tri, tr"
+    )
+    o["graph_link_prediction"] = (
+        f"WITH d AS ({_EDGES_SQL}), "
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM d WHERE src <> dst), "
+        "nb AS MATERIALIZED (SELECT a AS m, b AS x FROM und "
+        "UNION ALL SELECT b, a FROM und), "
+        "deg AS (SELECT m AS v, CAST(count(*) AS BIGINT) AS deg "
+        "FROM nb GROUP BY m), "
+        "cn AS (SELECT l.x AS a, r.x AS b, "
+        "CAST(count(*) AS BIGINT) AS common_neighbors "
+        "FROM nb l JOIN nb r ON l.m = r.m AND l.x < r.x "
+        "GROUP BY l.x, r.x), "
+        "cand AS (SELECT cn.* FROM cn ANTI JOIN und "
+        "ON cn.a = und.a AND cn.b = und.b) "
+        "SELECT c.a, c.b, c.common_neighbors, "
+        "da.deg * db.deg AS pref_attach "
+        "FROM cand c JOIN deg da ON c.a = da.v JOIN deg db ON c.b = db.v "
+        "ORDER BY c.common_neighbors DESC, pref_attach DESC, c.a, c.b "
+        "LIMIT 50"
+    )
+    o["graph_assortativity"] = (
+        f"WITH d AS ({_EDGES_SQL}), "
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM d WHERE src <> dst), "
+        "nb AS MATERIALIZED (SELECT a AS src, b AS dst FROM und "
+        "UNION ALL SELECT b, a FROM und), "
+        "deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg "
+        "FROM nb GROUP BY src), "
+        "mom AS (SELECT CAST(count(*) AS BIGINT) AS mm, "
+        "CAST(sum(dj.deg * dk.deg) AS BIGINT) AS sjk, "
+        "CAST(sum(dj.deg) AS BIGINT) AS sj, "
+        "CAST(sum(dj.deg * dj.deg) AS BIGINT) AS sj2 "
+        "FROM nb JOIN deg dj ON nb.src = dj.v JOIN deg dk ON nb.dst = dk.v) "
+        "SELECT CAST(mm / 2 AS BIGINT) AS n_edges, "
+        "CASE WHEN mm * sj2 - sj * sj > 0 THEN "
+        "round(CAST(mm * sjk - sj * sj AS DOUBLE) "
+        "/ CAST(mm * sj2 - sj * sj AS DOUBLE), 6) END AS assortativity "
+        "FROM mom"
     )
     o["graph_collect_neighbors"] = (
         "SELECT 'region-' || n_regionkey AS target, "

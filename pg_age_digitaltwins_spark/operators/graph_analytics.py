@@ -2355,3 +2355,123 @@ def modularity(
     return spark.createDataFrame(
         [(n_comms, round(q, round_to))], "n_communities long, modularity double"
     )
+
+
+def link_prediction(
+    relationships: DataFrame,
+    k: int = 50,
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
+    """(a, b, common_neighbors, pref_attach) — top-``k`` NON-adjacent
+    vertex pairs ranked by common-neighbor count (Newman's CN index),
+    preferential attachment deg(a)·deg(b) as the tie-break score.
+
+    Both scores are exact BIGINT counts (no 1/log or 1/deg float sums
+    whose ordering could differ across engines), so the whole ranking
+    value-checks against a SQL oracle; remaining ties break on
+    (a, b).  Generalizes the reference's relationship traversal
+    (``AgeDigitalTwins/AgeDigitalTwinsClient.Relationships.cs``) into
+    the candidate-edge miner every graph-ML pipeline needs.
+
+    100 TB shape: one wedge self-join keyed on the MIDDLE vertex (the
+    same shape as triangle counting) + one anti join against the edge
+    set + a broadcast-size degree dim joined twice.  A degree-d middle
+    vertex emits d(d-1)/2 candidate rows — ``max_wedge_degree`` drops
+    hub middles above the cap (the standard candidate-generation
+    guard; a 10^6-degree hub would otherwise emit 5·10^11 wedges), an
+    explicitly documented approximation like node_similarity's cap.
+    Top-k compiles to TakeOrdered."""
+    e = relationships.select("source_id", "target_id").filter(
+        F.col("source_id") != F.col("target_id")
+    )
+    und = e.select(
+        F.least("source_id", "target_id").alias("a"),
+        F.greatest("source_id", "target_id").alias("b"),
+    ).distinct()
+    nb = und.select(F.col("a").alias("m"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("m"), F.col("a").alias("x"))
+    )
+    deg = nb.groupBy("m").agg(F.count(F.lit(1)).alias("deg"))
+    mids = nb
+    if max_wedge_degree is not None:
+        mids = nb.join(
+            F.broadcast(deg.filter(F.col("deg") <= max_wedge_degree)), "m"
+        ).select("m", "x")
+    cn = (
+        mids.select("m", F.col("x").alias("ca"))
+        .join(mids.select("m", F.col("x").alias("cb")), "m")
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy(F.col("ca").alias("a"), F.col("cb").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .join(und, ["a", "b"], "left_anti")
+    )
+    da = deg.select(F.col("m").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("m").alias("b"), F.col("deg").alias("__db"))
+    return (
+        cn.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            (F.col("__da") * F.col("__db")).alias("pref_attach"),
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("pref_attach"), "a", "b"
+        )
+        .limit(k)
+    )
+
+
+def degree_assortativity(relationships: DataFrame) -> DataFrame:
+    """One row (n_edges, assortativity) — Newman's degree
+    assortativity r (Pearson correlation of endpoint degrees over the
+    doubled undirected edge list).
+
+    Exactness: every moment (Σjk, Σj, Σj², M) is a BIGINT sum over
+    integer degrees — order-free — and r is ONE float expression at
+    the end, so the value is reproducible and oracle-checkable.
+    Degenerate variance (regular graph) yields NULL rather than a
+    0/0 NaN.
+
+    100 TB shape: a broadcast-size degree dim joined onto the edge
+    list twice, then a single map-side-combined global aggregate —
+    no shuffle beyond the dedup and the two joins.  At extreme scale
+    the BIGINT moments of a 10^12-edge graph with 10^6-degree hubs
+    approach overflow (Σj² ≤ M·maxdeg²) — move the moments to
+    DECIMAL(38,0) there; at any realistic degree distribution BIGINT
+    holds."""
+    e = relationships.select("source_id", "target_id").filter(
+        F.col("source_id") != F.col("target_id")
+    )
+    und = e.select(
+        F.least("source_id", "target_id").alias("a"),
+        F.greatest("source_id", "target_id").alias("b"),
+    ).distinct()
+    nb = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = nb.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    dj = deg.select(F.col("v").alias("src"), F.col("deg").alias("j"))
+    dk = deg.select(F.col("v").alias("dst"), F.col("deg").alias("kk"))
+    m = (
+        nb.join(F.broadcast(dj), "src")
+        .join(F.broadcast(dk), "dst")
+        .agg(
+            F.count(F.lit(1)).alias("mm"),
+            F.sum(F.col("j") * F.col("kk")).alias("sjk"),
+            F.sum("j").alias("sj"),
+            F.sum(F.col("j") * F.col("j")).alias("sj2"),
+        )
+    )
+    # by symmetry of the doubled list Σk = Σj and Σk² = Σj²
+    num = F.col("mm") * F.col("sjk") - F.col("sj") * F.col("sj")
+    var = F.col("mm") * F.col("sj2") - F.col("sj") * F.col("sj")
+    return m.select(
+        (F.col("mm") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.when(
+            var > 0, F.round(num.cast("double") / var.cast("double"), 6)
+        ).alias("assortativity"),
+    )

@@ -3135,3 +3135,50 @@ def test_ann_hamming_matches_bruteforce_on_fixture(spark):
         for r in ann_hamming_search(emb.repartition(7), 0, 10, 50).collect()
     ]
     assert again == ham
+
+
+def test_link_prediction_hand_computed(spark):
+    """r12: CN link prediction on a path graph — adjacency exclusion,
+    exact CN/PA scores, and the hub-middle cap."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        link_prediction,
+    )
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "source_id string, target_id string",
+    )
+    got = [
+        (r["a"], r["b"], r["common_neighbors"], r["pref_attach"])
+        for r in link_prediction(path, k=10).collect()
+    ]
+    # non-adjacent distance-2 pairs only; deg(a)=1 deg(b)=2 deg(c)=2
+    assert got == [("a", "c", 1, 2), ("b", "d", 1, 2)]
+    # a degree-3 star middle is dropped by max_wedge_degree=2
+    star = spark.createDataFrame(
+        [("m", "x"), ("m", "y"), ("m", "z")],
+        "source_id string, target_id string",
+    )
+    assert link_prediction(star, k=10).count() == 3
+    assert link_prediction(star, k=10, max_wedge_degree=2).count() == 0
+
+
+def test_degree_assortativity_hand_computed(spark):
+    """r12: star graph is exactly -1; a regular graph (zero degree
+    variance) yields NULL, not NaN."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        degree_assortativity,
+    )
+
+    star = spark.createDataFrame(
+        [("m", "x"), ("m", "y"), ("m", "z")],
+        "source_id string, target_id string",
+    )
+    row = degree_assortativity(star).collect()[0]
+    assert row["n_edges"] == 3 and row["assortativity"] == -1.0
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")],
+        "source_id string, target_id string",
+    )
+    row = degree_assortativity(tri).collect()[0]
+    assert row["n_edges"] == 3 and row["assortativity"] is None
