@@ -1496,6 +1496,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_char_entropy"] = lambda s, d: text.char_entropy(
         _tables(s, d)["documents"]
     )
+    # r12: Church-Hanks collocations — integer ranking keys, the float
+    # PMI as a derived column (see operator docstring for why)
+    q["text_collocation_pmi"] = lambda s, d: text.collocation_pmi(
+        _tables(s, d)["documents"], k=30, min_count=5
+    )
+    # r12: Flesch reading-ease over regex-count heuristics — pure
+    # per-row codegen, no shuffle
+    q["text_readability"] = lambda s, d: text.readability(
+        _tables(s, d)["documents"]
+    )
     q["events_value_percentiles"] = lambda s, d: ev_ops.value_percentiles(
         _tables(s, d)["events"]
     )
@@ -3728,6 +3738,46 @@ def oracle_sql() -> dict[str, str]:
     )
     o["text_classifier_gate"] = (
         "SELECT 'perceptron' AS method, true AS meets_floor"
+    )
+    o["text_collocation_pmi"] = (
+        "WITH base AS (SELECT text FROM documents "
+        "WHERE length(trim(text)) > 0), "
+        "w AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
+        "FROM base), "
+        "uni AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok "
+        "FROM (SELECT unnest(t) AS tok FROM w) GROUP BY tok), "
+        "bi AS (SELECT list_extract(t, i + 1) AS l, "
+        "list_extract(t, i + 2) AS r FROM w, "
+        "LATERAL (SELECT unnest(range(0, len(t) - 1)) AS i) WHERE len(t) >= 2), "
+        "bc AS (SELECT l, r, CAST(count(*) AS BIGINT) AS n_bigram "
+        "FROM bi GROUP BY l, r HAVING count(*) >= 5), "
+        "nu AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n FROM uni), "
+        "nb AS (SELECT CAST(sum(n_bigram) AS BIGINT) AS b FROM bc) "
+        "SELECT l || ' ' || r AS bigram, n_bigram, "
+        "ul.n_tok AS n_left, ur.n_tok AS n_right, "
+        "round(ln(CAST(n_bigram AS DOUBLE)) "
+        "+ 2.0 * ln(CAST(nu.n AS DOUBLE)) - ln(CAST(nb.b AS DOUBLE)) "
+        "- ln(CAST(ul.n_tok AS DOUBLE)) - ln(CAST(ur.n_tok AS DOUBLE)), 4) "
+        "AS pmi "
+        "FROM bc JOIN uni ul ON bc.l = ul.tok JOIN uni ur ON bc.r = ur.tok "
+        "CROSS JOIN nu CROSS JOIN nb "
+        "ORDER BY n_bigram DESC, bigram LIMIT 30"
+    )
+    o["text_readability"] = (
+        "SELECT doc_id, "
+        "greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) "
+        "AS n_sentences, "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+        "AS n_words, "
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) "
+        "AS n_syllables, "
+        "round(206.835 "
+        "- 1.015 * (CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) "
+        "/ CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE)) "
+        "- 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) "
+        "/ CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)), 3) "
+        "AS flesch "
+        "FROM documents WHERE length(trim(text)) > 0"
     )
     o["events_drift_stats"] = (
         "WITH v AS (SELECT event_type, ts, event_id, "

@@ -1153,3 +1153,114 @@ def repeated_spans(
         .agg(F.min("span").alias("span"))
     )
     return texts.select("span", "n_docs", "n_occurrences")
+
+
+def collocation_pmi(
+    docs: DataFrame, k: int = 30, min_count: int = 5
+) -> DataFrame:
+    """(bigram, n_bigram, n_left, n_right, pmi) — top-``k`` bigram
+    collocations by frequency with their pointwise mutual information
+    PMI = ln(p(xy) / (p(x)·p(y))) — the Church-Hanks collocation
+    statistic every phrase-mining / tokenizer-prep pipeline computes.
+
+    Determinism: all counts are BIGINT-exact; the RANKING key is
+    (count desc, bigram) — integers only — and the float PMI is one
+    fixed-shape expression over those exact counts, evaluated
+    identically by any IEEE engine, so the output value-checks.
+    (Ranking BY float PMI would hang the order on ln ulps; ranking by
+    count keeps the order exact while still surfacing the statistic.)
+
+    100 TB shape: bigrams generate in-plan from the token array (no
+    self-join); two map-side-combined counts (bigram-keyed and
+    unigram-keyed); the unigram side joins the SURVIVING ≥min_count
+    bigrams only (candidate-sized, broadcast-able), never the raw
+    stream; top-k is a TakeOrdered."""
+    words = _tokens(F.lower(F.col("text")))
+    base = docs.filter(F.length(F.trim(F.col("text"))) > 0)
+    uni = (
+        base.select(F.explode(words).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n_tok"))
+    )
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.struct(
+                F.element_at(words, i + 1).alias("l"),
+                F.element_at(words, i + 2).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    bi = (
+        base.select(F.explode(bigrams).alias("bg"))
+        .groupBy(F.col("bg.l").alias("l"), F.col("bg.r").alias("r"))
+        .agg(F.count("*").cast("bigint").alias("n_bigram"))
+        .filter(F.col("n_bigram") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("n_tok").alias("__n")).select("__n")
+    n_bi = bi.agg(F.sum("n_bigram").alias("__b")).select("__b")
+    ul = uni.select(F.col("tok").alias("l"), F.col("n_tok").alias("n_left"))
+    ur = uni.select(F.col("tok").alias("r"), F.col("n_tok").alias("n_right"))
+    pmi = F.round(
+        F.log(F.col("n_bigram").cast("double"))
+        + F.lit(2.0) * F.log(F.col("__n").cast("double"))
+        - F.log(F.col("__b").cast("double"))
+        - F.log(F.col("n_left").cast("double"))
+        - F.log(F.col("n_right").cast("double")),
+        4,
+    )
+    return (
+        bi.join(ul, "l")
+        .join(ur, "r")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", "l", "r").alias("bigram"),
+            "n_bigram",
+            "n_left",
+            "n_right",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("n_bigram"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_sentences, n_words, n_syllables, flesch) — Flesch
+    reading-ease per document with the standard regex heuristics:
+    sentences = runs of [.!?], syllables = vowel-group runs (the
+    Flesch-Kincaid approximation used when no dictionary is at hand).
+    A cheap, language-blind quality score for corpus filtering —
+    extremely high/low values flag boilerplate, code, or gibberish.
+
+    Determinism: all three counts are exact regex-match counts
+    (identical non-overlapping-match semantics across engines); the
+    score is one fixed-shape float expression over them, rounded at
+    the end — value-checkable.  Sentence count floors at 1 so
+    fragment documents score rather than divide by zero.
+
+    100 TB shape: pure per-row JVM regex work — no shuffle, no UDF,
+    whole-stage codegen end to end."""
+    n_words = F.size(_tokens(F.col("text")))
+    n_sent = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("bigint"),
+    )
+    n_syll = F.regexp_count(
+        F.lower(F.col("text")), F.lit("[aeiouy]+")
+    ).cast("bigint")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")),
+        3,
+    )
+    return docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.cast("bigint").alias("n_words"),
+        n_syll.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

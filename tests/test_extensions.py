@@ -3182,3 +3182,52 @@ def test_degree_assortativity_hand_computed(spark):
     )
     row = degree_assortativity(tri).collect()[0]
     assert row["n_edges"] == 3 and row["assortativity"] is None
+
+
+def test_collocation_pmi_hand_computed(spark):
+    """r12: PMI arithmetic on a tiny corpus — counts, the ln-sum
+    formula, min_count filter, and (count, bigram) ordering."""
+    import math
+
+    from pg_age_digitaltwins_spark.operators.text import collocation_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york"), (2, "new york city"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = collocation_pmi(docs, k=10, min_count=2).collect()
+    # bigrams: (new,york)x3, (york,new)x1, (york,city)x1 → only
+    # "new york" survives min_count=2
+    assert [r["bigram"] for r in rows] == ["new york"]
+    r = rows[0]
+    assert (r["n_bigram"], r["n_left"], r["n_right"]) == (3, 3, 3)
+    # N=7 unigrams, B=3 surviving bigram occurrences
+    want = round(
+        math.log(3) + 2 * math.log(7) - math.log(3) - math.log(3) - math.log(3),
+        4,
+    )
+    assert r["pmi"] == want
+
+
+def test_readability_hand_computed(spark):
+    """r12: Flesch counts — sentence runs, vowel-group syllables, the
+    1-sentence floor for fragments, and empty-doc exclusion."""
+    from pg_age_digitaltwins_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, "no punctuation here"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in readability(docs).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    # "The cat sat." + "The dog ran!" → 2 sentence runs, 6 words,
+    # vowel groups: e,a,a,e,o,a → 6
+    assert (r1["n_sentences"], r1["n_words"], r1["n_syllables"]) == (2, 6, 6)
+    assert r1["flesch"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 3)
+    r2 = got[2]
+    assert r2["n_sentences"] == 1 and r2["n_words"] == 3
