@@ -2025,6 +2025,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_bracket_revenue"] = _bracket_revenue
+
+    def _small_qty_revenue(spark, sf_dir):
+        # TPC-H Q17 shape: correlated avg-quantity threshold — the
+        # per-part rollup runs BEFORE the filter join (agg-then-join,
+        # never a correlated subquery per row), the brand dim prunes
+        # lineitem first, and the 0.2·avg comparison is EXACT:
+        # 5·qty·cnt < sum_qty cross-multiplied over BIGINT quantities,
+        # no float threshold.
+        from pyspark.sql import functions as F
+
+        t = _tables(spark, sf_dir)
+        bp = t["part"].filter(F.col("p_brand") == "Brand#3").select(
+            "p_partkey"
+        )
+        li = t["lineitem"].join(
+            F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey")
+        )
+        th = li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("__sum_qty"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        small = li.join(th, "l_partkey").filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("__cnt")
+            < F.col("__sum_qty")
+        )
+        return small.agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 10000).cast("bigint")
+                ).cast("double")
+                / F.lit(10000.0)
+                / F.lit(7.0),
+                4,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+
+    q["tpch_small_qty_revenue"] = _small_qty_revenue
+
+    def _seasonal_profile(spark, sf_dir):
+        # r12: hour-of-week seasonal baseline — integer epoch dow/hour,
+        # exact milli-sum averages
+        return ev_ops.seasonal_profile(_tables(spark, sf_dir)["events"])
+
+    q["events_seasonal_profile"] = _seasonal_profile
     q["events_top_users_per_type"] = _top_users_per_type
     return _driver_window_order(q)
 
@@ -3778,6 +3823,28 @@ def oracle_sql() -> dict[str, str]:
         "/ CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)), 3) "
         "AS flesch "
         "FROM documents WHERE length(trim(text)) > 0"
+    )
+    o["tpch_small_qty_revenue"] = (
+        "WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand = 'Brand#3'), "
+        "th AS (SELECT l_partkey, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY l_partkey) "
+        "SELECT round(CAST(sum(CAST(round(l_extendedprice * 10000) "
+        "AS BIGINT)) AS DOUBLE) / 10000.0 / 7.0, 4) AS avg_yearly, "
+        "CAST(count(*) AS BIGINT) AS n_small_lines "
+        "FROM li JOIN th USING (l_partkey) "
+        "WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty"
+    )
+    o["events_seasonal_profile"] = (
+        "SELECT event_type, "
+        "CAST((floor(epoch(ts) / 86400) + 4) % 7 AS BIGINT) AS dow, "
+        "CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hour, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(floor(CAST(sum(CAST(floor(value * 1000) AS BIGINT)) * 1000 "
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_value_micro "
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3"
     )
     o["events_drift_stats"] = (
         "WITH v AS (SELECT event_type, ts, event_id, "

@@ -3231,3 +3231,32 @@ def test_readability_hand_computed(spark):
     assert r1["flesch"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 3)
     r2 = got[2]
     assert r2["n_sentences"] == 1 and r2["n_words"] == 3
+
+
+def test_seasonal_profile_hand_computed(spark):
+    """r12: epoch-arithmetic dow/hour (1970-01-01 = Thursday = dow 4)
+    and exact floor-divided micro averages (no float rounding tie)."""
+    from datetime import datetime
+
+    from pg_age_digitaltwins_spark.operators.events import seasonal_profile
+
+    events = spark.createDataFrame(
+        [
+            # 1970-01-01 01:xx UTC → dow 4 (Thu), hour 1
+            (1, datetime(1970, 1, 1, 1, 0), "a", 1.0),
+            (2, datetime(1970, 1, 1, 1, 30), "a", 2.0),
+            # Sunday 1970-01-04 00:05 → dow 0, hour 0
+            (3, datetime(1970, 1, 4, 0, 5), "a", 5.5),
+            (4, datetime(1970, 1, 4, 0, 6), "a", None),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    got = {
+        (r["event_type"], r["dow"], r["hour"]): (
+            r["n_events"],
+            r["avg_value_micro"],
+        )
+        for r in seasonal_profile(events).collect()
+    }
+    # avg(1.0, 2.0) = 1.5 → 1_500_000 micro; NULL value excluded
+    assert got == {("a", 4, 1): (2, 1_500_000), ("a", 0, 0): (1, 5_500_000)}
