@@ -957,6 +957,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_assortativity"] = _assortativity
 
+    def _hits(spark, sf_dir):
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        # r12: HITS hubs/authorities — max-normalized like
+        # eigenvector_centrality, so the fixed-iteration values
+        # cross-check against the unrolled CTE
+        st = _store(spark, sf_dir)
+        return ga.hits(st.twins, st.relationships, iters=5)
+
+    q["graph_hits"] = _hits
+
     def _cypher_collect(spark, sf_dir):
         # Exercises the real Cypher collect() path; the raw
         # array<string> result is then projected to a sorted CSV so the
@@ -2385,6 +2396,44 @@ def _eigenvector_oracle(iters: int = 5) -> str:
     return "".join(parts)
 
 
+def _hits_oracle(iters: int = 5) -> str:
+    """Unrolled max-normalized HITS matching ``graph_analytics.hits``
+    over the distinct DIRECTED edge set (h0 = 1; per round authority =
+    in-sum of hubs / max, then hub = out-sum of authorities / max;
+    sourceless/sinkless vertices stay 0)."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_ALL_TWIN_IDS}), "
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst "
+        f"FROM ({_EDGES_SQL}) WHERE src <> dst), "
+        "h0 AS MATERIALIZED (SELECT dt_id, 1.0 AS hub FROM verts)"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f", asum{k} AS MATERIALIZED (SELECT e.dst AS dt_id, "
+            f"sum(h.hub) AS s FROM e JOIN h{k - 1} h ON e.src = h.dt_id "
+            f"GROUP BY e.dst)"
+            f", am{k} AS MATERIALIZED (SELECT max(s) AS mx FROM asum{k})"
+            f", a{k} AS MATERIALIZED (SELECT v.dt_id, CASE WHEN "
+            f"(SELECT mx FROM am{k}) > 0 THEN coalesce(s.s, 0.0) / "
+            f"(SELECT mx FROM am{k}) ELSE 0.0 END AS authority "
+            f"FROM verts v LEFT JOIN asum{k} s USING (dt_id))"
+            f", hsum{k} AS MATERIALIZED (SELECT e.src AS dt_id, "
+            f"sum(a.authority) AS s FROM e JOIN a{k} a ON e.dst = a.dt_id "
+            f"GROUP BY e.src)"
+            f", hm{k} AS MATERIALIZED (SELECT max(s) AS mx FROM hsum{k})"
+            f", h{k} AS MATERIALIZED (SELECT v.dt_id, CASE WHEN "
+            f"(SELECT mx FROM hm{k}) > 0 THEN coalesce(s.s, 0.0) / "
+            f"(SELECT mx FROM hm{k}) ELSE 0.0 END AS hub "
+            f"FROM verts v LEFT JOIN hsum{k} s USING (dt_id))"
+        )
+    parts.append(
+        f" SELECT a.dt_id, round(a.authority, 6) AS authority, "
+        f"round(h.hub, 6) AS hub FROM a{iters} a JOIN h{iters} h "
+        "USING (dt_id)"
+    )
+    return "".join(parts)
+
+
 def _ppr_oracle(
     seeds: tuple[str, ...] = ("cust-0", "cust-1"),
     iters: int = 5,
@@ -2947,6 +2996,7 @@ def oracle_sql() -> dict[str, str]:
     o["graph_pagerank"] = _pagerank_oracle()
     o["graph_personalized_pagerank"] = _ppr_oracle()
     o["graph_eigenvector_centrality"] = _eigenvector_oracle()
+    o["graph_hits"] = _hits_oracle()
     o["graph_weighted_shortest_paths"] = _weighted_sp_oracle()
     o["graph_random_walks"] = _random_walks_oracle()
     o["graph_walk_skipgram_pairs"] = _skipgram_oracle()

@@ -3260,3 +3260,40 @@ def test_seasonal_profile_hand_computed(spark):
     }
     # avg(1.0, 2.0) = 1.5 → 1_500_000 micro; NULL value excluded
     assert got == {("a", 4, 1): (2, 1_500_000), ("a", 0, 0): (1, 5_500_000)}
+
+
+def test_hits_hand_computed(spark):
+    """r12: HITS on a tiny directed bipartite-ish graph vs a dense
+    numpy replay of the same max-normalized schedule."""
+    import numpy as np
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import hits
+
+    twins = spark.createDataFrame(
+        [("h1",), ("h2",), ("a1",), ("a2",), ("iso",)], "dt_id string"
+    )
+    rels = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1")],
+        "source_id string, target_id string",
+    )
+    got = {
+        r["dt_id"]: (r["authority"], r["hub"])
+        for r in hits(twins, rels, iters=5).collect()
+    }
+    ids = ["h1", "h2", "a1", "a2", "iso"]
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((5, 5))
+    for s, t in [("h1", "a1"), ("h1", "a2"), ("h2", "a1")]:
+        A[idx[s], idx[t]] = 1.0
+    h = np.ones(5)
+    for _ in range(5):
+        a = A.T @ h
+        a = a / a.max() if a.max() > 0 else a * 0
+        h = A @ a
+        h = h / h.max() if h.max() > 0 else h * 0
+    for v in ids:
+        assert abs(got[v][0] - round(a[idx[v]], 6)) < 1e-9, v
+        assert abs(got[v][1] - round(h[idx[v]], 6)) < 1e-9, v
+    # hubs have no authority, authorities no hub, isolated both 0
+    assert got["a1"][1] == 0.0 and got["h1"][0] == 0.0
+    assert got["iso"] == (0.0, 0.0)
