@@ -386,6 +386,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size([x IN c.tags WHERE x STARTS WITH 'B']) AS nb, "
         "reduce(s = 0, x IN c.tags | s + size(x)) AS taglen ORDER BY id"
     )
+    # r12: any/all/none/single list predicates — compile to JVM
+    # exists/forall/size(filter) higher-order functions
+    q["cypher_list_predicates"] = _adt(
+        "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "RETURN c.`$dtId` AS id, "
+        "any(x IN c.tags WHERE x STARTS WITH 'B') AS any_b, "
+        "all(x IN c.tags WHERE size(x) > 8) AS all_long, "
+        "none(x IN c.tags WHERE x = 'MACHINERY') AS no_mach, "
+        "single(x IN c.tags WHERE x ENDS WITH 'G') AS one_g "
+        "ORDER BY id"
+    )
     q["cypher_l2_distance_topk"] = _adt(
         "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
         "RETURN c.`$dtId` AS id, round(l2_distance([c.acctbal], [5000.0]), 2) AS d "
@@ -2792,6 +2803,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'cust-' || c_custkey AS id, "
         "CAST(len([x FOR x IN [c_mktsegment] IF x LIKE 'B%']) AS BIGINT) AS nb, "
         "CAST(length(c_mktsegment) AS DOUBLE) AS taglen "
+        "FROM customer ORDER BY id"
+    )
+    o["cypher_list_predicates"] = (
+        "SELECT 'cust-' || c_custkey AS id, "
+        "c_mktsegment LIKE 'B%' AS any_b, "
+        "length(c_mktsegment) > 8 AS all_long, "
+        "c_mktsegment <> 'MACHINERY' AS no_mach, "
+        "c_mktsegment LIKE '%G' AS one_g "
         "FROM customer ORDER BY id"
     )
     o["cypher_l2_distance_topk"] = (

@@ -140,6 +140,17 @@ class Reduce:
 
 
 @dataclass
+class ListPred:
+    """``any/all/none/single(x IN src WHERE pred)`` — openCypher list
+    predicates.  Compile to the matching JVM higher-order function
+    (exists / forall / NOT exists / size(filter)=1)."""
+    kind: str  # "any" | "all" | "none" | "single"
+    var: str
+    src: "Expr"
+    where: "Expr" = None
+
+
+@dataclass
 class PatternPred:
     """Existential pattern predicate ``WHERE (a)-[:R]->(b)`` (also the
     ``EXISTS { [MATCH] pattern [WHERE pred] }`` subquery form) — true
@@ -158,7 +169,7 @@ class CountSub:
     where: "Expr | None" = None
 
 
-Expr = Union[Var, Prop, Lit, ListLit, Cmp, StringOp, InList, IsNull, And, Or, Not, Arith, Case, Func, ListComp, Reduce, PatternPred, CountSub]
+Expr = Union[Var, Prop, Lit, ListLit, Cmp, StringOp, InList, IsNull, And, Or, Not, Arith, Case, Func, ListComp, Reduce, ListPred, PatternPred, CountSub]
 
 AGGREGATES = {"count", "sum", "avg", "min", "max", "collect",
               "stdev", "stdevp", "percentilecont", "percentiledisc"}
@@ -181,6 +192,8 @@ def has_aggregate(e: Expr) -> bool:
         return has_aggregate(e.operand)
     if isinstance(e, ListLit):
         return any(has_aggregate(i) for i in e.items)
+    if isinstance(e, ListPred):
+        return has_aggregate(e.src)
     if isinstance(e, PostfixProp):
         return has_aggregate(e.base)
     if isinstance(e, Arith):

@@ -2062,6 +2062,24 @@ class CypherCompiler:
             if e.map is not None:
                 out = F.transform(out, lambda x: self._expr(e.map, _env2(x)))
             return out
+        if isinstance(e, C.ListPred):
+            arr, is_var = self._array_src(e.src, env)
+
+            def _envp(x):
+                return {
+                    **env,
+                    e.var: Binding(e.var, "lambda", "", col=x, variant=is_var),
+                }
+
+            pred = lambda x: self._expr(e.where, _envp(x), True)  # noqa: E731
+            if e.kind == "any":
+                return F.exists(arr, pred)
+            if e.kind == "all":
+                return F.forall(arr, pred)
+            if e.kind == "none":
+                return ~F.exists(arr, pred)
+            # single: exactly one element satisfies
+            return F.size(F.filter(arr, pred)) == F.lit(1)
         if isinstance(e, C.Reduce):
             arr, is_var = self._array_src(e.src, env)
             init = self._operand(e.init, env, _lit_kind(e.init))

@@ -151,6 +151,13 @@ class _Parser:
             return self.eat("KEYWORD").raw
         raise CypherParseError(f"Expected name at {self.cur.pos}")
 
+    def _peek_kw_in(self, offset: int) -> bool:
+        """True when the token ``offset`` ahead is the keyword IN —
+        the lookahead that distinguishes a list predicate
+        ``any(x IN …)`` from an ordinary call ``any(expr)``."""
+        t = self.toks[self.i + offset] if self.i + offset < len(self.toks) else None
+        return t is not None and t.kind == "KEYWORD" and t.value == "IN"
+
     # -- clauses -------------------------------------------------------
     def _peek_is_call(self, offset: int) -> bool:
         """CALL is NOT a reserved keyword (it stays usable as a name) —
@@ -570,6 +577,14 @@ class _Parser:
             e = self.expr()
             self.eat("PUNCT", ")")
             return self._postfix(e)
+        if t.kind == "KEYWORD" and t.value == "ALL" and (
+            self.toks[self.i + 1].kind == "PUNCT"
+            and self.toks[self.i + 1].value == "("
+        ):
+            # ALL is the UNION ALL keyword, but ``all(x IN … WHERE …)``
+            # in expression position is the list predicate
+            self.i += 1
+            return self._postfix(self._call("all"))
         if t.kind == "IDENT" or (t.kind == "KEYWORD" and t.value == "COUNT"):
             name = t.value
             self.i += 1
@@ -638,6 +653,19 @@ class _Parser:
             step = self.expr()
             self.eat("PUNCT", ")")
             return C.Reduce(acc, init, var, src, step)
+        if name in ("any", "all", "none", "single") and (
+            self.at("IDENT") and self._peek_kw_in(1)
+        ):
+            # any/all/none/single(x IN src WHERE pred) — list predicate
+            # (the IDENT-IN lookahead keeps plain calls like all(x)
+            # parsing as Func)
+            var = self.eat("IDENT").value
+            self.eat("KEYWORD", "IN")
+            src = self.expr()
+            self.eat("KEYWORD", "WHERE")
+            where = self.expr()
+            self.eat("PUNCT", ")")
+            return C.ListPred(name, var, src, where)
         distinct = self.opt("KEYWORD", "DISTINCT")
         if self.opt("PUNCT", "*"):
             self.eat("PUNCT", ")")

@@ -2324,3 +2324,57 @@ def test_postfix_temporal_component_access(spark):
     # non-temporal computed base rejected with a clear error
     with pytest.raises(CypherCompileError, match="temporal expressions"):
         rows(store, "MATCH (t) RETURN toLower(t.ts).year AS y")
+
+
+# ---------------------------------------------------------------------------
+# r12: any/all/none/single list predicates
+# ---------------------------------------------------------------------------
+
+def test_list_predicates(spark):
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:lp:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": "a", "$metadata": {"$model": "dtmi:lp:T;1"},
+              "xs": [1, 2, 3], "tags": ["ab", "cde", "cd"]}]
+    store = GraphStore.from_documents(spark, twin_docs=twins, model_docs=models)
+    [r] = rows(store,
+               "MATCH (t) RETURN "
+               "any(x IN t.xs WHERE x > 2) AS a1, "
+               "any(x IN t.xs WHERE x > 5) AS a0, "
+               "all(x IN t.xs WHERE x > 0) AS l1, "
+               "all(x IN t.xs WHERE x > 1) AS l0, "
+               "none(x IN t.xs WHERE x = 9) AS n1, "
+               "single(x IN t.xs WHERE x = 2) AS s1, "
+               "single(x IN t.tags WHERE x STARTS WITH 'c') AS s0, "
+               "any(x IN [1, 2] WHERE x = 2) AS lit")
+    assert (r["a1"], r["a0"]) == (True, False)
+    assert (r["l1"], r["l0"]) == (True, False)
+    assert r["n1"] is True
+    # exactly-one semantics: two 'c' tags fail single
+    assert (r["s1"], r["s0"]) == (True, False)
+    assert r["lit"] is True
+
+
+def test_list_predicates_in_where_and_plain_calls_unharmed(spark):
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:lp:T;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [
+        {"$dtId": "a", "$metadata": {"$model": "dtmi:lp:T;1"}, "xs": [1, 2]},
+        {"$dtId": "b", "$metadata": {"$model": "dtmi:lp:T;1"}, "xs": [5]},
+    ]
+    store = GraphStore.from_documents(spark, twin_docs=twins, model_docs=models)
+    got = rows(store,
+               "MATCH (t) WHERE all(x IN t.xs WHERE x < 3) "
+               "RETURN t.`$dtId` AS id")
+    assert [r["id"] for r in got] == ["a"]
+    # NOT none(...) == any(...)
+    got = rows(store,
+               "MATCH (t) WHERE NOT none(x IN t.xs WHERE x = 5) "
+               "RETURN t.`$dtId` AS id")
+    assert [r["id"] for r in got] == ["b"]
+    # aggregate calls named like predicates still parse as functions
+    [r] = rows(store, "MATCH (t) RETURN count(t) AS n")
+    assert r["n"] == 2
