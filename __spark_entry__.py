@@ -1295,6 +1295,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tables(s, d)["embeddings"], query_id=0, k=10, refine_k=50
     )
 
+    # r12: batched binary-code ANN — one corpus code build for N
+    # queries; the ONE batch-ANN variant whose prescreen value-checks
+    # (exact integer popcounts, unlike hash/centroid-bound LSH/PQ)
+    def _hamming_batch(s, d):
+        from pyspark.sql import functions as F
+
+        emb = _tables(s, d)["embeddings"]
+        qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ann_hamming_search_batch(emb, qs, k=10, refine_k=50)
+
+    q["embed_ann_hamming_batch"] = _hamming_batch
+
     # batched-query PQ: one codebook + one encoded scan for N queries
     # (same FP-training caveat → rows-only; equality with the N single
     # calls is pinned by test_pq_batch_matches_per_query_calls)
@@ -1527,6 +1541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-row codegen, no shuffle
     q["text_readability"] = lambda s, d: text.readability(
         _tables(s, d)["documents"]
+    )
+    # r12: per-doc keyword extraction — integer (tf, df, term) ranking,
+    # float tfidf as a derived column
+    q["text_tfidf_per_doc"] = lambda s, d: text.tfidf_top_terms_per_doc(
+        _tables(s, d)["documents"], k=3
     )
     q["events_value_percentiles"] = lambda s, d: ev_ops.value_percentiles(
         _tables(s, d)["events"]
@@ -3812,6 +3831,32 @@ def oracle_sql() -> dict[str, str]:
         "CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q) "
         "ORDER BY sim DESC, vec_id LIMIT 10"
     )
+    o["embed_ann_hamming_batch"] = (
+        "WITH ex AS (SELECT vec_id, unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+        "words AS MATERIALIZED (SELECT vec_id, (i - 1) // 32 AS w, "
+        "CAST(sum(CASE WHEN x > 0 THEN 1::BIGINT << ((i - 1) % 32) "
+        "ELSE 0 END) AS BIGINT) AS word FROM ex GROUP BY vec_id, w), "
+        "qw AS (SELECT vec_id AS query_id, w, word FROM words "
+        "WHERE vec_id IN (0, 1, 2)), "
+        "ham AS (SELECT q.query_id, v.vec_id, "
+        "CAST(sum(bit_count(xor(v.word, q.word))) AS BIGINT) AS hamming "
+        "FROM words v JOIN qw q ON v.w = q.w WHERE v.vec_id <> q.query_id "
+        "GROUP BY q.query_id, v.vec_id), "
+        "cand AS (SELECT query_id, vec_id FROM ("
+        "SELECT query_id, vec_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY hamming, vec_id) AS r FROM ham) "
+        "WHERE r <= 50) "
+        "SELECT query_id, vec_id, sim, rank FROM ("
+        "SELECT c.query_id AS query_id, e.vec_id AS vec_id, "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(qe.embedding AS DOUBLE[])), 6) AS sim, "
+        "CAST(row_number() OVER (PARTITION BY c.query_id "
+        "ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(qe.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS INT) AS rank "
+        "FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id "
+        "JOIN embeddings qe ON qe.vec_id = c.query_id) WHERE rank <= 10"
+    )
     o["events_funnel"] = (
         "WITH s0 AS (SELECT user_id, min(ts) AS t FROM events "
         "WHERE event_type = 'view' GROUP BY user_id), "
@@ -3876,6 +3921,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM bc JOIN uni ul ON bc.l = ul.tok JOIN uni ur ON bc.r = ur.tok "
         "CROSS JOIN nu CROSS JOIN nb "
         "ORDER BY n_bigram DESC, bigram LIMIT 30"
+    )
+    o["text_tfidf_per_doc"] = (
+        "WITH base AS (SELECT doc_id, text FROM documents "
+        "WHERE length(trim(text)) > 0), "
+        "w AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM base), "
+        "tf AS MATERIALIZED (SELECT doc_id, term, "
+        "CAST(count(*) AS BIGINT) AS tf FROM "
+        "(SELECT doc_id, unnest(t) AS term FROM w) GROUP BY doc_id, term), "
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf "
+        "GROUP BY term), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base) "
+        "SELECT doc_id, term, tf, df, rank, "
+        "round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) "
+        "/ CAST(df AS DOUBLE)), 4) AS tfidf FROM ("
+        "SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n, "
+        "CAST(row_number() OVER (PARTITION BY tf.doc_id "
+        "ORDER BY tf.tf DESC, df.df, tf.term) AS INT) AS rank "
+        "FROM tf JOIN df USING (term) CROSS JOIN n) WHERE rank <= 3"
     )
     o["text_readability"] = (
         "SELECT doc_id, "

@@ -1574,3 +1574,75 @@ def ann_hamming_search(
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ann_hamming_search_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    refine_k: int = 50,
+    dim: int | None = None,
+) -> DataFrame:
+    """Batched-query binary-code ANN: ONE corpus code build serves a
+    whole DataFrame of queries (the retrieval-pipeline shape, like
+    ``ann_lsh_multitable_batch`` / ``ann_pq_search_batch``).
+
+    ``queries`` must have (query_id, embedding).  Output: (query_id,
+    vec_id, sim, rank) — per-query Hamming-prescreened, exact-cosine
+    re-ranked, rank 1..k.  Exact integer prescreen → value-checks
+    against SQL end to end (the one batch-ANN variant that does; LSH
+    and PQ batches are hash/centroid-layout-bound).
+
+    100 TB shape: corpus codes built once (16× scan shrink); the query
+    codes — N rows of packed words — BROADCAST against the corpus scan
+    (one popcount map, no shuffle of the corpus); per-query top
+    ``refine_k`` and the final top-k are each ONE window over
+    candidate-sized frames, partitioned by query_id."""
+    from pyspark.sql.window import Window
+
+    coded = binary_sign_codes(embeddings, dim=dim)
+    qcoded = F.broadcast(
+        coded.join(
+            queries.select(F.col("query_id").alias("vec_id")), "vec_id"
+        ).select(F.col("vec_id").alias("query_id"), F.col("words").alias("__qw"))
+    )
+    ham = (
+        coded.join(qcoded, coded["vec_id"] != qcoded["query_id"])
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(words, __qw, "
+                "(a, b) -> CAST(bit_count(a ^ b) AS BIGINT)), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("hamming"),
+        )
+    )
+    wpre = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    cand = (
+        ham.withColumn("__r", F.row_number().over(wpre))
+        .filter(F.col("__r") <= refine_k)
+        .select("query_id", "vec_id")
+    )
+    qvec = F.broadcast(
+        embeddings.join(
+            queries.select(F.col("query_id").alias("vec_id")), "vec_id"
+        ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        embeddings.join(cand, "vec_id")
+        .join(qvec, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("__q")), 6).alias(
+                "sim"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )

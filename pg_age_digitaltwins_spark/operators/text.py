@@ -7,7 +7,7 @@ with map-side projection — no shuffle except for the grouped variants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Tiny per-language marker sets for the n-gram/stopword language-ID
 # heuristic.  Deterministic and SQL-expressible (mirrored in the DuckDB
@@ -1263,4 +1263,53 @@ def readability(docs: DataFrame) -> DataFrame:
         n_words.cast("bigint").alias("n_words"),
         n_syll.alias("n_syllables"),
         flesch.alias("flesch"),
+    )
+
+
+def tfidf_top_terms_per_doc(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, term, tf, df, rank, tfidf) — per-document top-``k``
+    keyword extraction: the document's highest-frequency, rarest
+    terms, with the classic tf·ln(N/df) statistic as a column.
+
+    Determinism: the RANKING key is (tf desc, df asc, term) —
+    integers and strings only (the same integer-rank/float-column
+    split as collocation_pmi: ranking BY the float tfidf would hang
+    row selection on ln ulps; the lexicographic key is exact and is
+    itself the standard keyword heuristic).  tfidf is one fixed-shape
+    float expression over exact counts.
+
+    100 TB shape: two map-side-combined counts (doc-term and
+    document-frequency); the df side joins back on the term key; the
+    corpus size rides as a broadcast 1-row frame; per-doc top-k is
+    ONE window partitioned by doc_id."""
+    words = _tokens(F.lower(F.col("text")))
+    base = docs.filter(F.length(F.trim(F.col("text"))) > 0)
+    tf = (
+        base.select("doc_id", F.explode(words).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    # (doc_id, term) is unique in tf, so count(*) IS the doc frequency
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n = base.agg(F.count("*").cast("bigint").alias("__n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "rank",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("__n").cast("double") / F.col("df").cast("double")),
+                4,
+            ).alias("tfidf"),
+        )
     )

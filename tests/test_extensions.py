@@ -3297,3 +3297,65 @@ def test_hits_hand_computed(spark):
     # hubs have no authority, authorities no hub, isolated both 0
     assert got["a1"][1] == 0.0 and got["h1"][0] == 0.0
     assert got["iso"] == (0.0, 0.0)
+
+
+def test_ann_hamming_batch_matches_per_query_calls(spark):
+    """r12: the batched Hamming search equals N single-query calls
+    (same prescreen, same re-rank, per query)."""
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        ann_hamming_search,
+        ann_hamming_search_batch,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+    from pyspark.sql import functions as F
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    qs = emb.filter(F.col("vec_id").isin(0, 5)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ann_hamming_search_batch(emb, qs, k=5, refine_k=20).collect()
+    }
+    for qid in (0, 5):
+        single = [
+            r["vec_id"]
+            for r in ann_hamming_search(emb, qid, 5, 20).collect()
+        ]
+        assert [got[(qid, i + 1)] for i in range(5)] == single, qid
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """r12: per-doc keyword ranking — tf desc, rare-first df
+    tie-break, term tie-break, and the tfidf statistic."""
+    import math
+
+    from pg_age_digitaltwins_spark.operators.text import (
+        tfidf_top_terms_per_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana common common"),
+            (3, "cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows_ = tfidf_top_terms_per_doc(docs, k=2).collect()
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in rows_
+    }
+    # doc 1: apple tf=2 first; banana (df=2) beats common (df=3)
+    assert got[(1, 1)] == ("apple", 2, 1)
+    assert got[(1, 2)] == ("banana", 1, 2)
+    # doc 2: common tf=2 first despite df=3
+    assert got[(2, 1)] == ("common", 2, 3)
+    # doc 3: cherry df=1 beats common
+    assert got[(3, 1)] == ("cherry", 1, 1)
+    tfidf = {
+        (r["doc_id"], r["term"]): r["tfidf"] for r in rows_
+    }
+    assert tfidf[(1, "apple")] == round(2 * math.log(3 / 1), 4)
+    assert tfidf[(2, "common")] == round(2 * math.log(3 / 3), 4)
