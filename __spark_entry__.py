@@ -952,9 +952,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # r12: common-neighbor link prediction — exact BIGINT scores
         # (CN count + preferential attachment), one middle-keyed wedge
-        # join + an anti join against the edge set
+        # join + an anti join against the edge set.  The hub cap is
+        # LOAD-BEARING at scale: nation middles have degree ~65·SF/0.01
+        # and the wedge set grows with the SQUARE of middle degree (an
+        # uncapped sf1 run built 450M+ wedge rows and spilled a local
+        # disk dry); 100 keeps every non-nation middle at any SF, so
+        # bound work stays edge-linear.  The oracle mirrors the cap.
         return ga.link_prediction(
-            _store(spark, sf_dir).relationships, k=50
+            _store(spark, sf_dir).relationships, k=50, max_wedge_degree=100
         )
 
     q["graph_link_prediction"] = _link_pred
@@ -3138,9 +3143,11 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT b, a FROM und), "
         "deg AS (SELECT m AS v, CAST(count(*) AS BIGINT) AS deg "
         "FROM nb GROUP BY m), "
+        "mids AS (SELECT nb.m, nb.x FROM nb JOIN deg ON nb.m = deg.v "
+        "WHERE deg.deg <= 100), "
         "cn AS (SELECT l.x AS a, r.x AS b, "
         "CAST(count(*) AS BIGINT) AS common_neighbors "
-        "FROM nb l JOIN nb r ON l.m = r.m AND l.x < r.x "
+        "FROM mids l JOIN mids r ON l.m = r.m AND l.x < r.x "
         "GROUP BY l.x, r.x), "
         "cand AS (SELECT cn.* FROM cn ANTI JOIN und "
         "ON cn.a = und.a AND cn.b = und.b) "
