@@ -386,6 +386,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size([x IN c.tags WHERE x STARTS WITH 'B']) AS nb, "
         "reduce(s = 0, x IN c.tags | s + size(x)) AS taglen ORDER BY id"
     )
+    # r12: Neo4j percentile aggregates — percentileCont = exact linear
+    # interpolation (Spark `percentile`), percentileDisc = exact
+    # discrete (percentile_approx at max accuracy); probe-verified
+    # identical to DuckDB quantile_cont/quantile_disc semantics
+    q["cypher_percentiles"] = _adt(
+        "MATCH (c) WHERE c.`$metadata`.`$model` = 'dtmi:demo:Customer;1' "
+        "RETURN round(percentileCont(c.acctbal, 0.5), 4) AS p50, "
+        "round(percentileDisc(c.acctbal, 0.9), 4) AS p90_disc, "
+        "count(*) AS n"
+    )
     # r12: any/all/none/single list predicates — compile to JVM
     # exists/forall/size(filter) higher-order functions
     q["cypher_list_predicates"] = _adt(
@@ -1371,6 +1381,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r12: real PCM16 nearest-sample audio resample (the audio sibling
     # of the PPM resize) — header/size oracle derivable from doc_id
     q["multimodal_resample"] = _mm_resample
+
+    def _mm_audio_stats(s, d):
+        # r12: integer loudness/energy stats decoded from REAL WAV
+        # bytes — the oracle replays the fixture's closed-form sample
+        # formula, so the container walk + int16 decode value-check
+        # END TO END on the sample VALUES (not just the header)
+        media = multimodal.synthetic_wav_media(_tables(s, d)["documents"])
+        return multimodal.audio_stats(media)
+
+    q["multimodal_audio_stats"] = _mm_audio_stats
 
     # --- classic relational rollups (bench anchors) -------------------
     def _pricing(spark, sf_dir):
@@ -2829,6 +2849,11 @@ def oracle_sql() -> dict[str, str]:
         "CAST(length(c_mktsegment) AS DOUBLE) AS taglen "
         "FROM customer ORDER BY id"
     )
+    o["cypher_percentiles"] = (
+        "SELECT round(quantile_cont(c_acctbal, 0.5), 4) AS p50, "
+        "round(quantile_disc(c_acctbal, 0.9), 4) AS p90_disc, "
+        "CAST(count(*) AS BIGINT) AS n FROM customer"
+    )
     o["cypher_list_predicates"] = (
         "SELECT 'cust-' || c_custkey AS id, "
         "c_mktsegment LIKE 'B%' AS any_b, "
@@ -3559,6 +3584,21 @@ def oracle_sql() -> dict[str, str]:
         "CAST((64 + doc_id % 64) * 4000 // 8000 AS INT) AS n_samples, "
         "CAST(44 + 2 * ((64 + doc_id % 64) * 4000 // 8000) AS BIGINT) "
         "AS n_bytes FROM documents"
+    )
+    o["multimodal_audio_stats"] = (
+        # fixture replay: n = 64 + doc_id % 64 mono samples at 8000 Hz,
+        # sample[i] = ((doc_id*31 + i*17) % 65536) - 32768
+        "WITH s AS (SELECT doc_id, "
+        "CAST((doc_id * 31 + i.i * 17) % 65536 - 32768 AS BIGINT) AS v "
+        "FROM documents, LATERAL (SELECT unnest(range(0, "
+        "64 + doc_id % 64)) AS i) i) "
+        "SELECT 'media-' || doc_id AS media_id, CAST(8000 AS INT) AS rate, "
+        "CAST(1 AS INT) AS n_channels, "
+        "CAST(count(*) AS INT) AS n_samples, "
+        "CAST(sum(v) AS BIGINT) AS sum_samples, "
+        "CAST(sum(v * v) AS BIGINT) AS sum_squares, "
+        "CAST(max(abs(v)) AS BIGINT) AS peak_abs "
+        "FROM s GROUP BY doc_id"
     )
     o["embed_norm_stats"] = (
         "SELECT label, count(*) AS cnt, "

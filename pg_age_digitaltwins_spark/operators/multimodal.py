@@ -506,3 +506,57 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         "frame_key",
         F.sha2(F.concat_ws(":", F.col("media_id"), F.col("frame_no")), 256),
     )
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """(media_id, rate, n_channels, n_samples, sum_samples,
+    sum_squares, peak_abs) — loudness/energy statistics decoded from
+    REAL PCM16 WAV bytes (RMS = sqrt(sum_squares/n) and peak are the
+    clipping / silence / corruption filters every audio-corpus
+    pipeline runs before training).
+
+    Exactness: every statistic is an INTEGER aggregate over the
+    decoded int16 samples (sum, sum of squares, max |s|) — no float
+    anywhere — so a synthetic fixture whose samples derive from a
+    closed-form formula value-checks the whole container walk +
+    decode end to end (the resample oracle pattern, applied to the
+    sample VALUES instead of the header).
+
+    100 TB shape: partition-preserving Arrow ``mapInPandas``; bytes
+    never leave executors; output is one short row per media item."""
+
+    def run(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, ch, off, size = _parse_wav_pcm16(bytes(content))
+                samples = np.frombuffer(
+                    bytes(content), dtype="<i2", count=size // 2, offset=off
+                ).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "rate": rate,
+                        "n_channels": ch,
+                        "n_samples": int(len(samples) // ch),
+                        "sum_samples": int(samples.sum()),
+                        "sum_squares": int((samples * samples).sum()),
+                        "peak_abs": int(np.abs(samples).max()) if len(samples) else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "rate", "n_channels", "n_samples",
+                    "sum_samples", "sum_squares", "peak_abs",
+                ],
+            )
+
+    schema = (
+        "media_id string, rate int, n_channels int, n_samples int, "
+        "sum_samples long, sum_squares long, peak_abs long"
+    )
+    return media.select("media_id", "content").mapInPandas(run, schema)

@@ -3359,3 +3359,28 @@ def test_tfidf_top_terms_hand_computed(spark):
     }
     assert tfidf[(1, "apple")] == round(2 * math.log(3 / 1), 4)
     assert tfidf[(2, "common")] == round(2 * math.log(3 / 3), 4)
+
+
+def test_audio_stats_exact_decode(spark):
+    """r12: loudness stats decoded from REAL WAV bytes equal a pure
+    numpy replay of the fixture formula (and stereo interleave is
+    counted in frames, not raw samples)."""
+    import numpy as np
+
+    from pg_age_digitaltwins_spark.operators.multimodal import (
+        audio_stats,
+        synthetic_wav_media,
+    )
+
+    docs = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    media = synthetic_wav_media(docs)
+    got = {r["media_id"]: r for r in audio_stats(media).collect()}
+    for d in (3, 7):
+        n = 64 + d % 64
+        i = np.arange(n, dtype=np.int64)
+        s = (d * 31 + i * 17) % 65536 - 32768
+        r = got[f"media-{d}"]
+        assert (r["rate"], r["n_channels"], r["n_samples"]) == (8000, 1, n)
+        assert r["sum_samples"] == int(s.sum())
+        assert r["sum_squares"] == int((s * s).sum())
+        assert r["peak_abs"] == int(np.abs(s).max())
