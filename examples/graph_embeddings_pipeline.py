@@ -111,6 +111,14 @@ def main() -> None:
     print("LSH ANN top-5 for vec 0:")
     for r in hits.collect():
         print(f"  vec {r['vec_id']}: cos {r['sim']:.4f}")
+
+    # 6. the cheapest first-pass filter: 1-bit sign codes + popcount
+    #    Hamming prescreen (16x compressed scan), exact re-rank — the
+    #    r12 binary-code path; prescreen is exact integers end to end
+    bits = similarity.ann_hamming_search(emb, query_id=0, k=5, refine_k=25)
+    print("Hamming-prescreen ANN top-5 for vec 0:")
+    for r in bits.collect():
+        print(f"  vec {r['vec_id']}: cos {r['sim']:.4f}")
     spark.stop()
 
 

@@ -2104,3 +2104,63 @@ def test_replicate_catch_up_batch_path(spark, tmp_path):
     got = {r["dt_id"]: r["doc"] for r in store.twins.collect()}
     assert set(got) == {"t0", "t1"}
     assert '"x":9' in got["t0"].replace(" ", "") or '"x": 9' in got["t0"]
+
+
+def test_streaming_cusum_monitor_stateful(spark, tmp_path):
+    """r12: the running CUSUM accumulates EXACT milli-deviations across
+    micro-batches per event_type and flags once |D| crosses the
+    threshold (online sibling of operators.events.drift_stats)."""
+    import json as _json
+
+    from pg_age_digitaltwins_spark.streaming.stateful import (
+        streaming_cusum_monitor,
+    )
+
+    feed = tmp_path / "cusumfeed"
+    feed.mkdir()
+
+    def write_batch(name, rows):
+        (feed / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {"event_id": i, "ts": ts, "user_id": 1,
+                     "event_type": et, "value": v}
+                )
+                for i, (ts, et, v) in enumerate(rows)
+            )
+        )
+
+    # target 10.0, threshold 5.0 → flag once |Σ(v-10)| >= 5
+    write_batch("b0.ndjson", [
+        ("2026-03-01T00:00:00", "a", 12.0),   # dev = +2000
+        ("2026-03-01T00:01:00", "a", 12.5),   # dev = +4500
+        ("2026-03-01T00:00:00", "b", 10.0),   # dev = 0
+    ])
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).json(str(feed), timestampFormat="yyyy-MM-dd'T'HH:mm:ss")
+    _run_to_memory(
+        streaming_cusum_monitor(stream, target=10.0, threshold=5.0),
+        "cusum", tmp_path,
+    )
+    out = {
+        (r["event_type"], r["cusum_milli"]): r["flagged"]
+        for r in spark.sql("select * from cusum").collect()
+    }
+    assert out == {("a", 2000): False, ("a", 4500): False, ("b", 0): False}
+
+    # batch 2: state (a: +4500, b: 0) persists; +1.0 pushes a over 5000
+    write_batch("b1.ndjson", [
+        ("2026-03-01T00:02:00", "a", 11.0),   # dev = +5500 → flag
+        ("2026-03-01T00:01:00", "b", 9.0),    # dev = -1000
+    ])
+    _run_to_memory(
+        streaming_cusum_monitor(stream, target=10.0, threshold=5.0),
+        "cusum2", tmp_path,
+    )
+    out2 = {
+        (r["event_type"], r["cusum_milli"]): r["flagged"]
+        for r in spark.sql("select * from cusum2").collect()
+    }
+    assert out2[("a", 5500)] is True
+    assert out2[("b", -1000)] is False
