@@ -44,6 +44,12 @@ _FRAGMENTS = st.sampled_from([
     ".quarters", ".milliseconds",
     # r10 tail: endpoint accessors
     "startNode(", "endNode(", "startNode(r)", "endNode(r)",
+    # r12 grammar: list predicates (incl. the ALL-keyword collision in
+    # expression position) and percentile aggregates
+    "any(", "all(", "none(", "single(", "any(x IN", "x IN t.xs",
+    "all(x IN [1,2] WHERE x > 0)", "single(x IN t.tags WHERE",
+    "none(x IN", "UNION ALL", "all(x)", "percentileCont(",
+    "percentileDisc(t.x, 0.5)", "stDev(",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
@@ -99,6 +105,9 @@ def test_compile_totality_on_parseable_fuzz(spark):
         "RETURN t", "RETURN count(*) AS n", "RETURN t.x AS v", "UNWIND [1,2] AS u",
         "ORDER BY v", "LIMIT 2", "RETURN length(p)", "MATCH p = shortestPath((a)-[*..2]->(b))",
         "RETURN id(t) AS i", "RETURN CASE WHEN t.x > 0 THEN 1 ELSE 2 END AS c",
+        "RETURN any(x IN [1,2] WHERE x = t.x) AS lp",
+        "WHERE none(x IN [0] WHERE x > t.x)",
+        "RETURN percentileDisc(t.x, 0.5) AS pd",
     ]
     rng = random.Random(42)
     checked = 0
