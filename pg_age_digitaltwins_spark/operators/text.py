@@ -34,6 +34,11 @@ def _spread(df: DataFrame, *keys: str) -> DataFrame:
     partitioning instead of adding a second exchange.  At production
     scale (many 128 MB splits) the condition is false and this is a
     no-op, costing nothing on the 100 TB path."""
+    if df.isStreaming:
+        # streaming plans reject the metadata probes below (and per
+        # micro-batch the source decides split counts anyway) — the
+        # stream consumer owns its parallelism
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     # inputFiles() is a metadata-only probe (no RDD materialization of

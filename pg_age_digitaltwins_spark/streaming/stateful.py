@@ -215,3 +215,101 @@ def streaming_cusum_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _band_keys(docs: DataFrame, num_hashes: int, bands: int, n: int) -> DataFrame:
+    """(doc_id, band, bhash) MinHash-LSH band keys — PURE per-row maps
+    (shingle → fold-signature → sliced band hashes), so the pipeline is
+    legal on a stream; identical arithmetic to the batch
+    ``similarity.minhash_lsh_pairs`` banding."""
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        minhash_signatures,
+    )
+    from pg_age_digitaltwins_spark.operators.text import ngram_shingles
+
+    sigs = minhash_signatures(ngram_shingles(docs, n=n), num_hashes=num_hashes)
+    rpb = max(1, num_hashes // bands)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.slice("sig", b * rpb + 1, rpb)).alias("bhash"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bhash").alias("bhash"),
+    )
+
+
+def near_dup_gate(
+    corpus_docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+):
+    """Build a per-batch near-dup gate against a STATIC reference
+    corpus: returns ``gate(batch_df) -> batch_df`` dropping documents
+    whose MinHash band signature collides with the corpus — the
+    incremental-ingest dedup filter (new crawl batches vs the curated
+    training set; the decontamination shape with a benchmark corpus).
+
+    The corpus band index is computed ONCE (lazy localCheckpoint,
+    materialized on first use) and is (band, bhash)-narrow; per batch
+    the gate runs one LEFT SEMI collision probe + one LEFT ANTI on
+    doc_id — identical band arithmetic to the batch
+    ``minhash_lsh_pairs``, so stream and batch agree on what collides.
+    Candidate-level verification (exact Jaccard) stays a batch concern;
+    this gate is the recall-oriented first pass, like every LSH stage
+    in the package."""
+    corpus_keys = (
+        _band_keys(corpus_docs, num_hashes, bands, n)
+        .select("band", "bhash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def gate(batch_df: DataFrame) -> DataFrame:
+        hit_ids = (
+            _band_keys(batch_df, num_hashes, bands, n)
+            .join(corpus_keys, ["band", "bhash"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        return batch_df.join(hit_ids, "doc_id", "left_anti")
+
+    return gate
+
+
+def streaming_near_dup_filter(
+    docs_stream: DataFrame,
+    corpus_docs: DataFrame,
+    sink,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    checkpoint: str | None = None,
+):
+    """Run the near-dup gate over a document STREAM via
+    ``foreachBatch`` (a batch-side anti join per micro-batch — Spark
+    does not support stream-stream LEFT ANTI, and each micro-batch is
+    a static frame where the exact join semantics are legal; this is
+    the standard escape hatch the Structured Streaming guide
+    prescribes for unsupported join shapes).
+
+    ``sink(survivors_df, batch_id)`` receives each batch's surviving
+    documents.  Returns the started StreamingQuery (caller awaits)."""
+    gate = near_dup_gate(corpus_docs, num_hashes=num_hashes, bands=bands, n=n)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(gate(batch_df), batch_id)
+
+    writer = docs_stream.writeStream.foreachBatch(process).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -2164,3 +2164,57 @@ def test_streaming_cusum_monitor_stateful(spark, tmp_path):
     }
     assert out2[("a", 5500)] is True
     assert out2[("b", -1000)] is False
+
+
+def test_streaming_near_dup_filter(spark, tmp_path):
+    """r12: foreachBatch near-dup gate — exact/near copies of corpus
+    docs are dropped per micro-batch, novel docs pass, and the batch
+    gate agrees with the raw banding on the same data."""
+    import json as _json
+
+    from pg_age_digitaltwins_spark.streaming.stateful import (
+        near_dup_gate,
+        streaming_near_dup_filter,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog again and again"),
+            (101, "completely different reference text about spark execution plans"),
+        ],
+        "doc_id long, text string",
+    )
+    # batch-side gate semantics first (one near-copy, one novel)
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a totally novel document with its own words and no overlap"),
+        ],
+        "doc_id long, text string",
+    )
+    gate = near_dup_gate(corpus)
+    assert [r["doc_id"] for r in gate(batch).collect()] == [2]
+
+    # the streaming wrapper: two micro-batches through foreachBatch
+    feed = tmp_path / "dupfeed"
+    feed.mkdir()
+    (feed / "b0.ndjson").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": t})
+            for i, t in [
+                (1, "the quick brown fox jumps over the lazy dog again and again"),
+                (2, "a totally novel document with its own words and no overlap"),
+            ]
+        )
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(feed))
+    survived: list[int] = []
+
+    def sink(df, batch_id):
+        survived.extend(r["doc_id"] for r in df.collect())
+
+    q = streaming_near_dup_filter(
+        stream, corpus, sink, checkpoint=str(tmp_path / "ckpt-nd")
+    )
+    q.awaitTermination(120)
+    assert sorted(survived) == [2]
