@@ -2158,6 +2158,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # swapped-out keys stay on the full self-run board
 # (scripts/oracle_check.py / ORACLE_r12.txt).  Pure reorder: no query
 # or oracle definition changes.
+# r12 session 2: FIVE more swaps — long-gated anchors out
+# (call_topk_per_entity, ngram_jaccard, ann_lsh_multi, sessionize,
+# pricing_summary — all still benched and/or full-boarded) for five
+# session-2 value-checked keys in (list predicates, readability,
+# Hamming ANN, seasonal profile, Q17), lifting first-time-gated keys
+# in this window to 23/50.  Same family balance; window re-verified
+# 50/50 after the swap.
 _DRIVER_WINDOW = [
     # ADT QL (10) — unchanged anchors (full family representation)
     "adt_count_twins", "adt_top_n", "adt_startswith",
@@ -2170,7 +2177,7 @@ _DRIVER_WINDOW = [
     "cypher_shortest_path", "cypher_var_length", "cypher_order_skip_limit",
     "cypher_l2_distance_topk", "cypher_case_when",
     "cypher_regex_match", "cypher_list_comprehension",
-    "cypher_call_topk_per_entity",
+    "cypher_list_predicates",
     # graph analytics (6) — rotated in: the five r11-new walk/path ops
     # + clustering coefficient (never gated); CC/PageRank/centralities
     # rotate out after 2+ gated rounds (still benched + full-board)
@@ -2181,18 +2188,18 @@ _DRIVER_WINDOW = [
     # kernel, vocab stats
     "dedup_exact_stats", "multimodal_resize", "dedup_embedding_cosine",
     "text_vocab_stats", "dedup_keep_best", "text_decontaminate",
-    "text_ngram_jaccard", "dedup_lsh_recall", "text_lm_score",
+    "text_readability", "dedup_lsh_recall", "text_lm_score",
     "pipeline_clean_corpus",
     # embeddings / ANN (4) — rotated in: JL sign random projection
-    "embed_knn_topk", "embed_random_projection", "embed_ann_lsh_multi",
+    "embed_knn_topk", "embed_random_projection", "embed_ann_hamming",
     "embed_ann_recall",
     # events (5) — rotated in: gap-fill LOCF, bucketed range join,
     # interarrival deltas
-    "events_sessionize", "events_top_users_per_type",
+    "events_seasonal_profile", "events_top_users_per_type",
     "events_gap_fill_locf", "events_range_join_sessions",
     "events_interarrival",
     # TPC-H (4) — rotated in: top customer revenue
-    "tpch_pricing_summary", "tpch_revenue_by_nation",
+    "tpch_small_qty_revenue", "tpch_revenue_by_nation",
     "tpch_top_customer_revenue", "tpch_min_cost_supplier",
     # sampling (1) — rotated in: weighted reservoir
     "sample_weighted_reservoir",
