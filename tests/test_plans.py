@@ -588,3 +588,43 @@ def test_weighted_shortest_paths_state_is_checkpoint_scan(spark):
     out = weighted_shortest_paths(edges, src, iters=3)
     plan = _plan(out)
     assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_binary_codes_projection_and_hamming_prescreen_plan(spark):
+    """r12: sign-code packing is a pure projection (no Exchange), and
+    the Hamming search's prescreen compiles to a 1-row broadcast +
+    TakeOrdered — never a cartesian or a full sort."""
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        ann_hamming_search,
+        binary_sign_codes,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    codes_plan = _plan(binary_sign_codes(emb))
+    # a single scan+project — no shuffle (HOF lambdas run interpreted
+    # outside whole-stage codegen, which is fine: still JVM-side, one
+    # pass, no Python)
+    assert "Exchange" not in codes_plan
+    assert "Scan parquet" in codes_plan
+    search_plan = _plan(ann_hamming_search(emb, 0, 10, 50))
+    assert "TakeOrderedAndProject" in search_plan
+    assert "CartesianProduct" not in search_plan
+    # the query side rides as 1-row broadcasts (the package's scalar
+    # carry idiom), never a shuffled join
+    assert "BroadcastNestedLoopJoin" in search_plan
+
+
+def test_link_prediction_no_cartesian_and_broadcast_degrees(spark):
+    """r12: the wedge self-join is an equi-join on the middle vertex
+    (hash-joinable, no cartesian) and the degree dims broadcast."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        link_prediction,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    st = load_graph(spark, SF_DIR)
+    plan = _plan(link_prediction(st.relationships, k=10, max_wedge_degree=100))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
