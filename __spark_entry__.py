@@ -994,6 +994,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_hits"] = _hits
 
+    def _msf(spark, sf_dir):
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        # r12: Borůvka minimum spanning forest — unique under the
+        # (w, a, b) lexicographic order; rows-only (union-find isn't
+        # SQL), pinned by a pure-Python Kruskal replay test
+        st = _store(spark, sf_dir)
+        return ga.minimum_spanning_forest(st.twins, st.relationships)
+
+    q["graph_msf"] = _msf
+
     def _cypher_collect(spark, sf_dir):
         # Exercises the real Cypher collect() path; the raw
         # array<string> result is then projected to a sorted CSV so the

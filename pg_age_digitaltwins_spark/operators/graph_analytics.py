@@ -2562,3 +2562,115 @@ def hits(
         F.round("authority", 6).alias("authority"),
         F.round("hub", 6).alias("hub"),
     )
+
+
+def minimum_spanning_forest(
+    twins: DataFrame,
+    relationships: DataFrame,
+    weights: DataFrame | None = None,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """(a, b, w) — minimum spanning forest of the undirected twin
+    graph by Borůvka's algorithm (per round, every component picks its
+    cheapest outgoing edge; components merge; O(log V) rounds).
+
+    Determinism: edges order by the EXACT lexicographic key
+    (w, a, b) — BIGINT weight, string tie-breaks — which makes all
+    edge weights distinct, and a graph with distinct weights has a
+    UNIQUE minimum spanning forest; Borůvka and Kruskal then agree
+    edge-for-edge, which is exactly how the test pins this operator
+    (a pure-Python Kruskal replay on the fixture).  Every chosen edge
+    is the minimum over a cut, so rounds only ever ADD true forest
+    edges — no cycle cleanup needed.  Not SQL-expressible
+    (union-find), so the board key is rows-only — the same contract
+    as Louvain.
+
+    ``weights``: optional (source_id, target_id, w) BIGINT frame;
+    default weight 1 per distinct undirected pair (the unweighted
+    forest — useful for backbone extraction; pass quantity-weighted
+    edges for the weighted version).
+
+    100 TB shape: per round, ONE component-keyed min aggregation over
+    the surviving cross-component edges (map-side combined
+    struct-min), then the component MERGE runs on the COMPONENT
+    graph — chosen-edge endpoints mapped to their labels, ≤ |C|
+    rows, shrinking at least geometrically — via the star-contraction
+    CC, never on the vertex-sized forest.  Cross-component edges drop
+    out of later rounds as soon as endpoints share a label, so the
+    scanned edge set shrinks monotonically.  Rounds cap at
+    ``max_rounds`` (12 covers 4k components; Borůvka at least halves
+    the component count per round) with a convergence early-exit."""
+    verts = twins.select("dt_id")
+    base = relationships.select("source_id", "target_id").filter(
+        F.col("source_id") != F.col("target_id")
+    )
+    pairs = base.select(
+        F.least("source_id", "target_id").alias("a"),
+        F.greatest("source_id", "target_id").alias("b"),
+    ).distinct()
+    if weights is not None:
+        wsrc = weights.select(
+            F.least("source_id", "target_id").alias("a"),
+            F.greatest("source_id", "target_id").alias("b"),
+            F.col("w").cast("long").alias("w"),
+        ).groupBy("a", "b").agg(F.min("w").alias("w"))
+        edges = pairs.join(wsrc, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("w", F.lit(1).cast("long")).alias("w")
+        )
+    else:
+        edges = pairs.select("a", "b", F.lit(1).cast("long").alias("w"))
+    edges = edges.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    forest = spark.createDataFrame([], "a string, b string, w long")
+    comp = verts.select(
+        "dt_id", F.col("dt_id").alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max(1, max_rounds)):
+        ca = comp.select(F.col("dt_id").alias("a"), F.col("component").alias("__ca"))
+        cb = comp.select(F.col("dt_id").alias("b"), F.col("component").alias("__cb"))
+        live = (
+            edges.join(ca, "a")
+            .join(cb, "b")
+            .filter(F.col("__ca") != F.col("__cb"))
+        )
+        # each component's cheapest outgoing edge, exact (w, a, b)
+        # order; the edge rows CARRY both endpoint labels so the merge
+        # below never rejoins the vertex-sized state
+        pick = F.min(F.struct("w", "a", "b", "__ca", "__cb")).alias("e")
+        chosen = (
+            live.select(F.col("__ca").alias("c"), "w", "a", "b", "__ca", "__cb")
+            .unionByName(
+                live.select(
+                    F.col("__cb").alias("c"), "w", "a", "b", "__ca", "__cb"
+                )
+            )
+            .groupBy("c")
+            .agg(pick)
+            .select(
+                F.col("e.a").alias("a"),
+                F.col("e.b").alias("b"),
+                F.col("e.w").alias("w"),
+                F.col("e.__ca").alias("__ca"),
+                F.col("e.__cb").alias("__cb"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if chosen.limit(1).count() == 0:
+            break
+        forest = forest.unionByName(chosen.select("a", "b", "w"))
+        # merge on the COMPONENT graph (≤ |C| rows): old label → new
+        # label via star-contraction CC, then one vertex-sized relabel
+        cverts = comp.select(F.col("component").alias("dt_id")).distinct()
+        cedges = chosen.select(
+            F.col("__ca").alias("source_id"), F.col("__cb").alias("target_id")
+        )
+        relabel = connected_components(cverts, cedges).select(
+            F.col("dt_id").alias("component"), F.col("component").alias("__new")
+        )
+        comp = (
+            comp.join(relabel, "component")
+            .select("dt_id", F.col("__new").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+    return forest.select("a", "b", "w").distinct()

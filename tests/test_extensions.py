@@ -3384,3 +3384,82 @@ def test_audio_stats_exact_decode(spark):
         assert r["sum_samples"] == int(s.sum())
         assert r["sum_squares"] == int((s * s).sum())
         assert r["peak_abs"] == int(np.abs(s).max())
+
+
+def _kruskal(edges):
+    """Pure-Python Kruskal over lexicographic (w, a, b) — the unique
+    MSF under the distinct total order."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for w, a, b in sorted((w, a, b) for a, b, w in edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+def test_minimum_spanning_forest_hand_computed(spark):
+    """r12: Borůvka on a weighted square-with-diagonal — drops the two
+    heaviest cycle edges; disconnected graphs yield a forest."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        minimum_spanning_forest,
+    )
+
+    twins = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "d", "x", "y", "iso"]], "dt_id string"
+    )
+    rels = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("a", "c"),
+         ("x", "y")],
+        "source_id string, target_id string",
+    )
+    wts = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 4), ("c", "d", 2), ("a", "d", 5),
+         ("a", "c", 3), ("x", "y", 7)],
+        "source_id string, target_id string, w long",
+    )
+    got = sorted(
+        (r["a"], r["b"], r["w"])
+        for r in minimum_spanning_forest(twins, rels, weights=wts).collect()
+    )
+    # MST of the square+diagonal: ab(1), cd(2), ac(3); plus xy(7)
+    assert got == [("a", "b", 1), ("a", "c", 3), ("c", "d", 2), ("x", "y", 7)]
+
+
+def test_minimum_spanning_forest_matches_kruskal_on_fixture(spark):
+    """r12: Borůvka's edge set equals a pure-Python Kruskal replay on
+    the sf0.001 twin graph (unique MSF under the (w, a, b) order),
+    with |V| − |components| edges."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        connected_components,
+        minimum_spanning_forest,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    st = load_graph(spark, "/root/testdata/sf0.001")
+    got = sorted(
+        (r["a"], r["b"], r["w"])
+        for r in minimum_spanning_forest(st.twins, st.relationships).collect()
+    )
+    pairs = {
+        (min(r["source_id"], r["target_id"]), max(r["source_id"], r["target_id"]))
+        for r in st.relationships.select("source_id", "target_id").collect()
+        if r["source_id"] != r["target_id"]
+    }
+    want = _kruskal([(a, b, 1) for a, b in pairs])
+    assert got == want
+    n_verts = st.twins.count()
+    n_comps = (
+        connected_components(st.twins, st.relationships)
+        .select("component").distinct().count()
+    )
+    assert len(got) == n_verts - n_comps
