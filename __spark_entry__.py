@@ -1005,6 +1005,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_msf"] = _msf
 
+    def _coreness(spark, sf_dir):
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        # r12: k-core decomposition by fixed H-index iterations —
+        # order-invariant under ties, so the unrolled CTE value-checks
+        st = _store(spark, sf_dir)
+        return ga.coreness(st.twins, st.relationships, iters=12)
+
+    q["graph_coreness"] = _coreness
+
     def _cypher_collect(spark, sf_dir):
         # Exercises the real Cypher collect() path; the raw
         # array<string> result is then projected to a sorted CSV so the
@@ -2469,6 +2479,35 @@ def _eigenvector_oracle(iters: int = 5) -> str:
     return "".join(parts)
 
 
+def _coreness_oracle(iters: int = 5) -> str:
+    """Unrolled H-index iteration matching ``graph_analytics.coreness``
+    (c0 = degree; per step c = min(c, H-index of neighbor c values);
+    the H aggregate max(least(c, rank)) is tie-order-invariant)."""
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_ALL_TWIN_IDS}), "
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst "
+        f"UNION ALL SELECT dst, src FROM ({_EDGES_SQL}) WHERE src <> dst)), "
+        "c0 AS MATERIALIZED (SELECT v.dt_id, "
+        "CAST(coalesce(d.deg, 0) AS BIGINT) AS c FROM verts v LEFT JOIN "
+        "(SELECT src AS dt_id, count(*) AS deg FROM e GROUP BY src) d "
+        "USING (dt_id))"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f", h{k} AS MATERIALIZED (SELECT dt_id, "
+            f"CAST(max(least(nc, rn)) AS BIGINT) AS h FROM ("
+            f"SELECT e.src AS dt_id, x.c AS nc, "
+            f"row_number() OVER (PARTITION BY e.src ORDER BY x.c DESC) AS rn "
+            f"FROM e JOIN c{k - 1} x ON e.dst = x.dt_id) GROUP BY dt_id)"
+            f", c{k} AS MATERIALIZED (SELECT s.dt_id, "
+            f"least(s.c, CAST(coalesce(h.h, 0) AS BIGINT)) AS c "
+            f"FROM c{k - 1} s LEFT JOIN h{k} h USING (dt_id))"
+        )
+    parts.append(f" SELECT dt_id, c AS coreness FROM c{iters}")
+    return "".join(parts)
+
+
 def _hits_oracle(iters: int = 5) -> str:
     """Unrolled max-normalized HITS matching ``graph_analytics.hits``
     over the distinct DIRECTED edge set (h0 = 1; per round authority =
@@ -3083,6 +3122,7 @@ def oracle_sql() -> dict[str, str]:
     o["graph_personalized_pagerank"] = _ppr_oracle()
     o["graph_eigenvector_centrality"] = _eigenvector_oracle()
     o["graph_hits"] = _hits_oracle()
+    o["graph_coreness"] = _coreness_oracle(iters=12)
     o["graph_weighted_shortest_paths"] = _weighted_sp_oracle()
     o["graph_random_walks"] = _random_walks_oracle()
     o["graph_walk_skipgram_pairs"] = _skipgram_oracle()

@@ -2674,3 +2674,68 @@ def minimum_spanning_forest(
             .localCheckpoint(eager=True)
         )
     return forest.select("a", "b", "w").distinct()
+
+
+def coreness(
+    twins: DataFrame,
+    relationships: DataFrame,
+    iters: int = 5,
+) -> DataFrame:
+    """(dt_id, coreness) — k-core DECOMPOSITION (each vertex's core
+    number, not just membership at one k) by the distributed H-index
+    iteration (Montresor et al. / Lü et al.): c₀ = degree,
+    c_{k+1}(v) = min(c_k(v), H-index of neighbors' c_k) — the H
+    operator converges monotonically DOWN to the true coreness.
+
+    ``iters`` is FIXED (like PageRank/eigenvector), so the output is
+    a deterministic upper bound that both engines compute identically
+    — value-checkable against an unrolled SQL oracle; convergence to
+    exact coreness is pinned separately by a pure-Python peeling
+    replay in tests (the fixture converges well inside the default).
+    The H-index is order-invariant under ties (max over ranked
+    neighbors of min(value, rank) — equal values give the same h in
+    any tie order), so no tie-break is even needed for exactness.
+
+    100 TB shape: one edges⋈state join + ONE ranked-window
+    aggregation per iteration, both keyed on the vertex (the window
+    reuses the join's partitioning); state is vertex-sized; no
+    driver-side work.  Compare k_core(k): one round of THIS gives
+    every k at once."""
+    from pyspark.sql import Window
+
+    verts = twins.select("dt_id")
+    e = _undirected(relationships).filter(
+        F.col("source_id") != F.col("target_id")
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy(F.col("source_id").alias("dt_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    state = (
+        verts.join(deg, "dt_id", "left")
+        .select("dt_id", F.coalesce("c", F.lit(0).cast("long")).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max(1, iters)):
+        nbr = e.join(
+            state.select(
+                F.col("dt_id").alias("target_id"), F.col("c").alias("__nc")
+            ),
+            "target_id",
+        ).select(F.col("source_id").alias("dt_id"), "__nc")
+        w = Window.partitionBy("dt_id").orderBy(F.desc("__nc"))
+        h = (
+            nbr.withColumn("__rn", F.row_number().over(w).cast("long"))
+            .groupBy("dt_id")
+            .agg(F.max(F.least("__nc", "__rn")).alias("__h"))
+        )
+        state = (
+            state.join(h, "dt_id", "left")
+            .select(
+                "dt_id",
+                F.least(
+                    "c", F.coalesce("__h", F.lit(0).cast("long"))
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("dt_id", F.col("c").alias("coreness"))

@@ -3463,3 +3463,62 @@ def test_minimum_spanning_forest_matches_kruskal_on_fixture(spark):
         .select("component").distinct().count()
     )
     assert len(got) == n_verts - n_comps
+
+
+def test_coreness_hand_computed_and_converged(spark):
+    """r12: H-index iteration equals true peeling coreness on a
+    crafted graph (4-clique with a pendant path) and converges on the
+    fixture (iters=5 equals iters=8)."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import coreness
+
+    twins = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "d", "p", "q", "iso"]],
+        "dt_id string",
+    )
+    # 4-clique abcd (coreness 3) + path d-p-q (p, q coreness 1)
+    rels = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "p"), ("p", "q")],
+        "source_id string, target_id string",
+    )
+    got = {
+        r["dt_id"]: r["coreness"]
+        for r in coreness(twins, rels, iters=6).collect()
+    }
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "p": 1, "q": 1, "iso": 0}
+
+
+def test_coreness_fixture_converges_and_matches_peeling(spark):
+    """r12: on sf0.001, iters=5 has converged (equals iters=8) and
+    equals a pure-Python exact peeling decomposition."""
+    from collections import defaultdict
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import coreness
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    st = load_graph(spark, "/root/testdata/sf0.001")
+    c5 = {r["dt_id"]: r["coreness"] for r in coreness(st.twins, st.relationships, 12).collect()}
+    c8 = {r["dt_id"]: r["coreness"] for r in coreness(st.twins, st.relationships, 16).collect()}
+    assert c5 == c8
+    # exact peeling (Batagelj-Zaversnik style, simple version)
+    adj = defaultdict(set)
+    for r in st.relationships.select("source_id", "target_id").collect():
+        if r["source_id"] != r["target_id"]:
+            adj[r["source_id"]].add(r["target_id"])
+            adj[r["target_id"]].add(r["source_id"])
+    core = {}
+    live = {v: len(ns) for v, ns in adj.items()}
+    nbrs = {v: set(ns) for v, ns in adj.items()}
+    k = 0
+    while live:
+        v = min(live, key=lambda x: (live[x], x))
+        k = max(k, live[v])
+        core[v] = k
+        for u in nbrs[v]:
+            if u in live:
+                live[u] -= 1
+            nbrs[u].discard(v)
+        del live[v]
+    for v in c5:
+        want = core.get(v, 0)
+        assert c5[v] == want, (v, c5[v], want)
