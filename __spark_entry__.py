@@ -1344,6 +1344,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ann_hamming_search_batch(emb, qs, k=10, refine_k=50)
 
     q["embed_ann_hamming_batch"] = _hamming_batch
+    # r12: Matryoshka prefix truncation — positional slice +
+    # re-normalize, CSV-projected for the driver's hash compare
+    def _truncate(s, d):
+        from pyspark.sql import functions as F
+
+        out = similarity.truncate_embeddings(
+            _tables(s, d)["embeddings"], out_dim=16
+        )
+        # micro-unit BIGINT CSV: double→string formatting diverges
+        # across engines below 1e-3 (Java scientific notation), integer
+        # strings never do
+        return out.select(
+            "vec_id",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x * 1000000).cast("long").cast("string"),
+                ),
+            ).alias("prefix_micro_csv"),
+        )
+
+    q["embed_truncate_prefix"] = _truncate
 
     # batched-query PQ: one codebook + one encoded scan for N queries
     # (same FP-training caveat → rows-only; equality with the N single
@@ -3935,6 +3958,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM embeddings e JOIN cand USING (vec_id) "
         "CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q) "
         "ORDER BY sim DESC, vec_id LIMIT 10"
+    )
+    o["embed_truncate_prefix"] = (
+        "WITH pre AS (SELECT vec_id, "
+        "list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS p "
+        "FROM embeddings), "
+        "n AS (SELECT vec_id, p, sqrt(list_sum(list_transform(p, x -> x * x))) "
+        "AS nrm FROM pre) "
+        "SELECT vec_id, list_aggregate(list_transform(p, x -> "
+        "CAST(CAST(round(round(x / nrm, 6) * 1000000) AS BIGINT) AS VARCHAR)), "
+        "'string_agg', ',') AS prefix_micro_csv FROM n"
     )
     o["embed_ann_hamming_batch"] = (
         "WITH ex AS (SELECT vec_id, unnest(embedding) AS x, "

@@ -1646,3 +1646,51 @@ def ann_hamming_search_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+def truncate_embeddings(
+    embeddings: DataFrame, out_dim: int, normalize: bool = True
+) -> DataFrame:
+    """(vec_id, embedding) — Matryoshka-style prefix truncation: keep
+    the first ``out_dim`` dimensions (and re-L2-normalize by default),
+    the standard cheap-retrieval trick for MRL-trained embeddings
+    (coarse search on the prefix, refine on the full vector).
+
+    Exactness: the slice is positional; the norm is one fixed-shape
+    fold over the kept dims with the division applied per element and
+    rounded at 6 — value-checkable.  Rows with fewer than ``out_dim``
+    dims raise (silently padding would corrupt downstream cosines —
+    the PPM maxval lesson).
+
+    100 TB shape: pure projection, no shuffle; composes with every
+    ANN in this module (prefix codes feed binary_sign_codes /
+    quantize_int8 unchanged)."""
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    # the assert rides inside the consumed expression (the range_join
+    # cap idiom) so column pruning can never drop it
+    pre = F.when(
+        F.assert_true(
+            F.size("embedding") >= out_dim,
+            F.concat(
+                F.lit(f"truncate_embeddings(): embedding shorter than "
+                      f"out_dim={out_dim}: vec_id "),
+                F.col("vec_id").cast("string"),
+            ),
+        ).isNull(),
+        F.slice("embedding", 1, out_dim),
+    )
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(
+                pre,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        out = F.when(norm > 0, F.transform(pre, lambda x: F.round(x.cast("double") / norm, 6))).otherwise(
+            F.transform(pre, lambda x: x.cast("double"))
+        )
+    else:
+        out = F.transform(pre, lambda x: x.cast("double"))
+    return embeddings.select("vec_id", out.alias("embedding"))

@@ -3522,3 +3522,41 @@ def test_coreness_fixture_converges_and_matches_peeling(spark):
     for v in c5:
         want = core.get(v, 0)
         assert c5[v] == want, (v, c5[v], want)
+
+
+def test_truncate_embeddings_hand_computed(spark):
+    """r12: Matryoshka prefix — slice, re-normalize, short-row guard,
+    zero-vector passthrough."""
+    import math
+
+    import pytest
+
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        truncate_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0, 9.9]), (2, [0.0, 0.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in truncate_embeddings(emb, out_dim=2).collect()
+    }
+    assert got[1] == [0.6, 0.8]  # 3-4-5 triangle
+    assert got[2] == [0.0, 0.0]  # zero prefix stays zero, no NaN
+    raw = {
+        r["vec_id"]: r["embedding"]
+        for r in truncate_embeddings(emb, out_dim=2, normalize=False).collect()
+    }
+    assert raw[1] == [3.0, 4.0]
+    short = spark.createDataFrame(
+        [(7, [1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="out_dim"):
+        truncate_embeddings(short, out_dim=2).collect()
+    with pytest.raises(ValueError, match="out_dim"):
+        truncate_embeddings(emb, out_dim=0)
+    # normalized prefix has unit norm
+    n = math.sqrt(sum(x * x for x in got[1]))
+    assert abs(n - 1.0) < 1e-6
