@@ -4108,14 +4108,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM li JOIN th USING (l_partkey) "
         "WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty"
     )
+    # pmod emulated as ((x % n) + n) % n (DuckDB % is sign-of-dividend,
+    # Spark pmod is non-negative — identical post-1970 AND pre-1970);
+    # the average is TRUE integer floor division: pmod-adjust then //
+    # over exactly-divisible BIGINTs (mirrors the operator's `div`)
     o["events_seasonal_profile"] = (
-        "SELECT event_type, "
-        "CAST((floor(epoch(ts) / 86400) + 4) % 7 AS BIGINT) AS dow, "
-        "CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hour, "
+        "WITH g AS (SELECT event_type, "
+        "CAST((((floor(epoch(ts) / 86400) + 4) % 7) + 7) % 7 AS BIGINT) AS dow, "
+        "CAST(((floor(epoch(ts) / 3600) % 24) + 24) % 24 AS BIGINT) AS hour, "
         "CAST(count(*) AS BIGINT) AS n_events, "
-        "CAST(floor(CAST(sum(CAST(floor(value * 1000) AS BIGINT)) * 1000 "
-        "AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_value_micro "
-        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3"
+        "sum(CAST(floor(value * 1000) AS BIGINT)) * 1000 AS s_micro "
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3) "
+        "SELECT event_type, dow, hour, n_events, "
+        "CAST((s_micro - (((s_micro % n_events) + n_events) % n_events)) "
+        "// n_events AS BIGINT) AS avg_value_micro FROM g"
     )
     o["events_drift_stats"] = (
         "WITH v AS (SELECT event_type, ts, event_id, "

@@ -568,8 +568,14 @@ def seasonal_profile(events: DataFrame) -> DataFrame:
     draft's round(sum/1000/n, 4) landed EXACTLY on a .00005 rounding
     tie at sf0.01, where Spark's BigDecimal HALF_UP and C-library
     binary rounding disagree — floor division over exact BIGINTs has
-    no tie to disagree on (exact while a bucket's milli-sum stays
-    under 2^53/1000, far above any real bucket).
+    no tie to disagree on.  The floor division is TRUE integer floor
+    (r13, ADVICE fix): subtract pmod then integer-``div`` — never a
+    floor over a DOUBLE quotient, which can land half-an-ulp off an
+    integer or lose bits past 2^53; and because the subtrahend makes
+    the dividend exactly divisible, truncating ``div`` equals
+    mathematical floor for negative sums too.  The oracle mirrors the
+    same pmod-based construction (DuckDB ``%`` is sign-of-dividend;
+    pmod is emulated as ``((x % n) + n) % n``).
 
     100 TB shape: one map-side-combined groupBy on a 7×24×|types|
     key space — the result is dashboard-sized no matter the input."""
@@ -584,9 +590,17 @@ def seasonal_profile(events: DataFrame) -> DataFrame:
         .groupBy("event_type", dow.alias("dow"), hour.alias("hour"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.floor(
-                (F.sum(vs) * F.lit(1000)).cast("double")
-                / F.count(F.lit(1)).cast("double")
+            (F.sum(vs) * F.lit(1000)).alias("__s_micro"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            "hour",
+            "n_events",
+            # exact floor: pmod-adjusted dividend is exactly divisible,
+            # so truncating integer div == mathematical floor, all BIGINT
+            F.expr(
+                "(__s_micro - pmod(__s_micro, n_events)) div n_events"
             )
             .cast("bigint")
             .alias("avg_value_micro"),

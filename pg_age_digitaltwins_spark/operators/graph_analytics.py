@@ -2597,9 +2597,12 @@ def minimum_spanning_forest(
     rows, shrinking at least geometrically — via the star-contraction
     CC, never on the vertex-sized forest.  Cross-component edges drop
     out of later rounds as soon as endpoints share a label, so the
-    scanned edge set shrinks monotonically.  Rounds cap at
-    ``max_rounds`` (12 covers 4k components; Borůvka at least halves
-    the component count per round) with a convergence early-exit."""
+    scanned edge set shrinks monotonically.  ``max_rounds`` is a hard
+    FAILURE cap, not a silent cutoff (r13, ADVICE fix): Borůvka at
+    least halves the mergeable-component count per round (12 rounds
+    covers 4k; pass a larger cap for bigger forests), and if
+    cross-component edges survive the cap the operator RAISES — a
+    truncated forest is a wrong answer, not a cheaper one."""
     verts = twins.select("dt_id")
     base = relationships.select("source_id", "target_id").filter(
         F.col("source_id") != F.col("target_id")
@@ -2625,6 +2628,7 @@ def minimum_spanning_forest(
     comp = verts.select(
         "dt_id", F.col("dt_id").alias("component")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max(1, max_rounds)):
         ca = comp.select(F.col("dt_id").alias("a"), F.col("component").alias("__ca"))
         cb = comp.select(F.col("dt_id").alias("b"), F.col("component").alias("__cb"))
@@ -2657,6 +2661,7 @@ def minimum_spanning_forest(
             .localCheckpoint(eager=True)
         )
         if chosen.limit(1).count() == 0:
+            converged = True
             break
         forest = forest.unionByName(chosen.select("a", "b", "w"))
         # merge on the COMPONENT graph (≤ |C| rows): old label → new
@@ -2673,6 +2678,26 @@ def minimum_spanning_forest(
             .select("dt_id", F.col("__new").alias("component"))
             .localCheckpoint(eager=True)
         )
+    if not converged:
+        # max_rounds exhausted mid-merge: a partial forest would be a
+        # silently WRONG answer (components larger than the cap's reach
+        # would truncate).  One extra probe in this failure path only.
+        ca = comp.select(F.col("dt_id").alias("a"), F.col("component").alias("__ca"))
+        cb = comp.select(F.col("dt_id").alias("b"), F.col("component").alias("__cb"))
+        remaining = (
+            edges.join(ca, "a")
+            .join(cb, "b")
+            .filter(F.col("__ca") != F.col("__cb"))
+            .limit(1)
+            .count()
+        )
+        if remaining > 0:
+            raise ValueError(
+                f"minimum_spanning_forest did not converge within "
+                f"max_rounds={max_rounds}: cross-component edges remain "
+                f"(pass a larger max_rounds; Borůvka needs at most "
+                f"ceil(log2(#mergeable components)) rounds)"
+            )
     return forest.select("a", "b", "w").distinct()
 
 

@@ -1500,23 +1500,57 @@ def binary_sign_codes(
     ulp risk), and the pack is a sum of distinct powers of two —
     BIGINT-exact, order-free — so codes value-check against a SQL
     oracle.  All JVM codegen (nested higher-order functions); no
-    shuffle, no UDF."""
+    shuffle, no UDF.
+
+    The corpus must be UNIFORM-dim: a ragged vector would silently
+    truncate (longer) or pack phantom 0-bits (shorter), corrupting
+    every downstream Hamming prescreen — so an ``assert_true`` on
+    ``size(embedding) == dim`` rides INSIDE the consumed expression
+    (the truncate_embeddings idiom; column pruning can never drop it)
+    and any ragged row fails the job loudly.  When ``dim`` is None it
+    is inferred from one head() probe (one extra tiny Spark job —
+    pass ``dim`` explicitly on hot paths to skip it)."""
     if dim is None:
-        row = embeddings.select("embedding").head()
-        if row is None or row[0] is None:
-            raise ValueError(
-                "cannot infer dim from empty embeddings — pass dim explicitly"
-            )
-        dim = len(row[0])
+        dim = _infer_dim(embeddings)
+    return embeddings.select(
+        "vec_id", _sign_words_expr(dim, "embedding").alias("words")
+    )
+
+
+def _infer_dim(embeddings: DataFrame) -> int:
+    row = embeddings.select("embedding").head()
+    if row is None or row[0] is None:
+        raise ValueError(
+            "cannot infer dim from empty embeddings — pass dim explicitly"
+        )
+    return len(row[0])
+
+
+def _sign_words_expr(dim: int, col: str):
+    """Packed sign-code expression over column ``col`` with the
+    uniform-dim assert fused in (see binary_sign_codes)."""
     n_words = (dim + 31) // 32
     words = F.expr(
         f"transform(sequence(0, {n_words - 1}), w -> "
         "aggregate(sequence(0, 31), 0L, (acc, b) -> acc + "
         f"IF(w * 32 + b < {dim} "
-        "AND element_at(embedding, w * 32 + b + 1) > 0, "
+        f"AND element_at({col}, w * 32 + b + 1) > 0, "
         "shiftleft(1L, b), 0L)))"
     )
-    return embeddings.select("vec_id", words.alias("words"))
+    return F.when(
+        F.assert_true(
+            F.size(col) == dim,
+            F.concat(
+                F.lit(
+                    f"binary_sign_codes(): ragged embedding (expected "
+                    f"dim={dim}, got size "
+                ),
+                F.size(col).cast("string"),
+                F.lit(")"),
+            ),
+        ).isNull(),
+        words,
+    )
 
 
 def ann_hamming_search(
@@ -1587,11 +1621,16 @@ def ann_hamming_search_batch(
     whole DataFrame of queries (the retrieval-pipeline shape, like
     ``ann_lsh_multitable_batch`` / ``ann_pq_search_batch``).
 
-    ``queries`` must have (query_id, embedding).  Output: (query_id,
-    vec_id, sim, rank) — per-query Hamming-prescreened, exact-cosine
-    re-ranked, rank 1..k.  Exact integer prescreen → value-checks
-    against SQL end to end (the one batch-ANN variant that does; LSH
-    and PQ batches are hash/centroid-layout-bound).
+    ``queries`` must have (query_id, embedding) — the query codes and
+    re-rank vectors come from the QUERIES frame itself (same contract
+    as ``ann_lsh_multitable_batch`` / ``ann_pq_search_batch``), so
+    out-of-corpus queries work; query ids that happen to also be
+    corpus vec_ids are excluded from their own candidate set.
+    Output: (query_id, vec_id, sim, rank) — per-query
+    Hamming-prescreened, exact-cosine re-ranked, rank 1..k.  Exact
+    integer prescreen → value-checks against SQL end to end (the one
+    batch-ANN variant that does; LSH and PQ batches are
+    hash/centroid-layout-bound).
 
     100 TB shape: corpus codes built once (16× scan shrink); the query
     codes — N rows of packed words — BROADCAST against the corpus scan
@@ -1600,11 +1639,13 @@ def ann_hamming_search_batch(
     candidate-sized frames, partitioned by query_id."""
     from pyspark.sql.window import Window
 
+    if dim is None:
+        dim = _infer_dim(embeddings)
     coded = binary_sign_codes(embeddings, dim=dim)
     qcoded = F.broadcast(
-        coded.join(
-            queries.select(F.col("query_id").alias("vec_id")), "vec_id"
-        ).select(F.col("vec_id").alias("query_id"), F.col("words").alias("__qw"))
+        queries.select(
+            "query_id", _sign_words_expr(dim, "embedding").alias("__qw")
+        )
     )
     ham = (
         coded.join(qcoded, coded["vec_id"] != qcoded["query_id"])
@@ -1625,9 +1666,7 @@ def ann_hamming_search_batch(
         .select("query_id", "vec_id")
     )
     qvec = F.broadcast(
-        embeddings.join(
-            queries.select(F.col("query_id").alias("vec_id")), "vec_id"
-        ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q"))
+        queries.select("query_id", F.col("embedding").alias("__q"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id")

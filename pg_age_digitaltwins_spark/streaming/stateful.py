@@ -159,7 +159,10 @@ _CUSUM_STATE = T.StructType([T.StructField("dev", T.LongType())])
 
 
 def streaming_cusum_monitor(
-    events: DataFrame, target: float, threshold: float
+    events: DataFrame,
+    target: float,
+    threshold: float,
+    tie_break: str | None = "event_id",
 ) -> DataFrame:
     """Streaming mean-shift (CUSUM) monitor: per event_type, the
     running deviation D = Σ(value − target) accumulates ACROSS
@@ -176,37 +179,61 @@ def streaming_cusum_monitor(
     state is one BIGINT per key — deterministic replay, no float
     accumulation drift, state size = |event types|.
 
+    Within each Arrow slice rows order by (ts, ``tie_break``);
+    ``tie_break`` must name a column of the input (raises per-batch if
+    it doesn't — a silent KeyError mid-stream is worse), or pass None
+    for ts-only ordering on streams without a tie-break column.  Null
+    and NaN values are skipped (they carry no deviation).
+
     100 TB/day shape: state partitions by event_type; per batch each
-    key does one sorted pass over its Arrow slice; emission is
+    key does ONE sorted VECTORIZED pass over its Arrow slice (the
+    running CUSUM is a prefix sum — floor-milli deltas then cumsum,
+    all int64 numpy, bit-identical to a per-row walk); emission is
     append-mode (no unbounded result table)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     mu_milli = int(target * 1000)
     h_milli = int(threshold * 1000)
+    sort_cols = ["ts"] + ([tie_break] if tie_break else [])
 
     def fn(key, pdfs: Iterable, state: GroupState):
-        import math as _math
-
+        import numpy as np
         import pandas as pd
 
         dev = state.get[0] if state.exists else 0
-        out_rows = []
+        frames = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for r in pdf.itertuples(index=False):
-                v = float(r.value)
-                if v is None or _math.isnan(v):
-                    continue
-                dev += int(_math.floor(v * 1000)) - mu_milli
-                out_rows.append(
-                    (key[0], r.ts, v, dev, abs(dev) >= h_milli)
+            missing = [c for c in sort_cols if c not in pdf.columns]
+            if missing:
+                raise ValueError(
+                    f"streaming_cusum_monitor: tie-break column(s) "
+                    f"{missing} not in the input stream — pass "
+                    f"tie_break=None or name an existing column"
                 )
-        state.update((dev,))
-        if out_rows:
-            yield pd.DataFrame(
-                out_rows,
-                columns=["event_type", "ts", "value", "cusum_milli", "flagged"],
+            pdf = pdf.sort_values(sort_cols)
+            pdf = pdf[pdf["value"].notna()]
+            if pdf.empty:
+                continue
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            # floor-milli BIGINT deltas, then prefix-sum — identical
+            # integers to the former per-row walk, vectorized
+            deltas = np.floor(vals * 1000.0).astype(np.int64) - mu_milli
+            cusum = dev + np.cumsum(deltas)
+            dev = int(cusum[-1])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": key[0],
+                        "ts": pdf["ts"].reset_index(drop=True),
+                        "value": vals,
+                        "cusum_milli": cusum,
+                        "flagged": np.abs(cusum) >= h_milli,
+                    }
+                )
             )
+        state.update((dev,))
+        for f in frames:
+            yield f
 
     return events.groupBy("event_type").applyInPandasWithState(
         fn,

@@ -3560,3 +3560,148 @@ def test_truncate_embeddings_hand_computed(spark):
     # normalized prefix has unit norm
     n = math.sqrt(sum(x * x for x in got[1]))
     assert abs(n - 1.0) < 1e-6
+
+
+def test_ann_hamming_batch_out_of_corpus_query(spark):
+    """r13 ADVICE fix: the batch search codes and re-ranks from the
+    QUERIES frame's own embedding — a query_id absent from the corpus
+    must still produce k results (it used to silently emit zero)."""
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        ann_hamming_search_batch,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+    from pyspark.sql import functions as F
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    # synthesize an out-of-corpus query: vec 0's embedding, sign-flipped
+    # on dim 0 (changes the code but keeps it realistic), id far outside
+    base = emb.filter(F.col("vec_id") == 0).select("embedding")
+    qs = base.select(
+        F.lit(999_999).cast("long").alias("query_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> IF(i = 0, -x, x))"
+        ).alias("embedding"),
+    )
+    rows = ann_hamming_search_batch(emb, qs, k=5, refine_k=20).collect()
+    assert len(rows) == 5
+    assert {r["query_id"] for r in rows} == {999_999}
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [
+        1, 2, 3, 4, 5,
+    ]
+
+
+def test_ann_hamming_batch_in_corpus_unchanged(spark):
+    """r13: for in-corpus queries (id + identical embedding) the fixed
+    batch search still equals the single-query calls and still excludes
+    the query's own vec_id from its candidates."""
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        ann_hamming_search,
+        ann_hamming_search_batch,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+    from pyspark.sql import functions as F
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    qs = emb.filter(F.col("vec_id").isin(3, 7)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ann_hamming_search_batch(emb, qs, k=5, refine_k=20).collect()
+    }
+    for qid in (3, 7):
+        single = [
+            r["vec_id"] for r in ann_hamming_search(emb, qid, 5, 20).collect()
+        ]
+        assert [got[(qid, i + 1)] for i in range(5)] == single, qid
+        assert qid not in single
+
+
+def test_binary_sign_codes_ragged_raises(spark):
+    """r13 ADVICE fix: a ragged corpus (row shorter/longer than the
+    inferred dim) fails loudly via the fused assert instead of silently
+    mis-coding the Hamming prescreen."""
+    import pytest
+
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        binary_sign_codes,
+    )
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, -1.0, 1.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        binary_sign_codes(ragged).collect()
+    with pytest.raises(Exception, match="ragged"):
+        binary_sign_codes(ragged, dim=3).collect()
+
+
+def test_minimum_spanning_forest_raises_on_insufficient_rounds(spark):
+    """r13 ADVICE fix: max_rounds is a hard failure cap — a path graph
+    that needs 3 Borůvka rounds raises at max_rounds=1 instead of
+    returning a silently truncated forest (and succeeds at the
+    default)."""
+    import pytest
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        minimum_spanning_forest,
+    )
+
+    # path with staggered weights: round 1 pairs endpoints via the
+    # light edges (1..4), the heavy bridges (10..12) need round 2
+    n = 8
+    twins = spark.createDataFrame(
+        [(f"v{i:02d}",) for i in range(n)], "dt_id string"
+    )
+    edges = [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(n - 1)]
+    rels = spark.createDataFrame(edges, "source_id string, target_id string")
+    wts = spark.createDataFrame(
+        [(a, b, [1, 10, 2, 11, 3, 12, 4][i]) for i, (a, b) in enumerate(edges)],
+        "source_id string, target_id string, w long",
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        minimum_spanning_forest(twins, rels, weights=wts, max_rounds=1)
+    got = minimum_spanning_forest(twins, rels, weights=wts).collect()
+    assert len(got) == n - 1
+
+
+def test_seasonal_profile_negative_values_and_pre1970(spark):
+    """r13 ADVICE fix: the micro average is TRUE integer floor (floor
+    of -2000/3 is -667, toward -inf) and dow/hour pmod semantics hold
+    pre-1970 (1969-12-31 was a Wednesday -> dow 3), matching the
+    pmod-emulating DuckDB oracle on the same frame."""
+    from datetime import datetime
+
+    from pg_age_digitaltwins_spark.operators.events import seasonal_profile
+
+    events = spark.createDataFrame(
+        [
+            (1, datetime(1969, 12, 31, 5, 0), "neg", -0.0005),
+            (2, datetime(1969, 12, 31, 5, 30), "neg", -0.0005),
+            (3, datetime(1969, 12, 31, 5, 45), "neg", 0.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    rows = seasonal_profile(events).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # floor(-0.0005 * 1000) = -1 milli each for rows 1-2, 0 for row 3:
+    # s_micro = -2000, n = 3 -> floor(-2000/3) = -667 (NOT trunc -666)
+    assert (r["event_type"], r["dow"], r["hour"]) == ("neg", 3, 5)
+    assert (r["n_events"], r["avg_value_micro"]) == (3, -667)
+
+    import duckdb
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '1969-12-31 05:00:00', 'neg', -0.0005), "
+        "(2, TIMESTAMP '1969-12-31 05:30:00', 'neg', -0.0005), "
+        "(3, TIMESTAMP '1969-12-31 05:45:00', 'neg', 0.0)"
+        ") t(event_id, ts, event_type, value)"
+    )
+    od = con.execute(entry.oracle_sql()["events_seasonal_profile"]).fetchall()
+    assert len(od) == 1
+    assert tuple(od[0]) == ("neg", 3, 5, 3, -667)

@@ -2218,3 +2218,52 @@ def test_streaming_near_dup_filter(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(survived) == [2]
+
+
+def test_streaming_cusum_monitor_nulls_and_tie_break(spark, tmp_path):
+    """r13 ADVICE fix: null values are skipped (no float(None) crash),
+    tie_break=None works for streams without an event_id column, and a
+    missing tie-break column raises a clear error instead of a
+    KeyError."""
+    import json as _json
+
+    from pg_age_digitaltwins_spark.streaming.stateful import (
+        streaming_cusum_monitor,
+    )
+
+    feed = tmp_path / "cusumfeed13"
+    feed.mkdir()
+    (feed / "b0.ndjson").write_text(
+        "\n".join(
+            _json.dumps({"ts": ts, "event_type": "a", "value": v})
+            for ts, v in [
+                ("2026-03-01T00:00:00", 12.0),
+                ("2026-03-01T00:01:00", None),   # skipped, no crash
+                ("2026-03-01T00:02:00", 12.5),
+            ]
+        )
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).json(str(feed), timestampFormat="yyyy-MM-dd'T'HH:mm:ss")
+    _run_to_memory(
+        streaming_cusum_monitor(
+            stream, target=10.0, threshold=5.0, tie_break=None
+        ),
+        "cusum13", tmp_path,
+    )
+    got = sorted(
+        (r["cusum_milli"], r["flagged"])
+        for r in spark.sql("select * from cusum13").collect()
+    )
+    assert got == [(2000, False), (4500, False)]
+
+    # default tie_break='event_id' on a stream WITHOUT that column:
+    # the per-batch error surfaces as a streaming query failure
+    import pytest
+
+    with pytest.raises(Exception, match="tie-break|event_id"):
+        _run_to_memory(
+            streaming_cusum_monitor(stream, target=10.0, threshold=5.0),
+            "cusum13b", tmp_path,
+        )
