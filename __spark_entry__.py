@@ -220,6 +220,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "-[:placedBy|locatedIn|partOf*1..4]->(x)) "
         "RETURN x.`$dtId` AS dst, length(p) AS len"
     )
+    # r13: WEIGHTED shortestPath (language extension: [* WEIGHT expr]
+    # + cost(p)) — hop-bounded min-total-weight per endpoint pair with
+    # min-hop tie-break; quantity-weighted contains edges, weight-1
+    # FK edges.  Exact BIGINT costs value-check vs a recursive CTE.
+    q["cypher_weighted_shortest_path"] = _adt(
+        "MATCH p = shortestPath((o {`$dtId`: 'order-1'})"
+        "-[r:placedBy|locatedIn|partOf|contains*1..3 "
+        "WEIGHT toInteger(coalesce(r.quantity, 1))]->(x)) "
+        "RETURN x.`$dtId` AS dst, cost(p) AS cost, length(p) AS len"
+    )
     # r10: allShortestPaths — Neo4j cardinality (one row per
     # minimum-length path, via the walk-count BFS), aggregated to
     # (dst, len, n_paths) for a deterministic oracle comparison; the
@@ -2191,62 +2201,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # analytics, dedup, text, embeddings, events, TPC-H, sampling) —
 # value-checked representatives first.  Pure reorder: no query or
 # oracle definition changes.
-# r12: 18 of the 50 keys rotated (same family balance), all 18
-# FIRST-time driver-gated per the r11 verdict — the nine r11-new
-# value-checked operators lead (weighted shortest paths, gap-fill LOCF,
-# bucketed range join, PPM resize, random walks, node2vec walks,
-# skip-gram pairs, JL projection, distance distribution), then
-# long-ungated keys across every family (RETURN *, CASE WHEN, regex
-# match, list comprehension, clustering coefficient, vocab stats,
-# interarrival, Q-top-customer-revenue, weighted reservoir).  The
-# swapped-out keys stay on the full self-run board
-# (scripts/oracle_check.py / ORACLE_r12.txt).  Pure reorder: no query
-# or oracle definition changes.
-# r12 session 2: FIVE more swaps — long-gated anchors out
-# (call_topk_per_entity, ngram_jaccard, ann_lsh_multi, sessionize,
-# pricing_summary — all still benched and/or full-boarded) for five
-# session-2 value-checked keys in (list predicates, readability,
-# Hamming ANN, seasonal profile, Q17), lifting first-time-gated keys
-# in this window to 23/50.  Same family balance; window re-verified
-# 50/50 after the swap.
+# r13: 27 of the 50 keys rotated (same family balance), 26 of them
+# FIRST-time driver-gated per the r12 verdict's rotation list — led by
+# the r12-new operators (HITS, k-truss, coreness, MSF, link
+# prediction, assortativity, the RI trainer + recall gate, batched
+# Hamming ANN, Matryoshka truncation, hard negatives, drift stats,
+# collocation PMI, per-doc TF-IDF, n-gram containment, classifier
+# gate, audio stats, PCM16 resample, percentiles) plus long-ungated
+# anchors (pattern predicates, path accessors, graph helpers, PII
+# scrub, promo revenue share, shipping priority, leakage-safe split)
+# and the r13-NEW cypher_weighted_shortest_path.  events_seasonal_
+# profile deliberately STAYS gated: its floor-division ADVICE fix
+# changed operator + oracle and must re-verify.  Swapped-out keys stay
+# on the full self-run board (scripts/oracle_check.py).
 _DRIVER_WINDOW = [
     # ADT QL (10) — unchanged anchors (full family representation)
     "adt_count_twins", "adt_top_n", "adt_startswith",
     "adt_is_of_model_inheritance", "adt_match_3hop", "adt_match_undirected",
     "adt_join_related_2hop", "adt_rel_prop_filter", "adt_match_multilabel",
     "adt_select_star_point",
-    # Cypher (10) — rotated in: RETURN *, CASE WHEN, regex match,
-    # list comprehension (all never gated)
-    "cypher_return_star", "cypher_all_shortest_paths",
-    "cypher_shortest_path", "cypher_var_length", "cypher_order_skip_limit",
-    "cypher_l2_distance_topk", "cypher_case_when",
-    "cypher_regex_match", "cypher_list_comprehension",
-    "cypher_list_predicates",
-    # graph analytics (6) — rotated in: the five r11-new walk/path ops
-    # + clustering coefficient (never gated); CC/PageRank/centralities
-    # rotate out after 2+ gated rounds (still benched + full-board)
-    "graph_weighted_shortest_paths", "graph_random_walks",
-    "graph_node2vec_walks", "graph_walk_skipgram_pairs",
-    "graph_distance_distribution", "graph_clustering_coefficient",
-    # dedup + text pipeline (10) — rotated in: the real PPM resize
-    # kernel, vocab stats
-    "dedup_exact_stats", "multimodal_resize", "dedup_embedding_cosine",
-    "text_vocab_stats", "dedup_keep_best", "text_decontaminate",
-    "text_readability", "dedup_lsh_recall", "text_lm_score",
+    # Cypher (10) — r13 rotation: the five r12-gated keys stay one more
+    # round (they gate the list-predicate/percentile grammar), five
+    # NEVER-gated keys rotate in — percentiles, pattern predicates,
+    # path accessors, graph helpers, and the r13-NEW weighted
+    # shortestPath ([* WEIGHT expr] + cost(p)); the rotated-out
+    # shortest-path/var-length anchors stay benched + full-board
+    "cypher_return_star", "cypher_case_when", "cypher_regex_match",
+    "cypher_list_comprehension", "cypher_list_predicates",
+    "cypher_percentiles", "cypher_pattern_predicate",
+    "cypher_path_accessors", "cypher_graph_helpers",
+    "cypher_weighted_shortest_path",
+    # graph analytics (6) — r13 rotation: all six r12-new analytics
+    # gate for the first time (HITS, k-truss, coreness H-index,
+    # Borůvka MSF [rows-only by design, Kruskal-replay-pinned], capped
+    # link prediction, degree assortativity); the r12-gated walk/path
+    # ops rotate out (still benched + full-board)
+    "graph_hits", "graph_ktruss", "graph_coreness", "graph_msf",
+    "graph_link_prediction", "graph_assortativity",
+    # dedup + text pipeline + multimodal (10) — r13 rotation: PMI
+    # collocations, per-doc TF-IDF, n-gram containment, the perceptron
+    # quality gate, PII scrub, exact-integer audio stats, PCM16
+    # resample (all never gated); exact-dedup + LSH-recall anchors stay
+    "dedup_exact_stats", "dedup_lsh_recall", "text_collocation_pmi",
+    "text_tfidf_per_doc", "text_ngram_containment", "text_classifier_gate",
+    "text_pii_scrub", "multimodal_audio_stats", "multimodal_resample",
     "pipeline_clean_corpus",
-    # embeddings / ANN (4) — rotated in: JL sign random projection
-    "embed_knn_topk", "embed_random_projection", "embed_ann_hamming",
-    "embed_ann_recall",
-    # events (5) — rotated in: gap-fill LOCF, bucketed range join,
-    # interarrival deltas
-    "events_seasonal_profile", "events_top_users_per_type",
-    "events_gap_fill_locf", "events_range_join_sessions",
-    "events_interarrival",
-    # TPC-H (4) — rotated in: top customer revenue
-    "tpch_small_qty_revenue", "tpch_revenue_by_nation",
-    "tpch_top_customer_revenue", "tpch_min_cost_supplier",
-    # sampling (1) — rotated in: weighted reservoir
-    "sample_weighted_reservoir",
+    # embeddings / ANN (5) — r13 rotation: batched Hamming ANN (the
+    # ADVICE-fixed query contract), Matryoshka truncation, hard-negative
+    # mining, and the r12 trainer pair (random-indexing embeddings +
+    # neighbor-recall gate)
+    "embed_ann_hamming_batch", "embed_truncate_prefix",
+    "embed_hard_negatives", "graph_node_embeddings",
+    "graph_embedding_recall",
+    # events (4) — r13 rotation: CUSUM drift stats in; seasonal profile
+    # stays (its floor-division fix re-gates this round)
+    "events_drift_stats", "events_seasonal_profile",
+    "events_top_users_per_type", "events_interarrival",
+    # TPC-H (4) — r13 rotation: promo revenue share (Q14) and shipping
+    # priority (Q3) in
+    "tpch_promo_revenue_share", "tpch_shipping_priority",
+    "tpch_revenue_by_nation", "tpch_min_cost_supplier",
+    # sampling (1) — r13 rotation: leakage-safe split
+    "sample_leakage_safe_split",
 ]
 
 
@@ -2765,6 +2781,36 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT e.dst, p.len + 1 FROM p JOIN e ON e.src = p.dst "
         "WHERE p.len < 4) "
         "SELECT dst, CAST(min(len) AS BIGINT) AS len FROM p GROUP BY dst"
+    )
+    # r13: weighted shortestPath — enumerate weighted WALKS up to 3
+    # hops from order-1 (non-negative weights: min over walks = min
+    # over paths), keep each dst's minimum cost, then the minimum
+    # length among minimum-cost walks (the operator's (cost, depth)
+    # lexicographic min).  Parallel edges collapse to min weight, as
+    # in the operator.
+    o["cypher_weighted_shortest_path"] = (
+        "WITH RECURSIVE e AS MATERIALIZED ("
+        "SELECT src, dst, CAST(min(w) AS BIGINT) AS w FROM ("
+        "SELECT 'order-' || o_orderkey AS src, 'cust-' || o_custkey AS dst, "
+        "1 AS w FROM orders "
+        "UNION ALL SELECT 'cust-' || c_custkey, 'nation-' || c_nationkey, 1 "
+        "FROM customer "
+        "UNION ALL SELECT 'supp-' || s_suppkey, 'nation-' || s_nationkey, 1 "
+        "FROM supplier "
+        "UNION ALL SELECT 'nation-' || n_nationkey, 'region-' || n_regionkey, 1 "
+        "FROM nation "
+        "UNION ALL SELECT 'order-' || l_orderkey, 'part-' || l_partkey, "
+        "CAST(l_quantity AS INT) FROM lineitem"
+        ") GROUP BY src, dst), "
+        "w(dst, len, cost) AS ("
+        "SELECT dst, 1, w FROM e WHERE src = 'order-1' "
+        "UNION ALL SELECT e.dst, w.len + 1, w.cost + e.w "
+        "FROM w JOIN e ON e.src = w.dst WHERE w.len < 3), "
+        "m AS (SELECT dst, min(cost) AS cost FROM w GROUP BY dst) "
+        "SELECT w.dst AS dst, CAST(w.cost AS BIGINT) AS cost, "
+        "CAST(min(w.len) AS BIGINT) AS len "
+        "FROM w JOIN m ON w.dst = m.dst AND w.cost = m.cost "
+        "GROUP BY w.dst, w.cost"
     )
     o["cypher_all_shortest_paths"] = (
         # enumerate WALKS (UNION ALL keeps duplicates) up to depth 2

@@ -228,6 +228,10 @@ class EdgePat:
     direction: str = "->"  # '->' | '<-' | '--' (undirected)
     props: dict[str, Lit] = field(default_factory=dict)
     var_length: Optional[tuple[int, Optional[int]]] = None  # (min, max)
+    # r13: per-edge weight expression for weighted shortestPath —
+    # ``[r:T*1..4 WEIGHT <expr over r>]``; only legal on var-length
+    # edges inside shortestPath(...)
+    weight: Optional[Expr] = None
 
 
 @dataclass

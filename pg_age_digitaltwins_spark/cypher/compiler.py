@@ -1088,6 +1088,10 @@ class CypherCompiler:
         edge: C.EdgePat,
         node: C.NodePat,
     ) -> tuple[DataFrame, Binding]:
+        if edge.weight is not None:
+            raise CypherCompileError(
+                "WEIGHT is only supported inside shortestPath(...)"
+            )
         lo, hi = edge.var_length
         hi = min(hi if hi is not None else MAX_VAR_LENGTH, MAX_VAR_LENGTH)
         if lo < 0 or hi < lo:
@@ -1192,6 +1196,8 @@ class CypherCompiler:
                 "shortestPath(...) requires a variable-length relationship "
                 "(e.g. [*..5])"
             )
+        if edge.weight is not None:
+            return self._shortest_weighted(df, env, left, path)
         lo, hi = edge.var_length
         hi = min(hi if hi is not None else MAX_VAR_LENGTH, MAX_VAR_LENGTH)
         if lo not in (0, 1):
@@ -1308,6 +1314,208 @@ class CypherCompiler:
         if kind == "twin" and node.props:
             # predicate-bearing traversal endpoint: plain frame so AQE
             # can broadcast the filtered leg (see twins_adaptive_v)
+            frame = self._twins_adaptive
+        t_alias = node.alias or self._anon_alias()
+        t = Binding(node.alias or "", kind, t_alias)
+        if node.alias:
+            env[node.alias] = t
+        scan = self._apply_node_props_scan(frame.alias(t_alias), t_alias, kind, node)
+        df = df.join(scan, F.col(f"{p_alias}.dst") == F.col(f"{t_alias}.dt_id"))
+        return df, t
+
+    def _shortest_weighted(
+        self, df: DataFrame, env: dict[str, Binding], left: Binding, path: C.PathPat
+    ):
+        """``p = shortestPath((a)-[r:T*lo..hi WEIGHT <expr>]->(b))`` —
+        WEIGHTED shortest paths (r13 language extension; the GDS
+        Dijkstra / Memgraph wShortest shape expressed in this engine's
+        grammar): per (src, dst) pair, the minimum total edge weight
+        over paths of at most ``hi`` hops — hop-bounded Bellman-Ford,
+        the same k-bounded truncation contract as
+        ``operators.graph_analytics.weighted_shortest_paths``.
+
+        ``WEIGHT <expr>`` is any scalar expression over the edge
+        variable (e.g. ``toInteger(coalesce(r.quantity, 1))``),
+        cast to BIGINT and asserted non-negative in-plan (negative
+        weights would make hop-bounded relaxation order-dependent).
+        Parallel edges collapse to their MINIMUM weight.  Per pair the
+        kept struct is lexicographic min (cost, depth): among
+        minimum-cost paths, the fewest hops — deterministic with no
+        tie-break column.  ``length(p)`` is that hop count and
+        ``cost(p)`` the total weight.
+
+        100 TB shape: per-round frontier supersteps, each ONE
+        pair-keyed equi-join + ONE map-side-combined struct-min
+        aggregate, with the global min folded once at the end (the
+        unweighted _shortest's iteration discipline: plain plans,
+        lazy lineage cuts every 3 depths — eager per-round state
+        merges were measurably fragile under Spark's Union/LogicalRDD
+        constraint rewrite and are deliberately avoided).  Exact
+        BIGINT arithmetic end to end, so the whole traversal
+        value-checks against a recursive-CTE SQL oracle."""
+        edge, node = path.edges[0], path.nodes[1]
+        if path.shortest == "all":
+            raise CypherCompileError(
+                "allShortestPaths(...) does not support WEIGHT — "
+                "weighted all-paths enumeration is unbounded; use "
+                "shortestPath(...) for the minimum-cost pair"
+            )
+        lo, hi = edge.var_length
+        hi = min(hi if hi is not None else MAX_VAR_LENGTH, MAX_VAR_LENGTH)
+        if lo not in (0, 1):
+            raise CypherCompileError(
+                "shortestPath(...) lower bound must be 0 or 1"
+            )
+        base_rel, _ = self._edge_frame(edge)
+        w_alias = self._anon_alias()
+        wframe = base_rel.alias(w_alias)
+        wenv: dict[str, Binding] = {}
+        if edge.alias:
+            wenv[edge.alias] = Binding(edge.alias, "rel", w_alias)
+        # property access registers pending variant-extraction columns;
+        # isolate them from the outer query's pendings and inject into
+        # THIS frame only (the weight expr is scoped to the edge)
+        saved_v, saved_s = self._pending_v, self._pending_s
+        self._pending_v, self._pending_s = [], []
+        raw_w = self._expr(edge.weight, wenv).cast("long")
+        for pending in (self._pending_v, self._pending_s):
+            if pending:
+                wframe = wframe.select("*", *[c.alias(n) for n, c in pending])
+        self._pending_v, self._pending_s = saved_v, saved_s
+        wcol = F.when(
+            F.assert_true(
+                raw_w >= 0,
+                F.concat(
+                    F.lit("shortestPath(WEIGHT ...): negative or NULL "
+                          "edge weight "),
+                    raw_w.cast("string"),
+                    F.lit(" — weights must be non-negative integers "
+                          "(wrap in coalesce(...) for a default)"),
+                ),
+            ).isNull(),
+            raw_w,
+        )
+        base = wframe.select(
+            F.col("source_id").alias("src"),
+            F.col("target_id").alias("dst"),
+            wcol.alias("w"),
+        )
+        if edge.direction == "<-":
+            base = base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        elif edge.direction == "--":
+            base = base.unionByName(
+                base.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+                )
+            )
+        wedges = (
+            base.filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.min("w").alias("w"))
+            .localCheckpoint(eager=False)
+        )
+        start_ids = df.select(self._key_col(left).alias("src")).distinct()
+        # Per-round frontier accumulation + ONE global min — the same
+        # iteration discipline as the unweighted _shortest (plain
+        # plans, lazy checkpoints every 3 depths).  frontier_k holds
+        # the per-(src, dst) min (cost, depth) over EXACTLY-k-hop
+        # WALKS; with non-negative weights removing a cycle never
+        # increases cost, so the global min over all rounds equals the
+        # min over simple paths of at most ``hi`` hops, and the
+        # lexicographic (cost, depth) min is achieved by a simple path
+        # too.  State is FLAT BIGINT columns — the struct-min lives
+        # only transiently inside each aggregate.
+        def _unpack(grouped: DataFrame) -> DataFrame:
+            return grouped.select(
+                "src",
+                "dst",
+                F.col("sd.cost").alias("cost"),
+                F.col("sd.depth").alias("depth"),
+            )
+
+        frontier = _unpack(
+            wedges.join(start_ids, "src", "left_semi")
+            .select(
+                "src",
+                "dst",
+                F.struct(
+                    F.col("w").cast("long").alias("cost"),
+                    F.lit(1).cast("long").alias("depth"),
+                ).alias("sd"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.min("sd").alias("sd"))
+        )
+        acc = frontier
+        for depth in range(2, hi + 1):
+            frontier = _unpack(
+                frontier.alias("f")
+                .join(wedges.alias("b"), F.col("f.dst") == F.col("b.src"))
+                .select(
+                    F.col("f.src").alias("src"),
+                    F.col("b.dst").alias("dst"),
+                    F.struct(
+                        (F.col("f.cost") + F.col("b.w")).alias("cost"),
+                        (F.col("f.depth") + F.lit(1)).cast("long").alias(
+                            "depth"
+                        ),
+                    ).alias("sd"),
+                )
+                .groupBy("src", "dst")
+                .agg(F.min("sd").alias("sd"))
+            )
+            acc = acc.unionByName(frontier)
+            if depth % 3 == 0 and depth < hi:
+                frontier = frontier.localCheckpoint(eager=False)
+                acc = acc.localCheckpoint(eager=False)
+        found = (
+            acc.groupBy("src", "dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("cost").alias("cost"),
+                        F.col("depth").alias("depth"),
+                    )
+                ).alias("sd")
+            )
+            .select(
+                "src",
+                "dst",
+                F.col("sd.depth").alias("__depth"),
+                F.col("sd.cost").alias("__cost"),
+            )
+        )
+        if lo == 0:
+            found = found.unionByName(
+                self._twins.select(
+                    F.col("dt_id").alias("src"),
+                    F.col("dt_id").alias("dst"),
+                    F.lit(0).cast("long").alias("__depth"),
+                    F.lit(0).cast("long").alias("__cost"),
+                ).join(start_ids, "src", "left_semi")
+            )
+        p_alias = self._anon_alias()
+        pairs = found.alias(p_alias)
+        df = df.join(pairs, F.col(f"{p_alias}.src") == self._key_col(left))
+        if path.var:
+            lcol = f"__plen_{path.var}"
+            ccol = f"__pcost_{path.var}"
+            df = df.withColumn(
+                lcol, F.col(f"{p_alias}.__depth").cast("long")
+            ).withColumn(ccol, F.col(f"{p_alias}.__cost").cast("long"))
+            b = Binding(path.var, "value", lcol)
+            b.col = ccol  # cost(p) reads the tracked total weight
+            env[path.var] = b
+        existing = env.get(node.alias) if node.alias else None
+        if existing is not None:
+            df = df.filter(
+                F.col(f"{p_alias}.dst") == F.col(f"{existing.df_alias}.dt_id")
+            )
+            return self._apply_node_props(df, existing, node), existing
+        frame, kind = self._node_frame(node)
+        if kind == "twin" and node.props:
             frame = self._twins_adaptive
         t_alias = node.alias or self._anon_alias()
         t = Binding(node.alias or "", kind, t_alias)
@@ -2386,6 +2594,21 @@ class CypherCompiler:
             raise CypherCompileError(
                 "length() needs a bound path variable (p = shortestPath(...) "
                 "or p = fixed-length pattern)"
+            )
+        if n == "cost":
+            [arg] = e.args
+            if (
+                isinstance(arg, C.Var)
+                and arg.name in env
+                and env[arg.name].kind == "value"
+                and isinstance(env[arg.name].col, str)
+            ):
+                # path variable bound by [p =] over a WEIGHTed
+                # shortestPath — the tracked minimum total weight
+                return F.col(env[arg.name].col).cast("long")
+            raise CypherCompileError(
+                "cost() needs a weighted shortestPath path variable "
+                "(p = shortestPath((a)-[*1..4 WEIGHT expr]->(b)))"
             )
         if n == "coalesce":
             return F.coalesce(*[self._operand(a, env, None) for a in e.args])

@@ -346,8 +346,22 @@ class _Parser:
             var_length = self.var_length_bounds()
         if self.at("PUNCT", "{"):
             props = self.prop_map()
+        # r13: WEIGHT <expr> — weighted shortestPath cost (like CALL,
+        # WEIGHT is NOT reserved: it is only recognized in this
+        # position, immediately before ']' on a var-length edge)
+        weight = None
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "WEIGHT":
+            if var_length is None:
+                raise CypherParseError(
+                    f"WEIGHT requires a variable-length relationship "
+                    f"([*lo..hi]) at {self.cur.pos}"
+                )
+            self.eat("IDENT")
+            weight = self.expr()
         self.eat("PUNCT", "]")
-        return C.EdgePat(alias, labels, props=props, var_length=var_length)
+        return C.EdgePat(
+            alias, labels, props=props, var_length=var_length, weight=weight
+        )
 
     def var_length_bounds(self) -> tuple[int, int | None]:
         lo, hi = 1, None

@@ -2423,6 +2423,36 @@ def link_prediction(
     )
 
 
+def link_prediction_wedge_count(
+    relationships: DataFrame, max_wedge_degree: int | None = None
+) -> int:
+    """Candidate wedge-row count for ``link_prediction`` under the
+    same cap: Σ over sub-cap middles of C(deg, 2) — exact BIGINT.
+
+    This is the work-size ATTRIBUTION for scale probes (r13, verdict
+    ask): capped wedge enumeration is linear in the wedge count, not
+    sub-linear in edges, so recording this next to the wall time makes
+    a 10× ratio at 10× data legible (wedges grew 10×) instead of
+    reading as a scale regression.  Also the capacity-planning number
+    (candidate rows the wedge join will emit).  One groupBy + one
+    1-row aggregate; the collect is a scalar."""
+    e = relationships.select("source_id", "target_id").filter(
+        F.col("source_id") != F.col("target_id")
+    )
+    und = e.select(
+        F.least("source_id", "target_id").alias("a"),
+        F.greatest("source_id", "target_id").alias("b"),
+    ).distinct()
+    nb = und.select(F.col("a").alias("m")).unionByName(
+        und.select(F.col("b").alias("m"))
+    )
+    deg = nb.groupBy("m").agg(F.count(F.lit(1)).alias("deg"))
+    if max_wedge_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_wedge_degree)
+    row = deg.agg(F.expr("sum(deg * (deg - 1) div 2)").alias("w")).head()
+    return int(row["w"] or 0)
+
+
 def degree_assortativity(relationships: DataFrame) -> DataFrame:
     """One row (n_edges, assortativity) — Newman's degree
     assortativity r (Pearson correlation of endpoint degrees over the

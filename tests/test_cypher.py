@@ -2378,3 +2378,90 @@ def test_list_predicates_in_where_and_plain_calls_unharmed(spark):
     # aggregate calls named like predicates still parse as functions
     [r] = rows(store, "MATCH (t) RETURN count(t) AS n")
     assert r["n"] == 2
+
+
+def _weighted_client(spark):
+    """a->b->c->d chain (w 1,1,1) plus heavy shortcuts a->c (10) and
+    a->d (3): weighted shortest to c is 2 hops/cost 2 (beats the 1-hop
+    cost-10 shortcut); to d it's the 1-hop cost-3 shortcut."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sp:W;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": x, "$metadata": {"$model": "dtmi:sp:W;1"}}
+             for x in "abcd"]
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+             ("a", "c", 10), ("a", "d", 3)]
+    rels = [
+        {"$relationshipId": f"r{i}", "$sourceId": s, "$targetId": t,
+         "$relationshipName": "next", "w": w}
+        for i, (s, t, w) in enumerate(edges)
+    ]
+    return DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+
+
+def test_weighted_shortest_path_costs(spark):
+    """r13: [* WEIGHT expr] — per endpoint pair the minimum total
+    weight over paths of <= hi hops; cost(p) is the total, length(p)
+    the hop count of the (cost, hops)-lexicographic minimum."""
+    c = _weighted_client(spark)
+    rows = c.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})"
+        "-[r:next*1..4 WEIGHT toInteger(r.w)]->(x)) "
+        "RETURN x.`$dtId` AS dst, cost(p) AS cost, length(p) AS len "
+        "ORDER BY dst"
+    ).rows
+    # b: 1 hop cost 1; c: 2 hops cost 2 (beats 1-hop cost 10);
+    # d: 1-hop shortcut cost 3 == 3-hop chain cost 3 -> min hops wins
+    assert rows == [
+        {"dst": "b", "cost": 1, "len": 1},
+        {"dst": "c", "cost": 2, "len": 2},
+        {"dst": "d", "cost": 3, "len": 1},
+    ]
+    # zero lower bound adds the start at cost 0 / length 0
+    rows0 = c.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})"
+        "-[r:next*0..4 WEIGHT toInteger(r.w)]->(x)) "
+        "RETURN x.`$dtId` AS dst, cost(p) AS cost ORDER BY dst"
+    ).rows
+    assert rows0[0] == {"dst": "a", "cost": 0}
+    assert len(rows0) == 4
+    # hop bound binds: with at most 1 hop, c costs 10 (the shortcut)
+    rows1 = c.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})"
+        "-[r:next*1..1 WEIGHT toInteger(r.w)]->(x {`$dtId`: 'c'})) "
+        "RETURN cost(p) AS cost"
+    ).rows
+    assert rows1 == [{"cost": 10}]
+
+
+def test_weighted_shortest_path_errors(spark):
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+    from pg_age_digitaltwins_spark.cypher.parser import CypherParseError
+
+    c = _weighted_client(spark)
+    # WEIGHT requires a var-length relationship (parse-time)
+    with _pytest.raises(CypherParseError, match="WEIGHT"):
+        c.query("MATCH (a)-[r:next WEIGHT toInteger(r.w)]->(b) "
+                "RETURN count(*) AS n")
+    # WEIGHT outside shortestPath (compile-time)
+    with _pytest.raises(CypherCompileError, match="WEIGHT"):
+        c.query("MATCH (a)-[r:next*1..2 WEIGHT toInteger(r.w)]->(b) "
+                "RETURN count(*) AS n")
+    # allShortestPaths does not take WEIGHT
+    with _pytest.raises(CypherCompileError, match="WEIGHT"):
+        c.query("MATCH p = allShortestPaths((a)-[r:next*1..2 "
+                "WEIGHT toInteger(r.w)]->(b)) RETURN count(*) AS n")
+    # cost() needs a weighted path variable
+    with _pytest.raises(CypherCompileError, match="cost"):
+        c.query("MATCH p = shortestPath((a {`$dtId`: 'a'})-[*1..2]->(b)) "
+                "RETURN cost(p) AS c")
+    # negative weights fail loudly at runtime (in-plan assert)
+    with _pytest.raises(Exception, match="negative or NULL"):
+        c.query("MATCH p = shortestPath((a {`$dtId`: 'a'})"
+                "-[r:next*1..2 WEIGHT toInteger(r.w) - 5]->(x)) "
+                "RETURN cost(p) AS c")

@@ -3705,3 +3705,25 @@ def test_seasonal_profile_negative_values_and_pre1970(spark):
     od = con.execute(entry.oracle_sql()["events_seasonal_profile"]).fetchall()
     assert len(od) == 1
     assert tuple(od[0]) == ("neg", 3, 5, 3, -667)
+
+
+def test_link_prediction_wedge_count(spark):
+    """r13: wedge attribution — sum of C(deg,2) over sub-cap middles,
+    hand-verified on a star+triangle and consistent with the actual
+    candidate rows the wedge join emits."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        link_prediction_wedge_count,
+    )
+
+    # star: center c with leaves l1..l3 (deg(c)=3); disjoint triangle
+    rels = spark.createDataFrame(
+        [("c", "l1"), ("c", "l2"), ("c", "l3"),
+         ("t1", "t2"), ("t2", "t3"), ("t1", "t3")],
+        "source_id string, target_id string",
+    )
+    # uncapped: C(3,2) at c + 3 triangle middles with C(2,2)=1 each
+    assert link_prediction_wedge_count(rels) == 3 + 3
+    # cap 2 drops the star center; triangle middles (deg 2) survive
+    assert link_prediction_wedge_count(rels, max_wedge_degree=2) == 3
+    # cap 1 drops everything
+    assert link_prediction_wedge_count(rels, max_wedge_degree=1) == 0

@@ -50,6 +50,11 @@ _FRAGMENTS = st.sampled_from([
     "all(x IN [1,2] WHERE x > 0)", "single(x IN t.tags WHERE",
     "none(x IN", "UNION ALL", "all(x)", "percentileCont(",
     "percentileDisc(t.x, 0.5)", "stDev(",
+    # r13 grammar: weighted shortestPath — WEIGHT in the edge bracket
+    # (position-recognized, not reserved) and the cost() accessor
+    "WEIGHT", "WEIGHT r.w", "*1..3 WEIGHT", "[r:next*1..2 WEIGHT r.w]",
+    "WEIGHT toInteger(coalesce(r.quantity, 1))", "cost(", "cost(p)",
+    "shortestPath((a)-[r*1..2 WEIGHT r.w]->(b))", "[*2 WEIGHT",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
