@@ -353,6 +353,21 @@ _DTMI_RE = _re.compile(
     r"(?::[A-Za-z](?:[A-Za-z0-9_]*[A-Za-z0-9])?)*;[1-9][0-9]*$"
 )
 _NAME_RE = _re.compile(r"^[A-Za-z](?:[A-Za-z0-9_]*[A-Za-z0-9])?$")
+# Batch 17: BCP 47 well-formedness for localization-map keys (JSON-LD
+# language maps) — language subtag + optional alphanumeric subtags.
+_LOCALE_RE = _re.compile(r"^[A-Za-z]{2,8}(?:-[A-Za-z0-9]{1,8})*$")
+
+
+def _name_ok(nm: Any, v2_limits: bool) -> bool:
+    """DTDL element-name validity incl. the version-aware LENGTH cap:
+    64 characters under a v2 context, 512 under v3/v4 (the public DTDL
+    v3 limits table raised the name cap; the old unconditional 64
+    over-rejected valid v3 names — batch 17 fix)."""
+    return (
+        isinstance(nm, str)
+        and bool(_NAME_RE.match(nm))
+        and len(nm) <= (64 if v2_limits else 512)
+    )
 _DTDL_CONTEXTS = {"dtmi:dtdl:context;2", "dtmi:dtdl:context;3", "dtmi:dtdl:context;4"}
 _QT_CONTEXT_PREFIX = "dtmi:dtdl:extension:quantitativeTypes;"
 _ANNOTATION_PREFIX = "dtmi:dtdl:extension:annotation;"
@@ -543,7 +558,7 @@ def _validate_schema_node(
             seen_ev_values: set[Any] = set()
             for ev in evs:
                 nm = (ev or {}).get("name") if isinstance(ev, dict) else None
-                if not isinstance(nm, str) or not _NAME_RE.match(nm):
+                if not _name_ok(nm, v2_limits):
                     v.append(f"{where}: enumValue name {nm!r} is not a valid identifier")
                     continue
                 if nm in seen_ev_names:
@@ -589,7 +604,7 @@ def _validate_schema_node(
             seen_fields: set[str] = set()
             for f in fields:
                 nm = (f or {}).get("name") if isinstance(f, dict) else None
-                if not isinstance(nm, str) or not _NAME_RE.match(nm):
+                if not _name_ok(nm, v2_limits):
                     v.append(f"{where}: field name {nm!r} is not a valid identifier")
                 else:
                     if nm in seen_fields:
@@ -632,9 +647,7 @@ def _validate_schema_node(
         mk, mv = schema.get("mapKey"), schema.get("mapValue")
         if not isinstance(mk, dict) or mk.get("schema") != "string":
             v.append(f"{where}: Map requires a mapKey with schema 'string'")
-        elif not isinstance(mk.get("name"), str) or not _NAME_RE.match(
-            mk["name"]
-        ):
+        elif not _name_ok(mk.get("name"), v2_limits):
             # DTDL spec: mapKey is a named element — DTDLParser rejects
             # a Map whose key carries no (or an invalid) name
             v.append(
@@ -644,9 +657,7 @@ def _validate_schema_node(
         if not isinstance(mv, dict) or mv.get("schema") is None:
             v.append(f"{where}: Map requires a mapValue with a schema")
         else:
-            if not isinstance(mv.get("name"), str) or not _NAME_RE.match(
-                mv["name"]
-            ):
+            if not _name_ok(mv.get("name"), v2_limits):
                 v.append(
                     f"{where}: mapValue name {mv.get('name')!r} is not "
                     "a valid identifier"
@@ -661,7 +672,11 @@ def _check_display_strings(node: dict[str, Any], where: str, v: list[str]) -> No
     """DTDL ``displayName``/``description``: a string or a localization
     map of locale → string, with spec length caps of 64 and 512
     characters per localized value respectively (DTDLParser enforces
-    both the shape and the caps)."""
+    both the shape and the caps).  Batch 17: localization keys are
+    JSON-LD language-map keys — BCP 47 language tags — and DTDLParser
+    rejects a malformed tag (e.g. ``"not a locale!"``); we enforce
+    well-formedness (language subtag + optional alphanumeric subtags),
+    not registry membership, matching the parser's behavior."""
     for key, limit in (("displayName", 64), ("description", 512)):
         val = node.get(key)
         if val is None:
@@ -673,6 +688,12 @@ def _check_display_strings(node: dict[str, Any], where: str, v: list[str]) -> No
             for loc, s in val.items():
                 if not isinstance(loc, str) or not loc:
                     v.append(f"{where}: {key} localization keys must be locale strings")
+                    continue
+                if not _LOCALE_RE.match(loc):
+                    v.append(
+                        f"{where}: {key} localization key {loc!r} is not "
+                        "a well-formed BCP 47 language tag"
+                    )
                     continue
                 vals.append(s)
         else:
@@ -884,7 +905,10 @@ def validate_model(
                 f"{content_kinds}; exactly one is allowed"
             )
             continue
-        if not isinstance(name, str) or not _NAME_RE.match(name) or len(name) > 64:
+        # batch 17: the name LENGTH cap is version-aware (64 under v2,
+        # 512 under v3/v4 per the public limits tables) — the old
+        # unconditional 64 over-rejected valid v3/v4 names
+        if not _name_ok(name, is_v2):
             v.append(f"content name {name!r} is not a valid DTDL identifier")
             continue
         if name in seen_names:

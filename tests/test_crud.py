@@ -1675,3 +1675,71 @@ def test_validate_model_limit_extensions_batch16():
         except ValidationError as ex:
             assert "dtmi:dtdl:limits:onvif;1" in str(ex)
             raise
+
+
+def test_validate_model_locale_keys_batch17():
+    """DTDL batch 17a: displayName/description localization keys are
+    JSON-LD language-map keys (BCP 47) — well-formed tags accepted,
+    malformed tags rejected (DTDLParser behavior)."""
+    from pg_age_digitaltwins_spark.validation import (
+        ValidationError,
+        validate_model,
+    )
+
+    # well-formed tags: bare language, region, script+region, numeric
+    validate_model(_interface(
+        displayName={"en": "ok", "en-US": "ok", "zh-Hant-TW": "ok",
+                     "es-419": "ok"},
+        description={"fr": "bien"},
+    ))
+    # malformed: spaces / punctuation / empty subtags / one-letter
+    for bad in ("not a locale!", "en_US", "e", "en-", "-en",
+                "en--US", "toolonglanguage"):
+        with pytest.raises(ValidationError, match="BCP 47"):
+            validate_model(_interface(displayName={bad: "x"}))
+    with pytest.raises(ValidationError, match="BCP 47"):
+        validate_model(_interface(description={"12!": "x"}))
+
+
+def test_validate_model_name_length_version_aware_batch17():
+    """DTDL batch 17b: element-name length cap is 64 under v2 but 512
+    under v3/v4 (public limits tables) — a 100-char name is VALID v3
+    and invalid v2; 513 chars rejected everywhere; the cap also
+    applies to nested field/enumValue/mapKey/mapValue names."""
+    from pg_age_digitaltwins_spark.validation import (
+        ValidationError,
+        validate_model,
+    )
+
+    long_name = "n" + "x" * 99           # 100 chars
+    huge_name = "n" + "x" * 512          # 513 chars
+    prop = lambda nm: [{"@type": "Property", "name": nm, "schema": "double"}]
+
+    validate_model(_interface(contents=prop(long_name)))            # v3 ok
+    validate_model(_interface(
+        **{"@context": "dtmi:dtdl:context;4", "contents": prop(long_name)}))
+    with pytest.raises(ValidationError, match="not a valid DTDL identifier"):
+        validate_model(_interface(
+            **{"@context": "dtmi:dtdl:context;2", "contents": prop(long_name)}))
+    with pytest.raises(ValidationError, match="not a valid DTDL identifier"):
+        validate_model(_interface(contents=prop(huge_name)))
+    # nested names: v3 accepts a 100-char Object field, v2 rejects it
+    obj = lambda nm: [{
+        "@type": "Property", "name": "o",
+        "schema": {"@type": "Object",
+                   "fields": [{"name": nm, "schema": "double"}]},
+    }]
+    validate_model(_interface(contents=obj(long_name)))
+    with pytest.raises(ValidationError, match="field name"):
+        validate_model(_interface(
+            **{"@context": "dtmi:dtdl:context;2", "contents": obj(long_name)}))
+    # enumValue names follow the same cap
+    enum = lambda nm: [{
+        "@type": "Property", "name": "e",
+        "schema": {"@type": "Enum", "valueSchema": "string",
+                   "enumValues": [{"name": nm, "enumValue": "v"}]},
+    }]
+    validate_model(_interface(contents=enum(long_name)))
+    with pytest.raises(ValidationError, match="enumValue name"):
+        validate_model(_interface(
+            **{"@context": "dtmi:dtdl:context;2", "contents": enum(long_name)}))
