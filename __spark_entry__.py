@@ -997,6 +997,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_assortativity"] = _assortativity
 
+    def _topo_levels(spark, sf_dir):
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        # r13: longest-path DAG layering (stage assignment) — fixed
+        # 8 rounds cover the FK graph's depth-3 chains with margin;
+        # exact integers, value-checked vs the unrolled CTE
+        st = _store(spark, sf_dir)
+        return ga.topological_levels(st.twins, st.relationships, iters=8)
+
+    q["graph_topological_levels"] = _topo_levels
+
     def _hits(spark, sf_dir):
         from pg_age_digitaltwins_spark.operators import graph_analytics as ga
 
@@ -1169,6 +1180,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("lang", "doc_id", "rnk")
 
     q["sample_weighted_reservoir"] = _wres
+
+    def _temp_mixture(s, d):
+        from pg_age_digitaltwins_spark.operators.sampling import (
+            temperature_quota_sample,
+        )
+
+        # r13: α=0.5 temperature mixture (XLM-R exponent smoothing) —
+        # isqrt source weights + largest-remainder EXACT quotas, md5
+        # in-source selection; all BIGINT, value-checks end to end
+        return temperature_quota_sample(_tables(s, d)["documents"], budget=200)
+
+    q["sample_temperature_mixture"] = _temp_mixture
 
     def _profile(s, d):
         from pg_age_digitaltwins_spark.operators.text import profile_columns
@@ -1767,6 +1790,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_idf_top_terms"] = lambda s, d: text.idf_top_terms(
         _tables(s, d)["documents"], k=50
     )
+    # r13: simplified (centroid-based) silhouette — the clustering-
+    # quality gate over the labeled embedding table; O(n·k) broadcast
+    # fan-out, never all-pairs
+    q["embed_silhouette"] = lambda s, d: similarity.label_silhouette(
+        _tables(s, d)["embeddings"]
+    )
     q["embed_label_centroids"] = lambda s, d: similarity.label_centroids(
         _tables(s, d)["embeddings"]
     )
@@ -2303,6 +2332,29 @@ _EDGES_SQL = (
     "UNION ALL SELECT 'supp-' || s_suppkey, 'nation-' || s_nationkey FROM supplier "
     "UNION ALL SELECT 'nation-' || n_nationkey, 'region-' || n_regionkey FROM nation"
 )
+
+
+def _topo_oracle(iters: int = 8) -> str:
+    """Unrolled longest-path layering — the same superstep recurrence
+    as ``operators.graph_analytics.topological_levels`` applied
+    ``iters`` times (after the DAG's depth further rounds are
+    no-ops, so fixed-count and fixpoint agree on this graph)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})), "
+        "l0 AS MATERIALIZED (SELECT dt_id, CAST(0 AS BIGINT) AS level "
+        f"FROM ({_ALL_TWIN_IDS}))"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f", l{k} AS MATERIALIZED (SELECT l.dt_id, "
+            "CAST(greatest(l.level, coalesce(nm.cand, 0)) AS BIGINT) AS level "
+            f"FROM l{k - 1} l LEFT JOIN "
+            "(SELECT e.dst AS dt_id, max(x.level) + 1 AS cand "
+            f"FROM e JOIN l{k - 1} x ON e.src = x.dt_id GROUP BY e.dst) nm "
+            "USING (dt_id))"
+        )
+    parts.append(f" SELECT dt_id, level FROM l{iters}")
+    return "".join(parts)
 
 
 def _cc_oracle(iters: int = 20) -> str:
@@ -3479,6 +3531,32 @@ def oracle_sql() -> dict[str, str]:
         "AS INTEGER) % 5 AS INT) AS fold, count(*) AS n "
         "FROM documents GROUP BY fold"
     )
+    o["graph_topological_levels"] = _topo_oracle(8)
+    # r13: α=0.5 temperature mixture — isqrt weights (with the ±1
+    # fix-up), largest-remainder quotas over exact BIGINTs, md5
+    # in-source selection; mirrors temperature_quota_sample verbatim
+    o["sample_temperature_mixture"] = (
+        "WITH t AS (SELECT doc_id AS key, source FROM documents), "
+        "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s "
+        "FROM t GROUP BY source), "
+        "w AS (SELECT source, n_s, CAST(CASE WHEN r0 * r0 > n_s THEN r0 - 1 "
+        "WHEN (r0 + 1) * (r0 + 1) <= n_s THEN r0 + 1 ELSE r0 END AS BIGINT) "
+        "AS w_s FROM (SELECT source, n_s, "
+        "CAST(floor(sqrt(CAST(n_s AS DOUBLE))) AS BIGINT) AS r0 FROM c)), "
+        "tot AS (SELECT sum(w_s) AS W FROM w), "
+        "q AS (SELECT source, n_s, (200 * w_s) // W AS q0, "
+        "(200 * w_s) % W AS rem FROM w, tot), "
+        "lo AS (SELECT 200 - sum(q0) AS leftover FROM q), "
+        "qq AS (SELECT source, "
+        "least(n_s, q0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS quota "
+        "FROM (SELECT source, n_s, q0, row_number() OVER "
+        "(ORDER BY rem DESC, source ASC) AS rk FROM q), lo), "
+        "sel AS (SELECT t.key, t.source, quota, row_number() OVER "
+        "(PARTITION BY t.source ORDER BY "
+        "md5('temp' || '|' || CAST(t.key AS VARCHAR)), t.key) AS rn "
+        "FROM t JOIN qq USING (source)) "
+        "SELECT key, source FROM sel WHERE rn <= quota"
+    )
     o["sample_weighted_reservoir"] = (
         "SELECT lang, doc_id, CAST(rnk AS INT) AS rnk FROM ("
         "SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang "
@@ -4328,6 +4406,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT term, count(*) AS df, "
         "round(ln((SELECT n_docs FROM n) / CAST(count(*) AS DOUBLE)), 6) AS idf "
         "FROM terms GROUP BY term ORDER BY df DESC, term LIMIT 50"
+    )
+    o["embed_silhouette"] = (
+        "WITH x AS (SELECT vec_id, label, "
+        "CAST(generate_subscripts(embedding, 1) AS INT) AS dim, "
+        "unnest(embedding) AS v FROM embeddings), "
+        "cent AS (SELECT label AS clabel, dim, avg(v) AS c "
+        "FROM x GROUP BY label, dim), "
+        "d AS (SELECT x.vec_id, x.label, cent.clabel, "
+        "sqrt(sum((x.v - cent.c) * (x.v - cent.c))) AS dd "
+        "FROM x JOIN cent ON x.dim = cent.dim "
+        "GROUP BY x.vec_id, x.label, cent.clabel), "
+        "ab AS (SELECT vec_id, label, "
+        "min(CASE WHEN clabel = label THEN dd END) AS a, "
+        "min(CASE WHEN clabel <> label THEN dd END) AS b "
+        "FROM d GROUP BY vec_id, label), "
+        "s AS (SELECT label, round(CASE WHEN greatest(a, b) > 0 "
+        "THEN (b - a) / greatest(a, b) ELSE 0 END, 6) AS s "
+        "FROM ab WHERE b IS NOT NULL) "
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_points, "
+        "round(avg(s), 4) AS mean_silhouette FROM s GROUP BY label"
     )
     o["embed_label_centroids"] = (
         "WITH x AS (SELECT label, "

@@ -2453,6 +2453,60 @@ def link_prediction_wedge_count(
     return int(row["w"] or 0)
 
 
+def topological_levels(
+    twins: DataFrame,
+    relationships: DataFrame,
+    iters: int = 8,
+) -> DataFrame:
+    """(dt_id, level) — longest-path LAYERING of the directed graph:
+    level(v) = 0 for sources (no in-edges), else 1 + max(level(u))
+    over in-edges u→v — the stage assignment a DAG scheduler /
+    dependency executor needs (every edge goes strictly level-up; all
+    of level k can run once level k−1 finished).
+
+    ``iters`` is FIXED (the coreness/PageRank convention): after
+    ``iters`` rounds the output is exactly the longest path of at most
+    ``iters`` edges ending at v — equal to the true level once iters ≥
+    the DAG's depth (the fixpoint; further rounds are no-ops), and a
+    deterministic, engine-portable lower bound on any longer chain.
+    On a cyclic input levels keep growing until the cap — callers
+    wanting DAG VERIFICATION should compare iters and iters+1 outputs
+    (a fixpoint certifies acyclicity within the horizon).  All-integer
+    arithmetic: value-checks against an unrolled SQL oracle.
+
+    100 TB shape: one edges⋈state equi-join + one map-side-combined
+    max aggregate per round, vertex-sized state, lineage cut per
+    round; depth-bounded like every superstep operator here (a DAG's
+    depth, not its size, bounds the rounds)."""
+    verts = twins.select("dt_id")
+    e = (
+        relationships.select("source_id", "target_id")
+        .filter(F.col("source_id") != F.col("target_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    level = verts.select(
+        "dt_id", F.lit(0).cast("long").alias("level")
+    ).localCheckpoint(eager=True)
+    for _ in range(max(1, iters)):
+        nxt = (
+            e.join(level, e["source_id"] == level["dt_id"])
+            .groupBy(F.col("target_id").alias("dt_id"))
+            .agg((F.max("level") + F.lit(1)).cast("long").alias("__cand"))
+        )
+        level = (
+            level.join(nxt, "dt_id", "left")
+            .select(
+                "dt_id",
+                F.greatest(
+                    F.col("level"), F.coalesce("__cand", F.lit(0).cast("long"))
+                ).alias("level"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return level
+
+
 def degree_assortativity(relationships: DataFrame) -> DataFrame:
     """One row (n_edges, assortativity) — Newman's degree
     assortativity r (Pearson correlation of endpoint degrees over the

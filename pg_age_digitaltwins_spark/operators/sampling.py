@@ -265,3 +265,101 @@ def mixture_sample(
         .filter((F.col("rate") >= 1.0) | (b8 < thr))
         .select("key", "source", "n_tokens")
     )
+
+
+def temperature_quota_sample(
+    docs: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled mixture with EXACT per-source quotas: the
+    multilingual/multi-source re-balancing step (XLM-R / mBERT
+    exponent-smoothing: sample source s ∝ n_s^α with α < 1 so rare
+    sources are upweighted) at the fixed smoothing α = 0.5, which is
+    the one temperature with an EXACT integer weight — w_s =
+    isqrt(n_s) — so quotas are bit-identical across engines (general α
+    needs float pow, whose last-ulp differences can flip a
+    largest-remainder tie).
+
+    Quotas: q_s = floor(budget·w_s / Σw) with the leftover distributed
+    by LARGEST REMAINDER ((budget·w_s) mod Σw, ties on source asc) —
+    exact BIGINT arithmetic end to end — then capped at n_s (an
+    exhausted source simply contributes everything it has; the total
+    can undershoot ``budget`` in that case, which is reported honestly
+    rather than silently re-flowed).  isqrt uses the ±1 fix-up after
+    floor(sqrt(double)) so perfect-square boundaries can't mis-weight
+    above 2^26 rows per source.
+
+    Selection within a source is the module's deterministic md5 order:
+    rank by (md5(salt|key), key), keep rank ≤ quota — reproducible,
+    portable, and a DuckDB oracle replays it verbatim.
+
+    Returns (key, source) of the sampled rows.
+
+    100 TB shape: per-source counts are ONE map-side-combined
+    aggregate; all quota arithmetic happens on the |sources|-sized
+    frame (broadcast back); selection is one window per source
+    partition — a single shuffle on the source key.  No driver-side
+    math, no float anywhere."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    t = docs.select(
+        F.col(key_col).alias("key"), F.col(source_col).alias("source")
+    )
+    counts = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    r0 = F.floor(F.sqrt(F.col("n_s").cast("double"))).cast("bigint")
+    # isqrt fix-up: double sqrt can land one off near perfect squares
+    w = (
+        r0
+        - F.when(r0 * r0 > F.col("n_s"), F.lit(1)).otherwise(F.lit(0))
+        + F.when(
+            (r0 + 1) * (r0 + 1) <= F.col("n_s"), F.lit(1)
+        ).otherwise(F.lit(0))
+    ).cast("bigint")
+    weighted = counts.select("source", "n_s", w.alias("w_s"))
+    tot = weighted.agg(F.sum("w_s").alias("__W"))
+    q = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.expr(f"CAST({budget} AS BIGINT) * w_s div __W").alias("__q0"),
+            F.expr(f"pmod(CAST({budget} AS BIGINT) * w_s, __W)").alias(
+                "__rem"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    lo = q.agg(
+        (F.lit(budget).cast("bigint") - F.sum("__q0")).alias("__leftover")
+    )
+    rk = Window.orderBy(F.desc("__rem"), F.asc("source"))
+    quotas = (
+        q.crossJoin(F.broadcast(lo))
+        .withColumn("__rk", F.row_number().over(rk))
+        .select(
+            "source",
+            F.least(
+                F.col("n_s"),
+                F.col("__q0")
+                + F.when(
+                    F.col("__rk") <= F.col("__leftover"), F.lit(1)
+                ).otherwise(F.lit(0)),
+            ).cast("bigint").alias("quota"),
+        )
+    )
+    sel = Window.partitionBy("source").orderBy(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col("key").cast("string"))),
+        F.asc("key"),
+    )
+    return (
+        t.join(F.broadcast(quotas), "source")
+        .withColumn("__sel", F.row_number().over(sel))
+        .filter(F.col("__sel") <= F.col("quota"))
+        .select("key", "source")
+    )

@@ -1733,3 +1733,88 @@ def truncate_embeddings(
     else:
         out = F.transform(pre, lambda x: x.cast("double"))
     return embeddings.select("vec_id", out.alias("embedding"))
+
+
+def label_silhouette(embeddings: DataFrame) -> DataFrame:
+    """(label, n_points, mean_silhouette) — SIMPLIFIED (centroid-based)
+    silhouette score per label: for each point, a = euclidean distance
+    to its OWN label centroid, b = min distance to any OTHER label's
+    centroid, s = (b − a) / max(a, b) (0 when both are 0) — the
+    Kaufman-Rousseeuw medoid-free variant every clustering-quality
+    dashboard uses (true silhouette is all-pairs O(n²); the centroid
+    form is O(n·k) and ranks cluster health the same way).
+
+    Determinism: distances are fixed-shape positional folds over the
+    (point − centroid) differences, per-point s rounds at 6 and the
+    per-label mean at 4 — the same float-tolerance discipline as the
+    kNN/centroid keys, value-checked against SQL.
+
+    100 TB shape: centroids are one |labels|×dims map-side-combined
+    aggregate, broadcast back; each point computes its k distances in
+    ONE map-side pass over a k-way broadcast join (k = |labels|,
+    small); the rollup is one groupBy on label.  No all-pairs
+    anywhere."""
+    cents = (
+        embeddings.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("c")))
+                ),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    other = F.broadcast(
+        cents.select(
+            F.col("label").alias("__clabel"), F.col("centroid").alias("__cvec")
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("__cvec"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+    )
+    # deliberate k-way fan-out: every point scores against all |labels|
+    # broadcast centroids (k is small; this is the O(n·k) term)
+    per_cent = embeddings.select("vec_id", "label", "embedding").crossJoin(
+        other
+    ).select(
+        "vec_id",
+        "label",
+        "__clabel",
+        dist.alias("__d"),
+    )
+    ab = per_cent.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("__clabel") == F.col("label"), F.col("__d"))).alias(
+            "__a"
+        ),
+        F.min(F.when(F.col("__clabel") != F.col("label"), F.col("__d"))).alias(
+            "__b"
+        ),
+    )
+    s = F.round(
+        F.when(
+            F.greatest("__a", "__b") > 0,
+            (F.col("__b") - F.col("__a")) / F.greatest("__a", "__b"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        ab.filter(F.col("__b").isNotNull())
+        .select("label", s.alias("__s"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.avg("__s"), 4).alias("mean_silhouette"),
+        )
+    )

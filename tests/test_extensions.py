@@ -3727,3 +3727,135 @@ def test_link_prediction_wedge_count(spark):
     assert link_prediction_wedge_count(rels, max_wedge_degree=2) == 3
     # cap 1 drops everything
     assert link_prediction_wedge_count(rels, max_wedge_degree=1) == 0
+
+
+def test_topological_levels_hand_computed(spark):
+    """r13: longest-path DAG layering — diamond takes the LONGER arm,
+    fixed iters converge on the fixpoint, cycles keep growing to the
+    cap (documented non-DAG behavior)."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        topological_levels,
+    )
+
+    twins = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "d", "iso"]], "dt_id string"
+    )
+    # diamond with a long arm: a->b->c->d and a->d
+    rels = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+        "source_id string, target_id string",
+    )
+    got = {
+        r["dt_id"]: r["level"]
+        for r in topological_levels(twins, rels, iters=8).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "iso": 0}
+    # fixpoint: more rounds change nothing on a DAG
+    again = {
+        r["dt_id"]: r["level"]
+        for r in topological_levels(twins, rels, iters=12).collect()
+    }
+    assert again == got
+    # a 2-cycle keeps climbing to the cap (fixed-iteration contract)
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "source_id string, target_id string"
+    )
+    two = spark.createDataFrame([("a",), ("b",)], "dt_id string")
+    lv = {
+        r["dt_id"]: r["level"]
+        for r in topological_levels(two, cyc, iters=3).collect()
+    }
+    assert sorted(lv.values()) == [3, 3]  # grows with the cap, no fixpoint
+
+
+def test_temperature_quota_sample_hand_computed(spark):
+    """r13: isqrt weights + largest-remainder quotas — a rare source
+    is upweighted relative to its share, quotas are exact, selection
+    is deterministic across repartitioning, and exhausted sources cap
+    at n_s."""
+    import hashlib
+
+    from pg_age_digitaltwins_spark.operators.sampling import (
+        temperature_quota_sample,
+    )
+
+    # big: 100 docs, small: 4 docs -> w = 10 and 2, W = 12
+    rows = [(i, "big") for i in range(100)] + [
+        (1000 + i, "small") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_quota_sample(docs, budget=12).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["key"])
+    # quotas: big 12*10//12 = 10, small 12*2//12 = 2, leftover 0
+    assert len(by_src["big"]) == 10 and len(by_src["small"]) == 2
+    # proportional sampling would give small ~0.46 docs; sqrt gives 2
+    # selection replay: md5('temp|<key>') ascending, key tie-break
+    def pick(keys, quota):
+        return sorted(
+            keys,
+            key=lambda k: (hashlib.md5(f"temp|{k}".encode()).hexdigest(), k),
+        )[:quota]
+
+    assert sorted(by_src["small"]) == sorted(
+        pick([1000 + i for i in range(4)], 2)
+    )
+    assert sorted(by_src["big"]) == sorted(pick(list(range(100)), 10))
+    # deterministic across partitionings
+    again = sorted(
+        (r["key"], r["source"])
+        for r in temperature_quota_sample(docs.repartition(7), budget=12).collect()
+    )
+    assert again == sorted((r["key"], r["source"]) for r in out)
+    # exhausted source: budget larger than the corpus caps at n_s
+    tiny = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    got = temperature_quota_sample(tiny, budget=100).count()
+    assert got == 3
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        temperature_quota_sample(tiny, budget=-1)
+
+
+def test_label_silhouette_hand_computed(spark):
+    """r13: centroid-based silhouette — well-separated clusters score
+    near 1, a point sitting on another cluster's centroid scores
+    negative, coincident centroids give s = 0."""
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        label_silhouette,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            # label 0 around (0, 0); label 1 around (10, 0)
+            (1, [0.0, 1.0], 0), (2, [0.0, -1.0], 0),
+            (3, [10.0, 1.0], 1), (4, [10.0, -1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["label"]: (r["n_points"], r["mean_silhouette"])
+        for r in label_silhouette(emb).collect()
+    }
+    # centroids: (0,0) and (10,0); every point: a = 1, b = sqrt(101)
+    import math
+
+    exp = round(
+        round((math.sqrt(101.0) - 1.0) / math.sqrt(101.0), 6), 4
+    )
+    assert got == {0: (2, exp), 1: (2, exp)}
+    # a mislabeled point on the other centroid: a > b -> negative s
+    emb2 = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0], 0), (2, [0.0, -1.0], 0),
+            (3, [10.0, 0.0], 0),           # labeled 0, sits at label 1
+            (4, [10.0, 1.0], 1), (5, [10.0, -1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["label"]: r["mean_silhouette"]
+            for r in label_silhouette(emb2).collect()}
+    assert rows[0] < rows[1]
