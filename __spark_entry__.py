@@ -1796,6 +1796,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_silhouette"] = lambda s, d: similarity.label_silhouette(
         _tables(s, d)["embeddings"]
     )
+    # r13: MMR diversified top-k — greedy λ·sim − (1−λ)·max-sel rerank
+    # over a TakeOrdered pool; every cosine/score rounds at 6 before
+    # comparison and (1−λ) is the double 1.0−0.7, so the whole greedy
+    # trace value-checks against the unrolled 3-stage argmax oracle
+    q["embed_mmr_topk"] = lambda s, d: similarity.mmr_select(
+        _tables(s, d)["embeddings"], query_id=0, k=3, lam=0.7, pool=50
+    )
     q["embed_label_centroids"] = lambda s, d: similarity.label_centroids(
         _tables(s, d)["embeddings"]
     )
@@ -4406,6 +4413,39 @@ def oracle_sql() -> dict[str, str]:
         "SELECT term, count(*) AS df, "
         "round(ln((SELECT n_docs FROM n) / CAST(count(*) AS DOUBLE)), 6) AS idf "
         "FROM terms GROUP BY term ORDER BY df DESC, term LIMIT 50"
+    )
+    # r13: MMR — the greedy trace unrolled as 3 argmax stages; the
+    # (1−λ) coefficient is written as (1.0 - 0.7) so DuckDB computes
+    # the SAME double Spark's F.lit(1.0 - lam) carries
+    o["embed_mmr_topk"] = (
+        "WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings WHERE vec_id = 0), "
+        "pool AS MATERIALIZED (SELECT e.vec_id, "
+        "CAST(e.embedding AS DOUBLE[]) AS emb, "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "q.emb), 6) AS simq "
+        "FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0 "
+        "ORDER BY simq DESC, e.vec_id LIMIT 50), "
+        "p1 AS (SELECT vec_id, emb, round(0.7 * simq, 6) AS score "
+        "FROM pool ORDER BY score DESC, vec_id LIMIT 1), "
+        "c2 AS (SELECT c.vec_id, c.emb, c.simq, "
+        "round(list_cosine_similarity(c.emb, p1.emb), 6) AS pen "
+        "FROM pool c, p1 WHERE c.vec_id <> p1.vec_id), "
+        "p2 AS (SELECT vec_id, emb, "
+        "round(0.7 * simq - (1.0 - 0.7) * pen, 6) AS score "
+        "FROM c2 ORDER BY score DESC, vec_id LIMIT 1), "
+        "c3 AS (SELECT c.vec_id, c.simq, "
+        "greatest(round(list_cosine_similarity(c.emb, p1.emb), 6), "
+        "round(list_cosine_similarity(c.emb, p2.emb), 6)) AS pen "
+        "FROM pool c, p1, p2 "
+        "WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id), "
+        "p3 AS (SELECT vec_id, "
+        "round(0.7 * simq - (1.0 - 0.7) * pen, 6) AS score "
+        "FROM c3 ORDER BY score DESC, vec_id LIMIT 1) "
+        "SELECT CAST(1 AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id, "
+        "score FROM p1 "
+        "UNION ALL SELECT 2, vec_id, score FROM p2 "
+        "UNION ALL SELECT 3, vec_id, score FROM p3"
     )
     o["embed_silhouette"] = (
         "WITH x AS (SELECT vec_id, label, "

@@ -1818,3 +1818,104 @@ def label_silhouette(embeddings: DataFrame) -> DataFrame:
             F.round(F.avg("__s"), 4).alias("mean_silhouette"),
         )
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 3,
+    lam: float = 0.7,
+    pool: int = 50,
+) -> DataFrame:
+    """(rank, vec_id, score) — Maximal Marginal Relevance diversified
+    top-k (Carbonell & Goldstein 1998): greedily pick the candidate
+    maximizing λ·sim(q, c) − (1−λ)·max_{s∈selected} sim(c, s) — the
+    diversity-aware reranker RAG/training-data pipelines run after a
+    plain ANN pass (near-duplicate hits stop crowding the top-k).
+
+    Determinism (value-checkable): every cosine rounds at 6 BEFORE it
+    enters a comparison, scores round at 6, ties break on vec_id, and
+    the (1−λ) weight is computed as the double ``1.0 - lam`` so an
+    oracle writing the same subtraction reproduces the bit-identical
+    coefficient (a literal ``0.3`` is a DIFFERENT double than
+    ``1.0 - 0.7``).  The whole greedy trace replays in SQL as k
+    unrolled argmax stages.  Caveat (the seasonal-profile rounding
+    lesson): a DYADIC λ (0.5, 0.25…) halves/quarters an exactly-6-dp
+    value, parking the 7th digit exactly on 5 where Spark's
+    shortest-repr HALF_UP and other engines' binary rounding can
+    split — cross-engine value-checking should use a non-dyadic λ
+    (0.7 here); the hand test replays the dyadic case with Spark's
+    exact rounding semantics.
+
+    100 TB shape: the sequential part runs over a POOL, not the
+    corpus — stage 1 is one broadcast-query scan + TakeOrdered(pool)
+    (the same plan as knn_brute_force), and each of the k greedy steps
+    is a pool-sized frame vs a broadcast selected-set (≤ k rows).
+    k·pool is bytes; the corpus is touched exactly once."""
+    if k < 1 or pool < 1:
+        raise ValueError("k and pool must be >= 1")
+    mu = 1.0 - lam
+    q = F.broadcast(_query_vector_df(embeddings, query_id))
+    cand = (
+        embeddings.filter(F.col("vec_id") != query_id)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine_sim(F.col("embedding"), F.col("__q")), 6).alias(
+                "simq"
+            ),
+        )
+        .orderBy(F.desc("simq"), F.asc("vec_id"))
+        .limit(pool)
+        .localCheckpoint(eager=True)
+    )
+    spark = embeddings.sparkSession
+    picked = spark.createDataFrame(
+        [], "rank bigint, vec_id bigint, score double"
+    )
+    sel_vecs = None
+    for rank in range(1, k + 1):
+        if sel_vecs is None:
+            scored = cand.select(
+                "vec_id", F.round(F.lit(lam) * F.col("simq"), 6).alias("score")
+            )
+        else:
+            pens = (
+                cand.join(sel_vecs.select("vec_id"), "vec_id", "left_anti")
+                .crossJoin(F.broadcast(sel_vecs.select(F.col("__s"))))
+                .select(
+                    "vec_id",
+                    "simq",
+                    F.round(
+                        cosine_sim(F.col("embedding"), F.col("__s")), 6
+                    ).alias("__p"),
+                )
+                .groupBy("vec_id", "simq")
+                .agg(F.max("__p").alias("__pen"))
+            )
+            scored = pens.select(
+                "vec_id",
+                F.round(
+                    F.lit(lam) * F.col("simq") - F.lit(mu) * F.col("__pen"), 6
+                ).alias("score"),
+            )
+        pick = (
+            scored.orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picked = picked.unionByName(
+            pick.select(
+                F.lit(rank).cast("bigint").alias("rank"),
+                F.col("vec_id").cast("bigint").alias("vec_id"),
+                "score",
+            )
+        )
+        new_sel = cand.join(pick.select("vec_id"), "vec_id").select(
+            "vec_id", F.col("embedding").alias("__s")
+        )
+        sel_vecs = (
+            new_sel if sel_vecs is None else sel_vecs.unionByName(new_sel)
+        )
+    return picked

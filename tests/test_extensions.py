@@ -3859,3 +3859,81 @@ def test_label_silhouette_hand_computed(spark):
     rows = {r["label"]: r["mean_silhouette"]
             for r in label_silhouette(emb2).collect()}
     assert rows[0] < rows[1]
+
+
+def test_mmr_select_hand_computed(spark):
+    """r13: MMR rerank — the second pick skips the near-duplicate of
+    the first (plain top-k would take it) in favor of a diverse
+    candidate at λ=0.5; replayed exactly in pure Python."""
+    import math
+
+    from pg_age_digitaltwins_spark.operators.similarity import mmr_select
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],            # query
+        1: [0.99, 0.14, 0.0],          # closest
+        2: [0.985, 0.17, 0.0],         # near-dup of 1
+        3: [0.8, 0.0, 0.6],            # diverse, decent sim
+        4: [0.0, 1.0, 0.0],            # orthogonal-ish
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r["rank"], r["vec_id"], r["score"])
+        for r in sorted(
+            mmr_select(emb, 0, k=3, lam=0.5, pool=10).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+
+    # pure-Python replay of the documented spec (float32 inputs,
+    # SEQUENTIAL left-fold sums — numpy's pairwise dot can differ in
+    # the last ulp — and Spark's rounding semantics: HALF_UP over the
+    # SHORTEST decimal repr (BigDecimal.valueOf), not Python's
+    # half-even over the exact binary; λ=0.5 halves a 6-dp value so
+    # the 7th digit lands exactly on 5 and the two conventions split)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def cos(a, b):
+        a = np.array(a, dtype=np.float32).astype(np.float64)
+        b = np.array(b, dtype=np.float32).astype(np.float64)
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return r6(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+    lam, mu = 0.5, 1.0 - 0.5
+    simq = {i: cos(v, vecs[0]) for i, v in vecs.items() if i != 0}
+    selected, expect = [], []
+    for rank in range(1, 4):
+        best = None
+        for i in simq:
+            if i in selected:
+                continue
+            pen = max((cos(vecs[i], vecs[s]) for s in selected), default=None)
+            score = (
+                r6(lam * simq[i])
+                if pen is None
+                else r6(lam * simq[i] - mu * pen)
+            )
+            cand = (-score, i)
+            if best is None or cand < best:
+                best = cand
+        expect.append((rank, best[1], -best[0]))
+        selected.append(best[1])
+    assert got == expect
+    # sanity: the near-dup (2) is displaced by the diverse pick (3)
+    assert [v for _, v, _ in got[:2]] == [1, 3]
