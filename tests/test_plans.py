@@ -628,3 +628,63 @@ def test_link_prediction_no_cartesian_and_broadcast_degrees(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_topological_levels_equi_joins_only(spark):
+    """r13: each layering round is an edges⋈state EQUI-join + a
+    map-side-combined max — no cartesian anywhere."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        topological_levels,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    st = load_graph(spark, SF_DIR)
+    plan = _plan(topological_levels(st.twins, st.relationships, iters=3))
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_quota_sample_broadcasts_quotas(spark):
+    """r13: quota arithmetic happens on the |sources|-sized frame and
+    joins back BROADCAST; the corpus shuffles once (the per-source
+    selection window) — no cartesian on the data path (the two 1-row
+    total/leftover frames ride broadcast nested loops by design)."""
+    from pg_age_digitaltwins_spark.operators.sampling import (
+        temperature_quota_sample,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    plan = _plan(temperature_quota_sample(docs, budget=50))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mmr_pool_stage_is_take_ordered(spark):
+    """r13: the MMR candidate pool compiles to TakeOrdered over the
+    broadcast-query scan — the corpus is touched once, never sorted
+    fully (the greedy stages run on checkpointed pool-sized frames)."""
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        _query_vector_df,
+        cosine_sim,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    q = F.broadcast(_query_vector_df(emb, 0))
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("__q")), 6).alias(
+                "simq"
+            ),
+        )
+        .orderBy(F.desc("simq"), F.asc("vec_id"))
+        .limit(50)
+    )
+    plan = _plan(pool)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
