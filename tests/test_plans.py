@@ -688,3 +688,17 @@ def test_mmr_pool_stage_is_take_ordered(spark):
     plan = _plan(pool)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_shortest_path_equi_joins_only(fixture_client):
+    """r13: every weighted-SP round is a pair-keyed EQUI-join + one
+    struct-min aggregate — no cartesian product anywhere in the
+    compiled traversal."""
+    df = fixture_client.query_df(
+        "MATCH p = shortestPath((o {`$dtId`: 'order-1'})"
+        "-[r:placedBy|locatedIn|partOf|contains*1..3 "
+        "WEIGHT toInteger(coalesce(r.quantity, 1))]->(x)) "
+        "RETURN x.`$dtId` AS dst, cost(p) AS cost, length(p) AS len"
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
