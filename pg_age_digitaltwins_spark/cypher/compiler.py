@@ -1080,6 +1080,20 @@ class CypherCompiler:
     # ------------------------------------------------------------------
     # variable-length paths (C10)
     # ------------------------------------------------------------------
+    def _edge_base(self, edge: C.EdgePat) -> DataFrame:
+        """Edge frame for var-length traversal with the pattern's prop
+        map applied PER EDGE (openCypher semantics: ``[r:T*1..3
+        {w: 1}]`` constrains every traversed relationship) — before
+        r13 the prop map on a var-length edge was silently IGNORED,
+        which is a wrong answer, not a missing feature."""
+        base_rel, _ = self._edge_frame(edge)
+        if edge.props:
+            al = self._anon_alias()
+            base_rel = base_rel.alias(al)
+            for key, lit in edge.props.items():
+                base_rel = base_rel.filter(self._prop_eq(al, "rel", key, lit))
+        return base_rel
+
     def _var_hop(
         self,
         df: DataFrame,
@@ -1096,7 +1110,7 @@ class CypherCompiler:
         hi = min(hi if hi is not None else MAX_VAR_LENGTH, MAX_VAR_LENGTH)
         if lo < 0 or hi < lo:
             raise CypherCompileError(f"Bad variable-length bounds [*{lo}..{hi}]")
-        base_rel, _ = self._edge_frame(edge)
+        base_rel = self._edge_base(edge)
         base = base_rel.select(
             F.col("source_id").alias("src"), F.col("target_id").alias("dst")
         )
@@ -1204,7 +1218,7 @@ class CypherCompiler:
             raise CypherCompileError(
                 "shortestPath(...) lower bound must be 0 or 1"
             )
-        base_rel, _ = self._edge_frame(edge)
+        base_rel = self._edge_base(edge)
         base = base_rel.select(
             F.col("source_id").alias("src"), F.col("target_id").alias("dst")
         )
@@ -1369,6 +1383,9 @@ class CypherCompiler:
         base_rel, _ = self._edge_frame(edge)
         w_alias = self._anon_alias()
         wframe = base_rel.alias(w_alias)
+        # per-edge prop-map predicates (r13 fix — see _edge_base)
+        for key, lit in edge.props.items():
+            wframe = wframe.filter(self._prop_eq(w_alias, "rel", key, lit))
         wenv: dict[str, Binding] = {}
         if edge.alias:
             wenv[edge.alias] = Binding(edge.alias, "rel", w_alias)

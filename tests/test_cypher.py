@@ -2465,3 +2465,37 @@ def test_weighted_shortest_path_errors(spark):
         c.query("MATCH p = shortestPath((a {`$dtId`: 'a'})"
                 "-[r:next*1..2 WEIGHT toInteger(r.w) - 5]->(x)) "
                 "RETURN cost(p) AS c")
+
+
+def test_var_length_edge_prop_map_filters_every_hop(spark):
+    """r13 fix: a prop map on a var-length edge constrains EVERY
+    traversed relationship (it used to be silently ignored) — in
+    plain var-length hops, shortestPath, and weighted shortestPath."""
+    c = _weighted_client(spark)
+    # only w=1 edges traversable: a->b->c->d chain; shortcuts (10, 3)
+    # are filtered out, so d is 3 hops from a
+    rows = c.query(
+        "MATCH (a {`$dtId`: 'a'})-[r:next*1..3 {w: 1}]->(x) "
+        "RETURN x.`$dtId` AS dst ORDER BY dst"
+    ).rows
+    assert [r["dst"] for r in rows] == ["b", "c", "d"]
+    # without the prop map the shortcuts ARE traversable
+    rows2 = c.query(
+        "MATCH (a {`$dtId`: 'a'})-[r:next*1..1]->(x) "
+        "RETURN x.`$dtId` AS dst ORDER BY dst"
+    ).rows
+    assert [r["dst"] for r in rows2] == ["b", "c", "d"]
+    # shortestPath: with only w=1 edges, d is at length 3 (not 1)
+    [r] = c.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})"
+        "-[r:next*1..4 {w: 1}]->(x {`$dtId`: 'd'})) "
+        "RETURN length(p) AS len"
+    ).rows
+    assert r["len"] == 3
+    # weighted shortestPath composes with the prop map too
+    [r] = c.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})"
+        "-[r:next*1..4 {w: 1} WEIGHT toInteger(r.w)]->(x {`$dtId`: 'd'})) "
+        "RETURN cost(p) AS cost, length(p) AS len"
+    ).rows
+    assert (r["cost"], r["len"]) == (3, 3)

@@ -113,6 +113,11 @@ def test_compile_totality_on_parseable_fuzz(spark):
         "RETURN any(x IN [1,2] WHERE x = t.x) AS lp",
         "WHERE none(x IN [0] WHERE x > t.x)",
         "RETURN percentileDisc(t.x, 0.5) AS pd",
+        # r13: weighted shortestPath through the COMPILE path too —
+        # stray WEIGHT/cost fragments must surface as CypherParse/
+        # CompileError, never as analysis exceptions
+        "MATCH p = shortestPath((a)-[r:self*1..2 WEIGHT toInteger(r.w)]->(b))",
+        "RETURN cost(p) AS c", "MATCH (a)-[r*1..2 WEIGHT r.w]->(b)",
     ]
     rng = random.Random(42)
     checked = 0
