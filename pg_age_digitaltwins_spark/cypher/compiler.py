@@ -253,6 +253,11 @@ class CypherCompiler:
         self._rels_in = store.relationships_in_v()
         self._models = self._models_frame(store)
         self._anon = 0
+        # var-length edge aliases are NOT bound (openCypher binds them
+        # to a relationship LIST; this engine doesn't materialize it)
+        # — tracked so referencing one errors with the reason, not a
+        # generic unknown-variable message
+        self._vlen_aliases: set[str] = set()
         self._shared: dict[tuple, str] = {}
         self._pending_v: list[tuple[str, Column]] = []
         self._pending_s: list[tuple[str, Column]] = []
@@ -1080,12 +1085,25 @@ class CypherCompiler:
     # ------------------------------------------------------------------
     # variable-length paths (C10)
     # ------------------------------------------------------------------
+    def _unknown_var(self, name: str) -> "CypherCompileError":
+        if name in self._vlen_aliases:
+            return CypherCompileError(
+                f"{name!r} is a variable-length relationship alias — "
+                "openCypher binds it to a LIST of relationships, which "
+                "this engine does not materialize; use a path variable "
+                "(p = ...) with length(p)/cost(p), or a fixed-length "
+                "pattern to reference individual relationships"
+            )
+        return CypherCompileError(f"Unknown variable {name!r}")
+
     def _edge_base(self, edge: C.EdgePat) -> DataFrame:
         """Edge frame for var-length traversal with the pattern's prop
         map applied PER EDGE (openCypher semantics: ``[r:T*1..3
         {w: 1}]`` constrains every traversed relationship) — before
         r13 the prop map on a var-length edge was silently IGNORED,
         which is a wrong answer, not a missing feature."""
+        if edge.alias:
+            self._vlen_aliases.add(edge.alias)
         base_rel, _ = self._edge_frame(edge)
         if edge.props:
             al = self._anon_alias()
@@ -1380,6 +1398,8 @@ class CypherCompiler:
             raise CypherCompileError(
                 "shortestPath(...) lower bound must be 0 or 1"
             )
+        if edge.alias:
+            self._vlen_aliases.add(edge.alias)
         base_rel, _ = self._edge_frame(edge)
         w_alias = self._anon_alias()
         wframe = base_rel.alias(w_alias)
@@ -1984,7 +2004,7 @@ class CypherCompiler:
     # ------------------------------------------------------------------
     def _resolve(self, p: C.Prop, env: dict[str, Binding]):
         if p.var not in env:
-            raise CypherCompileError(f"Unknown variable {p.var!r}")
+            raise self._unknown_var(p.var)
         b = env[p.var]
         promoted_map = {
             "twin": TWIN_PROMOTED,
@@ -2264,7 +2284,7 @@ class CypherCompiler:
         if isinstance(e, C.Var):
             b = env.get(e.name)
             if b is None:
-                raise CypherCompileError(f"Unknown variable {e.name!r}")
+                raise self._unknown_var(e.name)
             if b.kind == "lambda":
                 return b.col
             if b.kind == "value":

@@ -2499,3 +2499,31 @@ def test_var_length_edge_prop_map_filters_every_hop(spark):
         "RETURN cost(p) AS cost, length(p) AS len"
     ).rows
     assert (r["cost"], r["len"]) == (3, 3)
+
+
+def test_var_length_alias_reference_targeted_error(spark):
+    """r13: referencing a var-length relationship alias in
+    WHERE/RETURN raises the LIST-semantics explanation, not a generic
+    unknown-variable error (the alias is real, just unmaterialized)."""
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    c = _weighted_client(spark)
+    with _pytest.raises(CypherCompileError, match="LIST of relationships"):
+        c.query("MATCH (a)-[r:next*1..2]->(x) RETURN r.w AS w")
+    with _pytest.raises(CypherCompileError, match="LIST of relationships"):
+        c.query(
+            "MATCH p = shortestPath((a {`$dtId`: 'a'})-[r:next*1..2]->(x)) "
+            "WHERE r.w = 1 RETURN length(p) AS l"
+        )
+    # inside WEIGHT the alias IS bound (per-edge scope) — no error
+    [row] = c.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})"
+        "-[r:next*1..2 WEIGHT toInteger(r.w)]->(x {`$dtId`: 'b'})) "
+        "RETURN cost(p) AS cost"
+    ).rows
+    assert row["cost"] == 1
+    # a genuinely unknown name still says so
+    with _pytest.raises(CypherCompileError, match="Unknown variable"):
+        c.query("MATCH (a) RETURN zz.w AS w")
