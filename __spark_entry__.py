@@ -1710,6 +1710,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_drift_stats"] = lambda s, d: ev_ops.drift_stats(
         _tables(s, d)["events"]
     )
+    # r13: single change-point per series — argmax_k |D_k| (binary
+    # segmentation, smallest-k ties) + true-floor segment means
+    q["events_changepoint"] = lambda s, d: ev_ops.changepoint(
+        _tables(s, d)["events"]
+    )
     # r8 session 3: state-duration profile + OHLC downsample
     q["events_time_in_state"] = lambda s, d: ev_ops.time_in_state(
         _tables(s, d)["events"]
@@ -4277,6 +4282,36 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) AS n_drift, max(abs(dd)) AS max_abs_drift, "
         "min(CASE WHEN abs(dd) > 100000 * cnt THEN ts END) "
         "AS first_drift_ts FROM d GROUP BY event_type"
+    )
+    # r13: change-point — argmax |D_k| over interior splits (ties on
+    # smallest k), segment means as true-floor micro integers (the
+    # pmod-adjust construction; DuckDB % is safe here since the
+    # adjusted numerators are made exactly divisible)
+    o["events_changepoint"] = (
+        "WITH v AS (SELECT event_type, ts, event_id, "
+        "CAST(floor(value * 1000) AS BIGINT) AS vs FROM events "
+        "WHERE value IS NOT NULL), "
+        "t AS (SELECT event_type, sum(vs) AS tot, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY event_type), "
+        "c AS (SELECT v.event_type, v.ts, "
+        "sum(vs) OVER (PARTITION BY v.event_type ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS s, "
+        "CAST(row_number() OVER (PARTITION BY v.event_type "
+        "ORDER BY ts, event_id) AS BIGINT) AS k, t.tot, t.cnt "
+        "FROM v JOIN t USING (event_type)), "
+        "d AS (SELECT event_type, ts, s, k, tot, cnt, "
+        "cnt * s - k * tot AS dd, "
+        "row_number() OVER (PARTITION BY event_type "
+        "ORDER BY abs(cnt * s - k * tot) DESC, k ASC) AS r "
+        "FROM c WHERE k < cnt) "
+        "SELECT event_type, cnt AS n_points, k AS split_k, "
+        "ts AS split_ts, "
+        "CAST((s * 1000 - (((s * 1000) % k + k) % k)) // k AS BIGINT) "
+        "AS pre_avg_micro, "
+        "CAST(((tot - s) * 1000 - ((((tot - s) * 1000) % (cnt - k) "
+        "+ (cnt - k)) % (cnt - k))) // (cnt - k) AS BIGINT) "
+        "AS post_avg_micro, "
+        "abs(dd) AS max_abs_d FROM d WHERE r = 1"
     )
     o["events_interarrival"] = (
         "WITH g AS (SELECT event_type, "

@@ -529,6 +529,70 @@ def drift_stats(
     )
 
 
+def changepoint(events: DataFrame, scale: int = 1000) -> DataFrame:
+    """(event_type, n_points, split_k, split_ts, pre_avg_micro,
+    post_avg_micro, max_abs_d) — single change-point estimation per
+    series by binary segmentation over the EXACT CUSUM statistic: the
+    split is argmax_k |D_k| with D_k = cnt·S_k − k·total (the standard
+    least-squares mean-shift estimator with the division cleared —
+    one step of the classic binary-segmentation recursion), reported
+    with the segment means on each side.
+
+    Determinism (the :func:`drift_stats` discipline): values fix to
+    ``floor(value·scale)`` BIGINTs, D_k is all-integer, argmax ties
+    break on the SMALLEST k, and segment means are true-floor
+    micro-unit integers ((S·1000 − pmod)/k — the
+    :func:`seasonal_profile` construction), so the whole estimator
+    value-checks against SQL.  Interior splits only (1 ≤ k < n);
+    single-point series are omitted.
+
+    100 TB shape: ONE shuffle keyed by the series column — cumsum,
+    rank and the per-series argmax window all reuse the series
+    partitioning; totals broadcast."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    vs = F.floor(F.col("value") * scale).cast("long")
+    df = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "ts", "event_id", vs.alias("__vs")
+    )
+    tot = df.groupBy("event_type").agg(
+        F.sum("__vs").alias("__tot"), F.count(F.lit(1)).alias("__cnt")
+    )
+    d = (
+        df.withColumn(
+            "__s", F.sum("__vs").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("__k", F.row_number().over(w))
+        .join(F.broadcast(tot), "event_type")
+        .filter(F.col("__k") < F.col("__cnt"))  # interior splits only
+        .withColumn(
+            "__d", F.col("__cnt") * F.col("__s") - F.col("__k") * F.col("__tot")
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("__d")).desc(), F.asc("__k")
+    )
+    return (
+        d.withColumn("__r", F.row_number().over(pick))
+        .filter(F.col("__r") == 1)
+        .select(
+            "event_type",
+            F.col("__cnt").alias("n_points"),
+            F.col("__k").alias("split_k"),
+            F.col("ts").alias("split_ts"),
+            F.expr(
+                "CAST((__s * 1000 - pmod(__s * 1000, __k)) div __k AS BIGINT)"
+            ).alias("pre_avg_micro"),
+            F.expr(
+                "CAST(((__tot - __s) * 1000 - pmod((__tot - __s) * 1000, "
+                "__cnt - __k)) div (__cnt - __k) AS BIGINT)"
+            ).alias("post_avg_micro"),
+            F.abs(F.col("__d")).alias("max_abs_d"),
+        )
+    )
+
+
 def ohlc_downsample(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Open/high/low/close downsample of ``value`` per (event_type,
     time bucket) — the classic time-series compaction for dashboards

@@ -3937,3 +3937,45 @@ def test_mmr_select_hand_computed(spark):
     assert got == expect
     # sanity: the near-dup (2) is displaced by the diverse pick (3)
     assert [v for _, v, _ in got[:2]] == [1, 3]
+
+
+def test_changepoint_hand_computed(spark):
+    """r13: binary-segmentation change point — a clean mean shift is
+    located exactly at the boundary with exact segment means; a
+    constant series has D = 0 everywhere and splits at k=1 (smallest-k
+    tie) with equal segment means."""
+    from datetime import datetime
+
+    from pg_age_digitaltwins_spark.operators.events import changepoint
+
+    rows = []
+    # "shift": 4 points at 1.0 then 4 points at 5.0 -> split at k=4
+    for i in range(8):
+        rows.append(
+            (i, datetime(2026, 1, 1, 0, i), "shift",
+             1.0 if i < 4 else 5.0)
+        )
+    # "flat": constant 2.0
+    for i in range(5):
+        rows.append((100 + i, datetime(2026, 1, 1, 0, i), "flat", 2.0))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r["event_type"]: (
+            r["n_points"], r["split_k"], r["pre_avg_micro"],
+            r["post_avg_micro"], r["max_abs_d"],
+        )
+        for r in changepoint(events).collect()
+    }
+    # shift: S_4 = 4000 milli, tot = 24000, cnt = 8
+    # D_4 = 8*4000 - 4*24000 = -64000 (the peak)
+    assert got["shift"] == (8, 4, 1_000_000, 5_000_000, 64000)
+    # flat: all D_k = 0 -> smallest k wins, means equal
+    assert got["flat"] == (5, 1, 2_000_000, 2_000_000, 0)
+    # single-point series are omitted (no interior split)
+    one = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1), "solo", 3.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    assert changepoint(one).count() == 0
