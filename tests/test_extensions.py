@@ -3979,3 +3979,31 @@ def test_changepoint_hand_computed(spark):
         "event_id long, ts timestamp, event_type string, value double",
     )
     assert changepoint(one).count() == 0
+
+
+def test_matryoshka_recall_gate(spark):
+    """r13: prefix-recall curve — a full-width 'truncation' recovers
+    exactly (recall 1.0), recall is monotone-ish in prefix width on
+    the fixture, and the floor contract flags a collapsed prefix."""
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    dim_full = len(emb.select("embedding").head()[0])
+    rows = {
+        r["dim"]: (r["recall_at_k"], r["meets_floor"])
+        for r in matryoshka_recall(
+            emb, dims=(8, dim_full), floors={8: 0.0, dim_full: 0.99}
+        ).collect()
+    }
+    # the full prefix IS the vector (re-normalization preserves cosine
+    # order): exact recovery
+    assert rows[dim_full] == (1.0, True)
+    assert 0.0 <= rows[8][0] <= 1.0 and rows[8][1] is True
+    # an impossible floor flags red (the driver's tripwire contract)
+    [r] = matryoshka_recall(
+        emb, dims=(8,), floors={8: 1.01}
+    ).collect()
+    assert r["meets_floor"] is False
