@@ -3534,8 +3534,9 @@ def oracle_sql() -> dict[str, str]:
         "substr(md5('pack' || '|' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket "
         "FROM documents) "
         "SELECT doc_id, n_tokens, bucket, "
-        "(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id "
-        "ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS pack_no FROM t"
+        "CAST((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) "
+        "AS pack_no FROM t"
     )
     o["sample_leakage_safe_split"] = (
         "WITH fp AS (SELECT doc_id, "
@@ -4286,7 +4287,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM c) "
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_points, "
         "CAST(sum(CASE WHEN abs(dd) > 100000 * cnt THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS n_drift, max(abs(dd)) AS max_abs_drift, "
+        "AS BIGINT) AS n_drift, "
+        "CAST(max(abs(dd)) AS BIGINT) AS max_abs_drift, "
         "min(CASE WHEN abs(dd) > 100000 * cnt THEN ts END) "
         "AS first_drift_ts FROM d GROUP BY event_type"
     )
@@ -4318,7 +4320,7 @@ def oracle_sql() -> dict[str, str]:
         "CAST(((tot - s) * 1000 - ((((tot - s) * 1000) % (cnt - k) "
         "+ (cnt - k)) % (cnt - k))) // (cnt - k) AS BIGINT) "
         "AS post_avg_micro, "
-        "abs(dd) AS max_abs_d FROM d WHERE r = 1"
+        "CAST(abs(dd) AS BIGINT) AS max_abs_d FROM d WHERE r = 1"
     )
     o["events_interarrival"] = (
         "WITH g AS (SELECT event_type, "

@@ -1472,60 +1472,78 @@ class CypherCompiler:
                 F.col("sd.depth").alias("depth"),
             )
 
-        frontier = _unpack(
-            wedges.join(start_ids, "src", "left_semi")
-            .select(
-                "src",
-                "dst",
-                F.struct(
-                    F.col("w").cast("long").alias("cost"),
-                    F.lit(1).cast("long").alias("depth"),
-                ).alias("sd"),
-            )
-            .groupBy("src", "dst")
-            .agg(F.min("sd").alias("sd"))
-        )
-        acc = frontier
-        for depth in range(2, hi + 1):
+        if hi >= 1:
             frontier = _unpack(
-                frontier.alias("f")
-                .join(wedges.alias("b"), F.col("f.dst") == F.col("b.src"))
+                wedges.join(start_ids, "src", "left_semi")
                 .select(
-                    F.col("f.src").alias("src"),
-                    F.col("b.dst").alias("dst"),
+                    "src",
+                    "dst",
                     F.struct(
-                        (F.col("f.cost") + F.col("b.w")).alias("cost"),
-                        (F.col("f.depth") + F.lit(1)).cast("long").alias(
-                            "depth"
-                        ),
+                        F.col("w").cast("long").alias("cost"),
+                        F.lit(1).cast("long").alias("depth"),
                     ).alias("sd"),
                 )
                 .groupBy("src", "dst")
                 .agg(F.min("sd").alias("sd"))
             )
-            acc = acc.unionByName(frontier)
-            if depth % 3 == 0 and depth < hi:
-                frontier = frontier.localCheckpoint(eager=False)
-                acc = acc.localCheckpoint(eager=False)
-        found = (
-            acc.groupBy("src", "dst")
-            .agg(
-                F.min(
-                    F.struct(
-                        F.col("cost").alias("cost"),
-                        F.col("depth").alias("depth"),
+            acc = frontier
+            for depth in range(2, hi + 1):
+                frontier = _unpack(
+                    frontier.alias("f")
+                    .join(wedges.alias("b"), F.col("f.dst") == F.col("b.src"))
+                    .select(
+                        F.col("f.src").alias("src"),
+                        F.col("b.dst").alias("dst"),
+                        F.struct(
+                            (F.col("f.cost") + F.col("b.w")).alias("cost"),
+                            (F.col("f.depth") + F.lit(1)).cast("long").alias(
+                                "depth"
+                            ),
+                        ).alias("sd"),
                     )
-                ).alias("sd")
+                    .groupBy("src", "dst")
+                    .agg(F.min("sd").alias("sd"))
+                )
+                acc = acc.unionByName(frontier)
+                if depth % 3 == 0 and depth < hi:
+                    frontier = frontier.localCheckpoint(eager=False)
+                    acc = acc.localCheckpoint(eager=False)
+            found = (
+                acc.groupBy("src", "dst")
+                .agg(
+                    F.min(
+                        F.struct(
+                            F.col("cost").alias("cost"),
+                            F.col("depth").alias("depth"),
+                        )
+                    ).alias("sd")
+                )
+                .select(
+                    "src",
+                    "dst",
+                    F.col("sd.depth").alias("__depth"),
+                    F.col("sd.cost").alias("__cost"),
+                )
             )
-            .select(
+        else:
+            # [*0..0]: zero relaxation rounds — no 1-hop seeding; only
+            # the lo==0 self rows below can match (r13 ADVICE fix: the
+            # depth-1 frontier used to accumulate unconditionally and
+            # returned neighbors the hop bound excludes)
+            found = wedges.select(
                 "src",
                 "dst",
-                F.col("sd.depth").alias("__depth"),
-                F.col("sd.cost").alias("__cost"),
-            )
-        )
+                F.lit(0).cast("long").alias("__depth"),
+                F.lit(0).cast("long").alias("__cost"),
+            ).limit(0)
         if lo == 0:
-            found = found.unionByName(
+            # cost-0 self rows dominate any positive-cost cycle back to
+            # the start (weights are non-negative, and on a 0-cost tie
+            # the lexicographic (cost, depth) min prefers depth 0), so
+            # drop src==dst survivors of the min fold BEFORE the union —
+            # keeping both emits duplicate rows per pair on any graph
+            # with a cycle through the start (r13 ADVICE high finding)
+            found = found.filter(F.col("src") != F.col("dst")).unionByName(
                 self._twins.select(
                     F.col("dt_id").alias("src"),
                     F.col("dt_id").alias("dst"),

@@ -551,6 +551,16 @@ def changepoint(events: DataFrame, scale: int = 1000) -> DataFrame:
     partitioning; totals broadcast."""
     from pyspark.sql import Window
 
+    # pre/post means are reported in MICRO units regardless of the
+    # fix-point scale, so the micro multiplier derives from it
+    # (r13 ADVICE fix — a hard-coded * 1000 silently misscaled any
+    # non-default scale).  Exactness requires an integral multiplier.
+    if scale <= 0 or 1_000_000 % scale:
+        raise ValueError(
+            "changepoint: scale must be a positive divisor of 1_000_000 "
+            f"(micro-unit output contract), got {scale}"
+        )
+    micro = 1_000_000 // scale
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     vs = F.floor(F.col("value") * scale).cast("long")
     df = events.filter(F.col("value").isNotNull()).select(
@@ -582,11 +592,12 @@ def changepoint(events: DataFrame, scale: int = 1000) -> DataFrame:
             F.col("__k").alias("split_k"),
             F.col("ts").alias("split_ts"),
             F.expr(
-                "CAST((__s * 1000 - pmod(__s * 1000, __k)) div __k AS BIGINT)"
+                f"CAST((__s * {micro} - pmod(__s * {micro}, __k)) "
+                "div __k AS BIGINT)"
             ).alias("pre_avg_micro"),
             F.expr(
-                "CAST(((__tot - __s) * 1000 - pmod((__tot - __s) * 1000, "
-                "__cnt - __k)) div (__cnt - __k) AS BIGINT)"
+                f"CAST(((__tot - __s) * {micro} - pmod((__tot - __s) * "
+                f"{micro}, __cnt - __k)) div (__cnt - __k) AS BIGINT)"
             ).alias("post_avg_micro"),
             F.abs(F.col("__d")).alias("max_abs_d"),
         )

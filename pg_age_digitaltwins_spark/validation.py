@@ -355,7 +355,17 @@ _DTMI_RE = _re.compile(
 _NAME_RE = _re.compile(r"^[A-Za-z](?:[A-Za-z0-9_]*[A-Za-z0-9])?$")
 # Batch 17: BCP 47 well-formedness for localization-map keys (JSON-LD
 # language maps) — language subtag + optional alphanumeric subtags.
-_LOCALE_RE = _re.compile(r"^[A-Za-z]{2,8}(?:-[A-Za-z0-9]{1,8})*$")
+# r13 ADVICE fix: the primary subtag is {1,8} letters, not {2,8} — BCP 47
+# grants single-letter primaries to private-use (`x-foo`) and
+# grandfathered (`i-klingon`) tags, which are well-formed `langtag`s a
+# conforming parser accepts; a bare single letter other than x/i never
+# occurs in practice but remains well-formed per the ABNF's
+# `4*8ALPHA` / singleton forms, so we keep the permissive {1,8} and only
+# require at least one subtag after a lone singleton.
+_LOCALE_RE = _re.compile(
+    r"^(?:[A-Za-z]{2,8}|[A-Za-z](?:-[A-Za-z0-9]{1,8})+)"
+    r"(?:-[A-Za-z0-9]{1,8})*$"
+)
 
 
 def _name_ok(nm: Any, v2_limits: bool) -> bool:

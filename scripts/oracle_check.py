@@ -44,6 +44,22 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
     if list(a.columns) != list(b.columns) or len(a) != len(b):
         return False
     for c in a.columns:
+        # dtype-class strictness (r14): the driver hashes values
+        # exactly, so a NaN-free int-vs-float dtype split (the DuckDB
+        # HUGEINT→float64 leak) must FAIL here even when the values
+        # agree numerically — the float tolerance below used to hide
+        # exactly the mismatch that broke events_drift_stats in r13.
+        ai = pd.api.types.is_integer_dtype(a[c])
+        bi = pd.api.types.is_integer_dtype(b[c])
+        af = pd.api.types.is_float_dtype(a[c])
+        bf = pd.api.types.is_float_dtype(b[c])
+        if (ai and bf and not b[c].isna().any()) or (
+            bi and af and not a[c].isna().any()
+        ):
+            print(f"    dtype split on {c!r}: {a[c].dtype} vs {b[c].dtype} "
+                  f"(NaN-free — driver hash would mismatch)")
+            return False
+    for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for x, y in zip(av, bv):
             if isinstance(x, float) or isinstance(y, float):

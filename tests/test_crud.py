@@ -1686,15 +1686,17 @@ def test_validate_model_locale_keys_batch17():
         validate_model,
     )
 
-    # well-formed tags: bare language, region, script+region, numeric
+    # well-formed tags: bare language, region, script+region, numeric,
+    # plus private-use and grandfathered singleton forms (r13 ADVICE
+    # fix: a 1-letter primary with at least one subtag is well-formed)
     validate_model(_interface(
         displayName={"en": "ok", "en-US": "ok", "zh-Hant-TW": "ok",
-                     "es-419": "ok"},
+                     "es-419": "ok", "x-foo": "ok", "i-klingon": "ok"},
         description={"fr": "bien"},
     ))
-    # malformed: spaces / punctuation / empty subtags / one-letter
-    for bad in ("not a locale!", "en_US", "e", "en-", "-en",
-                "en--US", "toolonglanguage"):
+    # malformed: spaces / punctuation / empty subtags / LONE one-letter
+    for bad in ("not a locale!", "en_US", "e", "en-", "-en", "x",
+                "x-", "en--US", "toolonglanguage"):
         with pytest.raises(ValidationError, match="BCP 47"):
             validate_model(_interface(displayName={bad: "x"}))
     with pytest.raises(ValidationError, match="BCP 47"):

@@ -2467,6 +2467,66 @@ def test_weighted_shortest_path_errors(spark):
                 "RETURN cost(p) AS c")
 
 
+def _cyclic_weighted_client(spark):
+    """a->b->a 2-cycle (w 1 each) plus a->c (w 5): a can walk back to
+    itself in 2 hops at cost 2 — the r13 ADVICE lo==0 stressor."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sp:WC;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": x, "$metadata": {"$model": "dtmi:sp:WC;1"}}
+             for x in "abc"]
+    edges = [("a", "b", 1), ("b", "a", 1), ("a", "c", 5)]
+    rels = [
+        {"$relationshipId": f"r{i}", "$sourceId": s, "$targetId": t,
+         "$relationshipName": "next", "w": w}
+        for i, (s, t, w) in enumerate(edges)
+    ]
+    return DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+
+
+def test_weighted_shortest_path_zero_lo_cycle_no_duplicates(spark):
+    """r13 ADVICE (high): with lo==0 on a cyclic graph, the cost-0
+    self row must REPLACE the positive-cost cycle row back to the
+    start — exactly one row per (src, dst) pair, never both."""
+    c = _cyclic_weighted_client(spark)
+    rows = c.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})"
+        "-[r:next*0..4 WEIGHT toInteger(r.w)]->(x)) "
+        "RETURN x.`$dtId` AS dst, cost(p) AS cost, length(p) AS len "
+        "ORDER BY dst"
+    ).rows
+    # one row per destination; a->a is the 0-cost self path, NOT the
+    # cost-2 a->b->a cycle (which used to survive as a duplicate)
+    assert rows == [
+        {"dst": "a", "cost": 0, "len": 0},
+        {"dst": "b", "cost": 1, "len": 1},
+        {"dst": "c", "cost": 5, "len": 1},
+    ]
+    # undirected form: every edge is a 2-cycle — still one row per pair
+    rows_u = c.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})"
+        "-[r:next*0..4 WEIGHT toInteger(r.w)]-(x)) "
+        "RETURN x.`$dtId` AS dst, cost(p) AS cost ORDER BY dst"
+    ).rows
+    assert [r["dst"] for r in rows_u] == ["a", "b", "c"]
+    assert rows_u[0]["cost"] == 0
+
+
+def test_weighted_shortest_path_hi_zero(spark):
+    """r13 ADVICE (low): [*0..0 WEIGHT w] runs zero relaxation rounds —
+    only the cost-0 self row, never 1-hop neighbors."""
+    c = _cyclic_weighted_client(spark)
+    rows = c.query(
+        "MATCH p = shortestPath((a {`$dtId`: 'a'})"
+        "-[r:next*0..0 WEIGHT toInteger(r.w)]->(x)) "
+        "RETURN x.`$dtId` AS dst, cost(p) AS cost, length(p) AS len"
+    ).rows
+    assert rows == [{"dst": "a", "cost": 0, "len": 0}]
+
+
 def test_var_length_edge_prop_map_filters_every_hop(spark):
     """r13 fix: a prop map on a var-length edge constrains EVERY
     traversed relationship (it used to be silently ignored) — in

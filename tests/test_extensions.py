@@ -3981,6 +3981,36 @@ def test_changepoint_hand_computed(spark):
     assert changepoint(one).count() == 0
 
 
+def test_changepoint_scale_units(spark):
+    """r13 ADVICE: the micro multiplier derives from ``scale`` — at
+    scale=1_000_000 the fix-point IS micro (multiplier 1), and the
+    segment means must agree with the default-scale run on values that
+    are exact at both scales; a non-divisor scale raises."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.operators.events import changepoint
+
+    rows = [
+        (i, datetime(2026, 1, 1, 0, i), "shift", 1.0 if i < 4 else 5.0)
+        for i in range(8)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    r_default = changepoint(events).collect()[0]
+    r_micro = changepoint(events, scale=1_000_000).collect()[0]
+    for c in ("split_k", "pre_avg_micro", "post_avg_micro"):
+        assert r_micro[c] == r_default[c], c
+    # |D| scales with the fix-point (milli -> micro = 1000x)
+    assert r_micro["max_abs_d"] == 1000 * r_default["max_abs_d"]
+    with _pytest.raises(ValueError, match="divisor"):
+        changepoint(events, scale=3000)
+    with _pytest.raises(ValueError, match="divisor"):
+        changepoint(events, scale=0)
+
+
 def test_matryoshka_recall_gate(spark):
     """r13: prefix-recall curve — a full-width 'truncation' recovers
     exactly (recall 1.0), recall is monotone-ish in prefix width on
