@@ -2253,68 +2253,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # analytics, dedup, text, embeddings, events, TPC-H, sampling) —
 # value-checked representatives first.  Pure reorder: no query or
 # oracle definition changes.
-# r13: 27 of the 50 keys rotated (same family balance), 26 of them
-# FIRST-time driver-gated per the r12 verdict's rotation list — led by
-# the r12-new operators (HITS, k-truss, coreness, MSF, link
-# prediction, assortativity, the RI trainer + recall gate, batched
-# Hamming ANN, Matryoshka truncation, hard negatives, drift stats,
-# collocation PMI, per-doc TF-IDF, n-gram containment, classifier
-# gate, audio stats, PCM16 resample, percentiles) plus long-ungated
-# anchors (pattern predicates, path accessors, graph helpers, PII
-# scrub, promo revenue share, shipping priority, leakage-safe split)
-# and the r13-NEW cypher_weighted_shortest_path.  events_seasonal_
-# profile deliberately STAYS gated: its floor-division ADVICE fix
-# changed operator + oracle and must re-verify.  Swapped-out keys stay
-# on the full self-run board (scripts/oracle_check.py).
+# r14: 27 of the 50 keys rotated (same family balance), all 27
+# FIRST-time driver-gated -- the never-gated count drops 45 -> 18.
+# Two keys deliberately STAY to RE-verify after r13-ADVICE-driven
+# fixes: events_drift_stats (its r13 hash mismatch was a DuckDB
+# HUGEINT->float64 leak in the ORACLE, now BIGINT-cast) and
+# cypher_weighted_shortest_path (the lo==0/hi==0 compiler fixes).
+# graph_msf (rows-only by design) rotates OUT so every windowed key is
+# value-checked -- it stays replay-pinned on the full board.
+# Swapped-out keys stay on the full self-run board
+# (scripts/oracle_check.py).
 _DRIVER_WINDOW = [
-    # ADT QL (10) — unchanged anchors (full family representation)
+    # ADT QL (10) -- unchanged anchors (full family representation)
     "adt_count_twins", "adt_top_n", "adt_startswith",
     "adt_is_of_model_inheritance", "adt_match_3hop", "adt_match_undirected",
     "adt_join_related_2hop", "adt_rel_prop_filter", "adt_match_multilabel",
     "adt_select_star_point",
-    # Cypher (10) — r13 rotation: the five r12-gated keys stay one more
-    # round (they gate the list-predicate/percentile grammar), five
-    # NEVER-gated keys rotate in — percentiles, pattern predicates,
-    # path accessors, graph helpers, and the r13-NEW weighted
-    # shortestPath ([* WEIGHT expr] + cost(p)); the rotated-out
-    # shortest-path/var-length anchors stay benched + full-board
-    "cypher_return_star", "cypher_case_when", "cypher_regex_match",
-    "cypher_list_comprehension", "cypher_list_predicates",
-    "cypher_percentiles", "cypher_pattern_predicate",
-    "cypher_path_accessors", "cypher_graph_helpers",
-    "cypher_weighted_shortest_path",
-    # graph analytics (6) — r13 rotation: all six r12-new analytics
-    # gate for the first time (HITS, k-truss, coreness H-index,
-    # Borůvka MSF [rows-only by design, Kruskal-replay-pinned], capped
-    # link prediction, degree assortativity); the r12-gated walk/path
-    # ops rotate out (still benched + full-board)
-    "graph_hits", "graph_ktruss", "graph_coreness", "graph_msf",
+    # Cypher (10) -- r14 rotation: the never-gated 2-hop pattern
+    # predicate gates for the first time; weighted shortestPath STAYS
+    # (re-verifies the lo==0 dedup + hi==0 guard fixes); return_star
+    # rotates out (benched + full-board)
+    "cypher_pattern_predicate_2hop", "cypher_case_when",
+    "cypher_regex_match", "cypher_list_comprehension",
+    "cypher_list_predicates", "cypher_percentiles",
+    "cypher_pattern_predicate", "cypher_path_accessors",
+    "cypher_graph_helpers", "cypher_weighted_shortest_path",
+    # graph analytics (6) -- r14 rotation: harmonic centrality,
+    # neighbor-feature assembly, and longest-path layering gate for the
+    # first time; coreness/link-prediction/assortativity stay one more
+    # round; HITS/k-truss/MSF rotate out
+    "graph_harmonic_centrality", "graph_neighbor_features",
+    "graph_topological_levels", "graph_coreness",
     "graph_link_prediction", "graph_assortativity",
-    # dedup + text pipeline + multimodal (10) — r13 rotation: PMI
-    # collocations, per-doc TF-IDF, n-gram containment, the perceptron
-    # quality gate, PII scrub, exact-integer audio stats, PCM16
-    # resample (all never gated); exact-dedup + LSH-recall anchors stay
-    "dedup_exact_stats", "dedup_lsh_recall", "text_collocation_pmi",
-    "text_tfidf_per_doc", "text_ngram_containment", "text_classifier_gate",
-    "text_pii_scrub", "multimodal_audio_stats", "multimodal_resample",
-    "pipeline_clean_corpus",
-    # embeddings / ANN (5) — r13 rotation: batched Hamming ANN (the
-    # ADVICE-fixed query contract), Matryoshka truncation, hard-negative
-    # mining, and the r12 trainer pair (random-indexing embeddings +
-    # neighbor-recall gate)
-    "embed_ann_hamming_batch", "embed_truncate_prefix",
-    "embed_hard_negatives", "graph_node_embeddings",
-    "graph_embedding_recall",
-    # events (4) — r13 rotation: CUSUM drift stats in; seasonal profile
-    # stays (its floor-division fix re-gates this round)
-    "events_drift_stats", "events_seasonal_profile",
-    "events_top_users_per_type", "events_interarrival",
-    # TPC-H (4) — r13 rotation: promo revenue share (Q14) and shipping
-    # priority (Q3) in
-    "tpch_promo_revenue_share", "tpch_shipping_priority",
-    "tpch_revenue_by_nation", "tpch_min_cost_supplier",
-    # sampling (1) — r13 rotation: leakage-safe split
-    "sample_leakage_safe_split",
+    # dedup + text pipeline + multimodal (10) -- r14 rotation: ALL TEN
+    # never-gated (exact-dup groups, verified MinHash pairs, sequence
+    # packing [oracle BIGINT-cast this round], chunking, top bigrams,
+    # repetition stats, length histogram, 5-gram dup stats, quality
+    # profile, frame sampling)
+    "dedup_exact_groups", "dedup_minhash_verified", "text_pack_sequences",
+    "text_chunk_documents", "text_top_bigrams", "text_repetition_stats",
+    "text_length_histogram", "text_dup_5gram_stats",
+    "text_profile_documents", "multimodal_frames",
+    # embeddings / ANN (5) -- r14 rotation: all five never-gated
+    # (label centroids, Matryoshka prefix-recall gate, MMR rerank,
+    # norm stats, silhouette gate)
+    "embed_label_centroids", "embed_matryoshka_recall", "embed_mmr_topk",
+    "embed_norm_stats", "embed_silhouette",
+    # events (4) -- r14 rotation: changepoint (oracle BIGINT-cast this
+    # round), anomalies, hopping rollup first-gate; drift stats STAYS
+    # to re-verify its r13 hash-mismatch fix
+    "events_drift_stats", "events_changepoint", "events_anomalies",
+    "events_hopping_rollup",
+    # TPC-H (4) -- r14 rotation: four never-gated (Q10-shaped returned
+    # items, order-priority counts, supplier revenue, large orders)
+    "tpch_returned_items", "tpch_order_priority_counts",
+    "tpch_supplier_revenue", "tpch_large_orders",
+    # sampling (1) -- r14 rotation: temperature-mixture sampling
+    "sample_temperature_mixture",
 ]
 
 
