@@ -230,6 +230,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "WEIGHT toInteger(coalesce(r.quantity, 1))]->(x)) "
         "RETURN x.`$dtId` AS dst, cost(p) AS cost, length(p) AS len"
     )
+    # r14: procedure-call surface — CALL ns.proc(args) YIELD, the
+    # GDS/AGE `CALL gds.pageRank.stream(...) YIELD ...` shape; each
+    # key value-checks the procedure path against the same oracle
+    # family as the direct-operator keys (same arithmetic, new
+    # language surface in front of it)
+    q["cypher_call_pagerank"] = _adt(
+        "CALL graph.pageRank(5) YIELD node, rank "
+        "RETURN node AS dt_id, rank"
+    )
+    q["cypher_call_degree"] = _adt(
+        "CALL graph.degree() YIELD node, out_degree, in_degree "
+        "WHERE out_degree + in_degree > 0 "
+        "RETURN node, out_degree, in_degree"
+    )
+    q["cypher_call_components"] = _adt(
+        "CALL graph.connectedComponents() YIELD node, component "
+        "RETURN node AS dt_id, component"
+    )
     # r10: allShortestPaths — Neo4j cardinality (one row per
     # minimum-length path, via the walk-count BFS), aggregated to
     # (dst, len, n_paths) for a deterministic oracle comparison; the
@@ -2858,6 +2876,23 @@ def oracle_sql() -> dict[str, str]:
     # length among minimum-cost walks (the operator's (cost, depth)
     # lexicographic min).  Parallel edges collapse to min weight, as
     # in the operator.
+    # r14 procedure-call keys: same arithmetic as the direct-operator
+    # keys, exercised through the CALL ... YIELD language surface
+    o["cypher_call_pagerank"] = _pagerank_oracle()
+    o["cypher_call_components"] = _cc_oracle()
+    o["cypher_call_degree"] = (
+        f"WITH e AS MATERIALIZED ({_EDGES_SQL}), "
+        f"v AS MATERIALIZED ({_ALL_TWIN_IDS}), "
+        "od AS (SELECT src AS dt_id, CAST(count(*) AS BIGINT) AS od "
+        "FROM e GROUP BY src), "
+        "ind AS (SELECT dst AS dt_id, CAST(count(*) AS BIGINT) AS ind "
+        "FROM e GROUP BY dst) "
+        "SELECT v.dt_id AS node, "
+        "CAST(coalesce(od.od, 0) AS BIGINT) AS out_degree, "
+        "CAST(coalesce(ind.ind, 0) AS BIGINT) AS in_degree "
+        "FROM v LEFT JOIN od USING (dt_id) LEFT JOIN ind USING (dt_id) "
+        "WHERE coalesce(od.od, 0) + coalesce(ind.ind, 0) > 0"
+    )
     o["cypher_weighted_shortest_path"] = (
         "WITH RECURSIVE e AS MATERIALIZED ("
         "SELECT src, dst, CAST(min(w) AS BIGINT) AS w FROM ("

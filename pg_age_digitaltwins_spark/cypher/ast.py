@@ -279,6 +279,22 @@ class WithClause:
 
 
 @dataclass
+class ProcCallClause:
+    """``CALL ns.proc(args) YIELD col [AS alias], ...`` — standalone
+    procedure invocation (r14 language extension; the GDS/AGE
+    ``CALL gds.pageRank.stream(...) YIELD ...`` shape).  Read-only
+    analytics procedures over the loaded graph; must be the first
+    clause (row-driven per-input invocation is the CALL-subquery
+    form's job).  ``yields`` selects/renames the procedure's output
+    columns; it is REQUIRED (no implicit star — deterministic schema)."""
+
+    name: str                      # dotted, original case
+    args: list                     # literal Expr list
+    yields: list                   # [(colname, alias|None), ...]
+    where: Optional["Expr"] = None  # WHERE directly after YIELD
+
+
+@dataclass
 class CallClause:
     """``[OPTIONAL] CALL { [WITH var] <subquery> RETURN ... }`` —
     openCypher CALL subquery.  ``imports`` is the importing-WITH

@@ -330,6 +330,8 @@ class CypherCompiler:
                 df, env = self._with(df, env, clause)
             elif isinstance(clause, C.CallClause):
                 df = self._call(df, env, clause)
+            elif isinstance(clause, C.ProcCallClause):
+                df = self._proc_call(df, env, clause)
             else:  # pragma: no cover
                 raise CypherCompileError(f"Unsupported clause {clause!r}")
         if df is None:
@@ -610,6 +612,176 @@ class CypherCompiler:
         keys = sub_df.select(self._key_col(ab).alias("__pp_key"))
         how = "left_anti" if negated else "left_semi"
         return df.join(keys, self._key_col(mb) == F.col("__pp_key"), how)
+
+    # ------------------------------------------------------------------
+    # CALL <procedure>(...) YIELD ... (r14)
+    # ------------------------------------------------------------------
+    # Registry: lowercase dotted name -> (arg spec, canonical yield
+    # columns, builder).  Arg spec entries are (name, kind, default);
+    # kind 'int' | 'float' | 'list[str]'; default _REQUIRED = no default.
+    _REQUIRED = object()
+
+    def _proc_registry(self):
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        store = self.store
+
+        def _degree():
+            out_d = store.relationships.groupBy(
+                F.col("source_id").alias("dt_id")
+            ).agg(F.count(F.lit(1)).alias("out_degree"))
+            in_d = store.relationships.groupBy(
+                F.col("target_id").alias("dt_id")
+            ).agg(F.count(F.lit(1)).alias("in_degree"))
+            return (
+                store.twins.select("dt_id")
+                .join(out_d, "dt_id", "left")
+                .join(in_d, "dt_id", "left")
+                .select(
+                    "dt_id",
+                    F.coalesce("out_degree", F.lit(0))
+                    .cast("long")
+                    .alias("out_degree"),
+                    F.coalesce("in_degree", F.lit(0))
+                    .cast("long")
+                    .alias("in_degree"),
+                )
+            )
+
+        R = CypherCompiler._REQUIRED
+        return {
+            # GDS gds.pageRank.stream shape: per-vertex global PageRank
+            "graph.pagerank": (
+                [("iters", "int", 10), ("damping", "float", 0.85)],
+                {"node": "dt_id", "rank": "rank"},
+                lambda iters, damping: ga.pagerank(
+                    store.twins, store.relationships,
+                    iters=iters, damping=damping,
+                ),
+            ),
+            # seed-teleport proximity (related-entities primitive)
+            "graph.personalizedpagerank": (
+                [("seeds", "list[str]", R), ("iters", "int", 5),
+                 ("damping", "float", 0.85)],
+                {"node": "dt_id", "rank": "rank"},
+                lambda seeds, iters, damping: ga.personalized_pagerank(
+                    store.twins, store.relationships, seeds,
+                    iters=iters, damping=damping,
+                ),
+            ),
+            "graph.connectedcomponents": (
+                [],
+                {"node": "dt_id", "component": "component"},
+                lambda: ga.connected_components(
+                    store.twins, store.relationships
+                ),
+            ),
+            "graph.degree": (
+                [],
+                {"node": "dt_id", "out_degree": "out_degree",
+                 "in_degree": "in_degree"},
+                _degree,
+            ),
+        }
+
+    def _proc_arg(self, e, kind: str, name: str, proc: str):
+        """Plan-time literal argument: number/string literals and
+        string-list literals only (procedure config, never row data)."""
+        def bad(got: str):
+            return CypherCompileError(
+                f"CALL {proc}(...): argument '{name}' must be a literal "
+                f"{kind}, got {got}"
+            )
+
+        if kind == "list[str]":
+            if not isinstance(e, C.ListLit):
+                raise bad(type(e).__name__)
+            out = []
+            for item in e.items:
+                if not (isinstance(item, C.Lit) and item.kind == "string"):
+                    raise bad("a non-string list element")
+                out.append(item.value)
+            return out
+        if not (isinstance(e, C.Lit) and e.kind == "number"):
+            raise bad(type(e).__name__)
+        return int(e.value) if kind == "int" else float(e.value)
+
+    def _proc_call(
+        self,
+        df: DataFrame | None,
+        env: dict[str, Binding],
+        clause: C.ProcCallClause,
+    ) -> DataFrame:
+        """``CALL ns.proc(args) YIELD col [AS alias], ...`` — r14
+        language extension (the GDS / AGE procedure-call shape): a
+        read-only analytics procedure over the loaded graph becomes
+        the query's source frame; the yielded columns bind as value
+        variables for WHERE/WITH/RETURN.
+
+        Standalone-only by design: row-driven per-input invocation is
+        the CALL-subquery form's job, and the exposed procedures are
+        whole-graph programs whose results a user filters/joins AFTER
+        (`CALL graph.pageRank(5) YIELD node, rank RETURN ... ORDER BY
+        rank DESC LIMIT 10`).  100 TB shape: identical to the
+        underlying operator's (documented on each — superstep joins,
+        broadcast-gated hints, lazy lineage cuts); YIELD pruning
+        happens plan-side so unused yield columns are column-pruned
+        out of the operator's final projection by Catalyst."""
+        registry = self._proc_registry()
+        key = clause.name.lower()
+        if df is not None or env:
+            raise CypherCompileError(
+                f"CALL {clause.name}(...) must be the FIRST clause — "
+                "procedures are whole-graph programs; filter or join "
+                "their YIELDed result afterwards (for row-driven "
+                "invocation use a CALL {{ ... }} subquery)"
+            )
+        if key not in registry:
+            raise CypherCompileError(
+                f"Unknown procedure {clause.name}() — available: "
+                + ", ".join(sorted(registry))
+            )
+        arg_spec, canon, build = registry[key]
+        if len(clause.args) > len(arg_spec):
+            raise CypherCompileError(
+                f"CALL {clause.name}(...) takes at most {len(arg_spec)} "
+                f"argument(s) ({', '.join(a for a, _, _ in arg_spec)}), "
+                f"got {len(clause.args)}"
+            )
+        vals = []
+        for i, (aname, akind, adefault) in enumerate(arg_spec):
+            if i < len(clause.args):
+                vals.append(
+                    self._proc_arg(clause.args[i], akind, aname, clause.name)
+                )
+            elif adefault is CypherCompiler._REQUIRED:
+                raise CypherCompileError(
+                    f"CALL {clause.name}(...): argument '{aname}' is required"
+                )
+            else:
+                vals.append(adefault)
+        result = build(*vals)
+        out_cols = []
+        seen: set[str] = set()
+        for col, alias in clause.yields:
+            if col not in canon:
+                raise CypherCompileError(
+                    f"CALL {clause.name}(...) yields "
+                    f"{', '.join(canon)} — '{col}' is not one of them"
+                )
+            out = alias or col
+            if out in seen:
+                raise CypherCompileError(
+                    f"Duplicate YIELD name '{out}' in CALL {clause.name}(...)"
+                )
+            seen.add(out)
+            cname = f"__y_{out}"
+            out_cols.append(F.col(canon[col]).alias(cname))
+            env[out] = Binding(out, "value", cname)
+        out = result.select(*out_cols)
+        if clause.where is not None:
+            out = out.filter(self._expr(clause.where, env))
+        return out
 
     def _call(
         self,

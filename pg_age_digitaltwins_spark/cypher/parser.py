@@ -81,10 +81,17 @@ class _Parser:
             if self.at("KEYWORD", "OPTIONAL") and self._peek_is_call(1):
                 self.i += 1
                 clauses.append(self.call_clause(optional=True))
+            elif self.at("KEYWORD", "OPTIONAL") and self._peek_is_proc_call(1):
+                raise CypherParseError(
+                    "OPTIONAL CALL applies to CALL { ... } subqueries only — "
+                    "procedure calls always yield their full result"
+                )
             elif self.at("KEYWORD", "OPTIONAL") or self.at("KEYWORD", "MATCH"):
                 clauses.append(self.match_clause())
             elif self._peek_is_call(0):
                 clauses.append(self.call_clause())
+            elif self._peek_is_proc_call(0):
+                clauses.append(self.proc_call_clause())
             elif self.at("KEYWORD", "UNWIND"):
                 clauses.append(self.unwind_clause())
             elif self.at("KEYWORD", "WITH"):
@@ -177,6 +184,58 @@ class _Parser:
             and nxt.kind == "PUNCT"
             and nxt.value == "{"
         )
+
+    def _peek_is_proc_call(self, offset: int) -> bool:
+        """``CALL`` followed by an identifier (not ``{``) starts a
+        procedure invocation: ``CALL graph.pageRank(5) YIELD ...``."""
+        t = self.toks[self.i + offset] if self.i + offset < len(self.toks) else None
+        nxt = (
+            self.toks[self.i + offset + 1]
+            if self.i + offset + 1 < len(self.toks)
+            else None
+        )
+        return (
+            t is not None
+            and t.kind == "IDENT"
+            and t.value.upper() == "CALL"
+            and nxt is not None
+            and nxt.kind == "IDENT"
+        )
+
+    def proc_call_clause(self) -> C.ProcCallClause:
+        """``CALL ns.proc(arg, ...) YIELD col [AS alias] (, ...)`` —
+        r14 procedure-call surface.  YIELD is mandatory: the yielded
+        names define the variables the rest of the query sees."""
+        self.eat("IDENT")  # CALL
+        name = self.eat("IDENT").raw
+        while self.opt("PUNCT", "."):
+            name += "." + self.eat_name()
+        args: list = []
+        self.eat("PUNCT", "(")
+        if not self.at("PUNCT", ")"):
+            args.append(self.expr())
+            while self.opt("PUNCT", ","):
+                args.append(self.expr())
+        self.eat("PUNCT", ")")
+        if not (self.cur.kind == "IDENT" and self.cur.value.upper() == "YIELD"):
+            raise CypherParseError(
+                f"CALL {name}(...) requires YIELD <col> [AS alias], ... "
+                f"at {self.cur.pos} — procedure results must be "
+                "explicitly yielded"
+            )
+        self.eat("IDENT")  # YIELD
+        yields: list[tuple[str, str | None]] = []
+
+        def _one() -> tuple[str, str | None]:
+            col = self.eat_name()
+            alias = self.eat_name() if self.opt("KEYWORD", "AS") else None
+            return (col, alias)
+
+        yields.append(_one())
+        while self.opt("PUNCT", ","):
+            yields.append(_one())
+        where = self.expr() if self.opt("KEYWORD", "WHERE") else None
+        return C.ProcCallClause(name, args, yields, where)
 
     def call_clause(self, optional: bool = False) -> C.CallClause:
         self.eat("IDENT")  # CALL

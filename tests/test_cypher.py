@@ -2527,6 +2527,114 @@ def test_weighted_shortest_path_hi_zero(spark):
     assert rows == [{"dst": "a", "cost": 0, "len": 0}]
 
 
+def _proc_client(spark):
+    """a->b, b->c, a->c, c->d — the procedure-surface fixture."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sp:PC;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": x, "$metadata": {"$model": "dtmi:sp:PC;1"}}
+             for x in "abcd"]
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    rels = [
+        {"$relationshipId": f"r{i}", "$sourceId": s, "$targetId": t,
+         "$relationshipName": "next"}
+        for i, (s, t) in enumerate(edges)
+    ]
+    return DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+
+
+def test_call_procedure_degree_and_components(spark):
+    """r14: CALL ns.proc(args) YIELD — the GDS/AGE procedure-call
+    shape.  Degree counts are exact; YIELD renames bind as variables;
+    WHERE directly after YIELD filters; the yielded frame feeds
+    ORDER BY / aggregation like any other source."""
+    c = _proc_client(spark)
+    rows = c.query(
+        "CALL graph.degree() YIELD node, out_degree, in_degree "
+        "RETURN node, out_degree, in_degree ORDER BY node"
+    ).rows
+    assert rows == [
+        {"node": "a", "out_degree": 2, "in_degree": 0},
+        {"node": "b", "out_degree": 1, "in_degree": 1},
+        {"node": "c", "out_degree": 1, "in_degree": 2},
+        {"node": "d", "out_degree": 0, "in_degree": 1},
+    ]
+    rows2 = c.query(
+        "CALL graph.degree() YIELD node AS id, out_degree "
+        "WHERE out_degree >= 1 RETURN id ORDER BY id"
+    ).rows
+    assert [r["id"] for r in rows2] == ["a", "b", "c"]
+    # undirected reachability: one component
+    rows3 = c.query(
+        "CALL graph.connectedComponents() YIELD node, component "
+        "RETURN count(DISTINCT component) AS nc"
+    ).rows
+    assert rows3 == [{"nc": 1}]
+
+
+def test_call_procedure_pagerank_replay(spark):
+    """CALL graph.pageRank(iters) matches a pure-Python power-iteration
+    replay (dangling mass redistributed uniformly) to 1e-12."""
+    c = _proc_client(spark)
+    got = {
+        r["node"]: r["rank"]
+        for r in c.query(
+            "CALL graph.pageRank(5) YIELD node, rank RETURN node, rank"
+        ).rows
+    }
+    verts = ["a", "b", "c", "d"]
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    out = {v: sum(1 for s, _ in edges if s == v) for v in verts}
+    d, n = 0.85, 4
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(5):
+        dang = sum(rank[v] for v in verts if out[v] == 0)
+        nxt = {}
+        for v in verts:
+            in_sum = sum(rank[s] / out[s] for s, t in edges if t == v)
+            nxt[v] = (1 - d) / n + d * dang / n + d * in_sum
+        rank = nxt
+    for v in verts:
+        # the operator rounds rank to 8 decimals (oracle discipline)
+        assert abs(got[v] - rank[v]) < 1e-7, v
+    # personalized variant: mass stays on vertices reachable from seed
+    ppr = c.query(
+        "CALL graph.personalizedPageRank(['c'], 3) YIELD node, rank "
+        "WHERE rank > 0 RETURN node ORDER BY node"
+    ).rows
+    assert [r["node"] for r in ppr] == ["c", "d"]
+
+
+def test_call_procedure_errors(spark):
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+    from pg_age_digitaltwins_spark.cypher.parser import CypherParseError
+
+    c = _proc_client(spark)
+    with _pytest.raises(CypherCompileError, match="available"):
+        c.query("CALL graph.nope() YIELD x RETURN x")
+    with _pytest.raises(CypherCompileError, match="not one of them"):
+        c.query("CALL graph.degree() YIELD wat RETURN wat")
+    with _pytest.raises(CypherCompileError, match="at most 2"):
+        c.query("CALL graph.pageRank(1, 2, 3, 4) YIELD node RETURN node")
+    with _pytest.raises(CypherCompileError, match="literal list"):
+        c.query("CALL graph.personalizedPageRank(5) YIELD node RETURN node")
+    with _pytest.raises(CypherCompileError, match="required"):
+        c.query("CALL graph.personalizedPageRank() YIELD node RETURN node")
+    with _pytest.raises(CypherCompileError, match="FIRST clause"):
+        c.query("MATCH (a) CALL graph.degree() YIELD node RETURN node")
+    with _pytest.raises(CypherCompileError, match="Duplicate YIELD"):
+        c.query("CALL graph.degree() YIELD node, node RETURN node")
+    with _pytest.raises(CypherParseError, match="YIELD"):
+        c.query("CALL graph.degree() RETURN 1 AS x")
+    with _pytest.raises(CypherParseError, match="OPTIONAL CALL"):
+        c.query("OPTIONAL CALL graph.degree() YIELD node RETURN node")
+
+
 def test_var_length_edge_prop_map_filters_every_hop(spark):
     """r13 fix: a prop map on a var-length edge constrains EVERY
     traversed relationship (it used to be silently ignored) — in

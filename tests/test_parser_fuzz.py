@@ -55,6 +55,11 @@ _FRAGMENTS = st.sampled_from([
     "WEIGHT", "WEIGHT r.w", "*1..3 WEIGHT", "[r:next*1..2 WEIGHT r.w]",
     "WEIGHT toInteger(coalesce(r.quantity, 1))", "cost(", "cost(p)",
     "shortestPath((a)-[r*1..2 WEIGHT r.w]->(b))", "[*2 WEIGHT",
+    # r14 grammar: procedure calls — CALL ns.proc(args) YIELD c AS a
+    "CALL graph.pageRank(", "YIELD", "YIELD node, rank",
+    "CALL graph.degree() YIELD node AS n", "CALL graph.",
+    "graph.personalizedPageRank(['a'],", "YIELD node WHERE rank > 0",
+    "CALL x.y.z(1, 0.5)", "CALL graph.pageRank(5) YIELD",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
