@@ -1211,6 +1211,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_temperature_mixture"] = _temp_mixture
 
+    # r14: frequency-based SOFT dedup — keep each exact-dup group
+    # member with probability 1/n (one survivor per group in
+    # expectation); exact u32·n < 2^32 BIGINT comparison end to end
+    def _dup_downweight(s, d):
+        from pg_age_digitaltwins_spark.operators.sampling import dup_downweight
+
+        return dup_downweight(_tables(s, d)["documents"])
+
+    q["sample_dup_downweight"] = _dup_downweight
+
     def _profile(s, d):
         from pg_age_digitaltwins_spark.operators.text import profile_columns
 
@@ -1739,6 +1749,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("event_type", "n_intervals", "total_us")
     q["events_ohlc"] = lambda s, d: ev_ops.ohlc_downsample(
         _tables(s, d)["events"], minutes=360
+    )
+    # r14: trailing 100-row window stats — exact BIGINT count / sum /
+    # variance NUMERATOR (n·Σx² − (Σx)², division deferred)
+    q["events_rolling_stats"] = lambda s, d: ev_ops.rolling_stats(
+        _tables(s, d)["events"]
     )
     # r11: gap-filled regular grid + LOCF (time_bucket_gapfill/locf
     # shape) — hourly buckets leave ~40 real gaps per type at sf0.01;
@@ -3576,6 +3591,17 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN substr(md5('split' || '|' || group_id), 1, 4) < '1999' "
         "THEN 'test' ELSE 'train' END AS split FROM fp"
     )
+    o["sample_dup_downweight"] = (
+        "WITH fp AS (SELECT doc_id, "
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS group_id "
+        "FROM documents), "
+        "g AS (SELECT doc_id, CAST(count(*) OVER (PARTITION BY group_id) "
+        "AS BIGINT) AS group_n FROM fp) "
+        "SELECT doc_id, group_n, "
+        "(CAST(('0x' || substr(md5('dupdw' || '|' || "
+        "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * group_n "
+        "< 4294967296) AS kept FROM g"
+    )
     o["sample_kfold_counts"] = (
         "SELECT CAST(CAST(('0x' || substr(md5('fold' || '|' || CAST(doc_id AS VARCHAR)), 1, 4)) "
         "AS INTEGER) % 5 AS INT) AS fold, count(*) AS n "
@@ -4369,6 +4395,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals, "
         "CAST(sum(span_us) AS BIGINT) AS total_us "
         "FROM s WHERE span_us IS NOT NULL GROUP BY event_type"
+    )
+    o["events_rolling_stats"] = (
+        "WITH v AS (SELECT event_type, ts, event_id, "
+        "CAST(floor(value * 1000) AS BIGINT) AS vs FROM events "
+        "WHERE value IS NOT NULL) "
+        "SELECT event_type, ts, event_id, "
+        "CAST(count(*) OVER w AS BIGINT) AS roll_n, "
+        "CAST(sum(vs) OVER w AS BIGINT) AS roll_sum_milli, "
+        "CAST(count(*) OVER w * sum(vs * vs) OVER w "
+        "- (sum(vs) OVER w) * (sum(vs) OVER w) AS BIGINT) AS roll_var_num "
+        "FROM v WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id "
+        "ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)"
     )
     o["events_ohlc"] = (
         "WITH b AS (SELECT event_type, "

@@ -604,6 +604,51 @@ def changepoint(events: DataFrame, scale: int = 1000) -> DataFrame:
     )
 
 
+def rolling_stats(
+    events: DataFrame, window_rows: int = 100, scale: int = 1000
+) -> DataFrame:
+    """(event_type, ts, event_id, roll_n, roll_sum_milli, roll_var_num)
+    — trailing ROW-window statistics per series: over the last
+    ``window_rows`` events (ordered by (ts, event_id)), the exact count,
+    fix-point sum, and the cleared-denominator variance numerator
+    n·Σx² − (Σx)² — the feature-store primitive behind rolling
+    baselines, z-scores and Bollinger-style bands, with the float
+    division deferred to the consumer so the whole pipeline stays in
+    exact BIGINT (the :func:`drift_stats` discipline; the numerator is
+    ≥ 0 by Cauchy-Schwarz and the consumer's variance is
+    num / (n·(n−1))).
+
+    100 TB shape: ONE shuffle keyed by the series column — all three
+    window aggregates share the same (partition, order, frame) spec so
+    Spark evaluates them in a single window pass; magnitudes stay in
+    BIGINT (x ≤ 1e6 milli-units squared × a 100-row frame × n ≈ 1e16
+    ≪ 2^63)."""
+    from pyspark.sql import Window
+
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    vs = F.floor(F.col("value") * scale).cast("long")
+    df = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "ts", "event_id", vs.alias("__vs")
+    )
+    roll_n = F.count(F.lit(1)).over(w).cast("long")
+    roll_sum = F.sum("__vs").over(w)
+    roll_sq = F.sum(F.col("__vs") * F.col("__vs")).over(w)
+    return df.select(
+        "event_type",
+        "ts",
+        "event_id",
+        roll_n.alias("roll_n"),
+        roll_sum.alias("roll_sum_milli"),
+        (roll_n * roll_sq - roll_sum * roll_sum).alias("roll_var_num"),
+    )
+
+
 def ohlc_downsample(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Open/high/low/close downsample of ``value`` per (event_type,
     time bucket) — the classic time-series compaction for dashboards

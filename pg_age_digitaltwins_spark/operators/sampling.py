@@ -178,6 +178,69 @@ def leakage_safe_split(
     return hash_split(keyed, "group_id", test_fraction, salt)
 
 
+def dup_downweight(
+    docs: DataFrame,
+    salt: str = "dupdw",
+    groups: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, group_n, kept) — frequency-based SOFT dedup: keep each
+    member of a duplicate group independently with probability 1/n
+    (n = group size), so a group contributes ONE document in
+    expectation regardless of how many copies exist.  The standard
+    alternative to hard keep-one dedup when duplicate frequency itself
+    carries signal (common pages are mildly upweighted relative to
+    keep-one, heavily downweighted relative to keep-all) — the
+    frequency-aware downsampling step in large-corpus recipes.
+
+    Groups default to the exact-dedup fingerprint
+    (:func:`text.fingerprints`); pass ``groups`` (doc_id, group_id),
+    e.g. near-dup clusters, to downweight semantic duplicates.
+
+    Determinism (the module's md5-bucket discipline): a doc keeps iff
+    u32 · n < 2^32 with u32 = the first 8 hex chars of
+    md5(salt|doc_id) as an integer — exact BIGINT comparison, no
+    floats, SQL-mirrorable (DuckDB's '0x'||hex cast == Spark's
+    conv(hex, 16, 10)).
+
+    100 TB shape: one group-keyed window count (or a pre-aggregated
+    broadcast for small group tables) + a per-row hash filter — no
+    per-group collection, no skew beyond the group-size histogram the
+    exact-dedup pass already revealed."""
+    from pyspark.sql import Window
+
+    from pg_age_digitaltwins_spark.operators.text import fingerprints
+
+    if groups is None:
+        groups = fingerprints(docs).select(
+            "doc_id", F.col("fp").alias("group_id")
+        )
+    keyed = (
+        docs.select("doc_id")
+        .join(groups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("group_id"), F.col("doc_id").cast("string")
+            ).alias("group_id"),
+        )
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("group_id")).cast("long")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return keyed.select(
+        "doc_id",
+        n.alias("group_n"),
+        (u32 * n < F.lit(2**32).cast("long")).alias("kept"),
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     token_budgets: dict[str, int],

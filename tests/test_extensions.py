@@ -4037,3 +4037,81 @@ def test_matryoshka_recall_gate(spark):
         emb, dims=(8,), floors={8: 1.01}
     ).collect()
     assert r["meets_floor"] is False
+
+
+def test_dup_downweight_exact_replay(spark):
+    """r14: frequency-based soft dedup — group sizes from the exact
+    fingerprint, keep decision replayed exactly in pure Python
+    (u32 · n < 2^32), singletons ALWAYS kept (u32 · 1 < 2^32 holds for
+    every 32-bit u32)."""
+    import hashlib
+
+    from pg_age_digitaltwins_spark.operators.sampling import dup_downweight
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same page"),
+            (2, "THE  same   page"),   # normalizes to doc 1's text
+            (3, "the same page "),     # trim -> same group
+            (4, "a unique document"),
+            (5, "another unique one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_downweight(docs).collect()}
+    assert {k: v["group_n"] for k, v in got.items()} == {
+        1: 3, 2: 3, 3: 3, 4: 1, 5: 1,
+    }
+
+    def expect_kept(doc_id: int, n: int) -> bool:
+        h = hashlib.md5(f"dupdw|{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) * n < 2**32
+
+    for doc_id, r in got.items():
+        assert r["kept"] == expect_kept(doc_id, r["group_n"]), doc_id
+    # singleton groups always survive
+    assert got[4]["kept"] and got[5]["kept"]
+
+
+def test_rolling_stats_hand_computed(spark):
+    """r14: trailing row-window stats — window 3 over a 5-point series,
+    count/sum/variance-numerator replayed by hand; the numerator is
+    n·Σx² − (Σx)² over the frame rows (exact milli BIGINTs)."""
+    from datetime import datetime
+
+    from pg_age_digitaltwins_spark.operators.events import rolling_stats
+
+    vals = [1.0, 2.0, 4.0, 8.0, None]
+    rows = [
+        (i, datetime(2026, 1, 1, 0, i), "s", v) for i, v in enumerate(vals)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = sorted(
+        rolling_stats(events, window_rows=3).collect(),
+        key=lambda r: r["event_id"],
+    )
+    milli = [1000, 2000, 4000, 8000]  # nulls dropped before the window
+    assert len(got) == 4
+    for i, r in enumerate(got):
+        frame = milli[max(0, i - 2): i + 1]
+        n = len(frame)
+        s = sum(frame)
+        sq = sum(x * x for x in frame)
+        assert r["roll_n"] == n
+        assert r["roll_sum_milli"] == s
+        assert r["roll_var_num"] == n * sq - s * s, i
+    # constant series -> zero variance numerator at every row
+    const = spark.createDataFrame(
+        [(i, datetime(2026, 1, 1, 0, i), "c", 7.0) for i in range(4)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    assert all(
+        r["roll_var_num"] == 0
+        for r in rolling_stats(const, window_rows=3).collect()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_rows"):
+        rolling_stats(events, window_rows=0)
