@@ -208,22 +208,23 @@ def dup_downweight(
     exact-dedup pass already revealed."""
     from pyspark.sql import Window
 
-    from pg_age_digitaltwins_spark.operators.text import fingerprints
-
     if groups is None:
-        groups = fingerprints(docs).select(
-            "doc_id", F.col("fp").alias("group_id")
+        # default grouping is the exact fingerprint — computable inline
+        # (text.fingerprints' normalization), so the default path is
+        # join-FREE: one map + one group-keyed window shuffle
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        keyed = docs.select("doc_id", F.md5(norm).alias("group_id"))
+    else:
+        keyed = (
+            docs.select("doc_id")
+            .join(groups, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(
+                    F.col("group_id"), F.col("doc_id").cast("string")
+                ).alias("group_id"),
+            )
         )
-    keyed = (
-        docs.select("doc_id")
-        .join(groups, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(
-                F.col("group_id"), F.col("doc_id").cast("string")
-            ).alias("group_id"),
-        )
-    )
     n = F.count(F.lit(1)).over(Window.partitionBy("group_id")).cast("long")
     u32 = F.conv(
         F.substring(

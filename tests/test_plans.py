@@ -702,3 +702,29 @@ def test_weighted_shortest_path_equi_joins_only(fixture_client):
     )
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_stats_single_window_pass(spark):
+    """r14: the three rolling aggregates share one (partition, order,
+    frame) spec — exactly ONE Window node and ONE exchange; no joins."""
+    from pg_age_digitaltwins_spark.operators.events import rolling_stats
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    events = load_tables(spark, SF_DIR)["events"]
+    # count tree nodes ("Window (n)"), not the detail-section echoes
+    plan = _plan(rolling_stats(events))
+    assert plan.count("Window (") == 1
+    assert plan.count("Exchange (") == 1
+    assert "Join" not in plan
+
+
+def test_dup_downweight_default_path_is_join_free(spark):
+    """r14: the default (fingerprint) grouping computes the group id
+    inline — one map + one group-keyed window shuffle, zero joins."""
+    from pg_age_digitaltwins_spark.operators.sampling import dup_downweight
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    plan = _plan(dup_downweight(docs))
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 1
