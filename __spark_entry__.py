@@ -248,6 +248,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "CALL graph.connectedComponents() YIELD node, component "
         "RETURN node AS dt_id, component"
     )
+    q["cypher_call_triangles"] = _adt(
+        "CALL graph.triangleCount() YIELD triangles "
+        "RETURN triangles AS n_triangles"
+    )
+    _NATION_SEEDS = ", ".join(f"'nation-{i}'" for i in range(25))
+    q["cypher_call_harmonic"] = _adt(
+        f"CALL graph.harmonicCentrality([{_NATION_SEEDS}], 3) "
+        "YIELD node, h12, n_reached "
+        "RETURN node AS dt_id, h12, n_reached"
+    )
     # r10: allShortestPaths — Neo4j cardinality (one row per
     # minimum-length path, via the walk-count BFS), aggregated to
     # (dst, len, n_paths) for a deterministic oracle comparison; the
@@ -2895,6 +2905,26 @@ def oracle_sql() -> dict[str, str]:
     # keys, exercised through the CALL ... YIELD language surface
     o["cypher_call_pagerank"] = _pagerank_oracle()
     o["cypher_call_components"] = _cc_oracle()
+    o["cypher_call_triangles"] = (
+        f"WITH d AS ({_EDGES_SQL}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM d WHERE src <> dst) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM und e1 JOIN und e2 ON e1.b = e2.a "
+        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    o["cypher_call_harmonic"] = (
+        "WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT src, dst FROM ({_EDGES_SQL}) "
+        f"UNION ALL SELECT dst, src FROM ({_EDGES_SQL}))), "
+        "bfs(node, src, depth) AS ("
+        "SELECT 'nation-' || n_nationkey, 'nation-' || n_nationkey, 0 FROM nation "
+        "UNION SELECT e.dst, bfs.src, bfs.depth + 1 FROM bfs "
+        "JOIN e ON e.src = bfs.node WHERE bfs.depth < 3), "
+        "md AS (SELECT node, src, min(depth) AS d FROM bfs GROUP BY node, src) "
+        "SELECT node AS dt_id, CAST(sum(12 // d) AS BIGINT) AS h12, "
+        "count(*) AS n_reached FROM md WHERE d > 0 GROUP BY node"
+    )
     o["cypher_call_degree"] = (
         f"WITH e AS MATERIALIZED ({_EDGES_SQL}), "
         f"v AS MATERIALIZED ({_ALL_TWIN_IDS}), "

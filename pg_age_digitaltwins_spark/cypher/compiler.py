@@ -682,6 +682,24 @@ class CypherCompiler:
                  "in_degree": "in_degree"},
                 _degree,
             ),
+            # global triangle count (degree-ordered orientation)
+            "graph.trianglecount": (
+                [],
+                {"triangles": "n_triangles"},
+                lambda: ga.triangle_count(store.relationships),
+            ),
+            # sampled harmonic centrality from a seed set (exact
+            # integer 12/d weighting; maxDepth <= 12 per the operator)
+            "graph.harmoniccentrality": (
+                [("seeds", "list[str]", R), ("maxDepth", "int", 3)],
+                {"node": "dt_id", "h12": "h12", "n_reached": "n_reached"},
+                lambda seeds, max_depth: ga.harmonic_centrality_sampled(
+                    store.relationships,
+                    store.twins.filter(F.col("dt_id").isin(list(seeds)))
+                    .select("dt_id"),
+                    max_depth=max_depth,
+                ),
+            ),
         }
 
     def _proc_arg(self, e, kind: str, name: str, proc: str):

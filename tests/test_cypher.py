@@ -2573,6 +2573,18 @@ def test_call_procedure_degree_and_components(spark):
         "RETURN count(DISTINCT component) AS nc"
     ).rows
     assert rows3 == [{"nc": 1}]
+    # a->b->c->a would be a triangle; this fixture's a->b,b->c,a->c IS
+    # one as an undirected triangle
+    assert c.query(
+        "CALL graph.triangleCount() YIELD triangles RETURN triangles"
+    ).rows == [{"triangles": 1}]
+    # harmonic from 'a', depth 2: b,c at d=1 (12 each), d at d=2 (6)
+    h = c.query(
+        "CALL graph.harmonicCentrality(['a'], 2) YIELD node, h12 "
+        "RETURN node, h12 ORDER BY node"
+    ).rows
+    assert h == [{"node": "b", "h12": 12}, {"node": "c", "h12": 12},
+                 {"node": "d", "h12": 6}]
 
 
 def test_call_procedure_pagerank_replay(spark):
