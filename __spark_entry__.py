@@ -982,6 +982,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_triangle_count"] = _triangles
 
+    # r14: per-node local clustering coefficient (Watts-Strogatz) —
+    # exact BIGINT triangles/wedges, coefficient as floor-div micro
+    # units; the twin graph is multipartite (triangle-free) so the
+    # oracle pins degrees/wedges/NULL handling and the crafted-graph
+    # pytest carries the triangle semantics (the k-truss convention)
+    def _local_clustering(spark, sf_dir):
+        from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        return ga.local_clustering(_store(spark, sf_dir).relationships)
+
+    q["graph_local_clustering"] = _local_clustering
+
     def _lpa(spark, sf_dir):
         from pg_age_digitaltwins_spark.operators import graph_analytics as ga
 
@@ -3422,6 +3434,25 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
         "FROM und e1 JOIN und e2 ON e1.b = e2.a "
         "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    o["graph_local_clustering"] = (
+        f"WITH d AS ({_EDGES_SQL}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM d WHERE src <> dst), "
+        "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM "
+        "(SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v), "
+        "tri AS (SELECT x.u, x.v, x.w FROM "
+        "(SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM und e1 "
+        "JOIN und e2 ON e1.b = e2.a) x "
+        "JOIN und e3 ON e3.a = x.u AND e3.b = x.w), "
+        "corners AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM "
+        "(SELECT u AS v FROM tri UNION ALL SELECT v FROM tri "
+        "UNION ALL SELECT w AS v FROM tri) GROUP BY v) "
+        "SELECT deg.v AS dt_id, CAST(coalesce(t, 0) AS BIGINT) AS triangles, "
+        "CAST((deg * (deg - 1)) // 2 AS BIGINT) AS wedges, "
+        "CASE WHEN deg > 1 THEN CAST(coalesce(t, 0) * 1000000 "
+        "// ((deg * (deg - 1)) // 2) AS BIGINT) END AS lcc_micro "
+        "FROM deg LEFT JOIN corners USING (v)"
     )
     o["graph_clustering_coefficient"] = (
         f"WITH d AS ({_EDGES_SQL}), "

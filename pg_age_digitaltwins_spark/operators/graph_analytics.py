@@ -413,6 +413,90 @@ def triangle_count(relationships: DataFrame) -> DataFrame:
     return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
 
 
+def local_clustering(relationships: DataFrame) -> DataFrame:
+    """(dt_id, triangles, wedges, lcc_micro) — PER-NODE local
+    clustering coefficient over the undirected twin graph: triangles(v)
+    / C(deg(v), 2), the classic neighborhood-cohesion feature (Watts-
+    Strogatz) behind community features and link-prediction signals.
+
+    Exactness: triangles and wedges are exact BIGINTs; the coefficient
+    is reported as floor-divided MICRO units (triangles·1e6 //
+    wedges) — no float division in-plan, so the whole frame
+    value-checks against SQL.  Degree-1 vertices have wedges = 0 and
+    lcc_micro NULL (no defined coefficient); zero-degree twins are
+    omitted (join the twins dim for a dense frame).
+
+    100 TB shape: the same degree-ordered orientation as
+    :func:`triangle_count` (per-vertex out-degree bounded by O(√m), so
+    the wedge join cannot blow up on hubs); closed triangles explode to
+    their three corners and aggregate map-side — three shuffles total
+    (wedge join, closing semi join, corner count)."""
+    e = relationships.select("source_id", "target_id").filter(
+        F.col("source_id") != F.col("target_id")
+    )
+    und = (
+        e.select(
+            F.least("source_id", "target_id").alias("a"),
+            F.greatest("source_id", "target_id").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    oriented = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).localCheckpoint(eager=False)
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.hi") == F.col("e2.lo"))
+        .select(
+            F.col("e1.lo").alias("u"),
+            F.col("e1.hi").alias("v"),
+            F.col("e2.hi").alias("w"),
+        )
+    )
+    closed = wedges.join(
+        oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w")),
+        ["u", "w"],
+        "left_semi",
+    )
+    corners = (
+        closed.select(F.col("u").alias("v"))
+        .unionAll(closed.select("v"))
+        .unionAll(closed.select(F.col("w").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    # all-integer: deg·(deg−1) div 2 never leaves BIGINT (float /2
+    # would lose bits past 2^53 on extreme hubs)
+    wed = F.expr("(deg * (deg - 1)) div 2")
+    return (
+        deg.join(corners, "v", "left")
+        .select(
+            F.col("v").alias("dt_id"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            wed.cast("long").alias("wedges"),
+            F.when(
+                wed > 0,
+                F.expr(
+                    "coalesce(triangles, 0) * 1000000 div "
+                    "((deg * (deg - 1)) div 2)"
+                ).cast("long"),
+            ).alias("lcc_micro"),
+        )
+    )
+
+
 def k_core(
     relationships: DataFrame, k: int = 2, max_iters: int = 10
 ) -> DataFrame:

@@ -4115,3 +4115,33 @@ def test_rolling_stats_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="window_rows"):
         rolling_stats(events, window_rows=0)
+
+
+def test_local_clustering_hand_computed(spark):
+    """r14: per-node LCC — triangle {a,b,c} plus pendant c-d: a,b have
+    deg 2 / 1 wedge / 1 triangle (lcc 1.0); c has deg 3 / 3 wedges /
+    1 triangle (lcc 1/3 -> 333333 micro); d has deg 1 / 0 wedges /
+    NULL coefficient."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        local_clustering,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    rels = spark.createDataFrame(edges, "source_id string, target_id string")
+    got = {r["dt_id"]: r for r in local_clustering(rels).collect()}
+    assert got["a"]["triangles"] == 1 and got["a"]["wedges"] == 1
+    assert got["a"]["lcc_micro"] == 1_000_000
+    assert got["b"]["lcc_micro"] == 1_000_000
+    assert got["c"]["triangles"] == 1 and got["c"]["wedges"] == 3
+    assert got["c"]["lcc_micro"] == 333_333  # floor(1e6/3)
+    assert got["d"]["triangles"] == 0 and got["d"]["wedges"] == 0
+    assert got["d"]["lcc_micro"] is None
+    # parallel/reversed edges collapse; self-loops ignored
+    noisy = spark.createDataFrame(
+        edges + [("b", "a"), ("a", "a")],
+        "source_id string, target_id string",
+    )
+    got2 = {r["dt_id"]: r for r in local_clustering(noisy).collect()}
+    assert {k: (v["triangles"], v["wedges"]) for k, v in got2.items()} == {
+        k: (v["triangles"], v["wedges"]) for k, v in got.items()
+    }
