@@ -158,6 +158,100 @@ CUSUM_SCHEMA = T.StructType(
 _CUSUM_STATE = T.StructType([T.StructField("dev", T.LongType())])
 
 
+HH_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("count_est", T.LongType()),
+        T.StructField("overcount", T.LongType()),
+    ]
+)
+
+_HH_STATE = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("overs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def streaming_heavy_hitters(
+    events: DataFrame, capacity: int = 16
+) -> DataFrame:
+    """Streaming TOP-K (heavy hitters) per event_type: a Space-Saving
+    summary (Metwally-Agrawal-El Abbadi) over ``user_id`` maintained
+    ACROSS micro-batches — the bounded-memory answer to "who are the
+    top users right now" when the key cardinality is unbounded.  After
+    each batch the key's CURRENT summary is emitted: (user_id,
+    count_est, overcount), with the Space-Saving guarantees
+    (count_est ≥ true count ≥ count_est − overcount; any key with true
+    count > N/capacity is IN the summary).
+
+    Third genuine ``applyInPandasWithState`` operator (after the
+    deadband filter and the CUSUM monitor).  Determinism: rows process
+    in (ts, event_id) order and evictions pick the lexicographic
+    minimum (count, user_id) — replay-stable, no hash-order
+    dependence.  State per key = three bounded arrays (≤ capacity
+    entries), so state size is |event types| · capacity regardless of
+    stream length — the property that makes this safe at 100 TB/day
+    where an exact per-user count table would grow without bound."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+
+    def fn(key, pdfs: Iterable, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            keys, counts, overs = (
+                list(state.get[0]), list(state.get[1]), list(state.get[2])
+            )
+        else:
+            keys, counts, overs = [], [], []
+        summary = {
+            k: (c, o) for k, c, o in zip(keys, counts, overs)
+        }
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for uid in pdf["user_id"].astype("int64"):
+                uid = int(uid)
+                if uid in summary:
+                    c, o = summary[uid]
+                    summary[uid] = (c + 1, o)
+                elif len(summary) < capacity:
+                    summary[uid] = (1, 0)
+                else:
+                    # evict the deterministic minimum (count, key)
+                    evict = min(summary, key=lambda k: (summary[k][0], k))
+                    m = summary[evict][0]
+                    del summary[evict]
+                    summary[uid] = (m + 1, m)
+        items = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update((
+            [k for k, _ in items],
+            [c for _, (c, _) in items],
+            [o for _, (_, o) in items],
+        ))
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "user_id": [k for k, _ in items],
+                "count_est": [c for _, (c, _) in items],
+                "overcount": [o for _, (_, o) in items],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=HH_SCHEMA,
+        stateStructType=_HH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_cusum_monitor(
     events: DataFrame,
     target: float,

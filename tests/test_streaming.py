@@ -2267,3 +2267,75 @@ def test_streaming_cusum_monitor_nulls_and_tie_break(spark, tmp_path):
             streaming_cusum_monitor(stream, target=10.0, threshold=5.0),
             "cusum13b", tmp_path,
         )
+
+
+def test_streaming_heavy_hitters_space_saving(spark, tmp_path):
+    """r14: bounded Space-Saving top-k per event_type across
+    micro-batches — counts accumulate, evictions replace the
+    lexicographic-minimum (count, key) entry and inherit its count as
+    the overcount bound (count_est >= true >= count_est - overcount)."""
+    import json as _json
+
+    from pg_age_digitaltwins_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    feed = tmp_path / "hhfeed"
+    feed.mkdir()
+
+    def write_batch(name, rows):
+        (feed / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {"event_id": i, "ts": ts, "user_id": u,
+                     "event_type": "x", "value": 1.0}
+                )
+                for i, (ts, u) in enumerate(rows)
+            )
+        )
+
+    def stream():
+        return spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        ).json(str(feed), timestampFormat="yyyy-MM-dd'T'HH:mm:ss")
+
+    # capacity 2: users 1,1,1 then 2,2 then 3 -> 3 evicts 2 (min count)
+    write_batch("b0.ndjson", [
+        ("2026-03-01T00:00:00", 1), ("2026-03-01T00:00:01", 1),
+        ("2026-03-01T00:00:02", 1), ("2026-03-01T00:00:03", 2),
+        ("2026-03-01T00:00:04", 2), ("2026-03-01T00:00:05", 3),
+    ])
+    _run_to_memory(streaming_heavy_hitters(stream(), capacity=2),
+                   "hh", tmp_path)
+    got = [
+        (r["user_id"], r["count_est"], r["overcount"])
+        for r in spark.sql(
+            "select * from hh order by count_est desc, user_id"
+        ).collect()
+    ]
+    assert got == [(1, 3, 0), (3, 3, 2)]
+
+    # batch 2 (fresh checkpoint reprocesses all files in stream order):
+    # one more user-2 event evicts key 1 (tie on count 3, min key)
+    write_batch("b1.ndjson", [("2026-03-01T00:00:06", 2)])
+    _run_to_memory(streaming_heavy_hitters(stream(), capacity=2),
+                   "hh2", tmp_path)
+    # the LAST emitted snapshot is the final summary (the memory sink
+    # keeps every per-batch snapshot if files split across batches;
+    # emission order within a snapshot is (-count, key), so the final
+    # two appended rows ARE the final summary)
+    rows2 = spark.sql("select * from hh2").collect()
+    final = [
+        (r["user_id"], r["count_est"], r["overcount"]) for r in rows2
+    ][-2:]
+    assert sorted(final, key=lambda t: (-t[1], t[0])) == [(2, 4, 3), (3, 3, 2)]
+    # guarantee: count_est - overcount <= true count (true: 1->3, 2->3, 3->1)
+    true = {1: 3, 2: 3, 3: 1}
+    for u, c, o in final:
+        assert c - o <= true[u] <= c
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capacity"):
+        streaming_heavy_hitters(stream(), capacity=0)
