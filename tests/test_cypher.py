@@ -2620,6 +2620,29 @@ def test_call_procedure_pagerank_replay(spark):
     assert [r["node"] for r in ppr] == ["c", "d"]
 
 
+def test_call_procedure_composition(spark):
+    """CALL ... YIELD composes with WITH / aggregates / UNION like any
+    other source clause."""
+    c = _proc_client(spark)
+    rows = c.query(
+        "CALL graph.degree() YIELD node, out_degree "
+        "WITH node, out_degree * 2 AS dd WHERE dd > 0 "
+        "RETURN node, dd ORDER BY node"
+    ).rows
+    assert rows == [{"node": "a", "dd": 4}, {"node": "b", "dd": 2},
+                    {"node": "c", "dd": 2}]
+    agg = c.query(
+        "CALL graph.degree() YIELD node, out_degree, in_degree "
+        "RETURN sum(out_degree) AS total_out, sum(in_degree) AS total_in"
+    ).rows
+    assert agg == [{"total_out": 4, "total_in": 4}]
+    u = c.query(
+        "CALL graph.degree() YIELD node RETURN node "
+        "UNION CALL graph.connectedComponents() YIELD node RETURN node"
+    ).rows
+    assert sorted(r["node"] for r in u) == ["a", "b", "c", "d"]
+
+
 def test_call_procedure_errors(spark):
     import pytest as _pytest
 
