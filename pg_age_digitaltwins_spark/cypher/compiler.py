@@ -688,6 +688,14 @@ class CypherCompiler:
                 {"triangles": "n_triangles"},
                 lambda: ga.triangle_count(store.relationships),
             ),
+            # per-node local clustering coefficient (exact integer
+            # triangles/wedges; coefficient in floor-div micro units)
+            "graph.localclustering": (
+                [],
+                {"node": "dt_id", "triangles": "triangles",
+                 "wedges": "wedges", "lcc_micro": "lcc_micro"},
+                lambda: ga.local_clustering(store.relationships),
+            ),
             # sampled harmonic centrality from a seed set (exact
             # integer 12/d weighting; maxDepth <= 12 per the operator)
             "graph.harmoniccentrality": (

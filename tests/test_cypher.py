@@ -2585,6 +2585,14 @@ def test_call_procedure_degree_and_components(spark):
     ).rows
     assert h == [{"node": "b", "h12": 12}, {"node": "c", "h12": 12},
                  {"node": "d", "h12": 6}]
+    # local clustering: a,b close their one wedge; c has 3 wedges
+    lcc = c.query(
+        "CALL graph.localClustering() YIELD node, lcc_micro "
+        "WHERE lcc_micro IS NOT NULL RETURN node, lcc_micro ORDER BY node"
+    ).rows
+    assert lcc == [{"node": "a", "lcc_micro": 1_000_000},
+                   {"node": "b", "lcc_micro": 1_000_000},
+                   {"node": "c", "lcc_micro": 333_333}]
 
 
 def test_call_procedure_pagerank_replay(spark):
