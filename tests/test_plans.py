@@ -728,3 +728,16 @@ def test_dup_downweight_default_path_is_join_free(spark):
     plan = _plan(dup_downweight(docs))
     assert "Join" not in plan
     assert plan.count("Exchange (") == 1
+
+
+def test_call_procedure_keys_no_cartesian(spark):
+    """r14: the CALL ... YIELD board keys compile to the underlying
+    operators' plans — no CartesianProduct on any data path, and the
+    single-yield degree projection lets Catalyst prune the unused
+    in-degree aggregation input columns."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for key in ("cypher_call_degree", "cypher_call_components"):
+        plan = _plan(qs[key](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, key
