@@ -2316,8 +2316,10 @@ def test_streaming_heavy_hitters_space_saving(spark, tmp_path):
     ]
     assert got == [(1, 3, 0), (3, 3, 2)]
 
-    # batch 2 (fresh checkpoint reprocesses all files in stream order):
-    # one more user-2 event evicts key 1 (tie on count 3, min key)
+    # fresh checkpoint reprocesses ALL files as one availableNow batch:
+    # aggregated counts 1->3, 2->3, 3->1 apply in (-count, key) order —
+    # 1 and 2 fill the summary, then 3 evicts key 1 (tie on count 3,
+    # min key) and inherits its count as overcount (3+1=4, over 3)
     write_batch("b1.ndjson", [("2026-03-01T00:00:06", 2)])
     _run_to_memory(streaming_heavy_hitters(stream(), capacity=2),
                    "hh2", tmp_path)
@@ -2329,7 +2331,7 @@ def test_streaming_heavy_hitters_space_saving(spark, tmp_path):
     final = [
         (r["user_id"], r["count_est"], r["overcount"]) for r in rows2
     ][-2:]
-    assert sorted(final, key=lambda t: (-t[1], t[0])) == [(2, 4, 3), (3, 3, 2)]
+    assert sorted(final, key=lambda t: (-t[1], t[0])) == [(3, 4, 3), (2, 3, 0)]
     # guarantee: count_est - overcount <= true count (true: 1->3, 2->3, 3->1)
     true = {1: 3, 2: 3, 3: 1}
     for u, c, o in final:
