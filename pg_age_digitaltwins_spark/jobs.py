@@ -880,6 +880,96 @@ def _import_event_df(
 # delete job (D13)
 # ----------------------------------------------------------------------
 
+def export_graph_ndjson(
+    store,
+    path: str,
+    header: dict | None = None,
+    single_file: bool = True,
+    ordered: bool = True,
+) -> dict[str, int]:
+    """Export the graph as Import-Jobs ND-JSON — the exact format
+    ``ImportJob`` / ``import_file_distributed`` consume (and the
+    reference's documented bulk-migration interchange:
+    ``docs/how-to-guides/migration-guide.mdx:247-305`` — Header marker,
+    header object, then Models / Twins / Relationships sections, one
+    JSON document per line).
+
+    ``single_file=True`` writes ONE import-ready file: the header and
+    the models section are driver-side (models are a tiny dimension —
+    the §7 allowance), twin and relationship documents STREAM through
+    ``toLocalIterator`` (one partition in memory at a time, never a
+    ``collect``).  ``single_file=False`` is the 100 TB shape: each
+    section's documents are written executor-side as text part-files
+    under ``<path>/0{1..4}_<section>/``; the lexicographic
+    directory-then-part order IS the valid ND-JSON stream, so
+    ``cat <path>/*/part-*`` (or any ordered reader) reconstructs the
+    import file without the data ever visiting the driver.
+
+    ``ordered`` sorts documents by key inside each section — byte-
+    deterministic exports for diffing/round-trip tests; turn it off at
+    scale to skip the global sorts (the import is order-insensitive
+    within a section: last-line-wins dedup handles collisions).
+
+    Returns section counts.  Round-trip contract (tested): export →
+    import into an empty store ⇒ identical twins / relationships /
+    models."""
+    hdr = header or {
+        "fileVersion": "1.0.0",
+        "author": "pg_age_digitaltwins_spark",
+        "organization": "export",
+    }
+    twins = store.twins.select("dt_id", "doc")
+    rels = store.relationships.select("relationship_id", "doc")
+    if ordered:
+        twins = twins.orderBy("dt_id")
+        rels = rels.orderBy("relationship_id")
+    models = [
+        r["model"]
+        for r in store.models.select("id", "model").orderBy("id").collect()
+    ]
+    counts = {"models": len(models), "twins": 0, "relationships": 0}
+    if single_file:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(json.dumps({"Section": "Header"}) + "\n")
+            f.write(json.dumps(hdr) + "\n")
+            f.write(json.dumps({"Section": "Models"}) + "\n")
+            for m in models:
+                f.write(m.strip().replace("\n", "") + "\n")
+            f.write(json.dumps({"Section": "Twins"}) + "\n")
+            for row in twins.select("doc").toLocalIterator():
+                f.write(row["doc"] + "\n")
+                counts["twins"] += 1
+            f.write(json.dumps({"Section": "Relationships"}) + "\n")
+            for row in rels.select("doc").toLocalIterator():
+                f.write(row["doc"] + "\n")
+                counts["relationships"] += 1
+        return counts
+    import os
+
+    spark = store.spark
+    os.makedirs(path, exist_ok=True)
+    head_lines = [
+        json.dumps({"Section": "Header"}),
+        json.dumps(hdr),
+        json.dumps({"Section": "Models"}),
+        *[m.strip().replace("\n", "") for m in models],
+        json.dumps({"Section": "Twins"}),
+    ]
+    with open(os.path.join(path, "00_header.ndjson"), "w") as f:
+        f.write("\n".join(head_lines) + "\n")
+    twins.select("doc").write.mode("overwrite").text(
+        os.path.join(path, "01_twins")
+    )
+    with open(os.path.join(path, "02_relationships_marker.ndjson"), "w") as f:
+        f.write(json.dumps({"Section": "Relationships"}) + "\n")
+    rels.select("doc").write.mode("overwrite").text(
+        os.path.join(path, "03_relationships")
+    )
+    counts["twins"] = twins.count()
+    counts["relationships"] = rels.count()
+    return counts
+
+
 def delete_job(client: DigitalTwinsSparkClient) -> dict[str, int]:
     """DeleteJob (one-shot form): all relationships, then twins, then
     models (the reference loops ``MATCH ... LIMIT n`` deletes; an
