@@ -946,7 +946,6 @@ def export_graph_ndjson(
         return counts
     import os
 
-    spark = store.spark
     os.makedirs(path, exist_ok=True)
     head_lines = [
         json.dumps({"Section": "Header"}),
