@@ -708,6 +708,107 @@ class CypherCompiler:
                     max_depth=max_depth,
                 ),
             ),
+            # ---- full whole-graph coverage: every remaining analytics
+            # operator an analyst would reach through GDS/AGE procedures
+            "graph.scc": (
+                [],
+                {"node": "dt_id", "component": "scc"},
+                lambda: ga.strongly_connected_components(
+                    store.twins, store.relationships
+                ),
+            ),
+            "graph.labelpropagation": (
+                [("iterations", "int", 3)],
+                {"node": "dt_id", "label": "label"},
+                lambda iters: ga.label_propagation(
+                    store.twins, store.relationships, iterations=iters
+                ),
+            ),
+            "graph.coreness": (
+                [("iters", "int", 5)],
+                {"node": "dt_id", "coreness": "coreness"},
+                lambda iters: ga.coreness(
+                    store.twins, store.relationships, iters=iters
+                ),
+            ),
+            "graph.topologicallevels": (
+                [("iters", "int", 8)],
+                {"node": "dt_id", "level": "level"},
+                lambda iters: ga.topological_levels(
+                    store.twins, store.relationships, iters=iters
+                ),
+            ),
+            "graph.assortativity": (
+                [],
+                {"n_edges": "n_edges", "assortativity": "assortativity"},
+                lambda: ga.degree_assortativity(store.relationships),
+            ),
+            "graph.hits": (
+                [("iters", "int", 5)],
+                {"node": "dt_id", "authority": "authority", "hub": "hub"},
+                lambda iters: ga.hits(
+                    store.twins, store.relationships, iters=iters
+                ),
+            ),
+            "graph.eigenvector": (
+                [("iters", "int", 5)],
+                {"node": "dt_id", "score": "score"},
+                lambda iters: ga.eigenvector_centrality(
+                    store.twins, store.relationships, iters=iters
+                ),
+            ),
+            "graph.closeness": (
+                [("seeds", "list[str]", R), ("maxDepth", "int", 3)],
+                {"node": "dt_id", "dist_sum": "dist_sum",
+                 "n_reached": "n_reached", "closeness": "closeness"},
+                lambda seeds, max_depth: ga.closeness_centrality_sampled(
+                    store.relationships,
+                    store.twins.filter(F.col("dt_id").isin(list(seeds)))
+                    .select("dt_id"),
+                    max_depth=max_depth,
+                ),
+            ),
+            "graph.betweenness": (
+                [("seeds", "list[str]", R), ("maxDepth", "int", 3)],
+                {"node": "dt_id", "betweenness": "betweenness"},
+                lambda seeds, max_depth: ga.betweenness_centrality_sampled(
+                    store.relationships,
+                    store.twins.filter(F.col("dt_id").isin(list(seeds)))
+                    .select("dt_id"),
+                    max_depth=max_depth,
+                ),
+            ),
+            "graph.distancedistribution": (
+                [("seeds", "list[str]", R), ("maxDepth", "int", 3)],
+                {"depth": "depth", "n_pairs": "n_pairs"},
+                lambda seeds, max_depth: ga.distance_distribution(
+                    store.relationships,
+                    store.twins.filter(F.col("dt_id").isin(list(seeds)))
+                    .select("dt_id"),
+                    max_depth=max_depth,
+                ),
+            ),
+            "graph.louvain": (
+                [("roundsPerLevel", "int", 4), ("levels", "int", 2)],
+                {"node": "dt_id", "community": "community"},
+                lambda rpl, lv: ga.louvain_communities(
+                    store.twins, store.relationships,
+                    rounds_per_level=rpl, levels=lv,
+                ),
+            ),
+            "graph.clusteringcoefficient": (
+                [],
+                {"n_triangles": "n_triangles", "n_triads": "n_triads",
+                 "coefficient": "clustering_coefficient"},
+                lambda: ga.global_clustering_coefficient(
+                    store.relationships
+                ),
+            ),
+            "graph.kcore": (
+                [("k", "int", 2)],
+                {"node": "dt_id"},
+                lambda k: ga.k_core(store.relationships, k=k),
+            ),
         }
 
     def _proc_arg(self, e, kind: str, name: str, proc: str):

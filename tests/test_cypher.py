@@ -2651,6 +2651,27 @@ def test_call_procedure_composition(spark):
     assert sorted(r["node"] for r in u) == ["a", "b", "c", "d"]
 
 
+def test_call_procedure_registry_full_coverage(spark):
+    """Every registered procedure runs end-to-end through the client
+    with its full canonical YIELD list — a canon-map drift (yield name
+    that doesn't match the operator's output column) fails here, not
+    in a user query."""
+    c = _proc_client(spark)
+    compiler_registry = __import__(
+        "pg_age_digitaltwins_spark.cypher.compiler", fromlist=["CypherCompiler"]
+    ).CypherCompiler(c.store)._proc_registry()
+    seeds = "['a']"
+    for name, (arg_spec, canon, _build) in sorted(compiler_registry.items()):
+        # pass only the REQUIRED seed-list arg; rely on defaults else
+        args = [seeds] if any(k == "list[str]" for _, k, _ in arg_spec) else []
+        q = (
+            f"CALL {name}({', '.join(args)}) "
+            f"YIELD {', '.join(canon)} RETURN count(*) AS n"
+        )
+        rows = c.query(q).rows
+        assert rows and rows[0]["n"] >= 1, name
+
+
 def test_call_procedure_errors(spark):
     import pytest as _pytest
 
