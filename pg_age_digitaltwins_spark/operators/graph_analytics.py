@@ -375,18 +375,23 @@ def triangle_count(relationships: DataFrame) -> DataFrame:
     e = relationships.select("source_id", "target_id").filter(
         F.col("source_id") != F.col("target_id")
     )
+    # lazy lineage cuts (r14): und feeds deg + the orientation join and
+    # deg feeds both ranked sides — without the cuts each consumer
+    # re-runs the edges scan + dedup shuffle
     und = (
         e.select(
             F.least("source_id", "target_id").alias("a"),
             F.greatest("source_id", "target_id").alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     # orient: lower (deg, id) -> higher (deg, id)
     ranked = (
@@ -397,7 +402,7 @@ def triangle_count(relationships: DataFrame) -> DataFrame:
     oriented = ranked.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+    ).localCheckpoint(eager=False)
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.hi") == F.col("e2.lo"))
@@ -434,18 +439,24 @@ def local_clustering(relationships: DataFrame) -> DataFrame:
     e = relationships.select("source_id", "target_id").filter(
         F.col("source_id") != F.col("target_id")
     )
+    # lazy lineage cuts: und feeds deg + the orientation join, deg
+    # feeds BOTH ranked sides and the final join — without the cuts
+    # each consumer re-runs the edges scan + distinct (3× the
+    # dedup shuffle at any scale)
     und = (
         e.select(
             F.least("source_id", "target_id").alias("a"),
             F.greatest("source_id", "target_id").alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
     )
     ranked = (
         und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
