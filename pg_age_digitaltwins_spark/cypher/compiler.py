@@ -621,16 +621,19 @@ class CypherCompiler:
     # kind 'int' | 'float' | 'list[str]'; default _REQUIRED = no default.
     _REQUIRED = object()
 
-    def _proc_registry(self):
+    def _proc_registry(self, rels: DataFrame | None = None):
         from pg_age_digitaltwins_spark.operators import graph_analytics as ga
 
         store = self.store
+        # the edge set every procedure runs on — _proc_call passes the
+        # relTypes-filtered frame for typed-subgraph analytics
+        relationships = rels if rels is not None else store.relationships
 
         def _degree():
-            out_d = store.relationships.groupBy(
+            out_d = relationships.groupBy(
                 F.col("source_id").alias("dt_id")
             ).agg(F.count(F.lit(1)).alias("out_degree"))
-            in_d = store.relationships.groupBy(
+            in_d = relationships.groupBy(
                 F.col("target_id").alias("dt_id")
             ).agg(F.count(F.lit(1)).alias("in_degree"))
             return (
@@ -655,7 +658,7 @@ class CypherCompiler:
                 [("iters", "int", 10), ("damping", "float", 0.85)],
                 {"node": "dt_id", "rank": "rank"},
                 lambda iters, damping: ga.pagerank(
-                    store.twins, store.relationships,
+                    store.twins, relationships,
                     iters=iters, damping=damping,
                 ),
             ),
@@ -665,7 +668,7 @@ class CypherCompiler:
                  ("damping", "float", 0.85)],
                 {"node": "dt_id", "rank": "rank"},
                 lambda seeds, iters, damping: ga.personalized_pagerank(
-                    store.twins, store.relationships, seeds,
+                    store.twins, relationships, seeds,
                     iters=iters, damping=damping,
                 ),
             ),
@@ -673,7 +676,7 @@ class CypherCompiler:
                 [],
                 {"node": "dt_id", "component": "component"},
                 lambda: ga.connected_components(
-                    store.twins, store.relationships
+                    store.twins, relationships
                 ),
             ),
             "graph.degree": (
@@ -686,7 +689,7 @@ class CypherCompiler:
             "graph.trianglecount": (
                 [],
                 {"triangles": "n_triangles"},
-                lambda: ga.triangle_count(store.relationships),
+                lambda: ga.triangle_count(relationships),
             ),
             # per-node local clustering coefficient (exact integer
             # triangles/wedges; coefficient in floor-div micro units)
@@ -694,7 +697,7 @@ class CypherCompiler:
                 [],
                 {"node": "dt_id", "triangles": "triangles",
                  "wedges": "wedges", "lcc_micro": "lcc_micro"},
-                lambda: ga.local_clustering(store.relationships),
+                lambda: ga.local_clustering(relationships),
             ),
             # sampled harmonic centrality from a seed set (exact
             # integer 12/d weighting; maxDepth <= 12 per the operator)
@@ -702,7 +705,7 @@ class CypherCompiler:
                 [("seeds", "list[str]", R), ("maxDepth", "int", 3)],
                 {"node": "dt_id", "h12": "h12", "n_reached": "n_reached"},
                 lambda seeds, max_depth: ga.harmonic_centrality_sampled(
-                    store.relationships,
+                    relationships,
                     store.twins.filter(F.col("dt_id").isin(list(seeds)))
                     .select("dt_id"),
                     max_depth=max_depth,
@@ -714,47 +717,47 @@ class CypherCompiler:
                 [],
                 {"node": "dt_id", "component": "scc"},
                 lambda: ga.strongly_connected_components(
-                    store.twins, store.relationships
+                    store.twins, relationships
                 ),
             ),
             "graph.labelpropagation": (
                 [("iterations", "int", 3)],
                 {"node": "dt_id", "label": "label"},
                 lambda iters: ga.label_propagation(
-                    store.twins, store.relationships, iterations=iters
+                    store.twins, relationships, iterations=iters
                 ),
             ),
             "graph.coreness": (
                 [("iters", "int", 5)],
                 {"node": "dt_id", "coreness": "coreness"},
                 lambda iters: ga.coreness(
-                    store.twins, store.relationships, iters=iters
+                    store.twins, relationships, iters=iters
                 ),
             ),
             "graph.topologicallevels": (
                 [("iters", "int", 8)],
                 {"node": "dt_id", "level": "level"},
                 lambda iters: ga.topological_levels(
-                    store.twins, store.relationships, iters=iters
+                    store.twins, relationships, iters=iters
                 ),
             ),
             "graph.assortativity": (
                 [],
                 {"n_edges": "n_edges", "assortativity": "assortativity"},
-                lambda: ga.degree_assortativity(store.relationships),
+                lambda: ga.degree_assortativity(relationships),
             ),
             "graph.hits": (
                 [("iters", "int", 5)],
                 {"node": "dt_id", "authority": "authority", "hub": "hub"},
                 lambda iters: ga.hits(
-                    store.twins, store.relationships, iters=iters
+                    store.twins, relationships, iters=iters
                 ),
             ),
             "graph.eigenvector": (
                 [("iters", "int", 5)],
                 {"node": "dt_id", "score": "score"},
                 lambda iters: ga.eigenvector_centrality(
-                    store.twins, store.relationships, iters=iters
+                    store.twins, relationships, iters=iters
                 ),
             ),
             "graph.closeness": (
@@ -762,7 +765,7 @@ class CypherCompiler:
                 {"node": "dt_id", "dist_sum": "dist_sum",
                  "n_reached": "n_reached", "closeness": "closeness"},
                 lambda seeds, max_depth: ga.closeness_centrality_sampled(
-                    store.relationships,
+                    relationships,
                     store.twins.filter(F.col("dt_id").isin(list(seeds)))
                     .select("dt_id"),
                     max_depth=max_depth,
@@ -772,7 +775,7 @@ class CypherCompiler:
                 [("seeds", "list[str]", R), ("maxDepth", "int", 3)],
                 {"node": "dt_id", "betweenness": "betweenness"},
                 lambda seeds, max_depth: ga.betweenness_centrality_sampled(
-                    store.relationships,
+                    relationships,
                     store.twins.filter(F.col("dt_id").isin(list(seeds)))
                     .select("dt_id"),
                     max_depth=max_depth,
@@ -782,7 +785,7 @@ class CypherCompiler:
                 [("seeds", "list[str]", R), ("maxDepth", "int", 3)],
                 {"depth": "depth", "n_pairs": "n_pairs"},
                 lambda seeds, max_depth: ga.distance_distribution(
-                    store.relationships,
+                    relationships,
                     store.twins.filter(F.col("dt_id").isin(list(seeds)))
                     .select("dt_id"),
                     max_depth=max_depth,
@@ -792,7 +795,7 @@ class CypherCompiler:
                 [("roundsPerLevel", "int", 4), ("levels", "int", 2)],
                 {"node": "dt_id", "community": "community"},
                 lambda rpl, lv: ga.louvain_communities(
-                    store.twins, store.relationships,
+                    store.twins, relationships,
                     rounds_per_level=rpl, levels=lv,
                 ),
             ),
@@ -801,13 +804,13 @@ class CypherCompiler:
                 {"n_triangles": "n_triangles", "n_triads": "n_triads",
                  "coefficient": "clustering_coefficient"},
                 lambda: ga.global_clustering_coefficient(
-                    store.relationships
+                    relationships
                 ),
             ),
             "graph.kcore": (
                 [("k", "int", 2)],
                 {"node": "dt_id"},
-                lambda k: ga.k_core(store.relationships, k=k),
+                lambda k: ga.k_core(relationships, k=k),
             ),
         }
 
@@ -854,7 +857,6 @@ class CypherCompiler:
         broadcast-gated hints, lazy lineage cuts); YIELD pruning
         happens plan-side so unused yield columns are column-pruned
         out of the operator's final projection by Catalyst."""
-        registry = self._proc_registry()
         key = clause.name.lower()
         if df is not None or env:
             raise CypherCompileError(
@@ -863,23 +865,50 @@ class CypherCompiler:
                 "their YIELDed result afterwards (for row-driven "
                 "invocation use a CALL {{ ... }} subquery)"
             )
+        registry = self._proc_registry()
         if key not in registry:
             raise CypherCompileError(
                 f"Unknown procedure {clause.name}() — available: "
                 + ", ".join(sorted(registry))
             )
         arg_spec, canon, build = registry[key]
-        if len(clause.args) > len(arg_spec):
+        # universal trailing relTypes argument (GDS relationship-type
+        # projection): a FINAL string-list literal in a position the
+        # spec doesn't type as a list restricts the procedure to edges
+        # of those relationship names — typed-subgraph analytics from
+        # the query language.  Vertices are NOT filtered (GDS-style
+        # projection: isolated nodes keep base ranks / singleton
+        # components).
+        clause_args = list(clause.args)
+        if clause_args and isinstance(clause_args[-1], C.ListLit):
+            slot = len(clause_args) - 1
+            if slot >= len(arg_spec) or arg_spec[slot][1] != "list[str]":
+                rel_types = self._proc_arg(
+                    clause_args.pop(), "list[str]", "relTypes", clause.name
+                )
+                if not rel_types:
+                    raise CypherCompileError(
+                        f"CALL {clause.name}(...): relTypes must name at "
+                        "least one relationship type"
+                    )
+                registry = self._proc_registry(
+                    self.store.relationships.filter(
+                        F.col("name").isin(rel_types)
+                    )
+                )
+                arg_spec, canon, build = registry[key]
+        if len(clause_args) > len(arg_spec):
             raise CypherCompileError(
                 f"CALL {clause.name}(...) takes at most {len(arg_spec)} "
-                f"argument(s) ({', '.join(a for a, _, _ in arg_spec)}), "
-                f"got {len(clause.args)}"
+                f"argument(s) ({', '.join(a for a, _, _ in arg_spec)}) "
+                f"plus an optional trailing relTypes list, "
+                f"got {len(clause_args)}"
             )
         vals = []
         for i, (aname, akind, adefault) in enumerate(arg_spec):
-            if i < len(clause.args):
+            if i < len(clause_args):
                 vals.append(
-                    self._proc_arg(clause.args[i], akind, aname, clause.name)
+                    self._proc_arg(clause_args[i], akind, aname, clause.name)
                 )
             elif adefault is CypherCompiler._REQUIRED:
                 raise CypherCompileError(

@@ -2651,6 +2651,62 @@ def test_call_procedure_composition(spark):
     assert sorted(r["node"] for r in u) == ["a", "b", "c", "d"]
 
 
+def test_call_procedure_rel_types_projection(spark):
+    """r14: a trailing string-list literal in a non-list slot projects
+    the procedure onto edges of those relationship names (GDS-style
+    typed-subgraph analytics); vertices are not filtered."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    import pytest as _pytest
+
+    models = [{"@id": "dtmi:sp:RT;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3", "contents": []}]
+    twins = [{"$dtId": x, "$metadata": {"$model": "dtmi:sp:RT;1"}}
+             for x in "abcd"]
+    rels = (
+        [{"$relationshipId": f"n{i}", "$sourceId": s, "$targetId": t,
+          "$relationshipName": "next"}
+         for i, (s, t) in enumerate([("a", "b"), ("b", "c")])]
+        + [{"$relationshipId": f"o{i}", "$sourceId": s, "$targetId": t,
+            "$relationshipName": "other"}
+           for i, (s, t) in enumerate([("c", "d"), ("a", "c")])]
+    )
+    c = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+    got = c.query(
+        "CALL graph.degree(['next']) YIELD node, out_degree, in_degree "
+        "WHERE out_degree + in_degree > 0 "
+        "RETURN node, out_degree, in_degree ORDER BY node"
+    ).rows
+    assert got == [
+        {"node": "a", "out_degree": 1, "in_degree": 0},
+        {"node": "b", "out_degree": 1, "in_degree": 1},
+        {"node": "c", "out_degree": 0, "in_degree": 1},
+    ]
+    # typed CC splits {a,b,c} from {d}; the full graph is one component
+    nc = lambda q: c.query(q).rows[0]["nc"]  # noqa: E731
+    assert nc("CALL graph.connectedComponents(['next']) YIELD node, "
+              "component RETURN count(DISTINCT component) AS nc") == 2
+    assert nc("CALL graph.connectedComponents() YIELD node, component "
+              "RETURN count(DISTINCT component) AS nc") == 1
+    # after full positional args, and directly after a typed list slot
+    assert c.query(
+        "CALL graph.pageRank(3, 0.85, ['next']) YIELD node, rank "
+        "RETURN count(*) AS n"
+    ).rows == [{"n": 4}]
+    assert c.query(
+        "CALL graph.personalizedPageRank(['a'], ['next']) "
+        "YIELD node, rank WHERE rank > 0 RETURN count(*) AS n"
+    ).rows == [{"n": 3}]
+    with _pytest.raises(CypherCompileError, match="at least one"):
+        c.query("CALL graph.degree([]) YIELD node RETURN node")
+    with _pytest.raises(CypherCompileError, match="at most"):
+        c.query("CALL graph.pageRank(1, 2, ['x'], ['y']) "
+                "YIELD node RETURN node")
+
+
 def test_call_procedure_registry_full_coverage(spark):
     """Every registered procedure runs end-to-end through the client
     with its full canonical YIELD list — a canon-map drift (yield name
