@@ -4145,3 +4145,82 @@ def test_local_clustering_hand_computed(spark):
     assert {k: (v["triangles"], v["wedges"]) for k, v in got2.items()} == {
         k: (v["triangles"], v["wedges"]) for k, v in got.items()
     }
+
+
+def test_rolling_stats_randomized_replay(spark):
+    """r14: 300 seeded-random rows across 3 series, window 7 — every
+    output row matches a pure-Python trailing-window replay exactly
+    (count, milli sum, variance numerator)."""
+    import math
+    import random
+    from datetime import datetime, timedelta
+
+    from pg_age_digitaltwins_spark.operators.events import rolling_stats
+
+    rng = random.Random(1414)
+    base = datetime(2026, 2, 1)
+    rows = []
+    for i in range(300):
+        v = None if rng.random() < 0.05 else rng.uniform(-50, 50)
+        rows.append(
+            (i, base + timedelta(seconds=rng.randrange(10_000)),
+             f"s{rng.randrange(3)}", v)
+        )
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["event_type"], r["event_id"]):
+            (r["roll_n"], r["roll_sum_milli"], r["roll_var_num"])
+        for r in rolling_stats(events, window_rows=7).collect()
+    }
+    series: dict = {}
+    for eid, ts, et, v in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        if v is None:
+            continue
+        series.setdefault(et, []).append((eid, math.floor(v * 1000)))
+    expect = {}
+    for et, pts in series.items():
+        for i, (eid, _) in enumerate(pts):
+            frame = [m for _, m in pts[max(0, i - 6): i + 1]]
+            n, s = len(frame), sum(frame)
+            sq = sum(x * x for x in frame)
+            expect[(et, eid)] = (n, s, n * sq - s * s)
+    assert got == expect
+
+
+def test_dup_downweight_randomized_replay(spark):
+    """r14: seeded-random corpus with planted duplicate groups — group
+    sizes and every keep decision match the pure-Python md5 replay."""
+    import hashlib
+    import random
+    import re
+
+    from pg_age_digitaltwins_spark.operators.sampling import dup_downweight
+
+    rng = random.Random(77)
+    texts = [f"doc body {i}" for i in range(40)]
+    rows = []
+    for doc_id in range(200):
+        t = rng.choice(texts)
+        # random case/space noise that normalizes away
+        if rng.random() < 0.5:
+            t = t.upper()
+        if rng.random() < 0.5:
+            t = "  " + t.replace(" ", "   ") + " "
+        rows.append((doc_id, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["group_n"], r["kept"])
+           for r in dup_downweight(docs).collect()}
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    groups: dict = {}
+    for doc_id, t in rows:
+        groups.setdefault(norm(t), []).append(doc_id)
+    for members in groups.values():
+        n = len(members)
+        for d in members:
+            u = int(hashlib.md5(f"dupdw|{d}".encode()).hexdigest()[:8], 16)
+            assert got[d] == (n, u * n < 2**32), d
