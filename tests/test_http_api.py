@@ -950,3 +950,29 @@ def test_openapi_document(api):
     assert "x-required-permission" not in paths["/openapi/v1.json"]["get"]
     # every registered route appears
     assert len(paths) >= 25
+
+
+def test_query_route_procedure_call(api):
+    """r14: CALL ... YIELD flows through POST /query like any Cypher —
+    the fixture graph (r1 -adjacentTo-> r2) yields exact degrees; a
+    typed projection onto a non-existent relationship name zeroes
+    them; a bad procedure is a 400, not a 500."""
+    resp = api.handle(Request("POST", "/query", body={
+        "query": "CALL graph.degree() YIELD node, out_degree, in_degree "
+                 "RETURN node, out_degree, in_degree ORDER BY node"
+    }))
+    assert resp.status == 200
+    assert resp.body["value"] == [
+        {"node": "r1", "out_degree": 1, "in_degree": 0},
+        {"node": "r2", "out_degree": 0, "in_degree": 1},
+    ]
+    assert float(resp.headers["query-charge"]) > 0
+    typed = api.handle(Request("POST", "/query", body={
+        "query": "CALL graph.degree(['nosuch']) YIELD node, out_degree "
+                 "WHERE out_degree > 0 RETURN node"
+    }))
+    assert typed.status == 200 and typed.body["value"] == []
+    bad = api.handle(Request("POST", "/query", body={
+        "query": "CALL graph.nope() YIELD x RETURN x"
+    }))
+    assert bad.status == 400
