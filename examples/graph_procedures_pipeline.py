@@ -55,6 +55,12 @@ def main() -> None:
     ).rows
     print("related to cust-0/cust-1:", related)
 
+    typed = client.query(
+        "CALL graph.connectedComponents(['locatedIn', 'partOf']) "
+        "YIELD node, component RETURN count(DISTINCT component) AS regions"
+    ).rows
+    print("components of the geography subgraph:", typed)
+
     reach = client.query(
         "CALL graph.harmonicCentrality(['nation-0', 'nation-1'], 3) "
         "YIELD node, h12 RETURN count(*) AS n_reached_any, max(h12) AS max_h12"
