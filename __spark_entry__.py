@@ -252,6 +252,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "CALL graph.triangleCount() YIELD triangles "
         "RETURN triangles AS n_triangles"
     )
+    # r14: relTypes projection under the oracle — degree over ONLY the
+    # geography edges (locatedIn/partOf); vertices unfiltered, so the
+    # WHERE keeps the frame to the touched nodes
+    q["cypher_call_degree_typed"] = _adt(
+        "CALL graph.degree(['locatedIn', 'partOf']) "
+        "YIELD node, out_degree, in_degree "
+        "WHERE out_degree + in_degree > 0 "
+        "RETURN node, out_degree, in_degree"
+    )
     _NATION_SEEDS = ", ".join(f"'nation-{i}'" for i in range(25))
     q["cypher_call_harmonic"] = _adt(
         f"CALL graph.harmonicCentrality([{_NATION_SEEDS}], 3) "
@@ -2917,6 +2926,20 @@ def oracle_sql() -> dict[str, str]:
     # keys, exercised through the CALL ... YIELD language surface
     o["cypher_call_pagerank"] = _pagerank_oracle()
     o["cypher_call_components"] = _cc_oracle()
+    o["cypher_call_degree_typed"] = (
+        "WITH e AS MATERIALIZED ("
+        "SELECT 'cust-' || c_custkey AS src, 'nation-' || c_nationkey AS dst FROM customer "
+        "UNION ALL SELECT 'supp-' || s_suppkey, 'nation-' || s_nationkey FROM supplier "
+        "UNION ALL SELECT 'nation-' || n_nationkey, 'region-' || n_regionkey FROM nation), "
+        "od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS od "
+        "FROM e GROUP BY src), "
+        "ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS ind "
+        "FROM e GROUP BY dst) "
+        "SELECT coalesce(od.node, ind.node) AS node, "
+        "CAST(coalesce(od.od, 0) AS BIGINT) AS out_degree, "
+        "CAST(coalesce(ind.ind, 0) AS BIGINT) AS in_degree "
+        "FROM od FULL OUTER JOIN ind ON od.node = ind.node"
+    )
     o["cypher_call_triangles"] = (
         f"WITH d AS ({_EDGES_SQL}), "
         "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
