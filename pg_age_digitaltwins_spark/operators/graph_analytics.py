@@ -2131,7 +2131,11 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
         .groupBy("src", "c")
         .agg(F.sum("w").alias("k_vc"))
         .join(comm_src, "src")
-        .join(F.broadcast(sigma), F.col("c") == F.col("comm"))
+        # σ is community-sized — |V|-sized exactly in round 1 (every
+        # vertex its own community), so it rides the SAME gate as the
+        # state broadcasts: when ``bcast`` is off because |V| exceeds
+        # the 2M limit, σ must not broadcast either (r14 verdict)
+        .join(F.broadcast(sigma) if bcast else sigma, F.col("c") == F.col("comm"))
         .drop("comm")
     )
     score = F.lit(two_m) * F.col("k_vc") - F.col("k") * (
@@ -2456,6 +2460,7 @@ def link_prediction(
     relationships: DataFrame,
     k: int = 50,
     max_wedge_degree: int | None = None,
+    broadcast_vertex_limit: int = 2_000_000,
 ) -> DataFrame:
     """(a, b, common_neighbors, pref_attach) — top-``k`` NON-adjacent
     vertex pairs ranked by common-neighbor count (Newman's CN index),
@@ -2475,22 +2480,42 @@ def link_prediction(
     hub middles above the cap (the standard candidate-generation
     guard; a 10^6-degree hub would otherwise emit 5·10^11 wedges), an
     explicitly documented approximation like node_similarity's cap.
-    Top-k compiles to TakeOrdered."""
+    Top-k compiles to TakeOrdered.
+
+    The degree dim broadcasts ONLY under the same ≤2M-vertex gate
+    PageRank/Louvain use (r14 verdict: a billions-row unconditional
+    broadcast is a driver OOM at the 100 TB north star); above the
+    gate the degree joins fall back to shuffle equi-joins.  The gate
+    count doubles as a lineage cut: ``deg`` is consumed three times
+    (cap filter + both score joins), so the lazy localCheckpoint it
+    materializes saves two recomputes of the dedup+groupBy."""
     e = relationships.select("source_id", "target_id").filter(
         F.col("source_id") != F.col("target_id")
     )
     und = e.select(
         F.least("source_id", "target_id").alias("a"),
         F.greatest("source_id", "target_id").alias("b"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nb = und.select(F.col("a").alias("m"), F.col("b").alias("x")).unionByName(
         und.select(F.col("b").alias("m"), F.col("a").alias("x"))
     )
-    deg = nb.groupBy("m").agg(F.count(F.lit(1)).alias("deg"))
+    # lazy cut (NOT eager: union-rooted plans + eager localCheckpoint
+    # corrupt the constraint rewrite); the gate count() materializes it
+    deg = (
+        nb.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    n_verts = deg.count()
+    bc = (
+        (lambda df: F.broadcast(df))
+        if n_verts <= broadcast_vertex_limit
+        else (lambda df: df)
+    )
     mids = nb
     if max_wedge_degree is not None:
         mids = nb.join(
-            F.broadcast(deg.filter(F.col("deg") <= max_wedge_degree)), "m"
+            bc(deg.filter(F.col("deg") <= max_wedge_degree)), "m"
         ).select("m", "x")
     cn = (
         mids.select("m", F.col("x").alias("ca"))
@@ -2503,8 +2528,8 @@ def link_prediction(
     da = deg.select(F.col("m").alias("a"), F.col("deg").alias("__da"))
     db = deg.select(F.col("m").alias("b"), F.col("deg").alias("__db"))
     return (
-        cn.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        cn.join(bc(da), "a")
+        .join(bc(db), "b")
         .select(
             "a",
             "b",
@@ -2602,7 +2627,9 @@ def topological_levels(
     return level
 
 
-def degree_assortativity(relationships: DataFrame) -> DataFrame:
+def degree_assortativity(
+    relationships: DataFrame, broadcast_vertex_limit: int = 2_000_000
+) -> DataFrame:
     """One row (n_edges, assortativity) — Newman's degree
     assortativity r (Pearson correlation of endpoint degrees over the
     doubled undirected edge list).
@@ -2613,9 +2640,11 @@ def degree_assortativity(relationships: DataFrame) -> DataFrame:
     Degenerate variance (regular graph) yields NULL rather than a
     0/0 NaN.
 
-    100 TB shape: a broadcast-size degree dim joined onto the edge
-    list twice, then a single map-side-combined global aggregate —
-    no shuffle beyond the dedup and the two joins.  At extreme scale
+    100 TB shape: a degree dim joined onto the edge list twice —
+    broadcast ONLY under the same ≤2M-vertex gate PageRank uses
+    (r14 verdict: unconditional vertex-sized broadcasts OOM at the
+    100 TB north star), shuffle equi-joins above it — then a single
+    map-side-combined global aggregate.  At extreme scale
     the BIGINT moments of a 10^12-edge graph with 10^6-degree hubs
     approach overflow (Σj² ≤ M·maxdeg²) — move the moments to
     DECIMAL(38,0) there; at any realistic degree distribution BIGINT
@@ -2626,18 +2655,27 @@ def degree_assortativity(relationships: DataFrame) -> DataFrame:
     und = e.select(
         F.least("source_id", "target_id").alias("a"),
         F.greatest("source_id", "target_id").alias("b"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nb = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    deg = nb.groupBy(F.col("src").alias("v")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # lazy cut (union-rooted lineage — never eager-checkpoint those);
+    # the gate count() materializes it, and deg is consumed twice
+    deg = (
+        nb.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    bc = (
+        (lambda df: F.broadcast(df))
+        if deg.count() <= broadcast_vertex_limit
+        else (lambda df: df)
     )
     dj = deg.select(F.col("v").alias("src"), F.col("deg").alias("j"))
     dk = deg.select(F.col("v").alias("dst"), F.col("deg").alias("kk"))
     m = (
-        nb.join(F.broadcast(dj), "src")
-        .join(F.broadcast(dk), "dst")
+        nb.join(bc(dj), "src")
+        .join(bc(dk), "dst")
         .agg(
             F.count(F.lit(1)).alias("mm"),
             F.sum(F.col("j") * F.col("kk")).alias("sjk"),

@@ -741,3 +741,80 @@ def test_call_procedure_keys_no_cartesian(spark):
     for key in ("cypher_call_degree", "cypher_call_components"):
         plan = _plan(qs[key](spark, SF_DIR))
         assert "CartesianProduct" not in plan, key
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Disable size-based auto-broadcast so the ONLY BroadcastHashJoins
+    in a plan come from explicit F.broadcast hints — required to pin
+    the NEGATIVE case (gate off => no vertex-sized broadcast)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_link_prediction_degree_broadcast_gated_off(no_auto_broadcast):
+    """r15 (r14 verdict): above the 2M-vertex gate the degree dims must
+    NOT broadcast — a billions-row broadcast is a driver OOM at 100 TB.
+    Gate forced off via broadcast_vertex_limit=0; with auto-broadcast
+    disabled any BroadcastHashJoin left could only be an ungated hint."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        link_prediction,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    spark = no_auto_broadcast
+    st = load_graph(spark, SF_DIR)
+    plan = _plan(
+        link_prediction(
+            st.relationships, k=10, max_wedge_degree=100,
+            broadcast_vertex_limit=0,
+        )
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_assortativity_degree_broadcast_gated_off(no_auto_broadcast):
+    """r15: same gate for assortativity's two degree-dim joins."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        degree_assortativity,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    spark = no_auto_broadcast
+    st = load_graph(spark, SF_DIR)
+    plan = _plan(
+        degree_assortativity(st.relationships, broadcast_vertex_limit=0)
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_louvain_round_sigma_not_broadcast_when_gate_off(no_auto_broadcast):
+    """r15: Louvain's per-round σ is |V|-sized exactly in round 1, so
+    with the state-broadcast gate OFF (|V| > 2M) σ must shuffle-join,
+    never broadcast."""
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        _louvain_round,
+    )
+
+    spark = no_auto_broadcast
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    ).select("src", "dst", F.lit(1).cast("long").alias("w"))
+    comm = spark.createDataFrame(
+        [("a", "a", 1), ("b", "b", 2), ("c", "c", 1)],
+        "dt_id string, comm string, k long",
+    )
+    out = _louvain_round(edges, comm, 4, 0, bcast=False, checkpoint=False)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
