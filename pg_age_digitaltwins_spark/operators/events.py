@@ -616,7 +616,9 @@ def rolling_stats(
     division deferred to the consumer so the whole pipeline stays in
     exact BIGINT (the :func:`drift_stats` discipline; the numerator is
     ≥ 0 by Cauchy-Schwarz and the consumer's variance is
-    num / (n·(n−1))).
+    num / (n·(n−1))).  ``scale`` must be a positive divisor of
+    1_000_000 (ValueError otherwise); ``roll_sum_milli`` is named for
+    the default milli scale and carries units of 1/``scale``.
 
     100 TB shape: ONE shuffle keyed by the series column — all three
     window aggregates share the same (partition, order, frame) spec so
@@ -627,6 +629,14 @@ def rolling_stats(
 
     if window_rows < 1:
         raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    # same contract as changepoint (ADVICE r14): scale=0 would silently
+    # zero every value; a bogus scale silently mis-scales the fix-point
+    # column (named for the default milli unit — 1/scale generally)
+    if scale <= 0 or 1_000_000 % scale:
+        raise ValueError(
+            "rolling_stats: scale must be a positive divisor of 1_000_000 "
+            f"(fix-point units of 1/scale), got {scale}"
+        )
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")

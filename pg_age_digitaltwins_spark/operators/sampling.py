@@ -194,7 +194,11 @@ def dup_downweight(
 
     Groups default to the exact-dedup fingerprint
     (:func:`text.fingerprints`); pass ``groups`` (doc_id, group_id),
-    e.g. near-dup clusters, to downweight semantic duplicates.
+    e.g. near-dup clusters, to downweight semantic duplicates.  The
+    contract is ONE group per doc: a doc_id appearing under several
+    group_ids is assigned its min(group_id) (ADVICE r14: an unguarded
+    left join would emit one output row per mapping, silently
+    upweighting that document).
 
     Determinism (the module's md5-bucket discipline): a doc keeps iff
     u32 · n < 2^32 with u32 = the first 8 hex chars of
@@ -215,6 +219,12 @@ def dup_downweight(
         norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
         keyed = docs.select("doc_id", F.md5(norm).alias("group_id"))
     else:
+        # enforce the one-group-per-doc contract BEFORE the join: a
+        # multi-mapped doc_id takes its min(group_id) deterministically
+        # (map-side-combined groupBy — same shuffle key as the join)
+        groups = groups.groupBy("doc_id").agg(
+            F.min("group_id").alias("group_id")
+        )
         keyed = (
             docs.select("doc_id")
             .join(groups, "doc_id", "left")

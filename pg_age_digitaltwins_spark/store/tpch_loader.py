@@ -37,8 +37,14 @@ _TS = "2026-01-01T00:00:00Z"
 
 # Bump when the TPC-H→graph mapping OR storage layout changes
 # (invalidates caches).
-LOADER_VERSION = 5
+LOADER_VERSION = 7
 
+# Every property a _build_graph twin carries is DECLARED in its model
+# (r15): the store must re-import its own ND-JSON export under
+# validate_twin — an export→import round trip that fails the store's
+# own models is an inconsistent fixture, and the reference's import
+# jobs validate twins against the uploaded models
+# (src/AgeDigitalTwins/Jobs — DTDLParser pass before upsert).
 DEMO_MODELS = [
     {"@id": "dtmi:demo:Entity;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "displayName": "Entity"},
     {"@id": "dtmi:demo:Party;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Entity;1"},
@@ -51,15 +57,83 @@ DEMO_MODELS = [
             {"@type": "Property", "name": "name", "schema": "string"},
             {"@type": "Property", "name": "acctbal", "schema": "double"},
             {"@type": "Property", "name": "mktsegment", "schema": "string"},
+            {
+                "@type": "Property",
+                "name": "tags",
+                "schema": {"@type": "Array", "elementSchema": "string"},
+            },
+            {"@type": "Property", "name": "custkey", "schema": "long"},
+            {"@type": "Property", "name": "nationkey", "schema": "long"},
+            {"@type": "Property", "name": "active", "schema": "boolean"},
         ],
     },
-    {"@id": "dtmi:demo:Supplier;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Party;1"},
+    {
+        "@id": "dtmi:demo:Supplier;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:demo:Party;1",
+        "contents": [
+            {"@type": "Property", "name": "name", "schema": "string"},
+            {"@type": "Property", "name": "acctbal", "schema": "double"},
+            {"@type": "Property", "name": "suppkey", "schema": "long"},
+            {
+                "@type": "Property",
+                "name": "address",
+                "schema": {
+                    "@type": "Object",
+                    "fields": [{"name": "nationkey", "schema": "long"}],
+                },
+            },
+        ],
+    },
     {"@id": "dtmi:demo:Item;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Entity;1"},
-    {"@id": "dtmi:demo:Part;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Item;1"},
-    {"@id": "dtmi:demo:Order;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Entity;1"},
+    {
+        "@id": "dtmi:demo:Part;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:demo:Item;1",
+        "contents": [
+            {"@type": "Property", "name": "name", "schema": "string"},
+            {"@type": "Property", "name": "brand", "schema": "string"},
+            {"@type": "Property", "name": "type", "schema": "string"},
+            {"@type": "Property", "name": "size", "schema": "long"},
+            {"@type": "Property", "name": "retailprice", "schema": "double"},
+        ],
+    },
+    {
+        "@id": "dtmi:demo:Order;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:demo:Entity;1",
+        "contents": [
+            {"@type": "Property", "name": "orderstatus", "schema": "string"},
+            {"@type": "Property", "name": "totalprice", "schema": "double"},
+            {"@type": "Property", "name": "orderdate", "schema": "dateTime"},
+            {"@type": "Property", "name": "orderpriority", "schema": "string"},
+            {"@type": "Property", "name": "orderkey", "schema": "long"},
+        ],
+    },
     {"@id": "dtmi:demo:Place;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Entity;1"},
-    {"@id": "dtmi:demo:Nation;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Place;1"},
-    {"@id": "dtmi:demo:Region;1", "@type": "Interface", "@context": "dtmi:dtdl:context;3", "extends": "dtmi:demo:Place;1"},
+    {
+        "@id": "dtmi:demo:Nation;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:demo:Place;1",
+        "contents": [
+            {"@type": "Property", "name": "name", "schema": "string"},
+            {"@type": "Property", "name": "nationkey", "schema": "long"},
+        ],
+    },
+    {
+        "@id": "dtmi:demo:Region;1",
+        "@type": "Interface",
+        "@context": "dtmi:dtdl:context;3",
+        "extends": "dtmi:demo:Place;1",
+        "contents": [
+            {"@type": "Property", "name": "name", "schema": "string"},
+            {"@type": "Property", "name": "regionkey", "schema": "long"},
+        ],
+    },
 ]
 
 
@@ -415,10 +489,34 @@ def _build_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
         )
     )
 
-    li = t["lineitem"]
+    # ADT's relationship PK is (source_id, relationship_id); the
+    # synthetic lineitem has duplicate (l_orderkey, l_linenumber) pairs
+    # (6000 rows / 4599 keys at sf0.001), so a bare ok-ln id violates
+    # the store's own key invariant — an export→import round trip
+    # would silently last-line-wins 23% of the contains/suppliedBy
+    # edges away (r15).  Disambiguate duplicates with a deterministic
+    # row_number suffix (full ordering over the value columns; rows
+    # identical under it are interchangeable, so the output SET is
+    # deterministic).  Edge multiplicity is unchanged — one edge per
+    # lineitem row, as the PageRank out-degree oracles require.
+    from pyspark.sql.window import Window
+
+    li = t["lineitem"].withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+                "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+                "l_discount", "l_returnflag",
+            )
+        ),
+    )
     li_id = F.concat(
         F.lit(""), F.col("l_orderkey").cast("string"), F.lit("-"),
         F.col("l_linenumber").cast("string"),
+        F.when(
+            F.col("__rn") > 1,
+            F.concat(F.lit("-"), F.col("__rn").cast("string")),
+        ).otherwise(F.lit("")),
     )
     rels = (
         _relify(

@@ -191,7 +191,8 @@ def streaming_heavy_hitters(
     Third genuine ``applyInPandasWithState`` operator (after the
     deadband filter and the CUSUM monitor), and VECTORIZED like the
     CUSUM monitor: each batch pre-aggregates to per-user counts
-    (one ``value_counts`` pass), existing summary keys absorb their
+    (``value_counts`` summed across ALL Arrow chunks, so the summary
+    is independent of the ~10k-row chunk boundaries), existing summary keys absorb their
     batch count in one dict update, and only NEW keys walk the
     O(capacity) eviction — cost O(distinct + new·capacity) per batch,
     never per-row Python.  Aggregated increments preserve the
@@ -222,10 +223,18 @@ def streaming_heavy_hitters(
         summary = {
             k: (c, o) for k, c, o in zip(keys, counts, overs)
         }
+        # aggregate value_counts across ALL Arrow chunks FIRST, then
+        # apply one update + eviction pass per BATCH — pdfs is an
+        # iterator of ~10k-row Arrow chunks, and per-chunk eviction
+        # would make the summary chunk-boundary-dependent (ADVICE r14:
+        # the determinism/replay claim must hold at any chunking)
+        batch = None
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            batch = pdf["user_id"].astype("int64").value_counts()
+            vc = pdf["user_id"].astype("int64").value_counts()
+            batch = vc if batch is None else batch.add(vc, fill_value=0)
+        if batch is not None:
             fresh = []
             for uid, n in batch.items():
                 uid, n = int(uid), int(n)

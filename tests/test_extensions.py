@@ -4224,3 +4224,76 @@ def test_dup_downweight_randomized_replay(spark):
         for d in members:
             u = int(hashlib.md5(f"dupdw|{d}".encode()).hexdigest()[:8], 16)
             assert got[d] == (n, u * n < 2**32), d
+
+
+def test_rolling_stats_rejects_bad_scale(spark):
+    """r15 (ADVICE r14): scale=0 silently zeroed every value and a
+    non-divisor scale mis-scales the fix-point column — both must
+    ValueError like changepoint's contract."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.operators.events import rolling_stats
+
+    events = spark.createDataFrame(
+        [(0, datetime(2026, 1, 1), "a", 1.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    for bad in (0, -5, 7, 3000):
+        with _pytest.raises(ValueError, match="scale"):
+            rolling_stats(events, scale=bad)
+    # all divisors of 1e6 accepted (spot: 1, 1000 default, 1_000_000)
+    for ok in (1, 1000, 1_000_000):
+        rolling_stats(events, scale=ok)
+
+
+def test_dup_downweight_multimapped_doc_one_row(spark):
+    """r15 (ADVICE r14): a doc_id mapped to several group_ids must
+    yield ONE output row (min group_id wins), not one per mapping —
+    duplicates in the groups table must not upweight the doc."""
+    from pg_age_digitaltwins_spark.operators.sampling import dup_downweight
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "doc_id long, text string"
+    )
+    groups = spark.createDataFrame(
+        [(1, "g2"), (1, "g1"), (2, "g1"), (2, "g1")],
+        "doc_id long, group_id string",
+    )
+    out = dup_downweight(docs, groups=groups).collect()
+    assert len(out) == 3
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 1 -> min(g1, g2) = g1; doc 2 -> g1 (its duplicate mappings
+    # collapse); so g1 has 2 members; doc 3 unmapped -> singleton
+    assert by_id[1]["group_n"] == 2
+    assert by_id[2]["group_n"] == 2
+    assert by_id[3]["group_n"] == 1
+
+
+def test_node_similarity_pair_count(spark):
+    """r15 (r14 verdict #4): pair attribution for node similarity —
+    sum of C(fan_in,2) over shared targets, hand-verified and equal to
+    the pair rows the uncapped co-neighbor join actually scores."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        node_similarity_jaccard,
+        node_similarity_pair_count,
+    )
+
+    # targets: x with fan-in 3 (a,b,c), y with fan-in 2 (a,b), z with 1
+    rels = spark.createDataFrame(
+        [("r1", "a", "x", "uses"), ("r2", "b", "x", "uses"),
+         ("r3", "c", "x", "uses"), ("r4", "a", "y", "uses"),
+         ("r5", "b", "y", "uses"), ("r6", "c", "z", "uses"),
+         ("r7", "a", "q", "other")],
+        "relationship_id string, source_id string, target_id string, name string",
+    )
+    # C(3,2) + C(2,2) + 0 = 4 candidate pair rows (pre-dedup)
+    assert node_similarity_pair_count(rels, "uses") == 3 + 1
+    # cap 2 drops target x: only y contributes
+    assert node_similarity_pair_count(rels, "uses", max_target_degree=2) == 1
+    # name filter: the 'other' edge alone yields nothing
+    assert node_similarity_pair_count(rels, "other") == 0
+    # distinct scored pairs <= candidate rows; here (a,b),(a,c),(b,c)
+    pairs = node_similarity_jaccard(rels, "uses", top_k=100).collect()
+    assert len(pairs) == 3 <= 4

@@ -694,11 +694,12 @@ def test_export_ndjson_distributed_parts(client, spark, tmp_path):
         client.store, str(root), single_file=False
     )
     assert counts["twins"] == 5 and counts["relationships"] == 5
+    # r15: the docstring's ONE glob must reconstruct the full stream
+    # (header/marker are single-part directories now, not top-level
+    # files the glob would miss)
+    assert _glob.glob(str(root / "*.ndjson")) == []
     lines: list[str] = []
-    for part in sorted(
-        _glob.glob(str(root / "*.ndjson"))
-        + _glob.glob(str(root / "*" / "part-*"))
-    ):
+    for part in sorted(_glob.glob(str(root / "*" / "part-*"))):
         with open(part) as f:
             lines += [ln for ln in f.read().splitlines() if ln]
     fresh = DigitalTwinsSparkClient(GraphStore.empty(spark))
@@ -706,3 +707,35 @@ def test_export_ndjson_distributed_parts(client, spark, tmp_path):
     assert rec.status == "Succeeded" and rec.error_count == 0
     assert fresh.store.twins.count() == 5
     assert fresh.store.relationships.count() == 5
+
+
+def test_tpch_store_export_import_round_trip_exact(spark, tmp_path):
+    """r15: the fixture store must re-import its OWN export exactly —
+    demo models declare every twin property (validate_twin passes) and
+    relationship ids are unique (the lineitem row_number disambiguator),
+    so nothing is rejected and nothing is last-line-wins deduped away."""
+    from pg_age_digitaltwins_spark.jobs import (
+        export_graph_ndjson,
+        import_file_distributed,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    store = load_graph(spark, "/root/testdata/sf0.001")
+    client = DigitalTwinsSparkClient(store)
+    f = str(tmp_path / "exp.ndjson")
+    counts = export_graph_ndjson(store, f, single_file=True)
+    fresh = DigitalTwinsSparkClient(GraphStore.empty(spark))
+    rec = import_file_distributed(fresh, spark, f)
+    assert rec.status == "Succeeded" and rec.error_count == 0
+    assert fresh.store.twins.count() == counts["twins"]
+    assert fresh.store.relationships.count() == counts["relationships"]
+    cols = ["source_id", "relationship_id", "target_id", "name"]
+    a, b = store.relationships.select(*cols), fresh.store.relationships.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # the unique-PK invariant itself
+    assert (
+        store.relationships.select("source_id", "relationship_id")
+        .distinct()
+        .count()
+        == counts["relationships"]
+    )

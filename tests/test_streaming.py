@@ -2341,3 +2341,50 @@ def test_streaming_heavy_hitters_space_saving(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="capacity"):
         streaming_heavy_hitters(stream(), capacity=0)
+
+
+def test_streaming_heavy_hitters_chunk_boundary_independent(spark, tmp_path):
+    """r15 (ADVICE r14): the summary must not depend on how a
+    micro-batch splits into Arrow chunks.  With maxRecordsPerBatch=2
+    the 5-row batch arrives as 3 chunks; per-chunk eviction would keep
+    user 6 (count 5, over 2) — batch-level aggregation must keep
+    user 5 (count 5, over 3), the same answer as one unsplit chunk."""
+    import json as _json
+
+    from pg_age_digitaltwins_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    feed = tmp_path / "hhchunk"
+    feed.mkdir()
+    rows = [(0, 5), (1, 5), (2, 6), (3, 6), (4, 6)]
+    (feed / "b0.ndjson").write_text(
+        "\n".join(
+            _json.dumps(
+                {"event_id": i, "ts": f"2026-03-01T00:00:0{i}",
+                 "user_id": u, "event_type": "x", "value": 1.0}
+            )
+            for i, u in rows
+        )
+    )
+
+    def stream():
+        return spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        ).json(str(feed), timestampFormat="yyyy-MM-dd'T'HH:mm:ss")
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        _run_to_memory(streaming_heavy_hitters(stream(), capacity=1),
+                       "hhchunk", tmp_path)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = [
+        (r["user_id"], r["count_est"], r["overcount"])
+        for r in spark.sql("select * from hhchunk").collect()
+    ]
+    # batch counts {6:3, 5:2}: 6 fills capacity-1 summary, then 5
+    # evicts it and inherits count 3 as overcount -> (5, 5, 3)
+    assert got == [(5, 5, 3)]
