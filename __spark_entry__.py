@@ -239,6 +239,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "CALL graph.pageRank(5) YIELD node, rank "
         "RETURN node AS dt_id, rank"
     )
+    # r15: relationshipWeightProperty projection (GDS weighted
+    # pageRank shape) — quantity-weighted contains edges, default 1.0
+    # on edges without the property; rank flows w(u,v)/W(u)
+    q["cypher_call_pagerank_weighted"] = _adt(
+        "CALL graph.pageRank(5, 0.85, 'quantity') YIELD node, rank "
+        "RETURN node AS dt_id, rank"
+    )
     q["cypher_call_degree"] = _adt(
         "CALL graph.degree() YIELD node, out_degree, in_degree "
         "WHERE out_degree + in_degree > 0 "
@@ -2492,6 +2499,50 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _pagerank_weighted_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled WEIGHTED power iteration matching
+    ``graph_analytics.pagerank(weight_col=...)`` under the entry's
+    'quantity' projection: w = l_quantity on contains edges, 1.0
+    elsewhere (the missing-property default); per-edge share is
+    rank·w/W(src) with W(src)=Σ outgoing weights; zero-total sources
+    are dangling (none exist here — all weights positive)."""
+    wedges = (
+        "SELECT 'order-' || o_orderkey AS src, 'cust-' || o_custkey AS dst, "
+        "CAST(1 AS DOUBLE) AS w FROM orders "
+        "UNION ALL SELECT 'order-' || l_orderkey, 'part-' || l_partkey, "
+        "CAST(l_quantity AS DOUBLE) FROM lineitem "
+        "UNION ALL SELECT 'order-' || l_orderkey, 'supp-' || l_suppkey, 1.0 FROM lineitem "
+        "UNION ALL SELECT 'cust-' || c_custkey, 'nation-' || c_nationkey, 1.0 FROM customer "
+        "UNION ALL SELECT 'supp-' || s_suppkey, 'nation-' || s_nationkey, 1.0 FROM supplier "
+        "UNION ALL SELECT 'nation-' || n_nationkey, 'region-' || n_regionkey, 1.0 FROM nation"
+    )
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_ALL_TWIN_IDS}), "
+        f"edges AS MATERIALIZED ({wedges}), "
+        "outdeg AS MATERIALIZED (SELECT src AS dt_id, sum(w) AS od "
+        "FROM edges GROUP BY src HAVING sum(w) > 0), "
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts), "
+        "r0 AS MATERIALIZED (SELECT dt_id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"
+    ]
+    d = repr(damping)
+    for k in range(1, iters + 1):
+        parts.append(
+            f", dang{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm "
+            f"FROM r{k - 1} r LEFT JOIN outdeg o USING (dt_id) WHERE o.od IS NULL)"
+            f", contrib{k} AS MATERIALIZED (SELECT e.dst AS dt_id, "
+            f"sum(r.rank * e.w / o.od) AS in_sum "
+            f"FROM edges e JOIN r{k - 1} r ON e.src = r.dt_id "
+            f"JOIN outdeg o ON o.dt_id = r.dt_id GROUP BY e.dst)"
+            f", r{k} AS MATERIALIZED (SELECT v.dt_id, "
+            f"(1.0 - {d}) / (SELECT n FROM nn) "
+            f"+ {d} * (SELECT dm FROM dang{k}) / (SELECT n FROM nn) "
+            f"+ {d} * coalesce(c.in_sum, 0.0) AS rank "
+            f"FROM verts v LEFT JOIN contrib{k} c USING (dt_id))"
+        )
+    parts.append(f" SELECT dt_id, round(rank, 8) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
 def _weighted_sp_oracle(iters: int = 4) -> str:
     """Unrolled Bellman-Ford matching
     ``graph_analytics.weighted_shortest_paths``: dist_k(v) = min over
@@ -2821,9 +2872,13 @@ def oracle_sql() -> dict[str, str]:
     o["adt_rel_scan_filter"] = (
         "SELECT 'order-' || o_orderkey AS src, 'cust-' || o_custkey AS dst FROM orders"
     )
+    # r15: rids carry the loader's row_number disambiguator on
+    # duplicate (orderkey, linenumber) pairs (unique-PK fix); qty is
+    # in the ordering key, so tied assignments emit identical rows
     o["adt_rel_prop_filter"] = (
-        "SELECT 'contains-' || l_orderkey || '-' || l_linenumber AS rid, "
-        "l_quantity AS qty FROM lineitem WHERE l_quantity >= 45"
+        "SELECT 'contains-' || l_orderkey || '-' || l_linenumber || CASE WHEN rn > 1 THEN '-' || rn ELSE '' END AS rid, "
+        "l_quantity AS qty FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_returnflag) AS rn FROM lineitem) "
+        "WHERE l_quantity >= 45"
     )
     o["adt_join_related_1hop"] = (
         "SELECT 'order-' || o_orderkey AS order_id, c_name AS cust_name "
@@ -2925,6 +2980,9 @@ def oracle_sql() -> dict[str, str]:
     # r14 procedure-call keys: same arithmetic as the direct-operator
     # keys, exercised through the CALL ... YIELD language surface
     o["cypher_call_pagerank"] = _pagerank_oracle()
+    # r15: the relationshipWeightProperty projection value-checks
+    # against the weighted unrolled power iteration
+    o["cypher_call_pagerank_weighted"] = _pagerank_weighted_oracle()
     o["cypher_call_components"] = _cc_oracle()
     o["cypher_call_degree_typed"] = (
         "WITH e AS MATERIALIZED ("
@@ -3057,8 +3115,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT min(c_name) AS first_name, max(c_name) AS last_name FROM customer"
     )
     o["cypher_order_by_qty"] = (
-        "SELECT rid, qty FROM (SELECT 'contains-' || l_orderkey || '-' || l_linenumber AS rid, "
-        "CAST(l_quantity AS DOUBLE) AS qty FROM lineitem) ORDER BY qty DESC, rid ASC LIMIT 20"
+        "SELECT rid, qty FROM (SELECT 'contains-' || l_orderkey || '-' || l_linenumber || CASE WHEN rn > 1 THEN '-' || rn ELSE '' END AS rid, "
+        "CAST(l_quantity AS DOUBLE) AS qty FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_returnflag) AS rn FROM lineitem)"
+        ") ORDER BY qty DESC, rid ASC LIMIT 20"
     )
     o["cypher_distinct_order_skip"] = (
         "SELECT id FROM (SELECT DISTINCT 'nation-' || nk AS id FROM ("

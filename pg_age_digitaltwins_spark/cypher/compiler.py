@@ -621,12 +621,20 @@ class CypherCompiler:
     # kind 'int' | 'float' | 'list[str]'; default _REQUIRED = no default.
     _REQUIRED = object()
 
-    def _proc_registry(self, rels: DataFrame | None = None):
+    # procedures that accept the GDS relationshipWeightProperty
+    # projection (trailing string literal in _proc_call) — extend as
+    # weighted variants of more operators land
+    _WEIGHTED_PROCS = frozenset({"graph.pagerank"})
+
+    def _proc_registry(
+        self, rels: DataFrame | None = None, weight_col: str | None = None
+    ):
         from pg_age_digitaltwins_spark.operators import graph_analytics as ga
 
         store = self.store
         # the edge set every procedure runs on — _proc_call passes the
-        # relTypes-filtered frame for typed-subgraph analytics
+        # relTypes-filtered frame for typed-subgraph analytics (and,
+        # for _WEIGHTED_PROCS, the weight-projected frame + column)
         relationships = rels if rels is not None else store.relationships
 
         def _degree():
@@ -654,12 +662,13 @@ class CypherCompiler:
         R = CypherCompiler._REQUIRED
         return {
             # GDS gds.pageRank.stream shape: per-vertex global PageRank
+            # (weight_col set = the relationshipWeightProperty path)
             "graph.pagerank": (
                 [("iters", "int", 10), ("damping", "float", 0.85)],
                 {"node": "dt_id", "rank": "rank"},
                 lambda iters, damping: ga.pagerank(
                     store.twins, relationships,
-                    iters=iters, damping=damping,
+                    iters=iters, damping=damping, weight_col=weight_col,
                 ),
             ),
             # seed-teleport proximity (related-entities primitive)
@@ -872,31 +881,87 @@ class CypherCompiler:
                 + ", ".join(sorted(registry))
             )
         arg_spec, canon, build = registry[key]
-        # universal trailing relTypes argument (GDS relationship-type
-        # projection): a FINAL string-list literal in a position the
-        # spec doesn't type as a list restricts the procedure to edges
-        # of those relationship names — typed-subgraph analytics from
-        # the query language.  Vertices are NOT filtered (GDS-style
-        # projection: isolated nodes keep base ranks / singleton
-        # components).
+        # universal trailing projection arguments (either order, both
+        # optional, always AFTER the positional spec args):
+        #  * relTypes (r14, GDS relationship-type projection): a FINAL
+        #    string-list literal in a position the spec doesn't type as
+        #    a list restricts the procedure to edges of those
+        #    relationship names.  Vertices are NOT filtered (GDS-style
+        #    projection: isolated nodes keep base ranks / singleton
+        #    components).
+        #  * relationshipWeightProperty (r15, the GDS weighted
+        #    projection): a FINAL string literal in a non-string slot
+        #    names a numeric relationship property; each edge carries
+        #    that weight (missing/non-numeric → 1.0, the GDS
+        #    defaultValue convention; negative → runtime error).  Only
+        #    _WEIGHTED_PROCS accept it.
         clause_args = list(clause.args)
-        if clause_args and isinstance(clause_args[-1], C.ListLit):
-            slot = len(clause_args) - 1
-            if slot >= len(arg_spec) or arg_spec[slot][1] != "list[str]":
-                rel_types = self._proc_arg(
-                    clause_args.pop(), "list[str]", "relTypes", clause.name
-                )
-                if not rel_types:
-                    raise CypherCompileError(
-                        f"CALL {clause.name}(...): relTypes must name at "
-                        "least one relationship type"
+        rel_types: list[str] | None = None
+        weight_prop: str | None = None
+        for _ in range(2):
+            if (
+                rel_types is None
+                and clause_args
+                and isinstance(clause_args[-1], C.ListLit)
+            ):
+                slot = len(clause_args) - 1
+                if slot >= len(arg_spec) or arg_spec[slot][1] != "list[str]":
+                    rel_types = self._proc_arg(
+                        clause_args.pop(), "list[str]", "relTypes",
+                        clause.name,
                     )
-                registry = self._proc_registry(
-                    self.store.relationships.filter(
-                        F.col("name").isin(rel_types)
-                    )
+                    if not rel_types:
+                        raise CypherCompileError(
+                            f"CALL {clause.name}(...): relTypes must name "
+                            "at least one relationship type"
+                        )
+                    continue
+            if (
+                weight_prop is None
+                and clause_args
+                and isinstance(clause_args[-1], C.Lit)
+                and clause_args[-1].kind == "string"
+            ):
+                slot = len(clause_args) - 1
+                if slot >= len(arg_spec) or arg_spec[slot][1] != "str":
+                    if key not in CypherCompiler._WEIGHTED_PROCS:
+                        raise CypherCompileError(
+                            f"CALL {clause.name}(...): "
+                            "relationshipWeightProperty is only supported "
+                            "for: "
+                            + ", ".join(sorted(CypherCompiler._WEIGHTED_PROCS))
+                        )
+                    weight_prop = clause_args.pop().value
+                    continue
+            break
+        if rel_types is not None or weight_prop is not None:
+            from pg_age_digitaltwins_spark.store.graph_store import with_vdoc
+
+            rels_frame = self.store.relationships
+            if rel_types is not None:
+                rels_frame = rels_frame.filter(F.col("name").isin(rel_types))
+            weight_col = None
+            if weight_prop is not None:
+                raw_w = F.coalesce(
+                    J.num_value(F.col("vdoc"), [weight_prop]), F.lit(1.0)
                 )
-                arg_spec, canon, build = registry[key]
+                wcol = F.when(
+                    F.assert_true(
+                        raw_w >= 0,
+                        F.concat(
+                            F.lit(
+                                f"relationshipWeightProperty "
+                                f"'{weight_prop}': negative edge weight "
+                            ),
+                            raw_w.cast("string"),
+                        ),
+                    ).isNull(),
+                    raw_w,
+                )
+                rels_frame = with_vdoc(rels_frame).withColumn("__w", wcol)
+                weight_col = "__w"
+            registry = self._proc_registry(rels_frame, weight_col=weight_col)
+            arg_spec, canon, build = registry[key]
         if len(clause_args) > len(arg_spec):
             raise CypherCompileError(
                 f"CALL {clause.name}(...) takes at most {len(arg_spec)} "

@@ -149,6 +149,7 @@ def pagerank(
     relationships: DataFrame,
     iters: int = 10,
     damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(dt_id, rank) after ``iters`` power iterations on the directed
     twin graph.  Dangling vertices redistribute uniformly (the standard
@@ -181,7 +182,17 @@ def pagerank(
     harmless; out-degrees, however, are counted over ALL of a twin
     source's outgoing edges BEFORE the target encode join, so mass sent
     to a non-twin target leaks (pre-r10 and oracle semantics) instead
-    of silently redistributing to the surviving targets."""
+    of silently redistributing to the surviving targets.
+
+    ``weight_col`` (r15 — the GDS ``relationshipWeightProperty``
+    shape): a numeric column on ``relationships``; each edge carries
+    rank proportional to w(u,v)/W(u) with W(u) the source's TOTAL
+    outgoing weight (over all its edges, RI-leak semantics as above).
+    Weights must be non-negative and non-NULL (the query surface
+    defaults missing properties to 1.0 before calling); a source whose
+    total weight is 0 sends no mass and counts as dangling.  The
+    unweighted path is untouched (count, not sum-of-ones), so existing
+    plans and oracles are byte-identical."""
     # Lazy is retry-safe HERE, unlike Louvain's eager vid_map pin: this
     # encode has no orderBy (no range-shuffle sampling nondeterminism —
     # mono_id over a stable parquet-scan partitioning is deterministic
@@ -200,22 +211,38 @@ def pagerank(
     bc = (lambda df: F.broadcast(df)) if n <= 2_000_000 else (lambda df: df)
     sv = vid_map.select(F.col("dt_id").alias("source_id"), F.col("vid").alias("__sv"))
     tv = vid_map.select(F.col("dt_id").alias("target_id"), F.col("vid").alias("__tv"))
-    src_edges = relationships.select("source_id", "target_id").join(
-        bc(sv), "source_id"
-    )
+    ecols = ["source_id", "target_id"] + ([weight_col] if weight_col else [])
+    src_edges = relationships.select(*ecols).join(bc(sv), "source_id")
     # out-degree counts every outgoing edge of a twin source (including
     # any to non-twin targets) so the per-edge rank share is unchanged
     # on RI-violating inputs — the non-twin share then leaks, it does
     # not inflate the twin targets' shares.
-    out_deg = src_edges.groupBy(F.col("__sv").alias("vid")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+    if weight_col is None:
+        out_deg = src_edges.groupBy(F.col("__sv").alias("vid")).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+    else:
+        # total outgoing WEIGHT; zero-total sources drop out here and
+        # land in dangling_verts (no 0/0 share)
+        out_deg = (
+            src_edges.groupBy(F.col("__sv").alias("vid"))
+            .agg(F.sum(F.col(weight_col).cast("double")).alias("out_deg"))
+            .filter(F.col("out_deg") > 0)
+        )
+    wcols = (
+        [F.col(weight_col).cast("double").alias("__w")] if weight_col else []
     )
     edges = src_edges.join(bc(tv), "target_id").select(
-        F.col("__sv").alias("source_id"), F.col("__tv").alias("target_id")
+        F.col("__sv").alias("source_id"),
+        F.col("__tv").alias("target_id"),
+        *wcols,
     )
     deg_edges = (
         edges.join(out_deg, edges["source_id"] == out_deg["vid"])
-        .select("source_id", "target_id", "out_deg")
+        .select(
+            "source_id", "target_id", "out_deg",
+            *(["__w"] if weight_col else []),
+        )
         .localCheckpoint(eager=True)
     )
     dangling_verts = verts.join(out_deg, "vid", "left_anti").localCheckpoint(
@@ -229,12 +256,14 @@ def pagerank(
         dangling = state.join(bc(dangling_verts), "vid", "semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
+        share = (
+            F.col("rank") * F.col("__w") / F.col("out_deg")
+            if weight_col
+            else F.col("rank") / F.col("out_deg")
+        )
         contribs = (
             deg_edges.join(bc(state), deg_edges["source_id"] == state["vid"])
-            .select(
-                F.col("target_id").alias("vid"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
-            )
+            .select(F.col("target_id").alias("vid"), share.alias("c"))
             .groupBy("vid")
             .agg(F.sum("c").alias("in_sum"))
         )
@@ -2570,6 +2599,35 @@ def link_prediction_wedge_count(
     if max_wedge_degree is not None:
         deg = deg.filter(F.col("deg") <= max_wedge_degree)
     row = deg.agg(F.expr("sum(deg * (deg - 1) div 2)").alias("w")).head()
+    return int(row["w"] or 0)
+
+
+def node_similarity_pair_count(
+    relationships: DataFrame,
+    rel_name: str | None = None,
+    max_target_degree: int | None = None,
+) -> int:
+    """Candidate pair-row count for :func:`node_similarity_jaccard`
+    under the same filters: Σ over shared TARGETS of C(fan_in, 2) —
+    exact BIGINT over the deduped (name-filtered) edge set.
+
+    Work-size ATTRIBUTION (r14 verdict): the co-neighbor self-join is
+    linear in this pair count — fan-in d² growth, not edge count,
+    drives the wall — so recording it next to the sf1 wall makes the
+    uncapped variant's ~9×-per-10× ratio legible as candidate growth
+    rather than a scale regression (the capped variant bounds exactly
+    this sum).  One groupBy + one 1-row aggregate; the collect is a
+    scalar."""
+    e = relationships.select("source_id", "target_id", "name")
+    if rel_name is not None:
+        e = e.filter(F.col("name") == rel_name)
+    e = e.select("source_id", "target_id").distinct()
+    fan = e.groupBy("target_id").agg(F.count(F.lit(1)).alias("fan_in"))
+    if max_target_degree is not None:
+        fan = fan.filter(F.col("fan_in") <= int(max_target_degree))
+    row = fan.agg(
+        F.expr("sum(fan_in * (fan_in - 1) div 2)").alias("w")
+    ).head()
     return int(row["w"] or 0)
 
 

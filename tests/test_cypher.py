@@ -2815,3 +2815,76 @@ def test_var_length_alias_reference_targeted_error(spark):
     # a genuinely unknown name still says so
     with _pytest.raises(CypherCompileError, match="Unknown variable"):
         c.query("MATCH (a) RETURN zz.w AS w")
+
+
+def test_call_procedure_pagerank_weighted(spark):
+    """r15: a trailing string literal in a non-string slot is the GDS
+    relationshipWeightProperty projection — rank flows w(u,v)/W(u),
+    missing property defaults to 1.0, matches a pure-Python replay;
+    composes with relTypes in either order."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sp:W;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3",
+               "contents": [{"@type": "Property", "name": "q",
+                             "schema": "double"}]}]
+    twins = [{"$dtId": x, "$metadata": {"$model": "dtmi:sp:W;1"}}
+             for x in "abcd"]
+    edges = [("a", "b", 3.0), ("b", "c", None), ("a", "c", 1.0),
+             ("c", "d", 2.0)]
+    rels = []
+    for i, (s, t, w) in enumerate(edges):
+        doc = {"$relationshipId": f"r{i}", "$sourceId": s, "$targetId": t,
+               "$relationshipName": "next"}
+        if w is not None:
+            doc["q"] = w
+        rels.append(doc)
+    c = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+    got = {
+        r["node"]: r["rank"]
+        for r in c.query(
+            "CALL graph.pageRank(4, 0.85, 'q') YIELD node, rank "
+            "RETURN node, rank"
+        ).rows
+    }
+    # pure-Python weighted replay (missing q -> 1.0)
+    verts = list("abcd")
+    we = [(s, t, w if w is not None else 1.0) for s, t, w in edges]
+    W = {v: sum(w for s, _, w in we if s == v) for v in verts}
+    d, n = 0.85, 4
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(4):
+        dang = sum(rank[v] for v in verts if W[v] == 0)
+        rank = {
+            v: (1 - d) / n + d * dang / n
+            + d * sum(rank[s] * w / W[s] for s, t, w in we if t == v)
+            for v in verts
+        }
+    for v in verts:
+        assert abs(got[v] - rank[v]) < 1e-7, v
+    # either projection order, same answer
+    for qstr in (
+        "CALL graph.pageRank(4, 0.85, 'q', ['next']) YIELD node, rank "
+        "RETURN node, rank",
+        "CALL graph.pageRank(4, 0.85, ['next'], 'q') YIELD node, rank "
+        "RETURN node, rank",
+    ):
+        got2 = {r["node"]: r["rank"] for r in c.query(qstr).rows}
+        assert got2 == got
+    # only _WEIGHTED_PROCS accept a weight property
+    with pytest.raises(CypherCompileError, match="relationshipWeightProperty"):
+        c.query("CALL graph.louvain('q') YIELD node, community "
+                "RETURN count(*) AS n")
+    # negative weights fail at runtime with a named error
+    bad = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins[:2],
+        relationship_docs=[{"$relationshipId": "r0", "$sourceId": "a",
+                            "$targetId": "b", "$relationshipName": "next",
+                            "q": -1.0}],
+        model_docs=models))
+    with pytest.raises(Exception, match="negative edge weight"):
+        bad.query("CALL graph.pageRank(2, 0.85, 'q') YIELD node, rank "
+                  "RETURN count(*) AS n")

@@ -60,6 +60,9 @@ _FRAGMENTS = st.sampled_from([
     "CALL graph.degree() YIELD node AS n", "CALL graph.",
     "graph.personalizedPageRank(['a'],", "YIELD node WHERE rank > 0",
     "CALL x.y.z(1, 0.5)", "CALL graph.pageRank(5) YIELD",
+    # r15 grammar: weight-property / relTypes trailing projections
+    "CALL graph.pageRank(5, 0.85, 'q')", "'quantity', ['contains']",
+    "CALL graph.pageRank(3, 0.85, ['next'], 'q') YIELD node, rank",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
