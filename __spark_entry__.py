@@ -2324,63 +2324,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # analytics, dedup, text, embeddings, events, TPC-H, sampling) —
 # value-checked representatives first.  Pure reorder: no query or
 # oracle definition changes.
-# r14: 27 of the 50 keys rotated (same family balance), all 27
-# FIRST-time driver-gated -- the never-gated count drops 45 -> 18.
-# Two keys deliberately STAY to RE-verify after r13-ADVICE-driven
-# fixes: events_drift_stats (its r13 hash mismatch was a DuckDB
-# HUGEINT->float64 leak in the ORACLE, now BIGINT-cast) and
-# cypher_weighted_shortest_path (the lo==0/hi==0 compiler fixes).
-# graph_msf (rows-only by design) rotates OUT so every windowed key is
-# value-checked -- it stays replay-pinned on the full board.
+# r15: 18 of the 50 keys are FIRST-time driver-gated — the ENTIRE
+# remaining never-gated value-checked population (verdict #2): the
+# seven CALL-procedure keys (incl. this round's
+# cypher_call_pagerank_weighted), graph_local_clustering,
+# events_{rolling_stats,props_stats}, the four TPC-H keys,
+# sample_{dup_downweight,split_counts,kfold_counts}, and
+# text_bpe_token_counts.  Never-gated value-checked count -> 0 for the
+# first time; the only never-gated keys left are rows-only by design.
+# Deliberate STAYERS re-verify this round's changes under the driver:
+# adt_rel_prop_filter + cypher_order_by_qty (rel-id disambiguator +
+# rebuilt-store oracles), graph_link_prediction + graph_assortativity
+# (broadcast-gate change), graph_pagerank (weight_col refactor — the
+# unweighted path must stay byte-identical), and
+# cypher_weighted_shortest_path (reads the rebuilt quantity edges).
 # Swapped-out keys stay on the full self-run board
 # (scripts/oracle_check.py).
 _DRIVER_WINDOW = [
-    # ADT QL (10) -- unchanged anchors (full family representation)
+    # ADT QL (10) -- unchanged anchors; adt_rel_prop_filter re-verifies
+    # the r15 rel-id disambiguator end-to-end
     "adt_count_twins", "adt_top_n", "adt_startswith",
     "adt_is_of_model_inheritance", "adt_match_3hop", "adt_match_undirected",
     "adt_join_related_2hop", "adt_rel_prop_filter", "adt_match_multilabel",
     "adt_select_star_point",
-    # Cypher (10) -- r14 rotation: the never-gated 2-hop pattern
-    # predicate gates for the first time; weighted shortestPath STAYS
-    # (re-verifies the lo==0 dedup + hi==0 guard fixes); return_star
-    # rotates out (benched + full-board)
-    "cypher_pattern_predicate_2hop", "cypher_case_when",
-    "cypher_regex_match", "cypher_list_comprehension",
-    "cypher_list_predicates", "cypher_percentiles",
-    "cypher_pattern_predicate", "cypher_path_accessors",
-    "cypher_graph_helpers", "cypher_weighted_shortest_path",
-    # graph analytics (6) -- r14 rotation: harmonic centrality,
-    # neighbor-feature assembly, and longest-path layering gate for the
-    # first time; coreness/link-prediction/assortativity stay one more
-    # round; HITS/k-truss/MSF rotate out
-    "graph_harmonic_centrality", "graph_neighbor_features",
-    "graph_topological_levels", "graph_coreness",
-    "graph_link_prediction", "graph_assortativity",
-    # dedup + text pipeline + multimodal (10) -- r14 rotation: ALL TEN
-    # never-gated (exact-dup groups, verified MinHash pairs, sequence
-    # packing [oracle BIGINT-cast this round], chunking, top bigrams,
-    # repetition stats, length histogram, 5-gram dup stats, quality
-    # profile, frame sampling)
-    "dedup_exact_groups", "dedup_minhash_verified", "text_pack_sequences",
-    "text_chunk_documents", "text_top_bigrams", "text_repetition_stats",
-    "text_length_histogram", "text_dup_5gram_stats",
+    # Cypher (10) -- r15 rotation: ALL SEVEN CALL-procedure keys gate
+    # for the first time (incl. the new weighted-pageRank projection);
+    # order_by_qty stays (its oracle gained the rid disambiguator),
+    # path_accessors (rel ids in output) and weighted shortestPath
+    # (quantity weights over the rebuilt store) stay one more round
+    "cypher_call_pagerank", "cypher_call_pagerank_weighted",
+    "cypher_call_degree", "cypher_call_degree_typed",
+    "cypher_call_components", "cypher_call_triangles",
+    "cypher_call_harmonic", "cypher_order_by_qty",
+    "cypher_path_accessors", "cypher_weighted_shortest_path",
+    # graph analytics (6) -- r15: local clustering first-gates;
+    # link-prediction/assortativity stay (this round's broadcast-gate
+    # fix), pagerank returns (weight_col refactor), harmonic +
+    # topological levels carry over
+    "graph_local_clustering", "graph_link_prediction",
+    "graph_assortativity", "graph_pagerank",
+    "graph_harmonic_centrality", "graph_topological_levels",
+    # dedup + text pipeline + multimodal (8) -- r15: BPE token counts
+    # first-gate; seven r14 carriers keep the family represented
+    "text_bpe_token_counts", "dedup_exact_groups",
+    "dedup_minhash_verified", "text_pack_sequences",
+    "text_chunk_documents", "text_length_histogram",
     "text_profile_documents", "multimodal_frames",
-    # embeddings / ANN (5) -- r14 rotation: all five never-gated
-    # (label centroids, Matryoshka prefix-recall gate, MMR rerank,
-    # norm stats, silhouette gate)
+    # embeddings / ANN (5) -- carried from r14 (no never-gated
+    # value-checked embed keys remain)
     "embed_label_centroids", "embed_matryoshka_recall", "embed_mmr_topk",
     "embed_norm_stats", "embed_silhouette",
-    # events (4) -- r14 rotation: changepoint (oracle BIGINT-cast this
-    # round), anomalies, hopping rollup first-gate; drift stats STAYS
-    # to re-verify its r13 hash-mismatch fix
-    "events_drift_stats", "events_changepoint", "events_anomalies",
-    "events_hopping_rollup",
-    # TPC-H (4) -- r14 rotation: four never-gated (Q10-shaped returned
-    # items, order-priority counts, supplier revenue, large orders)
-    "tpch_returned_items", "tpch_order_priority_counts",
-    "tpch_supplier_revenue", "tpch_large_orders",
-    # sampling (1) -- r14 rotation: temperature-mixture sampling
-    "sample_temperature_mixture",
+    # events (4) -- r15: rolling stats (r14 operator) and per-event
+    # props stats first-gate; changepoint + anomalies carry over
+    "events_rolling_stats", "events_props_stats",
+    "events_changepoint", "events_anomalies",
+    # TPC-H (4) -- r15: the last four never-gated relational keys
+    # (Q22-shaped dormant customers, Q6 forecast revenue, Q4-shaped
+    # waiting orders, bracketed revenue)
+    "tpch_bracket_revenue", "tpch_dormant_customers",
+    "tpch_forecast_revenue", "tpch_waiting_orders",
+    # sampling (3) -- r15: the remaining never-gated sampling keys
+    # (soft-dedup downweight, split determinism, k-fold counts)
+    "sample_dup_downweight", "sample_split_counts", "sample_kfold_counts",
 ]
 
 
