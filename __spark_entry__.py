@@ -246,6 +246,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "CALL graph.pageRank(5, 0.85, 'quantity') YIELD node, rank "
         "RETURN node AS dt_id, rank"
     )
+    # r15 (verdict #4): the capped similarity/link-mining forms are
+    # the procedure-registry DEFAULTS — these keys exercise the
+    # registry path against the same oracles as the direct capped keys
+    q["cypher_call_node_similarity"] = _adt(
+        "CALL graph.nodeSimilarity(50, 25, ['contains']) "
+        "YIELD a, b, intersection AS inter, union_size, "
+        "similarity AS jaccard "
+        "RETURN a, b, inter, union_size, jaccard"
+    )
+    q["cypher_call_link_prediction"] = _adt(
+        "CALL graph.linkPrediction(50, 100) "
+        "YIELD a, b, common_neighbors, pref_attach "
+        "RETURN a, b, common_neighbors, pref_attach"
+    )
     q["cypher_call_degree"] = _adt(
         "CALL graph.degree() YIELD node, out_degree, in_degree "
         "WHERE out_degree + in_degree > 0 "
@@ -3577,6 +3591,11 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY c.common_neighbors DESC, pref_attach DESC, c.a, c.b "
         "LIMIT 50"
     )
+    # r15: the registry-default capped procedures value-check against
+    # the SAME oracles as the direct capped keys (same arithmetic,
+    # CALL dispatch in front)
+    o["cypher_call_node_similarity"] = o["graph_node_similarity_capped"]
+    o["cypher_call_link_prediction"] = o["graph_link_prediction"]
     o["graph_assortativity"] = (
         f"WITH d AS ({_EDGES_SQL}), "
         "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "

@@ -821,6 +821,28 @@ class CypherCompiler:
                 {"node": "dt_id"},
                 lambda k: ga.k_core(relationships, k=k),
             ),
+            # r15 (verdict #4): the CAPPED forms are the registry
+            # defaults — upperDegreeCutoff / maxWedgeDegree bound the
+            # d² candidate terms that blow these plans up at corpus
+            # scale (GDS ships the same cutoffs); pass a huge cutoff
+            # explicitly to opt into the uncapped exact run
+            "graph.nodesimilarity": (
+                [("topK", "int", 20), ("upperDegreeCutoff", "int", 25)],
+                {"a": "a", "b": "b", "intersection": "inter",
+                 "union_size": "union_size", "similarity": "jaccard"},
+                lambda top_k, cutoff: ga.node_similarity_jaccard(
+                    relationships, top_k=top_k, max_target_degree=cutoff,
+                ),
+            ),
+            "graph.linkprediction": (
+                [("topK", "int", 50), ("maxWedgeDegree", "int", 100)],
+                {"a": "a", "b": "b",
+                 "common_neighbors": "common_neighbors",
+                 "pref_attach": "pref_attach"},
+                lambda top_k, cap: ga.link_prediction(
+                    relationships, k=top_k, max_wedge_degree=cap,
+                ),
+            ),
         }
 
     def _proc_arg(self, e, kind: str, name: str, proc: str):

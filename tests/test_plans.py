@@ -738,7 +738,9 @@ def test_call_procedure_keys_no_cartesian(spark):
     import __spark_entry__ as em
 
     qs = em.queries()
-    for key in ("cypher_call_degree", "cypher_call_components"):
+    for key in ("cypher_call_degree", "cypher_call_components",
+                "cypher_call_node_similarity", "cypher_call_link_prediction",
+                "cypher_call_pagerank_weighted"):
         plan = _plan(qs[key](spark, SF_DIR))
         assert "CartesianProduct" not in plan, key
 
