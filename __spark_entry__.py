@@ -260,6 +260,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "YIELD a, b, common_neighbors, pref_attach "
         "RETURN a, b, common_neighbors, pref_attach"
     )
+    # r15: the weighted projection generalizes — weighted SEEDED
+    # proximity (recommendations by shipment volume) and weighted
+    # degrees (sum of edge weights, DOUBLE; unweighted stays BIGINT)
+    q["cypher_call_ppr_weighted"] = _adt(
+        "CALL graph.personalizedPageRank(['order-1', 'order-2', "
+        "'order-3'], 3, 0.85, 'quantity') YIELD node, rank "
+        "WHERE rank > 0 RETURN node AS dt_id, rank"
+    )
+    q["cypher_call_degree_weighted"] = _adt(
+        "CALL graph.degree('quantity', ['contains']) "
+        "YIELD node, out_degree, in_degree "
+        "WHERE out_degree + in_degree > 0 "
+        "RETURN node, out_degree, in_degree"
+    )
     q["cypher_call_degree"] = _adt(
         "CALL graph.degree() YIELD node, out_degree, in_degree "
         "WHERE out_degree + in_degree > 0 "
@@ -2338,12 +2352,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # analytics, dedup, text, embeddings, events, TPC-H, sampling) —
 # value-checked representatives first.  Pure reorder: no query or
 # oracle definition changes.
-# r15: 18 of the 50 keys are FIRST-time driver-gated — the ENTIRE
-# remaining never-gated value-checked population (verdict #2): the
-# seven CALL-procedure keys (incl. this round's
-# cypher_call_pagerank_weighted), graph_local_clustering,
-# events_{rolling_stats,props_stats}, the four TPC-H keys,
-# sample_{dup_downweight,split_counts,kfold_counts}, and
+# r15: 22 of the 50 keys are FIRST-time driver-gated — the ENTIRE
+# never-gated value-checked population including every key ADDED this
+# round (verdict #2): the ELEVEN CALL-procedure keys (incl. this
+# round's weighted pageRank/PPR/degree projections and the
+# registry-default capped nodeSimilarity/linkPrediction),
+# graph_local_clustering, events_{rolling_stats,props_stats}, the four
+# TPC-H keys, sample_{dup_downweight,split_counts,kfold_counts}, and
 # text_bpe_token_counts.  Never-gated value-checked count -> 0 for the
 # first time; the only never-gated keys left are rows-only by design.
 # Deliberate STAYERS re-verify this round's changes under the driver:
@@ -2377,7 +2392,8 @@ _DRIVER_WINDOW = [
     # topological levels carry over
     "graph_local_clustering", "graph_link_prediction",
     "graph_assortativity", "graph_pagerank",
-    "graph_harmonic_centrality", "graph_topological_levels",
+    # r15-new registry-default capped procedures gate immediately
+    "cypher_call_node_similarity", "cypher_call_link_prediction",
     # dedup + text pipeline + multimodal (8) -- r15: BPE token counts
     # first-gate; seven r14 carriers keep the family represented
     "text_bpe_token_counts", "dedup_exact_groups",
@@ -2388,10 +2404,11 @@ _DRIVER_WINDOW = [
     # value-checked embed keys remain)
     "embed_label_centroids", "embed_matryoshka_recall", "embed_mmr_topk",
     "embed_norm_stats", "embed_silhouette",
-    # events (4) -- r15: rolling stats (r14 operator) and per-event
-    # props stats first-gate; changepoint + anomalies carry over
+    # events (2) + weighted-projection keys (2) -- r15: rolling and
+    # props stats first-gate; the weighted degree/PPR projections gate
+    # immediately (changepoint/anomalies re-verified in r14)
     "events_rolling_stats", "events_props_stats",
-    "events_changepoint", "events_anomalies",
+    "cypher_call_ppr_weighted", "cypher_call_degree_weighted",
     # TPC-H (4) -- r15: the last four never-gated relational keys
     # (Q22-shaped dormant customers, Q6 forecast revenue, Q4-shaped
     # waiting orders, bracketed revenue)
@@ -2518,23 +2535,28 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
+# Directed quantity-weighted edge list (DOUBLE): w = l_quantity on
+# contains edges, 1.0 elsewhere — the 'quantity'
+# relationshipWeightProperty projection's missing-property default.
+_WEDGES_DOUBLE_SQL = (
+    "SELECT 'order-' || o_orderkey AS src, 'cust-' || o_custkey AS dst, "
+    "CAST(1 AS DOUBLE) AS w FROM orders "
+    "UNION ALL SELECT 'order-' || l_orderkey, 'part-' || l_partkey, "
+    "CAST(l_quantity AS DOUBLE) FROM lineitem "
+    "UNION ALL SELECT 'order-' || l_orderkey, 'supp-' || l_suppkey, 1.0 FROM lineitem "
+    "UNION ALL SELECT 'cust-' || c_custkey, 'nation-' || c_nationkey, 1.0 FROM customer "
+    "UNION ALL SELECT 'supp-' || s_suppkey, 'nation-' || s_nationkey, 1.0 FROM supplier "
+    "UNION ALL SELECT 'nation-' || n_nationkey, 'region-' || n_regionkey, 1.0 FROM nation"
+)
+
+
 def _pagerank_weighted_oracle(iters: int = 5, damping: float = 0.85) -> str:
     """Unrolled WEIGHTED power iteration matching
     ``graph_analytics.pagerank(weight_col=...)`` under the entry's
-    'quantity' projection: w = l_quantity on contains edges, 1.0
-    elsewhere (the missing-property default); per-edge share is
-    rank·w/W(src) with W(src)=Σ outgoing weights; zero-total sources
-    are dangling (none exist here — all weights positive)."""
-    wedges = (
-        "SELECT 'order-' || o_orderkey AS src, 'cust-' || o_custkey AS dst, "
-        "CAST(1 AS DOUBLE) AS w FROM orders "
-        "UNION ALL SELECT 'order-' || l_orderkey, 'part-' || l_partkey, "
-        "CAST(l_quantity AS DOUBLE) FROM lineitem "
-        "UNION ALL SELECT 'order-' || l_orderkey, 'supp-' || l_suppkey, 1.0 FROM lineitem "
-        "UNION ALL SELECT 'cust-' || c_custkey, 'nation-' || c_nationkey, 1.0 FROM customer "
-        "UNION ALL SELECT 'supp-' || s_suppkey, 'nation-' || s_nationkey, 1.0 FROM supplier "
-        "UNION ALL SELECT 'nation-' || n_nationkey, 'region-' || n_regionkey, 1.0 FROM nation"
-    )
+    'quantity' projection: per-edge share is rank·w/W(src) with
+    W(src)=Σ outgoing weights; zero-total sources are dangling (none
+    exist here — all weights positive)."""
+    wedges = _WEDGES_DOUBLE_SQL
     parts = [
         f"WITH verts AS MATERIALIZED ({_ALL_TWIN_IDS}), "
         f"edges AS MATERIALIZED ({wedges}), "
@@ -2559,6 +2581,47 @@ def _pagerank_weighted_oracle(iters: int = 5, damping: float = 0.85) -> str:
             f"FROM verts v LEFT JOIN contrib{k} c USING (dt_id))"
         )
     parts.append(f" SELECT dt_id, round(rank, 8) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+def _ppr_weighted_oracle(
+    seeds: tuple[str, ...] = ("order-1", "order-2", "order-3"),
+    iters: int = 3,
+    damping: float = 0.85,
+) -> str:
+    """Unrolled WEIGHTED personalized PageRank matching
+    ``personalized_pagerank(weight_col=...)``: teleport + dangling
+    mass target the seed vector; per-edge share rank·w/W(src)."""
+    seed_list = ", ".join(f"'{x}'" for x in seeds)
+    sv = (
+        f"(CASE WHEN v.dt_id IN ({seed_list}) "
+        f"THEN 1.0 / {len(seeds)} ELSE 0.0 END)"
+    )
+    parts = [
+        f"WITH verts AS MATERIALIZED ({_ALL_TWIN_IDS}), "
+        f"edges AS MATERIALIZED ({_WEDGES_DOUBLE_SQL}), "
+        "outdeg AS MATERIALIZED (SELECT src AS dt_id, sum(w) AS od "
+        "FROM edges GROUP BY src HAVING sum(w) > 0), "
+        f"r0 AS MATERIALIZED (SELECT v.dt_id, {sv} AS rank FROM verts v)"
+    ]
+    d = repr(damping)
+    for k in range(1, iters + 1):
+        parts.append(
+            f", dang{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm "
+            f"FROM r{k - 1} r LEFT JOIN outdeg o USING (dt_id) WHERE o.od IS NULL)"
+            f", contrib{k} AS MATERIALIZED (SELECT e.dst AS dt_id, "
+            f"sum(r.rank * e.w / o.od) AS in_sum "
+            f"FROM edges e JOIN r{k - 1} r ON e.src = r.dt_id "
+            f"JOIN outdeg o ON o.dt_id = r.dt_id GROUP BY e.dst)"
+            f", r{k} AS MATERIALIZED (SELECT v.dt_id, "
+            f"{sv} * ((1.0 - {d}) + {d} * (SELECT dm FROM dang{k})) "
+            f"+ {d} * coalesce(c.in_sum, 0.0) AS rank "
+            f"FROM verts v LEFT JOIN contrib{k} c USING (dt_id))"
+        )
+    parts.append(
+        f" SELECT dt_id, round(rank, 8) AS rank FROM r{iters} "
+        "WHERE round(rank, 8) > 0"
+    )
     return "".join(parts)
 
 
@@ -3596,6 +3659,22 @@ def oracle_sql() -> dict[str, str]:
     # CALL dispatch in front)
     o["cypher_call_node_similarity"] = o["graph_node_similarity_capped"]
     o["cypher_call_link_prediction"] = o["graph_link_prediction"]
+    o["cypher_call_ppr_weighted"] = _ppr_weighted_oracle()
+    # weighted degrees over the 'contains' projection: sum of quantity
+    # by order (out) / part (in) — integer-valued doubles, hash-exact
+    o["cypher_call_degree_weighted"] = (
+        "WITH e AS (SELECT 'order-' || l_orderkey AS src, "
+        "'part-' || l_partkey AS dst, CAST(l_quantity AS DOUBLE) AS w "
+        "FROM lineitem), "
+        "od AS (SELECT src AS node, sum(w) AS odw FROM e GROUP BY src), "
+        "idg AS (SELECT dst AS node, sum(w) AS idw FROM e GROUP BY dst), "
+        f"v AS ({_ALL_TWIN_IDS}) "
+        "SELECT v.dt_id AS node, coalesce(od.odw, 0.0) AS out_degree, "
+        "coalesce(idg.idw, 0.0) AS in_degree "
+        "FROM v LEFT JOIN od ON v.dt_id = od.node "
+        "LEFT JOIN idg ON v.dt_id = idg.node "
+        "WHERE coalesce(od.odw, 0.0) + coalesce(idg.idw, 0.0) > 0"
+    )
     o["graph_assortativity"] = (
         f"WITH d AS ({_EDGES_SQL}), "
         "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "

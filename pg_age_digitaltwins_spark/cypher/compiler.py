@@ -624,7 +624,9 @@ class CypherCompiler:
     # procedures that accept the GDS relationshipWeightProperty
     # projection (trailing string literal in _proc_call) — extend as
     # weighted variants of more operators land
-    _WEIGHTED_PROCS = frozenset({"graph.pagerank"})
+    _WEIGHTED_PROCS = frozenset(
+        {"graph.pagerank", "graph.personalizedpagerank", "graph.degree"}
+    )
 
     def _proc_registry(
         self, rels: DataFrame | None = None, weight_col: str | None = None
@@ -638,23 +640,31 @@ class CypherCompiler:
         relationships = rels if rels is not None else store.relationships
 
         def _degree():
+            # weighted (relationshipWeightProperty) degrees are SUM of
+            # edge weights, DOUBLE; unweighted stay exact BIGINT counts
+            if weight_col is None:
+                o_agg = i_agg = F.count(F.lit(1))
+                zero, dtype = F.lit(0), "long"
+            else:
+                o_agg = i_agg = F.sum(F.col(weight_col).cast("double"))
+                zero, dtype = F.lit(0.0), "double"
             out_d = relationships.groupBy(
                 F.col("source_id").alias("dt_id")
-            ).agg(F.count(F.lit(1)).alias("out_degree"))
+            ).agg(o_agg.alias("out_degree"))
             in_d = relationships.groupBy(
                 F.col("target_id").alias("dt_id")
-            ).agg(F.count(F.lit(1)).alias("in_degree"))
+            ).agg(i_agg.alias("in_degree"))
             return (
                 store.twins.select("dt_id")
                 .join(out_d, "dt_id", "left")
                 .join(in_d, "dt_id", "left")
                 .select(
                     "dt_id",
-                    F.coalesce("out_degree", F.lit(0))
-                    .cast("long")
+                    F.coalesce("out_degree", zero)
+                    .cast(dtype)
                     .alias("out_degree"),
-                    F.coalesce("in_degree", F.lit(0))
-                    .cast("long")
+                    F.coalesce("in_degree", zero)
+                    .cast(dtype)
                     .alias("in_degree"),
                 )
             )
@@ -678,7 +688,7 @@ class CypherCompiler:
                 {"node": "dt_id", "rank": "rank"},
                 lambda seeds, iters, damping: ga.personalized_pagerank(
                     store.twins, relationships, seeds,
-                    iters=iters, damping=damping,
+                    iters=iters, damping=damping, weight_col=weight_col,
                 ),
             ),
             "graph.connectedcomponents": (

@@ -298,6 +298,7 @@ def personalized_pagerank(
     seeds: list[str],
     iters: int = 5,
     damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(dt_id, rank) — personalized PageRank: teleport (and dangling
     redistribution) target the SEED set only, so rank measures
@@ -312,7 +313,11 @@ def personalized_pagerank(
     dangling hoisting, ≤2M-vertex broadcast hints that drop out at
     scale, checkpoint every 2nd superstep); the seed vector is a
     plan-time literal IN-list — seeds are user-query-sized, never
-    corpus-sized."""
+    corpus-sized.
+
+    ``weight_col`` (r15): same contract as :func:`pagerank` — per-edge
+    share rank·w(u,v)/W(u), zero-total sources dangling, unweighted
+    path byte-identical."""
     if not seeds:
         raise ValueError("personalized_pagerank needs at least one seed")
     verts = twins.select("dt_id").localCheckpoint(eager=False)
@@ -321,13 +326,28 @@ def personalized_pagerank(
     s_v = F.when(
         F.col("dt_id").isin(list(seeds)), F.lit(1.0 / len(seeds))
     ).otherwise(F.lit(0.0))
-    edges = relationships.select("source_id", "target_id")
-    out_deg = edges.groupBy(F.col("source_id").alias("dt_id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
+    ecols = ["source_id", "target_id"] + ([weight_col] if weight_col else [])
+    edges = relationships.select(*ecols)
+    if weight_col is None:
+        out_deg = edges.groupBy(F.col("source_id").alias("dt_id")).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+    else:
+        out_deg = (
+            edges.groupBy(F.col("source_id").alias("dt_id"))
+            .agg(F.sum(F.col(weight_col).cast("double")).alias("out_deg"))
+            .filter(F.col("out_deg") > 0)
+        )
     deg_edges = (
         edges.join(out_deg, edges["source_id"] == out_deg["dt_id"])
-        .select("source_id", "target_id", "out_deg")
+        .select(
+            "source_id", "target_id", "out_deg",
+            *(
+                [F.col(weight_col).cast("double").alias("__w")]
+                if weight_col
+                else []
+            ),
+        )
         .localCheckpoint(eager=True)
     )
     dangling_verts = verts.join(out_deg, "dt_id", "left_anti").localCheckpoint(
@@ -338,12 +358,14 @@ def personalized_pagerank(
         dangling = state.join(bc(dangling_verts), "dt_id", "semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
+        share = (
+            F.col("rank") * F.col("__w") / F.col("out_deg")
+            if weight_col
+            else F.col("rank") / F.col("out_deg")
+        )
         contribs = (
             deg_edges.join(bc(state), deg_edges["source_id"] == state["dt_id"])
-            .select(
-                F.col("target_id").alias("dt_id"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
-            )
+            .select(F.col("target_id").alias("dt_id"), share.alias("c"))
             .groupBy("dt_id")
             .agg(F.sum("c").alias("in_sum"))
         )

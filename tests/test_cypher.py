@@ -2888,3 +2888,62 @@ def test_call_procedure_pagerank_weighted(spark):
     with pytest.raises(Exception, match="negative edge weight"):
         bad.query("CALL graph.pageRank(2, 0.85, 'q') YIELD node, rank "
                   "RETURN count(*) AS n")
+
+
+def test_call_procedure_weighted_degree_and_ppr(spark):
+    """r15: the weight projection generalizes — graph.degree sums edge
+    weights (DOUBLE; missing property -> 1.0) and personalizedPageRank
+    carries rank*w/W(u); both through the public client."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sp:W2;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3",
+               "contents": [{"@type": "Property", "name": "q",
+                             "schema": "double"}]}]
+    twins = [{"$dtId": x, "$metadata": {"$model": "dtmi:sp:W2;1"}}
+             for x in "abcd"]
+    edges = [("a", "b", 3.0), ("b", "c", None), ("a", "c", 1.0),
+             ("c", "d", 2.0)]
+    rels = []
+    for i, (s, t, w) in enumerate(edges):
+        doc = {"$relationshipId": f"r{i}", "$sourceId": s, "$targetId": t,
+               "$relationshipName": "next"}
+        if w is not None:
+            doc["q"] = w
+        rels.append(doc)
+    c = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+    rows = c.query(
+        "CALL graph.degree('q') YIELD node, out_degree, in_degree "
+        "RETURN node, out_degree, in_degree ORDER BY node"
+    ).rows
+    assert rows == [
+        {"node": "a", "out_degree": 4.0, "in_degree": 0.0},
+        {"node": "b", "out_degree": 1.0, "in_degree": 3.0},
+        {"node": "c", "out_degree": 2.0, "in_degree": 2.0},
+        {"node": "d", "out_degree": 0.0, "in_degree": 2.0},
+    ]
+    # weighted PPR from 'a' matches a pure-Python replay
+    ppr = {
+        r["node"]: r["rank"]
+        for r in c.query(
+            "CALL graph.personalizedPageRank(['a'], 3, 0.85, 'q') "
+            "YIELD node, rank WHERE rank > 0 RETURN node, rank"
+        ).rows
+    }
+    verts = list("abcd")
+    we = [(s, t, w if w is not None else 1.0) for s, t, w in edges]
+    W = {v: sum(w for s, _, w in we if s == v) for v in verts}
+    d, sv = 0.85, {v: (1.0 if v == "a" else 0.0) for v in verts}
+    rank = dict(sv)
+    for _ in range(3):
+        dang = sum(rank[v] for v in verts if W[v] == 0)
+        rank = {
+            v: sv[v] * ((1 - d) + d * dang)
+            + d * sum(rank[s] * w / W[s] for s, t, w in we if t == v)
+            for v in verts
+        }
+    assert set(ppr) == {v for v in verts if round(rank[v], 8) > 0}
+    for v in ppr:
+        assert abs(ppr[v] - rank[v]) < 1e-7, v
