@@ -369,6 +369,8 @@ def load_graph(
         with open(marker) as f:
             return f.read().strip() != fp
 
+    _purge_stale_versions(cache_root, tag)
+
     if layout == "bucketed":
         path = os.path.join(cache_root, f"{tag}-v{LOADER_VERSION}-bucketed")
         marker = os.path.join(path, "_GRAPH_READY")
@@ -404,6 +406,27 @@ def load_graph(
         store.save(path)
         _write_marker(marker, fp)
     return GraphStore.load(spark, path)
+
+
+def _purge_stale_versions(cache_root: str, tag: str) -> None:
+    """Best-effort removal of this fixture's PREVIOUS-version cache
+    dirs (``{tag}-v{N}-*`` for N != LOADER_VERSION) — a version bump
+    otherwise leaks gigabytes of dead bucketed tables per fixture
+    (observed: 5.5 GB of v5/v6 dirs after the v7 bump).  Only current
+    code versions are ever read back, so deleting old versions is safe;
+    failures (concurrent readers, permissions) are ignored."""
+    import re
+    import shutil
+
+    pat = re.compile(re.escape(tag) + r"-v(\d+)(-|$)")
+    try:
+        entries = os.listdir(cache_root)
+    except OSError:
+        return
+    for name in entries:
+        m = pat.match(name)
+        if m and int(m.group(1)) != LOADER_VERSION:
+            shutil.rmtree(os.path.join(cache_root, name), ignore_errors=True)
 
 
 def _source_fingerprint(sf_dir: str) -> str:

@@ -4297,3 +4297,27 @@ def test_node_similarity_pair_count(spark):
     # distinct scored pairs <= candidate rows; here (a,b),(a,c),(b,c)
     pairs = node_similarity_jaccard(rels, "uses", top_k=100).collect()
     assert len(pairs) == 3 <= 4
+
+
+def test_purge_stale_cache_versions(tmp_path):
+    """r15: a LOADER_VERSION bump removes the fixture's previous-version
+    cache dirs (gigabytes of dead bucketed tables otherwise leak);
+    other fixtures' dirs and the current version are untouched."""
+    from pg_age_digitaltwins_spark.store import tpch_loader as tl
+
+    cur = tl.LOADER_VERSION
+    for name in (
+        f"sf0.01-v{cur - 1}-tables", f"sf0.01-v{cur - 2}-bucketed",
+        f"sf0.01-v{cur}-bucketed", f"sf0.1-v{cur - 1}-tables",
+        "unrelated-dir",
+    ):
+        (tmp_path / name).mkdir()
+        (tmp_path / name / "x").write_text("d")
+    tl._purge_stale_versions(str(tmp_path), "sf0.01")
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == [
+        f"sf0.01-v{cur}-bucketed", f"sf0.1-v{cur - 1}-tables",
+        "unrelated-dir",
+    ]
+    # missing cache root is a no-op, not an error
+    tl._purge_stale_versions(str(tmp_path / "nope"), "sf0.01")
