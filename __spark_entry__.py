@@ -1821,6 +1821,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_rolling_stats"] = lambda s, d: ev_ops.rolling_stats(
         _tables(s, d)["events"]
     )
+    # r15: the bucketed-exact scale path — partition by (type, 3-day
+    # bucket) with carry rows; SAME oracle as the global window (the
+    # results are identical by construction, guard-checked)
+    q["events_rolling_stats_bucketed"] = lambda s, d: ev_ops.rolling_stats(
+        _tables(s, d)["events"], bucket_minutes=4320
+    )
     # r11: gap-filled regular grid + LOCF (time_bucket_gapfill/locf
     # shape) — hourly buckets leave ~40 real gaps per type at sf0.01;
     # observed buckets carry exact (ts, event_id)-deterministic last
@@ -2397,7 +2403,7 @@ _DRIVER_WINDOW = [
     # dedup + text pipeline + multimodal (8) -- r15: BPE token counts
     # first-gate; seven r14 carriers keep the family represented
     "text_bpe_token_counts", "dedup_exact_groups",
-    "dedup_minhash_verified", "text_pack_sequences",
+    "dedup_minhash_verified", "events_rolling_stats_bucketed",
     "text_chunk_documents", "text_length_histogram",
     "text_profile_documents", "multimodal_frames",
     # embeddings / ANN (5) -- carried from r14 (no never-gated
@@ -4654,6 +4660,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM v WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id "
         "ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)"
     )
+    # r15: bucketed-exact path — identical results, same oracle
+    o["events_rolling_stats_bucketed"] = o["events_rolling_stats"]
     o["events_ohlc"] = (
         "WITH b AS (SELECT event_type, "
         "CAST(to_timestamp((CAST(epoch(ts) AS BIGINT) // 21600) * 21600) "

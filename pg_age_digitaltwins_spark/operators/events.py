@@ -605,7 +605,10 @@ def changepoint(events: DataFrame, scale: int = 1000) -> DataFrame:
 
 
 def rolling_stats(
-    events: DataFrame, window_rows: int = 100, scale: int = 1000
+    events: DataFrame,
+    window_rows: int = 100,
+    scale: int = 1000,
+    bucket_minutes: int | None = None,
 ) -> DataFrame:
     """(event_type, ts, event_id, roll_n, roll_sum_milli, roll_var_num)
     — trailing ROW-window statistics per series: over the last
@@ -620,11 +623,29 @@ def rolling_stats(
     1_000_000 (ValueError otherwise); ``roll_sum_milli`` is named for
     the default milli scale and carries units of 1/``scale``.
 
-    100 TB shape: ONE shuffle keyed by the series column — all three
-    window aggregates share the same (partition, order, frame) spec so
-    Spark evaluates them in a single window pass; magnitudes stay in
-    BIGINT (x ≤ 1e6 milli-units squared × a 100-row frame × n ≈ 1e16
-    ≪ 2^63)."""
+    100 TB shape (default, ``bucket_minutes=None``): ONE shuffle keyed
+    by the series column — all three window aggregates share the same
+    (partition, order, frame) spec so Spark evaluates them in a single
+    window pass; magnitudes stay in BIGINT (x ≤ 1e6 milli-units
+    squared × a 100-row frame × n ≈ 1e16 ≪ 2^63).  The catch at scale:
+    parallelism is |event types| — each type's full history sorts in
+    ONE task (the r15 probe measured 6.6×-per-10× from exactly this).
+
+    ``bucket_minutes`` (r15) is the scale path: partition by
+    (event_type, time bucket) and CARRY the last ``window_rows − 1``
+    rows of each bucket into its successor non-empty bucket, so every
+    trailing window is fully contained in one partition — parallelism
+    becomes types × buckets and each task sorts one bounded bucket.
+    Results are EXACT — identical to the global window — guarded by a
+    cheap bucket-dimension check: every non-first bucket's predecessor
+    must hold ≥ window_rows − 1 rows (else a window could span two
+    carry hops; ValueError tells the caller to enlarge the bucket).
+    Carry rows keep their original (ts, event_id), so they sort ahead
+    of the successor bucket's own rows, and their output rows are
+    dropped (each row is EMITTED from its home bucket exactly once).
+    Cost: the projected input is lazily checkpointed and read by the
+    guard, the carry selection, and the main window — one materialized
+    pass, two windowed reads, all bucket-bounded."""
     from pyspark.sql import Window
 
     if window_rows < 1:
@@ -637,25 +658,99 @@ def rolling_stats(
             "rolling_stats: scale must be a positive divisor of 1_000_000 "
             f"(fix-point units of 1/scale), got {scale}"
         )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(window_rows - 1), 0)
-    )
     vs = F.floor(F.col("value") * scale).cast("long")
     df = events.filter(F.col("value").isNotNull()).select(
         "event_type", "ts", "event_id", vs.alias("__vs")
     )
-    roll_n = F.count(F.lit(1)).over(w).cast("long")
-    roll_sum = F.sum("__vs").over(w)
-    roll_sq = F.sum(F.col("__vs") * F.col("__vs")).over(w)
-    return df.select(
+
+    def _stats(frame, w):
+        roll_n = F.count(F.lit(1)).over(w).cast("long")
+        roll_sum = F.sum("__vs").over(w)
+        roll_sq = F.sum(F.col("__vs") * F.col("__vs")).over(w)
+        return frame.select(
+            "event_type",
+            "ts",
+            "event_id",
+            roll_n.alias("roll_n"),
+            roll_sum.alias("roll_sum_milli"),
+            (roll_n * roll_sq - roll_sum * roll_sum).alias("roll_var_num"),
+            *(["__carry"] if "__carry" in frame.columns else []),
+        )
+
+    if bucket_minutes is None:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-(window_rows - 1), 0)
+        )
+        return _stats(df, w)
+    if bucket_minutes <= 0:
+        raise ValueError(
+            f"bucket_minutes must be positive, got {bucket_minutes}"
+        )
+    bucket = F.floor(
+        F.unix_timestamp("ts") / F.lit(bucket_minutes * 60)
+    ).cast("long")
+    base = df.withColumn("__b", bucket).localCheckpoint(eager=False)
+    # bucket dimension (types × buckets rows — tiny): predecessor
+    # bucket + its row count via one lag window
+    wb = Window.partitionBy("event_type").orderBy("__b")
+    dim = (
+        base.groupBy("event_type", "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "event_type", "__b", "__n",
+            F.lag("__b").over(wb).alias("__pb"),
+            F.lag("__n").over(wb).alias("__pn"),
+        )
+    )
+    # exactness guard (materializes the lazy checkpoint): a window for
+    # an early row of bucket b reaches back ≤ window_rows − 1 rows; one
+    # carry hop supplies them IFF the predecessor holds that many
+    bad = (
+        dim.filter(
+            F.col("__pb").isNotNull() & (F.col("__pn") < window_rows - 1)
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            "rolling_stats: some time bucket holds fewer than "
+            f"window_rows - 1 = {window_rows - 1} rows, so a trailing "
+            "window could span more than one bucket back — enlarge "
+            f"bucket_minutes (got {bucket_minutes})"
+        )
+    # carry: the last window_rows − 1 rows of each bucket, retagged to
+    # the SUCCESSOR non-empty bucket (dim knows each bucket's successor
+    # as its own predecessor link, inverted)
+    succ = dim.filter(F.col("__pb").isNotNull()).select(
         "event_type",
-        "ts",
-        "event_id",
-        roll_n.alias("roll_n"),
-        roll_sum.alias("roll_sum_milli"),
-        (roll_n * roll_sq - roll_sum * roll_sum).alias("roll_var_num"),
+        F.col("__pb").alias("__b"),
+        F.col("__b").alias("__sb"),
+    )
+    wd = Window.partitionBy("event_type", "__b").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    carry = (
+        base.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") <= window_rows - 1)
+        .drop("__rn")
+        .join(F.broadcast(succ), ["event_type", "__b"])
+        .drop("__b")
+        .withColumnRenamed("__sb", "__b")
+        .withColumn("__carry", F.lit(True))
+    )
+    full = base.withColumn("__carry", F.lit(False)).unionByName(carry)
+    w = (
+        Window.partitionBy("event_type", "__b")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return (
+        _stats(full, w)
+        .filter(~F.col("__carry"))
+        .drop("__carry")
     )
 
 

@@ -4321,3 +4321,53 @@ def test_purge_stale_cache_versions(tmp_path):
     ]
     # missing cache root is a no-op, not an error
     tl._purge_stale_versions(str(tmp_path / "nope"), "sf0.01")
+
+
+def test_rolling_stats_bucketed_matches_global(spark):
+    """r15: the bucketed-exact scale path (partition by (type, time
+    bucket) + carry rows) returns EXACTLY the global window's rows on
+    a seeded random series, and the sparse-bucket guard raises."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.operators.events import rolling_stats
+
+    rng = random.Random(19)
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for i in range(600):
+        # two series, irregular spacing, value noise; some ts ties
+        rows.append(
+            (i, t0 + timedelta(minutes=i * 7 + rng.randint(0, 3)),
+             "a" if i % 3 else "b", rng.uniform(-5, 5))
+        )
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    glob = sorted(
+        tuple(r) for r in rolling_stats(events, window_rows=10).collect()
+    )
+    for bm in (480, 960):  # series b rows are ~21 min apart: 480 min ≈ 22 rows/bucket ≥ window_rows-1
+        bkt = sorted(
+            tuple(r)
+            for r in rolling_stats(
+                events, window_rows=10, bucket_minutes=bm
+            ).collect()
+        )
+        assert bkt == glob, bm
+    # sparse buckets (7-minute spacing, 10-minute buckets -> ~1 row
+    # per bucket < window_rows-1) must raise, not silently diverge
+    with _pytest.raises(ValueError, match="bucket_minutes"):
+        rolling_stats(events, window_rows=10, bucket_minutes=10).collect()
+    # window_rows=1 needs no carry at all: any bucket size is exact
+    one = sorted(
+        tuple(r)
+        for r in rolling_stats(
+            events, window_rows=1, bucket_minutes=10
+        ).collect()
+    )
+    assert one == sorted(
+        tuple(r) for r in rolling_stats(events, window_rows=1).collect()
+    )

@@ -820,3 +820,23 @@ def test_louvain_round_sigma_not_broadcast_when_gate_off(no_auto_broadcast):
     plan = _plan(out)
     assert "BroadcastHashJoin" not in plan, plan
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_rolling_stats_bucketed_partitions_by_type_and_bucket(spark):
+    """r15: the bucketed-exact path must shuffle on (event_type, __b)
+    — parallelism types x buckets — instead of event_type alone (the
+    global path's |types|-task sort is the 100 TB bottleneck)."""
+    from datetime import datetime, timedelta
+
+    from pg_age_digitaltwins_spark.operators.events import rolling_stats
+
+    t0 = datetime(2026, 1, 1)
+    events = spark.createDataFrame(
+        [(i, t0 + timedelta(minutes=i), "a", float(i)) for i in range(300)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    plan = _plan(rolling_stats(events, window_rows=5, bucket_minutes=60))
+    main = plan.split("Window", 1)[1]
+    assert "hashpartitioning(event_type" in plan
+    # the window partition key carries the bucket column
+    assert "__b" in main, plan
