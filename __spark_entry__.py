@@ -274,6 +274,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "WHERE out_degree + in_degree > 0 "
         "RETURN node, out_degree, in_degree"
     )
+    # r15: hop-bounded directed shortest distances from a seed set —
+    # unweighted (hop counts) and under the 'quantity' weight
+    # projection (exact BIGINT costs, the operator's arithmetic)
+    q["cypher_call_shortest_paths"] = _adt(
+        "CALL graph.shortestPaths(['order-1', 'order-2', 'order-3'], 3) "
+        "YIELD node, dist RETURN node AS dt_id, dist"
+    )
+    q["cypher_call_shortest_paths_weighted"] = _adt(
+        "CALL graph.shortestPaths(['order-1', 'order-2', 'order-3'], 3, "
+        "'quantity') YIELD node, dist RETURN node AS dt_id, dist"
+    )
     q["cypher_call_degree"] = _adt(
         "CALL graph.degree() YIELD node, out_degree, in_degree "
         "WHERE out_degree + in_degree > 0 "
@@ -2404,7 +2415,7 @@ _DRIVER_WINDOW = [
     # first-gate; seven r14 carriers keep the family represented
     "text_bpe_token_counts", "dedup_exact_groups",
     "dedup_minhash_verified", "events_rolling_stats_bucketed",
-    "text_chunk_documents", "text_length_histogram",
+    "cypher_call_shortest_paths", "cypher_call_shortest_paths_weighted",
     "text_profile_documents", "multimodal_frames",
     # embeddings / ANN (5) -- carried from r14 (no never-gated
     # value-checked embed keys remain)
@@ -2628,6 +2639,46 @@ def _ppr_weighted_oracle(
         f" SELECT dt_id, round(rank, 8) AS rank FROM r{iters} "
         "WHERE round(rank, 8) > 0"
     )
+    return "".join(parts)
+
+
+def _sp_proc_oracle(
+    seeds: tuple[str, ...] = ("order-1", "order-2", "order-3"),
+    iters: int = 3,
+    weighted: bool = False,
+) -> str:
+    """Unrolled DIRECTED k-bounded relaxation matching the
+    graph.shortestPaths procedure: dist_k(v) = min over paths of at
+    most k edges from the seed set, hop weights (1) or the 'quantity'
+    projection's BIGINT weights."""
+    if weighted:
+        we = (
+            "SELECT 'order-' || o_orderkey AS src, 'cust-' || o_custkey AS dst, "
+            "CAST(1 AS BIGINT) AS w FROM orders "
+            "UNION ALL SELECT 'order-' || l_orderkey, 'part-' || l_partkey, "
+            "CAST(l_quantity AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT 'order-' || l_orderkey, 'supp-' || l_suppkey, 1 FROM lineitem "
+            "UNION ALL SELECT 'cust-' || c_custkey, 'nation-' || c_nationkey, 1 FROM customer "
+            "UNION ALL SELECT 'supp-' || s_suppkey, 'nation-' || s_nationkey, 1 FROM supplier "
+            "UNION ALL SELECT 'nation-' || n_nationkey, 'region-' || n_regionkey, 1 FROM nation"
+        )
+    else:
+        we = f"SELECT src, dst, CAST(1 AS BIGINT) AS w FROM ({_EDGES_SQL})"
+    seed_rows = " UNION ALL ".join(
+        f"SELECT '{x}' AS node, CAST(0 AS BIGINT) AS dist" for x in seeds
+    )
+    parts = [
+        f"WITH e AS MATERIALIZED ({we}), "
+        f"d0 AS MATERIALIZED ({seed_rows})"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f", d{k} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{k - 1} "
+            f"UNION ALL SELECT e.dst, d.dist + e.w FROM d{k - 1} d "
+            "JOIN e ON d.node = e.src) GROUP BY node)"
+        )
+    parts.append(f" SELECT node AS dt_id, dist FROM d{iters}")
     return "".join(parts)
 
 
@@ -3666,6 +3717,8 @@ def oracle_sql() -> dict[str, str]:
     o["cypher_call_node_similarity"] = o["graph_node_similarity_capped"]
     o["cypher_call_link_prediction"] = o["graph_link_prediction"]
     o["cypher_call_ppr_weighted"] = _ppr_weighted_oracle()
+    o["cypher_call_shortest_paths"] = _sp_proc_oracle(weighted=False)
+    o["cypher_call_shortest_paths_weighted"] = _sp_proc_oracle(weighted=True)
     # weighted degrees over the 'contains' projection: sum of quantity
     # by order (out) / part (in) — integer-valued doubles, hash-exact
     o["cypher_call_degree_weighted"] = (

@@ -625,7 +625,8 @@ class CypherCompiler:
     # projection (trailing string literal in _proc_call) — extend as
     # weighted variants of more operators land
     _WEIGHTED_PROCS = frozenset(
-        {"graph.pagerank", "graph.personalizedpagerank", "graph.degree"}
+        {"graph.pagerank", "graph.personalizedpagerank", "graph.degree",
+         "graph.shortestpaths"}
     )
 
     def _proc_registry(
@@ -842,6 +843,31 @@ class CypherCompiler:
                  "union_size": "union_size", "similarity": "jaccard"},
                 lambda top_k, cutoff: ga.node_similarity_jaccard(
                     relationships, top_k=top_k, max_target_degree=cutoff,
+                ),
+            ),
+            # r15: hop-bounded (weighted) shortest distances from a
+            # seed set — the GDS shortestPath/Dijkstra family's
+            # distance semantics under a maxDepth bound, DIRECTED over
+            # the projected edge set; weights via the
+            # relationshipWeightProperty projection (cast to exact
+            # BIGINT — the operator's engine-portable arithmetic),
+            # hop distances (w=1) otherwise
+            "graph.shortestpaths": (
+                [("seeds", "list[str]", R), ("maxDepth", "int", 4)],
+                {"node": "dt_id", "dist": "dist"},
+                lambda seeds, max_depth: ga.weighted_shortest_paths(
+                    relationships.select(
+                        "source_id",
+                        "target_id",
+                        (
+                            F.col(weight_col).cast("long")
+                            if weight_col
+                            else F.lit(1).cast("long")
+                        ).alias("weight"),
+                    ),
+                    store.twins.filter(F.col("dt_id").isin(list(seeds)))
+                    .select("dt_id"),
+                    iters=max_depth,
                 ),
             ),
             "graph.linkprediction": (
