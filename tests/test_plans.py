@@ -740,7 +740,8 @@ def test_call_procedure_keys_no_cartesian(spark):
     qs = em.queries()
     for key in ("cypher_call_degree", "cypher_call_components",
                 "cypher_call_node_similarity", "cypher_call_link_prediction",
-                "cypher_call_pagerank_weighted"):
+                "cypher_call_pagerank_weighted",
+                "cypher_call_shortest_paths_weighted"):
         plan = _plan(qs[key](spark, SF_DIR))
         assert "CartesianProduct" not in plan, key
 
