@@ -1000,20 +1000,31 @@ class CypherCompiler:
                 rels_frame = rels_frame.filter(F.col("name").isin(rel_types))
             weight_col = None
             if weight_prop is not None:
-                raw_w = F.coalesce(
-                    J.num_value(F.col("vdoc"), [weight_prop]), F.lit(1.0)
+                # missing property -> 1.0 (the GDS defaultValue
+                # convention); DEFINED-but-non-numeric and negative
+                # values are runtime errors, never silent defaults
+                v = J.vget(F.col("vdoc"), [weight_prop])
+                num = J.num_value(F.col("vdoc"), [weight_prop])
+                bad_type = J.is_defined_of(v) & num.isNull()
+                raw_w = F.coalesce(num, F.lit(1.0))
+                pfx = f"relationshipWeightProperty '{weight_prop}': "
+                err = F.when(
+                    bad_type,
+                    F.concat(
+                        F.lit(pfx + "non-numeric value of type "),
+                        F.coalesce(
+                            J.type_of(F.col("vdoc"), [weight_prop]),
+                            F.lit("?"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit(pfx + "negative edge weight "),
+                        raw_w.cast("string"),
+                    )
                 )
                 wcol = F.when(
-                    F.assert_true(
-                        raw_w >= 0,
-                        F.concat(
-                            F.lit(
-                                f"relationshipWeightProperty "
-                                f"'{weight_prop}': negative edge weight "
-                            ),
-                            raw_w.cast("string"),
-                        ),
-                    ).isNull(),
+                    F.assert_true((~bad_type) & (raw_w >= 0), err).isNull(),
                     raw_w,
                 )
                 rels_frame = with_vdoc(rels_frame).withColumn("__w", wcol)

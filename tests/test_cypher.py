@@ -2947,3 +2947,25 @@ def test_call_procedure_weighted_degree_and_ppr(spark):
     assert set(ppr) == {v for v in verts if round(rank[v], 8) > 0}
     for v in ppr:
         assert abs(ppr[v] - rank[v]) < 1e-7, v
+
+
+def test_call_procedure_weight_non_numeric_errors(spark):
+    """r15: a DEFINED-but-non-numeric weight property is a runtime
+    error naming the type — never a silent 1.0 default (only a MISSING
+    property defaults)."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sp:W3;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3",
+               "contents": [{"@type": "Property", "name": "q",
+                             "schema": "string"}]}]
+    twins = [{"$dtId": x, "$metadata": {"$model": "dtmi:sp:W3;1"}}
+             for x in "ab"]
+    rels = [{"$relationshipId": "r0", "$sourceId": "a", "$targetId": "b",
+             "$relationshipName": "next", "q": "heavy"}]
+    c = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+    with pytest.raises(Exception, match="non-numeric value of type"):
+        c.query("CALL graph.pageRank(2, 0.85, 'q') YIELD node, rank "
+                "RETURN count(*) AS n")
