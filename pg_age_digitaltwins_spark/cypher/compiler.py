@@ -1035,7 +1035,8 @@ class CypherCompiler:
             raise CypherCompileError(
                 f"CALL {clause.name}(...) takes at most {len(arg_spec)} "
                 f"argument(s) ({', '.join(a for a, _, _ in arg_spec)}) "
-                f"plus an optional trailing relTypes list, "
+                f"plus optional trailing relTypes list / "
+                f"relationshipWeightProperty string projections, "
                 f"got {len(clause_args)}"
             )
         vals = []
@@ -1050,6 +1051,28 @@ class CypherCompiler:
                 )
             else:
                 vals.append(adefault)
+        # every list[str] procedure argument is a SEED-NODE list:
+        # validate membership against the twins table (GDS raises on an
+        # unknown source node; silently dropping a typo'd seed made a
+        # misspelling indistinguishable from 'no paths found' — review
+        # r15).  One seeds-sized point lookup — dt_id clustering prunes
+        # the scan, and seeds are user-query-sized, never corpus-sized.
+        for (aname, akind, _), val in zip(arg_spec, vals):
+            if akind == "list[str]" and val:
+                found = {
+                    r["dt_id"]
+                    for r in self.store.twins.filter(
+                        F.col("dt_id").isin(list(val))
+                    )
+                    .select("dt_id")
+                    .collect()
+                }
+                missing = [x for x in val if x not in found]
+                if missing:
+                    raise CypherCompileError(
+                        f"CALL {clause.name}(...): argument '{aname}' "
+                        f"names unknown twin id(s): {', '.join(missing)}"
+                    )
         result = build(*vals)
         out_cols = []
         seen: set[str] = set()

@@ -703,13 +703,22 @@ def rolling_stats(
             F.lag("__b").over(wb).alias("__pb"),
             F.lag("__n").over(wb).alias("__pn"),
         )
+        # predecessor's own predecessor (separate projection — a window
+        # over a same-select lateral alias is unsupported): NULL iff
+        # the predecessor is the series' FIRST bucket
+        .withColumn("__ppb", F.lag("__pb").over(wb))
     )
     # exactness guard (materializes the lazy checkpoint): a window for
     # an early row of bucket b reaches back ≤ window_rows − 1 rows; one
-    # carry hop supplies them IFF the predecessor holds that many
+    # carry hop supplies them IFF the predecessor holds that many —
+    # UNLESS the predecessor is the series' first bucket, in which case
+    # its full carry IS the entire prior history and the global window
+    # clips at series start anyway (exact regardless of its size)
     bad = (
         dim.filter(
-            F.col("__pb").isNotNull() & (F.col("__pn") < window_rows - 1)
+            F.col("__pb").isNotNull()
+            & (F.col("__pn") < window_rows - 1)
+            & F.col("__ppb").isNotNull()
         )
         .limit(1)
         .count()

@@ -425,7 +425,10 @@ def _purge_stale_versions(cache_root: str, tag: str) -> None:
         return
     for name in entries:
         m = pat.match(name)
-        if m and int(m.group(1)) != LOADER_VERSION:
+        # strictly OLDER versions only: a NEWER version's dirs belong
+        # to a newer checkout sharing this cache root — deleting them
+        # would thrash its cache (review r15)
+        if m and int(m.group(1)) < LOADER_VERSION:
             shutil.rmtree(os.path.join(cache_root, name), ignore_errors=True)
 
 

@@ -2969,3 +2969,25 @@ def test_call_procedure_weight_non_numeric_errors(spark):
     with pytest.raises(Exception, match="non-numeric value of type"):
         c.query("CALL graph.pageRank(2, 0.85, 'q') YIELD node, rank "
                 "RETURN count(*) AS n")
+
+
+def test_call_procedure_unknown_seed_errors(spark):
+    """r15 (review): a seed id that is not a twin raises a targeted
+    compile error naming it — GDS parity; silently dropping a typo'd
+    seed made a misspelling indistinguishable from 'no paths found'."""
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    c = _proc_client(spark)
+    with _pytest.raises(CypherCompileError, match="unknown twin id.*nope"):
+        c.query("CALL graph.shortestPaths(['a', 'nope'], 2) "
+                "YIELD node, dist RETURN count(*) AS n")
+    with _pytest.raises(CypherCompileError, match="unknown twin id"):
+        c.query("CALL graph.personalizedPageRank(['zzz'], 2) "
+                "YIELD node, rank RETURN count(*) AS n")
+    # valid seeds still run
+    rows = c.query("CALL graph.shortestPaths(['a'], 2) "
+                   "YIELD node, dist RETURN node, dist ORDER BY node").rows
+    assert rows == [{"node": "a", "dist": 0}, {"node": "b", "dist": 1},
+                    {"node": "c", "dist": 1}, {"node": "d", "dist": 2}]

@@ -4308,17 +4308,19 @@ def test_purge_stale_cache_versions(tmp_path):
     cur = tl.LOADER_VERSION
     for name in (
         f"sf0.01-v{cur - 1}-tables", f"sf0.01-v{cur - 2}-bucketed",
-        f"sf0.01-v{cur}-bucketed", f"sf0.1-v{cur - 1}-tables",
-        "unrelated-dir",
+        f"sf0.01-v{cur}-bucketed", f"sf0.01-v{cur + 3}-bucketed",
+        f"sf0.1-v{cur - 1}-tables", "unrelated-dir",
     ):
         (tmp_path / name).mkdir()
         (tmp_path / name / "x").write_text("d")
     tl._purge_stale_versions(str(tmp_path), "sf0.01")
     left = sorted(p.name for p in tmp_path.iterdir())
-    assert left == [
-        f"sf0.01-v{cur}-bucketed", f"sf0.1-v{cur - 1}-tables",
-        "unrelated-dir",
-    ]
+    # strictly-older versions purged; the CURRENT, any NEWER checkout's
+    # dirs, other fixtures, and unrelated dirs survive
+    assert left == sorted([
+        f"sf0.01-v{cur}-bucketed", f"sf0.01-v{cur + 3}-bucketed",
+        f"sf0.1-v{cur - 1}-tables", "unrelated-dir",
+    ])
     # missing cache root is a no-op, not an error
     tl._purge_stale_versions(str(tmp_path / "nope"), "sf0.01")
 
@@ -4371,3 +4373,51 @@ def test_rolling_stats_bucketed_matches_global(spark):
     assert one == sorted(
         tuple(r) for r in rolling_stats(events, window_rows=1).collect()
     )
+
+
+def test_rolling_stats_bucketed_small_first_bucket_exact(spark):
+    """r15 (review): a small FIRST bucket must not trip the sparse
+    guard — its full carry IS the entire prior history, so the result
+    is exact regardless of its size; a small MIDDLE bucket still
+    raises."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.operators.events import rolling_stats
+
+    t0 = datetime(2026, 1, 1, 0, 50)  # starts 10 min before the hour
+    dense = [
+        (i, t0 + timedelta(minutes=[0, 2, 4, 6, 8][i % 5], hours=i // 5 + (i >= 5)), "a", float(i))
+        for i in range(40)
+    ]
+    # first 60-min bucket holds only 5 rows < window_rows-1 = 9;
+    # every later bucket holds 5... make later buckets dense: 10/hr
+    rows = []
+    for i in range(5):  # small first bucket: 5 rows in the first hour
+        rows.append((i, t0 + timedelta(minutes=2 * i), "a", float(i)))
+    for i in range(5, 45):  # dense following buckets: 10 rows/hour
+        j = i - 5
+        rows.append((i, datetime(2026, 1, 1, 1) + timedelta(
+            hours=j // 10, minutes=6 * (j % 10)), "a", float(i)))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    glob = sorted(
+        tuple(r) for r in rolling_stats(events, window_rows=10).collect()
+    )
+    bkt = sorted(
+        tuple(r)
+        for r in rolling_stats(
+            events, window_rows=10, bucket_minutes=60
+        ).collect()
+    )
+    assert bkt == glob
+    # a sparse MIDDLE bucket still trips the guard: drop to 3 rows/hour
+    sparse = spark.createDataFrame(
+        [(i, datetime(2026, 1, 1) + timedelta(hours=i // 3, minutes=20 * (i % 3)),
+          "a", float(i)) for i in range(30)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    with _pytest.raises(ValueError, match="bucket_minutes"):
+        rolling_stats(sparse, window_rows=10, bucket_minutes=60).collect()
