@@ -626,7 +626,7 @@ class CypherCompiler:
     # weighted variants of more operators land
     _WEIGHTED_PROCS = frozenset(
         {"graph.pagerank", "graph.personalizedpagerank", "graph.degree",
-         "graph.shortestpaths"}
+         "graph.shortestpaths", "graph.louvain"}
     )
 
     def _proc_registry(
@@ -817,6 +817,7 @@ class CypherCompiler:
                 lambda rpl, lv: ga.louvain_communities(
                     store.twins, relationships,
                     rounds_per_level=rpl, levels=lv,
+                    weight_col=weight_col,
                 ),
             ),
             "graph.clusteringcoefficient": (

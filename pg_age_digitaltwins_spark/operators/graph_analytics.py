@@ -2145,7 +2145,11 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
     (was 4) and the wide pass carries (src, c, w) only."""
     # the previous round's __moved flag (if any) is not state
     comm = comm.select("dt_id", "comm", "k")
-    sigma = comm.groupBy("comm").agg(F.sum("k").alias("sigma"))
+    # csize rides the sigma aggregation for free — the singleton-merge
+    # ordering rule below needs community SIZES
+    sigma = comm.groupBy("comm").agg(
+        F.sum("k").alias("sigma"), F.count(F.lit(1)).alias("csize")
+    )
     # ONLY the active parity's vertices can move this round, so the
     # candidate pipeline — the expensive 2|E| pass — runs over edges
     # whose SRC is active (half the edge set); the inactive half of the
@@ -2193,12 +2197,18 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
         F.col("sigma") - F.when(F.col("c") == F.col("c_v"), F.col("k")).otherwise(F.lit(0))
     )
     per_v = (
-        cand.select("src", "c", "c_v", "k", score.alias("score"))
+        cand.select(
+            "src", "c", "c_v", "k", score.alias("score"), "csize"
+        )
         .groupBy("src")
         .agg(
-            F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias(
-                "best"
-            ),
+            # csize trails (ns, c) in the struct: c is unique per group
+            # so it cannot influence the min — it just rides along
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("ns"), F.col("c"), F.col("csize")
+                )
+            ).alias("best"),
             F.first("c_v").alias("c_v"),
             F.first("k").alias("k"),
             # the self row guarantees exactly one c = c_v candidate;
@@ -2207,14 +2217,20 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
             F.max(
                 F.when(F.col("c") == F.col("c_v"), F.col("score"))
             ).alias("stay_score"),
+            # v's OWN community size, read off the same self row
+            F.max(
+                F.when(F.col("c") == F.col("c_v"), F.col("csize"))
+            ).alias("own_size"),
         )
         .select(
             F.col("src").alias("dt_id"),
             (-F.col("best.ns")).alias("best_score"),
             F.col("best.c").alias("c"),
+            F.col("best.csize").alias("best_size"),
             "c_v",
             "k",
             "stay_score",
+            "own_size",
         )
     )
     # all per_v rows are active-parity vertices, so the gate reduces to
@@ -2223,7 +2239,20 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
     # (k_vc, sigma), so the strict > cannot hold — the flag therefore
     # counts REAL moves.  per_v covers every ACTIVE vertex (self rows);
     # the inactive half of the state passes through unchanged.
-    move_cond = F.col("best_score") > F.col("stay_score")
+    # singleton-merge ORDERING rule (r15): two mutual-best SINGLETONS
+    # in the same parity half would otherwise SWAP labels every active
+    # round and never merge (synchronous-Louvain's classic
+    # oscillation; the parity gate only breaks it when the pair's
+    # parities differ).  A singleton may join another singleton only
+    # when the target label sorts BELOW its own — exactly one of the
+    # pair is allowed, so they merge instead of swapping.  Deterministic
+    # (label total order) and quality-monotone (the blocked move's gain
+    # is realized by its partner's allowed move).
+    move_cond = (F.col("best_score") > F.col("stay_score")) & ~(
+        (F.col("own_size") == 1)
+        & (F.col("best_size") == 1)
+        & (F.col("c") > F.col("c_v"))
+    )
     out = per_v.select(
         "dt_id",
         F.when(move_cond, F.col("c")).otherwise(F.col("c_v")).alias("comm"),
@@ -2250,6 +2279,7 @@ def louvain_communities(
     rounds_per_level: int = 4,
     levels: int = 2,
     min_moves_frac: float = 0.0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(dt_id, community) — Louvain-style modularity communities: up to
     ``rounds_per_level`` synchronous local-move rounds per level (a
@@ -2276,9 +2306,20 @@ def louvain_communities(
     100 TB shape: per round, one edge⋈comm join shuffled on the vertex
     key + two vertex-sized aggregations (sigma is community-sized and
     broadcast); contraction is one groupBy over the edge set and
-    SHRINKS the graph each level — the standard multilevel schedule."""
+    SHRINKS the graph each level — the standard multilevel schedule.
+
+    ``weight_col`` (r15, GDS relationshipWeightProperty parity): a
+    NON-NEGATIVE INTEGER edge-weight column — parallel edges SUM their
+    weights on the normalized pair (GDS aggregation semantics; the
+    unweighted path keeps its exact distinct+w=1 construction,
+    byte-identical), zero-total pairs drop (a 0-weight edge carries no
+    modularity mass), and 2m becomes the weight total.  Rounds and
+    contraction already run on arbitrary integer w (the multilevel
+    supergraph is weighted by construction), so the arithmetic stays
+    exact BIGINT end-to-end."""
     verts = twins.select("dt_id")
-    raw = relationships.select("source_id", "target_id").filter(
+    rcols = ["source_id", "target_id"] + ([weight_col] if weight_col else [])
+    raw = relationships.select(*rcols).filter(
         F.col("source_id") != F.col("target_id")
     )
     # r10: ORDER-PRESERVING LONG VERTEX IDS.  Every round runs two hash
@@ -2327,19 +2368,36 @@ def louvain_communities(
     # dedupe on the NORMALIZED pair before doubling — same symmetric
     # distinct edge set as _undirected, but the expensive distinct runs
     # over |E| rows instead of 2|E| (and over long pairs, post-encode)
-    pairs = (
-        raw.join(sv, "source_id")
-        .join(tv, "target_id")
-        .select(F.least("sv", "tv").alias("a"), F.greatest("sv", "tv").alias("b"))
-        .distinct()
-    )
-    e = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    enc = raw.join(sv, "source_id").join(tv, "target_id")
+    if weight_col is None:
+        pairs = enc.select(
+            F.least("sv", "tv").alias("a"), F.greatest("sv", "tv").alias("b")
+        ).distinct()
+        e = (
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .select("src", "dst", F.lit(1).cast("long").alias("w"))
         )
-        .select("src", "dst", F.lit(1).cast("long").alias("w"))
-    )
+    else:
+        # weighted: parallel edges SUM on the normalized pair (same
+        # shuffle key as the distinct), zero-total pairs drop
+        pairs = (
+            enc.select(
+                F.least("sv", "tv").alias("a"),
+                F.greatest("sv", "tv").alias("b"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+            .filter(F.col("w") > 0)
+        )
+        e = pairs.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+        ).unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+        )
     # 2m = doubled-edge weight total = 2·|distinct pairs|, computed as
     # a COUNT ON THE MATERIALIZED LEVEL-1 EDGE CHECKPOINT inside the
     # loop (r10) — the separate pairs.count() job re-ran the dedup
@@ -2386,8 +2444,16 @@ def louvain_communities(
         )
         if level == 0:
             # the level-1 nbr IS the doubled self-free edge set, and
-            # it is materialized — this count is free
-            two_m = nbr.count()
+            # it is materialized — this count/sum is free (unweighted
+            # keeps the cheaper count: identical value at w=1)
+            if weight_col is None:
+                two_m = nbr.count()
+            else:
+                two_m = int(
+                    nbr.agg(
+                        F.coalesce(F.sum("w"), F.lit(0)).alias("s")
+                    ).collect()[0]["s"]
+                )
             if two_m == 0:
                 return verts.select(
                     "dt_id", F.col("dt_id").alias("community")

@@ -2991,3 +2991,46 @@ def test_call_procedure_unknown_seed_errors(spark):
                    "YIELD node, dist RETURN node, dist ORDER BY node").rows
     assert rows == [{"node": "a", "dist": 0}, {"node": "b", "dist": 1},
                     {"node": "c", "dist": 1}, {"node": "d", "dist": 2}]
+
+
+def test_call_procedure_louvain_weighted(spark):
+    """r15: graph.louvain accepts the weight projection — a heavy
+    bridge pulls its endpoints into one community on a topology where
+    the unweighted run separates them."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sp:W4;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3",
+               "contents": [{"@type": "Property", "name": "q",
+                             "schema": "double"}]}]
+    a, b = list("abcd"), list("efgh")
+    edges = [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+    edges += [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+    edges.append(("d", "e"))
+    twins = [{"$dtId": x, "$metadata": {"$model": "dtmi:sp:W4;1"}}
+             for x in a + b]
+    rels = [
+        {"$relationshipId": f"r{i}", "$sourceId": s, "$targetId": t,
+         "$relationshipName": "next",
+         "q": 50.0 if (s, t) == ("d", "e") else 1.0}
+        for i, (s, t) in enumerate(edges)
+    ]
+    c = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+    got = {
+        r["node"]: r["community"]
+        for r in c.query(
+            "CALL graph.louvain(4, 2, 'q') YIELD node, community "
+            "RETURN node, community"
+        ).rows
+    }
+    assert got["d"] == got["e"]
+    un = {
+        r["node"]: r["community"]
+        for r in c.query(
+            "CALL graph.louvain(4, 2) YIELD node, community "
+            "RETURN node, community"
+        ).rows
+    }
+    assert un["d"] != un["e"]

@@ -2203,7 +2203,14 @@ def test_louvain_assignment_fingerprint_pinned(spark):
     md5 the r10/r11 rewrites were verified against.  Pins that plan
     changes (eager vid_map, active-parity, vid encoding) stay
     OUTPUT-IDENTICAL; any intentional semantic change must re-derive
-    this constant and say why."""
+    this constant and say why.
+
+    RE-PINNED r15: the singleton-merge ordering rule is an intentional
+    semantic change — same-parity mutual-best singleton pairs used to
+    SWAP labels every active round and never merge (synchronous
+    oscillation); the rule lets exactly one of the pair move.  Fixture
+    quality: modularity 0.113113 → 0.146477, communities 1540 → 757
+    (the stranded oscillating singletons merged)."""
     import hashlib
     import os
 
@@ -2222,7 +2229,7 @@ def test_louvain_assignment_fingerprint_pinned(spark):
     )
     assert len(rows) == 18630
     h = hashlib.md5(repr(rows).encode()).hexdigest()
-    assert h == "62cb30c129639ac8094c64f32d7c9de0"
+    assert h == "9b18f9956f093ef309c15d0350c27e9f"
 
 
 def test_louvain_two_cliques(spark):
@@ -4421,3 +4428,63 @@ def test_rolling_stats_bucketed_small_first_bucket_exact(spark):
     )
     with _pytest.raises(ValueError, match="bucket_minutes"):
         rolling_stats(sparse, window_rows=10, bucket_minutes=60).collect()
+
+
+def test_louvain_weighted_two_cliques(spark):
+    """r15: weighted Louvain (GDS relationshipWeightProperty parity) —
+    weights CHANGE the partition on identical topology: heavy-intra
+    recovers the cliques, a heavy bridge pulls its endpoints together;
+    w=1 is exactly the unweighted assignment (scale-invariant integer
+    arithmetic)."""
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        louvain_communities,
+    )
+
+    a, b = list("abcd"), list("efgh")
+    edges = [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+    edges += [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+    edges.append(("d", "e"))  # bridge
+    twins = spark.createDataFrame([(n,) for n in a + b], "dt_id string")
+
+    def rels(bridge_w, intra_w):
+        return spark.createDataFrame(
+            [
+                (f"r{i}", s, t, "e",
+                 float(bridge_w if (s, t) == ("d", "e") else intra_w))
+                for i, (s, t) in enumerate(edges)
+            ],
+            "relationship_id string, source_id string, "
+            "target_id string, name string, wq double",
+        )
+
+    def comm_of(rels_df, **kw):
+        return {
+            r["dt_id"]: r["community"]
+            for r in louvain_communities(twins, rels_df, **kw).collect()
+        }
+
+    # heavy intra, light bridge: cliques recovered exactly
+    heavy_intra = comm_of(rels(1, 5), weight_col="wq")
+    assert len({heavy_intra[x] for x in a}) == 1
+    assert len({heavy_intra[x] for x in b}) == 1
+    assert heavy_intra["a"] != heavy_intra["e"]
+    # heavy bridge on the SAME topology: d and e co-community — the
+    # answer the unweighted operator cannot give
+    heavy_bridge = comm_of(rels(50, 1), weight_col="wq")
+    assert heavy_bridge["d"] == heavy_bridge["e"]
+    unweighted = comm_of(rels(50, 1))
+    assert unweighted["d"] != unweighted["e"]
+    # w=1 everywhere == the unweighted assignment exactly
+    assert comm_of(rels(1, 1), weight_col="wq") == unweighted
+    # parallel edges SUM on the normalized pair: splitting the bridge
+    # weight across 2 parallel rels gives the heavy-bridge answer
+    split = rels(25, 1).unionByName(
+        spark.createDataFrame(
+            [("rx", "d", "e", "e", 25.0)],
+            "relationship_id string, source_id string, "
+            "target_id string, name string, wq double",
+        )
+    )
+    assert comm_of(split, weight_col="wq")["d"] == comm_of(
+        split, weight_col="wq"
+    )["e"]
