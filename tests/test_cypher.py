@@ -2874,10 +2874,11 @@ def test_call_procedure_pagerank_weighted(spark):
     ):
         got2 = {r["node"]: r["rank"] for r in c.query(qstr).rows}
         assert got2 == got
-    # only _WEIGHTED_PROCS accept a weight property
+    # only _WEIGHTED_PROCS accept a weight property (louvain gained
+    # weight support in r15 — use a structurally unweighted procedure)
     with pytest.raises(CypherCompileError, match="relationshipWeightProperty"):
-        c.query("CALL graph.louvain('q') YIELD node, community "
-                "RETURN count(*) AS n")
+        c.query("CALL graph.triangleCount('q') YIELD triangles "
+                "RETURN triangles")
     # negative weights fail at runtime with a named error
     bad = DigitalTwinsSparkClient(GraphStore.from_documents(
         spark, twin_docs=twins[:2],
