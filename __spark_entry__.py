@@ -1345,6 +1345,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact_groups"] = lambda s, d: text.exact_dup_groups(
         _tables(s, d)["documents"]
     )
+    # r15: edit-distance-verified near-dups — banding candidates →
+    # exact BOUNDED Levenshtein over normalized text (the typo-class
+    # complement to the shingle-Jaccard verify); value-checked against
+    # the brute-force SQL truth, so a banding-recall gap goes red
+    q["dedup_levenshtein_verified"] = (
+        lambda s, d: similarity.levenshtein_verified_pairs(
+            _tables(s, d)["documents"], max_dist=5
+        )
+    )
     q["text_pii_scrub"] = lambda s, d: text.pii_scrub(_tables(s, d)["documents"])
     q["dedup_embedding_cosine"] = lambda s, d: similarity.cosine_near_dup_pairs(
         _tables(s, d)["embeddings"], threshold=0.4
@@ -2413,7 +2422,7 @@ _DRIVER_WINDOW = [
     "cypher_call_node_similarity", "cypher_call_link_prediction",
     # dedup + text pipeline + multimodal (8) -- r15: BPE token counts
     # first-gate; seven r14 carriers keep the family represented
-    "text_bpe_token_counts", "dedup_exact_groups",
+    "text_bpe_token_counts", "dedup_levenshtein_verified",
     "dedup_minhash_verified", "events_rolling_stats_bucketed",
     "cypher_call_shortest_paths", "cypher_call_shortest_paths_weighted",
     "text_profile_documents", "multimodal_frames",
@@ -4327,6 +4336,19 @@ def oracle_sql() -> dict[str, str]:
         "FROM inter JOIN sizes sa ON doc_a = sa.doc_id "
         "JOIN sizes sb ON doc_b = sb.doc_id "
         "WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5"
+    )
+    # brute-force truth with the exact length-difference prefilter
+    # (|len(a)-len(b)| > max_dist ⇒ lev > max_dist, so the prefilter
+    # is lossless — it just keeps the O(n²) oracle cheap at sf0.01)
+    o["dedup_levenshtein_verified"] = (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS tx "
+        "FROM documents) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(levenshtein(a.tx, b.tx) AS BIGINT) AS lev_dist "
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id "
+        "AND abs(length(a.tx) - length(b.tx)) <= 5 "
+        "WHERE levenshtein(a.tx, b.tx) <= 5"
     )
     o["tpch_supplier_revenue"] = (
         "SELECT s_suppkey, s_name, total_revenue FROM ("

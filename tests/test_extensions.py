@@ -4488,3 +4488,45 @@ def test_louvain_weighted_two_cliques(spark):
     assert comm_of(split, weight_col="wq")["d"] == comm_of(
         split, weight_col="wq"
     )["e"]
+
+
+def test_levenshtein_verified_pairs_hand_computed(spark):
+    """r15: edit-distance-verified near-dups — crafted docs with known
+    distances: a 2-edit pair survives max_dist=5, a 1-edit pair
+    reports exactly 1, whitespace/case noise normalizes to distance 0,
+    an unrelated doc never pairs; max_dist=0 keeps only exact dups;
+    negative max_dist raises."""
+    import pytest as _pytest
+
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        levenshtein_verified_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("quick", "quack", 1)),        # 1 edit
+            (3, "  " + base.upper().replace(" ", "   ")),  # normalizes to 0
+            (4, base.replace("lazy", "hazy", 1).replace("dog", "cat", 1)),  # 4 edits vs 1
+            (5, "completely different content about spark physical plans " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["lev_dist"]
+        for r in levenshtein_verified_pairs(docs, max_dist=5).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 0
+    assert got[(1, 4)] == 4
+    assert got[(2, 3)] == 1
+    assert all(5 not in p for p in got)
+    # max_dist=0: only the normalization-identical pair survives
+    got0 = {
+        (r["doc_a"], r["doc_b"]): r["lev_dist"]
+        for r in levenshtein_verified_pairs(docs, max_dist=0).collect()
+    }
+    assert got0 == {(1, 3): 0}
+    with _pytest.raises(ValueError, match="max_dist"):
+        levenshtein_verified_pairs(docs, max_dist=-1)
