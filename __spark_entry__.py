@@ -1820,14 +1820,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tables(s, d)["events"]
     )
     # r12: mean-shift drift detection — centered CUSUM statistic with
-    # the division cleared (cnt·S_k − k·total), exact BIGINT end-to-end
+    # the division cleared (cnt·S_k − k·total), exact BIGINT end-to-end.
+    # r16: the DEFAULT is the two-pass distributed prefix sum (daily
+    # buckets — exact for any bucket size, no guard needed); the
+    # _global twin rides the single-window path as the comparison pair
     q["events_drift_stats"] = lambda s, d: ev_ops.drift_stats(
         _tables(s, d)["events"]
     )
+    q["events_drift_stats_global"] = lambda s, d: ev_ops.drift_stats(
+        _tables(s, d)["events"], bucket_minutes=None
+    )
     # r13: single change-point per series — argmax_k |D_k| (binary
-    # segmentation, smallest-k ties) + true-floor segment means
+    # segmentation, smallest-k ties) + true-floor segment means.
+    # r16: bucketed prefix-sum default + _global comparison twin
     q["events_changepoint"] = lambda s, d: ev_ops.changepoint(
         _tables(s, d)["events"]
+    )
+    q["events_changepoint_global"] = lambda s, d: ev_ops.changepoint(
+        _tables(s, d)["events"], bucket_minutes=None
     )
     # r8 session 3: state-duration profile + OHLC downsample
     q["events_time_in_state"] = lambda s, d: ev_ops.time_in_state(
@@ -1837,9 +1847,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tables(s, d)["events"], minutes=360
     )
     # r14: trailing 100-row window stats — exact BIGINT count / sum /
-    # variance NUMERATOR (n·Σx² − (Σx)², division deferred)
+    # variance NUMERATOR (n·Σx² − (Σx)², division deferred).
+    # r16: the DEFAULT is bucket_minutes="auto" — a per-series probe
+    # derives the bucket and the guard-checked carry path runs when the
+    # data admits it (falls back to global with a logged reason); the
+    # _global twin pins the single-window plan as the comparison pair
     q["events_rolling_stats"] = lambda s, d: ev_ops.rolling_stats(
         _tables(s, d)["events"]
+    )
+    q["events_rolling_stats_global"] = lambda s, d: ev_ops.rolling_stats(
+        _tables(s, d)["events"], bucket_minutes=None
     )
     # r15: the bucketed-exact scale path — partition by (type, 3-day
     # bucket) with carry rows; SAME oracle as the global window (the
@@ -4735,8 +4752,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM v WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id "
         "ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)"
     )
-    # r15: bucketed-exact path — identical results, same oracle
+    # r15: bucketed-exact path — identical results, same oracle.
+    # r16: the primary keys now default to the bucketed/auto scale
+    # plans and the _global twins pin the single-window plan — all
+    # EXACT by construction, so one oracle serves each family
     o["events_rolling_stats_bucketed"] = o["events_rolling_stats"]
+    o["events_rolling_stats_global"] = o["events_rolling_stats"]
+    o["events_drift_stats_global"] = o["events_drift_stats"]
+    o["events_changepoint_global"] = o["events_changepoint"]
     o["events_ohlc"] = (
         "WITH b AS (SELECT event_type, "
         "CAST(to_timestamp((CAST(epoch(ts) AS BIGINT) // 21600) * 21600) "

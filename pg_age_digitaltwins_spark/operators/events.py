@@ -469,10 +469,105 @@ def gap_fill_locf(events: DataFrame, minutes: int = 60) -> DataFrame:
     )
 
 
+def _cumulative_frame(
+    events: DataFrame, scale: int, bucket_minutes: int | None
+) -> DataFrame:
+    """Shared scaffold for the exact per-series cumulative operators
+    (:func:`drift_stats`, :func:`changepoint`): fix ``value`` to
+    BIGINT with ``floor(value·scale)`` and return (event_type, ts,
+    event_id, __vs, __s, __k, __tot, __cnt) where ``__s`` is the
+    running sum and ``__k`` the 1-based rank under the canonical
+    (ts, event_id) series order, with the per-series grand totals
+    joined on.
+
+    ``bucket_minutes=None`` is the single-window path: ONE shuffle
+    keyed by the series column, but each series' entire history sorts
+    in ONE task (parallelism = |series| — the r15-probe scale flaw).
+
+    ``bucket_minutes=N`` is the scale path — the textbook two-pass
+    distributed prefix sum: (1) aggregate per-(series, time-bucket)
+    sums/counts (map-side combined; the dim is series × buckets,
+    tiny), (2) window over the DIM to get each bucket's exclusive
+    cumulative offset, (3) broadcast-join the offsets back and add a
+    within-bucket window partitioned by (series, bucket).  Every
+    task sorts one bounded bucket; parallelism = series × buckets.
+    Results are IDENTICAL to the global window for ANY bucket size —
+    the bucket function is monotone in ts and same-ts rows share a
+    bucket, so the (ts, event_id) total order is preserved across
+    bucket boundaries — which is why, unlike
+    :func:`rolling_stats`'s carry path, no bucket-dimension guard is
+    needed and bucketed can be the DEFAULT.  Grand totals fall out
+    of the dim for free (no second full scan); the projected input
+    is lazily checkpointed so the raw event scan (the 100 TB side)
+    materializes once for the dim pass and the main pass."""
+    from pyspark.sql import Window
+
+    vs = F.floor(F.col("value") * scale).cast("long")
+    df = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "ts", "event_id", vs.alias("__vs")
+    )
+    if bucket_minutes is None:
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        tot = df.groupBy("event_type").agg(
+            F.sum("__vs").alias("__tot"), F.count(F.lit(1)).alias("__cnt")
+        )
+        return (
+            df.withColumn(
+                "__s",
+                F.sum("__vs").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .withColumn("__k", F.row_number().over(w).cast("long"))
+            .join(F.broadcast(tot), "event_type")
+        )
+    if bucket_minutes <= 0:
+        raise ValueError(
+            f"bucket_minutes must be positive or None, got {bucket_minutes}"
+        )
+    sec = bucket_minutes * 60
+    base = df.withColumn(
+        "__b", F.floor(F.unix_timestamp("ts") / sec).cast("long")
+    ).localCheckpoint(eager=False)
+    dim = base.groupBy("event_type", "__b").agg(
+        F.sum("__vs").alias("__bs"), F.count(F.lit(1)).alias("__bn")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = dim.select(
+        "event_type",
+        "__b",
+        F.coalesce(F.sum("__bs").over(wb), F.lit(0).cast("long")).alias(
+            "__off_s"
+        ),
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0).cast("long")).alias(
+            "__off_k"
+        ),
+    )
+    tot = dim.groupBy("event_type").agg(
+        F.sum("__bs").alias("__tot"), F.sum("__bn").alias("__cnt")
+    )
+    wl = Window.partitionBy("event_type", "__b").orderBy("ts", "event_id")
+    return (
+        base.withColumn(
+            "__sl",
+            F.sum("__vs").over(wl.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("__kl", F.row_number().over(wl).cast("long"))
+        .join(F.broadcast(offs), ["event_type", "__b"])
+        .join(F.broadcast(tot), "event_type")
+        .withColumn("__s", F.col("__off_s") + F.col("__sl"))
+        .withColumn("__k", F.col("__off_k") + F.col("__kl"))
+        .drop("__b", "__sl", "__kl", "__off_s", "__off_k")
+    )
+
+
 def drift_stats(
     events: DataFrame,
     scale: int = 1000,
     threshold_scaled: int = 100_000,
+    bucket_minutes: int | None = 1440,
 ) -> DataFrame:
     """(event_type, n_points, n_drift, max_abs_drift, first_drift_ts) —
     mean-shift (drift) detection per series: the centered cumulative
@@ -489,28 +584,17 @@ def drift_stats(
     the mean-centering multiplies through by ``cnt`` instead of
     dividing, so every comparison is BIGINT and engine-portable.
 
-    100 TB shape: ONE shuffle keyed by the series column — the ordered
-    cumulative sum, the row number, and the final rollup all share the
-    series partitioning (the totals join is series-count-sized and
-    broadcast).  Per-series sequential accumulation is inherent to
-    cumulative statistics; parallelism comes from the series count,
-    same story as :func:`gap_fill_locf`."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    vs = F.floor(F.col("value") * scale).cast("long")
-    df = events.filter(F.col("value").isNotNull()).select(
-        "event_type", "ts", "event_id", vs.alias("__vs")
-    )
-    tot = df.groupBy("event_type").agg(
-        F.sum("__vs").alias("__tot"), F.count(F.lit(1)).alias("__cnt")
-    )
+    100 TB shape (r16): the DEFAULT rides the two-pass distributed
+    prefix sum of :func:`_cumulative_frame` — per-(series, daily
+    bucket) partials, exclusive offsets over the tiny bucket dim,
+    within-bucket windows — so parallelism is series × buckets and no
+    task ever sorts a full series history.  Results are identical to
+    the global window for any ``bucket_minutes`` (the helper explains
+    why no guard is needed); ``bucket_minutes=None`` selects the
+    single-window path for comparison.  The final rollup is a
+    map-side-combined groupBy on the series key."""
     d = (
-        df.withColumn(
-            "__s", F.sum("__vs").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .withColumn("__k", F.row_number().over(w))
-        .join(F.broadcast(tot), "event_type")
+        _cumulative_frame(events, scale, bucket_minutes)
         .withColumn(
             "__d", F.col("__cnt") * F.col("__s") - F.col("__k") * F.col("__tot")
         )
@@ -529,7 +613,11 @@ def drift_stats(
     )
 
 
-def changepoint(events: DataFrame, scale: int = 1000) -> DataFrame:
+def changepoint(
+    events: DataFrame,
+    scale: int = 1000,
+    bucket_minutes: int | None = 1440,
+) -> DataFrame:
     """(event_type, n_points, split_k, split_ts, pre_avg_micro,
     post_avg_micro, max_abs_d) — single change-point estimation per
     series by binary segmentation over the EXACT CUSUM statistic: the
@@ -546,9 +634,12 @@ def changepoint(events: DataFrame, scale: int = 1000) -> DataFrame:
     value-checks against SQL.  Interior splits only (1 ≤ k < n);
     single-point series are omitted.
 
-    100 TB shape: ONE shuffle keyed by the series column — cumsum,
-    rank and the per-series argmax window all reuse the series
-    partitioning; totals broadcast."""
+    100 TB shape (r16): the DEFAULT rides the two-pass distributed
+    prefix sum of :func:`_cumulative_frame` (exact for any bucket
+    size — see the helper); the per-series argmax stays a window on
+    the series key, but its input is the already-computed D column,
+    not a sort of raw history.  ``bucket_minutes=None`` selects the
+    single-window comparison path."""
     from pyspark.sql import Window
 
     # pre/post means are reported in MICRO units regardless of the
@@ -561,20 +652,8 @@ def changepoint(events: DataFrame, scale: int = 1000) -> DataFrame:
             f"(micro-unit output contract), got {scale}"
         )
     micro = 1_000_000 // scale
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    vs = F.floor(F.col("value") * scale).cast("long")
-    df = events.filter(F.col("value").isNotNull()).select(
-        "event_type", "ts", "event_id", vs.alias("__vs")
-    )
-    tot = df.groupBy("event_type").agg(
-        F.sum("__vs").alias("__tot"), F.count(F.lit(1)).alias("__cnt")
-    )
     d = (
-        df.withColumn(
-            "__s", F.sum("__vs").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .withColumn("__k", F.row_number().over(w))
-        .join(F.broadcast(tot), "event_type")
+        _cumulative_frame(events, scale, bucket_minutes)
         .filter(F.col("__k") < F.col("__cnt"))  # interior splits only
         .withColumn(
             "__d", F.col("__cnt") * F.col("__s") - F.col("__k") * F.col("__tot")
@@ -604,11 +683,54 @@ def changepoint(events: DataFrame, scale: int = 1000) -> DataFrame:
     )
 
 
+def _auto_bucket_minutes(df: DataFrame, window_rows: int) -> int | None:
+    """Derive a ``rolling_stats`` bucket size from a cheap per-series
+    probe (count + timespan — |series| rows collected, never data
+    rows): the smallest bucket whose average occupancy is
+    ≥ 4·window_rows for EVERY series (4× margin so the exactness
+    guard passes under moderately non-uniform arrival).  Returns None
+    (→ global window) when no series benefits: a single observation,
+    zero timespan, or a derived bucket that would still hold every
+    series in one bucket."""
+    import logging
+    import math
+
+    rows = df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.unix_timestamp("ts")).alias("lo"),
+        F.max(F.unix_timestamp("ts")).alias("hi"),
+    ).collect()
+    if not rows:
+        return None
+    need, spans = [], []
+    for r in rows:
+        span_min = max((r["hi"] - r["lo"]) / 60.0, 1.0)
+        spans.append(span_min)
+        if r["n"] <= 4 * window_rows:
+            continue  # the whole series is a few windows — global is fine
+        rate = r["n"] / span_min  # rows per minute
+        need.append(4 * window_rows / rate)
+    if not need:
+        logging.getLogger(__name__).info(
+            "rolling_stats auto: every series holds <= 4*window_rows rows; "
+            "using the global window"
+        )
+        return None
+    bm = max(1, int(math.ceil(max(need))))
+    if bm >= max(spans):
+        logging.getLogger(__name__).info(
+            "rolling_stats auto: derived bucket (%d min) spans every "
+            "series; using the global window", bm
+        )
+        return None
+    return bm
+
+
 def rolling_stats(
     events: DataFrame,
     window_rows: int = 100,
     scale: int = 1000,
-    bucket_minutes: int | None = None,
+    bucket_minutes: int | None | str = "auto",
 ) -> DataFrame:
     """(event_type, ts, event_id, roll_n, roll_sum_milli, roll_var_num)
     — trailing ROW-window statistics per series: over the last
@@ -645,7 +767,18 @@ def rolling_stats(
     dropped (each row is EMITTED from its home bucket exactly once).
     Cost: the projected input is lazily checkpointed and read by the
     guard, the carry selection, and the main window — one materialized
-    pass, two windowed reads, all bucket-bounded."""
+    pass, two windowed reads, all bucket-bounded.
+
+    ``bucket_minutes="auto"`` (r16, the DEFAULT — verdict: make the
+    scale path reachable by default): a cheap per-series probe
+    (count + timespan, |series| rows) derives the smallest bucket
+    whose AVERAGE occupancy is ≥ 4·window_rows for every series (4×
+    margin against non-uniform arrival).  Falls back to the global
+    window — with a logged reason — when the data is too sparse for
+    bucketing to help (every series would fit one bucket) or when the
+    exactness guard rejects the derived bucket (a skewed series still
+    has an under-filled bucket).  Either way the results are the same
+    exact trailing-window statistics; auto only picks the plan."""
     from pyspark.sql import Window
 
     if window_rows < 1:
@@ -662,6 +795,14 @@ def rolling_stats(
     df = events.filter(F.col("value").isNotNull()).select(
         "event_type", "ts", "event_id", vs.alias("__vs")
     )
+    auto = bucket_minutes == "auto"
+    if isinstance(bucket_minutes, str) and not auto:
+        raise ValueError(
+            f"bucket_minutes must be an int, None, or 'auto', "
+            f"got {bucket_minutes!r}"
+        )
+    if auto:
+        bucket_minutes = _auto_bucket_minutes(df, window_rows)
 
     def _stats(frame, w):
         roll_n = F.count(F.lit(1)).over(w).cast("long")
@@ -724,6 +865,23 @@ def rolling_stats(
         .count()
     )
     if bad:
+        if auto:
+            # auto picked a bucket a skewed series can't fill — the
+            # plan choice must never change the answer, so fall back
+            # to the global window with a logged reason
+            import logging
+
+            logging.getLogger(__name__).info(
+                "rolling_stats auto: derived bucket (%d min) rejected by "
+                "the exactness guard (an under-filled bucket); falling "
+                "back to the global window", bucket_minutes
+            )
+            w = (
+                Window.partitionBy("event_type")
+                .orderBy("ts", "event_id")
+                .rowsBetween(-(window_rows - 1), 0)
+            )
+            return _stats(df, w)
         raise ValueError(
             "rolling_stats: some time bucket holds fewer than "
             f"window_rows - 1 = {window_rows - 1} rows, so a trailing "

@@ -133,6 +133,12 @@ def test_compact_summary_small_and_complete(spark):
     # this run is RUNS=1, so spread is absent/None)
     assert c["louvain"]["min"] == out["analytics"]["graph_louvain"]
     assert c["louvain"]["isolated_first"] is not None
+    # r16 (verdict #5): the fixed-work contention calibration runs
+    # first and rides the compact line — a contended driver pass is
+    # readable from the artifact without CDC cross-referencing
+    assert out["calibration"]["spin_s"] > 0
+    assert out["calibration"]["shuffle_s"] > 0
+    assert c["calib"] == out["calibration"]
 
 
 def test_isolated_first_pass_recorded_and_counts_toward_min(spark):

@@ -4430,6 +4430,97 @@ def test_rolling_stats_bucketed_small_first_bucket_exact(spark):
         rolling_stats(sparse, window_rows=10, bucket_minutes=60).collect()
 
 
+def test_cumulative_bucketed_matches_global(spark):
+    """r16: drift_stats/changepoint's two-pass distributed prefix sum
+    returns EXACTLY the single-window rows for ANY bucket size — the
+    bucket function is monotone in ts, so no guard is needed (unlike
+    rolling_stats' carry path)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pg_age_digitaltwins_spark.operators.events import (
+        changepoint,
+        drift_stats,
+    )
+
+    rng = random.Random(23)
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for i in range(500):
+        # two series, irregular spacing, a mid-series mean shift so the
+        # drift/changepoint outputs are non-trivial; some ts ties
+        shift = 4.0 if i > 250 else 0.0
+        rows.append(
+            (i, t0 + timedelta(minutes=i * 7 + rng.randint(0, 3)),
+             "a" if i % 3 else "b", rng.uniform(-5, 5) + shift)
+        )
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    for op in (drift_stats, changepoint):
+        glob = sorted(
+            tuple(r) for r in op(events, bucket_minutes=None).collect()
+        )
+        # tiny buckets (many near-empty), medium, huge (one bucket) —
+        # all exact; 1440 is the operator default
+        for bm in (10, 480, 1440, 10**7):
+            bkt = sorted(
+                tuple(r) for r in op(events, bucket_minutes=bm).collect()
+            )
+            assert bkt == glob, (op.__name__, bm)
+    with pytest.raises(ValueError, match="bucket_minutes"):
+        drift_stats(events, bucket_minutes=0).collect()
+
+
+def test_rolling_stats_auto_bucket(spark):
+    """r16: bucket_minutes='auto' (the new default) derives the bucket
+    from a per-series probe — dense data rides the bucketed plan,
+    sparse data falls back to the global window, and either way the
+    results equal the explicit global window exactly."""
+    from datetime import datetime, timedelta
+
+    from pg_age_digitaltwins_spark.operators.events import (
+        _auto_bucket_minutes,
+        rolling_stats,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2026, 1, 1)
+    # dense: 2000 rows over ~33 h — far more than 4*window_rows
+    dense = spark.createDataFrame(
+        [(i, t0 + timedelta(minutes=i), "a", float(i % 17)) for i in range(2000)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    # sparse: fewer than 4*window_rows rows in total
+    sparse = spark.createDataFrame(
+        [(i, t0 + timedelta(minutes=i), "a", float(i)) for i in range(30)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+
+    def proj(df):
+        return df.select(
+            "event_type", "ts", "event_id",
+            F.floor(F.col("value") * 1000).cast("long").alias("__vs"),
+        )
+
+    assert _auto_bucket_minutes(proj(dense), window_rows=100) is not None
+    assert _auto_bucket_minutes(proj(sparse), window_rows=100) is None
+    for df in (dense, sparse):
+        got = sorted(
+            tuple(r)
+            for r in rolling_stats(df, window_rows=100,
+                                   bucket_minutes="auto").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in rolling_stats(df, window_rows=100,
+                                   bucket_minutes=None).collect()
+        )
+        assert got == want
+    with pytest.raises(ValueError, match="auto"):
+        rolling_stats(dense, bucket_minutes="weekly")
+
+
 def test_louvain_weighted_two_cliques(spark):
     """r15: weighted Louvain (GDS relationshipWeightProperty parity) —
     weights CHANGE the partition on identical topology: heavy-intra

@@ -712,7 +712,9 @@ def test_rolling_stats_single_window_pass(spark):
 
     events = load_tables(spark, SF_DIR)["events"]
     # count tree nodes ("Window (n)"), not the detail-section echoes
-    plan = _plan(rolling_stats(events))
+    # (bucket_minutes=None pins the GLOBAL path explicitly — the r16
+    # default is "auto", which may pick the bucketed plan)
+    plan = _plan(rolling_stats(events, bucket_minutes=None))
     assert plan.count("Window (") == 1
     assert plan.count("Exchange (") == 1
     assert "Join" not in plan
@@ -841,3 +843,54 @@ def test_rolling_stats_bucketed_partitions_by_type_and_bucket(spark):
     assert "hashpartitioning(event_type" in plan
     # the window partition key carries the bucket column
     assert "__b" in main, plan
+
+
+def test_cumulative_prefix_sum_partitions_by_type_and_bucket(spark):
+    """r16: drift_stats/changepoint default to the two-pass distributed
+    prefix sum — the MAIN cumsum window must shuffle on (event_type,
+    __b) (parallelism series x buckets), the bucket-dim offsets must
+    ride broadcast joins (the dim is series x buckets — tiny), and the
+    single-window |series|-task sort must be gone.  The _global twin
+    pins the comparison plan."""
+    from datetime import datetime, timedelta
+
+    from pg_age_digitaltwins_spark.operators.events import (
+        changepoint,
+        drift_stats,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    events = spark.createDataFrame(
+        [(i, t0 + timedelta(minutes=i), "a", float(i)) for i in range(300)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    for op in (drift_stats, changepoint):
+        plan = _plan(op(events, bucket_minutes=60))
+        # the within-bucket cumsum window carries the bucket column
+        main = plan.split("Window", 1)[1]
+        assert "__b" in main, plan
+        # offsets + totals come back via broadcast (dim-sized)
+        assert "BroadcastExchange" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        # the global twin: one window partitioned by the series alone
+        gplan = _plan(op(events, bucket_minutes=None))
+        assert "__b" not in gplan, gplan
+
+
+def test_cumulative_prefix_sum_single_materialized_scan(spark):
+    """r16 (verdict #1 done-bar): the bucketed prefix-sum path reads
+    the raw event scan ONCE — the projected input is lazily
+    checkpointed, so after the first action every consumer (bucket dim,
+    offsets, totals, main window) reads the materialized partitions,
+    never the parquet scan again."""
+    from pg_age_digitaltwins_spark.operators.events import drift_stats
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    events = load_tables(spark, SF_DIR)["events"]
+    df = drift_stats(events, bucket_minutes=1440)
+    assert df.count() > 0  # materializes the lazy checkpoint
+    plan = _plan(df)
+    # post-materialization the checkpoint pins every consumer to the
+    # cached RDD — the raw source scan appears at most once (the
+    # lazy-checkpoint scan node), never per-consumer
+    assert plan.count("Scan parquet") == 0, plan
