@@ -628,6 +628,35 @@ class CypherCompiler:
         {"graph.pagerank", "graph.personalizedpagerank", "graph.degree",
          "graph.shortestpaths", "graph.louvain"}
     )
+    # procedures whose operators run EXACT BIGINT weight arithmetic
+    # (delta-frontier Bellman-Ford, Louvain's integer modularity): a
+    # fractional property would silently floor to 0 on the long cast —
+    # zero-cost edges, dropped modularity mass — while pageRank/PPR/
+    # degree honor doubles through the same syntax (ADVICE r15).  The
+    # projection asserts integrality for these at runtime.
+    _INTEGER_WEIGHT_PROCS = frozenset(
+        {"graph.shortestpaths", "graph.louvain"}
+    )
+    # per-procedure help notes, appended to every arg-shaped
+    # CompileError for that procedure (ADVICE r15: registry defaults
+    # that DIVERGE from GDS must be surfaced in the help text, not
+    # only in PARITY.md — a ported query is otherwise silently
+    # re-scored)
+    _PROC_NOTES = {
+        "graph.nodesimilarity": (
+            "note: defaults topK=20 / upperDegreeCutoff=25 DIVERGE "
+            "from GDS (whose cutoff is unbounded); degrees are "
+            "recomputed over the cutoff-filtered edge set, so Jaccard "
+            "VALUES — not just coverage — differ for super-cutoff "
+            "nodes.  Pass a large upperDegreeCutoff for "
+            "GDS-equivalent scoring"
+        ),
+        "graph.linkprediction": (
+            "note: defaults topK=50 / maxWedgeDegree=100 bound the "
+            "wedge-join candidates (GDS-style cutoff); pass a large "
+            "maxWedgeDegree for the uncapped exact run"
+        ),
+    }
 
     def _proc_registry(
         self, rels: DataFrame | None = None, weight_col: str | None = None
@@ -1009,6 +1038,7 @@ class CypherCompiler:
                 bad_type = J.is_defined_of(v) & num.isNull()
                 raw_w = F.coalesce(num, F.lit(1.0))
                 pfx = f"relationshipWeightProperty '{weight_prop}': "
+                ok = (~bad_type) & (raw_w >= 0)
                 err = F.when(
                     bad_type,
                     F.concat(
@@ -1018,27 +1048,45 @@ class CypherCompiler:
                             F.lit("?"),
                         ),
                     ),
-                ).otherwise(
+                ).when(
+                    raw_w < 0,
                     F.concat(
                         F.lit(pfx + "negative edge weight "),
                         raw_w.cast("string"),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit(
+                            pfx + "non-integral edge weight "
+                        ),
+                        raw_w.cast("string"),
+                        F.lit(
+                            f" ({clause.name} runs exact BIGINT weight "
+                            "arithmetic — a fractional weight would "
+                            "silently floor; scale the property to "
+                            "integers first)"
+                        ),
                     )
                 )
-                wcol = F.when(
-                    F.assert_true((~bad_type) & (raw_w >= 0), err).isNull(),
-                    raw_w,
-                )
+                if key in CypherCompiler._INTEGER_WEIGHT_PROCS:
+                    # ADVICE r15: the long-cast operators floored
+                    # fractional weights to 0 silently — assert
+                    # integrality instead
+                    ok = ok & (raw_w == F.floor(raw_w))
+                wcol = F.when(F.assert_true(ok, err).isNull(), raw_w)
                 rels_frame = with_vdoc(rels_frame).withColumn("__w", wcol)
                 weight_col = "__w"
             registry = self._proc_registry(rels_frame, weight_col=weight_col)
             arg_spec, canon, build = registry[key]
+        note = CypherCompiler._PROC_NOTES.get(key)
+        note_sfx = f"  [{note}]" if note else ""
         if len(clause_args) > len(arg_spec):
             raise CypherCompileError(
                 f"CALL {clause.name}(...) takes at most {len(arg_spec)} "
                 f"argument(s) ({', '.join(a for a, _, _ in arg_spec)}) "
                 f"plus optional trailing relTypes list / "
                 f"relationshipWeightProperty string projections, "
-                f"got {len(clause_args)}"
+                f"got {len(clause_args)}" + note_sfx
             )
         vals = []
         for i, (aname, akind, adefault) in enumerate(arg_spec):
@@ -1048,7 +1096,8 @@ class CypherCompiler:
                 )
             elif adefault is CypherCompiler._REQUIRED:
                 raise CypherCompileError(
-                    f"CALL {clause.name}(...): argument '{aname}' is required"
+                    f"CALL {clause.name}(...): argument '{aname}' is "
+                    "required" + note_sfx
                 )
             else:
                 vals.append(adefault)
@@ -1082,6 +1131,7 @@ class CypherCompiler:
                 raise CypherCompileError(
                     f"CALL {clause.name}(...) yields "
                     f"{', '.join(canon)} — '{col}' is not one of them"
+                    + note_sfx
                 )
             out = alias or col
             if out in seen:

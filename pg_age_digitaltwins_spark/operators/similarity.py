@@ -1129,11 +1129,25 @@ def levenshtein_verified_pairs(
     edit distance is exactly that metric.
 
     Recall caveat (same contract as :func:`minhash_lsh_verified_pairs`):
-    a pair qualifies only if banding surfaces it.  A ``max_dist``-edit
-    pair differs in ≤ max_dist tokens, so its token-shingle Jaccard
-    stays near 1 for tight bounds and banding recall is ~1; the board
-    key value-checks against the brute-force SQL truth, so a recall
-    gap on the fixture goes red rather than silent.
+    a pair of SHINGLE-BEARING docs qualifies only if banding surfaces
+    it.  A ``max_dist``-edit pair differs in ≤ max_dist tokens, so its
+    token-shingle Jaccard stays near 1 for tight bounds and banding
+    recall is ~1; the board key value-checks against the brute-force
+    SQL truth, so a recall gap on the fixture goes red rather than
+    silent.
+
+    Short-doc floor guard (r16, the r15 verdict's #6): a doc under
+    ``n`` tokens yields a single degenerate shingle, so ONE in-token
+    typo zeroes its Jaccard and banding can never surface the pair.
+    Docs under ``n + max_dist`` tokens (a ≤max_dist-edit partner of a
+    sub-shingle doc can have at most that many — each edit changes the
+    token count by ≤ 1) therefore get EXACT candidate pairing instead:
+    bucket by ``floor(len/ (max_dist+1))`` over the normalized text and
+    self-join same+adjacent buckets — complete, because a qualifying
+    pair's char lengths differ by ≤ max_dist < bucket width.  The
+    short set is the near-shingle-floor population (tiny in a real
+    corpus) and pairs only form between length-co-located members —
+    never a corpus cross join.
 
     100 TB shape: the verify join costs O(candidates) bounded
     Levenshtein evaluations — never O(n²); text reaches the join
@@ -1150,6 +1164,34 @@ def levenshtein_verified_pairs(
         threshold=max(0.0, threshold - est_margin),
         num_hashes=num_hashes,
     ).select("doc_a", "doc_b")
+    # short-doc exact bucket (see docstring): length-bucketed
+    # same+adjacent self-join over the sub-(n + max_dist)-token docs
+    width = max_dist + 1
+    tokc = F.size(_text._tokens(F.lower(F.col("text"))))
+    nrm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    shortd = (
+        docs.filter(tokc < n + max_dist)
+        .select("doc_id", F.floor(F.length(nrm) / width).alias("__lb"))
+    )
+    s_a = shortd.select(
+        F.col("doc_id").alias("doc_a"), F.col("__lb").alias("__la")
+    )
+    s_b = shortd.select(
+        F.col("doc_id").alias("doc_b"), F.col("__lb").alias("__bb")
+    )
+    same = s_a.join(
+        s_b,
+        (F.col("__la") == F.col("__bb")) & (F.col("doc_a") < F.col("doc_b")),
+    )
+    adj = s_a.join(s_b, F.col("__la") + 1 == F.col("__bb")).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    )
+    cand = (
+        cand.unionByName(same.select("doc_a", "doc_b"))
+        .unionByName(adj)
+        .distinct()
+    )
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     t = docs.select("doc_id", norm.alias("__tx"))
     a = t.select(F.col("doc_id").alias("doc_a"), F.col("__tx").alias("__ta"))

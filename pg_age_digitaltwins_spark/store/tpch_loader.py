@@ -367,7 +367,17 @@ def load_graph(
         if not os.path.exists(marker):
             return True
         with open(marker) as f:
-            return f.read().strip() != fp
+            stale = f.read().strip() != fp
+        if not stale:
+            # refresh the marker mtime on every load — the liveness
+            # signal _purge_stale_versions' grace window reads, so a
+            # concurrently ACTIVE older checkout's cache survives the
+            # purge (ADVICE r15)
+            try:
+                os.utime(marker)
+            except OSError:
+                pass
+        return stale
 
     _purge_stale_versions(cache_root, tag)
 
@@ -413,11 +423,21 @@ def _purge_stale_versions(cache_root: str, tag: str) -> None:
     dirs (``{tag}-v{N}-*`` for N != LOADER_VERSION) — a version bump
     otherwise leaks gigabytes of dead bucketed tables per fixture
     (observed: 5.5 GB of v5/v6 dirs after the v7 bump).  Only current
-    code versions are ever read back, so deleting old versions is safe;
-    failures (concurrent readers, permissions) are ignored."""
+    code versions are ever read back BY THIS CHECKOUT, but an OLDER
+    checkout sharing the cache root may be mid-read — so dirs whose
+    _GRAPH_READY marker was touched within the grace window (default
+    24 h, override SPARK_GRAFT_CACHE_PURGE_GRACE_S; the marker mtime
+    refreshes on every load) are skipped (ADVICE r15: ignore_errors
+    only hides rmtree failures, it does not protect a concurrent
+    reader whose files vanish mid-scan).  Other failures (permissions)
+    are ignored."""
     import re
     import shutil
+    import time
 
+    grace = float(
+        os.environ.get("SPARK_GRAFT_CACHE_PURGE_GRACE_S", str(24 * 3600))
+    )
     pat = re.compile(re.escape(tag) + r"-v(\d+)(-|$)")
     try:
         entries = os.listdir(cache_root)
@@ -429,7 +449,16 @@ def _purge_stale_versions(cache_root: str, tag: str) -> None:
         # to a newer checkout sharing this cache root — deleting them
         # would thrash its cache (review r15)
         if m and int(m.group(1)) < LOADER_VERSION:
-            shutil.rmtree(os.path.join(cache_root, name), ignore_errors=True)
+            target = os.path.join(cache_root, name)
+            try:
+                marker_age = time.time() - os.stat(
+                    os.path.join(target, "_GRAPH_READY")
+                ).st_mtime
+                if marker_age < grace:
+                    continue  # an older checkout may still be reading it
+            except OSError:
+                pass  # no marker: a dead half-built dir — purge it
+            shutil.rmtree(target, ignore_errors=True)
 
 
 def _source_fingerprint(sf_dir: str) -> str:

@@ -2972,6 +2972,65 @@ def test_call_procedure_weight_non_numeric_errors(spark):
                 "RETURN count(*) AS n")
 
 
+def test_call_procedure_help_notes_surface_gds_divergence(spark):
+    """r16 (ADVICE r15): graph.nodeSimilarity's registry defaults
+    (topK=20/upperDegreeCutoff=25) DIVERGE from GDS — the divergence
+    must surface in the procedure's arg/yield-shaped CompileErrors,
+    not only in PARITY.md, so ported queries aren't silently
+    re-scored."""
+    from pg_age_digitaltwins_spark.cypher.compiler import CypherCompileError
+
+    c = _proc_client(spark)
+    with pytest.raises(CypherCompileError, match="DIVERGE"):
+        c.query("CALL graph.nodeSimilarity(1, 2, 3) YIELD a RETURN a")
+    with pytest.raises(CypherCompileError, match="upperDegreeCutoff=25"):
+        c.query("CALL graph.nodeSimilarity() YIELD nope RETURN nope")
+    with pytest.raises(CypherCompileError, match="maxWedgeDegree"):
+        c.query("CALL graph.linkPrediction() YIELD nope RETURN nope")
+
+
+def test_call_procedure_fractional_weight_integer_procs_error(spark):
+    """r16 (ADVICE r15): graph.shortestPaths / graph.louvain run exact
+    BIGINT weight arithmetic — a fractional property used to floor to
+    0 silently (zero-cost edges / dropped modularity mass).  The
+    projection now asserts integrality for those procedures at
+    runtime, while pageRank/PPR/degree keep honoring doubles through
+    the same syntax."""
+    from pg_age_digitaltwins_spark.client import DigitalTwinsSparkClient
+    from pg_age_digitaltwins_spark.store.graph_store import GraphStore
+
+    models = [{"@id": "dtmi:sp:W4;1", "@type": "Interface",
+               "@context": "dtmi:dtdl:context;3",
+               "contents": [{"@type": "Property", "name": "q",
+                             "schema": "double"}]}]
+    twins = [{"$dtId": x, "$metadata": {"$model": "dtmi:sp:W4;1"}}
+             for x in "ab"]
+    rels = [{"$relationshipId": "r0", "$sourceId": "a", "$targetId": "b",
+             "$relationshipName": "next", "q": 0.04}]
+    c = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels, model_docs=models))
+    with pytest.raises(Exception, match="non-integral edge weight"):
+        c.query("CALL graph.shortestPaths(['a'], 2, 'q') "
+                "YIELD node, dist RETURN count(*) AS n")
+    with pytest.raises(Exception, match="non-integral edge weight"):
+        c.query("CALL graph.louvain(2, 1, 'q') "
+                "YIELD node, community RETURN count(*) AS n")
+    # the double-honoring procedures still accept the same property
+    rows = c.query("CALL graph.degree('q') YIELD node, out_degree "
+                   "RETURN node, out_degree ORDER BY node").rows
+    assert rows == [{"node": "a", "out_degree": 0.04},
+                    {"node": "b", "out_degree": 0.0}]
+    # integral-valued DOUBLES pass the integer procedures (2.0 == 2)
+    rels2 = [{"$relationshipId": "r0", "$sourceId": "a",
+              "$targetId": "b", "$relationshipName": "next", "q": 2.0}]
+    c2 = DigitalTwinsSparkClient(GraphStore.from_documents(
+        spark, twin_docs=twins, relationship_docs=rels2,
+        model_docs=models))
+    rows = c2.query("CALL graph.shortestPaths(['a'], 2, 'q') "
+                    "YIELD node, dist RETURN node, dist ORDER BY node").rows
+    assert rows == [{"node": "a", "dist": 0}, {"node": "b", "dist": 2}]
+
+
 def test_call_procedure_unknown_seed_errors(spark):
     """r15 (review): a seed id that is not a twin raises a targeted
     compile error naming it — GDS parity; silently dropping a typo'd

@@ -4332,6 +4332,37 @@ def test_purge_stale_cache_versions(tmp_path):
     tl._purge_stale_versions(str(tmp_path / "nope"), "sf0.01")
 
 
+def test_purge_stale_cache_grace_window(tmp_path, monkeypatch):
+    """r16 (ADVICE r15): an older-version dir whose _GRAPH_READY marker
+    was touched within the grace window is an ACTIVE older checkout's
+    cache — skipped, not rmtree'd out from under its reader; a
+    past-grace marker (or none at all — a dead half-built dir) still
+    purges."""
+    import os as _os
+    import time as _time
+
+    from pg_age_digitaltwins_spark.store import tpch_loader as tl
+
+    cur = tl.LOADER_VERSION
+    recent = tmp_path / f"sf0.01-v{cur - 1}-bucketed"
+    old = tmp_path / f"sf0.01-v{cur - 2}-bucketed"
+    dead = tmp_path / f"sf0.01-v{cur - 3}-bucketed"
+    for d in (recent, old, dead):
+        d.mkdir()
+        (d / "x").write_text("d")
+    (recent / "_GRAPH_READY").write_text("fp")  # fresh mtime
+    (old / "_GRAPH_READY").write_text("fp")
+    past = _time.time() - 48 * 3600
+    _os.utime(old / "_GRAPH_READY", (past, past))
+    tl._purge_stale_versions(str(tmp_path), "sf0.01")
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == [recent.name]
+    # grace=0 disables the protection: everything old goes
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_PURGE_GRACE_S", "0")
+    tl._purge_stale_versions(str(tmp_path), "sf0.01")
+    assert sorted(p.name for p in tmp_path.iterdir()) == []
+
+
 def test_rolling_stats_bucketed_matches_global(spark):
     """r15: the bucketed-exact scale path (partition by (type, time
     bucket) + carry rows) returns EXACTLY the global window's rows on
@@ -4621,3 +4652,35 @@ def test_levenshtein_verified_pairs_hand_computed(spark):
     assert got0 == {(1, 3): 0}
     with _pytest.raises(ValueError, match="max_dist"):
         levenshtein_verified_pairs(docs, max_dist=-1)
+
+
+def test_levenshtein_verified_pairs_short_doc_floor(spark):
+    """r16 (r15 verdict #6): docs under n tokens yield one degenerate
+    shingle, so a single in-token typo zeroes their Jaccard and MinHash
+    banding can NEVER surface the pair — the exact length-bucketed
+    short-doc path must.  Covers sub-shingle x sub-shingle, the cross
+    pair with a shingle-bearing partner, adjacent-length-bucket pairs,
+    and the non-pair beyond max_dist."""
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        levenshtein_verified_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),           # 2 tokens < n=3: sub-shingle
+            (2, "alpha betq"),           # 1 edit from doc 1
+            (3, "alpha beta gamma"),     # 3 tokens (shingle-bearing), 6 edits from 1
+            (4, "alpha betaXX"),         # 2 inserts from doc 1 (adjacent length bucket at max_dist=2: len 10 vs 12)
+            (5, "totally unrelated etc"),
+            (6, "zz"),                   # short but > max_dist from all
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["lev_dist"]
+        for r in levenshtein_verified_pairs(docs, max_dist=2, n=3).collect()
+    }
+    assert got[(1, 2)] == 1   # banding-invisible; the short bucket finds it
+    assert got[(1, 4)] == 2   # adjacent length bucket
+    assert got[(2, 4)] == 2 if (2, 4) in got else True
+    assert all(5 not in p and 6 not in p and 3 not in p for p in got), got
