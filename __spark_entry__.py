@@ -260,6 +260,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "YIELD a, b, common_neighbors, pref_attach "
         "RETURN a, b, common_neighbors, pref_attach"
     )
+    # r16 (r15 verdict #3): the LLM-pipeline library through the CALL
+    # surface — dedup/ann/text procedures run on the corpus datasets
+    # the loader attaches; each key value-checks against the SAME
+    # oracle as its direct-operator twin (identical defaults)
+    q["cypher_call_dedup_minhash"] = _adt(
+        "CALL dedup.minhashVerified() YIELD doc_a, doc_b, jaccard "
+        "RETURN doc_a, doc_b, jaccard"
+    )
+    q["cypher_call_dedup_exact"] = _adt(
+        "CALL dedup.exactGroups() YIELD fp, n_docs, keep_doc_id "
+        "RETURN fp, n_docs, keep_doc_id"
+    )
+    q["cypher_call_ann_hamming"] = _adt(
+        "CALL ann.hamming(0, 10) YIELD vec_id, sim RETURN vec_id, sim"
+    )
+    q["cypher_call_ann_cosine"] = _adt(
+        "CALL ann.cosine(0, 10) YIELD vec_id, sim RETURN vec_id, sim"
+    )
+    q["cypher_call_text_profile"] = _adt(
+        "CALL text.profile() YIELD column, n_null, n_distinct, "
+        "min_value, max_value "
+        "RETURN column, n_null, n_distinct, min_value, max_value"
+    )
     # r15: the weighted projection generalizes — weighted SEEDED
     # proximity (recommendations by shipment volume) and weighted
     # degrees (sum of edge weights, DOUBLE; unweighted stays BIGINT)
@@ -4507,6 +4530,14 @@ def oracle_sql() -> dict[str, str]:
         "CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q) "
         "ORDER BY sim DESC, vec_id LIMIT 10"
     )
+    # r16: the CALL-surface dedup/ann/text keys value-check against
+    # the SAME oracles as their direct-operator twins (identical
+    # defaults; CALL dispatch + YIELD projection in front)
+    o["cypher_call_dedup_minhash"] = o["dedup_minhash_verified"]
+    o["cypher_call_dedup_exact"] = o["dedup_exact_groups"]
+    o["cypher_call_ann_hamming"] = o["embed_ann_hamming"]
+    o["cypher_call_ann_cosine"] = o["embed_knn_topk"]
+    o["cypher_call_text_profile"] = o["text_profile_documents"]
     o["embed_truncate_prefix"] = (
         "WITH pre AS (SELECT vec_id, "
         "list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS p "

@@ -658,10 +658,33 @@ class CypherCompiler:
         ),
     }
 
+    def _dataset(self, name: str) -> DataFrame:
+        """Corpus dataset for the text.*/dedup.*/ann.* procedures —
+        a store without datasets compiles to a targeted error, not a
+        stack trace."""
+        try:
+            return self.store.dataset(name)
+        except KeyError as ex:
+            raise CypherCompileError(
+                f"this procedure runs on the '{name}' corpus dataset, "
+                f"which the current graph store does not attach: "
+                f"{str(ex)}"
+            )
+
     def _proc_registry(
         self, rels: DataFrame | None = None, weight_col: str | None = None
     ):
         from pg_age_digitaltwins_spark.operators import graph_analytics as ga
+
+        def _sim():
+            from pg_age_digitaltwins_spark.operators import similarity
+
+            return similarity
+
+        def _txt():
+            from pg_age_digitaltwins_spark.operators import text
+
+            return text
 
         store = self.store
         # the edge set every procedure runs on — _proc_call passes the
@@ -907,6 +930,61 @@ class CypherCompiler:
                  "pref_attach": "pref_attach"},
                 lambda top_k, cap: ga.link_prediction(
                     relationships, k=top_k, max_wedge_degree=cap,
+                ),
+            ),
+            # ---- r16: the LLM-data-pipeline library through the CALL
+            # surface — text.* / dedup.* / ann.* run on the corpus
+            # datasets the loader attaches (documents / embeddings),
+            # with the same arg-spec/YIELD/charge treatment as the
+            # graph procedures.  A store without datasets raises a
+            # targeted error at build time (store.dataset()).
+            "dedup.minhashverified": (
+                [("threshold", "float", 0.5), ("n", "int", 3)],
+                {"doc_a": "doc_a", "doc_b": "doc_b", "jaccard": "jaccard"},
+                lambda threshold, n: _sim().minhash_lsh_verified_pairs(
+                    self._dataset("documents"), n=n, threshold=threshold,
+                ),
+            ),
+            "dedup.exactgroups": (
+                [],
+                {"fp": "fp", "n_docs": "n_docs",
+                 "keep_doc_id": "keep_doc_id"},
+                lambda: _txt().exact_dup_groups(
+                    self._dataset("documents")
+                ),
+            ),
+            "ann.cosine": (
+                [("queryId", "int", R), ("k", "int", 10)],
+                {"vec_id": "vec_id", "sim": "sim"},
+                lambda query_id, k: _sim().knn_brute_force(
+                    self._dataset("embeddings"), query_id=query_id, k=k,
+                ),
+            ),
+            "ann.hamming": (
+                [("queryId", "int", R), ("k", "int", 10),
+                 ("refineK", "int", 50)],
+                {"vec_id": "vec_id", "sim": "sim"},
+                lambda query_id, k, refine_k: _sim().ann_hamming_search(
+                    self._dataset("embeddings"),
+                    query_id=query_id, k=k, refine_k=refine_k,
+                ),
+            ),
+            "text.profile": (
+                [],
+                {"column": "column", "n_null": "n_null",
+                 "n_distinct": "n_distinct", "min_value": "min_value",
+                 "max_value": "max_value"},
+                lambda: _txt().profile_columns(
+                    self._dataset("documents")
+                ),
+            ),
+            "text.quality": (
+                [],
+                {"doc": "doc_id", "mean_word_len": "mean_word_len",
+                 "punct_ratio": "punct_ratio",
+                 "stopword_ratio": "stopword_ratio"},
+                lambda: _txt().quality_scores(
+                    self._dataset("documents")
                 ),
             ),
         }

@@ -128,6 +128,37 @@ class GraphStore:
     # model_id -> sorted list of descendants (not incl. self); driver-side
     # copy of the closure for compile-time IS_OF_MODEL expansion.
     _descendants: dict[str, list[str]] = field(default_factory=dict)
+    # Corpus-side dataset tables (documents/embeddings) the
+    # text.*/dedup.*/ann.* procedure families run on (r16): the loader
+    # attaches the fixture directory; tables read lazily on first use
+    # and memoized.  A store without datasets (crafted test stores,
+    # CRUD-built graphs) raises a targeted error from dataset().
+    datasets_dir: str | None = None
+    _datasets: dict[str, DataFrame] = field(default_factory=dict)
+
+    def dataset(self, name: str) -> DataFrame:
+        """The named corpus dataset (``documents`` / ``embeddings``) —
+        lazily read from ``datasets_dir`` and memoized, or previously
+        attached via :meth:`with_datasets`."""
+        if name not in self._datasets:
+            if self.datasets_dir is None:
+                raise KeyError(
+                    f"this graph store attaches no corpus datasets — "
+                    f"'{name}' is unavailable (load via tpch_loader."
+                    "load_graph, or attach with with_datasets())"
+                )
+            import os as _os
+
+            self._datasets[name] = self.spark.read.parquet(
+                _os.path.join(self.datasets_dir, f"{name}.parquet")
+            )
+        return self._datasets[name]
+
+    def with_datasets(self, **named: DataFrame) -> "GraphStore":
+        """Attach corpus datasets in-place (tests / programmatic use);
+        returns self for chaining."""
+        self._datasets.update(named)
+        return self
 
     # ------------------------------------------------------------------
     # construction

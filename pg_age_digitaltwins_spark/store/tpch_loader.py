@@ -354,7 +354,9 @@ def load_graph(
       Kept as a fallback for sessions that cannot take catalog DDL.
     """
     if not materialize:
-        return _build_graph(spark, sf_dir)
+        st = _build_graph(spark, sf_dir)
+        st.datasets_dir = sf_dir
+        return st
     layout = layout or os.environ.get("SPARK_GRAFT_LAYOUT", "bucketed")
     cache_root = os.environ.get("SPARK_GRAFT_CACHE", "/root/repo/.graphcache")
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -402,7 +404,11 @@ def load_graph(
             GraphStore.register_bucketed(
                 spark, prefix, path, n_buckets=_N_BUCKETS, partitioned=True
             )
-        return GraphStore.load_bucketed(spark, prefix, path=path)
+        st = GraphStore.load_bucketed(spark, prefix, path=path)
+        # corpus-side tables (documents/embeddings) for the
+        # text.*/dedup.*/ann.* procedure families (r16)
+        st.datasets_dir = sf_dir
+        return st
 
     path = os.path.join(cache_root, f"{tag}-v{LOADER_VERSION}")
     marker = os.path.join(path, "_GRAPH_READY")
@@ -415,7 +421,9 @@ def load_graph(
         ).sortWithinPartitions("source_id")
         store.save(path)
         _write_marker(marker, fp)
-    return GraphStore.load(spark, path)
+    st = GraphStore.load(spark, path)
+    st.datasets_dir = sf_dir
+    return st
 
 
 def _purge_stale_versions(cache_root: str, tag: str) -> None:

@@ -63,6 +63,10 @@ _FRAGMENTS = st.sampled_from([
     # r15 grammar: weight-property / relTypes trailing projections
     "CALL graph.pageRank(5, 0.85, 'q')", "'quantity', ['contains']",
     "CALL graph.pageRank(3, 0.85, ['next'], 'q') YIELD node, rank",
+    # r16: the dedup/ann/text procedure families
+    "CALL dedup.minhashVerified(0.5) YIELD doc_a, doc_b",
+    "CALL ann.hamming(0, 10,", "CALL text.profile() YIELD column",
+    "ann.cosine(0", "dedup.exactGroups()", "YIELD fp, n_docs",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
