@@ -634,9 +634,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         comm = connected_components(st.twins, st.relationships).select(
             "dt_id", F.col("component").alias("community")
         )
-        return modularity(st.relationships, comm)
+        # legacy projection: the r16 kernel also emits exact BIGINT
+        # two_m/q_num (checked by the weighted twin below)
+        return modularity(st.relationships, comm).select(
+            "n_communities", "modularity"
+        )
 
     q["graph_modularity_cc"] = _modularity_cc
+
+    # r16 (r15 verdict #2): the WEIGHTED modularity kernel — the exact
+    # BIGINT statistic that scores weighted-Louvain assignments —
+    # value-checked end-to-end on the SQL-expressible CC partition with
+    # quantity weights (parallel edges sum on the normalized pair,
+    # zero-total pairs drop: byte-for-byte the louvain_communities
+    # weighted edge construction).  graph_louvain_weighted itself stays
+    # rows-only (xxhash64 move-parity + partition-indexed vertex ids
+    # are not SQL-replayable); THIS key is its value-checked companion,
+    # plus the sf0.001 exact-numerator pin in tests.
+    def _modularity_weighted(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            connected_components,
+            modularity,
+        )
+
+        st = _store(s, d)
+        w = (
+            F.when(
+                F.col("name") == "contains",
+                F.get_json_object("doc", "$.quantity")
+                .cast("double")
+                .cast("long"),
+            )
+            .otherwise(F.lit(1).cast("long"))
+            .alias("__w")
+        )
+        rels = st.relationships.select("source_id", "target_id", w)
+        comm = connected_components(st.twins, st.relationships).select(
+            "dt_id", F.col("component").alias("community")
+        )
+        return modularity(rels, comm, weight_col="__w")
+
+    q["graph_modularity_weighted"] = _modularity_weighted
+
+    # r16: the weighted-Louvain assignment itself under the driver
+    # (rows-only, like graph_louvain — same operator, quantity weights)
+    def _louvain_weighted(s, d):
+        from pyspark.sql import functions as F
+
+        from pg_age_digitaltwins_spark.operators.graph_analytics import (
+            louvain_communities,
+        )
+
+        st = _store(s, d)
+        w = (
+            F.when(
+                F.col("name") == "contains",
+                F.get_json_object("doc", "$.quantity")
+                .cast("double")
+                .cast("long"),
+            )
+            .otherwise(F.lit(1).cast("long"))
+            .alias("__w")
+        )
+        rels = st.relationships.select("source_id", "target_id", w)
+        return louvain_communities(st.twins, rels, weight_col="__w")
+
+    q["graph_louvain_weighted"] = _louvain_weighted
 
     # r9: personalized PageRank — seed-teleport proximity (the
     # related-entities / recommendation primitive); value-checked via
@@ -3491,6 +3556,43 @@ def oracle_sql() -> dict[str, str]:
         "tm AS (SELECT CAST(SUM(k) AS BIGINT) AS two_m FROM deg) "
         "SELECT (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM cc) "
         "AS n_communities, "
+        "round(CAST(SUM(two_m * sigma) - SUM(sigma * sigma) AS DOUBLE) "
+        "/ (CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE)), 6) AS modularity "
+        "FROM sig, tm GROUP BY two_m"
+    )
+    # r16 (r15 verdict #2): the WEIGHTED modularity kernel — quantity
+    # weights on contains edges (parallel edges SUM on the normalized
+    # pair, zero-total pairs drop — the louvain_communities weighted
+    # edge construction), scored on the CC partition where in_c == σ_c;
+    # exact BIGINT two_m/q_num hash-check the whole statistic
+    o["graph_modularity_weighted"] = (
+        f"WITH cc AS MATERIALIZED (SELECT * FROM ({_cc_oracle()})), "
+        "we AS MATERIALIZED ("
+        "SELECT 'order-' || o_orderkey AS src, 'cust-' || o_custkey AS dst, "
+        "CAST(1 AS BIGINT) AS w FROM orders "
+        "UNION ALL SELECT 'order-' || l_orderkey, 'part-' || l_partkey, "
+        "CAST(l_quantity AS BIGINT) FROM lineitem "
+        "UNION ALL SELECT 'order-' || l_orderkey, 'supp-' || l_suppkey, "
+        "CAST(1 AS BIGINT) FROM lineitem "
+        "UNION ALL SELECT 'cust-' || c_custkey, 'nation-' || c_nationkey, "
+        "CAST(1 AS BIGINT) FROM customer "
+        "UNION ALL SELECT 'supp-' || s_suppkey, 'nation-' || s_nationkey, "
+        "CAST(1 AS BIGINT) FROM supplier "
+        "UNION ALL SELECT 'nation-' || n_nationkey, 'region-' || n_regionkey, "
+        "CAST(1 AS BIGINT) FROM nation), "
+        "pairs AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, "
+        "CAST(SUM(w) AS BIGINT) AS w FROM we WHERE src <> dst "
+        "GROUP BY 1, 2 HAVING SUM(w) > 0), "
+        "edges AS (SELECT a AS src, b AS dst, w FROM pairs "
+        "UNION ALL SELECT b, a, w FROM pairs), "
+        "deg AS (SELECT src AS dt_id, CAST(SUM(w) AS BIGINT) AS k "
+        "FROM edges GROUP BY src), "
+        "sig AS (SELECT component, CAST(SUM(k) AS BIGINT) AS sigma "
+        "FROM cc JOIN deg USING (dt_id) GROUP BY component), "
+        "tm AS (SELECT CAST(SUM(k) AS BIGINT) AS two_m FROM deg) "
+        "SELECT (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM cc) "
+        "AS n_communities, two_m, "
+        "CAST(SUM(two_m * sigma) - SUM(sigma * sigma) AS BIGINT) AS q_num, "
         "round(CAST(SUM(two_m * sigma) - SUM(sigma * sigma) AS DOUBLE) "
         "/ (CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE)), 6) AS modularity "
         "FROM sig, tm GROUP BY two_m"

@@ -2529,17 +2529,53 @@ def louvain_communities(
 
 
 def modularity(
-    relationships: DataFrame, communities: DataFrame, round_to: int = 6
+    relationships: DataFrame,
+    communities: DataFrame,
+    round_to: int = 6,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """One-row (n_communities, modularity) for a (dt_id, community)
-    assignment over the undirected deduplicated edge set.  Exact
-    rational arithmetic — Q = (2m·Σ in_c − Σ σ_c²) / (2m)² over BIGINT
-    sums — rounded only at the end, so the value is reproducible."""
-    e = (
-        _undirected(relationships)
-        .filter(F.col("source_id") != F.col("target_id"))
-        .select("source_id", "target_id", F.lit(1).cast("long").alias("w"))
-    )
+    """One-row (n_communities, two_m, q_num, modularity) for a
+    (dt_id, community) assignment over the undirected deduplicated
+    edge set.  Exact rational arithmetic — Q = (2m·Σ in_c − Σ σ_c²)
+    / (2m)² over BIGINT sums — rounded only at the end; ``two_m`` and
+    the numerator ``q_num`` are emitted as exact BIGINTs so the whole
+    statistic hash-checks against a SQL oracle (the weighted Louvain
+    companion, r16).
+
+    ``weight_col`` (r16): a non-negative integer edge-weight column on
+    ``relationships`` — parallel edges SUM on the normalized pair and
+    zero-total pairs drop, EXACTLY the weighted-Louvain edge
+    construction (:func:`louvain_communities`), so this is the kernel
+    that scores its assignments."""
+    if weight_col is None:
+        e = (
+            _undirected(relationships)
+            .filter(F.col("source_id") != F.col("target_id"))
+            .select(
+                "source_id", "target_id", F.lit(1).cast("long").alias("w")
+            )
+        )
+    else:
+        pairs = (
+            relationships.filter(F.col("source_id") != F.col("target_id"))
+            .select(
+                F.least("source_id", "target_id").alias("a"),
+                F.greatest("source_id", "target_id").alias("b"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+            .filter(F.col("w") > 0)
+        )
+        e = pairs.select(
+            F.col("a").alias("source_id"), F.col("b").alias("target_id"), "w"
+        ).unionByName(
+            pairs.select(
+                F.col("b").alias("source_id"),
+                F.col("a").alias("target_id"),
+                "w",
+            )
+        )
     cu = communities.select(
         F.col("dt_id").alias("source_id"), F.col("community").alias("cu")
     )
@@ -2551,7 +2587,8 @@ def modularity(
     spark = relationships.sparkSession
     if two_m == 0:
         return spark.createDataFrame(
-            [(0, 0.0)], "n_communities long, modularity double"
+            [(0, 0, 0, 0.0)],
+            "n_communities long, two_m long, q_num long, modularity double",
         )
     per_comm = (
         tagged.groupBy("cu")
@@ -2567,9 +2604,11 @@ def modularity(
         F.sum(F.col("k_sum") * F.col("k_sum")).alias("num_sq"),
     ).collect()[0]
     n_comms = communities.select("community").distinct().count()
-    q = (agg["num_in"] - agg["num_sq"]) / float(two_m) ** 2
+    q_num = agg["num_in"] - agg["num_sq"]
+    q = q_num / float(two_m) ** 2
     return spark.createDataFrame(
-        [(n_comms, round(q, round_to))], "n_communities long, modularity double"
+        [(n_comms, two_m, q_num, round(q, round_to))],
+        "n_communities long, two_m long, q_num long, modularity double",
     )
 
 

@@ -4552,6 +4552,45 @@ def test_rolling_stats_auto_bucket(spark):
         rolling_stats(dense, bucket_minutes="weekly")
 
 
+def test_louvain_weighted_fixture_modularity_pin(spark):
+    """r16 (r15 verdict #2): weighted Louvain's fixture assignment is
+    pinned by its EXACT BIGINT weighted-modularity statistic (the
+    kernel the value-checked graph_modularity_weighted key verifies
+    against DuckDB) — the full replay isn't SQL-expressible (xxhash64
+    move parity + partition-indexed vertex ids), so the companion pair
+    is: kernel value-checked in the driver window, assignment pinned
+    here.  Quantity weights lift fixture modularity 0.165787 →
+    0.402835 — the projection genuinely changes the partition."""
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        louvain_communities,
+        modularity,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    st = load_graph(spark, "/root/testdata/sf0.001")
+    w = (
+        F.when(
+            F.col("name") == "contains",
+            F.get_json_object("doc", "$.quantity")
+            .cast("double")
+            .cast("long"),
+        )
+        .otherwise(F.lit(1).cast("long"))
+        .alias("__w")
+    )
+    rels = st.relationships.select("source_id", "target_id", w)
+    comm = louvain_communities(st.twins, rels, weight_col="__w").select(
+        "dt_id", "community"
+    )
+    [row] = modularity(rels, comm, weight_col="__w").collect()
+    assert row["two_m"] == 319884          # total quantity mass, exact
+    assert row["n_communities"] == 86
+    assert row["q_num"] == 41220420710     # exact BIGINT numerator
+    assert row["modularity"] == 0.402835
+
+
 def test_louvain_weighted_two_cliques(spark):
     """r15: weighted Louvain (GDS relationshipWeightProperty parity) —
     weights CHANGE the partition on identical topology: heavy-intra
