@@ -2483,71 +2483,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # analytics, dedup, text, embeddings, events, TPC-H, sampling) —
 # value-checked representatives first.  Pure reorder: no query or
 # oracle definition changes.
-# r15: 22 of the 50 keys are FIRST-time driver-gated — the ENTIRE
-# never-gated value-checked population including every key ADDED this
-# round (verdict #2): the ELEVEN CALL-procedure keys (incl. this
-# round's weighted pageRank/PPR/degree projections and the
-# registry-default capped nodeSimilarity/linkPrediction),
-# graph_local_clustering, events_{rolling_stats,props_stats}, the four
-# TPC-H keys, sample_{dup_downweight,split_counts,kfold_counts}, and
-# text_bpe_token_counts.  Never-gated value-checked count -> 0 for the
-# first time; the only never-gated keys left are rows-only by design.
-# Deliberate STAYERS re-verify this round's changes under the driver:
-# adt_rel_prop_filter + cypher_order_by_qty (rel-id disambiguator +
-# rebuilt-store oracles), graph_link_prediction + graph_assortativity
-# (broadcast-gate change), graph_pagerank (weight_col refactor — the
-# unweighted path must stay byte-identical), and
-# cypher_weighted_shortest_path (reads the rebuilt quantity edges).
-# Swapped-out keys stay on the full self-run board
-# (scripts/oracle_check.py).
+# r16 rotation (never-gated value-checked hit 0 in r15, so rotation
+# now serves two jobs): (a) gate EVERY key this round's changes touch
+# — the bucketed-prefix-sum events defaults and their _global twins,
+# the auto rolling default, the new CALL dedup/ann/text families, the
+# weighted-modularity kernel pair, the four weighted-projection CALL
+# keys (the error-chain refactor touched all of them), and
+# dedup_levenshtein_verified (short-doc recall guard); (b) re-gate the
+# STALE r11-r12 cohort — the oldest-gated keys on the board
+# (centralities, entropy/readability, lsh_recall, quantize, daily
+# retention, seasonal profile, volume shipping, small-qty revenue,
+# l2-distance, shortest paths, order/skip, list predicates,
+# multimodal_meta) — per the r15 verdict's #7.  graph_louvain_weighted
+# is the one DELIBERATE rows-only entry (xxhash64 parity + mono_id
+# vertex ids are not SQL-replayable); its value-checked companion
+# graph_modularity_weighted sits right next to it in the window and
+# the sf0.001 exact-numerator pin rides the suite.  Swapped-out keys
+# stay on the full self-run board (scripts/oracle_check.py).
 _DRIVER_WINDOW = [
-    # ADT QL (10) -- unchanged anchors; adt_rel_prop_filter re-verifies
-    # the r15 rel-id disambiguator end-to-end
+    # ADT QL (8) -- unchanged anchors
     "adt_count_twins", "adt_top_n", "adt_startswith",
     "adt_is_of_model_inheritance", "adt_match_3hop", "adt_match_undirected",
-    "adt_join_related_2hop", "adt_rel_prop_filter", "adt_match_multilabel",
-    "adt_select_star_point",
-    # Cypher (10) -- r15 rotation: ALL SEVEN CALL-procedure keys gate
-    # for the first time (incl. the new weighted-pageRank projection);
-    # order_by_qty stays (its oracle gained the rid disambiguator),
-    # path_accessors (rel ids in output) and weighted shortestPath
-    # (quantity weights over the rebuilt store) stay one more round
-    "cypher_call_pagerank", "cypher_call_pagerank_weighted",
-    "cypher_call_degree", "cypher_call_degree_typed",
-    "cypher_call_components", "cypher_call_triangles",
-    "cypher_call_harmonic", "cypher_order_by_qty",
-    "cypher_path_accessors", "cypher_weighted_shortest_path",
-    # graph analytics (6) -- r15: local clustering first-gates;
-    # link-prediction/assortativity stay (this round's broadcast-gate
-    # fix), pagerank returns (weight_col refactor), harmonic +
-    # topological levels carry over
-    "graph_local_clustering", "graph_link_prediction",
-    "graph_assortativity", "graph_pagerank",
-    # r15-new registry-default capped procedures gate immediately
-    "cypher_call_node_similarity", "cypher_call_link_prediction",
-    # dedup + text pipeline + multimodal (8) -- r15: BPE token counts
-    # first-gate; seven r14 carriers keep the family represented
-    "text_bpe_token_counts", "dedup_levenshtein_verified",
-    "dedup_minhash_verified", "events_rolling_stats_bucketed",
-    "cypher_call_shortest_paths", "cypher_call_shortest_paths_weighted",
-    "text_profile_documents", "multimodal_frames",
-    # embeddings / ANN (5) -- carried from r14 (no never-gated
-    # value-checked embed keys remain)
-    "embed_label_centroids", "embed_matryoshka_recall", "embed_mmr_topk",
-    "embed_norm_stats", "embed_silhouette",
-    # events (2) + weighted-projection keys (2) -- r15: rolling and
-    # props stats first-gate; the weighted degree/PPR projections gate
-    # immediately (changepoint/anomalies re-verified in r14)
-    "events_rolling_stats", "events_props_stats",
-    "cypher_call_ppr_weighted", "cypher_call_degree_weighted",
-    # TPC-H (4) -- r15: the last four never-gated relational keys
-    # (Q22-shaped dormant customers, Q6 forecast revenue, Q4-shaped
-    # waiting orders, bracketed revenue)
-    "tpch_bracket_revenue", "tpch_dormant_customers",
-    "tpch_forecast_revenue", "tpch_waiting_orders",
-    # sampling (3) -- r15: the remaining never-gated sampling keys
-    # (soft-dedup downweight, split determinism, k-fold counts)
-    "sample_dup_downweight", "sample_split_counts", "sample_kfold_counts",
+    "adt_join_related_2hop", "adt_select_star_point",
+    # Cypher (10) -- r11-r12 cohort re-gates + the four
+    # weighted-projection CALL keys (r16 error-chain refactor)
+    "cypher_all_shortest_paths", "cypher_shortest_path",
+    "cypher_order_skip_limit", "cypher_l2_distance_topk",
+    "cypher_list_predicates", "agg_twins_by_model",
+    "cypher_call_pagerank_weighted", "cypher_call_ppr_weighted",
+    "cypher_call_degree_weighted", "cypher_call_shortest_paths_weighted",
+    # graph analytics (6) -- the weighted-modularity pair (kernel
+    # value-checked; louvain_weighted deliberately rows-only) + the
+    # r11 centrality cohort
+    "graph_modularity_weighted", "graph_louvain_weighted",
+    "graph_modularity_cc", "graph_closeness_centrality",
+    "graph_betweenness_centrality", "graph_eigenvector_centrality",
+    # dedup + text + multimodal (8) -- the new CALL families gate
+    # immediately; levenshtein re-gates its short-doc guard; r11-r12
+    # re-gates for the rest
+    "cypher_call_dedup_minhash", "cypher_call_text_profile",
+    "dedup_levenshtein_verified", "dedup_minhash_verified",
+    "dedup_lsh_recall", "text_char_entropy", "text_readability",
+    "multimodal_meta",
+    # embeddings / ANN (5) -- new CALL ann keys + r11-r12 re-gates
+    "cypher_call_ann_hamming", "cypher_call_ann_cosine",
+    "embed_ann_hamming", "embed_quantize_int8", "embed_ann_lsh_multi",
+    # events (9) -- the r16 scale-default class: every bucketed
+    # prefix-sum default next to its single-window _global twin (same
+    # oracle each — the comparison IS the exactness claim), plus the
+    # r15 carry path and the r11-r12 retention/seasonal re-gates
+    "events_rolling_stats", "events_rolling_stats_global",
+    "events_rolling_stats_bucketed",
+    "events_drift_stats", "events_drift_stats_global",
+    "events_changepoint", "events_changepoint_global",
+    "events_daily_retention", "events_seasonal_profile",
+    # TPC-H (2) + sampling (2) -- r11-r12 re-gates
+    "tpch_volume_shipping", "tpch_small_qty_revenue",
+    "sample_temperature_mixture", "sample_dup_downweight",
 ]
 
 
