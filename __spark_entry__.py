@@ -1959,6 +1959,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_gap_fill_locf"] = lambda s, d: ev_ops.gap_fill_locf(
         _tables(s, d)["events"], minutes=60
     )
+    # r16: the segmented-scan LOCF — chunk-dim carry-in + within-chunk
+    # windows (parallelism series x chunks); SAME oracle as the global
+    # window (identical results for any chunk size)
+    q["events_gap_fill_locf_chunked"] = lambda s, d: ev_ops.gap_fill_locf(
+        _tables(s, d)["events"], minutes=60, chunk_buckets=96
+    )
 
     def _range_join_sessions(s, d):
         # r11: bucketed interval join — events concurrent with the
@@ -4951,6 +4957,8 @@ def oracle_sql() -> dict[str, str]:
         "CURRENT ROW) AS value_locf, "
         "(lv IS NULL) AS is_gap FROM j"
     )
+    # r16: segmented-scan LOCF — identical results, same oracle
+    o["events_gap_fill_locf_chunked"] = o["events_gap_fill_locf"]
     o["tpch_order_count_distribution"] = (
         "WITH oc AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
         "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "

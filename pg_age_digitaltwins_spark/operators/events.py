@@ -411,7 +411,9 @@ def range_join(
     )
 
 
-def gap_fill_locf(events: DataFrame, minutes: int = 60) -> DataFrame:
+def gap_fill_locf(
+    events: DataFrame, minutes: int = 60, chunk_buckets: int | None = None
+) -> DataFrame:
     """Gap-filled regular time grid with last-observation-carried-forward
     (the hypertable ``time_bucket_gapfill`` + ``locf`` shape): per
     ``event_type``, every ``minutes``-sized bucket between the series'
@@ -424,11 +426,17 @@ def gap_fill_locf(events: DataFrame, minutes: int = 60) -> DataFrame:
     100 TB shape: one map-side-combined groupBy onto (series, bucket) —
     output is buckets × series, decoupled from event count; the grid
     generates from a series-sized bounds aggregate via ``sequence``
-    (no driver loop); the LOCF window shuffles grid-sized data keyed by
-    the same series column.  Per-series sequential fill is inherent to
-    LOCF — parallelism comes from the series count, so pick a series
-    key with enough cardinality at scale (here event_type for the
-    fixture; production series are typically (entity, property))."""
+    (no driver loop).  The default LOCF window shuffles grid-sized data
+    keyed by the series column — fine while the grid (buckets, not
+    events) stays modest, but a years-of-minutes series still sorts in
+    ONE task.  ``chunk_buckets=N`` (r16) closes that last
+    |series|-parallel window in the family with the segmented-scan
+    form of the r16 prefix-sum discipline: per-(series, chunk) LAST
+    observed value → exclusive carried-in value windowed over the TINY
+    chunk dim → broadcast back → within-chunk LOCF windows +
+    ``coalesce`` — parallelism series × chunks, results identical for
+    ANY chunk size (last-non-null is associative over ordered
+    segments; the chunk fn is monotone in bucket_id)."""
     from pyspark.sql import Window
 
     sec = minutes * 60
@@ -452,20 +460,61 @@ def gap_fill_locf(events: DataFrame, minutes: int = 60) -> DataFrame:
     grid = bounds.select(
         "event_type", F.explode(F.sequence("lo", "hi")).alias("bucket_id")
     )
-    w = (
+    out_cols = lambda filled, locf: filled.select(  # noqa: E731
+        "event_type",
+        F.timestamp_seconds(F.col("bucket_id") * sec).alias("bucket"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        locf.alias("value_locf"),
+        F.col("last_value").isNull().alias("is_gap"),
+    )
+    if chunk_buckets is None:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("bucket_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return out_cols(
+            grid.join(obs, ["event_type", "bucket_id"], "left"),
+            F.last("last_value", ignorenulls=True).over(w),
+        )
+    if chunk_buckets <= 0:
+        raise ValueError(
+            f"chunk_buckets must be positive or None, got {chunk_buckets}"
+        )
+    filled = (
+        grid.join(obs, ["event_type", "bucket_id"], "left")
+        .withColumn(
+            "__c",
+            F.floor(F.col("bucket_id") / F.lit(chunk_buckets)).cast("long"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # chunk dim (series × chunks — tiny): each chunk's LAST observed
+    # value, then the exclusive carried-in value from preceding chunks
+    dim = filled.groupBy("event_type", "__c").agg(
+        F.max_by("last_value", F.when(F.col("last_value").isNotNull(),
+                                      F.col("bucket_id"))).alias("__cl")
+    )
+    wd = (
         Window.partitionBy("event_type")
+        .orderBy("__c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = dim.select(
+        "event_type", "__c",
+        F.last("__cl", ignorenulls=True).over(wd).alias("__carry_in"),
+    )
+    wl = (
+        Window.partitionBy("event_type", "__c")
         .orderBy("bucket_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(obs, ["event_type", "bucket_id"], "left")
-        .select(
-            "event_type",
-            F.timestamp_seconds(F.col("bucket_id") * sec).alias("bucket"),
-            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
-            F.last("last_value", ignorenulls=True).over(w).alias("value_locf"),
-            F.col("last_value").isNull().alias("is_gap"),
-        )
+    locf = F.coalesce(
+        F.last("last_value", ignorenulls=True).over(wl),
+        F.col("__carry_in"),
+    )
+    return out_cols(
+        filled.join(F.broadcast(carry), ["event_type", "__c"]), locf
     )
 
 

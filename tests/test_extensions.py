@@ -4503,6 +4503,42 @@ def test_cumulative_bucketed_matches_global(spark):
         drift_stats(events, bucket_minutes=0).collect()
 
 
+def test_gap_fill_locf_chunked_matches_global(spark):
+    """r16: the segmented-scan LOCF (chunk-dim carry-in + within-chunk
+    windows) returns EXACTLY the global window's rows for any chunk
+    size — including chunks that are entirely gaps (the carry-in must
+    flow THROUGH an empty chunk, not reset) and leading gaps (stay
+    NULL)."""
+    from datetime import datetime, timedelta
+
+    from pg_age_digitaltwins_spark.operators.events import gap_fill_locf
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    # series a: observations at hours 2, 3, then a 7-hour gap (spans
+    # multiple 2-bucket chunks), then 11; series b: single observation
+    for i, h in enumerate([2, 3, 11]):
+        rows.append((i, t0 + timedelta(hours=h, minutes=5), "a", float(i)))
+    rows.append((99, t0 + timedelta(hours=4), "b", 7.0))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    glob = sorted(
+        tuple(r) for r in gap_fill_locf(events, minutes=60).collect()
+    )
+    assert len(glob) == 11  # a: hours 2..11 (10 buckets) + b: 1
+    for cb in (1, 2, 3, 1000):
+        got = sorted(
+            tuple(r)
+            for r in gap_fill_locf(
+                events, minutes=60, chunk_buckets=cb
+            ).collect()
+        )
+        assert got == glob, cb
+    with pytest.raises(ValueError, match="chunk_buckets"):
+        gap_fill_locf(events, chunk_buckets=0)
+
+
 def test_rolling_stats_auto_bucket(spark):
     """r16: bucket_minutes='auto' (the new default) derives the bucket
     from a per-series probe — dense data rides the bucketed plan,

@@ -877,6 +877,45 @@ def test_cumulative_prefix_sum_partitions_by_type_and_bucket(spark):
         assert "__b" not in gplan, gplan
 
 
+def test_levenshtein_short_doc_bucket_joins_are_equi(spark):
+    """r16: the short-doc exact candidate path length-buckets and
+    self-joins same+adjacent buckets — both joins must plan as
+    (hash/merge) EQUI-joins on the bucket key, never a cartesian or
+    nested loop over the doc set."""
+    from pg_age_digitaltwins_spark.operators.similarity import (
+        levenshtein_verified_pairs,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    plan = _plan(levenshtein_verified_pairs(docs, max_dist=3))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gap_fill_locf_chunked_partitions_by_type_and_chunk(spark):
+    """r16: the segmented-scan LOCF's main window must shuffle on
+    (event_type, __c) — parallelism series x chunks — with the
+    chunk-dim carry-in riding a broadcast join."""
+    from datetime import datetime, timedelta
+
+    from pg_age_digitaltwins_spark.operators.events import gap_fill_locf
+
+    t0 = datetime(2026, 1, 1)
+    events = spark.createDataFrame(
+        [(i, t0 + timedelta(minutes=30 * i), "a", float(i))
+         for i in range(100)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    plan = _plan(gap_fill_locf(events, minutes=60, chunk_buckets=4))
+    main = plan.split("Window", 1)[1]
+    assert "__c" in main, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    gplan = _plan(gap_fill_locf(events, minutes=60))
+    assert "__c" not in gplan, gplan
+
+
 def test_cumulative_prefix_sum_single_materialized_scan(spark):
     """r16 (verdict #1 done-bar): the bucketed prefix-sum path reads
     the raw event scan ONCE — the projected input is lazily
