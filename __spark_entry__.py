@@ -283,6 +283,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_value, max_value "
         "RETURN column, n_null, n_distinct, min_value, max_value"
     )
+    q["cypher_call_text_langid"] = _adt(
+        "CALL text.langId() YIELD doc, pred_lang "
+        "RETURN doc AS doc_id, pred_lang"
+    )
+    q["cypher_call_dedup_levenshtein"] = _adt(
+        "CALL dedup.levenshteinVerified(5) YIELD doc_a, doc_b, lev_dist "
+        "RETURN doc_a, doc_b, lev_dist"
+    )
     # r15: the weighted projection generalizes — weighted SEEDED
     # proximity (recommendations by shipment volume) and weighted
     # degrees (sum of edge weights, DOUBLE; unweighted stays BIGINT)
@@ -4638,6 +4646,8 @@ def oracle_sql() -> dict[str, str]:
     o["cypher_call_ann_hamming"] = o["embed_ann_hamming"]
     o["cypher_call_ann_cosine"] = o["embed_knn_topk"]
     o["cypher_call_text_profile"] = o["text_profile_documents"]
+    o["cypher_call_text_langid"] = o["text_lang_id"]
+    o["cypher_call_dedup_levenshtein"] = o["dedup_levenshtein_verified"]
     o["embed_truncate_prefix"] = (
         "WITH pre AS (SELECT vec_id, "
         "list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS p "

@@ -987,6 +987,24 @@ class CypherCompiler:
                     self._dataset("documents")
                 ),
             ),
+            "text.langid": (
+                [],
+                {"doc": "doc_id", "pred_lang": "pred_lang"},
+                lambda: _txt().lang_id(self._dataset("documents")),
+            ),
+            "text.fingerprints": (
+                [],
+                {"doc": "doc_id", "fp": "fp"},
+                lambda: _txt().fingerprints(self._dataset("documents")),
+            ),
+            "dedup.levenshteinverified": (
+                [("maxDist", "int", 5), ("n", "int", 3)],
+                {"doc_a": "doc_a", "doc_b": "doc_b",
+                 "lev_dist": "lev_dist"},
+                lambda max_dist, n: _sim().levenshtein_verified_pairs(
+                    self._dataset("documents"), max_dist=max_dist, n=n,
+                ),
+            ),
         }
 
     def _proc_arg(self, e, kind: str, name: str, proc: str):

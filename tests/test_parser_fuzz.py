@@ -67,6 +67,7 @@ _FRAGMENTS = st.sampled_from([
     "CALL dedup.minhashVerified(0.5) YIELD doc_a, doc_b",
     "CALL ann.hamming(0, 10,", "CALL text.profile() YIELD column",
     "ann.cosine(0", "dedup.exactGroups()", "YIELD fp, n_docs",
+    "dedup.levenshteinVerified(5", "text.langId()", "text.fingerprints()",
 ])
 _QUERYISH = st.lists(_FRAGMENTS, max_size=12).map(" ".join)
 
