@@ -851,6 +851,13 @@ def rolling_stats(
             f"got {bucket_minutes!r}"
         )
     if auto:
+        # r16 (optimization): the auto probe is a full pass over the
+        # projected input — lazily checkpoint the projection so the
+        # probe MATERIALIZES it and the guard/carry/main window reads
+        # below reuse the materialized rows instead of re-scanning the
+        # raw events source (guide §1.2: one pass where one suffices;
+        # the probe's collect is |series| rows either way)
+        df = df.localCheckpoint(eager=False)
         bucket_minutes = _auto_bucket_minutes(df, window_rows)
 
     def _stats(frame, w):

@@ -26,6 +26,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _vid_map_for(ids: DataFrame) -> DataFrame:
+    """Order-preserving long vertex ids for the wedge/pair family (r16
+    optimization round, guide §2.3 — narrower shuffle types).
+
+    ``ids``: a one-column (dt_id) frame (duplicates fine).  Returns the
+    distinct universe as (dt_id, vid) where vid ORDER == dt_id ORDER:
+    ``monotonically_increasing_id`` over an ``orderBy``'d frame is
+    order-preserving (range shuffle keeps partition index order, ids
+    rise within partitions) — the same distributed encoding Louvain
+    uses, so every ``<``/least/greatest/min-tie-break/ORDER BY on vids
+    decides exactly as it would on the dt_id strings, and decoded
+    results are bit-identical.  EAGER checkpoint for the same reason as
+    Louvain's vid_map: mono_id over orderBy is deterministic per
+    EXECUTION, so the pin keeps every consumer (encode joins + decode)
+    on one id assignment even across task retries.
+
+    Why it pays: the wedge family's dominant exchanges carry 2-3 vertex
+    ids per row; ~8-byte longs vs ~15-25-byte strings cut the shuffled
+    bytes 2-3× and make every hash/compare in the join+aggregate
+    pipeline a long op (PageRank/Louvain measured ~25% per-iteration
+    from the same move; the wedge ops are pure join+agg so the share
+    is larger)."""
+    return (
+        ids.distinct()
+        .orderBy("dt_id")
+        .select("dt_id", F.monotonically_increasing_id().alias("vid"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def _undirected(relationships: DataFrame) -> DataFrame:
     e = relationships.select("source_id", "target_id")
     return e.unionByName(
@@ -411,7 +441,9 @@ def degree_distribution(twins: DataFrame, relationships: DataFrame) -> DataFrame
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_twins"))
 
 
-def triangle_count(relationships: DataFrame) -> DataFrame:
+def triangle_count(
+    relationships: DataFrame, broadcast_vertex_limit: int = 2_000_000
+) -> DataFrame:
     """Global triangle count over the undirected twin graph.
 
     100 TB shape: DEGREE-ORDERED orientation (the MapReduce-classic
@@ -422,6 +454,14 @@ def triangle_count(relationships: DataFrame) -> DataFrame:
     blow up on hubs (a naive a<b join explodes on the highest-degree
     vertex; a hub with 10^6 neighbors would otherwise build 10^12
     wedges).  Two shuffles: wedge join + closing-edge semi join.
+
+    r16 (optimization): the wedge join, closing semi join and corner
+    shuffles run in ORDER-PRESERVING LONG id space (guide §2.3 —
+    narrower types; see :func:`_vid_map_for` for the exactness
+    argument: degree ties break on ids, and order preservation makes
+    the long orientation identical to the string one).  The vid-map
+    joins ride the same ≤``broadcast_vertex_limit`` gate as every other
+    vertex-sized broadcast (shuffle equi-joins above it).
     """
     e = relationships.select("source_id", "target_id").filter(
         F.col("source_id") != F.col("target_id")
@@ -429,12 +469,27 @@ def triangle_count(relationships: DataFrame) -> DataFrame:
     # lazy lineage cuts (r14): und feeds deg + the orientation join and
     # deg feeds both ranked sides — without the cuts each consumer
     # re-runs the edges scan + dedup shuffle
-    und = (
-        e.select(
-            F.least("source_id", "target_id").alias("a"),
-            F.greatest("source_id", "target_id").alias("b"),
+    und_s = e.select(
+        F.least("source_id", "target_id").alias("a"),
+        F.greatest("source_id", "target_id").alias("b"),
+    ).distinct()
+    vid_map = _vid_map_for(
+        und_s.select(F.col("a").alias("dt_id")).unionByName(
+            und_s.select(F.col("b").alias("dt_id"))
         )
-        .distinct()
+    )
+    bc = (
+        (lambda df: F.broadcast(df))
+        if vid_map.count() <= broadcast_vertex_limit
+        else (lambda df: df)
+    )
+    va = vid_map.select(F.col("dt_id").alias("a"), F.col("vid").alias("__va"))
+    vb = vid_map.select(F.col("dt_id").alias("b"), F.col("vid").alias("__vb"))
+    # a < b on strings ⇒ __va < __vb on vids (order-preserving encode)
+    und = (
+        und_s.join(bc(va), "a")
+        .join(bc(vb), "b")
+        .select(F.col("__va").alias("a"), F.col("__vb").alias("b"))
         .localCheckpoint(eager=False)
     )
     deg = (
@@ -469,7 +524,9 @@ def triangle_count(relationships: DataFrame) -> DataFrame:
     return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
 
 
-def local_clustering(relationships: DataFrame) -> DataFrame:
+def local_clustering(
+    relationships: DataFrame, broadcast_vertex_limit: int = 2_000_000
+) -> DataFrame:
     """(dt_id, triangles, wedges, lcc_micro) — PER-NODE local
     clustering coefficient over the undirected twin graph: triangles(v)
     / C(deg(v), 2), the classic neighborhood-cohesion feature (Watts-
@@ -486,7 +543,13 @@ def local_clustering(relationships: DataFrame) -> DataFrame:
     :func:`triangle_count` (per-vertex out-degree bounded by O(√m), so
     the wedge join cannot blow up on hubs); closed triangles explode to
     their three corners and aggregate map-side — three shuffles total
-    (wedge join, closing semi join, corner count)."""
+    (wedge join, closing semi join, corner count).
+
+    r16 (optimization): all three shuffles run in ORDER-PRESERVING LONG
+    id space (guide §2.3; :func:`_vid_map_for` has the exactness
+    argument — orientation and tie-breaks decide identically), with a
+    single vertex-sized decode join back to dt_id strings at the end.
+    Encode/decode joins ride the ≤``broadcast_vertex_limit`` gate."""
     e = relationships.select("source_id", "target_id").filter(
         F.col("source_id") != F.col("target_id")
     )
@@ -494,12 +557,26 @@ def local_clustering(relationships: DataFrame) -> DataFrame:
     # feeds BOTH ranked sides and the final join — without the cuts
     # each consumer re-runs the edges scan + distinct (3× the
     # dedup shuffle at any scale)
-    und = (
-        e.select(
-            F.least("source_id", "target_id").alias("a"),
-            F.greatest("source_id", "target_id").alias("b"),
+    und_s = e.select(
+        F.least("source_id", "target_id").alias("a"),
+        F.greatest("source_id", "target_id").alias("b"),
+    ).distinct()
+    vid_map = _vid_map_for(
+        und_s.select(F.col("a").alias("dt_id")).unionByName(
+            und_s.select(F.col("b").alias("dt_id"))
         )
-        .distinct()
+    )
+    bc = (
+        (lambda df: F.broadcast(df))
+        if vid_map.count() <= broadcast_vertex_limit
+        else (lambda df: df)
+    )
+    va = vid_map.select(F.col("dt_id").alias("a"), F.col("vid").alias("__va"))
+    vb = vid_map.select(F.col("dt_id").alias("b"), F.col("vid").alias("__vb"))
+    und = (
+        und_s.join(bc(va), "a")
+        .join(bc(vb), "b")
+        .select(F.col("__va").alias("a"), F.col("__vb").alias("b"))
         .localCheckpoint(eager=False)
     )
     deg = (
@@ -542,20 +619,22 @@ def local_clustering(relationships: DataFrame) -> DataFrame:
     # all-integer: deg·(deg−1) div 2 never leaves BIGINT (float /2
     # would lose bits past 2^53 on extreme hubs)
     wed = F.expr("(deg * (deg - 1)) div 2")
-    return (
-        deg.join(corners, "v", "left")
-        .select(
-            F.col("v").alias("dt_id"),
-            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
-            wed.cast("long").alias("wedges"),
-            F.when(
-                wed > 0,
-                F.expr(
-                    "coalesce(triangles, 0) * 1000000 div "
-                    "((deg * (deg - 1)) div 2)"
-                ).cast("long"),
-            ).alias("lcc_micro"),
-        )
+    scored = deg.join(corners, "v", "left").select(
+        F.col("v").alias("vid"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        wed.cast("long").alias("wedges"),
+        F.when(
+            wed > 0,
+            F.expr(
+                "coalesce(triangles, 0) * 1000000 div "
+                "((deg * (deg - 1)) div 2)"
+            ).cast("long"),
+        ).alias("lcc_micro"),
+    )
+    # decode: one vertex-sized join back to dt_id strings (gated
+    # broadcast; values are per-vertex counts, unchanged by the encode)
+    return scored.join(bc(vid_map), "vid").select(
+        "dt_id", "triangles", "wedges", "lcc_micro"
     )
 
 
@@ -1882,7 +1961,10 @@ def betweenness_centrality_sampled(
     seen = _multi_source_bfs(
         relationships, sources, max_depth, count_paths=True
     ).localCheckpoint(eager=True)
-    edges = _undirected(relationships)
+    # r16 (optimization): lazy lineage cut — the backward pass consumes
+    # this frame once per layer (max_depth − 1 times); without the cut
+    # each layer re-runs the doubled-edge distinct shuffle (guide §2.4)
+    edges = _undirected(relationships).localCheckpoint(eager=False)
     max_d = (seen.agg(F.max("depth")).collect()[0][0]) or 0
     if max_d < 2:
         # no interior vertices within range: all-zero contribution set
@@ -1957,6 +2039,7 @@ def node_similarity_jaccard(
     top_k: int = 20,
     max_target_degree: int | None = None,
     candidates: DataFrame | None = None,
+    broadcast_vertex_limit: int = 2_000_000,
 ) -> DataFrame:
     """Neighbor-set Jaccard node similarity (the GDS nodeSimilarity
     shape): for every source pair sharing at least one OUT-neighbor,
@@ -1985,6 +2068,14 @@ def node_similarity_jaccard(
     no all-pairs product; pairs that share nothing are never
     materialized.  Degrees join after aggregation (small side, AQE
     broadcasts).
+
+    r16 (optimization): the co-neighbor join and the (a,b) pair
+    aggregate — the Σ C(fan_in, 2)-sized work — run in ORDER-PRESERVING
+    LONG id space (guide §2.3; :func:`_vid_map_for` has the exactness
+    argument — ``<`` pair normalization and the (jaccard, a, b)
+    tie-break decide identically on vids), with a top_k-row decode at
+    the end.  Encode/decode joins ride the ≤``broadcast_vertex_limit``
+    gate like every vertex-sized broadcast in this module.
     """
     e = relationships.select("source_id", "target_id", "name")
     if rel_name is not None:
@@ -1998,16 +2089,50 @@ def node_similarity_jaccard(
             .select("target_id")
         )
         e = e.join(keep, "target_id", "left_semi")
+    vid_map = _vid_map_for(
+        e.select(F.col("source_id").alias("dt_id")).unionByName(
+            e.select(F.col("target_id").alias("dt_id"))
+        )
+    )
+    bc = (
+        (lambda df: F.broadcast(df))
+        if vid_map.count() <= broadcast_vertex_limit
+        else (lambda df: df)
+    )
+    sv = vid_map.select(
+        F.col("dt_id").alias("source_id"), F.col("vid").alias("__sv")
+    )
+    tv = vid_map.select(
+        F.col("dt_id").alias("target_id"), F.col("vid").alias("__tv")
+    )
+    e = (
+        e.join(bc(sv), "source_id")
+        .join(bc(tv), "target_id")
+        .select(
+            F.col("__sv").alias("source_id"), F.col("__tv").alias("target_id")
+        )
+        .localCheckpoint(eager=False)
+    )
     deg = e.groupBy("source_id").agg(F.count(F.lit(1)).alias("deg"))
     if candidates is not None:
         # candidate-driven intersections: normalize pairs to a < b,
         # attach both neighbor sets, count shared targets.  Join order
         # keeps the big edge frame on the probe side twice — the pair
-        # frame bounds every intermediate.
+        # frame bounds every intermediate.  Pairs encode through the
+        # same vid map (inner joins: ids absent from the edge set
+        # dropped at the first edge join before, drop at the encode
+        # now — same surviving pairs).
         cand = candidates.select(
             F.least(F.col("a"), F.col("b")).alias("a"),
             F.greatest(F.col("a"), F.col("b")).alias("b"),
         ).filter(F.col("a") != F.col("b")).distinct()
+        ca = vid_map.select(F.col("dt_id").alias("a"), F.col("vid").alias("__ca"))
+        cb = vid_map.select(F.col("dt_id").alias("b"), F.col("vid").alias("__cb"))
+        cand = (
+            cand.join(bc(ca), "a")
+            .join(bc(cb), "b")
+            .select(F.col("__ca").alias("a"), F.col("__cb").alias("b"))
+        )
         inter = (
             cand.join(e.alias("l"), F.col("a") == F.col("l.source_id"))
             .join(
@@ -2032,7 +2157,7 @@ def node_similarity_jaccard(
     da = deg.select(F.col("source_id").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("source_id").alias("b"), F.col("deg").alias("db"))
     sim = F.col("inter") / (F.col("da") + F.col("db") - F.col("inter"))
-    return (
+    top = (
         inter.join(da, "a")
         .join(db, "b")
         .select(
@@ -2046,6 +2171,23 @@ def node_similarity_jaccard(
         )
         .orderBy(F.col("jaccard").desc(), F.col("a"), F.col("b"))
         .limit(top_k)
+    )
+    # decode the top_k rows (tiny side; the vid order IS the dt_id
+    # order, so re-imposing the same ORDER BY post-decode returns the
+    # identical ranking)
+    dec_a = vid_map.select(F.col("vid").alias("a"), F.col("dt_id").alias("__a"))
+    dec_b = vid_map.select(F.col("vid").alias("b"), F.col("dt_id").alias("__b"))
+    return (
+        top.join(bc(dec_a), "a")
+        .join(bc(dec_b), "b")
+        .select(
+            F.col("__a").alias("a"),
+            F.col("__b").alias("b"),
+            "inter",
+            "union_size",
+            "jaccard",
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("a"), F.col("b"))
     )
 
 
@@ -2480,8 +2622,13 @@ def louvain_communities(
             n_level_verts = comm.count()
             move_floor = max(1, int(min_moves_frac * n_level_verts))
         prev_moves = None
-        for r in range(max(1, rounds_per_level)):
+        n_rounds = max(1, rounds_per_level)
+        for r in range(n_rounds):
             comm = _louvain_round(nbr, comm, two_m, r % 2, bcast=bcast)
+            if r == n_rounds - 1:
+                break  # r16: the final round's move count decides
+                # nothing (the loop ends either way) — skip its
+                # driver-side aggregate job
             n_moves = comm.agg(F.sum("__moved")).collect()[0][0] or 0
             if prev_moves is not None and prev_moves + n_moves < move_floor:
                 break
@@ -2648,25 +2795,48 @@ def link_prediction(
     e = relationships.select("source_id", "target_id").filter(
         F.col("source_id") != F.col("target_id")
     )
-    und = e.select(
+    # r16 (optimization): the wedge join, the (a,b) candidate aggregate
+    # and the edge anti-join — the Σ C(deg,2)-sized exchanges that
+    # dominate this plan (BENCH_r15: 165M wedge rows at sf1) — run in
+    # ORDER-PRESERVING LONG id space (guide §2.3; _vid_map_for has the
+    # exactness argument: pair normalization and the (cn, pref, a, b)
+    # tie-break decide identically on vids), with a k-row decode at the
+    # end.  The encode joins ride the same gate as the degree dims; the
+    # gate count moved from deg to the (eagerly pinned) vid map — deg
+    # keeps its lazy cut and materializes with the first action.
+    und_s = e.select(
         F.least("source_id", "target_id").alias("a"),
         F.greatest("source_id", "target_id").alias("b"),
-    ).distinct().localCheckpoint(eager=False)
-    nb = und.select(F.col("a").alias("m"), F.col("b").alias("x")).unionByName(
-        und.select(F.col("b").alias("m"), F.col("a").alias("x"))
+    ).distinct()
+    vid_map = _vid_map_for(
+        und_s.select(F.col("a").alias("dt_id")).unionByName(
+            und_s.select(F.col("b").alias("dt_id"))
+        )
     )
-    # lazy cut (NOT eager: union-rooted plans + eager localCheckpoint
-    # corrupt the constraint rewrite); the gate count() materializes it
-    deg = (
-        nb.groupBy("m")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
-    )
-    n_verts = deg.count()
+    n_verts = vid_map.count()
     bc = (
         (lambda df: F.broadcast(df))
         if n_verts <= broadcast_vertex_limit
         else (lambda df: df)
+    )
+    va = vid_map.select(F.col("dt_id").alias("a"), F.col("vid").alias("__va"))
+    vb = vid_map.select(F.col("dt_id").alias("b"), F.col("vid").alias("__vb"))
+    # a < b on strings ⇒ __va < __vb on vids (order-preserving encode)
+    und = (
+        und_s.join(bc(va), "a")
+        .join(bc(vb), "b")
+        .select(F.col("__va").alias("a"), F.col("__vb").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    nb = und.select(F.col("a").alias("m"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("m"), F.col("a").alias("x"))
+    )
+    # lazy cut (NOT eager: union-rooted plans + eager localCheckpoint
+    # corrupt the constraint rewrite); the first action materializes it
+    deg = (
+        nb.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     mids = nb
     if max_wedge_degree is not None:
@@ -2683,7 +2853,7 @@ def link_prediction(
     )
     da = deg.select(F.col("m").alias("a"), F.col("deg").alias("__da"))
     db = deg.select(F.col("m").alias("b"), F.col("deg").alias("__db"))
-    return (
+    top = (
         cn.join(bc(da), "a")
         .join(bc(db), "b")
         .select(
@@ -2696,6 +2866,23 @@ def link_prediction(
             F.desc("common_neighbors"), F.desc("pref_attach"), "a", "b"
         )
         .limit(k)
+    )
+    # decode the k rows (vid order == dt_id order, so the re-imposed
+    # ORDER BY returns the identical ranking)
+    dec_a = vid_map.select(F.col("vid").alias("a"), F.col("dt_id").alias("__a"))
+    dec_b = vid_map.select(F.col("vid").alias("b"), F.col("dt_id").alias("__b"))
+    return (
+        top.join(bc(dec_a), "a")
+        .join(bc(dec_b), "b")
+        .select(
+            F.col("__a").alias("a"),
+            F.col("__b").alias("b"),
+            "common_neighbors",
+            "pref_attach",
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("pref_attach"), "a", "b"
+        )
     )
 
 
@@ -2782,7 +2969,21 @@ def topological_levels(
     100 TB shape: one edges⋈state equi-join + one map-side-combined
     max aggregate per round, vertex-sized state, lineage cut per
     round; depth-bounded like every superstep operator here (a DAG's
-    depth, not its size, bounds the rounds)."""
+    depth, not its size, bounds the rounds).
+
+    r16 (optimization): FIXPOINT EARLY EXIT — a round that raises no
+    vertex's level is a no-op, and so is every later round (the update
+    is monotone: greatest(level, 1 + max in-level) — once nothing
+    grows, nothing ever grows again), so the loop stops there.
+    Output-identical to running the full ``iters`` schedule (the
+    fixed-``iters`` oracle unrolling included); on a DAG of depth d
+    the operator now costs min(iters, d + 1) rounds instead of always
+    ``iters`` (guide §1.2: don't compute what you throw away — the
+    r15 sf1 probe paid 8 full edge⋈state rounds for a depth-3
+    fixture).  The change flag rides the eagerly-checkpointed state,
+    so the per-round convergence check is one cheap aggregate over
+    materialized rows (the Louvain move-count discipline); cyclic
+    inputs keep growing levels and still run the full cap."""
     verts = twins.select("dt_id")
     e = (
         relationships.select("source_id", "target_id")
@@ -2799,16 +3000,19 @@ def topological_levels(
             .groupBy(F.col("target_id").alias("dt_id"))
             .agg((F.max("level") + F.lit(1)).cast("long").alias("__cand"))
         )
-        level = (
+        cand = F.coalesce("__cand", F.lit(0).cast("long"))
+        stepped = (
             level.join(nxt, "dt_id", "left")
             .select(
                 "dt_id",
-                F.greatest(
-                    F.col("level"), F.coalesce("__cand", F.lit(0).cast("long"))
-                ).alias("level"),
+                F.greatest(F.col("level"), cand).alias("level"),
+                (cand > F.col("level")).cast("int").alias("__ch"),
             )
             .localCheckpoint(eager=True)
         )
+        level = stepped.select("dt_id", "level")
+        if not (stepped.agg(F.sum("__ch")).collect()[0][0] or 0):
+            break
     return level
 
 
