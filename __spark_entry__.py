@@ -768,7 +768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         st = _store(s, d)
-        return node_similarity_jaccard(st.relationships, "contains", top_k=20)
+        return node_similarity_jaccard(
+            st.relationships, "contains", top_k=20,
+            vid_edges=st.edges_vid, vid_map=st.vertex_ids,
+        )
 
     # r8: GDS-style neighbor-set Jaccard (orders similar by shared parts)
     q["graph_node_similarity"] = _node_sim
@@ -780,7 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         st = _store(s, d)
         return node_similarity_jaccard(
-            st.relationships, "contains", top_k=50, max_target_degree=25
+            st.relationships, "contains", top_k=50, max_target_degree=25,
+            vid_edges=st.edges_vid, vid_map=st.vertex_ids,
         )
 
     # r10: the hub-guarded variant (GDS upperDegreeCutoff parity) —
@@ -1096,7 +1100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _triangles(spark, sf_dir):
         from pg_age_digitaltwins_spark.operators import graph_analytics as ga
 
-        return ga.triangle_count(_store(spark, sf_dir).relationships)
+        st = _store(spark, sf_dir)
+        return ga.triangle_count(
+            st.relationships, vid_edges=st.edges_vid, vid_map=st.vertex_ids
+        )
 
     def _ktruss(spark, sf_dir):
         from pyspark.sql import functions as F
@@ -1141,7 +1148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _local_clustering(spark, sf_dir):
         from pg_age_digitaltwins_spark.operators import graph_analytics as ga
 
-        return ga.local_clustering(_store(spark, sf_dir).relationships)
+        st = _store(spark, sf_dir)
+        return ga.local_clustering(
+            st.relationships, vid_edges=st.edges_vid, vid_map=st.vertex_ids
+        )
 
     q["graph_local_clustering"] = _local_clustering
 
@@ -1173,8 +1183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # uncapped sf1 run built 450M+ wedge rows and spilled a local
         # disk dry); 100 keeps every non-nation middle at any SF, so
         # bound work stays edge-linear.  The oracle mirrors the cap.
+        st = _store(spark, sf_dir)
         return ga.link_prediction(
-            _store(spark, sf_dir).relationships, k=50, max_wedge_degree=100
+            st.relationships, k=50, max_wedge_degree=100,
+            vid_edges=st.edges_vid, vid_map=st.vertex_ids,
         )
 
     q["graph_link_prediction"] = _link_pred

@@ -156,6 +156,13 @@ def _replace(store: GraphStore, **kw) -> GraphStore:
         # the plain-read twin frame mirrors the twin files; any twin
         # mutation invalidates it
         twins_plain=(None if "twins" in kw else store.twins_plain),
+        # the long-id layout (vertex_ids / edges_vid) mirrors the
+        # relationship rows' endpoint universe; any relationship
+        # mutation invalidates both (twin-only mutations are safe: the
+        # universe is edge-derived, and the edge guard forces edge
+        # deletion before twin deletion)
+        vertex_ids=(None if "relationships" in kw else store.vertex_ids),
+        edges_vid=(None if "relationships" in kw else store.edges_vid),
         _descendants=store._descendants,
     )
 

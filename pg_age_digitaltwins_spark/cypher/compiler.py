@@ -691,6 +691,16 @@ class CypherCompiler:
         # relTypes-filtered frame for typed-subgraph analytics (and,
         # for _WEIGHTED_PROCS, the weight-projected frame + column)
         relationships = rels if rels is not None else store.relationships
+        # store-persisted long-id layout for the wedge family (r16
+        # optimization) — only valid when the procedure runs on the
+        # UNPROJECTED store edge set (a relTypes filter or weight
+        # projection changes the frame; the operators then fall back to
+        # the per-query encode)
+        vid_kw = (
+            {"vid_edges": store.edges_vid, "vid_map": store.vertex_ids}
+            if rels is None and weight_col is None
+            else {"vid_edges": None, "vid_map": None}
+        )
 
         def _degree():
             # weighted (relationshipWeightProperty) degrees are SUM of
@@ -761,7 +771,7 @@ class CypherCompiler:
             "graph.trianglecount": (
                 [],
                 {"triangles": "n_triangles"},
-                lambda: ga.triangle_count(relationships),
+                lambda: ga.triangle_count(relationships, **vid_kw),
             ),
             # per-node local clustering coefficient (exact integer
             # triangles/wedges; coefficient in floor-div micro units)
@@ -769,7 +779,7 @@ class CypherCompiler:
                 [],
                 {"node": "dt_id", "triangles": "triangles",
                  "wedges": "wedges", "lcc_micro": "lcc_micro"},
-                lambda: ga.local_clustering(relationships),
+                lambda: ga.local_clustering(relationships, **vid_kw),
             ),
             # sampled harmonic centrality from a seed set (exact
             # integer 12/d weighting; maxDepth <= 12 per the operator)
@@ -896,6 +906,7 @@ class CypherCompiler:
                  "union_size": "union_size", "similarity": "jaccard"},
                 lambda top_k, cutoff: ga.node_similarity_jaccard(
                     relationships, top_k=top_k, max_target_degree=cutoff,
+                    **vid_kw,
                 ),
             ),
             # r15: hop-bounded (weighted) shortest distances from a
@@ -930,6 +941,7 @@ class CypherCompiler:
                  "pref_attach": "pref_attach"},
                 lambda top_k, cap: ga.link_prediction(
                     relationships, k=top_k, max_wedge_degree=cap,
+                    **vid_kw,
                 ),
             ),
             # ---- r16: the LLM-data-pipeline library through the CALL

@@ -56,6 +56,75 @@ def _vid_map_for(ids: DataFrame) -> DataFrame:
     )
 
 
+def _und_pairs_vid(
+    relationships: DataFrame,
+    broadcast_vertex_limit: int,
+    vid_edges: DataFrame | None,
+    vid_map: DataFrame | None,
+):
+    """(und, bc, vid_map) — the deduped undirected (a < b) pair frame in
+    LONG id space for the wedge family, plus the broadcast gate and the
+    (dt_id, vid) decode map.
+
+    With the store's pre-encoded layout (``vid_edges``/``vid_map`` from
+    ``GraphStore.save_bucketed`` — vid ORDER == dt_id ORDER over the
+    edge-endpoint universe) the per-query encode disappears entirely:
+    no endpoint-universe distinct, no orderBy sample pass, no eager
+    checkpoint, no vertex-sized encode joins (measured ~6 s/query at
+    sf1).  least/greatest/distinct on vids decide identically to the
+    string path because the persisted map is order-preserving and
+    injective.  Without it (ad-hoc frames, mutated stores) the r16
+    per-query order-preserving encode runs unchanged."""
+    if vid_edges is not None and vid_map is not None:
+        und = (
+            vid_edges.select("source_vid", "target_vid")
+            .filter(F.col("source_vid") != F.col("target_vid"))
+            .select(
+                F.least("source_vid", "target_vid").alias("a"),
+                F.greatest("source_vid", "target_vid").alias("b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        bc = (
+            (lambda df: F.broadcast(df))
+            if vid_map.count() <= broadcast_vertex_limit
+            else (lambda df: df)
+        )
+        return und, bc, vid_map
+    e = relationships.select("source_id", "target_id").filter(
+        F.col("source_id") != F.col("target_id")
+    )
+    # lazy cut BEFORE the vid map — _vid_map_for's eager build is the
+    # first action over this subtree, so the scan+dedup shuffle runs
+    # once and the encode joins read the materialized frame instead of
+    # re-deriving it
+    und_s = e.select(
+        F.least("source_id", "target_id").alias("a"),
+        F.greatest("source_id", "target_id").alias("b"),
+    ).distinct().localCheckpoint(eager=False)
+    vmap = _vid_map_for(
+        und_s.select(F.col("a").alias("dt_id")).unionByName(
+            und_s.select(F.col("b").alias("dt_id"))
+        )
+    )
+    bc = (
+        (lambda df: F.broadcast(df))
+        if vmap.count() <= broadcast_vertex_limit
+        else (lambda df: df)
+    )
+    va = vmap.select(F.col("dt_id").alias("a"), F.col("vid").alias("__va"))
+    vb = vmap.select(F.col("dt_id").alias("b"), F.col("vid").alias("__vb"))
+    # a < b on strings ⇒ __va < __vb on vids (order-preserving encode)
+    und = (
+        und_s.join(bc(va), "a")
+        .join(bc(vb), "b")
+        .select(F.col("__va").alias("a"), F.col("__vb").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    return und, bc, vmap
+
+
 def _undirected(relationships: DataFrame) -> DataFrame:
     e = relationships.select("source_id", "target_id")
     return e.unionByName(
@@ -442,7 +511,10 @@ def degree_distribution(twins: DataFrame, relationships: DataFrame) -> DataFrame
 
 
 def triangle_count(
-    relationships: DataFrame, broadcast_vertex_limit: int = 2_000_000
+    relationships: DataFrame,
+    broadcast_vertex_limit: int = 2_000_000,
+    vid_edges: DataFrame | None = None,
+    vid_map: DataFrame | None = None,
 ) -> DataFrame:
     """Global triangle count over the undirected twin graph.
 
@@ -463,34 +535,8 @@ def triangle_count(
     joins ride the same ≤``broadcast_vertex_limit`` gate as every other
     vertex-sized broadcast (shuffle equi-joins above it).
     """
-    e = relationships.select("source_id", "target_id").filter(
-        F.col("source_id") != F.col("target_id")
-    )
-    # lazy lineage cuts (r14): und feeds deg + the orientation join and
-    # deg feeds both ranked sides — without the cuts each consumer
-    # re-runs the edges scan + dedup shuffle
-    und_s = e.select(
-        F.least("source_id", "target_id").alias("a"),
-        F.greatest("source_id", "target_id").alias("b"),
-    ).distinct()
-    vid_map = _vid_map_for(
-        und_s.select(F.col("a").alias("dt_id")).unionByName(
-            und_s.select(F.col("b").alias("dt_id"))
-        )
-    )
-    bc = (
-        (lambda df: F.broadcast(df))
-        if vid_map.count() <= broadcast_vertex_limit
-        else (lambda df: df)
-    )
-    va = vid_map.select(F.col("dt_id").alias("a"), F.col("vid").alias("__va"))
-    vb = vid_map.select(F.col("dt_id").alias("b"), F.col("vid").alias("__vb"))
-    # a < b on strings ⇒ __va < __vb on vids (order-preserving encode)
-    und = (
-        und_s.join(bc(va), "a")
-        .join(bc(vb), "b")
-        .select(F.col("__va").alias("a"), F.col("__vb").alias("b"))
-        .localCheckpoint(eager=False)
+    und, bc, vid_map = _und_pairs_vid(
+        relationships, broadcast_vertex_limit, vid_edges, vid_map
     )
     deg = (
         und.select(F.col("a").alias("v"))
@@ -525,7 +571,10 @@ def triangle_count(
 
 
 def local_clustering(
-    relationships: DataFrame, broadcast_vertex_limit: int = 2_000_000
+    relationships: DataFrame,
+    broadcast_vertex_limit: int = 2_000_000,
+    vid_edges: DataFrame | None = None,
+    vid_map: DataFrame | None = None,
 ) -> DataFrame:
     """(dt_id, triangles, wedges, lcc_micro) — PER-NODE local
     clustering coefficient over the undirected twin graph: triangles(v)
@@ -550,34 +599,8 @@ def local_clustering(
     argument — orientation and tie-breaks decide identically), with a
     single vertex-sized decode join back to dt_id strings at the end.
     Encode/decode joins ride the ≤``broadcast_vertex_limit`` gate."""
-    e = relationships.select("source_id", "target_id").filter(
-        F.col("source_id") != F.col("target_id")
-    )
-    # lazy lineage cuts: und feeds deg + the orientation join, deg
-    # feeds BOTH ranked sides and the final join — without the cuts
-    # each consumer re-runs the edges scan + distinct (3× the
-    # dedup shuffle at any scale)
-    und_s = e.select(
-        F.least("source_id", "target_id").alias("a"),
-        F.greatest("source_id", "target_id").alias("b"),
-    ).distinct()
-    vid_map = _vid_map_for(
-        und_s.select(F.col("a").alias("dt_id")).unionByName(
-            und_s.select(F.col("b").alias("dt_id"))
-        )
-    )
-    bc = (
-        (lambda df: F.broadcast(df))
-        if vid_map.count() <= broadcast_vertex_limit
-        else (lambda df: df)
-    )
-    va = vid_map.select(F.col("dt_id").alias("a"), F.col("vid").alias("__va"))
-    vb = vid_map.select(F.col("dt_id").alias("b"), F.col("vid").alias("__vb"))
-    und = (
-        und_s.join(bc(va), "a")
-        .join(bc(vb), "b")
-        .select(F.col("__va").alias("a"), F.col("__vb").alias("b"))
-        .localCheckpoint(eager=False)
+    und, bc, vid_map = _und_pairs_vid(
+        relationships, broadcast_vertex_limit, vid_edges, vid_map
     )
     deg = (
         und.select(F.col("a").alias("v"))
@@ -2040,6 +2063,8 @@ def node_similarity_jaccard(
     max_target_degree: int | None = None,
     candidates: DataFrame | None = None,
     broadcast_vertex_limit: int = 2_000_000,
+    vid_edges: DataFrame | None = None,
+    vid_map: DataFrame | None = None,
 ) -> DataFrame:
     """Neighbor-set Jaccard node similarity (the GDS nodeSimilarity
     shape): for every source pair sharing at least one OUT-neighbor,
@@ -2077,42 +2102,76 @@ def node_similarity_jaccard(
     the end.  Encode/decode joins ride the ≤``broadcast_vertex_limit``
     gate like every vertex-sized broadcast in this module.
     """
-    e = relationships.select("source_id", "target_id", "name")
-    if rel_name is not None:
-        e = e.filter(F.col("name") == rel_name)
-    e = e.select("source_id", "target_id").distinct()
-    if max_target_degree is not None:
-        keep = (
-            e.groupBy("target_id")
-            .agg(F.count(F.lit(1)).alias("__fan_in"))
-            .filter(F.col("__fan_in") <= int(max_target_degree))
-            .select("target_id")
+    if vid_edges is not None and vid_map is not None:
+        # store-persisted long-id layout: the directed edge frame is
+        # already encoded (vid ORDER == dt_id ORDER over the endpoint
+        # universe, so the fan-in cap, pair normalization and every
+        # tie-break decide identically); no per-query encode at all
+        ev = vid_edges
+        if rel_name is not None:
+            ev = ev.filter(F.col("name") == rel_name)
+        e = ev.select(
+            F.col("source_vid").alias("source_id"),
+            F.col("target_vid").alias("target_id"),
+        ).distinct()
+        if max_target_degree is not None:
+            keep = (
+                e.groupBy("target_id")
+                .agg(F.count(F.lit(1)).alias("__fan_in"))
+                .filter(F.col("__fan_in") <= int(max_target_degree))
+                .select("target_id")
+            )
+            e = e.join(keep, "target_id", "left_semi")
+        e = e.localCheckpoint(eager=False)
+        bc = (
+            (lambda df: F.broadcast(df))
+            if vid_map.count() <= broadcast_vertex_limit
+            else (lambda df: df)
         )
-        e = e.join(keep, "target_id", "left_semi")
-    vid_map = _vid_map_for(
-        e.select(F.col("source_id").alias("dt_id")).unionByName(
-            e.select(F.col("target_id").alias("dt_id"))
+    else:
+        e = relationships.select("source_id", "target_id", "name")
+        if rel_name is not None:
+            e = e.filter(F.col("name") == rel_name)
+        e = e.select("source_id", "target_id").distinct()
+        if max_target_degree is not None:
+            keep = (
+                e.groupBy("target_id")
+                .agg(F.count(F.lit(1)).alias("__fan_in"))
+                .filter(F.col("__fan_in") <= int(max_target_degree))
+                .select("target_id")
+            )
+            e = e.join(keep, "target_id", "left_semi")
+        # r16b: lazy cut BEFORE the vid map — the filtered/dedup'd edge
+        # subtree (distinct + fan-in groupBy + semi join on the capped
+        # path) is materialized ONCE by the eager vid-map build; the
+        # encode joins read it back instead of re-deriving it (was:
+        # twice per execution — the whole capped-variant regression in
+        # the first r16 timing pass).
+        e = e.localCheckpoint(eager=False)
+        vid_map = _vid_map_for(
+            e.select(F.col("source_id").alias("dt_id")).unionByName(
+                e.select(F.col("target_id").alias("dt_id"))
+            )
         )
-    )
-    bc = (
-        (lambda df: F.broadcast(df))
-        if vid_map.count() <= broadcast_vertex_limit
-        else (lambda df: df)
-    )
-    sv = vid_map.select(
-        F.col("dt_id").alias("source_id"), F.col("vid").alias("__sv")
-    )
-    tv = vid_map.select(
-        F.col("dt_id").alias("target_id"), F.col("vid").alias("__tv")
-    )
-    e = (
-        e.join(bc(sv), "source_id")
-        .join(bc(tv), "target_id")
-        .select(
-            F.col("__sv").alias("source_id"), F.col("__tv").alias("target_id")
+        bc = (
+            (lambda df: F.broadcast(df))
+            if vid_map.count() <= broadcast_vertex_limit
+            else (lambda df: df)
         )
-        .localCheckpoint(eager=False)
-    )
+        sv = vid_map.select(
+            F.col("dt_id").alias("source_id"), F.col("vid").alias("__sv")
+        )
+        tv = vid_map.select(
+            F.col("dt_id").alias("target_id"), F.col("vid").alias("__tv")
+        )
+        e = (
+            e.join(bc(sv), "source_id")
+            .join(bc(tv), "target_id")
+            .select(
+                F.col("__sv").alias("source_id"), F.col("__tv").alias("target_id")
+            )
+            .localCheckpoint(eager=False)
+        )
     deg = e.groupBy("source_id").agg(F.count(F.lit(1)).alias("deg"))
     if candidates is not None:
         # candidate-driven intersections: normalize pairs to a < b,
@@ -2174,12 +2233,19 @@ def node_similarity_jaccard(
     )
     # decode the top_k rows (tiny side; the vid order IS the dt_id
     # order, so re-imposing the same ORDER BY post-decode returns the
-    # identical ranking)
+    # identical ranking).  The TOP_K-ROW side carries the broadcast
+    # hint — hash-building the k rows and streaming the vertex-sized
+    # map beats broadcasting the map (guarded for pathological top_k).
     dec_a = vid_map.select(F.col("vid").alias("a"), F.col("dt_id").alias("__a"))
     dec_b = vid_map.select(F.col("vid").alias("b"), F.col("dt_id").alias("__b"))
+    tb = (
+        (lambda df: F.broadcast(df))
+        if top_k <= 1_000_000
+        else (lambda df: df)
+    )
     return (
-        top.join(bc(dec_a), "a")
-        .join(bc(dec_b), "b")
+        tb(tb(top).join(dec_a, "a"))
+        .join(dec_b, "b")
         .select(
             F.col("__a").alias("a"),
             F.col("__b").alias("b"),
@@ -2764,6 +2830,8 @@ def link_prediction(
     k: int = 50,
     max_wedge_degree: int | None = None,
     broadcast_vertex_limit: int = 2_000_000,
+    vid_edges: DataFrame | None = None,
+    vid_map: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, common_neighbors, pref_attach) — top-``k`` NON-adjacent
     vertex pairs ranked by common-neighbor count (Newman's CN index),
@@ -2792,41 +2860,16 @@ def link_prediction(
     count doubles as a lineage cut: ``deg`` is consumed three times
     (cap filter + both score joins), so the lazy localCheckpoint it
     materializes saves two recomputes of the dedup+groupBy."""
-    e = relationships.select("source_id", "target_id").filter(
-        F.col("source_id") != F.col("target_id")
-    )
     # r16 (optimization): the wedge join, the (a,b) candidate aggregate
     # and the edge anti-join — the Σ C(deg,2)-sized exchanges that
     # dominate this plan (BENCH_r15: 165M wedge rows at sf1) — run in
-    # ORDER-PRESERVING LONG id space (guide §2.3; _vid_map_for has the
+    # ORDER-PRESERVING LONG id space (guide §2.3; _und_pairs_vid has the
     # exactness argument: pair normalization and the (cn, pref, a, b)
     # tie-break decide identically on vids), with a k-row decode at the
-    # end.  The encode joins ride the same gate as the degree dims; the
-    # gate count moved from deg to the (eagerly pinned) vid map — deg
-    # keeps its lazy cut and materializes with the first action.
-    und_s = e.select(
-        F.least("source_id", "target_id").alias("a"),
-        F.greatest("source_id", "target_id").alias("b"),
-    ).distinct()
-    vid_map = _vid_map_for(
-        und_s.select(F.col("a").alias("dt_id")).unionByName(
-            und_s.select(F.col("b").alias("dt_id"))
-        )
-    )
-    n_verts = vid_map.count()
-    bc = (
-        (lambda df: F.broadcast(df))
-        if n_verts <= broadcast_vertex_limit
-        else (lambda df: df)
-    )
-    va = vid_map.select(F.col("dt_id").alias("a"), F.col("vid").alias("__va"))
-    vb = vid_map.select(F.col("dt_id").alias("b"), F.col("vid").alias("__vb"))
-    # a < b on strings ⇒ __va < __vb on vids (order-preserving encode)
-    und = (
-        und_s.join(bc(va), "a")
-        .join(bc(vb), "b")
-        .select(F.col("__va").alias("a"), F.col("__vb").alias("b"))
-        .localCheckpoint(eager=False)
+    # end.  The store's persisted layout (vid_edges/vid_map) skips the
+    # per-query encode entirely when available.
+    und, bc, vid_map = _und_pairs_vid(
+        relationships, broadcast_vertex_limit, vid_edges, vid_map
     )
     nb = und.select(F.col("a").alias("m"), F.col("b").alias("x")).unionByName(
         und.select(F.col("b").alias("m"), F.col("a").alias("x"))
@@ -2868,12 +2911,18 @@ def link_prediction(
         .limit(k)
     )
     # decode the k rows (vid order == dt_id order, so the re-imposed
-    # ORDER BY returns the identical ranking)
+    # ORDER BY returns the identical ranking).  The K-ROW side carries
+    # the broadcast hint — broadcasting the vertex-sized map here built
+    # a ~60 MB hash relation per decode join at sf1; hash-building the
+    # k rows and STREAMING the map is one pruned scan instead.  Guarded
+    # for pathological k (the hint must never broadcast an unbounded
+    # frame).
     dec_a = vid_map.select(F.col("vid").alias("a"), F.col("dt_id").alias("__a"))
     dec_b = vid_map.select(F.col("vid").alias("b"), F.col("dt_id").alias("__b"))
+    tb = (lambda df: F.broadcast(df)) if k <= 1_000_000 else (lambda df: df)
     return (
-        top.join(bc(dec_a), "a")
-        .join(bc(dec_b), "b")
+        tb(tb(top).join(dec_a, "a"))
+        .join(dec_b, "b")
         .select(
             F.col("__a").alias("a"),
             F.col("__b").alias("b"),

@@ -1255,8 +1255,19 @@ def pq_train(
     init (first ``n_codes`` vectors by id per subspace); Lloyd means
     are deterministic up to FP summation order, which PQ consumers
     (floor-gated recall, re-ranked search) tolerate by design.
+
+    r16 (optimization, guide §2.4): the Lloyd ASSIGNMENT is a pure map
+    — the codebook rides as a literal (like :func:`pq_encode`) and the
+    nearest code is ``array_position(d, array_min(d))`` per row, so the
+    n_codes-way join explosion AND the (vec_id, sub_id) row_number
+    window shuffle this replaced are gone (the window shuffled
+    N·m·n_codes subvector-carrying rows per iteration; measured the
+    whole pq board key 26.8 s → see OPTIMIZATION_r16.md).  Tie-breaks
+    match the old ``orderBy(d, code_id)`` exactly: code ids ride
+    sorted, and array_position returns the FIRST minimum.  The only
+    shuffle left per iteration is the map-side-combined means
+    aggregate (m × n_codes × dim/m groups).
     """
-    spark = embeddings.sparkSession
     subs = _subvectors(embeddings, m)
     init = (
         subs.filter(F.col("vec_id") < n_codes)
@@ -1266,28 +1277,30 @@ def pq_train(
         (r["sub_id"], int(r["vec_id"])): list(r["subvec"]) for r in init
     }
     for _ in range(max(0, n_iters)):
-        cb_df = spark.createDataFrame(
-            [(s, c, v) for (s, c), v in sorted(books.items())],
-            "sub_id int, code_id int, centroid array<double>",
-        )
-        assigned = (
-            subs.join(F.broadcast(cb_df), "sub_id")
-            .select(
-                "vec_id",
-                "sub_id",
-                "code_id",
-                "subvec",
-                _l2sq(F.col("subvec"), F.col("centroid")).alias("d"),
-            )
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vec_id", "sub_id").orderBy(
-                        "d", "code_id"
-                    )
-                ),
-            )
-            .filter(F.col("rn") == 1)
+        sub_ids = sorted({s for (s, _) in books})
+        codes_per_sub = {
+            s: sorted(c for (s2, c) in books if s2 == s) for s in sub_ids
+        }
+        lit_cents = F.array(*[
+            F.array(*[
+                F.array(*[F.lit(float(x)) for x in books[(s, c)]])
+                for c in codes_per_sub[s]
+            ])
+            for s in sub_ids
+        ])
+        lit_codes = F.array(*[
+            F.array(*[F.lit(int(c)) for c in codes_per_sub[s]])
+            for s in sub_ids
+        ])
+        cents = F.element_at(lit_cents, F.col("sub_id") + 1)
+        darr = F.transform(cents, lambda cent: _l2sq(F.col("subvec"), cent))
+        pos = F.array_position(darr, F.array_min(darr)).cast("int")
+        assigned = subs.select(
+            "sub_id",
+            F.element_at(
+                F.element_at(lit_codes, F.col("sub_id") + 1), pos
+            ).alias("code_id"),
+            "subvec",
         )
         means = (
             assigned.select(

@@ -125,6 +125,20 @@ class GraphStore:
     # adaptive escape hatch over the bucketed layout.  Mutations
     # invalidate it alongside relationships_in.
     twins_plain: DataFrame | None = None
+    # Optional ORDER-PRESERVING long vertex ids over the edge-endpoint
+    # universe (r16 optimization): ``vertex_ids`` is (dt_id, vid) with
+    # vid ORDER == dt_id ORDER, and ``edges_vid`` the same relationship
+    # rows pre-encoded as (source_vid, target_vid, name).  The wedge
+    # family (triangle_count / local_clustering / node_similarity /
+    # link_prediction) runs its Σ C(deg,2)-sized joins in long id space;
+    # computing this encoding per query costs a distinct + orderBy +
+    # checkpoint over the endpoint universe EVERY run (~6 s at sf1), so
+    # it is paid once at save time instead — the same write-time-for-
+    # query-time trade as the bucketed layout itself.  Only on loaded
+    # bucketed snapshots; any relationship mutation invalidates both
+    # (crud._replace) and operators fall back to the per-query encode.
+    vertex_ids: DataFrame | None = None
+    edges_vid: DataFrame | None = None
     # model_id -> sorted list of descendants (not incl. self); driver-side
     # copy of the closure for compile-time IS_OF_MODEL expansion.
     _descendants: dict[str, list[str]] = field(default_factory=dict)
@@ -403,6 +417,48 @@ class GraphStore:
                 .sortBy("target_id")
                 .saveAsTable(f"{prefix}_relationships_in")
             )
+            # order-preserving long vertex ids + pre-encoded edges (r16):
+            # the encoding every wedge-family query would otherwise
+            # rebuild per run.  The id map is WRITTEN FIRST and read
+            # back for the edge encode — monotonically_increasing_id is
+            # only deterministic per execution, so the persisted table
+            # is the one assignment every consumer (including task
+            # retries of the encode below) sees.
+            ends = self.relationships.select(
+                F.col("source_id").alias("dt_id")
+            ).unionByName(self.relationships.select(F.col("target_id").alias("dt_id")))
+            vmap = (
+                ends.distinct()
+                .orderBy("dt_id")
+                .select("dt_id", F.monotonically_increasing_id().alias("vid"))
+            )
+            (
+                opts(vmap.write.mode("overwrite"), "vertex_ids")
+                .saveAsTable(f"{prefix}_vertex_ids")
+            )
+            vmap = spark.table(f"{prefix}_vertex_ids")
+            evid = (
+                self.relationships.select("source_id", "target_id", "name")
+                .join(
+                    vmap.select(
+                        F.col("dt_id").alias("source_id"),
+                        F.col("vid").alias("source_vid"),
+                    ),
+                    "source_id",
+                )
+                .join(
+                    vmap.select(
+                        F.col("dt_id").alias("target_id"),
+                        F.col("vid").alias("target_vid"),
+                    ),
+                    "target_id",
+                )
+                .select("source_vid", "target_vid", "name")
+            )
+            (
+                opts(evid.write.mode("overwrite").partitionBy("name"), "edges_vid")
+                .saveAsTable(f"{prefix}_edges_vid")
+            )
         opts(self.models.write.mode("overwrite"), "models").saveAsTable(
             f"{prefix}_models"
         )
@@ -419,7 +475,16 @@ class GraphStore:
         "relationships_in": ("target_id", "name"),
         "models": (None, None),
         "model_edges": (None, None),
+        # r16 long-id layout; only written by partitioned=True layouts
+        "vertex_ids": (None, None),
+        "edges_vid": (None, "name"),
     }
+
+    # derived tables absent from pre-r16 / non-partitioned layouts —
+    # register/load skip them when the directory is missing
+    _OPTIONAL_TABLES: ClassVar[frozenset] = frozenset(
+        {"relationships_in", "vertex_ids", "edges_vid"}
+    )
 
     @classmethod
     def register_bucketed(
@@ -447,8 +512,10 @@ class GraphStore:
             table = f"{prefix}_{sub}"
             if spark.catalog.tableExists(table):
                 continue
-            if sub == "relationships_in" and not _os.path.isdir(f"{path}/{sub}"):
-                continue  # older layouts have no incoming index
+            if sub in cls._OPTIONAL_TABLES and not _os.path.isdir(
+                f"{path}/{sub}"
+            ):
+                continue  # older layouts lack the derived tables
             df = spark.read.parquet(f"{path}/{sub}")
             if not partitioned:
                 part_col = None
@@ -495,6 +562,12 @@ class GraphStore:
         twins_plain = None
         if path is not None:
             twins_plain = spark.read.parquet(f"{path}/twins")
+        vertex_ids = None
+        edges_vid = None
+        if spark.catalog.tableExists(f"{prefix}_vertex_ids"):
+            vertex_ids = spark.table(f"{prefix}_vertex_ids")
+        if spark.catalog.tableExists(f"{prefix}_edges_vid"):
+            edges_vid = spark.table(f"{prefix}_edges_vid")
         return cls(
             spark=spark,
             twins=spark.table(f"{prefix}_twins"),
@@ -503,6 +576,8 @@ class GraphStore:
             model_edges=spark.table(f"{prefix}_model_edges"),
             relationships_in=rels_in,
             twins_plain=twins_plain,
+            vertex_ids=vertex_ids,
+            edges_vid=edges_vid,
         )
 
     @classmethod

@@ -37,7 +37,7 @@ _TS = "2026-01-01T00:00:00Z"
 
 # Bump when the TPC-H→graph mapping OR storage layout changes
 # (invalidates caches).
-LOADER_VERSION = 7
+LOADER_VERSION = 8
 
 # Every property a _build_graph twin carries is DECLARED in its model
 # (r15): the store must re-import its own ND-JSON export under
@@ -392,7 +392,7 @@ def load_graph(
         # layout features participate in the fingerprint: adding a new
         # index table (e.g. relationships_in) must rebuild a cache whose
         # SOURCE parquet is unchanged
-        fp = f"{fp};layout=bucketed+in;buckets={_N_BUCKETS}"
+        fp = f"{fp};layout=bucketed+in+vid;buckets={_N_BUCKETS}"
         if stale_check(marker):
             GraphStore.drop_bucketed(spark, prefix)
             _build_graph(spark, sf_dir).save_bucketed(

@@ -779,8 +779,20 @@ def test_link_prediction_degree_broadcast_gated_off(no_auto_broadcast):
             broadcast_vertex_limit=0,
         )
     )
-    assert "BroadcastHashJoin" not in plan, plan
-    assert "BroadcastExchange" not in plan, plan
+    # r16: the k-row decode hash-builds the TakeOrdered side (bounded at
+    # k rows by construction, safe at any graph size) — so exactly TWO
+    # BroadcastExchange subtrees remain, both wrapping the k-row frame.
+    # Anything beyond 2 would be a vertex-sized frame sneaking back in
+    # past the gate.
+    tree = plan.split("\n\n")[0]
+    bx_lines = [ln for ln in tree.splitlines() if "BroadcastExchange" in ln]
+    assert len(bx_lines) == 2, plan
+    assert "TakeOrderedAndProject" in tree, plan
+    assert tree.index("BroadcastExchange") < tree.index(
+        "TakeOrderedAndProject"
+    ), plan  # the broadcasts wrap the k-row subtree, not a vertex dim
+    # degree dims and the wedge/anti joins must stay shuffle joins
+    assert "SortMergeJoin" in tree, plan
     assert "CartesianProduct" not in plan, plan
 
 
@@ -933,3 +945,75 @@ def test_cumulative_prefix_sum_single_materialized_scan(spark):
     # cached RDD — the raw source scan appears at most once (the
     # lazy-checkpoint scan node), never per-consumer
     assert plan.count("Scan parquet") == 0, plan
+
+
+def test_store_vid_layout_equivalence_and_invalidation(spark):
+    """r16 (optimization): the persisted long-id layout (vertex_ids /
+    edges_vid) must (a) exist on loaded bucketed stores, (b) produce
+    BIT-IDENTICAL results to the per-query string-space encode for the
+    whole wedge family, (c) plan with zero per-query vid-map build
+    (no range Exchange for an orderBy inside the operator), and (d) be
+    invalidated by relationship mutations (crud falls back to the
+    per-query encode on the mutated frame)."""
+    from pg_age_digitaltwins_spark import crud
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        link_prediction,
+        local_clustering,
+        node_similarity_jaccard,
+        triangle_count,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    st = load_graph(spark, SF_DIR)
+    assert st.vertex_ids is not None and st.edges_vid is not None
+    # (a) the map is the edge-endpoint universe, order-preserving
+    rows = st.vertex_ids.orderBy("dt_id").limit(1000).collect()
+    vids = [r["vid"] for r in rows]
+    assert vids == sorted(vids)
+
+    def runs(fn):
+        with_vid = fn(vid_edges=st.edges_vid, vid_map=st.vertex_ids)
+        without = fn(vid_edges=None, vid_map=None)
+        a = [tuple(r) for r in with_vid.collect()]
+        b = [tuple(r) for r in without.collect()]
+        return a, b
+
+    # (b) equivalence for all four operators
+    a, b = runs(lambda **kw: triangle_count(st.relationships, **kw))
+    assert a == b
+    a, b = runs(
+        lambda **kw: local_clustering(st.relationships, **kw)
+    )
+    assert sorted(a) == sorted(b)
+    a, b = runs(
+        lambda **kw: node_similarity_jaccard(
+            st.relationships, "contains", top_k=10, max_target_degree=25, **kw
+        )
+    )
+    assert a == b
+    a, b = runs(
+        lambda **kw: link_prediction(
+            st.relationships, k=10, max_wedge_degree=100, **kw
+        )
+    )
+    assert a == b
+
+    # (c) vid path: the pair frame roots at the lazy lineage cut (an
+    # RDD scan over the persisted edges_vid read), with no per-query
+    # orderBy range exchange (the vid-map build's signature) anywhere
+    # in the composed plan
+    plan = _plan(
+        triangle_count(
+            st.relationships, vid_edges=st.edges_vid, vid_map=st.vertex_ids
+        )
+    )
+    assert "rangepartitioning" not in plan.lower(), plan
+
+    # (d) a relationship mutation invalidates the layout
+    mutated, _, _ = crud.create_or_replace_relationship(
+        st,
+        "cust-1",
+        "rel-vid-test",
+        {"$targetId": "nation-1", "$relationshipName": "locatedIn"},
+    )
+    assert mutated.vertex_ids is None and mutated.edges_vid is None
