@@ -592,13 +592,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         st = _store(s, d)
-        return connected_components(st.twins, st.relationships)
+        return connected_components(
+            st.twins, st.relationships,
+            vid_edges=st.edges_vid, vid_map=st.vertex_ids,
+        )
 
     def _pr(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import pagerank
 
         st = _store(s, d)
-        return pagerank(st.twins, st.relationships, iters=5)
+        return pagerank(
+            st.twins, st.relationships, iters=5,
+            vid_edges=st.edges_vid, vid_map=st.vertex_ids,
+        )
 
     def _scc(s, d):
         from pg_age_digitaltwins_spark.operators.graph_analytics import (
@@ -606,7 +612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         st = _store(s, d)
-        return strongly_connected_components(st.twins, st.relationships)
+        return strongly_connected_components(
+            st.twins, st.relationships,
+            vid_edges=st.edges_vid, vid_map=st.vertex_ids,
+        )
 
     # Iterative whole-graph programs — oracled as unrolled-iteration
     # DuckDB CTE chains (_cc_oracle / _pagerank_oracle)
@@ -639,9 +648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         st = _store(s, d)
-        comm = connected_components(st.twins, st.relationships).select(
-            "dt_id", F.col("component").alias("community")
-        )
+        comm = connected_components(
+            st.twins, st.relationships,
+            vid_edges=st.edges_vid, vid_map=st.vertex_ids,
+        ).select("dt_id", F.col("component").alias("community"))
         # legacy projection: the r16 kernel also emits exact BIGINT
         # two_m/q_num (checked by the weighted twin below)
         return modularity(st.relationships, comm).select(
@@ -679,9 +689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("__w")
         )
         rels = st.relationships.select("source_id", "target_id", w)
-        comm = connected_components(st.twins, st.relationships).select(
-            "dt_id", F.col("component").alias("community")
-        )
+        comm = connected_components(
+            st.twins, st.relationships,
+            vid_edges=st.edges_vid, vid_map=st.vertex_ids,
+        ).select("dt_id", F.col("component").alias("community"))
         return modularity(rels, comm, weight_col="__w")
 
     q["graph_modularity_weighted"] = _modularity_weighted
@@ -858,7 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("dt_id").startswith("region-")
         ).select("dt_id")
         return betweenness_centrality_sampled(
-            st.relationships, sources, max_depth=3
+            st.relationships, sources, max_depth=3,
+            vid_edges=st.edges_vid, vid_map=st.vertex_ids,
         )
 
     # r10: Brandes betweenness sampled to the 5 region pivots,
@@ -901,6 +913,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("weight")
         )
         e = st.relationships.select("source_id", "target_id", w)
+        sources = st.twins.filter(
+            F.col("dt_id").startswith("region-")
+        ).select("dt_id")
+        # r16 (guide §2.3): with the store's persisted long-id layout,
+        # encode the weighted edge frame ONCE (two joins over |E|,
+        # before doubling) and run every Bellman-Ford round on 8-byte
+        # longs — the operator is id-dtype-agnostic (min/left-anti/
+        # union on named columns), distances are pure weight sums, so
+        # results decode bit-identical.  Pivots outside the endpoint
+        # universe have no edges: the string path reports them at
+        # dist 0, so the union below keeps them.
+        vm = st.vertex_ids
+        if vm is not None:
+            from pg_age_digitaltwins_spark.operators.graph_analytics import (
+                _bc_vid_gate,
+            )
+
+            bc = _bc_vid_gate(vm)
+            sv = vm.select(
+                F.col("dt_id").alias("source_id"), F.col("vid").alias("__sv")
+            )
+            tv = vm.select(
+                F.col("dt_id").alias("target_id"), F.col("vid").alias("__tv")
+            )
+            e = (
+                e.join(bc(sv), "source_id")
+                .join(bc(tv), "target_id")
+                .select(
+                    F.col("__sv").alias("source_id"),
+                    F.col("__tv").alias("target_id"),
+                    "weight",
+                )
+            )
+            edgeless = sources.join(bc(vm.select("dt_id")), "dt_id", "left_anti")
+            sources = sources.join(bc(vm), "dt_id").select(
+                F.col("vid").alias("dt_id")
+            )
         sym = e.unionByName(
             e.select(
                 F.col("target_id").alias("source_id"),
@@ -908,10 +957,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "weight",
             )
         )
-        sources = st.twins.filter(
-            F.col("dt_id").startswith("region-")
-        ).select("dt_id")
-        return weighted_shortest_paths(sym, sources, iters=4)
+        out = weighted_shortest_paths(sym, sources, iters=4)
+        if vm is not None:
+            dec = vm.select(
+                F.col("vid").alias("dt_id"), F.col("dt_id").alias("__id_s")
+            )
+            out = (
+                out.join(bc(dec), "dt_id")
+                .select(F.col("__id_s").alias("dt_id"), "dist")
+                .unionByName(
+                    edgeless.select(
+                        "dt_id", F.lit(0).cast("long").alias("dist")
+                    )
+                )
+            )
+        return out
 
     # r11: k-bounded Bellman-Ford weighted distances from the 5 region
     # twins over the undirected quantity-weighted graph — delta-frontier
@@ -936,7 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ).select("dt_id")
         return random_walks(st.relationships, starts, steps=4,
-                            walks_per_node=2)
+                            walks_per_node=2,
+                            vid_edges=st.edges_vid, vid_map=st.vertex_ids)
 
     # r11: deterministic DeepWalk corpus — md5-ranked neighbor picks,
     # value-checked against an unrolled SQL walk (the determinism IS
@@ -960,7 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ).select("dt_id")
         walks = random_walks(st.relationships, starts, steps=4,
-                             walks_per_node=2)
+                             walks_per_node=2,
+                             vid_edges=st.edges_vid, vid_map=st.vertex_ids)
         return walk_skipgram_pairs(walks, window=2)
 
     # r11: the word2vec input built FROM the walk corpus — one
@@ -1007,7 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ).select("dt_id")
         walks = random_walks(st.relationships, starts, steps=4,
-                             walks_per_node=2)
+                             walks_per_node=2,
+                             vid_edges=st.edges_vid, vid_map=st.vertex_ids)
         return walk_skipgram_pairs(walks, window=2)
 
     def _node_embeddings(s, d):
@@ -1207,7 +1270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 8 rounds cover the FK graph's depth-3 chains with margin;
         # exact integers, value-checked vs the unrolled CTE
         st = _store(spark, sf_dir)
-        return ga.topological_levels(st.twins, st.relationships, iters=8)
+        return ga.topological_levels(
+            st.twins, st.relationships, iters=8,
+            vid_edges=st.edges_vid, vid_map=st.vertex_ids,
+        )
 
     q["graph_topological_levels"] = _topo_levels
 

@@ -742,6 +742,7 @@ class CypherCompiler:
                 lambda iters, damping: ga.pagerank(
                     store.twins, relationships,
                     iters=iters, damping=damping, weight_col=weight_col,
+                    **vid_kw,
                 ),
             ),
             # seed-teleport proximity (related-entities primitive)
@@ -758,7 +759,7 @@ class CypherCompiler:
                 [],
                 {"node": "dt_id", "component": "component"},
                 lambda: ga.connected_components(
-                    store.twins, relationships
+                    store.twins, relationships, **vid_kw
                 ),
             ),
             "graph.degree": (
@@ -799,7 +800,7 @@ class CypherCompiler:
                 [],
                 {"node": "dt_id", "component": "scc"},
                 lambda: ga.strongly_connected_components(
-                    store.twins, relationships
+                    store.twins, relationships, **vid_kw
                 ),
             ),
             "graph.labelpropagation": (
@@ -820,7 +821,7 @@ class CypherCompiler:
                 [("iters", "int", 8)],
                 {"node": "dt_id", "level": "level"},
                 lambda iters: ga.topological_levels(
-                    store.twins, relationships, iters=iters
+                    store.twins, relationships, iters=iters, **vid_kw
                 ),
             ),
             "graph.assortativity": (
@@ -861,6 +862,7 @@ class CypherCompiler:
                     store.twins.filter(F.col("dt_id").isin(list(seeds)))
                     .select("dt_id"),
                     max_depth=max_depth,
+                    **vid_kw,
                 ),
             ),
             "graph.distancedistribution": (

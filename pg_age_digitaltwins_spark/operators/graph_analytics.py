@@ -26,6 +26,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _bc_vid_gate(vid_map: DataFrame, limit: int = 2_000_000):
+    """The standard vertex-broadcast gate (r14 verdict discipline) for
+    the persisted-layout decode/encode joins: the (dt_id, vid) map is
+    ~30 MB at 2M vertices — broadcasting it beats a two-sided
+    sort-merge shuffle of map + vertex-sized results, but ONLY below
+    the gate (above it, state outgrows executors and the joins must
+    stay distributed).  The count is a parquet-footer scan of the
+    persisted table — sub-second."""
+    return (
+        (lambda df: F.broadcast(df))
+        if vid_map.count() <= limit
+        else (lambda df: df)
+    )
+
+
 def _vid_map_for(ids: DataFrame) -> DataFrame:
     """Order-preserving long vertex ids for the wedge/pair family (r16
     optimization round, guide §2.3 — narrower shuffle types).
@@ -135,7 +150,11 @@ def _undirected(relationships: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    twins: DataFrame, relationships: DataFrame, max_iters: int = 20
+    twins: DataFrame,
+    relationships: DataFrame,
+    max_iters: int = 20,
+    vid_edges: DataFrame | None = None,
+    vid_map: DataFrame | None = None,
 ) -> DataFrame:
     """(dt_id, component) — component = min twin id reachable over
     undirected edges.
@@ -167,16 +186,32 @@ def connected_components(
     (min distributes over the union), so the big frame is only ever
     scanned, not shuffled twice.
 
-    (r10 experiment, rejected: running the label propagation in an
+    (r10 experiment, rejected THEN: running the label propagation in an
     order-preserving long vid space measured 8.8-9.4 s vs 5.75 s here —
     level 1 is a JOIN-FREE scan aggregation over the raw edge frame,
     so the id-encode's two edge joins + endpoint-universe distinct cost
-    more than long mins save.  PageRank and Louvain keep the encoding
-    because their supersteps already join the edge frame every
-    iteration.)"""
-    e = relationships.select("source_id", "target_id").filter(
-        F.col("source_id") != F.col("target_id")
-    )
+    more than long mins save.  r16: the store now PERSISTS the
+    order-preserving encoding (``vid_edges``/``vid_map`` from
+    ``GraphStore.save_bucketed``), so the encode cost the r10
+    experiment paid per query is zero — with the layout present the
+    level loop runs verbatim on 8-byte longs (min/least decide
+    identically: the persisted map is order-preserving and injective),
+    levels compose in long space, and one decode join at the end maps
+    roots back to dt_id strings; twins outside the edge-endpoint
+    universe are their own components (exactly what the string path's
+    left-join composition gives them).  The vid path only activates on
+    store-backed frames, where the CRUD edge guard enforces endpoint
+    referential integrity."""
+    use_vid = vid_edges is not None and vid_map is not None
+    if use_vid:
+        e = vid_edges.select(
+            F.col("source_vid").alias("source_id"),
+            F.col("target_vid").alias("target_id"),
+        ).filter(F.col("source_id") != F.col("target_id"))
+    else:
+        e = relationships.select("source_id", "target_id").filter(
+            F.col("source_id") != F.col("target_id")
+        )
     level_maps: list[DataFrame] = []
     for _ in range(max_iters):
         # local min over the closed neighborhood of this level's edge
@@ -231,7 +266,13 @@ def connected_components(
     # Every level map after the first is label-space sized (small), so
     # AQE broadcasts it; vertices absent from a level's map are already
     # roots there (left join + coalesce keeps them fixed).
-    comp = twins.select("dt_id", F.col("dt_id").alias("component"))
+    if use_vid:
+        # endpoint universe composes in LONG space (every join in the
+        # chain is long-keyed), one string decode at the end; twins
+        # outside the universe (no edges) are their own components
+        comp = vid_map.select("dt_id", F.col("vid").alias("component"))
+    else:
+        comp = twins.select("dt_id", F.col("dt_id").alias("component"))
     for m in level_maps:
         step = m.select(
             F.col("id").alias("component"), F.col("label").alias("__next")
@@ -239,6 +280,20 @@ def connected_components(
         comp = comp.join(step, "component", "left").select(
             "dt_id",
             F.coalesce(F.col("__next"), F.col("component")).alias("component"),
+        )
+    if use_vid:
+        bc = _bc_vid_gate(vid_map)
+        dec = vid_map.select(
+            F.col("vid").alias("component"), F.col("dt_id").alias("__root")
+        )
+        comp = comp.join(bc(dec), "component").select(
+            "dt_id", F.col("__root").alias("component")
+        )
+        isolated = twins.select("dt_id").join(
+            bc(vid_map.select("dt_id")), "dt_id", "left_anti"
+        )
+        comp = comp.unionByName(
+            isolated.select("dt_id", F.col("dt_id").alias("component"))
         )
     return comp
 
@@ -249,6 +304,8 @@ def pagerank(
     iters: int = 10,
     damping: float = 0.85,
     weight_col: str | None = None,
+    vid_edges: DataFrame | None = None,
+    vid_map: DataFrame | None = None,
 ) -> DataFrame:
     """(dt_id, rank) after ``iters`` power iterations on the directed
     twin graph.  Dangling vertices redistribute uniformly (the standard
@@ -291,51 +348,104 @@ def pagerank(
     defaults missing properties to 1.0 before calling); a source whose
     total weight is 0 sends no mass and counts as dangling.  The
     unweighted path is untouched (count, not sum-of-ones), so existing
-    plans and oracles are byte-identical."""
-    # Lazy is retry-safe HERE, unlike Louvain's eager vid_map pin: this
-    # encode has no orderBy (no range-shuffle sampling nondeterminism —
-    # mono_id over a stable parquet-scan partitioning is deterministic
-    # per layout), and the verts.count() below materializes the
-    # checkpoint in the very next job, before any consumer forks.
-    vid_map = (
-        twins.select("dt_id")
-        .select("dt_id", F.monotonically_increasing_id().alias("vid"))
-        .localCheckpoint(eager=False)
+    plans and oracles are byte-identical.
+
+    r16 (optimization, guide §2.4 — remove shuffles outright): with the
+    store's persisted long-id layout (``vid_edges``/``vid_map``) the
+    per-query encode disappears — no vid_map build job, no two
+    |E|-sized encode joins, no twin-sided broadcast builds.  PageRank
+    has no id-ORDER dependence (no tie-breaks), only uniqueness, so
+    twins outside the edge-endpoint universe extend the persisted map
+    with NEGATIVE vids (``-mono_id - 1`` — disjoint from the persisted
+    non-negative range by construction, no driver max() collect).
+    Ranks are identical: n, out-degrees, the edge multiset and the
+    dangling set are all unchanged; only the join keys narrowed.  The
+    vid path requires endpoint referential integrity (every edge
+    endpoint a twin) — guaranteed on store-backed frames by the CRUD
+    edge guard, which is the only place the layout comes from; the
+    weighted path keeps the per-query encode (the persisted layout
+    carries no weight column)."""
+    use_vid = (
+        vid_edges is not None and vid_map is not None and weight_col is None
     )
-    verts = vid_map.select("vid").localCheckpoint(eager=False)
-    n = verts.count()
-    # vertex-state rows are ~30 B (id + double); 2M rows ≈ 60 MB
-    # broadcast — comfortably under a 1 GiB driver, far under executor
-    # memory.  Beyond that, state must stay distributed.
-    bc = (lambda df: F.broadcast(df)) if n <= 2_000_000 else (lambda df: df)
-    sv = vid_map.select(F.col("dt_id").alias("source_id"), F.col("vid").alias("__sv"))
-    tv = vid_map.select(F.col("dt_id").alias("target_id"), F.col("vid").alias("__tv"))
-    ecols = ["source_id", "target_id"] + ([weight_col] if weight_col else [])
-    src_edges = relationships.select(*ecols).join(bc(sv), "source_id")
-    # out-degree counts every outgoing edge of a twin source (including
-    # any to non-twin targets) so the per-edge rank share is unchanged
-    # on RI-violating inputs — the non-twin share then leaks, it does
-    # not inflate the twin targets' shares.
-    if weight_col is None:
-        out_deg = src_edges.groupBy(F.col("__sv").alias("vid")).agg(
+    if use_vid:
+        extra = (
+            twins.select("dt_id")
+            .join(vid_map.select("dt_id"), "dt_id", "left_anti")
+            .select(
+                "dt_id",
+                (-F.monotonically_increasing_id() - 1).alias("vid"),
+            )
+        )
+        dec_map = (
+            vid_map.select("dt_id", "vid")
+            .unionByName(extra)
+            .localCheckpoint(eager=False)
+        )
+        verts = dec_map.select("vid").localCheckpoint(eager=False)
+        n = verts.count()
+        bc = (
+            (lambda df: F.broadcast(df)) if n <= 2_000_000 else (lambda df: df)
+        )
+        edges = vid_edges.select(
+            F.col("source_vid").alias("source_id"),
+            F.col("target_vid").alias("target_id"),
+        )
+        out_deg = edges.groupBy(F.col("source_id").alias("vid")).agg(
             F.count(F.lit(1)).alias("out_deg")
         )
+        wcols: list = []
     else:
-        # total outgoing WEIGHT; zero-total sources drop out here and
-        # land in dangling_verts (no 0/0 share)
-        out_deg = (
-            src_edges.groupBy(F.col("__sv").alias("vid"))
-            .agg(F.sum(F.col(weight_col).cast("double")).alias("out_deg"))
-            .filter(F.col("out_deg") > 0)
+        # Lazy is retry-safe HERE, unlike Louvain's eager vid_map pin: this
+        # encode has no orderBy (no range-shuffle sampling nondeterminism —
+        # mono_id over a stable parquet-scan partitioning is deterministic
+        # per layout), and the verts.count() below materializes the
+        # checkpoint in the very next job, before any consumer forks.
+        dec_map = (
+            twins.select("dt_id")
+            .select("dt_id", F.monotonically_increasing_id().alias("vid"))
+            .localCheckpoint(eager=False)
         )
-    wcols = (
-        [F.col(weight_col).cast("double").alias("__w")] if weight_col else []
-    )
-    edges = src_edges.join(bc(tv), "target_id").select(
-        F.col("__sv").alias("source_id"),
-        F.col("__tv").alias("target_id"),
-        *wcols,
-    )
+        verts = dec_map.select("vid").localCheckpoint(eager=False)
+        n = verts.count()
+        # vertex-state rows are ~30 B (id + double); 2M rows ≈ 60 MB
+        # broadcast — comfortably under a 1 GiB driver, far under executor
+        # memory.  Beyond that, state must stay distributed.
+        bc = (
+            (lambda df: F.broadcast(df)) if n <= 2_000_000 else (lambda df: df)
+        )
+        sv = dec_map.select(
+            F.col("dt_id").alias("source_id"), F.col("vid").alias("__sv")
+        )
+        tv = dec_map.select(
+            F.col("dt_id").alias("target_id"), F.col("vid").alias("__tv")
+        )
+        ecols = ["source_id", "target_id"] + ([weight_col] if weight_col else [])
+        src_edges = relationships.select(*ecols).join(bc(sv), "source_id")
+        # out-degree counts every outgoing edge of a twin source (including
+        # any to non-twin targets) so the per-edge rank share is unchanged
+        # on RI-violating inputs — the non-twin share then leaks, it does
+        # not inflate the twin targets' shares.
+        if weight_col is None:
+            out_deg = src_edges.groupBy(F.col("__sv").alias("vid")).agg(
+                F.count(F.lit(1)).alias("out_deg")
+            )
+        else:
+            # total outgoing WEIGHT; zero-total sources drop out here and
+            # land in dangling_verts (no 0/0 share)
+            out_deg = (
+                src_edges.groupBy(F.col("__sv").alias("vid"))
+                .agg(F.sum(F.col(weight_col).cast("double")).alias("out_deg"))
+                .filter(F.col("out_deg") > 0)
+            )
+        wcols = (
+            [F.col(weight_col).cast("double").alias("__w")] if weight_col else []
+        )
+        edges = src_edges.join(bc(tv), "target_id").select(
+            F.col("__sv").alias("source_id"),
+            F.col("__tv").alias("target_id"),
+            *wcols,
+        )
     deg_edges = (
         edges.join(out_deg, edges["source_id"] == out_deg["vid"])
         .select(
@@ -386,7 +496,7 @@ def pagerank(
             # action, so plans never compound across the loop.
             .localCheckpoint(eager=(i % 2 == 1) or (i == iters - 1))
         )
-    return state.join(vid_map, "vid").select(
+    return state.join(bc(dec_map), "vid").select(
         "dt_id", F.round("rank", 8).alias("rank")
     )
 
@@ -913,6 +1023,8 @@ def strongly_connected_components(
     relationships: DataFrame,
     max_rounds: int = 8,
     max_iters: int = 20,
+    vid_edges: DataFrame | None = None,
+    vid_map: DataFrame | None = None,
 ) -> DataFrame:
     """(dt_id, scc) — SCC id = min twin id in the component, over the
     DIRECTED edge set.
@@ -927,13 +1039,36 @@ def strongly_connected_components(
     supersteps with per-superstep ``localCheckpoint`` lineage cuts —
     the same 100 TB shape as the other iterative operators.  Raises
     after ``max_rounds`` without convergence instead of mislabeling
-    the remainder."""
-    verts = twins.select("dt_id")
-    edges = (
-        relationships.select("source_id", "target_id")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    the remainder.
+
+    r16 (optimization, guide §2.3): with the store's persisted
+    order-preserving long-id layout (``vid_edges``/``vid_map``), the
+    whole peel/propagate pipeline — the heaviest string-keyed join
+    loop left after the wedge family — runs verbatim on 8-byte longs:
+    min-label propagation, trim degrees and the fwd==bwd settle all
+    decide identically because the encoding is order-preserving and
+    injective (scc id = min vid ⇔ min dt_id).  Twins outside the
+    edge-endpoint universe are singleton SCCs (exactly what the trim
+    pass labels them in the string path), attached at the final decode
+    instead of being dragged through every peel round."""
+    use_vid = vid_edges is not None and vid_map is not None
+    if use_vid:
+        verts = vid_map.select(F.col("vid").alias("dt_id"))
+        edges = (
+            vid_edges.select(
+                F.col("source_vid").alias("source_id"),
+                F.col("target_vid").alias("target_id"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    else:
+        verts = twins.select("dt_id")
+        edges = (
+            relationships.select("source_id", "target_id")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     remaining = verts.localCheckpoint(eager=True)
     out: DataFrame | None = None
     for _ in range(max_rounds):
@@ -1048,9 +1183,30 @@ def strongly_connected_components(
             raise RuntimeError(
                 f"SCC did not converge in {max_rounds} rounds; raise max_rounds"
             )
-    return out if out is not None else verts.select(
-        "dt_id", F.col("dt_id").alias("scc")
-    )
+    if out is None:
+        out = verts.select("dt_id", F.col("dt_id").alias("scc"))
+    if use_vid:
+        bc = _bc_vid_gate(vid_map)
+        dec_id = vid_map.select(
+            F.col("vid").alias("dt_id"), F.col("dt_id").alias("__id_s")
+        )
+        dec_scc = vid_map.select(
+            F.col("vid").alias("scc"), F.col("dt_id").alias("__scc_s")
+        )
+        out = (
+            out.join(bc(dec_id), "dt_id")
+            .join(bc(dec_scc), "scc")
+            .select(
+                F.col("__id_s").alias("dt_id"), F.col("__scc_s").alias("scc")
+            )
+        )
+        isolated = twins.select("dt_id").join(
+            bc(vid_map.select("dt_id")), "dt_id", "left_anti"
+        )
+        out = out.unionByName(
+            isolated.select("dt_id", F.col("dt_id").alias("scc"))
+        )
+    return out
 
 
 def harmonic_centrality_sampled(
@@ -1093,6 +1249,7 @@ def _multi_source_bfs(
     sources: DataFrame,
     max_depth: int,
     count_paths: bool = False,
+    und_edges: DataFrame | None = None,
 ) -> DataFrame:
     """(node, src, depth[, sigma]) — undirected multi-source BFS
     distances up to ``max_depth`` (depth 0 = the sources themselves).
@@ -1104,8 +1261,18 @@ def _multi_source_bfs(
     (σ) instead of being distinct-ed — every minimum-length walk is a
     path, so σ at a pair's first depth is its shortest-path count
     (the same argument as the Cypher allShortestPaths compiler).
-    Needed by Brandes-style betweenness."""
-    edges = _undirected(relationships).localCheckpoint(eager=False)
+    Needed by Brandes-style betweenness.
+
+    ``und_edges`` (r16): a caller-prebuilt doubled-distinct undirected
+    (source_id, target_id) frame — lets the vid-space callers share ONE
+    materialized edge frame between the forward BFS and their own
+    passes instead of re-deriving it, and keeps the BFS itself
+    id-dtype-agnostic (every join/dedup here keys on column names)."""
+    edges = (
+        und_edges
+        if und_edges is not None
+        else _undirected(relationships).localCheckpoint(eager=False)
+    )
     frontier = sources.select(
         F.col("dt_id").alias("node"), F.col("dt_id").alias("src")
     ).localCheckpoint(eager=True)
@@ -1163,11 +1330,24 @@ def weighted_shortest_paths(
     (frontier-sized, not state-sized), then folds candidates into the
     running minimum with one map-side-combined aggregate; early-exits
     when a round improves nothing.  State and frontier are vertex-sized
-    localCheckpoints, lineage never compounds."""
-    e = edges.select(
-        F.col("source_id").alias("src"),
-        F.col("target_id").alias("dst"),
-        F.col("weight").cast("long").alias("w"),
+    localCheckpoints, lineage never compounds.
+
+    r16 (optimization, guide §2.4 — loop-invariant hoisting): the edge
+    frame is PRE-PARTITIONED on the join key and checkpointed ONCE —
+    previously every relaxation round re-derived it from source
+    (callers project the weight out of a JSON document column: a full
+    |E| parse + shuffle per round) and re-shuffled it for the frontier
+    join; now rounds shuffle only the frontier side, the same hoisting
+    discipline as PageRank/Louvain."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col("source_id").alias("src"),
+            F.col("target_id").alias("dst"),
+            F.col("weight").cast("long").alias("w"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, F.col("src"))
+        .localCheckpoint(eager=True)
     )
     dist = sources.select(
         F.col("dt_id").alias("node"), F.lit(0).cast("long").alias("dist")
@@ -1206,6 +1386,8 @@ def random_walks(
     steps: int = 4,
     walks_per_node: int = 2,
     salt: str = "walk",
+    vid_edges: DataFrame | None = None,
+    vid_map: DataFrame | None = None,
 ) -> DataFrame:
     """(start, walk_no, step, node) — DETERMINISTIC random walks over
     the directed deduplicated edge set: the DeepWalk/node2vec corpus
@@ -1222,10 +1404,27 @@ def random_walks(
     equi-joins — (cur = src) to fetch the degree, then (src, rn =
     pick) against the ranked neighbor table — never a fan-out to all
     neighbors followed by a filter.  Walk state is walks-sized, not
-    graph-sized."""
+    graph-sized.
+
+    r16 (guide §2.3): with the store's persisted long-id layout the
+    JOIN keys go long while the md5 inputs stay the ORIGINAL strings —
+    ``start`` rides the state untouched (the hash never sees ``cur``),
+    neighbor ranks are identical because the encode is
+    order-preserving (rank by target vid ≡ rank by target id), and
+    out-degrees count the same distinct neighbor sets; one decode join
+    over the walk-sized output restores ``node``.  Walks are therefore
+    bit-identical to the string path and still value-check against the
+    SQL oracle."""
     from pyspark.sql import Window
 
-    edges = relationships.select("source_id", "target_id").distinct()
+    use_vid = vid_edges is not None and vid_map is not None
+    if use_vid:
+        edges = vid_edges.select(
+            F.col("source_vid").alias("source_id"),
+            F.col("target_vid").alias("target_id"),
+        ).distinct()
+    else:
+        edges = relationships.select("source_id", "target_id").distinct()
     w_rank = Window.partitionBy("source_id").orderBy("target_id")
     nbrs = edges.withColumn("rn", F.row_number().over(w_rank)).localCheckpoint(
         eager=False
@@ -1240,6 +1439,23 @@ def random_walks(
             )
         )
     ).withColumn("cur", F.col("start"))
+    if use_vid:
+        bc = _bc_vid_gate(vid_map)
+        # starts outside the endpoint universe are dead ends at step 1
+        # in BOTH paths (no out-edges ⇒ the degree join drops them and
+        # nothing is emitted) — the inner encode join is lossless
+        state = (
+            state.join(
+                bc(
+                    vid_map.select(
+                        F.col("dt_id").alias("cur"),
+                        F.col("vid").alias("__cv"),
+                    )
+                ),
+                "cur",
+            )
+            .select("start", "walk_no", F.col("__cv").alias("cur"))
+        )
     outs: list[DataFrame] = []
     for k in range(1, max(0, steps) + 1):
         h = F.conv(
@@ -1287,6 +1503,13 @@ def random_walks(
     out = outs[0]
     for df in outs[1:]:
         out = out.unionByName(df)
+    if use_vid:
+        dec = vid_map.select(
+            F.col("vid").alias("node"), F.col("dt_id").alias("__node_s")
+        )
+        out = out.join(bc(dec), "node").select(
+            "start", "walk_no", "step", F.col("__node_s").alias("node")
+        )
     return out
 
 
@@ -1958,6 +2181,8 @@ def betweenness_centrality_sampled(
     relationships: DataFrame,
     sources: DataFrame,
     max_depth: int = 3,
+    vid_edges: DataFrame | None = None,
+    vid_map: DataFrame | None = None,
 ) -> DataFrame:
     """(dt_id, betweenness) — Brandes betweenness centrality sampled
     to a pivot (source) set, distances bounded by ``max_depth``
@@ -1980,14 +2205,43 @@ def betweenness_centrality_sampled(
     100 TB shape: the forward pass is O(max_depth) frontier joins; the
     backward pass is one layer⋈edges⋈layer join per depth — every
     frame is (reached-pairs)-sized, never |V|², and nothing is
-    collected to the driver."""
+    collected to the driver.
+
+    r16 (guide §2.3): with the store's persisted long-id layout
+    (``vid_edges``/``vid_map``) the whole forward-σ/backward-δ pipeline
+    runs on 8-byte longs — pivots encode through one tiny join, ONE
+    doubled-distinct undirected vid frame is shared by the BFS and
+    every backward layer, and the sparse result decodes once at the
+    end.  σ/δ arithmetic is id-value-independent (counts and ratios
+    keyed by ids), so scores are unchanged."""
+    use_vid = vid_edges is not None and vid_map is not None
+    if use_vid:
+        sources = sources.join(vid_map, "dt_id").select(
+            F.col("vid").alias("dt_id")
+        )
+        ev = vid_edges.select(
+            F.col("source_vid").alias("source_id"),
+            F.col("target_vid").alias("target_id"),
+        )
+        edges = (
+            ev.unionByName(
+                ev.select(
+                    F.col("target_id").alias("source_id"),
+                    F.col("source_id").alias("target_id"),
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    else:
+        # r16 (optimization): lazy lineage cut — the backward pass
+        # consumes this frame once per layer (max_depth − 1 times);
+        # without the cut each layer re-runs the doubled-edge distinct
+        # shuffle (guide §2.4)
+        edges = _undirected(relationships).localCheckpoint(eager=False)
     seen = _multi_source_bfs(
-        relationships, sources, max_depth, count_paths=True
+        relationships, sources, max_depth, count_paths=True, und_edges=edges
     ).localCheckpoint(eager=True)
-    # r16 (optimization): lazy lineage cut — the backward pass consumes
-    # this frame once per layer (max_depth − 1 times); without the cut
-    # each layer re-runs the doubled-edge distinct shuffle (guide §2.4)
-    edges = _undirected(relationships).localCheckpoint(eager=False)
     max_d = (seen.agg(F.max("depth")).collect()[0][0]) or 0
     if max_d < 2:
         # no interior vertices within range: all-zero contribution set
@@ -2050,10 +2304,17 @@ def betweenness_centrality_sampled(
     acc = out_layers[0]
     for layer in out_layers[1:]:
         acc = acc.unionByName(layer)
-    return (
-        acc.groupBy(F.col("node").alias("dt_id"))
-        .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+    bw = acc.groupBy(F.col("node").alias("dt_id")).agg(
+        F.round(F.sum("delta"), 6).alias("betweenness")
     )
+    if use_vid:
+        dec = vid_map.select(
+            F.col("vid").alias("dt_id"), F.col("dt_id").alias("__id_s")
+        )
+        bw = bw.join(_bc_vid_gate(vid_map)(dec), "dt_id").select(
+            F.col("__id_s").alias("dt_id"), "betweenness"
+        )
+    return bw
 
 
 def node_similarity_jaccard(
@@ -2318,7 +2579,9 @@ def neighbor_feature_agg(
 # Louvain-style modularity communities (deterministic, integer-exact)
 # ----------------------------------------------------------------------
 
-def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
+def _louvain_round(
+    nbr, comm, two_m, parity, bcast=False, checkpoint=True, iso_state=None
+):
     """One synchronous local-move round of weighted Louvain.
 
     ``nbr``: doubled directed edges (src, dst, w) WITHOUT self rows,
@@ -2339,18 +2602,34 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
     Plan shape (r10 rewrite, bit-identical assignments): per round —
     σ is one small aggregation over the vertex-sized state; the edge
     frame joins comm on ``dst`` (edges stay in place, only the vertex
-    side shuffles), a ZERO-WEIGHT SELF ROW per vertex is unioned in
-    (so every vertex — isolated ones included — owns a candidate row
-    for its CURRENT community, making the stay score fall out of the
-    same aggregate), then ONE k_vc aggregation per (src, candidate c)
+    side shuffles), then ONE k_vc aggregation per (src, candidate c)
     runs on the src partitioning; (c_v, k) and σ join the
     candidate-sized output (not the 2|E| edge pass), and the
     per-vertex argmax ``min(struct(-score, c))`` (≡ max score, min-c
     tie-break) plus ``max(score where c = c_v)`` — the stay score —
-    share the final vertex aggregation.  No separate stay join, no
-    state-update join: per_v covers every vertex, so the new state
-    projects straight out of it.  3 broadcast builds per round
-    (was 4) and the wide pass carries (src, c, w) only."""
+    share the final vertex aggregation.
+
+    r16 (optimization, guide §2.4 — remove shuffles outright): the r10
+    shape unioned a ZERO-WEIGHT SELF ROW per vertex into the candidate
+    stream before the k_vc aggregation; the Union discarded the edge
+    frame's src partitioning, so BOTH the k_vc aggregation and the
+    per-vertex argmax exchanged the candidate set every round (at 10×
+    data, round 1's candidate set IS the 2|E| edge set — two ~26M-row
+    exchanges per round).  Now the candidate pipeline runs edge-only
+    and stays on the caller's src partitioning end to end — ZERO
+    data-sized exchanges per round: the stay score for a vertex with
+    no active neighbor in its own community is reconstructed from a
+    σ(c_v) broadcast join (same formula at k_vc = 0:
+    ``−k·(σ_cv − k)``; when neighbors in c_v exist the max-when picks
+    the identical merged-sum score, and a best-tie against the absent
+    zero-weight self candidate cannot change the outcome — either way
+    the strict ``best > stay`` comparison says stay).  Vertices with
+    NO nbr rows at all (post-contraction supernodes whose edges are
+    all self loops) never appear in the edge pipeline; they can never
+    move (no candidates), so their state is ROUND-INVARIANT and rides
+    ``iso_state`` — a per-LEVEL constant frame the caller computes
+    once (empty at level 1 by construction) — instead of a per-round
+    self-row union + anti-join."""
     # the previous round's __moved flag (if any) is not state
     comm = comm.select("dt_id", "comm", "k")
     # csize rides the sigma aggregation for free — the singleton-merge
@@ -2379,18 +2658,10 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
     if bcast:
         comm_dst = F.broadcast(comm_dst)
         comm_src = F.broadcast(comm_src)
-    self_rows = comm.filter(
-        F.pmod(F.xxhash64(F.col("dt_id")), F.lit(2)) == F.lit(parity)
-    ).select(
-        F.col("dt_id").alias("src"),
-        F.col("comm").alias("c"),
-        F.lit(0).cast("long").alias("w"),
-    )
     cand = (
         nbr.filter(active_src)
         .join(comm_dst, "dst")
         .select("src", "c", "w")
-        .unionByName(self_rows)
         .groupBy("src", "c")
         .agg(F.sum("w").alias("k_vc"))
         .join(comm_src, "src")
@@ -2403,6 +2674,11 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
     )
     score = F.lit(two_m) * F.col("k_vc") - F.col("k") * (
         F.col("sigma") - F.when(F.col("c") == F.col("c_v"), F.col("k")).otherwise(F.lit(0))
+    )
+    sigma_cv = sigma.select(
+        F.col("comm").alias("c_v"),
+        F.col("sigma").alias("__sigma_cv"),
+        F.col("csize").alias("__csize_cv"),
     )
     per_v = (
         cand.select(
@@ -2419,16 +2695,21 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
             ).alias("best"),
             F.first("c_v").alias("c_v"),
             F.first("k").alias("k"),
-            # the self row guarantees exactly one c = c_v candidate;
-            # its score IS the stay score (same formula, k_vc = the
-            # vertex's weight into its own community, 0 if none)
+            # when ≥1 active neighbor sits in c_v its candidate score
+            # IS the stay score (merged k_vc sum, same formula);
+            # otherwise reconstructed below at k_vc = 0
             F.max(
                 F.when(F.col("c") == F.col("c_v"), F.col("score"))
-            ).alias("stay_score"),
-            # v's OWN community size, read off the same self row
+            ).alias("stay_raw"),
             F.max(
                 F.when(F.col("c") == F.col("c_v"), F.col("csize"))
-            ).alias("own_size"),
+            ).alias("own_raw"),
+        )
+        # σ(c_v) fills the stay score / own size for vertices with no
+        # neighbor in their own community — community-sized build,
+        # same broadcast gate (and a reused σ exchange under AQE)
+        .join(
+            F.broadcast(sigma_cv) if bcast else sigma_cv, "c_v"
         )
         .select(
             F.col("src").alias("dt_id"),
@@ -2437,8 +2718,13 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
             F.col("best.csize").alias("best_size"),
             "c_v",
             "k",
-            "stay_score",
-            "own_size",
+            F.coalesce(
+                F.col("stay_raw"),
+                -F.col("k") * (F.col("__sigma_cv") - F.col("k")),
+            ).alias("stay_score"),
+            F.coalesce(F.col("own_raw"), F.col("__csize_cv")).alias(
+                "own_size"
+            ),
         )
     )
     # all per_v rows are active-parity vertices, so the gate reduces to
@@ -2471,6 +2757,14 @@ def _louvain_round(nbr, comm, two_m, parity, bcast=False, checkpoint=True):
             F.pmod(F.xxhash64(F.col("dt_id")), F.lit(2)) != F.lit(parity)
         ).select("dt_id", "comm", "k", F.lit(0).alias("__moved"))
     )
+    if iso_state is not None:
+        # nbr-isolated vertices (no candidates, can never move) of the
+        # ACTIVE parity — the inactive half already rode the union above
+        out = out.unionByName(
+            iso_state.filter(
+                F.pmod(F.xxhash64(F.col("dt_id")), F.lit(2)) == F.lit(parity)
+            ).select("dt_id", "comm", "k", F.lit(0).alias("__moved"))
+        )
     # checkpoint=False exists for plan inspection (tests) only — the
     # caller's loop always cuts lineage here.  EAGER: a lazy checkpoint
     # leaves the full lineage in the logical plan, and every API call
@@ -2680,6 +2974,18 @@ def louvain_communities(
             .select("dt_id", F.col("dt_id").alias("comm"), "k")
             .localCheckpoint(eager=True)
         )
+        # r16: vertices with ONLY self edges (possible post-contraction;
+        # none at level 1, where full_edges IS the self-free nbr) never
+        # appear in the round's edge pipeline and can never move — their
+        # state is LEVEL-invariant, computed once here instead of riding
+        # a per-round self-row union (see _louvain_round)
+        iso_state = None
+        if has_self:
+            iso_state = comm.join(
+                nbr.select(F.col("src").alias("dt_id")).distinct(),
+                "dt_id",
+                "left_anti",
+            ).localCheckpoint(eager=True)
         # convergence-aware rounds: the move count is one small agg on
         # the eagerly-checkpointed vertex state; the floor compares the
         # last TWO rounds (both parities) so a fixed point is certain
@@ -2690,7 +2996,9 @@ def louvain_communities(
         prev_moves = None
         n_rounds = max(1, rounds_per_level)
         for r in range(n_rounds):
-            comm = _louvain_round(nbr, comm, two_m, r % 2, bcast=bcast)
+            comm = _louvain_round(
+                nbr, comm, two_m, r % 2, bcast=bcast, iso_state=iso_state
+            )
             if r == n_rounds - 1:
                 break  # r16: the final round's move count decides
                 # nothing (the loop ends either way) — skip its
@@ -2998,6 +3306,8 @@ def topological_levels(
     twins: DataFrame,
     relationships: DataFrame,
     iters: int = 8,
+    vid_edges: DataFrame | None = None,
+    vid_map: DataFrame | None = None,
 ) -> DataFrame:
     """(dt_id, level) — longest-path LAYERING of the directed graph:
     level(v) = 0 for sources (no in-edges), else 1 + max(level(u))
@@ -3032,14 +3342,36 @@ def topological_levels(
     fixture).  The change flag rides the eagerly-checkpointed state,
     so the per-round convergence check is one cheap aggregate over
     materialized rows (the Louvain move-count discipline); cyclic
-    inputs keep growing levels and still run the full cap."""
-    verts = twins.select("dt_id")
-    e = (
-        relationships.select("source_id", "target_id")
-        .filter(F.col("source_id") != F.col("target_id"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    inputs keep growing levels and still run the full cap.
+
+    r16 (guide §2.3): with the store's persisted order-preserving
+    long-id layout (``vid_edges``/``vid_map``) every round's
+    edges⋈state join + max aggregate runs on 8-byte longs — the
+    update is pure max/greatest arithmetic on the ``level`` column, so
+    id dtype cannot change any value; twins outside the edge-endpoint
+    universe have no in-edges, stay level 0 through every round, and
+    are attached as level-0 rows at the final decode instead of
+    riding |iters| vertex-sized joins."""
+    use_vid = vid_edges is not None and vid_map is not None
+    if use_vid:
+        verts = vid_map.select(F.col("vid").alias("dt_id"))
+        e = (
+            vid_edges.select(
+                F.col("source_vid").alias("source_id"),
+                F.col("target_vid").alias("target_id"),
+            )
+            .filter(F.col("source_id") != F.col("target_id"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    else:
+        verts = twins.select("dt_id")
+        e = (
+            relationships.select("source_id", "target_id")
+            .filter(F.col("source_id") != F.col("target_id"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     level = verts.select(
         "dt_id", F.lit(0).cast("long").alias("level")
     ).localCheckpoint(eager=True)
@@ -3062,6 +3394,20 @@ def topological_levels(
         level = stepped.select("dt_id", "level")
         if not (stepped.agg(F.sum("__ch")).collect()[0][0] or 0):
             break
+    if use_vid:
+        bc = _bc_vid_gate(vid_map)
+        dec = vid_map.select(
+            F.col("vid").alias("dt_id"), F.col("dt_id").alias("__id_s")
+        )
+        level = level.join(bc(dec), "dt_id").select(
+            F.col("__id_s").alias("dt_id"), "level"
+        )
+        isolated = twins.select("dt_id").join(
+            bc(vid_map.select("dt_id")), "dt_id", "left_anti"
+        )
+        level = level.unionByName(
+            isolated.select("dt_id", F.lit(0).cast("long").alias("level"))
+        )
     return level
 
 

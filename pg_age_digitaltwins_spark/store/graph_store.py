@@ -455,8 +455,24 @@ class GraphStore:
                 )
                 .select("source_vid", "target_vid", "name")
             )
+            # bucketed by source_vid (r16b): the iterative kernels'
+            # source-keyed aggregations (CC level-1 local min, PageRank
+            # out-degrees), source-keyed joins (contract, per-round
+            # edges⋈state) and (source, target) distincts all plan
+            # exchange-free off the bucketed scan — the same property
+            # the string path gets from the relationships table, now in
+            # long id space.  Pre-repartitioned on the bucket key so
+            # each bucket is one file (guide §6 — the first cut wrote
+            # 117 sub-MB files via partitionBy(name), which no vid
+            # consumer ever pruned by).
             (
-                opts(evid.write.mode("overwrite").partitionBy("name"), "edges_vid")
+                opts(
+                    evid.repartition(n_buckets, F.col("source_vid"))
+                    .write.mode("overwrite"),
+                    "edges_vid",
+                )
+                .bucketBy(n_buckets, "source_vid")
+                .sortBy("source_vid")
                 .saveAsTable(f"{prefix}_edges_vid")
             )
         opts(self.models.write.mode("overwrite"), "models").saveAsTable(
@@ -477,7 +493,7 @@ class GraphStore:
         "model_edges": (None, None),
         # r16 long-id layout; only written by partitioned=True layouts
         "vertex_ids": (None, None),
-        "edges_vid": (None, "name"),
+        "edges_vid": ("source_vid", None),
     }
 
     # derived tables absent from pre-r16 / non-partitioned layouts —

@@ -37,7 +37,7 @@ _TS = "2026-01-01T00:00:00Z"
 
 # Bump when the TPC-H→graph mapping OR storage layout changes
 # (invalidates caches).
-LOADER_VERSION = 8
+LOADER_VERSION = 9
 
 # Every property a _build_graph twin carries is DECLARED in its model
 # (r15): the store must re-import its own ND-JSON export under

@@ -1017,3 +1017,75 @@ def test_store_vid_layout_equivalence_and_invalidation(spark):
         {"$targetId": "nation-1", "$relationshipName": "locatedIn"},
     )
     assert mutated.vertex_ids is None and mutated.edges_vid is None
+
+
+def test_store_vid_layout_iterative_kernels_equivalence(spark):
+    """r16 (optimization): the persisted long-id layout also drives the
+    iterative label/rank kernels — connected components, SCC,
+    topological levels, PageRank, sampled betweenness and the
+    deterministic walks must produce BIT-IDENTICAL results through the
+    vid path and the string path (order-preserving injective encode:
+    every min/least/rank tie-break decides the same; PageRank has no
+    order dependence at all; walk md5 inputs never see the encoded
+    ids)."""
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        betweenness_centrality_sampled,
+        connected_components,
+        pagerank,
+        random_walks,
+        strongly_connected_components,
+        topological_levels,
+    )
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    st = load_graph(spark, SF_DIR)
+    assert st.vertex_ids is not None and st.edges_vid is not None
+
+    def runs(fn):
+        with_vid = fn(vid_edges=st.edges_vid, vid_map=st.vertex_ids)
+        without = fn(vid_edges=None, vid_map=None)
+        a = sorted(tuple(r) for r in with_vid.collect())
+        b = sorted(tuple(r) for r in without.collect())
+        return a, b
+
+    a, b = runs(
+        lambda **kw: connected_components(st.twins, st.relationships, **kw)
+    )
+    assert a == b
+    a, b = runs(
+        lambda **kw: strongly_connected_components(
+            st.twins, st.relationships, **kw
+        )
+    )
+    assert a == b
+    a, b = runs(
+        lambda **kw: topological_levels(st.twins, st.relationships, **kw)
+    )
+    assert a == b
+    a, b = runs(
+        lambda **kw: pagerank(st.twins, st.relationships, iters=3, **kw)
+    )
+    assert a == b
+    pivots = st.twins.filter(F.col("dt_id").startswith("region-")).select(
+        "dt_id"
+    )
+    a, b = runs(
+        lambda **kw: betweenness_centrality_sampled(
+            st.relationships, pivots, max_depth=3, **kw
+        )
+    )
+    assert a == b
+    # deterministic start set (a bare limit() could pick different rows
+    # on the two executions)
+    starts = st.twins.filter(
+        F.col("dt_id").startswith("order-")
+        & (F.element_at(F.split("dt_id", "-"), 2).cast("long") % 100 == 0)
+    ).select("dt_id")
+    a, b = runs(
+        lambda **kw: random_walks(
+            st.relationships, starts, steps=3, walks_per_node=2, **kw
+        )
+    )
+    assert a == b
