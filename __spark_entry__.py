@@ -632,7 +632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         st = _store(s, d)
-        return louvain_communities(st.twins, st.relationships)
+        return louvain_communities(
+            st.twins, st.relationships, endpoint_ids=st.vertex_ids
+        )
 
     q["graph_louvain"] = _louvain
 
@@ -718,7 +720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("__w")
         )
         rels = st.relationships.select("source_id", "target_id", w)
-        return louvain_communities(st.twins, rels, weight_col="__w")
+        return louvain_communities(
+            st.twins, rels, weight_col="__w", endpoint_ids=st.vertex_ids
+        )
 
     q["graph_louvain_weighted"] = _louvain_weighted
 

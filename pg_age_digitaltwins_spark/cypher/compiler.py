@@ -882,6 +882,13 @@ class CypherCompiler:
                     store.twins, relationships,
                     rounds_per_level=rpl, levels=lv,
                     weight_col=weight_col,
+                    # endpoint-universe hint only valid on the
+                    # UNPROJECTED store edge set (same rule as vid_kw)
+                    endpoint_ids=(
+                        store.vertex_ids
+                        if rels is None and weight_col is None
+                        else None
+                    ),
                 ),
             ),
             "graph.clusteringcoefficient": (

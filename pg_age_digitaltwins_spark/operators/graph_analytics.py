@@ -2782,6 +2782,7 @@ def louvain_communities(
     levels: int = 2,
     min_moves_frac: float = 0.0,
     weight_col: str | None = None,
+    endpoint_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(dt_id, community) — Louvain-style modularity communities: up to
     ``rounds_per_level`` synchronous local-move rounds per level (a
@@ -2818,7 +2819,17 @@ def louvain_communities(
     modularity mass), and 2m becomes the weight total.  Rounds and
     contraction already run on arbitrary integer w (the multilevel
     supergraph is weighted by construction), so the arithmetic stays
-    exact BIGINT end-to-end."""
+    exact BIGINT end-to-end.
+
+    ``endpoint_ids`` (r16, optimization): an optional (dt_id) frame
+    that IS the edge-endpoint universe (the store's persisted
+    ``vertex_ids`` dt_id column).  Used ONLY to derive the
+    non-twin-endpoint ``extra`` set via a map-sized anti-join instead
+    of a 2|E|-row endpoint distinct — the SET (and therefore every vid
+    value, parity hash, and final assignment) is identical; louvain's
+    own order-preserving encode is untouched because the move-gating
+    parity hashes the vid VALUES and the board outputs are pinned to
+    them."""
     verts = twins.select("dt_id")
     rcols = ["source_id", "target_id"] + ([weight_col] if weight_col else [])
     raw = relationships.select(*rcols).filter(
@@ -2841,12 +2852,19 @@ def louvain_communities(
     # not structural.  The id universe is verts plus any edge endpoints
     # missing from twins (none under the store's referential integrity,
     # but inputs are not trusted here).
-    extra = (
-        raw.select(F.col("source_id").alias("dt_id"))
-        .unionByName(raw.select(F.col("target_id").alias("dt_id")))
-        .join(verts, "dt_id", "left_anti")
-        .distinct()
-    )
+    if endpoint_ids is not None:
+        # the persisted endpoint universe replaces the 2|E| endpoint
+        # scan+distinct; SAME SET ⇒ same vids ⇒ same assignments
+        extra = endpoint_ids.select("dt_id").join(
+            verts, "dt_id", "left_anti"
+        )
+    else:
+        extra = (
+            raw.select(F.col("source_id").alias("dt_id"))
+            .unionByName(raw.select(F.col("target_id").alias("dt_id")))
+            .join(verts, "dt_id", "left_anti")
+            .distinct()
+        )
     # EAGER checkpoint (r11): mono_id over orderBy is deterministic per
     # EXECUTION, not per plan — four consumers (sv/tv encode, final
     # composition, decode) each re-derive a lazy checkpoint until its
@@ -2861,6 +2879,13 @@ def louvain_communities(
         .select("dt_id", "is_v", F.monotonically_increasing_id().alias("vid"))
         .localCheckpoint(eager=True)
     )
+    # vertex-broadcast gate, shared by the ROUND broadcasts below and
+    # (r16) the encode / contraction / composition joins — the
+    # checkpointed map's conservative size estimate otherwise left all
+    # of them as two-sided sort-merge shuffles (guide §3.1: the
+    # estimate is wrong after a checkpoint, hint explicitly)
+    bcast = verts.count() <= 2_000_000
+    bc = (lambda df: F.broadcast(df)) if bcast else (lambda df: df)
     sv = vid_map.select(
         F.col("dt_id").alias("source_id"), F.col("vid").alias("sv")
     )
@@ -2870,7 +2895,7 @@ def louvain_communities(
     # dedupe on the NORMALIZED pair before doubling — same symmetric
     # distinct edge set as _undirected, but the expensive distinct runs
     # over |E| rows instead of 2|E| (and over long pairs, post-encode)
-    enc = raw.join(sv, "source_id").join(tv, "target_id")
+    enc = raw.join(bc(sv), "source_id").join(bc(tv), "target_id")
     if weight_col is None:
         pairs = enc.select(
             F.least("sv", "tv").alias("a"), F.greatest("sv", "tv").alias("b")
@@ -2911,14 +2936,14 @@ def louvain_communities(
     # per-level vertex-sized joins into the caller's single action
     # instead of one eager job per level)
     level_maps: list[DataFrame] = []
-    # vertex-state broadcast gate (the same ≤2M threshold as PageRank,
-    # dropping out at scale): when the state broadcasts, rounds want
-    # the edges partitioned by SRC (both per-round aggregations then
-    # reuse that partitioning with zero exchange — one map-side pass
-    # over 2|E| per round); the shuffle path wants DST (the comm join
-    # then shuffles only the vertex side).  |V_level| never exceeds the
-    # twin count, and contraction only shrinks it.
-    bcast = verts.count() <= 2_000_000
+    # the ≤2M vertex-state broadcast gate (`bcast`, computed above with
+    # the encode) also steers the per-round layout: when the state
+    # broadcasts, rounds want the edges partitioned by SRC (both
+    # per-round aggregations then reuse that partitioning with zero
+    # exchange — one map-side pass over 2|E| per round); the shuffle
+    # path wants DST (the comm join then shuffles only the vertex
+    # side).  |V_level| never exceeds the twin count, and contraction
+    # only shrinks it.
     dedges = e
     # level-1 edges are self-free BY CONSTRUCTION (src != dst filtered
     # before doubling), so the pre-partitioned nbr checkpoint IS the
@@ -3021,9 +3046,11 @@ def louvain_communities(
             # weighted-Louvain bookkeeping)
             cu = comm.select(F.col("dt_id").alias("src"), F.col("comm").alias("cu"))
             cv = comm.select(F.col("dt_id").alias("dst"), F.col("comm").alias("cv"))
+            # bc (r16): broadcast the vertex-sized community maps so the
+            # 2|E| edge frame never shuffles for the contraction joins
             dedges = (
-                full_edges.join(cu, "src")
-                .join(cv, "dst")
+                full_edges.join(bc(cu), "src")
+                .join(bc(cv), "dst")
                 .groupBy(F.col("cu").alias("src"), F.col("cv").alias("dst"))
                 .agg(F.sum("w").alias("w"))
                 .localCheckpoint(eager=True)
@@ -3037,14 +3064,14 @@ def louvain_communities(
         "dt_id", F.col("vid").alias("community")
     )
     for level_map in level_maps:
-        mapping = mapping.join(level_map, "community", "left").select(
+        mapping = mapping.join(bc(level_map), "community", "left").select(
             "dt_id",
             F.coalesce("new_community", "community").alias("community"),
         )
     dec = vid_map.select(
         F.col("vid").alias("community"), F.col("dt_id").alias("__comm_str")
     )
-    return mapping.join(dec, "community").select(
+    return mapping.join(bc(dec), "community").select(
         "dt_id", F.col("__comm_str").alias("community")
     )
 
