@@ -26,6 +26,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _keyed_ckpt(df: DataFrame, sort_cols: list | None = None) -> DataFrame:
+    """Eager ``localCheckpoint`` that PRESERVES the frame's output
+    partitioning (and ordering, when ``sort_cols`` is given) in the
+    checkpointed ``LogicalRDD``.
+
+    r16 (optimization round, measured): under AQE the physical plan is
+    an ``AdaptiveSparkPlanExec`` whose ``outputPartitioning`` is
+    ``UnknownPartitioning`` at checkpoint-creation time, so EVERY
+    ``repartition(key).localCheckpoint()`` loop-invariant hoist in this
+    module silently lost its partitioning metadata — the data was laid
+    out right, but the planner re-inserted a full exchange for every
+    downstream groupBy/join on the key (verified: ``groupBy(key)`` over
+    such a checkpoint plans ``Exchange hashpartitioning(key)``; the
+    Louvain round carried TWO candidate-set-sized exchanges it was
+    designed not to have).  Compiling the checkpoint with AQE off
+    yields a non-adaptive plan whose ``HashPartitioning`` (and sort
+    order) the LogicalRDD records; downstream queries — themselves
+    still AQE — then satisfy ClusteredDistribution on the key (or any
+    superset) with zero exchange.  The toggle only affects THIS
+    materialization job (the conf is read per-query at compile time)
+    and is restored in ``finally``; the hoisted frames here are
+    one-shot builds whose partition count is the explicit
+    ``defaultParallelism`` repartition target, so losing AQE's
+    coalescing for the build job changes nothing."""
+    spark = df.sparkSession
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def _bc_vid_gate(vid_map: DataFrame, limit: int = 2_000_000):
     """The standard vertex-broadcast gate (r14 verdict discipline) for
     the persisted-layout decode/encode joins: the (dt_id, vid) map is
@@ -1340,14 +1375,18 @@ def weighted_shortest_paths(
     join; now rounds shuffle only the frontier side, the same hoisting
     discipline as PageRank/Louvain."""
     spark = edges.sparkSession
-    e = (
+    e = _keyed_ckpt(
         edges.select(
             F.col("source_id").alias("src"),
             F.col("target_id").alias("dst"),
             F.col("weight").cast("long").alias("w"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism, F.col("src"))
-        .localCheckpoint(eager=True)
+        ).repartition(spark.sparkContext.defaultParallelism, F.col("src")),
+        # sorted within partitions so the per-round frontier SMJ reads
+        # the preserved [src ASC] ordering instead of re-sorting the
+        # edge side every relaxation round (r16 optimization round —
+        # the plain checkpoint ALSO lost the hash partitioning under
+        # AQE and re-exchanged the edge frame per round; see _keyed_ckpt)
+        sort_cols=["src"],
     )
     dist = sources.select(
         F.col("dt_id").alias("node"), F.lit(0).cast("long").alias("dist")
@@ -2897,15 +2936,19 @@ def louvain_communities(
     # over |E| rows instead of 2|E| (and over long pairs, post-encode)
     enc = raw.join(bc(sv), "source_id").join(bc(tv), "target_id")
     if weight_col is None:
-        pairs = enc.select(
-            F.least("sv", "tv").alias("a"), F.greatest("sv", "tv").alias("b")
-        ).distinct()
-        e = (
-            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionByName(
-                pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-            )
-            .select("src", "dst", F.lit(1).cast("long").alias("w"))
+        # r16 (optimization round, guide §2.4): DOUBLE FIRST, dedupe on
+        # the round-key partitioning — the doubled symmetric set's
+        # distinct-(src, dst) IS the doubled distinct-pair set, so the
+        # level-1 edge build costs ONE 2|E| exchange (the repartition in
+        # the level loop below; the dedup aggregation then runs
+        # exchange-free on it via _keyed_ckpt's preserved partitioning)
+        # instead of a |E| pair-distinct exchange PLUS the 2|E|
+        # repartition.
+        d = enc.select(
+            F.least("sv", "tv").alias("src"), F.greatest("sv", "tv").alias("dst")
+        )
+        e = d.unionByName(
+            d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     else:
         # weighted: parallel edges SUM on the normalized pair (same
@@ -2960,15 +3003,26 @@ def louvain_communities(
         spark = dedges.sparkSession
         n_part = spark.sparkContext.defaultParallelism
         part_key = F.col("src") if bcast else F.col("dst")
-        nbr = (
-            (
-                dedges.filter(F.col("src") != F.col("dst"))
-                if has_self
-                else dedges
+        # r16 (optimization round): every nbr build goes through
+        # _keyed_ckpt so the round aggregations SEE the partitioning
+        # (see _keyed_ckpt — the plain checkpoint reported
+        # UnknownPartitioning under AQE and every round re-exchanged
+        # the candidate set).  Level 1 unweighted additionally fuses
+        # the symmetric dedup INTO the one repartition exchange
+        # (distinct on (src, dst) over a src-partitioned frame is
+        # exchange-free); post-contraction levels are ALREADY
+        # partitioned on part_key by the fused contraction below, so
+        # the self-row filter checkpoints without any exchange at all.
+        if has_self:
+            nbr = _keyed_ckpt(dedges.filter(F.col("src") != F.col("dst")))
+        elif weight_col is None:
+            nbr = _keyed_ckpt(
+                dedges.repartition(n_part, part_key)
+                .dropDuplicates(["src", "dst"])
+                .select("src", "dst", F.lit(1).cast("long").alias("w"))
             )
-            .repartition(n_part, part_key)
-            .localCheckpoint(eager=True)
-        )
+        else:
+            nbr = _keyed_ckpt(dedges.repartition(n_part, part_key))
         if level == 0:
             # the level-1 nbr IS the doubled self-free edge set, and
             # it is materialized — this count/sum is free (unweighted
@@ -3044,16 +3098,25 @@ def louvain_communities(
             # contract: communities become supernodes; intra-community
             # weight lands on self rows (A_cc = 2·intra, the standard
             # weighted-Louvain bookkeeping)
-            cu = comm.select(F.col("dt_id").alias("src"), F.col("comm").alias("cu"))
+            cu = comm.select(
+                F.col("dt_id").alias("src"), F.col("comm").alias("cu")
+            )
             cv = comm.select(F.col("dt_id").alias("dst"), F.col("comm").alias("cv"))
             # bc (r16): broadcast the vertex-sized community maps so the
-            # 2|E| edge frame never shuffles for the contraction joins
-            dedges = (
+            # 2|E| edge frame never shuffles for the contraction joins.
+            # r16 (optimization round): the contraction's ONE exchange is
+            # keyed on the NEXT level's round key (repartition before the
+            # groupBy — hash(src) satisfies the (src, dst) clustering, so
+            # the supergraph aggregation is exchange-free on it) and the
+            # result checkpoints through _keyed_ckpt: the next level's
+            # nbr/comm/iso_state then need no repartition at all.
+            dedges = _keyed_ckpt(
                 full_edges.join(bc(cu), "src")
                 .join(bc(cv), "dst")
-                .groupBy(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+                .select(F.col("cu").alias("src"), F.col("cv").alias("dst"), "w")
+                .repartition(n_part, part_key)
+                .groupBy("src", "dst")
                 .agg(F.sum("w").alias("w"))
-                .localCheckpoint(eager=True)
             )
             has_self = True
     # compose identity ∘ level1 ∘ level2 ∘ … (all vertex-sized,

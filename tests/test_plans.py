@@ -837,6 +837,58 @@ def test_louvain_round_sigma_not_broadcast_when_gate_off(no_auto_broadcast):
     assert "BroadcastExchange" not in plan, plan
 
 
+def test_keyed_ckpt_preserves_partitioning_and_round_is_exchange_free(spark):
+    """r16 (optimization round): under AQE a plain
+    ``repartition(key).localCheckpoint()`` records UnknownPartitioning
+    in the LogicalRDD, so every downstream groupBy/join on the key
+    re-exchanges data that is already laid out correctly —
+    ``_keyed_ckpt`` materializes with AQE off so the partitioning (and
+    optional sort order) survive.  Pin BOTH halves: (a) a groupBy on
+    the key over a keyed checkpoint plans zero hash exchanges; (b) a
+    Louvain round over a keyed-ckpt nbr has NO candidate-set exchange —
+    the only hashpartitioning exchanges are the community-sized sigma
+    aggregations (keyed on ``comm``), never on src/dst/c."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pg_age_digitaltwins_spark.operators.graph_analytics import (
+        _keyed_ckpt,
+        _louvain_round,
+    )
+
+    base = spark.range(2000).select(
+        (F.col("id") % 97).alias("src"), ((F.col("id") * 7) % 97).alias("dst")
+    ).filter("src != dst")
+    d = base.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+    doubled = d.unionByName(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nbr = _keyed_ckpt(
+        doubled.repartition(8, F.col("src"))
+        .dropDuplicates(["src", "dst"])
+        .select("src", "dst", F.lit(1).cast("long").alias("w"))
+    )
+    # (a) keyed groupBy over the checkpoint: no exchange
+    agg = nbr.groupBy("src").agg(F.sum("w"))
+    assert "Exchange hashpartitioning" not in _plan(agg), _plan(agg)
+    # (b) the round: every hashpartitioning exchange is keyed on comm
+    comm = (
+        nbr.groupBy(F.col("src").alias("dt_id"))
+        .agg(F.sum("w").alias("k"))
+        .select("dt_id", F.col("dt_id").alias("comm"), "k")
+        .localCheckpoint(eager=True)
+    )
+    out = _louvain_round(nbr, comm, 4000, 0, bcast=True, checkpoint=False)
+    plan = _plan(out)
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    # sigma exchanges (comm-keyed) may appear inside broadcast builds;
+    # the candidate pipeline itself must never re-key on src/dst/c
+    assert all(k.startswith("comm") for k in keys), (keys, plan)
+
+
 def test_rolling_stats_bucketed_partitions_by_type_and_bucket(spark):
     """r15: the bucketed-exact path must shuffle on (event_type, __b)
     — parallelism types x buckets — instead of event_type alone (the
