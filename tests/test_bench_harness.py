@@ -126,6 +126,10 @@ def test_compact_summary_small_and_complete(spark):
     assert len(line) < 1500, f"compact line is {len(line)} chars"
     assert c["compact"] is True
     assert c["value"] == out["value"]
+    # r17: the driver parses the LAST JSON line — the compact record
+    # must carry the per-key queries dict (headline + analytics) or the
+    # driver's per-query and core-count-scaling comparisons get nothing
+    assert c["queries"] == {**out["queries"], **out["analytics"]}
     assert c["groups"]["queries_total"] == out["value"]
     assert c["groups"]["cdc_tuned_steady_events_per_sec"] == 9.9
     assert c["groups"]["replication_rows_per_sec"] == 2.0
