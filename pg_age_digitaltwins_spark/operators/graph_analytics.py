@@ -481,13 +481,27 @@ def pagerank(
             F.col("__tv").alias("target_id"),
             *wcols,
         )
-    deg_edges = (
+    # r17 (optimization, guide §2.4): lay the hoisted edge frame out on
+    # the TARGET key once — each superstep's contribs aggregation
+    # (groupBy target) then reuses that partitioning and, with the
+    # state broadcast under the gate, a superstep runs ZERO exchanges
+    # (the old shape paid one |E|-partial-agg exchange per iteration).
+    # _keyed_ckpt pins the partitioning against AQE's UnknownPartitioning
+    # checkpoint estimate.  Above the gate the join on source re-shuffles
+    # the edge frame exactly as the unpartitioned checkpoint did — no
+    # regression on the distributed path.  Per-target sums change their
+    # partial-aggregation grouping; ranks are re-verified against the
+    # unrolled-iteration oracle at round(8).
+    spark = edges.sparkSession
+    deg_edges = _keyed_ckpt(
         edges.join(out_deg, edges["source_id"] == out_deg["vid"])
         .select(
             "source_id", "target_id", "out_deg",
             *(["__w"] if weight_col else []),
         )
-        .localCheckpoint(eager=True)
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("target_id")
+        )
     )
     dangling_verts = verts.join(out_deg, "vid", "left_anti").localCheckpoint(
         eager=True
@@ -2690,34 +2704,35 @@ def _louvain_round(
     # comm joins broadcast, so the edge set never leaves its partitions
     # and BOTH aggregations run exchange-free on the caller's src
     # partitioning — one map-side pass over |E| per round.
-    comm_dst = comm.select(F.col("dt_id").alias("dst"), F.col("comm").alias("c"))
-    comm_src = comm.select(
-        F.col("dt_id").alias("src"), F.col("comm").alias("c_v"), "k"
-    )
-    if bcast:
-        comm_dst = F.broadcast(comm_dst)
-        comm_src = F.broadcast(comm_src)
+    # r17 (optimization, guide §2.4/§3.1 — reuse, don't rebuild): the
+    # round used FOUR per-round vertex/community-sized broadcast builds
+    # (comm projected two ways + σ projected two ways — measured: 4
+    # BroadcastExchange, 0 ReusedExchange in the round plan; the builds
+    # dominate a round's wall at sf1).  Joining the RAW ``comm`` and
+    # ``sigma`` frames twice each — with the renames moved ABOVE the
+    # join — makes the two exchanges of each pair canonically equal
+    # (same projection, same dt_id/comm build key), so the planner
+    # emits ReusedExchange for the second use: 2 builds per round
+    # instead of 4.  Pure projection refactor — same rows, same
+    # formulas, assignments bit-identical (fixture pins + clique tests).
+    comm_j = F.broadcast(comm) if bcast else comm
+    # σ rides the SAME gate as the state broadcasts: when ``bcast`` is
+    # off because |V| exceeds the 2M limit, σ must not broadcast either
+    # (r14 verdict)
+    sigma_j = F.broadcast(sigma) if bcast else sigma
     cand = (
         nbr.filter(active_src)
-        .join(comm_dst, "dst")
-        .select("src", "c", "w")
+        .join(comm_j, F.col("dst") == F.col("dt_id"))
+        .select("src", F.col("comm").alias("c"), "w")
         .groupBy("src", "c")
         .agg(F.sum("w").alias("k_vc"))
-        .join(comm_src, "src")
-        # σ is community-sized — |V|-sized exactly in round 1 (every
-        # vertex its own community), so it rides the SAME gate as the
-        # state broadcasts: when ``bcast`` is off because |V| exceeds
-        # the 2M limit, σ must not broadcast either (r14 verdict)
-        .join(F.broadcast(sigma) if bcast else sigma, F.col("c") == F.col("comm"))
+        .join(comm_j, F.col("src") == F.col("dt_id"))
+        .select("src", "c", "k_vc", F.col("comm").alias("c_v"), "k")
+        .join(sigma_j, F.col("c") == F.col("comm"))
         .drop("comm")
     )
     score = F.lit(two_m) * F.col("k_vc") - F.col("k") * (
         F.col("sigma") - F.when(F.col("c") == F.col("c_v"), F.col("k")).otherwise(F.lit(0))
-    )
-    sigma_cv = sigma.select(
-        F.col("comm").alias("c_v"),
-        F.col("sigma").alias("__sigma_cv"),
-        F.col("csize").alias("__csize_cv"),
     )
     per_v = (
         cand.select(
@@ -2745,11 +2760,10 @@ def _louvain_round(
             ).alias("own_raw"),
         )
         # σ(c_v) fills the stay score / own size for vertices with no
-        # neighbor in their own community — community-sized build,
-        # same broadcast gate (and a reused σ exchange under AQE)
-        .join(
-            F.broadcast(sigma_cv) if bcast else sigma_cv, "c_v"
-        )
+        # neighbor in their own community — the SAME raw σ frame as the
+        # candidate join above (r17: identical projection + build key
+        # ⇒ ReusedExchange instead of a second broadcast build)
+        .join(sigma_j, F.col("c_v") == F.col("comm"))
         .select(
             F.col("src").alias("dt_id"),
             (-F.col("best.ns")).alias("best_score"),
@@ -2759,9 +2773,9 @@ def _louvain_round(
             "k",
             F.coalesce(
                 F.col("stay_raw"),
-                -F.col("k") * (F.col("__sigma_cv") - F.col("k")),
+                -F.col("k") * (F.col("sigma") - F.col("k")),
             ).alias("stay_score"),
-            F.coalesce(F.col("own_raw"), F.col("__csize_cv")).alias(
+            F.coalesce(F.col("own_raw"), F.col("csize")).alias(
                 "own_size"
             ),
         )
@@ -3445,35 +3459,54 @@ def topological_levels(
     use_vid = vid_edges is not None and vid_map is not None
     if use_vid:
         verts = vid_map.select(F.col("vid").alias("dt_id"))
-        e = (
-            vid_edges.select(
-                F.col("source_vid").alias("source_id"),
-                F.col("target_vid").alias("target_id"),
-            )
-            .filter(F.col("source_id") != F.col("target_id"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
+        e = vid_edges.select(
+            F.col("source_vid").alias("source_id"),
+            F.col("target_vid").alias("target_id"),
+        ).filter(F.col("source_id") != F.col("target_id")).distinct()
     else:
         verts = twins.select("dt_id")
         e = (
             relationships.select("source_id", "target_id")
             .filter(F.col("source_id") != F.col("target_id"))
             .distinct()
-            .localCheckpoint(eager=False)
         )
+    # r17 (optimization, guide §2.4 — remove the per-round exchanges):
+    # the old loop joined a partitioning-less lazy edge checkpoint
+    # against the fresh state every round, so EVERY round exchanged the
+    # |E| edge frame AND the vertex state, then exchanged the max-agg
+    # partials, then ran a two-sided vertex join — 4 exchanges × rounds.
+    # The edge frame is loop-invariant: pre-partition it ONCE on the
+    # aggregation key (target) through _keyed_ckpt (the AQE-proof keyed
+    # checkpoint).  Under the standard ≤2M-vertex gate (PageRank's) the
+    # per-round state joins broadcast, so a round is ONE map-side pass
+    # over |E| + a vertex-sized broadcast join — zero exchanges; above
+    # the gate the state stays distributed and only it shuffles (the
+    # edge side is already laid out).  max/greatest over BIGINT levels
+    # is order-independent, so results are bit-identical either way.
+    spark = e.sparkSession
+    n_verts = verts.count()
+    bc = (
+        (lambda df: F.broadcast(df))
+        if n_verts <= 2_000_000
+        else (lambda df: df)
+    )
+    e = _keyed_ckpt(
+        e.repartition(
+            spark.sparkContext.defaultParallelism, F.col("target_id")
+        )
+    )
     level = verts.select(
         "dt_id", F.lit(0).cast("long").alias("level")
     ).localCheckpoint(eager=True)
     for _ in range(max(1, iters)):
         nxt = (
-            e.join(level, e["source_id"] == level["dt_id"])
+            e.join(bc(level), e["source_id"] == level["dt_id"])
             .groupBy(F.col("target_id").alias("dt_id"))
             .agg((F.max("level") + F.lit(1)).cast("long").alias("__cand"))
         )
         cand = F.coalesce("__cand", F.lit(0).cast("long"))
         stepped = (
-            level.join(nxt, "dt_id", "left")
+            level.join(bc(nxt), "dt_id", "left")
             .select(
                 "dt_id",
                 F.greatest(F.col("level"), cand).alias("level"),
