@@ -190,6 +190,7 @@ def connected_components(
     max_iters: int = 20,
     vid_edges: DataFrame | None = None,
     vid_map: DataFrame | None = None,
+    broadcast_vertex_limit: int = 2_000_000,
 ) -> DataFrame:
     """(dt_id, component) — component = min twin id reachable over
     undirected edges.
@@ -247,6 +248,20 @@ def connected_components(
         e = relationships.select("source_id", "target_id").filter(
             F.col("source_id") != F.col("target_id")
         )
+    # r17 (optimization, guide §3.1): the level-1 contraction joined the
+    # full |E| frame against the vertex-sized label map TWICE as
+    # sort-merge shuffles (the lazily-checkpointed map has no usable
+    # size estimate, so AQE never upgraded it).  Broadcast the label
+    # maps under the standard ≤2M-vertex gate — the |E| frame then
+    # never shuffles for the contraction; above the gate the joins stay
+    # distributed (r14 verdict discipline).  Later levels shrink, so
+    # the gate only widens.
+    n_verts = (vid_map if use_vid else twins).select("dt_id").count()
+    bc_lbl = (
+        (lambda df: F.broadcast(df))
+        if n_verts <= broadcast_vertex_limit
+        else (lambda df: df)
+    )
     level_maps: list[DataFrame] = []
     for _ in range(max_iters):
         # local min over the closed neighborhood of this level's edge
@@ -284,8 +299,8 @@ def connected_components(
             F.col("id").alias("target_id"), F.col("label").alias("__lt")
         )
         e = (
-            e.join(ls, "source_id")
-            .join(lt, "target_id")
+            e.join(bc_lbl(ls), "source_id")
+            .join(bc_lbl(lt), "target_id")
             .select(
                 F.col("__ls").alias("source_id"),
                 F.col("__lt").alias("target_id"),
@@ -1074,6 +1089,7 @@ def strongly_connected_components(
     max_iters: int = 20,
     vid_edges: DataFrame | None = None,
     vid_map: DataFrame | None = None,
+    broadcast_vertex_limit: int = 2_000_000,
 ) -> DataFrame:
     """(dt_id, scc) — SCC id = min twin id in the component, over the
     DIRECTED edge set.
@@ -1120,22 +1136,43 @@ def strongly_connected_components(
         )
     remaining = verts.localCheckpoint(eager=True)
     out: DataFrame | None = None
+    # r17 (optimization, guide §3.1): every peel/trim layer semi-joins
+    # the |E| frame against a VERTEX-sized remaining/settled frame —
+    # all planned as two-sided sort-merge shuffles (checkpointed frames
+    # carry no usable size estimate).  Broadcast the vertex-sized side
+    # under the standard ≤2M gate; the |E| frame then never shuffles
+    # for the peeling.  Above the gate everything stays distributed.
+    n_verts = verts.count()
+    bc_v = (
+        (lambda df: F.broadcast(df))
+        if n_verts <= broadcast_vertex_limit
+        else (lambda df: df)
+    )
+    first_round = True
     for _ in range(max_rounds):
         if not remaining.take(1):
             break
-        e = (
-            edges.join(
-                remaining.withColumnRenamed("dt_id", "source_id"),
-                "source_id",
-                "left_semi",
+        if first_round and use_vid:
+            # round 1: remaining IS the whole endpoint universe and the
+            # store's edge guard enforces endpoint RI — the two semi
+            # joins are no-ops; materialize the edge frame directly
+            # (string-path inputs are untrusted and keep the joins)
+            e = edges.localCheckpoint(eager=True)
+        else:
+            e = (
+                edges.join(
+                    bc_v(remaining.withColumnRenamed("dt_id", "source_id")),
+                    "source_id",
+                    "left_semi",
+                )
+                .join(
+                    bc_v(remaining.withColumnRenamed("dt_id", "target_id")),
+                    "target_id",
+                    "left_semi",
+                )
+                .localCheckpoint(eager=True)
             )
-            .join(
-                remaining.withColumnRenamed("dt_id", "target_id"),
-                "target_id",
-                "left_semi",
-            )
-            .localCheckpoint(eager=True)
-        )
+        first_round = False
         # TRIM (the T of FW-BW-Trim): a vertex with no in-edge or no
         # out-edge in the REMAINING subgraph is a singleton SCC —
         # iterated trimming peels all DAG appendages without any label
@@ -1169,7 +1206,7 @@ def strongly_connected_components(
                 .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
             )
             lab = (
-                remaining.join(deg, "dt_id", "left")
+                remaining.join(bc_v(deg), "dt_id", "left")
                 .select(
                     "dt_id",
                     (
@@ -1191,11 +1228,11 @@ def strongly_connected_components(
                 break  # everything settled; skip the dead e rebuild
             e = (
                 e.join(
-                    remaining.withColumnRenamed("dt_id", "source_id"),
+                    bc_v(remaining.withColumnRenamed("dt_id", "source_id")),
                     "source_id", "left_semi",
                 )
                 .join(
-                    remaining.withColumnRenamed("dt_id", "target_id"),
+                    bc_v(remaining.withColumnRenamed("dt_id", "target_id")),
                     "target_id", "left_semi",
                 )
                 .localCheckpoint(eager=True)
@@ -1224,9 +1261,9 @@ def strongly_connected_components(
         )
         out = settled if out is None else out.unionByName(settled)
         out = out.localCheckpoint(eager=True)
-        remaining = remaining.join(settled, "dt_id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        remaining = remaining.join(
+            bc_v(settled), "dt_id", "left_anti"
+        ).localCheckpoint(eager=True)
     else:
         if remaining.take(1):  # pragma: no cover — pathological chains
             raise RuntimeError(
@@ -3412,6 +3449,7 @@ def topological_levels(
     iters: int = 8,
     vid_edges: DataFrame | None = None,
     vid_map: DataFrame | None = None,
+    broadcast_vertex_limit: int = 2_000_000,
 ) -> DataFrame:
     """(dt_id, level) — longest-path LAYERING of the directed graph:
     level(v) = 0 for sources (no in-edges), else 1 + max(level(u))
@@ -3487,7 +3525,7 @@ def topological_levels(
     n_verts = verts.count()
     bc = (
         (lambda df: F.broadcast(df))
-        if n_verts <= 2_000_000
+        if n_verts <= broadcast_vertex_limit
         else (lambda df: df)
     )
     e = _keyed_ckpt(

@@ -1141,3 +1141,46 @@ def test_store_vid_layout_iterative_kernels_equivalence(spark):
         )
     )
     assert a == b
+
+
+def test_label_kernel_broadcast_gates_force_off(no_auto_broadcast, monkeypatch):
+    """r17 (r14-verdict discipline for the new gates): the CC
+    contraction / SCC peel-trim / topological-levels state joins
+    broadcast the vertex-sized side ONLY under the ≤2M gate.  With
+    ``broadcast_vertex_limit=0`` no F.broadcast hint may be planted at
+    all (auto-broadcast is disabled by the fixture, so zero hints ⇒
+    zero vertex-sized BroadcastExchange anywhere in the loop's jobs —
+    the loop internals execute during the call, so a plan-string pin
+    can't see them; the hint counter can).  With the default limit the
+    gate must fire on the small fixture."""
+    import pg_age_digitaltwins_spark.operators.graph_analytics as ga
+    from pg_age_digitaltwins_spark.store.tpch_loader import load_graph
+
+    spark = no_auto_broadcast
+    st = load_graph(spark, SF_DIR)
+
+    calls = {"n": 0}
+    real_broadcast = ga.F.broadcast
+
+    def counting_broadcast(df):
+        calls["n"] += 1
+        return real_broadcast(df)
+
+    monkeypatch.setattr(ga.F, "broadcast", counting_broadcast)
+    for fn in (
+        lambda **kw: ga.connected_components(
+            st.twins, st.relationships, **kw
+        ),
+        lambda **kw: ga.strongly_connected_components(
+            st.twins, st.relationships, **kw
+        ),
+        lambda **kw: ga.topological_levels(st.twins, st.relationships, **kw),
+    ):
+        calls["n"] = 0
+        fn(broadcast_vertex_limit=0).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        assert calls["n"] == 0, "gate off must plant zero broadcast hints"
+        calls["n"] = 0
+        fn().write.format("noop").mode("overwrite").save()
+        assert calls["n"] > 0, "gate on must broadcast the vertex side"
