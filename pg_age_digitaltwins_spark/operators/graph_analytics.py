@@ -1353,12 +1353,32 @@ def _multi_source_bfs(
     (source_id, target_id) frame — lets the vid-space callers share ONE
     materialized edge frame between the forward BFS and their own
     passes instead of re-deriving it, and keeps the BFS itself
-    id-dtype-agnostic (every join/dedup here keys on column names)."""
-    edges = (
-        und_edges
-        if und_edges is not None
-        else _undirected(relationships).localCheckpoint(eager=False)
-    )
+    id-dtype-agnostic (every join/dedup here keys on column names).
+
+    r17 (optimization, guide §2.4 — loop-invariant hoisting): the edge
+    frame is loop-invariant but the lazy checkpoint recorded
+    UnknownPartitioning, so EVERY depth's frontier join re-exchanged
+    the 2|E| doubled frame.  It is now built through ONE
+    repartition(source_id) whose partitioning the symmetric dedup and
+    the keyed checkpoint both reuse — per depth, only the frontier
+    side shuffles.  Callers passing ``und_edges`` are expected to do
+    the same (betweenness does)."""
+    if und_edges is not None:
+        edges = und_edges
+    else:
+        e0 = relationships.select("source_id", "target_id")
+        doubled = e0.unionByName(
+            e0.select(
+                F.col("target_id").alias("source_id"),
+                F.col("source_id").alias("target_id"),
+            )
+        )
+        edges = _keyed_ckpt(
+            doubled.repartition(
+                relationships.sparkSession.sparkContext.defaultParallelism,
+                F.col("source_id"),
+            ).dropDuplicates(["source_id", "target_id"])
+        )
     frontier = sources.select(
         F.col("dt_id").alias("node"), F.col("dt_id").alias("src")
     ).localCheckpoint(eager=True)
@@ -1515,13 +1535,19 @@ def random_walks(
         ).distinct()
     else:
         edges = relationships.select("source_id", "target_id").distinct()
+    # r17 (optimization, guide §2.4): both loop-invariant tables are
+    # consumed once per step on the source key; the lazy checkpoints
+    # recorded UnknownPartitioning so each step re-exchanged the |E|
+    # neighbor table.  The keyed checkpoint pins the window's
+    # hash(source_id) layout, so per step only the walk-state side
+    # shuffles (an explicit (source_id, rn) sort pin was A/B'd and
+    # dropped — the extra sort pass cost more than the per-step SMJ
+    # sort it saved on this join's skinny rows).
     w_rank = Window.partitionBy("source_id").orderBy("target_id")
-    nbrs = edges.withColumn("rn", F.row_number().over(w_rank)).localCheckpoint(
-        eager=False
+    nbrs = _keyed_ckpt(edges.withColumn("rn", F.row_number().over(w_rank)))
+    degs = _keyed_ckpt(
+        edges.groupBy("source_id").agg(F.count(F.lit(1)).alias("deg"))
     )
-    degs = edges.groupBy("source_id").agg(
-        F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=False)
     state = starts.select(F.col("dt_id").alias("start")).crossJoin(
         F.broadcast(
             starts.sparkSession.range(walks_per_node).select(
@@ -2313,22 +2339,33 @@ def betweenness_centrality_sampled(
             F.col("source_vid").alias("source_id"),
             F.col("target_vid").alias("target_id"),
         )
-        edges = (
-            ev.unionByName(
-                ev.select(
-                    F.col("target_id").alias("source_id"),
-                    F.col("source_id").alias("target_id"),
-                )
+        doubled = ev.unionByName(
+            ev.select(
+                F.col("target_id").alias("source_id"),
+                F.col("source_id").alias("target_id"),
             )
-            .distinct()
-            .localCheckpoint(eager=False)
         )
     else:
-        # r16 (optimization): lazy lineage cut — the backward pass
-        # consumes this frame once per layer (max_depth − 1 times);
-        # without the cut each layer re-runs the doubled-edge distinct
-        # shuffle (guide §2.4)
-        edges = _undirected(relationships).localCheckpoint(eager=False)
+        e0 = relationships.select("source_id", "target_id")
+        doubled = e0.unionByName(
+            e0.select(
+                F.col("target_id").alias("source_id"),
+                F.col("source_id").alias("target_id"),
+            )
+        )
+    # r17 (optimization, guide §2.4): the forward BFS joins this frame
+    # once per depth and the backward pass once per layer, all on
+    # source_id — ONE repartition(source_id) (whose partitioning the
+    # symmetric dedup reuses, so the build costs a single exchange)
+    # through the AQE-proof keyed checkpoint keeps the 2|E| frame in
+    # place for every one of those joins; previously the lazy
+    # checkpoint's UnknownPartitioning re-exchanged it each time.
+    edges = _keyed_ckpt(
+        doubled.repartition(
+            relationships.sparkSession.sparkContext.defaultParallelism,
+            F.col("source_id"),
+        ).dropDuplicates(["source_id", "target_id"])
+    )
     seen = _multi_source_bfs(
         relationships, sources, max_depth, count_paths=True, und_edges=edges
     ).localCheckpoint(eager=True)
