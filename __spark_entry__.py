@@ -954,6 +954,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sources = sources.join(bc(vm), "dt_id").select(
                 F.col("vid").alias("dt_id")
             )
+        # r17 (optimization, guide §2.4): the symmetric union evaluates
+        # its child TWICE — and this child is the expensive subtree (a
+        # full relationships scan + per-row JSON weight parse + encode
+        # joins).  A lazy checkpoint computes it once; both union
+        # branches then read the cached rows when weighted_shortest_paths
+        # materializes its keyed edge frame.  Same rows, same weights.
+        e = e.localCheckpoint(eager=False)
         sym = e.unionByName(
             e.select(
                 F.col("target_id").alias("source_id"),

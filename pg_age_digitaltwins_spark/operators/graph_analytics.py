@@ -2999,9 +2999,16 @@ def louvain_communities(
     # hand different consumers different ids.  The pin costs one
     # vertex-sized job up front and also removes the repeated
     # orderBy+mono_id stage from the final composition chain.
+    # r17: lazy-cut the universe BEFORE the orderBy — the range
+    # partitioner's sampling pass re-evaluates its child, so the
+    # twins-scan + anti-join subtree ran twice per build; the cut
+    # caches one computation for both passes.  Same rows in the same
+    # order over the same child partitions ⇒ identical vids (and the
+    # assignment fixture pins verify that).
     vid_map = (
         verts.select("dt_id", F.lit(True).alias("is_v"))
         .unionByName(extra.select("dt_id", F.lit(False).alias("is_v")))
+        .localCheckpoint(eager=False)
         .orderBy("dt_id")
         .select("dt_id", "is_v", F.monotonically_increasing_id().alias("vid"))
         .localCheckpoint(eager=True)
@@ -3032,9 +3039,12 @@ def louvain_communities(
         # exchange-free on it via _keyed_ckpt's preserved partitioning)
         # instead of a |E| pair-distinct exchange PLUS the 2|E|
         # repartition.
+        # r17: the symmetric union evaluates its child twice, and the
+        # child here is the |E| scan + two encode joins — lazy-cut so
+        # both branches read one cached computation (guide §2.4)
         d = enc.select(
             F.least("sv", "tv").alias("src"), F.greatest("sv", "tv").alias("dst")
-        )
+        ).localCheckpoint(eager=False)
         e = d.unionByName(
             d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
@@ -3050,6 +3060,10 @@ def louvain_communities(
             .groupBy("a", "b")
             .agg(F.sum("w").alias("w"))
             .filter(F.col("w") > 0)
+            # r17: same double-evaluation cut as the unweighted branch —
+            # the doubling union would otherwise re-run the scan +
+            # encode joins + pair aggregation per branch
+            .localCheckpoint(eager=False)
         )
         e = pairs.select(
             F.col("a").alias("src"), F.col("b").alias("dst"), "w"
