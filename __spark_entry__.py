@@ -2604,45 +2604,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the sf0.001 exact-numerator pin rides the suite.  Swapped-out keys
 # stay on the full self-run board (scripts/oracle_check.py).
 _DRIVER_WINDOW = [
+    # r17 rotation (optimization round 2): gate EVERY operator this
+    # round's optimizations touched — the iterative label kernels
+    # (pagerank + its CALL twin, CC, SCC, topological levels: per-round
+    # exchange removal + broadcast gates), the BFS family
+    # (betweenness/closeness keyed edge hoist), weighted shortest paths
+    # and random walks (double-evaluation cuts, keyed tables) — all
+    # VALUE-checked.  graph_louvain_weighted rotates OUT of the window:
+    # it is the board's one rows-only key (xxhash64 parity + mono_id
+    # vids are not SQL-replayable) and in the r16 window the driver
+    # recorded it as err=no_oracle (49/50) — its exactness claim is
+    # carried by the value-checked graph_modularity_weighted companion
+    # (kept in-window) + the suite's exact-numerator pin, and the key
+    # itself stays declared on the board / full self-run.  The r16
+    # events _global twins and retention/seasonal/mixture re-gates
+    # (untouched this round) rotate out to make room; they stay on the
+    # full board.
     # ADT QL (8) -- unchanged anchors
     "adt_count_twins", "adt_top_n", "adt_startswith",
     "adt_is_of_model_inheritance", "adt_match_3hop", "adt_match_undirected",
     "adt_join_related_2hop", "adt_select_star_point",
-    # Cypher (10) -- r11-r12 cohort re-gates + the four
-    # weighted-projection CALL keys (r16 error-chain refactor)
+    # Cypher (11) -- the four weighted-projection CALL keys + this
+    # round's CALL-dispatch twin of the optimized pagerank
     "cypher_all_shortest_paths", "cypher_shortest_path",
     "cypher_order_skip_limit", "cypher_l2_distance_topk",
     "cypher_list_predicates", "agg_twins_by_model",
     "cypher_call_pagerank_weighted", "cypher_call_ppr_weighted",
     "cypher_call_degree_weighted", "cypher_call_shortest_paths_weighted",
-    # graph analytics (6) -- the weighted-modularity pair (kernel
-    # value-checked; louvain_weighted deliberately rows-only) + the
-    # r11 centrality cohort
-    "graph_modularity_weighted", "graph_louvain_weighted",
-    "graph_modularity_cc", "graph_closeness_centrality",
+    "cypher_call_pagerank",
+    # graph analytics (11) -- the weighted-modularity kernel, the
+    # CC-partition kernel (rides the optimized CC), the r17-touched
+    # iterative kernels, and the centrality cohort
+    "graph_modularity_weighted", "graph_modularity_cc",
+    "graph_pagerank", "graph_connected_components", "graph_scc",
+    "graph_topological_levels", "graph_weighted_shortest_paths",
+    "graph_random_walks", "graph_closeness_centrality",
     "graph_betweenness_centrality", "graph_eigenvector_centrality",
-    # dedup + text + multimodal (8) -- the new CALL families gate
-    # immediately; levenshtein re-gates its short-doc guard; r11-r12
-    # re-gates for the rest
+    # dedup + text + multimodal (8)
     "cypher_call_dedup_minhash", "cypher_call_text_profile",
     "dedup_levenshtein_verified", "dedup_minhash_verified",
     "dedup_lsh_recall", "text_char_entropy", "text_readability",
     "multimodal_meta",
-    # embeddings / ANN (5) -- new CALL ann keys + r11-r12 re-gates
+    # embeddings / ANN (5)
     "cypher_call_ann_hamming", "cypher_call_ann_cosine",
     "embed_ann_hamming", "embed_quantize_int8", "embed_ann_lsh_multi",
-    # events (9) -- the r16 scale-default class: every bucketed
-    # prefix-sum default next to its single-window _global twin (same
-    # oracle each — the comparison IS the exactness claim), plus the
-    # r15 carry path and the r11-r12 retention/seasonal re-gates
-    "events_rolling_stats", "events_rolling_stats_global",
-    "events_rolling_stats_bucketed",
-    "events_drift_stats", "events_drift_stats_global",
-    "events_changepoint", "events_changepoint_global",
-    "events_daily_retention", "events_seasonal_profile",
-    # TPC-H (2) + sampling (2) -- r11-r12 re-gates
+    # events (4) -- the r16 scale defaults stay gated (their _global
+    # twins rotate to the full board)
+    "events_rolling_stats", "events_rolling_stats_bucketed",
+    "events_drift_stats", "events_changepoint",
+    # TPC-H (2) + sampling (1)
     "tpch_volume_shipping", "tpch_small_qty_revenue",
-    "sample_temperature_mixture", "sample_dup_downweight",
+    "sample_dup_downweight",
 ]
 
 

@@ -3278,7 +3278,10 @@ def modularity(
             )
             .groupBy("a", "b")
             .agg(F.sum("w").alias("w"))
+            # r17: lazy-cut before doubling — the union would evaluate
+            # the |E| pair aggregation once per branch (guide §2.4)
             .filter(F.col("w") > 0)
+            .localCheckpoint(eager=False)
         )
         e = pairs.select(
             F.col("a").alias("source_id"), F.col("b").alias("target_id"), "w"
@@ -3295,7 +3298,12 @@ def modularity(
     cv = communities.select(
         F.col("dt_id").alias("target_id"), F.col("community").alias("cv")
     )
-    tagged = e.join(cu, "source_id").join(cv, "target_id")
+    # r17: two driver aggregates read this frame (the 2m total and the
+    # per-community sums) — without the cut each collect re-ran the
+    # doubled-edge build + both community joins end to end
+    tagged = e.join(cu, "source_id").join(cv, "target_id").localCheckpoint(
+        eager=False
+    )
     two_m = tagged.agg(F.sum("w")).collect()[0][0] or 0
     spark = relationships.sparkSession
     if two_m == 0:
@@ -3454,7 +3462,7 @@ def link_prediction_wedge_count(
     und = e.select(
         F.least("source_id", "target_id").alias("a"),
         F.greatest("source_id", "target_id").alias("b"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)  # r17: one dedup, 2 branches
     nb = und.select(F.col("a").alias("m")).unionByName(
         und.select(F.col("b").alias("m"))
     )
