@@ -611,7 +611,12 @@ def personalized_pagerank(
             .agg(F.sum(F.col(weight_col).cast("double")).alias("out_deg"))
             .filter(F.col("out_deg") > 0)
         )
-    deg_edges = (
+    # r17: same target-keyed hoist as pagerank (guide §2.4) — the
+    # per-iteration contribs aggregation then reuses the partitioning
+    # under the state broadcast instead of exchanging |E| partials
+    # every round; ranks re-verified at round(8) vs the oracle.
+    spark = edges.sparkSession
+    deg_edges = _keyed_ckpt(
         edges.join(out_deg, edges["source_id"] == out_deg["dt_id"])
         .select(
             "source_id", "target_id", "out_deg",
@@ -621,7 +626,9 @@ def personalized_pagerank(
                 else []
             ),
         )
-        .localCheckpoint(eager=True)
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("target_id")
+        )
     )
     dangling_verts = verts.join(out_deg, "dt_id", "left_anti").localCheckpoint(
         eager=True

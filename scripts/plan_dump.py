@@ -38,9 +38,16 @@ def main() -> int:
     qs = entrymod.queries()
     os.makedirs(OUT_DIR, exist_ok=True)
     rc = 0
+    final = bool(os.environ.get("SPARK_GRAFT_PLAN_FINAL"))
     for k in keys or sorted(qs):
         try:
             df = qs[k](spark, SF_DIR)
+            if final:
+                # r17 (ADVICE): execute THIS query execution first so
+                # the dumped plan is the final adaptive plan
+                # (isFinalPlan=true, AQEShuffleRead / ReusedExchange
+                # visible) instead of the pre-AQE initial plan
+                df.collect()
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
